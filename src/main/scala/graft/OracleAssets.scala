@@ -1,0 +1,148 @@
+package graft
+
+/** DuckDB oracle SQL for the asset pipelines in
+  * [[graft.operators.Assets]]. Each string must be semantically identical
+  * to the Spark pipeline AND produce identical column names — the
+  * driver's compare sorts columns by name before hashing.
+  */
+object OracleAssets {
+
+  /** SQL mirror of [[graft.sources.Tables.signals]] — must stay in exact
+    * lockstep with the Spark projection.
+    */
+  val signalsCte: String =
+    """ev AS (
+      |  SELECT event_id, ts, user_id, event_type, value,
+      |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |  FROM events
+      |),
+      |signals AS (
+      |  SELECT event_id, ts, user_id, event_type, value, k,
+      |    'svc-' || CAST(user_id % 20 AS VARCHAR) AS service_name,
+      |    CASE WHEN user_id % 2 = 0 THEN 'prod' ELSE 'dev' END AS service_environment,
+      |    CASE WHEN k % 3 = 0 THEN 'c-' || CAST(k % 7 AS VARCHAR) END AS container_id,
+      |    CASE WHEN k % 2 = 1 THEN 'p-' || CAST(k % 5 AS VARCHAR) END AS kubernetes_pod_uid,
+      |    CASE WHEN k % 4 = 0 THEN 'h-' || CAST(k % 6 AS VARCHAR) END AS host_name,
+      |    CASE WHEN k % 9 <> 8 THEN 'hh-' || CAST(k % 9 AS VARCHAR) END AS host_hostname,
+      |    CASE WHEN k % 5 <> 2 THEN 'n-' || CAST(k % 4 AS VARCHAR) END AS kubernetes_node_name,
+      |    CASE WHEN k % 5 = 0 THEN 'aws' END AS cloud_provider,
+      |    CASE WHEN k % 7 = 0 THEN 'cl-' || CAST(k % 2 AS VARCHAR) END AS orchestrator_cluster_name
+      |  FROM ev
+      |),
+      |mx AS (SELECT max(ts) AS m FROM signals)""".stripMargin
+
+  val parentTypeCase: String =
+    """CASE WHEN container_id IS NOT NULL THEN 'container'
+      |     WHEN kubernetes_pod_uid IS NOT NULL THEN 'k8s.pod'
+      |     WHEN host_name IS NOT NULL THEN 'host.name'
+      |     WHEN host_hostname IS NOT NULL THEN 'host.hostname'
+      |     ELSE 'unknown' END""".stripMargin
+
+  val parentIdExpr: String =
+    "COALESCE(container_id, kubernetes_pod_uid, host_name, host_hostname, '')"
+
+  val batchTs: String = s"TIMESTAMP '${operators.Assets.BatchTs}'"
+
+  val svcLatest: String =
+    s"""WITH $signalsCte
+       |SELECT service_name, service_environment, max(ts) AS latest_ts
+       |FROM signals, mx
+       |WHERE event_type = 'purchase' AND ts >= m - INTERVAL 7 DAY
+       |GROUP BY service_name, service_environment""".stripMargin
+
+  val svcSummaries: String =
+    s"""WITH $signalsCte,
+       |p1 AS (
+       |  SELECT DISTINCT service_name FROM signals, mx
+       |  WHERE event_type = 'purchase' AND ts >= m - INTERVAL 7 DAY
+       |)
+       |SELECT s.event_id, s.ts,
+       |  'service:' || s.service_name AS asset_ean,
+       |  'service' AS asset_type,
+       |  s.service_name AS asset_id,
+       |  s.service_name AS asset_name,
+       |  s.service_environment,
+       |  $parentTypeCase AS parent_type,
+       |  $parentIdExpr AS parent_id,
+       |  ($parentTypeCase) || ':' || $parentIdExpr AS parent_ean
+       |FROM signals s, mx
+       |WHERE s.ts >= m - INTERVAL 14 DAY
+       |  AND (container_id IS NOT NULL OR kubernetes_pod_uid IS NOT NULL
+       |       OR host_name IS NOT NULL OR host_hostname IS NOT NULL)
+       |  AND s.service_name IN (SELECT service_name FROM p1)""".stripMargin
+
+  /** Collapsed (top-1 per service, newest-first) signal rows. */
+  private val collapsedServicesCte: String =
+    s"""base AS (
+       |  SELECT s.* FROM signals s, mx
+       |  WHERE s.ts >= m - INTERVAL 21 DAY AND s.service_name IS NOT NULL
+       |),
+       |c AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY service_name ORDER BY ts DESC, event_id DESC) AS rn
+       |  FROM base
+       |)""".stripMargin
+
+  val svcCollapse: String =
+    s"""WITH $signalsCte, $collapsedServicesCte
+       |SELECT $batchTs AS asset_ts,
+       |  'service:' || service_name AS asset_ean,
+       |  'service' AS asset_type,
+       |  service_name AS asset_id,
+       |  service_name AS asset_name,
+       |  service_environment, cloud_provider, orchestrator_cluster_name,
+       |  CASE WHEN container_id IS NOT NULL
+       |       THEN ['container:' || container_id] END AS asset_parents
+       |FROM c WHERE rn = 1""".stripMargin
+
+  val containerGraph: String =
+    s"""WITH $signalsCte, $collapsedServicesCte
+       |SELECT $batchTs AS asset_ts,
+       |  'container:' || container_id AS asset_ean,
+       |  'container' AS asset_type,
+       |  container_id AS asset_id,
+       |  list_sort(array_agg(DISTINCT 'service:' || service_name)) AS asset_children,
+       |  COALESCE(list_sort(array_agg(DISTINCT 'k8s.pod:' || kubernetes_pod_uid)
+       |             FILTER (WHERE kubernetes_pod_uid IS NOT NULL)),
+       |           CAST([] AS VARCHAR[])) AS asset_references
+       |FROM c WHERE rn = 1 AND container_id IS NOT NULL
+       |GROUP BY container_id""".stripMargin
+
+  private val collapsedPodsCte: String =
+    s"""base AS (
+       |  SELECT s.* FROM signals s, mx
+       |  WHERE s.ts >= m - INTERVAL 21 DAY
+       |    AND s.kubernetes_pod_uid IS NOT NULL
+       |    AND s.kubernetes_node_name IS NOT NULL
+       |),
+       |c AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY kubernetes_pod_uid ORDER BY ts DESC, event_id DESC) AS rn
+       |  FROM base
+       |)""".stripMargin
+
+  val podsCollapse: String =
+    s"""WITH $signalsCte, $collapsedPodsCte
+       |SELECT $batchTs AS asset_ts,
+       |  'k8s.pod:' || kubernetes_pod_uid AS asset_ean,
+       |  'k8s.pod' AS asset_type,
+       |  kubernetes_pod_uid AS asset_id,
+       |  ['k8s.node:' || kubernetes_node_name] AS asset_parents,
+       |  CASE WHEN orchestrator_cluster_name IS NOT NULL
+       |       THEN ['k8s.cluster:' || orchestrator_cluster_name] END AS asset_references,
+       |  cloud_provider
+       |FROM c WHERE rn = 1""".stripMargin
+
+  val nodeGraph: String =
+    s"""WITH $signalsCte, $collapsedPodsCte
+       |SELECT $batchTs AS asset_ts,
+       |  'k8s.node:' || kubernetes_node_name AS asset_ean,
+       |  'k8s.node' AS asset_type,
+       |  kubernetes_node_name AS asset_id,
+       |  list_sort(array_agg(DISTINCT 'k8s.pod:' || kubernetes_pod_uid)) AS asset_children,
+       |  COALESCE(list_sort(array_agg(DISTINCT 'k8s.cluster:' || orchestrator_cluster_name)
+       |             FILTER (WHERE orchestrator_cluster_name IS NOT NULL)),
+       |           CAST([] AS VARCHAR[])) AS asset_references
+       |FROM c WHERE rn = 1
+       |GROUP BY kubernetes_node_name""".stripMargin
+}

@@ -1,0 +1,262 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Reference-parity asset-derivation pipelines, Spark-first.
+  *
+  * The reference (jasonrhodes/elastic-asset-etl-poc) derives asset
+  * documents (services, containers, k8s pods/nodes) from observability
+  * signals. Three pipelines exist (SURVEY.md §3):
+  *   - collectServicesFromSummaries (reference
+  *     lib/collectServicesFromSummaries.ts:321-325) — the wired, two-phase
+  *     flagship;
+  *   - collectServices (lib/collectServices.ts:10-174) — collapse +
+  *     container graph accumulation;
+  *   - collectPods (lib/collectPods.ts:10-118) — pod/node/cluster graph.
+  *
+  * Design stance (SURVEY.md §7.1): each pipeline is one lazy DataFrame
+  * plan. The reference's paged HTTP drain disappears into a partitioned
+  * scan; its O(n²) client-side folds become hash aggregations; its
+  * data-dependent phase-2 `terms` query becomes a broadcast semi-join.
+  * Nothing here collects to the driver, so every pipeline scales with
+  * executors × partitions.
+  */
+object Assets {
+
+  /** Fixed batch timestamp for emitted assets. The reference stamps
+    * `new Date()` per emitted asset (lib/collectServices.ts:99,
+    * lib/collectPods.ts:73; types.ts:2); one-constant-per-batch is the
+    * Spark-native equivalent (SURVEY.md P6) and keeps the DuckDB oracle
+    * deterministic.
+    */
+  val BatchTs = "2024-02-01 00:00:00"
+
+  def batchTs: Column = lit(BatchTs).cast("timestamp")
+
+  /** EAN (entity canonical name) construction: `"{type}:{id}"` —
+    * reference lib/collectServices.ts:94-97, lib/collectPods.ts:76,103.
+    */
+  def ean(assetType: String, id: Column): Column =
+    concat(lit(assetType), lit(":"), id)
+
+  /** `findParent` (reference lib/collectServicesFromSummaries.ts:121-154):
+    * prioritized coalesce over parent candidates, keeping WHICH branch
+    * won — container > k8s.pod > host.name > host.hostname, fallback
+    * `('unknown','')`. A plain `coalesce` loses the winning branch, so
+    * this is a `when` chain (SURVEY.md P4). Pure projection: codegen'd,
+    * zero shuffle.
+    */
+  def parentType: Column =
+    when(col("container_id").isNotNull, lit("container"))
+      .when(col("kubernetes_pod_uid").isNotNull, lit("k8s.pod"))
+      .when(col("host_name").isNotNull, lit("host.name"))
+      .when(col("host_hostname").isNotNull, lit("host.hostname"))
+      .otherwise(lit("unknown"))
+
+  def parentId: Column =
+    coalesce(col("container_id"), col("kubernetes_pod_uid"),
+      col("host_name"), col("host_hostname"), lit(""))
+
+  /** At-least-one-parent-candidate disjunction — the reference's
+    * `should` + `minimum_should_match: 1` over four `exists` clauses
+    * (lib/collectServicesFromSummaries.ts:216-239; SURVEY.md F5).
+    */
+  def hasParentCandidate: Column =
+    col("container_id").isNotNull || col("kubernetes_pod_uid").isNotNull ||
+      col("host_name").isNotNull || col("host_hostname").isNotNull
+
+  // ---------------------------------------------------------------------
+  // Flagship: collectServicesFromSummaries (two-phase, SURVEY.md §3.1)
+  // ---------------------------------------------------------------------
+
+  /** Phase 1 (reference lib/collectServicesFromSummaries.ts:11-112):
+    * summary signals in a trailing window, deduped to the latest
+    * observation per (service_name, service_environment). The reference's
+    * asc-sort + last-write-wins fold (:86-94, O(n²)) is exactly
+    * `max(ts)` per key — a partial+final hash aggregate, one shuffle on
+    * the (low-cardinality) service key.
+    */
+  def serviceSummaries(spark: SparkSession, dir: String): DataFrame =
+    Tables.trailing(Tables.signals(spark, dir), "ts", "7 DAY")
+      .where(col("event_type") === "purchase") // ≈ metricset.name = 'service_summary' (F2)
+      .groupBy(col("service_name"), col("service_environment"))
+      .agg(max(col("ts")).as("latest_ts"))
+
+  /** Phase 2 + full flagship pipeline
+    * (reference lib/collectServicesFromSummaries.ts:177-319,321-325):
+    * re-scan raw signals in a wider window, restricted to phase-1
+    * service names — the reference builds a `terms` filter from phase-1
+    * results (:209-215); here that semi-join is a broadcast hash join
+    * (phase-1 output is ≤ distinct services, always tiny relative to the
+    * scan), so the big side never shuffles. Then `findParent` projection
+    * and asset shaping. Output is per-hit (the reference deliberately
+    * does not dedup phase 2 — :292-300).
+    */
+  def servicesFromSummaries(spark: SparkSession, dir: String): DataFrame = {
+    val phase1 = serviceSummaries(spark, dir).select(col("service_name")).distinct()
+    val raw = Tables.trailing(Tables.signals(spark, dir), "ts", "14 DAY")
+      .where(hasParentCandidate)
+    raw
+      .join(broadcast(phase1), Seq("service_name"), "left_semi")
+      .select(
+        col("event_id"),
+        col("ts"),
+        ean("service", col("service_name")).as("asset_ean"),
+        lit("service").as("asset_type"),
+        col("service_name").as("asset_id"),
+        col("service_name").as("asset_name"),
+        col("service_environment"),
+        parentType.as("parent_type"),
+        parentId.as("parent_id"),
+        concat(parentType, lit(":"), parentId).as("parent_ean")
+      )
+  }
+
+  // ---------------------------------------------------------------------
+  // collectServices: collapse + container graph (SURVEY.md §3.2)
+  // ---------------------------------------------------------------------
+
+  /** ES `collapse` ≡ top-1-per-key by newest timestamp (SURVEY.md A2):
+    * window `row_number` with an explicit total order — ts desc plus
+    * event_id desc as the deterministic tiebreaker the reference lacks
+    * (SURVEY.md §7.4 risk 2). One shuffle on the collapse key.
+    */
+  def collapseLatest(df: DataFrame, key: String): DataFrame = {
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Collapsed signal rows feeding both the service assets and the
+    * container graph — reference lib/collectServices.ts:12-84: 1-hour
+    * window (scaled to the fixture's 30-day span), `service.name` must
+    * exist (F4), collapse on `service.name` (A2). The reference reads
+    * only the first 1000 hits (a completeness bug, SURVEY.md O3) — the
+    * full scan here fixes that by construction.
+    */
+  def collapsedServiceSignals(spark: SparkSession, dir: String): DataFrame =
+    collapseLatest(
+      Tables.trailing(Tables.signals(spark, dir), "ts", "21 DAY")
+        .where(col("service_name").isNotNull),
+      "service_name")
+
+  /** Service assets from the collapse pipeline — reference
+    * lib/collectServices.ts:86-123: one asset per collapsed service row;
+    * conditional enrichment columns stay null when absent (P7);
+    * `asset.parents` = [container EAN] when the service ran in a
+    * container (J2 forward edge).
+    */
+  def servicesCollapse(spark: SparkSession, dir: String): DataFrame =
+    collapsedServiceSignals(spark, dir).select(
+      batchTs.as("asset_ts"),
+      ean("service", col("service_name")).as("asset_ean"),
+      lit("service").as("asset_type"),
+      col("service_name").as("asset_id"),
+      col("service_name").as("asset_name"),
+      col("service_environment"),
+      col("cloud_provider"),
+      col("orchestrator_cluster_name"),
+      when(col("container_id").isNotNull, array(ean("container", col("container_id"))))
+        .as("asset_parents")
+    )
+
+  /** Container assets with bidirectional graph edges — reference
+    * lib/collectServices.ts:125-168: find-or-create per container,
+    * appending each service EAN to `asset.children` and pod EAN to
+    * `asset.references`. The reference's sequential find-or-create fold
+    * is order-dependent and keeps duplicate children (`push`, :133 — a
+    * bug per SURVEY.md §7.5); here it is a hash aggregation with
+    * `collect_set` + `sort_array` for set semantics and deterministic
+    * output. Children lists are bounded by services-per-container; at
+    * 100 TB the collapse step has already reduced cardinality to
+    * distinct services, so the agg input is tiny.
+    */
+  def containerGraph(spark: SparkSession, dir: String): DataFrame =
+    collapsedServiceSignals(spark, dir)
+      .where(col("container_id").isNotNull)
+      .groupBy(col("container_id"))
+      .agg(
+        sort_array(collect_set(ean("service", col("service_name"))))
+          .as("asset_children"),
+        sort_array(collect_set(
+          when(col("kubernetes_pod_uid").isNotNull,
+            ean("k8s.pod", col("kubernetes_pod_uid")))))
+          .as("asset_references")
+      )
+      .select(
+        batchTs.as("asset_ts"),
+        ean("container", col("container_id")).as("asset_ean"),
+        lit("container").as("asset_type"),
+        col("container_id").as("asset_id"),
+        col("asset_children"),
+        col("asset_references")
+      )
+
+  // ---------------------------------------------------------------------
+  // collectPods: pod/node/cluster graph (SURVEY.md §3.3)
+  // ---------------------------------------------------------------------
+
+  /** Collapsed pod signals — reference lib/collectPods.ts:12-63: both
+    * pod uid AND node name must exist (F4 conjunction, :46-57), collapse
+    * on pod uid (A2).
+    */
+  def collapsedPodSignals(spark: SparkSession, dir: String): DataFrame =
+    collapseLatest(
+      Tables.trailing(Tables.signals(spark, dir), "ts", "21 DAY")
+        .where(col("kubernetes_pod_uid").isNotNull &&
+          col("kubernetes_node_name").isNotNull),
+      "kubernetes_pod_uid")
+
+  /** Pod assets — reference lib/collectPods.ts:72-88: parent = node EAN,
+    * reference edge to the orchestrator cluster when present (:80-86).
+    */
+  def podsCollapse(spark: SparkSession, dir: String): DataFrame =
+    collapsedPodSignals(spark, dir).select(
+      batchTs.as("asset_ts"),
+      ean("k8s.pod", col("kubernetes_pod_uid")).as("asset_ean"),
+      lit("k8s.pod").as("asset_type"),
+      col("kubernetes_pod_uid").as("asset_id"),
+      array(ean("k8s.node", col("kubernetes_node_name"))).as("asset_parents"),
+      when(col("orchestrator_cluster_name").isNotNull,
+        array(ean("k8s.cluster", col("orchestrator_cluster_name"))))
+        .as("asset_references"),
+      col("cloud_provider")
+    )
+
+  /** Node assets — reference lib/collectPods.ts:90-112: find-or-create
+    * per node accumulating child pod EANs (:93-97,104) plus a cluster
+    * reference edge (:107-109). Same collect_set aggregation shape as
+    * [[containerGraph]].
+    */
+  def nodeGraph(spark: SparkSession, dir: String): DataFrame =
+    collapsedPodSignals(spark, dir)
+      .groupBy(col("kubernetes_node_name"))
+      .agg(
+        sort_array(collect_set(ean("k8s.pod", col("kubernetes_pod_uid"))))
+          .as("asset_children"),
+        sort_array(collect_set(
+          when(col("orchestrator_cluster_name").isNotNull,
+            ean("k8s.cluster", col("orchestrator_cluster_name")))))
+          .as("asset_references")
+      )
+      .select(
+        batchTs.as("asset_ts"),
+        ean("k8s.node", col("kubernetes_node_name")).as("asset_ean"),
+        lit("k8s.node").as("asset_type"),
+        col("kubernetes_node_name").as("asset_id"),
+        col("asset_children"),
+        col("asset_references")
+      )
+
+  /** Latest-per-service dedup as its own named operator (SURVEY.md A1):
+    * the phase-1 fold of the flagship, exposed directly.
+    */
+  def servicesLatest(spark: SparkSession, dir: String): DataFrame =
+    serviceSummaries(spark, dir)
+}
