@@ -1,0 +1,198 @@
+package graft
+
+/** DuckDB oracle SQL for [[graft.operators.Relational]].
+  *
+  * Conventions keeping both engines bit-identical:
+  *   - money: `CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)` — decimal
+  *     accumulation is exact, so the final double is order-independent;
+  *   - counts cast to BIGINT on both sides;
+  *   - `length()`/`year()` return INT in Spark vs BIGINT in DuckDB →
+  *     Spark side casts to long.
+  */
+object OracleRelational {
+
+  private def dsum(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
+  private val discPrice =
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
+
+  val q1: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       |  ${dsum("l_extendedprice")} AS sum_base_price,
+       |  $discPrice AS sum_disc_price,
+       |  count(*) AS count_order,
+       |  min(l_quantity) AS min_qty,
+       |  max(l_quantity) AS max_qty
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1997-09-01 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  val q2: String =
+    """SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice, l_shipdate
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND l_discount > 0.05 AND l_quantity < 10""".stripMargin
+
+  val q3: String =
+    s"""SELECT o_orderkey, o_orderdate, o_orderpriority,
+       |  $discPrice AS revenue, count(*) AS n_items
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |WHERE o_orderstatus = 'F'
+       |GROUP BY o_orderkey, o_orderdate, o_orderpriority""".stripMargin
+
+  val q4: String =
+    """SELECT o_orderpriority, count(*) AS n_orders
+      |FROM orders
+      |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 48)
+      |GROUP BY o_orderpriority""".stripMargin
+
+  val q5: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer
+      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 250000)""".stripMargin
+
+  val q6: String =
+    s"""SELECT p_brand, ${dsum("l_extendedprice")} AS brand_revenue,
+       |  count(*) AS n_lines
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |GROUP BY p_brand""".stripMargin
+
+  val q7: String =
+    s"""SELECT c_custkey, c_mktsegment,
+       |  count(o_orderkey) AS n_orders,
+       |  COALESCE(${dsum("o_totalprice")}, 0.0) AS total_spent
+       |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+       |GROUP BY c_custkey, c_mktsegment""".stripMargin
+
+  val q8: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    CAST(row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rk
+      |  FROM orders)
+      |WHERE rk <= 3""".stripMargin
+
+  val q9: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS running_spend
+      |FROM orders""".stripMargin
+
+  val q10: String =
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+  val q11: String =
+    """SELECT c_custkey AS custkey FROM customer
+      |EXCEPT
+      |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P'""".stripMargin
+
+  val q12: String =
+    """SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier
+      |INTERSECT
+      |SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer""".stripMargin
+
+  val q13: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
+  val q14: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |  CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
+
+  val q15: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin
+
+  val q16: String =
+    s"""SELECT o_custkey, count(*) AS n_orders, ${dsum("o_totalprice")} AS spend
+       |FROM orders GROUP BY o_custkey HAVING count(*) >= 15""".stripMargin
+
+  val q17: String =
+    s"""SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+       |            WHEN o_totalprice < 150000 THEN 'medium'
+       |            ELSE 'large' END AS bucket,
+       |  count(*) AS n, ${dsum("o_totalprice")} AS bucket_total
+       |FROM orders GROUP BY 1""".stripMargin
+
+  val q18: String =
+    """SELECT p_partkey,
+      |  upper(p_brand) AS brand_upper,
+      |  lower(p_type) AS type_lower,
+      |  substring(p_name, 1, 8) AS name_prefix,
+      |  CAST(length(p_name) AS BIGINT) AS name_len,
+      |  p_brand || '/' || p_type AS brand_type,
+      |  regexp_replace(p_brand, '#', '-') AS brand_dashed,
+      |  p_name LIKE '%green%' AS is_green,
+      |  regexp_extract(p_name, '([a-z]+)', 1) AS first_word
+      |FROM part""".stripMargin
+
+  val q19: String =
+    """SELECT o_orderkey,
+      |  CAST(year(o_orderdate) AS BIGINT) AS order_year,
+      |  CAST(month(o_orderdate) AS BIGINT) AS order_month,
+      |  CAST(day(o_orderdate) AS BIGINT) AS order_day,
+      |  date_trunc('month', o_orderdate) AS month_start,
+      |  o_orderdate + INTERVAL 30 DAY AS due_date
+      |FROM orders""".stripMargin
+
+  val q20: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |WHERE o_totalprice > (
+      |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+      |  FROM orders)""".stripMargin
+
+  val q21: String =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_orderkey) AS n_orders,
+      |  count(DISTINCT l_partkey) AS n_parts,
+      |  count(*) AS n_lines
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  val q23: String =
+    s"""SELECT r_name, n_name, $discPrice AS revenue, count(*) AS n_lines
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY r_name, n_name""".stripMargin
+
+  val q24: String =
+    """SELECT k % 10 AS k_mod, event_type, count(*) AS n
+      |FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      |             event_type FROM events)
+      |GROUP BY k % 10, event_type""".stripMargin
+
+  val q25: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |  string_split(text, ' ')[1] AS first_word,
+      |  string_split(text, ' ')[-1] AS last_word,
+      |  list_contains(string_split(text, ' '), 'spark') AS mentions_spark
+      |FROM documents""".stripMargin
+
+  val q26: String =
+    """WITH s AS (SELECT CAST(s_nationkey AS INT) AS nationkey, count(*) AS n_suppliers
+      |           FROM supplier GROUP BY 1),
+      |     c AS (SELECT CAST(c_nationkey AS INT) AS nationkey, count(*) AS n_customers
+      |           FROM customer GROUP BY 1)
+      |SELECT COALESCE(s.nationkey, c.nationkey) AS nationkey,
+      |  COALESCE(n_suppliers, 0) AS n_suppliers,
+      |  COALESCE(n_customers, 0) AS n_customers
+      |FROM s FULL OUTER JOIN c ON s.nationkey = c.nationkey""".stripMargin
+
+  val q27: String =
+    """SELECT nationkey, count(*) AS n FROM (
+      |  SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier
+      |  UNION ALL
+      |  SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer)
+      |GROUP BY nationkey""".stripMargin
+}

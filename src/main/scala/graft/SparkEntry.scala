@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.Assets
+import graft.operators.{Assets, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -29,6 +29,34 @@ object SparkEntry {
     "container_graph" -> ((s, d) => Assets.containerGraph(s, d)),
     "pods_collapse"   -> ((s, d) => Assets.podsCollapse(s, d)),
     "node_graph"      -> ((s, d) => Assets.nodeGraph(s, d)),
+    // General relational operator library (SURVEY.md §7.2 step 4)
+    "q1_pricing_summary" -> ((s, d) => Relational.q1PricingSummary(s, d)),
+    "q2_filter_project"  -> ((s, d) => Relational.q2FilterProject(s, d)),
+    "q3_join_agg"        -> ((s, d) => Relational.q3JoinAgg(s, d)),
+    "q4_semi_join"       -> ((s, d) => Relational.q4SemiJoin(s, d)),
+    "q5_anti_join"       -> ((s, d) => Relational.q5AntiJoin(s, d)),
+    "q6_broadcast_join"  -> ((s, d) => Relational.q6BroadcastJoin(s, d)),
+    "q7_outer_join"      -> ((s, d) => Relational.q7OuterJoin(s, d)),
+    "q8_window_topn"     -> ((s, d) => Relational.q8WindowTopN(s, d)),
+    "q9_window_running"  -> ((s, d) => Relational.q9WindowRunning(s, d)),
+    "q10_distinct"       -> ((s, d) => Relational.q10Distinct(s, d)),
+    "q11_except"         -> ((s, d) => Relational.q11Except(s, d)),
+    "q12_intersect"      -> ((s, d) => Relational.q12Intersect(s, d)),
+    "q13_rollup"         -> ((s, d) => Relational.q13Rollup(s, d)),
+    "q14_cube"           -> ((s, d) => Relational.q14Cube(s, d)),
+    "q15_topk"           -> ((s, d) => Relational.q15TopK(s, d)),
+    "q16_having"         -> ((s, d) => Relational.q16Having(s, d)),
+    "q17_case_when"      -> ((s, d) => Relational.q17CaseWhen(s, d)),
+    "q18_string_funcs"   -> ((s, d) => Relational.q18StringFuncs(s, d)),
+    "q19_date_funcs"     -> ((s, d) => Relational.q19DateFuncs(s, d)),
+    "q20_scalar_subquery" -> ((s, d) => Relational.q20ScalarSubquery(s, d)),
+    "q21_count_distinct" -> ((s, d) => Relational.q21CountDistinct(s, d)),
+    "q22_approx_distinct" -> ((s, d) => Relational.q22ApproxDistinct(s, d)),
+    "q23_star_join"      -> ((s, d) => Relational.q23StarJoin(s, d)),
+    "q24_json"           -> ((s, d) => Relational.q24Json(s, d)),
+    "q25_array_funcs"    -> ((s, d) => Relational.q25ArrayFuncs(s, d)),
+    "q26_full_outer"     -> ((s, d) => Relational.q26FullOuter(s, d)),
+    "q27_union"          -> ((s, d) => Relational.q27Union(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -41,5 +69,32 @@ object SparkEntry {
     "container_graph" -> OracleAssets.containerGraph,
     "pods_collapse"   -> OracleAssets.podsCollapse,
     "node_graph"      -> OracleAssets.nodeGraph,
+    "q1_pricing_summary" -> OracleRelational.q1,
+    "q2_filter_project"  -> OracleRelational.q2,
+    "q3_join_agg"        -> OracleRelational.q3,
+    "q4_semi_join"       -> OracleRelational.q4,
+    "q5_anti_join"       -> OracleRelational.q5,
+    "q6_broadcast_join"  -> OracleRelational.q6,
+    "q7_outer_join"      -> OracleRelational.q7,
+    "q8_window_topn"     -> OracleRelational.q8,
+    "q9_window_running"  -> OracleRelational.q9,
+    "q10_distinct"       -> OracleRelational.q10,
+    "q11_except"         -> OracleRelational.q11,
+    "q12_intersect"      -> OracleRelational.q12,
+    "q13_rollup"         -> OracleRelational.q13,
+    "q14_cube"           -> OracleRelational.q14,
+    "q15_topk"           -> OracleRelational.q15,
+    "q16_having"         -> OracleRelational.q16,
+    "q17_case_when"      -> OracleRelational.q17,
+    "q18_string_funcs"   -> OracleRelational.q18,
+    "q19_date_funcs"     -> OracleRelational.q19,
+    "q20_scalar_subquery" -> OracleRelational.q20,
+    "q21_count_distinct" -> OracleRelational.q21,
+    // q22_approx_distinct: HLL sketch — not oracle-expressible; rows-only.
+    "q23_star_join"      -> OracleRelational.q23,
+    "q24_json"           -> OracleRelational.q24,
+    "q25_array_funcs"    -> OracleRelational.q25,
+    "q26_full_outer"     -> OracleRelational.q26,
+    "q27_union"          -> OracleRelational.q27,
   )
 }

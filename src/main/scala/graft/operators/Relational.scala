@@ -1,0 +1,333 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** General relational operator library (SURVEY.md §2 generalization,
+  * §7.2 step 4): the operators a user of the reference would reach for
+  * when the PoC grows up — every join flavor, aggregation, window,
+  * sort/top-k, set op, and the scalar-function families the reference
+  * touches (string/date/array/json).
+  *
+  * Scale discipline applied throughout:
+  *   - dimension tables (region/nation/customer/supplier/part) are
+  *     broadcast — fact-side never shuffles for those joins;
+  *   - money arithmetic goes through DECIMAL(18,2) so results are
+  *     summation-order independent (deterministic under any partitioning
+  *     AND bit-identical to the DuckDB oracle), then back to DOUBLE;
+  *   - top-k uses window row_number with a total order (deterministic
+  *     under shuffle), never bare limit-after-sort on ties.
+  */
+object Relational {
+
+  /** Exact money sum: DECIMAL-accumulated, DOUBLE result. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  // --- Aggregation ------------------------------------------------------
+
+  /** TPC-H Q1-shaped pricing summary: multi-aggregate groupBy with
+    * derived expressions. Partial aggregation (map-side combine) makes
+    * this a single small shuffle regardless of input size.
+    */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") <= lit("1997-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty")
+      )
+
+  /** Filter + projection — pushdown showcase (F1/F2/P1): predicate and
+    * column pruning must reach the parquet scan.
+    */
+  def q2FilterProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_discount") > 0.05 && col("l_quantity") < 10)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_shipdate"))
+
+  /** Revenue per order: fact-to-fact equi-join then aggregate. At scale
+    * both sides shuffle on the join key once; AQE handles skew.
+    */
+  def q3JoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir).where(col("o_orderstatus") === "F")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(
+        sum((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Left-semi join (EXISTS) — the general form of the reference's
+    * phase-2 `terms` restriction (SURVEY.md F3/J1).
+    */
+  def q4SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir).where(col("l_quantity") >= 48)
+      .select(col("l_orderkey")).distinct()
+    Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no big-ticket orders. */
+  def q5AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .where(col("o_totalprice") > 250000).select(col("o_custkey"))
+    Tables.customer(spark, dir)
+      .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+  }
+
+  /** Broadcast hash join against a small dimension: the fact side keeps
+    * its partitioning — zero shuffle for the join itself.
+    */
+  def q6BroadcastJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(dsum(col("l_extendedprice")).as("brand_revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** Left-outer join preserving unmatched rows + null-tolerant agg. */
+  def q7OuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    Tables.customer(spark, dir)
+      .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"), col("c_mktsegment"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total_spent"))
+  }
+
+  /** Top-N per group via window row_number with deterministic total
+    * order (SURVEY.md A2 generalized; §7.4 risk 2).
+    */
+  def q8WindowTopN(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rk"))
+  }
+
+  /** Running (cumulative) aggregate over an ordered window. */
+  def q9WindowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .withColumn("running_spend",
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("running_spend"))
+  }
+
+  /** Distinct projection — dedup without aggregation payload. */
+  def q10Distinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_linestatus")).distinct()
+
+  /** Set operation: EXCEPT (customers minus pending-order customers). */
+  def q11Except(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_custkey").as("custkey"))
+    val o = Tables.orders(spark, dir).where(col("o_orderstatus") === "P")
+      .select(col("o_custkey").as("custkey"))
+    c.except(o)
+  }
+
+  /** Set operation: INTERSECT of supplier and customer nation keys. */
+  def q12Intersect(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.supplier(spark, dir).select(col("s_nationkey").cast("int").as("nationkey"))
+    val c = Tables.customer(spark, dir).select(col("c_nationkey").cast("int").as("nationkey"))
+    s.intersect(c)
+  }
+
+  /** ROLLUP grouping sets with grouping_id disambiguation. */
+  def q13Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        grouping_id().as("gid"))
+
+  /** CUBE grouping sets. */
+  def q14Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+
+  /** Global top-k with deterministic tiebreak (SURVEY.md O3's honest
+    * form): Catalyst plans TakeOrderedAndProject — no full sort at scale.
+    */
+  def q15TopK(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  /** HAVING: post-aggregation filter. */
+  def q16Having(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("spend"))
+      .where(col("n_orders") >= 15)
+
+  /** CASE WHEN bucketing + conditional aggregation. */
+  def q17CaseWhen(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        when(col("o_totalprice") < 50000, lit("small"))
+          .when(col("o_totalprice") < 150000, lit("medium"))
+          .otherwise(lit("large")).as("bucket"),
+        col("o_totalprice"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("bucket_total"))
+
+  /** String scalar functions (SURVEY.md §2.7 generalized): upper/lower,
+    * substring, length, concat, replace, LIKE, regexp_extract.
+    */
+  def q18StringFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir).select(
+      col("p_partkey"),
+      upper(col("p_brand")).as("brand_upper"),
+      lower(col("p_type")).as("type_lower"),
+      substring(col("p_name"), 1, 8).as("name_prefix"),
+      length(col("p_name")).cast("long").as("name_len"),
+      concat(col("p_brand"), lit("/"), col("p_type")).as("brand_type"),
+      regexp_replace(col("p_brand"), "#", "-").as("brand_dashed"),
+      col("p_name").like("%green%").as("is_green"),
+      regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word")
+    )
+
+  /** Date/time scalar functions: year/month/day extraction, truncation,
+    * interval arithmetic (SURVEY.md F1's date-math family).
+    */
+  def q19DateFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).cast("long").as("order_year"),
+      month(col("o_orderdate")).cast("long").as("order_month"),
+      dayofmonth(col("o_orderdate")).cast("long").as("order_day"),
+      date_trunc("month", col("o_orderdate")).as("month_start"),
+      (col("o_orderdate") + expr("INTERVAL 30 DAY")).as("due_date")
+    )
+
+  /** Scalar subquery: rows above the global average — expressed as a
+    * broadcast of a 1-row aggregate (same pattern as the trailing-window
+    * `now`), never a driver collect.
+    */
+  def q20ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val stats = o.agg(
+      (sum(col("o_totalprice").cast("decimal(18,2)")).cast("double") /
+        count(lit(1))).as("avg_price"))
+    o.crossJoin(broadcast(stats))
+      .where(col("o_totalprice") > col("avg_price"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+  }
+
+  /** Exact + approximate distinct counting. approx_count_distinct is the
+    * 100 TB path (HLL, no shuffle of distinct values); exact is the
+    * oracle-checkable one.
+    */
+  def q21CountDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        count(lit(1)).as("n_lines"))
+
+  /** HLL approximate distinct — no oracle (sketch values are
+    * implementation-specific); driver records rows-only.
+    */
+  def q22ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+
+  /** Star-schema multi-join: region→nation→customer→orders→lineitem.
+    * All dimensions broadcast; the only shuffle is the final groupBy.
+    */
+  def q23StarJoin(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** JSON extraction (SURVEY.md §2.7 `to_json` family, inverted):
+    * get_json_object pushdown-friendly projection over events.props.
+    */
+  def q24Json(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"),
+        col("event_type"))
+      .groupBy((col("k") % 10).as("k_mod"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Array functions over documents (SURVEY.md P3 `singleItem` family):
+    * split, size, element_at, array_contains.
+    */
+  def q25ArrayFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(words).cast("long").as("n_words"),
+      element_at(words, 1).as("first_word"),
+      element_at(words, -1).as("last_word"),
+      array_contains(words, "spark").as("mentions_spark")
+    )
+  }
+
+  /** Full-outer join — the remaining outer flavor. */
+  def q26FullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.supplier(spark, dir)
+      .groupBy(col("s_nationkey").cast("int").as("nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"))
+    val c = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey").cast("int").as("nationkey"))
+      .agg(count(lit(1)).as("n_customers"))
+    s.join(c, Seq("nationkey"), "full_outer")
+      .select(col("nationkey"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"))
+  }
+
+  /** UNION ALL + dedup union (SURVEY.md A4 generalized). */
+  def q27Union(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.supplier(spark, dir)
+      .select(col("s_nationkey").cast("int").as("nationkey"))
+    val c = Tables.customer(spark, dir)
+      .select(col("c_nationkey").cast("int").as("nationkey"))
+    s.unionAll(c).groupBy(col("nationkey")).agg(count(lit(1)).as("n"))
+  }
+}
