@@ -92,7 +92,7 @@ object OracleAssets {
        |  service_name AS asset_name,
        |  service_environment, cloud_provider, orchestrator_cluster_name,
        |  CASE WHEN container_id IS NOT NULL
-       |       THEN ['container:' || container_id] END AS asset_parents
+       |       THEN 'container:' || container_id END AS asset_parents
        |FROM c WHERE rn = 1""".stripMargin
 
   val containerGraph: String =
@@ -101,10 +101,13 @@ object OracleAssets {
        |  'container:' || container_id AS asset_ean,
        |  'container' AS asset_type,
        |  container_id AS asset_id,
-       |  list_sort(array_agg(DISTINCT 'service:' || service_name)) AS asset_children,
-       |  COALESCE(list_sort(array_agg(DISTINCT 'k8s.pod:' || kubernetes_pod_uid)
-       |             FILTER (WHERE kubernetes_pod_uid IS NOT NULL)),
-       |           CAST([] AS VARCHAR[])) AS asset_references
+       |  array_to_string(list_sort(array_agg(DISTINCT 'service:' || service_name)), '|')
+       |    AS asset_children,
+       |  -- DuckDB array_to_string(NULL or []) is NULL; Spark concat_ws of an
+       |  -- empty set is '' — outer COALESCE aligns the empty-edge-set case.
+       |  COALESCE(array_to_string(list_sort(array_agg(DISTINCT 'k8s.pod:' || kubernetes_pod_uid)
+       |             FILTER (WHERE kubernetes_pod_uid IS NOT NULL)), '|'), '')
+       |    AS asset_references
        |FROM c WHERE rn = 1 AND container_id IS NOT NULL
        |GROUP BY container_id""".stripMargin
 
@@ -127,9 +130,9 @@ object OracleAssets {
        |  'k8s.pod:' || kubernetes_pod_uid AS asset_ean,
        |  'k8s.pod' AS asset_type,
        |  kubernetes_pod_uid AS asset_id,
-       |  ['k8s.node:' || kubernetes_node_name] AS asset_parents,
+       |  'k8s.node:' || kubernetes_node_name AS asset_parents,
        |  CASE WHEN orchestrator_cluster_name IS NOT NULL
-       |       THEN ['k8s.cluster:' || orchestrator_cluster_name] END AS asset_references,
+       |       THEN 'k8s.cluster:' || orchestrator_cluster_name END AS asset_references,
        |  cloud_provider
        |FROM c WHERE rn = 1""".stripMargin
 
@@ -139,10 +142,11 @@ object OracleAssets {
        |  'k8s.node:' || kubernetes_node_name AS asset_ean,
        |  'k8s.node' AS asset_type,
        |  kubernetes_node_name AS asset_id,
-       |  list_sort(array_agg(DISTINCT 'k8s.pod:' || kubernetes_pod_uid)) AS asset_children,
-       |  COALESCE(list_sort(array_agg(DISTINCT 'k8s.cluster:' || orchestrator_cluster_name)
-       |             FILTER (WHERE orchestrator_cluster_name IS NOT NULL)),
-       |           CAST([] AS VARCHAR[])) AS asset_references
+       |  array_to_string(list_sort(array_agg(DISTINCT 'k8s.pod:' || kubernetes_pod_uid)), '|')
+       |    AS asset_children,
+       |  COALESCE(array_to_string(list_sort(array_agg(DISTINCT 'k8s.cluster:' || orchestrator_cluster_name)
+       |             FILTER (WHERE orchestrator_cluster_name IS NOT NULL)), '|'), '')
+       |    AS asset_references
        |FROM c WHERE rn = 1
        |GROUP BY kubernetes_node_name""".stripMargin
 }

@@ -49,7 +49,8 @@ object OracleRelational {
   val q5: String =
     """SELECT c_custkey, c_name, c_mktsegment
       |FROM customer
-      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 250000)""".stripMargin
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_totalprice > 250000)""".stripMargin
 
   val q6: String =
     s"""SELECT p_brand, ${dsum("l_extendedprice")} AS brand_revenue,

@@ -43,6 +43,15 @@ object Assets {
   def ean(assetType: String, id: Column): Column =
     concat(lit(assetType), lit(":"), id)
 
+  /** Deterministic scalar encoding of a graph-edge list: sorted,
+    * '|'-joined. Edges are SETS of EANs (types.ts:7-9); the pipe-joined
+    * sorted form is a canonical, order-independent serialization that
+    * both engines (and the driver's hash compare) handle as a plain
+    * string. Arrays stay internal to the aggregation; only the scalar
+    * leaves the operator. Empty set → ''.
+    */
+  def edgeList(edges: Column): Column = concat_ws("|", sort_array(edges))
+
   /** `findParent` (reference lib/collectServicesFromSummaries.ts:121-154):
     * prioritized coalesce over parent candidates, keeping WHICH branch
     * won — container > k8s.pod > host.name > host.hostname, fallback
@@ -95,11 +104,24 @@ object Assets {
     * scan), so the big side never shuffles. Then `findParent` projection
     * and asset shaping. Output is per-hit (the reference deliberately
     * does not dedup phase 2 — :292-300).
+    *
+    * Scan discipline: the trailing-window bound `max(ts)` is computed
+    * ONCE and shared by both phases — one max-agg scan plus one scan per
+    * phase (3 total; the identical broadcast of the max is deduped by
+    * Spark's ReuseExchange). Re-deriving the bound per phase would pay
+    * 4 full scans of the signal source per run — a scale-killer at
+    * 100 TB.
     */
   def servicesFromSummaries(spark: SparkSession, dir: String): DataFrame = {
-    val phase1 = serviceSummaries(spark, dir).select(col("service_name")).distinct()
-    val raw = Tables.trailing(Tables.signals(spark, dir), "ts", "14 DAY")
-      .where(hasParentCandidate)
+    val sig = Tables.signals(spark, dir)
+    val mx = broadcast(sig.agg(max(col("ts")).as("__window_max_ts")))
+    val sig14 = sig.crossJoin(mx)
+      .where(col("ts") >= col("__window_max_ts") - expr("INTERVAL 14 DAY"))
+    val phase1 = sig14
+      .where(col("ts") >= col("__window_max_ts") - expr("INTERVAL 7 DAY") &&
+        col("event_type") === "purchase")
+      .select(col("service_name")).distinct()
+    val raw = sig14.drop("__window_max_ts").where(hasParentCandidate)
     raw
       .join(broadcast(phase1), Seq("service_name"), "left_semi")
       .select(
@@ -162,7 +184,7 @@ object Assets {
       col("service_environment"),
       col("cloud_provider"),
       col("orchestrator_cluster_name"),
-      when(col("container_id").isNotNull, array(ean("container", col("container_id"))))
+      when(col("container_id").isNotNull, ean("container", col("container_id")))
         .as("asset_parents")
     )
 
@@ -182,9 +204,9 @@ object Assets {
       .where(col("container_id").isNotNull)
       .groupBy(col("container_id"))
       .agg(
-        sort_array(collect_set(ean("service", col("service_name"))))
+        edgeList(collect_set(ean("service", col("service_name"))))
           .as("asset_children"),
-        sort_array(collect_set(
+        edgeList(collect_set(
           when(col("kubernetes_pod_uid").isNotNull,
             ean("k8s.pod", col("kubernetes_pod_uid")))))
           .as("asset_references")
@@ -222,9 +244,9 @@ object Assets {
       ean("k8s.pod", col("kubernetes_pod_uid")).as("asset_ean"),
       lit("k8s.pod").as("asset_type"),
       col("kubernetes_pod_uid").as("asset_id"),
-      array(ean("k8s.node", col("kubernetes_node_name"))).as("asset_parents"),
+      ean("k8s.node", col("kubernetes_node_name")).as("asset_parents"),
       when(col("orchestrator_cluster_name").isNotNull,
-        array(ean("k8s.cluster", col("orchestrator_cluster_name"))))
+        ean("k8s.cluster", col("orchestrator_cluster_name")))
         .as("asset_references"),
       col("cloud_provider")
     )
@@ -238,9 +260,9 @@ object Assets {
     collapsedPodSignals(spark, dir)
       .groupBy(col("kubernetes_node_name"))
       .agg(
-        sort_array(collect_set(ean("k8s.pod", col("kubernetes_pod_uid"))))
+        edgeList(collect_set(ean("k8s.pod", col("kubernetes_pod_uid"))))
           .as("asset_children"),
-        sort_array(collect_set(
+        edgeList(collect_set(
           when(col("orchestrator_cluster_name").isNotNull,
             ean("k8s.cluster", col("orchestrator_cluster_name")))))
           .as("asset_references")

@@ -37,14 +37,26 @@ for name, sql in sorted(oracle.items()):
         fails.append(name)
         print(f"[FAIL] {name}: rows {len(spark_df)} vs {len(ora_df)}"); continue
     a = spark_df[sc].copy(); b = ora_df[sc].copy()
-    # normalize: lists -> tuples for sorting/compare
+    # normalize: lists -> tuples for sorting/compare. The DRIVER's harness
+    # does NOT do this — it crashes on array columns (unhashable ndarray,
+    # see CORRECTNESS_r01) — so needing the workaround predicts a driver
+    # failure and must FAIL here, not silently pass.
+    had_arrays = [False]
+    def to_tuple(v):
+        if isinstance(v, list) or type(v).__name__ == 'ndarray':
+            had_arrays[0] = True
+            return tuple(v)
+        return v
     for c in sc:
         if a[c].dtype == object:
-            a[c] = a[c].map(lambda v: tuple(v) if isinstance(v, (list,)) or
-                            type(v).__name__ == 'ndarray' else v)
+            a[c] = a[c].map(to_tuple)
         if b[c].dtype == object:
-            b[c] = b[c].map(lambda v: tuple(v) if isinstance(v, (list,)) or
-                            type(v).__name__ == 'ndarray' else v)
+            b[c] = b[c].map(to_tuple)
+    if had_arrays[0]:
+        fails.append(name)
+        print(f"[FAIL] {name}: array-typed output column — driver's "
+              f"compare would crash (serialize to a scalar)")
+        continue
     a = a.sort_values(by=sc, na_position='first').reset_index(drop=True)
     b = b.sort_values(by=sc, na_position='first').reset_index(drop=True)
     bad = 0
