@@ -1,0 +1,169 @@
+package graft
+
+import graft.operators.TextOps
+
+/** DuckDB oracle SQL for the text-analysis / dedup operators in
+  * [[graft.operators.TextOps]]. Shared determinism contract: whitespace
+  * tokenization (`string_split` ≡ Spark `split`), lowercase-hex `md5`
+  * (identical digests in both engines), integer folds, and IEEE double
+  * division of exact integers — so every value is bit-equal across
+  * engines and the driver's hash compare is exact.
+  */
+object OracleText {
+
+  private val nh = TextOps.NumHashes
+  private val bs = TextOps.BandSize
+  private val nBands = nh / bs
+
+  /** Mirror of TextOps.withWords. */
+  val wordsCte: String =
+    """docs AS (
+      |  SELECT doc_id, text, lang, string_split(text, ' ') AS words
+      |  FROM documents
+      |)""".stripMargin
+
+  /** Mirror of TextOps.withShingles + minhashSignatures. */
+  val sigCte: String =
+    s"""sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(words) >= 3
+       |         THEN list_transform(range(len(words) - 2),
+       |                i -> array_to_string(list_slice(words, i + 1, i + 3), ' '))
+       |         ELSE CAST([] AS VARCHAR[]) END AS shingles
+       |  FROM docs
+       |),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    list_transform(range($nh),
+       |      s -> list_min(list_transform(shingles,
+       |             sg -> md5(CAST(s AS VARCHAR) || ':' || sg)))) AS sig
+       |  FROM sh WHERE len(shingles) > 0
+       |)""".stripMargin
+
+  val tokens: String =
+    s"""WITH $wordsCte
+       |SELECT doc_id,
+       |  CAST(len(words) AS BIGINT) AS n_tokens_ws,
+       |  CAST(list_sum(list_transform(words,
+       |    w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_tokens_bpe
+       |FROM docs""".stripMargin
+
+  val quality: String =
+    s"""WITH $wordsCte
+       |SELECT doc_id,
+       |  CAST(length(text) AS BIGINT) AS n_chars,
+       |  CAST(len(words) AS BIGINT) AS n_words,
+       |  CAST(len(list_distinct(words)) AS DOUBLE) / len(words) AS uniq_ratio,
+       |  CAST(len(list_filter(words, w -> list_contains(
+       |    ['the','a','of','and','to','in','is','it','on','for'], w))) AS DOUBLE)
+       |    / len(words) AS stopword_ratio,
+       |  CAST(length(text) AS DOUBLE) / len(words) AS avg_token_len
+       |FROM docs""".stripMargin
+
+  private def score(words: String): String =
+    s"CAST(len(list_filter(words, w -> list_contains([$words], w))) AS BIGINT)"
+
+  val langid: String =
+    s"""WITH $wordsCte,
+       |scored AS (
+       |  SELECT doc_id, lang,
+       |    ${score("'the','a','of','and','to','is'")} AS score_en,
+       |    ${score("'el','la','de','y','que','en'")} AS score_es,
+       |    ${score("'der','die','und','das','ist','ein'")} AS score_de,
+       |    ${score("'le','les','et','des','un','une'")} AS score_fr
+       |  FROM docs
+       |)
+       |SELECT doc_id, lang, score_en, score_es, score_de, score_fr,
+       |  CASE WHEN score_en >= score_es AND score_en >= score_de
+       |            AND score_en >= score_fr THEN 'en'
+       |       WHEN score_es >= score_de AND score_es >= score_fr THEN 'es'
+       |       WHEN score_de >= score_fr THEN 'de'
+       |       ELSE 'fr' END AS lang_pred
+       |FROM scored""".stripMargin
+
+  val fingerprint: String =
+    s"""WITH $wordsCte
+       |SELECT doc_id,
+       |  md5(array_to_string(list_sort(list_distinct(words)), ' ')) AS fingerprint
+       |FROM docs""".stripMargin
+
+  val dedupExact: String =
+    """SELECT md5(text) AS content_hash,
+      |  min(doc_id) AS canonical_doc_id,
+      |  count(*) AS n_copies
+      |FROM documents
+      |GROUP BY md5(text)""".stripMargin
+
+  val minhash: String =
+    s"""WITH $wordsCte, $sigCte
+       |SELECT doc_id, array_to_string(sig, '|') AS sig FROM sigs""".stripMargin
+
+  /** Banded LSH candidate pairs — band the signature, bucket-join,
+    * estimate Jaccard from signature agreement (mirror of
+    * TextOps.dedupMinhashLsh; sig index is 1-based here, 0-based in Spark).
+    */
+  val dedupMinhashLsh: String =
+    s"""WITH $wordsCte, $sigCte,
+       |bands AS (
+       |  SELECT doc_id, sig, b.b AS band_idx,
+       |    array_to_string(list_slice(sig, b.b * $bs + 1, b.b * $bs + $bs), '') AS band_key
+       |  FROM sigs CROSS JOIN (SELECT unnest(range($nBands)) AS b) b
+       |)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(len(list_filter(range(1, ${nh + 1}),
+       |    i -> a.sig[CAST(i AS INT)] = b.sig[CAST(i AS INT)])) AS DOUBLE) / $nh
+       |    AS est_jaccard
+       |FROM bands a JOIN bands b USING (band_idx, band_key)
+       |WHERE a.doc_id < b.doc_id""".stripMargin
+
+  val dedupNgramJaccard: String =
+    s"""WITH $wordsCte, $sigCte,
+       |bands AS (
+       |  SELECT doc_id, sig, b.b AS band_idx,
+       |    array_to_string(list_slice(sig, b.b * $bs + 1, b.b * $bs + $bs), '') AS band_key
+       |  FROM sigs CROSS JOIN (SELECT unnest(range($nBands)) AS b) b
+       |),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b USING (band_idx, band_key)
+       |  WHERE a.doc_id < b.doc_id
+       |),
+       |shsets AS (
+       |  SELECT doc_id, list_distinct(shingles) AS shset FROM sh
+       |)
+       |SELECT p.doc_a, p.doc_b,
+       |  CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE) /
+       |    (len(sa.shset) + len(sb.shset) - len(list_intersect(sa.shset, sb.shset)))
+       |    AS jaccard
+       |FROM pairs p
+       |JOIN shsets sa ON sa.doc_id = p.doc_a
+       |JOIN shsets sb ON sb.doc_id = p.doc_b""".stripMargin
+
+  /** Mirror of TextOps.simhash — md5 hoisted per word, 32-bit sign
+    * fingerprint from per-hex-digit parity.
+    */
+  val simhashCte: String =
+    """hashed AS (
+      |  SELECT doc_id, list_transform(words, w -> md5(w)) AS wh FROM docs
+      |),
+      |simhashed AS (
+      |  SELECT doc_id, array_to_string(list_transform(range(32), j ->
+      |    CASE WHEN list_sum(list_transform(wh, h ->
+      |      2 * ((strpos('0123456789abcdef',
+      |             substring(h, CAST(j + 1 AS INT), 1)) - 1) % 2) - 1)) > 0
+      |    THEN '1' ELSE '0' END), '') AS simhash
+      |  FROM hashed
+      |)""".stripMargin
+
+  val simhash: String =
+    s"""WITH $wordsCte, $simhashCte
+       |SELECT doc_id, simhash FROM simhashed""".stripMargin
+
+  val dedupSimhash: String =
+    s"""WITH $wordsCte, $simhashCte
+       |SELECT simhash, min(doc_id) AS canonical_doc_id,
+       |  count(*) AS cluster_size
+       |FROM simhashed
+       |GROUP BY simhash
+       |HAVING count(*) > 1""".stripMargin
+}

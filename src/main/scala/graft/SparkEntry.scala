@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Assets, Relational}
+import graft.operators.{Assets, Relational, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -57,6 +57,17 @@ object SparkEntry {
     "q25_array_funcs"    -> ((s, d) => Relational.q25ArrayFuncs(s, d)),
     "q26_full_outer"     -> ((s, d) => Relational.q26FullOuter(s, d)),
     "q27_union"          -> ((s, d) => Relational.q27Union(s, d)),
+    // LLM-data-pipeline: text analysis + dedup (builder brief; documents table)
+    "txt_tokens"          -> ((s, d) => TextOps.tokens(s, d)),
+    "txt_quality"         -> ((s, d) => TextOps.quality(s, d)),
+    "txt_langid"          -> ((s, d) => TextOps.langid(s, d)),
+    "txt_fingerprint"     -> ((s, d) => TextOps.fingerprint(s, d)),
+    "txt_simhash"         -> ((s, d) => TextOps.simhash(s, d)),
+    "dedup_exact"         -> ((s, d) => TextOps.dedupExact(s, d)),
+    "dedup_minhash"       -> ((s, d) => TextOps.minhash(s, d)),
+    "dedup_minhash_lsh"   -> ((s, d) => TextOps.dedupMinhashLsh(s, d)),
+    "dedup_ngram_jaccard" -> ((s, d) => TextOps.dedupNgramJaccard(s, d)),
+    "dedup_simhash"       -> ((s, d) => TextOps.dedupSimhash(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -96,5 +107,15 @@ object SparkEntry {
     "q25_array_funcs"    -> OracleRelational.q25,
     "q26_full_outer"     -> OracleRelational.q26,
     "q27_union"          -> OracleRelational.q27,
+    "txt_tokens"          -> OracleText.tokens,
+    "txt_quality"         -> OracleText.quality,
+    "txt_langid"          -> OracleText.langid,
+    "txt_fingerprint"     -> OracleText.fingerprint,
+    "txt_simhash"         -> OracleText.simhash,
+    "dedup_exact"         -> OracleText.dedupExact,
+    "dedup_minhash"       -> OracleText.minhash,
+    "dedup_minhash_lsh"   -> OracleText.dedupMinhashLsh,
+    "dedup_ngram_jaccard" -> OracleText.dedupNgramJaccard,
+    "dedup_simhash"       -> OracleText.dedupSimhash,
   )
 }

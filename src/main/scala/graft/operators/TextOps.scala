@@ -118,9 +118,13 @@ object TextOps {
                  s -> array_min(transform(shingles, sg -> md5(concat(CAST(s AS STRING), ':', sg)))))""")
           .as("sig"))
 
-  /** MinHash exposed as a query: doc_id + signature array. */
+  /** MinHash exposed as a query: doc_id + signature, serialized to a
+    * '|'-joined scalar (array-typed outputs crash the driver's compare;
+    * see Assets.edgeList). The array form stays internal ([[minhashSignatures]]).
+    */
   def minhash(spark: SparkSession, dir: String): DataFrame =
     minhashSignatures(spark, dir)
+      .select(col("doc_id"), concat_ws("|", col("sig")).as("sig"))
 
   /** MinHash + LSH near-duplicate candidate pairs: band the signature,
     * bucket-join on (band index, band key), estimate Jaccard from
@@ -174,14 +178,19 @@ object TextOps {
     * clusters exact-ish duplicates without any join.
     */
   def simhash(spark: SparkSession, dir: String): DataFrame =
-    withWords(spark, dir).select(
-      col("doc_id"),
-      expr("""concat_ws('', transform(sequence(0, 31), j ->
-               CASE WHEN aggregate(words, 0,
-                 (acc, w) -> acc + 2 * ((instr('0123456789abcdef',
-                    substring(md5(w), j + 1, 1)) - 1) % 2) - 1) > 0
-               THEN '1' ELSE '0' END))""").as("simhash")
-    )
+    withWords(spark, dir)
+      // Hoist md5 out of the 32-iteration bit loop: common-subexpression
+      // elimination does not cross higher-order lambdas, so inlining
+      // md5(w) would cost 32 digests per word per row.
+      .withColumn("wh", expr("transform(words, w -> md5(w))"))
+      .select(
+        col("doc_id"),
+        expr("""concat_ws('', transform(sequence(0, 31), j ->
+                 CASE WHEN aggregate(wh, 0,
+                   (acc, h) -> acc + 2 * ((instr('0123456789abcdef',
+                      substring(h, j + 1, 1)) - 1) % 2) - 1) > 0
+                 THEN '1' ELSE '0' END))""").as("simhash")
+      )
 
   /** SimHash duplicate clusters: identical fingerprints bucketed. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
