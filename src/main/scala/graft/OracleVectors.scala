@@ -1,0 +1,137 @@
+package graft
+
+import graft.operators.VectorOps
+
+/** DuckDB oracle SQL for [[graft.operators.VectorOps]]. See the float
+  * determinism contract in that file's Scaladoc: in-order double folds
+  * (`list_reduce` ≡ Spark `aggregate` with 0.0 seed), float→double→
+  * decimal casts, decimal group sums.
+  */
+object OracleVectors {
+
+  private val dim = VectorOps.Dim
+  private val k = VectorOps.K
+  private val qm = VectorOps.QueryMod
+  private val nBands = VectorOps.NumBands
+  private val bandBits = VectorOps.BandBits
+
+  /** In-order dot-product fold of two list columns (1-based indices). */
+  private def dot(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, ${dim + 1}),
+       |  i -> CAST($a[CAST(i AS INT)] AS DOUBLE) * CAST($b[CAST(i AS INT)] AS DOUBLE)),
+       |  (acc, v) -> acc + v)""".stripMargin
+
+  private val baseCte: String =
+    s"""base AS (
+       |  SELECT vec_id, label, embedding,
+       |    ${dot("embedding", "embedding")} AS nrm
+       |  FROM embeddings
+       |)""".stripMargin
+
+  private val queriesCte: String =
+    s"""q AS (
+       |  SELECT vec_id AS query_id, embedding AS qv, nrm AS qnrm
+       |  FROM base WHERE vec_id % $qm = 0
+       |)""".stripMargin
+
+  val knnExact: String =
+    s"""WITH $baseCte, $queriesCte,
+       |sims AS (
+       |  SELECT q.query_id, b.vec_id AS neighbor_id,
+       |    ${dot("b.embedding", "q.qv")} / (sqrt(b.nrm) * sqrt(q.qnrm)) AS sim
+       |  FROM base b, q WHERE b.vec_id <> q.query_id
+       |),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS "rank"
+       |  FROM sims
+       |)
+       |SELECT query_id, neighbor_id, "rank", sim FROM ranked WHERE "rank" <= $k""".stripMargin
+
+  private val codeCte: String =
+    s"""coded AS (
+       |  SELECT vec_id, embedding, nrm,
+       |    array_to_string(list_transform(${VectorOps.planesLitDuck}, p ->
+       |      CASE WHEN list_reduce(list_transform(range(1, ${dim + 1}),
+       |          i -> p[CAST(i AS INT)] * CAST(embedding[CAST(i AS INT)] AS DOUBLE)),
+       |          (acc, v) -> acc + v) > 0
+       |      THEN '1' ELSE '0' END), '') AS code
+       |  FROM base
+       |)""".stripMargin
+
+  val knnLsh: String =
+    s"""WITH $baseCte, $codeCte,
+       |bands AS (
+       |  SELECT vec_id,
+       |    b.b AS band_idx,
+       |    substring(code, CAST(b.b * $bandBits + 1 AS INT), $bandBits) AS band_key
+       |  FROM coded CROSS JOIN (SELECT unnest(range($nBands)) AS b) b
+       |),
+       |candidates AS (
+       |  SELECT DISTINCT qb.vec_id AS query_id, db.vec_id AS neighbor_id
+       |  FROM bands db JOIN bands qb USING (band_idx, band_key)
+       |  WHERE qb.vec_id % $qm = 0 AND db.vec_id <> qb.vec_id
+       |),
+       |sims AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    ${dot("db.embedding", "qb.embedding")} / (sqrt(db.nrm) * sqrt(qb.nrm)) AS sim
+       |  FROM candidates c
+       |  JOIN base db ON db.vec_id = c.neighbor_id
+       |  JOIN base qb ON qb.vec_id = c.query_id
+       |),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS "rank"
+       |  FROM sims
+       |)
+       |SELECT query_id, neighbor_id, "rank", sim FROM ranked WHERE "rank" <= $k""".stripMargin
+
+  /** Mirror of VectorOps.centroids: values scaled by 2^53 so the
+    * decimal cast is of an exact integer (no rounding-mode divergence
+    * between engines); sub-2^-31 magnitudes flushed to zero.
+    */
+  private val scale = VectorOps.Scale
+  private val flush = VectorOps.Flush
+
+  val centroidsCte: String =
+    s"""cent AS (
+       |  SELECT label, p.pos AS pos,
+       |    sum(CAST(CASE WHEN abs(CAST(embedding[CAST(p.pos + 1 AS INT)] AS DOUBLE)) < $flush
+       |             THEN 0.0
+       |             ELSE CAST(embedding[CAST(p.pos + 1 AS INT)] AS DOUBLE)
+       |             END * $scale AS DECIMAL(38,0))) AS centroid_sum,
+       |    count(*) AS n
+       |  FROM embeddings
+       |  CROSS JOIN (SELECT unnest(range($dim)) AS pos) p
+       |  GROUP BY label, p.pos
+       |)""".stripMargin
+
+  val centroids: String =
+    s"""WITH $centroidsCte
+       |SELECT label, pos, centroid_sum, n,
+       |  CAST(centroid_sum AS DOUBLE) / $scale / n AS mean
+       |FROM cent""".stripMargin
+
+  val ivfAssign: String =
+    s"""WITH $baseCte, $centroidsCte,
+       |cvec AS (
+       |  SELECT label AS c_label,
+       |    array_agg(CAST(centroid_sum AS DOUBLE) / $scale / n ORDER BY pos) AS centroid
+       |  FROM cent GROUP BY label
+       |),
+       |cnorm AS (
+       |  SELECT c_label, centroid, ${dot("centroid", "centroid")} AS cnrm FROM cvec
+       |),
+       |sims AS (
+       |  SELECT b.vec_id, b.label, c.c_label,
+       |    ${dot("b.embedding", "c.centroid")} / (sqrt(b.nrm) * sqrt(c.cnrm)) AS sim
+       |  FROM base b, cnorm c
+       |),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY sim DESC, c_label ASC) AS rn
+       |  FROM sims
+       |)
+       |SELECT vec_id, label, c_label AS assigned_label, sim
+       |FROM ranked WHERE rn = 1""".stripMargin
+}

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Assets, Relational, TextOps}
+import graft.operators.{Assets, Relational, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -68,6 +68,11 @@ object SparkEntry {
     "dedup_minhash_lsh"   -> ((s, d) => TextOps.dedupMinhashLsh(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => TextOps.dedupNgramJaccard(s, d)),
     "dedup_simhash"       -> ((s, d) => TextOps.dedupSimhash(s, d)),
+    // LLM-data-pipeline: embedding similarity search (embeddings table)
+    "emb_knn_exact"  -> ((s, d) => VectorOps.knnExact(s, d)),
+    "emb_knn_lsh"    -> ((s, d) => VectorOps.knnLsh(s, d)),
+    "emb_centroids"  -> ((s, d) => VectorOps.centroids(s, d)),
+    "emb_ivf_assign" -> ((s, d) => VectorOps.ivfAssign(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -117,5 +122,9 @@ object SparkEntry {
     "dedup_minhash_lsh"   -> OracleText.dedupMinhashLsh,
     "dedup_ngram_jaccard" -> OracleText.dedupNgramJaccard,
     "dedup_simhash"       -> OracleText.dedupSimhash,
+    "emb_knn_exact"  -> OracleVectors.knnExact,
+    "emb_knn_lsh"    -> OracleVectors.knnLsh,
+    "emb_centroids"  -> OracleVectors.centroids,
+    "emb_ivf_assign" -> OracleVectors.ivfAssign,
   )
 }

@@ -1,0 +1,202 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Embedding similarity search over the `embeddings` table
+  * (vec_id BIGINT, embedding ARRAY<FLOAT>, label INT).
+  *
+  * Generalization layer (builder brief): the reference has no vector
+  * operators, so these are designed Spark-first for the 100 TB shape:
+  *   - [[knnExact]] — brute-force cosine top-k for a small query set:
+  *     broadcast the queries, never shuffle the big side. The correctness
+  *     baseline; O(N·|Q|) compute but a single scan.
+  *   - [[knnLsh]] — random-hyperplane sign-LSH: band the bit code and
+  *     bucket-join queries to candidates (same scale-safe shape as
+  *     TextOps.dedupMinhashLsh — never all-pairs), then exact cosine only
+  *     on candidates.
+  *   - [[centroids]] / [[ivfAssign]] — the IVF building block: per-label
+  *     centroids via decimal-accumulated (order-independent, hence
+  *     cross-engine deterministic) element sums, then nearest-centroid
+  *     assignment against a broadcast centroid table.
+  *
+  * Cross-engine float determinism contract (shared with
+  * [[graft.OracleVectors]]):
+  *   - every dot product / norm is a SEQUENTIAL left fold over dims in
+  *     index order, in DOUBLE; DuckDB's `list_reduce` seeds with the
+  *     first element, Spark's `aggregate` with 0.0 — identical because
+  *     0.0 + x == x;
+  *   - float→decimal casts always go through DOUBLE (float→decimal
+  *     directly rounds differently in DuckDB);
+  *   - group sums that cross a shuffle are DECIMAL (exact, order-
+  *     independent), converted to double only once at the end.
+  */
+object VectorOps {
+
+  /** Fixture embedding dimensionality. */
+  val Dim = 64
+
+  /** Top-k neighbors returned per query. */
+  val K = 10
+
+  /** Query-set selector: every 100th vector is a query point. */
+  val QueryMod = 100
+
+  val NumPlanes = 16
+  val BandBits = 4
+  val NumBands: Int = NumPlanes / BandBits // 4 bands of 4 bits
+
+  /** Deterministic ±1 hyperplane weights from a Knuth-style LCG over the
+    * flat (plane, dim) index — reproducible in plain SQL-free arithmetic
+    * on both engines, embedded as a literal on both sides.
+    */
+  def planeWeight(p: Int, d: Int): Int = {
+    val i = p.toLong * Dim + d
+    val x = (i * 2654435761L + 1013904223L) % 4294967296L
+    if (((x >> 16) & 1L) == 1L) 1 else -1
+  }
+
+  val planes: IndexedSeq[IndexedSeq[Int]] =
+    IndexedSeq.tabulate(NumPlanes, Dim)(planeWeight)
+
+  /** Spark SQL literal `array(array(1,-1,...), ...)`. */
+  def planesLitSpark: String =
+    planes.map(_.mkString("array(", ",", ")")).mkString("array(", ",", ")")
+
+  /** DuckDB literal `[[1,-1,...], ...]` (see OracleVectors). */
+  def planesLitDuck: String =
+    planes.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+
+  /** Sequential in-order dot-product fold of two array columns, in
+    * double. Codegen'd higher-order functions — no UDF.
+    */
+  def dot(a: String, b: String): String =
+    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+       |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
+
+  /** 16-bit sign code: bit p = sign of <plane_p, v>. */
+  def codeExpr: String =
+    s"""concat_ws('', transform($planesLitSpark, p ->
+       |  CASE WHEN aggregate(zip_with(p, embedding, (w, x) -> w * CAST(x AS DOUBLE)),
+       |    CAST(0 AS DOUBLE), (acc, v) -> acc + v) > 0 THEN '1' ELSE '0' END))""".stripMargin
+
+  /** Embeddings with their (not-quite-1.0) squared norms precomputed once. */
+  private def withNorm(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).select(
+      col("vec_id"), col("label"), col("embedding"),
+      expr(dot("embedding", "embedding")).as("nrm"))
+
+  private def cosine: org.apache.spark.sql.Column =
+    (expr(dot("embedding", "qv")) / (sqrt(col("nrm")) * sqrt(col("qnrm")))).as("sim")
+
+  private def topK(sims: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= K)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+  }
+
+  /** Exact cosine top-k: broadcast-nested-loop against the tiny query
+    * set; the embedding corpus is scanned once and never shuffled (the
+    * only shuffle is the per-query window over N·|Q| pre-filtered rows).
+    */
+  def knnExact(spark: SparkSession, dir: String): DataFrame = {
+    val base = withNorm(spark, dir)
+    val q = base.where(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qnrm"))
+    topK(
+      base.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), cosine))
+  }
+
+  /** ANN via banded sign-LSH: corpus → 16-bit code → 4 band keys;
+    * candidates are vectors sharing ≥1 band with a query (bucket
+    * equi-join on (band_idx, band_key) — O(collisions), the 100 TB
+    * path); exact cosine + top-k only on candidates.
+    */
+  def knnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val base = withNorm(spark, dir).withColumn("code", expr(codeExpr))
+    val bands = base.select(
+      col("vec_id"),
+      posexplode(expr(
+        s"transform(sequence(0, ${NumBands - 1}), b -> substring(code, b * $BandBits + 1, $BandBits))"))
+        .as(Seq("band_idx", "band_key")))
+    val qBands = bands.where(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("band_idx"), col("band_key"))
+    val candidates = bands.join(broadcast(qBands), Seq("band_idx", "band_key"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .distinct()
+    val sims = candidates
+      .join(base.select(col("vec_id").as("neighbor_id"), col("embedding"), col("nrm")),
+        Seq("neighbor_id"))
+      .join(broadcast(
+        base.where(col("vec_id") % QueryMod === 0)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+            col("nrm").as("qnrm"))),
+        Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine)
+    topK(sims)
+  }
+
+  /** Per-label centroids in long format (label, pos, centroid_sum, n,
+    * mean). Element sums accumulate in DECIMAL so the result is
+    * independent of partitioning/order — the same property the decimal
+    * money sums rely on — and convert to double exactly once. The
+    * explode shuffles (label, pos) pairs, i.e. rows × dim — at scale
+    * this is the standard IVF training layout (partial aggregation
+    * map-side keeps the shuffle at |labels|·dim per partition).
+    *
+    * The double→decimal cast is made EXACT by scaling each value by
+    * 2^53 first (power-of-two scaling only shifts the exponent): a
+    * float with |x| ≥ 2^-31 times 2^53 is an integer, so no decimal
+    * rounding mode is ever exercised (Spark HALF_UP vs DuckDB diverge
+    * on exact halves, which non-integers can hit). Values under 2^-31
+    * are flushed to zero on both sides.
+    */
+  val Scale: String = "9007199254740992.0"      // 2^53
+  val Flush: String = "(1.0 / 2147483648.0)"    // 2^-31
+
+  def centroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "val")))
+      .groupBy(col("label"), col("pos").cast("long").as("pos"))
+      .agg(
+        sum(expr(s"""CAST(CASE WHEN abs(CAST(val AS DOUBLE)) < $Flush THEN 0.0
+                     ELSE CAST(val AS DOUBLE) END * $Scale AS DECIMAL(38,0))"""))
+          .as("centroid_sum"),
+        count(lit(1)).as("n"))
+      .withColumn("mean",
+        col("centroid_sum").cast("double") / expr(Scale) / col("n"))
+
+  /** Nearest-centroid assignment (the IVF partitioner): 10 centroids
+    * broadcast against the corpus; cosine against each; argmax via a
+    * per-vector window. Output keeps the true label for a train-style
+    * purity readout.
+    */
+  def ivfAssign(spark: SparkSession, dir: String): DataFrame = {
+    val cents = centroids(spark, dir)
+      .groupBy(col("label").as("c_label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, mean))), t -> t.mean)")
+        .as("centroid"))
+      .select(col("c_label"), col("centroid"),
+        expr(dot("centroid", "centroid")).as("cnrm"))
+    val sims = withNorm(spark, dir)
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("c_label"),
+        (expr(dot("embedding", "centroid")) / (sqrt(col("nrm")) * sqrt(col("cnrm"))))
+          .as("sim"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("c_label").asc)
+    sims.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("label"),
+        col("c_label").as("assigned_label"), col("sim"))
+  }
+}
