@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextOps
+
+/** Unit tests for the text-analysis / dedup operators, on injected
+  * documents fixtures (tempTableDir) so edge semantics are controlled.
+  */
+class TextOpsSpec extends SparkSpec {
+
+  private def docsDir(texts: Seq[String], lang: String = "en"): String = {
+    val s = spark; import s.implicits._
+    val df = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, lang, "spec", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    tempTableDir("documents", df)
+  }
+
+  test("tokens: whitespace count and ceil(len/4) BPE estimate") {
+    val dir = docsDir(Seq("aa bb ccccc"))
+    val r = TextOps.tokens(spark, dir).head()
+    assert(r.getAs[Long]("n_tokens_ws") === 3L)
+    // ceil(2/4)+ceil(2/4)+ceil(5/4) = 1+1+2
+    assert(r.getAs[Long]("n_tokens_bpe") === 4L)
+  }
+
+  test("quality: exact ratios on a controlled doc") {
+    val dir = docsDir(Seq("aa bb aa the"))
+    val r = TextOps.quality(spark, dir).head()
+    assert(r.getAs[Long]("n_chars") === 12L)
+    assert(r.getAs[Long]("n_words") === 4L)
+    assert(r.getAs[Double]("uniq_ratio") === 3.0 / 4)
+    assert(r.getAs[Double]("stopword_ratio") === 1.0 / 4)
+    assert(r.getAs[Double]("avg_token_len") === 12.0 / 4)
+  }
+
+  test("langid picks the language with the most stopword hits") {
+    val dir = docsDir(Seq(
+      "the cat is on the mat and a dog",
+      "el perro y la casa que en madrid",
+      "der hund und das haus ist ein gross",
+      "le chat et les maisons un une paris"))
+    val preds = TextOps.langid(spark, dir).orderBy("doc_id")
+      .select("lang_pred").collect().map(_.getString(0)).toSeq
+    assert(preds === Seq("en", "es", "de", "fr"))
+  }
+
+  test("fingerprint is order-insensitive over the vocabulary") {
+    val dir = docsDir(Seq("alpha beta gamma", "gamma alpha beta", "alpha beta delta"))
+    val fps = TextOps.fingerprint(spark, dir).orderBy("doc_id")
+      .select("fingerprint").collect().map(_.getString(0)).toSeq
+    assert(fps(0) === fps(1))
+    assert(fps(0) !== fps(2))
+  }
+
+  test("dedupExact groups identical texts and keeps the smallest doc_id") {
+    val dir = docsDir(Seq("same text here", "same text here", "different text"))
+    val groups = TextOps.dedupExact(spark, dir)
+      .select("canonical_doc_id", "n_copies").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups === Map(0L -> 2L, 2L -> 1L))
+  }
+
+  test("minhash: identical docs share the full signature; LSH pairs them at est 1.0") {
+    val a = "one two three four five six seven eight nine ten"
+    val dir = docsDir(Seq(a, a, "completely unrelated words with zero overlap whatsoever here"))
+    val sigs = TextOps.minhash(spark, dir).orderBy("doc_id")
+      .select("sig").collect().map(_.getString(0)).toSeq
+    assert(sigs(0) === sigs(1))
+    assert(sigs(0) !== sigs(2))
+
+    val pairs = TextOps.dedupMinhashLsh(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.get((0L, 1L)).contains(1.0))
+    // est_jaccard always within [0, 1]
+    assert(pairs.values.forall(j => j >= 0.0 && j <= 1.0))
+  }
+
+  test("ngram Jaccard verification confirms exact duplicates at 1.0") {
+    val a = "one two three four five six seven eight nine ten"
+    val dir = docsDir(Seq(a, a))
+    val out = TextOps.dedupNgramJaccard(spark, dir).collect()
+    assert(out.length === 1)
+    assert(out.head.getDouble(2) === 1.0)
+  }
+
+  test("simhash clusters identical docs; near-identical codes differ little") {
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val dir = docsDir(Seq(a, a, "unrelated totally different content goes here now"))
+    val clusters = TextOps.dedupSimhash(spark, dir).collect()
+    assert(clusters.length === 1)
+    assert(clusters.head.getAs[Long]("cluster_size") === 2L)
+    // 32-bit bitstring shape
+    val codes = TextOps.simhash(spark, dir).select("simhash")
+      .collect().map(_.getString(0))
+    assert(codes.forall(c => c.length === 32 && c.forall(ch => ch == '0' || ch == '1')))
+  }
+
+  test("short docs (<3 words) produce no shingles and drop out of minhash") {
+    val dir = docsDir(Seq("one two", "a much longer document with plenty of words"))
+    val ids = TextOps.minhash(spark, dir).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids === Seq(1L))
+  }
+}

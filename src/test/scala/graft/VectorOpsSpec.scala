@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.VectorOps
+
+/** Unit tests for embedding similarity search on injected fixtures. */
+class VectorOpsSpec extends SparkSpec {
+
+  /** Deterministic 64-dim unit-ish vectors: basis vector for the label
+    * plus a small per-id perturbation in a second dimension.
+    */
+  private def vec(label: Int, wobble: Float): Array[Float] = {
+    val a = Array.fill(VectorOps.Dim)(0.0f)
+    a(label) = 1.0f
+    a(label + 32) = wobble
+    a
+  }
+
+  private def embDir(rows: Seq[(Long, Array[Float], Int)]): String = {
+    val s = spark; import s.implicits._
+    tempTableDir("embeddings",
+      rows.map { case (id, v, l) => (id, v.toSeq, l) }
+        .toDF("vec_id", "embedding", "label"))
+  }
+
+  // vec_id 0 and 100 are queries (QueryMod); two clusters at labels 0, 1
+  private val fixture = Seq(
+    (0L, vec(0, 0.00f), 0), (1L, vec(0, 0.01f), 0), (2L, vec(0, 0.02f), 0),
+    (3L, vec(0, 0.90f), 0),
+    (100L, vec(1, 0.00f), 1), (101L, vec(1, 0.01f), 1), (102L, vec(1, 0.80f), 1))
+
+  test("planeWeight is deterministic ±1 and not constant") {
+    val flat = VectorOps.planes.flatten
+    assert(flat.forall(w => w == 1 || w == -1))
+    assert(flat.distinct.size === 2)
+    assert(VectorOps.planes === IndexedSeq.tabulate(
+      VectorOps.NumPlanes, VectorOps.Dim)(VectorOps.planeWeight))
+  }
+
+  test("knnExact: ranks by cosine, excludes self, caps at K") {
+    val out = VectorOps.knnExact(spark, embDir(fixture))
+    val rows = out.collect()
+    assert(rows.forall(_.getLong(2) <= VectorOps.K))
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1))) // no self-match
+    assert(rows.forall(r => math.abs(r.getDouble(3)) <= 1.0 + 1e-12))
+    // nearest neighbor of query 0 is the closest same-cluster vector
+    val top0 = rows.filter(r => r.getLong(0) == 0L && r.getLong(2) == 1L).head
+    assert(top0.getLong(1) === 1L)
+    // ranks are 1..n contiguous per query
+    val ranks0 = rows.filter(_.getLong(0) == 0L).map(_.getLong(2)).sorted
+    assert(ranks0 === (1L to ranks0.length).toArray.toSeq)
+  }
+
+  test("knnLsh candidates find the same top-1 as exact search on separated clusters") {
+    val dir = embDir(fixture)
+    val exact = VectorOps.knnExact(spark, dir)
+      .where(col("rank") === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ann = VectorOps.knnLsh(spark, dir)
+      .where(col("rank") === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // ANN is approximate in general; on well-separated clusters the
+    // sign codes agree within a cluster, so top-1 must match exact.
+    assert(ann === exact)
+  }
+
+  test("centroids: exact mean for dyadic values, 64 rows per label") {
+    val dir = embDir(Seq(
+      (0L, vec(0, 0.25f), 0), (1L, vec(0, 0.75f), 0)))
+    val cent = VectorOps.centroids(spark, dir)
+    assert(cent.count() === 64)
+    val means = cent.collect()
+      .map(r => r.getLong(1) -> r.getDouble(4)).toMap
+    assert(means(0L) === 1.0)   // both vectors have 1.0 at dim 0
+    assert(means(32L) === 0.5)  // (0.25 + 0.75) / 2
+    assert(means(5L) === 0.0)
+    assert(cent.select("n").distinct().head().getLong(0) === 2L)
+  }
+
+  test("ivfAssign maps every vector to its own cluster's centroid") {
+    val out = VectorOps.ivfAssign(spark, embDir(fixture)).collect()
+    assert(out.length === fixture.length)
+    assert(out.forall(r => r.getInt(1) === r.getInt(2)))
+    assert(out.forall(r => r.getDouble(3) > 0.5))
+  }
+}
