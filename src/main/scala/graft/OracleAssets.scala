@@ -7,14 +7,16 @@ package graft
   */
 object OracleAssets {
 
-  /** SQL mirror of [[graft.sources.Tables.signals]] — must stay in exact
-    * lockstep with the Spark projection.
+  /** SQL mirror of [[graft.sources.Tables.signalsFrom]] — must stay in
+    * exact lockstep with the Spark projection. `src` is the events-shaped
+    * relation (a table name or a parenthesized union for multi-path
+    * sources).
     */
-  val signalsCte: String =
-    """ev AS (
+  def signalsCteFrom(src: String): String =
+    s"""ev AS (
       |  SELECT event_id, ts, user_id, event_type, value,
-      |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-      |  FROM events
+      |         CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+      |  FROM $src
       |),
       |signals AS (
       |  SELECT event_id, ts, user_id, event_type, value, k,
@@ -26,10 +28,15 @@ object OracleAssets {
       |    CASE WHEN k % 9 <> 8 THEN 'hh-' || CAST(k % 9 AS VARCHAR) END AS host_hostname,
       |    CASE WHEN k % 5 <> 2 THEN 'n-' || CAST(k % 4 AS VARCHAR) END AS kubernetes_node_name,
       |    CASE WHEN k % 5 = 0 THEN 'aws' END AS cloud_provider,
-      |    CASE WHEN k % 7 = 0 THEN 'cl-' || CAST(k % 2 AS VARCHAR) END AS orchestrator_cluster_name
+      |    CASE WHEN k % 7 = 0 THEN 'cl-' || CAST(k % 2 AS VARCHAR) END AS orchestrator_cluster_name,
+      |    CASE WHEN k % 11 = 0 THEN CAST([] AS VARCHAR[])
+      |         ELSE ['t-' || CAST(k % 3 AS VARCHAR), 't-' || CAST(k % 5 AS VARCHAR)]
+      |         END AS service_tags
       |  FROM ev
       |),
       |mx AS (SELECT max(ts) AS m FROM signals)""".stripMargin
+
+  val signalsCte: String = signalsCteFrom("events")
 
   val parentTypeCase: String =
     """CASE WHEN container_id IS NOT NULL THEN 'container'
@@ -72,16 +79,18 @@ object OracleAssets {
        |  AND s.service_name IN (SELECT service_name FROM p1)""".stripMargin
 
   /** Collapsed (top-1 per service, newest-first) signal rows. */
-  private val collapsedServicesCte: String =
-    s"""base AS (
+  private def collapsedServicesCteNamed(base: String, c: String): String =
+    s"""$base AS (
        |  SELECT s.* FROM signals s, mx
        |  WHERE s.ts >= m - INTERVAL 21 DAY AND s.service_name IS NOT NULL
        |),
-       |c AS (
+       |$c AS (
        |  SELECT *, row_number() OVER (
        |    PARTITION BY service_name ORDER BY ts DESC, event_id DESC) AS rn
-       |  FROM base
+       |  FROM $base
        |)""".stripMargin
+
+  private val collapsedServicesCte: String = collapsedServicesCteNamed("base", "c")
 
   val svcCollapse: String =
     s"""WITH $signalsCte, $collapsedServicesCte
@@ -111,18 +120,20 @@ object OracleAssets {
        |FROM c WHERE rn = 1 AND container_id IS NOT NULL
        |GROUP BY container_id""".stripMargin
 
-  private val collapsedPodsCte: String =
-    s"""base AS (
+  private def collapsedPodsCteNamed(base: String, c: String): String =
+    s"""$base AS (
        |  SELECT s.* FROM signals s, mx
        |  WHERE s.ts >= m - INTERVAL 21 DAY
        |    AND s.kubernetes_pod_uid IS NOT NULL
        |    AND s.kubernetes_node_name IS NOT NULL
        |),
-       |c AS (
+       |$c AS (
        |  SELECT *, row_number() OVER (
        |    PARTITION BY kubernetes_pod_uid ORDER BY ts DESC, event_id DESC) AS rn
-       |  FROM base
+       |  FROM $base
        |)""".stripMargin
+
+  private val collapsedPodsCte: String = collapsedPodsCteNamed("base", "c")
 
   val podsCollapse: String =
     s"""WITH $signalsCte, $collapsedPodsCte
@@ -149,4 +160,96 @@ object OracleAssets {
        |    AS asset_references
        |FROM c WHERE rn = 1
        |GROUP BY kubernetes_node_name""".stripMargin
+
+  /** pods over the doubled multi-path source union (SourceRegistry
+    * `signals_all`): identical rows collapse, so output equals
+    * podsCollapse — that idempotence IS the semantic under test.
+    */
+  val podsMultiSource: String =
+    s"""WITH ${signalsCteFrom("(SELECT * FROM events UNION ALL SELECT * FROM events)")},
+       |$collapsedPodsCte
+       |SELECT $batchTs AS asset_ts,
+       |  'k8s.pod:' || kubernetes_pod_uid AS asset_ean,
+       |  'k8s.pod' AS asset_type,
+       |  kubernetes_pod_uid AS asset_id,
+       |  'k8s.node:' || kubernetes_node_name AS asset_parents,
+       |  CASE WHEN orchestrator_cluster_name IS NOT NULL
+       |       THEN 'k8s.cluster:' || orchestrator_cluster_name END AS asset_references,
+       |  cloud_provider
+       |FROM c WHERE rn = 1""".stripMargin
+
+  /** Multi-valued field unwrap (P3): list index 1 ≡ Spark
+    * try_element_at (both null on empty).
+    */
+  val svcMultivalued: String =
+    s"""WITH $signalsCte
+       |SELECT event_id,
+       |  'service:' || service_name AS asset_ean,
+       |  service_tags[1] AS primary_tag,
+       |  CAST(len(service_tags) AS BIGINT) AS n_tags
+       |FROM signals""".stripMargin
+
+  /** All four asset pipelines conformed to the fixed output schema
+    * (AssetSchema.schema order), unioned — mirror of Assets.assetsAll.
+    */
+  val assetsAll: String = {
+    val cols =
+      """asset_ts, asset_ean, asset_type, asset_id, asset_name,
+        |  asset_parents, asset_children, asset_references,
+        |  service_environment, cloud_provider, orchestrator_cluster_name""".stripMargin
+    s"""WITH $signalsCte,
+       |${collapsedServicesCteNamed("sbase", "sc")},
+       |${collapsedPodsCteNamed("pbase", "pc")}
+       |SELECT $cols FROM (
+       |  SELECT $batchTs AS asset_ts,
+       |    'service:' || service_name AS asset_ean,
+       |    'service' AS asset_type,
+       |    service_name AS asset_id,
+       |    service_name AS asset_name,
+       |    CASE WHEN container_id IS NOT NULL
+       |         THEN 'container:' || container_id END AS asset_parents,
+       |    CAST(NULL AS VARCHAR) AS asset_children,
+       |    CAST(NULL AS VARCHAR) AS asset_references,
+       |    service_environment, cloud_provider, orchestrator_cluster_name
+       |  FROM sc WHERE rn = 1
+       |  UNION ALL
+       |  SELECT $batchTs,
+       |    'container:' || container_id,
+       |    'container',
+       |    container_id,
+       |    CAST(NULL AS VARCHAR),
+       |    CAST(NULL AS VARCHAR),
+       |    array_to_string(list_sort(array_agg(DISTINCT 'service:' || service_name)), '|'),
+       |    COALESCE(array_to_string(list_sort(array_agg(DISTINCT 'k8s.pod:' || kubernetes_pod_uid)
+       |               FILTER (WHERE kubernetes_pod_uid IS NOT NULL)), '|'), ''),
+       |    CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+       |  FROM sc WHERE rn = 1 AND container_id IS NOT NULL
+       |  GROUP BY container_id
+       |  UNION ALL
+       |  SELECT $batchTs,
+       |    'k8s.pod:' || kubernetes_pod_uid,
+       |    'k8s.pod',
+       |    kubernetes_pod_uid,
+       |    CAST(NULL AS VARCHAR),
+       |    'k8s.node:' || kubernetes_node_name,
+       |    CAST(NULL AS VARCHAR),
+       |    CASE WHEN orchestrator_cluster_name IS NOT NULL
+       |         THEN 'k8s.cluster:' || orchestrator_cluster_name END,
+       |    CAST(NULL AS VARCHAR), cloud_provider, CAST(NULL AS VARCHAR)
+       |  FROM pc WHERE rn = 1
+       |  UNION ALL
+       |  SELECT $batchTs,
+       |    'k8s.node:' || kubernetes_node_name,
+       |    'k8s.node',
+       |    kubernetes_node_name,
+       |    CAST(NULL AS VARCHAR),
+       |    CAST(NULL AS VARCHAR),
+       |    array_to_string(list_sort(array_agg(DISTINCT 'k8s.pod:' || kubernetes_pod_uid)), '|'),
+       |    COALESCE(array_to_string(list_sort(array_agg(DISTINCT 'k8s.cluster:' || orchestrator_cluster_name)
+       |               FILTER (WHERE orchestrator_cluster_name IS NOT NULL)), '|'), ''),
+       |    CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+       |  FROM pc WHERE rn = 1
+       |  GROUP BY kubernetes_node_name
+       |) u""".stripMargin
+  }
 }

@@ -29,6 +29,9 @@ object SparkEntry {
     "container_graph" -> ((s, d) => Assets.containerGraph(s, d)),
     "pods_collapse"   -> ((s, d) => Assets.podsCollapse(s, d)),
     "node_graph"      -> ((s, d) => Assets.nodeGraph(s, d)),
+    "pods_multi_source" -> ((s, d) => Assets.podsMultiSource(s, d)),
+    "svc_multivalued"   -> ((s, d) => Assets.svcMultivalued(s, d)),
+    "assets_all"        -> ((s, d) => Assets.assetsAll(s, d)),
     // General relational operator library (SURVEY.md §7.2 step 4)
     "q1_pricing_summary" -> ((s, d) => Relational.q1PricingSummary(s, d)),
     "q2_filter_project"  -> ((s, d) => Relational.q2FilterProject(s, d)),
@@ -85,6 +88,9 @@ object SparkEntry {
     "container_graph" -> OracleAssets.containerGraph,
     "pods_collapse"   -> OracleAssets.podsCollapse,
     "node_graph"      -> OracleAssets.nodeGraph,
+    "pods_multi_source" -> OracleAssets.podsMultiSource,
+    "svc_multivalued"   -> OracleAssets.svcMultivalued,
+    "assets_all"        -> OracleAssets.assetsAll,
     "q1_pricing_summary" -> OracleRelational.q1,
     "q2_filter_project"  -> OracleRelational.q2,
     "q3_join_agg"        -> OracleRelational.q3,

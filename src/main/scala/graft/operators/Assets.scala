@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.sources.Tables
+import graft.sources.{AssetSchema, SourceRegistry, Tables}
 
 /** Reference-parity asset-derivation pipelines, Spark-first.
   *
@@ -226,20 +226,22 @@ object Assets {
 
   /** Collapsed pod signals — reference lib/collectPods.ts:12-63: both
     * pod uid AND node name must exist (F4 conjunction, :46-57), collapse
-    * on pod uid (A2).
+    * on pod uid (A2). Takes the signal view as input so the same
+    * pipeline runs over single- or multi-path sources.
     */
-  def collapsedPodSignals(spark: SparkSession, dir: String): DataFrame =
+  def collapsedPodSignalsFrom(sig: DataFrame): DataFrame =
     collapseLatest(
-      Tables.trailing(Tables.signals(spark, dir), "ts", "21 DAY")
+      Tables.trailing(sig, "ts", "21 DAY")
         .where(col("kubernetes_pod_uid").isNotNull &&
           col("kubernetes_node_name").isNotNull),
       "kubernetes_pod_uid")
 
-  /** Pod assets — reference lib/collectPods.ts:72-88: parent = node EAN,
-    * reference edge to the orchestrator cluster when present (:80-86).
-    */
-  def podsCollapse(spark: SparkSession, dir: String): DataFrame =
-    collapsedPodSignals(spark, dir).select(
+  def collapsedPodSignals(spark: SparkSession, dir: String): DataFrame =
+    collapsedPodSignalsFrom(Tables.signals(spark, dir))
+
+  /** Pod-asset projection shared by the single- and multi-source reads. */
+  private def podAssets(collapsed: DataFrame): DataFrame =
+    collapsed.select(
       batchTs.as("asset_ts"),
       ean("k8s.pod", col("kubernetes_pod_uid")).as("asset_ean"),
       lit("k8s.pod").as("asset_type"),
@@ -250,6 +252,55 @@ object Assets {
         .as("asset_references"),
       col("cloud_provider")
     )
+
+  /** Pod assets — reference lib/collectPods.ts:72-88: parent = node EAN,
+    * reference edge to the orchestrator cluster when present (:80-86).
+    */
+  def podsCollapse(spark: SparkSession, dir: String): DataFrame =
+    podAssets(collapsedPodSignals(spark, dir))
+
+  /** Pod assets over the MULTI-PATH source union — the reference's
+    * `collectPods` reads logs+APM index patterns as one search
+    * (lib/collectPods.ts:13, constants.ts:1-21); here the named
+    * registry resolves `signals_all` to multiple parquet paths read as
+    * ONE partitioned scan (SURVEY.md S3/S6). The collapse dedup makes
+    * the overlapping-source union idempotent: duplicate observations of
+    * the same event collapse to one asset row, so this returns exactly
+    * [[podsCollapse]]'s rows even though the input is doubled.
+    */
+  def podsMultiSource(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = SourceRegistry.forDir(dir).read(spark, "signals_all")
+    podAssets(collapsedPodSignalsFrom(Tables.signalsFrom(Tables.eventsFrom(raw))))
+  }
+
+  /** Multi-valued field unwrap feeding an asset projection — ES
+    * `fields` responses return every scalar as an array; `singleItem`
+    * takes the first element or undefined
+    * (lib/collectServicesFromSummaries.ts:114-119; SURVEY.md P3).
+    * `try_element_at` is the null-safe Spark form (empty array → null,
+    * matching `undefined`).
+    */
+  def svcMultivalued(spark: SparkSession, dir: String): DataFrame =
+    Tables.signals(spark, dir).select(
+      col("event_id"),
+      ean("service", col("service_name")).as("asset_ean"),
+      expr("try_element_at(service_tags, 1)").as("primary_tag"),
+      size(col("service_tags")).cast("long").as("n_tags")
+    )
+
+  /** Every asset pipeline, conformed to the fixed output schema
+    * (SURVEY.md S4/S5) — the "one assets index" view a reference user
+    * reads after a full collection run.
+    */
+  def assetsAll(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Seq(
+      servicesCollapse(spark, dir),
+      containerGraph(spark, dir),
+      podsCollapse(spark, dir),
+      nodeGraph(spark, dir))
+    parts.map(AssetSchema.conform).reduce(_.unionAll(_))
+  }
 
   /** Node assets — reference lib/collectPods.ts:90-112: find-or-create
     * per node accumulating child pod EANs (:93-97,104) plus a cluster

@@ -1,0 +1,80 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types._
+
+/** Typed asset output document — `SimpleAsset<T>` (reference
+  * types.ts:1-13) re-expressed for Spark: dotted ES keys become
+  * snake_case columns; the graph-edge string arrays
+  * (`asset.parents/children/references`, types.ts:7-9) are carried as
+  * canonical sorted '|'-joined scalars (see Assets.edgeList).
+  */
+final case class Asset(
+    asset_ts: java.sql.Timestamp,
+    asset_ean: String,
+    asset_type: String,
+    asset_id: String,
+    asset_name: Option[String],
+    asset_parents: Option[String],
+    asset_children: Option[String],
+    asset_references: Option[String],
+    service_environment: Option[String],
+    cloud_provider: Option[String],
+    orchestrator_cluster_name: Option[String])
+
+/** Fixed output schema + write path — the Spark analog of the assets
+  * index template and bulk sink (reference assets_index_template.ts:3-32:
+  * `assets*` pattern, `subobjects:false` flat keys, dynamic
+  * strings→keyword, `@timestamp:date`; sink method es_client.ts:29-31).
+  * Where the template coerces dynamically, Spark is schema-first: every
+  * asset pipeline is conformed to this StructType before writing, so
+  * downstream readers see one stable shape regardless of which pipeline
+  * produced the row.
+  */
+object AssetSchema {
+
+  val schema: StructType = StructType(Seq(
+    StructField("asset_ts", TimestampType, nullable = false),
+    StructField("asset_ean", StringType, nullable = false),
+    StructField("asset_type", StringType, nullable = false),
+    StructField("asset_id", StringType, nullable = false),
+    StructField("asset_name", StringType, nullable = true),
+    StructField("asset_parents", StringType, nullable = true),
+    StructField("asset_children", StringType, nullable = true),
+    StructField("asset_references", StringType, nullable = true),
+    StructField("service_environment", StringType, nullable = true),
+    StructField("cloud_provider", StringType, nullable = true),
+    StructField("orchestrator_cluster_name", StringType, nullable = true)))
+
+  /** Project any asset-pipeline output onto the fixed schema: missing
+    * optional columns become typed nulls, order is canonical, types are
+    * cast. Fails fast if a REQUIRED column is absent.
+    */
+  def conform(df: DataFrame): DataFrame = {
+    val present = df.columns.toSet
+    val required = Seq("asset_ts", "asset_ean", "asset_type", "asset_id")
+    val missing = required.filterNot(present.contains)
+    require(missing.isEmpty, s"asset output missing required columns: $missing")
+    val cols: Seq[Column] = schema.fields.toSeq.map { f =>
+      if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
+    df.select(cols: _*)
+  }
+
+  def asDataset(spark: SparkSession, df: DataFrame): Dataset[Asset] = {
+    import spark.implicits._
+    conform(df).as[Asset]
+  }
+}
+
+/** Bulk write path (reference es_client.ts:29-31, intended call site
+  * run.ts:15). Partitioned by asset_type — the analog of the `assets*`
+  * index family — so per-type readers prune at the directory level.
+  */
+object AssetSink {
+  def write(df: DataFrame, path: String): Unit =
+    AssetSchema.conform(df)
+      .write.mode("append").partitionBy("asset_type").parquet(path)
+}

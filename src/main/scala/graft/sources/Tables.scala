@@ -36,10 +36,16 @@ object Tables {
     * scan; pushdown on `ts` still works via the long column's row-group
     * stats before conversion is applied to surviving rows.
     */
+  /** ns→µs conversion over an already-loaded raw events scan (used by
+    * multi-path sources that assemble their own scan, see
+    * [[SourceRegistry]]).
+    */
+  def eventsFrom(raw: DataFrame): DataFrame =
+    raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    eventsFrom(table(spark, dir, "events"))
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
@@ -61,8 +67,16 @@ object Tables {
     * All derivations are pure per-row projections — no shuffle, fully
     * codegen'd, and cost nothing at 100 TB beyond the scan itself.
     */
-  def signals(spark: SparkSession, dir: String): DataFrame = {
-    val e = events(spark, dir)
+  def signals(spark: SparkSession, dir: String): DataFrame =
+    signalsFrom(events(spark, dir))
+
+  /** Signal view over any events-shaped DataFrame (single- or
+    * multi-path). The `service_tags` array mirrors the ES `fields` API
+    * semantic that every field may arrive multi-valued (SURVEY.md P3,
+    * reference lib/collectServicesFromSummaries.ts:114-119) — including
+    * the empty-array case (k % 11).
+    */
+  def signalsFrom(e: DataFrame): DataFrame = {
     val k = get_json_object(col("props"), "$.k").cast("long")
     e.select(
       col("event_id"),
@@ -83,7 +97,12 @@ object Tables {
         .as("kubernetes_node_name"),
       when(k % 5 === 0, lit("aws")).as("cloud_provider"),
       when(k % 7 === 0, concat(lit("cl-"), (k % 2).cast("string")))
-        .as("orchestrator_cluster_name")
+        .as("orchestrator_cluster_name"),
+      when(k % 11 === 0, expr("CAST(array() AS array<string>)"))
+        .otherwise(array(
+          concat(lit("t-"), (k % 3).cast("string")),
+          concat(lit("t-"), (k % 5).cast("string"))))
+        .as("service_tags")
     )
   }
 

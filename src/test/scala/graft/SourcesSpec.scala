@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Assets
+import graft.sources.{AssetSchema, AssetSink, SourceRegistry}
+
+/** Source registry, multi-path union, fixed asset schema, and sink. */
+class SourcesSpec extends SparkSpec {
+
+  test("registry resolves names and fails fast on unknown ones") {
+    val reg = SourceRegistry.forDir(sfDir)
+    assert(reg.resolve("signals_all").paths.length === 2)
+    val e = intercept[IllegalArgumentException](reg.resolve("nope"))
+    assert(e.getMessage.contains("signals_apm"))
+  }
+
+  test("multi-path pod collection is idempotent over overlapping sources") {
+    val single = Assets.podsCollapse(spark, sfDir).collect().toSet
+    val multi = Assets.podsMultiSource(spark, sfDir).collect().toSet
+    assert(multi === single)
+    assert(multi.nonEmpty)
+  }
+
+  test("conform produces the fixed schema regardless of input pipeline") {
+    for (df <- Seq(
+        Assets.servicesCollapse(spark, sfDir),
+        Assets.containerGraph(spark, sfDir),
+        Assets.podsCollapse(spark, sfDir),
+        Assets.nodeGraph(spark, sfDir))) {
+      val c = AssetSchema.conform(df)
+      assert(c.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+        AssetSchema.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    }
+  }
+
+  test("conform rejects outputs missing required columns") {
+    val e = intercept[IllegalArgumentException](
+      AssetSchema.conform(Assets.servicesCollapse(spark, sfDir).drop("asset_ean")))
+    assert(e.getMessage.contains("asset_ean"))
+  }
+
+  test("assetsAll rows = sum of the four pipelines; typed Dataset[Asset] works") {
+    val all = Assets.assetsAll(spark, sfDir)
+    val expected = Seq(
+      Assets.servicesCollapse(spark, sfDir),
+      Assets.containerGraph(spark, sfDir),
+      Assets.podsCollapse(spark, sfDir),
+      Assets.nodeGraph(spark, sfDir)).map(_.count()).sum
+    assert(all.count() === expected)
+    val ds = AssetSchema.asDataset(spark, all)
+    assert(ds.filter(_.asset_ean.nonEmpty).count() === expected)
+  }
+
+  test("AssetSink writes asset_type-partitioned parquet readable at the fixed schema") {
+    val out = java.nio.file.Files.createTempDirectory("graft-sink").toString + "/assets"
+    AssetSink.write(Assets.assetsAll(spark, sfDir), out)
+    val back = spark.read.parquet(out)
+    assert(back.count() === Assets.assetsAll(spark, sfDir).count())
+    // partition pruning by asset_type hits the directory layout
+    assert(back.where(col("asset_type") === "service").count() ===
+      Assets.servicesCollapse(spark, sfDir).count())
+    assert(back.columns.toSet === AssetSchema.schema.fieldNames.toSet)
+  }
+
+  test("multi-valued unwrap: first tag or null on empty (P3 singleItem)") {
+    val out = Assets.svcMultivalued(spark, sfDir)
+    assert(out.where(col("n_tags") === 0 && col("primary_tag").isNotNull).count() === 0)
+    assert(out.where(col("n_tags") > 0 && col("primary_tag").isNull).count() === 0)
+    assert(out.where(col("n_tags") === 0).count() > 0) // empty case exercised
+    assert(out.where(col("n_tags") === 2).count() > 0)
+  }
+}
