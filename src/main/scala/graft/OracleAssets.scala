@@ -79,10 +79,10 @@ object OracleAssets {
        |  AND s.service_name IN (SELECT service_name FROM p1)""".stripMargin
 
   /** Collapsed (top-1 per service, newest-first) signal rows. */
-  private def collapsedServicesCteNamed(base: String, c: String): String =
+  private def collapsedServicesCteNamed(base: String, c: String, days: Int = 21): String =
     s"""$base AS (
        |  SELECT s.* FROM signals s, mx
-       |  WHERE s.ts >= m - INTERVAL 21 DAY AND s.service_name IS NOT NULL
+       |  WHERE s.ts >= m - INTERVAL $days DAY AND s.service_name IS NOT NULL
        |),
        |$c AS (
        |  SELECT *, row_number() OVER (
@@ -251,5 +251,43 @@ object OracleAssets {
        |  FROM pc WHERE rn = 1
        |  GROUP BY kubernetes_node_name
        |) u""".stripMargin
+  }
+
+  val batchTs2: String = s"TIMESTAMP '${operators.Assets.BatchTs2}'"
+
+  /** Mirror of Assets.assetUpsert: 21-day state (T1) merged with a
+    * 7-day batch (T2); newest asset_ts wins, batch wins ties.
+    */
+  val assetUpsert: String = {
+    def svcArm(c: String, ts: String, src: Int): String =
+      s"""SELECT $ts AS asset_ts,
+         |    'service:' || service_name AS asset_ean,
+         |    'service' AS asset_type,
+         |    service_name AS asset_id,
+         |    service_name AS asset_name,
+         |    CASE WHEN container_id IS NOT NULL
+         |         THEN 'container:' || container_id END AS asset_parents,
+         |    CAST(NULL AS VARCHAR) AS asset_children,
+         |    CAST(NULL AS VARCHAR) AS asset_references,
+         |    service_environment, cloud_provider, orchestrator_cluster_name,
+         |    $src AS src
+         |  FROM $c WHERE rn = 1""".stripMargin
+    s"""WITH $signalsCte,
+       |${collapsedServicesCteNamed("sbase", "sc", 21)},
+       |${collapsedServicesCteNamed("nbase", "nc", 7)},
+       |u AS (
+       |  ${svcArm("sc", batchTs, 0)}
+       |  UNION ALL
+       |  ${svcArm("nc", batchTs2, 1)}
+       |),
+       |r AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY asset_ean ORDER BY asset_ts DESC, src DESC) AS rn2
+       |  FROM u
+       |)
+       |SELECT asset_ts, asset_ean, asset_type, asset_id, asset_name,
+       |  asset_parents, asset_children, asset_references,
+       |  service_environment, cloud_provider, orchestrator_cluster_name
+       |FROM r WHERE rn2 = 1""".stripMargin
   }
 }

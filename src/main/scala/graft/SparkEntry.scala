@@ -32,6 +32,7 @@ object SparkEntry {
     "pods_multi_source" -> ((s, d) => Assets.podsMultiSource(s, d)),
     "svc_multivalued"   -> ((s, d) => Assets.svcMultivalued(s, d)),
     "assets_all"        -> ((s, d) => Assets.assetsAll(s, d)),
+    "asset_upsert"      -> ((s, d) => Assets.assetUpsert(s, d)),
     // General relational operator library (SURVEY.md §7.2 step 4)
     "q1_pricing_summary" -> ((s, d) => Relational.q1PricingSummary(s, d)),
     "q2_filter_project"  -> ((s, d) => Relational.q2FilterProject(s, d)),
@@ -91,6 +92,7 @@ object SparkEntry {
     "pods_multi_source" -> OracleAssets.podsMultiSource,
     "svc_multivalued"   -> OracleAssets.svcMultivalued,
     "assets_all"        -> OracleAssets.assetsAll,
+    "asset_upsert"      -> OracleAssets.assetUpsert,
     "q1_pricing_summary" -> OracleRelational.q1,
     "q2_filter_project"  -> OracleRelational.q2,
     "q3_join_agg"        -> OracleRelational.q3,

@@ -162,21 +162,24 @@ object Assets {
     * only the first 1000 hits (a completeness bug, SURVEY.md O3) — the
     * full scan here fixes that by construction.
     */
-  def collapsedServiceSignals(spark: SparkSession, dir: String): DataFrame =
+  def collapsedServiceSignalsFrom(sig: DataFrame, interval: String): DataFrame =
     collapseLatest(
-      Tables.trailing(Tables.signals(spark, dir), "ts", "21 DAY")
+      Tables.trailing(sig, "ts", interval)
         .where(col("service_name").isNotNull),
       "service_name")
 
-  /** Service assets from the collapse pipeline — reference
+  def collapsedServiceSignals(spark: SparkSession, dir: String): DataFrame =
+    collapsedServiceSignalsFrom(Tables.signals(spark, dir), "21 DAY")
+
+  /** Service-asset projection over collapsed signal rows — reference
     * lib/collectServices.ts:86-123: one asset per collapsed service row;
     * conditional enrichment columns stay null when absent (P7);
-    * `asset.parents` = [container EAN] when the service ran in a
+    * `asset.parents` = container EAN when the service ran in a
     * container (J2 forward edge).
     */
-  def servicesCollapse(spark: SparkSession, dir: String): DataFrame =
-    collapsedServiceSignals(spark, dir).select(
-      batchTs.as("asset_ts"),
+  def serviceAssetProjection(collapsed: DataFrame, ts: Column): DataFrame =
+    collapsed.select(
+      ts.as("asset_ts"),
       ean("service", col("service_name")).as("asset_ean"),
       lit("service").as("asset_type"),
       col("service_name").as("asset_id"),
@@ -187,6 +190,9 @@ object Assets {
       when(col("container_id").isNotNull, ean("container", col("container_id")))
         .as("asset_parents")
     )
+
+  def servicesCollapse(spark: SparkSession, dir: String): DataFrame =
+    serviceAssetProjection(collapsedServiceSignals(spark, dir), batchTs)
 
   /** Container assets with bidirectional graph edges — reference
     * lib/collectServices.ts:125-168: find-or-create per container,
@@ -332,4 +338,43 @@ object Assets {
     */
   def servicesLatest(spark: SparkSession, dir: String): DataFrame =
     serviceSummaries(spark, dir)
+
+  // ---------------------------------------------------------------------
+  // Incremental upsert (SURVEY.md §2.8 / S4)
+  // ---------------------------------------------------------------------
+
+  /** Second batch timestamp for the upsert fixture (a later run). */
+  val BatchTs2 = "2024-02-02 00:00:00"
+
+  /** EAN-keyed merge-upsert — the reference's intended idempotency
+    * contract: re-runs over overlapping windows upsert into the assets
+    * index keyed by `asset.ean` (SURVEY.md §2.8; sink es_client.ts:29-31).
+    * Newest `asset_ts` wins; on equal timestamps the BATCH side wins
+    * (standard upsert precedence), giving a deterministic total order.
+    * One shuffle on asset_ean; state never rewrites more than the keys
+    * present, so at scale this is a per-key window over state ∪ batch.
+    */
+  def upsertAssets(state: DataFrame, batch: DataFrame): DataFrame = {
+    val s = AssetSchema.conform(state).withColumn("__src", lit(0))
+    val b = AssetSchema.conform(batch).withColumn("__src", lit(1))
+    val w = Window.partitionBy(col("asset_ean"))
+      .orderBy(col("asset_ts").desc, col("__src").desc)
+    s.unionAll(b)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn", "__src")
+  }
+
+  /** Upsert exercised as a registered operator: yesterday's full
+    * service state (21-day window, batch ts T1) merged with a fresh
+    * 7-day collection stamped T2 — recently-seen services take the new
+    * row, stale ones keep the old.
+    */
+  def assetUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val state = servicesCollapse(spark, dir)
+    val batch = serviceAssetProjection(
+      collapsedServiceSignalsFrom(Tables.signals(spark, dir), "7 DAY"),
+      lit(BatchTs2).cast("timestamp"))
+    upsertAssets(state, batch)
+  }
 }

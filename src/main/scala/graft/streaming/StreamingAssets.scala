@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.operators.Assets
+import graft.sources.{AssetSchema, Tables}
+
+/** Structured Streaming form of the reference's implicitly-incremental
+  * contract (SURVEY.md §2.8): each run processes a trailing window of
+  * signals, dedups to latest state per entity, and upserts into the
+  * assets store keyed by EAN — re-runs over overlapping windows are
+  * idempotent. The reference achieves this by cron-ing the batch job;
+  * here it is `readStream` → watermark + `dropDuplicatesWithinWatermark`
+  * (overlap dedup) → `foreachBatch` merge-upsert (the bulk-sink analog,
+  * es_client.ts:29-31).
+  *
+  * Scale notes: the file source lists new files incrementally (no
+  * re-scan of consumed data); watermark bounds the dedup state store;
+  * the upsert itself is the batch [[Assets.upsertAssets]] — one shuffle
+  * on asset_ean per micro-batch. Cross-batch graph-edge accumulation
+  * (children lists growing forever) is deliberately NOT kept in
+  * streaming state — it would be unbounded (SURVEY.md §7.4 risk 6);
+  * the merge happens against the persisted asset store instead.
+  */
+object StreamingAssets {
+
+  /** Raw events schema for the file stream source (ts as raw parquet
+    * NANOS long — session must set spark.sql.legacy.parquet.nanosAsLong;
+    * see Verify/Bench bootstrap).
+    */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming signal view over an events parquet DIRECTORY (the file
+    * stream source requires a directory/glob, not a bare file).
+    */
+  def signalStream(spark: SparkSession, path: String): DataFrame =
+    Tables.signalsFrom(Tables.eventsFrom(
+      spark.readStream.schema(eventsSchema).parquet(path)))
+
+  /** Overlap dedup: watermarked exact-once per event_id within the
+    * watermark horizon — re-delivered signal docs (overlapping trailing
+    * windows) collapse before asset derivation.
+    */
+  def dedupedSignals(sig: DataFrame, watermark: String = "15 minutes"): DataFrame =
+    sig.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+
+  /** Atomically replace the asset state dir with the merged result:
+    * write to a tmp path, then swap. The read of the old state and the
+    * write of the new never overlap on the same files.
+    */
+  private def mergeIntoState(spark: SparkSession, assets: DataFrame, statePath: String): Unit = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val state = new Path(statePath)
+    val tmp = new Path(statePath + "__tmp")
+    val existing =
+      if (fs.exists(state)) spark.read.parquet(statePath)
+      else AssetSchema.conform(assets).limit(0)
+    Assets.upsertAssets(existing, assets)
+      .write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(state)) fs.delete(state, true)
+    fs.rename(tmp, state)
+  }
+
+  /** The flagship collection as an incremental stream: per micro-batch,
+    * derive service assets from the (deduped) batch slice and
+    * merge-upsert them into the asset store. `Trigger.AvailableNow`
+    * drains everything currently present then stops — the cron-run
+    * analog; pass a processing-time trigger for a long-lived stream.
+    */
+  def startServiceAssetStream(
+      spark: SparkSession,
+      eventsPath: String,
+      statePath: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    dedupedSignals(signalStream(spark, eventsPath))
+      .writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val assets = Assets.serviceAssetProjection(
+          Assets.collapsedServiceSignalsFrom(batch, "21 DAY"),
+          Assets.batchTs)
+        mergeIntoState(spark, assets, statePath)
+      }
+      .start()
+}

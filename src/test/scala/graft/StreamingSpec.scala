@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Assets
+import graft.streaming.StreamingAssets
+
+/** Streaming smoke tests (SURVEY.md §2.8): one AvailableNow drain of
+  * the fixture must produce the same asset state as the batch pipeline,
+  * and the watermarked dedup must make re-delivered events idempotent.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("one micro-batch drain equals the batch servicesCollapse result") {
+    // file stream source requires a directory; stage one copy of events
+    val srcDir = tmp("graft-stream-src")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .write.mode("append").parquet(s"$srcDir/events")
+    val statePath = tmp("graft-stream-state") + "/assets"
+    val q = StreamingAssets.startServiceAssetStream(
+      spark, s"$srcDir/events", statePath, tmp("graft-stream-ckpt"))
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(statePath).collect().toSet
+    val batch = graft.sources.AssetSchema
+      .conform(Assets.servicesCollapse(spark, sfDir)).collect().toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("re-delivered events dedup within the watermark: duplicated source, same state") {
+    // a source dir holding TWO copies of the events file = full overlap
+    val srcDir = tmp("graft-stream-dup")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.write.mode("append").parquet(s"$srcDir/events")
+    raw.write.mode("append").parquet(s"$srcDir/events")
+    val statePath = tmp("graft-stream-state2") + "/assets"
+    val q = StreamingAssets.startServiceAssetStream(
+      spark, s"$srcDir/events", statePath, tmp("graft-stream-ckpt2"))
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(statePath).collect().toSet
+    val batch = graft.sources.AssetSchema
+      .conform(Assets.servicesCollapse(spark, sfDir)).collect().toSet
+    assert(streamed === batch)
+  }
+
+  test("upsertAssets: newest ts wins, batch wins ties, keys are distinct") {
+    val s = spark; import s.implicits._
+    def assets(rows: Seq[(String, String)]): org.apache.spark.sql.DataFrame =
+      rows.map { case (ean, ts) =>
+        (java.sql.Timestamp.valueOf(ts), ean, "service", ean.split(":")(1))
+      }.toDF("asset_ts", "asset_ean", "asset_type", "asset_id")
+    val state = assets(Seq(
+      ("service:a", "2024-02-01 00:00:00"),
+      ("service:b", "2024-02-02 00:00:00"), // newer than the batch row
+      ("service:c", "2024-02-01 00:00:00")))
+    val batch = assets(Seq(
+      ("service:a", "2024-02-03 00:00:00"), // newer → replaces
+      ("service:b", "2024-02-01 00:00:00"), // older → state kept
+      ("service:c", "2024-02-01 00:00:00"), // tie → batch wins
+      ("service:d", "2024-02-01 00:00:00"))) // new key → inserted
+    val out = Assets.upsertAssets(state, batch)
+      .select("asset_ean", "asset_ts").collect()
+      .map(r => r.getString(0) -> r.getTimestamp(1).toString).toMap
+    assert(out === Map(
+      "service:a" -> "2024-02-03 00:00:00.0",
+      "service:b" -> "2024-02-02 00:00:00.0",
+      "service:c" -> "2024-02-01 00:00:00.0",
+      "service:d" -> "2024-02-01 00:00:00.0"))
+  }
+
+  test("assetUpsert: recent services carry T2, stale ones keep T1") {
+    val out = Assets.assetUpsert(spark, sfDir)
+    assert(out.count() ===
+      out.select("asset_ean").distinct().count())
+    val tsVals = out.select(col("asset_ts").cast("string"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(tsVals.subsetOf(Set("2024-02-01 00:00:00", "2024-02-02 00:00:00")))
+    assert(tsVals.contains("2024-02-02 00:00:00")) // at least one updated
+  }
+}
