@@ -14,18 +14,25 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // Full-width sink: hash every output column and fold, so Catalyst
-      // cannot prune unreferenced columns the way a bare .count() lets it
-      // (projection queries would otherwise measure scan-only).
-      try {
-        val df = fn(spark, sfDir)
-        df.select(xxhash64(df.columns.map(col): _*).as("h"))
-          .agg(sum("h")).head()
-      } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+    // Full-width sink: hash every output column and fold, so Catalyst
+    // cannot prune unreferenced columns the way a bare .count() lets it
+    // (projection queries would otherwise measure scan-only).
+    def drive(name: String): Unit = {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.select(xxhash64(df.columns.map(col): _*).as("h"))
+        .agg(sum("h")).head()
     }
+    // Untimed warmup over each table family (TPC-H star, events/signals,
+    // documents, embeddings): JVM/codegen/parquet-footer startup lands
+    // here instead of on whichever query happens to run first (round 1:
+    // svc_summaries 17s cold vs 1.8s for the same shape warm).
+    for (w <- Seq("q1_pricing_summary", "svc_collapse", "txt_tokens", "emb_centroids"))
+      try drive(w) catch { case _: Throwable => () }
+    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      val t0 = System.nanoTime()
+      try drive(name) catch { case _: Throwable => () }
+      name -> (System.nanoTime() - t0) / 1e9
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

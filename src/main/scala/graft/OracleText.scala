@@ -22,23 +22,43 @@ object OracleText {
       |  FROM documents
       |)""".stripMargin
 
-  /** Mirror of TextOps.withShingles + minhashSignatures. */
-  val sigCte: String =
+  /** First 15 hex chars of the digest rotated left by `r`, parsed to a
+    * 60-bit BIGINT by positional fold (mirror of TextOps.rotLong;
+    * DuckDB has no base-16 conv, so the fold is explicit).
+    */
+  private def rotLong(h: String, r: Int): String = {
+    val prefix15 =
+      if (r <= 17) s"substring($h, ${r + 1}, 15)"
+      else s"(substring($h, ${r + 1}, ${32 - r}) || substring($h, 1, ${r - 17}))"
+    s"""list_reduce(list_transform(range(1, 16),
+       |      i -> CAST(strpos('0123456789abcdef',
+       |             substring($prefix15, CAST(i AS INT), 1)) - 1 AS BIGINT)),
+       |      (a, d) -> a * 16 + d)""".stripMargin
+  }
+
+  /** Mirror of TextOps.withShingles + minhashSignatures: one md5 per
+    * shingle, NumHashes min-of-rotation aggregates.
+    */
+  val sigCte: String = {
+    val mins = (0 until nh)
+      .map(s => s"min(${rotLong("h", s * 3)})").mkString("[", ", ", "]")
     s"""sh AS (
-       |  SELECT doc_id,
+       |  SELECT doc_id, words,
        |    CASE WHEN len(words) >= 3
        |         THEN list_transform(range(len(words) - 2),
        |                i -> array_to_string(list_slice(words, i + 1, i + 3), ' '))
        |         ELSE CAST([] AS VARCHAR[]) END AS shingles
        |  FROM docs
        |),
+       |hashed AS (
+       |  SELECT doc_id, md5(unnest(shingles)) AS h
+       |  FROM sh WHERE len(words) >= 3
+       |),
        |sigs AS (
-       |  SELECT doc_id,
-       |    list_transform(range($nh),
-       |      s -> list_min(list_transform(shingles,
-       |             sg -> md5(CAST(s AS VARCHAR) || ':' || sg)))) AS sig
-       |  FROM sh WHERE len(shingles) > 0
+       |  SELECT doc_id, $mins AS sig
+       |  FROM hashed GROUP BY doc_id
        |)""".stripMargin
+  }
 
   val tokens: String =
     s"""WITH $wordsCte
@@ -96,7 +116,9 @@ object OracleText {
 
   val minhash: String =
     s"""WITH $wordsCte, $sigCte
-       |SELECT doc_id, array_to_string(sig, '|') AS sig FROM sigs""".stripMargin
+       |SELECT doc_id,
+       |  array_to_string(list_transform(sig, x -> CAST(x AS VARCHAR)), '|') AS sig
+       |FROM sigs""".stripMargin
 
   /** Banded LSH candidate pairs — band the signature, bucket-join,
     * estimate Jaccard from signature agreement (mirror of
@@ -106,7 +128,8 @@ object OracleText {
     s"""WITH $wordsCte, $sigCte,
        |bands AS (
        |  SELECT doc_id, sig, b.b AS band_idx,
-       |    array_to_string(list_slice(sig, b.b * $bs + 1, b.b * $bs + $bs), '') AS band_key
+       |    array_to_string(list_transform(list_slice(sig, b.b * $bs + 1, b.b * $bs + $bs),
+       |                                   x -> CAST(x AS VARCHAR)), '_') AS band_key
        |  FROM sigs CROSS JOIN (SELECT unnest(range($nBands)) AS b) b
        |)
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -120,7 +143,8 @@ object OracleText {
     s"""WITH $wordsCte, $sigCte,
        |bands AS (
        |  SELECT doc_id, sig, b.b AS band_idx,
-       |    array_to_string(list_slice(sig, b.b * $bs + 1, b.b * $bs + $bs), '') AS band_key
+       |    array_to_string(list_transform(list_slice(sig, b.b * $bs + 1, b.b * $bs + $bs),
+       |                                   x -> CAST(x AS VARCHAR)), '_') AS band_key
        |  FROM sigs CROSS JOIN (SELECT unnest(range($nBands)) AS b) b
        |),
        |pairs AS (
@@ -139,21 +163,29 @@ object OracleText {
        |JOIN shsets sa ON sa.doc_id = p.doc_a
        |JOIN shsets sb ON sb.doc_id = p.doc_b""".stripMargin
 
-  /** Mirror of TextOps.simhash — md5 hoisted per word, 32-bit sign
-    * fingerprint from per-hex-digit parity.
+  /** Mirror of TextOps.simhash — one md5 per exploded word, 32 integer
+    * sum aggregates, sign bits concatenated.
     */
-  val simhashCte: String =
-    """hashed AS (
-      |  SELECT doc_id, list_transform(words, w -> md5(w)) AS wh FROM docs
-      |),
-      |simhashed AS (
-      |  SELECT doc_id, array_to_string(list_transform(range(32), j ->
-      |    CASE WHEN list_sum(list_transform(wh, h ->
-      |      2 * ((strpos('0123456789abcdef',
-      |             substring(h, CAST(j + 1 AS INT), 1)) - 1) % 2) - 1)) > 0
-      |    THEN '1' ELSE '0' END), '') AS simhash
-      |  FROM hashed
-      |)""".stripMargin
+  val simhashCte: String = {
+    val sums = (0 until 32).map { j =>
+      s"""sum(2 * ((strpos('0123456789abcdef',
+         |        substring(h, ${j + 1}, 1)) - 1) % 2) - 1) AS b$j""".stripMargin
+    }.mkString(",\n")
+    val bits = (0 until 32)
+      .map(j => s"CASE WHEN b$j > 0 THEN '1' ELSE '0' END")
+      .mkString(" || ")
+    s"""wordhash AS (
+       |  SELECT doc_id, md5(unnest(words)) AS h FROM docs
+       |),
+       |bitsums AS (
+       |  SELECT doc_id,
+       |$sums
+       |  FROM wordhash GROUP BY doc_id
+       |),
+       |simhashed AS (
+       |  SELECT doc_id, $bits AS simhash FROM bitsums
+       |)""".stripMargin
+  }
 
   val simhash: String =
     s"""WITH $wordsCte, $simhashCte

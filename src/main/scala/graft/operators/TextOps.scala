@@ -103,20 +103,49 @@ object TextOps {
   private def withShingles(spark: SparkSession, dir: String): DataFrame =
     withWords(spark, dir).withColumn("shingles", shingles)
 
-  /** MinHash signatures: NUM_HASHES independent permutations simulated
-    * by seed-prefixed md5; signature element s = min hash under seed s.
-    * md5-as-string min is identical in both engines (ASCII hex compare).
+  /** MinHash signatures: NUM_HASHES permutation-like orderings derived
+    * from ONE md5 per shingle — ordering s compares digests rotated by
+    * 3·s hex chars, so signature element s = min over shingles of the
+    * rotated digest. One digest per shingle (not NumHashes per shingle:
+    * common-subexpression elimination does not cross lambda boundaries,
+    * so a per-seed `md5(seed || sg)` family recomputes the digest
+    * NumHashes times — measured 9× slower). min-of-string is identical
+    * in both engines (binary compare of ASCII hex).
+    *
+    * Shape at scale: explode → per-shingle projection (md5 once) →
+    * hash aggregate with map-side partial min, so the shuffle carries
+    * only (doc_id, 9 strings) per doc — never the shingle set. The
+    * aggregate's exchange also gives downstream self-joins a reuse
+    * point (ReuseExchange), so the signature is computed once per
+    * query, not once per join side.
     */
   val NumHashes = 9
   val BandSize = 3 // 3 bands of 3 → LSH threshold ≈ (1/3)^(1/3) ≈ 0.69
 
+  /** First 15 hex chars of the digest rotated left by `r` chars, as a
+    * 60-bit BIGINT. The long representation matters: min(string) has a
+    * variable-length aggregation buffer, forcing SortAggregate (sorts
+    * every shingle row); min(long) runs in codegen'd HashAggregate with
+    * map-side partial min. Family shared with the DuckDB oracle
+    * (OracleText.rotLong).
+    */
+  private def rotLong(h: String, r: Int): Column = {
+    val prefix15 =
+      if (r <= 17) s"substring($h, ${r + 1}, 15)"
+      else s"concat(substring($h, ${r + 1}, ${32 - r}), substring($h, 1, ${r - 17}))"
+    expr(s"CAST(conv($prefix15, 16, 10) AS BIGINT)")
+  }
+
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
     withShingles(spark, dir)
-      .where(size(col("shingles")) > 0)
-      .select(col("doc_id"),
-        expr(s"""transform(sequence(0, ${NumHashes - 1}),
-                 s -> array_min(transform(shingles, sg -> md5(concat(CAST(s AS STRING), ':', sg)))))""")
-          .as("sig"))
+      // no explicit <3-words filter: exploding the empty shingle array
+      // drops short docs for free, and a pushed-down size(split(...))
+      // predicate would re-derive the split inside the scan
+      .select(col("doc_id"), explode(col("shingles")).as("sg"))
+      .select(col("doc_id"), md5(col("sg")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(array((0 until NumHashes).map(s => min(rotLong("h", s * 3))): _*)
+        .as("sig"))
 
   /** MinHash exposed as a query: doc_id + signature, serialized to a
     * '|'-joined scalar (array-typed outputs crash the driver's compare;
@@ -124,7 +153,8 @@ object TextOps {
     */
   def minhash(spark: SparkSession, dir: String): DataFrame =
     minhashSignatures(spark, dir)
-      .select(col("doc_id"), concat_ws("|", col("sig")).as("sig"))
+      .select(col("doc_id"),
+        expr("concat_ws('|', transform(sig, x -> CAST(x AS STRING)))").as("sig"))
 
   /** MinHash + LSH near-duplicate candidate pairs: band the signature,
     * bucket-join on (band index, band key), estimate Jaccard from
@@ -139,7 +169,8 @@ object TextOps {
       col("doc_id"), col("sig"),
       posexplode(expr(
         s"""transform(sequence(0, ${nBands - 1}),
-            b -> concat_ws('', slice(sig, b * $BandSize + 1, $BandSize)))"""))
+            b -> concat_ws('_', transform(slice(sig, b * $BandSize + 1, $BandSize),
+                                          x -> CAST(x AS STRING))))"""))
         .as(Seq("band_idx", "band_key")))
     val a = bands.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
       col("band_idx"), col("band_key"))
@@ -162,6 +193,9 @@ object TextOps {
     val pairs = dedupMinhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
     val sh = withShingles(spark, dir)
       .select(col("doc_id"), array_distinct(col("shingles")).as("sh"))
+      // same barrier rationale as minhashSignatures: materialize the
+      // shingle sets once; both enrichment joins reuse the exchange
+      .repartition(col("doc_id"))
     pairs
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
@@ -177,20 +211,27 @@ object TextOps {
     * hex digit). Near-duplicates share most bits; grouping by simhash
     * clusters exact-ish duplicates without any join.
     */
-  def simhash(spark: SparkSession, dir: String): DataFrame =
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    // Explode + one digest per word + 32 integer sum aggregates: a
+    // withColumn'd md5 array would be collapsed back INTO the 32 bit
+    // lambdas by CollapseProject (32 digests per word); here the digest
+    // is a plain per-row projection below a codegen'd HashAggregate
+    // with map-side partial sums — the shuffle carries 32 longs per
+    // doc. Sign of each integer sum is order-independent, so the
+    // result is partition-count invariant.
+    val bitSums = (0 until 32).map { j =>
+      sum(expr(s"""2 * ((instr('0123456789abcdef',
+                   substring(h, ${j + 1}, 1)) - 1) % 2) - 1""")).as(s"b$j")
+    }
     withWords(spark, dir)
-      // Hoist md5 out of the 32-iteration bit loop: common-subexpression
-      // elimination does not cross higher-order lambdas, so inlining
-      // md5(w) would cost 32 digests per word per row.
-      .withColumn("wh", expr("transform(words, w -> md5(w))"))
-      .select(
-        col("doc_id"),
-        expr("""concat_ws('', transform(sequence(0, 31), j ->
-                 CASE WHEN aggregate(wh, 0,
-                   (acc, h) -> acc + 2 * ((instr('0123456789abcdef',
-                      substring(h, j + 1, 1)) - 1) % 2) - 1) > 0
-                 THEN '1' ELSE '0' END))""").as("simhash")
-      )
+      .select(col("doc_id"), explode(col("words")).as("w"))
+      .select(col("doc_id"), md5(col("w")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        concat((0 until 32).map(j =>
+          when(col(s"b$j") > 0, lit("1")).otherwise(lit("0"))): _*).as("simhash"))
+  }
 
   /** SimHash duplicate clusters: identical fingerprints bucketed. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
