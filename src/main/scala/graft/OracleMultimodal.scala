@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.MultimodalOps
+
+/** DuckDB oracle SQL for [[graft.operators.MultimodalOps]]. The fixture
+  * payload is the documents text encoded as UTF-8 — pure ASCII — so
+  * byte-level Spark BINARY ops are mirrored here in VARCHAR space with
+  * identical results (substring offsets, lengths, and md5 digests all
+  * agree byte-for-byte; DuckDB 1.0 lacks BLOB substring/md5).
+  */
+object OracleMultimodal {
+
+  private val fb = MultimodalOps.FrameBytes
+
+  val mediaCte: String =
+    s"""media AS (
+       |  SELECT doc_id AS media_id,
+       |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+       |         WHEN doc_id % 3 = 1 THEN 'audio'
+       |         ELSE 'video' END AS media_type,
+       |    text AS payload,
+       |    CAST(16 + doc_id % 64 AS INT) AS width,
+       |    CAST(16 + doc_id % 48 AS INT) AS height,
+       |    CAST(ceil(length(text) / $fb.0) AS INT) AS n_frames
+       |  FROM documents
+       |)""".stripMargin
+
+  val metadata: String =
+    s"""WITH $mediaCte
+       |SELECT media_id, media_type,
+       |  CAST(length(payload) AS BIGINT) AS n_bytes,
+       |  width, height, CAST(n_frames AS BIGINT) AS n_frames
+       |FROM media""".stripMargin
+
+  val frames: String =
+    s"""WITH $mediaCte,
+       |sampled AS (
+       |  SELECT media_id, payload,
+       |    unnest(list_filter(range(n_frames), i -> i % 2 = 0)) AS frame_idx
+       |  FROM media
+       |)
+       |SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       |  md5(substring(payload, CAST(frame_idx * $fb + 1 AS INT), $fb)) AS frame_md5
+       |FROM sampled""".stripMargin
+
+  val features: String =
+    s"""WITH $mediaCte,
+       |exploded AS (
+       |  SELECT media_id, payload, unnest(range(n_frames)) AS frame_idx
+       |  FROM media
+       |),
+       |feat AS (
+       |  SELECT media_id,
+       |    list_reduce(list_transform(range(1, 9),
+       |      i -> CAST(strpos('0123456789abcdef', substring(
+       |             md5(substring(payload, CAST(frame_idx * $fb + 1 AS INT), $fb)),
+       |             CAST(i AS INT), 1)) - 1 AS BIGINT)),
+       |      (a, d) -> a * 16 + d) % 256 AS f
+       |  FROM exploded
+       |)
+       |SELECT media_id, count(*) AS n_frames_scanned,
+       |  CAST(sum(f) AS DOUBLE) / count(*) AS mean_feature
+       |FROM feat GROUP BY media_id""".stripMargin
+
+  val resize: String =
+    s"""WITH $mediaCte
+       |SELECT media_id,
+       |  CAST(floor(width / 2) AS INT) AS width,
+       |  CAST(floor(height / 2) AS INT) AS height,
+       |  CAST(length(substring(payload, 1, CAST(floor(length(payload) / 2) AS INT)))
+       |    AS BIGINT) AS n_bytes,
+       |  md5(substring(payload, 1, CAST(floor(length(payload) / 2) AS INT))) AS checksum
+       |FROM media""".stripMargin
+}

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Assets, Relational, TextOps, VectorOps}
+import graft.operators.{Assets, MultimodalOps, Relational, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -77,6 +77,13 @@ object SparkEntry {
     "emb_knn_lsh"    -> ((s, d) => VectorOps.knnLsh(s, d)),
     "emb_centroids"  -> ((s, d) => VectorOps.centroids(s, d)),
     "emb_ivf_assign" -> ((s, d) => VectorOps.ivfAssign(s, d)),
+    // LLM-data-pipeline: multimodal binary columns (decode is a stub;
+    // media_decode is rows-only — the codec boundary is not SQL)
+    "media_metadata" -> ((s, d) => MultimodalOps.mediaMetadata(s, d)),
+    "media_frames"   -> ((s, d) => MultimodalOps.mediaFrames(s, d)),
+    "media_features" -> ((s, d) => MultimodalOps.mediaFeatures(s, d)),
+    "media_resize"   -> ((s, d) => MultimodalOps.mediaResize(s, d)),
+    "media_decode"   -> ((s, d) => MultimodalOps.mediaDecode(s, d).toDF()),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -134,5 +141,10 @@ object SparkEntry {
     "emb_knn_lsh"    -> OracleVectors.knnLsh,
     "emb_centroids"  -> OracleVectors.centroids,
     "emb_ivf_assign" -> OracleVectors.ivfAssign,
+    "media_metadata" -> OracleMultimodal.metadata,
+    "media_frames"   -> OracleMultimodal.frames,
+    "media_features" -> OracleMultimodal.features,
+    "media_resize"   -> OracleMultimodal.resize,
+    // media_decode: codec boundary (mapPartitions stub) — rows-only.
   )
 }

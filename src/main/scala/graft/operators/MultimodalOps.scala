@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Multimodal columns: image/audio/video as opaque BINARY payloads with
+  * typed metadata, plus the operator set a training-data pipeline runs
+  * over them — metadata extraction, frame sampling, feature extraction,
+  * resize, and a decode boundary.
+  *
+  * The container ships no image/audio codecs, so DECODING IS STUBBED:
+  * [[FakeDecoder]] is a deterministic stand-in behind the
+  * [[MediaDecoder]] interface; swapping in a real codec changes no
+  * Spark plumbing. Everything around the stub is real: BinaryType
+  * columns, metadata structs, byte-slice frame math in codegen'd
+  * expressions, and a typed `mapPartitions` decode whose
+  * iterator-per-partition shape is the JVM analog of an Arrow-batch
+  * decode UDF (partition = batch).
+  *
+  * Scale: every operator is scan → project/explode → (optional)
+  * partial-agg; payload bytes never shuffle except the per-frame
+  * digests (16-byte frames → 16-byte md5), and the decode runs
+  * data-local per partition.
+  *
+  * The fixture synthesizes payloads from `documents.text` bytes —
+  * ASCII, so the DuckDB oracle mirrors byte ops in VARCHAR space with
+  * identical semantics (OracleMultimodal).
+  */
+object MultimodalOps {
+
+  /** Bytes per synthetic "frame" of a payload. */
+  val FrameBytes = 16
+
+  /** Opaque-media view: payload + typed metadata, media kind round-
+    * robined across image/audio/video.
+    */
+  def media(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id").as("media_id"),
+      when(col("doc_id") % 3 === 0, lit("image"))
+        .when(col("doc_id") % 3 === 1, lit("audio"))
+        .otherwise(lit("video")).as("media_type"),
+      col("text").cast("binary").as("payload"),
+      struct(
+        (lit(16) + col("doc_id") % 64).cast("int").as("width"),
+        (lit(16) + col("doc_id") % 48).cast("int").as("height"),
+        expr(s"CAST(ceil(length(text) / $FrameBytes.0) AS INT)").as("n_frames")
+      ).as("meta"))
+
+  /** Metadata + payload-size extraction (pure projection). */
+  def mediaMetadata(spark: SparkSession, dir: String): DataFrame =
+    media(spark, dir).select(
+      col("media_id"),
+      col("media_type"),
+      length(col("payload")).cast("long").as("n_bytes"),
+      col("meta.width").as("width"),
+      col("meta.height").as("height"),
+      col("meta.n_frames").cast("long").as("n_frames"))
+
+  /** Frame sampling: every 2nd frame, identified by its digest — the
+    * video-keyframe access pattern (payload sliced by byte math, no
+    * decode needed).
+    */
+  def mediaFrames(spark: SparkSession, dir: String): DataFrame =
+    media(spark, dir)
+      .select(col("media_id"), col("payload"),
+        explode(expr("filter(sequence(0, meta.n_frames - 1), i -> i % 2 = 0)"))
+          .as("frame_idx"))
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        md5(expr(s"substring(payload, frame_idx * $FrameBytes + 1, $FrameBytes)"))
+          .as("frame_md5"))
+
+  /** Per-media feature extraction over all frames — the feature values
+    * are digest-derived stand-ins for codec output (see FakeDecoder
+    * note); the explode → partial-agg shape is the real pipeline.
+    */
+  def mediaFeatures(spark: SparkSession, dir: String): DataFrame =
+    media(spark, dir)
+      .select(col("media_id"), col("payload"),
+        explode(expr("sequence(0, meta.n_frames - 1)")).as("frame_idx"))
+      .select(col("media_id"),
+        expr(s"""CAST(conv(substring(md5(substring(payload, frame_idx * $FrameBytes + 1,
+                 $FrameBytes)), 1, 8), 16, 10) AS BIGINT) % 256""").as("f"))
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_frames_scanned"),
+        (sum(col("f")).cast("double") / count(lit(1))).as("mean_feature"))
+
+  /** "Resize": keep the first half of the payload, halve the spatial
+    * metadata — a byte-level truncation standing in for a real
+    * downscale, with the checksum proving which bytes survived.
+    */
+  def mediaResize(spark: SparkSession, dir: String): DataFrame =
+    media(spark, dir).select(
+      col("media_id"),
+      // floor on both engines: a bare int cast truncates in Spark but
+      // rounds in DuckDB for the odd-width half values
+      expr("CAST(floor(meta.width / 2) AS INT)").as("width"),
+      expr("CAST(floor(meta.height / 2) AS INT)").as("height"),
+      length(expr("substring(payload, 1, CAST(floor(length(payload) / 2) AS INT))"))
+        .cast("long").as("n_bytes"),
+      md5(expr("substring(payload, 1, CAST(floor(length(payload) / 2) AS INT))"))
+        .as("checksum"))
+
+  // -------------------------------------------------------------------
+  // Decode boundary (stubbed codec, real plumbing)
+  // -------------------------------------------------------------------
+
+  final case class MediaRow(
+      media_id: Long, media_type: String, payload: Array[Byte],
+      width: Int, height: Int)
+
+  final case class DecodedMedia(
+      media_id: Long, dec_width: Int, dec_height: Int, brightness: Long)
+
+  /** The codec interface a real deployment implements (libjpeg/ffmpeg
+    * bindings, etc.). Deliberately bytes-in, struct-out so the Spark
+    * side is codec-agnostic.
+    */
+  trait MediaDecoder extends Serializable {
+    def decode(row: MediaRow): DecodedMedia
+  }
+
+  /** STUB: deterministic fake decode — "brightness" is the byte sum
+    * mod 256. Stands in for the real codec the container lacks.
+    */
+  object FakeDecoder extends MediaDecoder {
+    def decode(row: MediaRow): DecodedMedia =
+      DecodedMedia(
+        row.media_id, row.width, row.height,
+        row.payload.foldLeft(0L)((a, b) => a + (b & 0xff)) % 256)
+  }
+
+  /** Typed partition-wise decode: one decoder instance per partition,
+    * rows streamed through it — the iterator IS the batch (the JVM
+    * shape of an Arrow-batch decode UDF). Registered rows-only (no SQL
+    * oracle: the decode boundary is exactly what SQL can't express).
+    */
+  def mediaDecode(spark: SparkSession, dir: String,
+      decoder: MediaDecoder = FakeDecoder): Dataset[DecodedMedia] = {
+    import spark.implicits._
+    media(spark, dir)
+      .select(col("media_id"), col("media_type"), col("payload"),
+        col("meta.width").as("width"), col("meta.height").as("height"))
+      .as[MediaRow]
+      .mapPartitions(rows => rows.map(decoder.decode))
+  }
+}

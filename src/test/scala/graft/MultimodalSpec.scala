@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.MultimodalOps
+
+/** Multimodal binary-column operators on the sf0.001 fixture plus a
+  * controlled payload.
+  */
+class MultimodalSpec extends SparkSpec {
+
+  test("media view: binary payload with consistent typed metadata") {
+    val m = MultimodalOps.mediaMetadata(spark, sfDir)
+    assert(m.count() > 0)
+    // n_frames = ceil(n_bytes / FrameBytes) for every row
+    val bad = m.where(col("n_frames") =!=
+      ceil(col("n_bytes") / MultimodalOps.FrameBytes).cast("long"))
+    assert(bad.count() === 0)
+    val types = m.select("media_type").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(types === Set("image", "audio", "video"))
+  }
+
+  test("frame sampling takes every 2nd frame with stable digests") {
+    val f = MultimodalOps.mediaFrames(spark, sfDir)
+    assert(f.where(col("frame_idx") % 2 =!= 0).count() === 0)
+    val meta = MultimodalOps.mediaMetadata(spark, sfDir)
+      .select(col("media_id"), col("n_frames"))
+    val counts = f.groupBy("media_id").count().join(meta, Seq("media_id"))
+    // sampled count = ceil(n_frames / 2)
+    assert(counts.where(col("count") =!=
+      ceil(col("n_frames") / 2).cast("long")).count() === 0)
+  }
+
+  test("decode stub: deterministic brightness equals driver-side recompute") {
+    val decoded = MultimodalOps.mediaDecode(spark, sfDir)
+      .collect().map(d => d.media_id -> d.brightness).toMap
+    val raw = MultimodalOps.media(spark, sfDir)
+      .select(col("media_id"), col("payload")).collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[Array[Byte]](1).foldLeft(0L)((a, b) => a + (b & 0xff)) % 256)
+      .toMap
+    assert(decoded === raw)
+    assert(decoded.nonEmpty)
+  }
+
+  test("resize halves metadata and keeps exactly the leading half payload") {
+    val r = MultimodalOps.mediaResize(spark, sfDir)
+    val m = MultimodalOps.mediaMetadata(spark, sfDir)
+      .select(col("media_id"), col("n_bytes").as("full_bytes"),
+        col("width").as("w0"), col("height").as("h0"))
+    val j = r.join(m, Seq("media_id"))
+    assert(j.where(col("n_bytes") =!= floor(col("full_bytes") / 2).cast("long"))
+      .count() === 0)
+    assert(j.where(col("width") =!= floor(col("w0") / 2).cast("int")).count() === 0)
+  }
+
+  test("features: one row per media, mean within [0, 256)") {
+    val f = MultimodalOps.mediaFeatures(spark, sfDir)
+    assert(f.count() === MultimodalOps.media(spark, sfDir).count())
+    assert(f.where(col("mean_feature") < 0 || col("mean_feature") >= 256)
+      .count() === 0)
+  }
+}
