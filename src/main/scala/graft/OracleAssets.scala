@@ -110,12 +110,12 @@ object OracleAssets {
        |  'container:' || container_id AS asset_ean,
        |  'container' AS asset_type,
        |  container_id AS asset_id,
-       |  array_to_string(list_sort(array_agg(DISTINCT 'service:' || service_name)), '|')
+       |  array_to_string(list_slice(list_sort(array_agg(DISTINCT 'service:' || service_name)), 1, ${operators.Assets.MaxEdges}), '|')
        |    AS asset_children,
        |  -- DuckDB array_to_string(NULL or []) is NULL; Spark concat_ws of an
        |  -- empty set is '' — outer COALESCE aligns the empty-edge-set case.
-       |  COALESCE(array_to_string(list_sort(array_agg(DISTINCT 'k8s.pod:' || kubernetes_pod_uid)
-       |             FILTER (WHERE kubernetes_pod_uid IS NOT NULL)), '|'), '')
+       |  COALESCE(array_to_string(list_slice(list_sort(array_agg(DISTINCT 'k8s.pod:' || kubernetes_pod_uid)
+       |             FILTER (WHERE kubernetes_pod_uid IS NOT NULL)), 1, ${operators.Assets.MaxEdges}), '|'), '')
        |    AS asset_references
        |FROM c WHERE rn = 1 AND container_id IS NOT NULL
        |GROUP BY container_id""".stripMargin
@@ -153,10 +153,10 @@ object OracleAssets {
        |  'k8s.node:' || kubernetes_node_name AS asset_ean,
        |  'k8s.node' AS asset_type,
        |  kubernetes_node_name AS asset_id,
-       |  array_to_string(list_sort(array_agg(DISTINCT 'k8s.pod:' || kubernetes_pod_uid)), '|')
+       |  array_to_string(list_slice(list_sort(array_agg(DISTINCT 'k8s.pod:' || kubernetes_pod_uid)), 1, ${operators.Assets.MaxEdges}), '|')
        |    AS asset_children,
-       |  COALESCE(array_to_string(list_sort(array_agg(DISTINCT 'k8s.cluster:' || orchestrator_cluster_name)
-       |             FILTER (WHERE orchestrator_cluster_name IS NOT NULL)), '|'), '')
+       |  COALESCE(array_to_string(list_slice(list_sort(array_agg(DISTINCT 'k8s.cluster:' || orchestrator_cluster_name)
+       |             FILTER (WHERE orchestrator_cluster_name IS NOT NULL)), 1, ${operators.Assets.MaxEdges}), '|'), '')
        |    AS asset_references
        |FROM c WHERE rn = 1
        |GROUP BY kubernetes_node_name""".stripMargin
@@ -219,9 +219,9 @@ object OracleAssets {
        |    container_id,
        |    CAST(NULL AS VARCHAR),
        |    CAST(NULL AS VARCHAR),
-       |    array_to_string(list_sort(array_agg(DISTINCT 'service:' || service_name)), '|'),
-       |    COALESCE(array_to_string(list_sort(array_agg(DISTINCT 'k8s.pod:' || kubernetes_pod_uid)
-       |               FILTER (WHERE kubernetes_pod_uid IS NOT NULL)), '|'), ''),
+       |    array_to_string(list_slice(list_sort(array_agg(DISTINCT 'service:' || service_name)), 1, ${operators.Assets.MaxEdges}), '|'),
+       |    COALESCE(array_to_string(list_slice(list_sort(array_agg(DISTINCT 'k8s.pod:' || kubernetes_pod_uid)
+       |               FILTER (WHERE kubernetes_pod_uid IS NOT NULL)), 1, ${operators.Assets.MaxEdges}), '|'), ''),
        |    CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
        |  FROM sc WHERE rn = 1 AND container_id IS NOT NULL
        |  GROUP BY container_id
@@ -244,9 +244,9 @@ object OracleAssets {
        |    kubernetes_node_name,
        |    CAST(NULL AS VARCHAR),
        |    CAST(NULL AS VARCHAR),
-       |    array_to_string(list_sort(array_agg(DISTINCT 'k8s.pod:' || kubernetes_pod_uid)), '|'),
-       |    COALESCE(array_to_string(list_sort(array_agg(DISTINCT 'k8s.cluster:' || orchestrator_cluster_name)
-       |               FILTER (WHERE orchestrator_cluster_name IS NOT NULL)), '|'), ''),
+       |    array_to_string(list_slice(list_sort(array_agg(DISTINCT 'k8s.pod:' || kubernetes_pod_uid)), 1, ${operators.Assets.MaxEdges}), '|'),
+       |    COALESCE(array_to_string(list_slice(list_sort(array_agg(DISTINCT 'k8s.cluster:' || orchestrator_cluster_name)
+       |               FILTER (WHERE orchestrator_cluster_name IS NOT NULL)), 1, ${operators.Assets.MaxEdges}), '|'), ''),
        |    CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
        |  FROM pc WHERE rn = 1
        |  GROUP BY kubernetes_node_name

@@ -43,14 +43,26 @@ object Assets {
   def ean(assetType: String, id: Column): Column =
     concat(lit(assetType), lit(":"), id)
 
-  /** Deterministic scalar encoding of a graph-edge list: sorted,
-    * '|'-joined. Edges are SETS of EANs (types.ts:7-9); the pipe-joined
-    * sorted form is a canonical, order-independent serialization that
-    * both engines (and the driver's hash compare) handle as a plain
-    * string. Arrays stay internal to the aggregation; only the scalar
-    * leaves the operator. Empty set → ''.
+  /** Hard cap on emitted edges per asset. `collect_set` children lists
+    * are otherwise unbounded at 100 TB (a hot container observed with
+    * millions of services would OOM the aggregation buffer —
+    * SURVEY.md §7.4 risk 4); the cap keeps the smallest N EANs in sort
+    * order, so which edges survive is deterministic, not
+    * arrival-order-dependent. Fixture cardinalities sit far below the
+    * cap, so oracle outputs are unaffected.
     */
-  def edgeList(edges: Column): Column = concat_ws("|", sort_array(edges))
+  val MaxEdges = 128
+
+  /** Deterministic scalar encoding of a graph-edge list: sorted,
+    * '|'-joined, capped at [[MaxEdges]]. Edges are SETS of EANs
+    * (types.ts:7-9); the pipe-joined sorted form is a canonical,
+    * order-independent serialization that both engines (and the
+    * driver's hash compare) handle as a plain string. Arrays stay
+    * internal to the aggregation; only the scalar leaves the operator.
+    * Empty set → ''.
+    */
+  def edgeList(edges: Column): Column =
+    concat_ws("|", slice(sort_array(edges), 1, MaxEdges))
 
   /** `findParent` (reference lib/collectServicesFromSummaries.ts:121-154):
     * prioritized coalesce over parent candidates, keeping WHICH branch
