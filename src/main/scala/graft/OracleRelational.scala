@@ -196,4 +196,42 @@ object OracleRelational {
       |  UNION ALL
       |  SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer)
       |GROUP BY nationkey""".stripMargin
+
+  /** Differential check of the union+window as-of implementation
+    * against DuckDB's NATIVE ASOF JOIN (right side pre-deduped per
+    * (user, ts) so tie-breaking is engine-independent).
+    */
+  val q28: String =
+    """WITH purchases AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+      |),
+      |views AS (
+      |  SELECT user_id, ts AS view_ts, max(event_id) AS view_event_id
+      |  FROM events WHERE event_type = 'view'
+      |  GROUP BY user_id, ts
+      |)
+      |SELECT p.event_id, p.user_id, p.ts,
+      |  v.view_ts AS asof_view_ts,
+      |  v.view_event_id AS asof_view_event_id
+      |FROM purchases p
+      |ASOF LEFT JOIN views v
+      |  ON p.user_id = v.user_id AND p.ts >= v.view_ts""".stripMargin
+
+  val q29: String =
+    """WITH purchases AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+      |),
+      |views AS (
+      |  SELECT user_id, ts AS view_ts, value AS view_value
+      |  FROM events WHERE event_type = 'view'
+      |)
+      |SELECT p.user_id, p.event_id, p.ts,
+      |  count(v.view_ts) AS n_prior_views,
+      |  CAST(sum(CAST(v.view_value AS DECIMAL(18,2))) AS DOUBLE) AS prior_view_value
+      |FROM purchases p
+      |LEFT JOIN views v
+      |  ON p.user_id = v.user_id
+      |  AND v.view_ts >= p.ts - INTERVAL 1 DAY
+      |  AND v.view_ts < p.ts
+      |GROUP BY p.user_id, p.event_id, p.ts""".stripMargin
 }

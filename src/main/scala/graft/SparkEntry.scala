@@ -61,6 +61,8 @@ object SparkEntry {
     "q25_array_funcs"    -> ((s, d) => Relational.q25ArrayFuncs(s, d)),
     "q26_full_outer"     -> ((s, d) => Relational.q26FullOuter(s, d)),
     "q27_union"          -> ((s, d) => Relational.q27Union(s, d)),
+    "q28_asof_join"      -> ((s, d) => Relational.q28AsofJoin(s, d)),
+    "q29_range_join"     -> ((s, d) => Relational.q29RangeJoin(s, d)),
     // LLM-data-pipeline: text analysis + dedup (builder brief; documents table)
     "txt_tokens"          -> ((s, d) => TextOps.tokens(s, d)),
     "txt_quality"         -> ((s, d) => TextOps.quality(s, d)),
@@ -127,6 +129,8 @@ object SparkEntry {
     "q25_array_funcs"    -> OracleRelational.q25,
     "q26_full_outer"     -> OracleRelational.q26,
     "q27_union"          -> OracleRelational.q27,
+    "q28_asof_join"      -> OracleRelational.q28,
+    "q29_range_join"     -> OracleRelational.q29,
     "txt_tokens"          -> OracleText.tokens,
     "txt_quality"         -> OracleText.quality,
     "txt_langid"          -> OracleText.langid,

@@ -330,4 +330,76 @@ object Relational {
       .select(col("c_nationkey").cast("int").as("nationkey"))
     s.unionAll(c).groupBy(col("nationkey")).agg(count(lit(1)).as("n"))
   }
+
+  // --- Temporal joins (J3 generalization: operators Spark lacks) -------
+
+  /** As-of join via union + window — NOT an inequality join. Spark has
+    * no native ASOF; the naive formulation (theta-join on ts ≤ ts then
+    * keep max) degenerates to a per-key cross product. This form tags
+    * both sides, unions them, and takes `last(right value IGNORE NULLS)`
+    * over a per-key window ordered by (ts, side) — right rows sort
+    * before left rows at equal ts, so "most recent right row with
+    * rt ≤ lt" falls out of a single shuffle on the key plus one linear
+    * pass. Scales as sort-within-partition of key groups, never
+    * materializing candidate pairs. (DuckDB verifies with its native
+    * ASOF JOIN — a true differential test of the operator.)
+    *
+    * Fixture shape: each purchase event matched to the user's most
+    * recent prior (or simultaneous) view event.
+    */
+  def q28AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    // dedup right side per (user, ts) so tie-breaking is engine-independent
+    val views = ev.where(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts").as("view_ts"))
+      .agg(max(col("event_id")).as("view_event_id"))
+    val tagged = purchases
+      .withColumn("side", lit(1))
+      .withColumn("view_ts", lit(null).cast("timestamp"))
+      .withColumn("view_event_id", lit(null).cast("long"))
+      .select(col("user_id"), col("ts"), col("side"), col("event_id"),
+        col("view_ts"), col("view_event_id"))
+      .unionAll(views
+        .select(col("user_id"), col("view_ts").as("ts"), lit(0).as("side"),
+          lit(null).cast("long").as("event_id"),
+          col("view_ts"), col("view_event_id")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("asof_view_ts", last(col("view_ts"), ignoreNulls = true).over(w))
+      .withColumn("asof_view_event_id",
+        last(col("view_event_id"), ignoreNulls = true).over(w))
+      .where(col("side") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("asof_view_ts"), col("asof_view_event_id"))
+  }
+
+  /** Time-band range join: per purchase, the user's view activity in
+    * the trailing 1-day window. The user_id equality key keeps this an
+    * equi-join (hash-partitioned both sides) with the band as a cheap
+    * post-join refinement — the scale-safe shape; a keyless time-band
+    * join would instead need bucket-overlap joining. Left join so
+    * zero-activity purchases survive with count 0.
+    */
+  def q29RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"), col("value").as("view_value"))
+    purchases
+      .join(views,
+        purchases("user_id") === views("user_id") &&
+          col("view_ts") >= col("ts") - expr("INTERVAL 1 DAY") &&
+          col("view_ts") < col("ts"),
+        "left")
+      .groupBy(purchases("user_id"), col("event_id"), col("ts"))
+      .agg(
+        count(col("view_ts")).as("n_prior_views"),
+        sum(col("view_value").cast("decimal(18,2)")).cast("double")
+          .as("prior_view_value"))
+  }
 }
