@@ -117,23 +117,35 @@ object Assets {
     * and asset shaping. Output is per-hit (the reference deliberately
     * does not dedup phase 2 — :292-300).
     *
-    * Scan discipline: the trailing-window bound `max(ts)` is computed
-    * ONCE and shared by both phases — one max-agg scan plus one scan per
-    * phase (3 total; the identical broadcast of the max is deduped by
-    * Spark's ReuseExchange). Re-deriving the bound per phase would pay
-    * 4 full scans of the signal source per run — a scale-killer at
-    * 100 TB.
+    * Scan discipline: the trailing-window bound `max(ts)` is fetched
+    * ONCE as a driver-side scalar and shared by both phases as a
+    * LITERAL — one ts-only bound scan plus one pushdown-pruned scan per
+    * phase. Re-deriving the bound per phase (or joining it in as a
+    * broadcast, which defeats parquet filter pushdown and is not
+    * exchange-deduplicated across phases) would pay 4 full scans of
+    * the signal source per run — a scale-killer at 100 TB.
     */
   def servicesFromSummaries(spark: SparkSession, dir: String): DataFrame = {
     val sig = Tables.signals(spark, dir)
-    val mx = broadcast(sig.agg(max(col("ts")).as("__window_max_ts")))
-    val sig14 = sig.crossJoin(mx)
-      .where(col("ts") >= col("__window_max_ts") - expr("INTERVAL 14 DAY"))
+    val bound = sig.agg(max(col("ts"))).head().getTimestamp(0)
+    def cut(days: Int): Column =
+      if (bound == null) lit(null).cast("timestamp")
+      else lit(java.sql.Timestamp.from(
+        bound.toInstant.minus(java.time.Duration.ofDays(days))))
+    def cutNanos(days: Int): Column =
+      if (bound == null) lit(Long.MaxValue)
+      else {
+        val i = bound.toInstant.minus(java.time.Duration.ofDays(days))
+        lit(i.getEpochSecond * 1000000000L + i.getNano)
+      }
+    // redundant raw-nanos bound → parquet row-group pruning (see
+    // Tables.trailing)
+    val sig14 = sig.where(col("ts") >= cut(14) &&
+      col("__ts_nanos") >= cutNanos(14))
     val phase1 = sig14
-      .where(col("ts") >= col("__window_max_ts") - expr("INTERVAL 7 DAY") &&
-        col("event_type") === "purchase")
+      .where(col("ts") >= cut(7) && col("event_type") === "purchase")
       .select(col("service_name")).distinct()
-    val raw = sig14.drop("__window_max_ts").where(hasParentCandidate)
+    val raw = sig14.where(hasParentCandidate)
     raw
       .join(broadcast(phase1), Seq("service_name"), "left_semi")
       .select(

@@ -38,10 +38,14 @@ object Tables {
     */
   /** ns→µs conversion over an already-loaded raw events scan (used by
     * multi-path sources that assemble their own scan, see
-    * [[SourceRegistry]]).
+    * [[SourceRegistry]]). The raw nanos long is kept as `__ts_nanos`:
+    * filters on the DERIVED ts cannot reach the parquet scan, so
+    * [[trailing]] adds a redundant predicate on the raw column to get
+    * row-group pruning (explicit projections never leak it outward).
     */
   def eventsFrom(raw: DataFrame): DataFrame =
-    raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    raw.withColumn("__ts_nanos", col("ts"))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
 
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -78,7 +82,9 @@ object Tables {
     */
   def signalsFrom(e: DataFrame): DataFrame = {
     val k = get_json_object(col("props"), "$.k").cast("long")
-    e.select(
+    val nanos =
+      if (e.columns.contains("__ts_nanos")) Seq(col("__ts_nanos")) else Nil
+    e.select(Seq(
       col("event_id"),
       col("ts"),
       col("user_id"),
@@ -103,21 +109,42 @@ object Tables {
           concat(lit("t-"), (k % 3).cast("string")),
           concat(lit("t-"), (k % 5).cast("string"))))
         .as("service_tags")
-    )
+    ) ++ nanos: _*)
   }
 
   /** Time-range filter relative to the dataset's own max timestamp — the
     * Spark form of the reference's ES date math `now-10m`/`now-1h`
     * (reference lib/collectServicesFromSummaries.ts:35,204;
     * lib/collectPods.ts:41). `now` is pinned to `max(ts)` so the query is
-    * deterministic for the DuckDB oracle. The 1-row max aggregate is
-    * broadcast — a 2-stage plan with no full shuffle, which holds at any
-    * scale (the agg is partial→final over the scan's partitions).
+    * deterministic for the DuckDB oracle.
+    *
+    * The bound is fetched EAGERLY as a one-row scalar (the analog of
+    * resolving ES date math once per request) rather than joined in as
+    * a broadcast: a literal bound constant-folds into
+    * `ts >= TIMESTAMP '...'`, which pushes into the parquet scan as a
+    * row-group-pruning filter — at 100 TB the difference between
+    * skipping cold partitions entirely and scanning them. The bound
+    * computation itself is a column-pruned ts-only scan with a
+    * partial→final max, and runs once per pipeline (a broadcast-join
+    * form is NOT deduplicated across phases — measured 2× bound scans
+    * via un-reused exchanges).
     */
   def trailing(df: DataFrame, tsCol: String, interval: String): DataFrame = {
-    val maxTs = df.agg(max(col(tsCol)).as("__window_max_ts"))
-    df.crossJoin(broadcast(maxTs))
-      .where(col(tsCol) >= col("__window_max_ts") - expr(s"INTERVAL $interval"))
-      .drop("__window_max_ts")
+    val bound = df.agg(max(col(tsCol))).head().get(0)
+    // empty input (e.g. an empty first micro-batch): no bound, no rows
+    if (bound == null) return df.where(lit(false))
+    val threshold = df.sparkSession.range(1)
+      .select((lit(bound) - expr(s"INTERVAL $interval")).cast("timestamp"))
+      .head().getTimestamp(0)
+    val filtered = df.where(col(tsCol) >= lit(threshold))
+    // Redundant predicate on the RAW nanos long (when the source carries
+    // it): the derived-ts comparison can't reach the parquet scan, the
+    // raw-long one pushes down to row-group stats — at 100 TB this is
+    // what prunes cold time partitions instead of scanning them.
+    if (threshold != null && df.columns.contains("__ts_nanos")) {
+      val i = threshold.toInstant
+      filtered.where(
+        col("__ts_nanos") >= lit(i.getEpochSecond * 1000000000L + i.getNano))
+    } else filtered
   }
 }
