@@ -80,6 +80,7 @@ object SparkEntry {
     "txt_tfidf"           -> ((s, d) => TextOps.tfidf(s, d)),
     // LLM-data-pipeline: embedding similarity search (embeddings table)
     "emb_knn_exact"  -> ((s, d) => VectorOps.knnExact(s, d)),
+    "emb_knn_native" -> ((s, d) => VectorOps.knnExactNative(s, d)),
     "emb_knn_lsh"    -> ((s, d) => VectorOps.knnLsh(s, d)),
     "emb_centroids"  -> ((s, d) => VectorOps.centroids(s, d)),
     "emb_ivf_assign" -> ((s, d) => VectorOps.ivfAssign(s, d)),
@@ -150,6 +151,7 @@ object SparkEntry {
     "dedup_simhash"       -> OracleText.dedupSimhash,
     "txt_tfidf"           -> OracleText.tfidf,
     "emb_knn_exact"  -> OracleVectors.knnExact,
+    "emb_knn_native" -> OracleVectors.knnExact,
     "emb_knn_lsh"    -> OracleVectors.knnLsh,
     "emb_centroids"  -> OracleVectors.centroids,
     "emb_ivf_assign" -> OracleVectors.ivfAssign,

@@ -100,6 +100,25 @@ object VectorOps {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
   }
 
+  /** Exact top-k via the native codegen [[graft.functions.CosineSimilarity]]
+    * expression — one fused loop per pair instead of three lambda folds.
+    * Same oracle as [[knnExact]]: the fused accumulators are bit-equal
+    * to the composed form (see the expression's Scaladoc), so this
+    * doubles as the expression's differential correctness proof.
+    */
+  def knnExactNative(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val q = base.where(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    topK(
+      base.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          expr("cosine_sim(embedding, qv)").as("sim")))
+  }
+
   /** Exact cosine top-k: broadcast-nested-loop against the tiny query
     * set; the embedding corpus is scanned once and never shuffled (the
     * only shuffle is the per-query window over N·|Q| pre-filtered rows).

@@ -1,0 +1,39 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.CosineSimilarity
+
+/** Engine extension point: registers graft's native Catalyst functions.
+  *
+  * Two installation paths:
+  *   - builder-time: `SparkSession.builder.withExtensions(new
+  *     GraftExtensions)` (or conf `spark.sql.extensions=graft.plans.
+  *     GraftExtensions`) — the idiomatic deployment;
+  *   - post-hoc: [[GraftExtensions.register]] on an existing session
+  *     (the driver harness builds plain sessions), idempotent.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftExtensions.cosineSimDescriptor)
+}
+
+object GraftExtensions {
+
+  private val cosineSimBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2, s"cosine_sim expects 2 arguments, got ${exprs.length}")
+    CosineSimilarity(exprs.head, exprs(1))
+  }
+
+  val cosineSimDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("cosine_sim"),
+    new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+    cosineSimBuilder)
+
+  /** Idempotent post-hoc registration on a live session. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("cosine_sim", cosineSimBuilder, "built-in")
+}

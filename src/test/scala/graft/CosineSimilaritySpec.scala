@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.VectorOps
+import graft.plans.GraftExtensions
+
+/** Native codegen cosine_sim expression vs the composed fold form. */
+class CosineSimilaritySpec extends SparkSpec {
+
+  test("cosine_sim matches the composed zip_with/aggregate form bit-for-bit") {
+    GraftExtensions.register(spark)
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (Seq(1.0f, 0.0f, 2.5f), Seq(0.5f, -1.0f, 2.5f)),
+      (Seq(0.1f, 0.2f, 0.3f), Seq(0.3f, 0.2f, 0.1f)),
+      (Seq(1.0f, 1.0f, 1.0f), Seq(1.0f, 1.0f, 1.0f))
+    ).toDF("a", "b")
+    val composed = expr(VectorOps.dot("a", "b")) /
+      (sqrt(expr(VectorOps.dot("a", "a"))) * sqrt(expr(VectorOps.dot("b", "b"))))
+    val out = df.select(
+      expr("cosine_sim(a, b)").as("native"), composed.as("folded")).collect()
+    out.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+    assert(math.abs(out(2).getDouble(0) - 1.0) < 1e-12)
+  }
+
+  test("cosine_sim null-propagates and rejects wrong input types") {
+    GraftExtensions.register(spark)
+    val s = spark; import s.implicits._
+    val df = Seq((Option(Seq(1.0f, 2.0f)), Option.empty[Seq[Float]]))
+      .toDF("a", "b")
+    assert(df.select(expr("cosine_sim(a, b)")).head().isNullAt(0))
+    val err = intercept[Exception](
+      Seq((1, 2)).toDF("a", "b").select(expr("cosine_sim(a, b)")).collect())
+    assert(err.getMessage.toLowerCase.contains("cosine_sim") ||
+      err.getMessage.toLowerCase.contains("array<float>"))
+  }
+
+  test("knnExactNative returns exactly knnExact's rows") {
+    val dir = sfDir
+    val a = VectorOps.knnExact(spark, dir).collect().toSet
+    val b = VectorOps.knnExactNative(spark, dir).collect().toSet
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+}
