@@ -268,4 +268,15 @@ object OracleRelational {
       |  count(*) AS n
       |FROM lineitem
       |GROUP BY l_returnflag""".stripMargin
+
+  /** Pivot as portable conditional aggregation (count of no rows is 0,
+    * matching the Spark side's fill).
+    */
+  val q33: String =
+    """SELECT user_id,
+      |  count(*) FILTER (WHERE event_type = 'view') AS view,
+      |  count(*) FILTER (WHERE event_type = 'click') AS click,
+      |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase
+      |FROM events
+      |GROUP BY user_id""".stripMargin
 }

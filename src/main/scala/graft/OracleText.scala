@@ -199,6 +199,29 @@ object OracleText {
        |GROUP BY simhash
        |HAVING count(*) > 1""".stripMargin
 
+  /** Mirror of TextOps.dedupFuzzyEdit: levenshtein only on LSH
+    * candidates.
+    */
+  val dedupFuzzyEdit: String =
+    s"""WITH $wordsCte, $sigCte,
+       |bands AS (
+       |  SELECT doc_id, sig, b.b AS band_idx,
+       |    array_to_string(list_transform(list_slice(sig, b.b * $bs + 1, b.b * $bs + $bs),
+       |                                   x -> CAST(x AS VARCHAR)), '_') AS band_key
+       |  FROM sigs CROSS JOIN (SELECT unnest(range($nBands)) AS b) b
+       |),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b USING (band_idx, band_key)
+       |  WHERE a.doc_id < b.doc_id
+       |)
+       |SELECT p.doc_a, p.doc_b,
+       |  CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_distance,
+       |  CAST(greatest(length(da.text), length(db.text)) AS BIGINT) AS max_len
+       |FROM pairs p
+       |JOIN documents da ON da.doc_id = p.doc_a
+       |JOIN documents db ON db.doc_id = p.doc_b""".stripMargin
+
   /** Mirror of TextOps.tfidf (log-free idf ratio; see that Scaladoc). */
   val tfidf: String =
     s"""WITH $wordsCte,

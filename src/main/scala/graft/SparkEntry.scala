@@ -78,6 +78,8 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => TextOps.dedupNgramJaccard(s, d)),
     "dedup_simhash"       -> ((s, d) => TextOps.dedupSimhash(s, d)),
     "txt_tfidf"           -> ((s, d) => TextOps.tfidf(s, d)),
+    "dedup_fuzzy_edit"    -> ((s, d) => TextOps.dedupFuzzyEdit(s, d)),
+    "q33_pivot"           -> ((s, d) => Relational.q33Pivot(s, d)),
     // LLM-data-pipeline: embedding similarity search (embeddings table)
     "emb_knn_exact"  -> ((s, d) => VectorOps.knnExact(s, d)),
     "emb_knn_native" -> ((s, d) => VectorOps.knnExactNative(s, d)),
@@ -150,6 +152,8 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> OracleText.dedupNgramJaccard,
     "dedup_simhash"       -> OracleText.dedupSimhash,
     "txt_tfidf"           -> OracleText.tfidf,
+    "dedup_fuzzy_edit"    -> OracleText.dedupFuzzyEdit,
+    "q33_pivot"           -> OracleRelational.q33,
     "emb_knn_exact"  -> OracleVectors.knnExact,
     "emb_knn_native" -> OracleVectors.knnExact,
     "emb_knn_lsh"    -> OracleVectors.knnLsh,

@@ -445,4 +445,15 @@ object Relational {
         expr("percentile(l_quantity, 0.5)").as("median"),
         expr("percentile(l_quantity, 0.75)").as("q75"),
         count(lit(1)).as("n"))
+
+  /** Pivot: event counts per user across a FIXED event-type column set
+    * (explicit values keep the plan static — no driver-side distinct
+    * pass — and the shuffle is one partial agg on user_id).
+    */
+  def q33Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("view", "click", "purchase"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("view", "click", "purchase"))
 }

@@ -241,6 +241,24 @@ object TextOps {
         count(lit(1)).as("cluster_size"))
       .where(col("cluster_size") > 1)
 
+  /** Fuzzy near-dup verification by edit distance, ONLY over LSH
+    * candidate pairs — levenshtein is O(len²) per pair, so the banded
+    * prefilter is what makes it affordable; running it all-pairs would
+    * be quadratic in the corpus. Integer distances are trivially
+    * engine-deterministic.
+    */
+  def dedupFuzzyEdit(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupMinhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    pairs
+      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("text_a")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("text_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("text_a"), col("text_b")).cast("long").as("edit_distance"),
+        greatest(length(col("text_a")), length(col("text_b"))).cast("long")
+          .as("max_len"))
+  }
+
   /** TF-IDF top terms per document. Classic shape: explode → per-(doc,
     * term) counts (one shuffle with map-side combine) → document
     * frequency per term (second partial agg) → broadcast-join df back →

@@ -1,8 +1,9 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
 import graft.operators.Assets
@@ -94,4 +95,53 @@ object StreamingAssets {
         mergeIntoState(spark, assets, statePath)
       }
       .start()
+
+  /** Watermarked tumbling-window aggregation — per-service signal
+    * volume per day, the SURVEY §2.8 "windowed aggs" contract. State
+    * store holds only windows newer than the watermark; append mode
+    * emits each window once it is final.
+    */
+  def windowedServiceCounts(sig: DataFrame,
+      watermark: String = "1 hour"): DataFrame =
+    sig.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day"), col("service_name"))
+      .agg(count(lit(1)).as("n_signals"))
+      .select(col("window.start").as("window_start"),
+        col("service_name"), col("n_signals"))
+
+  /** Per-service tracked state for [[serviceStateStream]]. */
+  final case class ServiceObs(service_name: String, ts: java.sql.Timestamp)
+  final case class ServiceState(latest: java.sql.Timestamp, n_seen: Long)
+  final case class ServiceUpdate(
+      service_name: String, latest_ts: java.sql.Timestamp,
+      n_seen: Long, newly_seen: Boolean)
+
+  /** Custom cross-batch state via mapGroupsWithState: tracks the latest
+    * observation and lifetime count per service, emitting an update row
+    * per service per micro-batch — the genuinely stateful operator the
+    * reference's cross-run "children lists grow over time" contract
+    * implies (SURVEY.md §2.8/§7.3). Processing-time timeout bounds
+    * state for services that stop reporting.
+    */
+  def serviceStateStream(spark: SparkSession, sig: DataFrame): Dataset[ServiceUpdate] = {
+    import spark.implicits._
+    sig.select(col("service_name"), col("ts")).as[ServiceObs]
+      .groupByKey(_.service_name)
+      .mapGroupsWithState[ServiceState, ServiceUpdate](
+        GroupStateTimeout.ProcessingTimeTimeout) {
+        (name: String, obs: Iterator[ServiceObs], state: GroupState[ServiceState]) =>
+          val batch = obs.toSeq
+          val newest = batch.map(_.ts).maxBy(_.getTime)
+          val prior = state.getOption
+          val next = prior match {
+            case Some(s) => ServiceState(
+              if (newest.after(s.latest)) newest else s.latest,
+              s.n_seen + batch.size)
+            case None => ServiceState(newest, batch.size.toLong)
+          }
+          state.update(next)
+          state.setTimeoutDuration("30 days")
+          ServiceUpdate(name, next.latest, next.n_seen, prior.isEmpty)
+      }
+  }
 }

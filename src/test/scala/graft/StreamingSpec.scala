@@ -48,6 +48,61 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("windowed aggregation over the stream equals the batch window counts") {
+    val srcDir = tmp("graft-stream-win")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .write.mode("append").parquet(s"$srcDir/events")
+    val q = StreamingAssets.windowedServiceCounts(
+      StreamingAssets.signalStream(spark, s"$srcDir/events"))
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", tmp("graft-stream-winck"))
+      .start()
+    q.awaitTermination(120000)
+    if (q.isActive) q.stop()
+    val streamed = spark.table("win_counts").collect().toSet
+    val batch = graft.sources.Tables.signals(spark, sfDir)
+      .groupBy(window(col("ts"), "1 day"), col("service_name"))
+      .agg(count(lit(1)).as("n_signals"))
+      .select(col("window.start").as("window_start"),
+        col("service_name"), col("n_signals"))
+      .collect().toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("mapGroupsWithState tracks latest ts and lifetime count per service") {
+    val srcDir = tmp("graft-stream-state-src")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .write.mode("append").parquet(s"$srcDir/events")
+    val updates = StreamingAssets.serviceStateStream(
+      spark, StreamingAssets.signalStream(spark, s"$srcDir/events"))
+    val q = updates.writeStream.format("memory").queryName("svc_state")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", tmp("graft-stream-stateck"))
+      .start()
+    q.awaitTermination(120000)
+    if (q.isActive) q.stop()
+    val got = spark.table("svc_state")
+      .groupBy("service_name")
+      .agg(max("latest_ts").as("latest_ts"), sum("n_seen").as("n_seen_max"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getTimestamp(1), r.getLong(2)))).toMap
+    val want = graft.sources.Tables.signals(spark, sfDir)
+      .groupBy("service_name")
+      .agg(max("ts").as("latest"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getTimestamp(1), r.getLong(2)))).toMap
+    assert(got.keySet === want.keySet)
+    // single micro-batch: every service's state reflects the full input
+    got.foreach { case (k, (ts, n)) =>
+      assert(ts === want(k)._1, s"latest ts for $k")
+      assert(n === want(k)._2, s"count for $k")
+    }
+  }
+
   test("upsertAssets: newest ts wins, batch wins ties, keys are distinct") {
     val s = spark; import s.implicits._
     def assets(rows: Seq[(String, String)]): org.apache.spark.sql.DataFrame =
