@@ -146,6 +146,15 @@ object TextOps {
       .groupBy(col("doc_id"))
       .agg(array((0 until NumHashes).map(s => min(rotLong("h", s * 3))): _*)
         .as("sig"))
+      // Materialize the signature table: it is the shared artifact of
+      // the whole dedup family (LSH pairing, Jaccard verify, fuzzy
+      // verify) and both sides of the LSH self-join; Spark's plan-level
+      // exchange reuse does NOT deduplicate the two sides (measured),
+      // while the cache manager matches every identical subtree. At
+      // ~73 bytes/doc the signatures are 5-6 orders smaller than the
+      // corpus — at cluster scale you write them to a table; in-session
+      // MEMORY_AND_DISK persist is the same move.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** MinHash exposed as a query: doc_id + signature, serialized to a
     * '|'-joined scalar (array-typed outputs crash the driver's compare;
