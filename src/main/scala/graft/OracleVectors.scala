@@ -112,9 +112,9 @@ object OracleVectors {
        |  CAST(centroid_sum AS DOUBLE) / $scale / n AS mean
        |FROM cent""".stripMargin
 
-  val ivfAssign: String =
-    s"""WITH $baseCte, $centroidsCte,
-       |cvec AS (
+  /** Shared: per-vector centroid similarities, ranked. */
+  private val centroidSimsCtes: String =
+    s"""cvec AS (
        |  SELECT label AS c_label,
        |    array_agg(CAST(centroid_sum AS DOUBLE) / $scale / n ORDER BY pos) AS centroid
        |  FROM cent GROUP BY label
@@ -122,16 +122,54 @@ object OracleVectors {
        |cnorm AS (
        |  SELECT c_label, centroid, ${dot("centroid", "centroid")} AS cnrm FROM cvec
        |),
-       |sims AS (
+       |csims AS (
        |  SELECT b.vec_id, b.label, c.c_label,
        |    ${dot("b.embedding", "c.centroid")} / (sqrt(b.nrm) * sqrt(c.cnrm)) AS sim
        |  FROM base b, cnorm c
        |),
-       |ranked AS (
+       |cranked AS (
        |  SELECT *, row_number() OVER (
        |    PARTITION BY vec_id ORDER BY sim DESC, c_label ASC) AS rn
+       |  FROM csims
+       |)""".stripMargin
+
+  val ivfAssign: String =
+    s"""WITH $baseCte, $centroidsCte,
+       |$centroidSimsCtes
+       |SELECT vec_id, label, c_label AS assigned_label, sim
+       |FROM cranked WHERE rn = 1""".stripMargin
+
+  val knnIvf: String =
+    s"""WITH $baseCte, $centroidsCte,
+       |$centroidSimsCtes,
+       |assignments AS (
+       |  SELECT vec_id AS neighbor_id, c_label AS assigned_label
+       |  FROM cranked WHERE rn = 1
+       |),
+       |probes AS (
+       |  SELECT vec_id AS query_id, c_label AS assigned_label
+       |  FROM cranked WHERE vec_id % $qm = 0 AND rn <= ${VectorOps.NProbe}
+       |),
+       |candidates AS (
+       |  SELECT p.query_id, a.neighbor_id
+       |  FROM probes p JOIN assignments a USING (assigned_label)
+       |  WHERE a.neighbor_id <> p.query_id
+       |),
+       |qset AS (
+       |  SELECT vec_id AS query_id, embedding AS qv, nrm AS qnrm
+       |  FROM base WHERE vec_id % $qm = 0
+       |),
+       |sims AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    ${dot("nb.embedding", "q.qv")} / (sqrt(nb.nrm) * sqrt(q.qnrm)) AS sim
+       |  FROM candidates c
+       |  JOIN base nb ON nb.vec_id = c.neighbor_id
+       |  JOIN qset q ON q.query_id = c.query_id
+       |),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS "rank"
        |  FROM sims
        |)
-       |SELECT vec_id, label, c_label AS assigned_label, sim
-       |FROM ranked WHERE rn = 1""".stripMargin
+       |SELECT query_id, neighbor_id, "rank", sim FROM ranked WHERE "rank" <= $k""".stripMargin
 }

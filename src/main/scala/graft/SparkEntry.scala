@@ -86,6 +86,7 @@ object SparkEntry {
     "emb_knn_lsh"    -> ((s, d) => VectorOps.knnLsh(s, d)),
     "emb_centroids"  -> ((s, d) => VectorOps.centroids(s, d)),
     "emb_ivf_assign" -> ((s, d) => VectorOps.ivfAssign(s, d)),
+    "emb_knn_ivf"    -> ((s, d) => VectorOps.knnIvf(s, d)),
     // LLM-data-pipeline: multimodal binary columns (decode is a stub;
     // media_decode is rows-only — the codec boundary is not SQL)
     "media_metadata" -> ((s, d) => MultimodalOps.mediaMetadata(s, d)),
@@ -159,6 +160,7 @@ object SparkEntry {
     "emb_knn_lsh"    -> OracleVectors.knnLsh,
     "emb_centroids"  -> OracleVectors.centroids,
     "emb_ivf_assign" -> OracleVectors.ivfAssign,
+    "emb_knn_ivf"    -> OracleVectors.knnIvf,
     "media_metadata" -> OracleMultimodal.metadata,
     "media_frames"   -> OracleMultimodal.frames,
     "media_features" -> OracleMultimodal.features,

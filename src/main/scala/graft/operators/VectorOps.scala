@@ -194,28 +194,73 @@ object VectorOps {
       .withColumn("mean",
         col("centroid_sum").cast("double") / expr(Scale) / col("n"))
 
-  /** Nearest-centroid assignment (the IVF partitioner): 10 centroids
-    * broadcast against the corpus; cosine against each; argmax via a
-    * per-vector window. Output keeps the true label for a train-style
-    * purity readout.
+  /** Centroid vectors (label, centroid array, squared norm) rebuilt
+    * from the long-format [[centroids]] output.
     */
-  def ivfAssign(spark: SparkSession, dir: String): DataFrame = {
-    val cents = centroids(spark, dir)
+  private def centroidVectors(spark: SparkSession, dir: String): DataFrame =
+    centroids(spark, dir)
       .groupBy(col("label").as("c_label"))
       .agg(expr("transform(array_sort(collect_list(struct(pos, mean))), t -> t.mean)")
         .as("centroid"))
       .select(col("c_label"), col("centroid"),
         expr(dot("centroid", "centroid")).as("cnrm"))
-    val sims = withNorm(spark, dir)
-      .crossJoin(broadcast(cents))
+
+  /** Per-vector cosine against every centroid, ranked (broadcast
+    * centroids — the corpus never shuffles).
+    */
+  private def centroidSims(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("c_label").asc)
+    withNorm(spark, dir)
+      .crossJoin(broadcast(centroidVectors(spark, dir)))
       .select(col("vec_id"), col("label"), col("c_label"),
         (expr(dot("embedding", "centroid")) / (sqrt(col("nrm")) * sqrt(col("cnrm"))))
           .as("sim"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("sim").desc, col("c_label").asc)
-    sims.withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w))
+  }
+
+  /** Nearest-centroid assignment (the IVF partitioner): 10 centroids
+    * broadcast against the corpus; cosine against each; argmax via a
+    * per-vector window. Output keeps the true label for a train-style
+    * purity readout.
+    */
+  def ivfAssign(spark: SparkSession, dir: String): DataFrame =
+    centroidSims(spark, dir)
       .where(col("rn") === 1)
       .select(col("vec_id"), col("label"),
         col("c_label").as("assigned_label"), col("sim"))
+
+  /** How many centroid buckets each query probes. */
+  val NProbe = 2
+
+  /** Full IVF search: queries probe their [[NProbe]] nearest centroid
+    * buckets, candidates are the corpus vectors ASSIGNED to those
+    * buckets, and exact cosine re-ranks only the candidates — the
+    * standard inverted-file ANN. At scale the assignment is the
+    * partitioning key (bucket-pruned scan); here it is an equi-join on
+    * the bucket label. Approximate by construction: a true neighbor
+    * assigned to an unprobed bucket is missed — [[knnExact]] is the
+    * recall baseline.
+    */
+  def knnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val assignments = ivfAssign(spark, dir)
+      .select(col("vec_id").as("neighbor_id"), col("assigned_label"))
+    val probes = centroidSims(spark, dir)
+      .where(col("vec_id") % QueryMod === 0 && col("rn") <= NProbe)
+      .select(col("vec_id").as("query_id"), col("c_label").as("assigned_label"))
+    val candidates = probes.join(assignments, Seq("assigned_label"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    val base = withNorm(spark, dir)
+    val sims = candidates
+      .join(base.select(col("vec_id").as("neighbor_id"), col("embedding"), col("nrm")),
+        Seq("neighbor_id"))
+      .join(broadcast(
+        base.where(col("vec_id") % QueryMod === 0)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+            col("nrm").as("qnrm"))),
+        Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine)
+    topK(sims)
   }
 }

@@ -78,6 +78,14 @@ class VectorOpsSpec extends SparkSpec {
     assert(cent.select("n").distinct().head().getLong(0) === 2L)
   }
 
+  test("knnIvf with nprobe=2 over 2 clusters recovers exact results") {
+    val dir = embDir(fixture)
+    val exact = VectorOps.knnExact(spark, dir).collect().toSet
+    val ivf = VectorOps.knnIvf(spark, dir).collect().toSet
+    // both clusters probed → candidate set is the whole corpus → exact
+    assert(ivf === exact)
+  }
+
   test("ivfAssign maps every vector to its own cluster's centroid") {
     val out = VectorOps.ivfAssign(spark, embDir(fixture)).collect()
     assert(out.length === fixture.length)
