@@ -199,6 +199,47 @@ object OracleText {
        |GROUP BY simhash
        |HAVING count(*) > 1""".stripMargin
 
+  /** Mirror of TextOps.dedupClusters: the same CcRounds unrolled
+    * min-label propagation over the LSH pair graph.
+    */
+  val dedupClusters: String = {
+    val rounds = (1 to TextOps.CcRounds).map { i =>
+      val prev = s"l${i - 1}"
+      s"""l$i AS (
+         |  SELECT n.node,
+         |    least(n.label, COALESCE(m.nbr, n.label)) AS label
+         |  FROM $prev n LEFT JOIN (
+         |    SELECT e.doc_a AS node, min(x.label) AS nbr
+         |    FROM edges e JOIN $prev x ON x.node = e.doc_b
+         |    GROUP BY e.doc_a
+         |  ) m USING (node)
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $wordsCte, $sigCte,
+       |bands AS (
+       |  SELECT doc_id, sig, b.b AS band_idx,
+       |    array_to_string(list_transform(list_slice(sig, b.b * $bs + 1, b.b * $bs + $bs),
+       |                                   x -> CAST(x AS VARCHAR)), '_') AS band_key
+       |  FROM sigs CROSS JOIN (SELECT unnest(range($nBands)) AS b) b
+       |),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b USING (band_idx, band_key)
+       |  WHERE a.doc_id < b.doc_id
+       |),
+       |edges AS (
+       |  SELECT doc_a, doc_b FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
+       |),
+       |nodes AS (SELECT DISTINCT doc_a AS node FROM edges),
+       |l0 AS (SELECT node, node AS label FROM nodes),
+       |$rounds
+       |SELECT node AS doc_id, label AS cluster_id,
+       |  count(*) OVER (PARTITION BY label) AS cluster_size
+       |FROM l${TextOps.CcRounds}""".stripMargin
+  }
+
   /** Mirror of TextOps.dedupFuzzyEdit: levenshtein only on LSH
     * candidates.
     */

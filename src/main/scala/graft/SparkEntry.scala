@@ -79,6 +79,7 @@ object SparkEntry {
     "dedup_simhash"       -> ((s, d) => TextOps.dedupSimhash(s, d)),
     "txt_tfidf"           -> ((s, d) => TextOps.tfidf(s, d)),
     "dedup_fuzzy_edit"    -> ((s, d) => TextOps.dedupFuzzyEdit(s, d)),
+    "dedup_clusters"      -> ((s, d) => TextOps.dedupClusters(s, d)),
     "q33_pivot"           -> ((s, d) => Relational.q33Pivot(s, d)),
     // LLM-data-pipeline: embedding similarity search (embeddings table)
     "emb_knn_exact"  -> ((s, d) => VectorOps.knnExact(s, d)),
@@ -154,6 +155,7 @@ object SparkEntry {
     "dedup_simhash"       -> OracleText.dedupSimhash,
     "txt_tfidf"           -> OracleText.tfidf,
     "dedup_fuzzy_edit"    -> OracleText.dedupFuzzyEdit,
+    "dedup_clusters"      -> OracleText.dedupClusters,
     "q33_pivot"           -> OracleRelational.q33,
     "emb_knn_exact"  -> OracleVectors.knnExact,
     "emb_knn_native" -> OracleVectors.knnExact,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -266,6 +267,42 @@ object TextOps {
         levenshtein(col("text_a"), col("text_b")).cast("long").as("edit_distance"),
         greatest(length(col("text_a")), length(col("text_b"))).cast("long")
           .as("max_len"))
+  }
+
+  /** Rounds of min-label propagation in [[dedupClusters]]. Bounded and
+    * unrolled so the DuckDB oracle mirrors the EXACT same computation;
+    * near-dup clusters are short chains (pair graph diameter small), so
+    * 3 rounds converge on real data — at larger diameters iterate to
+    * fixpoint (each round is one join + partial-agg, embarrassingly
+    * scalable) or hand off to a dedicated CC (e.g. large-star/small-star).
+    */
+  val CcRounds = 3
+
+  /** Near-duplicate CLUSTERS from LSH candidate pairs via bounded
+    * min-label propagation (connected components): every doc in a pair
+    * graph gets the minimum doc_id of its component as cluster id — the
+    * canonical representative — so "keep one per cluster" is a simple
+    * filter downstream. Each round: neighbor-min join + least() update.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupMinhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.unionAll(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val nodes = edges.select(col("doc_a").as("node")).distinct()
+    var labels = nodes.withColumn("label", col("node"))
+    for (_ <- 1 to CcRounds) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("doc_b"), col("label")), Seq("doc_b"))
+        .groupBy(col("doc_a").as("node"))
+        .agg(min(col("label")).as("nbr_label"))
+      labels = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+    }
+    labels.select(
+      col("node").as("doc_id"),
+      col("label").as("cluster_id"),
+      count(lit(1)).over(Window.partitionBy(col("label"))).as("cluster_size"))
   }
 
   /** TF-IDF top terms per document. Classic shape: explode → per-(doc,
