@@ -263,6 +263,70 @@ object OracleText {
        |JOIN documents da ON da.doc_id = p.doc_a
        |JOIN documents db ON db.doc_id = p.doc_b""".stripMargin
 
+  /** Mirror of TextOps.corpusCuration: quality gate → exact-dup keep →
+    * near-dup-loser drop → per-language stats (same cluster rounds as
+    * dedupClusters).
+    */
+  val corpusCuration: String = {
+    val rounds = (1 to TextOps.CcRounds).map { i =>
+      val prev = s"l${i - 1}"
+      s"""l$i AS (
+         |  SELECT n.node,
+         |    least(n.label, COALESCE(m.nbr, n.label)) AS label
+         |  FROM $prev n LEFT JOIN (
+         |    SELECT e.doc_a AS node, min(x.label) AS nbr
+         |    FROM edges e JOIN $prev x ON x.node = e.doc_b
+         |    GROUP BY e.doc_a
+         |  ) m USING (node)
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $wordsCte, $sigCte,
+       |bands AS (
+       |  SELECT doc_id, sig, b.b AS band_idx,
+       |    array_to_string(list_transform(list_slice(sig, b.b * $bs + 1, b.b * $bs + $bs),
+       |                                   x -> CAST(x AS VARCHAR)), '_') AS band_key
+       |  FROM sigs CROSS JOIN (SELECT unnest(range($nBands)) AS b) b
+       |),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b USING (band_idx, band_key)
+       |  WHERE a.doc_id < b.doc_id
+       |),
+       |edges AS (
+       |  SELECT doc_a, doc_b FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
+       |),
+       |nodes AS (SELECT DISTINCT doc_a AS node FROM edges),
+       |l0 AS (SELECT node, node AS label FROM nodes),
+       |$rounds,
+       |near_dup_losers AS (
+       |  SELECT node AS doc_id FROM l${TextOps.CcRounds} WHERE node <> label
+       |),
+       |q AS (
+       |  SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words
+       |  FROM docs
+       |  WHERE len(words) >= ${TextOps.MinWords}
+       |    AND CAST(len(list_distinct(words)) AS DOUBLE) / len(words)
+       |          >= ${TextOps.MinUniqRatio}
+       |),
+       |exact_canonical AS (
+       |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+       |),
+       |kept AS (
+       |  SELECT q.doc_id, q.n_words FROM q
+       |  WHERE q.doc_id IN (SELECT doc_id FROM exact_canonical)
+       |    AND q.doc_id NOT IN (SELECT doc_id FROM near_dup_losers)
+       |)
+       |SELECT d.lang,
+       |  count(*) AS n_docs,
+       |  sum(k.n_words) AS n_words_total,
+       |  min(k.doc_id) AS first_doc,
+       |  max(k.doc_id) AS last_doc
+       |FROM kept k JOIN documents d USING (doc_id)
+       |GROUP BY d.lang""".stripMargin
+  }
+
   /** Mirror of TextOps.tfidf (log-free idf ratio; see that Scaladoc). */
   val tfidf: String =
     s"""WITH $wordsCte,

@@ -112,6 +112,16 @@ object OracleVectors {
        |  CAST(centroid_sum AS DOUBLE) / $scale / n AS mean
        |FROM cent""".stripMargin
 
+  /** Recall@K of LSH vs exact, composing the two query oracles. */
+  val lshRecall: String =
+    s"""SELECT e.query_id,
+       |  CAST(count(l."rank") AS DOUBLE) / $k AS recall_at_k,
+       |  count(*) AS n_exact
+       |FROM ($knnExact) e
+       |LEFT JOIN ($knnLsh) l
+       |  ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
+       |GROUP BY e.query_id""".stripMargin
+
   /** Shared: per-vector centroid similarities, ranked. */
   private val centroidSimsCtes: String =
     s"""cvec AS (

@@ -88,6 +88,8 @@ object SparkEntry {
     "emb_centroids"  -> ((s, d) => VectorOps.centroids(s, d)),
     "emb_ivf_assign" -> ((s, d) => VectorOps.ivfAssign(s, d)),
     "emb_knn_ivf"    -> ((s, d) => VectorOps.knnIvf(s, d)),
+    "emb_lsh_recall" -> ((s, d) => VectorOps.lshRecall(s, d)),
+    "corpus_curation" -> ((s, d) => TextOps.corpusCuration(s, d)),
     // LLM-data-pipeline: multimodal binary columns (decode is a stub;
     // media_decode is rows-only — the codec boundary is not SQL)
     "media_metadata" -> ((s, d) => MultimodalOps.mediaMetadata(s, d)),
@@ -163,6 +165,8 @@ object SparkEntry {
     "emb_centroids"  -> OracleVectors.centroids,
     "emb_ivf_assign" -> OracleVectors.ivfAssign,
     "emb_knn_ivf"    -> OracleVectors.knnIvf,
+    "emb_lsh_recall" -> OracleVectors.lshRecall,
+    "corpus_curation" -> OracleText.corpusCuration,
     "media_metadata" -> OracleMultimodal.metadata,
     "media_frames"   -> OracleMultimodal.frames,
     "media_features" -> OracleMultimodal.features,

@@ -305,6 +305,39 @@ object TextOps {
       count(lit(1)).over(Window.partitionBy(col("label"))).as("cluster_size"))
   }
 
+  /** End-to-end corpus curation — the composed training-data pipeline:
+    * quality gate → exact-dup removal (keep smallest doc_id per content
+    * hash) → near-dup removal (keep each LSH cluster's canonical) →
+    * per-language corpus stats. Every stage is one of the operators
+    * above; the composition is what a 100 TB pretraining-data job runs.
+    * Stats stick to exact integers and min/max (no double sums), so the
+    * output is partition- and engine-deterministic.
+    */
+  val MinWords = 20
+  val MinUniqRatio = 0.3
+
+  def corpusCuration(spark: SparkSession, dir: String): DataFrame = {
+    val q = quality(spark, dir)
+      .where(col("n_words") >= MinWords && col("uniq_ratio") >= MinUniqRatio)
+      .select(col("doc_id"), col("n_words"))
+    val exactCanonical = dedupExact(spark, dir)
+      .select(col("canonical_doc_id").as("doc_id"))
+    val nearDupLosers = dedupClusters(spark, dir)
+      .where(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    val kept = q
+      .join(exactCanonical, Seq("doc_id"), "left_semi")
+      .join(nearDupLosers, Seq("doc_id"), "left_anti")
+    kept
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words_total"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
+
   /** TF-IDF top terms per document. Classic shape: explode → per-(doc,
     * term) counts (one shuffle with map-side combine) → document
     * frequency per term (second partial agg) → broadcast-join df back →

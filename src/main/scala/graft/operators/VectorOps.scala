@@ -230,6 +230,20 @@ object VectorOps {
       .select(col("vec_id"), col("label"),
         col("c_label").as("assigned_label"), col("sim"))
 
+  /** Recall@K of the sign-LSH ANN against the exact baseline — the
+    * evaluation loop any ANN deployment needs: per query, the fraction
+    * of true top-K neighbors the approximate index recovered.
+    */
+  def lshRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = knnExact(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val approx = knnLsh(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg((count(col("hit")).cast("double") / K).as("recall_at_k"),
+        count(lit(1)).as("n_exact"))
+  }
+
   /** How many centroid buckets each query probes. */
   val NProbe = 2
 
