@@ -255,6 +255,56 @@ object OracleAssets {
 
   val batchTs2: String = s"TIMESTAMP '${operators.Assets.BatchTs2}'"
 
+  /** Mirror of Assets.assetUpsertMerge: container graphs from a 21-day
+    * (T1) and 7-day (T2) window, full-outer merged per EAN — newest
+    * run's scalars, UNIONED edge sets (the reference's accumulate-over-
+    * runs contract).
+    */
+  val assetUpsertMerge: String = {
+    def containerArm(c: String, ts: String): String =
+      s"""SELECT $ts AS asset_ts,
+         |    'container:' || container_id AS asset_ean,
+         |    'container' AS asset_type,
+         |    container_id AS asset_id,
+         |    array_to_string(list_slice(list_sort(array_agg(DISTINCT 'service:' || service_name)), 1, ${operators.Assets.MaxEdges}), '|')
+         |      AS asset_children,
+         |    COALESCE(array_to_string(list_slice(list_sort(array_agg(DISTINCT 'k8s.pod:' || kubernetes_pod_uid)
+         |               FILTER (WHERE kubernetes_pod_uid IS NOT NULL)), 1, ${operators.Assets.MaxEdges}), '|'), '')
+         |      AS asset_references
+         |  FROM $c WHERE rn = 1 AND container_id IS NOT NULL
+         |  GROUP BY container_id""".stripMargin
+    def mergeEdges(a: String, b: String): String =
+      s"""CASE WHEN $a IS NULL AND $b IS NULL THEN CAST(NULL AS VARCHAR)
+         |  ELSE COALESCE(array_to_string(list_slice(list_sort(list_distinct(list_concat(
+         |    CASE WHEN $a IS NULL OR $a = '' THEN CAST([] AS VARCHAR[]) ELSE str_split($a, '|') END,
+         |    CASE WHEN $b IS NULL OR $b = '' THEN CAST([] AS VARCHAR[]) ELSE str_split($b, '|') END
+         |  ))), 1, ${operators.Assets.MaxEdges}), '|'), '') END""".stripMargin
+    val batchWins =
+      "(b.asset_ts IS NOT NULL AND (s.asset_ts IS NULL OR b.asset_ts >= s.asset_ts))"
+    s"""WITH $signalsCte,
+       |${collapsedServicesCteNamed("sbase", "sc", 21)},
+       |${collapsedServicesCteNamed("nbase", "nc", 7)},
+       |state AS (
+       |  ${containerArm("sc", batchTs)}
+       |),
+       |batch AS (
+       |  ${containerArm("nc", batchTs2)}
+       |)
+       |SELECT
+       |  CASE WHEN $batchWins THEN b.asset_ts ELSE s.asset_ts END AS asset_ts,
+       |  asset_ean,
+       |  CASE WHEN $batchWins THEN b.asset_type ELSE s.asset_type END AS asset_type,
+       |  CASE WHEN $batchWins THEN b.asset_id ELSE s.asset_id END AS asset_id,
+       |  CAST(NULL AS VARCHAR) AS asset_name,
+       |  CAST(NULL AS VARCHAR) AS asset_parents,
+       |  ${mergeEdges("s.asset_children", "b.asset_children")} AS asset_children,
+       |  ${mergeEdges("s.asset_references", "b.asset_references")} AS asset_references,
+       |  CAST(NULL AS VARCHAR) AS service_environment,
+       |  CAST(NULL AS VARCHAR) AS cloud_provider,
+       |  CAST(NULL AS VARCHAR) AS orchestrator_cluster_name
+       |FROM state s FULL OUTER JOIN batch b USING (asset_ean)""".stripMargin
+  }
+
   /** Mirror of Assets.assetUpsert: 21-day state (T1) merged with a
     * 7-day batch (T2); newest asset_ts wins, batch wins ties.
     */

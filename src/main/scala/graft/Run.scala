@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.operators.Assets
+import graft.sources.{AssetSink, DebugSink, SourceRegistry}
+
+/** CLI orchestration — the engine's `run.ts` (reference run.ts:8-44):
+  * `--read` names the signal source (validated against the registry the
+  * way run.ts:28-34 validates cluster names), `--write` is the asset
+  * sink path, `--data` the table directory. Unlike the reference, the
+  * bulk-write step is implemented, not `// TBA` (run.ts:12-15): every
+  * asset pipeline runs, conforms to the fixed schema, and lands
+  * asset_type-partitioned via [[AssetSink]].
+  *
+  * Usage: graft.Run --read signals_all --write /tmp/assets [--data DIR]
+  */
+object Run {
+
+  def parseArgs(args: Array[String]): Map[String, String] =
+    args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap
+
+  def main(args: Array[String]): Unit = {
+    val opts = parseArgs(args)
+    val read = opts.getOrElse("read",
+      throw new IllegalArgumentException("--read <source> is required"))
+    val write = opts.getOrElse("write",
+      throw new IllegalArgumentException("--write <path> is required"))
+    val dir = opts.getOrElse("data", "/root/testdata/sf0.001")
+
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // fail fast on unknown source names, like run.ts:28-34
+    SourceRegistry.forDir(dir).resolve(read)
+
+    val assets = Assets.assetsAll(spark, dir)
+    // the reference logs results + queries (run.ts:18-19) — dump the
+    // plan and a sample, then bulk-write
+    println(DebugSink.dumpPlan(assets))
+    println(DebugSink.dumpRows(assets, 5))
+    AssetSink.write(assets, write)
+    println(s"""{"written": ${spark.read.parquet(write).count()}, "path": "$write"}""")
+    spark.stop()
+  }
+}

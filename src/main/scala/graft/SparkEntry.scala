@@ -33,6 +33,7 @@ object SparkEntry {
     "svc_multivalued"   -> ((s, d) => Assets.svcMultivalued(s, d)),
     "assets_all"        -> ((s, d) => Assets.assetsAll(s, d)),
     "asset_upsert"      -> ((s, d) => Assets.assetUpsert(s, d)),
+    "asset_upsert_merge" -> ((s, d) => Assets.assetUpsertMerge(s, d)),
     // General relational operator library (SURVEY.md §7.2 step 4)
     "q1_pricing_summary" -> ((s, d) => Relational.q1PricingSummary(s, d)),
     "q2_filter_project"  -> ((s, d) => Relational.q2FilterProject(s, d)),
@@ -113,6 +114,7 @@ object SparkEntry {
     "svc_multivalued"   -> OracleAssets.svcMultivalued,
     "assets_all"        -> OracleAssets.assetsAll,
     "asset_upsert"      -> OracleAssets.assetUpsert,
+    "asset_upsert_merge" -> OracleAssets.assetUpsertMerge,
     "q1_pricing_summary" -> OracleRelational.q1,
     "q2_filter_project"  -> OracleRelational.q2,
     "q3_join_agg"        -> OracleRelational.q3,

@@ -229,8 +229,8 @@ object Assets {
     * 100 TB the collapse step has already reduced cardinality to
     * distinct services, so the agg input is tiny.
     */
-  def containerGraph(spark: SparkSession, dir: String): DataFrame =
-    collapsedServiceSignals(spark, dir)
+  def containerAssets(collapsed: DataFrame, ts: Column): DataFrame =
+    collapsed
       .where(col("container_id").isNotNull)
       .groupBy(col("container_id"))
       .agg(
@@ -242,13 +242,16 @@ object Assets {
           .as("asset_references")
       )
       .select(
-        batchTs.as("asset_ts"),
+        ts.as("asset_ts"),
         ean("container", col("container_id")).as("asset_ean"),
         lit("container").as("asset_type"),
         col("container_id").as("asset_id"),
         col("asset_children"),
         col("asset_references")
       )
+
+  def containerGraph(spark: SparkSession, dir: String): DataFrame =
+    containerAssets(collapsedServiceSignals(spark, dir), batchTs)
 
   // ---------------------------------------------------------------------
   // collectPods: pod/node/cluster graph (SURVEY.md §3.3)
@@ -400,5 +403,60 @@ object Assets {
       collapsedServiceSignalsFrom(Tables.signals(spark, dir), "7 DAY"),
       lit(BatchTs2).cast("timestamp"))
     upsertAssets(state, batch)
+  }
+
+  /** Union of two serialized edge sets (null/'' = empty), re-canonical-
+    * ized: sorted, deduped, capped. The merge form of [[edgeList]].
+    */
+  def mergeEdgeLists(a: Column, b: Column): Column = {
+    def arr(c: Column): Column =
+      when(c.isNull || c === "", expr("CAST(array() AS array<string>)"))
+        .otherwise(split(c, "\\|"))
+    concat_ws("|",
+      slice(sort_array(array_distinct(concat(arr(a), arr(b)))), 1, MaxEdges))
+  }
+
+  /** Edge-MERGING upsert: the reference's cross-run contract is that
+    * graph assets accumulate — `asset.children` of a container grows as
+    * later runs observe new services (find-or-create + push,
+    * lib/collectServices.ts:125-168 across runs). A replace-upsert
+    * ([[upsertAssets]]) would forget edges the new window didn't see;
+    * this merge takes the newest run's scalars but UNIONS the edge
+    * sets. One full-outer shuffle on asset_ean.
+    */
+  def upsertAssetsMergeEdges(state: DataFrame, batch: DataFrame): DataFrame = {
+    val edgeCols = Seq("asset_children", "asset_references")
+    val scalarCols = AssetSchema.schema.fieldNames.toSeq
+      .filterNot(edgeCols.contains).filterNot(_ == "asset_ean")
+    val s = AssetSchema.conform(state).columns.foldLeft(AssetSchema.conform(state)) {
+      (df, c) => if (c == "asset_ean") df else df.withColumnRenamed(c, s"s_$c")
+    }
+    val b = AssetSchema.conform(batch).columns.foldLeft(AssetSchema.conform(batch)) {
+      (df, c) => if (c == "asset_ean") df else df.withColumnRenamed(c, s"b_$c")
+    }
+    val batchWins = col("b_asset_ts").isNotNull &&
+      (col("s_asset_ts").isNull || col("b_asset_ts") >= col("s_asset_ts"))
+    val merged = s.join(b, Seq("asset_ean"), "full_outer").select(
+      Seq(col("asset_ean")) ++
+        scalarCols.map(c =>
+          when(batchWins, col(s"b_$c")).otherwise(col(s"s_$c")).as(c)) ++
+        edgeCols.map(c =>
+          when(col(s"s_$c").isNull && col(s"b_$c").isNull, lit(null).cast("string"))
+            .otherwise(mergeEdgeLists(col(s"s_$c"), col(s"b_$c"))).as(c)): _*)
+    AssetSchema.conform(merged)
+  }
+
+  /** Merge-upsert exercised on the container graph: 21-day state at T1
+    * merged with a 7-day batch at T2 — children/reference edge sets
+    * union across the runs, scalars follow the newest run.
+    */
+  def assetUpsertMerge(spark: SparkSession, dir: String): DataFrame = {
+    val sig = Tables.signals(spark, dir)
+    val state = containerAssets(
+      collapsedServiceSignalsFrom(sig, "21 DAY"), batchTs)
+    val batch = containerAssets(
+      collapsedServiceSignalsFrom(sig, "7 DAY"),
+      lit(BatchTs2).cast("timestamp"))
+    upsertAssetsMergeEdges(state, batch)
   }
 }
