@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{col, sum, xxhash64}
+import org.apache.spark.sql.functions.{col, expr, xxhash64}
 import java.nio.file.{Files, Paths}
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -16,11 +16,14 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Full-width sink: hash every output column and fold, so Catalyst
     // cannot prune unreferenced columns the way a bare .count() lets it
-    // (projection queries would otherwise measure scan-only).
+    // (projection queries would otherwise measure scan-only). The fold
+    // is bit_xor, NOT sum: summing 64-bit hashes overflows almost
+    // immediately under ANSI mode and would abort the query mid-scan,
+    // silently under-measuring it.
     def drive(name: String): Unit = {
       val df = SparkEntry.queries(name)(spark, sfDir)
       df.select(xxhash64(df.columns.map(col): _*).as("h"))
-        .agg(sum("h")).head()
+        .agg(expr("bit_xor(h)")).head()
     }
     // Untimed warmup over each table family (TPC-H star, events/signals,
     // documents, embeddings): JVM/codegen/parquet-footer startup lands

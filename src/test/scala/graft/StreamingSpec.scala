@@ -128,6 +128,45 @@ class StreamingSpec extends SparkSpec {
       "service:d" -> "2024-02-01 00:00:00.0"))
   }
 
+  test("mergeEdgeLists: commutative, idempotent, deduped, '' and null handled") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      ("b|c", "a|b"),
+      ("", "x"),
+      (null.asInstanceOf[String], "y|y2"),
+      ("", "")
+    ).toDF("a", "b")
+    val out = df.select(
+      Assets.mergeEdgeLists(col("a"), col("b")).as("ab"),
+      Assets.mergeEdgeLists(col("b"), col("a")).as("ba")).collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("a|b|c", "x", "y|y2", ""))
+    // commutative
+    out.foreach(r => assert(r.getString(0) === r.getString(1)))
+    // idempotent
+    val idem = df.select(Assets.mergeEdgeLists(
+      Assets.mergeEdgeLists(col("a"), col("b")),
+      Assets.mergeEdgeLists(col("a"), col("b"))).as("m")).collect()
+    assert(idem.map(_.getString(0)).toSeq === Seq("a|b|c", "x", "y|y2", ""))
+  }
+
+  test("upsertAssetsMergeEdges unions edges while scalars follow the newest run") {
+    val out = Assets.assetUpsertMerge(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val state = Assets.containerAssets(
+      Assets.collapsedServiceSignalsFrom(
+        graft.sources.Tables.signals(spark, sfDir), "21 DAY"), Assets.batchTs)
+      .select(col("asset_ean"), col("asset_children")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val merged = Assets.assetUpsertMerge(spark, sfDir)
+      .select(col("asset_ean"), col("asset_children")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // every state edge survives the merge (union semantics)
+    state.foreach { case (ean, children) =>
+      val got = merged(ean).split("\\|").toSet
+      assert(children.split("\\|").toSet.subsetOf(got), s"edges lost for $ean")
+    }
+  }
+
   test("assetUpsert: recent services carry T2, stale ones keep T1") {
     val out = Assets.assetUpsert(spark, sfDir)
     assert(out.count() ===
