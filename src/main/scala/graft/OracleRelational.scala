@@ -269,6 +269,31 @@ object OracleRelational {
       |FROM lineitem
       |GROUP BY l_returnflag""".stripMargin
 
+  /** Salting is an execution detail: the oracle is the plain count. */
+  val q34: String =
+    """SELECT word, count(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |GROUP BY word""".stripMargin
+
+  val q36: String =
+    """SELECT event_id, user_id, ts,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS rolling_7d_value,
+      |  count(*) OVER w AS rolling_7d_n
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  val q37: String =
+    """SELECT event_id, user_id, ts,
+      |  lag(event_type, 1) OVER w AS prev_type,
+      |  lead(event_type, 1) OVER w AS next_type,
+      |  first_value(event_id) OVER wf AS first_event,
+      |  last_value(event_id) OVER wf AS last_event
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+      |  wf AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin
+
   /** Pivot as portable conditional aggregation (count of no rows is 0,
     * matching the Spark side's fill).
     */

@@ -82,6 +82,9 @@ object SparkEntry {
     "dedup_fuzzy_edit"    -> ((s, d) => TextOps.dedupFuzzyEdit(s, d)),
     "dedup_clusters"      -> ((s, d) => TextOps.dedupClusters(s, d)),
     "q33_pivot"           -> ((s, d) => Relational.q33Pivot(s, d)),
+    "q34_salted_wordcount" -> ((s, d) => Relational.q34SaltedWordcount(s, d)),
+    "q36_rolling_window"  -> ((s, d) => Relational.q36RollingWindow(s, d)),
+    "q37_lead_lag"        -> ((s, d) => Relational.q37LeadLag(s, d)),
     // LLM-data-pipeline: embedding similarity search (embeddings table)
     "emb_knn_exact"  -> ((s, d) => VectorOps.knnExact(s, d)),
     "emb_knn_native" -> ((s, d) => VectorOps.knnExactNative(s, d)),
@@ -161,6 +164,9 @@ object SparkEntry {
     "dedup_fuzzy_edit"    -> OracleText.dedupFuzzyEdit,
     "dedup_clusters"      -> OracleText.dedupClusters,
     "q33_pivot"           -> OracleRelational.q33,
+    "q34_salted_wordcount" -> OracleRelational.q34,
+    "q36_rolling_window"  -> OracleRelational.q36,
+    "q37_lead_lag"        -> OracleRelational.q37,
     "emb_knn_exact"  -> OracleVectors.knnExact,
     "emb_knn_native" -> OracleVectors.knnExact,
     "emb_knn_lsh"    -> OracleVectors.knnLsh,

@@ -456,4 +456,52 @@ object Relational {
       .pivot("event_type", Seq("view", "click", "purchase"))
       .agg(count(lit(1)))
       .na.fill(0L, Seq("view", "click", "purchase"))
+
+  /** Salted two-level aggregation — the skew-mitigation pattern for hot
+    * keys (stopwords dominate a word count the way hot entities
+    * dominate any 100 TB groupBy): round 1 aggregates on
+    * (key, salt = hash % 16) spreading each hot key over 16 reducers;
+    * round 2 merges the per-salt partials. The salt is an execution
+    * detail — the result (and the oracle) is a plain word count.
+    */
+  val SaltBuckets = 16
+
+  def q34SaltedWordcount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .withColumn("salt",
+        pmod(xxhash64(monotonically_increasing_id()), lit(SaltBuckets)))
+      .groupBy(col("word"), col("salt"))
+      .agg(count(lit(1)).as("partial_n"))
+      .groupBy(col("word"))
+      .agg(sum(col("partial_n")).as("n"))
+
+  /** Rolling 7-day range-frame window per user: time-based frames are
+    * the other window family (RANGE, not ROWS); decimal-accumulated
+    * value sum keeps the result order-independent.
+    */
+  def q36RollingWindow(spark: SparkSession, dir: String): DataFrame = {
+    // range frame over epoch-micros (numeric RANGE ordering)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tsu"))
+      .rangeBetween(-7L * 24 * 3600 * 1000000, 0)
+    Tables.events(spark, dir)
+      .withColumn("tsu", unix_micros(col("ts")))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        sum(col("value").cast("decimal(18,2)")).over(w)
+          .cast("double").as("rolling_7d_value"),
+        count(lit(1)).over(w).as("rolling_7d_n"))
+  }
+
+  /** lead/lag/first/last navigation family over a per-user total order. */
+  def q37LeadLag(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(spark, dir).select(
+      col("event_id"), col("user_id"), col("ts"),
+      lag(col("event_type"), 1).over(w).as("prev_type"),
+      lead(col("event_type"), 1).over(w).as("next_type"),
+      first(col("event_id")).over(wf).as("first_event"),
+      last(col("event_id")).over(wf).as("last_event"))
+  }
 }
