@@ -83,6 +83,7 @@ object SparkEntry {
     "dedup_clusters"      -> ((s, d) => TextOps.dedupClusters(s, d)),
     "q33_pivot"           -> ((s, d) => Relational.q33Pivot(s, d)),
     "q34_salted_wordcount" -> ((s, d) => Relational.q34SaltedWordcount(s, d)),
+    "q35_approx_quantile" -> ((s, d) => Relational.q35ApproxQuantile(s, d)),
     "q36_rolling_window"  -> ((s, d) => Relational.q36RollingWindow(s, d)),
     "q37_lead_lag"        -> ((s, d) => Relational.q37LeadLag(s, d)),
     // LLM-data-pipeline: embedding similarity search (embeddings table)
@@ -140,6 +141,7 @@ object SparkEntry {
     "q20_scalar_subquery" -> OracleRelational.q20,
     "q21_count_distinct" -> OracleRelational.q21,
     // q22_approx_distinct: HLL sketch — not oracle-expressible; rows-only.
+    // q35_approx_quantile: GK sketch — not oracle-expressible; rows-only.
     "q23_star_join"      -> OracleRelational.q23,
     "q24_json"           -> OracleRelational.q24,
     "q25_array_funcs"    -> OracleRelational.q25,

@@ -476,6 +476,20 @@ object Relational {
       .groupBy(col("word"))
       .agg(sum(col("partial_n")).as("n"))
 
+  /** Approximate quantiles via the Greenwald-Khanna sketch
+    * (percentile_approx) — the mergeable-sketch path for quantiles at
+    * scale, complementing the exact q32. Like the HLL sketch (q22), no
+    * SQL oracle: sketch internals are engine-specific, so the driver
+    * records a rows-only check.
+    */
+  def q35ApproxQuantile(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile_approx(l_extendedprice, 0.5, 1000)").as("approx_median"),
+        expr("percentile_approx(l_extendedprice, 0.99, 1000)").as("approx_p99"),
+        count(lit(1)).as("n"))
+
   /** Rolling 7-day range-frame window per user: time-based frames are
     * the other window family (RANGE, not ROWS); decimal-accumulated
     * value sum keeps the result order-independent.
