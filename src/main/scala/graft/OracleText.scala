@@ -199,6 +199,18 @@ object OracleText {
        |GROUP BY simhash
        |HAVING count(*) > 1""".stripMargin
 
+  /** Mirror of TextOps.normalize (ASCII-only regex — Java and RE2
+    * agree).
+    */
+  val normalize: String =
+    """SELECT doc_id,
+      |  trim(regexp_replace(regexp_replace(lower(text),
+      |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS text_clean,
+      |  CAST(length(text) AS BIGINT) AS n_chars_raw,
+      |  CAST(length(trim(regexp_replace(regexp_replace(lower(text),
+      |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS n_chars_clean
+      |FROM documents""".stripMargin
+
   /** Mirror of TextOps.dedupClusters: the same CcRounds unrolled
     * min-label propagation over the LSH pair graph.
     */

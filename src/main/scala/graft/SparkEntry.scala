@@ -79,6 +79,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => TextOps.dedupNgramJaccard(s, d)),
     "dedup_simhash"       -> ((s, d) => TextOps.dedupSimhash(s, d)),
     "txt_tfidf"           -> ((s, d) => TextOps.tfidf(s, d)),
+    "txt_normalize"       -> ((s, d) => TextOps.normalize(s, d)),
     "dedup_fuzzy_edit"    -> ((s, d) => TextOps.dedupFuzzyEdit(s, d)),
     "dedup_clusters"      -> ((s, d) => TextOps.dedupClusters(s, d)),
     "q33_pivot"           -> ((s, d) => Relational.q33Pivot(s, d)),
@@ -163,6 +164,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> OracleText.dedupNgramJaccard,
     "dedup_simhash"       -> OracleText.dedupSimhash,
     "txt_tfidf"           -> OracleText.tfidf,
+    "txt_normalize"       -> OracleText.normalize,
     "dedup_fuzzy_edit"    -> OracleText.dedupFuzzyEdit,
     "dedup_clusters"      -> OracleText.dedupClusters,
     "q33_pivot"           -> OracleRelational.q33,

@@ -269,6 +269,21 @@ object TextOps {
           .as("max_len"))
   }
 
+  /** Text normalization — the cleaning pass that precedes tokenization
+    * in a pretraining pipeline: lowercase, strip non-alphanumerics,
+    * collapse whitespace runs, trim. Patterns stay in the ASCII subset
+    * where Java regex (Spark) and RE2 (DuckDB) agree, so the oracle is
+    * exact.
+    */
+  def normalize(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      trim(regexp_replace(regexp_replace(lower(col("text")),
+        "[^a-z0-9 ]", " "), " +", " ")).as("text_clean"),
+      length(col("text")).cast("long").as("n_chars_raw"),
+      length(trim(regexp_replace(regexp_replace(lower(col("text")),
+        "[^a-z0-9 ]", " "), " +", " "))).cast("long").as("n_chars_clean"))
+
   /** Rounds of min-label propagation in [[dedupClusters]]. Bounded and
     * unrolled so the DuckDB oracle mirrors the EXACT same computation;
     * near-dup clusters are short chains (pair graph diameter small), so
