@@ -66,7 +66,7 @@ object Tables {
     * deterministically from `events` (FIXTURES.md §3 mapping guidance:
     * event_type ≈ metricset.name, user_id ≈ entity key, props JSON for
     * parent fields). The same derivation is written in ANSI SQL at
-    * [[graft.Oracle.signalsCte]] so DuckDB sees identical data.
+    * [[graft.OracleAssets.signalsCte]] so DuckDB sees identical data.
     *
     * All derivations are pure per-row projections — no shuffle, fully
     * codegen'd, and cost nothing at 100 TB beyond the scan itself.
