@@ -4,6 +4,28 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types._
 
+/** The `asset.type` literal union (`'service' | 'container' |
+  * 'k8s.pod' | 'k8s.node'` plus the cluster EAN prefix — reference
+  * usage sites lib/collectServices.ts:6-7, lib/collectPods.ts:6-7)
+  * as a sealed ADT for the typed Dataset side (SURVEY.md §1.4).
+  */
+sealed abstract class AssetType(val name: String)
+object AssetType {
+  case object Service extends AssetType("service")
+  case object Container extends AssetType("container")
+  case object K8sPod extends AssetType("k8s.pod")
+  case object K8sNode extends AssetType("k8s.node")
+  case object K8sCluster extends AssetType("k8s.cluster")
+
+  val all: Seq[AssetType] = Seq(Service, Container, K8sPod, K8sNode, K8sCluster)
+
+  def fromString(s: String): Option[AssetType] = all.find(_.name == s)
+
+  /** Type prefix of an EAN ("service:opbeans" → Service). */
+  def ofEan(ean: String): Option[AssetType] =
+    fromString(ean.takeWhile(_ != ':'))
+}
+
 /** Typed asset output document — `SimpleAsset<T>` (reference
   * types.ts:1-13) re-expressed for Spark: dotted ES keys become
   * snake_case columns; the graph-edge string arrays

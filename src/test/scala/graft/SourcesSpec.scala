@@ -63,6 +63,18 @@ class SourcesSpec extends SparkSpec {
     assert(back.columns.toSet === AssetSchema.schema.fieldNames.toSet)
   }
 
+  test("AssetType ADT round-trips every emitted asset_type and EAN prefix") {
+    import graft.sources.AssetType
+    val types = Assets.assetsAll(spark, sfDir)
+      .select("asset_type").distinct().collect().map(_.getString(0))
+    assert(types.nonEmpty)
+    types.foreach(t => assert(AssetType.fromString(t).isDefined, t))
+    val eans = Assets.assetsAll(spark, sfDir)
+      .select("asset_ean").collect().map(_.getString(0))
+    eans.foreach(e => assert(AssetType.ofEan(e).isDefined, e))
+    assert(AssetType.fromString("nope").isEmpty)
+  }
+
   test("multi-valued unwrap: first tag or null on empty (P3 singleItem)") {
     val out = Assets.svcMultivalued(spark, sfDir)
     assert(out.where(col("n_tags") === 0 && col("primary_tag").isNotNull).count() === 0)
