@@ -1,0 +1,67 @@
+package graft
+
+/** Physical-plan regression tests: the scale properties this library
+  * claims (pushdown, pruning, broadcasts, no shuffling where none is
+  * needed) asserted against the actual executed plans, so a refactor
+  * that silently loses one fails CI — not a 100 TB run.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("q2: filters and projection reach the parquet scan") {
+    val p = plan("q2_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(800))
+    // plan strings truncate long filter lists — match the stable prefix
+    assert(p.contains("GreaterThanOrEqual(l_shipda"), p.take(800))
+    // column pruning: the scan must not read unprojected columns
+    assert(!p.contains("l_comment"))
+    assert(p.split("\n").count(_.contains("Exchange hashpartitioning")) === 0)
+  }
+
+  test("q23 star join: every dimension broadcasts, one shuffle total") {
+    val p = plan("q23_star_join")
+    assert(p.split("\n").count(_.contains("BroadcastHashJoin")) === 4, p.take(800))
+    assert(p.split("\n").count(_.contains("SortMergeJoin")) === 0)
+  }
+
+  test("flagship: two pushdown-pruned signal scans, no nested-loop joins") {
+    val p = plan("svc_summaries")
+    assert(p.split("\n").count(_.contains("FileScan")) === 2, p.take(800))
+    // the trailing-window bound is pushed as a literal raw-nanos filter
+    assert(p.contains("GreaterThanOrEqual(ts,"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoop"))
+  }
+
+  test("q15 top-k plans TakeOrderedAndProject, not a full sort") {
+    val p = plan("q15_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  test("minhash aggregates hash-based, never sort-based") {
+    val p = plan("dedup_minhash")
+    assert(!p.contains("SortAggregate"), p.take(800))
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("exact KNN broadcasts the query side; corpus never shuffles pre-window") {
+    val p = plan("emb_knn_exact")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(800))
+    // only the per-query window may shuffle
+    assert(p.split("\n").count(_.contains("Exchange hashpartitioning")) <= 1)
+  }
+
+  test("whole-stage codegen covers the relational hot paths") {
+    // codegen spans (the `*(n)` markers) appear once AQE finalizes, so
+    // execute before inspecting
+    for (q <- Seq("q1_pricing_summary", "q3_join_agg", "q8_window_topn")) {
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("*("), q + ":\n" + p.take(800))
+    }
+  }
+}
