@@ -199,6 +199,22 @@ object OracleText {
        |GROUP BY simhash
        |HAVING count(*) > 1""".stripMargin
 
+  /** Mirror of TextOps.split90_5_5 (hex fold = Spark conv base 16). */
+  val split: String =
+    s"""WITH b AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_transform(range(1, 16),
+       |      i -> CAST(strpos('0123456789abcdef', substring(
+       |             md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+       |      (a, d) -> a * 16 + d) % 100 AS bucket
+       |  FROM documents
+       |)
+       |SELECT doc_id, bucket,
+       |  CASE WHEN bucket < 90 THEN 'train'
+       |       WHEN bucket < 95 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM b""".stripMargin
+
   /** Mirror of TextOps.normalize (ASCII-only regex — Java and RE2
     * agree).
     */

@@ -80,6 +80,7 @@ object SparkEntry {
     "dedup_simhash"       -> ((s, d) => TextOps.dedupSimhash(s, d)),
     "txt_tfidf"           -> ((s, d) => TextOps.tfidf(s, d)),
     "txt_normalize"       -> ((s, d) => TextOps.normalize(s, d)),
+    "txt_split"           -> ((s, d) => TextOps.split90_5_5(s, d)),
     "dedup_fuzzy_edit"    -> ((s, d) => TextOps.dedupFuzzyEdit(s, d)),
     "dedup_clusters"      -> ((s, d) => TextOps.dedupClusters(s, d)),
     "q33_pivot"           -> ((s, d) => Relational.q33Pivot(s, d)),
@@ -165,6 +166,7 @@ object SparkEntry {
     "dedup_simhash"       -> OracleText.dedupSimhash,
     "txt_tfidf"           -> OracleText.tfidf,
     "txt_normalize"       -> OracleText.normalize,
+    "txt_split"           -> OracleText.split,
     "dedup_fuzzy_edit"    -> OracleText.dedupFuzzyEdit,
     "dedup_clusters"      -> OracleText.dedupClusters,
     "q33_pivot"           -> OracleRelational.q33,

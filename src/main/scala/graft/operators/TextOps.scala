@@ -269,6 +269,22 @@ object TextOps {
           .as("max_len"))
   }
 
+  /** Deterministic train/val/test split by content-stable hash — the
+    * split must not depend on row order, partitioning, or a seed that
+    * can drift between runs, so the bucket is a digest of the document
+    * id: md5 prefix parsed as a 60-bit int, mod 100 (90/5/5). Identical
+    * in DuckDB via the explicit hex fold.
+    */
+  def split90_5_5(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      expr("""CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10)
+              AS BIGINT) % 100""").as("bucket"))
+      .select(col("doc_id"), col("bucket"),
+        when(col("bucket") < 90, lit("train"))
+          .when(col("bucket") < 95, lit("val"))
+          .otherwise(lit("test")).as("split"))
+
   /** Text normalization — the cleaning pass that precedes tokenization
     * in a pretraining pipeline: lowercase, strip non-alphanumerics,
     * collapse whitespace runs, trim. Patterns stay in the ASCII subset
