@@ -348,7 +348,7 @@ object OracleText {
        |)
        |SELECT d.lang,
        |  count(*) AS n_docs,
-       |  sum(k.n_words) AS n_words_total,
+       |  CAST(sum(k.n_words) AS BIGINT) AS n_words_total,
        |  min(k.doc_id) AS first_doc,
        |  max(k.doc_id) AS last_doc
        |FROM kept k JOIN documents d USING (doc_id)

@@ -106,9 +106,14 @@ object OracleVectors {
        |  GROUP BY label, p.pos
        |)""".stripMargin
 
+  /** centroid_sum leaves as its exact digit string (see
+    * VectorOps.centroids: DECIMAL output rendering is the one
+    * engine-divergent type in the driver's compare).
+    */
   val centroids: String =
     s"""WITH $centroidsCte
-       |SELECT label, pos, centroid_sum, n,
+       |SELECT label, pos,
+       |  CAST(centroid_sum AS VARCHAR) AS centroid_sum, n,
        |  CAST(centroid_sum AS DOUBLE) / $scale / n AS mean
        |FROM cent""".stripMargin
 

@@ -62,18 +62,35 @@ for name, sql in sorted(oracle.items()):
     bad = 0
     for c in sc:
         av, bv = a[c], b[c]
-        if av.dtype.kind == 'f' or bv.dtype.kind == 'f':
+        # STRICT dtype-kind agreement: the driver hashes raw values, so
+        # int64 3 vs float64 3.0 (e.g. a DuckDB HUGEINT sum surfacing as
+        # float) or a Decimal object MUST fail here like it fails there.
+        # Round 2's three "local green, driver red" queries were all this.
+        ak, bk = av.dtype.kind, bv.dtype.kind
+        if ak != bk:
+            bad += len(av)
+            print(f"  dtype {name}.{c}: spark kind '{ak}' vs oracle kind "
+                  f"'{bk}' — driver hash would mismatch")
+            continue
+        if ak == 'f':
             import numpy as np
             eq = np.isclose(av.astype(float), bv.astype(float),
                             rtol=0, atol=0, equal_nan=True)
             exact_bad = int((~eq).sum())
             if exact_bad:
-                close = np.isclose(av.astype(float), bv.astype(float),
-                                   rtol=1e-9, equal_nan=True)
-                print(f"  [warn] {name}.{c}: {exact_bad} not bit-equal, "
-                      f"{int((~close).sum())} beyond 1e-9 rtol")
-                bad += int((~close).sum())
+                bad += exact_bad
+                i = int(np.argmax(~eq))
+                print(f"  diff {name}.{c}: {exact_bad} not bit-equal; "
+                      f"@row{i}: spark={av[i]!r} oracle={bv[i]!r}")
         else:
+            if ak == 'O':
+                nonstr = [type(v).__name__ for v in list(av.dropna()) +
+                          list(bv.dropna()) if not isinstance(v, str)]
+                if nonstr:
+                    bad += 1
+                    print(f"  type {name}.{c}: non-string objects "
+                          f"{sorted(set(nonstr))} — serialize to a scalar")
+                    continue
             neq = (av != bv) & ~(av.isna() & bv.isna())
             if neq.any():
                 bad += int(neq.sum())
