@@ -34,10 +34,24 @@ object Bench {
     for (w <- Seq("q1_pricing_summary", "svc_collapse", "txt_tokens",
         "emb_centroids", "dedup_minhash"))
       try drive(w) catch { case _: Throwable => () }
+    // Per-query instrumentation to stderr as the run progresses:
+    // wall seconds plus the session's cumulative GC time delta, so a
+    // regression is attributable (slow plan vs collector pressure from
+    // leaked state) from the driver's captured log alone.
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      val g0 = gcMillis()
       val t0 = System.nanoTime()
-      try drive(name) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      try drive(name) catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name%-22s ${secs}%8.3f s  gc+${gcMillis() - g0}%5d ms")
+      name -> secs
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -189,6 +189,12 @@ object OracleAssets {
        |  CAST(len(service_tags) AS BIGINT) AS n_tags
        |FROM signals""".stripMargin
 
+  /** Mirror of Assets.hostFamily: the `host.*` wildcard family read. */
+  val hostFamily: String =
+    s"""WITH $signalsCte
+       |SELECT event_id, host_name, host_hostname
+       |FROM signals""".stripMargin
+
   /** All four asset pipelines conformed to the fixed output schema
     * (AssetSchema.schema order), unioned — mirror of Assets.assetsAll.
     */

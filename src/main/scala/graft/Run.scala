@@ -3,17 +3,22 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 import graft.operators.Assets
-import graft.sources.{AssetSink, DebugSink, SourceRegistry}
+import graft.sources.{AssetSink, DebugSink, SourceRegistry, Tables}
 
 /** CLI orchestration — the engine's `run.ts` (reference run.ts:8-44):
-  * `--read` names the signal source (validated against the registry the
-  * way run.ts:28-34 validates cluster names), `--write` is the asset
-  * sink path, `--data` the table directory. Unlike the reference, the
-  * bulk-write step is implemented, not `// TBA` (run.ts:12-15): every
-  * asset pipeline runs, conforms to the fixed schema, and lands
-  * asset_type-partitioned via [[AssetSink]].
+  * `--read` names the signal source (resolved against the registry the
+  * way run.ts:28-34 validates cluster names — and actually READ: the
+  * resolved ref feeds every asset pipeline), `--write` is the asset
+  * sink path, `--data` the table directory. `--sources` selects the
+  * registry layout (`local` | `ccs`, the ES_IS_CCS analog,
+  * constants.ts:7-21; `ccs` needs `--remote DIR` for the second
+  * cluster's paths). Unlike the reference, the bulk-write step is
+  * implemented, not `// TBA` (run.ts:12-15): every asset pipeline
+  * runs, conforms to the fixed schema, and lands asset_type-partitioned
+  * via [[AssetSink]].
   *
-  * Usage: graft.Run --read signals_all --write /tmp/assets [--data DIR]
+  * Usage: graft.Run --read signals_all --write /tmp/assets
+  *        [--data DIR] [--sources local|ccs] [--remote DIR]
   */
 object Run {
 
@@ -40,10 +45,13 @@ object Run {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // fail fast on unknown source names, like run.ts:28-34
-    SourceRegistry.forDir(dir).resolve(read)
+    // fail fast on unknown layout/source names, like run.ts:28-34
+    val registry = SourceRegistry.layout(
+      opts.getOrElse("sources", "local"), dir, opts.get("remote").orNull)
+    registry.resolve(read)
 
-    val assets = Assets.assetsAll(spark, dir)
+    val sig = Tables.signalsFrom(Tables.eventsFrom(registry.read(spark, read)))
+    val assets = Assets.assetsAllFrom(sig)
     // the reference logs results + queries (run.ts:18-19) — dump the
     // plan and a sample, then bulk-write
     println(DebugSink.dumpPlan(assets))

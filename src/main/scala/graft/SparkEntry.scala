@@ -31,6 +31,7 @@ object SparkEntry {
     "node_graph"      -> ((s, d) => Assets.nodeGraph(s, d)),
     "pods_multi_source" -> ((s, d) => Assets.podsMultiSource(s, d)),
     "svc_multivalued"   -> ((s, d) => Assets.svcMultivalued(s, d)),
+    "sig_host_family"   -> ((s, d) => Assets.hostFamily(s, d)),
     "assets_all"        -> ((s, d) => Assets.assetsAll(s, d)),
     "asset_upsert"      -> ((s, d) => Assets.assetUpsert(s, d)),
     "asset_upsert_merge" -> ((s, d) => Assets.assetUpsertMerge(s, d)),
@@ -118,6 +119,7 @@ object SparkEntry {
     "node_graph"      -> OracleAssets.nodeGraph,
     "pods_multi_source" -> OracleAssets.podsMultiSource,
     "svc_multivalued"   -> OracleAssets.svcMultivalued,
+    "sig_host_family"   -> OracleAssets.hostFamily,
     "assets_all"        -> OracleAssets.assetsAll,
     "asset_upsert"      -> OracleAssets.assetUpsert,
     "asset_upsert_merge" -> OracleAssets.assetUpsertMerge,

@@ -18,11 +18,22 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Failure path mirrors the reference's searchAndPrintQueryOnError
+    // (lib/collectServicesFromSummaries.ts:327-335): a failing action
+    // dumps the QUERY it was running — here the formatted physical
+    // plan — not just the exception message, so the failing operator
+    // is identifiable from the driver's captured log alone.
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      var df: org.apache.spark.sql.DataFrame = null
+      try {
+        df = fn(spark, sfDir)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        if (df != null)
+          try System.err.println(
+            s"[verify] $name plan:\n" + graft.sources.DebugSink.dumpPlan(df))
+          catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -24,7 +24,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * oracle.
   *
   * Mismatched lengths fold over the common prefix; null arrays are
-  * null-propagated by the BinaryExpression contract.
+  * null-propagated by the BinaryExpression contract, and a null
+  * ELEMENT inside the common prefix null-propagates the whole result —
+  * `getFloat` on a null slot would otherwise silently read 0.0, where
+  * the composed `zip_with`/`aggregate` form yields a null sim; the
+  * explicit `isNullAt` check keeps the two forms bit-compatible on
+  * arrays containing nulls (parquet list elements are nullable by
+  * default, so this path is reachable from every scan).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -53,6 +59,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var ny = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getFloat(i).toDouble
       val yi = y.getFloat(i).toDouble
       dot += xi * yi
@@ -78,13 +85,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |double $nx = 0.0;
          |double $ny = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  double $xi = (double) $a.getFloat($i);
          |  double $yi = (double) $b.getFloat($i);
          |  $dot += $xi * $yi;
          |  $nx += $xi * $xi;
          |  $ny += $yi * $yi;
          |}
-         |${ev.value} = $dot / (Math.sqrt($nx) * Math.sqrt($ny));
+         |${ev.value} = ${ev.isNull} ? 0.0 : $dot / (Math.sqrt($nx) * Math.sqrt($ny));
        """.stripMargin
     })
 

@@ -187,8 +187,16 @@ object Assets {
     * full scan here fixes that by construction.
     */
   def collapsedServiceSignalsFrom(sig: DataFrame, interval: String): DataFrame =
+    collapsedServiceSignalsFrom(sig, interval, Tables.maxBound(sig, "ts"))
+
+  /** Bound-threaded variant: callers composing several windowed
+    * pipelines over one source fetch `Tables.maxBound` once and share
+    * it (see that Scaladoc).
+    */
+  def collapsedServiceSignalsFrom(sig: DataFrame, interval: String,
+      bound: Any): DataFrame =
     collapseLatest(
-      Tables.trailing(sig, "ts", interval)
+      Tables.trailingWithBound(sig, "ts", interval, bound)
         .where(col("service_name").isNotNull),
       "service_name")
 
@@ -263,8 +271,11 @@ object Assets {
     * pipeline runs over single- or multi-path sources.
     */
   def collapsedPodSignalsFrom(sig: DataFrame): DataFrame =
+    collapsedPodSignalsFrom(sig, Tables.maxBound(sig, "ts"))
+
+  def collapsedPodSignalsFrom(sig: DataFrame, bound: Any): DataFrame =
     collapseLatest(
-      Tables.trailing(sig, "ts", "21 DAY")
+      Tables.trailingWithBound(sig, "ts", "21 DAY", bound)
         .where(col("kubernetes_pod_uid").isNotNull &&
           col("kubernetes_node_name").isNotNull),
       "kubernetes_pod_uid")
@@ -322,16 +333,39 @@ object Assets {
       size(col("service_tags")).cast("long").as("n_tags")
     )
 
+  /** Wildcard field-family projection as a registered operator — the
+    * reference's `host.*` read (lib/collectServicesFromSummaries.ts:196,
+    * SURVEY.md P1) over the signal view: the caller names the family
+    * prefix, [[Tables.selectFamily]] resolves the concrete columns, and
+    * Catalyst prunes the scan to exactly those.
+    */
+  def hostFamily(spark: SparkSession, dir: String): DataFrame =
+    Tables.selectFamily(Tables.signals(spark, dir), "event_id", "host_")
+
   /** Every asset pipeline, conformed to the fixed output schema
     * (SURVEY.md S4/S5) — the "one assets index" view a reference user
     * reads after a full collection run.
     */
-  def assetsAll(spark: SparkSession, dir: String): DataFrame = {
+  def assetsAll(spark: SparkSession, dir: String): DataFrame =
+    assetsAllFrom(Tables.signals(spark, dir))
+
+  /** [[assetsAll]] over ANY signal view — the seam [[graft.Run]] uses
+    * to honor `--read`: the registry-resolved source (single- or
+    * multi-path, any connector format) feeds the same four pipelines.
+    */
+  def assetsAllFrom(sig: DataFrame): DataFrame = {
+    // ONE eager bound fetch, shared by all four pipelines as a literal
+    // (the servicesFromSummaries discipline): round 2 let each pipeline
+    // re-derive its own trailing bound — 8 driver-blocking scan jobs
+    // before the real action.
+    val bound = Tables.maxBound(sig, "ts")
+    val svc = collapsedServiceSignalsFrom(sig, "21 DAY", bound)
+    val pod = collapsedPodSignalsFrom(sig, bound)
     val parts = Seq(
-      servicesCollapse(spark, dir),
-      containerGraph(spark, dir),
-      podsCollapse(spark, dir),
-      nodeGraph(spark, dir))
+      serviceAssetProjection(svc, batchTs),
+      containerAssets(svc, batchTs),
+      podAssets(pod),
+      nodeAssets(pod))
     parts.map(AssetSchema.conform).reduce(_.unionAll(_))
   }
 
@@ -341,7 +375,10 @@ object Assets {
     * [[containerGraph]].
     */
   def nodeGraph(spark: SparkSession, dir: String): DataFrame =
-    collapsedPodSignals(spark, dir)
+    nodeAssets(collapsedPodSignals(spark, dir))
+
+  def nodeAssets(collapsed: DataFrame): DataFrame =
+    collapsed
       .groupBy(col("kubernetes_node_name"))
       .agg(
         edgeList(collect_set(ean("k8s.pod", col("kubernetes_pod_uid"))))
@@ -398,9 +435,12 @@ object Assets {
     * row, stale ones keep the old.
     */
   def assetUpsert(spark: SparkSession, dir: String): DataFrame = {
-    val state = servicesCollapse(spark, dir)
+    val sig = Tables.signals(spark, dir)
+    val bound = Tables.maxBound(sig, "ts")
+    val state = serviceAssetProjection(
+      collapsedServiceSignalsFrom(sig, "21 DAY", bound), batchTs)
     val batch = serviceAssetProjection(
-      collapsedServiceSignalsFrom(Tables.signals(spark, dir), "7 DAY"),
+      collapsedServiceSignalsFrom(sig, "7 DAY", bound),
       lit(BatchTs2).cast("timestamp"))
     upsertAssets(state, batch)
   }
@@ -452,10 +492,11 @@ object Assets {
     */
   def assetUpsertMerge(spark: SparkSession, dir: String): DataFrame = {
     val sig = Tables.signals(spark, dir)
+    val bound = Tables.maxBound(sig, "ts")
     val state = containerAssets(
-      collapsedServiceSignalsFrom(sig, "21 DAY"), batchTs)
+      collapsedServiceSignalsFrom(sig, "21 DAY", bound), batchTs)
     val batch = containerAssets(
-      collapsedServiceSignalsFrom(sig, "7 DAY"),
+      collapsedServiceSignalsFrom(sig, "7 DAY", bound),
       lit(BatchTs2).cast("timestamp"))
     upsertAssetsMergeEdges(state, batch)
   }

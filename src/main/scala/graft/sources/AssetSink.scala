@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, lit, substring}
 import org.apache.spark.sql.types._
 
 /** The `asset.type` literal union (`'service' | 'container' |
@@ -69,9 +69,19 @@ object AssetSchema {
     StructField("cloud_provider", StringType, nullable = true),
     StructField("orchestrator_cluster_name", StringType, nullable = true)))
 
+  /** The reference template maps every dynamic string to `keyword`
+    * with `ignore_above: 1024` (assets_index_template.ts:14-24): ES
+    * silently refuses to index longer values. Enforcing the same cap
+    * here keeps parquet- and ES-backed sinks behaviorally identical —
+    * an oversized id must not round-trip in one store and vanish in
+    * the other.
+    */
+  val MaxKeywordLen = 1024
+
   /** Project any asset-pipeline output onto the fixed schema: missing
     * optional columns become typed nulls, order is canonical, types are
-    * cast. Fails fast if a REQUIRED column is absent.
+    * cast, and string fields carry the template's keyword length cap.
+    * Fails fast if a REQUIRED column is absent.
     */
   def conform(df: DataFrame): DataFrame = {
     val present = df.columns.toSet
@@ -79,8 +89,12 @@ object AssetSchema {
     val missing = required.filterNot(present.contains)
     require(missing.isEmpty, s"asset output missing required columns: $missing")
     val cols: Seq[Column] = schema.fields.toSeq.map { f =>
-      if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
+      if (!present.contains(f.name)) lit(null).cast(f.dataType).as(f.name)
+      else f.dataType match {
+        case StringType =>
+          substring(col(f.name).cast(StringType), 1, MaxKeywordLen).as(f.name)
+        case dt => col(f.name).cast(dt).as(f.name)
+      }
     }
     df.select(cols: _*)
   }

@@ -14,7 +14,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * union of the files — Spark lists all paths into one FileScan, so
   * filters/pruning push into every path; no per-path driver loop.
   */
-final case class SourceRef(name: String, paths: Seq[String]) {
+final case class SourceRef(
+    name: String,
+    paths: Seq[String],
+    /** DataSource V1/V2 short name or provider class — the connector
+      * seam. The reference's whole source layer is an Elasticsearch
+      * client (es_client.ts:12-50); an ES-backed ref here is a CONFIG
+      * entry, `SourceRef("signals_es", Seq("assets-*"),
+      * format = "org.elasticsearch.spark.sql", options = Map("es.nodes"
+      * -> ...))` — same pushdown contract (the es-hadoop connector
+      * translates Catalyst filters to Query DSL), zero code change.
+      * The harness ships no ES, so tests exercise the seam with the
+      * built-in csv/json providers instead.
+      */
+    format: String = "parquet",
+    options: Map[String, String] = Map.empty) {
   require(paths.nonEmpty, s"source '$name' has no paths")
 }
 
@@ -27,8 +41,10 @@ final class SourceRegistry(sources: Map[String, SourceRef]) {
     sources.getOrElse(name, throw new IllegalArgumentException(
       s"unknown source '$name'; valid sources: ${sources.keys.toSeq.sorted.mkString(", ")}"))
 
-  def read(spark: SparkSession, name: String): DataFrame =
-    spark.read.parquet(resolve(name).paths: _*)
+  def read(spark: SparkSession, name: String): DataFrame = {
+    val ref = resolve(name)
+    spark.read.format(ref.format).options(ref.options).load(ref.paths: _*)
+  }
 
   def names: Seq[String] = sources.keys.toSeq.sorted
 }
@@ -52,4 +68,29 @@ object SourceRegistry {
     SourceRef("documents", Seq(s"$dir/documents.parquet")),
     SourceRef("embeddings", Seq(s"$dir/embeddings.parquet"))
   )
+
+  /** Config-driven layout selection — the `ES_IS_CCS` analog
+    * (reference constants.ts:7-21): one env/config switch flips every
+    * source name between the local pattern set and the cross-cluster
+    * one, without touching pipeline code. `local` is [[forDir]];
+    * `ccs` fans each signal name out across TWO genuinely distinct
+    * directories (local + remote cluster), the
+    * `remote_cluster:logs-*,logs-*` shape.
+    */
+  def layout(name: String, dir: String, remoteDir: String = null): SourceRegistry =
+    name match {
+      case "local" => forDir(dir)
+      case "ccs" =>
+        val r = Option(remoteDir).getOrElse(
+          throw new IllegalArgumentException("ccs layout needs a remote dir"))
+        SourceRegistry(
+          SourceRef("signals_apm", Seq(s"$dir/events.parquet", s"$r/events.parquet")),
+          SourceRef("signals_logs", Seq(s"$dir/events.parquet", s"$r/events.parquet")),
+          SourceRef("signals_all", Seq(s"$dir/events.parquet", s"$r/events.parquet")),
+          SourceRef("documents", Seq(s"$dir/documents.parquet", s"$r/documents.parquet")),
+          SourceRef("embeddings", Seq(s"$dir/embeddings.parquet", s"$r/embeddings.parquet"))
+        )
+      case other => throw new IllegalArgumentException(
+        s"unknown layout '$other'; valid layouts: ccs, local")
+    }
 }

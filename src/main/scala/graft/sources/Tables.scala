@@ -112,6 +112,24 @@ object Tables {
     ) ++ nanos: _*)
   }
 
+  /** Wildcard field-family projection — the reference projects field
+    * FAMILIES, not enumerated columns: `container.*`
+    * (lib/collectServices.ts:27), `host.*`
+    * (lib/collectServicesFromSummaries.ts:196). ES dotted prefixes map
+    * to snake_case column prefixes here, so `selectFamily(sig, "host_")`
+    * is the `host.*` read. Multiple selectors compose; a selector with
+    * no `_` suffix match also takes the exact column (so "event_id"
+    * selects itself). Purely a projection: Catalyst prunes the scan to
+    * exactly the surviving columns.
+    */
+  def selectFamily(df: DataFrame, selectors: String*): DataFrame = {
+    val cols = df.columns.filter(c =>
+      selectors.exists(s => c == s || c.startsWith(s)))
+    require(cols.nonEmpty,
+      s"no columns match selectors ${selectors.mkString(", ")}")
+    df.select(cols.map(col): _*)
+  }
+
   /** Time-range filter relative to the dataset's own max timestamp — the
     * Spark form of the reference's ES date math `now-10m`/`now-1h`
     * (reference lib/collectServicesFromSummaries.ts:35,204;
@@ -129,13 +147,37 @@ object Tables {
     * form is NOT deduplicated across phases — measured 2× bound scans
     * via un-reused exchanges).
     */
-  def trailing(df: DataFrame, tsCol: String, interval: String): DataFrame = {
-    val bound = df.agg(max(col(tsCol))).head().get(0)
+  def trailing(df: DataFrame, tsCol: String, interval: String): DataFrame =
+    trailingWithBound(df, tsCol, interval, maxBound(df, tsCol))
+
+  /** The dataset's max timestamp, fetched eagerly — the date-math
+    * resolution step. Callers composing SEVERAL windowed pipelines over
+    * one source (e.g. [[graft.operators.Assets.assetsAll]]) must fetch
+    * this ONCE and thread it through [[trailingWithBound]]: each fetch
+    * is a full (column-pruned) scan job, and round 2 measured 8 of them
+    * per assets_all run before the real action started.
+    */
+  def maxBound(df: DataFrame, tsCol: String): Any =
+    df.agg(max(col(tsCol))).head().get(0)
+
+  private val SimpleDays = """(\d+)\s+DAYS?""".r
+
+  def trailingWithBound(df: DataFrame, tsCol: String, interval: String,
+      bound: Any): DataFrame = {
     // empty input (e.g. an empty first micro-batch): no bound, no rows
     if (bound == null) return df.where(lit(false))
-    val threshold = df.sparkSession.range(1)
-      .select((lit(bound) - expr(s"INTERVAL $interval")).cast("timestamp"))
-      .head().getTimestamp(0)
+    // Day intervals subtract a fixed duration in the UTC session, so
+    // the arithmetic runs on the driver JVM with no Spark job; other
+    // interval shapes (months etc.) fall back to a 1-row evaluation
+    // job for engine-exact semantics.
+    val threshold = (interval, bound) match {
+      case (SimpleDays(d), t: java.sql.Timestamp) =>
+        java.sql.Timestamp.from(
+          t.toInstant.minus(java.time.Duration.ofDays(d.toLong)))
+      case _ => df.sparkSession.range(1)
+        .select((lit(bound) - expr(s"INTERVAL $interval")).cast("timestamp"))
+        .head().getTimestamp(0)
+    }
     val filtered = df.where(col(tsCol) >= lit(threshold))
     // Redundant predicate on the RAW nanos long (when the source carries
     // it): the derived-ts comparison can't reach the parquet scan, the

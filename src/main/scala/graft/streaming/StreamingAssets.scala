@@ -123,25 +123,44 @@ object StreamingAssets {
     * implies (SURVEY.md §2.8/§7.3). Processing-time timeout bounds
     * state for services that stop reporting.
     */
+  /** The per-group state transition, extracted so the timeout branch is
+    * unit-testable (via TestGroupState) without driving a real stream.
+    */
+  private[graft] def updateServiceState(
+      name: String, obs: Iterator[ServiceObs],
+      state: GroupState[ServiceState]): ServiceUpdate = {
+    val batch = obs.toSeq
+    if (state.hasTimedOut || batch.isEmpty) {
+      // Timed-out (or spuriously empty) group: the iterator has NO
+      // rows, so the maxBy below would throw and kill the stream.
+      // Emit a final tombstone-style update carrying the last known
+      // state, then drop the state — the service stopped reporting
+      // for the whole timeout horizon.
+      val last = state.getOption
+      state.remove()
+      ServiceUpdate(name,
+        last.map(_.latest).orNull, last.map(_.n_seen).getOrElse(0L),
+        newly_seen = false)
+    } else {
+      val newest = batch.map(_.ts).maxBy(_.getTime)
+      val prior = state.getOption
+      val next = prior match {
+        case Some(s) => ServiceState(
+          if (newest.after(s.latest)) newest else s.latest,
+          s.n_seen + batch.size)
+        case None => ServiceState(newest, batch.size.toLong)
+      }
+      state.update(next)
+      state.setTimeoutDuration("30 days")
+      ServiceUpdate(name, next.latest, next.n_seen, prior.isEmpty)
+    }
+  }
+
   def serviceStateStream(spark: SparkSession, sig: DataFrame): Dataset[ServiceUpdate] = {
     import spark.implicits._
     sig.select(col("service_name"), col("ts")).as[ServiceObs]
       .groupByKey(_.service_name)
       .mapGroupsWithState[ServiceState, ServiceUpdate](
-        GroupStateTimeout.ProcessingTimeTimeout) {
-        (name: String, obs: Iterator[ServiceObs], state: GroupState[ServiceState]) =>
-          val batch = obs.toSeq
-          val newest = batch.map(_.ts).maxBy(_.getTime)
-          val prior = state.getOption
-          val next = prior match {
-            case Some(s) => ServiceState(
-              if (newest.after(s.latest)) newest else s.latest,
-              s.n_seen + batch.size)
-            case None => ServiceState(newest, batch.size.toLong)
-          }
-          state.update(next)
-          state.setTimeoutDuration("30 days")
-          ServiceUpdate(name, next.latest, next.n_seen, prior.isEmpty)
-      }
+        GroupStateTimeout.ProcessingTimeTimeout)(updateServiceState)
   }
 }

@@ -1,5 +1,7 @@
 package graft
 
+import graft.operators.Assets
+
 /** Physical-plan regression tests: the scale properties this library
   * claims (pushdown, pruning, broadcasts, no shuffling where none is
   * needed) asserted against the actual executed plans, so a refactor
@@ -52,6 +54,42 @@ class PlanAuditSpec extends SparkSpec {
       p.take(800))
     // only the per-query window may shuffle
     assert(p.split("\n").count(_.contains("Exchange hashpartitioning")) <= 1)
+  }
+
+  test("assetsAll issues exactly ONE eager bound fetch at plan-construction time") {
+    // round 2 paid 8 driver-blocking jobs (4 bound scans + 4 interval
+    // evaluations) before the real action; the hoisted bound plus
+    // JVM-side day arithmetic leaves exactly ONE max(ts) action. AQE
+    // splits one action into several jobs, so the assertion compares
+    // against a measured single-maxBound baseline, not a literal 1.
+    val sc = spark.sparkContext
+    def jobsIn(group: String)(body: => Unit): Int = {
+      sc.setJobGroup(group, "audit", interruptOnCancel = false)
+      try body finally sc.clearJobGroup()
+      // the status tracker is fed by an async bus: poll until stable
+      var jobs = Array.empty[Int]
+      var stable = 0
+      var waited = 0
+      while (stable < 3 && waited < 100) {
+        val now = sc.statusTracker.getJobIdsForGroup(group)
+        if (now.sameElements(jobs)) stable += 1 else { jobs = now; stable = 0 }
+        Thread.sleep(50); waited += 1
+      }
+      jobs.length
+    }
+    // warm file-listing/schema caches so both groups see the same state
+    Assets.assetsAll(spark, sfDir)
+    // baseline mirrors assetsAll's source construction exactly:
+    // build the signal view (one parquet schema-read job) + one bound
+    val baseline = jobsIn("audit-baseline") {
+      val sig = graft.sources.Tables.signals(spark, sfDir)
+      graft.sources.Tables.maxBound(sig, "ts"); ()
+    }
+    val planTime = jobsIn("audit-assets-all") {
+      Assets.assetsAll(spark, sfDir); () // plan construction — no action
+    }
+    assert(planTime === baseline,
+      s"assetsAll plan-time jobs $planTime != single bound fetch $baseline")
   }
 
   test("whole-stage codegen covers the relational hot paths") {

@@ -45,4 +45,55 @@ class RelationalSpec extends SparkSpec {
     val zeros = out.where(col("n_prior_views") === 0)
     assert(zeros.where(col("prior_view_value").isNotNull).count() === 0)
   }
+
+  // Sketch queries are not hash-comparable against DuckDB (the sketch
+  // values are implementation-specific), so their semantics are pinned
+  // here instead: the approximation must sit within its documented
+  // error bound of the exact twin (q21/q32).
+
+  test("q22 HLL approx distinct within rsd bound of q21 exact (sketch semantics)") {
+    val exact = Relational.q21CountDistinct(spark, sfDir)
+      .select(col("l_returnflag"), col("n_orders")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = Relational.q22ApproxDistinct(spark, sfDir)
+      .select(col("l_returnflag"), col("approx_orders")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    approx.foreach { case (flag, a) =>
+      val e = exact(flag).toDouble
+      // rsd 0.01 requested; allow 5 sigma
+      assert(math.abs(a - e) / e <= 0.05, s"$flag: approx $a vs exact $e")
+    }
+  }
+
+  test("q35 approx quantiles within rank-error bound of q32-style exact (sketch semantics)") {
+    val exact = Relational.q32Percentile(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // exact twins on the SAME column q35 sketches
+    val exactPrice = graft.sources.Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("median"),
+        expr("percentile(l_extendedprice, 0.99)").as("p99"),
+        expr("min(l_extendedprice)").as("lo"),
+        expr("max(l_extendedprice)").as("hi"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val approx = Relational.q35ApproxQuantile(spark, sfDir).collect()
+    assert(approx.nonEmpty && approx.length === exact.size)
+    approx.foreach { r =>
+      val flag = r.getString(0)
+      val e = exactPrice(flag)
+      val (lo, hi) = (e.getAs[Double]("lo"), e.getAs[Double]("hi"))
+      val med = r.getAs[Double]("approx_median")
+      val p99 = r.getAs[Double]("approx_p99")
+      // any quantile estimate lies inside the data range...
+      assert(med >= lo && med <= hi)
+      assert(p99 >= lo && p99 <= hi && p99 >= med)
+      // ...and within a loose relative band of the exact value
+      // (accuracy=1000 → rank error ≤ 0.1%; values are well spread)
+      assert(math.abs(med - e.getAs[Double]("median")) /
+        e.getAs[Double]("median") <= 0.05, s"$flag median")
+      assert(math.abs(p99 - e.getAs[Double]("p99")) /
+        e.getAs[Double]("p99") <= 0.05, s"$flag p99")
+    }
+  }
 }

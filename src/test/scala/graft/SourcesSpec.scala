@@ -82,4 +82,63 @@ class SourcesSpec extends SparkSpec {
     assert(out.where(col("n_tags") === 0).count() > 0) // empty case exercised
     assert(out.where(col("n_tags") === 2).count() > 0)
   }
+
+  test("connector seam: a non-parquet format ref is a config entry, not a code change") {
+    import graft.sources.SourceRef
+    val dir = java.nio.file.Files.createTempDirectory("graft-fmt").toString
+    spark.range(3).selectExpr("id", "concat('svc-', id) AS name")
+      .coalesce(1).write.mode("overwrite")
+      .option("header", "true").csv(s"$dir/t.csv")
+    val reg = SourceRegistry(
+      SourceRef("t_csv", Seq(s"$dir/t.csv"), format = "csv",
+        options = Map("header" -> "true", "inferSchema" -> "true")))
+    val back = reg.read(spark, "t_csv")
+    assert(back.count() === 3)
+    assert(back.columns.toSet === Set("id", "name"))
+    // an Elasticsearch-backed ref is the same shape with
+    // format = "org.elasticsearch.spark.sql" — resolvable without code:
+    val es = SourceRef("signals_es", Seq("assets-*"),
+      format = "org.elasticsearch.spark.sql",
+      options = Map("es.nodes" -> "example:9200"))
+    assert(SourceRegistry(es).resolve("signals_es").format
+      === "org.elasticsearch.spark.sql")
+  }
+
+  test("layout selection: ccs fans every source across two distinct dirs (ES_IS_CCS analog)") {
+    val local = SourceRegistry.layout("local", "/a")
+    assert(local.resolve("signals_apm").paths === Seq("/a/events.parquet"))
+    val ccs = SourceRegistry.layout("ccs", "/a", "/b")
+    assert(ccs.resolve("signals_apm").paths ===
+      Seq("/a/events.parquet", "/b/events.parquet"))
+    assert(ccs.resolve("documents").paths.toSet ===
+      Set("/a/documents.parquet", "/b/documents.parquet"))
+    intercept[IllegalArgumentException](SourceRegistry.layout("ccs", "/a"))
+    val e = intercept[IllegalArgumentException](SourceRegistry.layout("nope", "/a"))
+    assert(e.getMessage.contains("local"))
+  }
+
+  test("conform caps string fields at the template's keyword limit (ignore_above 1024)") {
+    import spark.implicits._
+    val longId = "x" * 3000
+    val df = Seq((java.sql.Timestamp.valueOf("2024-02-01 00:00:00"),
+        "service:" + longId, "service", longId))
+      .toDF("asset_ts", "asset_ean", "asset_type", "asset_id")
+    val out = AssetSchema.conform(df).collect()(0)
+    assert(out.getAs[String]("asset_id").length === AssetSchema.MaxKeywordLen)
+    assert(out.getAs[String]("asset_ean").length === AssetSchema.MaxKeywordLen)
+    assert(out.getAs[String]("asset_name") === null) // null survives the cap
+  }
+
+  test("selectFamily projects a wildcard column family (host.* analog) and prunes the scan") {
+    import graft.sources.Tables
+    val fam = Tables.selectFamily(Tables.signals(spark, sfDir), "event_id", "host_")
+    assert(fam.columns.toSeq === Seq("event_id", "host_name", "host_hostname"))
+    assert(fam.count() > 0)
+    intercept[IllegalArgumentException](
+      Tables.selectFamily(Tables.signals(spark, sfDir), "nope_"))
+    // pruning: the optimized scan reads only the family's source columns
+    val scanSchema = fam.queryExecution.executedPlan.collectLeaves()
+      .map(_.schema.fieldNames.toSet).reduce(_ ++ _)
+    assert(!scanSchema.contains("value"))
+  }
 }

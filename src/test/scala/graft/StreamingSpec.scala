@@ -176,4 +176,45 @@ class StreamingSpec extends SparkSpec {
     assert(tsVals.subsetOf(Set("2024-02-01 00:00:00", "2024-02-02 00:00:00")))
     assert(tsVals.contains("2024-02-02 00:00:00")) // at least one updated
   }
+
+  test("state function: timed-out group emits tombstone and removes state (no crash)") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import graft.streaming.StreamingAssets.{ServiceState, updateServiceState}
+    val prior = ServiceState(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 5L)
+    // a timed-out group is invoked with an EMPTY iterator — the branch
+    // that crashed the stream before the hasTimedOut check existed
+    val timedOut = TestGroupState.create[ServiceState](
+      Optional.of(prior), GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, Optional.empty[Long](), hasTimedOut = true)
+    val out = updateServiceState("svc-1", Iterator.empty, timedOut)
+    assert(out.latest_ts === prior.latest)
+    assert(out.n_seen === 5L)
+    assert(!out.newly_seen)
+    assert(timedOut.isRemoved)
+    // degenerate: no prior state AND empty batch still returns a row
+    val empty = TestGroupState.create[ServiceState](
+      Optional.empty(), GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, Optional.empty[Long](), hasTimedOut = true)
+    val out2 = updateServiceState("svc-2", Iterator.empty, empty)
+    assert(out2.latest_ts === null && out2.n_seen === 0L)
+  }
+
+  test("state function: live batch updates state and flags first sight") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import graft.streaming.StreamingAssets.{ServiceObs, ServiceState, updateServiceState}
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2024-01-02 00:00:00")
+    val st = TestGroupState.create[ServiceState](
+      Optional.empty(), GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, Optional.empty[Long](), hasTimedOut = false)
+    val first = updateServiceState("svc-9",
+      Iterator(ServiceObs("svc-9", t2), ServiceObs("svc-9", t1)), st)
+    assert(first.newly_seen && first.n_seen === 2L && first.latest_ts === t2)
+    assert(st.get.latest === t2)
+    val second = updateServiceState("svc-9",
+      Iterator(ServiceObs("svc-9", t1)), st)
+    assert(!second.newly_seen && second.n_seen === 3L && second.latest_ts === t2)
+  }
 }
