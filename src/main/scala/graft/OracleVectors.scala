@@ -86,6 +86,30 @@ object OracleVectors {
        |)
        |SELECT query_id, neighbor_id, "rank", sim FROM ranked WHERE "rank" <= $k""".stripMargin
 
+  /** Mirror of VectorOps.dedupEmbedding: all-vector band self-join,
+    * exact cosine on candidates, thresholded.
+    */
+  val dedupEmbedding: String =
+    s"""WITH $baseCte, $codeCte,
+       |bands AS (
+       |  SELECT vec_id,
+       |    b.b AS band_idx,
+       |    substring(code, CAST(b.b * $bandBits + 1 AS INT), $bandBits) AS band_key
+       |  FROM coded CROSS JOIN (SELECT unnest(range($nBands)) AS b) b
+       |),
+       |candidates AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM bands a JOIN bands b USING (band_idx, band_key)
+       |  WHERE a.vec_id < b.vec_id
+       |)
+       |SELECT c.vec_a, c.vec_b,
+       |  ${dot("ba.embedding", "bb.embedding")} / (sqrt(ba.nrm) * sqrt(bb.nrm)) AS sim
+       |FROM candidates c
+       |JOIN base ba ON ba.vec_id = c.vec_a
+       |JOIN base bb ON bb.vec_id = c.vec_b
+       |WHERE ${dot("ba.embedding", "bb.embedding")} / (sqrt(ba.nrm) * sqrt(bb.nrm))
+       |      >= ${VectorOps.DupThreshold}""".stripMargin
+
   /** Mirror of VectorOps.centroids: values scaled by 2^53 so the
     * decimal cast is of an exact integer (no rounding-mode divergence
     * between engines); sub-2^-31 magnitudes flushed to zero.

@@ -27,14 +27,36 @@ object Run {
       case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
     }.toMap
 
-  def main(args: Array[String]): Unit = {
-    val opts = parseArgs(args)
+  /** The collection run against an existing session — `main` minus
+    * session lifecycle, so tests (and embedding callers) drive it
+    * without owning SparkSession shutdown. Returns the written count.
+    */
+  def run(spark: SparkSession, opts: Map[String, String]): Long = {
     val read = opts.getOrElse("read",
       throw new IllegalArgumentException("--read <source> is required"))
     val write = opts.getOrElse("write",
       throw new IllegalArgumentException("--write <path> is required"))
     val dir = opts.getOrElse("data", "/root/testdata/sf0.001")
 
+    // fail fast on unknown layout/source names, like run.ts:28-34
+    val registry = SourceRegistry.layout(
+      opts.getOrElse("sources", "local"), dir, opts.get("remote").orNull)
+    registry.resolve(read)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sig = Tables.signalsFrom(Tables.eventsFrom(registry.read(spark, read)))
+    val assets = Assets.assetsAllFrom(sig)
+    // the reference logs results + queries (run.ts:18-19) — dump the
+    // plan and a sample, then bulk-write
+    println(DebugSink.dumpPlan(assets))
+    println(DebugSink.dumpRows(assets, 5))
+    AssetSink.write(assets, write)
+    val written = spark.read.parquet(write).count()
+    println(s"""{"written": $written, "path": "$write"}""")
+    written
+  }
+
+  def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
       .config("spark.sql.shuffle.partitions",
@@ -44,20 +66,7 @@ object Run {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-
-    // fail fast on unknown layout/source names, like run.ts:28-34
-    val registry = SourceRegistry.layout(
-      opts.getOrElse("sources", "local"), dir, opts.get("remote").orNull)
-    registry.resolve(read)
-
-    val sig = Tables.signalsFrom(Tables.eventsFrom(registry.read(spark, read)))
-    val assets = Assets.assetsAllFrom(sig)
-    // the reference logs results + queries (run.ts:18-19) — dump the
-    // plan and a sample, then bulk-write
-    println(DebugSink.dumpPlan(assets))
-    println(DebugSink.dumpRows(assets, 5))
-    AssetSink.write(assets, write)
-    println(s"""{"written": ${spark.read.parquet(write).count()}, "path": "$write"}""")
-    spark.stop()
+    try run(spark, parseArgs(args))
+    finally spark.stop()
   }
 }

@@ -97,6 +97,7 @@ object SparkEntry {
     "emb_ivf_assign" -> ((s, d) => VectorOps.ivfAssign(s, d)),
     "emb_knn_ivf"    -> ((s, d) => VectorOps.knnIvf(s, d)),
     "emb_lsh_recall" -> ((s, d) => VectorOps.lshRecall(s, d)),
+    "dedup_embedding" -> ((s, d) => VectorOps.dedupEmbedding(s, d)),
     "corpus_curation" -> ((s, d) => TextOps.corpusCuration(s, d)),
     // LLM-data-pipeline: multimodal binary columns (decode is a stub;
     // media_decode is rows-only — the codec boundary is not SQL)
@@ -182,6 +183,7 @@ object SparkEntry {
     "emb_ivf_assign" -> OracleVectors.ivfAssign,
     "emb_knn_ivf"    -> OracleVectors.knnIvf,
     "emb_lsh_recall" -> OracleVectors.lshRecall,
+    "dedup_embedding" -> OracleVectors.dedupEmbedding,
     "corpus_curation" -> OracleText.corpusCuration,
     "media_metadata" -> OracleMultimodal.metadata,
     "media_frames"   -> OracleMultimodal.frames,

@@ -164,6 +164,47 @@ object VectorOps {
     topK(sims)
   }
 
+  /** Cosine threshold above which a candidate pair counts as a near
+    * duplicate. Fixture-tuned (the synthetic embeddings are spread, max
+    * pairwise sim ≈ 0.51); a production text-embedding corpus runs this
+    * at ~0.95+. A parameter of the operator, not of its shape.
+    */
+  val DupThreshold = 0.35
+
+  /** Embedding-cosine near-duplicate pairs — the vector-space member of
+    * the dedup family (TextOps has the token-space ones): band the
+    * sign-LSH code of EVERY vector, self-join buckets on (band_idx,
+    * band_key) for candidates — O(collisions), never all-pairs, the
+    * same 100 TB shape as [[graft.operators.TextOps.dedupMinhashLsh]] —
+    * then exact cosine only on candidates and keep pairs above
+    * [[DupThreshold]]. Downstream "keep one per near-dup set" composes
+    * this with the same min-label clustering TextOps.dedupClusters
+    * runs over its pair graph.
+    */
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val base = withNorm(spark, dir).withColumn("code", expr(codeExpr))
+    val bands = base.select(
+      col("vec_id"),
+      posexplode(expr(
+        s"transform(sequence(0, ${NumBands - 1}), b -> substring(code, b * $BandBits + 1, $BandBits))"))
+        .as(Seq("band_idx", "band_key")))
+    val a = bands.select(col("vec_id").as("vec_a"), col("band_idx"), col("band_key"))
+    val b = bands.select(col("vec_id").as("vec_b"), col("band_idx"), col("band_key"))
+    val candidates = a.join(b, Seq("band_idx", "band_key"))
+      .where(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
+      .distinct()
+    candidates
+      .join(base.select(col("vec_id").as("vec_a"),
+        col("embedding").as("emb_a"), col("nrm").as("nrm_a")), Seq("vec_a"))
+      .join(base.select(col("vec_id").as("vec_b"),
+        col("embedding").as("emb_b"), col("nrm").as("nrm_b")), Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        (expr(dot("emb_a", "emb_b")) / (sqrt(col("nrm_a")) * sqrt(col("nrm_b"))))
+          .as("sim"))
+      .where(col("sim") >= DupThreshold)
+  }
+
   /** Per-label centroids in long format (label, pos, centroid_sum, n,
     * mean). Element sums accumulate in DECIMAL so the result is
     * independent of partitioning/order — the same property the decimal

@@ -92,4 +92,21 @@ class VectorOpsSpec extends SparkSpec {
     assert(out.forall(r => r.getInt(1) === r.getInt(2)))
     assert(out.forall(r => r.getDouble(3) > 0.5))
   }
+
+  test("dedupEmbedding finds near-identical pairs via LSH buckets, thresholds the rest") {
+    val dir = embDir(fixture)
+    val out = VectorOps.dedupEmbedding(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // canonical orientation and threshold honored on every emitted pair
+    assert(out.nonEmpty)
+    out.foreach { case (a, b, s) =>
+      assert(a < b)
+      assert(s >= VectorOps.DupThreshold)
+    }
+    // near-identical same-cluster vectors (0,1): sim ≈ 1 — identical
+    // sign codes share every band, so LSH cannot miss them
+    assert(out.exists { case (a, b, s) => a == 0L && b == 1L && s > 0.99 })
+    // cross-cluster orthogonal pairs (sim ≈ 0) never appear
+    assert(!out.exists { case (a, b, _) => a < 100L && b >= 100L })
+  }
 }
