@@ -353,16 +353,23 @@ object TextOps {
       pairs.unionAll(
         pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
     }
-    val nodes = edges.select(col("doc_a").as("node")).distinct()
-    var labels = nodes.withColumn("label", col("node"))
-    for (_ <- 1 to CcRounds) {
-      val nbrMin = edges
-        .join(labels.select(col("node").as("doc_b"), col("label")), Seq("doc_b"))
-        .groupBy(col("doc_a").as("node"))
-        .agg(min(col("label")).as("nbr_label"))
-      labels = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+    // the propagated labels are themselves a shared artifact: both the
+    // standalone clusters query and corpus_curation's near-dup-loser
+    // stage consume them, and each CC round re-reads them — one more
+    // memoized table keeps the rounds' lineage from re-running
+    val labels = memoized(spark, dir, "cc_labels") {
+      val nodes = edges.select(col("doc_a").as("node")).distinct()
+      var l = nodes.withColumn("label", col("node"))
+      for (_ <- 1 to CcRounds) {
+        val nbrMin = edges
+          .join(l.select(col("node").as("doc_b"), col("label")), Seq("doc_b"))
+          .groupBy(col("doc_a").as("node"))
+          .agg(min(col("label")).as("nbr_label"))
+        l = l.join(nbrMin, Seq("node"), "left")
+          .select(col("node"),
+            least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      }
+      l
     }
     labels.select(
       col("node").as("doc_id"),

@@ -182,6 +182,14 @@ object VectorOps {
     * runs over its pair graph.
     */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    // The candidate set is the big side here (all bucket collisions,
+    // not one query set's) — millions of pairs at sf0.1 — so the exact
+    // re-rank runs the fused native cosine_sim expression (one codegen
+    // loop per pair) rather than the three interpreted lambda folds;
+    // bit-equal to the composed form per CosineSimilarity's contract,
+    // so the DuckDB oracle is unchanged. Skipping the precomputed-norm
+    // columns also halves the enrichment joins' payload width.
+    graft.plans.GraftExtensions.register(spark)
     val base = withNorm(spark, dir).withColumn("code", expr(codeExpr))
     val bands = base.select(
       col("vec_id"),
@@ -195,13 +203,12 @@ object VectorOps {
       .select(col("vec_a"), col("vec_b"))
       .distinct()
     candidates
-      .join(base.select(col("vec_id").as("vec_a"),
-        col("embedding").as("emb_a"), col("nrm").as("nrm_a")), Seq("vec_a"))
-      .join(base.select(col("vec_id").as("vec_b"),
-        col("embedding").as("emb_b"), col("nrm").as("nrm_b")), Seq("vec_b"))
+      .join(Tables.embeddings(spark, dir)
+        .select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), Seq("vec_a"))
+      .join(Tables.embeddings(spark, dir)
+        .select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        (expr(dot("emb_a", "emb_b")) / (sqrt(col("nrm_a")) * sqrt(col("nrm_b"))))
-          .as("sim"))
+        expr("cosine_sim(emb_a, emb_b)").as("sim"))
       .where(col("sim") >= DupThreshold)
   }
 

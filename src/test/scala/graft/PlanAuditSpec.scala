@@ -92,6 +92,18 @@ class PlanAuditSpec extends SparkSpec {
       s"assetsAll plan-time jobs $planTime != single bound fetch $baseline")
   }
 
+  test("dedup_embedding generates candidates via band equi-join, never a cross join") {
+    val df = SparkEntry.queries("dedup_embedding")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    // the candidate join keys on the LSH bucket (band_idx, band_key)
+    assert(p.contains("band_key"), p.take(800))
+    // the exact re-rank runs the fused native expression
+    assert(p.contains("cosine_sim"), p.take(800))
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     // codegen spans (the `*(n)` markers) appear once AQE finalizes, so
     // execute before inspecting
