@@ -37,8 +37,12 @@ object Bench {
     // lineitem); q18 covers `part` — without them, first-touch footer
     // reads + codegen land on the measured run (q18: 2.6s cold, 0.35s
     // warm for a 20k-row projection).
+    // the simhash pair carries the suite's heaviest codegen units (32
+    // aggregate expressions each): measured 2.1s cold vs 0.73s warm on
+    // identical data — janino compile time, not data work, and at
+    // cluster scale a per-session constant
     for (w <- Seq("q1_pricing_summary", "q18_string_funcs", "q23_star_join",
-        "svc_collapse", "txt_tokens",
+        "svc_collapse", "txt_tokens", "txt_simhash", "dedup_simhash",
         "emb_centroids", "dedup_minhash", "dedup_clusters"))
       try drive(w) catch { case _: Throwable => () }
     // Per-query instrumentation to stderr as the run progresses:

@@ -4,6 +4,32 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Write one query's result; on failure print the query name AND its
+    * formatted physical plan to stderr — the engine-side analog of the
+    * reference's searchAndPrintQueryOnError
+    * (lib/collectServicesFromSummaries.ts:327-335), so the failing
+    * operator is identifiable from the driver's captured log alone.
+    * Returns whether the write succeeded.
+    */
+  def dumpQuery(spark: SparkSession, name: String,
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+      sfDir: String, outDir: String): Boolean = {
+    var df: org.apache.spark.sql.DataFrame = null
+    try {
+      df = fn(spark, sfDir)
+      df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      true
+    } catch { case e: Throwable =>
+      Console.err.println(s"[verify] $name failed: ${e.getMessage}")
+      if (df != null)
+        try Console.err.println(
+          s"[verify] $name plan:\n" + graft.sources.DebugSink.dumpPlan(df))
+        catch { case _: Throwable => () }
+      false
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -18,23 +44,8 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // Failure path mirrors the reference's searchAndPrintQueryOnError
-    // (lib/collectServicesFromSummaries.ts:327-335): a failing action
-    // dumps the QUERY it was running — here the formatted physical
-    // plan — not just the exception message, so the failing operator
-    // is identifiable from the driver's captured log alone.
     SparkEntry.queries.foreach { case (name, fn) =>
-      var df: org.apache.spark.sql.DataFrame = null
-      try {
-        df = fn(spark, sfDir)
-        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-      } catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        if (df != null)
-          try System.err.println(
-            s"[verify] $name plan:\n" + graft.sources.DebugSink.dumpPlan(df))
-          catch { case _: Throwable => () }
-      }
+      dumpQuery(spark, name, fn, sfDir, outDir)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -39,6 +39,27 @@ class CosineSimilaritySpec extends SparkSpec {
       err.getMessage.toLowerCase.contains("array<float>"))
   }
 
+  test("null ELEMENTS null-propagate exactly like the composed form") {
+    GraftExtensions.register(spark)
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (Seq(Option(1.0f), None, Option(2.0f)), Seq(Option(1.0f), Option(1.0f), Option(1.0f))),
+      (Seq(Option(1.0f), Option(1.0f)), Seq(Option(1.0f), None)),
+      (Seq(Option(1.0f), Option(2.0f)), Seq(Option(2.0f), Option(1.0f)))
+    ).toDF("a", "b")
+    val composed = expr(VectorOps.dot("a", "b")) /
+      (sqrt(expr(VectorOps.dot("a", "a"))) * sqrt(expr(VectorOps.dot("b", "b"))))
+    val out = df.select(
+      expr("cosine_sim(a, b)").as("native"), composed.as("folded")).collect()
+    // rows with a null element: BOTH forms yield null (getFloat would
+    // otherwise silently read the slot as 0.0 in the native loop)
+    assert(out(0).isNullAt(0) && out(0).isNullAt(1))
+    assert(out(1).isNullAt(0) && out(1).isNullAt(1))
+    // null-free row still bit-equal
+    assert(java.lang.Double.doubleToLongBits(out(2).getDouble(0)) ===
+      java.lang.Double.doubleToLongBits(out(2).getDouble(1)))
+  }
+
   test("knnExactNative returns exactly knnExact's rows") {
     val dir = sfDir
     val a = VectorOps.knnExact(spark, dir).collect().toSet

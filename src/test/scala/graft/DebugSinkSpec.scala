@@ -17,6 +17,31 @@ class DebugSinkSpec extends SparkSpec {
     assert(plan.contains("Physical Plan"))
   }
 
+  test("Verify failure path prints query name and formatted plan to stderr") {
+    val outDir = java.nio.file.Files.createTempDirectory("graft-verify").toString
+    val err = new java.io.ByteArrayOutputStream()
+    val ok = Console.withErr(err) {
+      // fails at ACTION time (assert_true(false) under ANSI), after the
+      // plan exists — the searchAndPrintQueryOnError analog must dump it
+      Verify.dumpQuery(spark, "boom",
+        (s, _) => s.range(1).selectExpr("assert_true(id < 0) AS x"),
+        sfDir, outDir)
+    }
+    val log = err.toString
+    assert(!ok)
+    assert(log.contains("[verify] boom failed"))
+    assert(log.contains("[verify] boom plan:"))
+    assert(log.contains("Physical Plan"))
+    // the happy path stays silent and writes parquet
+    val err2 = new java.io.ByteArrayOutputStream()
+    val ok2 = Console.withErr(err2) {
+      Verify.dumpQuery(spark, "fine",
+        (s, _) => s.range(3).toDF("id"), sfDir, outDir)
+    }
+    assert(ok2 && err2.toString.isEmpty)
+    assert(spark.read.parquet(s"$outDir/fine").count() === 3)
+  }
+
   test("edgeList caps at MaxEdges keeping the smallest EANs") {
     val s = spark; import s.implicits._
     val many = (1 to Assets.MaxEdges + 50).map(i => f"e$i%04d")
