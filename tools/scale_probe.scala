@@ -1,0 +1,80 @@
+// Scale-up probe: multiply the input of the headline operator shapes by
+// reading the same parquet K times as ONE multi-path scan (no synthetic
+// data), and check wall-clock growth. Linear growth at constant group
+// cardinality is the signature of scan-bound work with map-side partial
+// aggregation — the property that survives a 100x cluster scale-up;
+// superlinear growth would flag a shuffle or driver bottleneck.
+//
+// Run: /opt/spark/bin/spark-shell --master 'local[32]' --driver-memory 16g \
+//   --jars target/scala-2.13/elasticassetetlpocspark_2.13-0.1.0.jar \
+//   --conf spark.ui.enabled=false --conf spark.sql.shuffle.partitions=32 \
+//   --conf spark.sql.session.timeZone=UTC \
+//   --conf spark.sql.legacy.parquet.nanosAsLong=true \
+//   -I tools/scale_probe.scala
+import org.apache.spark.sql.functions._
+
+val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+// best-of-2: the first execution of a new plan shape pays one-time
+// codegen compilation, which would otherwise be misread as data cost
+def timed(f: => Unit): Double = {
+  def once: Double = { val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }
+  math.min(once, once)
+}
+
+def multi(table: String, k: Int) =
+  spark.read.parquet(Seq.fill(k)(s"$dir/$table.parquet"): _*)
+
+// warm first-touch + codegen so measured points are steady-state
+multi("lineitem", 1).agg(count(lit(1))).head()
+multi("events", 1).agg(count(lit(1))).head()
+
+println("== q1 shape (groupBy + decimal agg; map-side combine keeps the shuffle at |groups|) ==")
+for (k <- Seq(1, 8, 32)) {
+  val li = multi("lineitem", k)
+  val s = timed {
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+        avg(col("l_discount")).as("avg_disc"), count(lit(1)).as("n"))
+      .collect()
+  }
+  println(f"  k=$k%2d (${600 * k}%6dk rows): $s%6.2f s")
+}
+
+println("== sessionize shape (shuffle on user_id + two windows; per-user n log n) ==")
+for (k <- Seq(1, 8, 16)) {
+  val ev = graft.sources.Tables.eventsFrom(multi("events", k))
+  val byUser = org.apache.spark.sql.expressions.Window
+    .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+  val s = timed {
+    ev.select(col("event_id"), col("user_id"), col("ts"))
+      .withColumn("new_session",
+        when(col("ts") - lag(col("ts"), 1).over(byUser) <=
+          expr("INTERVAL 30 MINUTES"), lit(0)).otherwise(lit(1)))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)), min(col("ts")), max(col("ts")))
+      .collect()
+  }
+  println(f"  k=$k%2d: $s%6.2f s")
+}
+
+println("== minhash signature shape (explode + digest + partial-min agg; shuffle = |docs| x 9 longs) ==")
+for (k <- Seq(1, 8, 16)) {
+  val docs = multi("documents", k)
+  val s = timed {
+    docs.withColumn("words", split(col("text"), " "))
+      .withColumn("shingles", when(size(col("words")) >= 3,
+        expr("transform(sequence(0, size(words) - 3), i -> concat_ws(' ', slice(words, i + 1, 3)))"))
+        .otherwise(expr("CAST(array() AS array<string>)")))
+      .select(col("doc_id"), explode(col("shingles")).as("sg"))
+      .select(col("doc_id"), md5(col("sg")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(min(expr("CAST(conv(substring(h, 1, 15), 16, 10) AS BIGINT)")))
+      .agg(count(lit(1)))
+      .head()
+  }
+  println(f"  k=$k%2d: $s%6.2f s")
+}
+sys.exit(0)
