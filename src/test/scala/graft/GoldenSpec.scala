@@ -66,4 +66,103 @@ class GoldenSpec extends SparkSpec {
     val b = at("7")
     sample.foreach(q => assert(a(q) === b(q), s"$q diverges across partitionings"))
   }
+
+  /** Every registered query's output frozen at sf0.001 (suite-default
+    * partitioning). Any refactor that drifts any value, row count, or
+    * schema in any query fails HERE, before the driver's oracle pass.
+    * The two sketch queries (q22/q35) are excluded: their partial-merge
+    * order is not part of the determinism contract.
+    * Regenerate after an INTENDED change: /tmp pattern in tools — run
+    * the fingerprint loop over SparkEntry.queries and paste.
+    */
+  private val goldenAll: Map[String, (Long, Long)] = Map(
+    "asset_upsert" -> ((-2140492411787071L, 15L)),
+    "asset_upsert_merge" -> ((2903655038475417500L, 2L)),
+    "assets_all" -> ((7254692912342944435L, 23L)),
+    "container_graph" -> ((-8666987361282041203L, 2L)),
+    "corpus_curation" -> ((5937778217018745150L, 5L)),
+    "dedup_clusters" -> ((-4388125515379173L, 45L)),
+    "dedup_embedding" -> ((8674055004667387128L, 114L)),
+    "dedup_exact" -> ((678982984489084868L, 500L)),
+    "dedup_fuzzy_edit" -> ((-4856991647417065686L, 28L)),
+    "dedup_minhash" -> ((-1665977883672193517L, 500L)),
+    "dedup_minhash_lsh" -> ((6079345517962131061L, 28L)),
+    "dedup_ngram_jaccard" -> ((-284055497293970149L, 28L)),
+    "dedup_simhash" -> ((5181732648382757078L, 9L)),
+    "emb_centroids" -> ((6767223133540346982L, 640L)),
+    "emb_ivf_assign" -> ((968546642130974861L, 500L)),
+    "emb_knn_exact" -> ((5382587561670919428L, 50L)),
+    "emb_knn_ivf" -> ((-8547690800792426028L, 50L)),
+    "emb_knn_lsh" -> ((4978952135989055325L, 50L)),
+    "emb_knn_native" -> ((5382587561670919428L, 50L)),
+    "emb_lsh_recall" -> ((-8198230324623465880L, 5L)),
+    "media_decode" -> ((1186192457682470582L, 500L)),
+    "media_features" -> ((2569904728989504125L, 500L)),
+    "media_frames" -> ((3852345315225660323L, 5023L)),
+    "media_metadata" -> ((-3264019044137968013L, 500L)),
+    "media_resize" -> ((6742178063491628028L, 500L)),
+    "node_graph" -> ((7846118549054630403L, 2L)),
+    "pods_collapse" -> ((-6442080016217058129L, 4L)),
+    "pods_multi_source" -> ((-6442080016217058129L, 4L)),
+    "q10_distinct" -> ((3220982028989760594L, 6L)),
+    "q11_except" -> ((5190698750508254594L, 7L)),
+    "q12_intersect" -> ((70171501653856563L, 10L)),
+    "q13_rollup" -> ((-6920341020375250474L, 10L)),
+    "q14_cube" -> ((1277849667146600238L, 24L)),
+    "q15_topk" -> ((-1242214172593749886L, 10L)),
+    "q16_having" -> ((6796611539839100173L, 14L)),
+    "q17_case_when" -> ((-1284260790678304595L, 3L)),
+    "q18_string_funcs" -> ((5109617772869622164L, 200L)),
+    "q19_date_funcs" -> ((-6883437275732470321L, 1500L)),
+    "q1_pricing_summary" -> ((6488525498171093126L, 6L)),
+    "q20_scalar_subquery" -> ((2794520395437238356L, 764L)),
+    "q21_count_distinct" -> ((2595312295237521976L, 3L)),
+    "q23_star_join" -> ((4399089219657114213L, 25L)),
+    "q24_json" -> ((-2375813019689940903L, 50L)),
+    "q25_array_funcs" -> ((-3164169074843652282L, 500L)),
+    "q26_full_outer" -> ((6566360299465861075L, 25L)),
+    "q27_union" -> ((85892681821973093L, 25L)),
+    "q28_asof_join" -> ((46434897651444952L, 202L)),
+    "q29_range_join" -> ((7822160178057171206L, 202L)),
+    "q2_filter_project" -> ((-8515983497983141028L, 494L)),
+    "q30_sessionize" -> ((8250403703595681908L, 946L)),
+    "q31_histogram" -> ((-2717120324170837642L, 20L)),
+    "q32_percentile" -> ((2225528646702354378L, 3L)),
+    "q33_pivot" -> ((-9193126790985594766L, 15L)),
+    "q34_salted_wordcount" -> ((33543934719750684L, 31L)),
+    "q36_rolling_window" -> ((7846942651190858789L, 1000L)),
+    "q37_lead_lag" -> ((6441617812062503888L, 1000L)),
+    "q3_join_agg" -> ((-1598205762220481776L, 484L)),
+    "q4_semi_join" -> ((-180197618422234261L, 5L)),
+    "q5_anti_join" -> ((-3084378880011624709L, 1L)),
+    "q6_broadcast_join" -> ((-3565865819380603098L, 25L)),
+    "q7_outer_join" -> ((161757434083811755L, 150L)),
+    "q8_window_topn" -> ((1302616936089978196L, 449L)),
+    "q9_window_running" -> ((6764122456608670740L, 1500L)),
+    "sig_host_family" -> ((-430869522615299747L, 1000L)),
+    "svc_collapse" -> ((-7520819376682169752L, 15L)),
+    "svc_latest" -> ((-8256641542337234806L, 14L)),
+    "svc_multivalued" -> ((-2009340863746402347L, 1000L)),
+    "svc_summaries" -> ((1201948405762285216L, 402L)),
+    "txt_fingerprint" -> ((9069157633707950874L, 500L)),
+    "txt_langid" -> ((-5283935207442125541L, 500L)),
+    "txt_normalize" -> ((-6611269162432350353L, 500L)),
+    "txt_quality" -> ((8093999280321710571L, 500L)),
+    "txt_simhash" -> ((-7507058349007398018L, 500L)),
+    "txt_split" -> ((139655551458257719L, 500L)),
+    "txt_tfidf" -> ((6984402387703968371L, 1500L)),
+    "txt_tokens" -> ((2856647791074966750L, 500L))
+  )
+
+  test("golden: every query output is frozen at sf0.001") {
+    val missing = SparkEntry.queries.keySet --
+      goldenAll.keySet -- Set("q22_approx_distinct", "q35_approx_quantile")
+    assert(missing.isEmpty, s"queries without a golden entry: $missing")
+    graft.operators.TextOps.release(spark)
+    val drifted = goldenAll.toSeq.sortBy(_._1).flatMap { case (name, want) =>
+      val got = fingerprint(name)
+      if (got == want) None else Some(s"$name: got $got want $want")
+    }
+    assert(drifted.isEmpty, drifted.mkString("\n"))
+  }
 }
