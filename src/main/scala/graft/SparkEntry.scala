@@ -74,6 +74,7 @@ object SparkEntry {
     "txt_langid"          -> ((s, d) => TextOps.langid(s, d)),
     "txt_fingerprint"     -> ((s, d) => TextOps.fingerprint(s, d)),
     "txt_simhash"         -> ((s, d) => TextOps.simhash(s, d)),
+    "txt_simhash_native"  -> ((s, d) => TextOps.simhashNative(s, d)),
     "dedup_exact"         -> ((s, d) => TextOps.dedupExact(s, d)),
     "dedup_minhash"       -> ((s, d) => TextOps.minhash(s, d)),
     "dedup_minhash_lsh"   -> ((s, d) => TextOps.dedupMinhashLsh(s, d)),
@@ -162,6 +163,8 @@ object SparkEntry {
     "txt_langid"          -> OracleText.langid,
     "txt_fingerprint"     -> OracleText.fingerprint,
     "txt_simhash"         -> OracleText.simhash,
+    // same oracle as txt_simhash — the native aggregate's differential proof
+    "txt_simhash_native"  -> OracleText.simhash,
     "dedup_exact"         -> OracleText.dedupExact,
     "dedup_minhash"       -> OracleText.minhash,
     "dedup_minhash_lsh"   -> OracleText.dedupMinhashLsh,

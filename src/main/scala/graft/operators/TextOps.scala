@@ -289,6 +289,20 @@ object TextOps {
           when(col(s"b$j") > 0, lit("1")).otherwise(lit("0"))): _*).as("simhash"))
   }
 
+  /** [[simhash]] via the native [[graft.functions.SimHashAgg]]
+    * aggregate: one typed buffer instead of 32 sum expressions — the
+    * shuffle carries 128 bytes/doc in one column, and the 32-way
+    * codegen unit disappears. Differential proof: registered as
+    * `txt_simhash_native` against the SAME oracle as `txt_simhash`.
+    */
+  def simhashNative(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
+    withWords(spark, dir)
+      .select(col("doc_id"), explode(col("words")).as("w"))
+      .groupBy(col("doc_id"))
+      .agg(expr("simhash_agg(w)").as("simhash"))
+  }
+
   /** SimHash duplicate clusters: identical fingerprints bucketed. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     simhash(spark, dir)

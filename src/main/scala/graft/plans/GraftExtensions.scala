@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, SimHashAgg}
 
 /** Engine extension point: registers graft's native Catalyst functions.
   *
@@ -16,8 +16,10 @@ import graft.functions.CosineSimilarity
   *     (the driver harness builds plain sessions), idempotent.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSimDescriptor)
+    ext.injectFunction(GraftExtensions.simhashAggDescriptor)
+  }
 }
 
 object GraftExtensions {
@@ -27,13 +29,28 @@ object GraftExtensions {
     CosineSimilarity(exprs.head, exprs(1))
   }
 
+  // the analyzer wraps a bare AggregateFunction in AggregateExpression
+  // when the call site is an aggregation context, same as built-ins
+  private val simhashAggBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 1, s"simhash_agg expects 1 argument, got ${exprs.length}")
+    SimHashAgg(exprs.head)
+  }
+
   val cosineSimDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("cosine_sim"),
     new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
     cosineSimBuilder)
 
+  val simhashAggDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("simhash_agg"),
+    new ExpressionInfo(classOf[SimHashAgg].getName, "simhash_agg"),
+    simhashAggBuilder)
+
   /** Idempotent post-hoc registration on a live session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("cosine_sim", cosineSimBuilder, "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("simhash_agg", simhashAggBuilder, "built-in")
+  }
 }

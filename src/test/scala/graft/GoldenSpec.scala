@@ -149,6 +149,8 @@ class GoldenSpec extends SparkSpec {
     "txt_normalize" -> ((-6611269162432350353L, 500L)),
     "txt_quality" -> ((8093999280321710571L, 500L)),
     "txt_simhash" -> ((-7507058349007398018L, 500L)),
+    // identical by construction to txt_simhash (differential contract)
+    "txt_simhash_native" -> ((-7507058349007398018L, 500L)),
     "txt_split" -> ((139655551458257719L, 500L)),
     "txt_tfidf" -> ((6984402387703968371L, 1500L)),
     "txt_tokens" -> ((2856647791074966750L, 500L))
