@@ -73,6 +73,7 @@ object Bench {
     // Also to a file: the driver failed to parse round 1's stdout (the
     // metric line drowned in sbt [info] noise) — BENCH_r01 parsed: null.
     Files.writeString(Paths.get("/tmp/bench.json"), line)
+    graft.operators.TextOps.release(spark)
     spark.stop()
   }
 }

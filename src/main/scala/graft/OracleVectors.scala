@@ -110,9 +110,10 @@ object OracleVectors {
        |WHERE ${dot("ba.embedding", "bb.embedding")} / (sqrt(ba.nrm) * sqrt(bb.nrm))
        |      >= ${VectorOps.DupThreshold}""".stripMargin
 
-  /** Mirror of VectorOps.centroids: values scaled by 2^53 so the
-    * decimal cast is of an exact integer (no rounding-mode divergence
-    * between engines); sub-2^-31 magnitudes flushed to zero.
+  /** Mirror of VectorOps.centroids: values scaled by 2^54 (every float
+    * with |x| ≥ 2^-31 has ulp ≥ 2^-54) so the decimal cast is of an
+    * exact integer — no rounding-mode divergence between engines;
+    * sub-2^-31 magnitudes flushed to zero.
     */
   private val scale = VectorOps.Scale
   private val flush = VectorOps.Flush

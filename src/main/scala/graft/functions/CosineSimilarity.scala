@@ -48,6 +48,21 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  /** Nullable whenever a null RESULT is reachable: null inputs OR null
+    * elements (containsNull). Without this override the default
+    * (children nullability only) marks e.g.
+    * `cosine_sim(array(CAST(NULL AS FLOAT), ...), ...)` non-nullable,
+    * and the null this expression returns for the null element is
+    * silently coerced to 0.0 downstream — precisely the fake-zero the
+    * null-propagation contract exists to prevent.
+    */
+  override def nullable: Boolean =
+    left.nullable || right.nullable ||
+      ((left.dataType, right.dataType) match {
+        case (ArrayType(_, ln), ArrayType(_, rn)) => ln || rn
+        case _ => true
+      })
+
   override def prettyName: String = "cosine_sim"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
@@ -79,20 +94,33 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
+      // when the expression is non-nullable, ev.isNull is the LITERAL
+      // "false" — emitting an assignment to it would be invalid Java,
+      // and the element-null branch is unreachable anyway (containsNull
+      // is false on both sides)
+      val nullCheck =
+        if (nullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
+      val assign =
+        if (nullable)
+          s"${ev.value} = ${ev.isNull} ? 0.0 : $dot / (Math.sqrt($nx) * Math.sqrt($ny));"
+        else
+          s"${ev.value} = $dot / (Math.sqrt($nx) * Math.sqrt($ny));"
       s"""
          |int $n = Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0;
          |double $nx = 0.0;
          |double $ny = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $nullCheck
          |  double $xi = (double) $a.getFloat($i);
          |  double $yi = (double) $b.getFloat($i);
          |  $dot += $xi * $yi;
          |  $nx += $xi * $xi;
          |  $ny += $yi * $yi;
          |}
-         |${ev.value} = ${ev.isNull} ? 0.0 : $dot / (Math.sqrt($nx) * Math.sqrt($ny));
+         |$assign
        """.stripMargin
     })
 

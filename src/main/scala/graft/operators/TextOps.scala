@@ -33,19 +33,36 @@ object TextOps {
     * writing the signature table out once at cluster scale — and
     * [[release]] gives the session an explicit end-of-pipeline hook.
     */
-  private val memo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+  // WEAK session keys: a strong map would pin every SparkSession (and
+  // its persisted tables) that ever touched a dedup operator — a
+  // multi-tenant JVM creating sessions per unit of work would leak them
+  // all. With weak keys an unreferenced session (and its cache, which
+  // dies with it) becomes collectable without an explicit release.
+  private val memo = new java.util.WeakHashMap[
+    SparkSession, scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
 
   private def memoized(spark: SparkSession, dir: String, key: String)
-      (build: => DataFrame): DataFrame =
-    memo.getOrElseUpdate((spark, dir, key),
-      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-
-  /** Unpersist and forget every memoized artifact of `spark`. */
-  def release(spark: SparkSession): Unit =
-    memo.keys.filter(_._1 eq spark).foreach { k =>
-      memo.remove(k).foreach(_.unpersist(blocking = false))
+      (build: => DataFrame): DataFrame = {
+    val perSession = memo.synchronized {
+      var m = memo.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+        memo.put(spark, m)
+      }
+      m
     }
+    perSession.getOrElseUpdate((dir, key),
+      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** Unpersist and forget every memoized artifact of `spark` — the
+    * end-of-pipeline hook Verify/Bench call before session stop.
+    */
+  def release(spark: SparkSession): Unit = {
+    val perSession = memo.synchronized(memo.remove(spark))
+    if (perSession != null)
+      perSession.values.foreach(_.unpersist(blocking = false))
+  }
 
   /** Whitespace tokenization shared by all text operators. */
   private val words: Column = split(col("text"), " ")
@@ -443,7 +460,8 @@ object TextOps {
 
   /** TF-IDF top terms per document. Classic shape: explode → per-(doc,
     * term) counts (one shuffle with map-side combine) → document
-    * frequency per term (second partial agg) → broadcast-join df back →
+    * frequency per term (second partial agg) → term-keyed shuffle join
+    * of df back (deliberately unhinted — see inline note) →
     * per-doc top-3 window. The idf here is the LOG-FREE ratio
     * (N+1)/(df+1): natural log is not guaranteed bit-identical across
     * engines (libm vs DuckDB's), and rank order is unchanged under any

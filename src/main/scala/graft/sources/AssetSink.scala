@@ -71,17 +71,30 @@ object AssetSchema {
 
   /** The reference template maps every dynamic string to `keyword`
     * with `ignore_above: 1024` (assets_index_template.ts:14-24): ES
-    * silently refuses to index longer values. Enforcing the same cap
-    * here keeps parquet- and ES-backed sinks behaviorally identical —
-    * an oversized id must not round-trip in one store and vanish in
-    * the other.
+    * refuses to INDEX longer values (they'd sit unsearchable in
+    * `_source`). The parquet sink's analog is a write-boundary cap so
+    * nothing lands that the ES-backed sink couldn't serve. The cap
+    * lives in [[AssetSink.write]], NOT in [[conform]]: conform is also
+    * the query-path normalizer whose outputs are oracle-checked, and a
+    * silent mid-EAN truncation there would diverge from the untruncated
+    * DuckDB mirrors on any >1024-char edge list.
     */
   val MaxKeywordLen = 1024
 
+  /** String fields capped at the template's keyword limit — the
+    * write-boundary step (see [[MaxKeywordLen]]).
+    */
+  def capKeywords(df: DataFrame): DataFrame =
+    df.select(schema.fields.toSeq.map { f =>
+      f.dataType match {
+        case StringType => substring(col(f.name), 1, MaxKeywordLen).as(f.name)
+        case _ => col(f.name)
+      }
+    }: _*)
+
   /** Project any asset-pipeline output onto the fixed schema: missing
     * optional columns become typed nulls, order is canonical, types are
-    * cast, and string fields carry the template's keyword length cap.
-    * Fails fast if a REQUIRED column is absent.
+    * cast. Fails fast if a REQUIRED column is absent.
     */
   def conform(df: DataFrame): DataFrame = {
     val present = df.columns.toSet
@@ -89,12 +102,8 @@ object AssetSchema {
     val missing = required.filterNot(present.contains)
     require(missing.isEmpty, s"asset output missing required columns: $missing")
     val cols: Seq[Column] = schema.fields.toSeq.map { f =>
-      if (!present.contains(f.name)) lit(null).cast(f.dataType).as(f.name)
-      else f.dataType match {
-        case StringType =>
-          substring(col(f.name).cast(StringType), 1, MaxKeywordLen).as(f.name)
-        case dt => col(f.name).cast(dt).as(f.name)
-      }
+      if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
     }
     df.select(cols: _*)
   }
@@ -111,6 +120,6 @@ object AssetSchema {
   */
 object AssetSink {
   def write(df: DataFrame, path: String): Unit =
-    AssetSchema.conform(df)
+    AssetSchema.capKeywords(AssetSchema.conform(df))
       .write.mode("append").partitionBy("asset_type").parquet(path)
 }

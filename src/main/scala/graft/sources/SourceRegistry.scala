@@ -83,10 +83,14 @@ object SourceRegistry {
       case "ccs" =>
         val r = Option(remoteDir).getOrElse(
           throw new IllegalArgumentException("ccs layout needs a remote dir"))
+        // signals_all preserves its local-layout contract (apm ∪ logs,
+        // an overlapping doubled stream) across BOTH clusters — 4 paths,
+        // not a 2-path alias of signals_apm
         SourceRegistry(
           SourceRef("signals_apm", Seq(s"$dir/events.parquet", s"$r/events.parquet")),
           SourceRef("signals_logs", Seq(s"$dir/events.parquet", s"$r/events.parquet")),
-          SourceRef("signals_all", Seq(s"$dir/events.parquet", s"$r/events.parquet")),
+          SourceRef("signals_all", Seq(s"$dir/events.parquet", s"$r/events.parquet",
+            s"$dir/events.parquet", s"$r/events.parquet")),
           SourceRef("documents", Seq(s"$dir/documents.parquet", s"$r/documents.parquet")),
           SourceRef("embeddings", Seq(s"$dir/embeddings.parquet", s"$r/embeddings.parquet"))
         )

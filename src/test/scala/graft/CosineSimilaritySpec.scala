@@ -60,6 +60,21 @@ class CosineSimilaritySpec extends SparkSpec {
       java.lang.Double.doubleToLongBits(out(2).getDouble(1)))
   }
 
+  test("null element in a NON-nullable array input still yields NULL, not 0.0") {
+    GraftExtensions.register(spark)
+    // literal arrays: the columns themselves are non-nullable, so the
+    // expression's nullability must come from containsNull — round 3's
+    // review caught this returning a fake 0.0 similarity
+    val row = spark.sql(
+      """SELECT cosine_sim(array(CAST(NULL AS FLOAT), CAST(2.0 AS FLOAT)),
+        |                  array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS s,
+        |       coalesce(cosine_sim(array(CAST(NULL AS FLOAT)), array(CAST(1.0 AS FLOAT))),
+        |                CAST(-99.0 AS DOUBLE)) AS marked
+        |""".stripMargin).collect()(0)
+    assert(row.isNullAt(0))
+    assert(row.getDouble(1) === -99.0)
+  }
+
   test("knnExactNative returns exactly knnExact's rows") {
     val dir = sfDir
     val a = VectorOps.knnExact(spark, dir).collect().toSet

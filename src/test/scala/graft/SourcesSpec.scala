@@ -117,16 +117,24 @@ class SourcesSpec extends SparkSpec {
     assert(e.getMessage.contains("local"))
   }
 
-  test("conform caps string fields at the template's keyword limit (ignore_above 1024)") {
+  test("the sink write boundary caps string fields at the template's keyword limit") {
     import spark.implicits._
     val longId = "x" * 3000
     val df = Seq((java.sql.Timestamp.valueOf("2024-02-01 00:00:00"),
         "service:" + longId, "service", longId))
       .toDF("asset_ts", "asset_ean", "asset_type", "asset_id")
-    val out = AssetSchema.conform(df).collect()(0)
-    assert(out.getAs[String]("asset_id").length === AssetSchema.MaxKeywordLen)
-    assert(out.getAs[String]("asset_ean").length === AssetSchema.MaxKeywordLen)
-    assert(out.getAs[String]("asset_name") === null) // null survives the cap
+    // conform (the oracle-checked query path) must NOT truncate —
+    // a silent mid-EAN cut there would diverge from the DuckDB mirrors
+    assert(AssetSchema.conform(df).collect()(0)
+      .getAs[String]("asset_id").length === 3000)
+    // the WRITE path applies ignore_above-1024: nothing lands that an
+    // ES-backed sink couldn't index
+    val out = java.nio.file.Files.createTempDirectory("graft-cap").toString + "/a"
+    AssetSink.write(df, out)
+    val row = spark.read.parquet(out).collect()(0)
+    assert(row.getAs[String]("asset_id").length === AssetSchema.MaxKeywordLen)
+    assert(row.getAs[String]("asset_ean").length === AssetSchema.MaxKeywordLen)
+    assert(row.getAs[String]("asset_name") === null) // null survives the cap
   }
 
   test("selectFamily projects a wildcard column family (host.* analog) and prunes the scan") {
