@@ -85,6 +85,7 @@ object SparkEntry {
     "txt_split"           -> ((s, d) => TextOps.split90_5_5(s, d)),
     "dedup_fuzzy_edit"    -> ((s, d) => TextOps.dedupFuzzyEdit(s, d)),
     "dedup_clusters"      -> ((s, d) => TextOps.dedupClusters(s, d)),
+    "dedup_clusters_fixpoint" -> ((s, d) => TextOps.dedupClustersFixpoint(s, d)),
     "q33_pivot"           -> ((s, d) => Relational.q33Pivot(s, d)),
     "q34_salted_wordcount" -> ((s, d) => Relational.q34SaltedWordcount(s, d)),
     "q35_approx_quantile" -> ((s, d) => Relational.q35ApproxQuantile(s, d)),
@@ -175,6 +176,8 @@ object SparkEntry {
     "txt_split"           -> OracleText.split,
     "dedup_fuzzy_edit"    -> OracleText.dedupFuzzyEdit,
     "dedup_clusters"      -> OracleText.dedupClusters,
+    // same oracle as dedup_clusters — the fixpoint loop's differential proof
+    "dedup_clusters_fixpoint" -> OracleText.dedupClusters,
     "q33_pivot"           -> OracleRelational.q33,
     "q34_salted_wordcount" -> OracleRelational.q34,
     "q36_rolling_window"  -> OracleRelational.q36,

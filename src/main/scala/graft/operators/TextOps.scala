@@ -425,6 +425,71 @@ object TextOps {
       count(lit(1)).over(Window.partitionBy(col("label"))).as("cluster_size"))
   }
 
+  /** [[dedupClusters]] iterated to FIXPOINT instead of a fixed round
+    * count: propagation stops when a round changes no label (checked
+    * with one tiny count aggregate per round — each round is still
+    * just a join + partial agg, embarrassingly scalable), with a hard
+    * ceiling as a runaway guard. The bounded variant exists because
+    * the DuckDB oracle must mirror an exactly-unrolled computation;
+    * this one is for real corpora whose pair-graph diameter is
+    * unknown. On the fixture both converge identically (diameter <
+    * [[CcRounds]]), so this registers against the SAME oracle — a
+    * differential proof of the fixpoint loop.
+    *
+    * Iteration hygiene at scale: each round's labels are persisted,
+    * the previous round's are unpersisted once superseded, and the
+    * loop reads only the (memoized) edge table — no lineage growth
+    * beyond one round.
+    */
+  val CcMaxRounds = 20
+
+  /** Min-label propagation over a symmetrized (doc_a, doc_b) edge set
+    * until no label changes (or [[CcMaxRounds]]). Exposed for direct
+    * testing on graphs whose diameter exceeds [[CcRounds]].
+    *
+    * Each round's labels are `localCheckpoint`ed, not merely persisted:
+    * `labels` feeds the round twice (the neighbor-min join AND the
+    * left-join update), so without cutting lineage the logical plan
+    * doubles per round — exponential analysis cost that OOMs the
+    * driver near round 8 (measured). Checkpointing pins the round's
+    * rows and restarts lineage, the standard discipline for any
+    * iterative algorithm on Spark; superseded rounds' blocks are
+    * reclaimed by the ContextCleaner once unreferenced.
+    */
+  def propagateToFixpoint(edges: DataFrame): DataFrame = {
+    var labels = edges.select(col("doc_a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < CcMaxRounds) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("doc_b"), col("label")), Seq("doc_b"))
+        .groupBy(col("doc_a").as("node"))
+        .agg(min(col("label")).as("nbr_label"))
+      val next = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"), col("label").as("prev"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      changed = next.where(col("label") =!= col("prev")).count()
+      labels = next.select(col("node"), col("label"))
+      rounds += 1
+    }
+    labels
+  }
+
+  def dedupClustersFixpoint(spark: SparkSession, dir: String): DataFrame = {
+    val edges = memoized(spark, dir, "lsh_edges") {
+      val pairs = dedupMinhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
+      pairs.unionAll(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    }
+    propagateToFixpoint(edges).select(
+      col("node").as("doc_id"),
+      col("label").as("cluster_id"),
+      count(lit(1)).over(Window.partitionBy(col("label"))).as("cluster_size"))
+  }
+
   /** End-to-end corpus curation — the composed training-data pipeline:
     * quality gate → exact-dup removal (keep smallest doc_id per content
     * hash) → near-dup removal (keep each LSH cluster's canonical) →

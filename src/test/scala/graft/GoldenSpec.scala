@@ -82,6 +82,8 @@ class GoldenSpec extends SparkSpec {
     "container_graph" -> ((-8666987361282041203L, 2L)),
     "corpus_curation" -> ((5937778217018745150L, 5L)),
     "dedup_clusters" -> ((-4388125515379173L, 45L)),
+    // identical by construction to dedup_clusters (fixture diameter < CcRounds)
+    "dedup_clusters_fixpoint" -> ((-4388125515379173L, 45L)),
     "dedup_embedding" -> ((8674055004667387128L, 114L)),
     "dedup_exact" -> ((678982984489084868L, 500L)),
     "dedup_fuzzy_edit" -> ((-4856991647417065686L, 28L)),

@@ -103,4 +103,19 @@ class TextOpsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(ids === Seq(1L))
   }
+
+  test("fixpoint propagation converges on a chain LONGER than the bounded rounds") {
+    val s = spark; import s.implicits._
+    // 9-node path 0-1-...-8: diameter 8 > CcRounds=3, so the bounded
+    // unroll CANNOT finish this graph — the fixpoint loop must
+    val n = 9
+    val pairs = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong))
+    val edges = pairs.toDF("doc_a", "doc_b")
+    val sym = edges.unionAll(
+      edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val labels = TextOps.propagateToFixpoint(sym).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size === n)
+    assert(labels.values.toSet === Set(0L), s"not fully converged: $labels")
+  }
 }
