@@ -338,7 +338,12 @@ object OracleAssets {
        |),
        |r AS (
        |  SELECT *, row_number() OVER (
-       |    PARTITION BY asset_ean ORDER BY asset_ts DESC, src DESC) AS rn2
+       |    PARTITION BY asset_ean ORDER BY asset_ts DESC, src DESC,
+       |      asset_type ASC NULLS FIRST, asset_id ASC NULLS FIRST,
+       |      asset_name ASC NULLS FIRST, asset_parents ASC NULLS FIRST,
+       |      asset_children ASC NULLS FIRST, asset_references ASC NULLS FIRST,
+       |      service_environment ASC NULLS FIRST, cloud_provider ASC NULLS FIRST,
+       |      orchestrator_cluster_name ASC NULLS FIRST) AS rn2
        |  FROM u
        |)
        |SELECT asset_ts, asset_ean, asset_type, asset_id, asset_name,

@@ -22,10 +22,19 @@ import graft.sources.{AssetSink, DebugSink, SourceRegistry, Tables}
   */
 object Run {
 
-  def parseArgs(args: Array[String]): Map[String, String] =
-    args.sliding(2, 2).collect {
-      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+  def parseArgs(args: Array[String]): Map[String, String] = {
+    // fail fast on malformed pairs: silent sliding(2,2) misparses an
+    // odd-length list ("--read --write /p" reads a source named
+    // "--write" and drops the write flag with a misleading error)
+    require(args.length % 2 == 0,
+      s"arguments must be --flag value pairs, got: ${args.mkString(" ")}")
+    args.sliding(2, 2).map {
+      case Array(k, v) if k.startsWith("--") && !v.startsWith("--") =>
+        k.drop(2) -> v
+      case Array(k, v) => throw new IllegalArgumentException(
+        s"malformed argument pair '$k $v' (expected --flag value)")
     }.toMap
+  }
 
   /** The collection run against an existing session — `main` minus
     * session lifecycle, so tests (and embedding callers) drive it
@@ -50,8 +59,13 @@ object Run {
     // plan and a sample, then bulk-write
     println(DebugSink.dumpPlan(assets))
     println(DebugSink.dumpRows(assets, 5))
+    // the sink appends, so "written" must be THIS run's delta — a bare
+    // re-count of the directory reports the cumulative total on reruns
+    def sinkRows(): Long =
+      try spark.read.parquet(write).count() catch { case _: Throwable => 0L }
+    val before = sinkRows()
     AssetSink.write(assets, write)
-    val written = spark.read.parquet(write).count()
+    val written = sinkRows() - before
     println(s"""{"written": $written, "path": "$write"}""")
     written
   }

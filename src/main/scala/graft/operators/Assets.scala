@@ -421,8 +421,16 @@ object Assets {
   def upsertAssets(state: DataFrame, batch: DataFrame): DataFrame = {
     val s = AssetSchema.conform(state).withColumn("__src", lit(0))
     val b = AssetSchema.conform(batch).withColumn("__src", lit(1))
+    // deterministic TOTAL order (SURVEY §7.4 risk 2, same discipline as
+    // collapseLatest): if one side carries duplicate eans with equal
+    // timestamps, (ts, src) alone leaves the winner to partition order;
+    // the remaining scalar columns break the tie identically on both
+    // engines (nulls-first matches DuckDB's explicit NULLS FIRST)
+    val tieBreak = AssetSchema.schema.fieldNames.toSeq
+      .filterNot(Set("asset_ean", "asset_ts").contains)
+      .map(c => col(c).asc_nulls_first)
     val w = Window.partitionBy(col("asset_ean"))
-      .orderBy(col("asset_ts").desc, col("__src").desc)
+      .orderBy(col("asset_ts").desc +: col("__src").desc +: tieBreak: _*)
     s.unionAll(b)
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)

@@ -63,10 +63,20 @@ object MultimodalOps {
     * video-keyframe access pattern (payload sliced by byte math, no
     * decode needed).
     */
+  /** Frame index array, guarded for empty payloads: Spark's
+    * `sequence(0, -1)` is the DESCENDING [0, -1] (step defaults to -1
+    * when start > stop), not [] — unguarded, a zero-byte payload would
+    * emit phantom frames (and frame_idx -1 reads from the payload's
+    * END via negative substring). Same guard discipline as
+    * TextOps.shingles; DuckDB's `range(0)` is already empty.
+    */
+  private val frameIdxs =
+    "CASE WHEN meta.n_frames >= 1 THEN sequence(0, meta.n_frames - 1) ELSE CAST(array() AS array<int>) END"
+
   def mediaFrames(spark: SparkSession, dir: String): DataFrame =
     media(spark, dir)
       .select(col("media_id"), col("payload"),
-        explode(expr("filter(sequence(0, meta.n_frames - 1), i -> i % 2 = 0)"))
+        explode(expr(s"filter($frameIdxs, i -> i % 2 = 0)"))
           .as("frame_idx"))
       .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
         md5(expr(s"substring(payload, frame_idx * $FrameBytes + 1, $FrameBytes)"))
@@ -79,7 +89,7 @@ object MultimodalOps {
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame =
     media(spark, dir)
       .select(col("media_id"), col("payload"),
-        explode(expr("sequence(0, meta.n_frames - 1)")).as("frame_idx"))
+        explode(expr(frameIdxs)).as("frame_idx"))
       .select(col("media_id"),
         expr(s"""CAST(conv(substring(md5(substring(payload, frame_idx * $FrameBytes + 1,
                  $FrameBytes)), 1, 8), 16, 10) AS BIGINT) % 256""").as("f"))

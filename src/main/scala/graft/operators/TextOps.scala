@@ -33,36 +33,36 @@ object TextOps {
     * writing the signature table out once at cluster scale — and
     * [[release]] gives the session an explicit end-of-pipeline hook.
     */
-  // WEAK session keys: a strong map would pin every SparkSession (and
-  // its persisted tables) that ever touched a dedup operator — a
-  // multi-tenant JVM creating sessions per unit of work would leak them
-  // all. With weak keys an unreferenced session (and its cache, which
-  // dies with it) becomes collectable without an explicit release.
-  private val memo = new java.util.WeakHashMap[
-    SparkSession, scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
+  // Lifecycle note: a weak-keyed map would NOT work here — the
+  // persisted DataFrame value strongly references its SparkSession
+  // (via queryExecution), so the key never becomes weakly reachable
+  // (the WeakHashMap value→key pitfall). Instead: strong entries keyed
+  // by session UUID, an explicit [[release]] hook (Verify/Bench call it
+  // before stop), and a sweep on every access that drops entries whose
+  // SparkContext has stopped — a stopped context's blocks are already
+  // gone, so the sweep only frees driver-side references. A live
+  // session that never calls release keeps its two small cached tables:
+  // that is the memoization working, not a leak.
+  private val memo = scala.collection.concurrent.TrieMap
+    .empty[(String, String, String), (SparkSession, DataFrame)]
+
+  private def sweepStopped(): Unit =
+    memo.filterInPlace { case (_, (s, _)) => !s.sparkContext.isStopped }
 
   private def memoized(spark: SparkSession, dir: String, key: String)
       (build: => DataFrame): DataFrame = {
-    val perSession = memo.synchronized {
-      var m = memo.get(spark)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
-        memo.put(spark, m)
-      }
-      m
-    }
-    perSession.getOrElseUpdate((dir, key),
-      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    sweepStopped()
+    memo.getOrElseUpdate((spark.sessionUUID, dir, key),
+      (spark, build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))._2
   }
 
   /** Unpersist and forget every memoized artifact of `spark` — the
     * end-of-pipeline hook Verify/Bench call before session stop.
     */
-  def release(spark: SparkSession): Unit = {
-    val perSession = memo.synchronized(memo.remove(spark))
-    if (perSession != null)
-      perSession.values.foreach(_.unpersist(blocking = false))
-  }
+  def release(spark: SparkSession): Unit =
+    memo.keys.filter(_._1 == spark.sessionUUID).foreach { k =>
+      memo.remove(k).foreach(_._2.unpersist(blocking = false))
+    }
 
   /** Whitespace tokenization shared by all text operators. */
   private val words: Column = split(col("text"), " ")

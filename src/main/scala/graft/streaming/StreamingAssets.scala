@@ -55,21 +55,33 @@ object StreamingAssets {
     sig.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(Seq("event_id"))
 
-  /** Atomically replace the asset state dir with the merged result:
-    * write to a tmp path, then swap. The read of the old state and the
-    * write of the new never overlap on the same files.
+  /** Replace the asset state dir with the merged result via a
+    * crash-safe three-step swap: write tmp → move current state aside →
+    * promote tmp → drop the aside copy. A crash at ANY point leaves at
+    * least one complete copy on disk (tmp, aside, or state), and the
+    * recovery branch at the top restores an aside copy whose promote
+    * never happened — unlike a delete-then-rename, which has a window
+    * where the only copy is gone and the committed checkpoint would
+    * never replay the lost batch.
     */
   private def mergeIntoState(spark: SparkSession, assets: DataFrame, statePath: String): Unit = {
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val state = new Path(statePath)
     val tmp = new Path(statePath + "__tmp")
+    val aside = new Path(statePath + "__old")
+    // recovery: a previous crash between move-aside and promote left no
+    // live state — the aside copy is the last complete one
+    if (!fs.exists(state) && fs.exists(aside)) fs.rename(aside, state)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
     val existing =
       if (fs.exists(state)) spark.read.parquet(statePath)
       else AssetSchema.conform(assets).limit(0)
     Assets.upsertAssets(existing, assets)
       .write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(state)) fs.delete(state, true)
+    if (fs.exists(aside)) fs.delete(aside, true)
+    if (fs.exists(state)) fs.rename(state, aside)
     fs.rename(tmp, state)
+    fs.delete(aside, true)
   }
 
   /** The flagship collection as an incremental stream: per micro-batch,
