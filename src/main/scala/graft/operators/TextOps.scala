@@ -46,13 +46,20 @@ object TextOps {
   private val memo = scala.collection.concurrent.TrieMap
     .empty[(String, String, String), (SparkSession, DataFrame)]
 
+  /** Stable per-session key: sessions are compared by object identity
+    * (Spark 4.1.2's SparkSession exposes no session UUID), so the
+    * identity hash code is the natural memo key component.
+    */
+  private def sessionKey(spark: SparkSession): String =
+    System.identityHashCode(spark).toString
+
   private def sweepStopped(): Unit =
     memo.filterInPlace { case (_, (s, _)) => !s.sparkContext.isStopped }
 
   private def memoized(spark: SparkSession, dir: String, key: String)
       (build: => DataFrame): DataFrame = {
     sweepStopped()
-    memo.getOrElseUpdate((spark.sessionUUID, dir, key),
+    memo.getOrElseUpdate((sessionKey(spark), dir, key),
       (spark, build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))._2
   }
 
@@ -60,7 +67,7 @@ object TextOps {
     * end-of-pipeline hook Verify/Bench call before session stop.
     */
   def release(spark: SparkSession): Unit =
-    memo.keys.filter(_._1 == spark.sessionUUID).foreach { k =>
+    memo.keys.filter(_._1 == sessionKey(spark)).foreach { k =>
       memo.remove(k).foreach(_._2.unpersist(blocking = false))
     }
 
