@@ -12,8 +12,6 @@ object OracleVectors {
   private val dim = VectorOps.Dim
   private val k = VectorOps.K
   private val qm = VectorOps.QueryMod
-  private val nBands = VectorOps.NumBands
-  private val bandBits = VectorOps.BandBits
 
   /** In-order dot-product fold of two list columns (1-based indices). */
   private def dot(a: String, b: String): String =
@@ -48,10 +46,10 @@ object OracleVectors {
        |)
        |SELECT query_id, neighbor_id, "rank", sim FROM ranked WHERE "rank" <= $k""".stripMargin
 
-  private val codeCte: String =
+  private def codeCte(numPlanes: Int): String =
     s"""coded AS (
        |  SELECT vec_id, embedding, nrm,
-       |    array_to_string(list_transform(${VectorOps.planesLitDuck}, p ->
+       |    array_to_string(list_transform(${VectorOps.planesLitDuck(numPlanes)}, p ->
        |      CASE WHEN list_reduce(list_transform(range(1, ${dim + 1}),
        |          i -> p[CAST(i AS INT)] * CAST(embedding[CAST(i AS INT)] AS DOUBLE)),
        |          (acc, v) -> acc + v) > 0
@@ -59,13 +57,14 @@ object OracleVectors {
        |  FROM base
        |)""".stripMargin
 
-  val knnLsh: String =
-    s"""WITH $baseCte, $codeCte,
+  def knnLsh(numPlanes: Int = VectorOps.NumPlanes,
+      bandBits: Int = VectorOps.BandBits): String =
+    s"""WITH $baseCte, ${codeCte(numPlanes)},
        |bands AS (
        |  SELECT vec_id,
        |    b.b AS band_idx,
        |    substring(code, CAST(b.b * $bandBits + 1 AS INT), $bandBits) AS band_key
-       |  FROM coded CROSS JOIN (SELECT unnest(range($nBands)) AS b) b
+       |  FROM coded CROSS JOIN (SELECT unnest(range(${numPlanes / bandBits})) AS b) b
        |),
        |candidates AS (
        |  SELECT DISTINCT qb.vec_id AS query_id, db.vec_id AS neighbor_id
@@ -89,13 +88,14 @@ object OracleVectors {
   /** Mirror of VectorOps.dedupEmbedding: all-vector band self-join,
     * exact cosine on candidates, thresholded.
     */
-  val dedupEmbedding: String =
-    s"""WITH $baseCte, $codeCte,
+  def dedupEmbedding(numPlanes: Int = VectorOps.NumPlanes,
+      bandBits: Int = VectorOps.BandBits): String =
+    s"""WITH $baseCte, ${codeCte(numPlanes)},
        |bands AS (
        |  SELECT vec_id,
        |    b.b AS band_idx,
        |    substring(code, CAST(b.b * $bandBits + 1 AS INT), $bandBits) AS band_key
-       |  FROM coded CROSS JOIN (SELECT unnest(range($nBands)) AS b) b
+       |  FROM coded CROSS JOIN (SELECT unnest(range(${numPlanes / bandBits})) AS b) b
        |),
        |candidates AS (
        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -118,9 +118,9 @@ object OracleVectors {
   private val scale = VectorOps.Scale
   private val flush = VectorOps.Flush
 
-  val centroidsCte: String =
+  def centroidsCte(nlist: Int = VectorOps.NList): String =
     s"""cent AS (
-       |  SELECT label, p.pos AS pos,
+       |  SELECT label % $nlist AS label, p.pos AS pos,
        |    sum(CAST(CASE WHEN abs(CAST(embedding[CAST(p.pos + 1 AS INT)] AS DOUBLE)) < $flush
        |             THEN 0.0
        |             ELSE CAST(embedding[CAST(p.pos + 1 AS INT)] AS DOUBLE)
@@ -135,20 +135,21 @@ object OracleVectors {
     * VectorOps.centroids: DECIMAL output rendering is the one
     * engine-divergent type in the driver's compare).
     */
-  val centroids: String =
-    s"""WITH $centroidsCte
+  def centroids(nlist: Int = VectorOps.NList): String =
+    s"""WITH ${centroidsCte(nlist)}
        |SELECT label, pos,
        |  CAST(centroid_sum AS VARCHAR) AS centroid_sum, n,
        |  CAST(centroid_sum AS DOUBLE) / $scale / n AS mean
        |FROM cent""".stripMargin
 
   /** Recall@K of LSH vs exact, composing the two query oracles. */
-  val lshRecall: String =
+  def lshRecall(numPlanes: Int = VectorOps.NumPlanes,
+      bandBits: Int = VectorOps.BandBits): String =
     s"""SELECT e.query_id,
        |  CAST(count(l."rank") AS DOUBLE) / $k AS recall_at_k,
        |  count(*) AS n_exact
        |FROM ($knnExact) e
-       |LEFT JOIN ($knnLsh) l
+       |LEFT JOIN (${knnLsh(numPlanes, bandBits)}) l
        |  ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
        |GROUP BY e.query_id""".stripMargin
 
@@ -173,14 +174,14 @@ object OracleVectors {
        |  FROM csims
        |)""".stripMargin
 
-  val ivfAssign: String =
-    s"""WITH $baseCte, $centroidsCte,
+  def ivfAssign(nlist: Int = VectorOps.NList): String =
+    s"""WITH $baseCte, ${centroidsCte(nlist)},
        |$centroidSimsCtes
        |SELECT vec_id, label, c_label AS assigned_label, sim
        |FROM cranked WHERE rn = 1""".stripMargin
 
-  val knnIvf: String =
-    s"""WITH $baseCte, $centroidsCte,
+  def knnIvf(nlist: Int = VectorOps.NList): String =
+    s"""WITH $baseCte, ${centroidsCte(nlist)},
        |$centroidSimsCtes,
        |assignments AS (
        |  SELECT vec_id AS neighbor_id, c_label AS assigned_label

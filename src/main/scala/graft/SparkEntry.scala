@@ -184,12 +184,12 @@ object SparkEntry {
     "q37_lead_lag"        -> OracleRelational.q37,
     "emb_knn_exact"  -> OracleVectors.knnExact,
     "emb_knn_native" -> OracleVectors.knnExact,
-    "emb_knn_lsh"    -> OracleVectors.knnLsh,
-    "emb_centroids"  -> OracleVectors.centroids,
-    "emb_ivf_assign" -> OracleVectors.ivfAssign,
-    "emb_knn_ivf"    -> OracleVectors.knnIvf,
-    "emb_lsh_recall" -> OracleVectors.lshRecall,
-    "dedup_embedding" -> OracleVectors.dedupEmbedding,
+    "emb_knn_lsh"    -> OracleVectors.knnLsh(),
+    "emb_centroids"  -> OracleVectors.centroids(),
+    "emb_ivf_assign" -> OracleVectors.ivfAssign(),
+    "emb_knn_ivf"    -> OracleVectors.knnIvf(),
+    "emb_lsh_recall" -> OracleVectors.lshRecall(),
+    "dedup_embedding" -> OracleVectors.dedupEmbedding(),
     "corpus_curation" -> OracleText.corpusCuration,
     "media_metadata" -> OracleMultimodal.metadata,
     "media_frames"   -> OracleMultimodal.frames,

@@ -45,9 +45,22 @@ object VectorOps {
   /** Query-set selector: every 100th vector is a query point. */
   val QueryMod = 100
 
-  val NumPlanes = 16
-  val BandBits = 4
-  val NumBands: Int = NumPlanes / BandBits // 4 bands of 4 bits
+  /** Sign-LSH banding parameters — OPERATOR PARAMETERS, not fixture
+    * constants, because they are the scale dial of the whole family: a
+    * band self-join on near-random codes produces
+    * `≈ C(N,2) · nBands / 2^bandBits` candidate pairs, so `bandBits`
+    * must grow with log2(N) to hold expected candidates LINEAR in N
+    * (pick `bandBits ≈ log2(N · nBands / c)` for ~`c·N/2` candidates).
+    * Round-3 defaults (16 planes / 4-bit bands = 64 buckets corpus-wide)
+    * degenerated to ~all-pairs on a large corpus; the defaults below
+    * (64 planes / 8-bit bands → 8 bands × 256 keys) are sized for the
+    * test fixtures (≤2k vectors, near-dup sims 0.35–0.6), and a 10⁹-
+    * vector deployment at a 0.95 dup threshold would run e.g.
+    * `bandBits = 16–24` with more planes via these parameters.
+    */
+  val NumPlanes = 64
+  val BandBits = 8
+  val NumBands: Int = NumPlanes / BandBits // 8 bands of 8 bits
 
   /** Deterministic ±1 hyperplane weights from a Knuth-style LCG over the
     * flat (plane, dim) index — reproducible in plain SQL-free arithmetic
@@ -59,16 +72,18 @@ object VectorOps {
     if (((x >> 16) & 1L) == 1L) 1 else -1
   }
 
-  val planes: IndexedSeq[IndexedSeq[Int]] =
-    IndexedSeq.tabulate(NumPlanes, Dim)(planeWeight)
+  def planesFor(numPlanes: Int): IndexedSeq[IndexedSeq[Int]] =
+    IndexedSeq.tabulate(numPlanes, Dim)(planeWeight)
+
+  val planes: IndexedSeq[IndexedSeq[Int]] = planesFor(NumPlanes)
 
   /** Spark SQL literal `array(array(1,-1,...), ...)`. */
-  def planesLitSpark: String =
-    planes.map(_.mkString("array(", ",", ")")).mkString("array(", ",", ")")
+  def planesLitSpark(numPlanes: Int = NumPlanes): String =
+    planesFor(numPlanes).map(_.mkString("array(", ",", ")")).mkString("array(", ",", ")")
 
   /** DuckDB literal `[[1,-1,...], ...]` (see OracleVectors). */
-  def planesLitDuck: String =
-    planes.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+  def planesLitDuck(numPlanes: Int = NumPlanes): String =
+    planesFor(numPlanes).map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
 
   /** Sequential in-order dot-product fold of two array columns, in
     * double. Codegen'd higher-order functions — no UDF.
@@ -77,11 +92,25 @@ object VectorOps {
     s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
        |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
 
-  /** 16-bit sign code: bit p = sign of <plane_p, v>. */
-  def codeExpr: String =
-    s"""concat_ws('', transform($planesLitSpark, p ->
+  /** `numPlanes`-bit sign code: bit p = sign of <plane_p, v>. */
+  def codeExpr(numPlanes: Int = NumPlanes): String =
+    s"""concat_ws('', transform(${planesLitSpark(numPlanes)}, p ->
        |  CASE WHEN aggregate(zip_with(p, embedding, (w, x) -> w * CAST(x AS DOUBLE)),
        |    CAST(0 AS DOUBLE), (acc, v) -> acc + v) > 0 THEN '1' ELSE '0' END))""".stripMargin
+
+  /** Band keys computed directly from each band's own plane slice —
+    * `numPlanes / bandBits` keys of `bandBits` sign bits each, equal to
+    * `substring(codeExpr, b·bandBits+1, bandBits)` but with every
+    * plane's sign evaluated exactly ONCE per row: banding over a
+    * separate `code` column lets CollapseProject inline the full
+    * numPlanes fold into every band lambda (numBands× recompute — the
+    * same trap the minhash pipeline dodges by hashing before explode).
+    */
+  def bandKeysExpr(numPlanes: Int, bandBits: Int): String =
+    s"""transform(sequence(0, ${numPlanes / bandBits - 1}), b ->
+       |  concat_ws('', transform(slice(${planesLitSpark(numPlanes)}, b * $bandBits + 1, $bandBits), p ->
+       |    CASE WHEN aggregate(zip_with(p, embedding, (w, x) -> w * CAST(x AS DOUBLE)),
+       |      CAST(0 AS DOUBLE), (acc, v) -> acc + v) > 0 THEN '1' ELSE '0' END)))""".stripMargin
 
   /** Embeddings with their (not-quite-1.0) squared norms precomputed once. */
   private def withNorm(spark: SparkSession, dir: String): DataFrame =
@@ -134,17 +163,19 @@ object VectorOps {
         .select(col("query_id"), col("vec_id").as("neighbor_id"), cosine))
   }
 
-  /** ANN via banded sign-LSH: corpus → 16-bit code → 4 band keys;
-    * candidates are vectors sharing ≥1 band with a query (bucket
-    * equi-join on (band_idx, band_key) — O(collisions), the 100 TB
-    * path); exact cosine + top-k only on candidates.
+  /** ANN via banded sign-LSH: corpus → `numPlanes`-bit code →
+    * `numPlanes / bandBits` band keys; candidates are vectors sharing
+    * ≥1 band with a query (bucket equi-join on (band_idx, band_key) —
+    * O(collisions), the 100 TB path, with bandBits as the collision-
+    * rate dial — see the banding-parameters note above); exact cosine
+    * + top-k only on candidates.
     */
-  def knnLsh(spark: SparkSession, dir: String): DataFrame = {
-    val base = withNorm(spark, dir).withColumn("code", expr(codeExpr))
+  def knnLsh(spark: SparkSession, dir: String,
+      numPlanes: Int = NumPlanes, bandBits: Int = BandBits): DataFrame = {
+    val base = withNorm(spark, dir)
     val bands = base.select(
       col("vec_id"),
-      posexplode(expr(
-        s"transform(sequence(0, ${NumBands - 1}), b -> substring(code, b * $BandBits + 1, $BandBits))"))
+      posexplode(expr(bandKeysExpr(numPlanes, bandBits)))
         .as(Seq("band_idx", "band_key")))
     val qBands = bands.where(col("vec_id") % QueryMod === 0)
       .select(col("vec_id").as("query_id"), col("band_idx"), col("band_key"))
@@ -181,7 +212,8 @@ object VectorOps {
     * this with the same min-label clustering TextOps.dedupClusters
     * runs over its pair graph.
     */
-  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+  def dedupEmbedding(spark: SparkSession, dir: String,
+      numPlanes: Int = NumPlanes, bandBits: Int = BandBits): DataFrame = {
     // The candidate set is the big side here (all bucket collisions,
     // not one query set's) — millions of pairs at sf0.1 — so the exact
     // re-rank runs the fused native cosine_sim expression (one codegen
@@ -190,11 +222,9 @@ object VectorOps {
     // so the DuckDB oracle is unchanged. Skipping the precomputed-norm
     // columns also halves the enrichment joins' payload width.
     graft.plans.GraftExtensions.register(spark)
-    val base = withNorm(spark, dir).withColumn("code", expr(codeExpr))
-    val bands = base.select(
+    val bands = Tables.embeddings(spark, dir).select(
       col("vec_id"),
-      posexplode(expr(
-        s"transform(sequence(0, ${NumBands - 1}), b -> substring(code, b * $BandBits + 1, $BandBits))"))
+      posexplode(expr(bandKeysExpr(numPlanes, bandBits)))
         .as(Seq("band_idx", "band_key")))
     val a = bands.select(col("vec_id").as("vec_a"), col("band_idx"), col("band_key"))
     val b = bands.select(col("vec_id").as("vec_b"), col("band_idx"), col("band_key"))
@@ -230,9 +260,22 @@ object VectorOps {
   val Scale: String = "18014398509481984.0"     // 2^54
   val Flush: String = "(1.0 / 2147483648.0)"    // 2^-31
 
-  def centroidsRaw(spark: SparkSession, dir: String): DataFrame =
+  /** Number of coarse IVF buckets (the k-means `k` / `nlist`). The
+    * fixture's 10 labels stand in for trained cluster ids, so the
+    * default keeps bucket == label; smaller values fold labels together
+    * via `label % nlist` (identical in Spark and DuckDB for the
+    * non-negative labels). nlist is THE scale dial of IVF: each probe
+    * scans ~N·nprobe/nlist candidates, so a real deployment sizes
+    * nlist ≈ √N (10⁹ vectors → ~32k buckets → ~60k candidates per
+    * probe) — it must grow with the corpus, which is why it is an
+    * operator parameter and not a constant.
+    */
+  val NList = 10
+
+  def centroidsRaw(spark: SparkSession, dir: String, nlist: Int = NList): DataFrame =
     Tables.embeddings(spark, dir)
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "val")))
+      .select(pmod(col("label"), lit(nlist)).as("label"),
+        posexplode(col("embedding")).as(Seq("pos", "val")))
       .groupBy(col("label"), col("pos").cast("long").as("pos"))
       .agg(
         sum(expr(s"""CAST(CASE WHEN abs(CAST(val AS DOUBLE)) < $Flush THEN 0.0
@@ -251,8 +294,8 @@ object VectorOps {
     * bit-equal across engines (proven transitively by the ivf queries'
     * hash-green sims, which are derived from every mean).
     */
-  def centroids(spark: SparkSession, dir: String): DataFrame =
-    centroidsRaw(spark, dir)
+  def centroids(spark: SparkSession, dir: String, nlist: Int = NList): DataFrame =
+    centroidsRaw(spark, dir, nlist)
       .select(col("label"), col("pos"),
         col("centroid_sum").cast("string").as("centroid_sum"),
         col("n"), col("mean"))
@@ -260,8 +303,8 @@ object VectorOps {
   /** Centroid vectors (label, centroid array, squared norm) rebuilt
     * from the long-format [[centroids]] output.
     */
-  private def centroidVectors(spark: SparkSession, dir: String): DataFrame =
-    centroidsRaw(spark, dir)
+  private def centroidVectors(spark: SparkSession, dir: String, nlist: Int): DataFrame =
+    centroidsRaw(spark, dir, nlist)
       .groupBy(col("label").as("c_label"))
       .agg(expr("transform(array_sort(collect_list(struct(pos, mean))), t -> t.mean)")
         .as("centroid"))
@@ -271,24 +314,24 @@ object VectorOps {
   /** Per-vector cosine against every centroid, ranked (broadcast
     * centroids — the corpus never shuffles).
     */
-  private def centroidSims(spark: SparkSession, dir: String): DataFrame = {
+  private def centroidSims(spark: SparkSession, dir: String, nlist: Int): DataFrame = {
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("sim").desc, col("c_label").asc)
     withNorm(spark, dir)
-      .crossJoin(broadcast(centroidVectors(spark, dir)))
+      .crossJoin(broadcast(centroidVectors(spark, dir, nlist)))
       .select(col("vec_id"), col("label"), col("c_label"),
         (expr(dot("embedding", "centroid")) / (sqrt(col("nrm")) * sqrt(col("cnrm"))))
           .as("sim"))
       .withColumn("rn", row_number().over(w))
   }
 
-  /** Nearest-centroid assignment (the IVF partitioner): 10 centroids
-    * broadcast against the corpus; cosine against each; argmax via a
-    * per-vector window. Output keeps the true label for a train-style
-    * purity readout.
+  /** Nearest-centroid assignment (the IVF partitioner): `nlist`
+    * centroids broadcast against the corpus; cosine against each;
+    * argmax via a per-vector window. Output keeps the true label for a
+    * train-style purity readout.
     */
-  def ivfAssign(spark: SparkSession, dir: String): DataFrame =
-    centroidSims(spark, dir)
+  def ivfAssign(spark: SparkSession, dir: String, nlist: Int = NList): DataFrame =
+    centroidSims(spark, dir, nlist)
       .where(col("rn") === 1)
       .select(col("vec_id"), col("label"),
         col("c_label").as("assigned_label"), col("sim"))
@@ -319,10 +362,10 @@ object VectorOps {
     * assigned to an unprobed bucket is missed — [[knnExact]] is the
     * recall baseline.
     */
-  def knnIvf(spark: SparkSession, dir: String): DataFrame = {
-    val assignments = ivfAssign(spark, dir)
+  def knnIvf(spark: SparkSession, dir: String, nlist: Int = NList): DataFrame = {
+    val assignments = ivfAssign(spark, dir, nlist)
       .select(col("vec_id").as("neighbor_id"), col("assigned_label"))
-    val probes = centroidSims(spark, dir)
+    val probes = centroidSims(spark, dir, nlist)
       .where(col("vec_id") % QueryMod === 0 && col("rn") <= NProbe)
       .select(col("vec_id").as("query_id"), col("c_label").as("assigned_label"))
     val candidates = probes.join(assignments, Seq("assigned_label"))
