@@ -69,18 +69,28 @@ object StreamingAssets {
     val state = new Path(statePath)
     val tmp = new Path(statePath + "__tmp")
     val aside = new Path(statePath + "__old")
+    // Hadoop rename/delete report failure by RETURNING FALSE, not by
+    // throwing: every step below is require-checked so a silent failure
+    // aborts the batch (foreachBatch error → checkpoint does NOT commit
+    // → the batch replays) instead of committing a batch whose merged
+    // state never landed.
     // recovery: a previous crash between move-aside and promote left no
     // live state — the aside copy is the last complete one
-    if (!fs.exists(state) && fs.exists(aside)) fs.rename(aside, state)
-    if (fs.exists(tmp)) fs.delete(tmp, true)
+    if (!fs.exists(state) && fs.exists(aside))
+      require(fs.rename(aside, state), s"state recovery rename failed: $aside -> $state")
+    if (fs.exists(tmp))
+      require(fs.delete(tmp, true), s"failed to clear stale tmp dir $tmp")
     val existing =
       if (fs.exists(state)) spark.read.parquet(statePath)
       else AssetSchema.conform(assets).limit(0)
     Assets.upsertAssets(existing, assets)
       .write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(aside)) fs.delete(aside, true)
-    if (fs.exists(state)) fs.rename(state, aside)
-    fs.rename(tmp, state)
+    if (fs.exists(aside))
+      require(fs.delete(aside, true), s"failed to drop stale aside copy $aside")
+    if (fs.exists(state))
+      require(fs.rename(state, aside), s"move-aside rename failed: $state -> $aside")
+    require(fs.rename(tmp, state), s"promote rename failed: $tmp -> $state")
+    // only after a VERIFIED promote is the aside copy redundant
     fs.delete(aside, true)
   }
 
