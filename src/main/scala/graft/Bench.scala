@@ -51,8 +51,10 @@ object Bench {
     // leaked state) from the driver's captured log alone.
     def gcMillis(): Long = {
       import scala.jdk.CollectionConverters._
+      // getCollectionTime may return -1 for collectors that don't
+      // report timing — clamp so one such bean doesn't skew the delta
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
-        .asScala.map(_.getCollectionTime).sum
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
     }
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val g0 = gcMillis()

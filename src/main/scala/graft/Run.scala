@@ -54,20 +54,23 @@ object Run {
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val sig = Tables.signalsFrom(Tables.eventsFrom(registry.read(spark, read)))
+    // the sink appends, so "written" must be THIS run's delta — counted
+    // on the batch itself (persisted: one compute shared by the count
+    // and the write), never by re-scanning the accumulated sink
+    // directory, which grows with history and double-counts a
+    // concurrent writer's rows
     val assets = Assets.assetsAllFrom(sig)
-    // the reference logs results + queries (run.ts:18-19) — dump the
-    // plan and a sample, then bulk-write
-    println(DebugSink.dumpPlan(assets))
-    println(DebugSink.dumpRows(assets, 5))
-    // the sink appends, so "written" must be THIS run's delta — a bare
-    // re-count of the directory reports the cumulative total on reruns
-    def sinkRows(): Long =
-      try spark.read.parquet(write).count() catch { case _: Throwable => 0L }
-    val before = sinkRows()
-    AssetSink.write(assets, write)
-    val written = sinkRows() - before
-    println(s"""{"written": $written, "path": "$write"}""")
-    written
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // the reference logs results + queries (run.ts:18-19) — dump the
+      // plan and a sample, then bulk-write
+      println(DebugSink.dumpPlan(assets))
+      println(DebugSink.dumpRows(assets, 5))
+      val written = assets.count()
+      AssetSink.write(assets, write)
+      println(s"""{"written": $written, "path": "$write"}""")
+      written
+    } finally assets.unpersist(blocking = false)
   }
 
   def main(args: Array[String]): Unit = {
