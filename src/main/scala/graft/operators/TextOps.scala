@@ -65,11 +65,35 @@ object TextOps {
 
   /** Unpersist and forget every memoized artifact of `spark` — the
     * end-of-pipeline hook Verify/Bench call before session stop.
+    *
+    * Sibling-session subtlety: the CacheManager lives in SharedState,
+    * so two sessions of one SparkContext that memoize the same
+    * (dir, key) share ONE cache entry (same canonicalized plan).
+    * Unpersisting unconditionally would silently unpin the artifact a
+    * SIBLING's memo still advertises as cached (measured: the sibling's
+    * storageLevel drops to NONE). Blocks are released only when no
+    * other session's entry still references the same (dir, key).
     */
-  def release(spark: SparkSession): Unit =
-    memo.keys.filter(_._1 == sessionKey(spark)).foreach { k =>
-      memo.remove(k).foreach(_._2.unpersist(blocking = false))
+  def release(spark: SparkSession): Unit = {
+    val mine = sessionKey(spark)
+    memo.keys.filter(_._1 == mine).foreach { k =>
+      memo.remove(k).foreach { case (_, df) =>
+        val sharedWithLiveSibling = memo.keys.exists(o =>
+          o._1 != mine && o._2 == k._2 && o._3 == k._3)
+        if (!sharedWithLiveSibling) df.unpersist(blocking = false)
+      }
     }
+  }
+
+  /** Test-only visibility into the memo lifecycle (TextOpsSpec's
+    * multi-session stress test): entry count for a given session and
+    * overall, after a sweep.
+    */
+  private[graft] def memoEntriesFor(spark: SparkSession): Int = {
+    sweepStopped()
+    memo.keys.count(_._1 == sessionKey(spark))
+  }
+  private[graft] def memoEntriesTotal: Int = { sweepStopped(); memo.size }
 
   /** Whitespace tokenization shared by all text operators. */
   private val words: Column = split(col("text"), " ")
@@ -454,7 +478,7 @@ object TextOps {
     * until no label changes (or [[CcMaxRounds]]). Exposed for direct
     * testing on graphs whose diameter exceeds [[CcRounds]].
     *
-    * Each round's labels are `localCheckpoint`ed, not merely persisted:
+    * Each round's labels are checkpointed, not merely persisted:
     * `labels` feeds the round twice (the neighbor-min join AND the
     * left-join update), so without cutting lineage the logical plan
     * doubles per round — exponential analysis cost that OOMs the
@@ -462,11 +486,24 @@ object TextOps {
     * rows and restarts lineage, the standard discipline for any
     * iterative algorithm on Spark; superseded rounds' blocks are
     * reclaimed by the ContextCleaner once unreferenced.
+    *
+    * Checkpoint mode: `localCheckpoint` blocks live UNREPLICATED on
+    * executors, so on a real cluster any executor loss (or dynamic-
+    * allocation decommission) makes a checkpointed round
+    * unrecoverable and fails the job. The cut therefore upgrades to
+    * reliable `Dataset.checkpoint` automatically whenever the caller
+    * has set `sc.setCheckpointDir` (the cluster deployment signal);
+    * local/test runs without a checkpoint dir keep the cheaper
+    * executor-local variant.
     */
+  private def cutLineage(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+    else df.localCheckpoint(true)
+
   def propagateToFixpoint(edges: DataFrame): DataFrame = {
-    var labels = edges.select(col("doc_a").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint(true)
+    var labels = cutLineage(
+      edges.select(col("doc_a").as("node")).distinct()
+        .withColumn("label", col("node")))
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < CcMaxRounds) {
@@ -474,10 +511,9 @@ object TextOps {
         .join(labels.select(col("node").as("doc_b"), col("label")), Seq("doc_b"))
         .groupBy(col("doc_a").as("node"))
         .agg(min(col("label")).as("nbr_label"))
-      val next = labels.join(nbrMin, Seq("node"), "left")
+      val next = cutLineage(labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"), col("label").as("prev"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .localCheckpoint(true)
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label")))
       changed = next.where(col("label") =!= col("prev")).count()
       labels = next.select(col("node"), col("label"))
       rounds += 1

@@ -104,6 +104,60 @@ class TextOpsSpec extends SparkSpec {
     assert(ids === Seq(1L))
   }
 
+  test("memo lifecycle: sibling sessions memoize independently; release unpins and forgets") {
+    val dir = docsDir(Seq(
+      "alpha beta gamma delta epsilon zeta", "alpha beta gamma delta epsilon eta"))
+    // sibling sessions share the JVM + SparkContext (the multi-session
+    // shape the memo must survive); a full stopped-context sweep can't
+    // run here without killing the suite's shared context — Verify and
+    // Bench exercise that path end-to-end every round.
+    val s1 = spark.newSession()
+    val s2 = spark.newSession()
+    val before = TextOps.memoEntriesTotal
+    val sig1 = TextOps.minhashSignatures(s1, dir)
+    val sig2 = TextOps.minhashSignatures(s2, dir)
+    sig1.count(); sig2.count()
+    // memoization: the same (session, dir) returns the SAME cached frame
+    assert(TextOps.minhashSignatures(s1, dir) eq sig1)
+    // isolation: one entry per session, keyed apart
+    assert(TextOps.memoEntriesFor(s1) === 1)
+    assert(TextOps.memoEntriesFor(s2) === 1)
+    assert(TextOps.memoEntriesTotal === before + 2)
+    assert(sig1.storageLevel.useMemory)
+    // the shared CacheManager gives both sessions ONE cache entry for
+    // the identical plan: releasing s1 must drop s1's memo entry but
+    // keep the blocks pinned while s2's entry still references them
+    TextOps.release(s1)
+    assert(TextOps.memoEntriesFor(s1) === 0)
+    assert(TextOps.memoEntriesFor(s2) === 1)
+    assert(sig2.storageLevel.useMemory,
+      "sibling release must not unpin a still-referenced shared artifact")
+    // last reference released → blocks unpinned, registry back to start
+    TextOps.release(s2)
+    assert(TextOps.memoEntriesFor(s2) === 0)
+    assert(sig2.storageLevel === org.apache.spark.storage.StorageLevel.NONE)
+    assert(TextOps.memoEntriesTotal === before)
+  }
+
+  test("propagateToFixpoint upgrades to reliable checkpoints when a checkpoint dir is set") {
+    val s = spark; import s.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckpt)
+    try {
+      val pairs = (0 until 5).map(i => (i.toLong, (i + 1).toLong))
+      val edges = pairs.toDF("doc_a", "doc_b")
+      val sym = edges.unionAll(
+        edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      val labels = TextOps.propagateToFixpoint(sym).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(labels.values.toSet === Set(0L))
+      // reliable (driver-recoverable) checkpoint data actually landed
+      val landed = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(landed > 0, "no reliable checkpoint files written")
+    } finally spark.sparkContext.setCheckpointDir(null)
+  }
+
   test("fixpoint propagation converges on a chain LONGER than the bounded rounds") {
     val s = spark; import s.implicits._
     // 9-node path 0-1-...-8: diameter 8 > CcRounds=3, so the bounded

@@ -93,6 +93,20 @@ class VectorOpsSpec extends SparkSpec {
     assert(out.forall(r => r.getDouble(3) > 0.5))
   }
 
+  test("knnIvf/centroids honor an explicit nlist: 1 bucket is exhaustive, default keeps label buckets") {
+    val dir = embDir(fixture)
+    // nlist=1: a single coarse bucket — every probe scans the whole
+    // corpus, so IVF must coincide with the exact baseline
+    val exact = VectorOps.knnExact(spark, dir).collect().toSet
+    val ivf1 = VectorOps.knnIvf(spark, dir, nlist = 1).collect().toSet
+    assert(ivf1 === exact)
+    val c1 = VectorOps.centroids(spark, dir, nlist = 1)
+    assert(c1.select("label").distinct().collect().map(_.getInt(0)).toSeq === Seq(0))
+    assert(c1.select("n").head().getLong(0) === fixture.length.toLong)
+    // default nlist: bucket == label — one centroid per fixture cluster
+    assert(VectorOps.centroids(spark, dir).select("label").distinct().count() === 2)
+  }
+
   test("dedupEmbedding finds near-identical pairs via LSH buckets, thresholds the rest") {
     val dir = embDir(fixture)
     val out = VectorOps.dedupEmbedding(spark, dir).collect()

@@ -60,6 +60,28 @@ for (k <- Seq(1, 8, 16)) {
   println(f"  k=$k%2d: $s%6.2f s")
 }
 
+println("== embedding LSH candidate volume (band self-join; candidates ~ C(N,2)*nBands/2^bandBits) ==")
+// The scale claim under test: at FIXED corpus size, widening bandBits
+// divides candidate volume ~2^Δbits (the collision-rate dial); growing
+// the corpus K× grows candidates ~K² at fixed bits, so holding the
+// candidate:corpus RATIO constant requires bandBits += log2(K) — the
+// reason (numPlanes, bandBits) are operator parameters. Expect the
+// 8-bit row ~16x below the 4-bit row, and the 16-bit row near the
+// true-near-dup floor.
+for (bits <- Seq(4, 8, 16)) {
+  val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+  val n = emb.count()
+  val bands = emb.select(col("vec_id"),
+    posexplode(expr(graft.operators.VectorOps.bandKeysExpr(64, bits)))
+      .as(Seq("band_idx", "band_key")))
+  val a = bands.select(col("vec_id").as("vec_a"), col("band_idx"), col("band_key"))
+  val b = bands.select(col("vec_id").as("vec_b"), col("band_idx"), col("band_key"))
+  val cand = a.join(b, Seq("band_idx", "band_key"))
+    .where(col("vec_a") < col("vec_b"))
+    .select("vec_a", "vec_b").distinct().count()
+  println(f"  bandBits=$bits%2d: N=$n%6d vectors -> $cand%9d candidate pairs (${cand.toDouble / n}%8.1f per vector)")
+}
+
 println("== minhash signature shape (explode + digest + partial-min agg; shuffle = |docs| x 9 longs) ==")
 for (k <- Seq(1, 8, 16)) {
   val docs = multi("documents", k)
