@@ -172,10 +172,15 @@ object VectorOps {
     */
   def knnLsh(spark: SparkSession, dir: String,
       numPlanes: Int = NumPlanes, bandBits: Int = BandBits): DataFrame = {
+    // banding runs the native fused sign_bands expression — one codegen
+    // loop per row; profiled ~12µs per plane with the compositional
+    // interpreted-lambda form, which bandKeysExpr retains as the
+    // differential reference (SignBandKeysSpec asserts equality)
+    graft.plans.GraftExtensions.register(spark)
     val base = withNorm(spark, dir)
     val bands = base.select(
       col("vec_id"),
-      posexplode(expr(bandKeysExpr(numPlanes, bandBits)))
+      posexplode(expr(s"sign_bands(embedding, $numPlanes, $bandBits)"))
         .as(Seq("band_idx", "band_key")))
     val qBands = bands.where(col("vec_id") % QueryMod === 0)
       .select(col("vec_id").as("query_id"), col("band_idx"), col("band_key"))
@@ -224,7 +229,7 @@ object VectorOps {
     graft.plans.GraftExtensions.register(spark)
     val bands = Tables.embeddings(spark, dir).select(
       col("vec_id"),
-      posexplode(expr(bandKeysExpr(numPlanes, bandBits)))
+      posexplode(expr(s"sign_bands(embedding, $numPlanes, $bandBits)"))
         .as(Seq("band_idx", "band_key")))
     val a = bands.select(col("vec_id").as("vec_a"), col("band_idx"), col("band_key"))
     val b = bands.select(col("vec_id").as("vec_b"), col("band_idx"), col("band_key"))

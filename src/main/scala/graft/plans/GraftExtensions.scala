@@ -4,7 +4,10 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, SimHashAgg}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.types.IntegerType
+
+import graft.functions.{CosineSimilarity, SignBandKeys, SimHashAgg}
 
 /** Engine extension point: registers graft's native Catalyst functions.
   *
@@ -19,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSimDescriptor)
     ext.injectFunction(GraftExtensions.simhashAggDescriptor)
+    ext.injectFunction(GraftExtensions.signBandsDescriptor)
   }
 }
 
@@ -36,6 +40,20 @@ object GraftExtensions {
     SimHashAgg(exprs.head)
   }
 
+  // numPlanes/bandBits are case-class parameters, not child expressions,
+  // so the generated code can inline them as compile-time constants —
+  // the builder requires foldable int literals at the call site
+  private val signBandsBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 3,
+      s"sign_bands expects (embedding, numPlanes, bandBits), got ${exprs.length} arguments")
+    (exprs(1), exprs(2)) match {
+      case (Literal(np: Int, IntegerType), Literal(bb: Int, IntegerType)) =>
+        SignBandKeys(exprs.head, np, bb)
+      case _ => throw new IllegalArgumentException(
+        "sign_bands numPlanes/bandBits must be integer literals")
+    }
+  }
+
   val cosineSimDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("cosine_sim"),
     new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
@@ -46,11 +64,18 @@ object GraftExtensions {
     new ExpressionInfo(classOf[SimHashAgg].getName, "simhash_agg"),
     simhashAggBuilder)
 
+  val signBandsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("sign_bands"),
+    new ExpressionInfo(classOf[SignBandKeys].getName, "sign_bands"),
+    signBandsBuilder)
+
   /** Idempotent post-hoc registration on a live session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("cosine_sim", cosineSimBuilder, "built-in")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("simhash_agg", simhashAggBuilder, "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("sign_bands", signBandsBuilder, "built-in")
   }
 }
