@@ -31,7 +31,14 @@ object OracleAssets {
       |    CASE WHEN k % 7 = 0 THEN 'cl-' || CAST(k % 2 AS VARCHAR) END AS orchestrator_cluster_name,
       |    CASE WHEN k % 11 = 0 THEN CAST([] AS VARCHAR[])
       |         ELSE ['t-' || CAST(k % 3 AS VARCHAR), 't-' || CAST(k % 5 AS VARCHAR)]
-      |         END AS service_tags
+      |         END AS service_tags,
+      |    CASE WHEN k % 13 = 0 THEN NULL
+      |         WHEN k % 6 = 0 THEN CAST([] AS VARCHAR[])
+      |         ELSE list_slice(['a-' || CAST(k % 4 AS VARCHAR),
+      |                          'a-' || CAST(k % 5 AS VARCHAR),
+      |                          'a-' || CAST(k % 6 AS VARCHAR)],
+      |                         1, CAST(1 + k % 3 AS INT))
+      |         END AS host_aliases
       |  FROM ev
       |),
       |mx AS (SELECT max(ts) AS m FROM signals)""".stripMargin
@@ -189,10 +196,31 @@ object OracleAssets {
        |  CAST(len(service_tags) AS BIGINT) AS n_tags
        |FROM signals""".stripMargin
 
-  /** Mirror of Assets.hostFamily: the `host.*` wildcard family read. */
+  /** Mirror of Assets.hostFamily: the `host.*` wildcard family read,
+    * with the multi-valued member serialized at the output boundary
+    * (NULL stays NULL; empty list is '' — Spark concat_ws semantics).
+    */
   val hostFamily: String =
     s"""WITH $signalsCte
-       |SELECT event_id, host_name, host_hostname
+       |SELECT event_id, host_name, host_hostname,
+       |  CASE WHEN host_aliases IS NULL THEN NULL
+       |       ELSE COALESCE(array_to_string(host_aliases, '|'), '')
+       |       END AS host_aliases
+       |FROM signals""".stripMargin
+
+  /** Second multi-valued family unwrap (P3): absent-field (NULL) vs
+    * empty-array vs variable-length semantics over host_aliases —
+    * list[1] and len are NULL-propagating on both engines.
+    */
+  val hostMultivalued: String =
+    s"""WITH $signalsCte
+       |SELECT event_id,
+       |  CASE WHEN host_name IS NOT NULL THEN 'host:' || host_name END AS asset_ean,
+       |  host_aliases[1] AS primary_alias,
+       |  CAST(len(host_aliases) AS BIGINT) AS n_aliases,
+       |  CASE WHEN host_aliases IS NULL THEN NULL
+       |       ELSE COALESCE(array_to_string(list_sort(list_distinct(host_aliases)), '|'), '')
+       |       END AS aliases_norm
        |FROM signals""".stripMargin
 
   /** All four asset pipelines conformed to the fixed output schema

@@ -31,6 +31,7 @@ object SparkEntry {
     "node_graph"      -> ((s, d) => Assets.nodeGraph(s, d)),
     "pods_multi_source" -> ((s, d) => Assets.podsMultiSource(s, d)),
     "svc_multivalued"   -> ((s, d) => Assets.svcMultivalued(s, d)),
+    "host_multivalued"  -> ((s, d) => Assets.hostMultivalued(s, d)),
     "sig_host_family"   -> ((s, d) => Assets.hostFamily(s, d)),
     "assets_all"        -> ((s, d) => Assets.assetsAll(s, d)),
     "asset_upsert"      -> ((s, d) => Assets.assetUpsert(s, d)),
@@ -99,6 +100,8 @@ object SparkEntry {
     "emb_ivf_assign" -> ((s, d) => VectorOps.ivfAssign(s, d)),
     "emb_knn_ivf"    -> ((s, d) => VectorOps.knnIvf(s, d)),
     "emb_lsh_recall" -> ((s, d) => VectorOps.lshRecall(s, d)),
+    "emb_ivf_recall" -> ((s, d) => VectorOps.ivfRecall(s, d)),
+    "emb_dedup_clusters" -> ((s, d) => VectorOps.dedupEmbeddingClusters(s, d)),
     "dedup_embedding" -> ((s, d) => VectorOps.dedupEmbedding(s, d)),
     "corpus_curation" -> ((s, d) => TextOps.corpusCuration(s, d)),
     // LLM-data-pipeline: multimodal binary columns (decode is a stub;
@@ -122,6 +125,7 @@ object SparkEntry {
     "node_graph"      -> OracleAssets.nodeGraph,
     "pods_multi_source" -> OracleAssets.podsMultiSource,
     "svc_multivalued"   -> OracleAssets.svcMultivalued,
+    "host_multivalued"  -> OracleAssets.hostMultivalued,
     "sig_host_family"   -> OracleAssets.hostFamily,
     "assets_all"        -> OracleAssets.assetsAll,
     "asset_upsert"      -> OracleAssets.assetUpsert,
@@ -189,6 +193,8 @@ object SparkEntry {
     "emb_ivf_assign" -> OracleVectors.ivfAssign(),
     "emb_knn_ivf"    -> OracleVectors.knnIvf(),
     "emb_lsh_recall" -> OracleVectors.lshRecall(),
+    "emb_ivf_recall" -> OracleVectors.ivfRecall(),
+    "emb_dedup_clusters" -> OracleVectors.dedupEmbeddingClusters(),
     "dedup_embedding" -> OracleVectors.dedupEmbedding(),
     "corpus_curation" -> OracleText.corpusCuration,
     "media_metadata" -> OracleMultimodal.metadata,

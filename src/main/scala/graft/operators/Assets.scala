@@ -339,8 +339,39 @@ object Assets {
     * prefix, [[Tables.selectFamily]] resolves the concrete columns, and
     * Catalyst prunes the scan to exactly those.
     */
-  def hostFamily(spark: SparkSession, dir: String): DataFrame =
-    Tables.selectFamily(Tables.signals(spark, dir), "event_id", "host_")
+  def hostFamily(spark: SparkSession, dir: String): DataFrame = {
+    val fam = Tables.selectFamily(Tables.signals(spark, dir), "event_id", "host_")
+    // the family picks up whatever columns the view grows (exactly the
+    // ES `host.*` contract) — multi-valued members are serialized at
+    // the OUTPUT boundary only (array outputs crash the driver's
+    // compare; same move as Assets.edgeList), preserving NULL (absent
+    // field) vs '' (empty array)
+    fam.select(fam.schema.fields.map { f =>
+      f.dataType match {
+        case org.apache.spark.sql.types.ArrayType(_, _) =>
+          when(col(f.name).isNull, lit(null).cast("string"))
+            .otherwise(concat_ws("|", col(f.name))).as(f.name)
+        case _ => col(f.name)
+      }
+    }.toSeq: _*)
+  }
+
+  /** Second multi-valued family unwrap (P3, SURVEY.md): host_aliases
+    * models the ES `fields` cases service_tags doesn't — the ABSENT
+    * field (NULL, vs empty array) and variable length — and the
+    * normalized form dedups + sorts before serializing.
+    */
+  def hostMultivalued(spark: SparkSession, dir: String): DataFrame =
+    Tables.signals(spark, dir).select(
+      col("event_id"),
+      when(col("host_name").isNotNull,
+        ean("host", col("host_name"))).as("asset_ean"),
+      expr("try_element_at(host_aliases, 1)").as("primary_alias"),
+      size(col("host_aliases")).cast("long").as("n_aliases"),
+      when(col("host_aliases").isNull, lit(null).cast("string"))
+        .otherwise(concat_ws("|", array_sort(array_distinct(col("host_aliases")))))
+        .as("aliases_norm")
+    )
 
   /** Every asset pipeline, conformed to the fixed output schema
     * (SURVEY.md S4/S5) — the "one assets index" view a reference user

@@ -99,6 +99,18 @@ object Tables {
         .as("kubernetes_pod_uid"),
       when(k % 4 === 0, concat(lit("h-"), (k % 6).cast("string"))).as("host_name"),
       when(k % 9 =!= 8, concat(lit("hh-"), (k % 9).cast("string"))).as("host_hostname"),
+      // second multi-valued family (P3): unlike service_tags (which
+      // covers the empty-array case), host_aliases covers the ABSENT
+      // field (ES `fields` omits it → NULL, distinct from []) and
+      // variable length (1-3 aliases)
+      when(k % 13 === 0, lit(null).cast("array<string>"))
+        .otherwise(when(k % 6 === 0, expr("CAST(array() AS array<string>)"))
+          .otherwise(slice(array(
+              concat(lit("a-"), (k % 4).cast("string")),
+              concat(lit("a-"), (k % 5).cast("string")),
+              concat(lit("a-"), (k % 6).cast("string"))),
+            lit(1), (lit(1) + k % 3).cast("int"))))
+        .as("host_aliases"),
       when(k % 5 =!= 2, concat(lit("n-"), (k % 4).cast("string")))
         .as("kubernetes_node_name"),
       when(k % 5 === 0, lit("aws")).as("cloud_provider"),
