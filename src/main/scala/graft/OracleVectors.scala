@@ -110,6 +110,52 @@ object OracleVectors {
        |WHERE ${dot("ba.embedding", "bb.embedding")} / (sqrt(ba.nrm) * sqrt(bb.nrm))
        |      >= ${VectorOps.DupThreshold}""".stripMargin
 
+  /** Mirror of VectorOps.dedupEmbeddingClusters: the same CcRounds
+    * unrolled min-label propagation (shared with OracleText's
+    * dedupClusters) over the embedding near-dup pair graph.
+    */
+  def dedupEmbeddingClusters(numPlanes: Int = VectorOps.NumPlanes,
+      bandBits: Int = VectorOps.BandBits): String = {
+    val rounds = (1 to graft.operators.TextOps.CcRounds).map { i =>
+      val prev = s"l${i - 1}"
+      s"""l$i AS (
+         |  SELECT n.node,
+         |    least(n.label, COALESCE(m.nbr, n.label)) AS label
+         |  FROM $prev n LEFT JOIN (
+         |    SELECT e.vec_a AS node, min(x.label) AS nbr
+         |    FROM edges e JOIN $prev x ON x.node = e.vec_b
+         |    GROUP BY e.vec_a
+         |  ) m USING (node)
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT vec_a, vec_b FROM (${dedupEmbedding(numPlanes, bandBits)}) p
+       |),
+       |edges AS (
+       |  SELECT vec_a, vec_b FROM pairs
+       |  UNION ALL
+       |  SELECT vec_b AS vec_a, vec_a AS vec_b FROM pairs
+       |),
+       |nodes AS (SELECT DISTINCT vec_a AS node FROM edges),
+       |l0 AS (SELECT node, node AS label FROM nodes),
+       |$rounds
+       |SELECT node AS vec_id, label AS cluster_id,
+       |  count(*) OVER (PARTITION BY label) AS cluster_size
+       |FROM l${graft.operators.TextOps.CcRounds}""".stripMargin
+  }
+
+  /** Recall@K of IVF vs exact, composing the two query oracles (the
+    * ivfRecall mirror; same shape as [[lshRecall]]).
+    */
+  def ivfRecall(nlist: Int = VectorOps.NList): String =
+    s"""SELECT e.query_id,
+       |  CAST(count(l."rank") AS DOUBLE) / $k AS recall_at_k,
+       |  count(*) AS n_exact
+       |FROM ($knnExact) e
+       |LEFT JOIN (${knnIvf(nlist)}) l
+       |  ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
+       |GROUP BY e.query_id""".stripMargin
+
   /** Mirror of VectorOps.centroids: values scaled by 2^54 (every float
     * with |x| ≥ 2^-31 has ulp ≥ 2^-54) so the decimal cast is of an
     * exact integer — no rounding-mode divergence between engines;

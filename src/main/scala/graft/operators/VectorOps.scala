@@ -247,6 +247,56 @@ object VectorOps {
       .where(col("sim") >= DupThreshold)
   }
 
+  /** Near-duplicate CLUSTERS over the embedding pair graph — the
+    * "keep one per near-dup set" composition [[dedupEmbedding]]'s
+    * Scaladoc promises: the same bounded min-label propagation as
+    * [[graft.operators.TextOps.dedupClusters]] (and the same round
+    * count, so the unrolled DuckDB oracle mirrors it exactly), run
+    * over the thresholded cosine pair graph. The symmetrized edge set
+    * is memoized through TextOps' registry — iteration-invariant
+    * inputs of an iterative algorithm must be pinned, and the shared
+    * lifecycle (release/sweep) applies unchanged.
+    */
+  def dedupEmbeddingClusters(spark: SparkSession, dir: String,
+      numPlanes: Int = NumPlanes, bandBits: Int = BandBits): DataFrame = {
+    val edges = TextOps.memoized(spark, dir, "emb_lsh_edges") {
+      val pairs = dedupEmbedding(spark, dir, numPlanes, bandBits)
+        .select(col("vec_a"), col("vec_b"))
+      pairs.unionAll(
+        pairs.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b")))
+    }
+    val nodes = edges.select(col("vec_a").as("node")).distinct()
+    var l = nodes.withColumn("label", col("node"))
+    for (_ <- 1 to TextOps.CcRounds) {
+      val nbrMin = edges
+        .join(l.select(col("node").as("vec_b"), col("label")), Seq("vec_b"))
+        .groupBy(col("vec_a").as("node"))
+        .agg(min(col("label")).as("nbr_label"))
+      l = l.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+    }
+    l.select(
+      col("node").as("vec_id"),
+      col("label").as("cluster_id"),
+      count(lit(1)).over(Window.partitionBy(col("label"))).as("cluster_size"))
+  }
+
+  /** Recall@K of the IVF index against the exact baseline — the same
+    * evaluation loop as [[lshRecall]] for the bucket-probe index:
+    * per query, the fraction of true top-K neighbors recovered given
+    * [[NProbe]] probed buckets out of `nlist`.
+    */
+  def ivfRecall(spark: SparkSession, dir: String, nlist: Int = NList): DataFrame = {
+    val exact = knnExact(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val approx = knnIvf(spark, dir, nlist)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg((count(col("hit")).cast("double") / K).as("recall_at_k"),
+        count(lit(1)).as("n_exact"))
+  }
+
   /** Per-label centroids in long format (label, pos, centroid_sum, n,
     * mean). Element sums accumulate in DECIMAL so the result is
     * independent of partitioning/order — the same property the decimal
@@ -309,12 +359,17 @@ object VectorOps {
     * from the long-format [[centroids]] output.
     */
   private def centroidVectors(spark: SparkSession, dir: String, nlist: Int): DataFrame =
-    centroidsRaw(spark, dir, nlist)
-      .groupBy(col("label").as("c_label"))
-      .agg(expr("transform(array_sort(collect_list(struct(pos, mean))), t -> t.mean)")
-        .as("centroid"))
-      .select(col("c_label"), col("centroid"),
-        expr(dot("centroid", "centroid")).as("cnrm"))
+    // memoized: the trained codebook is the IVF family's shared
+    // artifact (assign, search, recall all broadcast it) — nlist rows,
+    // the in-session analog of writing the codebook out once at scale
+    TextOps.memoized(spark, dir, s"ivf_centroids_$nlist") {
+      centroidsRaw(spark, dir, nlist)
+        .groupBy(col("label").as("c_label"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, mean))), t -> t.mean)")
+          .as("centroid"))
+        .select(col("c_label"), col("centroid"),
+          expr(dot("centroid", "centroid")).as("cnrm"))
+    }
 
   /** Per-vector cosine against every centroid, ranked (broadcast
     * centroids — the corpus never shuffles).

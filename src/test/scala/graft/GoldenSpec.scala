@@ -27,11 +27,11 @@ class GoldenSpec extends SparkSpec {
   }
 
   test("golden: embedding near-dup pairs are frozen at sf0.001") {
-    assert(fingerprint("dedup_embedding") === ((8674055004667387128L, 114L)))
+    assert(fingerprint("dedup_embedding") === ((7768090945691118739L, 48L)))
   }
 
   test("golden: wildcard family projection is frozen at sf0.001") {
-    assert(fingerprint("sig_host_family") === ((-430869522615299747L, 1000L)))
+    assert(fingerprint("sig_host_family") === ((7939275033868829437L, 1000L)))
   }
 
   /** The determinism contract is partition-count independence: every
@@ -84,7 +84,10 @@ class GoldenSpec extends SparkSpec {
     "dedup_clusters" -> ((-4388125515379173L, 45L)),
     // identical by construction to dedup_clusters (fixture diameter < CcRounds)
     "dedup_clusters_fixpoint" -> ((-4388125515379173L, 45L)),
-    "dedup_embedding" -> ((8674055004667387128L, 114L)),
+    "dedup_embedding" -> ((7768090945691118739L, 48L)),
+    "emb_dedup_clusters" -> ((-1488179478009104348L, 85L)),
+    "emb_ivf_recall" -> ((-5220274446295646725L, 5L)),
+    "host_multivalued" -> ((8207634536938707889L, 1000L)),
     "dedup_exact" -> ((678982984489084868L, 500L)),
     "dedup_fuzzy_edit" -> ((-4856991647417065686L, 28L)),
     "dedup_minhash" -> ((-1665977883672193517L, 500L)),
@@ -95,9 +98,9 @@ class GoldenSpec extends SparkSpec {
     "emb_ivf_assign" -> ((968546642130974861L, 500L)),
     "emb_knn_exact" -> ((5382587561670919428L, 50L)),
     "emb_knn_ivf" -> ((-8547690800792426028L, 50L)),
-    "emb_knn_lsh" -> ((4978952135989055325L, 50L)),
+    "emb_knn_lsh" -> ((-7206143283623543429L, 50L)),
     "emb_knn_native" -> ((5382587561670919428L, 50L)),
-    "emb_lsh_recall" -> ((-8198230324623465880L, 5L)),
+    "emb_lsh_recall" -> ((-4469750923323151140L, 5L)),
     "media_decode" -> ((1186192457682470582L, 500L)),
     "media_features" -> ((2569904728989504125L, 500L)),
     "media_frames" -> ((3852345315225660323L, 5023L)),
@@ -141,7 +144,7 @@ class GoldenSpec extends SparkSpec {
     "q7_outer_join" -> ((161757434083811755L, 150L)),
     "q8_window_topn" -> ((1302616936089978196L, 449L)),
     "q9_window_running" -> ((6764122456608670740L, 1500L)),
-    "sig_host_family" -> ((-430869522615299747L, 1000L)),
+    "sig_host_family" -> ((7939275033868829437L, 1000L)),
     "svc_collapse" -> ((-7520819376682169752L, 15L)),
     "svc_latest" -> ((-8256641542337234806L, 14L)),
     "svc_multivalued" -> ((-2009340863746402347L, 1000L)),

@@ -140,7 +140,8 @@ class SourcesSpec extends SparkSpec {
   test("selectFamily projects a wildcard column family (host.* analog) and prunes the scan") {
     import graft.sources.Tables
     val fam = Tables.selectFamily(Tables.signals(spark, sfDir), "event_id", "host_")
-    assert(fam.columns.toSeq === Seq("event_id", "host_name", "host_hostname"))
+    assert(fam.columns.toSeq ===
+      Seq("event_id", "host_name", "host_hostname", "host_aliases"))
     assert(fam.count() > 0)
     intercept[IllegalArgumentException](
       Tables.selectFamily(Tables.signals(spark, sfDir), "nope_"))
