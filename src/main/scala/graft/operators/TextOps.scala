@@ -223,16 +223,32 @@ object TextOps {
   // one in-session MEMORY_AND_DISK persist is the same move.
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
     memoized(spark, dir, "minhash_sigs") {
-      withShingles(spark, dir)
-        // no explicit <3-words filter: exploding the empty shingle array
-        // drops short docs for free, and a pushed-down size(split(...))
-        // predicate would re-derive the split inside the scan
-        .select(col("doc_id"), explode(col("shingles")).as("sg"))
-        .select(col("doc_id"), md5(col("sg")).as("h"))
-        .groupBy(col("doc_id"))
-        .agg(array((0 until NumHashes).map(s => min(rotLong("h", s * 3))): _*)
-          .as("sig"))
+      minhashSignaturesFrom(Tables.documents(spark, dir))
     }
+
+  /** Signature build over any (doc_id, text) frame — the un-memoized
+    * core shared with the streaming incremental dedup
+    * ([[graft.streaming.StreamingCorpus]]), which signs each
+    * micro-batch slice rather than a table directory.
+    */
+  private[graft] def minhashSignaturesFrom(docs: DataFrame): DataFrame =
+    docs.withColumn("words", words).withColumn("shingles", shingles)
+      // no explicit <3-words filter: exploding the empty shingle array
+      // drops short docs for free, and a pushed-down size(split(...))
+      // predicate would re-derive the split inside the scan
+      .select(col("doc_id"), explode(col("shingles")).as("sg"))
+      .select(col("doc_id"), md5(col("sg")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(array((0 until NumHashes).map(s => min(rotLong("h", s * 3))): _*)
+        .as("sig"))
+
+  /** LSH band keys over a `sig` column — `NumHashes / BandSize` keys,
+    * shared by [[dedupMinhashLsh]] and the streaming store join.
+    */
+  private[graft] val sigBandKeysExpr: String =
+    s"""transform(sequence(0, ${NumHashes / BandSize - 1}),
+        b -> concat_ws('_', transform(slice(sig, b * $BandSize + 1, $BandSize),
+                                      x -> CAST(x AS STRING))))"""
 
   /** MinHash exposed as a query: doc_id + signature, serialized to a
     * '|'-joined scalar (array-typed outputs crash the driver's compare;
@@ -251,13 +267,9 @@ object TextOps {
     */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sigs = minhashSignatures(spark, dir)
-    val nBands = NumHashes / BandSize
     val bands = sigs.select(
       col("doc_id"), col("sig"),
-      posexplode(expr(
-        s"""transform(sequence(0, ${nBands - 1}),
-            b -> concat_ws('_', transform(slice(sig, b * $BandSize + 1, $BandSize),
-                                          x -> CAST(x AS STRING))))"""))
+      posexplode(expr(sigBandKeysExpr))
         .as(Seq("band_idx", "band_key")))
     val a = bands.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
       col("band_idx"), col("band_key"))
