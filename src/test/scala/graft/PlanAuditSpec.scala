@@ -104,6 +104,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("cosine_sim"), p.take(800))
   }
 
+  test("LSH banding runs the native sign_bands expression in the scan projection") {
+    val p = plan("emb_knn_lsh")
+    assert(p.contains("sign_bands"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("IVF search reads the memoized codebook and never cartesian-joins the corpus") {
+    val df = SparkEntry.queries("emb_knn_ivf")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the codebook is the memoized shared artifact (InMemoryTableScan),
+    // broadcast against the corpus (nested-loop ONLY on the broadcast
+    // side — nlist rows — never a shuffled cartesian)
+    assert(p.contains("InMemoryTableScan"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     // codegen spans (the `*(n)` markers) appear once AQE finalizes, so
     // execute before inspecting
