@@ -62,6 +62,50 @@ object OracleMultimodal {
        |  CAST(sum(f) AS DOUBLE) / count(*) AS mean_feature
        |FROM feat GROUP BY media_id""".stripMargin
 
+  /** Mirror of MultimodalOps.mediaDedupExact. */
+  val dedupExact: String =
+    s"""WITH $mediaCte
+       |SELECT md5(payload) AS content_hash,
+       |  min(media_id) AS canonical_media_id,
+       |  count(*) AS n_copies
+       |FROM media GROUP BY md5(payload)""".stripMargin
+
+  /** Mirror of MultimodalOps.mediaDedupNear: MinHash over per-frame
+    * digests, banded LSH, signature-agreement estimate (shares
+    * OracleText's rotLong fold and band shape).
+    */
+  val dedupNear: String = {
+    val nh = graft.operators.TextOps.NumHashes
+    val bs = graft.operators.TextOps.BandSize
+    val mins = (0 until nh)
+      .map(s => s"min(${OracleText.rotLong("h", s * 3)})").mkString("[", ", ", "]")
+    s"""WITH $mediaCte,
+       |exploded AS (
+       |  SELECT media_id, payload, unnest(range(n_frames)) AS frame_idx
+       |  FROM media
+       |),
+       |hashed AS (
+       |  SELECT media_id,
+       |    md5(substring(payload, CAST(frame_idx * $fb + 1 AS INT), $fb)) AS h
+       |  FROM exploded
+       |),
+       |sigs AS (
+       |  SELECT media_id, $mins AS sig FROM hashed GROUP BY media_id
+       |),
+       |bands AS (
+       |  SELECT media_id, sig, b.b AS band_idx,
+       |    array_to_string(list_transform(list_slice(sig, b.b * $bs + 1, b.b * $bs + $bs),
+       |                                   x -> CAST(x AS VARCHAR)), '_') AS band_key
+       |  FROM sigs CROSS JOIN (SELECT unnest(range(${nh / bs})) AS b) b
+       |)
+       |SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+       |  CAST(len(list_filter(range(1, ${nh + 1}),
+       |    i -> a.sig[CAST(i AS INT)] = b.sig[CAST(i AS INT)])) AS DOUBLE) / $nh
+       |    AS est_jaccard
+       |FROM bands a JOIN bands b USING (band_idx, band_key)
+       |WHERE a.media_id < b.media_id""".stripMargin
+  }
+
   val resize: String =
     s"""WITH $mediaCte
        |SELECT media_id,

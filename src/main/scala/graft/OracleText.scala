@@ -26,7 +26,7 @@ object OracleText {
     * 60-bit BIGINT by positional fold (mirror of TextOps.rotLong;
     * DuckDB has no base-16 conv, so the fold is explicit).
     */
-  private def rotLong(h: String, r: Int): String = {
+  private[graft] def rotLong(h: String, r: Int): String = {
     val prefix15 =
       if (r <= 17) s"substring($h, ${r + 1}, 15)"
       else s"(substring($h, ${r + 1}, ${32 - r}) || substring($h, 1, ${r - 17}))"

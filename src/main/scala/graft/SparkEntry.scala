@@ -110,6 +110,8 @@ object SparkEntry {
     "media_frames"   -> ((s, d) => MultimodalOps.mediaFrames(s, d)),
     "media_features" -> ((s, d) => MultimodalOps.mediaFeatures(s, d)),
     "media_resize"   -> ((s, d) => MultimodalOps.mediaResize(s, d)),
+    "media_dedup_exact" -> ((s, d) => MultimodalOps.mediaDedupExact(s, d)),
+    "media_dedup_near"  -> ((s, d) => MultimodalOps.mediaDedupNear(s, d)),
     "media_decode"   -> ((s, d) => MultimodalOps.mediaDecode(s, d).toDF()),
   )
 
@@ -201,6 +203,8 @@ object SparkEntry {
     "media_frames"   -> OracleMultimodal.frames,
     "media_features" -> OracleMultimodal.features,
     "media_resize"   -> OracleMultimodal.resize,
+    "media_dedup_exact" -> OracleMultimodal.dedupExact,
+    "media_dedup_near"  -> OracleMultimodal.dedupNear,
     // media_decode: codec boundary (mapPartitions stub) — rows-only.
   )
 }

@@ -113,6 +113,54 @@ object MultimodalOps {
       md5(expr("substring(payload, 1, CAST(floor(length(payload) / 2) AS INT))"))
         .as("checksum"))
 
+  /** Exact media dedup: full-payload digest groupBy with the smallest
+    * media_id as canonical — the image/audio-level member of the dedup
+    * family ([[graft.operators.TextOps.dedupExact]] for binary
+    * columns). One shuffle of 16-byte digests; payload bytes never
+    * move.
+    */
+  def mediaDedupExact(spark: SparkSession, dir: String): DataFrame =
+    media(spark, dir)
+      .groupBy(md5(col("payload")).as("content_hash"))
+      .agg(min(col("media_id")).as("canonical_media_id"),
+        count(lit(1)).as("n_copies"))
+
+  /** Near-duplicate media via MinHash over FRAME digests: each item's
+    * "shingle set" is its per-frame digest set (the keyframe-
+    * fingerprint pattern — re-encoded or trimmed variants share most
+    * frames), run through the same signature → banded-LSH → candidate
+    * machinery as the text family (TextOps.rotLong/sigBandKeysExpr are
+    * shared code). Emits candidate pairs with the signature-agreement
+    * Jaccard estimate; exact frame-set verification composes
+    * downstream exactly like dedup_ngram_jaccard does for text.
+    */
+  def mediaDedupNear(spark: SparkSession, dir: String): DataFrame = {
+    val frameHashes = media(spark, dir)
+      .select(col("media_id"), col("payload"),
+        explode(expr(frameIdxs)).as("frame_idx"))
+      .select(col("media_id"),
+        md5(expr(s"substring(payload, frame_idx * $FrameBytes + 1, $FrameBytes)"))
+          .as("h"))
+    val sigs = frameHashes
+      .groupBy(col("media_id"))
+      .agg(array((0 until TextOps.NumHashes)
+        .map(s => min(TextOps.rotLong("h", s * 3))): _*).as("sig"))
+    val bands = sigs.select(
+      col("media_id"), col("sig"),
+      posexplode(expr(TextOps.sigBandKeysExpr)).as(Seq("band_idx", "band_key")))
+    val a = bands.select(col("media_id").as("media_a"), col("sig").as("sig_a"),
+      col("band_idx"), col("band_key"))
+    val b = bands.select(col("media_id").as("media_b"), col("sig").as("sig_b"),
+      col("band_idx"), col("band_key"))
+    a.join(b, Seq("band_idx", "band_key"))
+      .where(col("media_a") < col("media_b"))
+      .select(col("media_a"), col("media_b"),
+        (expr(s"""size(filter(sequence(1, ${TextOps.NumHashes}),
+                  i -> sig_a[i - 1] = sig_b[i - 1]))""")
+          .cast("double") / TextOps.NumHashes).as("est_jaccard"))
+      .distinct()
+  }
+
   // -------------------------------------------------------------------
   // Decode boundary (stubbed codec, real plumbing)
   // -------------------------------------------------------------------

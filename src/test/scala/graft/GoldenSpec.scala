@@ -102,6 +102,10 @@ class GoldenSpec extends SparkSpec {
     "emb_knn_native" -> ((5382587561670919428L, 50L)),
     "emb_lsh_recall" -> ((-4469750923323151140L, 5L)),
     "media_decode" -> ((1186192457682470582L, 500L)),
+    // equal to dedup_exact's fingerprint: same digest of the same ASCII
+    // bytes, same canonical rule — cross-family consistency by design
+    "media_dedup_exact" -> ((678982984489084868L, 500L)),
+    "media_dedup_near" -> ((-513593079184156672L, 23L)),
     "media_features" -> ((2569904728989504125L, 500L)),
     "media_frames" -> ((3852345315225660323L, 5023L)),
     "media_metadata" -> ((-3264019044137968013L, 500L)),

@@ -61,4 +61,33 @@ class MultimodalSpec extends SparkSpec {
     assert(f.where(col("mean_feature") < 0 || col("mean_feature") >= 256)
       .count() === 0)
   }
+
+  test("media dedup: exact groups identical payloads; near finds frame-sharing variants") {
+    val s = spark; import s.implicits._
+    // 8 DISTINCT aligned frames (16 chars each): a shared-frame pair's
+    // agreement estimate then reflects the 8/9 digest-set Jaccard, not
+    // a coin flip between two digests' rotations
+    val base = (0 until 8).map(i => s"frame_${i}AB_chunk!").mkString
+    val dir = tempTableDir("documents", Seq(
+      (0L, base, "en", "spec", base.length.toLong),
+      (1L, base, "en", "spec", base.length.toLong),          // exact copy
+      (2L, base + "TRAILING EXTRA!!", "en", "spec", 0L),      // shares 8 of 9 frames
+      (3L, "zz" * 64, "en", "spec", 128L))                    // unrelated
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val exact = MultimodalOps.mediaDedupExact(spark, dir)
+      .where(col("n_copies") > 1).collect()
+    assert(exact.length === 1)
+    assert(exact.head.getAs[Long]("canonical_media_id") === 0L)
+    assert(exact.head.getAs[Long]("n_copies") === 2L)
+    val near = MultimodalOps.mediaDedupNear(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // identical payloads: full signature agreement
+    assert(near((0L, 1L)) === 1.0)
+    // the trailing-extra variant shares every aligned frame: its
+    // signature agrees wherever the extra frame's digests don't win a
+    // min — candidate found, estimate high, never 1.0-by-accident
+    assert(near.contains((0L, 2L)) && near((0L, 2L)) >= 5.0 / 9)
+    // the unrelated payload pairs with nothing
+    assert(!near.keys.exists { case (a, b) => a == 3L || b == 3L })
+  }
 }
