@@ -82,6 +82,30 @@ for (bits <- Seq(4, 8, 16)) {
   println(f"  bandBits=$bits%2d: N=$n%6d vectors -> $cand%9d candidate pairs (${cand.toDouble / n}%8.1f per vector)")
 }
 
+println("== embedding LSH candidate growth vs corpus size (hash-derived random vectors) ==")
+// The companion claim to the bandBits dial above: on random data,
+// candidates ~ C(N,2)*nBands/2^bandBits — quadratic in N at FIXED bits,
+// restored to ~linear by bandBits += log2(growth). Expect each 4x N row
+// at the same bits to show ~16x candidates, and the wider-bits column
+// to pull the ratio back down.
+graft.plans.GraftExtensions.register(spark)
+for (n <- Seq(4000, 16000, 64000); bits <- Seq(8, 16)) {
+  val emb = spark.range(n.toLong).select(col("id").as("vec_id"),
+    expr("transform(sequence(0, 63), d -> CAST(CAST(hash(id, d) % 1000 AS DOUBLE) / 1000.0 AS FLOAT))")
+      .as("embedding"))
+  val bands = emb.select(col("vec_id"),
+    posexplode(expr(s"sign_bands(embedding, 64, $bits)"))
+      .as(Seq("band_idx", "band_key")))
+  val a = bands.select(col("vec_id").as("vec_a"), col("band_idx"), col("band_key"))
+  val b = bands.select(col("vec_id").as("vec_b"), col("band_idx"), col("band_key"))
+  val t0 = System.nanoTime()
+  val cand = a.join(b, Seq("band_idx", "band_key"))
+    .where(col("vec_a") < col("vec_b"))
+    .select("vec_a", "vec_b").distinct().count()
+  val secs = (System.nanoTime() - t0) / 1e9
+  println(f"  N=$n%6d bandBits=$bits%2d -> $cand%12d candidates (${cand.toDouble / n}%10.1f per vector, $secs%6.2f s)")
+}
+
 println("== minhash signature shape (explode + digest + partial-min agg; shuffle = |docs| x 9 longs) ==")
 for (k <- Seq(1, 8, 16)) {
   val docs = multi("documents", k)
