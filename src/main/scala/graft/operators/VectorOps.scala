@@ -265,18 +265,24 @@ object VectorOps {
       pairs.unionAll(
         pairs.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b")))
     }
-    val nodes = edges.select(col("vec_a").as("node")).distinct()
-    var l = nodes.withColumn("label", col("node"))
-    for (_ <- 1 to TextOps.CcRounds) {
-      val nbrMin = edges
-        .join(l.select(col("node").as("vec_b"), col("label")), Seq("vec_b"))
-        .groupBy(col("vec_a").as("node"))
-        .agg(min(col("label")).as("nbr_label"))
-      l = l.join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+    // the propagated labels are a shared artifact too (mirrors the
+    // text family's cc_labels): memoizing caps the unrolled rounds'
+    // lineage at one computation per session
+    val labels = TextOps.memoized(spark, dir, "emb_cc_labels") {
+      val nodes = edges.select(col("vec_a").as("node")).distinct()
+      var l = nodes.withColumn("label", col("node"))
+      for (_ <- 1 to TextOps.CcRounds) {
+        val nbrMin = edges
+          .join(l.select(col("node").as("vec_b"), col("label")), Seq("vec_b"))
+          .groupBy(col("vec_a").as("node"))
+          .agg(min(col("label")).as("nbr_label"))
+        l = l.join(nbrMin, Seq("node"), "left")
+          .select(col("node"),
+            least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      }
+      l
     }
-    l.select(
+    labels.select(
       col("node").as("vec_id"),
       col("label").as("cluster_id"),
       count(lit(1)).over(Window.partitionBy(col("label"))).as("cluster_size"))

@@ -121,6 +121,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
 
+  test("no registered query plans a CartesianProduct") {
+    // broadcast nested-loop joins against tiny sides (query sets,
+    // 1-row bounds, codebooks) are the intended pattern; a shuffled
+    // cartesian anywhere means a join lost its keys — the single worst
+    // plan regression possible at 100 TB. Sweep the whole registry.
+    graft.operators.TextOps.release(spark)
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
+      SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString.contains("CartesianProduct")
+    }
+    assert(offenders.isEmpty, s"cartesian plans: $offenders")
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     // codegen spans (the `*(n)` markers) appear once AQE finalizes, so
     // execute before inspecting
