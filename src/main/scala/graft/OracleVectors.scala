@@ -58,7 +58,16 @@ object OracleVectors {
        |)""".stripMargin
 
   def knnLsh(numPlanes: Int = VectorOps.NumPlanes,
-      bandBits: Int = VectorOps.BandBits): String =
+      bandBits: Int = VectorOps.BandBits, probeBits: Int = 0): String = {
+    // mirror of VectorOps.probeKeysExpr: the key plus its Hamming-1
+    // variants (flips are distinct from the original — plain concat)
+    val qKeys =
+      if (probeBits == 0) "[band_key]"
+      else s"""list_concat([band_key], list_transform(range(1, ${bandBits + 1}), i ->
+              |  substring(band_key, 1, CAST(i - 1 AS INT)) ||
+              |  (CASE WHEN substring(band_key, CAST(i AS INT), 1) = '1'
+              |        THEN '0' ELSE '1' END) ||
+              |  substring(band_key, CAST(i + 1 AS INT), CAST($bandBits - i AS INT))))""".stripMargin
     s"""WITH $baseCte, ${codeCte(numPlanes)},
        |bands AS (
        |  SELECT vec_id,
@@ -66,10 +75,14 @@ object OracleVectors {
        |    substring(code, CAST(b.b * $bandBits + 1 AS INT), $bandBits) AS band_key
        |  FROM coded CROSS JOIN (SELECT unnest(range(${numPlanes / bandBits})) AS b) b
        |),
+       |qprobes AS (
+       |  SELECT vec_id, band_idx, unnest($qKeys) AS band_key
+       |  FROM bands WHERE vec_id % $qm = 0
+       |),
        |candidates AS (
        |  SELECT DISTINCT qb.vec_id AS query_id, db.vec_id AS neighbor_id
-       |  FROM bands db JOIN bands qb USING (band_idx, band_key)
-       |  WHERE qb.vec_id % $qm = 0 AND db.vec_id <> qb.vec_id
+       |  FROM bands db JOIN qprobes qb USING (band_idx, band_key)
+       |  WHERE db.vec_id <> qb.vec_id
        |),
        |sims AS (
        |  SELECT c.query_id, c.neighbor_id,
@@ -84,6 +97,7 @@ object OracleVectors {
        |  FROM sims
        |)
        |SELECT query_id, neighbor_id, "rank", sim FROM ranked WHERE "rank" <= $k""".stripMargin
+  }
 
   /** Mirror of VectorOps.dedupEmbedding: all-vector band self-join,
     * exact cosine on candidates, thresholded.
@@ -190,12 +204,12 @@ object OracleVectors {
 
   /** Recall@K of LSH vs exact, composing the two query oracles. */
   def lshRecall(numPlanes: Int = VectorOps.NumPlanes,
-      bandBits: Int = VectorOps.BandBits): String =
+      bandBits: Int = VectorOps.BandBits, probeBits: Int = 0): String =
     s"""SELECT e.query_id,
        |  CAST(count(l."rank") AS DOUBLE) / $k AS recall_at_k,
        |  count(*) AS n_exact
        |FROM ($knnExact) e
-       |LEFT JOIN (${knnLsh(numPlanes, bandBits)}) l
+       |LEFT JOIN (${knnLsh(numPlanes, bandBits, probeBits)}) l
        |  ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
        |GROUP BY e.query_id""".stripMargin
 

@@ -100,6 +100,7 @@ object SparkEntry {
     "emb_ivf_assign" -> ((s, d) => VectorOps.ivfAssign(s, d)),
     "emb_knn_ivf"    -> ((s, d) => VectorOps.knnIvf(s, d)),
     "emb_lsh_recall" -> ((s, d) => VectorOps.lshRecall(s, d)),
+    "emb_lsh_mp_recall" -> ((s, d) => VectorOps.lshRecall(s, d, probeBits = 1)),
     "emb_ivf_recall" -> ((s, d) => VectorOps.ivfRecall(s, d)),
     "emb_dedup_clusters" -> ((s, d) => VectorOps.dedupEmbeddingClusters(s, d)),
     "dedup_embedding" -> ((s, d) => VectorOps.dedupEmbedding(s, d)),
@@ -195,6 +196,7 @@ object SparkEntry {
     "emb_ivf_assign" -> OracleVectors.ivfAssign(),
     "emb_knn_ivf"    -> OracleVectors.knnIvf(),
     "emb_lsh_recall" -> OracleVectors.lshRecall(),
+    "emb_lsh_mp_recall" -> OracleVectors.lshRecall(probeBits = 1),
     "emb_ivf_recall" -> OracleVectors.ivfRecall(),
     "emb_dedup_clusters" -> OracleVectors.dedupEmbeddingClusters(),
     "dedup_embedding" -> OracleVectors.dedupEmbedding(),

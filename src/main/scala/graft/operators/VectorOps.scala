@@ -163,15 +163,34 @@ object VectorOps {
         .select(col("query_id"), col("vec_id").as("neighbor_id"), cosine))
   }
 
+  /** Query-side multi-probe expansion: the band key itself plus every
+    * Hamming-1 variant when `probeBits = 1` — the standard recall
+    * lever at FIXED band entropy (wider bands keep collision rates
+    * scale-safe; probing ±1-bit buckets recovers the near neighbors a
+    * single exact-key lookup misses). Probe count per band is
+    * `1 + bandBits`, so cost stays O(bucket lookups), never all-pairs.
+    * The flipped keys are pairwise distinct from the original and each
+    * other, so plain concat needs no dedup.
+    */
+  private def probeKeysExpr(bandBits: Int): String =
+    s"""concat(array(band_key), transform(sequence(1, $bandBits), i ->
+       |  concat(substring(band_key, 1, i - 1),
+       |         CASE WHEN substring(band_key, i, 1) = '1' THEN '0' ELSE '1' END,
+       |         substring(band_key, i + 1, $bandBits - i))))""".stripMargin
+
   /** ANN via banded sign-LSH: corpus → `numPlanes`-bit code →
     * `numPlanes / bandBits` band keys; candidates are vectors sharing
     * ≥1 band with a query (bucket equi-join on (band_idx, band_key) —
     * O(collisions), the 100 TB path, with bandBits as the collision-
     * rate dial — see the banding-parameters note above); exact cosine
-    * + top-k only on candidates.
+    * + top-k only on candidates. `probeBits = 1` turns on Hamming-1
+    * multi-probe on the query side (see [[probeKeysExpr]]).
     */
   def knnLsh(spark: SparkSession, dir: String,
-      numPlanes: Int = NumPlanes, bandBits: Int = BandBits): DataFrame = {
+      numPlanes: Int = NumPlanes, bandBits: Int = BandBits,
+      probeBits: Int = 0): DataFrame = {
+    require(probeBits == 0 || probeBits == 1,
+      s"probeBits must be 0 (exact buckets) or 1 (Hamming-1 multi-probe), got $probeBits")
     // banding runs the native fused sign_bands expression — one codegen
     // loop per row; profiled ~12µs per plane with the compositional
     // interpreted-lambda form, which bandKeysExpr retains as the
@@ -182,8 +201,12 @@ object VectorOps {
       col("vec_id"),
       posexplode(expr(s"sign_bands(embedding, $numPlanes, $bandBits)"))
         .as(Seq("band_idx", "band_key")))
-    val qBands = bands.where(col("vec_id") % QueryMod === 0)
+    val qBandsExact = bands.where(col("vec_id") % QueryMod === 0)
       .select(col("vec_id").as("query_id"), col("band_idx"), col("band_key"))
+    val qBands =
+      if (probeBits == 0) qBandsExact
+      else qBandsExact.select(col("query_id"), col("band_idx"),
+        explode(expr(probeKeysExpr(bandBits))).as("band_key"))
     val candidates = bands.join(broadcast(qBands), Seq("band_idx", "band_key"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
@@ -406,9 +429,9 @@ object VectorOps {
     * evaluation loop any ANN deployment needs: per query, the fraction
     * of true top-K neighbors the approximate index recovered.
     */
-  def lshRecall(spark: SparkSession, dir: String): DataFrame = {
+  def lshRecall(spark: SparkSession, dir: String, probeBits: Int = 0): DataFrame = {
     val exact = knnExact(spark, dir).select(col("query_id"), col("neighbor_id"))
-    val approx = knnLsh(spark, dir)
+    val approx = knnLsh(spark, dir, probeBits = probeBits)
       .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
     exact.join(approx, Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))

@@ -100,6 +100,7 @@ class GoldenSpec extends SparkSpec {
     "emb_knn_ivf" -> ((-8547690800792426028L, 50L)),
     "emb_knn_lsh" -> ((-7206143283623543429L, 50L)),
     "emb_knn_native" -> ((5382587561670919428L, 50L)),
+    "emb_lsh_mp_recall" -> ((-3384436044905051576L, 5L)),
     "emb_lsh_recall" -> ((-4469750923323151140L, 5L)),
     "media_decode" -> ((1186192457682470582L, 500L)),
     // equal to dedup_exact's fingerprint: same digest of the same ASCII
