@@ -50,6 +50,28 @@ class SignBandKeysSpec extends SparkSpec {
     assert(evalKeys(Array.tabulate[java.lang.Float](8)(_.toFloat)) === Seq("0000", "0000"))
   }
 
+  test("property: native equals compositional on arbitrary finite float vectors") {
+    import org.scalacheck.{Gen, Prop}
+    GraftExtensions.register(spark)
+    val s = spark; import s.implicits._
+    // magnitudes from subnormal-ish to huge, both signs, exact zeros
+    val component: Gen[Float] = Gen.oneOf(
+      Gen.chooseNum(-1e6f, 1e6f),
+      Gen.chooseNum(-1e-6f, 1e-6f),
+      Gen.const(0.0f))
+    val vec: Gen[Seq[Float]] = Gen.listOfN(SignBandKeys.Dim, component)
+    checkScalaCheck(Prop.forAll(Gen.listOfN(8, vec)) { vecs =>
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+      df.select(
+          expr("sign_bands(embedding, 64, 8)").as("native"),
+          expr(VectorOps.bandKeysExpr(64, 8)).as("composed"))
+        .where(not(col("native") === col("composed")))
+        .count() == 0L
+    }, minTests = 10)
+  }
+
   test("sign_bands rejects non-literal or invalid parameters") {
     GraftExtensions.register(spark)
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
