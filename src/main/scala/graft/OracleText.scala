@@ -379,4 +379,116 @@ object OracleText {
        |  FROM scored
        |)
        |SELECT doc_id, "rank", word, tf, tfidf FROM ranked WHERE "rank" <= 3""".stripMargin
+
+  /** Mirror of TextOps.decontaminate — and of decontaminateBloom: the
+    * Bloom pre-filter is followed by an exact verify, so both variants
+    * produce this same relation (the differential proof).
+    */
+  val decontaminate: String = {
+    val n = TextOps.ContamNgram
+    val m = TextOps.EvalStride
+    s"""WITH $wordsCte,
+       |g8 AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN len(words) >= $n
+       |         THEN list_transform(range(len(words) - ${n - 1}),
+       |                i -> md5(array_to_string(list_slice(words, i + 1, i + $n), ' ')))
+       |         ELSE CAST([] AS VARCHAR[]) END AS grams
+       |  FROM docs
+       |),
+       |evalg AS (
+       |  SELECT DISTINCT unnest(grams) AS g FROM g8 WHERE doc_id % $m = 0
+       |),
+       |traing AS (
+       |  SELECT doc_id, unnest(grams) AS g FROM g8 WHERE doc_id % $m <> 0
+       |),
+       |hits AS (
+       |  SELECT doc_id, count(DISTINCT g) AS n_hit_ngrams
+       |  FROM traing WHERE g IN (SELECT g FROM evalg)
+       |  GROUP BY doc_id
+       |)
+       |SELECT t.doc_id, t.lang,
+       |  COALESCE(h.n_hit_ngrams, 0) AS n_hit_ngrams,
+       |  COALESCE(h.n_hit_ngrams, 0) = 0 AS keep
+       |FROM (SELECT doc_id, lang FROM g8 WHERE doc_id % $m <> 0) t
+       |LEFT JOIN hits h USING (doc_id)""".stripMargin
+  }
+
+  /** Mirror of TextOps.pack: per-bucket running token sum, integer
+    * division into sequence slots.
+    */
+  val pack: String = {
+    val budget = TextOps.PackBudget
+    val buckets = TextOps.PackBuckets
+    s"""WITH $wordsCte,
+       |toks AS (
+       |  SELECT doc_id, doc_id % $buckets AS bucket,
+       |    CAST(len(words) AS BIGINT) AS n_tokens
+       |  FROM docs
+       |),
+       |runs AS (
+       |  SELECT doc_id, bucket, n_tokens,
+       |    SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+       |      AS start_off
+       |  FROM toks
+       |)
+       |SELECT doc_id, bucket, n_tokens,
+       |  CAST(start_off // $budget AS BIGINT) AS seq_id,
+       |  -- start_off is HUGEINT (DuckDB windowed SUM over BIGINT); % would
+       |  -- surface as DOUBLE in pandas without the explicit cast
+       |  CAST(start_off % $budget AS BIGINT) AS seq_offset
+       |FROM runs""".stripMargin
+  }
+
+  /** Mirror of TextOps.sampleStratified: the md5-prefix 60-bit hash
+    * bucket (rotLong's positional fold at rotation 0) against the
+    * per-language keep rates.
+    */
+  val sampleStratified: String = {
+    val rateCase = TextOps.SampleRates.foldRight(
+      s"${TextOps.SampleDefaultRate}") {
+      case ((l, r), acc) => s"CASE WHEN lang = '$l' THEN $r ELSE $acc END"
+    }
+    s"""WITH hashed AS (
+       |  SELECT doc_id, lang,
+       |    ${rotLong("md5(text)", 0)} % 100 AS sample_bucket
+       |  FROM documents
+       |)
+       |SELECT doc_id, lang, sample_bucket
+       |FROM hashed
+       |WHERE sample_bucket < $rateCase""".stripMargin
+  }
+
+  /** Mirror of TextOps.repetition: duplicate-word fraction and the
+    * top word-bigram's token share.
+    */
+  val repetition: String =
+    s"""WITH $wordsCte,
+       |base AS (
+       |  SELECT doc_id,
+       |    CAST(len(words) AS BIGINT) AS n_words,
+       |    CAST(len(words) - len(list_distinct(words)) AS BIGINT) AS n_dup_words,
+       |    CASE WHEN len(words) >= 2
+       |         THEN list_transform(range(len(words) - 1),
+       |                i -> array_to_string(list_slice(words, i + 1, i + 2), ' '))
+       |         ELSE CAST([] AS VARCHAR[]) END AS bigrams
+       |  FROM docs
+       |),
+       |grams AS (
+       |  SELECT doc_id, unnest(bigrams) AS bg FROM base
+       |),
+       |cnt AS (
+       |  SELECT doc_id, bg, count(*) AS c FROM grams GROUP BY doc_id, bg
+       |),
+       |top AS (
+       |  SELECT doc_id, max(c) AS top_bigram_n FROM cnt GROUP BY doc_id
+       |)
+       |SELECT b.doc_id, b.n_words, b.n_dup_words,
+       |  CAST(b.n_dup_words AS DOUBLE) / b.n_words AS dup_word_frac,
+       |  COALESCE(t.top_bigram_n, 0) AS top_bigram_n,
+       |  CASE WHEN b.n_words >= 2
+       |       THEN CAST(COALESCE(t.top_bigram_n, 0) AS DOUBLE) / (b.n_words - 1)
+       |       ELSE 0.0 END AS top_bigram_frac
+       |FROM base b LEFT JOIN top t USING (doc_id)""".stripMargin
 }

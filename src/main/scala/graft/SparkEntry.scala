@@ -86,6 +86,11 @@ object SparkEntry {
     "txt_split"           -> ((s, d) => TextOps.split90_5_5(s, d)),
     "dedup_fuzzy_edit"    -> ((s, d) => TextOps.dedupFuzzyEdit(s, d)),
     "dedup_clusters"      -> ((s, d) => TextOps.dedupClusters(s, d)),
+    "txt_pack"            -> ((s, d) => TextOps.pack(s, d)),
+    "txt_decontaminate"   -> ((s, d) => TextOps.decontaminate(s, d)),
+    "txt_decontaminate_bloom" -> ((s, d) => TextOps.decontaminateBloom(s, d)),
+    "txt_sample_stratified" -> ((s, d) => TextOps.sampleStratified(s, d)),
+    "txt_repetition"      -> ((s, d) => TextOps.repetition(s, d)),
     "dedup_clusters_fixpoint" -> ((s, d) => TextOps.dedupClustersFixpoint(s, d)),
     "q33_pivot"           -> ((s, d) => Relational.q33Pivot(s, d)),
     "q34_salted_wordcount" -> ((s, d) => Relational.q34SaltedWordcount(s, d)),
@@ -183,6 +188,12 @@ object SparkEntry {
     "txt_split"           -> OracleText.split,
     "dedup_fuzzy_edit"    -> OracleText.dedupFuzzyEdit,
     "dedup_clusters"      -> OracleText.dedupClusters,
+    "txt_pack"            -> OracleText.pack,
+    "txt_decontaminate"   -> OracleText.decontaminate,
+    // bloom pre-filter + exact verify ≡ exact — same oracle (differential)
+    "txt_decontaminate_bloom" -> OracleText.decontaminate,
+    "txt_sample_stratified" -> OracleText.sampleStratified,
+    "txt_repetition"      -> OracleText.repetition,
     // same oracle as dedup_clusters — the fixpoint loop's differential proof
     "dedup_clusters_fixpoint" -> OracleText.dedupClusters,
     "q33_pivot"           -> OracleRelational.q33,

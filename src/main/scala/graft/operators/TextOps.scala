@@ -623,4 +623,170 @@ object TextOps {
       .where(col("rank") <= 3)
       .select(col("doc_id"), col("rank"), col("word"), col("tf"), col("tfidf"))
   }
+
+  /** Eval-set decontamination: remove training documents that share any
+    * word [[ContamNgram]]-gram with a held-out evaluation set — the
+    * benchmark-contamination filter every pretraining pipeline runs
+    * before training. The eval set here is a deterministic doc_id
+    * stride (stand-in for the real benchmark corpus, which at scale
+    * arrives as its own table).
+    *
+    * Shape at 100 TB: the eval side is always tiny relative to the
+    * corpus, so its distinct n-gram digests broadcast; the corpus
+    * streams through a broadcast LEFT SEMI join that drops ~everything
+    * BEFORE the per-doc aggregation, so the only shuffle carries the
+    * contaminated (doc, gram) pairs. Output is per-doc: hit count and
+    * keep flag (the decontaminated corpus is `WHERE keep`).
+    */
+  val ContamNgram = 5
+  val EvalStride = 17
+
+  private def contamGrams: Column = when(size(col("words")) >= ContamNgram,
+    expr(s"""transform(sequence(0, size(words) - $ContamNgram),
+             i -> md5(concat_ws(' ', slice(words, i + 1, $ContamNgram))))"""))
+    .otherwise(expr("CAST(array() AS array<string>)"))
+
+  def decontaminate(spark: SparkSession, dir: String): DataFrame =
+    decontaminateImpl(spark, dir, bloomPrefilter = false)
+
+  /** [[decontaminate]] with a Bloom pre-filter — the cluster-scale
+    * variant. The eval n-gram set is folded into one Bloom filter
+    * (Spark's own runtime-filter sketch, exposed as a graft function —
+    * [[graft.plans.GraftExtensions]] `graft_bloom_agg` /
+    * `graft_might_contain`), ~10× smaller than the distinct digest
+    * table the exact variant broadcasts, and the corpus-side probe is a
+    * codegen'd expression instead of a hash-join build lookup. False
+    * positives are removed by the exact semi-join that follows — but
+    * now only over the candidate sliver that passed the filter, so the
+    * result is IDENTICAL to [[decontaminate]] (same oracle: the
+    * differential proof) while the broadcast shrinks from the digest
+    * set to the sketch. No false negatives: Bloom filters never drop a
+    * real member.
+    */
+  def decontaminateBloom(spark: SparkSession, dir: String): DataFrame =
+    decontaminateImpl(spark, dir, bloomPrefilter = true)
+
+  private def decontaminateImpl(spark: SparkSession, dir: String,
+                                bloomPrefilter: Boolean): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
+    val docs = withWords(spark, dir)
+    val isEval = pmod(col("doc_id"), lit(EvalStride.toLong)) === 0
+    val evalGrams = docs.where(isEval)
+      .select(explode(contamGrams).as("g")).distinct()
+    val trainGrams = docs.where(!isEval)
+      .select(col("doc_id"), explode(contamGrams).as("g"))
+    val probed =
+      if (!bloomPrefilter) trainGrams
+      else {
+        // The sketch must reach might_contain as a constant or scalar
+        // subquery (its analyzer contract — same as InjectRuntimeFilter's
+        // rewrites). The scalar subquery runs once, is constant-folded
+        // into the predicate, and the corpus side never joins anything.
+        // Bits sized n·ln(1/fpp)/ln²2 ≈ 10n at 1% fpp; ~32 KB here.
+        evalGrams.createOrReplaceTempView("graft_eval_grams")
+        trainGrams.createOrReplaceTempView("graft_train_grams")
+        spark.sql(
+          """SELECT doc_id, g FROM graft_train_grams
+            |WHERE graft_might_contain(
+            |  (SELECT graft_bloom_agg(xxhash64(g), 32768L, 262144L)
+            |   FROM graft_eval_grams),
+            |  xxhash64(g))""".stripMargin)
+      }
+    val hits = probed
+      .join(broadcast(evalGrams), Seq("g"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("n_hit_ngrams"))
+    docs.where(!isEval).select(col("doc_id"), col("lang"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_hit_ngrams"), lit(0L)).as("n_hit_ngrams"),
+        (coalesce(col("n_hit_ngrams"), lit(0L)) === 0).as("keep"))
+  }
+
+  /** Sequence packing: assign each document a (bucket, seq_id,
+    * seq_offset) slot in a stream of fixed token-budget training
+    * sequences — greedy sequential fill in doc_id order within each
+    * bucket. The bucket split is the scale lever: packing needs a total
+    * order, and a GLOBAL running sum over 100 TB is a single-partition
+    * window (the classic window anti-pattern); hashing docs into
+    * [[PackBuckets]] independent streams makes each window a normal
+    * partitioned one while keeping every sequence greedily full.
+    * Documents longer than the budget simply span sequences
+    * (seq_id marks where the doc STARTS; offsets are exact), which is
+    * precisely how token-level packing consumes them downstream.
+    * All integer math — bit-identical across engines.
+    */
+  val PackBudget = 256L
+  val PackBuckets = 8
+
+  def pack(spark: SparkSession, dir: String,
+           budget: Long = PackBudget, buckets: Int = PackBuckets): DataFrame = {
+    val toks = withWords(spark, dir).select(
+      col("doc_id"),
+      pmod(col("doc_id"), lit(buckets.toLong)).as("bucket"),
+      size(col("words")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks
+      .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("bucket"), col("n_tokens"),
+        expr(s"CAST(start_off DIV $budget AS BIGINT)").as("seq_id"),
+        (col("start_off") % budget).as("seq_offset"))
+  }
+
+  /** Deterministic stratified mixture sampling: per-language keep rates
+    * (percent) applied via a content-hash bucket, so the sample is
+    * reproducible run-to-run, machine-to-machine — the mixture-weighting
+    * step of a pretraining-data pipeline (downsample the dominant
+    * language, keep the rare ones). Pure projection + filter: no
+    * shuffle, nothing collected, scales with the scan.
+    */
+  val SampleRates: Map[String, Int] = Map("en" -> 40, "zh" -> 100)
+  val SampleDefaultRate = 70
+
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val bucket =
+      expr("CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT) % 100")
+    val rate = SampleRates.foldLeft(lit(SampleDefaultRate)) {
+      case (acc, (l, r)) => when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    Tables.documents(spark, dir)
+      .withColumn("sample_bucket", bucket)
+      .where(col("sample_bucket") < rate)
+      .select(col("doc_id"), col("lang"), col("sample_bucket"))
+  }
+
+  /** Repetition-based quality signals (the Gopher-style filters):
+    * duplicate-word fraction and the token share of the single most
+    * frequent word bigram. Highly repetitive machine-generated text
+    * scores near 1 on both; clean prose stays low. Shape: one
+    * (doc, bigram) partial-count aggregate, one per-doc max — the
+    * shuffle carries counts, never text. Ratios are int/int divisions
+    * evaluated once in double (bit-identical across engines).
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val bigrams = when(size(col("words")) >= 2,
+      expr("transform(sequence(0, size(words) - 2), i -> concat_ws(' ', slice(words, i + 1, 2)))"))
+      .otherwise(expr("CAST(array() AS array<string>)"))
+    val base = withWords(spark, dir).select(
+      col("doc_id"),
+      size(col("words")).cast("long").as("n_words"),
+      (size(col("words")) - size(array_distinct(col("words"))))
+        .cast("long").as("n_dup_words"),
+      bigrams.as("bigrams"))
+    val topBigram = base
+      .select(col("doc_id"), explode(col("bigrams")).as("bg"))
+      .groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_bigram_n"))
+    base.join(topBigram, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_words"), col("n_dup_words"),
+        (col("n_dup_words").cast("double") / col("n_words")).as("dup_word_frac"),
+        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
+        when(col("n_words") >= 2,
+          coalesce(col("top_bigram_n"), lit(0L)).cast("double") / (col("n_words") - 1))
+          .otherwise(lit(0.0)).as("top_bigram_frac"))
+  }
 }

@@ -23,6 +23,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.cosineSimDescriptor)
     ext.injectFunction(GraftExtensions.simhashAggDescriptor)
     ext.injectFunction(GraftExtensions.signBandsDescriptor)
+    ext.injectFunction(GraftExtensions.bloomAggDescriptor)
+    ext.injectFunction(GraftExtensions.mightContainDescriptor)
   }
 }
 
@@ -54,6 +56,26 @@ object GraftExtensions {
     }
   }
 
+  // Spark ships a Bloom-filter sketch pair for its own runtime join
+  // filters (BloomFilterAggregate / BloomFilterMightContain) but does
+  // not register them as SQL functions; graft exposes them for
+  // broadcast membership pre-filters (TextOps.decontaminateBloom).
+  // Child is a 64-bit hash (xxhash64 at the call site), matching how
+  // InjectRuntimeFilter feeds them internally.
+  private val bloomAggBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 3,
+      s"graft_bloom_agg expects (hash, estimatedNumItems, numBits), got ${exprs.length} arguments")
+    new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+      exprs(0), exprs(1), exprs(2))
+  }
+
+  private val mightContainBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2,
+      s"graft_might_contain expects (bloomFilter, hash), got ${exprs.length} arguments")
+    org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      exprs(0), exprs(1))
+  }
+
   val cosineSimDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("cosine_sim"),
     new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
@@ -69,6 +91,20 @@ object GraftExtensions {
     new ExpressionInfo(classOf[SignBandKeys].getName, "sign_bands"),
     signBandsBuilder)
 
+  val bloomAggDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_bloom_agg"),
+    new ExpressionInfo(
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+      "graft_bloom_agg"),
+    bloomAggBuilder)
+
+  val mightContainDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_might_contain"),
+    new ExpressionInfo(
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+      "graft_might_contain"),
+    mightContainBuilder)
+
   /** Idempotent post-hoc registration on a live session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry
@@ -77,5 +113,9 @@ object GraftExtensions {
       .createOrReplaceTempFunction("simhash_agg", simhashAggBuilder, "built-in")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("sign_bands", signBandsBuilder, "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("graft_bloom_agg", bloomAggBuilder, "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("graft_might_contain", mightContainBuilder, "built-in")
   }
 }

@@ -154,7 +154,13 @@ class GoldenSpec extends SparkSpec {
     "svc_latest" -> ((-8256641542337234806L, 14L)),
     "svc_multivalued" -> ((-2009340863746402347L, 1000L)),
     "svc_summaries" -> ((1201948405762285216L, 402L)),
+    "txt_decontaminate" -> ((2255933175511747289L, 470L)),
+    // identical by construction: Bloom pre-filter + exact verify ≡ exact
+    "txt_decontaminate_bloom" -> ((2255933175511747289L, 470L)),
     "txt_fingerprint" -> ((9069157633707950874L, 500L)),
+    "txt_pack" -> ((1955850811763918251L, 500L)),
+    "txt_repetition" -> ((8913849387102327767L, 500L)),
+    "txt_sample_stratified" -> ((-3950613684744970873L, 309L)),
     "txt_langid" -> ((-5283935207442125541L, 500L)),
     "txt_normalize" -> ((-6611269162432350353L, 500L)),
     "txt_quality" -> ((8093999280321710571L, 500L)),
