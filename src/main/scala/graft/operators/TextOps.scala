@@ -101,6 +101,26 @@ object TextOps {
   private def withWords(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).withColumn("words", words)
 
+  /** [[withWords]] with the token array materialized behind a Generate
+    * node (`explode` of a one-element array — always exactly one output
+    * row, so semantics equal `withColumn`, null text included).
+    *
+    * Why: CollapseProject inlines a projected expression into every
+    * consumer, INCLUDING the body of a higher-order-function lambda —
+    * `transform(sequence(...), i -> slice(words, i+1, n))` with `words`
+    * inlined re-runs the split for EVERY index i, turning tokenization
+    * O(tokens) into O(tokens²) per document (measured 2.9× on
+    * `repetition` at sf0.1). Projects cannot collapse across a
+    * Generate, so here the split runs once per row and lambdas index a
+    * real array attribute. Use this variant for any operator whose
+    * lambda INDEXES into `words` (n-gram windows); plain fold/filter
+    * lambdas that take `words` as the iterated argument evaluate it
+    * once and don't need the barrier.
+    */
+  private def withWordsAttr(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("*"), explode(array(words)).as("words"))
+
   /** Token counting: whitespace tokens plus a BPE-ish subword estimate
     * (≈ 4 chars per subword piece, the usual budget heuristic).
     */
@@ -177,8 +197,10 @@ object TextOps {
     expr("transform(sequence(0, size(words) - 3), i -> concat_ws(' ', slice(words, i + 1, 3)))"))
     .otherwise(expr("CAST(array() AS array<string>)"))
 
+  // withWordsAttr, not withWords: the shingle lambda indexes into
+  // `words`, the quadratic-inlining case the barrier exists for
   private def withShingles(spark: SparkSession, dir: String): DataFrame =
-    withWords(spark, dir).withColumn("shingles", shingles)
+    withWordsAttr(spark, dir).withColumn("shingles", shingles)
 
   /** MinHash signatures: NUM_HASHES permutation-like orderings derived
     * from ONE md5 per shingle — ordering s compares digests rotated by
@@ -232,11 +254,14 @@ object TextOps {
     * micro-batch slice rather than a table directory.
     */
   private[graft] def minhashSignaturesFrom(docs: DataFrame): DataFrame =
-    docs.withColumn("words", words).withColumn("shingles", shingles)
+    // words behind a Generate barrier (withWordsAttr rationale): the
+    // shingle lambda indexes into the array, so an inlined split would
+    // re-tokenize per shingle
+    docs.select(col("doc_id"), explode(array(words)).as("words"))
       // no explicit <3-words filter: exploding the empty shingle array
       // drops short docs for free, and a pushed-down size(split(...))
       // predicate would re-derive the split inside the scan
-      .select(col("doc_id"), explode(col("shingles")).as("sg"))
+      .select(col("doc_id"), explode(shingles).as("sg"))
       .select(col("doc_id"), md5(col("sg")).as("h"))
       .groupBy(col("doc_id"))
       .agg(array((0 until NumHashes).map(s => min(rotLong("h", s * 3))): _*)
@@ -669,7 +694,9 @@ object TextOps {
   private def decontaminateImpl(spark: SparkSession, dir: String,
                                 bloomPrefilter: Boolean): DataFrame = {
     graft.plans.GraftExtensions.register(spark)
-    val docs = withWords(spark, dir)
+    // withWordsAttr: the n-gram lambda indexes into `words` (the
+    // quadratic-inlining case the barrier exists for)
+    val docs = withWordsAttr(spark, dir)
     val isEval = pmod(col("doc_id"), lit(EvalStride.toLong)) === 0
     val evalGrams = docs.where(isEval)
       .select(explode(contamGrams).as("g")).distinct()
@@ -696,7 +723,10 @@ object TextOps {
       .join(broadcast(evalGrams), Seq("g"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("g")).as("n_hit_ngrams"))
-    docs.where(!isEval).select(col("doc_id"), col("lang"))
+    // raw table, not `docs`: this branch never touches `words`, and the
+    // barrier Generate would otherwise tokenize rows it doesn't need
+    Tables.documents(spark, dir).where(!isEval)
+      .select(col("doc_id"), col("lang"))
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang"),
         coalesce(col("n_hit_ngrams"), lit(0L)).as("n_hit_ngrams"),
@@ -768,7 +798,9 @@ object TextOps {
     val bigrams = when(size(col("words")) >= 2,
       expr("transform(sequence(0, size(words) - 2), i -> concat_ws(' ', slice(words, i + 1, 2)))"))
       .otherwise(expr("CAST(array() AS array<string>)"))
-    val base = withWords(spark, dir).select(
+    // withWordsAttr: the bigram lambda indexes into `words` — measured
+    // 2.9× at sf0.1 vs the inlined-split form
+    val base = withWordsAttr(spark, dir).select(
       col("doc_id"),
       size(col("words")).cast("long").as("n_words"),
       (size(col("words")) - size(array_distinct(col("words"))))
