@@ -134,6 +134,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty, s"cartesian plans: $offenders")
   }
 
+  test("pack windows are bucket-partitioned, never a global single-partition sort") {
+    val p = plan("txt_pack")
+    // the whole point of the bucket split: the running sum must be an
+    // ordinary hash-partitioned window, not the one-reducer global kind
+    assert(p.split("\n").count(_.contains("Exchange SinglePartition")) === 0,
+      p.take(800))
+    assert(p.contains("Exchange hashpartitioning(bucket"), p.take(800))
+  }
+
+  test("stratified sampling is a pure scan-shaped projection: zero exchanges") {
+    val p = plan("txt_sample_stratified")
+    assert(p.split("\n").count(_.contains("Exchange")) === 0, p.take(800))
+  }
+
+  test("decontamination semi-joins the eval grams via broadcast; bloom variant probes a sketch") {
+    val exact = plan("txt_decontaminate")
+    assert(exact.contains("BroadcastHashJoin") && exact.contains("LeftSemi"),
+      exact.take(800))
+    assert(!exact.contains("SortMergeJoin"), exact.take(800))
+    val bloom = plan("txt_decontaminate_bloom")
+    // the sketch probe is a scalar-subquery predicate on the corpus
+    // side — present in the plan, upstream of the exact verify join
+    assert(bloom.contains("might_contain"), bloom.take(800))
+    assert(bloom.contains("BroadcastHashJoin") && bloom.contains("LeftSemi"),
+      bloom.take(800))
+  }
+
+  test("n-gram lambdas index a materialized token array, not an inlined split") {
+    // the Generate-barrier contract (TextOps.withWordsAttr): if
+    // CollapseProject ever re-inlines the tokenization into a gram
+    // lambda, the plan shows `slice(split(` — O(tokens²) per document
+    for (q <- Seq("txt_repetition", "dedup_minhash", "txt_decontaminate"))
+      assert(!plan(q).contains("slice(split("), s"$q re-inlined the split")
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     // codegen spans (the `*(n)` markers) appear once AQE finalizes, so
     // execute before inspecting
