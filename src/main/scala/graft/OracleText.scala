@@ -491,4 +491,129 @@ object OracleText {
        |       THEN CAST(COALESCE(t.top_bigram_n, 0) AS DOUBLE) / (b.n_words - 1)
        |       ELSE 0.0 END AS top_bigram_frac
        |FROM base b LEFT JOIN top t USING (doc_id)""".stripMargin
+
+  /** Mirror of TextOps.dedupSegments: non-overlapping SegLen-word
+    * windows, corpus-frequency filter on the segment md5, ordered
+    * reconstruction. DuckDB zips the two same-length `unnest`s
+    * positionally, which is exactly Spark's posexplode.
+    */
+  val dedupSegments: String = {
+    val L = TextOps.SegLen
+    val f = TextOps.SegDupFreq
+    s"""WITH $wordsCte,
+       |segd AS (
+       |  SELECT doc_id,
+       |    list_transform(range((len(words) - 1) // $L + 1),
+       |      i -> array_to_string(list_slice(words, CAST(i * $L + 1 AS INT),
+       |             CAST(i * $L + $L AS INT)), ' ')) AS segs
+       |  FROM docs
+       |),
+       |base AS (
+       |  SELECT doc_id,
+       |    unnest(range(len(segs))) AS seg_idx,
+       |    unnest(segs) AS seg
+       |  FROM segd
+       |),
+       |hashed AS (
+       |  SELECT doc_id, seg_idx, seg, md5(seg) AS seg_hash FROM base
+       |),
+       |freq AS (
+       |  SELECT seg_hash, count(*) AS seg_freq FROM hashed GROUP BY seg_hash
+       |)
+       |SELECT h.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_segs,
+       |  CAST(sum(CASE WHEN f.seg_freq < $f THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_segs_kept,
+       |  COALESCE(string_agg(h.seg, ' ' ORDER BY h.seg_idx)
+       |    FILTER (WHERE f.seg_freq < $f), '') AS text_kept
+       |FROM hashed h JOIN freq f USING (seg_hash)
+       |GROUP BY h.doc_id""".stripMargin
+  }
+
+  /** Mirror of TextOps.shard: md5-prefix 60-bit bucket (rotLong fold ≡
+    * Spark conv base 16) modulo NumShards, plus per-shard window stats
+    * (integer sums — order-free, so exact across engines).
+    */
+  val shard: String =
+    s"""WITH $wordsCte,
+       |a AS (
+       |  SELECT doc_id,
+       |    ${rotLong("md5(text)", 0)} % ${TextOps.NumShards} AS shard,
+       |    CAST(len(words) AS BIGINT) AS n_tokens
+       |  FROM docs
+       |)
+       |SELECT doc_id, shard, n_tokens,
+       |  CAST(count(*) OVER (PARTITION BY shard) AS BIGINT) AS shard_docs,
+       |  CAST(sum(n_tokens) OVER (PARTITION BY shard) AS BIGINT) AS shard_tokens
+       |FROM a""".stripMargin
+
+  /** Mirror of TextOps.ngramStats: trigram counts with document reach,
+    * deterministic (count DESC, ngram ASC) top-k cutoff.
+    */
+  val ngramStats: String =
+    s"""WITH $wordsCte,
+       |sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(words) >= 3
+       |         THEN list_transform(range(len(words) - 2),
+       |                i -> array_to_string(list_slice(words, i + 1, i + 3), ' '))
+       |         ELSE CAST([] AS VARCHAR[]) END AS shingles
+       |  FROM docs
+       |),
+       |ex AS (
+       |  SELECT doc_id, unnest(shingles) AS ngram FROM sh
+       |)
+       |SELECT ngram,
+       |  CAST(count(*) AS BIGINT) AS n_occurrences,
+       |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+       |FROM ex GROUP BY ngram
+       |ORDER BY n_occurrences DESC, ngram
+       |LIMIT ${TextOps.NgramTopK}""".stripMargin
+
+  /** Mirror of TextOps.scrub: deny-list token filter with removal
+    * count; empty scrub result coalesces to '' (DuckDB's
+    * array_to_string of an empty list is NULL, Spark's concat_ws is '').
+    */
+  val scrub: String = {
+    val deny = TextOps.ScrubDenyList.map(w => s"'$w'").mkString("[", ",", "]")
+    s"""WITH $wordsCte
+       |SELECT doc_id,
+       |  COALESCE(array_to_string(
+       |    list_filter(words, w -> NOT list_contains($deny, w)), ' '), '')
+       |    AS text_scrubbed,
+       |  CAST(len(list_filter(words, w -> list_contains($deny, w))) AS BIGINT)
+       |    AS n_removed
+       |FROM docs""".stripMargin
+  }
+
+  /** Mirror of TextOps.mixWeights: exact-integer token mass per source,
+    * sqrt-temperature weight floored onto a 2^40 grid so the
+    * normalizing sum is an exact integer sum (float sums are
+    * engine-order-defined; grid sums are not).
+    */
+  val mixWeights: String =
+    s"""WITH docsrc AS (
+       |  SELECT source, string_split(text, ' ') AS words FROM documents
+       |),
+       |per AS (
+       |  SELECT source,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(len(words)) AS BIGINT) AS n_tokens
+       |  FROM docsrc GROUP BY source
+       |),
+       |sh AS (
+       |  SELECT source, n_docs, n_tokens,
+       |    CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS BIGINT)
+       |      AS share
+       |  FROM per
+       |),
+       |g AS (
+       |  SELECT source, n_docs, n_tokens, share,
+       |    CAST(floor(sqrt(share) * 1099511627776) AS BIGINT) AS w_grid
+       |  FROM sh
+       |)
+       |SELECT source, n_docs, n_tokens, share,
+       |  CAST(w_grid AS DOUBLE) / CAST(sum(w_grid) OVER () AS BIGINT)
+       |    AS mix_weight
+       |FROM g""".stripMargin
 }

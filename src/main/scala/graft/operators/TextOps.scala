@@ -821,4 +821,158 @@ object TextOps {
           coalesce(col("top_bigram_n"), lit(0L)).cast("double") / (col("n_words") - 1))
           .otherwise(lit(0.0)).as("top_bigram_frac"))
   }
+
+  /** Segment length (words) and the corpus frequency at which a segment
+    * counts as boilerplate for [[dedupSegments]].
+    */
+  val SegLen = 10
+  val SegDupFreq = 2
+
+  /** Segment-level exact deduplication — the line-dedup pass of a web
+    * pretraining pipeline (RefinedWeb-style), adapted to a corpus whose
+    * documents carry no newlines: the unit is a non-overlapping
+    * [[SegLen]]-word window. Any segment whose md5 occurs ≥
+    * [[SegDupFreq]] times corpus-wide is boilerplate; documents are
+    * reconstructed without those segments, preserving segment order.
+    *
+    * Shape at scale: explode → one md5 per segment → partial-count
+    * aggregate on the 128-bit key (the shuffle carries hashes, never
+    * text) → hash-join back on the same key → one per-doc aggregate
+    * whose rows are (doc, ≤ n/SegLen segments). Reconstruction sorts
+    * each doc's OWN segments inside the aggregate buffer
+    * (sort_array over a collect_list) — bounded by document length,
+    * never a global sort.
+    */
+  def dedupSegments(spark: SparkSession, dir: String): DataFrame = {
+    // withWordsAttr: the segment lambda slices into `words` (the
+    // quadratic-inlining case the Generate barrier exists for)
+    val segs = expr(
+      s"""transform(sequence(0, CAST((size(words) - 1) DIV $SegLen AS INT)),
+         |  i -> concat_ws(' ', slice(words, i * $SegLen + 1, $SegLen)))""".stripMargin)
+    val base = withWordsAttr(spark, dir)
+      .select(col("doc_id"), posexplode(segs).as(Seq("seg_idx", "seg")))
+      .withColumn("seg_hash", md5(col("seg")))
+    val freq = base.groupBy(col("seg_hash")).agg(count(lit(1)).as("seg_freq"))
+    base.join(freq, Seq("seg_hash"))
+      .withColumn("kept", col("seg_freq") < SegDupFreq)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_segs_kept"),
+        concat_ws(" ", expr(
+          """transform(
+            |  sort_array(collect_list(CASE WHEN kept
+            |    THEN struct(seg_idx, seg) END)),
+            |  s -> s.seg)""".stripMargin)).as("text_kept"))
+  }
+
+  /** Number of shards for [[shard]] — at real scale this is the output
+    * file-parallelism dial (shards ≈ cluster write slots), here small so
+    * the fixture exercises multi-doc shards.
+    */
+  val NumShards = 16
+
+  /** Deterministic training-shard assignment: content-hash bucket per
+    * document plus per-shard balance stats — the "write the corpus as N
+    * reproducible shards" step that precedes tokenizer/loader work.
+    * Assignment is a pure projection (scan-bound, no shuffle); the
+    * balance stats add one window over the shard key — at 100 TB you'd
+    * compute those as a separate 16-row aggregate instead, but the
+    * window form keeps assignment and audit in one pass at fixture
+    * scale and shuffles only (doc_id, shard, n_tokens) triples.
+    */
+  def shard(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = withWords(spark, dir).select(
+      col("doc_id"),
+      expr(s"""CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)
+              | % $NumShards""".stripMargin).as("shard"),
+      size(col("words")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("shard"))
+    assigned.select(
+      col("doc_id"), col("shard"), col("n_tokens"),
+      count(lit(1)).over(w).as("shard_docs"),
+      sum(col("n_tokens")).over(w).as("shard_tokens"))
+  }
+
+  /** Top-k corpus n-grams for [[ngramStats]] — the curation diagnostic
+    * that surfaces boilerplate candidates before dedup thresholds are
+    * chosen.
+    */
+  val NgramTopK = 20
+
+  /** Corpus-level top-[[NgramTopK]] word trigrams with document reach:
+    * explode shingles → partial-count HashAggregate (map-side combine,
+    * so the shuffle carries (shingle, count, doc-partials), never text)
+    * → global top-k via TakeOrderedAndProject (each partition keeps k
+    * rows; no global sort materializes). Deterministic tiebreak on the
+    * shingle itself.
+    */
+  def ngramStats(spark: SparkSession, dir: String): DataFrame =
+    withShingles(spark, dir)
+      .select(col("doc_id"), explode(col("shingles")).as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("ngram"))
+      .limit(NgramTopK)
+
+  /** Deny-list for [[scrub]] — stand-in for the PII / boilerplate
+    * pattern set of a production scrubber (the fixture corpus has no
+    * digits or addresses, so the list names tokens that actually occur).
+    */
+  val ScrubDenyList: Seq[String] = Seq("customer", "vector")
+
+  /** Deny-list token scrubbing — the redaction pass of a pretraining
+    * pipeline (PII patterns, banned strings) reduced to exact token
+    * membership: drop denied tokens, keep order, count removals. Pure
+    * projection over the scan — no shuffle, no UDF, codegen end-to-end;
+    * a regex pattern set drops into the same `filter` lambda.
+    */
+  def scrub(spark: SparkSession, dir: String): DataFrame = {
+    val deny = ScrubDenyList.map(w => s"'$w'").mkString("array(", ",", ")")
+    withWords(spark, dir).select(
+      col("doc_id"),
+      concat_ws(" ", expr(s"filter(words, w -> NOT array_contains($deny, w))"))
+        .as("text_scrubbed"),
+      expr(s"size(filter(words, w -> array_contains($deny, w)))")
+        .cast("long").as("n_removed"))
+  }
+
+  /** Temperature exponent for [[mixWeights]] as (numerator,
+    * denominator) of a dyadic rational: share^(1/2) = sqrt(share) is
+    * IEEE-exact in both engines, so α = 0.5 keeps the oracle bit-equal
+    * (a free α would route through pow, whose last-bit rounding differs
+    * across libm builds).
+    */
+  val MixAlphaIsSqrt = true
+
+  /** Domain mixture weights — the sampling-weight table of a
+    * pretraining data mix: per-source token mass, its corpus share, and
+    * a temperature-flattened weight w(s) ∝ share(s)^0.5, normalized.
+    *
+    * Cross-engine float discipline: share is a division of two exact
+    * BIGINTs; sqrt is IEEE-correctly-rounded in both engines; the
+    * normalizing sum is NOT a float sum (engine-defined order) — each
+    * sqrt is first floored onto a 2^40 integer grid, the grid values
+    * sum exactly in any order, and the final weight is an int/int
+    * division. One partial aggregate over the scan + a 20-row window:
+    * nothing here grows with corpus size except the first aggregate.
+    */
+  def mixWeights(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = withWords(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("words")).cast("long")).as("n_tokens"))
+    val total = Window.partitionBy()
+    val grid = math.pow(2, 40).toLong
+    perSource
+      .withColumn("share",
+        col("n_tokens").cast("double") / sum(col("n_tokens")).over(total))
+      .withColumn("w_grid",
+        floor(sqrt(col("share")) * grid).cast("long"))
+      .select(
+        col("source"), col("n_docs"), col("n_tokens"), col("share"),
+        (col("w_grid").cast("double") / sum(col("w_grid")).over(total))
+          .as("mix_weight"))
+  }
 }

@@ -169,7 +169,12 @@ class GoldenSpec extends SparkSpec {
     "txt_simhash_native" -> ((-7507058349007398018L, 500L)),
     "txt_split" -> ((139655551458257719L, 500L)),
     "txt_tfidf" -> ((6984402387703968371L, 1500L)),
-    "txt_tokens" -> ((2856647791074966750L, 500L))
+    "txt_tokens" -> ((2856647791074966750L, 500L)),
+    "dedup_segments" -> ((6959384115369163835L, 500L)),
+    "txt_shard" -> ((-8873823532220827648L, 500L)),
+    "txt_ngram_stats" -> ((5743175026788788734L, 20L)),
+    "txt_scrub" -> ((-2801981572971056383L, 500L)),
+    "txt_mix_weights" -> ((4104155027311796664L, 20L))
   )
 
   test("golden: every query output is frozen at sf0.001") {

@@ -165,8 +165,41 @@ class PlanAuditSpec extends SparkSpec {
     // the Generate-barrier contract (TextOps.withWordsAttr): if
     // CollapseProject ever re-inlines the tokenization into a gram
     // lambda, the plan shows `slice(split(` — O(tokens²) per document
-    for (q <- Seq("txt_repetition", "dedup_minhash", "txt_decontaminate"))
+    for (q <- Seq("txt_repetition", "dedup_minhash", "txt_decontaminate",
+        "dedup_segments", "txt_ngram_stats"))
       assert(!plan(q).contains("slice(split("), s"$q re-inlined the split")
+  }
+
+  test("segment dedup shuffles 128-bit segment hashes, never text") {
+    val p = plan("dedup_segments")
+    // frequency count + join back both key on the md5 — the shuffle
+    // carries (hash, idx, seg) rows bounded by segment size, and the
+    // reconstruction aggregate is per-doc
+    assert(p.contains("Exchange hashpartitioning(seg_hash"), p.take(800))
+  }
+
+  test("scrub is a pure scan-shaped projection: zero exchanges") {
+    val p = plan("txt_scrub")
+    assert(p.split("\n").count(_.contains("Exchange")) === 0, p.take(800))
+  }
+
+  test("shard stats window is shard-partitioned, never single-partition") {
+    val p = plan("txt_shard")
+    assert(p.contains("Exchange hashpartitioning(shard"), p.take(800))
+    assert(p.split("\n").count(_.contains("Exchange SinglePartition")) === 0,
+      p.take(800))
+  }
+
+  test("ngram stats top-k plans TakeOrderedAndProject, not a global sort") {
+    val p = plan("txt_ngram_stats")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  test("mix weights aggregate source mass before the 20-row normalization window") {
+    val p = plan("txt_mix_weights")
+    // the only corpus-sized stage is the per-source partial aggregate;
+    // the single-partition window downstream sees one row per source
+    assert(p.contains("Exchange hashpartitioning(source"), p.take(800))
   }
 
   test("whole-stage codegen covers the relational hot paths") {

@@ -172,4 +172,80 @@ class TextOpsSpec extends SparkSpec {
     assert(labels.size === n)
     assert(labels.values.toSet === Set(0L), s"not fully converged: $labels")
   }
+
+  private def docsDirSrc(rows: Seq[(String, String)]): String = {
+    val s = spark; import s.implicits._
+    val df = rows.zipWithIndex
+      .map { case ((t, src), i) => (i.toLong, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    tempTableDir("documents", df)
+  }
+
+  test("dedupSegments drops corpus-repeated segments and keeps segment order") {
+    val shared = (1 to 10).map(i => s"w$i").mkString(" ")
+    val uniq = (1 to 12).map(i => s"u$i").mkString(" ")
+    val dir = docsDir(Seq(s"$shared x y", s"$shared z", uniq))
+    val r = TextOps.dedupSegments(spark, dir).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    // docs 0 and 1 share their first 10-word segment → boilerplate
+    assert(r(0L).getAs[Long]("n_segs") === 2L)
+    assert(r(0L).getAs[Long]("n_segs_kept") === 1L)
+    assert(r(0L).getAs[String]("text_kept") === "x y")
+    assert(r(1L).getAs[String]("text_kept") === "z")
+    // doc 2 is unique end-to-end: reconstruction must equal the original
+    assert(r(2L).getAs[Long]("n_segs_kept") === 2L)
+    assert(r(2L).getAs[String]("text_kept") === uniq)
+  }
+
+  test("shard: content-deterministic assignment with exact balance stats") {
+    val dir = docsDir(Seq("alpha beta", "alpha beta", "gamma delta epsilon"))
+    val rows = TextOps.shard(spark, dir).collect()
+    val byDoc = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // identical content → identical shard, independent of doc_id
+    assert(byDoc(0L).getAs[Long]("shard") === byDoc(1L).getAs[Long]("shard"))
+    for (r <- rows) {
+      val sh = r.getAs[Long]("shard")
+      assert(sh >= 0L && sh < TextOps.NumShards.toLong)
+    }
+    val byShard = rows.groupBy(_.getAs[Long]("shard"))
+    for ((_, rs) <- byShard) {
+      assert(rs.head.getAs[Long]("shard_docs") === rs.length.toLong)
+      assert(rs.head.getAs[Long]("shard_tokens") ===
+        rs.map(_.getAs[Long]("n_tokens")).sum)
+    }
+  }
+
+  test("ngramStats: occurrence counts, document reach, stable tiebreak") {
+    val dir = docsDir(Seq("a b c a b c", "a b c d"))
+    val rows = TextOps.ngramStats(spark, dir).collect()
+    assert(rows.head.getAs[String]("ngram") === "a b c")
+    assert(rows.head.getAs[Long]("n_occurrences") === 3L)
+    assert(rows.head.getAs[Long]("n_docs") === 2L)
+    // equal-count tail must come out in ngram order (the tiebreak)
+    val ties = rows.tail.map(_.getAs[String]("ngram")).toSeq
+    assert(ties === ties.sorted)
+  }
+
+  test("scrub removes deny-listed tokens; fully-denied docs scrub to empty") {
+    val dir = docsDir(Seq("customer data vector pipeline", "customer vector"))
+    val r = TextOps.scrub(spark, dir).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(0L).getAs[String]("text_scrubbed") === "data pipeline")
+    assert(r(0L).getAs[Long]("n_removed") === 2L)
+    assert(r(1L).getAs[String]("text_scrubbed") === "")
+    assert(r(1L).getAs[Long]("n_removed") === 2L)
+  }
+
+  test("mixWeights: exact shares, sqrt temperature, weights normalize to 1") {
+    val dir = docsDirSrc(Seq(
+      (Seq.fill(9)("w").mkString(" "), "sA"),
+      (Seq.fill(16)("w").mkString(" "), "sB")))
+    val rows = TextOps.mixWeights(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(rows("sA").getAs[Long]("n_tokens") === 9L)
+    assert(rows("sA").getAs[Double]("share") === 9.0 / 25)
+    // sqrt temperature: weights ∝ (0.6, 0.8) → sA gets 0.6/1.4 of the mix
+    assert(math.abs(rows("sA").getAs[Double]("mix_weight") - 0.6 / 1.4) < 1e-9)
+    assert(math.abs(rows.values.map(_.getAs[Double]("mix_weight")).sum - 1.0) < 1e-9)
+  }
 }
