@@ -95,23 +95,43 @@ object Bench {
     // (the full dir path costs 24 more chars right at the 2000 limit).
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("\"" + sfDir + "\"")
-    def lineAt(dp: Int): String = {
-      val qs = results.toSeq.sortBy(_._1)
-        .map { case (k, v) => "\"" + k + "\":" + fmt(v, dp) }
+    def lineFor(entries: Seq[(String, Double)], omitted: Int, dp: Int): String = {
+      val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v, dp) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"sf":$sfNum}"""
+      val om = if (omitted > 0) s""","omitted":$omitted""" else ""
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs$om,"sf":$sfNum}"""
     }
+    val sorted = results.toSeq.sortBy(_._1)
     // 1992 = the 2000-char window minus the trailing newline and a small
     // margin; with showSuccess := false nothing prints after this line.
-    val line = Seq(2, 1).map(lineAt).find(_.length <= 1992).getOrElse(lineAt(0))
+    // If even 1-decimal precision can't fit the whole registry, print the
+    // full line anyway (log readers see it) and END with a compact line
+    // carrying the slowest queries — the final line must always be
+    // complete JSON inside the window.
+    val fit = Seq(2, 1).map(dp => lineFor(sorted, 0, dp)).find(_.length <= 1992)
     System.err.flush()
+    val line = fit.getOrElse {
+      println(lineFor(sorted, 0, 1))
+      // keep the LARGEST slowest-first subset that still fits — the
+      // omitted tail is the sub-second boilerplate, and the full map is
+      // in BENCH_FULL.json / stderr anyway
+      val bySlow = results.toSeq.sortBy { case (k, v) => (-v, k) }
+      val n = (1 to bySlow.size).takeWhile { m =>
+        lineFor(bySlow.take(m).sortBy(_._1), results.size - m, 1).length <= 1992
+      }.lastOption.getOrElse(0)
+      lineFor(bySlow.take(n).sortBy(_._1), results.size - n, 1)
+    }
     println(line)
-    // Also to a file, at full precision: the driver failed to parse round
-    // 1's stdout (the metric line drowned in sbt [info] noise).
-    val full = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    Files.writeString(Paths.get("/tmp/bench.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"sf":"$sfDir"}""")
+    // Full precision to files: /tmp for this run's tooling, and into the
+    // repo so each round's complete per-query numbers are versioned even
+    // when the stdout line had to drop precision or entries.
+    val full = sorted.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"sf":"$sfDir"}"""
+    Files.writeString(Paths.get("/tmp/bench.json"), fullJson)
+    try Files.writeString(Paths.get("/root/repo/BENCH_FULL.json"), fullJson + "\n")
+    catch { case _: Throwable => () }
     graft.operators.TextOps.release(spark)
     spark.stop()
   }

@@ -202,6 +202,88 @@ object OracleVectors {
        |  CAST(centroid_sum AS DOUBLE) / $scale / n AS mean
        |FROM cent""".stripMargin
 
+  /** Mirror of VectorOps.knnSq8: per-dim (min, max) codebook, int8
+    * codes via the same all-double floor expression (DuckDB floor
+    * returns DOUBLE where Spark returns BIGINT — the explicit CAST
+    * aligns them), integer-dot approximate ranking, exact cosine
+    * re-rank of the Sq8ReRank·K shortlist.
+    */
+  val knnSq8: String = {
+    val rr = VectorOps.Sq8ReRank * k
+    s"""WITH $baseCte,
+       |st AS (
+       |  SELECT u.pos AS pos,
+       |    min(CAST(embedding[CAST(u.pos + 1 AS INT)] AS DOUBLE)) AS dmin,
+       |    max(CAST(embedding[CAST(u.pos + 1 AS INT)] AS DOUBLE)) AS dmax
+       |  FROM embeddings
+       |  CROSS JOIN (SELECT unnest(range($dim)) AS pos) u
+       |  GROUP BY u.pos
+       |),
+       |sa AS (
+       |  SELECT list(dmin ORDER BY pos) AS mins, list(dmax ORDER BY pos) AS maxs
+       |  FROM st
+       |),
+       |coded AS (
+       |  SELECT b.vec_id, b.embedding, b.nrm,
+       |    list_transform(range(1, ${dim + 1}), i ->
+       |      CASE WHEN s.maxs[CAST(i AS INT)] > s.mins[CAST(i AS INT)]
+       |        THEN CAST(least(floor(((CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)
+       |          - s.mins[CAST(i AS INT)])
+       |          / (s.maxs[CAST(i AS INT)] - s.mins[CAST(i AS INT)])) * 256.0),
+       |          255.0) AS BIGINT)
+       |        ELSE 0 END) AS code
+       |  FROM base b, sa s
+       |),
+       |dec AS (
+       |  SELECT c.vec_id, c.embedding, c.nrm,
+       |    list_transform(range(1, ${dim + 1}), i ->
+       |      s.mins[CAST(i AS INT)] + ((CAST(c.code[CAST(i AS INT)] AS DOUBLE) + 0.5)
+       |        * (s.maxs[CAST(i AS INT)] - s.mins[CAST(i AS INT)])) / 256.0) AS deq
+       |  FROM coded c, sa s
+       |),
+       |dn AS (
+       |  SELECT vec_id, embedding, nrm, deq,
+       |    ${dot("deq", "deq")} AS dnrm
+       |  FROM dec
+       |),
+       |qc AS (
+       |  SELECT vec_id AS query_id, embedding AS qv, nrm AS qnrm
+       |  FROM base WHERE vec_id % $qm = 0
+       |),
+       |approx AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |    c.embedding, c.nrm, q.qv, q.qnrm,
+       |    ${dot("c.deq", "q.qv")} / (sqrt(c.dnrm) * sqrt(q.qnrm)) AS asim
+       |  FROM dn c, qc q WHERE c.vec_id <> q.query_id
+       |),
+       |short AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY asim DESC, neighbor_id ASC) AS arank
+       |  FROM approx
+       |),
+       |sims AS (
+       |  SELECT query_id, neighbor_id,
+       |    ${dot("embedding", "qv")} / (sqrt(nrm) * sqrt(qnrm)) AS sim
+       |  FROM short WHERE arank <= $rr
+       |),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS "rank"
+       |  FROM sims
+       |)
+       |SELECT query_id, neighbor_id, "rank", sim FROM ranked WHERE "rank" <= $k""".stripMargin
+  }
+
+  /** Recall@K of SQ8 vs exact, composing the two query oracles. */
+  val sq8Recall: String =
+    s"""SELECT e.query_id,
+       |  CAST(count(l."rank") AS DOUBLE) / $k AS recall_at_k,
+       |  count(*) AS n_exact
+       |FROM ($knnExact) e
+       |LEFT JOIN ($knnSq8) l
+       |  ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
+       |GROUP BY e.query_id""".stripMargin
+
   /** Recall@K of LSH vs exact, composing the two query oracles. */
   def lshRecall(numPlanes: Int = VectorOps.NumPlanes,
       bandBits: Int = VectorOps.BandBits, probeBits: Int = 0): String =

@@ -451,6 +451,110 @@ object VectorOps {
     * assigned to an unprobed bucket is missed — [[knnExact]] is the
     * recall baseline.
     */
+  /** Exact-re-rank shortlist size (× K) for [[knnSq8]]. */
+  val Sq8ReRank = 4
+
+  /** Per-dimension scalar-quantization stats (min, max) as one
+    * broadcastable row of two dim-length arrays. Memoized: the stats
+    * row is the SQ codebook — train once per session, the analog of
+    * persisting it next to the index at scale.
+    */
+  private def sq8Stats(spark: SparkSession, dir: String): DataFrame =
+    TextOps.memoized(spark, dir, "sq8_stats") {
+      Tables.embeddings(spark, dir)
+        .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("pos"))
+        .agg(min(col("v").cast("double")).as("dmin"),
+          max(col("v").cast("double")).as("dmax"))
+        .groupBy()
+        .agg(
+          expr("transform(array_sort(collect_list(struct(pos, dmin))), t -> t.dmin)")
+            .as("mins"),
+          expr("transform(array_sort(collect_list(struct(pos, dmax))), t -> t.dmax)")
+            .as("maxs"))
+    }
+
+  /** int8 codes: `floor((x - min_d) / (max_d - min_d) · 256)` clamped
+    * to 255 (monotone per dimension, all-double IEEE ops — bit-equal
+    * across engines; a constant dimension codes to 0).
+    */
+  private def sq8CodeExpr(src: String): String =
+    s"""transform($src, (x, i) ->
+       |  CASE WHEN element_at(maxs, i + 1) > element_at(mins, i + 1)
+       |    THEN least(floor(((CAST(x AS DOUBLE) - element_at(mins, i + 1))
+       |      / (element_at(maxs, i + 1) - element_at(mins, i + 1))) * 256.0), 255L)
+       |    ELSE 0L END)""".stripMargin
+
+  /** Midpoint dequantization of a code cell: `min_d + (c + 0.5) ·
+    * (max_d - min_d) / 256`. The expression SHAPE (parenthesization)
+    * is shared verbatim with the oracle — every op is one IEEE double
+    * op, so the decode is bit-equal across engines.
+    */
+  private def sq8DeqExpr: String =
+    s"""transform(code, (c, i) ->
+       |  element_at(mins, i + 1) + ((CAST(c AS DOUBLE) + 0.5)
+       |    * (element_at(maxs, i + 1) - element_at(mins, i + 1))) / 256.0)""".stripMargin
+
+  /** Corpus with SQ8 codes, dequantized vectors and their norms
+    * attached (memoized — the compressed index). At scale only `code`
+    * is STORED (64 bytes/vector, ¼ of the floats); `deq`/`dnrm` are
+    * register-resident decode work inside the scan, carried as columns
+    * here because the in-session memo stands in for that scan.
+    */
+  private def sq8Codes(spark: SparkSession, dir: String): DataFrame =
+    TextOps.memoized(spark, dir, "sq8_codes") {
+      withNorm(spark, dir)
+        .crossJoin(broadcast(sq8Stats(spark, dir)))
+        .withColumn("code", expr(sq8CodeExpr("embedding")))
+        .withColumn("deq", expr(sq8DeqExpr))
+        .withColumn("dnrm", expr(dot("deq", "deq")))
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          col("code"), col("deq"), col("dnrm"))
+    }
+
+  /** ANN via int8 scalar quantization — the memory-compression scale
+    * path: vectors are stored as 64 one-byte codes (¼ the bytes of the
+    * float vectors; at scale the brute-force scan is memory-bandwidth-
+    * bound, so compression IS the speedup). The approximate pass scores
+    * the FLOAT query against each dequantized corpus vector (FAISS-
+    * style asymmetric distance — the query loses no precision), keeps
+    * the top [[Sq8ReRank]]·K per query, and re-ranks only that
+    * shortlist with exact cosine. Same broadcast-queries /
+    * corpus-never-shuffles shape as [[knnExact]]; approximate by
+    * construction ([[sq8Recall]] is the evaluation loop).
+    */
+  def knnSq8(spark: SparkSession, dir: String): DataFrame = {
+    val coded = sq8Codes(spark, dir)
+    val q = coded.where(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("qv"), col("nrm").as("qnrm"))
+    val approx = coded
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("deq"), col("dnrm"))
+      .crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("embedding"), col("nrm"), col("qv"), col("qnrm"),
+        (expr(dot("deq", "qv")) / (sqrt(col("dnrm")) * sqrt(col("qnrm"))))
+          .as("asim"))
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("asim").desc, col("neighbor_id").asc)
+    val shortlist = approx
+      .withColumn("arank", row_number().over(ws))
+      .where(col("arank") <= Sq8ReRank * K)
+    topK(shortlist.select(col("query_id"), col("neighbor_id"), cosine))
+  }
+
+  /** Recall@K of the SQ8 index against the exact baseline. */
+  def sq8Recall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = knnExact(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val approx = knnSq8(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg((count(col("hit")).cast("double") / K).as("recall_at_k"),
+        count(lit(1)).as("n_exact"))
+  }
+
   def knnIvf(spark: SparkSession, dir: String, nlist: Int = NList): DataFrame = {
     val assignments = ivfAssign(spark, dir, nlist)
       .select(col("vec_id").as("neighbor_id"), col("assigned_label"))

@@ -170,6 +170,11 @@ class GoldenSpec extends SparkSpec {
     "txt_split" -> ((139655551458257719L, 500L)),
     "txt_tfidf" -> ((6984402387703968371L, 1500L)),
     "txt_tokens" -> ((2856647791074966750L, 500L)),
+    // equal to emb_knn_exact's fingerprint: at sf0.001 the SQ8 shortlist
+    // contains every true neighbor (recall 1.0) and the re-rank emits the
+    // EXACT cosine — differential evidence the re-rank is lossless here
+    "emb_knn_sq8" -> ((5382587561670919428L, 50L)),
+    "emb_sq8_recall" -> ((-2902600940018305873L, 5L)),
     "dedup_segments" -> ((6959384115369163835L, 500L)),
     "txt_shard" -> ((-8873823532220827648L, 500L)),
     "txt_ngram_stats" -> ((5743175026788788734L, 20L)),

@@ -195,6 +195,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(800))
   }
 
+  test("SQ8 scan broadcasts queries and stats; the corpus never shuffles pre-window") {
+    val p = plan("emb_knn_sq8")
+    // two broadcasts (codebook stats row + query set) against one corpus
+    // scan; the only hash exchange is the per-query shortlist window
+    assert(p.split("\n").count(_.contains("BroadcastNestedLoopJoin")) >= 1, p.take(800))
+    assert(p.split("\n").count(_.contains("SortMergeJoin")) === 0, p.take(800))
+  }
+
   test("mix weights aggregate source mass before the 20-row normalization window") {
     val p = plan("txt_mix_weights")
     // the only corpus-sized stage is the per-source partial aggregate;

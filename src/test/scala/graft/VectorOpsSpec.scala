@@ -141,4 +141,32 @@ class VectorOpsSpec extends SparkSpec {
     // cross-cluster orthogonal pairs (sim ≈ 0) never appear
     assert(!out.exists { case (a, b, _) => a < 100L && b >= 100L })
   }
+
+  test("knnSq8 recovers the exact ranking on separated clusters") {
+    val dir = embDir(fixture)
+    val exact = VectorOps.knnExact(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap
+    val sq8 = VectorOps.knnSq8(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap
+    // 8-bit midpoint decode keeps this fixture's cosine gaps (≥ ~0.01
+    // in sim) far above the quantization error — full ranking agreement
+    assert(sq8 === exact)
+    // and the re-ranked sims are the EXACT cosine, not the approximate
+    // one: rank-1 of query 0 is its near-identical neighbor
+    val sims = VectorOps.knnSq8(spark, dir).collect()
+      .filter(r => r.getLong(0) == 0L && r.getLong(2) == 1L)
+    assert(sims.head.getLong(1) === 1L)
+    assert(sims.head.getDouble(3) > 0.99)
+  }
+
+  test("sq8Recall recovers every exact neighbor on separated clusters") {
+    val rows = VectorOps.sq8Recall(spark, embDir(fixture)).collect()
+    assert(rows.map(_.getLong(0)).sorted === Seq(0L, 100L))
+    rows.foreach { r =>
+      // recall is hits/K; the fixture has fewer than K true neighbors,
+      // so "perfect" means hits == n_exact
+      val hits = math.round(r.getDouble(1) * VectorOps.K)
+      assert(hits === r.getLong(2), s"query ${r.getLong(0)} missed neighbors")
+    }
+  }
 }
