@@ -304,4 +304,42 @@ object OracleRelational {
       |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase
       |FROM events
       |GROUP BY user_id""".stripMargin
+
+  /** Mirror of Relational.q38Funnel: same integer encode and ordered
+    * fold; `list_prepend(0, ...)` supplies the seed Spark's `aggregate`
+    * passes explicitly (DuckDB's list_reduce seeds with the head).
+    */
+  val q38: String =
+    """WITH f AS (
+      |  SELECT user_id,
+      |    epoch_us(ts) * 8 + CASE event_type
+      |      WHEN 'view' THEN 1 WHEN 'click' THEN 2 WHEN 'purchase' THEN 3
+      |      ELSE 0 END AS enc
+      |  FROM events
+      |  WHERE event_type IN ('view', 'click', 'purchase')
+      |)
+      |SELECT user_id,
+      |  CAST(list_reduce(list_prepend(0, list_sort(list(enc))), (acc, x) -> CASE
+      |    WHEN acc = 0 AND x % 8 = 1 THEN 1
+      |    WHEN acc = 1 AND x % 8 = 2 THEN 2
+      |    WHEN acc = 2 AND x % 8 = 3 THEN 3
+      |    ELSE acc END) AS BIGINT) AS funnel_stage,
+      |  count(*) AS n_funnel_events
+      |FROM f GROUP BY user_id""".stripMargin
+
+  /** Mirror of Relational.q39Retention: first-activity-day cohorts ×
+    * day offset, distinct users per cell (integer day math).
+    */
+  val q39: String =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day FROM events
+      |),
+      |coh AS (
+      |  SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id
+      |)
+      |SELECT c.cohort_day,
+      |  CAST(e.day - c.cohort_day AS BIGINT) AS day_offset,
+      |  count(DISTINCT e.user_id) AS n_users
+      |FROM ev e JOIN coh c USING (user_id)
+      |GROUP BY c.cohort_day, day_offset""".stripMargin
 }

@@ -518,4 +518,48 @@ object Relational {
       first(col("event_id")).over(wf).as("first_event"),
       last(col("event_id")).over(wf).as("last_event"))
   }
+
+  /** Ordered funnel analysis (view → click → purchase): per user, the
+    * deepest funnel stage reached respecting event ORDER — a purchase
+    * before any view does not count. One shuffle on user_id; each
+    * user's events collapse into a sorted array of (µs·8 + stage-code)
+    * BIGINTs folded left by a tiny state machine — per-user state is
+    * one int, so the aggregate buffer never grows with history, and
+    * the encode keeps sorting + decoding in pure integer math that is
+    * bit-identical in the DuckDB oracle (which seeds the same fold by
+    * prepending the 0 sentinel, since `list_reduce` has no seed).
+    */
+  def q38Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val enc = expr(
+      """unix_micros(ts) * 8 + CASE event_type
+        |  WHEN 'view' THEN 1 WHEN 'click' THEN 2 WHEN 'purchase' THEN 3
+        |  ELSE 0 END""".stripMargin)
+    Tables.events(spark, dir)
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), enc.as("enc"))
+      .groupBy(col("user_id"))
+      .agg(
+        expr("""aggregate(sort_array(collect_list(enc)), 0, (acc, x) -> CASE
+          WHEN acc = 0 AND x % 8 = 1 THEN 1
+          WHEN acc = 1 AND x % 8 = 2 THEN 2
+          WHEN acc = 2 AND x % 8 = 3 THEN 3
+          ELSE acc END)""").cast("long").as("funnel_stage"),
+        count(lit(1)).as("n_funnel_events"))
+  }
+
+  /** Cohort retention: users grouped by first-activity day, activity
+    * counted as distinct users per (cohort, day-offset) — the
+    * engagement matrix behind every retention curve. Two partial-agg
+    * shuffles (per-user min, then per-cell distinct); all date
+    * arithmetic is integer day math, exact across engines.
+    */
+  def q39Retention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    ev.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
 }

@@ -142,6 +142,8 @@ class GoldenSpec extends SparkSpec {
     "q34_salted_wordcount" -> ((33543934719750684L, 31L)),
     "q36_rolling_window" -> ((7846942651190858789L, 1000L)),
     "q37_lead_lag" -> ((6441617812062503888L, 1000L)),
+    "q38_funnel" -> ((4347631816889850551L, 15L)),
+    "q39_retention" -> ((5152805258714159766L, 30L)),
     "q3_join_agg" -> ((-1598205762220481776L, 484L)),
     "q4_semi_join" -> ((-180197618422234261L, 5L)),
     "q5_anti_join" -> ((-3084378880011624709L, 1L)),

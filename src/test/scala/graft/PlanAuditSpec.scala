@@ -203,6 +203,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.split("\n").count(_.contains("SortMergeJoin")) === 0, p.take(800))
   }
 
+  test("funnel folds per-user state in one shuffle; retention never goes single-partition") {
+    val f = plan("q38_funnel")
+    assert(f.split("\n").count(_.contains("Exchange hashpartitioning(user_id")) === 1,
+      f.take(800))
+    assert(f.split("\n").count(_.contains("Exchange SinglePartition")) === 0)
+    val r = plan("q39_retention")
+    assert(r.split("\n").count(_.contains("Exchange SinglePartition")) === 0,
+      r.take(800))
+  }
+
   test("mix weights aggregate source mass before the 20-row normalization window") {
     val p = plan("txt_mix_weights")
     // the only corpus-sized stage is the per-source partial aggregate;

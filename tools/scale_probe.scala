@@ -106,6 +106,57 @@ for (n <- Seq(4000, 16000, 64000); bits <- Seq(8, 16)) {
   println(f"  N=$n%6d bandBits=$bits%2d -> $cand%12d candidates (${cand.toDouble / n}%10.1f per vector, $secs%6.2f s)")
 }
 
+println("== segment-dedup shape (explode + md5 + count agg + hash join + per-doc rebuild) ==")
+// Shape claim: every stage keys on the 128-bit segment hash or doc_id,
+// so growth tracks the scan. K-fold input duplicates every doc, which
+// flips all segments to boilerplate — semantics are k-degenerate here;
+// only the wall-clock shape is under test.
+for (k <- Seq(1, 8, 16)) {
+  val docs = multi("documents", k)
+  val s = timed {
+    val base = docs
+      .select(col("doc_id"), explode(array(split(col("text"), " "))).as("words"))
+      .select(col("doc_id"), posexplode(
+        expr("""transform(sequence(0, CAST((size(words) - 1) DIV 10 AS INT)),
+                 i -> concat_ws(' ', slice(words, i * 10 + 1, 10)))"""))
+        .as(Seq("seg_idx", "seg")))
+      .withColumn("seg_hash", md5(col("seg")))
+    val freq = base.groupBy(col("seg_hash")).agg(count(lit(1)).as("seg_freq"))
+    base.join(freq, Seq("seg_hash"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)), sum(when(col("seg_freq") < 2, 1L).otherwise(0L)))
+      .agg(count(lit(1))).head()
+  }
+  println(f"  k=$k%2d: $s%6.2f s")
+}
+
+println("== SQ8 asymmetric search vs exact at growing synthetic corpus (re-rank fixed at 4K/query) ==")
+// Quality-at-scale claim: midpoint decode keeps the approximate ranking
+// aligned with exact cosine as N grows, so the fixed-size shortlist
+// keeps recall high while approximate-pass cost grows linearly (and at
+// real scale reads 1/4 the bytes). Recall here = |exact top-10 found|/10
+// averaged over the query set.
+for (n <- Seq(16000, 48000)) {
+  val tmp = s"/tmp/probe_sq8_$n"
+  spark.range(n.toLong).select(col("id").as("vec_id"),
+    expr("transform(sequence(0, 63), d -> CAST(CAST(hash(id, d) % 1000 AS DOUBLE) / 1000.0 AS FLOAT))")
+      .as("embedding"), lit(0).as("label"))
+    .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+  val tE0 = System.nanoTime()
+  val exact = graft.operators.VectorOps.knnExact(spark, tmp)
+    .select(col("query_id"), col("neighbor_id")).collect()
+  val tE = (System.nanoTime() - tE0) / 1e9
+  val tS0 = System.nanoTime()
+  val sq8 = graft.operators.VectorOps.knnSq8(spark, tmp)
+    .select(col("query_id"), col("neighbor_id")).collect()
+  val tS = (System.nanoTime() - tS0) / 1e9
+  val exactSet = exact.map(r => (r.getLong(0), r.getLong(1))).toSet
+  val hits = sq8.count(r => exactSet((r.getLong(0), r.getLong(1))))
+  val recall = hits.toDouble / exactSet.size
+  println(f"  N=$n%6d (|Q|=${n / 100}%4d): exact $tE%6.2f s, sq8 $tS%6.2f s, recall@10 $recall%.3f")
+  graft.operators.TextOps.release(spark)
+}
+
 println("== minhash signature shape (explode + digest + partial-min agg; shuffle = |docs| x 9 longs) ==")
 for (k <- Seq(1, 8, 16)) {
   val docs = multi("documents", k)
