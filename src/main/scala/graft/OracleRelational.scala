@@ -342,4 +342,39 @@ object OracleRelational {
       |  count(DISTINCT e.user_id) AS n_users
       |FROM ev e JOIN coh c USING (user_id)
       |GROUP BY c.cohort_day, day_offset""".stripMargin
+
+  /** Mirror of Relational.q40GroupingSets: the two single-column sets,
+    * gid encoded exactly like Spark's grouping_id() over
+    * (l_returnflag, l_linestatus).
+    */
+  val q40: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin
+
+  /** Mirror of Relational.q41ExistsSubquery (same correlated predicates). */
+  val q41: String =
+    """SELECT p_partkey, p_brand, p_type
+      |FROM part p
+      |WHERE EXISTS (
+      |    SELECT 1 FROM lineitem l
+      |    WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 49)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM lineitem l
+      |    WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 49
+      |      AND l.l_returnflag = 'R')""".stripMargin
+
+  /** Mirror of Relational.q42RankFamily: one fully-ordered window, so
+    * ranks have no peer groups and the double ratios are bit-equal.
+    */
+  val q42: String =
+    """SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |  ntile(4) OVER w AS quartile,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cume
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |             ORDER BY o_totalprice DESC, o_orderkey ASC)""".stripMargin
 }

@@ -562,4 +562,55 @@ object Relational {
         datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
+
+  /** Explicit GROUPING SETS — the two single-column sets, which neither
+    * ROLLUP (q13) nor CUBE (q14) can express on their own. One
+    * aggregation pass over an Expand of the input (2 grouping branches),
+    * partial-aggregated map-side like any groupBy.
+    */
+  def q40GroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        grouping_id().as("gid"))
+
+  /** Correlated EXISTS / NOT EXISTS subqueries, written as SQL so
+    * Catalyst's RewritePredicateSubquery does the decorrelation: parts
+    * with at least one max-quantity line but none of them returned.
+    * Physical plan is a semi join plus an anti join against the same
+    * pushed-down lineitem scan — the big side never builds a hash table.
+    */
+  def q41ExistsSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.part(spark, dir).createOrReplaceTempView("graft_q41_part")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_q41_lineitem")
+    spark.sql(
+      """SELECT p_partkey, p_brand, p_type
+        |FROM graft_q41_part p
+        |WHERE EXISTS (
+        |    SELECT 1 FROM graft_q41_lineitem l
+        |    WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 49)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM graft_q41_lineitem l
+        |    WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 49
+        |      AND l.l_returnflag = 'R')""".stripMargin)
+  }
+
+  /** Rank-function family over one window: ntile quartiles, percent_rank
+    * and cume_dist per order priority. The window's total order includes
+    * the key (o_orderkey) so ranks are deterministic under any
+    * partitioning; percent_rank/cume_dist are small-integer ratios
+    * evaluated in double — bit-equal across engines.
+    */
+  def q42RankFamily(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+  }
 }

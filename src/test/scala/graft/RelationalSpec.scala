@@ -136,4 +136,57 @@ class RelationalSpec extends SparkSpec {
       .select(countDistinct(col("user_id"))).head().getLong(0)
     assert(day0 === totalUsers)
   }
+
+  test("q40 grouping sets: exactly the two single-column sets, partitioned totals") {
+    val li = graft.sources.Tables.lineitem(spark, sfDir)
+    val out = Relational.q40GroupingSets(spark, sfDir).collect()
+    // gid 1 = group by returnflag (linestatus grouped away), gid 2 = the reverse
+    assert(out.map(_.getAs[Long]("gid")).toSet === Set(1L, 2L))
+    val byFlag = out.filter(_.getAs[Long]("gid") == 1L)
+    val byStatus = out.filter(_.getAs[Long]("gid") == 2L)
+    assert(byFlag.forall(r => r.getAs[String]("l_linestatus") == null))
+    assert(byStatus.forall(r => r.getAs[String]("l_returnflag") == null))
+    assert(byFlag.length === li.select("l_returnflag").distinct().count())
+    assert(byStatus.length === li.select("l_linestatus").distinct().count())
+    // each set partitions the input, so each set's counts sum to the total
+    val total = li.count()
+    assert(byFlag.map(_.getAs[Long]("n")).sum === total)
+    assert(byStatus.map(_.getAs[Long]("n")).sum === total)
+  }
+
+  test("q41 exists subquery: decorrelated to semi+anti joins, semantics hold") {
+    val df = Relational.q41ExistsSubquery(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"expected a semi join in:\n$plan")
+    assert(plan.contains("LeftAnti"), s"expected an anti join in:\n$plan")
+    val got = df.select("p_partkey").collect().map(_.getLong(0)).toSet
+    val li = graft.sources.Tables.lineitem(spark, sfDir)
+      .where(col("l_quantity") >= 49)
+    val haveHigh = li.select("l_partkey").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val haveHighReturned = li.where(col("l_returnflag") === "R")
+      .select("l_partkey").distinct().collect().map(_.getLong(0)).toSet
+    assert(got === (haveHigh -- haveHighReturned))
+  }
+
+  test("q42 rank family: quartiles balanced, ratios bounded, row count preserved") {
+    val out = Relational.q42RankFamily(spark, sfDir)
+    val orders = graft.sources.Tables.orders(spark, sfDir)
+    assert(out.count() === orders.count())
+    val rows = out.collect()
+    assert(rows.forall(r => (1L to 4L).contains(r.getAs[Long]("quartile"))))
+    assert(rows.forall { r =>
+      val p = r.getAs[Double]("pct_rank"); p >= 0.0 && p <= 1.0
+    })
+    assert(rows.forall { r =>
+      val c = r.getAs[Double]("cume"); c > 0.0 && c <= 1.0
+    })
+    // ntile balance: within each priority, bucket sizes differ by at most 1
+    rows.groupBy(_.getAs[String]("o_orderpriority")).foreach { case (_, rs) =>
+      val sizes = rs.groupBy(_.getAs[Long]("quartile")).values.map(_.length)
+      assert(sizes.max - sizes.min <= 1)
+      // the full order makes every row its own peer group: max cume is 1.0
+      assert(rs.map(_.getAs[Double]("cume")).max === 1.0)
+    }
+  }
 }
