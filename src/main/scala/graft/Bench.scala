@@ -45,10 +45,13 @@ object Bench {
     // memoized artifacts (near-dup edge set, IVF codebook via the
     // centroid build) — same build-once-per-session policy as the text
     // family's dedup_minhash/dedup_clusters warmups
+    // emb_knn_pq materializes the PQ family's memoized artifacts
+    // (pq_codebook, pq_codes) — build-once-per-session like the IVF
+    // codebook above
     for (w <- Seq("q1_pricing_summary", "q18_string_funcs", "q23_star_join",
         "svc_collapse", "txt_tokens", "txt_simhash", "dedup_simhash",
         "emb_centroids", "dedup_minhash", "dedup_clusters",
-        "emb_dedup_clusters", "emb_knn_ivf"))
+        "emb_dedup_clusters", "emb_knn_ivf", "emb_knn_pq"))
       try drive(w) catch { case _: Throwable => () }
     // Per-query instrumentation to stderr as the run progresses:
     // wall seconds plus the session's cumulative GC time delta, so a

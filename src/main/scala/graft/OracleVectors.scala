@@ -355,4 +355,145 @@ object OracleVectors {
        |  FROM sims
        |)
        |SELECT query_id, neighbor_id, "rank", sim FROM ranked WHERE "rank" <= $k""".stripMargin
+
+  // --- Product quantization mirrors -------------------------------------
+
+  private val psd = VectorOps.PqSubDim
+
+  /** In-order dot fold over the PQ subspace width (1-based). */
+  private def dotSub(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, ${psd + 1}),
+       |  i -> CAST($a[CAST(i AS INT)] AS DOUBLE) * CAST($b[CAST(i AS INT)] AS DOUBLE)),
+       |  (acc, v) -> acc + v)""".stripMargin
+
+  /** Training cell of subspace m over a `sub` column — the same
+    * plane-literal sign code as VectorOps.pqTrainCellExpr.
+    */
+  private def pqCellSql(m: Int): String =
+    (0 until VectorOps.PqBits).map { j =>
+      val w = (0 until psd).map(VectorOps.pqPlaneWeight(m, j, _))
+        .mkString("[", ",", "]")
+      s"""(CASE WHEN list_reduce(list_transform(range(1, ${psd + 1}),
+         |  i -> $w[CAST(i AS INT)] * CAST(sub[CAST(i AS INT)] AS DOUBLE)),
+         |  (acc, v) -> acc + v) > 0 THEN ${1 << j} ELSE 0 END)""".stripMargin
+    }.mkString(" + ")
+
+  /** Mirror of VectorOps.pqSubs/pqCodebook/pqCodes: subvector explode
+    * (one UNION ALL arm per subspace), decimal-exact cell means, dense
+    * slot ids, argmin-L2 encoding, in-m-order reconstruction norms.
+    */
+  private val pqCtes: String = {
+    val arms = (0 until VectorOps.PqM).map { m =>
+      s"""SELECT vec_id, m, (${pqCellSql(m)}) AS cell, sub
+         |FROM (SELECT vec_id, CAST($m AS BIGINT) AS m,
+         |      embedding[${m * psd + 1}:${(m + 1) * psd}] AS sub FROM base)"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""subs AS (
+       |$arms
+       |),
+       |cent AS (
+       |  SELECT m, cell, p.pos AS pos,
+       |    sum(CAST(CASE WHEN abs(CAST(sub[CAST(p.pos + 1 AS INT)] AS DOUBLE)) < $flush
+       |             THEN 0.0
+       |             ELSE CAST(sub[CAST(p.pos + 1 AS INT)] AS DOUBLE)
+       |             END * $scale AS DECIMAL(38,0))) AS csum,
+       |    count(*) AS n
+       |  FROM subs
+       |  CROSS JOIN (SELECT unnest(range($psd)) AS pos) p
+       |  GROUP BY m, cell, p.pos
+       |),
+       |cb AS (
+       |  SELECT m, cell,
+       |    list(CAST(csum AS DOUBLE) / $scale / n ORDER BY pos) AS centroid
+       |  FROM cent GROUP BY m, cell
+       |),
+       |cbn AS (
+       |  SELECT m, cell, centroid, ${dotSub("centroid", "centroid")} AS cnrm,
+       |    CAST(row_number() OVER (ORDER BY m, cell) - 1 AS BIGINT) AS slot
+       |  FROM cb
+       |),
+       |enc AS (
+       |  SELECT s.vec_id, s.m, c.cell, c.slot, c.cnrm,
+       |    list_reduce(list_transform(range(1, ${psd + 1}), i ->
+       |      (CAST(s.sub[CAST(i AS INT)] AS DOUBLE) - c.centroid[CAST(i AS INT)])
+       |      * (CAST(s.sub[CAST(i AS INT)] AS DOUBLE) - c.centroid[CAST(i AS INT)])),
+       |      (acc, v) -> acc + v) AS d2
+       |  FROM subs s JOIN cbn c ON s.m = c.m
+       |),
+       |best AS (
+       |  SELECT vec_id, m, slot, cnrm, row_number() OVER (
+       |    PARTITION BY vec_id, m ORDER BY d2 ASC, cell ASC) AS rn
+       |  FROM enc
+       |),
+       |pqcodes AS (
+       |  SELECT vec_id,
+       |    list(slot ORDER BY m) AS codes,
+       |    list_reduce(list(cnrm ORDER BY m), (acc, v) -> acc + v) AS rnrm
+       |  FROM best WHERE rn = 1 GROUP BY vec_id
+       |)""".stripMargin
+  }
+
+  /** Mirror of VectorOps.knnPq: per-query slot-indexed LUT of
+    * subvector·centroid dots, ADC fold over the 8 codes, exact cosine
+    * re-rank of the PqReRank·K shortlist.
+    */
+  val knnPq: String = {
+    val rr = VectorOps.PqReRank * k
+    s"""WITH $baseCte, $pqCtes,
+       |qset AS (
+       |  SELECT vec_id AS query_id, embedding AS qv, nrm AS qnrm
+       |  FROM base WHERE vec_id % $qm = 0
+       |),
+       |qd AS (
+       |  SELECT q.query_id, c.slot,
+       |    list_reduce(list_transform(range(1, ${psd + 1}), i ->
+       |      CAST(q.qv[CAST(c.m * $psd + i AS INT)] AS DOUBLE)
+       |      * CAST(c.centroid[CAST(i AS INT)] AS DOUBLE)),
+       |      (acc, v) -> acc + v) AS qd
+       |  FROM qset q CROSS JOIN cbn c
+       |),
+       |qlut AS (
+       |  SELECT query_id, list(qd ORDER BY slot) AS lut FROM qd GROUP BY query_id
+       |),
+       |approx AS (
+       |  SELECT q.query_id, b.vec_id AS neighbor_id,
+       |    b.embedding, b.nrm, q.qv, q.qnrm,
+       |    list_reduce(list_transform(range(${VectorOps.PqM}), m ->
+       |      l.lut[CAST(ca.codes[CAST(m + 1 AS INT)] + 1 AS INT)]),
+       |      (acc, v) -> acc + v)
+       |      / (sqrt(ca.rnrm) * sqrt(q.qnrm)) AS asim
+       |  FROM pqcodes ca
+       |  JOIN base b ON b.vec_id = ca.vec_id
+       |  CROSS JOIN qlut l
+       |  JOIN qset q ON q.query_id = l.query_id
+       |  WHERE b.vec_id <> q.query_id
+       |),
+       |short AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY asim DESC, neighbor_id ASC) AS arank
+       |  FROM approx
+       |),
+       |sims AS (
+       |  SELECT query_id, neighbor_id,
+       |    ${dot("embedding", "qv")} / (sqrt(nrm) * sqrt(qnrm)) AS sim
+       |  FROM short WHERE arank <= $rr
+       |),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS "rank"
+       |  FROM sims
+       |)
+       |SELECT query_id, neighbor_id, "rank", sim FROM ranked WHERE "rank" <= $k""".stripMargin
+  }
+
+  /** Recall@K of PQ vs exact, composing the two query oracles. */
+  val pqRecall: String =
+    s"""SELECT e.query_id,
+       |  CAST(count(l."rank") AS DOUBLE) / $k AS recall_at_k,
+       |  count(*) AS n_exact
+       |FROM ($knnExact) e
+       |LEFT JOIN ($knnPq) l
+       |  ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
+       |GROUP BY e.query_id""".stripMargin
 }

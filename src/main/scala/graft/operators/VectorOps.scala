@@ -576,4 +576,180 @@ object VectorOps {
       .select(col("query_id"), col("neighbor_id"), cosine)
     topK(sims)
   }
+
+  // --- Product quantization (PQ) ---------------------------------------
+
+  /** PQ subspace count: the vector splits into [[PqM]] contiguous
+    * [[PqSubDim]]-dim subvectors, each coded independently. With
+    * [[PqBits]]-bit cells a vector compresses to PqM·PqBits bits
+    * (here 8 codes of 4 bits = 4 bytes — 1/64 of the float vector,
+    * vs SQ8's 1/4): PQ is the memory-compression end-game of the ANN
+    * family, and at scale the approximate scan is pure LUT lookups —
+    * no float math per candidate at all.
+    */
+  val PqM = 8
+  val PqSubDim: Int = Dim / PqM
+  /** Bits per PQ code → up to 2^PqBits codebook cells per subspace. */
+  val PqBits = 6
+  val PqCells: Int = 1 << PqBits
+  /** Exact-re-rank shortlist size (× K) for [[knnPq]]. */
+  val PqReRank = 8
+  /** Plane-index offset decorrelating PQ training planes from the
+    * sign-LSH planes (both derive from [[planeWeight]]'s LCG stream).
+    */
+  private val PqPlaneBase = 128
+
+  /** Training hyperplane weight j of subspace m, local dim d. */
+  def pqPlaneWeight(m: Int, j: Int, d: Int): Int =
+    planeWeight(PqPlaneBase + m * PqBits + j, d)
+
+  private def pqSubExpr(m: Int, src: String = "embedding"): String =
+    s"slice($src, ${m * PqSubDim + 1}, $PqSubDim)"
+
+  /** Training cell of subspace m: the [[PqBits]]-bit sign code of the
+    * subvector against this subspace's hyperplanes. K-means would need
+    * an iterative, order-sensitive refinement; a fixed random-hyperplane
+    * partition is the deterministic one-pass stand-in — cells still
+    * carve the subspace into locality buckets, which is all the codebook
+    * needs (cell means are trained from the data either way).
+    */
+  private def pqTrainCellExpr(m: Int, sub: String): String =
+    (0 until PqBits).map { j =>
+      val w = (0 until PqSubDim).map(pqPlaneWeight(m, j, _))
+        .mkString("array(", ",", ")")
+      s"""(CASE WHEN aggregate(zip_with($w, $sub, (w, x) -> w * CAST(x AS DOUBLE)),
+         |  CAST(0 AS DOUBLE), (acc, v) -> acc + v) > 0 THEN ${1 << j} ELSE 0 END)"""
+        .stripMargin
+    }.mkString(" + ")
+
+  /** One row per (vector, subspace): the subvector and its training
+    * cell. The per-m expressions carry their plane literals, so the
+    * whole explode is generated codegen'd projection — no UDF.
+    */
+  private def pqSubs(spark: SparkSession, dir: String): DataFrame = {
+    val arms = (0 until PqM).map { m =>
+      s"""struct(CAST($m AS BIGINT) AS m,
+         |  CAST(${pqTrainCellExpr(m, pqSubExpr(m))} AS BIGINT) AS cell,
+         |  ${pqSubExpr(m)} AS sub)""".stripMargin
+    }.mkString("array(", ",\n", ")")
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), explode(expr(arms)).as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.cell").as("cell"),
+        col("s.sub").as("sub"))
+  }
+
+  /** The trained PQ codebook: per (subspace, cell) the decimal-exact
+    * mean subvector (same Scale/Flush discipline as [[centroidsRaw]]),
+    * its squared norm, and a dense `slot` id (row_number over (m, cell)
+    * — cells with no training member simply don't exist, and the dense
+    * slots keep the query-side LUT indexable). ≤ PqM·PqCells rows, so
+    * the unpartitioned slot window is a non-issue; memoized and
+    * broadcast everywhere it's used — the in-session analog of writing
+    * the codebook artifact once.
+    */
+  private[graft] def pqCodebook(spark: SparkSession, dir: String): DataFrame =
+    TextOps.memoized(spark, dir, "pq_codebook") {
+      val sums = pqSubs(spark, dir)
+        .select(col("m"), col("cell"), posexplode(col("sub")).as(Seq("pos", "val")))
+        .groupBy(col("m"), col("cell"), col("pos"))
+        .agg(
+          sum(expr(s"""CAST(CASE WHEN abs(CAST(val AS DOUBLE)) < $Flush THEN 0.0
+                       ELSE CAST(val AS DOUBLE) END * $Scale AS DECIMAL(38,0))"""))
+            .as("csum"),
+          count(lit(1)).as("n"))
+        .withColumn("mean", col("csum").cast("double") / expr(Scale) / col("n"))
+      val w = Window.orderBy(col("m"), col("cell"))
+      sums.groupBy(col("m"), col("cell"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, mean))), t -> t.mean)")
+          .as("centroid"))
+        .select(col("m"), col("cell"), col("centroid"),
+          expr(dot("centroid", "centroid")).as("cnrm"))
+        .withColumn("slot", (row_number().over(w) - 1).cast("long"))
+    }
+
+  /** PQ-coded corpus: per vector the 8 slot codes (in subspace order)
+    * and the reconstruction's squared norm (in-order fold over m — the
+    * cross-engine-deterministic sum). Encoding is true argmin-L2 against
+    * the codebook (broadcast join + min-of-struct partial aggregation —
+    * one shuffle of (vec_id, m) rows, never a window). At scale `codes`
+    * and `rnrm` are STORED next to the vector (written once at ingest,
+    * ~6 bytes/vector), so [[knnPq]]'s approximate pass is a single
+    * code-column scan; the memoized frame and the vec_id join back to
+    * the float vectors stand in for that storage layout in-session.
+    */
+  private[graft] def pqCodes(spark: SparkSession, dir: String): DataFrame =
+    TextOps.memoized(spark, dir, "pq_codes") {
+      val l2 =
+        """aggregate(zip_with(sub, centroid, (x, y) ->
+          |  (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
+          |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
+      pqSubs(spark, dir)
+        .drop("cell") // the training cell is irrelevant at encode time
+        .join(broadcast(pqCodebook(spark, dir)), Seq("m"))
+        .select(col("vec_id"), col("m"),
+          struct(expr(l2).as("d2"), col("cell"), col("slot"), col("cnrm")).as("cand"))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min(col("cand")).as("best"))
+        .groupBy(col("vec_id"))
+        .agg(
+          expr("transform(array_sort(collect_list(struct(m, best.slot))), t -> t.slot)")
+            .as("codes"),
+          expr("""aggregate(transform(array_sort(collect_list(struct(m, best.cnrm))),
+            t -> t.cnrm), CAST(0 AS DOUBLE), (acc, v) -> acc + v)""").as("rnrm"))
+    }
+
+  /** ANN via product quantization: the approximate pass scores each
+    * corpus vector with PqM LUT lookups — `adc = Σ_m lut[codes[m]]`
+    * where `lut[slot] = <q_m, centroid_slot>` is computed ONCE per
+    * query against the ≤128-row codebook (FAISS's asymmetric distance
+    * computation). Candidates never touch float vectors until the exact
+    * re-rank of the [[PqReRank]]·K shortlist. Same broadcast-queries /
+    * corpus-never-shuffles shape as [[knnExact]]; [[pqRecall]] is the
+    * evaluation loop.
+    */
+  def knnPq(spark: SparkSession, dir: String): DataFrame = {
+    val base = withNorm(spark, dir)
+    val q = base.where(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qnrm"))
+    // per-(query, slot) subvector·centroid dot, assembled into one
+    // slot-indexed LUT array per query
+    val qd = q.crossJoin(broadcast(pqCodebook(spark, dir)))
+      .select(col("query_id"),
+        col("slot"),
+        expr(s"""aggregate(zip_with(
+            slice(qv, CAST(m * $PqSubDim + 1 AS INT), $PqSubDim), centroid,
+            (x, y) -> CAST(x AS DOUBLE) * y),
+          CAST(0 AS DOUBLE), (acc, v) -> acc + v)""").as("qd"))
+    val qlut = qd.groupBy(col("query_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(slot, qd))), t -> t.qd)")
+        .as("lut"))
+      .join(q, Seq("query_id"))
+    val adc = s"""aggregate(sequence(0, ${PqM - 1}), CAST(0 AS DOUBLE),
+      (acc, m) -> acc + element_at(lut, CAST(element_at(codes, m + 1) + 1 AS INT)))"""
+    val approx = pqCodes(spark, dir)
+      .join(base.select(col("vec_id"), col("embedding"), col("nrm")), Seq("vec_id"))
+      .crossJoin(broadcast(qlut))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("embedding"), col("nrm"), col("qv"), col("qnrm"),
+        (expr(adc) / (sqrt(col("rnrm")) * sqrt(col("qnrm")))).as("asim"))
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("asim").desc, col("neighbor_id").asc)
+    val shortlist = approx
+      .withColumn("arank", row_number().over(ws))
+      .where(col("arank") <= PqReRank * K)
+    topK(shortlist.select(col("query_id"), col("neighbor_id"), cosine))
+  }
+
+  /** Recall@K of the PQ index against the exact baseline. */
+  def pqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = knnExact(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val approx = knnPq(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg((count(col("hit")).cast("double") / K).as("recall_at_k"),
+        count(lit(1)).as("n_exact"))
+  }
 }

@@ -169,4 +169,40 @@ class VectorOpsSpec extends SparkSpec {
       assert(hits === r.getLong(2), s"query ${r.getLong(0)} missed neighbors")
     }
   }
+
+  test("knnPq recovers the exact neighbor set on separated clusters") {
+    val dir = embDir(fixture)
+    // cluster separation (orthogonal basis vectors) dwarfs PQ
+    // quantization error: the top-k SETS agree, and the re-ranked sims
+    // are the exact cosine (rank order within a cluster is exact too)
+    val exact = VectorOps.knnExact(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap
+    val pq = VectorOps.knnPq(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap
+    assert(pq === exact)
+    val rows = VectorOps.pqRecall(spark, dir).collect()
+    rows.foreach { r =>
+      val hits = math.round(r.getDouble(1) * VectorOps.K)
+      assert(hits === r.getLong(2), s"query ${r.getLong(0)} missed neighbors")
+    }
+  }
+
+  test("PQ codes are bounded by the live codebook and cover every vector") {
+    val dir = embDir(fixture)
+    // white-box on the index building blocks: the codebook's dense slot
+    // contract and the per-vector code arrays the ADC scan relies on
+    val cb = VectorOps.pqCodebook(spark, dir)
+    val nSlots = cb.count()
+    assert(nSlots > 0 && nSlots <= VectorOps.PqM.toLong * VectorOps.PqCells)
+    // slots are dense 0..n-1 in (m, cell) order
+    val slots = cb.select("slot").collect().map(_.getLong(0)).sorted
+    assert(slots === (0L until nSlots).toArray)
+    val codes = VectorOps.pqCodes(spark, dir)
+    assert(codes.count() === fixture.size.toLong)
+    codes.collect().foreach { r =>
+      val cs = r.getAs[scala.collection.Seq[Long]]("codes")
+      assert(cs.size === VectorOps.PqM)
+      assert(cs.forall(c => c >= 0 && c < nSlots))
+    }
+  }
 }
