@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.GraphOps
+
+/** DuckDB mirrors of [[graft.operators.GraphOps]].
+  *
+  * The PageRank iterations are UNROLLED (p1..p5 CTEs) — same device as
+  * OracleVectors.dedupEmbeddingClusters: the oracle must be one static
+  * SQL statement, and the round count is a small fixed constant shared
+  * with the Spark side. All mass arithmetic is BIGINT (integer grid,
+  * floor division on positive operands — DuckDB `//` and Spark `div`
+  * both truncate there), so sums are order-free and HUGEINT results
+  * are cast back to BIGINT.
+  */
+object OracleGraph {
+
+  private val edgesCte: String =
+    """edges AS (
+      |  SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+      |    CAST(s.s_nationkey AS BIGINT) AS dst, count(*) AS w
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  GROUP BY src, dst
+      |)""".stripMargin
+
+  val degreeCentrality: String =
+    s"""WITH $edgesCte,
+       |od AS (
+       |  SELECT src AS node, count(*) AS out_deg, CAST(sum(w) AS BIGINT) AS out_w
+       |  FROM edges GROUP BY src
+       |),
+       |id AS (
+       |  SELECT dst AS node, count(*) AS in_deg, CAST(sum(w) AS BIGINT) AS in_w
+       |  FROM edges GROUP BY dst
+       |)
+       |SELECT COALESCE(od.node, id.node) AS node,
+       |  COALESCE(out_deg, 0) AS out_deg, COALESCE(out_w, 0) AS out_w,
+       |  COALESCE(in_deg, 0) AS in_deg, COALESCE(in_w, 0) AS in_w
+       |FROM od FULL OUTER JOIN id ON od.node = id.node""".stripMargin
+
+  val pagerank: String = {
+    val base =
+      GraphOps.PrScale * (GraphOps.PrDampDen - GraphOps.PrDampNum) / GraphOps.PrDampDen
+    val rounds = (1 to GraphOps.PrRounds).map { i =>
+      val prev = s"p${i - 1}"
+      s"""p$i AS (
+         |  SELECT n.node,
+         |    $base + COALESCE(CAST(sum(
+         |      (p.pr * ${GraphOps.PrDampNum} * e.w)
+         |      // (${GraphOps.PrDampDen} * e.wout)) AS BIGINT), 0) AS pr
+         |  FROM nodes n
+         |  LEFT JOIN edges e ON e.dst = n.node
+         |  LEFT JOIN $prev p ON p.node = e.src
+         |  GROUP BY n.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ew AS (
+       |  SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+       |    CAST(s.s_nationkey AS BIGINT) AS dst, count(*) AS w
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  GROUP BY src, dst
+       |),
+       |wo AS (SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM ew GROUP BY src),
+       |edges AS (SELECT ew.src, ew.dst, ew.w, wo.wout FROM ew JOIN wo ON ew.src = wo.src),
+       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |p0 AS (SELECT node, CAST(${GraphOps.PrScale} AS BIGINT) AS pr FROM nodes),
+       |$rounds
+       |SELECT node, pr FROM p${GraphOps.PrRounds}""".stripMargin
+  }
+}

@@ -496,4 +496,67 @@ object OracleVectors {
        |LEFT JOIN ($knnPq) l
        |  ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
        |GROUP BY e.query_id""".stripMargin
+
+  // --- Matryoshka (prefix-dimension) mirrors -----------------------------
+
+  /** In-order dot fold over the matryoshka prefix width (1-based). */
+  private def dotPref(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, ${VectorOps.MrlDim + 1}),
+       |  i -> CAST($a[CAST(i AS INT)] AS DOUBLE) * CAST($b[CAST(i AS INT)] AS DOUBLE)),
+       |  (acc, v) -> acc + v)""".stripMargin
+
+  /** Mirror of VectorOps.knnMrl: truncated-prefix cosine for the
+    * approximate pass, full-width exact re-rank of the MrlReRank·K
+    * shortlist.
+    */
+  val knnMrl: String = {
+    val rr = VectorOps.MrlReRank * k
+    val md = VectorOps.MrlDim
+    s"""WITH $baseCte,
+       |pb AS (
+       |  SELECT vec_id, embedding, nrm, embedding[1:$md] AS pv
+       |  FROM base
+       |),
+       |pn AS (
+       |  SELECT vec_id, embedding, nrm, pv, ${dotPref("pv", "pv")} AS pnrm
+       |  FROM pb
+       |),
+       |qset AS (
+       |  SELECT vec_id AS query_id, embedding AS qv, nrm AS qnrm,
+       |    pv AS qpv, pnrm AS qpnrm
+       |  FROM pn WHERE vec_id % $qm = 0
+       |),
+       |approx AS (
+       |  SELECT q.query_id, b.vec_id AS neighbor_id,
+       |    b.embedding, b.nrm, q.qv, q.qnrm,
+       |    ${dotPref("b.pv", "q.qpv")} / (sqrt(b.pnrm) * sqrt(q.qpnrm)) AS asim
+       |  FROM pn b, qset q WHERE b.vec_id <> q.query_id
+       |),
+       |short AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY asim DESC, neighbor_id ASC) AS arank
+       |  FROM approx
+       |),
+       |sims AS (
+       |  SELECT query_id, neighbor_id,
+       |    ${dot("embedding", "qv")} / (sqrt(nrm) * sqrt(qnrm)) AS sim
+       |  FROM short WHERE arank <= $rr
+       |),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS "rank"
+       |  FROM sims
+       |)
+       |SELECT query_id, neighbor_id, "rank", sim FROM ranked WHERE "rank" <= $k""".stripMargin
+  }
+
+  /** Recall@K of matryoshka truncation vs exact. */
+  val mrlRecall: String =
+    s"""SELECT e.query_id,
+       |  CAST(count(l."rank") AS DOUBLE) / $k AS recall_at_k,
+       |  count(*) AS n_exact
+       |FROM ($knnExact) e
+       |LEFT JOIN ($knnMrl) l
+       |  ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
+       |GROUP BY e.query_id""".stripMargin
 }

@@ -752,4 +752,55 @@ object VectorOps {
       .agg((count(col("hit")).cast("double") / K).as("recall_at_k"),
         count(lit(1)).as("n_exact"))
   }
+
+  // --- Matryoshka (prefix-dimension) search -----------------------------
+
+  /** Prefix width for the truncated-dimension approximate pass. */
+  val MrlDim = 32
+  /** Exact-re-rank shortlist size (× K) for [[knnMrl]]. */
+  val MrlReRank = 4
+
+  /** ANN via dimension truncation (the matryoshka-embedding serving
+    * pattern): the approximate pass scores cosine on only the first
+    * [[MrlDim]] of [[Dim]] dims — with a columnar prefix layout that is
+    * a scan of 1/4 of the vector bytes and 1/4 of the flops, no
+    * training, no index build — then re-ranks the [[MrlReRank]]·K
+    * shortlist with full-width exact cosine. Useful exactly when the
+    * embedding model front-loads information (MRL-trained models);
+    * [[mrlRecall]] is the evaluation loop that tells you whether yours
+    * does.
+    */
+  def knnMrl(spark: SparkSession, dir: String): DataFrame = {
+    val pref = s"slice(embedding, 1, $MrlDim)"
+    val base = withNorm(spark, dir)
+      .withColumn("pv", expr(pref))
+      .withColumn("pnrm", expr(dot("pv", "pv")))
+    val q = base.where(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qnrm"), col("pv").as("qpv"), col("pnrm").as("qpnrm"))
+    val approx = base
+      .crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("embedding"), col("nrm"), col("qv"), col("qnrm"),
+        (expr(dot("pv", "qpv")) / (sqrt(col("pnrm")) * sqrt(col("qpnrm"))))
+          .as("asim"))
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("asim").desc, col("neighbor_id").asc)
+    val shortlist = approx
+      .withColumn("arank", row_number().over(ws))
+      .where(col("arank") <= MrlReRank * K)
+    topK(shortlist.select(col("query_id"), col("neighbor_id"), cosine))
+  }
+
+  /** Recall@K of the truncated-prefix index against the exact baseline. */
+  def mrlRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = knnExact(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val approx = knnMrl(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg((count(col("hit")).cast("double") / K).as("recall_at_k"),
+        count(lit(1)).as("n_exact"))
+  }
 }

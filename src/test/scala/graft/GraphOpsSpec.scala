@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.GraphOps
+
+/** Graph analytics semantics on the sf0.001 fixture. */
+class GraphOpsSpec extends SparkSpec {
+
+  test("degree centrality conserves edge and weight totals across directions") {
+    val edges = GraphOps.tradeEdges(spark, sfDir)
+    val nEdges = edges.count()
+    val totalW = edges.agg(sum("w")).head().getLong(0)
+    val deg = GraphOps.degreeCentrality(spark, sfDir).collect()
+    assert(deg.map(_.getAs[Long]("out_deg")).sum === nEdges)
+    assert(deg.map(_.getAs[Long]("in_deg")).sum === nEdges)
+    assert(deg.map(_.getAs[Long]("out_w")).sum === totalW)
+    assert(deg.map(_.getAs[Long]("in_w")).sum === totalW)
+    // every lineitem contributes exactly one unit of weight
+    val lineitems = graft.sources.Tables.lineitem(spark, sfDir).count()
+    assert(totalW === lineitems)
+  }
+
+  test("pagerank: near-conserved integer mass, every node above the teleport base") {
+    val pr = GraphOps.pagerank(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("pr")).toMap
+    val n = pr.size
+    val base = GraphOps.PrScale *
+      (GraphOps.PrDampDen - GraphOps.PrDampNum) / GraphOps.PrDampDen
+    // teleport base is a floor for every node
+    assert(pr.values.forall(_ >= base))
+    // integer mass: at most the initial total (floor division only loses
+    // mass), and within damping drift of it — every unit of lost mass is
+    // a floor remainder, ≤ (85/100)·#in-edges per round
+    val total = pr.values.sum
+    assert(total <= GraphOps.PrScale * n)
+    assert(total > GraphOps.PrScale * n * 80 / 100,
+      s"mass drained too far: $total of ${GraphOps.PrScale * n}")
+    // determinism: a fresh run is bit-identical
+    val again = GraphOps.pagerank(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("pr")).toMap
+    assert(again === pr)
+  }
+
+  test("pagerank ranks a heavily-bought-from nation above a lightly-bought-from one") {
+    val inW = GraphOps.degreeCentrality(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("in_w")).toMap
+    val pr = GraphOps.pagerank(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("pr")).toMap
+    val top = inW.maxBy(_._2)._1
+    val bottom = inW.minBy(_._2)._1
+    assert(pr(top) > pr(bottom),
+      s"in-weight max node $top should out-rank min node $bottom")
+  }
+}

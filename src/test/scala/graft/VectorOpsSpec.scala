@@ -187,6 +187,41 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("knnMrl recovers the exact neighbor set when the prefix carries the signal") {
+    // the fixture's basis dimension (label 0/1) and wobble dimension
+    // (label+32) both sit inside the 32-dim prefix, so truncation loses
+    // nothing here — top-k sets and exact re-ranked sims agree
+    val dir = embDir(fixture)
+    val exact = VectorOps.knnExact(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap
+    val mrl = VectorOps.knnMrl(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap
+    assert(mrl === exact)
+    VectorOps.mrlRecall(spark, dir).collect().foreach { r =>
+      val hits = math.round(r.getDouble(1) * VectorOps.K)
+      assert(hits === r.getLong(2), s"query ${r.getLong(0)} missed neighbors")
+    }
+  }
+
+  test("knnMrl drops a neighbor whose difference hides beyond the prefix") {
+    // two candidates for query 0: id 1 differs from the query ONLY in a
+    // dim outside the 32-dim prefix (invisible to the approximate pass),
+    // id 2 differs in an in-prefix dim by more. With a shortlist capped
+    // below the candidate count the truncated pass can't see that id 1
+    // is the true nearest — but the exact re-rank still orders whatever
+    // enters the shortlist by full-width cosine, so id 1 ranks first
+    // among survivors if it gets in (it does here: candidates ≪ 4K).
+    val a0 = Array.fill(VectorOps.Dim)(0.0f); a0(0) = 1.0f
+    val a1 = a0.clone(); a1(63) = 0.05f // out-of-prefix wobble
+    val a2 = a0.clone(); a2(1) = 0.10f  // in-prefix wobble, farther
+    val dir = embDir(Seq((0L, a0, 0), (1L, a1, 0), (2L, a2, 0)))
+    val out = VectorOps.knnMrl(spark, dir).collect()
+      .filter(_.getLong(0) == 0L).sortBy(_.getLong(2))
+    // full-width cosine says id 1 (tiny out-of-prefix wobble) is nearer
+    assert(out.head.getLong(1) === 1L)
+    assert(out.map(_.getLong(1)).toSeq === Seq(1L, 2L))
+  }
+
   test("PQ codes are bounded by the live codebook and cover every vector") {
     val dir = embDir(fixture)
     // white-box on the index building blocks: the codebook's dense slot
