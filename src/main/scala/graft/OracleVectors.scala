@@ -392,7 +392,7 @@ object OracleVectors {
     s"""subs AS (
        |$arms
        |),
-       |cent AS (
+       |pcent AS (
        |  SELECT m, cell, p.pos AS pos,
        |    sum(CAST(CASE WHEN abs(CAST(sub[CAST(p.pos + 1 AS INT)] AS DOUBLE)) < $flush
        |             THEN 0.0
@@ -406,7 +406,7 @@ object OracleVectors {
        |cb AS (
        |  SELECT m, cell,
        |    list(CAST(csum AS DOUBLE) / $scale / n ORDER BY pos) AS centroid
-       |  FROM cent GROUP BY m, cell
+       |  FROM pcent GROUP BY m, cell
        |),
        |cbn AS (
        |  SELECT m, cell, centroid, ${dotSub("centroid", "centroid")} AS cnrm,
@@ -438,10 +438,11 @@ object OracleVectors {
     * subvector·centroid dots, ADC fold over the 8 codes, exact cosine
     * re-rank of the PqReRank·K shortlist.
     */
-  val knnPq: String = {
-    val rr = VectorOps.PqReRank * k
-    s"""WITH $baseCte, $pqCtes,
-       |qset AS (
+  /** Shared PQ query-side CTEs: qset, the per-(query, slot) dots, and
+    * the slot-ordered LUT (mirror of VectorOps.pqQueryLut).
+    */
+  private val pqLutCtes: String =
+    s"""qset AS (
        |  SELECT vec_id AS query_id, embedding AS qv, nrm AS qnrm
        |  FROM base WHERE vec_id % $qm = 0
        |),
@@ -455,21 +456,19 @@ object OracleVectors {
        |),
        |qlut AS (
        |  SELECT query_id, list(qd ORDER BY slot) AS lut FROM qd GROUP BY query_id
-       |),
-       |approx AS (
-       |  SELECT q.query_id, b.vec_id AS neighbor_id,
-       |    b.embedding, b.nrm, q.qv, q.qnrm,
-       |    list_reduce(list_transform(range(${VectorOps.PqM}), m ->
-       |      l.lut[CAST(ca.codes[CAST(m + 1 AS INT)] + 1 AS INT)]),
-       |      (acc, v) -> acc + v)
-       |      / (sqrt(ca.rnrm) * sqrt(q.qnrm)) AS asim
-       |  FROM pqcodes ca
-       |  JOIN base b ON b.vec_id = ca.vec_id
-       |  CROSS JOIN qlut l
-       |  JOIN qset q ON q.query_id = l.query_id
-       |  WHERE b.vec_id <> q.query_id
-       |),
-       |short AS (
+       |)""".stripMargin
+
+  /** Mirror of VectorOps.pqAdcExpr over aliased codes/lut relations. */
+  private def pqAdcSql(ca: String, l: String): String =
+    s"""list_reduce(list_transform(range(${VectorOps.PqM}), m ->
+       |      $l.lut[CAST($ca.codes[CAST(m + 1 AS INT)] + 1 AS INT)]),
+       |      (acc, v) -> acc + v)""".stripMargin
+
+  /** Shared exact-re-rank tail over an `approx` CTE carrying
+    * (query_id, neighbor_id, embedding, nrm, qv, qnrm, asim).
+    */
+  private def reRankTail(rr: Int): String =
+    s"""short AS (
        |  SELECT *, row_number() OVER (
        |    PARTITION BY query_id ORDER BY asim DESC, neighbor_id ASC) AS arank
        |  FROM approx
@@ -484,8 +483,69 @@ object OracleVectors {
        |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS "rank"
        |  FROM sims
        |)
-       |SELECT query_id, neighbor_id, "rank", sim FROM ranked WHERE "rank" <= $k""".stripMargin
-  }
+       |SELECT query_id, neighbor_id, "rank", sim FROM ranked WHERE "rank" <= $k"""
+      .stripMargin
+
+  val knnPq: String =
+    s"""WITH $baseCte, $pqCtes,
+       |$pqLutCtes,
+       |approx AS (
+       |  SELECT q.query_id, b.vec_id AS neighbor_id,
+       |    b.embedding, b.nrm, q.qv, q.qnrm,
+       |    ${pqAdcSql("ca", "l")}
+       |      / (sqrt(ca.rnrm) * sqrt(q.qnrm)) AS asim
+       |  FROM pqcodes ca
+       |  JOIN base b ON b.vec_id = ca.vec_id
+       |  CROSS JOIN qlut l
+       |  JOIN qset q ON q.query_id = l.query_id
+       |  WHERE b.vec_id <> q.query_id
+       |),
+       |${reRankTail(VectorOps.PqReRank * k)}""".stripMargin
+
+  /** Mirror of VectorOps.knnIvfPq: IVF bucket pruning (assignments +
+    * probes from the coarse quantizer) feeding the PQ ADC scorer and
+    * the shared exact re-rank tail.
+    */
+  def knnIvfPq(nlist: Int = VectorOps.NList): String =
+    s"""WITH $baseCte, ${centroidsCte(nlist)},
+       |$centroidSimsCtes,
+       |$pqCtes,
+       |$pqLutCtes,
+       |assignments AS (
+       |  SELECT vec_id AS neighbor_id, c_label AS assigned_label
+       |  FROM cranked WHERE rn = 1
+       |),
+       |probes AS (
+       |  SELECT vec_id AS query_id, c_label AS assigned_label
+       |  FROM cranked WHERE vec_id % $qm = 0 AND rn <= ${VectorOps.NProbe}
+       |),
+       |candidates AS (
+       |  SELECT p.query_id, a.neighbor_id
+       |  FROM probes p JOIN assignments a USING (assigned_label)
+       |  WHERE a.neighbor_id <> p.query_id
+       |),
+       |approx AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    b.embedding, b.nrm, q.qv, q.qnrm,
+       |    ${pqAdcSql("ca", "l")}
+       |      / (sqrt(ca.rnrm) * sqrt(q.qnrm)) AS asim
+       |  FROM candidates c
+       |  JOIN pqcodes ca ON ca.vec_id = c.neighbor_id
+       |  JOIN base b ON b.vec_id = c.neighbor_id
+       |  JOIN qlut l ON l.query_id = c.query_id
+       |  JOIN qset q ON q.query_id = c.query_id
+       |),
+       |${reRankTail(VectorOps.PqReRank * k)}""".stripMargin
+
+  /** Recall@K of IVF-PQ vs exact, composing the two query oracles. */
+  val ivfPqRecall: String =
+    s"""SELECT e.query_id,
+       |  CAST(count(l."rank") AS DOUBLE) / $k AS recall_at_k,
+       |  count(*) AS n_exact
+       |FROM ($knnExact) e
+       |LEFT JOIN (${knnIvfPq()}) l
+       |  ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
+       |GROUP BY e.query_id""".stripMargin
 
   /** Recall@K of PQ vs exact, composing the two query oracles. */
   val pqRecall: String =

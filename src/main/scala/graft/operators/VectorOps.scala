@@ -707,39 +707,98 @@ object VectorOps {
     * corpus-never-shuffles shape as [[knnExact]]; [[pqRecall]] is the
     * evaluation loop.
     */
-  def knnPq(spark: SparkSession, dir: String): DataFrame = {
-    val base = withNorm(spark, dir)
-    val q = base.where(col("vec_id") % QueryMod === 0)
+  /** Per-query slot-indexed LUT of subvector·centroid dots — the ADC
+    * precomputation both PQ searches share. Carries qv/qnrm for the
+    * exact re-rank.
+    */
+  private def pqQueryLut(spark: SparkSession, dir: String): DataFrame = {
+    val q = withNorm(spark, dir).where(col("vec_id") % QueryMod === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("nrm").as("qnrm"))
-    // per-(query, slot) subvector·centroid dot, assembled into one
-    // slot-indexed LUT array per query
-    val qd = q.crossJoin(broadcast(pqCodebook(spark, dir)))
+    q.crossJoin(broadcast(pqCodebook(spark, dir)))
       .select(col("query_id"),
         col("slot"),
         expr(s"""aggregate(zip_with(
             slice(qv, CAST(m * $PqSubDim + 1 AS INT), $PqSubDim), centroid,
             (x, y) -> CAST(x AS DOUBLE) * y),
           CAST(0 AS DOUBLE), (acc, v) -> acc + v)""").as("qd"))
-    val qlut = qd.groupBy(col("query_id"))
+      .groupBy(col("query_id"))
       .agg(expr("transform(array_sort(collect_list(struct(slot, qd))), t -> t.qd)")
         .as("lut"))
       .join(q, Seq("query_id"))
-    val adc = s"""aggregate(sequence(0, ${PqM - 1}), CAST(0 AS DOUBLE),
+  }
+
+  /** `adc = Σ_m lut[codes[m]]` — the pure-lookup approximate dot. */
+  private val pqAdcExpr: String =
+    s"""aggregate(sequence(0, ${PqM - 1}), CAST(0 AS DOUBLE),
       (acc, m) -> acc + element_at(lut, CAST(element_at(codes, m + 1) + 1 AS INT)))"""
+
+  def knnPq(spark: SparkSession, dir: String): DataFrame = {
+    val base = withNorm(spark, dir)
     val approx = pqCodes(spark, dir)
       .join(base.select(col("vec_id"), col("embedding"), col("nrm")), Seq("vec_id"))
-      .crossJoin(broadcast(qlut))
+      .crossJoin(broadcast(pqQueryLut(spark, dir)))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("embedding"), col("nrm"), col("qv"), col("qnrm"),
-        (expr(adc) / (sqrt(col("rnrm")) * sqrt(col("qnrm")))).as("asim"))
+        (expr(pqAdcExpr) / (sqrt(col("rnrm")) * sqrt(col("qnrm")))).as("asim"))
     val ws = Window.partitionBy(col("query_id"))
       .orderBy(col("asim").desc, col("neighbor_id").asc)
     val shortlist = approx
       .withColumn("arank", row_number().over(ws))
       .where(col("arank") <= PqReRank * K)
     topK(shortlist.select(col("query_id"), col("neighbor_id"), cosine))
+  }
+
+  /** IVF-PQ: the two-level index every billion-vector deployment runs —
+    * IVF's coarse quantizer prunes the corpus to `nprobe` buckets
+    * (~N·nprobe/nlist candidates), then PQ's LUT-only ADC scores just
+    * those candidates, and exact cosine re-ranks the [[PqReRank]]·K
+    * shortlist. Non-residual variant (codes quantize the raw vector,
+    * not vector−centroid): composes the two memoized index artifacts
+    * unchanged, which also means this query is a differential proof
+    * that bucket-pruned ADC agrees with [[knnPq]] wherever buckets
+    * contain the true neighbors. Scale shape: candidates are a keyed
+    * bucket join (never all-pairs), ADC never touches float vectors,
+    * and the per-candidate state is 6 bytes of codes.
+    */
+  def knnIvfPq(spark: SparkSession, dir: String,
+      nlist: Int = NList): DataFrame = {
+    val assignments = ivfAssign(spark, dir, nlist)
+      .select(col("vec_id").as("neighbor_id"), col("assigned_label"))
+    val probes = centroidSims(spark, dir, nlist)
+      .where(col("vec_id") % QueryMod === 0 && col("rn") <= NProbe)
+      .select(col("vec_id").as("query_id"), col("c_label").as("assigned_label"))
+    val candidates = probes.join(assignments, Seq("assigned_label"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    val base = withNorm(spark, dir)
+    val approx = candidates
+      .join(pqCodes(spark, dir).withColumnRenamed("vec_id", "neighbor_id"),
+        Seq("neighbor_id"))
+      .join(base.select(col("vec_id").as("neighbor_id"), col("embedding"),
+        col("nrm")), Seq("neighbor_id"))
+      .join(broadcast(pqQueryLut(spark, dir)), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        col("embedding"), col("nrm"), col("qv"), col("qnrm"),
+        (expr(pqAdcExpr) / (sqrt(col("rnrm")) * sqrt(col("qnrm")))).as("asim"))
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("asim").desc, col("neighbor_id").asc)
+    val shortlist = approx
+      .withColumn("arank", row_number().over(ws))
+      .where(col("arank") <= PqReRank * K)
+    topK(shortlist.select(col("query_id"), col("neighbor_id"), cosine))
+  }
+
+  /** Recall@K of the IVF-PQ index against the exact baseline. */
+  def ivfPqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = knnExact(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val approx = knnIvfPq(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg((count(col("hit")).cast("double") / K).as("recall_at_k"),
+        count(lit(1)).as("n_exact"))
   }
 
   /** Recall@K of the PQ index against the exact baseline. */

@@ -55,6 +55,33 @@ object StreamingAssets {
     sig.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(Seq("event_id"))
 
+  /** Raw events stream over an events parquet directory (same NANOS
+    * long → timestamp conversion as the batch loader).
+    */
+  def eventStream(spark: SparkSession, path: String): DataFrame =
+    Tables.eventsFrom(spark.readStream.schema(eventsSchema).parquet(path))
+
+  /** Event-time sessionization — the streaming twin of
+    * Relational.q30Sessionize, via the built-in gap-merging
+    * `session_window` aggregation: a session is a run of per-user
+    * events each within `gap` of the previous, closed when event time
+    * passes watermark + gap. State is per (user, open session) in the
+    * state store, evicted on close — bounded by active users, not
+    * history (the 100 TB requirement for an unbounded stream).
+    * `session_start`/`n_events` match the batch query exactly;
+    * `session_end` here is last-event + gap (the window's close
+    * boundary) where the batch reports the last event itself.
+    */
+  def sessionizedEvents(ev: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    ev.withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
   /** Replace the asset state dir with the merged result via a
     * crash-safe three-step swap: write tmp → move current state aside →
     * promote tmp → drop the aside copy. A crash at ANY point leaves at

@@ -181,7 +181,18 @@ class GoldenSpec extends SparkSpec {
     "txt_shard" -> ((-8873823532220827648L, 500L)),
     "txt_ngram_stats" -> ((5743175026788788734L, 20L)),
     "txt_scrub" -> ((-2801981572971056383L, 500L)),
-    "txt_mix_weights" -> ((4104155027311796664L, 20L))
+    "txt_mix_weights" -> ((4104155027311796664L, 20L)),
+    "q40_grouping_sets" -> ((7552349987113914008L, 5L)),
+    "q41_exists_subquery" -> ((-1039640742231504809L, 74L)),
+    "q42_rank_family" -> ((6215263619106325707L, 1500L)),
+    "graph_degree" -> ((6864207537478372688L, 25L)),
+    "graph_pagerank" -> ((8953210346981769255L, 25L)),
+    "emb_knn_pq" -> ((8039933173616903381L, 50L)),
+    "emb_pq_recall" -> ((6681137179820178689L, 5L)),
+    "emb_knn_mrl" -> ((4719170906433506228L, 50L)),
+    "emb_mrl_recall" -> ((3384963927178446285L, 5L)),
+    "emb_knn_ivfpq" -> ((-8547690800792426028L, 50L)),
+    "emb_ivfpq_recall" -> ((-5220274446295646725L, 5L))
   )
 
   test("golden: every query output is frozen at sf0.001") {

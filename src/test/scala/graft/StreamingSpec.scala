@@ -32,6 +32,45 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming session windows equal the batch sessionization") {
+    val srcDir = tmp("graft-sess-src")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .write.mode("append").parquet(s"$srcDir/events")
+    val sessions = StreamingAssets.sessionizedEvents(
+      StreamingAssets.eventStream(spark, s"$srcDir/events"))
+    // complete mode: every session surfaces regardless of watermark
+    val q = sessions.writeStream
+      .format("memory").queryName("graft_sessions")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("graft_sessions")
+      .select(col("user_id"), col("session_start"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    // the batch window query groups by the same 30-minute gap rule:
+    // session starts and per-session event counts must agree exactly
+    val batch = graft.operators.Relational.q30Sessionize(spark, sfDir)
+      .select(col("user_id"), col("session_start"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+    // session_window's end boundary is last-event + gap: strictly after
+    // the start, and never overlapping the user's next session
+    val byUser = spark.table("graft_sessions").collect()
+      .groupBy(_.getLong(0)).values
+    byUser.foreach { rows =>
+      val sorted = rows.sortBy(_.getTimestamp(1).getTime)
+      sorted.foreach(r =>
+        assert(r.getTimestamp(2).after(r.getTimestamp(1))))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(!a.getTimestamp(2).after(b.getTimestamp(1)),
+            s"overlapping sessions for user ${a.getLong(0)}")
+        case _ => ()
+      }
+    }
+  }
+
   test("re-delivered events dedup within the watermark: duplicated source, same state") {
     // a source dir holding TWO copies of the events file = full overlap
     val srcDir = tmp("graft-stream-dup")

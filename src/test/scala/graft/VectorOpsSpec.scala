@@ -222,6 +222,23 @@ class VectorOpsSpec extends SparkSpec {
     assert(out.map(_.getLong(1)).toSeq === Seq(1L, 2L))
   }
 
+  test("knnIvfPq equals knnPq when one bucket makes pruning exhaustive") {
+    val dir = embDir(fixture)
+    // nlist=1: every vector in the single bucket, so IVF prunes nothing
+    // and the composed index must reproduce plain PQ exactly
+    val pq = VectorOps.knnPq(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> (r.getLong(1), r.getDouble(3))).toMap
+    val ivfpq = VectorOps.knnIvfPq(spark, dir, nlist = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(ivfpq === pq)
+    // and with the default per-label buckets the separated clusters
+    // still recover every exact neighbor
+    VectorOps.ivfPqRecall(spark, dir).collect().foreach { r =>
+      val hits = math.round(r.getDouble(1) * VectorOps.K)
+      assert(hits === r.getLong(2), s"query ${r.getLong(0)} missed neighbors")
+    }
+  }
+
   test("PQ codes are bounded by the live codebook and cover every vector") {
     val dir = embDir(fixture)
     // white-box on the index building blocks: the codebook's dense slot
