@@ -106,6 +106,11 @@ object GraphOps {
       pr = nodes.join(contrib, col("node") === col("dst"), "left")
         .select(col("node"),
           (lit(base) + coalesce(col("contrib"), lit(0L))).as("pr"))
+        // lineage cut per round (same device as propagateToFixpoint):
+        // without it round R replans an R-deep join stack and the loop
+        // pays quadratic planning time — measured 5.0s → the data work
+        // itself is one tiny join+agg per round
+        .localCheckpoint()
     }
     pr
   }

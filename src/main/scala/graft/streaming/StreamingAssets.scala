@@ -61,6 +61,32 @@ object StreamingAssets {
   def eventStream(spark: SparkSession, path: String): DataFrame =
     Tables.eventsFrom(spark.readStream.schema(eventsSchema).parquet(path))
 
+  /** Stream-stream interval join — the streaming twin of
+    * Relational.q29RangeJoin's inner core: each purchase joins the same
+    * user's views in the trailing hour, both sides watermarked so the
+    * join state evicts rows older than the interval + watermark slack
+    * (bounded state on unbounded streams — Spark refuses the query
+    * without the event-time bound, by design). Append-mode only, like
+    * every stream-stream join.
+    */
+  def purchasesWithPriorViews(ev: DataFrame,
+      watermark: String = "2 hours"): DataFrame = {
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"), col("value").as("purchase_value"))
+      .withWatermark("p_ts", watermark)
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user_id"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", watermark)
+    purchases.join(views,
+      col("user_id") === col("v_user_id") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("v_ts") <= col("p_ts"))
+      .select(col("user_id"), col("purchase_id"), col("p_ts"),
+        col("view_id"), col("v_ts"))
+  }
+
   /** Event-time sessionization — the streaming twin of
     * Relational.q30Sessionize, via the built-in gap-merging
     * `session_window` aggregation: a session is a run of per-user

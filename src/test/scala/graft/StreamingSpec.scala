@@ -71,6 +71,37 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream interval join equals the batch trailing-hour join") {
+    val srcDir = tmp("graft-ssj-src")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .write.mode("append").parquet(s"$srcDir/events")
+    val joined = StreamingAssets.purchasesWithPriorViews(
+      StreamingAssets.eventStream(spark, s"$srcDir/events"))
+    val q = joined.writeStream
+      .format("memory").queryName("graft_ssj")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("graft_ssj")
+      .select(col("purchase_id"), col("view_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+    val v = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+    val batch = p.join(v, Seq("user_id"))
+      .where(col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("v_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("view_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty, "fixture must exercise the join")
+  }
+
   test("re-delivered events dedup within the watermark: duplicated source, same state") {
     // a source dir holding TWO copies of the events file = full overlap
     val srcDir = tmp("graft-stream-dup")

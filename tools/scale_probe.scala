@@ -157,6 +157,37 @@ for (n <- Seq(16000, 48000)) {
   graft.operators.TextOps.release(spark)
 }
 
+println("== PQ ADC search vs exact at growing synthetic corpus (LUT lookups/candidate; re-rank fixed at 8K/query) ==")
+// Same harness as the SQ8 probe: the approximate pass of knnPq does
+// ZERO float math per candidate (8 LUT lookups against a 6-byte code),
+// so its cost is a linear scan of codes; the one-time codebook train +
+// encode is memoized (reported separately as 'index').
+for (n <- Seq(16000, 48000)) {
+  val tmp = s"/tmp/probe_pq_$n"
+  spark.range(n.toLong).select(col("id").as("vec_id"),
+    expr("transform(sequence(0, 63), d -> CAST(CAST(hash(id, d) % 1000 AS DOUBLE) / 1000.0 AS FLOAT))")
+      .as("embedding"), lit(0).as("label"))
+    .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+  val tE0 = System.nanoTime()
+  val exact = graft.operators.VectorOps.knnExact(spark, tmp)
+    .select(col("query_id"), col("neighbor_id")).collect()
+  val tE = (System.nanoTime() - tE0) / 1e9
+  // index build (codebook + codes), then steady-state search
+  val tI0 = System.nanoTime()
+  graft.operators.VectorOps.knnPq(spark, tmp)
+    .select(col("query_id")).agg(count(lit(1))).head()
+  val tI = (System.nanoTime() - tI0) / 1e9
+  val tS0 = System.nanoTime()
+  val pq = graft.operators.VectorOps.knnPq(spark, tmp)
+    .select(col("query_id"), col("neighbor_id")).collect()
+  val tS = (System.nanoTime() - tS0) / 1e9
+  val exactSet = exact.map(r => (r.getLong(0), r.getLong(1))).toSet
+  val hits = pq.count(r => exactSet((r.getLong(0), r.getLong(1))))
+  val recall = hits.toDouble / exactSet.size
+  println(f"  N=$n%6d (|Q|=${n / 100}%4d): exact $tE%6.2f s, pq index+search $tI%6.2f s, search $tS%6.2f s, recall@10 $recall%.3f")
+  graft.operators.TextOps.release(spark)
+}
+
 println("== minhash signature shape (explode + digest + partial-min agg; shuffle = |docs| x 9 longs) ==")
 for (k <- Seq(1, 8, 16)) {
   val docs = multi("documents", k)
