@@ -72,4 +72,39 @@ object OracleGraph {
        |$rounds
        |SELECT node, pr FROM p${GraphOps.PrRounds}""".stripMargin
   }
+
+  /** Mirror of GraphOps.assetReachability: the assets_all oracle as a
+    * CTE, its edge scalars split back to (src, dst) pairs, joined out
+    * to ReachDepth hops, min depth kept. UNION (distinct) matches the
+    * Spark side's .distinct() on the edge set.
+    */
+  val assetReachability: String = {
+    val hops = (2 to GraphOps.ReachDepth).map { d =>
+      s"""d$d AS (
+         |  SELECT a.src, b.dst, $d AS depth
+         |  FROM d${d - 1} a JOIN up b ON a.dst = b.src
+         |)""".stripMargin
+    }.mkString(",\n")
+    val unionAll = (1 to GraphOps.ReachDepth)
+      .map(d => s"SELECT * FROM d$d").mkString(" UNION ALL ")
+    s"""WITH aa AS (
+       |${OracleAssets.assetsAll}
+       |),
+       |up AS (
+       |  SELECT asset_ean AS src, unnest(string_split(asset_parents, '|')) AS dst
+       |  FROM aa WHERE asset_parents IS NOT NULL AND asset_parents <> ''
+       |  UNION
+       |  SELECT unnest(string_split(asset_children, '|')) AS src, asset_ean AS dst
+       |  FROM aa WHERE asset_children IS NOT NULL AND asset_children <> ''
+       |  UNION
+       |  SELECT asset_ean AS src, unnest(string_split(asset_references, '|')) AS dst
+       |  FROM aa WHERE asset_references IS NOT NULL AND asset_references <> ''
+       |),
+       |d1 AS (SELECT src, dst, 1 AS depth FROM up),
+       |$hops
+       |SELECT src AS asset_ean, dst AS reached_ean,
+       |  CAST(min(depth) AS BIGINT) AS depth
+       |FROM ($unionAll)
+       |GROUP BY src, dst""".stripMargin
+  }
 }

@@ -78,6 +78,46 @@ object GraphOps {
         coalesce(col("in_w"), lit(0L)).as("in_w"))
   }
 
+  /** Bounded upward reachability over the ASSET graph — the traversal a
+    * user of the reference runs on its own data model: every asset's
+    * parents/children/references EAN edge lists
+    * (reference types.ts:7-9) flattened to (src, dst) pairs pointing up
+    * the hierarchy (children inverted), then joined out to
+    * [[ReachDepth]] hops with the MINIMUM depth kept. On the fixture
+    * this surfaces service → container → pod → node/cluster chains that
+    * exist in no single asset document. Each hop is one keyed
+    * equi-join; the edge set is derived once from
+    * [[Assets.assetsAll]]'s canonical '|'-joined edge scalars.
+    */
+  val ReachDepth = 3
+
+  def assetReachability(spark: SparkSession, dir: String): DataFrame = {
+    val aa = Assets.assetsAll(spark, dir)
+      .select(col("asset_ean"), col("asset_parents"),
+        col("asset_children"), col("asset_references"))
+    def nonEmpty(c: String) = col(c).isNotNull && col(c) =!= ""
+    val up = aa.where(nonEmpty("asset_parents"))
+      .select(col("asset_ean").as("src"),
+        explode(split(col("asset_parents"), "\\|")).as("dst"))
+      .union(aa.where(nonEmpty("asset_children"))
+        .select(explode(split(col("asset_children"), "\\|")).as("src"),
+          col("asset_ean").as("dst")))
+      .union(aa.where(nonEmpty("asset_references"))
+        .select(col("asset_ean").as("src"),
+          explode(split(col("asset_references"), "\\|")).as("dst")))
+      .distinct()
+    val hops = Iterator.iterate(up.withColumn("depth", lit(1L))) { prev =>
+      prev.alias("a").join(up.alias("b"), col("a.dst") === col("b.src"))
+        .select(col("a.src").as("src"), col("b.dst").as("dst"),
+          (col("a.depth") + 1L).as("depth"))
+    }.take(ReachDepth).toSeq
+    hops.reduce(_ unionAll _)
+      .groupBy(col("src"), col("dst"))
+      .agg(min(col("depth")).as("depth"))
+      .select(col("src").as("asset_ean"), col("dst").as("reached_ean"),
+        col("depth"))
+  }
+
   /** Weighted PageRank over the trade graph, [[PrRounds]] fixed
     * iterations on the integer grid:
     * `pr'(v) = 0.15·S + Σ_{u→v} ⌊pr(u)·85·w(u,v) / (100·wout(u))⌋`.

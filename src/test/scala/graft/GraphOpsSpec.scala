@@ -42,6 +42,36 @@ class GraphOpsSpec extends SparkSpec {
     assert(again === pr)
   }
 
+  test("asset reachability surfaces multi-hop chains with minimum depth") {
+    val out = GraphOps.assetReachability(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out.nonEmpty)
+    // (src, dst) pairs are unique (min-depth collapse) and depths bounded
+    assert(out.values.forall(d => d >= 1L && d <= GraphOps.ReachDepth))
+    // triangle property: a depth-d reach implies SOME edge chain, so for
+    // every depth-2+ pair there is a depth-1 hop from src whose endpoint
+    // reaches dst one level shallower
+    val byDepth = out.groupBy(_._2)
+    val d1 = byDepth.getOrElse(1L, Map.empty).keySet
+    out.foreach { case ((src, dst), d) =>
+      if (d > 1L) {
+        val mid = d1.collect { case (s, m) if s == src => m }
+        assert(mid.exists(m => out.get((m, dst)).exists(_ == d - 1L)),
+          s"no $src -> ? -> $dst chain at depth $d")
+      }
+    }
+    // every service with a container parent reaches that container
+    val aa = graft.operators.Assets.assetsAll(spark, sfDir)
+      .select(col("asset_ean"), col("asset_parents")).collect()
+    aa.filter(r => r.getString(1) != null && r.getString(1).nonEmpty)
+      .foreach { r =>
+        r.getString(1).split("\\|").foreach { p =>
+          assert(out.get((r.getString(0), p)).contains(1L),
+            s"missing direct edge ${r.getString(0)} -> $p")
+        }
+      }
+  }
+
   test("pagerank ranks a heavily-bought-from nation above a lightly-bought-from one") {
     val inW = GraphOps.degreeCentrality(spark, sfDir).collect()
       .map(r => r.getAs[Long]("node") -> r.getAs[Long]("in_w")).toMap
