@@ -92,20 +92,25 @@ object GraphOps {
   val ReachDepth = 3
 
   def assetReachability(spark: SparkSession, dir: String): DataFrame = {
-    val aa = Assets.assetsAll(spark, dir)
-      .select(col("asset_ean"), col("asset_parents"),
-        col("asset_children"), col("asset_references"))
-    def nonEmpty(c: String) = col(c).isNotNull && col(c) =!= ""
-    val up = aa.where(nonEmpty("asset_parents"))
-      .select(col("asset_ean").as("src"),
-        explode(split(col("asset_parents"), "\\|")).as("dst"))
-      .union(aa.where(nonEmpty("asset_children"))
-        .select(explode(split(col("asset_children"), "\\|")).as("src"),
-          col("asset_ean").as("dst")))
-      .union(aa.where(nonEmpty("asset_references"))
+    // memoized: the edge set re-derives the whole 4-pipeline assets_all
+    // view, which every hop join would otherwise recompute — the same
+    // build-once-per-session policy as the dedup/IVF/PQ artifacts
+    val up = TextOps.memoized(spark, dir, "asset_up_edges") {
+      val aa = Assets.assetsAll(spark, dir)
+        .select(col("asset_ean"), col("asset_parents"),
+          col("asset_children"), col("asset_references"))
+      def nonEmpty(c: String) = col(c).isNotNull && col(c) =!= ""
+      aa.where(nonEmpty("asset_parents"))
         .select(col("asset_ean").as("src"),
-          explode(split(col("asset_references"), "\\|")).as("dst")))
-      .distinct()
+          explode(split(col("asset_parents"), "\\|")).as("dst"))
+        .union(aa.where(nonEmpty("asset_children"))
+          .select(explode(split(col("asset_children"), "\\|")).as("src"),
+            col("asset_ean").as("dst")))
+        .union(aa.where(nonEmpty("asset_references"))
+          .select(col("asset_ean").as("src"),
+            explode(split(col("asset_references"), "\\|")).as("dst")))
+        .distinct()
+    }
     val hops = Iterator.iterate(up.withColumn("depth", lit(1L))) { prev =>
       prev.alias("a").join(up.alias("b"), col("a.dst") === col("b.src"))
         .select(col("a.src").as("src"), col("b.dst").as("dst"),

@@ -387,7 +387,7 @@ object VectorOps {
   /** Centroid vectors (label, centroid array, squared norm) rebuilt
     * from the long-format [[centroids]] output.
     */
-  private def centroidVectors(spark: SparkSession, dir: String, nlist: Int): DataFrame =
+  private[graft] def centroidVectors(spark: SparkSession, dir: String, nlist: Int): DataFrame =
     // memoized: the trained codebook is the IVF family's shared
     // artifact (assign, search, recall all broadcast it) — nlist rows,
     // the in-session analog of writing the codebook out once at scale
