@@ -220,6 +220,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Exchange hashpartitioning(source"), p.take(800))
   }
 
+  test("PQ search: memoized codes + broadcast LUT; no shuffled join pre-window") {
+    val df = SparkEntry.queries("emb_knn_pq")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the coded corpus is the memoized index artifact; the per-query
+    // LUT rides a broadcast nested-loop (tiny side) — never a shuffled
+    // cartesian and never a sort-merge join of the corpus
+    assert(p.contains("InMemoryTableScan"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.split("\n").count(_.contains("SortMergeJoin")) === 0, p.take(800))
+  }
+
+  test("IVF-PQ candidates come from a bucket equi-join keyed on the assigned list") {
+    val df = SparkEntry.queries("emb_knn_ivfpq")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("assigned_label"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("asset reachability reuses ONE memoized edge set across all hop joins") {
+    graft.operators.TextOps.release(spark)
+    val df = SparkEntry.queries("asset_reachability")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // d1/d2/d3 all read the cached edges: every hop join's input is an
+    // InMemoryTableScan (the printed plan still SHOWS the cached
+    // relation's stored build plan with its file scans — that subtree
+    // is not executed), so the executed joins outnumber none of them
+    assert(p.split("\n").count(_.contains("InMemoryTableScan")) >= 4, p.take(800))
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     // codegen spans (the `*(n)` markers) appear once AQE finalizes, so
     // execute before inspecting
