@@ -366,6 +366,15 @@ object OracleRelational {
       |    WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 49
       |      AND l.l_returnflag = 'R')""".stripMargin
 
+  /** Mirror of Relational.q43LateralTopN (DuckDB runs the same LATERAL). */
+  val q43: String =
+    """SELECT n.n_name, t.c_name, t.c_acctbal
+      |FROM nation n, LATERAL (
+      |  SELECT c_name, c_acctbal FROM customer c
+      |  WHERE c.c_nationkey = n.n_nationkey
+      |  ORDER BY c_acctbal DESC, c_name ASC LIMIT 3
+      |) t""".stripMargin
+
   /** Mirror of Relational.q42RankFamily: one fully-ordered window, so
     * ranks have no peer groups and the double ratios are bit-equal.
     */

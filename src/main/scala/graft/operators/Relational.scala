@@ -598,6 +598,25 @@ object Relational {
         |      AND l.l_returnflag = 'R')""".stripMargin)
   }
 
+  /** Correlated LATERAL subquery: top-3 customers per nation, written
+    * as SQL so Catalyst's lateral-join decorrelation handles the
+    * per-outer-row ORDER BY/LIMIT. Semantically the window top-N (q8)
+    * in its SQL-surface form; the physical plan is a ranked window over
+    * the one customer shuffle — the correlated limit never executes
+    * per-row.
+    */
+  def q43LateralTopN(spark: SparkSession, dir: String): DataFrame = {
+    Tables.nation(spark, dir).createOrReplaceTempView("graft_q43_nation")
+    Tables.customer(spark, dir).createOrReplaceTempView("graft_q43_customer")
+    spark.sql(
+      """SELECT n.n_name, t.c_name, t.c_acctbal
+        |FROM graft_q43_nation n, LATERAL (
+        |  SELECT c_name, c_acctbal FROM graft_q43_customer c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_name ASC LIMIT 3
+        |) t""".stripMargin)
+  }
+
   /** Rank-function family over one window: ntile quartiles, percent_rank
     * and cume_dist per order priority. The window's total order includes
     * the key (o_orderkey) so ranks are deterministic under any

@@ -193,7 +193,8 @@ class GoldenSpec extends SparkSpec {
     "emb_mrl_recall" -> ((3384963927178446285L, 5L)),
     "emb_knn_ivfpq" -> ((-8547690800792426028L, 50L)),
     "emb_ivfpq_recall" -> ((-5220274446295646725L, 5L)),
-    "asset_reachability" -> ((8639256376167313932L, 29L))
+    "asset_reachability" -> ((8639256376167313932L, 29L)),
+    "q43_lateral_topn" -> ((8323364537922325303L, 75L))
   )
 
   test("golden: every query output is frozen at sf0.001") {

@@ -169,6 +169,23 @@ class RelationalSpec extends SparkSpec {
     assert(got === (haveHigh -- haveHighReturned))
   }
 
+  test("q43 lateral top-n equals the window top-n computed directly") {
+    val out = Relational.q43LateralTopN(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_name").asc)
+    val expected = graft.sources.Tables.customer(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .join(graft.sources.Tables.nation(spark, sfDir),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("c_name"), col("c_acctbal")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(out === expected)
+    assert(out.nonEmpty)
+  }
+
   test("q42 rank family: quartiles balanced, ratios bounded, row count preserved") {
     val out = Relational.q42RankFamily(spark, sfDir)
     val orders = graft.sources.Tables.orders(spark, sfDir)
