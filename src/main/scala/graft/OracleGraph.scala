@@ -73,6 +73,35 @@ object OracleGraph {
        |SELECT node, pr FROM p${GraphOps.PrRounds}""".stripMargin
   }
 
+  /** Mirror of GraphOps.assetClosure: the same WITH RECURSIVE over the
+    * same derived upward edges (DuckDB's recursive CTE semantics match:
+    * UNION ALL accumulation with a depth guard, min-depth collapse).
+    */
+  val assetClosure: String =
+    s"""WITH RECURSIVE aa AS (
+       |${OracleAssets.assetsAll}
+       |),
+       |up AS (
+       |  SELECT asset_ean AS src, unnest(string_split(asset_parents, '|')) AS dst
+       |  FROM aa WHERE asset_parents IS NOT NULL AND asset_parents <> ''
+       |  UNION
+       |  SELECT unnest(string_split(asset_children, '|')) AS src, asset_ean AS dst
+       |  FROM aa WHERE asset_children IS NOT NULL AND asset_children <> ''
+       |  UNION
+       |  SELECT asset_ean AS src, unnest(string_split(asset_references, '|')) AS dst
+       |  FROM aa WHERE asset_references IS NOT NULL AND asset_references <> ''
+       |),
+       |reach(src, dst, depth) AS (
+       |  SELECT src, dst, CAST(1 AS BIGINT) FROM up
+       |  UNION ALL
+       |  SELECT r.src, e.dst, r.depth + 1
+       |  FROM reach r JOIN up e ON r.dst = e.src
+       |  WHERE r.depth < ${GraphOps.ClosureMaxDepth}
+       |)
+       |SELECT src AS asset_ean, dst AS reached_ean,
+       |  CAST(min(depth) AS BIGINT) AS depth
+       |FROM reach GROUP BY src, dst""".stripMargin
+
   /** Mirror of GraphOps.assetReachability: the assets_all oracle as a
     * CTE, its edge scalars split back to (src, dst) pairs, joined out
     * to ReachDepth hops, min depth kept. UNION (distinct) matches the

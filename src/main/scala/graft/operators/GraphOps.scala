@@ -123,6 +123,37 @@ object GraphOps {
         col("depth"))
   }
 
+  /** Depth guard for [[assetClosure]]'s recursion — a correctness
+    * backstop against cycles, far above the asset hierarchy's diameter.
+    */
+  val ClosureMaxDepth = 10
+
+  /** Full transitive closure of the asset graph via Spark 4's
+    * WITH RECURSIVE — the unbounded-depth complement to
+    * [[assetReachability]]'s fixed hop unrolling: the recursion runs
+    * until no new rows appear (or the depth guard trips), so it needs
+    * no diameter assumption. Shares the memoized upward edge set; on
+    * any graph with diameter ≤ [[ReachDepth]] the two queries agree
+    * row-for-row (spec-asserted — a differential proof of both).
+    */
+  def assetClosure(spark: SparkSession, dir: String): DataFrame = {
+    assetReachability(spark, dir) // ensures the memoized edge set exists
+    TextOps.memoized(spark, dir, "asset_up_edges") {
+      sys.error("edge set must already be memoized")
+    }.createOrReplaceTempView("graft_closure_edges")
+    spark.sql(
+      s"""WITH RECURSIVE reach(src, dst, depth) AS (
+         |  SELECT src, dst, CAST(1 AS BIGINT) FROM graft_closure_edges
+         |  UNION ALL
+         |  SELECT r.src, e.dst, r.depth + 1
+         |  FROM reach r JOIN graft_closure_edges e ON r.dst = e.src
+         |  WHERE r.depth < $ClosureMaxDepth
+         |)
+         |SELECT src AS asset_ean, dst AS reached_ean,
+         |  CAST(min(depth) AS BIGINT) AS depth
+         |FROM reach GROUP BY src, dst""".stripMargin)
+  }
+
   /** Weighted PageRank over the trade graph, [[PrRounds]] fixed
     * iterations on the integer grid:
     * `pr'(v) = 0.15·S + Σ_{u→v} ⌊pr(u)·85·w(u,v) / (100·wout(u))⌋`.

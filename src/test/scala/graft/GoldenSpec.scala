@@ -194,7 +194,11 @@ class GoldenSpec extends SparkSpec {
     "emb_knn_ivfpq" -> ((-8547690800792426028L, 50L)),
     "emb_ivfpq_recall" -> ((-5220274446295646725L, 5L)),
     "asset_reachability" -> ((8639256376167313932L, 29L)),
-    "q43_lateral_topn" -> ((8323364537922325303L, 75L))
+    "q43_lateral_topn" -> ((8323364537922325303L, 75L)),
+    // equal to asset_reachability by construction: the fixture graph's
+    // diameter is within ReachDepth, so unbounded recursion and bounded
+    // unrolling converge to the same min-depth closure
+    "asset_closure" -> ((8639256376167313932L, 29L))
   )
 
   test("golden: every query output is frozen at sf0.001") {

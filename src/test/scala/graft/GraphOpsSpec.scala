@@ -72,6 +72,18 @@ class GraphOpsSpec extends SparkSpec {
       }
   }
 
+  test("recursive closure equals bounded reachability on a shallow graph") {
+    // the fixture hierarchy's diameter is <= ReachDepth, so the
+    // WITH RECURSIVE closure and the unrolled hop join must agree
+    // row-for-row — differential evidence for both implementations
+    val cl = GraphOps.assetClosure(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val re = GraphOps.assetReachability(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(cl === re)
+    assert(cl.nonEmpty)
+  }
+
   test("pagerank ranks a heavily-bought-from nation above a lightly-bought-from one") {
     val inW = GraphOps.degreeCentrality(spark, sfDir).collect()
       .map(r => r.getAs[Long]("node") -> r.getAs[Long]("in_w")).toMap
