@@ -91,11 +91,18 @@ object GraphOps {
     */
   val ReachDepth = 3
 
-  def assetReachability(spark: SparkSession, dir: String): DataFrame = {
-    // memoized: the edge set re-derives the whole 4-pipeline assets_all
-    // view, which every hop join would otherwise recompute — the same
-    // build-once-per-session policy as the dedup/IVF/PQ artifacts
-    val up = TextOps.memoized(spark, dir, "asset_up_edges") {
+  /** The asset graph's upward edge set — every asset's
+    * parents/children/references EAN edge lists (reference types.ts:7-9)
+    * flattened to (src, dst) pairs pointing up the hierarchy (children
+    * inverted). Memoized: the edge set re-derives the whole 4-pipeline
+    * assets_all view, which every traversal round would otherwise
+    * recompute — the same build-once-per-session policy as the
+    * dedup/IVF/PQ artifacts. Shared by [[assetReachability]] and
+    * [[assetClosure]] (one builder, so neither can observe a missing
+    * memo entry regardless of call order or a release between them).
+    */
+  private[graft] def upwardEdges(spark: SparkSession, dir: String): DataFrame =
+    TextOps.memoized(spark, dir, "asset_up_edges") {
       val aa = Assets.assetsAll(spark, dir)
         .select(col("asset_ean"), col("asset_parents"),
           col("asset_children"), col("asset_references"))
@@ -111,6 +118,9 @@ object GraphOps {
             explode(split(col("asset_references"), "\\|")).as("dst")))
         .distinct()
     }
+
+  def assetReachability(spark: SparkSession, dir: String): DataFrame = {
+    val up = upwardEdges(spark, dir)
     val hops = Iterator.iterate(up.withColumn("depth", lit(1L))) { prev =>
       prev.alias("a").join(up.alias("b"), col("a.dst") === col("b.src"))
         .select(col("a.src").as("src"), col("b.dst").as("dst"),
@@ -123,35 +133,51 @@ object GraphOps {
         col("depth"))
   }
 
-  /** Depth guard for [[assetClosure]]'s recursion — a correctness
-    * backstop against cycles, far above the asset hierarchy's diameter.
+  /** Depth cap shared with the DuckDB oracle's recursive CTE. The
+    * oracle NEEDS it (path-enumerating `UNION ALL` recursion would loop
+    * forever on a cycle); the Spark BFS below terminates on its own
+    * (the anti-join admits each (src, dst) pair at most once, so the
+    * frontier provably empties within |pairs| rounds, cycles included)
+    * and carries the cap only so both sides truncate identically on a
+    * hypothetical graph deeper than it.
     */
   val ClosureMaxDepth = 10
 
-  /** Full transitive closure of the asset graph via Spark 4's
-    * WITH RECURSIVE — the unbounded-depth complement to
-    * [[assetReachability]]'s fixed hop unrolling: the recursion runs
-    * until no new rows appear (or the depth guard trips), so it needs
-    * no diameter assumption. Shares the memoized upward edge set; on
-    * any graph with diameter ≤ [[ReachDepth]] the two queries agree
-    * row-for-row (spec-asserted — a differential proof of both).
+  /** Full transitive closure of the asset graph with minimum depths —
+    * the unbounded-depth complement to [[assetReachability]]'s fixed
+    * hop unrolling: frontier-deduped BFS over the memoized edge set.
+    * Each round expands the frontier by one hop, anti-joins away pairs
+    * already reached (so work per round is O(new pairs) — never the
+    * path enumeration a `UNION ALL` recursion does, which multiplies
+    * per-level rows on any graph with diamonds), and stops as soon as
+    * the frontier is empty. BFS level order IS min-depth order, so no
+    * final min() collapse is needed. The edge set and each round's
+    * delta are localCheckpointed: rounds scan a materialized table
+    * instead of re-planning the whole assets_all lineage, and the loop
+    * stays O(1) planning per round (the propagateToFixpoint device).
+    * A `WITH RECURSIVE` mirror remains the DuckDB oracle — the driver's
+    * differential check proves the two formulations agree.
     */
   def assetClosure(spark: SparkSession, dir: String): DataFrame = {
-    assetReachability(spark, dir) // ensures the memoized edge set exists
-    TextOps.memoized(spark, dir, "asset_up_edges") {
-      sys.error("edge set must already be memoized")
-    }.createOrReplaceTempView("graft_closure_edges")
-    spark.sql(
-      s"""WITH RECURSIVE reach(src, dst, depth) AS (
-         |  SELECT src, dst, CAST(1 AS BIGINT) FROM graft_closure_edges
-         |  UNION ALL
-         |  SELECT r.src, e.dst, r.depth + 1
-         |  FROM reach r JOIN graft_closure_edges e ON r.dst = e.src
-         |  WHERE r.depth < $ClosureMaxDepth
-         |)
-         |SELECT src AS asset_ean, dst AS reached_ean,
-         |  CAST(min(depth) AS BIGINT) AS depth
-         |FROM reach GROUP BY src, dst""".stripMargin)
+    val up = upwardEdges(spark, dir)
+      .localCheckpoint() // rounds join a materialized edge table, not the assets_all plan
+    var reached = up.withColumn("depth", lit(1L)).localCheckpoint()
+    var frontier = reached
+    var depth = 1L
+    while (depth < ClosureMaxDepth && !frontier.isEmpty) {
+      depth += 1
+      val fresh = frontier.alias("a")
+        .join(up.alias("b"), col("a.dst") === col("b.src"))
+        .select(col("a.src").as("src"), col("b.dst").as("dst"))
+        .distinct()
+        .join(reached, Seq("src", "dst"), "left_anti")
+        .withColumn("depth", lit(depth))
+        .localCheckpoint()
+      reached = reached.unionAll(fresh).localCheckpoint()
+      frontier = fresh
+    }
+    reached.select(col("src").as("asset_ean"), col("dst").as("reached_ean"),
+      col("depth"))
   }
 
   /** Weighted PageRank over the trade graph, [[PrRounds]] fixed
