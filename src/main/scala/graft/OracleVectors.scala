@@ -178,25 +178,66 @@ object OracleVectors {
   private val scale = VectorOps.Scale
   private val flush = VectorOps.Flush
 
-  def centroidsCte(nlist: Int = VectorOps.NList): String =
-    s"""cent AS (
-       |  SELECT label % $nlist AS label, p.pos AS pos,
-       |    sum(CAST(CASE WHEN abs(CAST(embedding[CAST(p.pos + 1 AS INT)] AS DOUBLE)) < $flush
+  /** Decimal-exact (grp, pos) sums of embedding components for a
+    * relation exposing (vec_id-joinable) group assignments — the
+    * meansBy mirror, shared by the seed round and every Lloyd round.
+    */
+  private def meansSql(fromJoin: String, grp: String): String =
+    s"""  SELECT $grp AS label, p.pos AS pos,
+       |    sum(CAST(CASE WHEN abs(CAST(e.embedding[CAST(p.pos + 1 AS INT)] AS DOUBLE)) < $flush
        |             THEN 0.0
-       |             ELSE CAST(embedding[CAST(p.pos + 1 AS INT)] AS DOUBLE)
+       |             ELSE CAST(e.embedding[CAST(p.pos + 1 AS INT)] AS DOUBLE)
        |             END * $scale AS DECIMAL(38,0))) AS centroid_sum,
        |    count(*) AS n
-       |  FROM embeddings
+       |  FROM $fromJoin
        |  CROSS JOIN (SELECT unnest(range($dim)) AS pos) p
-       |  GROUP BY label, p.pos
-       |)""".stripMargin
+       |  GROUP BY $grp, p.pos""".stripMargin
+
+  /** Mirror of VectorOps.centroidsRaw's Lloyd training loop, UNROLLED
+    * (the pagerank device): cent0 is the label-seeded partition's
+    * means; each round r builds the codebook vectors cv/cn from
+    * cent(r-1), assigns every vector to its nearest centroid (cosine,
+    * sim DESC / c_label ASC tiebreak — identical to the Spark window),
+    * and recomputes the decimal-exact means as cent(r). The final
+    * round is re-exposed as `cent` so the downstream CTEs
+    * (centroidSimsCtes et al.) are unchanged.
+    */
+  def centroidsCte(nlist: Int = VectorOps.NList): String = {
+    val seed = s"""cent0 AS (
+                  |${meansSql("embeddings e", s"e.label % $nlist")}
+                  |)""".stripMargin
+    val rounds = (1 to VectorOps.LloydRounds).map { r =>
+      val p = r - 1
+      s"""cv$p AS (
+         |  SELECT label AS c_label,
+         |    list(CAST(centroid_sum AS DOUBLE) / $scale / n ORDER BY pos) AS centroid
+         |  FROM cent$p GROUP BY label
+         |),
+         |cn$p AS (
+         |  SELECT c_label, centroid, ${dot("centroid", "centroid")} AS cnrm FROM cv$p
+         |),
+         |asg$r AS (
+         |  SELECT b.vec_id, c.c_label,
+         |    row_number() OVER (PARTITION BY b.vec_id ORDER BY
+         |      ${dot("b.embedding", "c.centroid")} / (sqrt(b.nrm) * sqrt(c.cnrm)) DESC,
+         |      c.c_label ASC) AS rn
+         |  FROM base b, cn$p c
+         |),
+         |cent$r AS (
+         |${meansSql(s"asg$r a JOIN embeddings e ON e.vec_id = a.vec_id AND a.rn = 1", "a.c_label")}
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""$seed,
+       |$rounds,
+       |cent AS (SELECT * FROM cent${VectorOps.LloydRounds})""".stripMargin
+  }
 
   /** centroid_sum leaves as its exact digit string (see
     * VectorOps.centroids: DECIMAL output rendering is the one
     * engine-divergent type in the driver's compare).
     */
   def centroids(nlist: Int = VectorOps.NList): String =
-    s"""WITH ${centroidsCte(nlist)}
+    s"""WITH $baseCte, ${centroidsCte(nlist)}
        |SELECT label, pos,
        |  CAST(centroid_sum AS VARCHAR) AS centroid_sum, n,
        |  CAST(centroid_sum AS DOUBLE) / $scale / n AS mean

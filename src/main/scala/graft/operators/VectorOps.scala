@@ -345,10 +345,10 @@ object VectorOps {
   val Flush: String = "(1.0 / 2147483648.0)"    // 2^-31
 
   /** Number of coarse IVF buckets (the k-means `k` / `nlist`). The
-    * fixture's 10 labels stand in for trained cluster ids, so the
-    * default keeps bucket == label; smaller values fold labels together
-    * via `label % nlist` (identical in Spark and DuckDB for the
-    * non-negative labels). nlist is THE scale dial of IVF: each probe
+    * fixture's 10 labels SEED the codebook (`label % nlist` is round
+    * zero's partition, identical in Spark and DuckDB for the
+    * non-negative labels); [[LloydRounds]] k-means rounds then train
+    * the actual centroids. nlist is THE scale dial of IVF: each probe
     * scans ~N·nprobe/nlist candidates, so a real deployment sizes
     * nlist ≈ √N (10⁹ vectors → ~32k buckets → ~60k candidates per
     * probe) — it must grow with the corpus, which is why it is an
@@ -356,10 +356,26 @@ object VectorOps {
     */
   val NList = 10
 
-  def centroidsRaw(spark: SparkSession, dir: String, nlist: Int = NList): DataFrame =
-    Tables.embeddings(spark, dir)
-      .select(pmod(col("label"), lit(nlist)).as("label"),
-        posexplode(col("embedding")).as(Seq("pos", "val")))
+  /** Lloyd (k-means) refinement rounds applied to the label-seeded
+    * codebook — a small fixed constant because the DuckDB oracle unrolls
+    * each round as CTEs (the pagerank device: deterministic iteration
+    * counts are the price of a cross-engine differential check). Two
+    * rounds from a structured seed is where k-means does most of its
+    * work; a production training job would iterate to a movement
+    * threshold with the identical per-round plan.
+    */
+  val LloydRounds = 2
+
+  /** Decimal-exact per-(group, dimension) means over an arbitrary
+    * grouping: input (grp, embedding), output the long-format codebook
+    * (label, pos, centroid_sum, n, mean). One explode + one partial-
+    * aggregated shuffle of (grp, pos) keys — rows × dim map-side,
+    * |groups| × dim reduce-side. See the Scale/Flush note above
+    * [[Scale]] for why the sums are exact integers in DECIMAL.
+    */
+  private def meansBy(grouped: DataFrame): DataFrame =
+    grouped
+      .select(col("grp").as("label"), posexplode(col("embedding")).as(Seq("pos", "val")))
       .groupBy(col("label"), col("pos").cast("long").as("pos"))
       .agg(
         sum(expr(s"""CAST(CASE WHEN abs(CAST(val AS DOUBLE)) < $Flush THEN 0.0
@@ -368,6 +384,63 @@ object VectorOps {
         count(lit(1)).as("n"))
       .withColumn("mean",
         col("centroid_sum").cast("double") / expr(Scale) / col("n"))
+
+  /** (c_label, centroid array, squared norm) from a long-format
+    * codebook — the broadcastable form every assignment pass consumes.
+    */
+  private def vectorsFromMeans(means: DataFrame): DataFrame =
+    means.groupBy(col("label").as("c_label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, mean))), t -> t.mean)")
+        .as("centroid"))
+      .select(col("c_label"), col("centroid"),
+        expr(dot("centroid", "centroid")).as("cnrm"))
+
+  /** Per-vector cosine against every centroid of `cvecs`, ranked
+    * (sim DESC, c_label ASC — the deterministic tiebreak both engines
+    * share). Broadcast codebook: the corpus never shuffles; the only
+    * shuffle is the per-vector argmax window.
+    */
+  private def simsAgainst(base: DataFrame, cvecs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("c_label").asc)
+    base.crossJoin(broadcast(cvecs))
+      .select(col("vec_id"), col("label"), col("c_label"),
+        (expr(dot("embedding", "centroid")) / (sqrt(col("nrm")) * sqrt(col("cnrm"))))
+          .as("sim"))
+      .withColumn("rn", row_number().over(w))
+  }
+
+  /** The TRAINED IVF codebook in long format: `label % nlist` seeds the
+    * initial partition (the fixture's labels are a structured seed —
+    * k-means++ would be the from-nothing alternative), then
+    * [[LloydRounds]] rounds of nearest-centroid assignment (cosine,
+    * label-ascending tiebreak) + decimal-exact mean update. Every
+    * arithmetic step is the cross-engine-deterministic kind (in-order
+    * double folds, exact decimal group sums), so the whole training
+    * loop is DuckDB-oracle-checkable with the rounds unrolled as CTEs
+    * (OracleVectors.centroidsCte). A cluster that loses all members
+    * simply drops out of the codebook — both engines agree. Memoized:
+    * training scans the corpus 2·rounds+1 times; every IVF-family query
+    * shares the one artifact (at scale the codebook is written out
+    * once by an offline training job).
+    */
+  def centroidsRaw(spark: SparkSession, dir: String, nlist: Int = NList): DataFrame =
+    TextOps.memoized(spark, dir, s"ivf_means_$nlist") {
+      val base = withNorm(spark, dir)
+      val seed = Tables.embeddings(spark, dir)
+        .select(pmod(col("label"), lit(nlist)).as("grp"), col("embedding"))
+      var means = meansBy(seed)
+      for (_ <- 1 to LloydRounds) {
+        val assigned = simsAgainst(base, vectorsFromMeans(means))
+          .where(col("rn") === 1)
+          .select(col("vec_id"), col("c_label").as("grp"))
+        means = meansBy(assigned
+          .join(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+            Seq("vec_id"))
+          .select(col("grp"), col("embedding")))
+      }
+      means
+    }
 
   /** [[centroidsRaw]] with the decimal sum serialized to its exact
     * integer-digit string: DECIMAL is the one output type whose
@@ -389,30 +462,17 @@ object VectorOps {
     */
   private[graft] def centroidVectors(spark: SparkSession, dir: String, nlist: Int): DataFrame =
     // memoized: the trained codebook is the IVF family's shared
-    // artifact (assign, search, recall all broadcast it) — nlist rows,
+    // artifact (assign, search, recall all broadcast it) — ≤nlist rows,
     // the in-session analog of writing the codebook out once at scale
     TextOps.memoized(spark, dir, s"ivf_centroids_$nlist") {
-      centroidsRaw(spark, dir, nlist)
-        .groupBy(col("label").as("c_label"))
-        .agg(expr("transform(array_sort(collect_list(struct(pos, mean))), t -> t.mean)")
-          .as("centroid"))
-        .select(col("c_label"), col("centroid"),
-          expr(dot("centroid", "centroid")).as("cnrm"))
+      vectorsFromMeans(centroidsRaw(spark, dir, nlist))
     }
 
-  /** Per-vector cosine against every centroid, ranked (broadcast
-    * centroids — the corpus never shuffles).
+  /** Per-vector cosine against every trained centroid, ranked
+    * (broadcast codebook — the corpus never shuffles).
     */
-  private def centroidSims(spark: SparkSession, dir: String, nlist: Int): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("sim").desc, col("c_label").asc)
-    withNorm(spark, dir)
-      .crossJoin(broadcast(centroidVectors(spark, dir, nlist)))
-      .select(col("vec_id"), col("label"), col("c_label"),
-        (expr(dot("embedding", "centroid")) / (sqrt(col("nrm")) * sqrt(col("cnrm"))))
-          .as("sim"))
-      .withColumn("rn", row_number().over(w))
-  }
+  private def centroidSims(spark: SparkSession, dir: String, nlist: Int): DataFrame =
+    simsAgainst(withNorm(spark, dir), centroidVectors(spark, dir, nlist))
 
   /** Nearest-centroid assignment (the IVF partitioner): `nlist`
     * centroids broadcast against the corpus; cosine against each;
@@ -582,8 +642,9 @@ object VectorOps {
   /** PQ subspace count: the vector splits into [[PqM]] contiguous
     * [[PqSubDim]]-dim subvectors, each coded independently. With
     * [[PqBits]]-bit cells a vector compresses to PqM·PqBits bits
-    * (here 8 codes of 4 bits = 4 bytes — 1/64 of the float vector,
-    * vs SQ8's 1/4): PQ is the memory-compression end-game of the ANN
+    * (here [[PqM]]=8 codes of [[PqBits]]=6 bits = 6 bytes — ~1/43 of
+    * the float vector, vs SQ8's 1/4): PQ is the memory-compression
+    * end-game of the ANN
     * family, and at scale the approximate scan is pure LUT lookups —
     * no float math per candidate at all.
     */
@@ -701,7 +762,8 @@ object VectorOps {
   /** ANN via product quantization: the approximate pass scores each
     * corpus vector with PqM LUT lookups — `adc = Σ_m lut[codes[m]]`
     * where `lut[slot] = <q_m, centroid_slot>` is computed ONCE per
-    * query against the ≤128-row codebook (FAISS's asymmetric distance
+    * query against the ≤ PqM·PqCells = 512-row codebook (FAISS's
+    * asymmetric distance
     * computation). Candidates never touch float vectors until the exact
     * re-rank of the [[PqReRank]]·K shortlist. Same broadcast-queries /
     * corpus-never-shuffles shape as [[knnExact]]; [[pqRecall]] is the
@@ -822,7 +884,7 @@ object VectorOps {
   /** ANN via dimension truncation (the matryoshka-embedding serving
     * pattern): the approximate pass scores cosine on only the first
     * [[MrlDim]] of [[Dim]] dims — with a columnar prefix layout that is
-    * a scan of 1/4 of the vector bytes and 1/4 of the flops, no
+    * a scan of MrlDim/Dim (here 1/2) of the vector bytes and flops, no
     * training, no index build — then re-ranks the [[MrlReRank]]·K
     * shortlist with full-width exact cosine. Useful exactly when the
     * embedding model front-loads information (MRL-trained models);
