@@ -543,40 +543,188 @@ object OracleVectors {
        |),
        |${reRankTail(VectorOps.PqReRank * k)}""".stripMargin
 
-  /** Mirror of VectorOps.knnIvfPq: IVF bucket pruning (assignments +
-    * probes from the coarse quantizer) feeding the PQ ADC scorer and
-    * the shared exact re-rank tail.
+  // --- Residual IVF-PQ mirrors ------------------------------------------
+
+  private val qsetCte: String =
+    s"""qset AS (
+       |  SELECT vec_id AS query_id, embedding AS qv, nrm AS qnrm
+       |  FROM base WHERE vec_id % $qm = 0
+       |)""".stripMargin
+
+  /** Mirror of VectorOps.ivfResiduals/pqrCodebook/pqrCodes: residuals
+    * vs the assigned TRAINED centroid, grid-floored codebook means
+    * (ResGrid — doubles, so the 2^54 float trick doesn't apply; see
+    * VectorOps), dense slots, argmin-L2 codes, reconstruction
+    * v̂ = centroid + concat(sub-centroids) with its in-order norm.
+    */
+  private val pqrCtes: String = {
+    val grid = VectorOps.ResGrid
+    val arms = (0 until VectorOps.PqM).map { m =>
+      s"""SELECT vec_id, assigned_label, m, (${pqCellSql(m)}) AS cell, sub
+         |FROM (SELECT vec_id, assigned_label, CAST($m AS BIGINT) AS m,
+         |      res[${m * psd + 1}:${(m + 1) * psd}] AS sub FROM resid)"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""resid AS (
+       |  SELECT a.vec_id, a.c_label AS assigned_label,
+       |    list_transform(range(1, ${dim + 1}), i ->
+       |      CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) - c.centroid[CAST(i AS INT)]) AS res
+       |  FROM cranked a
+       |  JOIN embeddings e ON e.vec_id = a.vec_id
+       |  JOIN cnorm c ON c.c_label = a.c_label
+       |  WHERE a.rn = 1
+       |),
+       |rsubs AS (
+       |$arms
+       |),
+       |rcent AS (
+       |  SELECT m, cell, p.pos AS pos,
+       |    sum(CAST(CAST(floor(sub[CAST(p.pos + 1 AS INT)] * $grid) AS BIGINT)
+       |        AS DECIMAL(38,0))) AS csum,
+       |    count(*) AS n
+       |  FROM rsubs
+       |  CROSS JOIN (SELECT unnest(range($psd)) AS pos) p
+       |  GROUP BY m, cell, p.pos
+       |),
+       |rcb AS (
+       |  SELECT m, cell, list(CAST(csum AS DOUBLE) / $grid / n ORDER BY pos) AS centroid
+       |  FROM rcent GROUP BY m, cell
+       |),
+       |rcbn AS (
+       |  SELECT m, cell, centroid,
+       |    CAST(row_number() OVER (ORDER BY m, cell) - 1 AS BIGINT) AS slot
+       |  FROM rcb
+       |),
+       |renc AS (
+       |  SELECT s.vec_id, s.assigned_label, s.m, c.cell, c.slot, c.centroid,
+       |    list_reduce(list_transform(range(1, ${psd + 1}), i ->
+       |      (CAST(s.sub[CAST(i AS INT)] AS DOUBLE) - c.centroid[CAST(i AS INT)])
+       |      * (CAST(s.sub[CAST(i AS INT)] AS DOUBLE) - c.centroid[CAST(i AS INT)])),
+       |      (acc, v) -> acc + v) AS d2
+       |  FROM rsubs s JOIN rcbn c ON s.m = c.m
+       |),
+       |rbest AS (
+       |  SELECT vec_id, assigned_label, m, slot, centroid, row_number() OVER (
+       |    PARTITION BY vec_id, m ORDER BY d2 ASC, cell ASC) AS rn
+       |  FROM renc
+       |),
+       |rflat AS (
+       |  SELECT vec_id, assigned_label,
+       |    list(slot ORDER BY m) AS codes,
+       |    flatten(list(centroid ORDER BY m)) AS recon
+       |  FROM rbest WHERE rn = 1 GROUP BY vec_id, assigned_label
+       |),
+       |rcn AS (
+       |  -- vhat[i] = c[i] + recon[i] inlined in both the array and the
+       |  -- norm fold (one IEEE add then multiply — bit-equal to Spark's
+       |  -- materialized zip_with + dot); DuckDB's binder rejects the
+       |  -- LATERAL correlation that would share the array
+       |  SELECT r.vec_id, r.assigned_label, r.codes,
+       |    list_transform(range(1, ${dim + 1}), i ->
+       |      c.centroid[CAST(i AS INT)] + r.recon[CAST(i AS INT)]) AS vhat,
+       |    list_reduce(list_transform(range(1, ${dim + 1}), i ->
+       |      (c.centroid[CAST(i AS INT)] + r.recon[CAST(i AS INT)])
+       |      * (c.centroid[CAST(i AS INT)] + r.recon[CAST(i AS INT)])),
+       |      (acc, v) -> acc + v) AS rnrm
+       |  FROM rflat r JOIN cnorm c ON c.c_label = r.assigned_label
+       |),
+       |rqd AS (
+       |  SELECT q.query_id, c.slot,
+       |    list_reduce(list_transform(range(1, ${psd + 1}), i ->
+       |      CAST(q.qv[CAST(c.m * $psd + i AS INT)] AS DOUBLE)
+       |      * CAST(c.centroid[CAST(i AS INT)] AS DOUBLE)),
+       |      (acc, v) -> acc + v) AS qd
+       |  FROM qset q CROSS JOIN rcbn c
+       |),
+       |rqlut AS (
+       |  SELECT query_id, list(qd ORDER BY slot) AS lut FROM rqd GROUP BY query_id
+       |)""".stripMargin
+  }
+
+  /** Mirror of VectorOps.knnIvfPq (residual variant): IVF bucket
+    * pruning from the trained coarse quantizer, ADC = <q, c_probe> +
+    * LUT fold over residual codes, shared exact re-rank tail.
     */
   def knnIvfPq(nlist: Int = VectorOps.NList): String =
     s"""WITH $baseCte, ${centroidsCte(nlist)},
        |$centroidSimsCtes,
-       |$pqCtes,
-       |$pqLutCtes,
+       |$qsetCte,
+       |$pqrCtes,
        |assignments AS (
        |  SELECT vec_id AS neighbor_id, c_label AS assigned_label
        |  FROM cranked WHERE rn = 1
        |),
        |probes AS (
-       |  SELECT vec_id AS query_id, c_label AS assigned_label
-       |  FROM cranked WHERE vec_id % $qm = 0 AND rn <= ${VectorOps.NProbe}
+       |  SELECT p.vec_id AS query_id, p.c_label AS assigned_label,
+       |    ${dot("q.qv", "c.centroid")} AS qcdot
+       |  FROM cranked p
+       |  JOIN cnorm c ON c.c_label = p.c_label
+       |  JOIN qset q ON q.query_id = p.vec_id
+       |  WHERE p.vec_id % $qm = 0 AND p.rn <= ${VectorOps.NProbe}
        |),
        |candidates AS (
-       |  SELECT p.query_id, a.neighbor_id
+       |  SELECT p.query_id, a.neighbor_id, p.qcdot
        |  FROM probes p JOIN assignments a USING (assigned_label)
        |  WHERE a.neighbor_id <> p.query_id
        |),
        |approx AS (
        |  SELECT c.query_id, c.neighbor_id,
        |    b.embedding, b.nrm, q.qv, q.qnrm,
-       |    ${pqAdcSql("ca", "l")}
+       |    (c.qcdot + ${pqAdcSql("ca", "l")})
        |      / (sqrt(ca.rnrm) * sqrt(q.qnrm)) AS asim
        |  FROM candidates c
-       |  JOIN pqcodes ca ON ca.vec_id = c.neighbor_id
+       |  JOIN rcn ca ON ca.vec_id = c.neighbor_id
        |  JOIN base b ON b.vec_id = c.neighbor_id
-       |  JOIN qlut l ON l.query_id = c.query_id
+       |  JOIN rqlut l ON l.query_id = c.query_id
        |  JOIN qset q ON q.query_id = c.query_id
        |),
        |${reRankTail(VectorOps.PqReRank * k)}""".stripMargin
+
+  /** Mirror of VectorOps.pqMse: reconstruction MSE of raw PQ vs
+    * residual IVF-PQ at the same code budget, averaged on the ResGrid
+    * integer grid (order-free). The raw reconstruction is rebuilt from
+    * the raw codebook with the centroid arrays carried through.
+    */
+  def pqMse(nlist: Int = VectorOps.NList): String = {
+    val grid = VectorOps.ResGrid
+    def mseTail(recRel: String, variant: String): String =
+      s"""SELECT '$variant' AS variant,
+         |  CAST(sum(CAST(CAST(floor(e2 * $grid) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE)
+         |    / $grid / count(*) AS mse,
+         |  count(*) AS n
+         |FROM (
+         |  SELECT list_reduce(list_transform(range(1, ${dim + 1}), i ->
+         |    (CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) - r.vhat[CAST(i AS INT)])
+         |    * (CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) - r.vhat[CAST(i AS INT)])),
+         |    (acc, v) -> acc + v) AS e2
+         |  FROM embeddings e JOIN $recRel r ON r.vec_id = e.vec_id
+         |)""".stripMargin
+    s"""WITH $baseCte, ${centroidsCte(nlist)},
+       |$centroidSimsCtes,
+       |$qsetCte,
+       |$pqrCtes,
+       |$pqCtes,
+       |enc2 AS (
+       |  SELECT s.vec_id, s.m, c.cell, c.centroid,
+       |    list_reduce(list_transform(range(1, ${psd + 1}), i ->
+       |      (CAST(s.sub[CAST(i AS INT)] AS DOUBLE) - c.centroid[CAST(i AS INT)])
+       |      * (CAST(s.sub[CAST(i AS INT)] AS DOUBLE) - c.centroid[CAST(i AS INT)])),
+       |      (acc, v) -> acc + v) AS d2
+       |  FROM subs s JOIN cbn c ON s.m = c.m
+       |),
+       |best2 AS (
+       |  SELECT vec_id, m, centroid, row_number() OVER (
+       |    PARTITION BY vec_id, m ORDER BY d2 ASC, cell ASC) AS rn
+       |  FROM enc2
+       |),
+       |rawrec AS (
+       |  SELECT vec_id, flatten(list(centroid ORDER BY m)) AS vhat
+       |  FROM best2 WHERE rn = 1 GROUP BY vec_id
+       |)
+       |${mseTail("rawrec", "pq_raw")}
+       |UNION ALL
+       |${mseTail("rcn", "ivfpq_residual")}""".stripMargin
+  }
 
   /** Recall@K of IVF-PQ vs exact, composing the two query oracles. */
   val ivfPqRecall: String =

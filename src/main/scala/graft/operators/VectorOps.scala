@@ -439,7 +439,10 @@ object VectorOps {
             Seq("vec_id"))
           .select(col("grp"), col("embedding")))
       }
-      means
+      // lineage cut: the training chain (2 rounds of windows over
+      // crossJoins) otherwise re-enters Catalyst in EVERY consumer's
+      // logical plan — measured seconds of pure planning per IVF query
+      means.localCheckpoint()
     }
 
   /** [[centroidsRaw]] with the decimal sum serialized to its exact
@@ -477,13 +480,20 @@ object VectorOps {
   /** Nearest-centroid assignment (the IVF partitioner): `nlist`
     * centroids broadcast against the corpus; cosine against each;
     * argmax via a per-vector window. Output keeps the true label for a
-    * train-style purity readout.
+    * train-style purity readout. Memoized: the assignment IS the
+    * inverted lists — the index artifact a deployment stores next to
+    * the codebook — and four queries (knnIvf, ivfRecall, knnIvfPq's
+    * candidates, the residual encoder) would otherwise each re-run the
+    * corpus-wide argmax window.
     */
   def ivfAssign(spark: SparkSession, dir: String, nlist: Int = NList): DataFrame =
-    centroidSims(spark, dir, nlist)
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("label"),
-        col("c_label").as("assigned_label"), col("sim"))
+    TextOps.memoized(spark, dir, s"ivf_assign_$nlist") {
+      centroidSims(spark, dir, nlist)
+        .where(col("rn") === 1)
+        .select(col("vec_id"), col("label"),
+          col("c_label").as("assigned_label"), col("sim"))
+        .localCheckpoint() // plan-size cut, same device as centroidsRaw
+    }
 
   /** Recall@K of the sign-LSH ANN against the exact baseline — the
     * evaluation loop any ANN deployment needs: per query, the fraction
@@ -726,6 +736,7 @@ object VectorOps {
         .select(col("m"), col("cell"), col("centroid"),
           expr(dot("centroid", "centroid")).as("cnrm"))
         .withColumn("slot", (row_number().over(w) - 1).cast("long"))
+        .localCheckpoint() // plan-size cut, same device as centroidsRaw
     }
 
   /** PQ-coded corpus: per vector the 8 slot codes (in subspace order)
@@ -757,6 +768,7 @@ object VectorOps {
             .as("codes"),
           expr("""aggregate(transform(array_sort(collect_list(struct(m, best.cnrm))),
             t -> t.cnrm), CAST(0 AS DOUBLE), (acc, v) -> acc + v)""").as("rnrm"))
+        .localCheckpoint() // plan-size cut, same device as centroidsRaw
     }
 
   /** ANN via product quantization: the approximate pass scores each
@@ -812,44 +824,232 @@ object VectorOps {
     topK(shortlist.select(col("query_id"), col("neighbor_id"), cosine))
   }
 
+  // --- Residual IVF-PQ ---------------------------------------------------
+
+  /** Integer grid (2^40) for residual-codebook means. Residuals are
+    * general DOUBLES (float minus a trained-centroid mean), so the 2^54
+    * float-ulp trick behind [[Scale]] does not apply — a residual's ulp
+    * can sit below 2^-54 and the decimal cast would exercise the
+    * engines' divergent rounding. Instead each summed component is
+    * FLOORED onto this grid first (floor of identical doubles is
+    * identical; |res| ≤ 2 keeps res·2^40 well inside exact-double and
+    * BIGINT range), and the exact integers accumulate in DECIMAL —
+    * the pagerank/mixWeights device. The 2^-40 per-component bias is
+    * orders of magnitude under the PQ cells' own quantization error.
+    */
+  val ResGrid: String = "1099511627776.0" // 2^40
+
+  /** Per-vector residual against the assigned coarse centroid — the
+    * quantity real IVF-PQ encodes: residual norms are much smaller than
+    * vector norms, so the same 48-bit PQ budget spends its cells on a
+    * tighter distribution (measurably lower reconstruction error —
+    * [[pqMse]] is the gauge). Memoized: codebook training and encoding
+    * both scan it.
+    */
+  private def ivfResiduals(spark: SparkSession, dir: String, nlist: Int): DataFrame =
+    TextOps.memoized(spark, dir, s"ivfpq_residuals_$nlist") {
+      ivfAssign(spark, dir, nlist)
+        .select(col("vec_id"), col("assigned_label"))
+        .join(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+          Seq("vec_id"))
+        .join(broadcast(centroidVectors(spark, dir, nlist)
+          .select(col("c_label").as("assigned_label"), col("centroid"))),
+          Seq("assigned_label"))
+        .select(col("vec_id"), col("assigned_label"),
+          expr("zip_with(embedding, centroid, (x, y) -> CAST(x AS DOUBLE) - y)")
+            .as("res"))
+        .localCheckpoint() // plan-size cut, same device as centroidsRaw
+    }
+
+  /** One row per (vector, subspace) of the residual: training cell from
+    * the same sign planes as [[pqSubs]] (the cells only need to carve
+    * locality buckets; the means are trained either way), subvector of
+    * the residual.
+    */
+  private def pqrSubs(spark: SparkSession, dir: String, nlist: Int): DataFrame = {
+    val arms = (0 until PqM).map { m =>
+      s"""struct(CAST($m AS BIGINT) AS m,
+         |  CAST(${pqTrainCellExpr(m, pqSubExpr(m, "res"))} AS BIGINT) AS cell,
+         |  ${pqSubExpr(m, "res")} AS sub)""".stripMargin
+    }.mkString("array(", ",\n", ")")
+    ivfResiduals(spark, dir, nlist)
+      .select(col("vec_id"), col("assigned_label"), explode(expr(arms)).as("s"))
+      .select(col("vec_id"), col("assigned_label"),
+        col("s.m").as("m"), col("s.cell").as("cell"), col("s.sub").as("sub"))
+  }
+
+  /** The residual PQ codebook: per (subspace, cell) the grid-floored
+    * mean residual subvector (see [[ResGrid]]) and a dense slot id —
+    * same shape and slot contract as [[pqCodebook]], trained on
+    * residual space.
+    */
+  private[graft] def pqrCodebook(spark: SparkSession, dir: String, nlist: Int = NList): DataFrame =
+    TextOps.memoized(spark, dir, s"pqr_codebook_$nlist") {
+      val sums = pqrSubs(spark, dir, nlist)
+        .select(col("m"), col("cell"), posexplode(col("sub")).as(Seq("pos", "val")))
+        .groupBy(col("m"), col("cell"), col("pos"))
+        .agg(
+          sum(expr(s"CAST(CAST(floor(val * $ResGrid) AS BIGINT) AS DECIMAL(38,0))"))
+            .as("csum"),
+          count(lit(1)).as("n"))
+        .withColumn("mean", col("csum").cast("double") / expr(ResGrid) / col("n"))
+      val w = Window.orderBy(col("m"), col("cell"))
+      sums.groupBy(col("m"), col("cell"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, mean))), t -> t.mean)")
+          .as("centroid"))
+        .select(col("m"), col("cell"), col("centroid"))
+        .withColumn("slot", (row_number().over(w) - 1).cast("long"))
+        .localCheckpoint() // plan-size cut, same device as centroidsRaw
+    }
+
+  /** Residual-coded corpus: per vector the 8 slot codes, plus the full
+    * reconstruction `v̂ = centroid_assigned + concat_m(codebook[m][code])`
+    * and its squared norm — ADC's denominator. At scale only codes (and
+    * rnrm) are stored; v̂ is encode-time scratch.
+    */
+  private[graft] def pqrCodes(spark: SparkSession, dir: String, nlist: Int = NList): DataFrame =
+    TextOps.memoized(spark, dir, s"pqr_codes_$nlist") {
+      val l2 =
+        """aggregate(zip_with(sub, centroid, (x, y) ->
+          |  (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
+          |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
+      pqrSubs(spark, dir, nlist)
+        .drop("cell")
+        .join(broadcast(pqrCodebook(spark, dir, nlist)), Seq("m"))
+        .select(col("vec_id"), col("assigned_label"), col("m"),
+          struct(expr(l2).as("d2"), col("cell"), col("slot"), col("centroid")).as("cand"))
+        .groupBy(col("vec_id"), col("assigned_label"), col("m"))
+        .agg(min(col("cand")).as("best"))
+        .groupBy(col("vec_id"), col("assigned_label"))
+        .agg(
+          expr("transform(array_sort(collect_list(struct(m, best.slot))), t -> t.slot)")
+            .as("codes"),
+          expr("""flatten(transform(array_sort(collect_list(struct(m, best.centroid))),
+            t -> t.centroid))""").as("recon"))
+        .join(broadcast(centroidVectors(spark, dir, nlist)
+          .select(col("c_label").as("assigned_label"), col("centroid").as("ccent"))),
+          Seq("assigned_label"))
+        .withColumn("vhat", expr("zip_with(ccent, recon, (x, y) -> x + y)"))
+        .withColumn("rnrm", expr(dot("vhat", "vhat")))
+        .select(col("vec_id"), col("assigned_label"), col("codes"),
+          col("vhat"), col("rnrm"))
+        .localCheckpoint() // plan-size cut, same device as centroidsRaw
+    }
+
+  /** Per-query slot LUT over the RESIDUAL codebook (mirror of
+    * [[pqQueryLut]]); carries qv/qnrm for the exact re-rank.
+    */
+  private def pqrQueryLut(spark: SparkSession, dir: String, nlist: Int): DataFrame = {
+    val q = withNorm(spark, dir).where(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qnrm"))
+    q.crossJoin(broadcast(pqrCodebook(spark, dir, nlist)))
+      .select(col("query_id"),
+        col("slot"),
+        expr(s"""aggregate(zip_with(
+            slice(qv, CAST(m * $PqSubDim + 1 AS INT), $PqSubDim), centroid,
+            (x, y) -> CAST(x AS DOUBLE) * y),
+          CAST(0 AS DOUBLE), (acc, v) -> acc + v)""").as("qd"))
+      .groupBy(col("query_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(slot, qd))), t -> t.qd)")
+        .as("lut"))
+      .join(q, Seq("query_id"))
+  }
+
   /** IVF-PQ: the two-level index every billion-vector deployment runs —
     * IVF's coarse quantizer prunes the corpus to `nprobe` buckets
     * (~N·nprobe/nlist candidates), then PQ's LUT-only ADC scores just
     * those candidates, and exact cosine re-ranks the [[PqReRank]]·K
-    * shortlist. Non-residual variant (codes quantize the raw vector,
-    * not vector−centroid): composes the two memoized index artifacts
-    * unchanged, which also means this query is a differential proof
-    * that bucket-pruned ADC agrees with [[knnPq]] wherever buckets
-    * contain the true neighbors. Scale shape: candidates are a keyed
+    * shortlist. RESIDUAL variant: codes quantize vector−centroid, so
+    * `<q, v̂> = <q, c_assigned> + Σ_m lut[codes[m]]` — the per-(query,
+    * probed-centroid) dot is one extra term next to the same LUT fold,
+    * and the candidate's assigned centroid IS the probe's centroid (the
+    * bucket join guarantees it), so the term costs one broadcast join
+    * on the ≤nlist probe rows. Scale shape: candidates are a keyed
     * bucket join (never all-pairs), ADC never touches float vectors,
-    * and the per-candidate state is 6 bytes of codes.
+    * and the per-candidate state is 6 bytes of codes + one double.
     */
   def knnIvfPq(spark: SparkSession, dir: String,
       nlist: Int = NList): DataFrame = {
     val assignments = ivfAssign(spark, dir, nlist)
       .select(col("vec_id").as("neighbor_id"), col("assigned_label"))
+    val base = withNorm(spark, dir)
+    val q = base.where(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qnrm"))
     val probes = centroidSims(spark, dir, nlist)
       .where(col("vec_id") % QueryMod === 0 && col("rn") <= NProbe)
       .select(col("vec_id").as("query_id"), col("c_label").as("assigned_label"))
+      .join(broadcast(centroidVectors(spark, dir, nlist)
+        .select(col("c_label").as("assigned_label"), col("centroid"))),
+        Seq("assigned_label"))
+      .join(broadcast(q.select(col("query_id"), col("qv"))), Seq("query_id"))
+      .select(col("query_id"), col("assigned_label"),
+        expr(dot("qv", "centroid")).as("qcdot"))
     val candidates = probes.join(assignments, Seq("assigned_label"))
       .where(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"))
-    val base = withNorm(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), col("qcdot"))
     val approx = candidates
-      .join(pqCodes(spark, dir).withColumnRenamed("vec_id", "neighbor_id"),
+      .join(pqrCodes(spark, dir, nlist)
+        .select(col("vec_id").as("neighbor_id"), col("codes"), col("rnrm")),
         Seq("neighbor_id"))
       .join(base.select(col("vec_id").as("neighbor_id"), col("embedding"),
         col("nrm")), Seq("neighbor_id"))
-      .join(broadcast(pqQueryLut(spark, dir)), Seq("query_id"))
+      .join(broadcast(pqrQueryLut(spark, dir, nlist)), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         col("embedding"), col("nrm"), col("qv"), col("qnrm"),
-        (expr(pqAdcExpr) / (sqrt(col("rnrm")) * sqrt(col("qnrm")))).as("asim"))
+        ((col("qcdot") + expr(pqAdcExpr)) / (sqrt(col("rnrm")) * sqrt(col("qnrm"))))
+          .as("asim"))
     val ws = Window.partitionBy(col("query_id"))
       .orderBy(col("asim").desc, col("neighbor_id").asc)
     val shortlist = approx
       .withColumn("arank", row_number().over(ws))
       .where(col("arank") <= PqReRank * K)
     topK(shortlist.select(col("query_id"), col("neighbor_id"), cosine))
+  }
+
+  /** Reconstruction MSE of the two 48-bit PQ variants — THE gauge where
+    * residual encoding shows its win (recall at this fixture is bounded
+    * by IVF's bucket pruning, which both variants share): per vector
+    * the squared L2 error of the reconstruction, averaged corpus-wide
+    * on the [[ResGrid]] integer grid (order-free, oracle-checkable).
+    * Raw PQ reconstructs concat_m(codebook[m][code]); residual IVF-PQ
+    * reconstructs centroid + residual codes. Same PqM·PqBits budget.
+    */
+  def pqMse(spark: SparkSession, dir: String, nlist: Int = NList): DataFrame = {
+    // raw-PQ reconstruction rebuilt from the raw codebook (pqCodes
+    // stores codes + rnrm only — recon is encode-time scratch there)
+    val l2 =
+      """aggregate(zip_with(sub, centroid, (x, y) ->
+        |  (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
+        |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
+    val rawRecon = pqSubs(spark, dir)
+      .drop("cell")
+      .join(broadcast(pqCodebook(spark, dir)), Seq("m"))
+      .select(col("vec_id"), col("m"),
+        struct(expr(l2).as("d2"), col("cell"), col("centroid")).as("cand"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(col("cand")).as("best"))
+      .groupBy(col("vec_id"))
+      .agg(expr("""flatten(transform(array_sort(collect_list(struct(m, best.centroid))),
+        t -> t.centroid))""").as("vhat"))
+    val err =
+      """aggregate(zip_with(embedding, vhat, (x, y) ->
+        |  (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
+        |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
+    def mseOf(recon: DataFrame, variant: String): DataFrame =
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+        .join(recon, Seq("vec_id"))
+        .select(expr(err).as("e2"))
+        .agg(
+          (sum(expr(s"CAST(CAST(floor(e2 * $ResGrid) AS BIGINT) AS DECIMAL(38,0))"))
+            .cast("double") / expr(ResGrid) / count(lit(1))).as("mse"),
+          count(lit(1)).as("n"))
+        .select(lit(variant).as("variant"), col("mse"), col("n"))
+    mseOf(rawRecon, "pq_raw")
+      .unionAll(mseOf(
+        pqrCodes(spark, dir, nlist).select(col("vec_id"), col("vhat")),
+        "ivfpq_residual"))
   }
 
   /** Recall@K of the IVF-PQ index against the exact baseline. */
