@@ -68,6 +68,39 @@ object OracleText {
        |    w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_tokens_bpe
        |FROM docs""".stripMargin
 
+  /** Mirror of TextOps.tokensBpe: greedy longest-match piece counts.
+    * DuckDB's `list_reduce` takes no seed, so the (cursor, count) state
+    * fold becomes a WITH RECURSIVE orbit over the DISTINCT corpus words
+    * (the march advances ≥1 char per step, so it terminates in ≤
+    * length(w) rows per word); per-word counts then join back to the
+    * word multiset and sum per document. `list_aggregate(..., 'max')`
+    * over the same piece-length list Spark's `array_max(transform(...))`
+    * builds keeps the longest-match choice identical.
+    */
+  val tokensBpe: String =
+    s"""WITH RECURSIVE $wordsCte,
+       |wm AS (
+       |  SELECT doc_id, unnest(words) AS w FROM docs
+       |),
+       |uw AS (SELECT DISTINCT w FROM wm),
+       |march(w, pos, n) AS (
+       |  SELECT w, 1, 0 FROM uw
+       |  UNION ALL
+       |  SELECT w,
+       |    pos + list_aggregate(list_transform(${TextOps.bpeVocabLitDuck},
+       |      p -> CASE WHEN substring(w, pos, length(p)) = p
+       |                THEN length(p) ELSE 1 END), 'max'),
+       |    n + 1
+       |  FROM march WHERE pos <= length(w)
+       |),
+       |pieces AS (SELECT w, max(n) AS np FROM march GROUP BY w)
+       |SELECT m.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(p.np) AS BIGINT) AS n_pieces,
+       |  CAST(sum(p.np) AS DOUBLE) / count(*) AS pieces_per_word
+       |FROM wm m JOIN pieces p ON p.w = m.w
+       |GROUP BY m.doc_id""".stripMargin
+
   val quality: String =
     s"""WITH $wordsCte
        |SELECT doc_id,

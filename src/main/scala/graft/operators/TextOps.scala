@@ -132,6 +132,90 @@ object TextOps {
         .as("n_tokens_bpe")
     )
 
+  /** BPE merge table, rank-ordered as a trained learner would emit it
+    * (each side is a single char or an earlier merge's result). A real
+    * pipeline loads this from the tokenizer artifact; a deterministic
+    * literal keeps both engines on the identical inventory — the same
+    * embed-the-artifact device as VectorOps' hyperplane literals.
+    */
+  val BpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "e" -> "r", "o" -> "r", "a" -> "n",
+    "i" -> "n", "o" -> "w", "a" -> "t", "s" -> "t", "r" -> "e",
+    "l" -> "e", "t" -> "a", "d" -> "a", "da" -> "ta", "r" -> "o",
+    "ro" -> "w", "k" -> "e", "ke" -> "y", "s" -> "c", "sc" -> "an",
+    "r" -> "t", "s" -> "o", "so" -> "rt", "f" -> "a", "fa" -> "st",
+    "j" -> "o", "jo" -> "in", "c" -> "h", "t" -> "ch", "b" -> "a",
+    "ba" -> "tch", "u" -> "e", "q" -> "ue", "l" -> "i", "n" -> "e",
+    "li" -> "ne", "g" -> "e", "m" -> "er", "mer" -> "ge")
+
+  /** Piece inventory: the merge results (single chars are implicit —
+    * the tokenizer's fallback consumes one char when nothing matches,
+    * so coverage is total by construction).
+    */
+  val BpeVocab: Seq[String] = BpeMerges.map { case (a, b) => a + b }.distinct
+
+  private def bpeVocabLit(open: String, close: String): String =
+    BpeVocab.map(p => s"'$p'").mkString(open, ",", close)
+  def bpeVocabLitSpark: String = bpeVocabLit("array(", ")")
+  def bpeVocabLitDuck: String = bpeVocabLit("[", "]")
+
+  /** Greedy longest-match piece count of ONE word against [[BpeVocab]]
+    * (the WordPiece scheme over a BPE-learned inventory; rank-ordered
+    * pair merging would need data-dependent iteration no static oracle
+    * can unroll). Expression-only, no UDF: a fold walks at most
+    * length(w) cursor steps carrying (position, count) state, and
+    * `array_max(transform(vocab, ...))` picks the longest piece
+    * matching at the cursor (1-char fallback), so each step advances
+    * ≥1 char and the count is exact.
+    */
+  private def bpeWordPieces(w: String): String =
+    s"""CAST(element_at(
+       |  aggregate(sequence(1, length($w)), array(1, 0), (st, stp) ->
+       |    CASE WHEN element_at(st, 1) > length($w) THEN st
+       |    ELSE array(
+       |      element_at(st, 1) + array_max(transform($bpeVocabLitSpark, p ->
+       |        CASE WHEN substring($w, element_at(st, 1), length(p)) = p
+       |             THEN length(p) ELSE 1 END)),
+       |      element_at(st, 2) + 1) END),
+       |  2) AS BIGINT)""".stripMargin
+
+  /** Per-document piece total as a single scan-bound expression over
+    * the `words` array — zero shuffle; what [[pack]]/[[mixWeights]]
+    * fold into their own aggregates under `tokenizer = "bpe"`. Cost is
+    * O(length · |vocab|) substring probes per word OCCURRENCE — right
+    * when the downstream op already consumes the full words array.
+    */
+  private[operators] def bpeDocPieces(wordsCol: String): String =
+    s"aggregate($wordsCol, 0L, (tot, w) -> tot + ${bpeWordPieces("w")})"
+
+  /** Subword token counts per document under the merge-table tokenizer
+    * — the counts a training pipeline budgets with (pack sequences,
+    * shard balance, mixture mass), where the whitespace count of
+    * [[tokens]] is only a proxy. Emits the word count too so the ratio
+    * is auditable.
+    *
+    * Shape: tokenize the DISTINCT words once (a Zipf corpus has
+    * vastly fewer types than tokens — 31 vs ~3M at sf0.1, where the
+    * naive per-occurrence march measured 3.4s vs 0.9s for this plan),
+    * broadcast the tiny dictionary back onto the exploded word stream,
+    * and partial-aggregate per doc — the shuffle carries one row per
+    * document, never text. The same dictionary device as the DuckDB
+    * mirror's recursive march over `uw`.
+    */
+  def tokensBpe(spark: SparkSession, dir: String): DataFrame = {
+    val wm = withWords(spark, dir)
+      .select(col("doc_id"), explode(col("words")).as("w"))
+    val dict = wm.select(col("w")).distinct()
+      .withColumn("np", expr(bpeWordPieces("w")))
+    wm.join(broadcast(dict), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("np")).as("n_pieces"))
+      .withColumn("pieces_per_word",
+        col("n_pieces").cast("double") / col("n_words"))
+      .select(col("doc_id"), col("n_words"), col("n_pieces"),
+        col("pieces_per_word"))
+  }
+
   /** Quality scoring: length / vocabulary-diversity / stopword signals.
     * All ratios are exact-integer divisions evaluated in double — bit-
     * identical across engines.
@@ -733,6 +817,18 @@ object TextOps {
         (coalesce(col("n_hit_ngrams"), lit(0L)) === 0).as("keep"))
   }
 
+  /** Token-count column under a named tokenizer — the budget unit the
+    * packing/mixture operators consume: "ws" (whitespace, the default —
+    * registry outputs are byte-identical to before the BPE tokenizer
+    * existed) or "bpe" (the [[bpeDocPieces]] merge-table counts).
+    */
+  private def tokenCount(tokenizer: String): Column = tokenizer match {
+    case "ws"  => size(col("words")).cast("long")
+    case "bpe" => expr(bpeDocPieces("words"))
+    case other => throw new IllegalArgumentException(
+      s"unknown tokenizer '$other' (expected ws or bpe)")
+  }
+
   /** Sequence packing: assign each document a (bucket, seq_id,
     * seq_offset) slot in a stream of fixed token-budget training
     * sequences — greedy sequential fill in doc_id order within each
@@ -750,11 +846,12 @@ object TextOps {
   val PackBuckets = 8
 
   def pack(spark: SparkSession, dir: String,
-           budget: Long = PackBudget, buckets: Int = PackBuckets): DataFrame = {
+           budget: Long = PackBudget, buckets: Int = PackBuckets,
+           tokenizer: String = "ws"): DataFrame = {
     val toks = withWords(spark, dir).select(
       col("doc_id"),
       pmod(col("doc_id"), lit(buckets.toLong)).as("bucket"),
-      size(col("words")).cast("long").as("n_tokens"))
+      tokenCount(tokenizer).as("n_tokens"))
     val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     toks
@@ -958,11 +1055,12 @@ object TextOps {
     * division. One partial aggregate over the scan + a 20-row window:
     * nothing here grows with corpus size except the first aggregate.
     */
-  def mixWeights(spark: SparkSession, dir: String): DataFrame = {
+  def mixWeights(spark: SparkSession, dir: String,
+      tokenizer: String = "ws"): DataFrame = {
     val perSource = withWords(spark, dir)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(size(col("words")).cast("long")).as("n_tokens"))
+        sum(tokenCount(tokenizer)).as("n_tokens"))
     val total = Window.partitionBy()
     val grid = math.pow(2, 40).toLong
     perSource

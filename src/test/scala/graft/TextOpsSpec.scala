@@ -25,6 +25,45 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_tokens_bpe") === 4L)
   }
 
+  test("tokensBpe: greedy longest-match piece counts against the merge table") {
+    // the: one piece ('the' wins over 'th'+'e' — longest match);
+    // data: one piece (beats 'da'+'ta' — greedy takes the 4-char hit);
+    // table: ta|b|le — 'b' is a 1-char fallback between two pieces;
+    // xyz: no vocab hits at all — pure fallback, 3 pieces
+    val dir = docsDir(Seq("the data table xyz"))
+    val r = TextOps.tokensBpe(spark, dir).head()
+    assert(r.getAs[Long]("n_words") === 4L)
+    assert(r.getAs[Long]("n_pieces") === (1 + 1 + 3 + 3).toLong)
+    assert(r.getAs[Double]("pieces_per_word") === 8.0 / 4)
+    // every vocab piece is a merge result; coverage is total via the
+    // 1-char fallback, so counts are bounded by word lengths
+    val dir2 = docsDir(Seq("batch merge sort join"))
+    val r2 = TextOps.tokensBpe(spark, dir2).head()
+    assert(r2.getAs[Long]("n_pieces") === 4L) // each word is one piece
+  }
+
+  test("pack/mixWeights: default tokenizer unchanged, bpe variant re-budgets") {
+    val dir = docsDir(Seq("the data table", "batch merge", "xyz xyz xyz"))
+    // default ("ws") must equal an explicit ws selection row-for-row
+    val d = TextOps.pack(spark, dir).collect().toSet
+    val ws = TextOps.pack(spark, dir, tokenizer = "ws").collect().toSet
+    assert(d === ws)
+    // bpe counts differ from word counts wherever words split to >1
+    // piece, so the packed token totals must differ on this fixture
+    val bpe = TextOps.pack(spark, dir, tokenizer = "bpe").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
+    val wsTok = ws.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
+    assert(bpe(0L) === 5L && wsTok(0L) === 3L) // the|data|ta,b,le
+    assert(bpe(2L) === 9L && wsTok(2L) === 3L) // xyz -> 3 fallback pieces
+    val mwWs = TextOps.mixWeights(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_tokens")).toMap
+    val mwBpe = TextOps.mixWeights(spark, dir, tokenizer = "bpe").collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_tokens")).toMap
+    assert(mwWs("spec") === 8L)
+    assert(mwBpe("spec") === (5 + 2 + 9).toLong)
+    intercept[IllegalArgumentException](TextOps.pack(spark, dir, tokenizer = "nope"))
+  }
+
   test("quality: exact ratios on a controlled doc") {
     val dir = docsDir(Seq("aa bb aa the"))
     val r = TextOps.quality(spark, dir).head()
