@@ -19,12 +19,17 @@ import graft.operators.VectorOps
   *     broadcast to every batch; ingest never mutates it;
   *   - each micro-batch computes nearest-centroid assignments for its
   *     vectors only (batch × broadcast codebook — no shuffle of
-  *     anything but the batch), and appends to a store PARTITIONED BY
-  *     the assigned bucket, so searches prune to probed buckets at the
-  *     file-listing level;
-  *   - the file-source + checkpoint pair makes re-runs exactly-once:
-  *     a restarted query skips files already committed, so replay
-  *     never double-inserts (spec-asserted).
+  *     anything but the batch), and lands in a store PARTITIONED BY
+  *     (ingest batch, assigned bucket), so searches prune to probed
+  *     buckets at the file-listing level;
+  *   - `foreachBatch` is only AT-LEAST-ONCE: if the process dies after
+  *     the sink write but before the checkpoint commits the offsets,
+  *     the restarted query re-delivers the same batch. The write is
+  *     therefore made IDEMPOTENT ON batchId — each batch OVERWRITES its
+  *     own `ingest_batch=<id>` directory, and since the assignment is
+  *     deterministic (frozen codebook, fixed tiebreak) the replay
+  *     rewrites identical rows instead of appending duplicates
+  *     (spec-asserted via a direct double-delivery of one batchId).
   */
 object StreamingVectors {
 
@@ -56,6 +61,20 @@ object StreamingVectors {
         col("c_label").as("assigned_label"), col("sim"))
   }
 
+  /** The per-batch sink write, idempotent on `batchId`: the batch
+    * OVERWRITES its own `ingest_batch=<id>` partition directory, so an
+    * at-least-once re-delivery (crash between sink write and offset
+    * commit) replaces the directory with the identical deterministic
+    * rows — the store never holds duplicates. Readers see the standard
+    * two-level partition layout (ingest_batch, then assigned_label).
+    */
+  def writeBatch(batch: DataFrame, codebook: DataFrame,
+      storePath: String, batchId: Long): Unit =
+    assignBatch(batch, codebook)
+      .write.mode("overwrite")
+      .partitionBy("assigned_label")
+      .parquet(s"$storePath/ingest_batch=$batchId")
+
   /** Drain the source directory into the bucket-partitioned store.
     * AvailableNow: processes exactly the files not yet committed to the
     * checkpoint, then stops — the restartable incremental-ingest unit.
@@ -63,11 +82,8 @@ object StreamingVectors {
   def startIvfIngest(spark: SparkSession, srcPath: String,
       codebook: DataFrame, storePath: String, checkpoint: String): StreamingQuery =
     embeddingStream(spark, srcPath).writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        assignBatch(batch, codebook)
-          .write.mode("append")
-          .partitionBy("assigned_label")
-          .parquet(storePath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatch(batch, codebook, storePath, batchId)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

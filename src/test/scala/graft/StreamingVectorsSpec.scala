@@ -51,9 +51,34 @@ class StreamingVectorsSpec extends SparkSpec {
     q3.awaitTermination(120000)
     assert(spark.read.parquet(store).count() === streamed.size.toLong)
 
-    // the store is physically bucket-partitioned (partition dirs exist)
-    val dirs = new java.io.File(store).listFiles()
-      .filter(_.isDirectory).map(_.getName)
-    assert(dirs.nonEmpty && dirs.forall(_.startsWith("assigned_label=")))
+    // the store is physically partitioned (ingest batch, then bucket) —
+    // searches prune to probed buckets at the file-listing level
+    val batchDirs = new java.io.File(store).listFiles()
+      .filter(_.isDirectory)
+    assert(batchDirs.nonEmpty && batchDirs.forall(_.getName.startsWith("ingest_batch=")))
+    assert(batchDirs.forall(_.listFiles().filter(_.isDirectory)
+      .forall(_.getName.startsWith("assigned_label="))))
+  }
+
+  test("a re-delivered batch overwrites itself: at-least-once becomes exactly-once") {
+    // foreachBatch re-runs a batch when the process dies after the sink
+    // write but before the offset commit; simulate that crash window by
+    // delivering the SAME (batch, batchId) twice directly
+    val store = tmp("graft-vec-replay") + "/index"
+    val codebook = VectorOps.centroidVectors(spark, sfDir, VectorOps.NList)
+    val batch = graft.sources.Tables.embeddings(spark, sfDir)
+      .where(col("vec_id") % 2 === 0)
+    StreamingVectors.writeBatch(batch, codebook, store, batchId = 7L)
+    val once = spark.read.parquet(store).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("assigned_label"))).sorted
+    StreamingVectors.writeBatch(batch, codebook, store, batchId = 7L)
+    val twice = spark.read.parquet(store).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("assigned_label"))).sorted
+    assert(twice === once, "replayed batch must not change the store")
+    // a DIFFERENT batchId with the same rows is a new delivery, not a
+    // replay — it lands in its own partition (the at-least-once
+    // contract is idempotence per batchId, not content dedup)
+    StreamingVectors.writeBatch(batch, codebook, store, batchId = 8L)
+    assert(spark.read.parquet(store).count() === 2L * once.length)
   }
 }
