@@ -86,7 +86,7 @@ class GoldenSpec extends SparkSpec {
     "dedup_clusters_fixpoint" -> ((-4388125515379173L, 45L)),
     "dedup_embedding" -> ((7768090945691118739L, 48L)),
     "emb_dedup_clusters" -> ((-1488179478009104348L, 85L)),
-    "emb_ivf_recall" -> ((-5220274446295646725L, 5L)),
+    "emb_ivf_recall" -> ((1904457532132159187L, 5L)),
     "host_multivalued" -> ((8207634536938707889L, 1000L)),
     "dedup_exact" -> ((678982984489084868L, 500L)),
     "dedup_fuzzy_edit" -> ((-4856991647417065686L, 28L)),
@@ -94,10 +94,10 @@ class GoldenSpec extends SparkSpec {
     "dedup_minhash_lsh" -> ((6079345517962131061L, 28L)),
     "dedup_ngram_jaccard" -> ((-284055497293970149L, 28L)),
     "dedup_simhash" -> ((5181732648382757078L, 9L)),
-    "emb_centroids" -> ((6767223133540346982L, 640L)),
-    "emb_ivf_assign" -> ((968546642130974861L, 500L)),
+    "emb_centroids" -> ((-9030565855135483668L, 640L)),
+    "emb_ivf_assign" -> ((7422272949875289096L, 500L)),
     "emb_knn_exact" -> ((5382587561670919428L, 50L)),
-    "emb_knn_ivf" -> ((-8547690800792426028L, 50L)),
+    "emb_knn_ivf" -> ((555602589019831830L, 50L)),
     "emb_knn_lsh" -> ((-7206143283623543429L, 50L)),
     "emb_knn_native" -> ((5382587561670919428L, 50L)),
     "emb_lsh_mp_recall" -> ((-3384436044905051576L, 5L)),
@@ -172,6 +172,8 @@ class GoldenSpec extends SparkSpec {
     "txt_split" -> ((139655551458257719L, 500L)),
     "txt_tfidf" -> ((6984402387703968371L, 1500L)),
     "txt_tokens" -> ((2856647791074966750L, 500L)),
+    "txt_tokens_bpe" -> ((-8471963999350200664L, 500L)),
+    "emb_pq_mse" -> ((8438085989015493168L, 2L)),
     // equal to emb_knn_exact's fingerprint: at sf0.001 the SQ8 shortlist
     // contains every true neighbor (recall 1.0) and the re-rank emits the
     // EXACT cosine — differential evidence the re-rank is lossless here
@@ -191,8 +193,8 @@ class GoldenSpec extends SparkSpec {
     "emb_pq_recall" -> ((6681137179820178689L, 5L)),
     "emb_knn_mrl" -> ((4719170906433506228L, 50L)),
     "emb_mrl_recall" -> ((3384963927178446285L, 5L)),
-    "emb_knn_ivfpq" -> ((-8547690800792426028L, 50L)),
-    "emb_ivfpq_recall" -> ((-5220274446295646725L, 5L)),
+    "emb_knn_ivfpq" -> ((8701345594176697128L, 50L)),
+    "emb_ivfpq_recall" -> ((1904457532132159187L, 5L)),
     "asset_reachability" -> ((8639256376167313932L, 29L)),
     "q43_lateral_topn" -> ((8323364537922325303L, 75L)),
     // equal to asset_reachability by construction: the fixture graph's

@@ -188,6 +188,85 @@ for (n <- Seq(16000, 48000)) {
   graft.operators.TextOps.release(spark)
 }
 
+println("== transitive-closure shape (frontier-dedup BFS over the REAL TPC-H hierarchy: lineitem -> order -> customer -> nation -> region) ==")
+// the asset graph is 19 pairs at any sf, so the closure probe derives a
+// genuinely growing DAG from the data itself: 4 levels, ~765k edges and
+// ~2.9M reachable pairs at sf0.1 — ~150,000x the asset fixture. Same
+// loop as GraphOps.assetClosure (anti-join frontier dedup, per-round
+// localCheckpoint, empty-frontier termination).
+for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+  def t(name: String) = spark.read.parquet(s"/root/testdata/$sf/$name.parquet")
+  val up = t("lineitem").select(
+      concat(lit("li:"), col("l_orderkey"), lit(":"), col("l_linenumber")).as("src"),
+      concat(lit("o:"), col("l_orderkey")).as("dst"))
+    .union(t("orders").select(concat(lit("o:"), col("o_orderkey")).as("src"),
+      concat(lit("c:"), col("o_custkey")).as("dst")))
+    .union(t("customer").select(concat(lit("c:"), col("c_custkey")).as("src"),
+      concat(lit("n:"), col("c_nationkey")).as("dst")))
+    .union(t("nation").select(concat(lit("n:"), col("n_nationkey")).as("src"),
+      concat(lit("r:"), col("n_regionkey")).as("dst")))
+    .localCheckpoint()
+  val nEdges = up.count()
+  var pairs = 0L
+  val s = timed {
+    var reached = up.withColumn("depth", lit(1L)).localCheckpoint()
+    var frontier = reached
+    var depth = 1L
+    while (depth < 10 && !frontier.isEmpty) {
+      depth += 1
+      val fresh = frontier.alias("a")
+        .join(up.alias("b"), col("a.dst") === col("b.src"))
+        .select(col("a.src").as("src"), col("b.dst").as("dst"))
+        .distinct()
+        .join(reached, Seq("src", "dst"), "left_anti")
+        .withColumn("depth", lit(depth))
+        .localCheckpoint()
+      reached = reached.unionAll(fresh).localCheckpoint()
+      frontier = fresh
+    }
+    pairs = reached.count()
+  }
+  println(f"  $sf%8s: edges=$nEdges%8d pairs=$pairs%9d $s%6.2f s")
+}
+
+println("== pagerank shape (edge-derivation scan x k over a FIXED 25-node graph; 5 integer-grid rounds) ==")
+// multi-reading lineitem scales the scan and the edge WEIGHTS while the
+// nation node set stays fixed — at web scale the node set grows too and
+// the broadcast rank join flips to a keyed shuffle (same plan shape);
+// what this probe demonstrates is that the derivation scan dominates
+// and the iteration cost is O(nodes + edges), independent of k
+for (k <- Seq(1, 8, 16)) {
+  val e0 = multi("lineitem", k).select(col("l_orderkey"), col("l_suppkey"))
+    .join(multi("orders", 1).select(col("o_orderkey"), col("o_custkey")),
+      col("l_orderkey") === col("o_orderkey"))
+    .join(broadcast(multi("customer", 1).select(col("c_custkey"), col("c_nationkey"))),
+      col("o_custkey") === col("c_custkey"))
+    .join(broadcast(multi("supplier", 1).select(col("s_suppkey"), col("s_nationkey"))),
+      col("l_suppkey") === col("s_suppkey"))
+    .groupBy(col("c_nationkey").cast("long").as("src"),
+      col("s_nationkey").cast("long").as("dst"))
+    .agg(count(lit(1)).as("w"))
+  val s = timed {
+    val wout = e0.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+    val edges = e0.join(wout, Seq("src")).localCheckpoint()
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    var pr = nodes.withColumn("pr", lit(1000000000L))
+    for (_ <- 1 to 5) {
+      val contrib = edges
+        .join(broadcast(pr), col("src") === col("node"))
+        .select(col("dst"), expr("(pr * 85 * w) div (100 * wout)").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
+      pr = nodes.join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(150000000L) + coalesce(col("contrib"), lit(0L))).as("pr"))
+        .localCheckpoint()
+    }
+    pr.agg(count(lit(1))).head()
+  }
+  println(f"  k=$k%2d: $s%6.2f s")
+}
+
 println("== minhash signature shape (explode + digest + partial-min agg; shuffle = |docs| x 9 longs) ==")
 for (k <- Seq(1, 8, 16)) {
   val docs = multi("documents", k)
