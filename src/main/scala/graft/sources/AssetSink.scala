@@ -122,4 +122,53 @@ object AssetSink {
   def write(df: DataFrame, path: String): Unit =
     AssetSchema.capKeywords(AssetSchema.conform(df))
       .write.mode("append").partitionBy("asset_type").parquet(path)
+
+  /** The ES `_bulk` WIRE FORMAT itself — the exact NDJSON body
+    * `esClient.bulk` (es_client.ts:29-31) would put on the wire for the
+    * reference's `// TBA` write step (run.ts:12-16): per asset one
+    * action line `{"index":{"_index":…,"_id":<ean>}}` (the EAN is the
+    * upsert identity — the same key the asset_upsert queries collapse
+    * on) followed by the source document under the reference's OWN
+    * field names (types.ts:1-13): dotted flat keys per the template's
+    * `subobjects: false`, `@timestamp` as ISO-8601 UTC, and the graph
+    * edges back as string ARRAYS (the '|'-joined scalars are this
+    * library's internal canonical form; the wire format restores the
+    * reference's `string[]`). Optional fields that are null are ABSENT
+    * from the JSON, as an ES document would have them.
+    *
+    * Both lines are built with `to_json` (proper escaping) and emitted
+    * via `explode` of a 2-element array, so the action line immediately
+    * precedes its document within every partition — no shuffle sits
+    * between the projection and the sink, which is what keeps the
+    * pairing stable. At scale each written partition file is one valid
+    * `_bulk` body (ES bulk requests are size-capped anyway, so the
+    * file-per-partition split IS the request batching).
+    */
+  def toBulkNdjson(df: DataFrame, index: String = "assets"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val conformed = AssetSchema.capKeywords(AssetSchema.conform(df))
+    def edges(c: String) =
+      when(col(c).isNotNull && col(c) =!= "", split(col(c), "\\|"))
+    val action = to_json(struct(
+      struct(lit(index).as("_index"), col("asset_ean").as("_id")).as("index")))
+    val doc = to_json(struct(
+      date_format(col("asset_ts"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").as("@timestamp"),
+      col("asset_ean").as("asset.ean"),
+      col("asset_type").as("asset.type"),
+      col("asset_id").as("asset.id"),
+      col("asset_name").as("asset.name"),
+      edges("asset_parents").as("asset.parents"),
+      edges("asset_children").as("asset.children"),
+      edges("asset_references").as("asset.references"),
+      col("cloud_provider").as("cloud.provider"),
+      col("orchestrator_cluster_name").as("orchestrator.cluster.name"),
+      col("service_environment").as("service.environment")))
+    conformed.select(explode(array(action, doc)).as("line"))
+  }
+
+  /** Write the `_bulk` NDJSON bodies as text files (one valid bulk body
+    * per partition file).
+    */
+  def writeBulkNdjson(df: DataFrame, path: String, index: String = "assets"): Unit =
+    toBulkNdjson(df, index).write.mode("append").text(path)
 }
