@@ -148,6 +148,34 @@ object VectorOps {
           expr("cosine_sim(embedding, qv)").as("sim")))
   }
 
+  /** Exact top-k via the native bounded-heap aggregate
+    * [[graft.functions.TopKBySim]] — the scale form of the KNN cut: the
+    * window variants shuffle every scored pair (N·|Q| rows) before
+    * ranking, while `topk_by_sim` runs under partial aggregation, so
+    * each map task reduces its slice to ≤ k rows per query and the
+    * exchange carries |tasks|·|Q|·k entries. Scores come from the
+    * native codegen cosine; ranks are array positions. Same DuckDB
+    * oracle as [[knnExact]] — row-identical output is the differential
+    * proof that the heap's (sim DESC, id ASC) cut equals the window's
+    * `row_number` semantics.
+    */
+  def knnExactTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val q = base.where(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    base.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        expr("cosine_sim(embedding, qv)").as("sim"))
+      .groupBy(col("query_id"))
+      .agg(expr(s"topk_by_sim(neighbor_id, sim, $K)").as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "nb")))
+      .select(col("query_id"), col("nb.neighbor_id").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rank"), col("nb.sim").as("sim"))
+  }
+
   /** Exact cosine top-k: broadcast-nested-loop against the tiny query
     * set; the embedding corpus is scanned once and never shuffled (the
     * only shuffle is the per-query window over N·|Q| pre-filtered rows).

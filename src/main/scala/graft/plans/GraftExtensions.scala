@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CosineSimilarity, SignBandKeys, SimHashAgg}
+import graft.functions.{CosineSimilarity, SignBandKeys, SimHashAgg, TopKBySim}
 
 /** Engine extension point: registers graft's native Catalyst functions.
   *
@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.signBandsDescriptor)
     ext.injectFunction(GraftExtensions.bloomAggDescriptor)
     ext.injectFunction(GraftExtensions.mightContainDescriptor)
+    ext.injectFunction(GraftExtensions.topkBySimDescriptor)
   }
 }
 
@@ -53,6 +54,19 @@ object GraftExtensions {
         SignBandKeys(exprs.head, np, bb)
       case _ => throw new IllegalArgumentException(
         "sign_bands numPlanes/bandBits must be integer literals")
+    }
+  }
+
+  // k is a case-class parameter (not a child expression) so the
+  // bounded buffers allocate once per group — the builder requires a
+  // foldable int literal at the call site, same as sign_bands
+  private val topkBySimBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 3,
+      s"topk_by_sim expects (id, sim, k), got ${exprs.length} arguments")
+    exprs(2) match {
+      case Literal(k: Int, IntegerType) => TopKBySim(exprs(0), exprs(1), k)
+      case _ => throw new IllegalArgumentException(
+        "topk_by_sim k must be an integer literal")
     }
   }
 
@@ -105,6 +119,11 @@ object GraftExtensions {
       "graft_might_contain"),
     mightContainBuilder)
 
+  val topkBySimDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("topk_by_sim"),
+    new ExpressionInfo(classOf[TopKBySim].getName, "topk_by_sim"),
+    topkBySimBuilder)
+
   /** Idempotent post-hoc registration on a live session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry
@@ -117,5 +136,7 @@ object GraftExtensions {
       .createOrReplaceTempFunction("graft_bloom_agg", bloomAggBuilder, "built-in")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("graft_might_contain", mightContainBuilder, "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("topk_by_sim", topkBySimBuilder, "built-in")
   }
 }

@@ -97,6 +97,9 @@ class GoldenSpec extends SparkSpec {
     "emb_centroids" -> ((-9030565855135483668L, 640L)),
     "emb_ivf_assign" -> ((7422272949875289096L, 500L)),
     "emb_knn_exact" -> ((5382587561670919428L, 50L)),
+    // identical by construction to emb_knn_exact: the heap's
+    // (sim DESC, id ASC) cut equals the window's row_number order
+    "emb_knn_topk" -> ((5382587561670919428L, 50L)),
     "emb_knn_ivf" -> ((555602589019831830L, 50L)),
     "emb_knn_lsh" -> ((-7206143283623543429L, 50L)),
     "emb_knn_native" -> ((5382587561670919428L, 50L)),

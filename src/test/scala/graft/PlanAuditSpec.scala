@@ -240,6 +240,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
 
+  test("topk aggregate cuts before the exchange: partial ObjectHashAggregate, no Window, no Sort") {
+    val df = SparkEntry.queries("emb_knn_topk")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the whole point of topk_by_sim: the scored N·|Q| rows reduce to
+    // ≤ k per query on the map side, so no window (which would shuffle
+    // every scored row) and no sort appear anywhere in the plan
+    assert(p.contains("ObjectHashAggregate"), p.take(800))
+    assert(p.contains("partial_topk_by_sim"), p.take(800))
+    assert(!p.contains("Window"), p.take(800))
+    assert(!p.split("\n").exists(l => l.trim.startsWith("+- Sort") || l.trim.startsWith(":- Sort")), p.take(800))
+  }
+
   test("asset reachability reuses ONE memoized edge set across all hop joins") {
     graft.operators.TextOps.release(spark)
     val df = SparkEntry.queries("asset_reachability")(spark, sfDir)
