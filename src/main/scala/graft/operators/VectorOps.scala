@@ -121,12 +121,36 @@ object VectorOps {
   private def cosine: org.apache.spark.sql.Column =
     (expr(dot("embedding", "qv")) / (sqrt(col("nrm")) * sqrt(col("qnrm")))).as("sim")
 
+  /** Final per-query cut via the native bounded-heap aggregate
+    * ([[graft.functions.TopKBySim]]): identical rows to the
+    * `row_number() OVER (ORDER BY sim DESC, neighbor_id)` + filter
+    * form (same strict total order — every oracle stays the window
+    * formulation, which is the standing differential proof), but the
+    * scored pairs reduce to ≤ K per query on the map side instead of
+    * all shuffling into a window sort.
+    */
   private def topK(sims: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    sims.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= K)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+    graft.plans.GraftExtensions.register(sims.sparkSession)
+    sims.groupBy(col("query_id"))
+      .agg(expr(s"topk_by_sim(neighbor_id, sim, $K)").as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "nb")))
+      .select(col("query_id"), col("nb.neighbor_id").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rank"), col("nb.sim").as("sim"))
+  }
+
+  /** Shortlist cut for the approximate passes: the rr best
+    * (asim DESC, neighbor_id ASC) candidates per query as bare
+    * (query_id, neighbor_id) pairs — payload columns rejoin AFTER the
+    * cut, so the pre-exchange stream carries 16 bytes per scored pair
+    * instead of two embeddings + norms per row, and the window the
+    * `arank` form would sort N·|Q| rows through disappears.
+    */
+  private def shortlistIds(approx: DataFrame, rr: Int): DataFrame = {
+    graft.plans.GraftExtensions.register(approx.sparkSession)
+    approx.groupBy(col("query_id"))
+      .agg(expr(s"topk_by_sim(neighbor_id, asim, $rr)").as("tk"))
+      .select(col("query_id"),
+        explode(expr("transform(tk, t -> t.neighbor_id)")).as("neighbor_id"))
   }
 
   /** Exact top-k via the native codegen [[graft.functions.CosineSimilarity]]
@@ -626,19 +650,19 @@ object VectorOps {
     val q = coded.where(col("vec_id") % QueryMod === 0)
       .select(col("vec_id").as("query_id"),
         col("embedding").as("qv"), col("nrm").as("qnrm"))
+    // the approximate stream carries only (query, neighbor, score):
+    // float payloads rejoin after the shortlist cut (see shortlistIds)
     val approx = coded
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("deq"), col("dnrm"))
+      .select(col("vec_id"), col("deq"), col("dnrm"))
       .crossJoin(broadcast(q))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("embedding"), col("nrm"), col("qv"), col("qnrm"),
         (expr(dot("deq", "qv")) / (sqrt(col("dnrm")) * sqrt(col("qnrm"))))
           .as("asim"))
-    val ws = Window.partitionBy(col("query_id"))
-      .orderBy(col("asim").desc, col("neighbor_id").asc)
-    val shortlist = approx
-      .withColumn("arank", row_number().over(ws))
-      .where(col("arank") <= Sq8ReRank * K)
+    val shortlist = shortlistIds(approx, Sq8ReRank * K)
+      .join(coded.select(col("vec_id").as("neighbor_id"), col("embedding"),
+        col("nrm")), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
     topK(shortlist.select(col("query_id"), col("neighbor_id"), cosine))
   }
 
@@ -837,18 +861,21 @@ object VectorOps {
 
   def knnPq(spark: SparkSession, dir: String): DataFrame = {
     val base = withNorm(spark, dir)
+    val q = base.where(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qnrm"))
+    // ADC never touches float vectors, and neither does the shortlist
+    // stream: codes × broadcast LUT → (query, neighbor, asim) only
     val approx = pqCodes(spark, dir)
-      .join(base.select(col("vec_id"), col("embedding"), col("nrm")), Seq("vec_id"))
-      .crossJoin(broadcast(pqQueryLut(spark, dir)))
+      .crossJoin(broadcast(pqQueryLut(spark, dir)
+        .select(col("query_id"), col("lut"), col("qnrm"))))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("embedding"), col("nrm"), col("qv"), col("qnrm"),
         (expr(pqAdcExpr) / (sqrt(col("rnrm")) * sqrt(col("qnrm")))).as("asim"))
-    val ws = Window.partitionBy(col("query_id"))
-      .orderBy(col("asim").desc, col("neighbor_id").asc)
-    val shortlist = approx
-      .withColumn("arank", row_number().over(ws))
-      .where(col("arank") <= PqReRank * K)
+    val shortlist = shortlistIds(approx, PqReRank * K)
+      .join(base.select(col("vec_id").as("neighbor_id"), col("embedding"),
+        col("nrm")), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
     topK(shortlist.select(col("query_id"), col("neighbor_id"), cosine))
   }
 
@@ -1021,18 +1048,16 @@ object VectorOps {
       .join(pqrCodes(spark, dir, nlist)
         .select(col("vec_id").as("neighbor_id"), col("codes"), col("rnrm")),
         Seq("neighbor_id"))
-      .join(base.select(col("vec_id").as("neighbor_id"), col("embedding"),
-        col("nrm")), Seq("neighbor_id"))
-      .join(broadcast(pqrQueryLut(spark, dir, nlist)), Seq("query_id"))
+      .join(broadcast(pqrQueryLut(spark, dir, nlist)
+        .select(col("query_id"), col("lut"), col("qnrm"))), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        col("embedding"), col("nrm"), col("qv"), col("qnrm"),
         ((col("qcdot") + expr(pqAdcExpr)) / (sqrt(col("rnrm")) * sqrt(col("qnrm"))))
           .as("asim"))
-    val ws = Window.partitionBy(col("query_id"))
-      .orderBy(col("asim").desc, col("neighbor_id").asc)
-    val shortlist = approx
-      .withColumn("arank", row_number().over(ws))
-      .where(col("arank") <= PqReRank * K)
+    val shortlist = shortlistIds(approx, PqReRank * K)
+      .join(base.select(col("vec_id").as("neighbor_id"), col("embedding"),
+        col("nrm")), Seq("neighbor_id"))
+      .join(broadcast(q.select(col("query_id"), col("qv"), col("qnrm"))),
+        Seq("query_id"))
     topK(shortlist.select(col("query_id"), col("neighbor_id"), cosine))
   }
 
@@ -1127,18 +1152,20 @@ object VectorOps {
     val q = base.where(col("vec_id") % QueryMod === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("nrm").as("qnrm"), col("pv").as("qpv"), col("pnrm").as("qpnrm"))
+    // the truncated pass streams only prefixes and scores; full-width
+    // payloads rejoin after the shortlist cut
     val approx = base
-      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("pv"), col("pnrm"))
+      .crossJoin(broadcast(q.select(col("query_id"), col("qpv"), col("qpnrm"))))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("embedding"), col("nrm"), col("qv"), col("qnrm"),
         (expr(dot("pv", "qpv")) / (sqrt(col("pnrm")) * sqrt(col("qpnrm"))))
           .as("asim"))
-    val ws = Window.partitionBy(col("query_id"))
-      .orderBy(col("asim").desc, col("neighbor_id").asc)
-    val shortlist = approx
-      .withColumn("arank", row_number().over(ws))
-      .where(col("arank") <= MrlReRank * K)
+    val shortlist = shortlistIds(approx, MrlReRank * K)
+      .join(base.select(col("vec_id").as("neighbor_id"), col("embedding"),
+        col("nrm")), Seq("neighbor_id"))
+      .join(broadcast(q.select(col("query_id"), col("qv"), col("qnrm"))),
+        Seq("query_id"))
     topK(shortlist.select(col("query_id"), col("neighbor_id"), cosine))
   }
 
