@@ -447,20 +447,38 @@ object VectorOps {
       .select(col("c_label"), col("centroid"),
         expr(dot("centroid", "centroid")).as("cnrm"))
 
-  /** Per-vector cosine against every centroid of `cvecs`, ranked
-    * (sim DESC, c_label ASC — the deterministic tiebreak both engines
-    * share). Broadcast codebook: the corpus never shuffles; the only
-    * shuffle is the per-vector argmax window.
+  /** Per-vector cosine against every centroid of `cvecs` — the scored
+    * stream every assignment/probe cut runs over. Broadcast codebook:
+    * the corpus never shuffles.
     */
-  private def simsAgainst(base: DataFrame, cvecs: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("sim").desc, col("c_label").asc)
+  private def centroidScores(base: DataFrame, cvecs: DataFrame): DataFrame =
     base.crossJoin(broadcast(cvecs))
       .select(col("vec_id"), col("label"), col("c_label"),
         (expr(dot("embedding", "centroid")) / (sqrt(col("nrm")) * sqrt(col("cnrm"))))
           .as("sim"))
-      .withColumn("rn", row_number().over(w))
+
+  /** The `nearest` best centroids per vector, best-first, via the
+    * bounded-heap aggregate — identical rows to ranking the scores
+    * with a `(sim DESC, c_label ASC)` window and keeping `rn ≤
+    * nearest` (same strict total order), but the N·nlist scored rows
+    * reduce map-side to one array per vector instead of all shuffling
+    * into a window sort — the cut that matters when the ASSIGNMENT
+    * (the corpus-wide IVF partitioner) is the operator.
+    */
+  private def nearestCentroids(base: DataFrame, cvecs: DataFrame,
+      nearest: Int): DataFrame = {
+    graft.plans.GraftExtensions.register(base.sparkSession)
+    centroidScores(base, cvecs)
+      .groupBy(col("vec_id"), col("label"))
+      .agg(expr(s"topk_by_sim(CAST(c_label AS BIGINT), sim, $nearest)").as("tk"))
+      .select(col("vec_id"), col("label"),
+        posexplode(col("tk")).as(Seq("pos", "nb")))
+      .select(col("vec_id"), col("label"),
+        col("nb.neighbor_id").cast("int").as("c_label"),
+        col("nb.sim").as("sim"),
+        (col("pos") + 1).as("rn"))
   }
+
 
   /** The TRAINED IVF codebook in long format: `label % nlist` seeds the
     * initial partition (the fixture's labels are a structured seed —
@@ -483,8 +501,7 @@ object VectorOps {
         .select(pmod(col("label"), lit(nlist)).as("grp"), col("embedding"))
       var means = meansBy(seed)
       for (_ <- 1 to LloydRounds) {
-        val assigned = simsAgainst(base, vectorsFromMeans(means))
-          .where(col("rn") === 1)
+        val assigned = nearestCentroids(base, vectorsFromMeans(means), nearest = 1)
           .select(col("vec_id"), col("c_label").as("grp"))
         means = meansBy(assigned
           .join(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
@@ -523,25 +540,31 @@ object VectorOps {
       vectorsFromMeans(centroidsRaw(spark, dir, nlist))
     }
 
-  /** Per-vector cosine against every trained centroid, ranked
-    * (broadcast codebook — the corpus never shuffles).
+  /** The [[NProbe]] nearest trained centroids for each QUERY vector
+    * only — the probe set of the IVF searches, computed on the query
+    * subset (filtering before scoring: the old form scored the whole
+    * corpus and then threw away 99% of the rows).
     */
-  private def centroidSims(spark: SparkSession, dir: String, nlist: Int): DataFrame =
-    simsAgainst(withNorm(spark, dir), centroidVectors(spark, dir, nlist))
+  private def queryProbes(spark: SparkSession, dir: String, nlist: Int): DataFrame =
+    nearestCentroids(
+      withNorm(spark, dir).where(col("vec_id") % QueryMod === 0),
+      centroidVectors(spark, dir, nlist), NProbe)
+      .select(col("vec_id").as("query_id"), col("c_label").as("assigned_label"))
 
   /** Nearest-centroid assignment (the IVF partitioner): `nlist`
     * centroids broadcast against the corpus; cosine against each;
-    * argmax via a per-vector window. Output keeps the true label for a
-    * train-style purity readout. Memoized: the assignment IS the
-    * inverted lists — the index artifact a deployment stores next to
-    * the codebook — and four queries (knnIvf, ivfRecall, knnIvfPq's
-    * candidates, the residual encoder) would otherwise each re-run the
-    * corpus-wide argmax window.
+    * argmax via the bounded-heap aggregate (the corpus-wide assignment
+    * is exactly the cut [[nearestCentroids]] exists for). Output keeps
+    * the true label for a train-style purity readout. Memoized: the
+    * assignment IS the inverted lists — the index artifact a
+    * deployment stores next to the codebook — and four queries
+    * (knnIvf, ivfRecall, knnIvfPq's candidates, the residual encoder)
+    * would otherwise each re-run the corpus-wide argmax.
     */
   def ivfAssign(spark: SparkSession, dir: String, nlist: Int = NList): DataFrame =
     TextOps.memoized(spark, dir, s"ivf_assign_$nlist") {
-      centroidSims(spark, dir, nlist)
-        .where(col("rn") === 1)
+      nearestCentroids(withNorm(spark, dir), centroidVectors(spark, dir, nlist),
+        nearest = 1)
         .select(col("vec_id"), col("label"),
           col("c_label").as("assigned_label"), col("sim"))
         .localCheckpoint() // plan-size cut, same device as centroidsRaw
@@ -680,9 +703,7 @@ object VectorOps {
   def knnIvf(spark: SparkSession, dir: String, nlist: Int = NList): DataFrame = {
     val assignments = ivfAssign(spark, dir, nlist)
       .select(col("vec_id").as("neighbor_id"), col("assigned_label"))
-    val probes = centroidSims(spark, dir, nlist)
-      .where(col("vec_id") % QueryMod === 0 && col("rn") <= NProbe)
-      .select(col("vec_id").as("query_id"), col("c_label").as("assigned_label"))
+    val probes = queryProbes(spark, dir, nlist)
     val candidates = probes.join(assignments, Seq("assigned_label"))
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"))
@@ -1032,9 +1053,7 @@ object VectorOps {
     val q = base.where(col("vec_id") % QueryMod === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("nrm").as("qnrm"))
-    val probes = centroidSims(spark, dir, nlist)
-      .where(col("vec_id") % QueryMod === 0 && col("rn") <= NProbe)
-      .select(col("vec_id").as("query_id"), col("c_label").as("assigned_label"))
+    val probes = queryProbes(spark, dir, nlist)
       .join(broadcast(centroidVectors(spark, dir, nlist)
         .select(col("c_label").as("assigned_label"), col("centroid"))),
         Seq("assigned_label"))
