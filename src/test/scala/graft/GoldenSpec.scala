@@ -203,7 +203,10 @@ class GoldenSpec extends SparkSpec {
     // equal to asset_reachability by construction: the fixture graph's
     // diameter is within ReachDepth, so unbounded recursion and bounded
     // unrolling converge to the same min-depth closure
-    "asset_closure" -> ((8639256376167313932L, 29L))
+    "asset_closure" -> ((8639256376167313932L, 29L)),
+    // equal by construction to asset_closure: incremental maintenance
+    // over a 70/30 edge split must land on the full-closure fixpoint
+    "asset_closure_incr" -> ((8639256376167313932L, 29L))
   )
 
   test("golden: every query output is frozen at sf0.001") {

@@ -84,6 +84,48 @@ class GraphOpsSpec extends SparkSpec {
     assert(cl.nonEmpty)
   }
 
+  test("incremental closure equals batch BFS when edges arrive in batches") {
+    val s = spark; import s.implicits._
+    def closureSet(df: org.apache.spark.sql.DataFrame): Set[(String, String, Long)] =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // the asset fixture's own edges, split deterministically
+    val all = GraphOps.upwardEdges(spark, sfDir).localCheckpoint()
+    val init = all.where(abs(hash(col("src"), col("dst"))) % 10 < 7)
+    val delta = all.where(abs(hash(col("src"), col("dst"))) % 10 >= 7)
+    assert(delta.count() > 0 && init.count() > 0)
+    val incr = GraphOps.incrementalClosure(GraphOps.closureOf(init), delta)
+    assert(closureSet(incr) === closureSet(GraphOps.closureOf(all)))
+  }
+
+  test("incremental closure relaxes depths through new shortcut edges and handles cycles") {
+    val s = spark; import s.implicits._
+    // chain a->b->c->d, then a shortcut a->c arrives: a->d must improve
+    // from depth 3 to 2, a->c appear at 1
+    val chain = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    val shortcut = Seq(("a", "c")).toDF("src", "dst")
+    val out = GraphOps.incrementalClosure(GraphOps.closureOf(chain), shortcut)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out(("a", "c")) === 1L)
+    assert(out(("a", "d")) === 2L)
+    assert(out(("a", "b")) === 1L)
+    // seeded random digraph WITH cycles, arriving in two batches, must
+    // equal the batch BFS over the union; and building from an EMPTY
+    // closure must equal the batch BFS too
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(60)((s"n${rnd.nextInt(18)}", s"n${rnd.nextInt(18)}"))
+      .distinct.filter(e => e._1 != e._2)
+    val (e1, e2) = edges.splitAt(edges.size * 2 / 3)
+    val all = edges.toDF("src", "dst")
+    def cset(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val batch = cset(GraphOps.closureOf(all))
+    assert(cset(GraphOps.incrementalClosure(
+      GraphOps.closureOf(e1.toDF("src", "dst")), e2.toDF("src", "dst"))) === batch)
+    val empty = Seq.empty[(String, String, Long)]
+      .toDF("asset_ean", "reached_ean", "depth")
+    assert(cset(GraphOps.incrementalClosure(empty, all)) === batch)
+  }
+
   test("pagerank ranks a heavily-bought-from nation above a lightly-bought-from one") {
     val inW = GraphOps.degreeCentrality(spark, sfDir).collect()
       .map(r => r.getAs[Long]("node") -> r.getAs[Long]("in_w")).toMap
