@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.operators.GraphOps
+
+/** Transitive-closure maintenance under streaming edge ingest — the
+  * graph-side member of the incremental family (StreamingCorpus dedups,
+  * StreamingVectors indexes, this one closes): edge batches arrive as
+  * files and the reachability store must absorb them without
+  * recomputing the closure from scratch.
+  *
+  * Design:
+  *   - state is the closure TABLE itself (asset_ean, reached_ean,
+  *     depth), versioned per batch: batch B reads the newest committed
+  *     version, runs [[GraphOps.incrementalClosure]] over its edges
+  *     only (work scales with the affected neighborhood), and writes
+  *     `version=B` in full;
+  *   - `foreachBatch` is at-least-once, so the write is idempotent on
+  *     batchId: a re-delivered batch OVERWRITES its own version
+  *     directory with identical deterministic rows (same previous
+  *     version + same edges), never duplicating state — the
+  *     StreamingVectors device applied to a whole-table artifact;
+  *   - readers take the max committed version — the closure-so-far.
+  *     A full write per batch is the honest cost of maintaining a
+  *     GLOBAL artifact under idempotency; the saving vs recompute is
+  *     in the WORK (relaxation touches only affected pairs), and at
+  *     scale the store would be a format with row-level upsert
+  *     semantics, same maintenance algebra.
+  */
+object StreamingGraph {
+
+  val edgeSchema: StructType = StructType(Seq(
+    StructField("src", StringType),
+    StructField("dst", StringType)))
+
+  def edgeStream(spark: SparkSession, path: String): DataFrame =
+    spark.readStream.schema(edgeSchema).parquet(path)
+
+  private val emptyClosureSchema = StructType(Seq(
+    StructField("asset_ean", StringType),
+    StructField("reached_ean", StringType),
+    StructField("depth", LongType)))
+
+  /** Latest committed closure version under `storePath` (empty frame if
+    * none yet). Versions are directory names `version=<batchId>`.
+    */
+  def latestClosure(spark: SparkSession, storePath: String): DataFrame = {
+    val dir = new java.io.File(storePath)
+    val versions = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("version="))
+      .map(_.getName.stripPrefix("version=").toLong)
+    if (versions.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        emptyClosureSchema)
+    else
+      spark.read.parquet(s"$storePath/version=${versions.max}")
+  }
+
+  /** The per-batch maintenance step, idempotent on `batchId`: relax the
+    * newest committed closure through this batch's edges and overwrite
+    * this batch's own version directory.
+    */
+  def writeBatch(spark: SparkSession, batch: DataFrame,
+      storePath: String, batchId: Long): Unit = {
+    // a REPLAYED batch must relax the same previous version it saw the
+    // first time, not its own output — versions below this batchId are
+    // by definition committed before it
+    val prevVersions = {
+      val dir = new java.io.File(storePath)
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("version="))
+        .map(_.getName.stripPrefix("version=").toLong)
+        .filter(_ < batchId)
+    }
+    val prev =
+      if (prevVersions.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          emptyClosureSchema)
+      else spark.read.parquet(s"$storePath/version=${prevVersions.max}")
+    GraphOps.incrementalClosure(prev, batch)
+      .write.mode("overwrite")
+      .parquet(s"$storePath/version=$batchId")
+  }
+
+  /** Drain the edge source into the versioned closure store.
+    * AvailableNow: processes exactly the files not yet committed to the
+    * checkpoint, then stops — the restartable maintenance unit.
+    */
+  def startClosureMaintenance(spark: SparkSession, srcPath: String,
+      storePath: String, checkpoint: String): StreamingQuery =
+    edgeStream(spark, srcPath).writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatch(spark, batch, storePath, batchId)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}
