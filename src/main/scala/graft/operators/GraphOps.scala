@@ -244,29 +244,35 @@ object GraphOps {
         .localCheckpoint()
       improved = !better.isEmpty
       if (improved)
+        // no per-round lineage cut here: rounds track new-edge segment
+        // alternation (small), and `better` — the only recomputed input
+        // — is already materialized above; one less job per round
         merged = merged.unionAll(better)
           .groupBy(col("src"), col("dst"))
           .agg(min(col("depth")).as("depth"))
-          .localCheckpoint()
     }
     merged.select(col("src").as("asset_ean"), col("dst").as("reached_ean"),
       col("depth"))
   }
 
   /** Registry surface for [[incrementalClosure]]: split the asset
-    * graph's edges deterministically (hash mod) into an initial 70%
-    * and an arriving 30%, build the closure of the initial set, then
-    * maintain it incrementally with the delta. The result must equal
-    * the batch closure of ALL edges — so the DuckDB oracle is
+    * graph's edges deterministically (hash mod) into an initial ~95%
+    * and an arriving ~5% (a small delta is the streaming arrival
+    * shape — the relaxation's round count tracks how many new-edge
+    * segments an optimal path alternates through, so a small batch
+    * converges in 1-2 rounds; the GraphOpsSpec property tests exercise
+    * heavier 30-40% splits), build the closure of the initial set,
+    * then maintain it incrementally with the delta. The result must
+    * equal the batch closure of ALL edges — so the DuckDB oracle is
     * [[assetClosure]]'s own recursive CTE, making every driver run a
     * differential proof of the maintenance algebra.
     */
   def assetClosureIncremental(spark: SparkSession, dir: String): DataFrame = {
     val all = upwardEdges(spark, dir).localCheckpoint()
-    val split = abs(hash(col("src"), col("dst"))) % 10
+    val split = abs(hash(col("src"), col("dst"))) % 20
     incrementalClosure(
-      closureOf(all.where(split < 7)),
-      all.where(split >= 7))
+      closureOf(all.where(split < 19)),
+      all.where(split >= 19))
   }
 
   /** Weighted PageRank over the trade graph, [[PrRounds]] fixed
