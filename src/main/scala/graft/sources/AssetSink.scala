@@ -171,4 +171,22 @@ object AssetSink {
     */
   def writeBulkNdjson(df: DataFrame, path: String, index: String = "assets"): Unit =
     toBulkNdjson(df, index).write.mode("append").text(path)
+
+  /** The index-template request body the reference installs at client
+    * creation (`putIndexTemplate(assetsIndexTemplateConfig)`,
+    * es_client.ts:48; template assets_index_template.ts:3-32) — the
+    * other half of the ES wire surface next to [[toBulkNdjson]]:
+    * `assets*` pattern, `subobjects: false` (why the bulk docs carry
+    * dotted FLAT keys), dynamic strings→keyword capped at
+    * [[AssetSchema.MaxKeywordLen]] (the same constant the parquet write
+    * boundary enforces — spec-asserted so the two can't drift), and
+    * `@timestamp` as a date.
+    */
+  def indexTemplateJson: String =
+    s"""{"name":"assets","index_patterns":["assets*"],"priority":100,""" +
+      s""""template":{"settings":{},"mappings":{"subobjects":false,""" +
+      s""""dynamic_templates":[{"strings_as_keywords":{"mapping":""" +
+      s"""{"ignore_above":${AssetSchema.MaxKeywordLen},"type":"keyword"},""" +
+      s""""match_mapping_type":"string"}}],""" +
+      s""""properties":{"@timestamp":{"type":"date"}}}}}"""
 }

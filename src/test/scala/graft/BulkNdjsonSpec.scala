@@ -62,6 +62,24 @@ class BulkNdjsonSpec extends SparkSpec {
     }
   }
 
+  test("index template body mirrors the reference's config and the write-boundary cap") {
+    val s = spark; import s.implicits._
+    val t = spark.read.json(Seq(AssetSink.indexTemplateJson).toDS())
+    assert(t.select(col("name")).head().getString(0) === "assets")
+    assert(t.select(col("index_patterns")).head().getSeq[String](0) === Seq("assets*"))
+    assert(t.select(col("priority")).head().getLong(0) === 100L)
+    assert(t.select(col("template.mappings.subobjects")).head().getBoolean(0) === false)
+    assert(t.select(col("`template`.`mappings`.`properties`.`@timestamp`.`type`"))
+      .head().getString(0) === "date")
+    // the template's keyword cap IS the parquet write boundary's cap —
+    // one constant, so the two sinks cannot drift apart
+    val cap = t.select(
+      col("template.mappings.dynamic_templates")(0)
+        .getField("strings_as_keywords").getField("mapping")
+        .getField("ignore_above")).head().getLong(0)
+    assert(cap === graft.sources.AssetSchema.MaxKeywordLen.toLong)
+  }
+
   test("writeBulkNdjson lands text files whose lines reparse as the same stream") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bulk").toString + "/out"
     val assets = Assets.assetsAll(spark, sfDir)
