@@ -240,6 +240,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
 
+  test("collapse gets a partial WindowGroupLimit before its exchange") {
+    // the declarative top-1-per-key window already cuts map-side:
+    // InferWindowGroupLimit places a Partial group-limit under the
+    // exchange, so the shuffle never carries the full signal scan —
+    // the reason collapseLatest stays a window (see its Scaladoc)
+    val df = SparkEntry.queries("svc_collapse")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+    assert(p.split("\n").exists(l =>
+      l.contains("WindowGroupLimit") && l.contains("Partial")), p.take(800))
+  }
+
   test("topk aggregate cuts before the exchange: partial ObjectHashAggregate, no Window, no Sort") {
     val df = SparkEntry.queries("emb_knn_topk")(spark, sfDir)
     df.collect()
