@@ -48,10 +48,16 @@ object Bench {
     // emb_knn_pq materializes the PQ family's memoized artifacts
     // (pq_codebook, pq_codes) — build-once-per-session like the IVF
     // codebook above
+    // emb_knn_ivfpq materializes the residual IVF-PQ family's artifacts
+    // (ivfpq_residuals, pqr_codebook, pqr_codes plus the trained
+    // ivf_means/ivf_assign it builds on) — without it the multi-second
+    // memo build lands inside the first timed sample of whichever
+    // residual query runs first (r6 driver bench: emb_ivfpq_recall
+    // recorded 16.8s vs 1.3s steady-state)
     for (w <- Seq("q1_pricing_summary", "q18_string_funcs", "q23_star_join",
         "svc_collapse", "txt_tokens", "txt_simhash", "dedup_simhash",
         "emb_centroids", "dedup_minhash", "dedup_clusters",
-        "emb_dedup_clusters", "emb_knn_ivf", "emb_knn_pq"))
+        "emb_dedup_clusters", "emb_knn_ivf", "emb_knn_pq", "emb_knn_ivfpq"))
       try drive(w) catch { case _: Throwable => () }
     // Per-query instrumentation to stderr as the run progresses:
     // wall seconds plus the session's cumulative GC time delta, so a

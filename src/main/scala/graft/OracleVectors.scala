@@ -363,7 +363,8 @@ object OracleVectors {
        |SELECT vec_id, label, c_label AS assigned_label, sim
        |FROM cranked WHERE rn = 1""".stripMargin
 
-  def knnIvf(nlist: Int = VectorOps.NList): String =
+  def knnIvf(nlist: Int = VectorOps.NList,
+      nprobe: Int = VectorOps.NProbe): String =
     s"""WITH $baseCte, ${centroidsCte(nlist)},
        |$centroidSimsCtes,
        |assignments AS (
@@ -372,7 +373,7 @@ object OracleVectors {
        |),
        |probes AS (
        |  SELECT vec_id AS query_id, c_label AS assigned_label
-       |  FROM cranked WHERE vec_id % $qm = 0 AND rn <= ${VectorOps.NProbe}
+       |  FROM cranked WHERE vec_id % $qm = 0 AND rn <= $nprobe
        |),
        |candidates AS (
        |  SELECT p.query_id, a.neighbor_id
@@ -645,7 +646,8 @@ object OracleVectors {
     * pruning from the trained coarse quantizer, ADC = <q, c_probe> +
     * LUT fold over residual codes, shared exact re-rank tail.
     */
-  def knnIvfPq(nlist: Int = VectorOps.NList): String =
+  def knnIvfPq(nlist: Int = VectorOps.NList,
+      nprobe: Int = VectorOps.NProbe): String =
     s"""WITH $baseCte, ${centroidsCte(nlist)},
        |$centroidSimsCtes,
        |$qsetCte,
@@ -660,7 +662,7 @@ object OracleVectors {
        |  FROM cranked p
        |  JOIN cnorm c ON c.c_label = p.c_label
        |  JOIN qset q ON q.query_id = p.vec_id
-       |  WHERE p.vec_id % $qm = 0 AND p.rn <= ${VectorOps.NProbe}
+       |  WHERE p.vec_id % $qm = 0 AND p.rn <= $nprobe
        |),
        |candidates AS (
        |  SELECT p.query_id, a.neighbor_id, p.qcdot
@@ -727,12 +729,12 @@ object OracleVectors {
   }
 
   /** Recall@K of IVF-PQ vs exact, composing the two query oracles. */
-  val ivfPqRecall: String =
+  def ivfPqRecall(nprobe: Int = VectorOps.NProbe): String =
     s"""SELECT e.query_id,
        |  CAST(count(l."rank") AS DOUBLE) / $k AS recall_at_k,
        |  count(*) AS n_exact
        |FROM ($knnExact) e
-       |LEFT JOIN (${knnIvfPq()}) l
+       |LEFT JOIN (${knnIvfPq(nprobe = nprobe)}) l
        |  ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
        |GROUP BY e.query_id""".stripMargin
 

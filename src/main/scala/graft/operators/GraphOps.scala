@@ -205,11 +205,30 @@ object GraphOps {
     * affected neighborhood, not the graph; depths decrease
     * monotonically over a finite pair set, so the fixpoint is reached
     * and (spec-asserted on seeded random graphs, cycles included) it
-    * equals [[assetClosure]]'s BFS over the union edge set. Depths are
-    * TRUE min depths (the relaxation terminates on its own, no guard);
-    * they equal the BFS's wherever min depth is within
-    * [[ClosureMaxDepth]]. Starting from an EMPTY closure degenerates
-    * to a full (doubling-style) closure build — also spec-asserted.
+    * equals [[assetClosure]]'s BFS over the union edge set.
+    *
+    * Depth cap: the output applies the same [[ClosureMaxDepth]] cut as
+    * [[closureOf]] and the DuckDB oracle's recursive CTE, so the two
+    * formulations truncate identically on graphs deeper than the cap.
+    * The cut composes with a CAPPED previous closure exactly: a pair
+    * whose true min depth is ≤ cap decomposes as prefix + new edge +
+    * suffix with d1 + d2 + 1 ≤ cap, so both segments (d1, d2 ≤ cap−1)
+    * are present in the capped input — nothing below the cap is ever
+    * lost, and everything above it is cut on both sides. (The
+    * relaxation itself runs uncapped and terminates on its own: depths
+    * decrease monotonically over a finite pair set.) Starting from an
+    * EMPTY closure degenerates to a full (doubling-style) closure
+    * build — also spec-asserted.
+    *
+    * Merge shape: improved rows replace their stale versions via
+    * `merged anti-join better` + union — O(|better|) plus one keyed
+    * lookup into the accumulated closure — NOT a full-closure
+    * re-aggregation (a per-round groupBy(min) over every (src, dst)
+    * pair would make the merge the dominant cost at scale and break
+    * the "work tracks the affected neighborhood" contract). `better`
+    * is already deduped to best-depth per pair by its groupBy, so the
+    * union introduces no duplicates. Lineage is cut per round; rounds
+    * track new-edge segment alternation, so the cut count stays small.
     */
   def incrementalClosure(prevClosure: DataFrame, newEdges: DataFrame): DataFrame = {
     val fresh = newEdges.select(col("src"), col("dst")).distinct().localCheckpoint()
@@ -244,15 +263,18 @@ object GraphOps {
         .localCheckpoint()
       improved = !better.isEmpty
       if (improved)
-        // no per-round lineage cut here: rounds track new-edge segment
-        // alternation (small), and `better` — the only recomputed input
-        // — is already materialized above; one less job per round
-        merged = merged.unionAll(better)
-          .groupBy(col("src"), col("dst"))
-          .agg(min(col("depth")).as("depth"))
+        // replace-don't-reaggregate: drop the stale versions of the
+        // improved pairs (anti-join — `better` is small, broadcast-able)
+        // and append the improved rows. The checkpoint both cuts the
+        // round-over-round lineage and materializes the frame the next
+        // round's pre/post self-views scan twice.
+        merged = merged.join(better, Seq("src", "dst"), "left_anti")
+          .unionAll(better)
+          .localCheckpoint()
     }
-    merged.select(col("src").as("asset_ean"), col("dst").as("reached_ean"),
-      col("depth"))
+    merged.where(col("depth") <= ClosureMaxDepth)
+      .select(col("src").as("asset_ean"), col("dst").as("reached_ean"),
+        col("depth"))
   }
 
   /** Registry surface for [[incrementalClosure]]: split the asset

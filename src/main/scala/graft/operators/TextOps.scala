@@ -194,6 +194,15 @@ object TextOps {
     * [[tokens]] is only a proxy. Emits the word count too so the ratio
     * is auditable.
     *
+    * CAVEAT: this is greedy longest-match (WordPiece-style) against a
+    * rank-ordered merge inventory, NOT the iterative lowest-rank-first
+    * pair-merge a real BPE encoder runs — a documented, deterministic
+    * approximation whose counts can differ from a faithful encoder by
+    * a piece on words where merge order matters. Right for budget
+    * columns (the counts are self-consistent and reproducible across
+    * engines); swap in the model's own tokenizer when exact token
+    * parity with a serving stack is required.
+    *
     * Shape: tokenize the DISTINCT words once (a Zipf corpus has
     * vastly fewer types than tokens — 31 vs ~3M at sf0.1, where the
     * naive per-occurrence march measured 3.4s vs 0.9s for this plan),

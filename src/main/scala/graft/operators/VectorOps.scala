@@ -203,17 +203,26 @@ object VectorOps {
   /** Exact cosine top-k: broadcast-nested-loop against the tiny query
     * set; the embedding corpus is scanned once and never shuffled (the
     * only shuffle is the per-query window over N·|Q| pre-filtered rows).
+    *
+    * Memoized: six recall gauges ([[lshRecall]], [[ivfRecall]],
+    * [[sq8Recall]], [[pqRecall]], [[mrlRecall]], [[ivfPqRecall]])
+    * consume this as their ground truth, and at real scale the exact
+    * baseline is the EXPENSIVE half of recall evaluation — build it
+    * once per session like the codebooks, not once per gauge. The
+    * result is deterministic (ties broken by neighbor_id in topK), so
+    * caching cannot change any consumer's output.
     */
-  def knnExact(spark: SparkSession, dir: String): DataFrame = {
-    val base = withNorm(spark, dir)
-    val q = base.where(col("vec_id") % QueryMod === 0)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        col("nrm").as("qnrm"))
-    topK(
-      base.crossJoin(broadcast(q))
-        .where(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"), cosine))
-  }
+  def knnExact(spark: SparkSession, dir: String): DataFrame =
+    TextOps.memoized(spark, dir, "knn_exact") {
+      val base = withNorm(spark, dir)
+      val q = base.where(col("vec_id") % QueryMod === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("nrm").as("qnrm"))
+      topK(
+        base.crossJoin(broadcast(q))
+          .where(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"), cosine))
+    }
 
   /** Query-side multi-probe expansion: the band key itself plus every
     * Hamming-1 variant when `probeBits = 1` — the standard recall
@@ -540,15 +549,19 @@ object VectorOps {
       vectorsFromMeans(centroidsRaw(spark, dir, nlist))
     }
 
-  /** The [[NProbe]] nearest trained centroids for each QUERY vector
+  /** The `nprobe` nearest trained centroids for each QUERY vector
     * only — the probe set of the IVF searches, computed on the query
     * subset (filtering before scoring: the old form scored the whole
-    * corpus and then threw away 99% of the rows).
+    * corpus and then threw away 99% of the rows). `nprobe` is the
+    * recall-at-fixed-cost lever of the whole IVF family (candidate
+    * count scales as N·nprobe/nlist) — the mirror of the LSH side's
+    * `probeBits` multi-probe dial.
     */
-  private def queryProbes(spark: SparkSession, dir: String, nlist: Int): DataFrame =
+  private def queryProbes(spark: SparkSession, dir: String, nlist: Int,
+      nprobe: Int = NProbe): DataFrame =
     nearestCentroids(
       withNorm(spark, dir).where(col("vec_id") % QueryMod === 0),
-      centroidVectors(spark, dir, nlist), NProbe)
+      centroidVectors(spark, dir, nlist), nprobe)
       .select(col("vec_id").as("query_id"), col("c_label").as("assigned_label"))
 
   /** Nearest-centroid assignment (the IVF partitioner): `nlist`
@@ -700,10 +713,11 @@ object VectorOps {
         count(lit(1)).as("n_exact"))
   }
 
-  def knnIvf(spark: SparkSession, dir: String, nlist: Int = NList): DataFrame = {
+  def knnIvf(spark: SparkSession, dir: String, nlist: Int = NList,
+      nprobe: Int = NProbe): DataFrame = {
     val assignments = ivfAssign(spark, dir, nlist)
       .select(col("vec_id").as("neighbor_id"), col("assigned_label"))
-    val probes = queryProbes(spark, dir, nlist)
+    val probes = queryProbes(spark, dir, nlist, nprobe)
     val candidates = probes.join(assignments, Seq("assigned_label"))
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"))
@@ -1046,14 +1060,14 @@ object VectorOps {
     * and the per-candidate state is 6 bytes of codes + one double.
     */
   def knnIvfPq(spark: SparkSession, dir: String,
-      nlist: Int = NList): DataFrame = {
+      nlist: Int = NList, nprobe: Int = NProbe): DataFrame = {
     val assignments = ivfAssign(spark, dir, nlist)
       .select(col("vec_id").as("neighbor_id"), col("assigned_label"))
     val base = withNorm(spark, dir)
     val q = base.where(col("vec_id") % QueryMod === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("nrm").as("qnrm"))
-    val probes = queryProbes(spark, dir, nlist)
+    val probes = queryProbes(spark, dir, nlist, nprobe)
       .join(broadcast(centroidVectors(spark, dir, nlist)
         .select(col("c_label").as("assigned_label"), col("centroid"))),
         Seq("assigned_label"))
@@ -1124,10 +1138,16 @@ object VectorOps {
         "ivfpq_residual"))
   }
 
-  /** Recall@K of the IVF-PQ index against the exact baseline. */
-  def ivfPqRecall(spark: SparkSession, dir: String): DataFrame = {
+  /** Recall@K of the IVF-PQ index against the exact baseline. With
+    * this fixture recall is pruning-bound (both PQ variants share IVF's
+    * bucket cut), so `nprobe` — not the code budget — is the lever
+    * that moves it; the registry runs this at the default and at
+    * `nprobe = 4` (emb_ivfpq_mp_recall) to expose the trade.
+    */
+  def ivfPqRecall(spark: SparkSession, dir: String,
+      nprobe: Int = NProbe): DataFrame = {
     val exact = knnExact(spark, dir).select(col("query_id"), col("neighbor_id"))
-    val approx = knnIvfPq(spark, dir)
+    val approx = knnIvfPq(spark, dir, nprobe = nprobe)
       .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
     exact.join(approx, Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))

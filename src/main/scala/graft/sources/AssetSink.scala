@@ -151,8 +151,16 @@ object AssetSink {
       when(col(c).isNotNull && col(c) =!= "", split(col(c), "\\|"))
     val action = to_json(struct(
       struct(lit(index).as("_index"), col("asset_ean").as("_id")).as("index")))
+    // date_format renders wall-clock in the SESSION timezone; the wire
+    // format hardcodes the 'Z' suffix, so shift the instant to UTC
+    // wall-clock first — without this the body is only honest when the
+    // caller's session already runs spark.sql.session.timeZone=UTC
+    // (true for this repo's entrypoints, not enforceable on external
+    // callers). to_utc_timestamp is the identity under a UTC session.
+    val sessionTz = df.sparkSession.sessionState.conf.sessionLocalTimeZone
     val doc = to_json(struct(
-      date_format(col("asset_ts"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").as("@timestamp"),
+      date_format(to_utc_timestamp(col("asset_ts"), sessionTz),
+        "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").as("@timestamp"),
       col("asset_ean").as("asset.ean"),
       col("asset_type").as("asset.type"),
       col("asset_id").as("asset.id"),

@@ -45,14 +45,31 @@ object StreamingGraph {
     StructField("reached_ean", StringType),
     StructField("depth", LongType)))
 
+  /** COMMITTED version ids under `storePath`: directory names
+    * `version=<batchId>` that contain the `_SUCCESS` marker Spark's
+    * file committer writes last. Listed through the Hadoop FileSystem
+    * API (resolved against the session's configuration), not
+    * `java.io.File` — the store path is not required to be local —
+    * and the marker check keeps a reader racing a crash mid-write from
+    * selecting a partially-committed directory: an uncommitted
+    * `version=B` is invisible until its writer (or a replay of batch
+    * B) finishes it.
+    */
+  private def committedVersions(spark: SparkSession, storePath: String): Seq[Long] = {
+    val path = new org.apache.hadoop.fs.Path(storePath)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("version="))
+      .filter(s => fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.stripPrefix("version=").toLong)
+  }
+
   /** Latest committed closure version under `storePath` (empty frame if
     * none yet). Versions are directory names `version=<batchId>`.
     */
   def latestClosure(spark: SparkSession, storePath: String): DataFrame = {
-    val dir = new java.io.File(storePath)
-    val versions = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("version="))
-      .map(_.getName.stripPrefix("version=").toLong)
+    val versions = committedVersions(spark, storePath)
     if (versions.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         emptyClosureSchema)
@@ -69,13 +86,7 @@ object StreamingGraph {
     // a REPLAYED batch must relax the same previous version it saw the
     // first time, not its own output — versions below this batchId are
     // by definition committed before it
-    val prevVersions = {
-      val dir = new java.io.File(storePath)
-      Option(dir.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isDirectory && f.getName.startsWith("version="))
-        .map(_.getName.stripPrefix("version=").toLong)
-        .filter(_ < batchId)
-    }
+    val prevVersions = committedVersions(spark, storePath).filter(_ < batchId)
     val prev =
       if (prevVersions.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

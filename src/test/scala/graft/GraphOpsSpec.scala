@@ -126,6 +126,33 @@ class GraphOpsSpec extends SparkSpec {
     assert(cset(GraphOps.incrementalClosure(empty, all)) === batch)
   }
 
+  test("closure depth cap truncates identically in batch and incremental paths") {
+    val s = spark; import s.implicits._
+    // a 17-node chain is deeper than ClosureMaxDepth=10: pairs at depth
+    // d exist for d = 1..15, so the cap is actually load-bearing here —
+    // the r6 fixture (diameter 4) never exercised it. Batch BFS stops
+    // at the cap; the incremental path computes TRUE min depths and
+    // cuts at the same cap on output, and the two must truncate to the
+    // same set even when the previous closure handed to the maintenance
+    // step is itself already capped (prefix+suffix segments of any
+    // within-cap pair are within the cap, so nothing below it is lost).
+    val n = 16
+    val chain = (0 until n).map(i => (f"c$i%02d", f"c${i + 1}%02d")).toDF("src", "dst")
+    def cset(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val batch = cset(GraphOps.closureOf(chain))
+    assert(batch.forall(_._3 <= GraphOps.ClosureMaxDepth))
+    // depth d pairs on a 17-node chain: 16 - d + 1 sources... precisely
+    // (n + 1 - d) pairs for d = 1..cap → Σ = 10·16 − (1+...+9) = 115
+    assert(batch.size ===
+      (1 to GraphOps.ClosureMaxDepth).map(d => n + 1 - d).sum)
+    val init = chain.where(col("src") =!= "c07")
+    val delta = chain.where(col("src") === "c07")
+    assert(delta.count() === 1)
+    assert(cset(GraphOps.incrementalClosure(GraphOps.closureOf(init), delta))
+      === batch)
+  }
+
   test("pagerank ranks a heavily-bought-from nation above a lightly-bought-from one") {
     val inW = GraphOps.degreeCentrality(spark, sfDir).collect()
       .map(r => r.getAs[Long]("node") -> r.getAs[Long]("in_w")).toMap

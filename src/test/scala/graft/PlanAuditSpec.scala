@@ -52,8 +52,17 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("emb_knn_exact")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       p.take(800))
-    // only the per-query window may shuffle
-    assert(p.split("\n").count(_.contains("Exchange hashpartitioning")) <= 1)
+    // only the per-query top-k aggregation may shuffle — and it keys on
+    // query_id. knnExact is memoized (persisted), so when an earlier
+    // suite has materialized the cache the string is a final AQE plan
+    // that prints the same exchange under BOTH its Final and Initial
+    // Plan sections with fresh plan_ids — line/id counts are unstable,
+    // so assert the invariant itself: no exchange partitions on
+    // anything but the per-query key (a corpus shuffle would key on
+    // vec_id / neighbor_id / a band key)
+    val exchangeKeys = "Exchange hashpartitioning\\(([A-Za-z_]+)#".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(exchangeKeys.subsetOf(Set("query_id")), p.take(800))
   }
 
   test("assetsAll issues exactly ONE eager bound fetch at plan-construction time") {
@@ -234,6 +243,18 @@ class PlanAuditSpec extends SparkSpec {
 
   test("IVF-PQ candidates come from a bucket equi-join keyed on the assigned list") {
     val df = SparkEntry.queries("emb_knn_ivfpq")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("assigned_label"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("multi-probe IVF-PQ widens the probe set, not the plan: still a bucket equi-join") {
+    // nprobe is a recall-at-fixed-cost dial: doubling it must only grow
+    // the candidate ROWS flowing through the same bucket-join shape
+    // (candidates ~ N·nprobe/nlist), never degrade the join to a
+    // nested-loop/cartesian over the corpus
+    val df = SparkEntry.queries("emb_ivfpq_mp_recall")(spark, sfDir)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("assigned_label"), p.take(800))

@@ -229,6 +229,58 @@ for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
   println(f"  $sf%8s: edges=$nEdges%8d pairs=$pairs%9d $s%6.2f s")
 }
 
+println("== incremental closure maintenance vs delta size (same TPC-H-derived DAG; cost should track |delta|, not |closure|) ==")
+// The O(delta) claim under test: GraphOps.incrementalClosure's
+// relaxation joins key on the NEW edges' endpoints and its merge is
+// anti-join + union (never a full-closure re-aggregation), so
+// maintaining the closure after a 1% edge arrival should cost a small
+// fraction of the full batch rebuild (the sf row above), and grow with
+// the delta, not with the accumulated closure.
+{
+  def t(name: String) = spark.read.parquet(s"/root/testdata/sf0.1/$name.parquet")
+  val up = t("lineitem").select(
+      concat(lit("li:"), col("l_orderkey"), lit(":"), col("l_linenumber")).as("src"),
+      concat(lit("o:"), col("l_orderkey")).as("dst"))
+    .union(t("orders").select(concat(lit("o:"), col("o_orderkey")).as("src"),
+      concat(lit("c:"), col("o_custkey")).as("dst")))
+    .union(t("customer").select(concat(lit("c:"), col("c_custkey")).as("src"),
+      concat(lit("n:"), col("c_nationkey")).as("dst")))
+    .union(t("nation").select(concat(lit("n:"), col("n_nationkey")).as("src"),
+      concat(lit("r:"), col("n_regionkey")).as("dst")))
+    .localCheckpoint()
+  def bfs(edges: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    var reached = edges.withColumn("depth", lit(1L)).localCheckpoint()
+    var frontier = reached
+    var depth = 1L
+    while (depth < 10 && !frontier.isEmpty) {
+      depth += 1
+      val fresh = frontier.alias("a")
+        .join(edges.alias("b"), col("a.dst") === col("b.src"))
+        .select(col("a.src").as("src"), col("b.dst").as("dst"))
+        .distinct()
+        .join(reached, Seq("src", "dst"), "left_anti")
+        .withColumn("depth", lit(depth))
+        .localCheckpoint()
+      reached = reached.unionAll(fresh).localCheckpoint()
+      frontier = fresh
+    }
+    reached.select(col("src").as("asset_ean"), col("dst").as("reached_ean"), col("depth"))
+  }
+  for (pct <- Seq(1, 5, 20)) {
+    val split = abs(hash(col("src"), col("dst"))) % 100
+    val init = up.where(split >= pct).localCheckpoint()
+    val delta = up.where(split < pct).localCheckpoint()
+    val prev = bfs(init).localCheckpoint()
+    val prevPairs = prev.count()
+    val nDelta = delta.count()
+    var pairs = 0L
+    val s = timed {
+      pairs = graft.operators.GraphOps.incrementalClosure(prev, delta).count()
+    }
+    println(f"  delta=$pct%2d%% ($nDelta%7d of ${nDelta + init.count()}%8d edges, prev pairs=$prevPairs%9d): incr -> $pairs%9d pairs in $s%6.2f s")
+  }
+}
+
 println("== pagerank shape (edge-derivation scan x k over a FIXED 25-node graph; 5 integer-grid rounds) ==")
 // multi-reading lineitem scales the scan and the edge WEIGHTS while the
 // nation node set stays fixed — at web scale the node set grows too and
