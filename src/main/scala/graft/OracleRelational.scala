@@ -375,6 +375,39 @@ object OracleRelational {
       |  ORDER BY c_acctbal DESC, c_name ASC LIMIT 3
       |) t""".stripMargin
 
+  /** Mirror of Relational.q44HeavyHitters: exact GROUP BY — valid
+    * because capacity 4096 > distinct users at every test SF, so the
+    * Misra-Gries sketch runs in its exact regime (no decrement fires).
+    */
+  val q44: String =
+    """SELECT user_id, count(*) AS events
+      |FROM events
+      |WHERE user_id IS NOT NULL
+      |GROUP BY user_id
+      |ORDER BY events DESC, user_id ASC
+      |LIMIT 20""".stripMargin
+
+  /** Mirror of sources.Layout.q45BucketedJoin: the SAME join with no
+    * layout at all — identical results is the proof that bucketing is
+    * a pure physical-plan property.
+    */
+  val q45: String =
+    """SELECT o_orderpriority,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  count(*) AS lines
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** Mirror of sources.Layout.evtPartitionPruned: the same date window
+    * as a plain predicate over the unpartitioned table.
+    */
+  val evtPruned: String =
+    """SELECT event_type, count(*) AS events,
+      |  min(event_id) AS min_event_id, max(event_id) AS max_event_id
+      |FROM events
+      |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+      |GROUP BY event_type""".stripMargin
+
   /** Mirror of Relational.q42RankFamily: one fully-ordered window, so
     * ranks have no peer groups and the double ratios are bit-equal.
     */

@@ -617,6 +617,29 @@ object Relational {
         |) t""".stripMargin)
   }
 
+  /** Heavy hitters via the native Misra-Gries aggregate
+    * ([[graft.functions.MisraGriesAgg]]): top-20 users by event count.
+    *
+    * The exact form of this question shuffles one row per DISTINCT key;
+    * the sketch reduces every map task to ≤ capacity counters before
+    * the exchange, so the wire cost is |tasks|·capacity regardless of
+    * key cardinality — the shape that survives a 100 TB URL/n-gram
+    * domain. Capacity 4096 exceeds the distinct user count at every
+    * test SF (150 at sf0.01, 1500 at sf0.1), so the sketch runs in its
+    * exact regime and the DuckDB GROUP-BY oracle is a valid
+    * differential check; the approximate regime's n/(k+1) bound is
+    * pinned by MisraGriesAggSpec.
+    */
+  def q44HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
+    Tables.events(spark, dir)
+      .agg(expr("misra_gries(user_id, 4096)").as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item").as("user_id"), col("e.cnt").as("events"))
+      .orderBy(col("events").desc, col("user_id").asc)
+      .limit(20)
+  }
+
   /** Rank-function family over one window: ntile quartiles, percent_rank
     * and cume_dist per order priority. The window's total order includes
     * the key (o_orderkey) so ranks are deterministic under any

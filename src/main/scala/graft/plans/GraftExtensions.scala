@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CosineSimilarity, SignBandKeys, SimHashAgg, TopKBySim}
+import graft.functions.{CosineSimilarity, MisraGriesAgg, SignBandKeys, SimHashAgg, TopKBySim}
 
 /** Engine extension point: registers graft's native Catalyst functions.
   *
@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.bloomAggDescriptor)
     ext.injectFunction(GraftExtensions.mightContainDescriptor)
     ext.injectFunction(GraftExtensions.topkBySimDescriptor)
+    ext.injectFunction(GraftExtensions.misraGriesDescriptor)
   }
 }
 
@@ -119,6 +120,23 @@ object GraftExtensions {
       "graft_might_contain"),
     mightContainBuilder)
 
+  // capacity is a case-class parameter (bounded buffers allocate once
+  // per group) — foldable int literal required, same as topk_by_sim
+  private val misraGriesBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2,
+      s"misra_gries expects (key, capacity), got ${exprs.length} arguments")
+    exprs(1) match {
+      case Literal(k: Int, IntegerType) => MisraGriesAgg(exprs(0), k)
+      case _ => throw new IllegalArgumentException(
+        "misra_gries capacity must be an integer literal")
+    }
+  }
+
+  val misraGriesDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("misra_gries"),
+    new ExpressionInfo(classOf[MisraGriesAgg].getName, "misra_gries"),
+    misraGriesBuilder)
+
   val topkBySimDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("topk_by_sim"),
     new ExpressionInfo(classOf[TopKBySim].getName, "topk_by_sim"),
@@ -138,5 +156,7 @@ object GraftExtensions {
       .createOrReplaceTempFunction("graft_might_contain", mightContainBuilder, "built-in")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("topk_by_sim", topkBySimBuilder, "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("misra_gries", misraGriesBuilder, "built-in")
   }
 }

@@ -1,0 +1,132 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Storage-layout operators: the WRITE-time levers that remove
+  * query-time cost at 100 TB.
+  *
+  * Two layouts, each with a registered query proving the read-side
+  * plan shape AND (via the DuckDB oracle) that layout never changes
+  * results:
+  *
+  *   - '''Bucketed co-located join''' ([[bucketedOrdersLineitem]] +
+  *     [[q45BucketedJoin]]): both fact tables are written
+  *     `bucketBy(n, joinKey)`, so a later equi-join reads matching
+  *     buckets directly — zero join-side exchanges, the layout the
+  *     reference's per-entity upsert stream would want for its
+  *     repeatedly re-joined asset tables. Bucket count is the scale
+  *     dial: 8 here; at 100 TB size it so one bucket ≈ one task's
+  *     memory (e.g. 4096), and co-bucket every table sharing the key.
+  *   - '''Partition-pruned scan''' ([[partitionedEventsPath]] +
+  *     [[evtPartitionPruned]]): the events table written
+  *     `partitionBy(event_date)`, so a date-window query reads only
+  *     matching directories — `PartitionFilters` in the scan, 7 of 30
+  *     partitions touched (plan-asserted in LayoutSpec). This is the
+  *     time-series layout for the reference's `@timestamp`-windowed
+  *     signal reads (lib/collectServicesFromSummaries.ts:23-28): at
+  *     100 TB a trailing-window query prices as the window's bytes,
+  *     not the table's.
+  *
+  * Writes are per-JVM memoized (same build-once-per-session policy as
+  * TextOps.memoized artifacts) and land under java.io.tmpdir keyed by
+  * the source dir, so every scale factor gets its own layout copy.
+  */
+object Layout {
+
+  private val written = scala.collection.concurrent.TrieMap.empty[String, Unit]
+
+  private def tag(dir: String): String =
+    java.lang.Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
+
+  // per-JVM unique root: a second JVM overwriting a previous run's
+  // layout copy would leave THIS JVM's FileStatusCache holding the old
+  // listing (planning then reads deleted part files — FILE_NOT_EXIST);
+  // fresh paths make every listing self-consistent by construction
+  private val base: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_layout/${java.util.UUID.randomUUID().toString.take(8)}"
+
+  /** Write orders + lineitem bucketed by order key (8 buckets, one
+    * file per bucket via the pre-repartition) and register them as
+    * external tables in the session catalog. Idempotent per JVM; the
+    * catalog check covers a sibling session reusing the files.
+    */
+  def bucketedOrdersLineitem(spark: SparkSession, dir: String): (String, String) =
+    synchronized {
+      val t = tag(dir)
+      val oT = s"graft_bkt_orders_$t"
+      val lT = s"graft_bkt_lineitem_$t"
+      def build(name: String, df: DataFrame, key: String): Unit =
+        if (!spark.catalog.tableExists(name) || !written.contains(name)) {
+          // repartition on the bucket key first: each bucket then gets
+          // exactly one file, so the sortBy order survives and the read
+          // side can skip its own sort when one is required
+          df.repartition(8, col(key))
+            .write.format("parquet")
+            .bucketBy(8, key).sortBy(key)
+            .option("path", s"$base/$t/$name")
+            .mode("overwrite").saveAsTable(name)
+          written.put(name, ())
+        }
+      build(oT, Tables.orders(spark, dir), "o_orderkey")
+      build(lT, Tables.lineitem(spark, dir), "l_orderkey")
+      (oT, lT)
+    }
+
+  /** Orders ⋈ lineitem on the co-bucketed key, aggregated per order
+    * priority. `hint("merge")` pins the sort-merge path so the bucket
+    * layout — not a broadcast — is what eliminates the join-side
+    * exchanges (LayoutSpec asserts the only exchange left is the final
+    * groupBy's). Money follows the decimal-accumulation rule
+    * (OracleRelational Scaladoc) so the double is order-independent.
+    */
+  def q45BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (oT, lT) = bucketedOrdersLineitem(spark, dir)
+    val o = spark.table(oT)
+    val l = spark.table(lT)
+    o.hint("merge").join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("revenue"),
+        count(lit(1)).as("lines"))
+  }
+
+  /** Events re-laid-out as one directory per calendar day. Returns the
+    * path and the laid-out schema: a zero-row partitioned write (first
+    * micro-batch, fresh cluster) produces no files to infer from, so
+    * the read side must carry the schema explicitly.
+    */
+  def partitionedEvents(spark: SparkSession, dir: String):
+      (String, org.apache.spark.sql.types.StructType) =
+    synchronized {
+      val path = s"$base/${tag(dir)}/events_by_date"
+      val laid = Tables.events(spark, dir)
+        .drop("__ts_nanos")
+        .withColumn("event_date", to_date(col("ts")))
+      if (!written.contains(path)) {
+        laid.write.partitionBy("event_date")
+          .mode("overwrite").parquet(path)
+        written.put(path, ())
+      }
+      (path, laid.schema)
+    }
+
+  /** One trailing week of events by type, over the date-partitioned
+    * layout: the filter binds to the partition column, so the scan
+    * lists 7 of 30 directories and never opens the rest (PartitionCount
+    * plan-asserted in LayoutSpec). The oracle runs the same window as a
+    * plain ts predicate over the unpartitioned table — identical rows
+    * is the proof that re-layout preserved semantics.
+    */
+  def evtPartitionPruned(spark: SparkSession, dir: String): DataFrame = {
+    val (path, schema) = partitionedEvents(spark, dir)
+    spark.read.schema(schema).parquet(path)
+      .where(col("event_date").between(
+        lit("2024-01-08").cast("date"), lit("2024-01-14").cast("date")))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("events"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"))
+  }
+}
