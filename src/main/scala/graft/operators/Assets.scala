@@ -132,16 +132,13 @@ object Assets {
       if (bound == null) lit(null).cast("timestamp")
       else lit(java.sql.Timestamp.from(
         bound.toInstant.minus(java.time.Duration.ofDays(days))))
-    def cutNanos(days: Int): Column =
-      if (bound == null) lit(Long.MaxValue)
-      else {
-        val i = bound.toInstant.minus(java.time.Duration.ofDays(days))
-        lit(i.getEpochSecond * 1000000000L + i.getNano)
-      }
-    // redundant raw-nanos bound → parquet row-group pruning (see
+    def cutRaw(days: Int): Column =
+      if (bound == null) lit(true) // ts >= cut(null) already drops all rows
+      else Tables.rawTsAtLeast(sig,
+        bound.toInstant.minus(java.time.Duration.ofDays(days)))
+    // redundant raw-twin bound → parquet row-group pruning (see
     // Tables.trailing)
-    val sig14 = sig.where(col("ts") >= cut(14) &&
-      col("__ts_nanos") >= cutNanos(14))
+    val sig14 = sig.where(col("ts") >= cut(14) && cutRaw(14))
     val phase1 = sig14
       .where(col("ts") >= cut(7) && col("event_type") === "purchase")
       .select(col("service_name")).distinct()

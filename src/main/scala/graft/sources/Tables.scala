@@ -29,28 +29,53 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read it as raw nanos (legacy conf) and convert to
-    * micros — matching DuckDB's own ns→µs truncation, so the oracle sees
-    * identical values. The conversion is a codegen'd projection on the
-    * scan; pushdown on `ts` still works via the long column's row-group
-    * stats before conversion is applied to surviving rows.
-    */
-  /** ns→µs conversion over an already-loaded raw events scan (used by
-    * multi-path sources that assemble their own scan, see
-    * [[SourceRegistry]]). The raw nanos long is kept as `__ts_nanos`:
-    * filters on the DERIVED ts cannot reach the parquet scan, so
-    * [[trailing]] adds a redundant predicate on the raw column to get
-    * row-group pruning (explicit projections never leak it outward).
+  /** Normalizes an events-shaped scan to the engine's public schema —
+    * `ts` as session-zoned TIMESTAMP — regardless of how the parquet
+    * encodes the column. Two encodings exist in the wild (the driver's
+    * generator has shipped both across rounds):
+    *
+    *   - '''TIMESTAMP(NANOS)''': Spark's vectorized reader rejects it,
+    *     so the session reads it as a raw nanos long (legacy conf) and
+    *     this projection converts ns→µs — matching DuckDB's own
+    *     truncation, so the oracle sees identical values. The raw long
+    *     survives as `__ts_nanos`.
+    *   - '''TIMESTAMP(MICROS, isAdjustedToUTC=false)''': loads as
+    *     TIMESTAMP_NTZ; cast to the session-zoned type (UTC session →
+    *     same microsecond instants as the nanos path produced). The
+    *     raw NTZ column survives as `__ts_raw`.
+    *
+    * Either raw twin exists for one reason: filters on the DERIVED ts
+    * cannot reach the parquet scan, so [[trailing]] restates its bound
+    * on the raw column ([[rawTsAtLeast]]) to get row-group pruning.
+    * Explicit projections never leak the twin outward.
     */
   def eventsFrom(raw: DataFrame): DataFrame =
-    raw.withColumn("__ts_nanos", col("ts"))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    raw.schema(raw.schema.fieldIndex("ts")).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("__ts_nanos", col("ts"))
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("__ts_raw", col("ts"))
+          .withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw // already session-zoned TIMESTAMP: scan column IS ts
+    }
 
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     eventsFrom(table(spark, dir, "events"))
   }
+
+  /** `ts >= bound` restated on whichever raw scan twin the frame
+    * carries (see [[eventsFrom]]) — the redundant, PUSHABLE form of a
+    * trailing-window bound. `lit(true)` when there is no twin: the
+    * predicate is a pruning hint, never the filter of record.
+    */
+  def rawTsAtLeast(df: DataFrame, bound: java.time.Instant): org.apache.spark.sql.Column =
+    if (df.columns.contains("__ts_nanos"))
+      col("__ts_nanos") >= lit(bound.getEpochSecond * 1000000000L + bound.getNano)
+    else if (df.columns.contains("__ts_raw"))
+      col("__ts_raw") >= lit(java.sql.Timestamp.from(bound)).cast("timestamp_ntz")
+    else lit(true)
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
@@ -83,7 +108,7 @@ object Tables {
   def signalsFrom(e: DataFrame): DataFrame = {
     val k = get_json_object(col("props"), "$.k").cast("long")
     val nanos =
-      if (e.columns.contains("__ts_nanos")) Seq(col("__ts_nanos")) else Nil
+      Seq("__ts_nanos", "__ts_raw").filter(e.columns.contains).map(col)
     e.select(Seq(
       col("event_id"),
       col("ts"),
@@ -191,14 +216,11 @@ object Tables {
         .head().getTimestamp(0)
     }
     val filtered = df.where(col(tsCol) >= lit(threshold))
-    // Redundant predicate on the RAW nanos long (when the source carries
-    // it): the derived-ts comparison can't reach the parquet scan, the
-    // raw-long one pushes down to row-group stats — at 100 TB this is
-    // what prunes cold time partitions instead of scanning them.
-    if (threshold != null && df.columns.contains("__ts_nanos")) {
-      val i = threshold.toInstant
-      filtered.where(
-        col("__ts_nanos") >= lit(i.getEpochSecond * 1000000000L + i.getNano))
-    } else filtered
+    // Redundant predicate on the RAW scan twin (when the source carries
+    // one): the derived-ts comparison can't reach the parquet scan, the
+    // raw one pushes down to row-group stats — at 100 TB this is what
+    // prunes cold time partitions instead of scanning them.
+    if (threshold != null) filtered.where(rawTsAtLeast(df, threshold.toInstant))
+    else filtered
   }
 }

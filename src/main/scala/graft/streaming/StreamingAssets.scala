@@ -28,9 +28,11 @@ import graft.sources.{AssetSchema, Tables}
   */
 object StreamingAssets {
 
-  /** Raw events schema for the file stream source (ts as raw parquet
-    * NANOS long — session must set spark.sql.legacy.parquet.nanosAsLong;
-    * see Verify/Bench bootstrap).
+  /** Raw events schema for the file stream source under the NANOS-long
+    * encoding (ts as raw parquet NANOS long — session must set
+    * spark.sql.legacy.parquet.nanosAsLong; see Verify/Bench bootstrap).
+    * The fallback when a directory is empty at stream start; populated
+    * directories resolve their ACTUAL encoding via [[schemaOf]].
     */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -40,12 +42,22 @@ object StreamingAssets {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** The directory's actual events schema: the file-stream source
+    * requires an explicit schema, and the generator's ts encoding has
+    * varied across rounds (nanos long vs micros NTZ —
+    * [[Tables.eventsFrom]] adapts to either). One batch footer read
+    * resolves it; an empty directory falls back to [[eventsSchema]].
+    */
+  private def schemaOf(spark: SparkSession, path: String): StructType =
+    try spark.read.parquet(path).schema
+    catch { case _: Exception => eventsSchema }
+
   /** Streaming signal view over an events parquet DIRECTORY (the file
     * stream source requires a directory/glob, not a bare file).
     */
   def signalStream(spark: SparkSession, path: String): DataFrame =
     Tables.signalsFrom(Tables.eventsFrom(
-      spark.readStream.schema(eventsSchema).parquet(path)))
+      spark.readStream.schema(schemaOf(spark, path)).parquet(path)))
 
   /** Overlap dedup: watermarked exact-once per event_id within the
     * watermark horizon — re-delivered signal docs (overlapping trailing
@@ -55,11 +67,11 @@ object StreamingAssets {
     sig.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(Seq("event_id"))
 
-  /** Raw events stream over an events parquet directory (same NANOS
-    * long → timestamp conversion as the batch loader).
+  /** Raw events stream over an events parquet directory (same raw →
+    * timestamp normalization as the batch loader).
     */
   def eventStream(spark: SparkSession, path: String): DataFrame =
-    Tables.eventsFrom(spark.readStream.schema(eventsSchema).parquet(path))
+    Tables.eventsFrom(spark.readStream.schema(schemaOf(spark, path)).parquet(path))
 
   /** Stream-stream interval join — the streaming twin of
     * Relational.q29RangeJoin's inner core: each purchase joins the same
