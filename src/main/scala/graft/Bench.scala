@@ -62,7 +62,7 @@ object Bench {
         "svc_collapse", "txt_tokens", "txt_simhash", "dedup_simhash",
         "emb_centroids", "dedup_minhash", "dedup_clusters",
         "emb_dedup_clusters", "emb_knn_ivf", "emb_knn_pq", "emb_knn_ivfpq",
-        "q45_bucketed_join", "evt_partition_pruned"))
+        "q45_bucketed_join", "evt_partition_pruned", "evt_zorder_box"))
       try drive(w) catch { case _: Throwable => () }
     // Per-query instrumentation to stderr as the run progresses:
     // wall seconds plus the session's cumulative GC time delta, so a

@@ -408,6 +408,18 @@ object OracleRelational {
       |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
       |GROUP BY event_type""".stripMargin
 
+  /** Mirror of sources.Layout.evtZorderBox: the same 2-D box (user
+    * band × week) as plain predicates over the unordered table — the
+    * z-curve re-layout must not change a single row.
+    */
+  val evtZorderBox: String =
+    """SELECT event_type, count(*) AS events,
+      |  min(event_id) AS min_event_id, max(event_id) AS max_event_id
+      |FROM events
+      |WHERE user_id BETWEEN 4 AND 7
+      |  AND CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+      |GROUP BY event_type""".stripMargin
+
   /** Mirror of Relational.q42RankFamily: one fully-ordered window, so
     * ranks have no peer groups and the double ratios are bit-equal.
     */

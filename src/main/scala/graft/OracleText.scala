@@ -649,4 +649,39 @@ object OracleText {
        |  CAST(w_grid AS DOUBLE) / CAST(sum(w_grid) OVER () AS BIGINT)
        |    AS mix_weight
        |FROM g""".stripMargin
+
+  /** Mirror of TextOps.sourceOverlap: distinct (source, 60-bit shingle
+    * hash) sets, pairwise intersection + Jaccard.
+    */
+  val sourceOverlap: String =
+    s"""WITH d AS (
+       |  SELECT source, string_split(text, ' ') AS words FROM documents
+       |),
+       |sh AS (
+       |  SELECT source,
+       |    CASE WHEN len(words) >= 3
+       |         THEN list_transform(range(len(words) - 2),
+       |                i -> array_to_string(list_slice(words, i + 1, i + 3), ' '))
+       |         ELSE CAST([] AS VARCHAR[]) END AS shingles
+       |  FROM d
+       |),
+       |hashed AS (
+       |  SELECT source, md5(unnest(shingles)) AS h FROM sh
+       |),
+       |g AS (
+       |  SELECT DISTINCT source, ${rotLong("h", 0)} AS gh FROM hashed
+       |),
+       |sizes AS (SELECT source, count(*) AS n FROM g GROUP BY source),
+       |inter AS (
+       |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS overlap
+       |  FROM g a JOIN g b USING (gh)
+       |  WHERE a.source < b.source
+       |  GROUP BY a.source, b.source
+       |)
+       |SELECT i.src_a, i.src_b, i.overlap, sa.n AS n_a, sb.n AS n_b,
+       |  CAST(i.overlap AS DOUBLE) / CAST(sa.n + sb.n - i.overlap AS DOUBLE)
+       |    AS jaccard
+       |FROM inter i
+       |JOIN sizes sa ON sa.source = i.src_a
+       |JOIN sizes sb ON sb.source = i.src_b""".stripMargin
 }

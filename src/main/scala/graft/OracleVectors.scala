@@ -810,4 +810,40 @@ object OracleVectors {
        |LEFT JOIN ($knnMrl) l
        |  ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
        |GROUP BY e.query_id""".stripMargin
+
+  /** Mirror of VectorOps.semDedup: trained-cluster assignment, exact
+    * cosine within clusters only, duplicate = some smaller-id
+    * same-cluster neighbor above the threshold.
+    */
+  def semDedup(nlist: Int = VectorOps.NList,
+      threshold: Double = VectorOps.DupThreshold): String =
+    s"""WITH $baseCte, ${centroidsCte(nlist)},
+       |$centroidSimsCtes,
+       |assign AS (SELECT vec_id, c_label FROM cranked WHERE rn = 1),
+       |j AS (
+       |  SELECT a.vec_id, a.c_label, b.embedding, b.nrm
+       |  FROM assign a JOIN base b USING (vec_id)
+       |),
+       |dups AS (
+       |  SELECT DISTINCT y.vec_id
+       |  FROM j x JOIN j y ON x.c_label = y.c_label AND x.vec_id < y.vec_id
+       |  WHERE ${dot("x.embedding", "y.embedding")} / (sqrt(x.nrm) * sqrt(y.nrm))
+       |        >= $threshold
+       |)
+       |SELECT a.vec_id, a.c_label AS cluster,
+       |  CAST(d.vec_id IS NOT NULL AS BIGINT) AS is_dup
+       |FROM assign a LEFT JOIN dups d USING (vec_id)""".stripMargin
+
+  /** Mirror of VectorOps.clusterSample: per-cluster md5-of-id rank cut. */
+  def clusterSample(nlist: Int = VectorOps.NList,
+      n: Int = VectorOps.ClusterSampleN): String =
+    s"""WITH $baseCte, ${centroidsCte(nlist)},
+       |$centroidSimsCtes,
+       |assign AS (SELECT vec_id, c_label FROM cranked WHERE rn = 1),
+       |r AS (
+       |  SELECT c_label, vec_id, row_number() OVER (
+       |    PARTITION BY c_label ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+       |  FROM assign
+       |)
+       |SELECT c_label AS cluster, vec_id, rn FROM r WHERE rn <= $n""".stripMargin
 }

@@ -1082,4 +1082,43 @@ object TextOps {
         (col("w_grid").cast("double") / sum(col("w_grid")).over(total))
           .as("mix_weight"))
   }
+
+  /** Cross-source n-gram overlap matrix — the corpus-level
+    * contamination readout that tells a pipeline which source PAIRS
+    * share content (scraped mirrors, benchmark leakage, vendored
+    * copies) before any per-document dedup runs. For every source
+    * pair: the count of shared distinct 3-word shingles and the
+    * Jaccard of the two shingle sets. [[decontaminate]] answers "is
+    * THIS doc contaminated against THAT set"; this answers "which of
+    * my S sources even overlap, and how much" — the matrix that
+    * decides what to decontaminate against.
+    *
+    * Shape at 100 TB: distinct (source, gram-hash) with map-side
+    * partial distinct, one shuffle keyed on the 60-bit gram hash for
+    * the self-join (pairs per gram ≤ S², never corpus-quadratic), and
+    * an S²-row output. The text never shuffles — only 8-byte hashes
+    * (same device as [[minhashSignatures]]).
+    */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val grams = withShingles(spark, dir)
+      .select(col("source"), explode(col("shingles")).as("sg"))
+      .select(col("source"), md5(col("sg")).as("h"))
+      .select(col("source"), rotLong("h", 0).as("gh"))
+      .distinct()
+    val sizes = grams.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    grams.select(col("source").as("src_a"), col("gh"))
+      .join(grams.select(col("source").as("src_b"), col("gh")), Seq("gh"))
+      .where(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("overlap"))
+      .join(sizes.select(col("source").as("src_a"), col("n").as("n_a")),
+        Seq("src_a"))
+      .join(sizes.select(col("source").as("src_b"), col("n").as("n_b")),
+        Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("overlap"), col("n_a"), col("n_b"),
+        // int/int in double: exact, engine-identical
+        (col("overlap").cast("double") /
+          (col("n_a") + col("n_b") - col("overlap")).cast("double"))
+          .as("jaccard"))
+  }
 }

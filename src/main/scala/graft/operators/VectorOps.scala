@@ -1218,4 +1218,78 @@ object VectorOps {
       .agg((count(col("hit")).cast("double") / K).as("recall_at_k"),
         count(lit(1)).as("n_exact"))
   }
+
+  // --- Semantic dedup + cluster-stratified sampling ---------------------
+
+  /** Cluster-then-pairwise semantic dedup (the SemDeDup recipe, Abbas
+    * et al. 2023): candidates are pairs sharing a TRAINED IVF cluster
+    * ([[ivfAssign]]), exact cosine runs only within clusters, and a
+    * vector is a duplicate iff some SAME-cluster neighbor with a
+    * smaller vec_id clears the family dup threshold (deterministic
+    * keep-lowest-id policy — the min-id canonical rule every graft
+    * dedup uses). Complements [[dedupEmbedding]]: LSH bands catch
+    * near-dups across the whole corpus; the cluster cut is the
+    * paper's trade — cheaper (no banding pass, candidates are
+    * Σ|cluster|² not bucket collisions) and blind to pairs the
+    * clustering separates.
+    *
+    * 100 TB shape: the codebook broadcasts; the corpus shuffles ONCE on
+    * assigned cluster; per-cluster work is |cluster|² — `nlist` is the
+    * dial (paper runs ~100k clusters) that keeps clusters
+    * memory-bounded, exactly like [[centroidsRaw]]'s `nlist ≈ √N` note.
+    * Emits EVERY vector with its cluster and flag (the curation table a
+    * pipeline filters by), not just survivors.
+    */
+  def semDedup(spark: SparkSession, dir: String, nlist: Int = NList,
+      threshold: Double = DupThreshold): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
+    val assign = ivfAssign(spark, dir, nlist)
+      .select(col("vec_id"), col("assigned_label"))
+    val emb = assign.join(
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+      Seq("vec_id"))
+    val dups = emb.select(col("assigned_label"), col("vec_id").as("vec_a"),
+        col("embedding").as("emb_a"))
+      .join(emb.select(col("assigned_label"), col("vec_id").as("vec_b"),
+        col("embedding").as("emb_b")), Seq("assigned_label"))
+      .where(col("vec_a") < col("vec_b"))
+      .where(expr("cosine_sim(emb_a, emb_b)") >= threshold)
+      .select(col("vec_b").as("vec_id"))
+      .distinct()
+    assign
+      .join(dups.withColumn("dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("assigned_label").as("cluster"),
+        // 0/1 long, not boolean: every hash-green query sticks to the
+        // driver-compare-proven type surface (bigint/varchar/double)
+        coalesce(col("dup"), lit(false)).cast("long").as("is_dup"))
+  }
+
+  /** Vectors kept per cluster by [[clusterSample]]. */
+  val ClusterSampleN = 5
+
+  /** Cluster-stratified corpus sampling — the diversity-balanced
+    * downsample an LLM data pipeline runs after clustering: per trained
+    * IVF cluster, keep the [[ClusterSampleN]] first vectors in
+    * md5-of-id order (the same deterministic pseudo-random device as
+    * [[graft.operators.TextOps.sampleStratified]]'s buckets, so both
+    * engines agree bit-for-bit). Uniform sampling keeps the head
+    * domains' share; per-cluster quotas keep the tail REPRESENTED —
+    * that is the whole point of sampling by cluster.
+    *
+    * Shape: one shuffle on cluster id into a rank-limited window —
+    * Spark plans a partial WindowGroupLimit, so each map task forwards
+    * at most n rows per cluster and the exchange carries
+    * O(clusters·n), not the corpus (same physical cut as the
+    * collapse operator, PlanAuditSpec:243).
+    */
+  def clusterSample(spark: SparkSession, dir: String, nlist: Int = NList,
+      perCluster: Int = ClusterSampleN): DataFrame = {
+    val w = Window.partitionBy(col("assigned_label"))
+      .orderBy(expr("md5(CAST(vec_id AS STRING))"), col("vec_id"))
+    ivfAssign(spark, dir, nlist)
+      .select(col("vec_id"), col("assigned_label"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= perCluster)
+      .select(col("assigned_label").as("cluster"), col("vec_id"), col("rn"))
+  }
 }

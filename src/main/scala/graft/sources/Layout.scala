@@ -101,7 +101,7 @@ object Layout {
     synchronized {
       val path = s"$base/${tag(dir)}/events_by_date"
       val laid = Tables.events(spark, dir)
-        .drop("__ts_nanos")
+        .drop("__ts_nanos", "__ts_raw")
         .withColumn("event_date", to_date(col("ts")))
       if (!written.contains(path)) {
         laid.write.partitionBy("event_date")
@@ -123,6 +123,76 @@ object Layout {
     spark.read.schema(schema).parquet(path)
       .where(col("event_date").between(
         lit("2024-01-08").cast("date"), lit("2024-01-14").cast("date")))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("events"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"))
+  }
+
+  /** Bits per z-curve dimension (fixture domains: user_id < 2048 at
+    * every SF, day index < 32; at scale size to the dims' true bit
+    * widths — an under-sized width silently aliases high keys onto the
+    * low curve, which only loosens locality, never correctness).
+    */
+  private val ZBits = 11
+
+  /** Bit-interleaved z-curve key over two non-negative integral
+    * columns — dim a's bit i lands at position 2i+1, dim b's at 2i.
+    * Pure shift/mask arithmetic: codegen'd, no UDF.
+    */
+  private def zkeyExpr(a: String, b: String): String =
+    (0 until ZBits).map(i =>
+      s"(shiftleft(shiftright($a, $i) & 1, ${2 * i + 1}) + " +
+        s"shiftleft(shiftright($b, $i) & 1, ${2 * i}))")
+      .mkString("(", " + ", ")")
+
+  /** Events re-written in z-order over (user_id, day index) — the
+    * MULTI-dimensional layout lever: directory partitioning prunes on
+    * ONE column chain and bucketing co-locates ONE key, while a
+    * z-curve sort gives every file/row-group a tight bounding box in
+    * BOTH dimensions, so parquet min/max stats prune 2-D box queries
+    * (entity × time window — the reference's collapse-by-entity over a
+    * trailing window is exactly this shape). `repartitionByRange` on
+    * the interleaved key splits the curve into contiguous runs (one
+    * per output file), `sortWithinPartitions` orders inside; the key
+    * itself is dropped from the files — the layout is pure physical
+    * placement, which is what the identical-result oracle proves.
+    * LayoutSpec asserts the footer-stats property directly: only a
+    * strict subset of files' bounding boxes intersect the query box.
+    */
+  def zorderedEvents(spark: SparkSession, dir: String):
+      (String, org.apache.spark.sql.types.StructType) =
+    synchronized {
+      val path = s"$base/${tag(dir)}/events_zorder"
+      val laid = Tables.events(spark, dir)
+        .drop("__ts_nanos", "__ts_raw")
+        .withColumn("day_idx",
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+            .cast("long"))
+      if (!written.contains(path)) {
+        laid
+          .withColumn("zkey", expr(zkeyExpr("user_id", "day_idx")))
+          .repartitionByRange(8, col("zkey"))
+          .sortWithinPartitions(col("zkey"))
+          .drop("zkey")
+          .write.mode("overwrite").parquet(path)
+        written.put(path, ())
+      }
+      (path, laid.schema)
+    }
+
+  /** A 2-D box query — one user band × one trailing week — over the
+    * z-ordered layout. Both predicates bind to plain scan columns, so
+    * they push into the parquet reader where the z-layout's tight
+    * per-file stats turn them into row-group skips. The oracle runs
+    * the same box over the original unordered table — identical rows
+    * is the proof the curve is a pure physical property.
+    */
+  def evtZorderBox(spark: SparkSession, dir: String): DataFrame = {
+    val (path, schema) = zorderedEvents(spark, dir)
+    spark.read.schema(schema).parquet(path)
+      .where(col("user_id").between(4, 7) && col("day_idx").between(7, 13))
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("events"),

@@ -87,6 +87,10 @@ class GoldenSpec extends SparkSpec {
     "dedup_embedding" -> ((7768090945691118739L, 48L)),
     "emb_dedup_clusters" -> ((-1488179478009104348L, 85L)),
     "emb_ivf_recall" -> ((1904457532132159187L, 5L)),
+    "emb_semdedup" -> ((-2427534531829227531L, 500L)),
+    "emb_cluster_sample" -> ((-2761905071617074113L, 50L)),
+    "txt_source_overlap" -> ((1106279601083369810L, 190L)),
+    "evt_zorder_box" -> ((8048206640084171482L, 5L)),
     "host_multivalued" -> ((8207634536938707889L, 1000L)),
     "dedup_exact" -> ((678982984489084868L, 500L)),
     "dedup_fuzzy_edit" -> ((-4856991647417065686L, 28L)),

@@ -79,4 +79,64 @@ class LayoutSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(pruned === plain && pruned.nonEmpty)
   }
+
+  /** Per-file (min, max) of an INT64 column, straight from the parquet
+    * footers — the statistics the reader's row-group skip runs on.
+    */
+  private def footerRanges(path: String, column: String): Seq[(Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    new java.io.File(path).listFiles
+      .filter(f => f.getName.endsWith(".parquet") && f.length > 0).toSeq
+      .map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val stats = rd.getFooter.getBlocks.asScala
+            .flatMap(_.getColumns.asScala)
+            .filter(_.getPath.toDotString == column)
+            .map(_.getStatistics)
+          (stats.map(_.genericGetMin.asInstanceOf[Long]).min,
+            stats.map(_.genericGetMax.asInstanceOf[Long]).max)
+        } finally rd.close()
+      }
+  }
+
+  test("evt_zorder_box: z-curve files carry tight 2-D bounding boxes") {
+    val (path, _) = Layout.zorderedEvents(spark, sfDir)
+    val users = footerRanges(path, "user_id")
+    val days = footerRanges(path, "day_idx")
+    assert(users.size >= 4, s"expected several z-run files, got ${users.size}")
+    // the pruning property itself: the query box (user 4..7) must be
+    // skippable for a strict subset of files on footer stats alone —
+    // an unordered write would give every file ~the full user range
+    val hit = users.count { case (lo, hi) => hi >= 4L && lo <= 7L }
+    assert(hit < users.size,
+      s"no file is skippable on user_id stats: ${users.mkString(", ")}")
+    // and the boxes are genuinely 2-D-tight: total bounding-box area is
+    // well under files × full-grid area (the unordered-layout figure)
+    val fullArea = (users.map(_._2).max - users.map(_._1).min + 1).toDouble *
+      (days.map(_._2).max - days.map(_._1).min + 1).toDouble
+    val area = users.zip(days).map { case ((ul, uh), (dl, dh)) =>
+      (uh - ul + 1).toDouble * (dh - dl + 1).toDouble }.sum
+    assert(area < 0.8 * users.size * fullArea,
+      s"per-file boxes not tighter than unordered: $area vs ${users.size} x $fullArea")
+  }
+
+  test("evt_zorder_box: result equals the unordered 2-D predicate") {
+    val boxed = Layout.evtZorderBox(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val plain = Tables.events(spark, sfDir)
+      .where(col("user_id").between(4, 7) &&
+        to_date(col("ts")).between(
+          lit("2024-01-08").cast("date"), lit("2024-01-14").cast("date")))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("events"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(boxed === plain && boxed.nonEmpty)
+  }
 }

@@ -274,6 +274,40 @@ class PlanAuditSpec extends SparkSpec {
       l.contains("WindowGroupLimit") && l.contains("Partial")), p.take(800))
   }
 
+  test("cluster sample gets a partial WindowGroupLimit; semdedup joins on the cluster key") {
+    // clusterSample's per-cluster quota is the same rank-limited window
+    // shape as the collapse: InferWindowGroupLimit must cut each map
+    // task to ≤ n rows per cluster BEFORE the exchange
+    val cs = SparkEntry.queries("emb_cluster_sample")(spark, sfDir)
+    cs.collect()
+    val pcs = cs.queryExecution.executedPlan.toString
+    assert(pcs.split("\n").exists(l =>
+      l.contains("WindowGroupLimit") && l.contains("Partial")), pcs.take(800))
+    // semDedup candidates come from the cluster equi-join, never a
+    // corpus cartesian
+    val sd = SparkEntry.queries("emb_semdedup")(spark, sfDir)
+    sd.collect()
+    val psd = sd.queryExecution.executedPlan.toString
+    assert(psd.contains("assigned_label"), psd.take(800))
+    assert(!psd.contains("CartesianProduct"), psd.take(800))
+  }
+
+  test("source overlap shuffles 8-byte gram hashes, never text") {
+    // the self-join must key on the 60-bit gram hash (equi-join), and
+    // no exchange may carry the text column — only hashes and source
+    // labels cross the wire
+    val df = SparkEntry.queries("txt_source_overlap")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // equi-join keyed on the gram hash — shuffled at scale, broadcast
+    // when AQE sees a small side (both keep the key the 8-byte hash)
+    assert(p.contains("hashpartitioning(gh") || p.contains("Join [gh"),
+      p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.split("\n").exists(l =>
+      l.contains("Exchange") && l.contains("text#")), p.take(800))
+  }
+
   test("topk aggregate cuts before the exchange: partial ObjectHashAggregate, no Window, no Sort") {
     val df = SparkEntry.queries("emb_knn_topk")(spark, sfDir)
     df.collect()

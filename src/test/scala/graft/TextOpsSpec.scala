@@ -287,4 +287,37 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(rows("sA").getAs[Double]("mix_weight") - 0.6 / 1.4) < 1e-9)
     assert(math.abs(rows.values.map(_.getAs[Double]("mix_weight")).sum - 1.0) < 1e-9)
   }
+
+  test("sourceOverlap: matrix matches a driver-side shingle-set recompute") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // same 60-bit cut as TextOps.rotLong(h, 0)
+    def g60(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(15), 16)
+    val sets = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("source"), col("text")).collect()
+      .groupBy(_.getString(0)).map { case (src, rows) =>
+        src -> rows.flatMap { r =>
+          val w = r.getString(1).split(" ", -1)
+          if (w.length >= 3)
+            (0 to w.length - 3).map(i => w.slice(i, i + 3).mkString(" "))
+          else Seq.empty
+        }.map(g60).toSet
+      }
+    val got = TextOps.sourceOverlap(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(got.nonEmpty, "the corpus should have overlapping source pairs")
+    val srcs = sets.keys.toSeq.sorted
+    for (a <- srcs; b <- srcs if a < b) {
+      val inter = (sets(a) & sets(b)).size.toLong
+      got.get((a, b)) match {
+        case None => assert(inter === 0L, s"missing pair $a/$b with overlap $inter")
+        case Some((ov, na, nb, jac)) =>
+          assert(ov === inter, s"$a/$b overlap")
+          assert(na === sets(a).size.toLong && nb === sets(b).size.toLong)
+          assert(jac === inter.toDouble / (na + nb - inter).toDouble)
+      }
+    }
+  }
 }

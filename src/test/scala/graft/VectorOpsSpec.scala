@@ -275,4 +275,65 @@ class VectorOpsSpec extends SparkSpec {
       assert(cs.forall(c => c >= 0 && c < nSlots))
     }
   }
+
+  /** In-order double cosine — the same sequential fold both engines run. */
+  private def cosRef(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      d += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  test("semDedup: flag = exists smaller-id same-cluster neighbor over threshold") {
+    val assign = VectorOps.ivfAssign(spark, sfDir)
+      .select(col("vec_id"), col("assigned_label")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Number]("assigned_label").longValue).toMap
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]]("embedding").toArray)
+      .toMap
+    val out = VectorOps.semDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getAs[Number]("cluster").longValue,
+        r.getLong(2)))
+    assert(out.length === assign.size, "one row per vector")
+    assert(out.exists(_._3 == 1L), "fixture should contain semantic dups")
+    assert(out.exists(_._3 == 0L), "fixture should contain non-dups")
+    out.foreach { case (id, cl, flag) =>
+      assert(cl === assign(id), s"cluster drift for vec $id")
+      val expected = assign.exists { case (other, ocl) =>
+        ocl == cl && other < id &&
+          cosRef(emb(other), emb(id)) >= VectorOps.DupThreshold
+      }
+      assert(flag === (if (expected) 1L else 0L), s"is_dup wrong for vec $id")
+    }
+  }
+
+  test("clusterSample: per-cluster quota, members only, md5-rank deterministic") {
+    val assign = VectorOps.ivfAssign(spark, sfDir)
+      .select(col("vec_id"), col("assigned_label")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Number]("assigned_label").longValue).toMap
+    val got = VectorOps.clusterSample(spark, sfDir).collect()
+      .map(r => (r.getAs[Number]("cluster").longValue, r.getLong(1), r.getLong(2)))
+    got.groupBy(_._1).foreach { case (cl, rows) =>
+      assert(rows.length <= VectorOps.ClusterSampleN, s"cluster $cl over quota")
+      assert(rows.map(_._3).sorted === (1L to rows.length).toArray, s"ranks $cl")
+    }
+    got.foreach { case (cl, id, _) => assert(assign(id) === cl) }
+    // every cluster with members is represented
+    assert(got.map(_._1).distinct.sorted === assign.values.toSeq.distinct.sorted)
+    // the kept set is exactly the md5-of-id order head of each cluster
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val expected = assign.toSeq.groupBy(_._2).toSeq.flatMap { case (cl, members) =>
+      members.map(_._1).sortBy(id => (md5hex(id.toString), id))
+        .take(VectorOps.ClusterSampleN).map(cl -> _)
+    }.toSet
+    assert(got.map(t => (t._1, t._2)).toSet === expected)
+  }
 }
