@@ -237,17 +237,20 @@ println("== incremental closure maintenance vs delta size (same TPC-H-derived DA
 // fraction of the full batch rebuild (the sf row above), and grow with
 // the delta, not with the accumulated closure.
 {
-  def t(name: String) = spark.read.parquet(s"/root/testdata/sf0.1/$name.parquet")
-  val up = t("lineitem").select(
-      concat(lit("li:"), col("l_orderkey"), lit(":"), col("l_linenumber")).as("src"),
-      concat(lit("o:"), col("l_orderkey")).as("dst"))
-    .union(t("orders").select(concat(lit("o:"), col("o_orderkey")).as("src"),
-      concat(lit("c:"), col("o_custkey")).as("dst")))
-    .union(t("customer").select(concat(lit("c:"), col("c_custkey")).as("src"),
-      concat(lit("n:"), col("c_nationkey")).as("dst")))
-    .union(t("nation").select(concat(lit("n:"), col("n_nationkey")).as("src"),
-      concat(lit("r:"), col("n_regionkey")).as("dst")))
-    .localCheckpoint()
+  def upOf(sf: String) = {
+    def t(name: String) = spark.read.parquet(s"/root/testdata/$sf/$name.parquet")
+    t("lineitem").select(
+        concat(lit("li:"), col("l_orderkey"), lit(":"), col("l_linenumber")).as("src"),
+        concat(lit("o:"), col("l_orderkey")).as("dst"))
+      .union(t("orders").select(concat(lit("o:"), col("o_orderkey")).as("src"),
+        concat(lit("c:"), col("o_custkey")).as("dst")))
+      .union(t("customer").select(concat(lit("c:"), col("c_custkey")).as("src"),
+        concat(lit("n:"), col("c_nationkey")).as("dst")))
+      .union(t("nation").select(concat(lit("n:"), col("n_nationkey")).as("src"),
+        concat(lit("r:"), col("n_regionkey")).as("dst")))
+      .localCheckpoint()
+  }
+  val up = upOf("sf0.1")
   def bfs(edges: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     var reached = edges.withColumn("depth", lit(1L)).localCheckpoint()
     var frontier = reached
@@ -278,6 +281,27 @@ println("== incremental closure maintenance vs delta size (same TPC-H-derived DA
       pairs = graft.operators.GraphOps.incrementalClosure(prev, delta).count()
     }
     println(f"  delta=$pct%2d%% ($nDelta%7d of ${nDelta + init.count()}%8d edges, prev pairs=$prevPairs%9d): incr -> $pairs%9d pairs in $s%6.2f s")
+  }
+  // The decisive experiment for the O(delta) claim: hold the delta at a
+  // FIXED absolute size (~770 edges) while the base closure grows 10x.
+  // If maintenance cost tracks the delta, the two rows read ~equal
+  // while the full-rebuild rows above grow with the graph.
+  println("== incremental closure: FIXED ~770-edge delta, growing base ==")
+  for (sf <- Seq("sf0.01", "sf0.1")) {
+    val u = upOf(sf)
+    val nAll = u.count()
+    val cut = math.max(1L, math.round(1000.0 * 770.0 / nAll))
+    val split = abs(hash(col("src"), col("dst"))) % 1000
+    val init = u.where(split >= cut).localCheckpoint()
+    val delta = u.where(split < cut).localCheckpoint()
+    val prev = bfs(init).localCheckpoint()
+    val prevPairs = prev.count()
+    val nDelta = delta.count()
+    var pairs = 0L
+    val s = timed {
+      pairs = graft.operators.GraphOps.incrementalClosure(prev, delta).count()
+    }
+    println(f"  $sf%8s: base=$prevPairs%9d pairs, delta=$nDelta%5d edges: incr -> $pairs%9d pairs in $s%6.2f s")
   }
 }
 
