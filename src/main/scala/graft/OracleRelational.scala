@@ -387,6 +387,19 @@ object OracleRelational {
       |ORDER BY events DESC, user_id ASC
       |LIMIT 20""".stripMargin
 
+  /** Mirror of Relational.q46CmsCounts: the sketch runs in its exact
+    * regime (identity row, width > key domain), so the estimate for
+    * every probed key equals the exact count — 0 for absent keys.
+    */
+  val q46: String =
+    """WITH probes AS (SELECT unnest(range(0, 200)) AS user_id),
+      |cnt AS (
+      |  SELECT user_id, count(*) AS c FROM events
+      |  WHERE user_id IS NOT NULL GROUP BY user_id
+      |)
+      |SELECT p.user_id, CAST(COALESCE(c.c, 0) AS BIGINT) AS events_est
+      |FROM probes p LEFT JOIN cnt c USING (user_id)""".stripMargin
+
   /** Mirror of sources.Layout.q45BucketedJoin: the SAME join with no
     * layout at all — identical results is the proof that bucketing is
     * a pure physical-plan property.

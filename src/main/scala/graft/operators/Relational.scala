@@ -640,6 +640,31 @@ object Relational {
       .limit(20)
   }
 
+  /** Count-Min frequency estimates for a fixed probe set of keys,
+    * against one corpus-wide sketch ([[graft.functions.CountMinAgg]]).
+    * The sketch is the "how often does THIS item occur" complement of
+    * q44's "which items are heavy": one `depth × width` counter grid
+    * aggregated with map-side partials (the exchange carries
+    * |tasks| · depth · width longs, key-cardinality-independent),
+    * broadcast as a single row, probed per key with a pure-arithmetic
+    * min-over-rows lookup. Runs in the sketch's EXACT regime
+    * (width 2048 > max user_id at every test SF, and row 0 is the
+    * identity hash — see CountMinAgg's Scaladoc), so the DuckDB exact
+    * count LEFT JOIN is a valid differential oracle; the approximate
+    * regime's one-sided bound is pinned by CountMinAggSpec.
+    */
+  def q46CmsCounts(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
+    val (depth, width) = (4, 2048)
+    val sketch = Tables.events(spark, dir)
+      .agg(expr(s"cms_sketch(user_id, $depth, $width)").as("sk"))
+    spark.range(0, 200).select(col("id").as("user_id"))
+      .crossJoin(broadcast(sketch))
+      .select(col("user_id"),
+        expr(graft.functions.CountMinAgg.lookupExpr("sk", "user_id", depth, width))
+          .as("events_est"))
+  }
+
   /** Rank-function family over one window: ntile quartiles, percent_rank
     * and cume_dist per order priority. The window's total order includes
     * the key (o_orderkey) so ranks are deterministic under any

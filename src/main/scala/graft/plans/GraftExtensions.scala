@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CosineSimilarity, MisraGriesAgg, SignBandKeys, SimHashAgg, TopKBySim}
+import graft.functions.{CosineSimilarity, CountMinAgg, MisraGriesAgg, SignBandKeys, SimHashAgg, TopKBySim}
 
 /** Engine extension point: registers graft's native Catalyst functions.
   *
@@ -27,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.mightContainDescriptor)
     ext.injectFunction(GraftExtensions.topkBySimDescriptor)
     ext.injectFunction(GraftExtensions.misraGriesDescriptor)
+    ext.injectFunction(GraftExtensions.cmsSketchDescriptor)
   }
 }
 
@@ -137,6 +138,24 @@ object GraftExtensions {
     new ExpressionInfo(classOf[MisraGriesAgg].getName, "misra_gries"),
     misraGriesBuilder)
 
+  // depth/width are case-class parameters (the counter grid allocates
+  // once per group) — foldable int literals required, same as misra_gries
+  private val cmsSketchBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 3,
+      s"cms_sketch expects (key, depth, width), got ${exprs.length} arguments")
+    (exprs(1), exprs(2)) match {
+      case (Literal(d: Int, IntegerType), Literal(w: Int, IntegerType)) =>
+        CountMinAgg(exprs.head, d, w)
+      case _ => throw new IllegalArgumentException(
+        "cms_sketch depth/width must be integer literals")
+    }
+  }
+
+  val cmsSketchDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("cms_sketch"),
+    new ExpressionInfo(classOf[CountMinAgg].getName, "cms_sketch"),
+    cmsSketchBuilder)
+
   val topkBySimDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("topk_by_sim"),
     new ExpressionInfo(classOf[TopKBySim].getName, "topk_by_sim"),
@@ -158,5 +177,7 @@ object GraftExtensions {
       .createOrReplaceTempFunction("topk_by_sim", topkBySimBuilder, "built-in")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("misra_gries", misraGriesBuilder, "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("cms_sketch", cmsSketchBuilder, "built-in")
   }
 }

@@ -87,6 +87,7 @@ class GoldenSpec extends SparkSpec {
     "dedup_embedding" -> ((7768090945691118739L, 48L)),
     "emb_dedup_clusters" -> ((-1488179478009104348L, 85L)),
     "emb_ivf_recall" -> ((1904457532132159187L, 5L)),
+    "q46_cms_counts" -> ((-3932710289000206124L, 200L)),
     "emb_semdedup" -> ((-2427534531829227531L, 500L)),
     "emb_cluster_sample" -> ((-2761905071617074113L, 50L)),
     "txt_source_overlap" -> ((1106279601083369810L, 190L)),
