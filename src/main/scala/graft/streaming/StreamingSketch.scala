@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.functions.CountMinAgg
+
+/** Streaming frequency-sketch maintenance — the reason mergeable
+  * sketches earn their place in a pipeline: each micro-batch reduces
+  * to ONE fixed-size Count-Min grid, the store accumulates one grid
+  * row per batch, and the corpus-wide sketch is the cell-wise SUM of
+  * whatever grids exist — no reprocessing, no per-key state, state
+  * size `batches × depth × width` longs regardless of how many events
+  * streamed through.
+  *
+  * The idempotency device is [[StreamingVectors]]'s applied to a
+  * sketch artifact: `foreachBatch` is at-least-once, so each batch
+  * OVERWRITES its own `ingest_batch=<id>` directory with its
+  * deterministic grid — a crash-replay rewrites identical bytes
+  * instead of double-counting (the failure mode sketch pipelines
+  * actually hit, since cell-wise addition would silently absorb a
+  * duplicate grid; spec-asserted via direct double-delivery).
+  *
+  * Read side ([[globalEstimates]]) is pure relational algebra over the
+  * store: posexplode each grid to (cell, count), sum per cell — the
+  * mergeable-summaries merge as a groupBy — then probe keys against
+  * the summed cells with the same hash arithmetic
+  * [[CountMinAgg.lookupExpr]] uses, as a broadcast join on cell index.
+  * At scale the store read is `batches × depth × width` longs — for a
+  * year of hourly batches at the default grid, ~570 MB — and the
+  * estimate query never touches the event stream itself.
+  */
+object StreamingSketch {
+
+  val Depth = 4
+  val Width = 2048
+
+  /** One micro-batch reduced to its sketch grid (a single row). */
+  def sketchBatch(batch: DataFrame, depth: Int = Depth, width: Int = Width): DataFrame = {
+    graft.plans.GraftExtensions.register(batch.sparkSession)
+    batch.agg(expr(s"cms_sketch(user_id, $depth, $width)").as("sk"))
+  }
+
+  /** Per-batch sink write, idempotent on `batchId` (overwrite-own-
+    * directory; see object Scaladoc).
+    */
+  def writeBatch(batch: DataFrame, storePath: String, batchId: Long,
+      depth: Int = Depth, width: Int = Width): Unit =
+    sketchBatch(batch, depth, width)
+      .write.mode("overwrite")
+      .parquet(s"$storePath/ingest_batch=$batchId")
+
+  /** Drain an events directory into the sketch store. AvailableNow:
+    * processes exactly the files not yet committed to the checkpoint,
+    * then stops — the restartable incremental unit.
+    */
+  def startCmsIngest(spark: SparkSession, srcPath: String,
+      storePath: String, checkpoint: String,
+      depth: Int = Depth, width: Int = Width): StreamingQuery =
+    StreamingAssets.eventStream(spark, srcPath).writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatch(batch, storePath, batchId, depth, width)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** The corpus-wide sketch as (cell, cnt) rows: cell-wise sum of
+    * every batch grid in the store.
+    */
+  def globalCells(spark: SparkSession, storePath: String): DataFrame =
+    spark.read.parquet(storePath)
+      .select(posexplode(col("sk")).as(Seq("cell", "c")))
+      .groupBy(col("cell"))
+      .agg(sum(col("c")).as("cnt"))
+
+  /** Frequency estimates for a probe-key frame (one `user_id` column)
+    * against the accumulated store: each key joins its `depth` cells
+    * (broadcast of probes × depth — the corpus-sized side never
+    * reshuffles), min over rows. Same hash family as the batch
+    * aggregate, so a drained store answers exactly like one
+    * [[CountMinAgg]] over all events (spec-asserted).
+    */
+  def globalEstimates(spark: SparkSession, storePath: String,
+      probes: DataFrame, depth: Int = Depth, width: Int = Width): DataFrame = {
+    val cellOf = (d: Int) =>
+      s"CAST($d * $width + pmod(pmod(${CountMinAgg.aOf(d)}L * pmod(user_id, ${CountMinAgg.P}L) " +
+        s"+ ${CountMinAgg.bOf(d)}L, ${CountMinAgg.P}L), ${width}L) AS INT)"
+    val wanted = probes.select(col("user_id"),
+      explode(expr((0 until depth).map(cellOf).mkString("array(", ", ", ")")))
+        .as("cell"))
+    globalCells(spark, storePath)
+      .join(broadcast(wanted), Seq("cell"))
+      .groupBy(col("user_id"))
+      // every grid cell exists in the store (posexplode of the full
+      // array), so each probe key meets all `depth` of its cells and
+      // min is the standard CMS estimate — 0 for absent keys. An
+      // EMPTY store (no drained batch yet) yields no rows at all.
+      .agg(min(col("cnt")).as("events_est"))
+  }
+}
