@@ -274,6 +274,20 @@ class PlanAuditSpec extends SparkSpec {
       l.contains("WindowGroupLimit") && l.contains("Partial")), p.take(800))
   }
 
+  test("cms sketch reduces map-side to fixed grids; the one-row sketch broadcasts") {
+    // the whole point of the mergeable grid: a PARTIAL cms_sketch must
+    // run before the exchange (each task ships one grid, not its
+    // rows), and the probe side must see the sketch as a broadcast —
+    // never a shuffle keyed on anything row-sized
+    val df = SparkEntry.queries("q46_cms_counts")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_cms_sketch"), p.take(800))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoop"),
+      p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
   test("cluster sample gets a partial WindowGroupLimit; semdedup joins on the cluster key") {
     // clusterSample's per-cluster quota is the same rank-limited window
     // shape as the collapse: InferWindowGroupLimit must cut each map
