@@ -650,6 +650,35 @@ object OracleText {
        |    AS mix_weight
        |FROM g""".stripMargin
 
+  /** Mirror of TextOps.novelty: per-doc distinct shingle hashes,
+    * corpus frequency per hash, unique-fraction ratio.
+    */
+  val novelty: String =
+    s"""WITH $wordsCte,
+       |sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(words) >= 3
+       |         THEN list_transform(range(len(words) - 2),
+       |                i -> array_to_string(list_slice(words, i + 1, i + 3), ' '))
+       |         ELSE CAST([] AS VARCHAR[]) END AS shingles
+       |  FROM docs
+       |),
+       |hashed AS (
+       |  SELECT doc_id, md5(unnest(shingles)) AS h FROM sh
+       |),
+       |g AS (
+       |  SELECT DISTINCT doc_id, ${rotLong("h", 0)} AS gh FROM hashed
+       |),
+       |freq AS (SELECT gh, count(*) AS gram_docs FROM g GROUP BY gh)
+       |SELECT g.doc_id,
+       |  count(*) AS n_shingles,
+       |  CAST(sum(CASE WHEN f.gram_docs = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_unique,
+       |  CAST(sum(CASE WHEN f.gram_docs = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS novelty
+       |FROM g JOIN freq f USING (gh)
+       |GROUP BY g.doc_id""".stripMargin
+
   /** Mirror of TextOps.sourceOverlap: distinct (source, 60-bit shingle
     * hash) sets, pairwise intersection + Jaccard.
     */

@@ -1099,6 +1099,39 @@ object TextOps {
     * an S²-row output. The text never shuffles — only 8-byte hashes
     * (same device as [[minhashSignatures]]).
     */
+  /** Per-document novelty: the fraction of a doc's DISTINCT 3-word
+    * shingles that occur in no other document — the triage signal
+    * between exact dedup (hash equality) and near-dup (signature
+    * similarity): boilerplate-heavy docs score near 0, fresh content
+    * near 1, and the corpus-frequency join is the same "count each
+    * gram once corpus-wide" shape [[sourceOverlap]] runs, so a
+    * pipeline computes both from one shingle pass.
+    *
+    * Shape at 100 TB: explode → per-(doc, gram) distinct → one shuffle
+    * keyed on the 60-bit gram hash for the frequency count → join back
+    * on the same key (same partitioning, reusable exchange) → per-doc
+    * ratio. Only 8-byte hashes and doc ids shuffle. Docs with < 3
+    * words have no shingles and are absent from the output (both
+    * engines agree).
+    */
+  def novelty(spark: SparkSession, dir: String): DataFrame = {
+    val grams = withShingles(spark, dir)
+      .select(col("doc_id"), explode(col("shingles")).as("sg"))
+      .select(col("doc_id"), md5(col("sg")).as("h"))
+      .select(col("doc_id"), rotLong("h", 0).as("gh"))
+      .distinct()
+    val freq = grams.groupBy(col("gh"))
+      .agg(count(lit(1)).as("gram_docs"))
+    grams.join(freq, Seq("gh"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("gram_docs") === 1, 1L).otherwise(0L)).as("n_unique"))
+      // int/int in double: exact, engine-identical
+      .withColumn("novelty",
+        col("n_unique").cast("double") / col("n_shingles").cast("double"))
+  }
+
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
     val grams = withShingles(spark, dir)
       .select(col("source"), explode(col("shingles")).as("sg"))

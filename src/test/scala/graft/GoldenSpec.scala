@@ -91,6 +91,7 @@ class GoldenSpec extends SparkSpec {
     "emb_semdedup" -> ((-2427534531829227531L, 500L)),
     "emb_cluster_sample" -> ((-2761905071617074113L, 50L)),
     "txt_source_overlap" -> ((1106279601083369810L, 190L)),
+    "txt_novelty" -> ((-5491881594463251946L, 500L)),
     "evt_zorder_box" -> ((8048206640084171482L, 5L)),
     "host_multivalued" -> ((8207634536938707889L, 1000L)),
     "dedup_exact" -> ((678982984489084868L, 500L)),

@@ -288,6 +288,33 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(rows.values.map(_.getAs[Double]("mix_weight")).sum - 1.0) < 1e-9)
   }
 
+  test("novelty: unique-shingle fraction matches a driver-side recompute") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def g60(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(15), 16)
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val w = r.getString(1).split(" ", -1)
+        r.getLong(0) -> (if (w.length >= 3)
+          (0 to w.length - 3).map(i => g60(w.slice(i, i + 3).mkString(" "))).toSet
+        else Set.empty[Long])
+      }.toMap
+    val freq = docs.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val got = TextOps.novelty(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet === docs.filter(_._2.nonEmpty).keySet)
+    got.foreach { case (id, (n, u, s)) =>
+      val set = docs(id)
+      val uniq = set.count(g => freq(g) == 1)
+      assert(n === set.size.toLong && u === uniq.toLong, s"doc $id")
+      assert(s === uniq.toDouble / set.size.toDouble, s"doc $id ratio")
+    }
+    // the corpus has both boilerplate-ish and fresh docs
+    assert(got.values.exists(_._3 < 1.0) && got.values.exists(_._3 > 0.0))
+  }
+
   test("sourceOverlap: matrix matches a driver-side shingle-set recompute") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
