@@ -25,44 +25,13 @@ object Bench {
       df.select(xxhash64(df.columns.map(col): _*).as("h"))
         .agg(expr("bit_xor(h)")).head()
     }
-    // Untimed warmup over each table family (TPC-H star, events/signals,
-    // documents, embeddings): JVM/codegen/parquet-footer startup lands
-    // here instead of on whichever query happens to run first (round 1:
-    // svc_summaries 17s cold vs 1.8s for the same shape warm).
-    // dedup_minhash and dedup_clusters also materialize the memoized
-    // artifacts the dedup family shares (signature table, LSH edge set,
-    // propagated labels — build-once-per-session by design), so family
-    // queries measure steady-state, not first-build cost.
-    // q23 touches the whole TPC-H star (region/nation/customer/orders/
-    // lineitem); q18 covers `part` — without them, first-touch footer
-    // reads + codegen land on the measured run (q18: 2.6s cold, 0.35s
-    // warm for a 20k-row projection).
-    // the simhash pair carries the suite's heaviest codegen units (32
-    // aggregate expressions each): measured 2.1s cold vs 0.73s warm on
-    // identical data — janino compile time, not data work, and at
-    // cluster scale a per-session constant
-    // emb_dedup_clusters materializes the embedding dedup family's
-    // memoized artifacts (near-dup edge set, IVF codebook via the
-    // centroid build) — same build-once-per-session policy as the text
-    // family's dedup_minhash/dedup_clusters warmups
-    // emb_knn_pq materializes the PQ family's memoized artifacts
-    // (pq_codebook, pq_codes) — build-once-per-session like the IVF
-    // codebook above
-    // emb_knn_ivfpq materializes the residual IVF-PQ family's artifacts
-    // (ivfpq_residuals, pqr_codebook, pqr_codes plus the trained
-    // ivf_means/ivf_assign it builds on) — without it the multi-second
-    // memo build lands inside the first timed sample of whichever
-    // residual query runs first (r6 driver bench: emb_ivfpq_recall
-    // recorded 16.8s vs 1.3s steady-state)
-    // q45/evt_partition_pruned first-touch WRITES their re-laid-out
-    // copies (bucketed tables, date-partitioned events) — a one-time
-    // layout cost, not query cost, so it lands in warmup like the memo
-    // builds above
-    for (w <- Seq("q1_pricing_summary", "q18_string_funcs", "q23_star_join",
-        "svc_collapse", "txt_tokens", "txt_simhash", "dedup_simhash",
-        "emb_centroids", "dedup_minhash", "dedup_clusters",
-        "emb_dedup_clusters", "emb_knn_ivf", "emb_knn_pq", "emb_knn_ivfpq",
-        "q45_bucketed_join", "evt_partition_pruned", "evt_zorder_box"))
+    // Untimed warmup, registry-owned (SparkEntry.warmups — see the
+    // rationale there): JVM/codegen/parquet-footer startup plus every
+    // build-once-per-session memoized artifact lands here instead of
+    // inside the first timed sample of whichever family query runs
+    // first. WarmupSpec asserts the list is never stale (every memo
+    // key some registry query builds is touched by a warmup entry).
+    for (w <- SparkEntry.warmups)
       try drive(w) catch { case _: Throwable => () }
     // Per-query instrumentation to stderr as the run progresses:
     // wall seconds plus the session's cumulative GC time delta, so a
@@ -95,6 +64,17 @@ object Bench {
       name -> secs
     }.toMap
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // Total process-CPU seconds since JVM start: makes a contended run
+    // self-diagnosing from the artifact alone — plans getting slower
+    // shows cpu growing with wall, while host contention shows
+    // wall ≫ cpu/cores (the r7 driver bench read 418.9s total against
+    // an idle-box 93.7s for the identical jar; this field settles such
+    // cases without a rerun).
+    val cpuSecs: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime / 1e9
+        case _ => -1.0
+      }
     // The driver keeps only the last ~2000 chars of output and parses the
     // metric line out of that window (rounds 1–4 all report parsed:null —
     // the full-precision line for 90+ queries is ~2600 chars and its head
@@ -113,7 +93,7 @@ object Bench {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v, dp) }
         .mkString("{", ",", "}")
       val om = if (omitted > 0) s""","omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs$om,"sf":$sfNum}"""
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","cpu":${fmt(cpuSecs, 1)},"queries":$qs$om,"sf":$sfNum}"""
     }
     val sorted = results.toSeq.sortBy(_._1)
     // 1992 = the 2000-char window minus the trailing newline and a small
@@ -142,7 +122,7 @@ object Bench {
     val full = sorted.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","cpu":$cpuSecs,"queries":$full,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("/tmp/bench.json"), fullJson)
     try Files.writeString(Paths.get("/root/repo/BENCH_FULL.json"), fullJson + "\n")
     catch { case _: Throwable => () }

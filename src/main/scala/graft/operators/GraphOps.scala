@@ -21,6 +21,13 @@ import graft.sources.Tables
   * like there the iteration count is fixed and small, so lineage stays
   * bounded without checkpoints.
   *
+  * Checkpoint discipline: every lineage cut in this module goes
+  * through [[TextOps.cutLineage]] — executor-local checkpoints when no
+  * checkpoint dir is set (local/test), upgrading to reliable
+  * `checkpoint(true)` when `sc.setCheckpointDir` is configured (the
+  * cluster deployment signal), so an executor loss mid-loop replays
+  * from durable storage instead of failing the job.
+  *
   * Cross-engine determinism: PageRank mass lives on an integer grid
   * (scaled to 10^9, floor division per edge) — integer sums commute
   * exactly under any partitioning, where a double Σ(pr/deg) would be
@@ -30,6 +37,23 @@ import graft.sources.Tables
   * engines and under any shuffle.
   */
 object GraphOps {
+
+  /** Lineage cut for the iterative loops below — the shared seam (see
+    * the object Scaladoc for the reliable-mode upgrade).
+    */
+  private def cut(df: DataFrame): DataFrame = TextOps.cutLineage(df)
+
+  /** Row cap for [[incrementalClosure]]'s broadcast hints. The normal
+    * arrival path keeps every hinted frame delta-sized (thousands of
+    * pairs), but the degenerate empty-previous-closure path grows them
+    * to the full closure — an unconditional hint there is a driver OOM
+    * at scale. ~2M pairs ≈ low hundreds of MB of EAN strings, the
+    * upper edge of what a driver comfortably serializes.
+    */
+  val BroadcastRowCap: Long = 2L * 1024 * 1024
+
+  private def maybeBroadcast(df: DataFrame, rows: Long): DataFrame =
+    if (rows <= BroadcastRowCap) broadcast(df) else df
 
   /** PageRank iterations (unrolled identically in the oracle). */
   val PrRounds = 5
@@ -152,15 +176,15 @@ object GraphOps {
     * per-level rows on any graph with diamonds), and stops as soon as
     * the frontier is empty. BFS level order IS min-depth order, so no
     * final min() collapse is needed. The edge set and each round's
-    * delta are localCheckpointed: rounds scan a materialized table
+    * delta are checkpointed ([[TextOps.cutLineage]] — reliable when a
+    * checkpoint dir is set): rounds scan a materialized table
     * instead of re-planning the whole assets_all lineage, and the loop
     * stays O(1) planning per round (the propagateToFixpoint device).
     * A `WITH RECURSIVE` mirror remains the DuckDB oracle — the driver's
     * differential check proves the two formulations agree.
     */
   def assetClosure(spark: SparkSession, dir: String): DataFrame =
-    closureOf(upwardEdges(spark, dir)
-      .localCheckpoint()) // rounds join a materialized edge table, not the assets_all plan
+    closureOf(cut(upwardEdges(spark, dir))) // rounds join a materialized edge table, not the assets_all plan
 
   /** The frontier-dedup BFS itself, over any (src, dst) edge frame —
     * [[assetClosure]] binds it to the asset graph; the incremental
@@ -168,20 +192,19 @@ object GraphOps {
     * reference.
     */
   private[graft] def closureOf(up: DataFrame): DataFrame = {
-    var reached = up.select(col("src"), col("dst"))
-      .withColumn("depth", lit(1L)).localCheckpoint()
+    var reached = cut(up.select(col("src"), col("dst"))
+      .withColumn("depth", lit(1L)))
     var frontier = reached
     var depth = 1L
     while (depth < ClosureMaxDepth && !frontier.isEmpty) {
       depth += 1
-      val fresh = frontier.alias("a")
+      val fresh = cut(frontier.alias("a")
         .join(up.alias("b"), col("a.dst") === col("b.src"))
         .select(col("a.src").as("src"), col("b.dst").as("dst"))
         .distinct()
         .join(reached, Seq("src", "dst"), "left_anti")
-        .withColumn("depth", lit(depth))
-        .localCheckpoint()
-      reached = reached.unionAll(fresh).localCheckpoint()
+        .withColumn("depth", lit(depth)))
+      reached = cut(reached.unionAll(fresh))
       frontier = fresh
     }
     reached.select(col("src").as("asset_ean"), col("dst").as("reached_ean"),
@@ -238,13 +261,20 @@ object GraphOps {
     * round-6 shape cost 2× the rebuild.
     */
   def incrementalClosure(prevClosure: DataFrame, newEdges: DataFrame): DataFrame = {
-    val fresh = newEdges.select(col("src"), col("dst")).distinct().localCheckpoint()
-    val base = prevClosure
-      .select(col("asset_ean").as("src"), col("reached_ean").as("dst"), col("depth"))
-      .localCheckpoint()
+    val fresh = cut(newEdges.select(col("src"), col("dst")).distinct())
+    val base = cut(prevClosure
+      .select(col("asset_ean").as("src"), col("reached_ean").as("dst"), col("depth")))
+    // Broadcast hints below are GATED on a row cap: the normal arrival
+    // path keeps every hinted frame delta-sized, but the documented
+    // degenerate case (empty prevClosure → full closure build) grows
+    // delta/cand to the whole closure, where an unconditional hint
+    // would OOM the driver — over the cap the planner (AQE) chooses.
+    // Counts are scans of already-checkpointed blocks, so each gate
+    // costs one cheap job on materialized data.
+    val freshRows = fresh.count()
     val viaNew = fresh.select(col("src").as("s"), col("dst").as("t"))
-    val newSrcs = broadcast(viaNew.select(col("s")).distinct())
-    val newDsts = broadcast(viaNew.select(col("t")).distinct())
+    val newSrcs = maybeBroadcast(viaNew.select(col("s")).distinct(), freshRows)
+    val newDsts = maybeBroadcast(viaNew.select(col("t")).distinct(), freshRows)
     // The base closure is IMMUTABLE for the whole maintenance pass, so
     // everything a round needs from it is sliced out ONCE — three scans
     // total, each broadcast-keyed on the new edges' endpoints, each
@@ -257,27 +287,27 @@ object GraphOps {
     // are past candidates, so their srcs were already in that set), and
     // symmetrically for dsts — so current-depth probes never need base
     // rows outside A × B.
-    val preBase = base.join(newSrcs, base("dst") === newSrcs("s"))
-      .select(col("src").as("a"), col("s"), col("depth").as("d1"))
-      .localCheckpoint()
-    val postBase = base.join(newDsts, base("src") === newDsts("t"))
-      .select(col("t"), col("dst").as("b"), col("depth").as("d2"))
-      .localCheckpoint()
+    val preBase = cut(base.join(newSrcs, base("dst") === newSrcs("s"))
+      .select(col("src").as("a"), col("s"), col("depth").as("d1")))
+    val postBase = cut(base.join(newDsts, base("src") === newDsts("t"))
+      .select(col("t"), col("dst").as("b"), col("depth").as("d2")))
+    val preRows = preBase.count()
+    val postRows = postBase.count()
     val aSet = preBase.select(col("a").as("src"))
       .unionAll(viaNew.select(col("s").as("src"))).distinct()
     val bSet = postBase.select(col("b").as("dst"))
       .unionAll(viaNew.select(col("t").as("dst"))).distinct()
-    val baseRelevant = base
-      .join(broadcast(aSet), Seq("src"), "left_semi")
-      .join(broadcast(bSet), Seq("dst"), "left_semi")
-      .localCheckpoint()
+    val baseRelevant = cut(base
+      .join(maybeBroadcast(aSet, preRows + freshRows), Seq("src"), "left_semi")
+      .join(maybeBroadcast(bSet, postRows + freshRows), Seq("dst"), "left_semi"))
     // improved pairs found so far, deduped to best depth per (src, dst);
     // empty to start, stays O(affected neighborhood). From here on no
     // round touches `base` — every per-round frame is delta-sized.
-    var delta = base.limit(0).localCheckpoint()
+    var delta = cut(base.limit(0))
+    var deltaRows = 0L
     var improved = true
     while (improved) {
-      val vb = broadcast(viaNew)
+      val vb = maybeBroadcast(viaNew, freshRows)
       val pre = preBase.unionAll(
         delta.select(col("src").as("a"), col("dst").as("s"), col("depth").as("d1"))
           .join(newSrcs, Seq("s")).select(col("a"), col("s"), col("d1")))
@@ -298,33 +328,34 @@ object GraphOps {
             (col("d1") + col("d2") + 1L).as("depth")))
         .groupBy(col("src"), col("dst"))
         .agg(min(col("depth")).as("depth"))
-        .localCheckpoint() // consumed twice below (keys + probe)
-      // current best depth of the candidate pairs: the pre-sliced base
-      // rows plus the delta side, both small. (A tempting fusion —
-      // probing one unioned relevant-best aggregate through a broadcast
-      // left join, saving a job — sends Catalyst's sizeInBytes
-      // estimation into minutes of BigInt arithmetic on the nested
-      // join tree; keep the checkpointed-cand + semi shape.)
-      val candKeys = broadcast(cand.select(col("src"), col("dst")))
+      // consumed twice below (keys + probe)
+      // (A tempting fusion — probing one unioned relevant-best
+      // aggregate through a broadcast left join, saving a job — sends
+      // Catalyst's sizeInBytes estimation into minutes of BigInt
+      // arithmetic on the nested join tree; keep the checkpointed-cand
+      // + semi shape.)
+      val candCut = cut(cand)
+      val candRows = candCut.count()
+      val candKeys = maybeBroadcast(candCut.select(col("src"), col("dst")), candRows)
       val current = baseRelevant.join(candKeys, Seq("src", "dst"), "left_semi")
         .unionAll(delta.join(candKeys, Seq("src", "dst"), "left_semi"))
         .groupBy(col("src"), col("dst"))
         .agg(min(col("depth")).as("depth"))
-      val better = cand.alias("c")
+      val better = cut(candCut.alias("c")
         .join(current.alias("m"), Seq("src", "dst"), "left")
         .where(col("m.depth").isNull || col("c.depth") < col("m.depth"))
-        .select(col("src"), col("dst"), col("c.depth").as("depth"))
-        .localCheckpoint()
+        .select(col("src"), col("dst"), col("c.depth").as("depth")))
       improved = !better.isEmpty
-      if (improved)
+      if (improved) {
         // both sides small: replace re-improved pairs, append the rest
-        delta = delta.join(better, Seq("src", "dst"), "left_anti")
-          .unionAll(better)
-          .localCheckpoint()
+        delta = cut(delta.join(better, Seq("src", "dst"), "left_anti")
+          .unionAll(better))
+        deltaRows = delta.count()
+      }
     }
     // the single full-closure reconciliation of the whole maintenance
     // pass: one broadcast anti-join scan of the pinned base
-    base.join(broadcast(delta.select(col("src"), col("dst"))),
+    base.join(maybeBroadcast(delta.select(col("src"), col("dst")), deltaRows),
         Seq("src", "dst"), "left_anti")
       .unionAll(delta)
       .where(col("depth") <= ClosureMaxDepth)
@@ -345,7 +376,7 @@ object GraphOps {
     * differential proof of the maintenance algebra.
     */
   def assetClosureIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val all = upwardEdges(spark, dir).localCheckpoint()
+    val all = cut(upwardEdges(spark, dir))
     val split = abs(hash(col("src"), col("dst"))) % 20
     incrementalClosure(
       closureOf(all.where(split < 19)),
@@ -377,14 +408,13 @@ object GraphOps {
         .select(col("dst"),
           expr(s"(pr * $PrDampNum * w) div ($PrDampDen * wout)").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
-      pr = nodes.join(contrib, col("node") === col("dst"), "left")
+      // lineage cut per round (same device as propagateToFixpoint):
+      // without it round R replans an R-deep join stack and the loop
+      // pays quadratic planning time — measured 5.0s → the data work
+      // itself is one tiny join+agg per round
+      pr = cut(nodes.join(contrib, col("node") === col("dst"), "left")
         .select(col("node"),
-          (lit(base) + coalesce(col("contrib"), lit(0L))).as("pr"))
-        // lineage cut per round (same device as propagateToFixpoint):
-        // without it round R replans an R-deep join stack and the loop
-        // pays quadratic planning time — measured 5.0s → the data work
-        // itself is one tiny join+agg per round
-        .localCheckpoint()
+          (lit(base) + coalesce(col("contrib"), lit(0L))).as("pr")))
     }
     pr
   }

@@ -652,14 +652,24 @@ object Relational {
     * identity hash — see CountMinAgg's Scaladoc), so the DuckDB exact
     * count LEFT JOIN is a valid differential oracle; the approximate
     * regime's one-sided bound is pinned by CountMinAggSpec.
+    *
+    * The exact-regime precondition is CHECKED, not assumed: the sketch
+    * aggregate also carries max(user_id), and an `assert_true` guard in
+    * the probe fails the query loudly if the domain ever outgrows the
+    * width (user_id scales ~15000 at sf1, where a silent overflow would
+    * turn the exact oracle into a false mismatch). Zero extra jobs —
+    * the max rides the same aggregate as the sketch.
     */
   def q46CmsCounts(spark: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftExtensions.register(spark)
     val (depth, width) = (4, 2048)
     val sketch = Tables.events(spark, dir)
-      .agg(expr(s"cms_sketch(user_id, $depth, $width)").as("sk"))
+      .agg(expr(s"cms_sketch(user_id, $depth, $width)").as("sk"),
+        max(col("user_id")).as("mx"))
     spark.range(0, 200).select(col("id").as("user_id"))
       .crossJoin(broadcast(sketch))
+      .where(expr(s"assert_true(mx IS NULL OR mx < $width, " + // NULL = empty table: nothing to overflow
+        s"'q46 exact-regime precondition violated: max(user_id) >= width $width') IS NULL"))
       .select(col("user_id"),
         expr(graft.functions.CountMinAgg.lookupExpr("sk", "user_id", depth, width))
           .as("events_est"))

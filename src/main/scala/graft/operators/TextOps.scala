@@ -93,6 +93,17 @@ object TextOps {
     sweepStopped()
     memo.keys.count(_._1 == sessionKey(spark))
   }
+
+  /** The artifact KEYS this session has memoized — WarmupSpec asserts
+    * the bench warmup list touches every one of them (registration
+    * happens at plan-construction time inside [[memoized]], so the
+    * test can enumerate artifacts without executing the registry).
+    */
+  private[graft] def memoKeysFor(spark: SparkSession): Set[String] = {
+    sweepStopped()
+    val mine = sessionKey(spark)
+    memo.keys.collect { case (s, _, k) if s == mine => k }.toSet
+  }
   private[graft] def memoEntriesTotal: Int = { sweepStopped(); memo.size }
 
   /** Whitespace tokenization shared by all text operators. */
@@ -629,9 +640,11 @@ object TextOps {
     * reliable `Dataset.checkpoint` automatically whenever the caller
     * has set `sc.setCheckpointDir` (the cluster deployment signal);
     * local/test runs without a checkpoint dir keep the cheaper
-    * executor-local variant.
+    * executor-local variant. Shared with [[GraphOps]] — every
+    * iterative loop in the library cuts lineage through this one seam
+    * so the reliable-mode upgrade applies uniformly.
     */
-  private def cutLineage(df: DataFrame): DataFrame =
+  private[operators] def cutLineage(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
     else df.localCheckpoint(true)
 
@@ -1083,22 +1096,6 @@ object TextOps {
           .as("mix_weight"))
   }
 
-  /** Cross-source n-gram overlap matrix — the corpus-level
-    * contamination readout that tells a pipeline which source PAIRS
-    * share content (scraped mirrors, benchmark leakage, vendored
-    * copies) before any per-document dedup runs. For every source
-    * pair: the count of shared distinct 3-word shingles and the
-    * Jaccard of the two shingle sets. [[decontaminate]] answers "is
-    * THIS doc contaminated against THAT set"; this answers "which of
-    * my S sources even overlap, and how much" — the matrix that
-    * decides what to decontaminate against.
-    *
-    * Shape at 100 TB: distinct (source, gram-hash) with map-side
-    * partial distinct, one shuffle keyed on the 60-bit gram hash for
-    * the self-join (pairs per gram ≤ S², never corpus-quadratic), and
-    * an S²-row output. The text never shuffles — only 8-byte hashes
-    * (same device as [[minhashSignatures]]).
-    */
   /** Per-document novelty: the fraction of a doc's DISTINCT 3-word
     * shingles that occur in no other document — the triage signal
     * between exact dedup (hash equality) and near-dup (signature
@@ -1132,6 +1129,22 @@ object TextOps {
         col("n_unique").cast("double") / col("n_shingles").cast("double"))
   }
 
+  /** Cross-source n-gram overlap matrix — the corpus-level
+    * contamination readout that tells a pipeline which source PAIRS
+    * share content (scraped mirrors, benchmark leakage, vendored
+    * copies) before any per-document dedup runs. For every source
+    * pair: the count of shared distinct 3-word shingles and the
+    * Jaccard of the two shingle sets. [[decontaminate]] answers "is
+    * THIS doc contaminated against THAT set"; this answers "which of
+    * my S sources even overlap, and how much" — the matrix that
+    * decides what to decontaminate against.
+    *
+    * Shape at 100 TB: distinct (source, gram-hash) with map-side
+    * partial distinct, one shuffle keyed on the 60-bit gram hash for
+    * the self-join (pairs per gram ≤ S², never corpus-quadratic), and
+    * an S²-row output. The text never shuffles — only 8-byte hashes
+    * (same device as [[minhashSignatures]]).
+    */
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
     val grams = withShingles(spark, dir)
       .select(col("source"), explode(col("shingles")).as("sg"))

@@ -74,7 +74,15 @@ object Tables {
     if (df.columns.contains("__ts_nanos"))
       col("__ts_nanos") >= lit(bound.getEpochSecond * 1000000000L + bound.getNano)
     else if (df.columns.contains("__ts_raw"))
-      col("__ts_raw") >= lit(java.sql.Timestamp.from(bound)).cast("timestamp_ntz")
+      // NTZ bound from the Instant's UTC wall-clock fields directly: a
+      // LocalDateTime literal is TIMESTAMP_NTZ natively, so the bound
+      // is session-timezone independent. (The previous session-zoned
+      // literal → NTZ cast was only correct under the harness's pinned
+      // UTC session: TZ↔NTZ is not bijective across DST transitions,
+      // and this conjoined predicate is a real filter, not just a
+      // pruning hint.)
+      col("__ts_raw") >= lit(
+        java.time.LocalDateTime.ofInstant(bound, java.time.ZoneOffset.UTC))
     else lit(true)
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

@@ -50,7 +50,18 @@ object StreamingAssets {
     */
   private def schemaOf(spark: SparkSession, path: String): StructType =
     try spark.read.parquet(path).schema
-    catch { case _: Exception => eventsSchema }
+    catch {
+      // Fall back ONLY for the two "nothing there yet" shapes (missing
+      // path, schema-less empty dir) — a populated directory whose read
+      // fails for any other reason (permissions, corrupt footer) must
+      // ERROR, not silently stream under the wrong schema.
+      case e: org.apache.spark.sql.AnalysisException
+          if {
+            val c = Option(e.getCondition).getOrElse("")
+            c.contains("PATH_NOT_FOUND") || c.contains("UNABLE_TO_INFER_SCHEMA")
+          } =>
+        eventsSchema
+    }
 
   /** Streaming signal view over an events parquet DIRECTORY (the file
     * stream source requires a directory/glob, not a bare file).

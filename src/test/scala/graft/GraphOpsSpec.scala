@@ -153,6 +153,30 @@ class GraphOpsSpec extends SparkSpec {
       === batch)
   }
 
+  test("closure loops upgrade to reliable checkpoints when a checkpoint dir is set") {
+    val s = spark; import s.implicits._
+    // same reliable-variant coverage as the propagateToFixpoint test:
+    // with sc.setCheckpointDir set (the cluster deployment signal) the
+    // BFS and incremental-maintenance loops must write driver-
+    // recoverable checkpoint data AND produce the same closure
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-graph-ckpt").toString
+    val chain = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    val shortcut = Seq(("a", "c")).toDF("src", "dst")
+    def cset(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val plainBatch = cset(GraphOps.closureOf(chain.unionAll(shortcut)))
+    val plainIncr = cset(GraphOps.incrementalClosure(GraphOps.closureOf(chain), shortcut))
+    spark.sparkContext.setCheckpointDir(ckpt)
+    try {
+      assert(cset(GraphOps.closureOf(chain.unionAll(shortcut))) === plainBatch)
+      assert(cset(GraphOps.incrementalClosure(GraphOps.closureOf(chain), shortcut))
+        === plainIncr)
+      val landed = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(landed > 0, "no reliable checkpoint files written by the graph loops")
+    } finally spark.sparkContext.setCheckpointDir(null)
+  }
+
   test("pagerank ranks a heavily-bought-from nation above a lightly-bought-from one") {
     val inW = GraphOps.degreeCentrality(spark, sfDir).collect()
       .map(r => r.getAs[Long]("node") -> r.getAs[Long]("in_w")).toMap
