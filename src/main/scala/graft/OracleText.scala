@@ -68,38 +68,57 @@ object OracleText {
        |    w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_tokens_bpe
        |FROM docs""".stripMargin
 
-  /** Mirror of TextOps.tokensBpe: greedy longest-match piece counts.
-    * DuckDB's `list_reduce` takes no seed, so the (cursor, count) state
-    * fold becomes a WITH RECURSIVE orbit over the DISTINCT corpus words
-    * (the march advances ≥1 char per step, so it terminates in ≤
-    * length(w) rows per word); per-word counts then join back to the
-    * word multiset and sum per document. `list_aggregate(..., 'max')`
-    * over the same piece-length list Spark's `array_max(transform(...))`
-    * builds keeps the longest-match choice identical.
+  /** Mirror of TextOps.tokensBpe: FAITHFUL merge-order BPE counts.
+    * DuckDB lambdas cannot fold an array-typed accumulator
+    * (`list_reduce` seeds with the element type), so the encoder runs
+    * as a WITH RECURSIVE orbit over the DISTINCT corpus words — the
+    * same dictionary device as the old greedy march, now carrying the
+    * token sequence as a '|'-delimited STRING ('|t|h|e|'; no corpus
+    * word contains '|', spec-asserted). Step: apply merge `mi` as
+    * `replace(s, '|a|b|', '|ab|')` — leftmost non-overlapping
+    * occurrences, exactly the Spark fold's left-to-right pass — and
+    * advance to merge mi+1 only once the string stops changing
+    * (consecutive (a,b)(a,b) occurrences share a delimiter, so one
+    * replace round can leave the odd ones un-fused; the fixpoint
+    * completes them — equivalence with the single-pass Spark fold
+    * needs a ≠ b for every merge, spec-asserted). Terminates because
+    * each step either strictly shortens s or advances mi; the row
+    * with mi = |merges| has no join partner and exits the recursion.
+    * Piece count = delimiter count − 1 (empty word → '|' → 0).
     */
-  val tokensBpe: String =
+  val tokensBpe: String = {
+    val mergeRows = TextOps.BpeMerges.zipWithIndex
+      .map { case ((a, b), r) => s"($r, '$a', '$b')" }.mkString(", ")
+    val nm = TextOps.BpeMerges.size
     s"""WITH RECURSIVE $wordsCte,
        |wm AS (
        |  SELECT doc_id, unnest(words) AS w FROM docs
        |),
        |uw AS (SELECT DISTINCT w FROM wm),
-       |march(w, pos, n) AS (
-       |  SELECT w, 1, 0 FROM uw
+       |merges(rk, a, b) AS (SELECT * FROM (VALUES $mergeRows) v(rk, a, b)),
+       |bpe(w, mi, s) AS (
+       |  SELECT w, 0, '|' || regexp_replace(w, '(.)', '\\1|', 'g') FROM uw
        |  UNION ALL
-       |  SELECT w,
-       |    pos + list_aggregate(list_transform(${TextOps.bpeVocabLitDuck},
-       |      p -> CASE WHEN substring(w, pos, length(p)) = p
-       |                THEN length(p) ELSE 1 END), 'max'),
-       |    n + 1
-       |  FROM march WHERE pos <= length(w)
+       |  SELECT b.w,
+       |    CASE WHEN replace(b.s, '|' || m.a || '|' || m.b || '|',
+       |                      '|' || m.a || m.b || '|') = b.s
+       |         THEN b.mi + 1 ELSE b.mi END,
+       |    replace(b.s, '|' || m.a || '|' || m.b || '|',
+       |            '|' || m.a || m.b || '|')
+       |  FROM bpe b JOIN merges m ON m.rk = b.mi
        |),
-       |pieces AS (SELECT w, max(n) AS np FROM march GROUP BY w)
+       |pieces AS (
+       |  SELECT w,
+       |    CAST(length(s) - length(replace(s, '|', '')) - 1 AS BIGINT) AS np
+       |  FROM bpe WHERE mi = $nm
+       |)
        |SELECT m.doc_id,
        |  CAST(count(*) AS BIGINT) AS n_words,
        |  CAST(sum(p.np) AS BIGINT) AS n_pieces,
        |  CAST(sum(p.np) AS DOUBLE) / count(*) AS pieces_per_word
        |FROM wm m JOIN pieces p ON p.w = m.w
        |GROUP BY m.doc_id""".stripMargin
+  }
 
   val quality: String =
     s"""WITH $wordsCte

@@ -160,59 +160,75 @@ object TextOps {
     "li" -> "ne", "g" -> "e", "m" -> "er", "mer" -> "ge")
 
   /** Piece inventory: the merge results (single chars are implicit —
-    * the tokenizer's fallback consumes one char when nothing matches,
-    * so coverage is total by construction).
+    * unmerged characters remain single-char pieces, so coverage is
+    * total by construction).
     */
   val BpeVocab: Seq[String] = BpeMerges.map { case (a, b) => a + b }.distinct
 
-  private def bpeVocabLit(open: String, close: String): String =
-    BpeVocab.map(p => s"'$p'").mkString(open, ",", close)
-  def bpeVocabLitSpark: String = bpeVocabLit("array(", ")")
-  def bpeVocabLitDuck: String = bpeVocabLit("[", "]")
+  /** The merge table as a Spark array-of-structs literal, rank order
+    * preserved (element order IS the rank).
+    */
+  private def bpeMergesLitSpark: String =
+    BpeMerges.map { case (a, b) => s"named_struct('a','$a','b','$b')" }
+      .mkString("array(", ",", ")")
 
-  /** Greedy longest-match piece count of ONE word against [[BpeVocab]]
-    * (the WordPiece scheme over a BPE-learned inventory; rank-ordered
-    * pair merging would need data-dependent iteration no static oracle
-    * can unroll). Expression-only, no UDF: a fold walks at most
-    * length(w) cursor steps carrying (position, count) state, and
-    * `array_max(transform(vocab, ...))` picks the longest piece
-    * matching at the cursor (1-char fallback), so each step advances
-    * ≥1 char and the count is exact.
+  /** FAITHFUL merge-order BPE piece count of ONE word: split to
+    * characters, then apply every merge of [[BpeMerges]] in rank
+    * order, each as one left-to-right pass that fuses adjacent
+    * (a, b) token pairs (the classic apply-the-merge-list encoder).
+    * A single rank-ordered sweep is exact BECAUSE the table is valid
+    * BPE: any pair involving a merged token was learned AFTER the
+    * merge that created the token (spec-asserted), so no lower-rank
+    * pair can become applicable once the sweep has passed it —
+    * sweeping once ≡ repeatedly merging the lowest-rank pair present.
+    *
+    * Expression-only, no UDF: the outer fold walks the 39 merges, the
+    * inner fold rebuilds the token array fusing `last(acc) = a, t = b`
+    * pairs (left-to-right with skip: the fused token is never
+    * re-paired with the same pass's next token unless it equals `a`
+    * again, which requires a = b — absent from the table,
+    * spec-asserted). Merges whose sides are pre-empted by lower-rank
+    * merges in a given word simply never fire there — e.g. rank-7
+    * (a,t) consumes the 'a t' of "data" before rank-12 (d,a) or
+    * rank-13 (da,ta) can form, so a faithful encoder splits "data"
+    * into d|at|a where greedy longest-match found the single piece
+    * "data". That divergence is exactly why the greedy scheme was an
+    * approximation.
     */
   private def bpeWordPieces(w: String): String =
-    s"""CAST(element_at(
-       |  aggregate(sequence(1, length($w)), array(1, 0), (st, stp) ->
-       |    CASE WHEN element_at(st, 1) > length($w) THEN st
-       |    ELSE array(
-       |      element_at(st, 1) + array_max(transform($bpeVocabLitSpark, p ->
-       |        CASE WHEN substring($w, element_at(st, 1), length(p)) = p
-       |             THEN length(p) ELSE 1 END)),
-       |      element_at(st, 2) + 1) END),
-       |  2) AS BIGINT)""".stripMargin
+    s"""CAST(size(
+       |  aggregate($bpeMergesLitSpark,
+       |    CASE WHEN length($w) = 0 THEN CAST(array() AS array<string>)
+       |         ELSE transform(sequence(1, length($w)), i -> substring($w, i, 1)) END,
+       |    (toks, m) -> aggregate(toks, CAST(array() AS array<string>), (acc, t) ->
+       |      CASE WHEN try_element_at(acc, -1) = m.a AND t = m.b
+       |           THEN concat(slice(acc, 1, size(acc) - 1), array(concat(m.a, m.b)))
+       |           ELSE concat(acc, array(t)) END))) AS BIGINT)""".stripMargin
 
   /** Per-document piece total as a single scan-bound expression over
     * the `words` array — zero shuffle; what [[pack]]/[[mixWeights]]
     * fold into their own aggregates under `tokenizer = "bpe"`. Cost is
-    * O(length · |vocab|) substring probes per word OCCURRENCE — right
-    * when the downstream op already consumes the full words array.
+    * O(|merges| · length) token-array passes per word OCCURRENCE —
+    * right when the downstream op already consumes the full words
+    * array.
     */
   private[operators] def bpeDocPieces(wordsCol: String): String =
     s"aggregate($wordsCol, 0L, (tot, w) -> tot + ${bpeWordPieces("w")})"
+
+  /** Test-only window into [[bpeWordPieces]] (TextOpsSpec proves the
+    * single-sweep expression equals the classic lowest-rank-first
+    * loop word-for-word).
+    */
+  private[graft] def bpeWordPiecesForTest(w: String): String = bpeWordPieces(w)
 
   /** Subword token counts per document under the merge-table tokenizer
     * — the counts a training pipeline budgets with (pack sequences,
     * shard balance, mixture mass), where the whitespace count of
     * [[tokens]] is only a proxy. Emits the word count too so the ratio
-    * is auditable.
-    *
-    * CAVEAT: this is greedy longest-match (WordPiece-style) against a
-    * rank-ordered merge inventory, NOT the iterative lowest-rank-first
-    * pair-merge a real BPE encoder runs — a documented, deterministic
-    * approximation whose counts can differ from a faithful encoder by
-    * a piece on words where merge order matters. Right for budget
-    * columns (the counts are self-consistent and reproducible across
-    * engines); swap in the model's own tokenizer when exact token
-    * parity with a serving stack is required.
+    * is auditable. The encoder is the FAITHFUL merge-order algorithm
+    * (see [[bpeWordPieces]]): iterative lowest-rank-first pair merging
+    * over the rank-ordered inventory, exactly what a real BPE encoder
+    * runs against its trained merge list.
     *
     * Shape: tokenize the DISTINCT words once (a Zipf corpus has
     * vastly fewer types than tokens — 31 vs ~3M at sf0.1, where the

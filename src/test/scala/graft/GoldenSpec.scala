@@ -181,7 +181,8 @@ class GoldenSpec extends SparkSpec {
     "txt_split" -> ((139655551458257719L, 500L)),
     "txt_tfidf" -> ((6984402387703968371L, 1500L)),
     "txt_tokens" -> ((2856647791074966750L, 500L)),
-    "txt_tokens_bpe" -> ((-8471963999350200664L, 500L)),
+    // re-pinned r8: greedy longest-match -> faithful merge-order BPE
+    "txt_tokens_bpe" -> ((-8838489101865614026L, 500L)),
     "emb_pq_mse" -> ((8438085989015493168L, 2L)),
     // equal to emb_knn_exact's fingerprint: at sf0.001 the SQ8 shortlist
     // contains every true neighbor (recall 1.0) and the re-rank emits the

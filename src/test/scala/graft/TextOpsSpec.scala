@@ -25,21 +25,96 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_tokens_bpe") === 4L)
   }
 
-  test("tokensBpe: greedy longest-match piece counts against the merge table") {
-    // the: one piece ('the' wins over 'th'+'e' — longest match);
-    // data: one piece (beats 'da'+'ta' — greedy takes the 4-char hit);
-    // table: ta|b|le — 'b' is a 1-char fallback between two pieces;
-    // xyz: no vocab hits at all — pure fallback, 3 pieces
+  /** Classic BPE encoder (the reference loop): repeatedly find the
+    * LOWEST-RANK adjacent pair present and fuse all its occurrences
+    * left-to-right, until no table pair remains. The production
+    * expression sweeps the merge list once instead; the "faithful BPE"
+    * test below proves the two agree on every corpus word — the
+    * single sweep is exact because the table is valid (asserted).
+    */
+  private def classicBpe(word: String): Seq[String] = {
+    val rank = TextOps.BpeMerges.zipWithIndex.toMap
+    var toks: Vector[String] = word.map(_.toString).toVector
+    var done = false
+    while (!done && toks.size > 1) {
+      val best = toks.zip(toks.tail).flatMap(p => rank.get(p).map(p -> _))
+        .sortBy(_._2).headOption
+      best match {
+        case None => done = true
+        case Some(((a, b), _)) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < toks.size) {
+            if (i + 1 < toks.size && toks(i) == a && toks(i + 1) == b) {
+              out += (a + b); i += 2
+            } else { out += toks(i); i += 1 }
+          }
+          toks = out.result()
+      }
+    }
+    toks
+  }
+
+  test("BPE merge table is valid (single-sweep-exact) and delimiter-safe") {
+    // a != b everywhere: the left-to-right fold's skip semantics and
+    // the oracle's '|a|b|' replace device both rely on it
+    assert(TextOps.BpeMerges.forall { case (a, b) => a != b })
+    // no side contains the oracle's token delimiter
+    assert(TextOps.BpeMerges.forall { case (a, b) => !a.contains("|") && !b.contains("|") })
+    // validity: every multi-char side is the result of an EARLIER merge
+    // — the property that makes one rank-ordered sweep equal to the
+    // repeat-lowest-rank-first loop
+    TextOps.BpeMerges.zipWithIndex.foreach { case ((a, b), r) =>
+      Seq(a, b).filter(_.length > 1).foreach { side =>
+        val maker = TextOps.BpeMerges.take(r).indexWhere(m => m._1 + m._2 == side)
+        assert(maker >= 0, s"merge $r side '$side' is not an earlier merge's result")
+      }
+    }
+    // the sf0.001 corpus contains no '|' (oracle delimiter precondition)
+    val pipeDocs = graft.sources.Tables.documents(spark, sfDir)
+      .where(org.apache.spark.sql.functions.col("text").contains("|")).count()
+    assert(pipeDocs === 0L)
+  }
+
+  test("tokensBpe: faithful merge-order piece counts against the merge table") {
+    // the: t,h -> th (rank 0), th,e -> the (rank 1) — one piece;
+    // data: rank-7 (a,t) fires FIRST -> d|at|a — the lower-rank merge
+    //   pre-empts (d,a)/(da,ta), where greedy longest-match found the
+    //   single piece 'data' (exactly the divergence the greedy scheme
+    //   approximated away);
+    // table: (l,e) then (t,a) -> ta|b|le;
+    // xyz: no table pair ever applies — 3 single-char pieces
     val dir = docsDir(Seq("the data table xyz"))
     val r = TextOps.tokensBpe(spark, dir).head()
     assert(r.getAs[Long]("n_words") === 4L)
-    assert(r.getAs[Long]("n_pieces") === (1 + 1 + 3 + 3).toLong)
-    assert(r.getAs[Double]("pieces_per_word") === 8.0 / 4)
-    // every vocab piece is a merge result; coverage is total via the
-    // 1-char fallback, so counts are bounded by word lengths
+    assert(r.getAs[Long]("n_pieces") === (1 + 3 + 3 + 3).toLong)
+    assert(r.getAs[Double]("pieces_per_word") === 10.0 / 4)
+    // batch -> b|at|ch (rank-7 again), merge -> merge (full chain),
+    // sort -> s|or|t ((o,r) pre-empts (s,o)/(so,rt)), join -> join
     val dir2 = docsDir(Seq("batch merge sort join"))
     val r2 = TextOps.tokensBpe(spark, dir2).head()
-    assert(r2.getAs[Long]("n_pieces") === 4L) // each word is one piece
+    assert(r2.getAs[Long]("n_pieces") === (3 + 1 + 3 + 1).toLong)
+  }
+
+  test("faithful BPE: expression equals the classic lowest-rank-first loop on corpus words") {
+    val s = spark; import s.implicits._
+    // every distinct word of the real fixture + the adversarial shapes
+    // (runs, repeats, empties) through BOTH the production expression
+    // and the reference loop
+    val corpus = graft.sources.Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " ")).as("w"))
+      .distinct().collect().map(_.getString(0))
+    val words = (corpus ++ Seq("", "a", "thethe", "datadata", "batchbatch",
+      "merge", "sortsort", "joinjoin", "tthh", "aaaa", "keykey")).distinct
+    val viaExpr = words.toSeq.toDF("w")
+      .selectExpr("w", TextOps.bpeWordPiecesForTest("w") + " AS np")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    words.foreach { w =>
+      assert(viaExpr(w) === classicBpe(w).size.toLong,
+        s"word '$w': expression ${viaExpr(w)} vs classic ${classicBpe(w).size}")
+    }
   }
 
   test("pack/mixWeights: default tokenizer unchanged, bpe variant re-budgets") {
@@ -53,14 +128,15 @@ class TextOpsSpec extends SparkSpec {
     val bpe = TextOps.pack(spark, dir, tokenizer = "bpe").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
     val wsTok = ws.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
-    assert(bpe(0L) === 5L && wsTok(0L) === 3L) // the|data|ta,b,le
-    assert(bpe(2L) === 9L && wsTok(2L) === 3L) // xyz -> 3 fallback pieces
+    assert(bpe(0L) === 7L && wsTok(0L) === 3L) // the + d|at|a + ta|b|le
+    assert(bpe(2L) === 9L && wsTok(2L) === 3L) // xyz -> 3 single-char pieces
     val mwWs = TextOps.mixWeights(spark, dir).collect()
       .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_tokens")).toMap
     val mwBpe = TextOps.mixWeights(spark, dir, tokenizer = "bpe").collect()
       .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_tokens")).toMap
     assert(mwWs("spec") === 8L)
-    assert(mwBpe("spec") === (5 + 2 + 9).toLong)
+    assert(mwBpe("spec") === (7 + 4 + 9).toLong) // b|at|ch merge = 4
+
     intercept[IllegalArgumentException](TextOps.pack(spark, dir, tokenizer = "nope"))
   }
 
