@@ -161,12 +161,13 @@ object OracleVectors {
   /** Recall@K of IVF vs exact, composing the two query oracles (the
     * ivfRecall mirror; same shape as [[lshRecall]]).
     */
-  def ivfRecall(nlist: Int = VectorOps.NList): String =
+  def ivfRecall(nlist: Int = VectorOps.NList,
+      nprobe: Int = VectorOps.NProbe): String =
     s"""SELECT e.query_id,
        |  CAST(count(l."rank") AS DOUBLE) / $k AS recall_at_k,
        |  count(*) AS n_exact
        |FROM ($knnExact) e
-       |LEFT JOIN (${knnIvf(nlist)}) l
+       |LEFT JOIN (${knnIvf(nlist, nprobe)}) l
        |  ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
        |GROUP BY e.query_id""".stripMargin
 

@@ -143,6 +143,7 @@ object SparkEntry {
     "emb_ivfpq_mp_recall" -> ((s, d) => VectorOps.ivfPqRecall(s, d, nprobe = 4)),
     "emb_pq_mse"     -> ((s, d) => VectorOps.pqMse(s, d)),
     "emb_ivf_recall" -> ((s, d) => VectorOps.ivfRecall(s, d)),
+    "emb_ivf_mp_recall" -> ((s, d) => VectorOps.ivfRecall(s, d, nprobe = 4)),
     "emb_dedup_clusters" -> ((s, d) => VectorOps.dedupEmbeddingClusters(s, d)),
     "emb_semdedup"   -> ((s, d) => VectorOps.semDedup(s, d)),
     "emb_cluster_sample" -> ((s, d) => VectorOps.clusterSample(s, d)),
@@ -317,6 +318,7 @@ object SparkEntry {
     "emb_ivfpq_mp_recall" -> OracleVectors.ivfPqRecall(nprobe = 4),
     "emb_pq_mse"     -> OracleVectors.pqMse(),
     "emb_ivf_recall" -> OracleVectors.ivfRecall(),
+    "emb_ivf_mp_recall" -> OracleVectors.ivfRecall(nprobe = 4),
     "emb_dedup_clusters" -> OracleVectors.dedupEmbeddingClusters(),
     "emb_semdedup"   -> OracleVectors.semDedup(),
     "emb_cluster_sample" -> OracleVectors.clusterSample(),

@@ -87,9 +87,10 @@ class GoldenSpec extends SparkSpec {
     "dedup_embedding" -> ((7768090945691118739L, 48L)),
     "emb_dedup_clusters" -> ((-1488179478009104348L, 85L)),
     "emb_ivf_recall" -> ((1904457532132159187L, 5L)),
+    "emb_ivf_mp_recall" -> ((-6596883188036250839L, 5L)),
     "q46_cms_counts" -> ((-3932710289000206124L, 200L)),
-    "emb_semdedup" -> ((-2427534531829227531L, 500L)),
-    "emb_cluster_sample" -> ((-2761905071617074113L, 50L)),
+    "emb_semdedup" -> ((2773905373334595058L, 500L)),
+    "emb_cluster_sample" -> ((-1198910685656219041L, 50L)),
     "txt_source_overlap" -> ((1106279601083369810L, 190L)),
     "txt_novelty" -> ((-5491881594463251946L, 500L)),
     "evt_zorder_box" -> ((8048206640084171482L, 5L)),
@@ -100,8 +101,9 @@ class GoldenSpec extends SparkSpec {
     "dedup_minhash_lsh" -> ((6079345517962131061L, 28L)),
     "dedup_ngram_jaccard" -> ((-284055497293970149L, 28L)),
     "dedup_simhash" -> ((5181732648382757078L, 9L)),
-    "emb_centroids" -> ((-9030565855135483668L, 640L)),
-    "emb_ivf_assign" -> ((7422272949875289096L, 500L)),
+    // IVF family re-pinned r8: LloydRounds 2 -> 3 (measured recall gain)
+    "emb_centroids" -> ((2767129084683133886L, 640L)),
+    "emb_ivf_assign" -> ((-188505950384835531L, 500L)),
     "emb_knn_exact" -> ((5382587561670919428L, 50L)),
     // identical by construction to emb_knn_exact: the heap's
     // (sim DESC, id ASC) cut equals the window's row_number order
@@ -183,7 +185,7 @@ class GoldenSpec extends SparkSpec {
     "txt_tokens" -> ((2856647791074966750L, 500L)),
     // re-pinned r8: greedy longest-match -> faithful merge-order BPE
     "txt_tokens_bpe" -> ((-8838489101865614026L, 500L)),
-    "emb_pq_mse" -> ((8438085989015493168L, 2L)),
+    "emb_pq_mse" -> ((5183869128186934233L, 2L)),
     // equal to emb_knn_exact's fingerprint: at sf0.001 the SQ8 shortlist
     // contains every true neighbor (recall 1.0) and the re-rank emits the
     // EXACT cosine — differential evidence the re-rank is lossless here
@@ -210,7 +212,7 @@ class GoldenSpec extends SparkSpec {
     "emb_mrl_recall" -> ((3384963927178446285L, 5L)),
     "emb_knn_ivfpq" -> ((8701345594176697128L, 50L)),
     "emb_ivfpq_recall" -> ((1904457532132159187L, 5L)),
-    "emb_ivfpq_mp_recall" -> ((6675244597648977535L, 5L)),
+    "emb_ivfpq_mp_recall" -> ((8404387680544561689L, 5L)),
     "asset_reachability" -> ((8639256376167313932L, 29L)),
     "q43_lateral_topn" -> ((8323364537922325303L, 75L)),
     // equal to asset_reachability by construction: the fixture graph's
