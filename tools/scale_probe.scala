@@ -360,4 +360,111 @@ for (k <- Seq(1, 8, 16)) {
   }
   println(f"  k=$k%2d: $s%6.2f s")
 }
+
+// shared gram pipeline for the overlap/novelty probes below (the
+// withShingles -> md5 -> 60-bit hash shape of TextOps). Brace-wrapped:
+// the REPL's leading-dot continuation would otherwise bind the chain
+// to the previous result instead of the def body.
+def gramsOf(docs: org.apache.spark.sql.DataFrame, key: String) = {
+  docs.withColumn("words", split(col("text"), " "))
+    .withColumn("shingles", when(size(col("words")) >= 3,
+      expr("transform(sequence(0, size(words) - 3), i -> concat_ws(' ', slice(words, i + 1, 3)))"))
+      .otherwise(expr("CAST(array() AS array<string>)")))
+    .select(col(key), explode(col("shingles")).as("sg"))
+    .select(col(key), md5(col("sg")).as("h"))
+    .select(col(key), expr("CAST(conv(substring(h, 1, 15), 16, 10) AS BIGINT)").as("gh"))
+    .distinct()
+}
+
+println("== source-overlap shape (distinct (source, gram-hash) + gram-keyed self-join; pairs per gram <= S^2) ==")
+// k-fold duplication grows the SCAN k x while the distinct gram set is
+// unchanged — cost should track the scan (partial distinct absorbs
+// duplicates map-side); the S^2-bounded output is k-independent.
+for (k <- Seq(1, 8, 16)) {
+  val s = timed {
+    val grams = gramsOf(multi("documents", k), "source")
+    grams.select(col("source").as("src_a"), col("gh"))
+      .join(grams.select(col("source").as("src_b"), col("gh")), Seq("gh"))
+      .where(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)))
+      .agg(count(lit(1))).head()
+  }
+  println(f"  k=$k%2d: $s%6.2f s")
+}
+
+println("== source-overlap growth vs DISTINCT gram volume (synthetic unique grams: the corpus-wide distinct is the honest cost) ==")
+// the r7 verdict flagged this distinct as the row to watch: unique-gram
+// volume grows with a REAL corpus, so generate it — n docs x 18 unique
+// shingles each. Expect ~linear wall growth in n (one hash-keyed
+// shuffle of 8-byte keys; per-gram pair fan-out bounded by S=8).
+for (n <- Seq(20000, 80000, 320000)) {
+  val docs = spark.range(n.toLong).select(col("id").as("doc_id"),
+    concat(lit("s"), col("id") % 8).as("source"),
+    expr("concat_ws(' ', transform(sequence(0, 19), i -> conv(CAST(abs(hash(id, i)) AS STRING), 10, 36)))")
+      .as("text"))
+  val s = timed {
+    val grams = gramsOf(docs, "source")
+    grams.select(col("source").as("src_a"), col("gh"))
+      .join(grams.select(col("source").as("src_b"), col("gh")), Seq("gh"))
+      .where(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)))
+      .agg(count(lit(1))).head()
+  }
+  println(f"  n=$n%7d docs (~${n * 18 / 1000}%6dk distinct grams): $s%6.2f s")
+}
+
+println("== novelty shape (gram-keyed frequency shuffle + join back on the SAME key; only hashes and doc ids shuffle) ==")
+// k-fold duplication: every gram's corpus frequency multiplies, so
+// novelty semantics are k-degenerate here (like the segment-dedup
+// probe) — the wall-clock shape is what's under test, and the distinct
+// (doc_id, gram) set is k-invariant, so cost should track the scan.
+for (k <- Seq(1, 8, 16)) {
+  val s = timed {
+    val grams = gramsOf(multi("documents", k), "doc_id")
+    val freq = grams.groupBy(col("gh")).agg(count(lit(1)).as("gram_docs"))
+    grams.join(freq, Seq("gh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)), sum(when(col("gram_docs") === 1, 1L).otherwise(0L)))
+      .agg(count(lit(1))).head()
+  }
+  println(f"  k=$k%2d: $s%6.2f s")
+}
+
+println("== CMS sketch shape (fixed 4x2048 grid; exchange = |tasks| x grid, key-cardinality independent) ==")
+graft.plans.GraftExtensions.register(spark)
+// scan growth: k-fold events through one corpus-wide sketch agg
+for (k <- Seq(1, 8, 32)) {
+  val ev = multi("events", k)
+  val s = timed { ev.agg(expr("cms_sketch(user_id, 4, 2048)")).head() }
+  println(f"  k=$k%2d (${150 * k}%5dk rows): $s%6.2f s")
+}
+// cardinality independence: fixed 20M rows, distinct keys 1e3 -> 1e8;
+// an exact groupBy count would shuffle |keys| rows, the sketch always
+// ships the same 64KB grid per task
+for (card <- Seq(1000L, 1000000L, 100000000L)) {
+  val rows = spark.range(20000000L).select((col("id") % card).as("k"))
+  val s = timed { rows.agg(expr("cms_sketch(k, 4, 2048)")).head() }
+  println(f"  distinct-keys=$card%10d (20M rows): $s%6.2f s")
+}
+
+println("== SemDeDup shape (candidates share a trained IVF cluster; per-cluster pairs ~ (N/nlist)^2 — nlist is the dial that must grow with N) ==")
+// Expect the 32k/nlist=10 row ~16x the 8k/nlist=10 row (quadratic at
+// FIXED nlist — the documented degenerate setting) and the 32k/nlist=40
+// row pulled back ~4x from it: scaling nlist with N restores the
+// linear-ish per-cluster budget, which is how a real deployment sizes
+// it (nlist ~ sqrt(N)).
+for ((n, nlist) <- Seq((8000, 10), (32000, 10), (32000, 40))) {
+  val tmp = s"/tmp/probe_semdedup_${n}_$nlist"
+  spark.range(n.toLong).select(col("id").as("vec_id"),
+    expr("transform(sequence(0, 63), d -> CAST(CAST(hash(id, d) % 1000 AS DOUBLE) / 1000.0 AS FLOAT))")
+      .as("embedding"),
+    (col("id") % nlist).cast("int").as("label"))
+    .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+  val s = timed {
+    graft.operators.VectorOps.semDedup(spark, tmp, nlist)
+      .agg(count(lit(1)), sum(col("is_dup"))).head()
+  }
+  println(f"  N=$n%6d nlist=$nlist%3d: $s%6.2f s")
+  graft.operators.TextOps.release(spark)
+}
 sys.exit(0)
