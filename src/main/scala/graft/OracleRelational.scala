@@ -400,6 +400,58 @@ object OracleRelational {
       |SELECT p.user_id, CAST(COALESCE(c.c, 0) AS BIGINT) AS events_est
       |FROM probes p LEFT JOIN cnt c USING (user_id)""".stripMargin
 
+  /** Mirror of Relational.q47HllDistinct — recomputes the HLL register
+    * file FROM SCRATCH in plain SQL (no sketch state crosses engines):
+    * the md5-device 60-bit hash (OracleText.rotLong's r = 0 form), top
+    * 12 bits = bucket, rank via the bin-string first-set-bit device,
+    * max rank per bucket, then the integer-scaled harmonic sum with
+    * empty buckets contributing `2^49` each (LEFT JOIN + COALESCE: a
+    * group whose keys are all NULL still gets the all-empty file).
+    * The estimate is the single division by the Scala-folded constant
+    * K — the one double op, identical parse on both engines. Integer
+    * sums CAST back to BIGINT (DuckDB widens to HUGEINT).
+    */
+  val q47: String = {
+    val p = graft.operators.Relational.HllP
+    val m = 1 << p
+    val lowBits = 60 - p
+    val lowMod = 1L << lowBits
+    val maxRank = lowBits + 1
+    val k = java.lang.Double.toString(graft.functions.HyperLogLogAgg.estimatorK(p))
+    val rot = OracleText.rotLong("hh", 0)
+    s"""WITH hs AS (
+       |  SELECT event_type, $rot AS h
+       |  FROM (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hh
+       |        FROM events WHERE user_id IS NOT NULL)
+       |),
+       |br AS (
+       |  SELECT event_type, h // $lowMod AS bucket,
+       |    CASE WHEN h % $lowMod = 0 THEN $maxRank
+       |         ELSE strpos(lpad(bin(h % $lowMod), $lowBits, '0'), '1') END AS rho
+       |  FROM hs
+       |),
+       |regs AS (
+       |  SELECT event_type, bucket, max(rho) AS r FROM br GROUP BY event_type, bucket
+       |),
+       |ag AS (
+       |  SELECT event_type,
+       |    CAST(sum(CAST(1 AS BIGINT) << ($maxRank - r)) AS BIGINT) AS s_obs,
+       |    count(*) AS n_obs
+       |  FROM regs GROUP BY event_type
+       |),
+       |ex AS (
+       |  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+       |  FROM events GROUP BY event_type
+       |)
+       |SELECT e.event_type, e.n_exact,
+       |  CAST(COALESCE(a.s_obs, 0) +
+       |    ($m - COALESCE(a.n_obs, 0)) * (CAST(1 AS BIGINT) << $maxRank) AS BIGINT) AS hll_s,
+       |  CAST($m - COALESCE(a.n_obs, 0) AS BIGINT) AS hll_zero,
+       |  CAST($k AS DOUBLE) / CAST(COALESCE(a.s_obs, 0) +
+       |    ($m - COALESCE(a.n_obs, 0)) * (CAST(1 AS BIGINT) << $maxRank) AS DOUBLE) AS hll_est
+       |FROM ex e LEFT JOIN ag a USING (event_type)""".stripMargin
+  }
+
   /** Mirror of sources.Layout.q45BucketedJoin: the SAME join with no
     * layout at all — identical results is the proof that bucketing is
     * a pure physical-plan property.

@@ -113,6 +113,7 @@ object SparkEntry {
     // Storage layout (sources.Layout): write-time levers, oracle-proven
     // to preserve semantics
     "q46_cms_counts"      -> ((s, d) => Relational.q46CmsCounts(s, d)),
+    "q47_hll_distinct"    -> ((s, d) => Relational.q47HllDistinct(s, d)),
     "q45_bucketed_join"   -> ((s, d) => graft.sources.Layout.q45BucketedJoin(s, d)),
     "evt_partition_pruned" -> ((s, d) => graft.sources.Layout.evtPartitionPruned(s, d)),
     "evt_zorder_box"      -> ((s, d) => graft.sources.Layout.evtZorderBox(s, d)),
@@ -290,6 +291,7 @@ object SparkEntry {
     "q43_lateral_topn"    -> OracleRelational.q43,
     "q44_heavy_hitters"   -> OracleRelational.q44,
     "q46_cms_counts"      -> OracleRelational.q46,
+    "q47_hll_distinct"    -> OracleRelational.q47,
     "q45_bucketed_join"   -> OracleRelational.q45,
     "evt_partition_pruned" -> OracleRelational.evtPruned,
     "evt_zorder_box"      -> OracleRelational.evtZorderBox,

@@ -675,6 +675,40 @@ object Relational {
           .as("events_est"))
   }
 
+  /** HyperLogLog distinct-cardinality sketch per event type
+    * ([[graft.functions.HyperLogLogAgg]]) — the "how many DISTINCT
+    * items" member of the sketch trio (q44 Misra-Gries heavy hitters,
+    * q46 Count-Min frequencies). Emits, per group, the exact distinct
+    * count alongside the sketch's integer-scaled harmonic sum S, the
+    * zero-register count, and the raw HLL estimate `K / S` — every
+    * ingredient reproducible in plain SQL (md5-device hash, bin-string
+    * rank, integer power-of-two sums, one IEEE division with a
+    * Scala-folded constant K), so unlike q22's opaque builtin sketch
+    * this one is fully HASH-GREEN against the DuckDB mirror that
+    * recomputes the registers from scratch. At 100 TB the aggregate
+    * ships one 2^p-entry register file per map task (cardinality- and
+    * row-count-independent — probed flat across 1e3→1e8 distinct keys
+    * in the README scale table) and its element-wise-max merge is
+    * idempotent, so overlapping replays cannot corrupt it.
+    */
+  val HllP = 12
+
+  def q47HllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
+    val maxRank = 60 - HllP + 1
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(expr(s"hll_sketch(user_id, $HllP)").as("regs"),
+        countDistinct(col("user_id")).as("n_exact"))
+      .select(col("event_type"), col("n_exact"),
+        expr(s"aggregate(regs, 0L, (acc, r) -> acc + shiftleft(1L, $maxRank - CAST(r AS INT)))")
+          .as("hll_s"),
+        expr("aggregate(regs, 0L, (acc, r) -> acc + IF(r = 0L, 1L, 0L))")
+          .as("hll_zero"))
+      .withColumn("hll_est",
+        lit(graft.functions.HyperLogLogAgg.estimatorK(HllP)) / col("hll_s").cast("double"))
+  }
+
   /** Rank-function family over one window: ntile quartiles, percent_rank
     * and cume_dist per order priority. The window's total order includes
     * the key (o_orderkey) so ranks are deterministic under any

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CosineSimilarity, CountMinAgg, MisraGriesAgg, SignBandKeys, SimHashAgg, TopKBySim}
+import graft.functions.{CosineSimilarity, CountMinAgg, HyperLogLogAgg, MisraGriesAgg, SignBandKeys, SimHashAgg, TopKBySim}
 
 /** Engine extension point: registers graft's native Catalyst functions.
   *
@@ -28,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.topkBySimDescriptor)
     ext.injectFunction(GraftExtensions.misraGriesDescriptor)
     ext.injectFunction(GraftExtensions.cmsSketchDescriptor)
+    ext.injectFunction(GraftExtensions.hllSketchDescriptor)
   }
 }
 
@@ -156,6 +157,23 @@ object GraftExtensions {
     new ExpressionInfo(classOf[CountMinAgg].getName, "cms_sketch"),
     cmsSketchBuilder)
 
+  // precision is a case-class parameter (the register file allocates
+  // once per group) — foldable int literal required, same as cms_sketch
+  private val hllSketchBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2,
+      s"hll_sketch expects (key, precision), got ${exprs.length} arguments")
+    exprs(1) match {
+      case Literal(p: Int, IntegerType) => HyperLogLogAgg(exprs.head, p)
+      case _ => throw new IllegalArgumentException(
+        "hll_sketch precision must be an integer literal")
+    }
+  }
+
+  val hllSketchDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("hll_sketch"),
+    new ExpressionInfo(classOf[HyperLogLogAgg].getName, "hll_sketch"),
+    hllSketchBuilder)
+
   val topkBySimDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("topk_by_sim"),
     new ExpressionInfo(classOf[TopKBySim].getName, "topk_by_sim"),
@@ -179,5 +197,7 @@ object GraftExtensions {
       .createOrReplaceTempFunction("misra_gries", misraGriesBuilder, "built-in")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("cms_sketch", cmsSketchBuilder, "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("hll_sketch", hllSketchBuilder, "built-in")
   }
 }

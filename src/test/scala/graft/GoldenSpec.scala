@@ -185,6 +185,7 @@ class GoldenSpec extends SparkSpec {
     "txt_tokens" -> ((2856647791074966750L, 500L)),
     // re-pinned r8: greedy longest-match -> faithful merge-order BPE
     "txt_tokens_bpe" -> ((-8838489101865614026L, 500L)),
+    "q47_hll_distinct" -> ((-696950391081727461L, 5L)),
     "emb_pq_mse" -> ((5183869128186934233L, 2L)),
     // equal to emb_knn_exact's fingerprint: at sf0.001 the SQ8 shortlist
     // contains every true neighbor (recall 1.0) and the re-rank emits the
