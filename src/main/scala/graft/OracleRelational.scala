@@ -400,6 +400,45 @@ object OracleRelational {
       |SELECT p.user_id, CAST(COALESCE(c.c, 0) AS BIGINT) AS events_est
       |FROM probes p LEFT JOIN cnt c USING (user_id)""".stripMargin
 
+  /** Mirror of Relational.q48KmvDistinct — recomputes the bottom-k
+    * hash set from scratch: distinct (event_type, 60-bit md5-device
+    * hash), `row_number() OVER (ORDER BY h) <= k` keeps the k
+    * smallest, max-of-kept is the k-th minimum, and the estimate is
+    * the single division by the same Scala-folded numerator the Spark
+    * side embeds. LEFT JOIN from the distinct type list so a group
+    * whose user_ids are all NULL still emits the empty sketch.
+    */
+  val q48: String = {
+    val k = graft.operators.Relational.KmvK
+    val num = java.lang.Double.toString(graft.functions.KmvAgg.estimatorNum(k))
+    val rot = OracleText.rotLong("hh", 0)
+    s"""WITH hs AS (
+       |  SELECT DISTINCT event_type, $rot AS h
+       |  FROM (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hh
+       |        FROM events WHERE user_id IS NOT NULL)
+       |),
+       |rk AS (
+       |  SELECT event_type, h, row_number() OVER (
+       |    PARTITION BY event_type ORDER BY h) AS rn
+       |  FROM hs
+       |),
+       |kept AS (
+       |  SELECT event_type, count(*) AS n_kept, max(h) AS kth
+       |  FROM rk WHERE rn <= $k GROUP BY event_type
+       |),
+       |ex AS (
+       |  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+       |  FROM events GROUP BY event_type
+       |)
+       |SELECT e.event_type, e.n_exact,
+       |  CAST(COALESCE(kp.n_kept, 0) AS BIGINT) AS n_kept,
+       |  kp.kth AS kmv_kth,
+       |  CASE WHEN COALESCE(kp.n_kept, 0) < $k
+       |       THEN CAST(COALESCE(kp.n_kept, 0) AS DOUBLE)
+       |       ELSE $num / CAST(kp.kth AS DOUBLE) END AS kmv_est
+       |FROM ex e LEFT JOIN kept kp USING (event_type)""".stripMargin
+  }
+
   /** Mirror of Relational.q47HllDistinct — recomputes the HLL register
     * file FROM SCRATCH in plain SQL (no sketch state crosses engines):
     * the md5-device 60-bit hash (OracleText.rotLong's r = 0 form), top

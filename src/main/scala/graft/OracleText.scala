@@ -732,4 +732,61 @@ object OracleText {
        |FROM inter i
        |JOIN sizes sa ON sa.source = i.src_a
        |JOIN sizes sb ON sb.source = i.src_b""".stripMargin
+
+  /** Mirror of TextOps.bm25 — same rational-idf BM25 with the same
+    * fixed expression tree (every double op IEEE-correctly-rounded and
+    * identically ordered), per-term contributions floored onto the
+    * 2^40 grid before the per-(query, doc) sum. The query table is the
+    * same literal VALUES list.
+    */
+  val bm25: String = {
+    val qvals = TextOps.bm25Queries
+      .flatMap { case (q, ts) => ts.map(t => s"(CAST($q AS BIGINT), '$t')") }
+      .mkString(", ")
+    s"""WITH $wordsCte,
+       |q(query_id, term) AS (VALUES $qvals),
+       |dl AS (SELECT doc_id, len(words) AS dl FROM docs),
+       |stats AS (
+       |  SELECT count(dl) AS n_docs, sum(dl) AS dl_sum FROM dl
+       |),
+       |tc AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(words) AS term FROM docs) t
+       |  WHERE term IN (SELECT DISTINCT term FROM q)
+       |  GROUP BY doc_id, term
+       |),
+       |dfq AS (SELECT term, count(*) AS df FROM tc GROUP BY term),
+       |c1 AS (
+       |  SELECT tc.doc_id, tc.term, tc.tf, dfq.df, dl.dl,
+       |    stats.n_docs, stats.dl_sum
+       |  FROM tc JOIN dfq USING (term) JOIN dl USING (doc_id), stats
+       |),
+       |c2 AS (
+       |  SELECT doc_id, term, tf, dl,
+       |    CAST(dl_sum AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl,
+       |    (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+       |      (CAST(df AS DOUBLE) + 0.5) + 1.0 AS idf
+       |  FROM c1
+       |),
+       |c3 AS (
+       |  SELECT doc_id, term,
+       |    CAST(floor(idf * ((CAST(tf AS DOUBLE) * 2.2) /
+       |      (CAST(tf AS DOUBLE) + 1.2 *
+       |        (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))) *
+       |      1099511627776.0) AS BIGINT) AS cg
+       |  FROM c2
+       |),
+       |scored AS (
+       |  SELECT q.query_id, c3.doc_id,
+       |    CAST(sum(c3.cg) AS BIGINT) AS score, count(*) AS n_matched
+       |  FROM c3 JOIN q USING (term) GROUP BY q.query_id, c3.doc_id
+       |),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS "rank"
+       |  FROM scored
+       |)
+       |SELECT query_id, "rank", doc_id, score, n_matched
+       |FROM ranked WHERE "rank" <= ${TextOps.Bm25TopK}""".stripMargin
+  }
 }

@@ -114,6 +114,7 @@ object SparkEntry {
     // to preserve semantics
     "q46_cms_counts"      -> ((s, d) => Relational.q46CmsCounts(s, d)),
     "q47_hll_distinct"    -> ((s, d) => Relational.q47HllDistinct(s, d)),
+    "q48_kmv_distinct"    -> ((s, d) => Relational.q48KmvDistinct(s, d)),
     "q45_bucketed_join"   -> ((s, d) => graft.sources.Layout.q45BucketedJoin(s, d)),
     "evt_partition_pruned" -> ((s, d) => graft.sources.Layout.evtPartitionPruned(s, d)),
     "evt_zorder_box"      -> ((s, d) => graft.sources.Layout.evtZorderBox(s, d)),
@@ -152,6 +153,7 @@ object SparkEntry {
     "corpus_curation" -> ((s, d) => TextOps.corpusCuration(s, d)),
     "txt_source_overlap" -> ((s, d) => TextOps.sourceOverlap(s, d)),
     "txt_novelty"    -> ((s, d) => TextOps.novelty(s, d)),
+    "txt_bm25"       -> ((s, d) => TextOps.bm25(s, d)),
     // LLM-data-pipeline: multimodal binary columns (decode is a stub;
     // media_decode is rows-only — the codec boundary is not SQL)
     "media_metadata" -> ((s, d) => MultimodalOps.mediaMetadata(s, d)),
@@ -292,6 +294,7 @@ object SparkEntry {
     "q44_heavy_hitters"   -> OracleRelational.q44,
     "q46_cms_counts"      -> OracleRelational.q46,
     "q47_hll_distinct"    -> OracleRelational.q47,
+    "q48_kmv_distinct"    -> OracleRelational.q48,
     "q45_bucketed_join"   -> OracleRelational.q45,
     "evt_partition_pruned" -> OracleRelational.evtPruned,
     "evt_zorder_box"      -> OracleRelational.evtZorderBox,
@@ -328,6 +331,7 @@ object SparkEntry {
     "corpus_curation" -> OracleText.corpusCuration,
     "txt_source_overlap" -> OracleText.sourceOverlap,
     "txt_novelty"    -> OracleText.novelty,
+    "txt_bm25"       -> OracleText.bm25,
     "media_metadata" -> OracleMultimodal.metadata,
     "media_frames"   -> OracleMultimodal.frames,
     "media_features" -> OracleMultimodal.features,

@@ -709,6 +709,40 @@ object Relational {
         lit(graft.functions.HyperLogLogAgg.estimatorK(HllP)) / col("hll_s").cast("double"))
   }
 
+  /** K-minimum-values distinct sketch per event type
+    * ([[graft.functions.KmvAgg]]) — the fourth sketch-family member:
+    * q44 answers "which items are heavy", q46 "how often does THIS
+    * item occur", q47 "how many distinct", and this one "how many
+    * distinct, AND give me a composable uniform sample of them" (the
+    * bottom-k hash set supports set-intersection estimates q47's
+    * registers cannot). Emits per group the exact distinct count, the
+    * kept-hash count, the k-th smallest hash, and the KMV estimate —
+    * `(k−1)·2^60 / h_k` in the sketch regime, the exact kept count
+    * below capacity. Every ingredient is plain SQL on both engines
+    * (md5-device hash, `row_number() <= k`, one IEEE division with a
+    * Scala-folded numerator), so the query is fully HASH-GREEN like
+    * q47 and unlike q22's opaque builtin. At 100 TB each map task
+    * ships ≤ k longs per group and the sorted-union merge is
+    * idempotent (replay-safe; KmvAggSpec pins both).
+    */
+  val KmvK = 256
+
+  def q48KmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(expr(s"kmv_sketch(user_id, $KmvK)").as("ks"),
+        countDistinct(col("user_id")).as("n_exact"))
+      .select(col("event_type"), col("n_exact"),
+        size(col("ks")).cast("long").as("n_kept"),
+        expr("try_element_at(ks, size(ks))").as("kmv_kth"))
+      .withColumn("kmv_est",
+        when(col("n_kept") < KmvK, col("n_kept").cast("double"))
+          .otherwise(
+            lit(graft.functions.KmvAgg.estimatorNum(KmvK)) /
+              col("kmv_kth").cast("double")))
+  }
+
   /** Rank-function family over one window: ntile quartiles, percent_rank
     * and cume_dist per order priority. The window's total order includes
     * the key (o_orderkey) so ranks are deterministic under any

@@ -1183,4 +1183,98 @@ object TextOps {
           (col("n_a") + col("n_b") - col("overlap")).cast("double"))
           .as("jaccard"))
   }
+
+  /** BM25 ranked full-text retrieval — the relevance-scored `match`
+    * query at the heart of the reference's substrate (Elasticsearch
+    * ranks every full-text query with BM25; the reference's filters,
+    * e.g. elastic-asset-etl-poc queries/services.ts, run in filter
+    * context where scoring is skipped, so this is the scoring half of
+    * that query surface). For a fixed query table, ranks the top
+    * [[Bm25TopK]] documents per query by the BM25 sum over query
+    * terms:
+    *
+    *   score(q, d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    *
+    * with k1 = 1.2, b = 0.75 (the Lucene defaults). One deliberate
+    * deviation, the [[tfidf]] log-free device applied to Robertson
+    * idf: Lucene's `ln(1 + (N−df+0.5)/(df+0.5))` becomes the rational
+    * `(N−df+0.5)/(df+0.5) + 1` (the argument of that ln). `ln` is not
+    * guaranteed bit-identical across engines (libm vs DuckDB), and the
+    * rational form keeps every arithmetic step IEEE-correctly-rounded
+    * in a fixed expression tree, so the oracle is hash-exact.
+    * Single-term rankings are identical (monotone transform); in
+    * multi-term sums the rational idf weights rare terms more steeply
+    * than the log form — documented scoring semantics of THIS engine,
+    * not a bug. Per-term contributions land on a 2^40 integer grid
+    * before the per-(query, doc) sum, so the sum commutes exactly
+    * (the [[mixWeights]] grid device) and the emitted score is a
+    * partition- and engine-deterministic long.
+    *
+    * Shape at 100 TB: the query table is tiny and broadcasts twice
+    * (term semi-join, query attach); exploded corpus tokens drop to
+    * query-term matches BEFORE the tf shuffle, so the only
+    * corpus-sized exchanges are the (doc, term) tf aggregate and the
+    * doc-keyed length join; df over matched terms is ≤ |query vocab|
+    * rows and broadcasts back. The final top-k window is rank ≤ k, so
+    * the partial WindowGroupLimit cuts each map task to k rows per
+    * query before the exchange.
+    */
+  val Bm25TopK = 10
+  private val Bm25Grid = "1099511627776.0" // 2^40, exact double literal
+
+  /** The fixed query workload: (query_id, distinct terms). Literal on
+    * both engines — the stand-in for the real query table a serving
+    * layer would supply.
+    */
+  val bm25Queries: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("spark", "join"),
+    1L -> Seq("window", "hash", "scan"),
+    2L -> Seq("customer", "order", "merge"),
+    3L -> Seq("vector", "stream"),
+    4L -> Seq("filter"))
+
+  def bm25(spark: SparkSession, dir: String,
+      workload: Seq[(Long, Seq[String])] = bm25Queries): DataFrame = {
+    import spark.implicits._
+    val queries = workload
+      .flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("query_id", "term")
+    val qterms = queries.select(col("term")).distinct()
+    val docLens = withWords(spark, dir)
+      .select(col("doc_id"), size(col("words")).as("dl"))
+    // count(dl)/sum(dl) both skip null-text docs on both engines
+    val stats = docLens.agg(
+      count(col("dl")).as("n_docs"), sum(col("dl")).as("dl_sum"))
+    val tf = withWords(spark, dir)
+      .select(col("doc_id"), explode(col("words")).as("term"))
+      .join(broadcast(qterms), Seq("term"), "left_semi")
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val contrib = tf
+      .join(broadcast(dfq), Seq("term"))
+      .join(docLens, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        col("dl_sum").cast("double") / col("n_docs").cast("double"))
+      .withColumn("idf",
+        (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)) + lit(1.0))
+      .withColumn("norm",
+        lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl")))
+      .withColumn("cg",
+        floor(col("idf") * ((col("tf").cast("double") * lit(2.2)) /
+          (col("tf").cast("double") + lit(1.2) * col("norm"))) *
+          expr(Bm25Grid)).cast("long"))
+    val scored = contrib
+      .join(broadcast(queries), Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("cg")).as("score"), count(lit(1)).as("n_matched"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= Bm25TopK)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("score"), col("n_matched"))
+  }
 }

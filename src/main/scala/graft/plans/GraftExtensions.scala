@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CosineSimilarity, CountMinAgg, HyperLogLogAgg, MisraGriesAgg, SignBandKeys, SimHashAgg, TopKBySim}
+import graft.functions.{CosineSimilarity, CountMinAgg, HyperLogLogAgg, KmvAgg, MisraGriesAgg, SignBandKeys, SimHashAgg, TopKBySim}
 
 /** Engine extension point: registers graft's native Catalyst functions.
   *
@@ -29,6 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.misraGriesDescriptor)
     ext.injectFunction(GraftExtensions.cmsSketchDescriptor)
     ext.injectFunction(GraftExtensions.hllSketchDescriptor)
+    ext.injectFunction(GraftExtensions.kmvSketchDescriptor)
   }
 }
 
@@ -174,6 +175,23 @@ object GraftExtensions {
     new ExpressionInfo(classOf[HyperLogLogAgg].getName, "hll_sketch"),
     hllSketchBuilder)
 
+  // capacity is a case-class parameter (bounds the buffer) — foldable
+  // int literal required, same as hll_sketch's precision
+  private val kmvSketchBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2,
+      s"kmv_sketch expects (key, k), got ${exprs.length} arguments")
+    exprs(1) match {
+      case Literal(k: Int, IntegerType) => KmvAgg(exprs.head, k)
+      case _ => throw new IllegalArgumentException(
+        "kmv_sketch k must be an integer literal")
+    }
+  }
+
+  val kmvSketchDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("kmv_sketch"),
+    new ExpressionInfo(classOf[KmvAgg].getName, "kmv_sketch"),
+    kmvSketchBuilder)
+
   val topkBySimDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("topk_by_sim"),
     new ExpressionInfo(classOf[TopKBySim].getName, "topk_by_sim"),
@@ -199,5 +217,7 @@ object GraftExtensions {
       .createOrReplaceTempFunction("cms_sketch", cmsSketchBuilder, "built-in")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("hll_sketch", hllSketchBuilder, "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("kmv_sketch", kmvSketchBuilder, "built-in")
   }
 }

@@ -167,6 +167,7 @@ class GoldenSpec extends SparkSpec {
     "svc_latest" -> ((-8256641542337234806L, 14L)),
     "svc_multivalued" -> ((-2009340863746402347L, 1000L)),
     "svc_summaries" -> ((1201948405762285216L, 402L)),
+    "txt_bm25" -> ((8938680310938870376L, 50L)),
     "txt_decontaminate" -> ((2255933175511747289L, 470L)),
     // identical by construction: Bloom pre-filter + exact verify ≡ exact
     "txt_decontaminate_bloom" -> ((2255933175511747289L, 470L)),
@@ -186,6 +187,7 @@ class GoldenSpec extends SparkSpec {
     // re-pinned r8: greedy longest-match -> faithful merge-order BPE
     "txt_tokens_bpe" -> ((-8838489101865614026L, 500L)),
     "q47_hll_distinct" -> ((-696950391081727461L, 5L)),
+    "q48_kmv_distinct" -> ((3425203569268548433L, 5L)),
     "emb_pq_mse" -> ((5183869128186934233L, 2L)),
     // equal to emb_knn_exact's fingerprint: at sf0.001 the SQ8 shortlist
     // contains every true neighbor (recall 1.0) and the re-rank emits the

@@ -423,4 +423,50 @@ class TextOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("bm25: top-k ranking matches a driver-side recompute of the scoring tree") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .flatMap(r => Option(r.getString(1)).map(t => r.getLong(0) -> t.split(" ", -1).toSeq))
+      .toMap
+    val n = docs.size
+    val avgdl = docs.values.map(_.size.toLong).sum.toDouble / n.toDouble
+    val qterms = TextOps.bm25Queries.flatMap(_._2).distinct.toSet
+    val tf: Map[(Long, String), Long] = docs.toSeq
+      .flatMap { case (id, ws) => ws.filter(qterms).map(w => (id, w)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val dfm: Map[String, Long] =
+      tf.keys.toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    def cg(id: Long, t: String): Long = {
+      val tfd = tf((id, t)).toDouble
+      val idf = (n.toDouble - dfm(t).toDouble + 0.5) / (dfm(t).toDouble + 0.5) + 1.0
+      val norm = 0.25 + 0.75 * (docs(id).size.toDouble / avgdl)
+      math.floor(idf * ((tfd * 2.2) / (tfd + 1.2 * norm)) * math.pow(2, 40)).toLong
+    }
+    val want = TextOps.bm25Queries.flatMap { case (q, ts) =>
+      val scores = docs.keys.toSeq
+        .map(id => (id, ts.filter(t => tf.contains((id, t)))))
+        .filter(_._2.nonEmpty)
+        .map { case (id, hit) => (id, hit.map(t => cg(id, t)).sum, hit.size.toLong) }
+        .sortBy { case (id, s, _) => (-s, id) }
+        .take(TextOps.Bm25TopK)
+      scores.zipWithIndex.map { case ((id, s, m), i) => (q, i + 1L, id, s, m) }
+    }.toSet
+    val got = TextOps.bm25(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got === want)
+    assert(got.nonEmpty && got.exists(_._5 > 1L), "multi-term matches should occur")
+  }
+
+  test("bm25: rarer term outranks common term; ties break on doc_id; no-match docs absent") {
+    // 'rare' occurs in 1 doc, 'common' in 3; the fourth doc matches nothing.
+    val dir = docsDir(Seq(
+      "rare pad pad pad", "common pad pad pad", "common pad pad pad", "pad pad pad pad"))
+    val out = TextOps.bm25(spark, dir, Seq(0L -> Seq("rare", "common")))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    // equal dl and tf everywhere, so idf decides: doc0 (df=1 term) first,
+    // then docs 1 and 2 (equal score) in doc_id order; doc3 absent.
+    assert(out.toSeq.sorted === Seq((1L, 0L), (2L, 1L), (3L, 2L)))
+  }
 }
