@@ -57,17 +57,20 @@ object OracleVectors {
        |  FROM base
        |)""".stripMargin
 
+  /** Mirror of VectorOps.probeKeysExpr: the key plus its Hamming-1
+    * variants (flips are distinct from the original — plain concat).
+    */
+  private def probeKeys(bandBits: Int, probeBits: Int): String =
+    if (probeBits == 0) "[band_key]"
+    else s"""list_concat([band_key], list_transform(range(1, ${bandBits + 1}), i ->
+            |  substring(band_key, 1, CAST(i - 1 AS INT)) ||
+            |  (CASE WHEN substring(band_key, CAST(i AS INT), 1) = '1'
+            |        THEN '0' ELSE '1' END) ||
+            |  substring(band_key, CAST(i + 1 AS INT), CAST($bandBits - i AS INT))))""".stripMargin
+
   def knnLsh(numPlanes: Int = VectorOps.NumPlanes,
       bandBits: Int = VectorOps.BandBits, probeBits: Int = 0): String = {
-    // mirror of VectorOps.probeKeysExpr: the key plus its Hamming-1
-    // variants (flips are distinct from the original — plain concat)
-    val qKeys =
-      if (probeBits == 0) "[band_key]"
-      else s"""list_concat([band_key], list_transform(range(1, ${bandBits + 1}), i ->
-              |  substring(band_key, 1, CAST(i - 1 AS INT)) ||
-              |  (CASE WHEN substring(band_key, CAST(i AS INT), 1) = '1'
-              |        THEN '0' ELSE '1' END) ||
-              |  substring(band_key, CAST(i + 1 AS INT), CAST($bandBits - i AS INT))))""".stripMargin
+    val qKeys = probeKeys(bandBits, probeBits)
     s"""WITH $baseCte, ${codeCte(numPlanes)},
        |bands AS (
        |  SELECT vec_id,
@@ -123,6 +126,48 @@ object OracleVectors {
        |JOIN base bb ON bb.vec_id = c.vec_b
        |WHERE ${dot("ba.embedding", "bb.embedding")} / (sqrt(ba.nrm) * sqrt(bb.nrm))
        |      >= ${VectorOps.DupThreshold}""".stripMargin
+
+  /** Mirror of VectorOps.embDecontaminate: corpus bands join the
+    * eval side's Hamming-1-expanded probes, exact cosine on
+    * candidates, per-corpus-vector hit aggregate, left join so
+    * clean vectors carry (0, NULL, keep=true).
+    */
+  def embDecontaminate(numPlanes: Int = VectorOps.NumPlanes,
+      bandBits: Int = VectorOps.BandBits): String = {
+    val em = VectorOps.EvalMod
+    s"""WITH $baseCte, ${codeCte(numPlanes)},
+       |bands AS (
+       |  SELECT vec_id,
+       |    b.b AS band_idx,
+       |    substring(code, CAST(b.b * $bandBits + 1 AS INT), $bandBits) AS band_key
+       |  FROM coded CROSS JOIN (SELECT unnest(range(${numPlanes / bandBits})) AS b) b
+       |),
+       |eprobes AS (
+       |  SELECT vec_id AS eval_id, band_idx,
+       |    unnest(${probeKeys(bandBits, 1)}) AS band_key
+       |  FROM bands WHERE vec_id % $em = 0
+       |),
+       |candidates AS (
+       |  SELECT DISTINCT c.vec_id, e.eval_id
+       |  FROM bands c JOIN eprobes e USING (band_idx, band_key)
+       |  WHERE c.vec_id % $em <> 0
+       |),
+       |sims AS (
+       |  SELECT cd.vec_id,
+       |    ${dot("bc.embedding", "be.embedding")} / (sqrt(bc.nrm) * sqrt(be.nrm)) AS sim
+       |  FROM candidates cd
+       |  JOIN base bc ON bc.vec_id = cd.vec_id
+       |  JOIN base be ON be.vec_id = cd.eval_id
+       |),
+       |hits AS (
+       |  SELECT vec_id, count(*) AS n_hits, max(sim) AS max_sim
+       |  FROM sims WHERE sim >= ${VectorOps.DupThreshold} GROUP BY vec_id
+       |)
+       |SELECT b.vec_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |  h.max_sim, COALESCE(h.n_hits, 0) = 0 AS keep
+       |FROM base b LEFT JOIN hits h USING (vec_id)
+       |WHERE b.vec_id % $em <> 0""".stripMargin
+  }
 
   /** Mirror of VectorOps.dedupEmbeddingClusters: the same CcRounds
     * unrolled min-label propagation (shared with OracleText's

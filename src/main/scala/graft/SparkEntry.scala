@@ -150,6 +150,7 @@ object SparkEntry {
     "emb_semdedup"   -> ((s, d) => VectorOps.semDedup(s, d)),
     "emb_cluster_sample" -> ((s, d) => VectorOps.clusterSample(s, d)),
     "dedup_embedding" -> ((s, d) => VectorOps.dedupEmbedding(s, d)),
+    "emb_decontaminate" -> ((s, d) => VectorOps.embDecontaminate(s, d)),
     "corpus_curation" -> ((s, d) => TextOps.corpusCuration(s, d)),
     "txt_source_overlap" -> ((s, d) => TextOps.sourceOverlap(s, d)),
     "txt_novelty"    -> ((s, d) => TextOps.novelty(s, d)),
@@ -328,6 +329,7 @@ object SparkEntry {
     "emb_semdedup"   -> OracleVectors.semDedup(),
     "emb_cluster_sample" -> OracleVectors.clusterSample(),
     "dedup_embedding" -> OracleVectors.dedupEmbedding(),
+    "emb_decontaminate" -> OracleVectors.embDecontaminate(),
     "corpus_curation" -> OracleText.corpusCuration,
     "txt_source_overlap" -> OracleText.sourceOverlap,
     "txt_novelty"    -> OracleText.novelty,

@@ -331,6 +331,65 @@ object VectorOps {
       .where(col("sim") >= DupThreshold)
   }
 
+  /** The deterministic eval-set stride for [[embDecontaminate]] —
+    * the embedding-side analog of TextOps.EvalStride (coprime to the
+    * LSH query stride so the two roles don't coincide). At scale the
+    * eval set is its own table; the stride is the fixture stand-in.
+    */
+  val EvalMod = 13
+
+  /** Embedding-space eval-set decontamination — the semantic
+    * counterpart of [[graft.operators.TextOps.decontaminate]]: where
+    * the n-gram filter catches verbatim benchmark leakage, this one
+    * catches paraphrases and translations that share no surface
+    * n-gram but embed next to an eval item (the reason modern
+    * pipelines run BOTH filters). A training vector is contaminated
+    * when its cosine to ANY eval vector reaches [[DupThreshold]]
+    * (fixture-tuned like the near-dup bar; production text embeddings
+    * run ~0.9+). Emits every corpus vector with its hit count, max
+    * eval similarity, and keep flag — the curation table a pipeline
+    * filters by, same contract as the text-side decontaminate.
+    *
+    * Shape at 100 TB: the eval side is tiny by construction, so its
+    * Hamming-1-expanded band probes BROADCAST (the multi-probe side
+    * sits on the small relation — recall lever costs no corpus work);
+    * the corpus streams through the bucket equi-join, exact cosine
+    * runs on candidates only, and the final left join keys on vec_id
+    * (one corpus-sized shuffle). Never all-pairs.
+    */
+  def embDecontaminate(spark: SparkSession, dir: String,
+      numPlanes: Int = NumPlanes, bandBits: Int = BandBits): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val bands = emb.select(
+      col("vec_id"),
+      posexplode(expr(s"sign_bands(embedding, $numPlanes, $bandBits)"))
+        .as(Seq("band_idx", "band_key")))
+    val corpusBands = bands.where(col("vec_id") % EvalMod =!= 0)
+    val evalProbes = bands.where(col("vec_id") % EvalMod === 0)
+      .select(col("vec_id").as("eval_id"), col("band_idx"),
+        explode(expr(probeKeysExpr(bandBits))).as("band_key"))
+    val candidates = corpusBands
+      .join(broadcast(evalProbes), Seq("band_idx", "band_key"))
+      .select(col("vec_id"), col("eval_id"))
+      .distinct()
+    val hits = candidates
+      .join(emb.select(col("vec_id"), col("embedding").as("emb_c")), Seq("vec_id"))
+      .join(broadcast(emb.where(col("vec_id") % EvalMod === 0)
+        .select(col("vec_id").as("eval_id"), col("embedding").as("emb_e"))),
+        Seq("eval_id"))
+      .select(col("vec_id"), expr("cosine_sim(emb_c, emb_e)").as("sim"))
+      .where(col("sim") >= DupThreshold)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_hits"), max(col("sim")).as("max_sim"))
+    emb.select(col("vec_id")).where(col("vec_id") % EvalMod =!= 0)
+      .join(hits, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("max_sim"),
+        (coalesce(col("n_hits"), lit(0L)) === 0).as("keep"))
+  }
+
   /** Near-duplicate CLUSTERS over the embedding pair graph — the
     * "keep one per near-dup set" composition [[dedupEmbedding]]'s
     * Scaladoc promises: the same bounded min-label propagation as

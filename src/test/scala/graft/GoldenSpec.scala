@@ -85,6 +85,7 @@ class GoldenSpec extends SparkSpec {
     // identical by construction to dedup_clusters (fixture diameter < CcRounds)
     "dedup_clusters_fixpoint" -> ((-4388125515379173L, 45L)),
     "dedup_embedding" -> ((7768090945691118739L, 48L)),
+    "emb_decontaminate" -> ((6586636881232305145L, 461L)),
     "emb_dedup_clusters" -> ((-1488179478009104348L, 85L)),
     "emb_ivf_recall" -> ((1904457532132159187L, 5L)),
     "emb_ivf_mp_recall" -> ((-6596883188036250839L, 5L)),

@@ -142,6 +142,34 @@ class VectorOpsSpec extends SparkSpec {
     assert(!out.exists { case (a, b, _) => a < 100L && b >= 100L })
   }
 
+  test("embDecontaminate flags near-eval vectors, keeps the rest, covers the corpus") {
+    val dir = embDir(fixture)
+    // EvalMod = 13 puts exactly id 0 in the eval set here
+    val evalVec = fixture.find(_._1 == 0L).get._2
+    val corpus = fixture.map(_._1).filter(_ % VectorOps.EvalMod != 0)
+    val out = VectorOps.embDecontaminate(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getBoolean(3))))
+      .toMap
+    // exactly the corpus ids, once each
+    assert(out.keySet === corpus.toSet)
+    out.foreach { case (id, (hits, maxSim, keep)) =>
+      assert(keep === (hits == 0L), s"id $id keep flag")
+      val trueSim = cosRef(fixture.find(_._1 == id).get._2, evalVec)
+      if (hits > 0L) {
+        // one eval vector -> max_sim IS the exact cosine to it
+        assert(maxSim === Some(trueSim), s"id $id max_sim")
+        assert(trueSim >= VectorOps.DupThreshold)
+      } else {
+        assert(maxSim === None)
+      }
+    }
+    // identical sign code to the eval vector: LSH cannot miss id 1
+    assert(out(1L)._1 === 1L && out(1L)._2.get > 0.99)
+    // orthogonal cluster stays clean
+    Seq(100L, 101L, 102L).foreach(id => assert(out(id)._3, s"id $id should keep"))
+  }
+
   test("knnSq8 recovers the exact ranking on separated clusters") {
     val dir = embDir(fixture)
     val exact = VectorOps.knnExact(spark, dir).collect()
