@@ -743,8 +743,17 @@ object OracleText {
     val qvals = TextOps.bm25Queries
       .flatMap { case (q, ts) => ts.map(t => s"(CAST($q AS BIGINT), '$t')") }
       .mkString(", ")
+    bm25Sql(s"q(query_id, term) AS (VALUES $qvals)", excludeSelf = false)
+  }
+
+  /** The BM25 SQL chain behind [[bm25]] and OracleRetrieval — `qCte`
+    * supplies the q(query_id, term) relation (mirror of
+    * TextOps.bm25Ranked's queries parameter).
+    */
+  private[graft] def bm25Sql(qCte: String, excludeSelf: Boolean): String = {
+    val selfFilter = if (excludeSelf) "WHERE c3.doc_id <> q.query_id " else ""
     s"""WITH $wordsCte,
-       |q(query_id, term) AS (VALUES $qvals),
+       |$qCte,
        |dl AS (SELECT doc_id, len(words) AS dl FROM docs),
        |stats AS (
        |  SELECT count(dl) AS n_docs, sum(dl) AS dl_sum FROM dl
@@ -779,7 +788,7 @@ object OracleText {
        |scored AS (
        |  SELECT q.query_id, c3.doc_id,
        |    CAST(sum(c3.cg) AS BIGINT) AS score, count(*) AS n_matched
-       |  FROM c3 JOIN q USING (term) GROUP BY q.query_id, c3.doc_id
+       |  FROM c3 JOIN q USING (term) ${selfFilter}GROUP BY q.query_id, c3.doc_id
        |),
        |ranked AS (
        |  SELECT *, row_number() OVER (

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Assets, GraphOps, MultimodalOps, Relational, TextOps, VectorOps}
+import graft.operators.{Assets, GraphOps, MultimodalOps, Relational, Retrieval, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -155,6 +155,7 @@ object SparkEntry {
     "txt_source_overlap" -> ((s, d) => TextOps.sourceOverlap(s, d)),
     "txt_novelty"    -> ((s, d) => TextOps.novelty(s, d)),
     "txt_bm25"       -> ((s, d) => TextOps.bm25(s, d)),
+    "hybrid_rrf"     -> ((s, d) => Retrieval.hybridRrf(s, d)),
     // LLM-data-pipeline: multimodal binary columns (decode is a stub;
     // media_decode is rows-only — the codec boundary is not SQL)
     "media_metadata" -> ((s, d) => MultimodalOps.mediaMetadata(s, d)),
@@ -334,6 +335,7 @@ object SparkEntry {
     "txt_source_overlap" -> OracleText.sourceOverlap,
     "txt_novelty"    -> OracleText.novelty,
     "txt_bm25"       -> OracleText.bm25,
+    "hybrid_rrf"     -> OracleRetrieval.hybridRrf,
     "media_metadata" -> OracleMultimodal.metadata,
     "media_frames"   -> OracleMultimodal.frames,
     "media_features" -> OracleMultimodal.features,

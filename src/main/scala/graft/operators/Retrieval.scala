@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hybrid retrieval: lexical (BM25) and vector (exact cosine KNN)
+  * rankings fused by Reciprocal Rank Fusion (Cormack, Clarke &
+  * Buettcher 2009) — the standard two-tower serving shape (the
+  * reference's substrate ships exactly this pairing as ES "hybrid
+  * search": a `match` query plus a kNN clause, fused by RRF).
+  */
+object Retrieval {
+
+  /** RRF's rank-damping constant (the paper's k = 60). */
+  val RrfK = 60
+
+  /** Top-k rows emitted per query after fusion. */
+  val RrfTopK = 10
+
+  private val Grid = 1099511627776L // 2^40
+
+  /** Query-by-document hybrid retrieval over the aligned
+    * documents/embeddings id space: every doc whose id is on the
+    * exact-KNN query stride ([[VectorOps.QueryMod]]) retrieves
+    *   - lexically: BM25 ([[TextOps.bm25Ranked]]) with the query
+    *     doc's top-3 TF-IDF terms as the query string (the classic
+    *     query-formulation step, already an operator — and the stride
+    *     filter sits on the tfidf window's PARTITION key, so it
+    *     pushes below the window: only query docs pay the ranking),
+    *     self-hit excluded;
+    *   - semantically: [[VectorOps.knnExact]] (which uses the same
+    *     stride for its query set) over the doc's embedding.
+    * The two top-k lists full-outer-join per (query, doc) and fuse as
+    *   rrf = Σ_list ⌊2^40 / (60 + rank)⌋
+    * — INTEGER division on the 2^40 grid, so the fused score is an
+    * exact long on both engines (no reciprocal-sum float order to
+    * worry about); a doc missing from one list contributes 0 from it,
+    * rank ties break on doc_id. Emits (query_id, rank, doc_id,
+    * rrf_score, lex_rank, vec_rank) — nullable ranks say WHICH system
+    * surfaced the hit, the triage column hybrid-search debugging
+    * lives on.
+    *
+    * Shape at 100 TB: both input rankings are top-k-per-query tables
+    * (k·|Q| rows), so the fusion join and final window are
+    * query-keyed small-data ops; the heavy lifting is inside the two
+    * retrieval operators, which keep their own documented scale
+    * shapes. The stride query set is the fixture stand-in for a
+    * serving workload (same assumption [[VectorOps.knnExact]]
+    * already makes).
+    */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val queries = TextOps.tfidf(spark, dir)
+      .where(col("doc_id") % VectorOps.QueryMod === 0)
+      .select(col("doc_id").as("query_id"), col("word").as("term"))
+    val lex = TextOps.bm25Ranked(spark, dir, queries, excludeSelf = true)
+      .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
+    val vec = VectorOps.knnExact(spark, dir)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("vec_rank"))
+    val fused = lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(expr(s"$Grid div ($RrfK + lex_rank)"), lit(0L)) +
+          coalesce(expr(s"$Grid div ($RrfK + vec_rank)"), lit(0L)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= RrfTopK)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("rrf_score"), col("lex_rank"), col("vec_rank"))
+  }
+}

@@ -1239,6 +1239,18 @@ object TextOps {
     val queries = workload
       .flatMap { case (q, ts) => ts.map(t => (q, t)) }
       .toDF("query_id", "term")
+    bm25Ranked(spark, dir, queries, excludeSelf = false)
+  }
+
+  /** The BM25 scoring engine behind [[bm25]] and
+    * [[Retrieval.hybridRrf]]: `queries` is any (query_id, term)
+    * relation (assumed tiny — it broadcasts); `excludeSelf` drops the
+    * corpus document whose doc_id equals the query_id (the
+    * query-by-document retrieval mode, where the query doc itself is
+    * a degenerate rank-1 hit).
+    */
+  private[operators] def bm25Ranked(spark: SparkSession, dir: String,
+      queries: DataFrame, excludeSelf: Boolean): DataFrame = {
     val qterms = queries.select(col("term")).distinct()
     val docLens = withWords(spark, dir)
       .select(col("doc_id"), size(col("words")).as("dl"))
@@ -1266,8 +1278,9 @@ object TextOps {
         floor(col("idf") * ((col("tf").cast("double") * lit(2.2)) /
           (col("tf").cast("double") + lit(1.2) * col("norm"))) *
           expr(Bm25Grid)).cast("long"))
-    val scored = contrib
-      .join(broadcast(queries), Seq("term"))
+    val joined = contrib.join(broadcast(queries), Seq("term"))
+    val scored = (if (excludeSelf) joined.where(col("doc_id") =!= col("query_id"))
+      else joined)
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("cg")).as("score"), count(lit(1)).as("n_matched"))
     val w = Window.partitionBy(col("query_id"))
