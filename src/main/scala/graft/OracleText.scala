@@ -733,6 +733,43 @@ object OracleText {
        |JOIN sizes sa ON sa.source = i.src_a
        |JOIN sizes sb ON sb.source = i.src_b""".stripMargin
 
+  /** Mirror of TextOps.sigTerms — same distinct (doc, source, term)
+    * base, doc-frequency counts, and the one-tree JLH ratio score.
+    */
+  val sigTerms: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS words FROM documents
+       |),
+       |dt AS (
+       |  SELECT DISTINCT doc_id, source, unnest(words) AS term FROM d
+       |),
+       |fg AS (
+       |  SELECT source, term, count(*) AS fg FROM dt GROUP BY source, term
+       |),
+       |bg AS (
+       |  SELECT term, count(*) AS bg FROM dt GROUP BY term
+       |),
+       |fgt AS (
+       |  SELECT source, count(*) AS fg_total FROM documents GROUP BY source
+       |),
+       |n AS (SELECT count(*) AS bg_total FROM documents),
+       |scored AS (
+       |  SELECT f.source, f.term, f.fg, b.bg,
+       |    (CAST(f.fg AS DOUBLE) / CAST(t.fg_total AS DOUBLE) -
+       |     CAST(b.bg AS DOUBLE) / CAST(n.bg_total AS DOUBLE)) *
+       |    ((CAST(f.fg AS DOUBLE) / CAST(t.fg_total AS DOUBLE)) /
+       |     (CAST(b.bg AS DOUBLE) / CAST(n.bg_total AS DOUBLE))) AS jlh
+       |  FROM fg f JOIN bg b USING (term) JOIN fgt t USING (source), n
+       |),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY source ORDER BY jlh DESC, term ASC) AS "rank"
+       |  FROM scored
+       |)
+       |SELECT source, "rank", term, CAST(fg AS BIGINT) AS fg,
+       |  CAST(bg AS BIGINT) AS bg, jlh
+       |FROM ranked WHERE "rank" <= ${TextOps.SigTermsTopK}""".stripMargin
+
   /** Mirror of TextOps.bm25 — same rational-idf BM25 with the same
     * fixed expression tree (every double op IEEE-correctly-rounded and
     * identically ordered), per-term contributions floored onto the

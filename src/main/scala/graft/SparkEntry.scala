@@ -155,6 +155,7 @@ object SparkEntry {
     "txt_source_overlap" -> ((s, d) => TextOps.sourceOverlap(s, d)),
     "txt_novelty"    -> ((s, d) => TextOps.novelty(s, d)),
     "txt_bm25"       -> ((s, d) => TextOps.bm25(s, d)),
+    "txt_sig_terms"  -> ((s, d) => TextOps.sigTerms(s, d)),
     "hybrid_rrf"     -> ((s, d) => Retrieval.hybridRrf(s, d)),
     // LLM-data-pipeline: multimodal binary columns (decode is a stub;
     // media_decode is rows-only — the codec boundary is not SQL)
@@ -335,6 +336,7 @@ object SparkEntry {
     "txt_source_overlap" -> OracleText.sourceOverlap,
     "txt_novelty"    -> OracleText.novelty,
     "txt_bm25"       -> OracleText.bm25,
+    "txt_sig_terms"  -> OracleText.sigTerms,
     "hybrid_rrf"     -> OracleRetrieval.hybridRrf,
     "media_metadata" -> OracleMultimodal.metadata,
     "media_frames"   -> OracleMultimodal.frames,

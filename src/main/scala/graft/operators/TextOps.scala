@@ -1242,6 +1242,63 @@ object TextOps {
     bm25Ranked(spark, dir, queries, excludeSelf = false)
   }
 
+  /** Significant-terms aggregation — the reference substrate's
+    * `significant_terms` bucket aggregation (Elasticsearch's
+    * foreground-vs-background term significance), scored with ES's
+    * default JLH heuristic: for each (source, term),
+    *
+    *   jlh = (fgPct − bgPct) · (fgPct / bgPct)
+    *
+    * where fgPct = fraction of the source's docs containing the term
+    * and bgPct = the corpus-wide fraction. Terms common everywhere
+    * score ≈ 0; terms concentrated in one source score high — the
+    * "what is THIS slice about" readout (ES surfaces it for anomaly
+    * triage; a pretraining pipeline reads it as a per-source
+    * vocabulary-skew diagnostic next to [[sourceOverlap]]'s gram
+    * matrix). Counts are DOC frequencies (distinct doc per term, like
+    * ES), the score is pure integer-ratio arithmetic in one fixed
+    * expression tree — no logs, no float sums — so it is bit-equal
+    * across engines, and the top [[SigTermsTopK]] per source emit
+    * with a deterministic (score desc, term asc) tiebreak.
+    *
+    * Shape at 100 TB: one exploded distinct (doc, term, source) pass;
+    * per-(term, source) and per-term doc counts are two partial
+    * aggregates off it; the term-keyed join of background counts back
+    * is the only corpus-sized shuffle (deliberately unhinted, the
+    * [[tfidf]] vocabulary argument); per-source doc totals are an
+    * S-row broadcast. The rank ≤ k window gets the partial
+    * WindowGroupLimit cut.
+    */
+  val SigTermsTopK = 5
+
+  def sigTerms(spark: SparkSession, dir: String): DataFrame = {
+    val docTerms = withWords(spark, dir)
+      .select(col("doc_id"), col("source"), explode(col("words")).as("term"))
+      .distinct()
+    val fg = docTerms.groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("fg"))
+    // docTerms rows are distinct (doc, term) pairs (one source per
+    // doc), so a plain count IS the distinct-doc frequency
+    val bg = docTerms.groupBy(col("term")).agg(count(lit(1)).as("bg"))
+    val fgTotals = Tables.documents(spark, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("fg_total"))
+    val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("bg_total"))
+    val scored = fg
+      .join(bg, Seq("term"))
+      .join(broadcast(fgTotals), Seq("source"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("fg_pct", col("fg").cast("double") / col("fg_total").cast("double"))
+      .withColumn("bg_pct", col("bg").cast("double") / col("bg_total").cast("double"))
+      .withColumn("jlh",
+        (col("fg_pct") - col("bg_pct")) * (col("fg_pct") / col("bg_pct")))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("jlh").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= SigTermsTopK)
+      .select(col("source"), col("rank"), col("term"),
+        col("fg"), col("bg"), col("jlh"))
+  }
+
   /** The BM25 scoring engine behind [[bm25]] and
     * [[Retrieval.hybridRrf]]: `queries` is any (query_id, term)
     * relation (assumed tiny — it broadcasts); `excludeSelf` drops the

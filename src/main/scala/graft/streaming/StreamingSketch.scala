@@ -174,4 +174,75 @@ object StreamingSketch {
         (lit(graft.functions.HyperLogLogAgg.estimatorK(p)) /
           col("hll_s").cast("double")).as("hll_est"))
   }
+
+  // ---- KMV maintenance ---------------------------------------------
+  //
+  // The bottom-k complement: [[graft.functions.KmvAgg]]'s merge is
+  // sorted-set union truncated to k — idempotent like HLL's max (a
+  // duplicated batch sketch re-inserts hashes already present), so
+  // this store shares HLL's structural replay immunity, and adds what
+  // neither CMS nor HLL can give a streaming consumer: the
+  // accumulated sketch is a uniform hash-ordered SAMPLE of the
+  // distinct keys seen so far, so two stores (two streams, two
+  // tenants) compose for overlap estimates with plain set algebra.
+
+  /** KMV capacity of the streaming store. */
+  val KmvK = 256
+
+  /** One micro-batch reduced to its bottom-k hash array (single row). */
+  def kmvBatch(batch: DataFrame, k: Int = KmvK): DataFrame = {
+    graft.plans.GraftExtensions.register(batch.sparkSession)
+    batch.agg(expr(s"kmv_sketch(user_id, $k)").as("ks"))
+  }
+
+  /** Per-batch sink write — same idempotent overwrite shape as
+    * [[writeBatch]] (uniform store layout; like HLL, not load-bearing:
+    * the union-merge absorbs duplicates by construction).
+    */
+  def writeKmvBatch(batch: DataFrame, storePath: String, batchId: Long,
+      k: Int = KmvK): Unit =
+    kmvBatch(batch, k)
+      .write.mode("overwrite")
+      .parquet(s"$storePath/ingest_batch=$batchId")
+
+  /** Drain an events directory into the KMV store (AvailableNow — the
+    * restartable incremental unit, as [[startCmsIngest]]).
+    */
+  def startKmvIngest(spark: SparkSession, srcPath: String,
+      storePath: String, checkpoint: String, k: Int = KmvK): StreamingQuery =
+    StreamingAssets.eventStream(spark, srcPath).writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeKmvBatch(batch, storePath, batchId, k)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** The accumulated bottom-k as (h) rows: distinct hashes across
+    * every batch array, k smallest — the sorted-union merge as
+    * distinct + ordered limit, which plans as TakeOrderedAndProject
+    * (map-side partial top-k; `batches × k` longs read, the event
+    * stream never touched).
+    */
+  def globalKmv(spark: SparkSession, storePath: String,
+      k: Int = KmvK): DataFrame =
+    spark.read.parquet(storePath)
+      .select(explode(col("ks")).as("h"))
+      .distinct()
+      .orderBy(col("h").asc)
+      .limit(k)
+
+  /** One-row distinct-cardinality estimate from the accumulated store:
+    * the same regime split + single-division estimate as
+    * `q48_kmv_distinct` (a drained store answers exactly like one
+    * batch sketch over all events, spec-asserted).
+    */
+  def globalKmvDistinct(spark: SparkSession, storePath: String,
+      k: Int = KmvK): DataFrame =
+    globalKmv(spark, storePath, k)
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("kmv_kth"))
+      .select(col("n_kept"), col("kmv_kth"),
+        when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit(graft.functions.KmvAgg.estimatorNum(k)) /
+            col("kmv_kth").cast("double")).as("kmv_est"))
 }

@@ -180,6 +180,7 @@ class GoldenSpec extends SparkSpec {
     "txt_langid" -> ((-5283935207442125541L, 500L)),
     "txt_normalize" -> ((-6611269162432350353L, 500L)),
     "txt_quality" -> ((8093999280321710571L, 500L)),
+    "txt_sig_terms" -> ((-4598804313857034663L, 100L)),
     "txt_simhash" -> ((-7507058349007398018L, 500L)),
     // identical by construction to txt_simhash (differential contract)
     "txt_simhash_native" -> ((-7507058349007398018L, 500L)),

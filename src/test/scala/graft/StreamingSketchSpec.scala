@@ -137,4 +137,44 @@ class StreamingSketchSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(estimates(store, 0L until 30L) === direct)
   }
+
+  test("KMV store: drain equals one batch sketch; duplicate sketches are harmless WITHOUT overwrite") {
+    val src = tmp("graft-kmv-src")
+    val store = tmp("graft-kmv-store") + "/sketch"
+    val ckpt = tmp("graft-kmv-ckpt")
+    val all = graft.sources.Tables.events(spark, sfDir)
+      .drop("__ts_nanos", "__ts_raw")
+
+    all.where(col("event_id") % 2 === 0).write.mode("append").parquet(src)
+    StreamingSketch.startKmvIngest(spark, src, store, ckpt).awaitTermination(120000)
+    all.where(col("event_id") % 2 === 1).write.mode("append").parquet(src)
+    StreamingSketch.startKmvIngest(spark, src, store, ckpt).awaitTermination(120000)
+
+    // drained store's merged bottom-k must equal one batch sketch over
+    // ALL events, hash for hash
+    graft.plans.GraftExtensions.register(spark)
+    val direct = all.agg(expr(s"kmv_sketch(user_id, ${StreamingSketch.KmvK})").as("ks"))
+      .select(explode(col("ks")).as("h")).collect().map(_.getLong(0)).toSeq
+    def stored(): Seq[Long] =
+      StreamingSketch.globalKmv(spark, store).collect().map(_.getLong(0)).toSeq
+    assert(stored() === direct)
+
+    // union-merge is idempotent: a duplicate sketch APPENDED under a
+    // FRESH id (no overwrite protection at all) changes nothing —
+    // HLL's replay-immunity class, where the additive CMS inflates
+    StreamingSketch.writeKmvBatch(
+      all.where(col("event_id") % 2 === 0), store, 99L)
+    assert(stored() === direct)
+
+    // estimate surface: same regime split + division as q48
+    val est = StreamingSketch.globalKmvDistinct(spark, store).head()
+    val nExact = all.select(countDistinct(col("user_id"))).head().getLong(0)
+    val nKept = est.getAs[Long]("n_kept")
+    assert(nKept <= StreamingSketch.KmvK)
+    if (nKept < StreamingSketch.KmvK)
+      // exact regime: kept = distinct hashes = distinct keys (no
+      // 60-bit collision at fixture scale), estimate exact
+      assert(nKept === nExact && est.getAs[Double]("kmv_est") === nExact.toDouble)
+    else assert(est.getAs[Double]("kmv_est") > 0.0)
+  }
 }

@@ -459,6 +459,49 @@ class TextOpsSpec extends SparkSpec {
     assert(got.nonEmpty && got.exists(_._5 > 1L), "multi-term matches should occur")
   }
 
+  test("sigTerms: JLH matches a driver-side recompute on the real corpus") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2))))
+    val dt = docs.flatMap { case (id, src, t) =>
+      t.toSeq.flatMap(_.split(" ", -1).distinct.map(w => (id, src, w)))
+    }.distinct
+    val fgTotal = docs.groupBy(_._2).view.mapValues(_.size).toMap
+    val n = docs.length
+    val bg = dt.groupBy(_._3).view.mapValues(_.length).toMap
+    val want = dt.groupBy(x => (x._2, x._3)).map { case ((src, term), rows) =>
+      val fgPct = rows.length.toDouble / fgTotal(src).toDouble
+      val bgPct = bg(term).toDouble / n.toDouble
+      (src, term) -> ((rows.length.toLong, bg(term).toLong,
+        (fgPct - bgPct) * (fgPct / bgPct)))
+    }
+    val topWant = want.groupBy(_._1._1).flatMap { case (src, m) =>
+      m.toSeq.map { case ((_, term), (fg, bgc, jlh)) => (term, fg, bgc, jlh) }
+        .sortBy { case (term, _, _, jlh) => (-jlh, term) }
+        .take(TextOps.SigTermsTopK).zipWithIndex
+        .map { case ((term, fg, bgc, jlh), i) => (src, i + 1L, term, fg, bgc, jlh) }
+    }.toSet
+    val got = TextOps.sigTerms(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    assert(got === topWant)
+  }
+
+  test("sigTerms: a term concentrated in one source tops that source; ubiquitous terms score ~0") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (0L, "anomaly pad", "en", "a", 11L), (1L, "anomaly pad", "en", "a", 11L),
+      (2L, "pad filler", "en", "b", 10L), (3L, "pad filler", "en", "b", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tempTableDir("documents", df)
+    val out = TextOps.sigTerms(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getDouble(5)))
+    val topA = out.filter(r => r._1 == "a" && r._2 == 1L).head
+    assert(topA._3 === "anomaly" && topA._4 > 0.0)
+    // 'pad' occurs in every doc: fgPct == bgPct == 1 -> jlh == 0 in both sources
+    out.filter(_._3 == "pad").foreach(r => assert(r._4 === 0.0))
+  }
+
   test("bm25: rarer term outranks common term; ties break on doc_id; no-match docs absent") {
     // 'rare' occurs in 1 doc, 'common' in 3; the fourth doc matches nothing.
     val dir = docsDir(Seq(
