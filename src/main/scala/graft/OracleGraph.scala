@@ -136,4 +136,37 @@ object OracleGraph {
        |FROM ($unionAll)
        |GROUP BY src, dst""".stripMargin
   }
+
+  /** Mirror of GraphOps.triangles — deliberately NOT the degree-ordered
+    * algorithm: a plain `a < b < c` three-way self-join over the
+    * undirected distinct edge set counts each triangle exactly once,
+    * so agreement proves the orientation machinery is pure plumbing
+    * (orientation-independence is the correctness claim). Nodes in no
+    * triangle emit 0 via the LEFT JOIN onto the endpoint set.
+    */
+  val triangles: String =
+    s"""WITH $edgesCte,
+       |und AS (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM edges WHERE src <> dst
+       |),
+       |tri AS (
+       |  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+       |  FROM und e1
+       |  JOIN und e2 ON e2.a = e1.b
+       |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+       |),
+       |pern AS (
+       |  SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+       |  FROM (SELECT a AS node FROM tri UNION ALL
+       |        SELECT b FROM tri UNION ALL
+       |        SELECT c FROM tri)
+       |  GROUP BY node
+       |),
+       |nodes AS (
+       |  SELECT DISTINCT a AS node FROM und
+       |  UNION SELECT DISTINCT b FROM und
+       |)
+       |SELECT n.node, COALESCE(p.n_triangles, 0) AS n_triangles
+       |FROM nodes n LEFT JOIN pern p USING (node)""".stripMargin
 }

@@ -535,4 +535,94 @@ object OracleRelational {
       |FROM orders
       |WINDOW w AS (PARTITION BY o_orderpriority
       |             ORDER BY o_totalprice DESC, o_orderkey ASC)""".stripMargin
+
+  /** Mirror of Relational.q49WeightedSample — the same replicated-unit
+    * min-hash keys recomputed from scratch: power-of-two weight
+    * quantization (exact floor), one md5 per (event, unit), min per
+    * event, rank ≤ k per type. Pure integer order throughout.
+    */
+  val q49: String = {
+    val k = graft.operators.Relational.WsK
+    val cap = graft.operators.Relational.WsCap
+    val rot = OracleText.rotLong("hh", 0)
+    s"""WITH wt AS (
+       |  SELECT event_type, event_id,
+       |    least($cap, 1 + CAST(floor(value / 64.0) AS BIGINT)) AS weight
+       |  FROM events
+       |),
+       |units AS (
+       |  SELECT event_type, event_id, weight,
+       |    unnest(range(1, weight + 1)) AS r
+       |  FROM wt
+       |),
+       |keys AS (
+       |  SELECT event_type, event_id, weight, $rot AS unit_key
+       |  FROM (SELECT event_type, event_id, weight,
+       |          md5(CAST(event_id AS VARCHAR) || ':' || CAST(r AS VARCHAR)) AS hh
+       |        FROM units)
+       |),
+       |mins AS (
+       |  SELECT event_type, event_id,
+       |    max(weight) AS weight, min(unit_key) AS sample_key
+       |  FROM keys GROUP BY event_type, event_id
+       |),
+       |rk AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY event_type ORDER BY sample_key ASC, event_id ASC) AS "rank"
+       |  FROM mins
+       |)
+       |SELECT event_type, "rank", event_id, weight, sample_key
+       |FROM rk WHERE "rank" <= $k""".stripMargin
+  }
+
+  /** Mirror of Relational.q50SampleQuantiles — the bottom-k-by-hash
+    * sample re-taken from scratch (md5 hash order ≡ Spark), quantile
+    * indexes by integer division (`//` ≡ Spark DIV), values copied
+    * never computed — bit-equal by construction.
+    */
+  val q50: String = {
+    val k = graft.operators.Relational.SqK
+    val rot = OracleText.rotLong("hh", 0)
+    s"""WITH h AS (
+       |  SELECT event_type, event_id, value, $rot AS h
+       |  FROM (SELECT event_type, event_id, value,
+       |          md5(CAST(event_id AS VARCHAR)) AS hh FROM events)
+       |),
+       |rk AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY event_type ORDER BY h ASC, event_id ASC) AS rn
+       |  FROM h
+       |),
+       |smp AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_sampled,
+       |    list(value ORDER BY value) AS vs
+       |  FROM rk WHERE rn <= $k GROUP BY event_type
+       |)
+       |SELECT event_type, n_sampled,
+       |  vs[1] AS sample_min,
+       |  vs[CAST((n_sampled - 1) // 4 + 1 AS INT)] AS p25,
+       |  vs[CAST((n_sampled - 1) // 2 + 1 AS INT)] AS p50,
+       |  vs[CAST(3 * (n_sampled - 1) // 4 + 1 AS INT)] AS p75,
+       |  vs[CAST(n_sampled AS INT)] AS sample_max
+       |FROM smp""".stripMargin
+  }
+
+  /** Mirror of Relational.evtTransitions: the same (ts, event_id)-
+    * ordered lag per user, integer counts, one IEEE division of exact
+    * integers per row.
+    */
+  val evtTransitions: String =
+    """WITH lagd AS (
+      |  SELECT user_id, event_type, lag(event_type) OVER (
+      |    PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_type
+      |  FROM events
+      |),
+      |c AS (
+      |  SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+      |  FROM lagd WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type
+      |)
+      |SELECT prev_type, next_type, n,
+      |  CAST(n AS DOUBLE) /
+      |    CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+      |FROM c""".stripMargin
 }

@@ -835,4 +835,34 @@ object OracleText {
        |SELECT query_id, "rank", doc_id, score, n_matched
        |FROM ranked WHERE "rank" <= ${TextOps.Bm25TopK}""".stripMargin
   }
+
+  /** Mirror of TextOps.chunks: the same ceil(n / stride) window
+    * starts, list_slice ≡ Spark slice (both clamp at the array end,
+    * both 1-based), array_to_string ≡ array_join, md5 identical.
+    */
+  val chunks: String = {
+    val (w, s) = (TextOps.ChunkWindow, TextOps.ChunkStride)
+    s"""WITH docs AS (
+       |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+       |),
+       |sized AS (
+       |  SELECT doc_id, words, CAST(len(words) AS BIGINT) AS n FROM docs
+       |),
+       |idx AS (
+       |  SELECT doc_id, words, n,
+       |    unnest(range(0, CAST(ceil(n / CAST($s AS DOUBLE)) AS BIGINT))) AS chunk_id
+       |  FROM sized
+       |),
+       |cut AS (
+       |  SELECT doc_id, chunk_id, n,
+       |    array_to_string(list_slice(words,
+       |      CAST(chunk_id * $s + 1 AS INT), CAST(chunk_id * $s + $w AS INT)), ' ')
+       |      AS chunk_text
+       |  FROM idx
+       |)
+       |SELECT doc_id, chunk_id, chunk_id * $s AS start_token,
+       |  least(CAST($w AS BIGINT), n - chunk_id * $s) AS n_tokens,
+       |  chunk_text, md5(chunk_text) AS chunk_hash
+       |FROM cut""".stripMargin
+  }
 }

@@ -98,6 +98,7 @@ object SparkEntry {
     "txt_ngram_stats"     -> ((s, d) => TextOps.ngramStats(s, d)),
     "txt_scrub"           -> ((s, d) => TextOps.scrub(s, d)),
     "txt_mix_weights"     -> ((s, d) => TextOps.mixWeights(s, d)),
+    "txt_chunks"          -> ((s, d) => TextOps.chunks(s, d)),
     "q33_pivot"           -> ((s, d) => Relational.q33Pivot(s, d)),
     "q34_salted_wordcount" -> ((s, d) => Relational.q34SaltedWordcount(s, d)),
     "q35_approx_quantile" -> ((s, d) => Relational.q35ApproxQuantile(s, d)),
@@ -110,6 +111,9 @@ object SparkEntry {
     "q42_rank_family"     -> ((s, d) => Relational.q42RankFamily(s, d)),
     "q43_lateral_topn"    -> ((s, d) => Relational.q43LateralTopN(s, d)),
     "q44_heavy_hitters"   -> ((s, d) => Relational.q44HeavyHitters(s, d)),
+    "q49_weighted_sample" -> ((s, d) => Relational.q49WeightedSample(s, d)),
+    "q50_sample_quantiles" -> ((s, d) => Relational.q50SampleQuantiles(s, d)),
+    "evt_transitions"     -> ((s, d) => Relational.evtTransitions(s, d)),
     // Storage layout (sources.Layout): write-time levers, oracle-proven
     // to preserve semantics
     "q46_cms_counts"      -> ((s, d) => Relational.q46CmsCounts(s, d)),
@@ -121,6 +125,7 @@ object SparkEntry {
     // Graph analytics over relationally-derived edges (SURVEY.md §8.2)
     "graph_degree"        -> ((s, d) => GraphOps.degreeCentrality(s, d)),
     "graph_pagerank"      -> ((s, d) => GraphOps.pagerank(s, d)),
+    "graph_triangles"     -> ((s, d) => GraphOps.triangles(s, d)),
     "asset_reachability"  -> ((s, d) => GraphOps.assetReachability(s, d)),
     "asset_closure"       -> ((s, d) => GraphOps.assetClosure(s, d)),
     "asset_closure_incr"  -> ((s, d) => GraphOps.assetClosureIncremental(s, d)),
@@ -284,6 +289,7 @@ object SparkEntry {
     "txt_ngram_stats"     -> OracleText.ngramStats,
     "txt_scrub"           -> OracleText.scrub,
     "txt_mix_weights"     -> OracleText.mixWeights,
+    "txt_chunks"          -> OracleText.chunks,
     "q33_pivot"           -> OracleRelational.q33,
     "q34_salted_wordcount" -> OracleRelational.q34,
     "q36_rolling_window"  -> OracleRelational.q36,
@@ -295,6 +301,9 @@ object SparkEntry {
     "q42_rank_family"     -> OracleRelational.q42,
     "q43_lateral_topn"    -> OracleRelational.q43,
     "q44_heavy_hitters"   -> OracleRelational.q44,
+    "q49_weighted_sample" -> OracleRelational.q49,
+    "q50_sample_quantiles" -> OracleRelational.q50,
+    "evt_transitions"     -> OracleRelational.evtTransitions,
     "q46_cms_counts"      -> OracleRelational.q46,
     "q47_hll_distinct"    -> OracleRelational.q47,
     "q48_kmv_distinct"    -> OracleRelational.q48,
@@ -303,6 +312,7 @@ object SparkEntry {
     "evt_zorder_box"      -> OracleRelational.evtZorderBox,
     "graph_degree"        -> OracleGraph.degreeCentrality,
     "graph_pagerank"      -> OracleGraph.pagerank,
+    "graph_triangles"     -> OracleGraph.triangles,
     "asset_reachability"  -> OracleGraph.assetReachability,
     "asset_closure"       -> OracleGraph.assetClosure,
     "asset_closure_incr"  -> OracleGraph.assetClosure,

@@ -418,4 +418,61 @@ object GraphOps {
     }
     pr
   }
+
+  /** Per-node triangle counts over the undirected trade graph — the
+    * clustering/community primitive (a node's triangle count is the
+    * numerator of its local clustering coefficient).
+    *
+    * Algorithm: degree-ordered edge orientation (Ortmann & Brandes'
+    * standard formulation of the classic compact-forward counting).
+    * Every undirected edge is oriented from its lower- to its
+    * higher-(degree, id) endpoint; wedges u→v, u→w with v ≺ w are
+    * generated per source u, and a wedge closes iff the edge v→w
+    * exists (v ≺ w makes that ONE oriented probe, and each triangle
+    * closes exactly once, from its ≺-minimal vertex). The ordering is
+    * compared as a (degree, node) STRUCT — no rank window, no extra
+    * shuffle — and makes per-source out-degree O(√m) on any graph, so
+    * wedge generation is O(m^1.5) worst-case instead of the Σdeg²
+    * a skew-blind orientation hits (the reason this survives a
+    * power-law graph at 100 TB where the naive 3-way self-join dies
+    * on the hub nodes).
+    *
+    * Shape: the wedge self-join and the closing semi-join are keyed
+    * shuffles of the (8+8)-byte oriented edge list only; per-node
+    * counts are one partial-aggregated explode of the closed wedges;
+    * nodes in no triangle emit 0 via the left join onto the node set.
+    * The 25-node fixture keeps the oracle (a plain a<b<c SQL 3-way
+    * join — orientation-independent by construction) exact.
+    */
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val und = tradeEdges(spark, dir)
+      .where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("node")).union(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // orient by (deg, node) lexicographic order: lo = smaller endpoint
+    val keyed = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+    def k(d: String, n: String) = struct(col(d).as("d"), col(n).as("n"))
+    val aFirst = k("da", "a") < k("db", "b")
+    val oriented = keyed.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("lo"),
+      when(aFirst, col("b")).otherwise(col("a")).as("hi"),
+      when(aFirst, k("db", "b")).otherwise(k("da", "a")).as("hi_key"))
+    val wedges = oriented.select(col("lo").as("u"), col("hi").as("v"), col("hi_key").as("vk"))
+      .join(oriented.select(col("lo").as("u"), col("hi").as("w"), col("hi_key").as("wk")), Seq("u"))
+      .where(col("vk") < col("wk"))
+    val closed = wedges.join(
+      oriented.select(col("lo").as("v"), col("hi").as("w")),
+      Seq("v", "w"), "left_semi")
+    val perNode = closed
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    deg.select(col("node"))
+      .join(perNode, Seq("node"), "left")
+      .select(col("node"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
 }

@@ -758,4 +758,134 @@ object Relational {
         percent_rank().over(w).as("pct_rank"),
         cume_dist().over(w).as("cume"))
   }
+
+  // --- Deterministic sampling -------------------------------------------
+
+  /** Weighted-sample size per group. */
+  val WsK = 10
+
+  /** Replication cap: weights quantize to 1..[[WsCap]] units. */
+  val WsCap = 8L
+
+  /** Weighted sampling WITHOUT replacement, [[WsK]] events per event
+    * type, inclusion proportional to a quantized event weight — the
+    * importance-sampling primitive of data curation (upweight rare/
+    * high-quality records when downsampling a 100 TB corpus).
+    *
+    * The classic A-ES scheme ranks items by u^(1/w) (Efraimidis &
+    * Spirakis 2006) — a transcendental whose cross-engine bit-equality
+    * IEEE doesn't promise. This is the integer-grid reformulation
+    * (the [[graft.operators.Retrieval]] RRF device): each item gets
+    * `w` integer replication units, each unit an independent 60-bit
+    * md5 hash, and the item's key is the MIN of its units. Taking
+    * items in ascending key order realizes the identical successive
+    * weighted-without-replacement law — the global min lands on item i
+    * with probability wᵢ/Σw by unit symmetry, and conditioning on
+    * removing the winner's units leaves the same scheme over the rest
+    * — while every comparison is exact 60-bit integer order, bit-equal
+    * in any engine with md5 (A-ES and min-of-w-uniforms differ in key
+    * MARGINALS, not in the induced sampling law).
+    *
+    * Weights here quantize `value` to 1..[[WsCap]] units by a
+    * power-of-two divisor (exact IEEE division, exact floor — no
+    * boundary wobble). Shape at 100 TB: the unit explode is a per-row
+    * Generate (≤ cap× rows, no exchange), the per-item min is a
+    * codegen'd partial agg on the (type, event) key, and the rank ≤ k
+    * window gets the partial WindowGroupLimit cut — each map task
+    * ships at most k rows per group.
+    */
+  def q49WeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"),
+        least(lit(WsCap), lit(1L) + floor(col("value") / 64.0d).cast("long"))
+          .as("weight"))
+      .select(col("event_type"), col("event_id"), col("weight"),
+        explode(expr("sequence(1L, weight)")).as("r"))
+      .select(col("event_type"), col("event_id"), col("weight"),
+        TextOps.rotLong("md5(concat_ws(':', event_id, r))", 0).as("unit_key"))
+      .groupBy(col("event_type"), col("event_id"))
+      .agg(max(col("weight")).as("weight"), min(col("unit_key")).as("sample_key"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("sample_key").asc, col("event_id").asc)
+    keyed.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= WsK)
+      .select(col("event_type"), col("rank"), col("event_id"),
+        col("weight"), col("sample_key"))
+  }
+
+  /** Uniform-sample size per group (the quantile sketch's k). */
+  val SqK = 256
+
+  /** Quantiles from a deterministic bottom-k-by-hash sample — the
+    * ORDER-INDEPENDENT, MERGEABLE quantile sketch: keep the [[SqK]]
+    * events whose 60-bit md5(event_id) hashes are smallest per event
+    * type (a uniform random-but-deterministic sample — the KMV set of
+    * q48, carrying values), then read sample quantiles off the sorted
+    * sample at index floor((m−1)·q). Merge = union + re-take bottom k
+    * (associative, idempotent — replays can't corrupt it), which is
+    * what GK/KLL compactors do NOT give: their state depends on
+    * arrival order, so no exact cross-engine or cross-partitioning
+    * oracle can exist for them (q35 is rows-only for exactly that
+    * reason; this operator is the hash-green member of the quantile
+    * family, at the price of √k-vs-1/k error — pinned in spec).
+    *
+    * Every ingredient is engine-neutral: md5 hash order, integer
+    * `div` index arithmetic, and values copied (never computed), so
+    * the result is bit-equal to the DuckDB mirror. Shape at 100 TB:
+    * the rank ≤ k window gets the partial WindowGroupLimit cut (each
+    * map task ships ≤ k rows per group) and the final per-group
+    * sorted-array fold touches k values — group count × k total.
+    */
+  def q50SampleQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("h").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("value"),
+        TextOps.rotLong("md5(CAST(event_id AS STRING))", 0).as("h"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= SqK)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sort_array(collect_list(col("value"))).as("vs"))
+      .select(col("event_type"), col("n_sampled"),
+        expr("element_at(vs, 1)").as("sample_min"),
+        expr("element_at(vs, CAST((n_sampled - 1) DIV 4 AS INT) + 1)").as("p25"),
+        expr("element_at(vs, CAST((n_sampled - 1) DIV 2 AS INT) + 1)").as("p50"),
+        expr("element_at(vs, CAST(3 * (n_sampled - 1) DIV 4 AS INT) + 1)").as("p75"),
+        expr("element_at(vs, CAST(n_sampled AS INT))").as("sample_max"))
+  }
+
+  // --- Sequence analytics -----------------------------------------------
+
+  /** First-order Markov transition estimates over per-user event
+    * sequences: for each (prev_type → next_type) pair the transition
+    * count and row-normalized probability — the sequence-statistics
+    * complement of q38's fixed-pattern funnel (q38 asks "how many
+    * users complete THIS path", this asks "what does the empirical
+    * transition kernel look like").
+    *
+    * Ordering within a user is (ts, event_id) — the id tiebreak makes
+    * the lag deterministic even when one user has simultaneous events.
+    * Probabilities are IEEE divisions of exact integer counts
+    * (bit-equal cross-engine, the house rule). Shape at 100 TB: one
+    * user-keyed exchange for the lag window (sessions are naturally
+    * small), then a partial-aggregated (prev, next) count whose
+    * reduce side is |types|² rows; the per-prev totals ride a window
+    * over that tiny aggregate, not a second corpus shuffle.
+    */
+  def evtTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val seq0 = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val counts = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        lag(col("event_type"), 1).over(seq0).as("prev_type"))
+      .where(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("prev_total",
+        sum(col("n")).over(Window.partitionBy(col("prev_type"))))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        (col("n").cast("double") / col("prev_total").cast("double")).as("p"))
+  }
 }

@@ -1299,6 +1299,52 @@ object TextOps {
         col("fg"), col("bg"), col("jlh"))
   }
 
+  /** Sliding-window chunking for retrieval/RAG ingestion: fixed
+    * [[ChunkWindow]]-token windows starting every [[ChunkStride]]
+    * tokens (overlap = window − stride), the standard recall-
+    * preserving split that keeps any span shorter than the overlap
+    * fully inside at least one chunk. Emits per chunk its offset,
+    * token count, text, and an md5 content hash — the key chunk-level
+    * exact dedup ([[dedupExact]]'s grouping) and provenance joins run
+    * on downstream.
+    *
+    * Chunk i covers tokens [i·stride, i·stride + window); chunks exist
+    * for every start < n, so a document yields ceil(n / stride)
+    * chunks and trailing chunks may be short — the convention that
+    * makes chunk count a pure function of length. The stride divisor
+    * is exact on both engines: when n is a multiple of the stride the
+    * IEEE quotient is exactly integral (correct rounding returns a
+    * representable exact quotient), so the ceil never wobbles.
+    *
+    * Shape at 100 TB: a pure per-row Generate projection — zero
+    * exchanges, reads only (doc_id, text), output ~(1 + overlap/
+    * stride)× the corpus in bytes. The words array is materialized
+    * behind the [[withWordsAttr]] Generate barrier because the window
+    * lambda INDEXES into it (the CollapseProject O(tokens²) trap
+    * documented there). Window/stride are small here to exercise the
+    * fixture's ~54-token docs; a production ingest uses e.g. 512/384
+    * with the identical plan.
+    */
+  val ChunkWindow = 32
+  val ChunkStride = 24
+
+  def chunks(spark: SparkSession, dir: String): DataFrame = {
+    val (w, s) = (ChunkWindow, ChunkStride)
+    withWordsAttr(spark, dir)
+      .select(col("doc_id"), size(col("words")).cast("long").as("n"), col("words"))
+      .select(col("doc_id"), col("n"),
+        posexplode(expr(
+          s"""transform(sequence(0, CAST(ceil(n / CAST($s AS DOUBLE)) AS INT) - 1),
+             |          i -> array_join(slice(words, i * $s + 1, $w), ' '))""".stripMargin))
+          .as(Seq("chunk_id", "chunk_text")))
+      .select(col("doc_id"),
+        col("chunk_id").cast("long").as("chunk_id"),
+        (col("chunk_id").cast("long") * s).as("start_token"),
+        least(lit(w.toLong), col("n") - col("chunk_id").cast("long") * s).as("n_tokens"),
+        col("chunk_text"),
+        md5(col("chunk_text")).as("chunk_hash"))
+  }
+
   /** The BM25 scoring engine behind [[bm25]] and
     * [[Retrieval.hybridRrf]]: `queries` is any (query_id, term)
     * relation (assumed tiny — it broadcasts); `excludeSelf` drops the

@@ -245,4 +245,75 @@ object StreamingSketch {
         when(col("n_kept") < k, col("n_kept").cast("double"))
           .otherwise(lit(graft.functions.KmvAgg.estimatorNum(k)) /
             col("kmv_kth").cast("double")).as("kmv_est"))
+
+  // ---- Misra-Gries maintenance -------------------------------------
+  //
+  // The heavy-hitter complement, completing the sketch-store quartet
+  // (CMS: "how often does THIS key occur", HLL: "how many distinct",
+  // KMV: "give me a composable sample", MG: "WHICH keys are heavy").
+  // The merge is counter ADDITION over the union of tracked items —
+  // summing per-batch MG summaries yields a valid MG summary whose
+  // undercount bound is the sum of the batches' n_b/(k+1) bounds
+  // (Agarwal et al., "Mergeable Summaries", PODS'12) — so like CMS
+  // and unlike HLL/KMV this store is NOT replay-idempotent by
+  // algebra: the overwrite-own-batchId discipline is load-bearing,
+  // and the spec proves it the same way (append a duplicate summary
+  // under a fresh id → counts inflate; overwrite the same id → not).
+
+  /** MG counter capacity of the streaming store (the batch q44 dial:
+    * above the per-batch distinct-key count the summaries are exact).
+    */
+  val MgCapacity = 4096
+
+  /** Heavy hitters reported by [[globalHeavyHitters]]. */
+  val MgTopK = 20
+
+  /** One micro-batch reduced to its MG summary (a single row of
+    * ≤ capacity counters).
+    */
+  def mgBatch(batch: DataFrame, capacity: Int = MgCapacity): DataFrame = {
+    graft.plans.GraftExtensions.register(batch.sparkSession)
+    batch.agg(expr(s"misra_gries(user_id, $capacity)").as("hh"))
+  }
+
+  /** Per-batch sink write, idempotent on `batchId` (overwrite-own-
+    * directory — load-bearing for the additive merge, as for CMS).
+    */
+  def writeMgBatch(batch: DataFrame, storePath: String, batchId: Long,
+      capacity: Int = MgCapacity): Unit =
+    mgBatch(batch, capacity)
+      .write.mode("overwrite")
+      .parquet(s"$storePath/ingest_batch=$batchId")
+
+  /** Drain an events directory into the MG store (AvailableNow — the
+    * restartable incremental unit, as [[startCmsIngest]]).
+    */
+  def startMgIngest(spark: SparkSession, srcPath: String,
+      storePath: String, checkpoint: String,
+      capacity: Int = MgCapacity): StreamingQuery =
+    StreamingAssets.eventStream(spark, srcPath).writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeMgBatch(batch, storePath, batchId, capacity)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Accumulated heavy hitters: counter sum per item across every
+    * batch summary (the mergeable-summaries merge as a partial-
+    * aggregated groupBy over `batches × capacity` rows — the event
+    * stream never touched), top [[MgTopK]] by (count desc, item asc)
+    * via TakeOrderedAndProject. Same output shape as the batch
+    * `q44_heavy_hitters`, and in the exact regime (capacity above the
+    * per-batch distinct-key count) identical to it row for row —
+    * spec-asserted.
+    */
+  def globalHeavyHitters(spark: SparkSession, storePath: String,
+      topK: Int = MgTopK): DataFrame =
+    spark.read.parquet(storePath)
+      .select(explode(col("hh")).as("e"))
+      .groupBy(col("e.item").as("user_id"))
+      .agg(sum(col("e.cnt")).as("events"))
+      .orderBy(col("events").desc, col("user_id").asc)
+      .limit(topK)
 }

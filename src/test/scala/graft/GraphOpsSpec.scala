@@ -187,4 +187,25 @@ class GraphOpsSpec extends SparkSpec {
     assert(pr(top) > pr(bottom),
       s"in-weight max node $top should out-rank min node $bottom")
   }
+
+  test("triangles: degree-ordered counts equal a brute-force triple enumeration") {
+    val und = GraphOps.tradeEdges(spark, sfDir)
+      .where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nodes = und.flatMap(e => Set(e._1, e._2))
+    val counts = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      Seq(a, b, c) <- nodes.toSeq.sorted.combinations(3)
+      if und((a, b)) && und((b, c)) && und((a, c))
+    } { counts(a) += 1; counts(b) += 1; counts(c) += 1 }
+    val out = GraphOps.triangles(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet === nodes)
+    nodes.foreach(n => assert(out(n) === counts(n), s"node $n"))
+    // the nation trade graph is dense enough that triangles exist —
+    // the zero-coalesce path is NOT the only path exercised
+    assert(out.values.sum > 0L)
+  }
 }

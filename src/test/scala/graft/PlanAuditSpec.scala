@@ -357,4 +357,29 @@ class PlanAuditSpec extends SparkSpec {
       assert(p.contains("*("), q + ":\n" + p.take(800))
     }
   }
+
+  test("chunking is a pure per-row Generate: zero exchanges, text+id scan only") {
+    val p = plan("txt_chunks")
+    assert(p.split("\n").count(_.contains("Exchange")) === 0, p.take(800))
+    // column pruning: lang/source/n_chars are never read
+    assert(!p.contains("n_chars"), p.take(800))
+  }
+
+  test("hash-sampling pair gets partial WindowGroupLimit cuts before the exchange") {
+    for (q <- Seq("q49_weighted_sample", "q50_sample_quantiles")) {
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.split("\n").exists(l =>
+        l.contains("WindowGroupLimit") && l.contains("Partial")),
+        q + ":\n" + p.take(800))
+    }
+  }
+
+  test("triangles: wedge and closing joins are keyed, never cartesian or text-carrying") {
+    val p = plan("graph_triangles")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // the closing probe is the semi-join form
+    assert(p.contains("LeftSemi"), p.take(800))
+  }
 }

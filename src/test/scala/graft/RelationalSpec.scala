@@ -206,4 +206,77 @@ class RelationalSpec extends SparkSpec {
       assert(rs.map(_.getAs[Double]("cume")).max === 1.0)
     }
   }
+
+  /** Driver-side mirror of the md5-device 60-bit hash (rotLong r = 0):
+    * first 15 hex chars of the digest as a long.
+    */
+  private def h60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(d.take(15), 16)
+  }
+
+  test("q49 weighted sample: exact driver recompute of the replicated-unit keys") {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"), col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val expected = ev.map { case (t, id, v) =>
+      val w = math.min(Relational.WsCap, 1L + math.floor(v / 64.0).toLong)
+      val key = (1L to w).map(r => h60(s"$id:$r")).min
+      (t, id, w, key)
+    }.groupBy(_._1).map { case (t, rows) =>
+      t -> rows.sortBy(r => (r._4, r._2)).take(Relational.WsK)
+        .zipWithIndex.map { case ((_, id, w, key), i) => (i + 1L, id, w, key) }
+    }
+    val out = Relational.q49WeightedSample(spark, sfDir).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .groupBy(_._1).map { case (t, rs) => t -> rs.map(_._2).sortBy(_._1).toSeq }
+    assert(out.keySet === expected.keySet)
+    expected.foreach { case (t, rows) => assert(out(t) === rows.toSeq, s"type $t") }
+    // weights actually spread (the quantizer isn't degenerate on the fixture)
+    assert(expected.values.flatten.map(_._3).toSet.size > 1)
+  }
+
+  test("q50 sample quantiles: exact driver recompute; merge = union + re-take bottom k") {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"), col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val expected = ev.groupBy(_._1).map { case (t, rows) =>
+      val smp = rows.sortBy(r => (h60(r._2.toString), r._2))
+        .take(Relational.SqK).map(_._3).sorted
+      val m = smp.length
+      def q(num: Int, den: Int) = smp((m - 1) * num / den)
+      t -> ((m.toLong, smp.head, q(1, 4), q(1, 2), q(3, 4), smp.last))
+    }
+    val out = Relational.q50SampleQuantiles(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    assert(out === expected)
+    // mergeability: bottom-k of a union == bottom-k of (bottom-k ∪ bottom-k)
+    val (left, right) = ev.partition(_._2 % 2 == 0)
+    def bottomK(rows: Array[(String, Long, Double)]) =
+      rows.sortBy(r => (h60(r._2.toString), r._2)).take(Relational.SqK)
+    val merged = bottomK((bottomK(left) ++ bottomK(right)).toArray)
+    assert(merged.toSeq === bottomK(ev).toSeq)
+  }
+
+  test("evt_transitions: kernel rows normalize; counts match a driver recompute") {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getString(3)))
+    val expected = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val seq0 = rows.sortBy(r => (r._2, r._3)).map(_._4)
+      seq0.zip(seq0.tail)
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val out = Relational.evtTransitions(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out.map { case (k, v) => k -> v._1 } === expected)
+    // each prev row of the kernel sums to probability 1 (one IEEE sum of
+    // exact ratios per row — tolerance only for the final fold)
+    out.groupBy(_._1._1).values.foreach { rs =>
+      assert(math.abs(rs.map(_._2._2).sum - 1.0) < 1e-9)
+    }
+  }
 }

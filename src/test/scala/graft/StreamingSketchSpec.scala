@@ -177,4 +177,48 @@ class StreamingSketchSpec extends SparkSpec {
       assert(nKept === nExact && est.getAs[Double]("kmv_est") === nExact.toDouble)
     else assert(est.getAs[Double]("kmv_est") > 0.0)
   }
+
+  test("MG store: drain answers like the batch query; overwrite discipline load-bearing") {
+    val src = tmp("graft-mg-src")
+    val store = tmp("graft-mg-store") + "/sketch"
+    val ckpt = tmp("graft-mg-ckpt")
+    val all = graft.sources.Tables.events(spark, sfDir)
+      .drop("__ts_nanos", "__ts_raw")
+
+    all.where(col("event_id") % 2 === 0).write.mode("append").parquet(src)
+    val q1 = StreamingSketch.startMgIngest(spark, src, store, ckpt)
+    q1.awaitTermination(120000)
+    all.where(col("event_id") % 2 === 1).write.mode("append").parquet(src)
+    val q2 = StreamingSketch.startMgIngest(spark, src, store, ckpt)
+    q2.awaitTermination(120000)
+
+    // exact regime (capacity ≫ distinct users at this sf): the summed
+    // store must equal the batch q44 — same top-k rows, same counts
+    def hitters(): Seq[(Long, Long)] =
+      StreamingSketch.globalHeavyHitters(spark, store)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val batchTop = graft.operators.Relational
+      .q44HeavyHitters(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val drained = hitters()
+    assert(drained === batchTop)
+
+    // restart with no new files: checkpoint skips everything
+    val n = spark.read.parquet(store).count()
+    val q3 = StreamingSketch.startMgIngest(spark, src, store, ckpt)
+    q3.awaitTermination(120000)
+    assert(spark.read.parquet(store).count() === n && hitters() === drained)
+
+    // at-least-once replay: overwriting batch 0's own directory is a
+    // no-op; the SAME summary appended under a fresh id inflates —
+    // the additive-merge class (CMS), proving overwrite is load-bearing
+    StreamingSketch.writeMgBatch(
+      all.where(col("event_id") % 2 === 0), store, 0L)
+    assert(hitters() === drained)
+    StreamingSketch.writeMgBatch(
+      all.where(col("event_id") % 2 === 0), store, 99L)
+    val doubled = hitters().toMap
+    assert(drained.exists { case (u, c) => doubled.get(u).exists(_ > c) },
+      "a duplicate summary under a fresh id must inflate counts")
+  }
 }

@@ -512,4 +512,25 @@ class TextOpsSpec extends SparkSpec {
     // then docs 1 and 2 (equal score) in doc_id order; doc3 absent.
     assert(out.toSeq.sorted === Seq((1L, 0L), (2L, 1L), (3L, 2L)))
   }
+
+  test("chunks: window/stride offsets, short trailing chunk, empty doc") {
+    // 60 tokens w0..w59 with window 32 / stride 24: starts 0, 24, 48 →
+    // slices [0,32), [24,56), [48,60) — the middle chunk overlaps both.
+    val toks = (0 until 60).map(i => s"w$i")
+    val dir = docsDir(Seq(toks.mkString(" "), ""))
+    val out = TextOps.chunks(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    assert(out.size === 4)
+    assert(out((0L, 0L)) === ((0L, 32L, toks.slice(0, 32).mkString(" "))))
+    assert(out((0L, 1L)) === ((24L, 32L, toks.slice(24, 56).mkString(" "))))
+    assert(out((0L, 2L)) === ((48L, 12L, toks.slice(48, 60).mkString(" "))))
+    // empty text tokenizes to [""] (the wordsCte contract) → one
+    // empty chunk of one token, not zero chunks
+    assert(out((1L, 0L)) === ((0L, 1L, "")))
+    // every overlap window is the previous chunk's suffix = next's prefix
+    val c0 = out((0L, 0L))._3.split(" "); val c1 = out((0L, 1L))._3.split(" ")
+    assert(c0.takeRight(8).sameElements(c1.take(8)))
+  }
 }

@@ -467,4 +467,116 @@ for ((n, nlist) <- Seq((8000, 10), (32000, 10), (32000, 40))) {
   println(f"  N=$n%6d nlist=$nlist%3d: $s%6.2f s")
   graft.operators.TextOps.release(spark)
 }
+
+println("== HLL register file (fixed 2^12 registers; exchange = |tasks| x 32KB, key-cardinality independent like CMS) ==")
+for (card <- Seq(1000L, 1000000L, 100000000L)) {
+  val rows = spark.range(20000000L).select((col("id") % card).as("k"))
+  val s = timed { rows.agg(expr("hll_sketch(k, 12)")).head() }
+  println(f"  distinct-keys=$card%10d (20M rows): $s%6.2f s")
+}
+
+println("== BM25 shape (tf explode -> broadcast semi-join on query terms -> partial-agg; only matching terms shuffle) ==")
+// k-fold docs: the posting explode grows k-fold but the semi-join cuts
+// it to query-term matches before the exchange; expect ~linear scan cost
+for (k <- Seq(1, 8, 16)) {
+  val docs = multi("documents", k)
+    .withColumn("doc_id", monotonically_increasing_id())
+  val qterms = Seq("data", "the", "model").toDF("term")
+  val s = timed {
+    val dl = docs.select(col("doc_id"), size(split(col("text"), " ")).as("dl"))
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .join(broadcast(qterms), Seq("term"), "left_semi")
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .join(dl, Seq("doc_id"))
+      .agg(count(lit(1)), sum(col("tf") * col("dl"))).head()
+  }
+  println(f"  k=$k%2d (${500 * k}%5d docs base x sf-mult): $s%6.2f s")
+}
+
+println("== bottom-k-by-hash sampling shape (q50: rank<=k window -> partial WindowGroupLimit cuts each map task to k rows/group) ==")
+for (k <- Seq(1, 8, 32)) {
+  val ev = graft.sources.Tables.eventsFrom(multi("events", k))
+  val w = org.apache.spark.sql.expressions.Window
+    .partitionBy(col("event_type")).orderBy(col("h").asc, col("event_id").asc)
+  val s = timed {
+    ev.select(col("event_type"), col("event_id"), col("value"),
+      expr("CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= 256)
+      .groupBy(col("event_type")).agg(count(lit(1)), sum(col("value"))).collect()
+  }
+  println(f"  k=$k%2d (${150 * k}%5dk rows): $s%6.2f s")
+}
+
+println("== weighted-sample shape (q49: <=8x unit explode -> per-item partial min -> WindowGroupLimit top-k) ==")
+for (k <- Seq(1, 8, 16)) {
+  val ev = graft.sources.Tables.eventsFrom(multi("events", k))
+  val w = org.apache.spark.sql.expressions.Window
+    .partitionBy(col("event_type")).orderBy(col("mk").asc, col("event_id").asc)
+  val s = timed {
+    ev.select(col("event_type"), col("event_id"),
+      least(lit(8L), lit(1L) + floor(col("value") / 64.0d).cast("long")).as("weight"))
+      .select(col("event_type"), col("event_id"), explode(expr("sequence(1L, weight)")).as("r"))
+      .select(col("event_type"), col("event_id"),
+        expr("CAST(conv(substring(md5(concat_ws(':', event_id, r)), 1, 15), 16, 10) AS BIGINT)").as("uk"))
+      .groupBy(col("event_type"), col("event_id")).agg(min(col("uk")).as("mk"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= 10)
+      .agg(count(lit(1))).head()
+  }
+  println(f"  k=$k%2d (${150 * k}%5dk rows): $s%6.2f s")
+}
+
+println("== transitions shape (user-keyed lag window -> |types|^2 partial agg; sessions small so per-user sort is bounded) ==")
+for (k <- Seq(1, 8, 16)) {
+  val ev = graft.sources.Tables.eventsFrom(multi("events", k))
+  val w = org.apache.spark.sql.expressions.Window
+    .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+  val s = timed {
+    ev.select(col("user_id"), col("event_type"),
+      lag(col("event_type"), 1).over(w).as("prev_type"))
+      .where(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type")).agg(count(lit(1)))
+      .collect()
+  }
+  println(f"  k=$k%2d (${150 * k}%5dk rows): $s%6.2f s")
+}
+
+println("== chunking shape (pure per-row Generate; zero exchanges — cost IS the scan) ==")
+for (k <- Seq(1, 8, 32)) {
+  val docs = multi("documents", k)
+  val s = timed {
+    docs.select(col("doc_id"), explode(array(split(col("text"), " "))).as("words"))
+      .select(col("doc_id"), size(col("words")).cast("long").as("n"), col("words"))
+      .select(col("doc_id"), col("n"), posexplode(expr(
+        "transform(sequence(0, CAST(ceil(n / 24.0D) AS INT) - 1), i -> array_join(slice(words, i * 24 + 1, 32), ' '))"))
+        .as(Seq("chunk_id", "chunk_text")))
+      .select(md5(col("chunk_text")).as("h"))
+      .agg(count(lit(1))).head()
+  }
+  println(f"  k=$k%2d (${500 * k}%6d docs base x sf-mult): $s%6.2f s")
+}
+
+println("== triangle shape (degree-ordered orientation over a FIXED 25-node graph; edge-derivation scan x k dominates, like pagerank) ==")
+for (k <- Seq(1, 8, 16)) {
+  val li = multi("lineitem", k)
+  val s = timed {
+    val e = li.select(col("l_orderkey"), col("l_suppkey"))
+      .join(broadcast(multi("orders", 1).select(col("o_orderkey"), col("o_custkey"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(multi("customer", 1).select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(multi("supplier", 1).select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .where(col("c_nationkey") =!= col("s_nationkey"))
+      .select(least(col("c_nationkey"), col("s_nationkey")).cast("long").as("a"),
+        greatest(col("c_nationkey"), col("s_nationkey")).cast("long").as("b"))
+      .distinct()
+    val und = e
+    val wedges = und.select(col("a").as("u"), col("b").as("v"))
+      .join(und.select(col("a").as("u"), col("b").as("w")), Seq("u"))
+      .where(col("v") < col("w"))
+    wedges.join(und.select(col("a").as("v"), col("b").as("w")), Seq("v", "w"), "left_semi")
+      .agg(count(lit(1))).head()
+  }
+  println(f"  k=$k%2d (${600 * k}%6dk lineitems): $s%6.2f s")
+}
 sys.exit(0)
