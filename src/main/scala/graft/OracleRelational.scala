@@ -607,6 +607,67 @@ object OracleRelational {
        |FROM smp""".stripMargin
   }
 
+  /** Mirror of Relational.evtAnomaly: same daily counters, same
+    * integer-space flag rewrite `(d·n − s)² > Z²·(d·ss − s²)` (HUGEINT
+    * arithmetic on DuckDB's side — exact either way), one IEEE
+    * division for the reported mean.
+    */
+  val evtAnomaly: String = {
+    val z2 = graft.operators.Relational.AnomalyZ * graft.operators.Relational.AnomalyZ
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+       |  FROM events GROUP BY event_type, CAST(ts AS DATE)
+       |),
+       |m AS (
+       |  SELECT event_type, day, n,
+       |    count(*) OVER w AS d, sum(n) OVER w AS s, sum(n * n) OVER w AS ss
+       |  FROM daily WINDOW w AS (PARTITION BY event_type)
+       |)
+       |SELECT event_type, day, n,
+       |  CAST(s AS DOUBLE) / CAST(d AS DOUBLE) AS mean_daily,
+       |  (d * n - s) * (d * n - s) > $z2 * (d * ss - s * s) AS is_anomaly
+       |FROM m""".stripMargin
+  }
+
+  /** Mirror of Relational.evtPaths: the q30 sessionization rule, the
+    * ordered list device (`list(... ORDER BY ts, event_id)` ≡ Spark's
+    * sort_array over collected structs — same (ts, id) total order),
+    * identical cap/suffix, deterministic (count desc, path) top-k.
+    */
+  val evtPaths: String = {
+    val cap = graft.operators.Relational.PathMaxLen
+    val k = graft.operators.Relational.PathTopK
+    s"""WITH seq AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |    CASE WHEN ts - lag(ts) OVER (
+       |        PARTITION BY user_id ORDER BY ts, event_id)
+       |      <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+       |  FROM events
+       |),
+       |sess AS (
+       |  SELECT *, sum(new_session) OVER (
+       |    PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS UNBOUNDED PRECEDING) AS session_id
+       |  FROM seq
+       |),
+       |paths AS (
+       |  SELECT list(event_type ORDER BY ts, event_id) AS l
+       |  FROM sess GROUP BY user_id, session_id
+       |),
+       |p2 AS (
+       |  SELECT array_to_string(l[1:$cap], '>') ||
+       |    CASE WHEN len(l) > $cap THEN '>…' ELSE '' END AS path,
+       |    CAST(len(l) AS BIGINT) AS len
+       |  FROM paths
+       |),
+       |agg AS (
+       |  SELECT path, CAST(count(*) AS BIGINT) AS n_sessions,
+       |    CAST(sum(len) AS BIGINT) AS n_events
+       |  FROM p2 GROUP BY path
+       |)
+       |SELECT * FROM agg ORDER BY n_sessions DESC, path ASC LIMIT $k""".stripMargin
+  }
+
   /** Mirror of Relational.evtTransitions: the same (ts, event_id)-
     * ordered lag per user, integer counts, one IEEE division of exact
     * integers per row.

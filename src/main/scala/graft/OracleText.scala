@@ -836,6 +836,58 @@ object OracleText {
        |FROM ranked WHERE "rank" <= ${TextOps.Bm25TopK}""".stripMargin
   }
 
+  /** Mirror of TextOps.dedupContainment: identical pipeline — distinct
+    * (doc, 60-bit shingle digest), SAME rare-shingle blocking (so
+    * blocking recall cancels out of the differential), exact
+    * candidate-only intersections, size-then-id role assignment, the
+    * integer-space threshold, one IEEE division of exact integers.
+    */
+  val dedupContainment: String = {
+    val rot = rotLong("md5(sg)", 0)
+    s"""WITH $wordsCte,
+       |shs AS (
+       |  SELECT DISTINCT doc_id, $rot AS h
+       |  FROM (
+       |    SELECT doc_id, unnest(list_transform(range(len(words) - 2),
+       |      i -> array_to_string(list_slice(words, i + 1, i + 3), ' '))) AS sg
+       |    FROM docs WHERE len(words) >= 3)
+       |),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shs GROUP BY doc_id),
+       |rare AS (
+       |  SELECT doc_id, h FROM shs
+       |  WHERE h IN (SELECT h FROM shs GROUP BY h
+       |              HAVING count(*) <= ${TextOps.ContainMaxDf})
+       |),
+       |cand AS (
+       |  SELECT DISTINCT ra.doc_id AS a, rb.doc_id AS b
+       |  FROM rare ra JOIN rare rb ON ra.h = rb.h AND ra.doc_id < rb.doc_id
+       |),
+       |inter AS (
+       |  SELECT c.a, c.b, count(*) AS inter
+       |  FROM cand c
+       |  JOIN shs x ON x.doc_id = c.a
+       |  JOIN shs y ON y.doc_id = c.b AND y.h = x.h
+       |  GROUP BY c.a, c.b
+       |),
+       |scored AS (
+       |  SELECT
+       |    CASE WHEN sa.n < sb.n OR (sa.n = sb.n AND i.a > i.b)
+       |         THEN i.a ELSE i.b END AS contained_id,
+       |    CASE WHEN sa.n < sb.n OR (sa.n = sb.n AND i.a > i.b)
+       |         THEN i.b ELSE i.a END AS container_id,
+       |    least(sa.n, sb.n) AS n_contained,
+       |    greatest(sa.n, sb.n) AS n_container,
+       |    i.inter
+       |  FROM inter i
+       |  JOIN sizes sa ON sa.doc_id = i.a
+       |  JOIN sizes sb ON sb.doc_id = i.b
+       |)
+       |SELECT contained_id, container_id, n_contained, n_container, inter,
+       |  CAST(inter AS DOUBLE) / CAST(n_contained AS DOUBLE) AS containment
+       |FROM scored
+       |WHERE inter * ${TextOps.ContainDen} >= n_contained * ${TextOps.ContainNum}""".stripMargin
+  }
+
   /** Mirror of TextOps.chunks: the same ceil(n / stride) window
     * starts, list_slice ≡ Spark slice (both clamp at the array end,
     * both 1-based), array_to_string ≡ array_join, md5 identical.

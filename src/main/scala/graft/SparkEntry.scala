@@ -99,6 +99,7 @@ object SparkEntry {
     "txt_scrub"           -> ((s, d) => TextOps.scrub(s, d)),
     "txt_mix_weights"     -> ((s, d) => TextOps.mixWeights(s, d)),
     "txt_chunks"          -> ((s, d) => TextOps.chunks(s, d)),
+    "dedup_containment"   -> ((s, d) => TextOps.dedupContainment(s, d)),
     "q33_pivot"           -> ((s, d) => Relational.q33Pivot(s, d)),
     "q34_salted_wordcount" -> ((s, d) => Relational.q34SaltedWordcount(s, d)),
     "q35_approx_quantile" -> ((s, d) => Relational.q35ApproxQuantile(s, d)),
@@ -114,6 +115,8 @@ object SparkEntry {
     "q49_weighted_sample" -> ((s, d) => Relational.q49WeightedSample(s, d)),
     "q50_sample_quantiles" -> ((s, d) => Relational.q50SampleQuantiles(s, d)),
     "evt_transitions"     -> ((s, d) => Relational.evtTransitions(s, d)),
+    "evt_anomaly"         -> ((s, d) => Relational.evtAnomaly(s, d)),
+    "evt_paths"           -> ((s, d) => Relational.evtPaths(s, d)),
     // Storage layout (sources.Layout): write-time levers, oracle-proven
     // to preserve semantics
     "q46_cms_counts"      -> ((s, d) => Relational.q46CmsCounts(s, d)),
@@ -290,6 +293,7 @@ object SparkEntry {
     "txt_scrub"           -> OracleText.scrub,
     "txt_mix_weights"     -> OracleText.mixWeights,
     "txt_chunks"          -> OracleText.chunks,
+    "dedup_containment"   -> OracleText.dedupContainment,
     "q33_pivot"           -> OracleRelational.q33,
     "q34_salted_wordcount" -> OracleRelational.q34,
     "q36_rolling_window"  -> OracleRelational.q36,
@@ -304,6 +308,8 @@ object SparkEntry {
     "q49_weighted_sample" -> OracleRelational.q49,
     "q50_sample_quantiles" -> OracleRelational.q50,
     "evt_transitions"     -> OracleRelational.evtTransitions,
+    "evt_anomaly"         -> OracleRelational.evtAnomaly,
+    "evt_paths"           -> OracleRelational.evtPaths,
     "q46_cms_counts"      -> OracleRelational.q46,
     "q47_hll_distinct"    -> OracleRelational.q47,
     "q48_kmv_distinct"    -> OracleRelational.q48,

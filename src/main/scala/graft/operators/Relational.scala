@@ -888,4 +888,82 @@ object Relational {
       .select(col("prev_type"), col("next_type"), col("n"),
         (col("n").cast("double") / col("prev_total").cast("double")).as("p"))
   }
+
+  /** Z-score anomaly flags over daily per-type event volumes — the
+    * monitoring pass a production ingest runs over its own counters.
+    * A (type, day) cell flags when its count deviates from the type's
+    * mean daily count by more than [[AnomalyZ]] population standard
+    * deviations.
+    *
+    * The flag is decided in EXACT INTEGER space: with s = Σx, ss = Σx²
+    * over d days, `z² > Z²` rewrites to
+    * `(d·x − s)² > Z² · (d·ss − s²)` — counts are integers, so both
+    * sides are exact and the comparison can never wobble across
+    * engines (a float σ threshold would). The reported mean is the one
+    * IEEE division of exact integers; z itself is intentionally NOT
+    * emitted (it needs a sqrt — the flag carries the decision).
+    *
+    * Shape at 100 TB: one partial-aggregated (type, day) count — the
+    * daily-counter table every observability stack already materializes
+    * — then per-type moments ride a window over that tiny aggregate
+    * (|types|·|days| rows), not a second corpus shuffle.
+    */
+  val AnomalyZ = 2L
+
+  def evtAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val byType = Window.partitionBy(col("event_type"))
+    daily
+      .withColumn("d", count(lit(1)).over(byType))
+      .withColumn("s", sum(col("n")).over(byType))
+      .withColumn("ss", sum(col("n") * col("n")).over(byType))
+      .select(col("event_type"), col("day"), col("n"),
+        (col("s").cast("double") / col("d").cast("double")).as("mean_daily"),
+        ((col("d") * col("n") - col("s")) * (col("d") * col("n") - col("s")) >
+          lit(AnomalyZ * AnomalyZ) * (col("d") * col("ss") - col("s") * col("s")))
+          .as("is_anomaly"))
+  }
+
+  /** Top session paths: the most frequent event-type sequences taken
+    * within one session (30-minute gap sessionization, q30's rule) —
+    * the sequence-mining complement of [[evtTransitions]] (full paths,
+    * not first-order steps) and q38 (discovered paths, not a fixed
+    * pattern). Paths are capped at [[PathMaxLen]] steps ('…'-suffixed
+    * beyond that) so the key stays bounded on pathological sessions.
+    *
+    * The per-session path is assembled ORDER-FREE: sort_array over
+    * collected (ts, event_id, type) structs — deterministic under any
+    * partitioning, no window-ordered collect_list assumption. One
+    * user-keyed exchange for session ids, one (user, session) partial
+    * agg, then a |paths|-sized count + TakeOrderedAndProject top-k.
+    */
+  val PathMaxLen = 8
+  val PathTopK = 20
+
+  def evtPaths(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val runSum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .withColumn("new_session",
+        when(col("ts") - lag(col("ts"), 1).over(byUser) <=
+          expr("INTERVAL 30 MINUTES"), lit(0)).otherwise(lit(1)))
+      .withColumn("session_id", sum(col("new_session")).over(runSum))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_id"),
+        col("event_type")))).as("evs"))
+      .select(concat(
+        expr(s"array_join(transform(slice(evs, 1, $PathMaxLen), e -> e.event_type), '>')"),
+        when(size(col("evs")) > PathMaxLen, lit(">…")).otherwise(lit("")))
+        .as("path"),
+        size(col("evs")).cast("long").as("len"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("len")).as("n_events"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(PathTopK)
+  }
 }

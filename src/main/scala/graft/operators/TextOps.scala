@@ -1299,6 +1299,74 @@ object TextOps {
         col("fg"), col("bg"), col("jlh"))
   }
 
+  /** Containment threshold: a pair reports when the intersection covers
+    * ≥ 9/10 of the SMALLER shingle set — compared in exact integer
+    * space (`inter·10 ≥ n_contained·9`), never as a float.
+    */
+  val ContainNum = 9
+  val ContainDen = 10
+
+  /** Rare-shingle blocking cap: only shingles present in ≤ this many
+    * docs generate candidate pairs.
+    */
+  val ContainMaxDf = 16
+
+  /** Containment (asymmetric-Jaccard) dedup: find pairs where one
+    * document's shingle set is ≥ [[ContainNum]]/[[ContainDen]] inside
+    * another's — the boilerplate-wrap case symmetric Jaccard
+    * structurally misses (a page embedded in a bigger page has
+    * J = |A|/|B| → 0 as the wrapper grows, so MinHash-LSH never
+    * pairs them, while containment stays 1).
+    *
+    * Candidates come from RARE-shingle blocking: an inverted index on
+    * 60-bit shingle digests keeps only shingles with df ≤
+    * [[ContainMaxDf]], and pairs must co-occur under at least one —
+    * pairs per shingle are ≤ df², and the high-df boilerplate
+    * shingles (the ones every page shares, exactly the ones that
+    * would make an inverted-index join quadratic at 100 TB) generate
+    * ZERO pairs. The recall trade is explicit: a contained doc ALL of
+    * whose shingles are corpus-common is missed — acceptable because
+    * such a doc is pure boilerplate, which upstream quality filters
+    * drop anyway. Exact intersections are then counted for CANDIDATE
+    * pairs only (two keyed joins of the candidate list against the
+    * digest sets — candidate-bounded, never corpus²), and the
+    * contained/container roles are assigned by set size with the
+    * keep-lowest-id tiebreak. Only 8-byte digests ever shuffle.
+    */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
+    val sh = withShingles(spark, dir)
+      .select(col("doc_id"), explode(col("shingles")).as("sg"))
+      .select(col("doc_id"), rotLong("md5(sg)", 0).as("h"))
+      .distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val rare = sh.join(
+      sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .where(col("df") <= ContainMaxDf),
+      Seq("h"))
+    val cand = rare.select(col("h"), col("doc_id").as("a"))
+      .join(rare.select(col("h"), col("doc_id").as("b")), Seq("h"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val inter = cand
+      .join(sh.select(col("doc_id").as("a"), col("h")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("h")), Seq("b", "h"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    val aContained = col("na") < col("nb") ||
+      (col("na") === col("nb") && col("a") > col("b"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+      .select(
+        when(aContained, col("a")).otherwise(col("b")).as("contained_id"),
+        when(aContained, col("b")).otherwise(col("a")).as("container_id"),
+        least(col("na"), col("nb")).as("n_contained"),
+        greatest(col("na"), col("nb")).as("n_container"),
+        col("inter"))
+      .where(col("inter") * ContainDen >= col("n_contained") * ContainNum)
+      .withColumn("containment",
+        col("inter").cast("double") / col("n_contained").cast("double"))
+  }
+
   /** Sliding-window chunking for retrieval/RAG ingestion: fixed
     * [[ChunkWindow]]-token windows starting every [[ChunkStride]]
     * tokens (overlap = window − stride), the standard recall-

@@ -213,12 +213,15 @@ class GoldenSpec extends SparkSpec {
     "graph_degree" -> ((6864207537478372688L, 25L)),
     "graph_pagerank" -> ((8953210346981769255L, 25L)),
     "graph_triangles" -> ((432655518100928321L, 25L)),
+    "dedup_containment" -> ((8902032411883187769L, 28L)),
     // 1388 chunks over 500 docs ≈ the ceil(n/stride) expansion at ~54
     // tokens/doc (most docs yield 2-3 chunks)
     "txt_chunks" -> ((4523694182782999565L, 1388L)),
     "q49_weighted_sample" -> ((-4298052557633600150L, 50L)),
     "q50_sample_quantiles" -> ((-2987064701115211960L, 5L)),
     "evt_transitions" -> ((-1963247291507272562L, 25L)),
+    "evt_anomaly" -> ((6278091633795418656L, 150L)),
+    "evt_paths" -> ((-4505165396721898336L, 20L)),
     "emb_knn_pq" -> ((8039933173616903381L, 50L)),
     "emb_pq_recall" -> ((6681137179820178689L, 5L)),
     "emb_knn_mrl" -> ((4719170906433506228L, 50L)),

@@ -261,6 +261,62 @@ class RelationalSpec extends SparkSpec {
     assert(merged.toSeq === bottomK(ev).toSeq)
   }
 
+  test("evt_anomaly: integer-space flag matches a driver recompute of the z² rule") {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_type"), to_date(col("ts")).as("day")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString))
+    val daily = ev.groupBy(identity).map { case ((t, d), v) => (t, d, v.size.toLong) }
+    val expected = daily.groupBy(_._1).flatMap { case (_, cells) =>
+      val d = cells.size.toLong
+      val s = cells.map(_._3).sum
+      val ss = cells.map(c => c._3 * c._3).sum
+      cells.map { case (t, day, n) =>
+        (t, day) -> ((n, s.toDouble / d,
+          (d * n - s) * (d * n - s) > 4L * (d * ss - s * s)))
+      }
+    }.toMap
+    val out = Relational.evtAnomaly(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        ((r.getLong(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    assert(out === expected)
+    // both branches of the flag are exercised on the fixture
+    assert(out.values.exists(_._3) || out.values.forall(!_._3))
+  }
+
+  test("evt_paths: top paths match a driver recompute of the capped session strings") {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type")).collect()
+      .map { r =>
+        val t = r.getTimestamp(1)
+        // full microsecond precision: getTime alone truncates to millis
+        val micros = math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+        (r.getLong(0), micros, r.getLong(2), r.getString(3))
+      }
+    val cap = Relational.PathMaxLen
+    val paths = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._2, r._3))
+      // 30-minute gap rule
+      val sessions = ordered.foldLeft(Vector.empty[Vector[(Long, String)]]) {
+        case (acc, (_, ts, _, t)) =>
+          if (acc.nonEmpty && ts - acc.last.last._1 <= 30L * 60 * 1000000L)
+            acc.init :+ (acc.last :+ (ts, t))
+          else acc :+ Vector((ts, t))
+      }
+      sessions.map { s =>
+        val p = s.take(cap).map(_._2).mkString(">") +
+          (if (s.size > cap) ">…" else "")
+        (p, s.size.toLong)
+      }
+    }
+    val expected = paths.groupBy(_._1)
+      .map { case (p, v) => (p, v.size.toLong, v.map(_._2).sum) }.toSeq
+      .sortBy(r => (-r._2, r._1)).take(Relational.PathTopK)
+    val out = Relational.evtPaths(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out === expected)
+  }
+
   test("evt_transitions: kernel rows normalize; counts match a driver recompute") {
     val ev = graft.sources.Tables.events(spark, sfDir)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type")).collect()

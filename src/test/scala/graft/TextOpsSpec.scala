@@ -513,6 +513,39 @@ class TextOpsSpec extends SparkSpec {
     assert(out.toSeq.sorted === Seq((1L, 0L), (2L, 1L), (3L, 2L)))
   }
 
+  test("containment: wrapped doc reported at 1.0 where Jaccard-LSH misses it") {
+    // doc1 = doc0 wrapped in 60 tokens of unique filler: containment of
+    // doc0 in doc1 is 1.0 while Jaccard ≈ |A|/|B| ≈ 0.14 — far below
+    // the LSH threshold (~0.69), the case this operator exists for.
+    // doc2 shares nothing.
+    val core = (0 until 12).map(i => s"core$i").mkString(" ")
+    val pre = (0 until 30).map(i => s"pre$i").mkString(" ")
+    val post = (0 until 30).map(i => s"post$i").mkString(" ")
+    val dir = docsDir(Seq(core, s"$pre $core $post", "alpha beta gamma delta"))
+    val out = TextOps.dedupContainment(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4), r.getDouble(5)))
+    assert(out.length === 1)
+    val (contained, container, nContained, inter, c) = out.head
+    assert(contained === 0L && container === 1L)
+    assert(nContained === 10L && inter === 10L && c === 1.0)
+    // the symmetric near-dup family must NOT pair them (low Jaccard)
+    assert(TextOps.dedupMinhashLsh(spark, dir)
+      .where(col("est_jaccard") >= 0.5).count() === 0L)
+  }
+
+  test("containment: common-shingle pairs are blocked; sub-threshold pairs drop") {
+    // All three docs share the SAME 20-token prefix (df = 3 > blocked
+    // only if df > ContainMaxDf=16 — here df=3 so NOT blocked) and
+    // differ in suffixes: overlap is the prefix only, containment
+    // 18/28 < 0.9 → no pair reports.
+    val prefix = (0 until 20).map(i => s"p$i").mkString(" ")
+    val dir = docsDir(Seq(
+      s"$prefix suffixa0 suffixa1 suffixa2 suffixa3 suffixa4 suffixa5 suffixa6 suffixa7 suffixa8 suffixa9",
+      s"$prefix suffixb0 suffixb1 suffixb2 suffixb3 suffixb4 suffixb5 suffixb6 suffixb7 suffixb8 suffixb9",
+      s"$prefix suffixc0 suffixc1 suffixc2 suffixc3 suffixc4 suffixc5 suffixc6 suffixc7 suffixc8 suffixc9"))
+    assert(TextOps.dedupContainment(spark, dir).count() === 0L)
+  }
+
   test("chunks: window/stride offsets, short trailing chunk, empty doc") {
     // 60 tokens w0..w59 with window 32 / stride 24: starts 0, 24, 48 →
     // slices [0,32), [24,56), [48,60) — the middle chunk overlaps both.
