@@ -844,6 +844,7 @@ object OracleText {
     */
   val dedupContainment: String = {
     val rot = rotLong("md5(sg)", 0)
+    val bw = TextOps.ContainBlockWidth
     s"""WITH $wordsCte,
        |shs AS (
        |  SELECT DISTINCT doc_id, $rot AS h
@@ -853,9 +854,16 @@ object OracleText {
        |    FROM docs WHERE len(words) >= 3)
        |),
        |sizes AS (SELECT doc_id, count(*) AS n FROM shs GROUP BY doc_id),
+       |blocks AS (
+       |  SELECT DISTINCT doc_id, $rot AS h
+       |  FROM (
+       |    SELECT doc_id, unnest(list_transform(range(len(words) - ${bw - 1}),
+       |      i -> array_to_string(list_slice(words, i + 1, i + $bw), ' '))) AS sg
+       |    FROM docs WHERE len(words) >= $bw)
+       |),
        |rare AS (
-       |  SELECT doc_id, h FROM shs
-       |  WHERE h IN (SELECT h FROM shs GROUP BY h
+       |  SELECT doc_id, h FROM blocks
+       |  WHERE h IN (SELECT h FROM blocks GROUP BY h
        |              HAVING count(*) <= ${TextOps.ContainMaxDf})
        |),
        |cand AS (

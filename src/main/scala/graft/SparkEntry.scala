@@ -209,7 +209,9 @@ object SparkEntry {
     // surfaced by WarmupSpec on its very first run: the memoized exact
     // KNN baseline (r6's knnExact memo) and the SQ8 stats/codes pair
     // had no warmup either — the third family the hand list missed
-    "emb_knn_exact", "emb_knn_sq8")
+    "emb_knn_exact", "emb_knn_sq8",
+    // r8: the containment digest-set memo
+    "dedup_containment")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.

