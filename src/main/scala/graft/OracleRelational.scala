@@ -668,6 +668,44 @@ object OracleRelational {
        |SELECT * FROM agg ORDER BY n_sessions DESC, path ASC LIMIT $k""".stripMargin
   }
 
+  /** Mirror of Relational.evtDateHistogram: dense calendar frame via
+    * generate_series over the same min/max span, zero-filled left
+    * join, DECIMAL-summed day totals.
+    */
+  val evtDateHistogram: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+      |  FROM events GROUP BY event_type, CAST(ts AS DATE)
+      |),
+      |span AS (
+      |  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+      |  FROM events
+      |),
+      |days AS (
+      |  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM span
+      |),
+      |types AS (SELECT DISTINCT event_type FROM events)
+      |SELECT t.event_type, dy.day,
+      |  COALESCE(d.n, 0) AS n, COALESCE(d.value_sum, 0.0) AS value_sum
+      |FROM days dy CROSS JOIN types t
+      |LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = dy.day""".stripMargin
+
+  /** Mirror of Relational.q51PercentileRanks: conditional integer
+    * counts, one IEEE division each.
+    */
+  val q51: String = {
+    val cols = graft.operators.Relational.PrThresholds.map { t =>
+      s"""CAST(count(*) FILTER (o_totalprice <= $t) AS DOUBLE) /
+         |    CAST(count(*) AS DOUBLE) AS pr_${t / 1000}k""".stripMargin
+    }.mkString(",\n  ")
+    s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       |  $cols
+       |FROM orders GROUP BY o_orderpriority""".stripMargin
+  }
+
   /** Mirror of Relational.evtTransitions: the same (ts, event_id)-
     * ordered lag per user, integer counts, one IEEE division of exact
     * integers per row.

@@ -46,6 +46,29 @@ object OracleVectors {
        |)
        |SELECT query_id, neighbor_id, "rank", sim FROM ranked WHERE "rank" <= $k""".stripMargin
 
+  /** Mirror of VectorOps.knnFiltered: knnExact with the label
+    * predicate joined into the scoring relation (pre-filter — the
+    * rank runs over filtered pairs only).
+    */
+  val knnFiltered: String =
+    s"""WITH $baseCte,
+       |qf AS (
+       |  SELECT vec_id AS query_id, label AS qlabel, embedding AS qv, nrm AS qnrm
+       |  FROM base WHERE vec_id % $qm = 0
+       |),
+       |sims AS (
+       |  SELECT q.query_id, b.vec_id AS neighbor_id,
+       |    ${dot("b.embedding", "q.qv")} / (sqrt(b.nrm) * sqrt(q.qnrm)) AS sim
+       |  FROM base b, qf q
+       |  WHERE b.vec_id <> q.query_id AND b.label = q.qlabel
+       |),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS "rank"
+       |  FROM sims
+       |)
+       |SELECT query_id, neighbor_id, "rank", sim FROM ranked WHERE "rank" <= $k""".stripMargin
+
   private def codeCte(numPlanes: Int): String =
     s"""coded AS (
        |  SELECT vec_id, embedding, nrm,

@@ -117,6 +117,9 @@ object SparkEntry {
     "evt_transitions"     -> ((s, d) => Relational.evtTransitions(s, d)),
     "evt_anomaly"         -> ((s, d) => Relational.evtAnomaly(s, d)),
     "evt_paths"           -> ((s, d) => Relational.evtPaths(s, d)),
+    "evt_date_histogram"  -> ((s, d) => Relational.evtDateHistogram(s, d)),
+    "q51_percentile_ranks" -> ((s, d) => Relational.q51PercentileRanks(s, d)),
+    "emb_knn_filtered"    -> ((s, d) => VectorOps.knnFiltered(s, d)),
     // Storage layout (sources.Layout): write-time levers, oracle-proven
     // to preserve semantics
     "q46_cms_counts"      -> ((s, d) => Relational.q46CmsCounts(s, d)),
@@ -312,6 +315,9 @@ object SparkEntry {
     "evt_transitions"     -> OracleRelational.evtTransitions,
     "evt_anomaly"         -> OracleRelational.evtAnomaly,
     "evt_paths"           -> OracleRelational.evtPaths,
+    "evt_date_histogram"  -> OracleRelational.evtDateHistogram,
+    "q51_percentile_ranks" -> OracleRelational.q51,
+    "emb_knn_filtered"    -> OracleVectors.knnFiltered,
     "q46_cms_counts"      -> OracleRelational.q46,
     "q47_hll_distinct"    -> OracleRelational.q47,
     "q48_kmv_distinct"    -> OracleRelational.q48,

@@ -926,6 +926,54 @@ object Relational {
           .as("is_anomaly"))
   }
 
+  /** Gap-filled calendar histogram — the ES `date_histogram`
+    * aggregation with `min_doc_count: 0` and corpus-span
+    * `extended_bounds`: every (event_type, day) cell of the full
+    * date range exists, zero-filled, so downstream time-series
+    * consumers (charting, anomaly scans, seasonal decomposition)
+    * never special-case missing buckets. Day totals of `value` go
+    * through the DECIMAL money rule (order-free, bit-equal).
+    *
+    * Shape at 100 TB: one partial-aggregated (type, day) shuffle —
+    * identical to [[evtAnomaly]]'s counter pass — then the dense
+    * calendar frame is a |days|×|types| broadcast cross join (both
+    * sides derived one-row/tiny aggregates) left-joined onto the
+    * counters; the corpus is scanned once.
+    */
+  def evtDateHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val daily = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+    val days = ev.agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val types = ev.select(col("event_type")).distinct()
+    days.crossJoin(broadcast(types))
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("value_sum"), lit(0.0d)).as("value_sum"))
+  }
+
+  /** Percentile ranks — the ES `percentile_ranks` aggregation: per
+    * order priority, the fraction of orders at or under each fixed
+    * threshold. The inverse question of q32's percentiles ("what
+    * fraction sits at this value" vs "what value sits at this
+    * fraction"); each rank is one IEEE division of exact integer
+    * counts, and the whole answer rides the q1-shaped single
+    * partial-aggregated shuffle (conditional counts fold map-side).
+    */
+  val PrThresholds: Seq[Long] = Seq(50000L, 150000L, 300000L)
+
+  def q51PercentileRanks(spark: SparkSession, dir: String): DataFrame = {
+    val rankCols = PrThresholds.map { t =>
+      (sum(when(col("o_totalprice") <= t, 1L).otherwise(0L)).cast("double") /
+        count(lit(1)).cast("double")).as(s"pr_${t / 1000}k")
+    }
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), rankCols: _*)
+  }
+
   /** Top session paths: the most frequent event-type sequences taken
     * within one session (30-minute gap sessionization, q30's rule) —
     * the sequence-mining complement of [[evtTransitions]] (full paths,

@@ -224,6 +224,34 @@ object VectorOps {
           .select(col("query_id"), col("vec_id").as("neighbor_id"), cosine))
     }
 
+  /** Metadata-filtered exact KNN — the ES filtered-kNN shape: the
+    * predicate participates in the SEARCH, it doesn't post-trim. Each
+    * query retrieves its top-k among corpus vectors passing the filter
+    * (here: same `label` as the query — the tenant/category/language
+    * gate of a real deployment), so the result always carries k true
+    * filtered neighbors; filtering an UNFILTERED top-k afterwards
+    * returns however few survived — the recall cliff filtered kNN
+    * exists to avoid (at 10 balanced labels, post-filtering k=10
+    * keeps ~1 hit per query).
+    *
+    * The predicate sits BEFORE the scoring projection, so pruned
+    * pairs cost an integer comparison, never the 64-dim dot product —
+    * at 100 TB the same predicate composes with an IVF/LSH candidate
+    * stream (filter the bucket join) or, better, with label-
+    * partitioned storage where the filter becomes partition pruning
+    * and the scan itself shrinks ([[graft.sources.Layout]]'s lever).
+    */
+  def knnFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val base = withNorm(spark, dir)
+    val q = base.where(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("embedding").as("qv"), col("nrm").as("qnrm"))
+    topK(
+      base.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("query_id") && col("label") === col("qlabel"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), cosine))
+  }
+
   /** Query-side multi-probe expansion: the band key itself plus every
     * Hamming-1 variant when `probeBits = 1` — the standard recall
     * lever at FIXED band entropy (wider bands keep collision rates

@@ -222,6 +222,9 @@ class GoldenSpec extends SparkSpec {
     "evt_transitions" -> ((-1963247291507272562L, 25L)),
     "evt_anomaly" -> ((6278091633795418656L, 150L)),
     "evt_paths" -> ((-4505165396721898336L, 20L)),
+    "evt_date_histogram" -> ((-750530071275230646L, 150L)),
+    "q51_percentile_ranks" -> ((-2039279968960754707L, 5L)),
+    "emb_knn_filtered" -> ((-2312461576163614589L, 50L)),
     "emb_knn_pq" -> ((8039933173616903381L, 50L)),
     "emb_pq_recall" -> ((6681137179820178689L, 5L)),
     "emb_knn_mrl" -> ((4719170906433506228L, 50L)),

@@ -317,6 +317,42 @@ class RelationalSpec extends SparkSpec {
     assert(out === expected)
   }
 
+  test("evt_date_histogram: dense calendar frame, zero fill, conserved totals") {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val out = Relational.evtDateHistogram(spark, sfDir).collect()
+    val types = ev.select(col("event_type")).distinct().count()
+    val days = ev.select(to_date(col("ts"))).distinct().count()
+    val span = ev.agg(datediff(max(to_date(col("ts"))), min(to_date(col("ts")))))
+      .head().getInt(0) + 1L
+    // every (type, day-in-span) cell exists — including days with no
+    // events of that type (zero-filled), span ≥ observed distinct days
+    assert(out.length.toLong === types * span && span >= days)
+    assert(out.map(_.getAs[Long]("n")).sum === ev.count())
+    // a zero cell exists or every cell is populated; if zero, its sum is 0.0
+    out.filter(_.getAs[Long]("n") == 0L)
+      .foreach(r => assert(r.getAs[Double]("value_sum") === 0.0))
+  }
+
+  test("q51 percentile ranks: monotone in the threshold, exact driver recompute") {
+    val orders = graft.sources.Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"), col("o_totalprice")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val expected = orders.groupBy(_._1).map { case (p, rows) =>
+      val n = rows.length
+      val prs = Relational.PrThresholds.map(t =>
+        rows.count(_._2 <= t).toDouble / n)
+      p -> ((n.toLong, prs))
+    }
+    val out = Relational.q51PercentileRanks(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), Relational.PrThresholds.map(t => r.getAs[Double](s"pr_${t / 1000}k")))))
+      .toMap
+    assert(out === expected)
+    out.values.foreach { case (_, prs) =>
+      assert(prs === prs.sorted, "ranks must be monotone in the threshold")
+    }
+  }
+
   test("evt_transitions: kernel rows normalize; counts match a driver recompute") {
     val ev = graft.sources.Tables.events(spark, sfDir)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type")).collect()

@@ -364,4 +364,26 @@ class VectorOpsSpec extends SparkSpec {
     }.toSet
     assert(got.map(t => (t._1, t._2)).toSet === expected)
   }
+
+  test("knnFiltered: label gate holds, full k returned, post-filtering would fall short") {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val out = VectorOps.knnFiltered(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every neighbor shares its query's label (the pre-filter semantics)
+    out.foreach { case (q, n, _) => assert(emb(q) === emb(n), s"$q -> $n") }
+    // each query still gets the FULL k (labels have > K members at every sf)
+    val perQuery = out.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._3).sorted }
+    perQuery.values.foreach(rs => assert(rs === (1L to VectorOps.K)))
+    // the recall cliff this operator avoids: post-filtering the
+    // UNFILTERED top-k leaves fewer than k same-label hits for at
+    // least one query (10 balanced labels ⇒ ~1 survivor per query)
+    val unfiltered = VectorOps.knnExact(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val survivors = unfiltered.groupBy(_._1).map { case (q, rs) =>
+      rs.count { case (_, n) => emb(n) == emb(q) }
+    }
+    assert(survivors.exists(_ < VectorOps.K))
+  }
 }
