@@ -836,6 +836,31 @@ object OracleText {
        |FROM ranked WHERE "rank" <= ${TextOps.Bm25TopK}""".stripMargin
   }
 
+  /** Mirror of TextOps.surprisal: same bigram counts, context totals
+    * off the bigram aggregate, integer-log2 via `length(bin(n))`
+    * (identical unpadded binary rendering in both engines), one IEEE
+    * division.
+    */
+  val surprisal: String =
+    s"""WITH $wordsCte,
+       |bgr AS (
+       |  SELECT doc_id,
+       |    words[CAST(i AS INT)] AS w1, words[CAST(i + 1 AS INT)] AS w2
+       |  FROM docs, unnest(range(1, len(words))) t(i)
+       |  WHERE len(words) >= 2
+       |),
+       |bgc AS (SELECT w1, w2, count(*) AS c_bg FROM bgr GROUP BY w1, w2),
+       |ctx AS (SELECT w1, CAST(sum(c_bg) AS BIGINT) AS c_ctx FROM bgc GROUP BY w1),
+       |bits AS (
+       |  SELECT doc_id,
+       |    CAST(length(bin(c_ctx)) - length(bin(c_bg)) AS BIGINT) AS bits
+       |  FROM bgr JOIN bgc USING (w1, w2) JOIN ctx USING (w1)
+       |)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  CAST(sum(bits) AS BIGINT) AS total_bits,
+       |  CAST(sum(bits) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_bits
+       |FROM bits GROUP BY doc_id""".stripMargin
+
   /** Mirror of TextOps.dedupContainment: identical pipeline — distinct
     * (doc, 60-bit shingle digest), SAME rare-shingle blocking (so
     * blocking recall cancels out of the differential), exact

@@ -100,6 +100,7 @@ object SparkEntry {
     "txt_mix_weights"     -> ((s, d) => TextOps.mixWeights(s, d)),
     "txt_chunks"          -> ((s, d) => TextOps.chunks(s, d)),
     "dedup_containment"   -> ((s, d) => TextOps.dedupContainment(s, d)),
+    "txt_surprisal"       -> ((s, d) => TextOps.surprisal(s, d)),
     "q33_pivot"           -> ((s, d) => Relational.q33Pivot(s, d)),
     "q34_salted_wordcount" -> ((s, d) => Relational.q34SaltedWordcount(s, d)),
     "q35_approx_quantile" -> ((s, d) => Relational.q35ApproxQuantile(s, d)),
@@ -299,6 +300,7 @@ object SparkEntry {
     "txt_mix_weights"     -> OracleText.mixWeights,
     "txt_chunks"          -> OracleText.chunks,
     "dedup_containment"   -> OracleText.dedupContainment,
+    "txt_surprisal"       -> OracleText.surprisal,
     "q33_pivot"           -> OracleRelational.q33,
     "q34_salted_wordcount" -> OracleRelational.q34,
     "q36_rolling_window"  -> OracleRelational.q36,

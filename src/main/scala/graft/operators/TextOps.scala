@@ -1299,6 +1299,53 @@ object TextOps {
         col("fg"), col("bg"), col("jlh"))
   }
 
+  /** Statistical-LM quality scoring: mean bigram surprisal of each
+    * document under the corpus's own bigram model — the
+    * perplexity-proxy member of the quality family ([[quality]] counts
+    * surface features; this one asks "how predictable is this text
+    * given the corpus", the signal KenLM-style filters threshold on).
+    * High mean surprisal = improbable word sequences (noise, shuffled
+    * text, OCR damage); low = boilerplate-predictable.
+    *
+    * Surprisal is quantized to the INTEGER-LOG2 grid:
+    * `bits(bigram) = ⌊log2 c(w1·)⌋ − ⌊log2 c(w1 w2)⌋`
+    * where c(w1·) is the context total (Σ over following words — so
+    * bits ≥ 0 and the model normalizes by construction). ⌊log2 n⌋ is
+    * `length(bin(n)) − 1` — pure integer string length, bit-equal in
+    * any engine — so the per-doc total is an exact integer sum and the
+    * mean is the house one-IEEE-division. The grid costs factor-of-2
+    * probability resolution (±1 bit per bigram), which ranking use
+    * cases don't feel; a float `ln` would be cross-engine hash-dirty.
+    *
+    * Shape at 100 TB: one bigram explode (doc, w1, w2) → one
+    * (w1, w2)-keyed partial-aggregated count shuffle; context totals
+    * are a groupBy OFF that aggregate (no second scan); scores join
+    * back on the same bigram key. Docs under 2 words have no bigrams
+    * and drop out (documented; the quality gate handles them by
+    * length).
+    */
+  def surprisal(spark: SparkSession, dir: String): DataFrame = {
+    val bigrams = withWordsAttr(spark, dir)
+      .where(size(col("words")) >= 2)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, size(words) - 2), i -> struct(words[i] AS w1, words[i + 1] AS w2))"))
+        .as(Seq("pos", "bg")))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bgCounts = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_bg"))
+    val ctxCounts = bgCounts.groupBy(col("w1"))
+      .agg(sum(col("c_bg")).as("c_ctx"))
+    bigrams
+      .join(bgCounts, Seq("w1", "w2"))
+      .join(ctxCounts, Seq("w1"))
+      .select(col("doc_id"),
+        (length(bin(col("c_ctx"))) - length(bin(col("c_bg")))).cast("long").as("bits"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("total_bits"))
+      .withColumn("mean_bits",
+        col("total_bits").cast("double") / col("n_bigrams").cast("double"))
+  }
+
   /** Containment threshold: a pair reports when the intersection covers
     * ≥ 9/10 of the SMALLER shingle set — compared in exact integer
     * space (`inter·10 ≥ n_contained·9`), never as a float.

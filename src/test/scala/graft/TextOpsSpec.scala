@@ -513,6 +513,30 @@ class TextOpsSpec extends SparkSpec {
     assert(out.toSeq.sorted === Seq((1L, 0L), (2L, 1L), (3L, 2L)))
   }
 
+  test("surprisal: integer-log2 bits match a driver recompute; predictable text scores lower") {
+    // doc0/doc1 repeat one bigram pattern (predictable); doc2 is all
+    // unique transitions from shared contexts (surprising).
+    val dir = docsDir(Seq(
+      "a b a b a b a b", "a b a b a b a b", "a c a d a e b f b g"))
+    val out = TextOps.surprisal(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // driver recompute of the exact grid
+    val docs = Seq("a b a b a b a b", "a b a b a b a b", "a c a d a e b f b g")
+      .map(_.split(" ").toSeq)
+    val bgs = docs.zipWithIndex.flatMap { case (ws, i) =>
+      ws.zip(ws.tail).map(bg => (i.toLong, bg)) }
+    val cBg = bgs.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val cCtx = cBg.groupBy(_._1._1).map { case (w1, m) => w1 -> m.values.sum }
+    def bits(n: Long) = 63 - java.lang.Long.numberOfLeadingZeros(n)
+    val expected = bgs.groupBy(_._1).map { case (d, rows) =>
+      val bs = rows.map { case (_, bg) => bits(cCtx(bg._1)) - bits(cBg(bg)) }
+      d -> ((bs.size.toLong, bs.sum, bs.sum.toDouble / bs.size))
+    }
+    assert(out === expected)
+    // the repetitive docs are more predictable than the unique-transition doc
+    assert(out(0L)._3 < out(2L)._3 && out(1L)._3 < out(2L)._3)
+  }
+
   test("containment: wrapped doc reported at 1.0 where Jaccard-LSH misses it") {
     // doc1 = doc0 wrapped in 60 tokens of unique filler: containment of
     // doc0 in doc1 is 1.0 while Jaccard ≈ |A|/|B| ≈ 0.14 — far below
