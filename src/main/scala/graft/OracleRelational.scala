@@ -524,6 +524,17 @@ object OracleRelational {
       |  AND CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
       |GROUP BY event_type""".stripMargin
 
+  /** Mirror of sources.Layout.evtBloomSkip: the same point lookups as
+    * a plain IN over the unindexed table — identical rows proves the
+    * bloom skipping is correctness-free (no false negatives; false
+    * positives die in the exact filter).
+    */
+  val evtBloomSkip: String = {
+    val ids = graft.sources.Layout.BloomProbeIds.mkString(", ")
+    s"""SELECT event_id, user_id, event_type, value
+       |FROM events WHERE event_id IN ($ids)""".stripMargin
+  }
+
   /** Mirror of Relational.q42RankFamily: one fully-ordered window, so
     * ranks have no peer groups and the double ratios are bit-equal.
     */

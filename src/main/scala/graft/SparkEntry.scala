@@ -129,6 +129,7 @@ object SparkEntry {
     "q45_bucketed_join"   -> ((s, d) => graft.sources.Layout.q45BucketedJoin(s, d)),
     "evt_partition_pruned" -> ((s, d) => graft.sources.Layout.evtPartitionPruned(s, d)),
     "evt_zorder_box"      -> ((s, d) => graft.sources.Layout.evtZorderBox(s, d)),
+    "evt_bloom_skip"      -> ((s, d) => graft.sources.Layout.evtBloomSkip(s, d)),
     // Graph analytics over relationally-derived edges (SURVEY.md §8.2)
     "graph_degree"        -> ((s, d) => GraphOps.degreeCentrality(s, d)),
     "graph_pagerank"      -> ((s, d) => GraphOps.pagerank(s, d)),
@@ -214,8 +215,9 @@ object SparkEntry {
     // KNN baseline (r6's knnExact memo) and the SQ8 stats/codes pair
     // had no warmup either — the third family the hand list missed
     "emb_knn_exact", "emb_knn_sq8",
-    // r8: the containment digest-set memo
-    "dedup_containment")
+    // r8: the containment digest-set, triangle oriented-edge, and
+    // bloom file-index memos
+    "dedup_containment", "graph_triangles", "evt_bloom_skip")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -326,6 +328,7 @@ object SparkEntry {
     "q45_bucketed_join"   -> OracleRelational.q45,
     "evt_partition_pruned" -> OracleRelational.evtPruned,
     "evt_zorder_box"      -> OracleRelational.evtZorderBox,
+    "evt_bloom_skip"      -> OracleRelational.evtBloomSkip,
     "graph_degree"        -> OracleGraph.degreeCentrality,
     "graph_pagerank"      -> OracleGraph.pagerank,
     "graph_triangles"     -> OracleGraph.triangles,

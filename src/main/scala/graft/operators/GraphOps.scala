@@ -445,23 +445,31 @@ object GraphOps {
     * join — orientation-independent by construction) exact.
     */
   def triangles(spark: SparkSession, dir: String): DataFrame = {
-    val und = tradeEdges(spark, dir)
-      .where(col("src") =!= col("dst"))
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .distinct()
-    val deg = und.select(col("a").as("node")).union(und.select(col("b").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    // orient by (deg, node) lexicographic order: lo = smaller endpoint
-    val keyed = und
-      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
-      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
-    def k(d: String, n: String) = struct(col(d).as("d"), col(n).as("n"))
-    val aFirst = k("da", "a") < k("db", "b")
-    val oriented = keyed.select(
-      when(aFirst, col("a")).otherwise(col("b")).as("lo"),
-      when(aFirst, col("b")).otherwise(col("a")).as("hi"),
-      when(aFirst, k("db", "b")).otherwise(k("da", "a")).as("hi_key"))
+    // the oriented edge list is memoized: it feeds THREE consumers
+    // (both wedge-join sides and the closing semi-join probe) and each
+    // would otherwise recompute the lineitem-scale edge derivation —
+    // the minhashSignatures rationale (self-join sides defeat
+    // plan-level exchange reuse); at cluster scale the oriented list
+    // is the artifact a graph job materializes once
+    val oriented = TextOps.memoized(spark, dir, "triangle_oriented") {
+      val und = tradeEdges(spark, dir)
+        .where(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+      val deg = und.select(col("a").as("node")).union(und.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      // orient by (deg, node) lexicographic order: lo = smaller endpoint
+      val keyed = und
+        .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+        .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+      def k(d: String, n: String) = struct(col(d).as("d"), col(n).as("n"))
+      val aFirst = k("da", "a") < k("db", "b")
+      keyed.select(
+        when(aFirst, col("a")).otherwise(col("b")).as("lo"),
+        when(aFirst, col("b")).otherwise(col("a")).as("hi"),
+        when(aFirst, k("db", "b")).otherwise(k("da", "a")).as("hi_key"))
+    }
     val wedges = oriented.select(col("lo").as("u"), col("hi").as("v"), col("hi_key").as("vk"))
       .join(oriented.select(col("lo").as("u"), col("hi").as("w"), col("hi_key").as("wk")), Seq("u"))
       .where(col("vk") < col("wk"))
@@ -471,7 +479,9 @@ object GraphOps {
     val perNode = closed
       .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
-    deg.select(col("node"))
+    val nodes = oriented.select(col("lo").as("node"))
+      .union(oriented.select(col("hi").as("node"))).distinct()
+    nodes
       .join(perNode, Seq("node"), "left")
       .select(col("node"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
   }

@@ -56,7 +56,7 @@ object TextOps {
   private def sweepStopped(): Unit =
     memo.filterInPlace { case (_, (s, _)) => !s.sparkContext.isStopped }
 
-  private[operators] def memoized(spark: SparkSession, dir: String, key: String)
+  private[graft] def memoized(spark: SparkSession, dir: String, key: String)
       (build: => DataFrame): DataFrame = {
     sweepStopped()
     memo.getOrElseUpdate((sessionKey(spark), dir, key),

@@ -199,4 +199,97 @@ object Layout {
         min(col("event_id")).as("min_event_id"),
         max(col("event_id")).as("max_event_id"))
   }
+
+  /** File count of the bloom-indexed layout. */
+  val BloomFiles = 16
+
+  /** Fixed point-lookup probe set — ids that exist at every test SF
+    * (event_id is 0-based dense; sf0.001 already has 1000 events).
+    */
+  val BloomProbeIds: Seq[Long] = Seq(11L, 257L, 421L, 602L, 877L)
+
+  /** Events re-written clustered by USER (range partitioning on
+    * user_id, [[BloomFiles]] files) — deliberately uncorrelated with
+    * `event_id`, the third storage-index case: directory partitioning
+    * prunes a partition COLUMN, z-order min/max prunes SORTED dims,
+    * and neither helps a point lookup on a high-cardinality key the
+    * layout doesn't cluster — every file's (min, max) event_id box
+    * spans nearly the whole domain (LayoutSpec measures it), so
+    * footer stats keep everything. A per-file BLOOM index is the
+    * standard lakehouse answer (Delta/Iceberg bloom filter indexes,
+    * Parquet bloom pages): no false negatives ⇒ pruning is
+    * correctness-free, false positives only read extra files.
+    */
+  def bloomClusteredEvents(spark: SparkSession, dir: String):
+      (String, org.apache.spark.sql.types.StructType) =
+    synchronized {
+      val path = s"$base/${tag(dir)}/events_bloom"
+      val laid = Tables.events(spark, dir)
+        .drop("__ts_nanos", "__ts_raw")
+      if (!written.contains(path)) {
+        laid.repartitionByRange(BloomFiles, col("user_id"))
+          .write.mode("overwrite").parquet(path)
+        written.put(path, ())
+      }
+      (path, laid.schema)
+    }
+
+  /** The file-level skipping index: one row per data file carrying its
+    * event_id Bloom filter (Spark's native BloomFilterAggregate via
+    * `graft_bloom_agg` — event_id is already LONG, so it feeds the
+    * sketch directly) plus the min/max the spec uses to show footer
+    * stats CANNOT prune this layout. Memoized — at scale this table
+    * is written once by the ingest job (it IS the Delta/Iceberg index
+    * file), ~16 KB per data file at 1% fpp.
+    */
+  private[graft] def bloomFileIndex(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
+    val (path, schema) = bloomClusteredEvents(spark, dir)
+    graft.operators.TextOps.memoized(spark, dir, "bloom_file_index") {
+      spark.read.schema(schema).parquet(path)
+        .groupBy(input_file_name().as("file"))
+        .agg(expr("graft_bloom_agg(event_id, 8192L, 131072L)").as("bloom"),
+          min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"))
+    }
+  }
+
+  /** Files whose bloom MIGHT contain any of `ids`, decided on the
+    * DRIVER over the collected index — which is where file skipping
+    * lives in every lakehouse format: the planner reads the
+    * metadata-sized index (|files| rows, ~16 KB each) and emits the
+    * pruned file list before any data task launches. (`might_contain`
+    * the expression deliberately accepts only constant/scalar-subquery
+    * sketches, so a per-file bloom COLUMN is not probeable in a
+    * distributed filter — the engine itself pushes this decision to
+    * planning time.) No false negatives ⇒ skipping is
+    * correctness-free.
+    */
+  private[graft] def bloomKeptFiles(spark: SparkSession, dir: String,
+      ids: Seq[Long]): Array[String] =
+    bloomFileIndex(spark, dir).collect().filter { r =>
+      val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
+      ids.exists(bf.mightContainLong)
+    }.map(_.getAs[String]("file"))
+
+  /** Point lookups through the Bloom skipping index: consult the index
+    * for files that might contain any probe id, read ONLY those, then
+    * apply the exact predicate (false positives die here). The
+    * registered result is layout-independent by construction, so the
+    * plain-IN oracle over the unindexed table is the proof; LayoutSpec
+    * asserts the skipping itself — bloom keeps ≤ |probes| (+rare fps)
+    * files where every file's (min, max) event_id box spans every
+    * probe (the layout clusters USERS, so footer stats keep all
+    * files — the case bloom indexes exist for).
+    */
+  def evtBloomSkip(spark: SparkSession, dir: String): DataFrame = {
+    val (path, schema) = bloomClusteredEvents(spark, dir)
+    val kept = bloomKeptFiles(spark, dir, BloomProbeIds)
+    val src =
+      if (kept.isEmpty) spark.read.schema(schema).parquet(path).where(lit(false))
+      else spark.read.schema(schema).parquet(kept.toIndexedSeq: _*)
+    src.where(col("event_id").isin(BloomProbeIds: _*))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+  }
 }

@@ -224,6 +224,7 @@ class GoldenSpec extends SparkSpec {
     "evt_anomaly" -> ((6278091633795418656L, 150L)),
     "evt_paths" -> ((-4505165396721898336L, 20L)),
     "evt_date_histogram" -> ((-750530071275230646L, 150L)),
+    "evt_bloom_skip" -> ((8478679545465207763L, 5L)),
     "q51_percentile_ranks" -> ((-2039279968960754707L, 5L)),
     "emb_knn_filtered" -> ((-2312461576163614589L, 50L)),
     "emb_knn_pq" -> ((8039933173616903381L, 50L)),

@@ -139,4 +139,36 @@ class LayoutSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(boxed === plain && boxed.nonEmpty)
   }
+
+  test("evt_bloom_skip: bloom prunes files min/max cannot; result equals plain IN") {
+    val idx = Layout.bloomFileIndex(spark, sfDir).collect()
+    // range partitioning may leave a couple of planned splits empty —
+    // the index covers whatever files exist
+    val nFiles = idx.length
+    assert(nFiles > Layout.BloomProbeIds.size + 2,
+      s"fixture produced too few files ($nFiles) for the pruning claim")
+    // min/max footer stats are USELESS on this layout: files cluster
+    // users, so every file's event_id box covers every probe id
+    val minmaxKept = idx.count { r =>
+      Layout.BloomProbeIds.exists(id =>
+        r.getAs[Long]("min_id") <= id && id <= r.getAs[Long]("max_id"))
+    }
+    assert(minmaxKept === nFiles,
+      s"expected min/max to keep all $nFiles files, kept $minmaxKept")
+    // the bloom index keeps only files actually (or falsely) containing
+    // a probe — 5 probes can reach at most 5 true files (+ rare fps)
+    val bloomKept =
+      Layout.bloomKeptFiles(spark, sfDir, Layout.BloomProbeIds).length
+    assert(bloomKept <= Layout.BloomProbeIds.size + 2 && bloomKept < nFiles,
+      s"bloom kept $bloomKept of $nFiles")
+    // correctness is layout-free: the skipped read equals the plain IN
+    val skipped = Layout.evtBloomSkip(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSet
+    val plain = Tables.events(spark, sfDir)
+      .where(col("event_id").isin(Layout.BloomProbeIds: _*))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSet
+    assert(skipped === plain && skipped.size === Layout.BloomProbeIds.size)
+  }
 }
