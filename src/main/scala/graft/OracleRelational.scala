@@ -524,6 +524,21 @@ object OracleRelational {
       |  AND CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
       |GROUP BY event_type""".stripMargin
 
+  /** Mirror of Relational.q52Pagination: same full total order, same
+    * page window.
+    */
+  val q52: String = {
+    val from = graft.operators.Relational.PageFrom
+    val size = graft.operators.Relational.PageSize
+    s"""WITH rk AS (
+       |  SELECT c_nationkey, c_custkey, c_name, c_acctbal,
+       |    row_number() OVER (PARTITION BY c_nationkey
+       |      ORDER BY c_acctbal DESC, c_custkey ASC) AS "rank"
+       |  FROM customer
+       |)
+       |SELECT * FROM rk WHERE "rank" > $from AND "rank" <= ${from + size}""".stripMargin
+  }
+
   /** Mirror of sources.Layout.evtBloomSkip: the same point lookups as
     * a plain IN over the unindexed table — identical rows proves the
     * bloom skipping is correctness-free (no false negatives; false

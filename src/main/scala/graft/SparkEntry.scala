@@ -120,6 +120,7 @@ object SparkEntry {
     "evt_paths"           -> ((s, d) => Relational.evtPaths(s, d)),
     "evt_date_histogram"  -> ((s, d) => Relational.evtDateHistogram(s, d)),
     "q51_percentile_ranks" -> ((s, d) => Relational.q51PercentileRanks(s, d)),
+    "q52_pagination"      -> ((s, d) => Relational.q52Pagination(s, d)),
     "emb_knn_filtered"    -> ((s, d) => VectorOps.knnFiltered(s, d)),
     // Storage layout (sources.Layout): write-time levers, oracle-proven
     // to preserve semantics
@@ -321,6 +322,7 @@ object SparkEntry {
     "evt_paths"           -> OracleRelational.evtPaths,
     "evt_date_histogram"  -> OracleRelational.evtDateHistogram,
     "q51_percentile_ranks" -> OracleRelational.q51,
+    "q52_pagination"      -> OracleRelational.q52,
     "emb_knn_filtered"    -> OracleVectors.knnFiltered,
     "q46_cms_counts"      -> OracleRelational.q46,
     "q47_hll_distinct"    -> OracleRelational.q47,

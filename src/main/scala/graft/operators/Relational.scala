@@ -889,6 +889,31 @@ object Relational {
         (col("n").cast("double") / col("prev_total").cast("double")).as("p"))
   }
 
+  /** Deep pagination — the ES `from`+`size` surface (page
+    * [[PageFrom]]+1 .. [[PageFrom]]+[[PageSize]] of customers per
+    * nation, richest first, custkey tiebreak). The rank window's
+    * `rank ≤ from+size` bound gets the partial WindowGroupLimit cut,
+    * so each map task ships from+size rows per group — which is
+    * exactly why ES caps from+size (default 10k) and why DEEP paging
+    * switches to `search_after`: replacing the `rank > from` filter
+    * with a key-predicate (`(acctbal, custkey) < last-seen`) turns
+    * the same query into a top-`size` scan whose cost never grows
+    * with page depth. This operator is the from+size member; the
+    * reference's own source pagination (S1, `search_after` over the
+    * PIT) is the other half, already exercised by every paged scan.
+    */
+  val PageFrom = 10
+  val PageSize = 10
+
+  def q52Pagination(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    Tables.customer(spark, dir)
+      .select(col("c_nationkey"), col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") > PageFrom && col("rank") <= PageFrom + PageSize)
+  }
+
   /** Z-score anomaly flags over daily per-type event volumes — the
     * monitoring pass a production ingest runs over its own counters.
     * A (type, day) cell flags when its count deviates from the type's

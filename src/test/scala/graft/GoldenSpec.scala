@@ -226,6 +226,7 @@ class GoldenSpec extends SparkSpec {
     "evt_date_histogram" -> ((-750530071275230646L, 150L)),
     "evt_bloom_skip" -> ((8478679545465207763L, 5L)),
     "q51_percentile_ranks" -> ((-2039279968960754707L, 5L)),
+    "q52_pagination" -> ((6743341414754830305L, 4L)),
     "emb_knn_filtered" -> ((-2312461576163614589L, 50L)),
     "emb_knn_pq" -> ((8039933173616903381L, 50L)),
     "emb_pq_recall" -> ((6681137179820178689L, 5L)),

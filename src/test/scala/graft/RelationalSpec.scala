@@ -261,6 +261,32 @@ class RelationalSpec extends SparkSpec {
     assert(merged.toSeq === bottomK(ev).toSeq)
   }
 
+  test("q52 pagination: page 2 window, WindowGroupLimit bound, driver recompute") {
+    val cust = graft.sources.Tables.customer(spark, sfDir)
+      .select(col("c_nationkey").cast("long"), col("c_custkey").cast("long"),
+        col("c_acctbal")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = cust.groupBy(_._1).toSeq.flatMap { case (nk, rows) =>
+      rows.sortBy(r => (-r._3, r._2))
+        .slice(Relational.PageFrom, Relational.PageFrom + Relational.PageSize)
+        .zipWithIndex.map { case ((_, ck, _), i) =>
+          (nk, ck) -> (Relational.PageFrom + i + 1L) }
+    }.toMap
+    val df = Relational.q52Pagination(spark, sfDir)
+    val out = df.select(col("c_nationkey").cast("long"),
+        col("c_custkey").cast("long"), col("rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out === expected)
+    // nations with ≤ PageFrom customers have no page 2 — absent, not padded
+    val small = cust.groupBy(_._1).filter(_._2.length <= Relational.PageFrom).keys
+    small.foreach(nk => assert(!out.keys.exists(_._1 == nk)))
+    // the rank ≤ from+size bound still gets the partial WindowGroupLimit
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.split("\n").exists(l =>
+      l.contains("WindowGroupLimit") && l.contains("Partial")), p.take(800))
+  }
+
   test("evt_anomaly: integer-space flag matches a driver recompute of the z² rule") {
     val ev = graft.sources.Tables.events(spark, sfDir)
       .select(col("event_type"), to_date(col("ts")).as("day")).collect()
