@@ -555,24 +555,26 @@ for (k <- Seq(1, 8, 32)) {
   println(f"  k=$k%2d (${500 * k}%6d docs base x sf-mult): $s%6.2f s")
 }
 
-println("== containment shape (rare-shingle blocking: df-capped inverted index; high-df shingles generate ZERO pairs) ==")
+println("== containment shape (5-gram rare-shingle blocking, the shipped design: df-capped inverted index; high-df shingles generate ZERO pairs) ==")
 // k-fold duplication multiplies every shingle's df by k, so the df cap
 // progressively BLOCKS shingles — the semantics are k-degenerate (like
 // the novelty probe) but the wall-clock shows exactly the scale claim:
 // candidate work is bounded by the df cap, not by corpus size, so cost
 // tracks the scan while a capless inverted-index join would grow k^2.
+// Width 5 mirrors TextOps.ContainBlockWidth (3-gram blocking saturates
+// this corpus's 31-word vocabulary: 1.04M candidate pairs vs 1,460).
 for (k <- Seq(1, 8, 16)) {
   val s = timed {
-    val sh = multi("documents", k)
+    val blocks = multi("documents", k)
       .select(col("doc_id"), explode(array(split(col("text"), " "))).as("words"))
-      .where(size(col("words")) >= 3)
+      .where(size(col("words")) >= 5)
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(words) - 3), i -> concat_ws(' ', slice(words, i + 1, 3)))")).as("sg"))
+        "transform(sequence(0, size(words) - 5), i -> concat_ws(' ', slice(words, i + 1, 5)))")).as("sg"))
       .select(col("doc_id"),
         expr("CAST(conv(substring(md5(sg), 1, 15), 16, 10) AS BIGINT)").as("h"))
       .distinct()
-    val rare = sh.join(
-      sh.groupBy(col("h")).agg(count(lit(1)).as("df")).where(col("df") <= 16), Seq("h"))
+    val rare = blocks.join(
+      blocks.groupBy(col("h")).agg(count(lit(1)).as("df")).where(col("df") <= 16), Seq("h"))
     rare.select(col("h"), col("doc_id").as("a"))
       .join(rare.select(col("h"), col("doc_id").as("b")), Seq("h"))
       .where(col("a") < col("b")).distinct()
