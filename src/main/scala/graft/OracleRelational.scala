@@ -573,7 +573,7 @@ object OracleRelational {
     val rot = OracleText.rotLong("hh", 0)
     s"""WITH wt AS (
        |  SELECT event_type, event_id,
-       |    least($cap, 1 + CAST(floor(value / 64.0) AS BIGINT)) AS weight
+       |    greatest(1, least($cap, 1 + CAST(floor(value / 64.0) AS BIGINT))) AS weight
        |  FROM events
        |),
        |units AS (
@@ -646,12 +646,14 @@ object OracleRelational {
        |),
        |m AS (
        |  SELECT event_type, day, n,
-       |    count(*) OVER w AS d, sum(n) OVER w AS s, sum(n * n) OVER w AS ss
+       |    count(*) OVER w AS d, sum(n) OVER w AS s,
+       |    sum(CAST(n AS HUGEINT) * n) OVER w AS ss
        |  FROM daily WINDOW w AS (PARTITION BY event_type)
        |)
        |SELECT event_type, day, n,
        |  CAST(s AS DOUBLE) / CAST(d AS DOUBLE) AS mean_daily,
-       |  (d * n - s) * (d * n - s) > $z2 * (d * ss - s * s) AS is_anomaly
+       |  CAST(d * n - s AS HUGEINT) * (d * n - s)
+       |    > $z2 * (CAST(d AS HUGEINT) * ss - CAST(s AS HUGEINT) * s) AS is_anomaly
        |FROM m""".stripMargin
   }
 

@@ -795,9 +795,16 @@ object Relational {
     * ships at most k rows per group.
     */
   def q49WeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    // greatest(1, ·): a non-positive quantized weight would make
+    // sequence(1, w) DESCEND on the Spark side ([1, 0] — step defaults
+    // to -1 when start > stop) while DuckDB's range(1, w+1) is empty —
+    // a latent cross-engine divergence on corpora with negative
+    // values. The floor also keeps the sampling law total: every item
+    // carries at least one unit.
     val keyed = Tables.events(spark, dir)
       .select(col("event_type"), col("event_id"),
-        least(lit(WsCap), lit(1L) + floor(col("value") / 64.0d).cast("long"))
+        greatest(lit(1L),
+          least(lit(WsCap), lit(1L) + floor(col("value") / 64.0d).cast("long")))
           .as("weight"))
       .select(col("event_type"), col("event_id"), col("weight"),
         explode(expr("sequence(1L, weight)")).as("r"))
@@ -940,14 +947,23 @@ object Relational {
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n"))
     val byType = Window.partitionBy(col("event_type"))
+    // the z² products run in DECIMAL(38,0), not LONG: at true 100 TB
+    // daily volumes (n ~ 1e12/day) n², s² and the squared deviations
+    // exceed 2^63 — a silent long wraparound would flip flags while
+    // the DuckDB mirror (HUGEINT, 127-bit) stayed exact. DECIMAL
+    // keeps both engines exact to 1e38, far above any physical
+    // counter. The reported mean stays the one IEEE division.
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
     daily
       .withColumn("d", count(lit(1)).over(byType))
       .withColumn("s", sum(col("n")).over(byType))
-      .withColumn("ss", sum(col("n") * col("n")).over(byType))
+      .withColumn("ss", sum(dec(col("n")) * dec(col("n"))).over(byType))
       .select(col("event_type"), col("day"), col("n"),
         (col("s").cast("double") / col("d").cast("double")).as("mean_daily"),
-        ((col("d") * col("n") - col("s")) * (col("d") * col("n") - col("s")) >
-          lit(AnomalyZ * AnomalyZ) * (col("d") * col("ss") - col("s") * col("s")))
+        ((dec(col("d")) * dec(col("n")) - dec(col("s"))) *
+          (dec(col("d")) * dec(col("n")) - dec(col("s"))) >
+          lit(AnomalyZ * AnomalyZ).cast("decimal(19,0)") *
+            (dec(col("d")) * col("ss") - dec(col("s")) * dec(col("s"))))
           .as("is_anomaly"))
   }
 

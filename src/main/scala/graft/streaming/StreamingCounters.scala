@@ -72,14 +72,19 @@ object StreamingCounters {
   def globalAnomaly(spark: SparkSession, storePath: String): DataFrame = {
     val z2 = graft.operators.Relational.AnomalyZ * graft.operators.Relational.AnomalyZ
     val byType = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+    // DECIMAL(38,0) products, mirroring the batch operator's overflow
+    // hardening (see evtAnomaly's Scaladoc: n ~ 1e12/day wraps LONG)
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
     globalDaily(spark, storePath)
       .withColumn("d", count(lit(1)).over(byType))
       .withColumn("s", sum(col("n")).over(byType))
-      .withColumn("ss", sum(col("n") * col("n")).over(byType))
+      .withColumn("ss", sum(dec(col("n")) * dec(col("n"))).over(byType))
       .select(col("event_type"), col("day"), col("n"),
         (col("s").cast("double") / col("d").cast("double")).as("mean_daily"),
-        ((col("d") * col("n") - col("s")) * (col("d") * col("n") - col("s")) >
-          lit(z2) * (col("d") * col("ss") - col("s") * col("s")))
+        ((dec(col("d")) * dec(col("n")) - dec(col("s"))) *
+          (dec(col("d")) * dec(col("n")) - dec(col("s"))) >
+          lit(z2).cast("decimal(19,0)") *
+            (dec(col("d")) * col("ss") - dec(col("s")) * dec(col("s"))))
           .as("is_anomaly"))
   }
 

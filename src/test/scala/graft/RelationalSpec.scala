@@ -221,7 +221,8 @@ class RelationalSpec extends SparkSpec {
       .select(col("event_type"), col("event_id"), col("value")).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
     val expected = ev.map { case (t, id, v) =>
-      val w = math.min(Relational.WsCap, 1L + math.floor(v / 64.0).toLong)
+      val w = math.max(1L,
+        math.min(Relational.WsCap, 1L + math.floor(v / 64.0).toLong))
       val key = (1L to w).map(r => h60(s"$id:$r")).min
       (t, id, w, key)
     }.groupBy(_._1).map { case (t, rows) =>
