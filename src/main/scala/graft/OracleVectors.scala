@@ -433,7 +433,16 @@ object OracleVectors {
        |FROM cranked WHERE rn = 1""".stripMargin
 
   def knnIvf(nlist: Int = VectorOps.NList,
-      nprobe: Int = VectorOps.NProbe): String =
+      nprobe: Int = VectorOps.NProbe, filtered: Boolean = false): String = {
+    // filtered variant: the label predicate joins into the CANDIDATE
+    // set, mirroring VectorOps.knnIvfFiltered's pre-scoring filter
+    val candJoins =
+      if (filtered)
+        """
+          |  JOIN base nb0 ON nb0.vec_id = a.neighbor_id
+          |  JOIN base qb0 ON qb0.vec_id = p.query_id""".stripMargin
+      else ""
+    val candFilter = if (filtered) " AND nb0.label = qb0.label" else ""
     s"""WITH $baseCte, ${centroidsCte(nlist)},
        |$centroidSimsCtes,
        |assignments AS (
@@ -446,8 +455,8 @@ object OracleVectors {
        |),
        |candidates AS (
        |  SELECT p.query_id, a.neighbor_id
-       |  FROM probes p JOIN assignments a USING (assigned_label)
-       |  WHERE a.neighbor_id <> p.query_id
+       |  FROM probes p JOIN assignments a USING (assigned_label)$candJoins
+       |  WHERE a.neighbor_id <> p.query_id$candFilter
        |),
        |qset AS (
        |  SELECT vec_id AS query_id, embedding AS qv, nrm AS qnrm
@@ -466,6 +475,7 @@ object OracleVectors {
        |  FROM sims
        |)
        |SELECT query_id, neighbor_id, "rank", sim FROM ranked WHERE "rank" <= $k""".stripMargin
+  }
 
   // --- Product quantization mirrors -------------------------------------
 

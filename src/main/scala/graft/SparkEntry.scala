@@ -122,6 +122,7 @@ object SparkEntry {
     "q51_percentile_ranks" -> ((s, d) => Relational.q51PercentileRanks(s, d)),
     "q52_pagination"      -> ((s, d) => Relational.q52Pagination(s, d)),
     "emb_knn_filtered"    -> ((s, d) => VectorOps.knnFiltered(s, d)),
+    "emb_knn_ivf_filtered" -> ((s, d) => VectorOps.knnIvfFiltered(s, d)),
     // Storage layout (sources.Layout): write-time levers, oracle-proven
     // to preserve semantics
     "q46_cms_counts"      -> ((s, d) => Relational.q46CmsCounts(s, d)),
@@ -324,6 +325,7 @@ object SparkEntry {
     "q51_percentile_ranks" -> OracleRelational.q51,
     "q52_pagination"      -> OracleRelational.q52,
     "emb_knn_filtered"    -> OracleVectors.knnFiltered,
+    "emb_knn_ivf_filtered" -> OracleVectors.knnIvf(filtered = true),
     "q46_cms_counts"      -> OracleRelational.q46,
     "q47_hll_distinct"    -> OracleRelational.q47,
     "q48_kmv_distinct"    -> OracleRelational.q48,

@@ -837,6 +837,47 @@ object VectorOps {
     topK(sims)
   }
 
+  /** [[knnIvf]] with the filtered-kNN predicate composed into the
+    * CANDIDATE stream — the scale path of [[knnFiltered]]: the
+    * brute-force form evaluates the predicate on N·|Q| pairs, this
+    * one filters the ~N·nprobe/nlist bucket candidates BEFORE any
+    * dot product, so the filter makes the approximate search
+    * CHEAPER, not just the result smaller (the composition ES's
+    * filtered ANN and every vector store's metadata-filtered HNSW
+    * perform). The recall caveat is the standard one and is left
+    * visible rather than absorbed: probing stays label-blind
+    * (nprobe buckets of the unfiltered index), so a highly selective
+    * filter starves candidates and the production fix is a
+    * label-partitioned index (one IVF per tenant/label — the
+    * [[graft.sources.Layout]] move applied to index layout).
+    */
+  def knnIvfFiltered(spark: SparkSession, dir: String, nlist: Int = NList,
+      nprobe: Int = NProbe): DataFrame = {
+    val labels = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+    val assignments = ivfAssign(spark, dir, nlist)
+      .select(col("vec_id").as("neighbor_id"), col("assigned_label"))
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nlabel")), Seq("neighbor_id"))
+    val probes = queryProbes(spark, dir, nlist, nprobe)
+      .join(broadcast(labels.select(col("vec_id").as("query_id"),
+        col("label").as("qlabel"))), Seq("query_id"))
+    val candidates = probes.join(assignments, Seq("assigned_label"))
+      .where(col("neighbor_id") =!= col("query_id") &&
+        col("nlabel") === col("qlabel"))
+      .select(col("query_id"), col("neighbor_id"))
+    val base = withNorm(spark, dir)
+    val sims = candidates
+      .join(base.select(col("vec_id").as("neighbor_id"), col("embedding"), col("nrm")),
+        Seq("neighbor_id"))
+      .join(broadcast(
+        base.where(col("vec_id") % QueryMod === 0)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+            col("nrm").as("qnrm"))),
+        Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine)
+    topK(sims)
+  }
+
   // --- Product quantization (PQ) ---------------------------------------
 
   /** PQ subspace count: the vector splits into [[PqM]] contiguous

@@ -228,6 +228,11 @@ class GoldenSpec extends SparkSpec {
     "q51_percentile_ranks" -> ((-2039279968960754707L, 5L)),
     "q52_pagination" -> ((6743341414754830305L, 4L)),
     "emb_knn_filtered" -> ((-2312461576163614589L, 50L)),
+    // 39 rows, not 50: probing stays label-blind, so some queries
+    // find fewer than k same-label candidates in their nprobe buckets
+    // — the documented recall trade the label-partitioned-index
+    // deployment removes
+    "emb_knn_ivf_filtered" -> ((-8589558467914555728L, 39L)),
     "emb_knn_pq" -> ((8039933173616903381L, 50L)),
     "emb_pq_recall" -> ((6681137179820178689L, 5L)),
     "emb_knn_mrl" -> ((4719170906433506228L, 50L)),

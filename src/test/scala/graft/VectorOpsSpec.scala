@@ -365,6 +365,27 @@ class VectorOpsSpec extends SparkSpec {
     assert(got.map(t => (t._1, t._2)).toSet === expected)
   }
 
+  test("knnIvfFiltered: label gate holds; results are the filtered rank of IVF candidates") {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val out = VectorOps.knnIvfFiltered(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    // every neighbor shares its query's label, ranks dense from 1
+    out.foreach { case (q, n, _) => assert(emb(q) === emb(n), s"$q -> $n") }
+    out.groupBy(_._1).values.foreach { rs =>
+      assert(rs.map(_._3).sorted === (1L to rs.length)) }
+    // consistency with the unfiltered IVF pass: the filtered result is
+    // exactly the same-label subset of the candidate ranking, so any
+    // same-label neighbor the UNFILTERED IVF ranked must reappear
+    val unf = VectorOps.knnIvf(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val got = out.map(t => (t._1, t._2)).toSet
+    unf.filter { case (q, n) => emb(q) == emb(n) }
+      .foreach { p => assert(got.contains(p), s"missing $p") }
+  }
+
   test("knnFiltered: label gate holds, full k returned, post-filtering would fall short") {
     val emb = graft.sources.Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("label")).collect()
