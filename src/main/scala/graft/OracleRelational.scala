@@ -524,6 +524,82 @@ object OracleRelational {
       |  AND CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
       |GROUP BY event_type""".stripMargin
 
+  /** Mirror of Relational.evtRollingDistinct: the explode-to-equi-join
+    * window algebra in SQL (each observation fans to its ≤ 7 anchor
+    * days; anchors clipped to observed days), exact distinct count.
+    */
+  val evtRollingDistinct: String = {
+    val w = graft.operators.Relational.RollingDays
+    s"""WITH obs AS (
+       |  SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, user_id
+       |  FROM events
+       |),
+       |od AS (SELECT DISTINCT event_type, day FROM obs),
+       |contrib AS (
+       |  SELECT o.event_type, o.day + CAST(t.o AS INT) AS day, o.user_id
+       |  FROM obs o, unnest(range(0, $w)) t(o)
+       |)
+       |SELECT c.event_type, c.day,
+       |  CAST(count(DISTINCT c.user_id) AS BIGINT) AS n_users_7d
+       |FROM contrib c JOIN od USING (event_type, day)
+       |GROUP BY c.event_type, c.day""".stripMargin
+  }
+
+  /** Mirror of Relational.evtRollingDistinctHll — rebuilds every
+    * window's register file FROM SCRATCH (union of the window's
+    * users, then the q47 register pipeline per (type, day) anchor):
+    * element-wise max of daily registers equals registers of the
+    * union, so the merged-sketch query is fully hash-checkable.
+    */
+  val evtRollingDistinctHll: String = {
+    val p = graft.operators.Relational.HllP
+    val m = 1 << p
+    val lowBits = 60 - p
+    val lowMod = 1L << lowBits
+    val maxRank = lowBits + 1
+    val k = java.lang.Double.toString(graft.functions.HyperLogLogAgg.estimatorK(p))
+    val w = graft.operators.Relational.RollingDays
+    val rot = OracleText.rotLong("hh", 0)
+    s"""WITH obs AS (
+       |  SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, user_id
+       |  FROM events WHERE user_id IS NOT NULL
+       |),
+       |od AS (SELECT DISTINCT event_type, day FROM obs),
+       |win AS (
+       |  SELECT DISTINCT c.event_type, c.day, c.user_id FROM (
+       |    SELECT o.event_type, o.day + CAST(t.o AS INT) AS day, o.user_id
+       |    FROM obs o, unnest(range(0, $w)) t(o)) c
+       |  JOIN od USING (event_type, day)
+       |),
+       |hs AS (
+       |  SELECT event_type, day, $rot AS h
+       |  FROM (SELECT event_type, day, md5(CAST(user_id AS VARCHAR)) AS hh
+       |        FROM win)
+       |),
+       |br AS (
+       |  SELECT event_type, day, h // $lowMod AS bucket,
+       |    CASE WHEN h % $lowMod = 0 THEN $maxRank
+       |         ELSE strpos(lpad(bin(h % $lowMod), $lowBits, '0'), '1') END AS rho
+       |  FROM hs
+       |),
+       |regs AS (
+       |  SELECT event_type, day, bucket, max(rho) AS r
+       |  FROM br GROUP BY event_type, day, bucket
+       |),
+       |ag AS (
+       |  SELECT event_type, day,
+       |    CAST(sum(CAST(1 AS BIGINT) << ($maxRank - r)) AS BIGINT) AS s_obs,
+       |    count(*) AS n_obs
+       |  FROM regs GROUP BY event_type, day
+       |)
+       |SELECT event_type, day,
+       |  CAST(s_obs + ($m - n_obs) * (CAST(1 AS BIGINT) << $maxRank) AS BIGINT) AS hll_s,
+       |  CAST($m - n_obs AS BIGINT) AS hll_zero,
+       |  CAST($k AS DOUBLE) / CAST(s_obs +
+       |    ($m - n_obs) * (CAST(1 AS BIGINT) << $maxRank) AS DOUBLE) AS hll_est
+       |FROM ag""".stripMargin
+  }
+
   /** Mirror of Relational.q52Pagination: same full total order, same
     * page window.
     */

@@ -121,6 +121,8 @@ object SparkEntry {
     "evt_date_histogram"  -> ((s, d) => Relational.evtDateHistogram(s, d)),
     "q51_percentile_ranks" -> ((s, d) => Relational.q51PercentileRanks(s, d)),
     "q52_pagination"      -> ((s, d) => Relational.q52Pagination(s, d)),
+    "evt_rolling_distinct" -> ((s, d) => Relational.evtRollingDistinct(s, d)),
+    "evt_rolling_distinct_hll" -> ((s, d) => Relational.evtRollingDistinctHll(s, d)),
     "emb_knn_filtered"    -> ((s, d) => VectorOps.knnFiltered(s, d)),
     "emb_knn_ivf_filtered" -> ((s, d) => VectorOps.knnIvfFiltered(s, d)),
     // Storage layout (sources.Layout): write-time levers, oracle-proven
@@ -324,6 +326,8 @@ object SparkEntry {
     "evt_date_histogram"  -> OracleRelational.evtDateHistogram,
     "q51_percentile_ranks" -> OracleRelational.q51,
     "q52_pagination"      -> OracleRelational.q52,
+    "evt_rolling_distinct" -> OracleRelational.evtRollingDistinct,
+    "evt_rolling_distinct_hll" -> OracleRelational.evtRollingDistinctHll,
     "emb_knn_filtered"    -> OracleVectors.knnFiltered,
     "emb_knn_ivf_filtered" -> OracleVectors.knnIvf(filtered = true),
     "q46_cms_counts"      -> OracleRelational.q46,

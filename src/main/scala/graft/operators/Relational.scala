@@ -896,6 +896,80 @@ object Relational {
         (col("n").cast("double") / col("prev_total").cast("double")).as("p"))
   }
 
+  /** Sliding-window span in days (window = day−6 .. day). */
+  val RollingDays = 7
+
+  /** Rolling 7-day DISTINCT users per event type — the sliding-window
+    * cardinality ask window functions cannot express (SQL forbids
+    * `COUNT(DISTINCT) OVER (RANGE ...)`, and Spark follows). The
+    * classic workaround is a day-range self-join — a range join whose
+    * per-anchor fan-in re-scans the window. This operator uses the
+    * scale shape instead: each distinct (type, day, user) observation
+    * EXPLODES into the ≤ [[RollingDays]] anchor days it contributes
+    * to (`sequence(day, day+6)`), turning the range join into one
+    * partial-aggregated equi-keyed groupBy — shuffle volume is
+    * 7 × |distinct observations|, with no join at all. Anchors are
+    * then clipped to days the type was actually observed (a tiny
+    * semi-join), matching the "report on observed days" convention of
+    * [[evtAnomaly]].
+    *
+    * The HLL twin [[evtRollingDistinctHll]] does the same window
+    * algebra over MERGEABLE register files — the form that survives
+    * when per-window distinct sets no longer fit (100 TB: billions of
+    * users × thousands of days), at sketch precision.
+    */
+  def evtRollingDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val obs = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val contrib = obs.select(col("event_type"), col("user_id"),
+      explode(expr(s"sequence(day, date_add(day, ${RollingDays - 1}))")).as("day"))
+    val observedDays = obs.select(col("event_type"), col("day")).distinct()
+    contrib
+      .join(observedDays, Seq("event_type", "day"), "left_semi")
+      .groupBy(col("event_type"), col("day"))
+      .agg(countDistinct(col("user_id")).as("n_users_7d"))
+  }
+
+  /** [[evtRollingDistinct]] at sketch precision: per-(type, day) HLL
+    * register files (the q47 aggregate), window-merged by the SAME
+    * explode-to-equi-join device — but what flows is a fixed 2^p
+    * register array per (type, day) cell, element-wise-MAX-merged per
+    * anchor window, independent of user cardinality. Emits the q47
+    * ingredient columns (exact integer harmonic sum, zero count, one
+    * IEEE division), so the DuckDB mirror rebuilds every window's
+    * registers from scratch and the query is fully HASH-GREEN — the
+    * estimate is checked bit-for-bit, not within a tolerance. The
+    * emitted `hll_est` is the RAW estimator; at small cardinalities a
+    * consumer applies the standard linear-counting correction
+    * `m·ln(m / hll_zero)` — deliberately left out of the query
+    * because `ln` is transcendental (cross-engine hash-dirty); the
+    * spec applies it and pins accuracy on the fixture.
+    */
+  def evtRollingDistinctHll(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
+    val maxRank = 60 - HllP + 1
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(expr(s"hll_sketch(user_id, $HllP)").as("regs"))
+    val contrib = daily
+      .select(col("event_type"), col("regs"),
+        explode(expr(s"sequence(day, date_add(day, ${RollingDays - 1}))")).as("wday"))
+      .select(col("event_type"), col("wday").as("day"),
+        posexplode(col("regs")).as(Seq("bucket", "r")))
+    val observedDays = daily.select(col("event_type"), col("day")).distinct()
+    contrib
+      .join(observedDays, Seq("event_type", "day"), "left_semi")
+      .groupBy(col("event_type"), col("day"), col("bucket"))
+      .agg(max(col("r")).as("r"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(
+        sum(expr(s"shiftleft(1L, $maxRank - CAST(r AS INT))")).as("hll_s"),
+        sum(when(col("r") === 0L, 1L).otherwise(0L)).as("hll_zero"))
+      .withColumn("hll_est",
+        lit(graft.functions.HyperLogLogAgg.estimatorK(HllP)) / col("hll_s").cast("double"))
+  }
+
   /** Deep pagination — the ES `from`+`size` surface (page
     * [[PageFrom]]+1 .. [[PageFrom]]+[[PageSize]] of customers per
     * nation, richest first, custkey tiebreak). The rank window's

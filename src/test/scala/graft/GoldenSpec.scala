@@ -225,6 +225,8 @@ class GoldenSpec extends SparkSpec {
     "evt_paths" -> ((-4505165396721898336L, 20L)),
     "evt_date_histogram" -> ((-750530071275230646L, 150L)),
     "evt_bloom_skip" -> ((8478679545465207763L, 5L)),
+    "evt_rolling_distinct" -> ((-2118780183031363568L, 150L)),
+    "evt_rolling_distinct_hll" -> ((7312857790125126064L, 150L)),
     "q51_percentile_ranks" -> ((-2039279968960754707L, 5L)),
     "q52_pagination" -> ((6743341414754830305L, 4L)),
     "emb_knn_filtered" -> ((-2312461576163614589L, 50L)),

@@ -262,6 +262,50 @@ class RelationalSpec extends SparkSpec {
     assert(merged.toSeq === bottomK(ev).toSeq)
   }
 
+  test("evt_rolling_distinct: window counts match a driver recompute; HLL twin agrees at sketch precision") {
+    val obs = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val byType = obs.groupBy(_._1)
+    val expected = byType.toSeq.flatMap { case (t, rows) =>
+      val days = rows.map(_._2).distinct
+      days.map { d =>
+        val users = rows.filter { case (_, od, _) =>
+          !od.isAfter(d) && !od.isBefore(d.minusDays(Relational.RollingDays - 1L))
+        }.map(_._3).distinct
+        (t, d.toString) -> users.size.toLong
+      }
+    }.toMap
+    val out = Relational.evtRollingDistinct(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) -> r.getLong(2)).toMap
+    assert(out === expected)
+    // windows are supersets of single days: every window count >= that
+    // day's distinct count, and <= the type's total distinct users
+    val dayCounts = obs.groupBy(r => (r._1, r._2.toString))
+      .map { case (k, v) => k -> v.map(_._3).distinct.size.toLong }
+    out.foreach { case (k, n) => assert(n >= dayCounts(k)) }
+    // the HLL twin: the query emits transcendental-free ingredients
+    // (raw estimate + zero-register count — the hash-checkable form);
+    // the CONSUMER applies the standard small-range linear-counting
+    // correction m·ln(m/V), which is what's accuracy-bound at these
+    // tiny per-window cardinalities
+    val m = (1 << Relational.HllP).toDouble
+    val est = Relational.evtRollingDistinctHll(spark, sfDir).collect()
+      .map { r =>
+        val raw = r.getAs[Double]("hll_est")
+        val v = r.getAs[Long]("hll_zero").toDouble
+        val corrected =
+          if (raw <= 2.5 * m && v > 0) m * math.log(m / v) else raw
+        (r.getString(0), r.getDate(1).toString) -> corrected
+      }.toMap
+    assert(est.keySet === out.keySet)
+    est.foreach { case (k, e) =>
+      val exact = out(k).toDouble
+      assert(math.abs(e - exact) / exact < 0.15, s"$k: est $e vs exact $exact")
+    }
+  }
+
   test("q52 pagination: page 2 window, WindowGroupLimit bound, driver recompute") {
     val cust = graft.sources.Tables.customer(spark, sfDir)
       .select(col("c_nationkey").cast("long"), col("c_custkey").cast("long"),
