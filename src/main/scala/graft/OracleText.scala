@@ -861,6 +861,28 @@ object OracleText {
        |  CAST(sum(bits) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_bits
        |FROM bits GROUP BY doc_id""".stripMargin
 
+  /** Mirror of TextOps.chunkDedup: the chunks mirror as a subquery,
+    * one GROUP BY on the content hash, the same packed-integer
+    * keeper arg-min (`//` ≡ Spark `div` on non-negative operands).
+    */
+  // lazy: `chunks` initializes later in this object — an eager val
+  // here would interpolate null
+  lazy val chunkDedup: String =
+    s"""SELECT chunk_hash, n_occurrences, n_docs,
+       |  keeper_packed // 1024 AS keeper_doc,
+       |  keeper_packed % 1024 AS keeper_chunk,
+       |  n_tokens
+       |FROM (
+       |  SELECT chunk_hash,
+       |    CAST(count(*) AS BIGINT) AS n_occurrences,
+       |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |    min(doc_id * 1024 + chunk_id) AS keeper_packed,
+       |    min(n_tokens) AS n_tokens
+       |  FROM ($chunks) ch
+       |  GROUP BY chunk_hash
+       |)
+       |WHERE n_occurrences > 1""".stripMargin
+
   /** Mirror of TextOps.dedupContainment: identical pipeline — distinct
     * (doc, 60-bit shingle digest), SAME rare-shingle blocking (so
     * blocking recall cancels out of the differential), exact

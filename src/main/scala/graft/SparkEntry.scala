@@ -101,6 +101,7 @@ object SparkEntry {
     "txt_chunks"          -> ((s, d) => TextOps.chunks(s, d)),
     "dedup_containment"   -> ((s, d) => TextOps.dedupContainment(s, d)),
     "txt_surprisal"       -> ((s, d) => TextOps.surprisal(s, d)),
+    "txt_chunk_dedup"     -> ((s, d) => TextOps.chunkDedup(s, d)),
     "q33_pivot"           -> ((s, d) => Relational.q33Pivot(s, d)),
     "q34_salted_wordcount" -> ((s, d) => Relational.q34SaltedWordcount(s, d)),
     "q35_approx_quantile" -> ((s, d) => Relational.q35ApproxQuantile(s, d)),
@@ -307,6 +308,7 @@ object SparkEntry {
     "txt_chunks"          -> OracleText.chunks,
     "dedup_containment"   -> OracleText.dedupContainment,
     "txt_surprisal"       -> OracleText.surprisal,
+    "txt_chunk_dedup"     -> OracleText.chunkDedup,
     "q33_pivot"           -> OracleRelational.q33,
     "q34_salted_wordcount" -> OracleRelational.q34,
     "q36_rolling_window"  -> OracleRelational.q36,

@@ -1502,6 +1502,37 @@ object TextOps {
         md5(col("chunk_text")).as("chunk_hash"))
   }
 
+  /** Chunk-level exact dedup over [[chunks]] — the RAG-ingest
+    * composition: repeated chunk text across (or within) documents is
+    * boilerplate the retrieval index should store once (duplicated
+    * chunks poison nearest-neighbor lists with identical hits). Groups
+    * on the chunk content hash, reports every hash occurring more than
+    * once with its occurrence/document counts and the keeper
+    * occurrence under the keep-lowest-(doc, chunk) convention — the
+    * same policy as [[dedupExact]], at chunk granularity (the
+    * segment-level [[dedupSegments]] deduplicates fixed word windows;
+    * this deduplicates the actual retrieval units).
+    *
+    * The keeper arg-min rides the aggregate as one packed integer
+    * (`doc_id · 1024 + chunk_id` — chunk counts are bounded far below
+    * 1024 by ceil(len/stride)), so both engines agree exactly with no
+    * struct-min portability question. Shape: the [[chunks]] Generate
+    * (zero exchanges) followed by ONE hash-keyed partial-aggregated
+    * groupBy — only 32-char digests and small integers shuffle.
+    */
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame =
+    chunks(spark, dir)
+      .groupBy(col("chunk_hash"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id") * 1024L + col("chunk_id")).as("keeper_packed"),
+        min(col("n_tokens")).as("n_tokens"))
+      .where(col("n_occurrences") > 1)
+      .select(col("chunk_hash"), col("n_occurrences"), col("n_docs"),
+        expr("keeper_packed div 1024").as("keeper_doc"),
+        pmod(col("keeper_packed"), lit(1024L)).as("keeper_chunk"),
+        col("n_tokens"))
+
   /** The BM25 scoring engine behind [[bm25]] and
     * [[Retrieval.hybridRrf]]: `queries` is any (query_id, term)
     * relation (assumed tiny — it broadcasts); `excludeSelf` drops the

@@ -215,6 +215,7 @@ class GoldenSpec extends SparkSpec {
     "graph_triangles" -> ((432655518100928321L, 25L)),
     "dedup_containment" -> ((8902032411883187769L, 28L)),
     "txt_surprisal" -> ((607969804281459929L, 500L)),
+    "txt_chunk_dedup" -> ((5672058916855677433L, 38L)),
     // 1388 chunks over 500 docs ≈ the ceil(n/stride) expansion at ~54
     // tokens/doc (most docs yield 2-3 chunks)
     "txt_chunks" -> ((4523694182782999565L, 1388L)),

@@ -537,6 +537,21 @@ class TextOpsSpec extends SparkSpec {
     assert(out(0L)._3 < out(2L)._3 && out(1L)._3 < out(2L)._3)
   }
 
+  test("chunkDedup: repeated chunk text reported once with the lowest (doc, chunk) keeper") {
+    // docs 0 and 2 are identical (36 tokens → chunks at 0 and 24, both
+    // duplicated); doc 1 is unique filler
+    val toks = (0 until 36).map(i => s"t$i").mkString(" ")
+    val dir = docsDir(Seq(toks, "lone words here", toks))
+    val out = TextOps.chunkDedup(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // two duplicated chunk texts (windows 0 and 1 of the twin docs)
+    assert(out.length === 2)
+    out.foreach { case (_, occ, docs, kd, _) =>
+      assert(occ === 2L && docs === 2L && kd === 0L)
+    }
+    assert(out.map(_._5).sorted.toSeq === Seq(0L, 1L))
+  }
+
   test("containment: wrapped doc reported at 1.0 where Jaccard-LSH misses it") {
     // doc1 = doc0 wrapped in 60 tokens of unique filler: containment of
     // doc0 in doc1 is 1.0 while Jaccard ≈ |A|/|B| ≈ 0.14 — far below
