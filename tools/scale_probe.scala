@@ -583,6 +583,42 @@ for (k <- Seq(1, 8, 16)) {
   println(f"  k=$k%2d (${500 * k}%6d docs base x sf-mult): $s%6.2f s")
 }
 
+println("== rolling-distinct shape (observation x7 day fan-out -> equi-keyed partial agg; no range join) ==")
+for (k <- Seq(1, 8, 16)) {
+  val ev = graft.sources.Tables.eventsFrom(multi("events", k))
+  val s = timed {
+    val obs = ev.select(col("event_type"), to_date(col("ts")).as("day"), col("user_id")).distinct()
+    obs.select(col("event_type"), col("user_id"),
+      explode(expr("sequence(day, date_add(day, 6))")).as("day"))
+      .join(obs.select(col("event_type"), col("day")).distinct(),
+        Seq("event_type", "day"), "left_semi")
+      .groupBy(col("event_type"), col("day"))
+      .agg(countDistinct(col("user_id")))
+      .collect()
+  }
+  println(f"  k=$k%2d (${150 * k}%5dk rows): $s%6.2f s")
+}
+
+println("== rolling-HLL shape (per-day register files, LIVE registers x7 fan-out; per-cell flow bounded by min(2^p, daily distinct)) ==")
+for (k <- Seq(1, 8, 16)) {
+  val ev = graft.sources.Tables.eventsFrom(multi("events", k))
+  val s = timed {
+    val daily = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(expr("hll_sketch(user_id, 12)").as("regs"))
+    daily.select(col("event_type"), col("regs"),
+      explode(expr("sequence(day, date_add(day, 6))")).as("wday"))
+      .select(col("event_type"), col("wday").as("day"),
+        posexplode(col("regs")).as(Seq("bucket", "r")))
+      .where(col("r") > 0L)
+      .join(daily.select(col("event_type"), col("day")).distinct(),
+        Seq("event_type", "day"), "left_semi")
+      .groupBy(col("event_type"), col("day"), col("bucket"))
+      .agg(max(col("r")))
+      .agg(count(lit(1))).head()
+  }
+  println(f"  k=$k%2d (${150 * k}%5dk rows): $s%6.2f s")
+}
+
 println("== triangle shape (degree-ordered orientation over a FIXED 25-node graph; edge-derivation scan x k dominates, like pagerank) ==")
 for (k <- Seq(1, 8, 16)) {
   val li = multi("lineitem", k)
