@@ -615,6 +615,27 @@ object OracleRelational {
        |SELECT * FROM rk WHERE "rank" > $from AND "rank" <= ${from + size}""".stripMargin
   }
 
+  /** Mirror of Relational.q53KeysetPage: the cursor is the sort-order
+    * last of the first-PageFrom rows (LIMIT/OFFSET here — the oracle
+    * can afford the naive form), the page is the key predicate + top
+    * PageSize.
+    */
+  val q53: String = {
+    val from = graft.operators.Relational.PageFrom
+    val size = graft.operators.Relational.PageSize
+    s"""WITH b AS (
+       |  SELECT c_acctbal AS b_acctbal, c_custkey AS b_custkey
+       |  FROM customer ORDER BY c_acctbal DESC, c_custkey ASC
+       |  LIMIT 1 OFFSET ${from - 1}
+       |)
+       |SELECT c.c_custkey, c.c_name, c.c_acctbal
+       |FROM customer c, b
+       |WHERE c.c_acctbal < b.b_acctbal
+       |   OR (c.c_acctbal = b.b_acctbal AND c.c_custkey > b.b_custkey)
+       |ORDER BY c.c_acctbal DESC, c.c_custkey ASC
+       |LIMIT $size""".stripMargin
+  }
+
   /** Mirror of sources.Layout.evtBloomSkip: the same point lookups as
     * a plain IN over the unindexed table — identical rows proves the
     * bloom skipping is correctness-free (no false negatives; false

@@ -869,14 +869,14 @@ object OracleText {
   // here would interpolate null
   lazy val chunkDedup: String =
     s"""SELECT chunk_hash, n_occurrences, n_docs,
-       |  keeper_packed // 1024 AS keeper_doc,
-       |  keeper_packed % 1024 AS keeper_chunk,
+       |  keeper_packed // ${TextOps.ChunkPackRadix} AS keeper_doc,
+       |  keeper_packed % ${TextOps.ChunkPackRadix} AS keeper_chunk,
        |  n_tokens
        |FROM (
        |  SELECT chunk_hash,
        |    CAST(count(*) AS BIGINT) AS n_occurrences,
        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-       |    min(doc_id * 1024 + chunk_id) AS keeper_packed,
+       |    min(doc_id * ${TextOps.ChunkPackRadix} + chunk_id) AS keeper_packed,
        |    min(n_tokens) AS n_tokens
        |  FROM ($chunks) ch
        |  GROUP BY chunk_hash

@@ -122,6 +122,7 @@ object SparkEntry {
     "evt_date_histogram"  -> ((s, d) => Relational.evtDateHistogram(s, d)),
     "q51_percentile_ranks" -> ((s, d) => Relational.q51PercentileRanks(s, d)),
     "q52_pagination"      -> ((s, d) => Relational.q52Pagination(s, d)),
+    "q53_keyset_page"     -> ((s, d) => Relational.q53KeysetPage(s, d)),
     "evt_rolling_distinct" -> ((s, d) => Relational.evtRollingDistinct(s, d)),
     "evt_rolling_distinct_hll" -> ((s, d) => Relational.evtRollingDistinctHll(s, d)),
     "emb_knn_filtered"    -> ((s, d) => VectorOps.knnFiltered(s, d)),
@@ -328,6 +329,7 @@ object SparkEntry {
     "evt_date_histogram"  -> OracleRelational.evtDateHistogram,
     "q51_percentile_ranks" -> OracleRelational.q51,
     "q52_pagination"      -> OracleRelational.q52,
+    "q53_keyset_page"     -> OracleRelational.q53,
     "evt_rolling_distinct" -> OracleRelational.evtRollingDistinct,
     "evt_rolling_distinct_hll" -> OracleRelational.evtRollingDistinctHll,
     "emb_knn_filtered"    -> OracleVectors.knnFiltered,

@@ -949,7 +949,14 @@ object Relational {
   def evtRollingDistinctHll(spark: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftExtensions.register(spark)
     val maxRank = 60 - HllP + 1
+    // NULL users carry no registers, but an all-NULL (type, day) would
+    // still mint an ANCHOR day if it survived to observedDays — this
+    // query's observed-day convention counts only days with at least
+    // one real user (the oracle's `user_id IS NOT NULL` obs filter),
+    // so the filter runs BEFORE the daily aggregate, not just inside
+    // the sketch.
     val daily = Tables.events(spark, dir)
+      .where(col("user_id").isNotNull)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(expr(s"hll_sketch(user_id, $HllP)").as("regs"))
     // SPARSE register flow: zero registers carry no information in a
@@ -1005,6 +1012,40 @@ object Relational {
       .select(col("c_nationkey"), col("c_custkey"), col("c_name"), col("c_acctbal"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") > PageFrom && col("rank") <= PageFrom + PageSize)
+  }
+
+  /** Keyset (`search_after`) pagination — the DEEP-paging rewrite q52's
+    * Scaladoc describes and the reference actually runs (its source
+    * pagination carries the last hit's sort values forward as the next
+    * page's cursor): page [[PageFrom]]+1 .. [[PageFrom]]+[[PageSize]]
+    * of the GLOBAL (acctbal desc, custkey asc) customer order, fetched
+    * as a top-[[PageSize]] scan under the key predicate
+    * `(c_acctbal, c_custkey) < last-seen` — in sort-order terms
+    * `bal < b OR (bal = b AND key > k)`. No rank window anywhere: both
+    * the cursor fetch (the client REMEMBERS it between requests; here
+    * it is derived as the sort-order max over the first-PageFrom
+    * TakeOrdered, a PageFrom-row frame) and the page itself are
+    * TakeOrderedAndProject — per-partition heaps of from/size rows, so
+    * cost never grows with page depth, which is exactly why ES caps
+    * from+size and productionizes this form. PlanAuditSpec pins the
+    * no-window / TakeOrdered cost shape.
+    */
+  def q53KeysetPage(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    // the cursor: sort-order LAST of the first PageFrom rows = min
+    // acctbal, ties to max custkey (negated key under a plain min)
+    val cursor = c.orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      .limit(PageFrom)
+      .agg(min(struct(col("c_acctbal"), (-col("c_custkey")).as("negkey")))
+        .as("b"))
+      .select(col("b.c_acctbal").as("b_acctbal"), (-col("b.negkey")).as("b_custkey"))
+    c.join(broadcast(cursor))
+      .where(col("c_acctbal") < col("b_acctbal") ||
+        (col("c_acctbal") === col("b_acctbal") && col("c_custkey") > col("b_custkey")))
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      .limit(PageSize)
   }
 
   /** Z-score anomaly flags over daily per-type event volumes — the

@@ -1514,23 +1514,36 @@ object TextOps {
     * this deduplicates the actual retrieval units).
     *
     * The keeper arg-min rides the aggregate as one packed integer
-    * (`doc_id · 1024 + chunk_id` — chunk counts are bounded far below
-    * 1024 by ceil(len/stride)), so both engines agree exactly with no
-    * struct-min portability question. Shape: the [[chunks]] Generate
-    * (zero exchanges) followed by ONE hash-keyed partial-aggregated
-    * groupBy — only 32-char digests and small integers shuffle.
+    * (`doc_id · 2^32 + chunk_id` — exact in a Long for doc_id < 2^31,
+    * and no document reaches 2^32 chunks: at the production 512/384
+    * chunking that would be a ~1.6-trillion-token document), so both
+    * engines agree exactly with no struct-min portability question. A
+    * narrower radix would let a long document's chunk_id bleed into
+    * the doc bits and silently corrupt both the arg-min ordering and
+    * the decode — TextOpsSpec pins a >1024-chunk document. Shape: the
+    * [[chunks]] Generate (zero exchanges) followed by ONE hash-keyed
+    * partial-aggregated groupBy — only 32-char digests and small
+    * integers shuffle.
     */
+  val ChunkPackRadix: Long = 1L << 32
+
   def chunkDedup(spark: SparkSession, dir: String): DataFrame =
-    chunks(spark, dir)
+    chunkDedupFrom(chunks(spark, dir))
+
+  /** [[chunkDedup]] over an arbitrary chunks relation (spec seam for
+    * synthetic >1024-chunk documents).
+    */
+  private[graft] def chunkDedupFrom(ch: DataFrame): DataFrame =
+    ch
       .groupBy(col("chunk_hash"))
       .agg(count(lit(1)).as("n_occurrences"),
         countDistinct(col("doc_id")).as("n_docs"),
-        min(col("doc_id") * 1024L + col("chunk_id")).as("keeper_packed"),
+        min(col("doc_id") * ChunkPackRadix + col("chunk_id")).as("keeper_packed"),
         min(col("n_tokens")).as("n_tokens"))
       .where(col("n_occurrences") > 1)
       .select(col("chunk_hash"), col("n_occurrences"), col("n_docs"),
-        expr("keeper_packed div 1024").as("keeper_doc"),
-        pmod(col("keeper_packed"), lit(1024L)).as("keeper_chunk"),
+        expr(s"keeper_packed div $ChunkPackRadix").as("keeper_doc"),
+        pmod(col("keeper_packed"), lit(ChunkPackRadix)).as("keeper_chunk"),
         col("n_tokens"))
 
   /** The BM25 scoring engine behind [[bm25]] and

@@ -858,9 +858,13 @@ object VectorOps {
       .select(col("vec_id").as("neighbor_id"), col("assigned_label"))
       .join(labels.select(col("vec_id").as("neighbor_id"),
         col("label").as("nlabel")), Seq("neighbor_id"))
+    // only QUERY labels ship — broadcasting the unfiltered labels
+    // table would be an N-sized broadcast at the scale this operator
+    // targets (the knnFiltered pattern: ~N/QueryMod rows survive)
     val probes = queryProbes(spark, dir, nlist, nprobe)
-      .join(broadcast(labels.select(col("vec_id").as("query_id"),
-        col("label").as("qlabel"))), Seq("query_id"))
+      .join(broadcast(labels.where(col("vec_id") % QueryMod === 0)
+        .select(col("vec_id").as("query_id"),
+          col("label").as("qlabel"))), Seq("query_id"))
     val candidates = probes.join(assignments, Seq("assigned_label"))
       .where(col("neighbor_id") =!= col("query_id") &&
         col("nlabel") === col("qlabel"))
@@ -970,15 +974,19 @@ object VectorOps {
         .localCheckpoint() // plan-size cut, same device as centroidsRaw
     }
 
-  /** PQ-coded corpus: per vector the 8 slot codes (in subspace order)
-    * and the reconstruction's squared norm (in-order fold over m — the
-    * cross-engine-deterministic sum). Encoding is true argmin-L2 against
-    * the codebook (broadcast join + min-of-struct partial aggregation —
-    * one shuffle of (vec_id, m) rows, never a window). At scale `codes`
-    * and `rnrm` are STORED next to the vector (written once at ingest,
-    * ~6 bytes/vector), so [[knnPq]]'s approximate pass is a single
-    * code-column scan; the memoized frame and the vec_id join back to
-    * the float vectors stand in for that storage layout in-session.
+  /** PQ-coded corpus: per vector the 8 slot codes (in subspace order),
+    * the reconstruction's squared norm (in-order fold over m — the
+    * cross-engine-deterministic sum), and the reconstruction `vhat`
+    * itself. Encoding is true argmin-L2 against the codebook
+    * (broadcast join + min-of-struct partial aggregation — one shuffle
+    * of (vec_id, m) rows, never a window). At scale `codes` and `rnrm`
+    * are STORED next to the vector (written once at ingest, ~6 bytes/
+    * vector), so [[knnPq]]'s approximate pass is a single code-column
+    * scan; `vhat` is encode-time scratch persisted for the [[pqMse]]
+    * gauge (a diagnostic a deployment would reconstruct from codes ×
+    * codebook — a slot join, never a re-run of the argmin); the
+    * memoized frame and the vec_id join back to the float vectors
+    * stand in for that storage layout in-session.
     */
   private[graft] def pqCodes(spark: SparkSession, dir: String): DataFrame =
     TextOps.memoized(spark, dir, "pq_codes") {
@@ -990,7 +998,8 @@ object VectorOps {
         .drop("cell") // the training cell is irrelevant at encode time
         .join(broadcast(pqCodebook(spark, dir)), Seq("m"))
         .select(col("vec_id"), col("m"),
-          struct(expr(l2).as("d2"), col("cell"), col("slot"), col("cnrm")).as("cand"))
+          struct(expr(l2).as("d2"), col("cell"), col("slot"), col("cnrm"),
+            col("centroid")).as("cand"))
         .groupBy(col("vec_id"), col("m"))
         .agg(min(col("cand")).as("best"))
         .groupBy(col("vec_id"))
@@ -998,7 +1007,9 @@ object VectorOps {
           expr("transform(array_sort(collect_list(struct(m, best.slot))), t -> t.slot)")
             .as("codes"),
           expr("""aggregate(transform(array_sort(collect_list(struct(m, best.cnrm))),
-            t -> t.cnrm), CAST(0 AS DOUBLE), (acc, v) -> acc + v)""").as("rnrm"))
+            t -> t.cnrm), CAST(0 AS DOUBLE), (acc, v) -> acc + v)""").as("rnrm"),
+          expr("""flatten(transform(array_sort(collect_list(struct(m, best.centroid))),
+            t -> t.centroid))""").as("vhat"))
         .localCheckpoint() // plan-size cut, same device as centroidsRaw
     }
 
@@ -1247,22 +1258,11 @@ object VectorOps {
     * reconstructs centroid + residual codes. Same PqM·PqBits budget.
     */
   def pqMse(spark: SparkSession, dir: String, nlist: Int = NList): DataFrame = {
-    // raw-PQ reconstruction rebuilt from the raw codebook (pqCodes
-    // stores codes + rnrm only — recon is encode-time scratch there)
-    val l2 =
-      """aggregate(zip_with(sub, centroid, (x, y) ->
-        |  (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
-        |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
-    val rawRecon = pqSubs(spark, dir)
-      .drop("cell")
-      .join(broadcast(pqCodebook(spark, dir)), Seq("m"))
-      .select(col("vec_id"), col("m"),
-        struct(expr(l2).as("d2"), col("cell"), col("centroid")).as("cand"))
-      .groupBy(col("vec_id"), col("m"))
-      .agg(min(col("cand")).as("best"))
-      .groupBy(col("vec_id"))
-      .agg(expr("""flatten(transform(array_sort(collect_list(struct(m, best.centroid))),
-        t -> t.centroid))""").as("vhat"))
+    // both reconstructions come off the memoized encode artifacts
+    // (pqCodes/pqrCodes persist vhat) — re-deriving raw-PQ's recon
+    // here would re-run the 64-cell argmin per (vec, m) that encoding
+    // already paid for, N·M·64 interpreted lambdas for a gauge
+    val rawRecon = pqCodes(spark, dir).select(col("vec_id"), col("vhat"))
     val err =
       """aggregate(zip_with(embedding, vhat, (x, y) ->
         |  (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),

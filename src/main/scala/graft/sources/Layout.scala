@@ -246,32 +246,51 @@ object Layout {
     graft.plans.GraftExtensions.register(spark)
     val (path, schema) = bloomClusteredEvents(spark, dir)
     graft.operators.TextOps.memoized(spark, dir, "bloom_file_index") {
-      spark.read.schema(schema).parquet(path)
+      val src = spark.read.schema(schema).parquet(path)
+      // size each file's filter from the ACTUAL per-file row estimate
+      // (total rows / files, +25% range-partition skew headroom) at a
+      // fixed 16 bits/item (~0.04% fpp) — a fixed capacity undersizes
+      // as SF grows and skipping silently degrades to keep-everything.
+      // The count is one columnless scan, paid once per memoized build
+      // (at scale the ingest job knows its row counts for free).
+      val perFile = math.max(1024L, src.count() * 5 / 4 / BloomFiles)
+      src
         .groupBy(input_file_name().as("file"))
-        .agg(expr("graft_bloom_agg(event_id, 8192L, 131072L)").as("bloom"),
+        .agg(expr(s"graft_bloom_agg(event_id, ${perFile}L, ${perFile * 16}L)")
+          .as("bloom"),
           min(col("event_id")).as("min_id"),
           max(col("event_id")).as("max_id"))
     }
   }
 
-  /** Files whose bloom MIGHT contain any of `ids`, decided on the
-    * DRIVER over the collected index — which is where file skipping
-    * lives in every lakehouse format: the planner reads the
-    * metadata-sized index (|files| rows, ~16 KB each) and emits the
-    * pruned file list before any data task launches. (`might_contain`
-    * the expression deliberately accepts only constant/scalar-subquery
-    * sketches, so a per-file bloom COLUMN is not probeable in a
-    * distributed filter — the engine itself pushes this decision to
-    * planning time.) No false negatives ⇒ skipping is
-    * correctness-free.
+  /** Files whose bloom MIGHT contain any of `ids` — the planning-time
+    * skipping decision of every lakehouse format, but evaluated
+    * EXECUTOR-SIDE: the probe ids ride the task closure, each
+    * partition of the |files|-row index deserializes its own sketches,
+    * and only matching file PATHS (strings) return to the driver.
+    * Collecting the sketches themselves would be ~16 KB × |files| of
+    * driver heap — at 100 TB (~800k files) that is ~13 GB for a
+    * decision the executors can make locally. (`might_contain` the
+    * expression deliberately accepts only constant/scalar-subquery
+    * sketches, so a per-file bloom COLUMN is not probeable in a plain
+    * distributed filter — hence the typed mapPartitions.) No false
+    * negatives ⇒ skipping is correctness-free.
     */
   private[graft] def bloomKeptFiles(spark: SparkSession, dir: String,
-      ids: Seq[Long]): Array[String] =
-    bloomFileIndex(spark, dir).collect().filter { r =>
-      val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
-        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
-      ids.exists(bf.mightContainLong)
-    }.map(_.getAs[String]("file"))
+      ids: Seq[Long]): Array[String] = {
+    import spark.implicits._
+    val probe = ids.toArray
+    bloomFileIndex(spark, dir)
+      .select(col("file"), col("bloom")).as[(String, Array[Byte])]
+      .mapPartitions(_.collect { case (file, bytes)
+          if {
+            val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+              new java.io.ByteArrayInputStream(bytes))
+            probe.exists(bf.mightContainLong)
+          } => file
+        })
+      .collect()
+  }
 
   /** Point lookups through the Bloom skipping index: consult the index
     * for files that might contain any probe id, read ONLY those, then

@@ -42,6 +42,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(800))
   }
 
+  test("q53 keyset page: TakeOrdered cost shape, no rank window") {
+    // the search_after rewrite's whole point: page depth never buys a
+    // rank window (q52's shape) — both the cursor fetch and the page
+    // are bounded-heap TakeOrderedAndProject
+    val p = plan("q53_keyset_page")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(!p.contains("Window"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
   test("minhash aggregates hash-based, never sort-based") {
     val p = plan("dedup_minhash")
     assert(!p.contains("SortAggregate"), p.take(800))

@@ -552,6 +552,29 @@ class TextOpsSpec extends SparkSpec {
     assert(out.map(_._5).sorted.toSeq === Seq(0L, 1L))
   }
 
+  test("chunkDedup keeper survives a >1024-chunk document (pack radix)") {
+    // doc 5's chunk 1300 and doc 6's chunk 2 share a hash: (5, 1300)
+    // is the lexicographic keeper. Under a 1024 radix the packings
+    // invert (5·1024+1300 = 6420 > 6·1024+2 = 6146) and the arg-min
+    // silently names the WRONG occurrence — the 100 TB long-document
+    // case (a 1300-chunk doc is ~31k tokens at the fixture's 24-stride).
+    val s = spark; import s.implicits._
+    val dup = Seq((5L, 1300L), (6L, 2L), (6L, 9L))
+      .map { case (d, c) => (d, c, 7L, "shared text") }
+    val uniq = (0L until 1500L).map(c => (5L, c, 7L, s"u$c"))
+      .filterNot(_._2 == 1300L)
+    val ch = (dup ++ uniq)
+      .toDF("doc_id", "chunk_id", "n_tokens", "chunk_text")
+      .withColumn("chunk_hash", md5(col("chunk_text")))
+    val out = TextOps.chunkDedupFrom(ch).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_occurrences") === 3L)
+    assert(r.getAs[Long]("n_docs") === 2L)
+    assert(r.getAs[Long]("keeper_doc") === 5L)
+    assert(r.getAs[Long]("keeper_chunk") === 1300L)
+  }
+
   test("containment: wrapped doc reported at 1.0 where Jaccard-LSH misses it") {
     // doc1 = doc0 wrapped in 60 tokens of unique filler: containment of
     // doc0 in doc1 is 1.0 while Jaccard ≈ |A|/|B| ≈ 0.14 — far below
