@@ -115,4 +115,32 @@ object OracleMultimodal {
        |    AS BIGINT) AS n_bytes,
        |  md5(substring(payload, 1, CAST(floor(length(payload) / 2) AS INT))) AS checksum
        |FROM media""".stripMargin
+
+  /** Mirror of MultimodalOps.mediaDecode ∘ mediaPpm: rebuilds the PPM
+    * payload's RASTER section (the same rpad-cycled ASCII text) and
+    * recomputes what the JVM parser extracts — dims, maxval, raster
+    * byte count, byte-sum brightness (`ord` over the 1-based char
+    * walk; ASCII ⇒ chars are bytes). Header parsing itself is the
+    * JVM's job; the oracle checks its OUTPUT against the ground truth
+    * the construction implies.
+    */
+  val decode: String =
+    s"""WITH m AS (
+       |  SELECT doc_id AS media_id,
+       |    8 + doc_id % 16 AS w,
+       |    8 + doc_id % 12 AS h,
+       |    coalesce(nullif(text, ''), ' ') AS t
+       |  FROM documents
+       |),
+       |p AS (
+       |  SELECT media_id, w, h, rpad(t, CAST(w * h * 3 AS INT), t) AS pix FROM m
+       |)
+       |SELECT media_id,
+       |  CAST(w AS INT) AS dec_width,
+       |  CAST(h AS INT) AS dec_height,
+       |  CAST(255 AS INT) AS dec_maxval,
+       |  CAST(w * h * 3 AS BIGINT) AS n_pixel_bytes,
+       |  CAST(list_sum(list_transform(range(1, CAST(length(pix) + 1 AS INT)),
+       |    i -> ord(pix[CAST(i AS INT)]))) AS BIGINT) AS brightness
+       |FROM p""".stripMargin
 }

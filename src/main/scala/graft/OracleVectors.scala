@@ -432,6 +432,71 @@ object OracleVectors {
        |SELECT vec_id, label, c_label AS assigned_label, sim
        |FROM cranked WHERE rn = 1""".stripMargin
 
+  /** Mirror of VectorOps.knnLabelPartitioned: composite (label, cell)
+    * inverted lists, per-query similarity-ordered cell walk with a
+    * running candidate total (cranked's rn IS the walk order), stop at
+    * the LabelPartMinCands floor, exact cosine + top-k.
+    */
+  def knnLabelPartitioned(nlist: Int = VectorOps.NList): String = {
+    val t = VectorOps.LabelPartMinCands
+    s"""WITH $baseCte, ${centroidsCte(nlist)},
+       |$centroidSimsCtes,
+       |assignments AS (
+       |  SELECT vec_id AS neighbor_id, c_label AS assigned_label
+       |  FROM cranked WHERE rn = 1
+       |),
+       |lists AS (
+       |  SELECT a.neighbor_id, a.assigned_label, b.label AS plabel
+       |  FROM assignments a JOIN base b ON b.vec_id = a.neighbor_id
+       |),
+       |lsizes AS (
+       |  SELECT plabel, assigned_label, count(*) AS cnt
+       |  FROM lists GROUP BY plabel, assigned_label
+       |),
+       |qlab AS (
+       |  SELECT vec_id AS query_id, label AS plabel
+       |  FROM base WHERE vec_id % $qm = 0
+       |),
+       |qcells AS (
+       |  SELECT vec_id AS query_id, c_label AS assigned_label, rn
+       |  FROM cranked WHERE vec_id % $qm = 0
+       |),
+       |probes AS (
+       |  SELECT query_id, plabel, assigned_label FROM (
+       |    SELECT q.query_id, ql.plabel, q.assigned_label, l.cnt,
+       |      sum(l.cnt) OVER (PARTITION BY q.query_id ORDER BY q.rn
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |    FROM qcells q
+       |    JOIN qlab ql USING (query_id)
+       |    JOIN lsizes l
+       |      ON l.plabel = ql.plabel AND l.assigned_label = q.assigned_label)
+       |  WHERE cum - cnt < $t
+       |),
+       |candidates AS (
+       |  SELECT p.query_id, li.neighbor_id
+       |  FROM probes p JOIN lists li
+       |    ON li.plabel = p.plabel AND li.assigned_label = p.assigned_label
+       |  WHERE li.neighbor_id <> p.query_id
+       |),
+       |qset AS (
+       |  SELECT vec_id AS query_id, embedding AS qv, nrm AS qnrm
+       |  FROM base WHERE vec_id % $qm = 0
+       |),
+       |sims AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    ${dot("nb.embedding", "q.qv")} / (sqrt(nb.nrm) * sqrt(q.qnrm)) AS sim
+       |  FROM candidates c
+       |  JOIN base nb ON nb.vec_id = c.neighbor_id
+       |  JOIN qset q ON q.query_id = c.query_id
+       |),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS "rank"
+       |  FROM sims
+       |)
+       |SELECT query_id, neighbor_id, "rank", sim FROM ranked WHERE "rank" <= $k""".stripMargin
+  }
+
   def knnIvf(nlist: Int = VectorOps.NList,
       nprobe: Int = VectorOps.NProbe, filtered: Boolean = false): String = {
     // filtered variant: the label predicate joins into the CANDIDATE

@@ -162,45 +162,102 @@ object MultimodalOps {
   }
 
   // -------------------------------------------------------------------
-  // Decode boundary (stubbed codec, real plumbing)
+  // Decode boundary (real pure-JVM PPM codec)
   // -------------------------------------------------------------------
 
-  final case class MediaRow(
-      media_id: Long, media_type: String, payload: Array[Byte],
-      width: Int, height: Int)
+  final case class MediaRow(media_id: Long, payload: Array[Byte])
 
+  /** A real decode's output: everything below is PARSED from the
+    * payload bytes, never read off metadata columns.
+    */
   final case class DecodedMedia(
-      media_id: Long, dec_width: Int, dec_height: Int, brightness: Long)
+      media_id: Long, dec_width: Int, dec_height: Int, dec_maxval: Int,
+      n_pixel_bytes: Long, brightness: Long)
 
-  /** The codec interface a real deployment implements (libjpeg/ffmpeg
-    * bindings, etc.). Deliberately bytes-in, struct-out so the Spark
-    * side is codec-agnostic.
+  /** The codec interface a real deployment implements. Deliberately
+    * bytes-in, struct-out so the Spark side is codec-agnostic:
+    * [[PpmDecoder]] is the shipped pure-JVM member; a libjpeg/ffmpeg
+    * binding slots in with zero plumbing change (the formats the
+    * container lacks codecs for).
     */
   trait MediaDecoder extends Serializable {
     def decode(row: MediaRow): DecodedMedia
   }
 
-  /** STUB: deterministic fake decode — "brightness" is the byte sum
-    * mod 256. Stands in for the real codec the container lacks.
+  /** Binary PPM (P6) decoder — an actual parser, not a stub: header
+    * tokenizer with `#`-comment and whitespace handling per the netpbm
+    * spec, the single post-maxval whitespace byte before the raster,
+    * then a byte-sum brightness fold over exactly width·height·3
+    * raster bytes. PPM because it is the one raster format a
+    * dependency-free JVM can decode honestly.
     */
-  object FakeDecoder extends MediaDecoder {
-    def decode(row: MediaRow): DecodedMedia =
-      DecodedMedia(
-        row.media_id, row.width, row.height,
-        row.payload.foldLeft(0L)((a, b) => a + (b & 0xff)) % 256)
+  object PpmDecoder extends MediaDecoder {
+    def decode(row: MediaRow): DecodedMedia = {
+      val b = row.payload
+      var i = 0
+      def isWs(c: Byte): Boolean =
+        c == ' ' || c == '\n' || c == '\r' || c == '\t'
+      def token(): String = {
+        var scanning = true
+        while (scanning) { // whitespace runs and #-comment lines interleave
+          while (i < b.length && isWs(b(i))) i += 1
+          if (i < b.length && b(i) == '#') {
+            while (i < b.length && b(i) != '\n') i += 1
+          } else scanning = false
+        }
+        val s = i
+        while (i < b.length && !isWs(b(i))) i += 1
+        new String(b, s, i - s, java.nio.charset.StandardCharsets.US_ASCII)
+      }
+      val magic = token()
+      require(magic == "P6", s"media ${row.media_id}: not binary PPM: '$magic'")
+      val w = token().toInt
+      val h = token().toInt
+      val maxval = token().toInt
+      require(w > 0 && h > 0 && maxval > 0 && maxval < 65536,
+        s"media ${row.media_id}: bad PPM header $w x $h maxval $maxval")
+      i += 1 // spec: EXACTLY one whitespace byte separates maxval and raster
+      val n = w * h * 3
+      require(b.length - i >= n,
+        s"media ${row.media_id}: truncated raster: ${b.length - i} < $n")
+      var sum = 0L
+      var j = i
+      val end = i + n
+      while (j < end) { sum += (b(j) & 0xff); j += 1 }
+      DecodedMedia(row.media_id, w, h, maxval, n.toLong, sum)
+    }
   }
+
+  /** PPM-framed media: each document's bytes wrapped as a syntactically
+    * valid P6 payload (header with a comment line, then the text bytes
+    * cycled to exactly w·h·3 raster bytes via rpad — ASCII, so the
+    * DuckDB oracle mirrors the raster in VARCHAR space). Dimensions are
+    * deliberately SMALLER than [[media]]'s metadata so nothing decoded
+    * can be read off a column.
+    */
+  def mediaPpm(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id").as("media_id"),
+        expr("CAST(8 + doc_id % 16 AS INT)").as("w"),
+        expr("CAST(8 + doc_id % 12 AS INT)").as("h"),
+        expr("coalesce(nullif(text, ''), ' ')").as("t"))
+      .select(col("media_id"),
+        expr("""CAST(concat('P6', chr(10), '# graft synthetic', chr(10),
+                CAST(w AS STRING), ' ', CAST(h AS STRING), chr(10),
+                '255', chr(10), rpad(t, w * h * 3, t)) AS BINARY)""")
+          .as("payload"))
 
   /** Typed partition-wise decode: one decoder instance per partition,
     * rows streamed through it — the iterator IS the batch (the JVM
-    * shape of an Arrow-batch decode UDF). Registered rows-only (no SQL
-    * oracle: the decode boundary is exactly what SQL can't express).
+    * shape of an Arrow-batch decode UDF). The decode itself cannot be
+    * SQL, but its OUTPUT is scalars the oracle recomputes from the
+    * same payload construction — the query is fully differential-
+    * checked, codec included.
     */
   def mediaDecode(spark: SparkSession, dir: String,
-      decoder: MediaDecoder = FakeDecoder): Dataset[DecodedMedia] = {
+      decoder: MediaDecoder = PpmDecoder): Dataset[DecodedMedia] = {
     import spark.implicits._
-    media(spark, dir)
-      .select(col("media_id"), col("media_type"), col("payload"),
-        col("meta.width").as("width"), col("meta.height").as("height"))
+    mediaPpm(spark, dir)
       .as[MediaRow]
       .mapPartitions(rows => rows.map(decoder.decode))
   }

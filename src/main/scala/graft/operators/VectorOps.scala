@@ -882,6 +882,78 @@ object VectorOps {
     topK(sims)
   }
 
+  /** Candidate floor for [[knnLabelPartitioned]]'s per-query dynamic
+    * probing: cells accumulate until at least this many same-label
+    * candidates are in hand (4·[[K]] + the query itself). The recall/
+    * cost dial of the label-partitioned index — raising it approaches
+    * exact-within-partition.
+    */
+  val LabelPartMinCands: Int = 4 * K + 1
+
+  /** Label-PARTITIONED filtered ANN — the production fix
+    * [[knnIvfFiltered]]'s Scaladoc names: the index stores inverted
+    * lists under COMPOSITE (label, cell) keys (per-tenant IVF — the
+    * [[graft.sources.Layout]] partition-pruning move applied to index
+    * layout), so the filter prunes the index instead of starving the
+    * candidate stream. Where the stream-filter variant probes nprobe
+    * label-BLIND buckets and visibly returns < k under a selective
+    * filter, here each query walks ITS OWN PARTITION's cells in
+    * centroid-similarity order and stops once [[LabelPartMinCands]]
+    * candidates accumulate (a per-query dynamic nprobe, decided from
+    * the |labels|·nlist-row list-size metadata — planning-scale data,
+    * like bloom file skipping): ≥ min(4k, |partition|−1) true
+    * same-label candidates, so k results are guaranteed whenever the
+    * partition holds k+1 vectors, degrading to exact-within-partition
+    * on small partitions. Exact cosine scores the candidates (same
+    * oracle-checkable arithmetic as [[knnIvf]]). Scale shape: the
+    * corpus-side join is a broadcast equi-join on the composite key
+    * (probes are ≤ |Q|·nlist rows), the corpus never shuffles, and
+    * candidates stay ~|Q|·max(T, bucket) — never all-pairs, never
+    * label-blind.
+    */
+  def knnLabelPartitioned(spark: SparkSession, dir: String,
+      nlist: Int = NList): DataFrame = {
+    val labels = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+    // the composite-key inverted lists: (partition label, cell) → members
+    val lists = ivfAssign(spark, dir, nlist)
+      .select(col("vec_id").as("neighbor_id"), col("assigned_label"))
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("plabel")), Seq("neighbor_id"))
+    val listSizes = lists.groupBy(col("plabel"), col("assigned_label"))
+      .agg(count(lit(1)).as("cnt"))
+    // every cell of the query's own partition, walked in similarity
+    // order (nearestCentroids' rn), with a running candidate total
+    val qlab = labels.where(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("label").as("plabel"))
+    val qcells = nearestCentroids(
+      withNorm(spark, dir).where(col("vec_id") % QueryMod === 0),
+      centroidVectors(spark, dir, nlist), nearest = nlist)
+      .select(col("vec_id").as("query_id"),
+        col("c_label").cast("int").as("assigned_label"), col("rn"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rn"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val probes = qcells
+      .join(broadcast(qlab), Seq("query_id"))
+      .join(broadcast(listSizes), Seq("plabel", "assigned_label"))
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .where(col("cum") - col("cnt") < LabelPartMinCands)
+      .select(col("query_id"), col("plabel"), col("assigned_label"))
+    val candidates = broadcast(probes).join(lists, Seq("plabel", "assigned_label"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    val base = withNorm(spark, dir)
+    val sims = candidates
+      .join(base.select(col("vec_id").as("neighbor_id"), col("embedding"),
+        col("nrm")), Seq("neighbor_id"))
+      .join(broadcast(
+        base.where(col("vec_id") % QueryMod === 0)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+            col("nrm").as("qnrm"))),
+        Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine)
+    topK(sims)
+  }
+
   // --- Product quantization (PQ) ---------------------------------------
 
   /** PQ subspace count: the vector splits into [[PqM]] contiguous

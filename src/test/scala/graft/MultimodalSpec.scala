@@ -32,16 +32,39 @@ class MultimodalSpec extends SparkSpec {
       ceil(col("n_frames") / 2).cast("long")).count() === 0)
   }
 
-  test("decode stub: deterministic brightness equals driver-side recompute") {
-    val decoded = MultimodalOps.mediaDecode(spark, sfDir)
-      .collect().map(d => d.media_id -> d.brightness).toMap
-    val raw = MultimodalOps.media(spark, sfDir)
+  test("PPM decode: parsed dims and byte-sum brightness match driver recompute") {
+    val decoded = MultimodalOps.mediaDecode(spark, sfDir).collect()
+      .map(d => d.media_id -> d).toMap
+    val raw = MultimodalOps.mediaPpm(spark, sfDir)
       .select(col("media_id"), col("payload")).collect()
-      .map(r => r.getLong(0) ->
-        r.getAs[Array[Byte]](1).foldLeft(0L)((a, b) => a + (b & 0xff)) % 256)
-      .toMap
-    assert(decoded === raw)
-    assert(decoded.nonEmpty)
+    assert(raw.nonEmpty && decoded.size === raw.length)
+    raw.foreach { r =>
+      val id = r.getLong(0)
+      val d = decoded(id)
+      // dims come out of the HEADER BYTES (mediaPpm's construction),
+      // deliberately different from media()'s metadata columns
+      assert(d.dec_width === (8 + id % 16).toInt && d.dec_height === (8 + id % 12).toInt)
+      assert(d.dec_maxval === 255)
+      assert(d.n_pixel_bytes === d.dec_width.toLong * d.dec_height * 3)
+      val raster = r.getAs[Array[Byte]](1).takeRight(d.n_pixel_bytes.toInt)
+      assert(d.brightness === raster.foldLeft(0L)((a, x) => a + (x & 0xff)))
+    }
+  }
+
+  test("PpmDecoder: comment/whitespace-tolerant header; rejects non-P6") {
+    val pix = Array.tabulate(2 * 2 * 3)(i => (i * 7 % 251).toByte)
+    val header = "P6\n# c1\n  # c2\n 2\t2\n# before maxval\n255\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val d = MultimodalOps.PpmDecoder.decode(
+      MultimodalOps.MediaRow(7L, header ++ pix))
+    assert(d.dec_width === 2 && d.dec_height === 2 && d.dec_maxval === 255)
+    assert(d.n_pixel_bytes === 12L)
+    assert(d.brightness === pix.foldLeft(0L)((a, x) => a + (x & 0xff)))
+    intercept[IllegalArgumentException] {
+      MultimodalOps.PpmDecoder.decode(MultimodalOps.MediaRow(8L,
+        "P5\n2 2\n255\n............".getBytes(
+          java.nio.charset.StandardCharsets.US_ASCII)))
+    }
   }
 
   test("resize halves metadata and keeps exactly the leading half payload") {

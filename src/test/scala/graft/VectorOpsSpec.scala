@@ -407,4 +407,34 @@ class VectorOpsSpec extends SparkSpec {
     }
     assert(survivors.exists(_ < VectorOps.K))
   }
+
+  test("knnLabelPartitioned: full k per query, label gate, recall ≥ stream-filter variant") {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val part = VectorOps.knnLabelPartitioned(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the fix the stream-filter variant documents: every query gets the
+    // FULL k (partitions hold ≥ k+1 members at every sf), and every
+    // neighbor is a true filtered hit
+    part.foreach { case (q, n, _) => assert(emb(q) === emb(n), s"$q -> $n") }
+    val perQuery = part.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._3).sorted }
+    assert(perQuery.nonEmpty)
+    perQuery.values.foreach(rs => assert(rs === (1L to VectorOps.K)))
+    // recall against the exact filtered ground truth, vs the label-blind
+    // candidate-stream-filter variant: partition-local probing must not
+    // lose to it (at this fixture the stream variant visibly drops rows)
+    val exact = VectorOps.knnFiltered(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val stream = VectorOps.knnIvfFiltered(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def recall(hits: Iterable[(Long, Long)]): Double =
+      hits.count(exact.contains).toDouble / exact.size
+    val rPart = recall(part.map(t => (t._1, t._2)))
+    val rStream = recall(stream)
+    assert(rPart >= rStream,
+      s"label-partitioned recall $rPart < stream-filter recall $rStream")
+    assert(stream.size < exact.size, "fixture no longer shows the <k cliff")
+    assert(part.size === exact.size)
+  }
 }
