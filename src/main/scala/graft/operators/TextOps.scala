@@ -1558,14 +1558,28 @@ object TextOps {
     val qterms = queries.select(col("term")).distinct()
     val docLens = withWords(spark, dir)
       .select(col("doc_id"), size(col("words")).as("dl"))
-    // count(dl)/sum(dl) both skip null-text docs on both engines
-    val stats = docLens.agg(
-      count(col("dl")).as("n_docs"), sum(col("dl")).as("dl_sum"))
     val tf = withWords(spark, dir)
       .select(col("doc_id"), explode(col("words")).as("term"))
       .join(broadcast(qterms), Seq("term"), "left_semi")
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+    bm25RankedFrom(tf, docLens, queries, excludeSelf)
+  }
+
+  /** [[bm25Ranked]] over materialized index relations — `tf` is a
+    * (doc_id, term, tf) postings relation already restricted to the
+    * query vocabulary, `docLens` a (doc_id, dl) length relation. The
+    * seam the INCREMENTAL index reads through:
+    * [[graft.streaming.StreamingRetrieval]] rebuilds both from its
+    * per-batch stores and gets scoring bit-identical to the batch
+    * operator, because every downstream step (df, idf, the integer
+    * grid) runs HERE, off the same relations.
+    */
+  private[graft] def bm25RankedFrom(tf: DataFrame, docLens: DataFrame,
+      queries: DataFrame, excludeSelf: Boolean): DataFrame = {
+    // count(dl)/sum(dl) both skip null-text docs on both engines
+    val stats = docLens.agg(
+      count(col("dl")).as("n_docs"), sum(col("dl")).as("dl_sum"))
     val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val contrib = tf
       .join(broadcast(dfq), Seq("term"))

@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.TextOps
+
+/** Incremental retrieval-index maintenance — the streaming mirror of
+  * [[graft.operators.TextOps.bm25]], the way StreamingCounters mirrors
+  * evt_anomaly: documents arrive in micro-batches and each batch adds
+  * its slice of the inverted index — (doc, term, tf) postings and
+  * (doc, dl) lengths, both pure per-document derivations. The READ
+  * side rebuilds the two relations from the accumulated store and
+  * feeds them through [[TextOps.bm25RankedFrom]], so a drained stream
+  * scores bit-identically to the batch operator over the same corpus
+  * (df/idf/avgdl are recomputed from the store at query time — they
+  * are corpus-wide ratios no per-batch state could finalize early).
+  *
+  * Merge algebra / replay: both stores are ADDITIVE with per-document
+  * rows, so the overwrite-own-batchId discipline makes crash-replay
+  * idempotent exactly as in [[StreamingCorpus]] (a replayed batch
+  * overwrites its own partition and nothing else). The upstream
+  * contract is one batch per document — the corpus-dedup stream IS
+  * that upstream (novel docs only); re-ingesting a doc under a new
+  * batch id is an upstream bug this index would faithfully
+  * double-count, the same contract every search engine's indexer has.
+  *
+  * Scale: per batch the work is one tokenize + one (doc, term)
+  * partial-aggregated groupBy over JUST the batch; the accumulated
+  * postings store is the only thing that grows, it never rewrites
+  * (each batch owns its partition), and the read side's joins are the
+  * batch operator's own shapes (broadcast query vocabulary, term-keyed
+  * df join).
+  */
+object StreamingRetrieval {
+
+  def docStream(spark: SparkSession, path: String): DataFrame =
+    spark.readStream.schema(StreamingCorpus.docsSchema).parquet(path)
+
+  /** Start the index-maintenance stream: per micro-batch, write the
+    * batch's postings and lengths into its own partitions.
+    * `Trigger.AvailableNow` drains-and-stops (the cron analog).
+    */
+  def startIndexStream(
+      spark: SparkSession,
+      docsPath: String,
+      indexPath: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docStream(spark, docsPath)
+      .writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(spark, batch, batchId, indexPath)
+      }
+      .start()
+
+  /** One micro-batch: tokenize (the exact batch-operator expressions —
+    * whitespace split, size() lengths with null-text rows kept as null
+    * dl so read-side count(dl) skips them, explode dropping null
+    * arrays) and write this batch's index slice. Package-visible so
+    * tests drive it without a running stream.
+    */
+  private[graft] def processBatch(spark: SparkSession, batch: DataFrame,
+      batchId: Long, indexPath: String): Unit = {
+    val docs = batch
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      docs.select(col("doc_id"), size(col("words")).as("dl"))
+        .write.mode("overwrite").parquet(s"$indexPath/lens/batch_id=$batchId")
+      docs.select(col("doc_id"), explode(col("words")).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+        .write.mode("overwrite").parquet(s"$indexPath/postings/batch_id=$batchId")
+    } finally docs.unpersist(blocking = false)
+  }
+
+  /** Query the accumulated index: restrict postings to the workload's
+    * vocabulary (broadcast semi-join — the batch operator's own first
+    * move) and score through the shared [[TextOps.bm25RankedFrom]]
+    * engine. Equal to `TextOps.bm25` over the union of all ingested
+    * batches.
+    */
+  def bm25Search(spark: SparkSession, indexPath: String,
+      workload: Seq[(Long, Seq[String])] = TextOps.bm25Queries): DataFrame = {
+    val s = spark; import s.implicits._
+    val queries = workload
+      .flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("query_id", "term")
+    val qterms = queries.select(col("term")).distinct()
+    val postings = spark.read.parquet(s"$indexPath/postings")
+      .join(broadcast(qterms), Seq("term"), "left_semi")
+      .select(col("doc_id"), col("term"), col("tf"))
+    val lens = spark.read.parquet(s"$indexPath/lens")
+      .select(col("doc_id"), col("dl"))
+    TextOps.bm25RankedFrom(postings, lens, queries, excludeSelf = false)
+  }
+}

@@ -114,7 +114,9 @@ class GoldenSpec extends SparkSpec {
     "emb_knn_native" -> ((5382587561670919428L, 50L)),
     "emb_lsh_mp_recall" -> ((-3384436044905051576L, 5L)),
     "emb_lsh_recall" -> ((-4469750923323151140L, 5L)),
-    "media_decode" -> ((1186192457682470582L, 500L)),
+    // refrozen in r9: the decode seam now parses real PPM payloads
+    // (header-derived dims/maxval/raster stats) instead of the stub
+    "media_decode" -> ((2569205269950553306L, 500L)),
     // equal to dedup_exact's fingerprint: same digest of the same ASCII
     // bytes, same canonical rule — cross-family consistency by design
     "media_dedup_exact" -> ((678982984489084868L, 500L)),
@@ -230,12 +232,17 @@ class GoldenSpec extends SparkSpec {
     "evt_rolling_distinct_hll" -> ((7312857790125126064L, 150L)),
     "q51_percentile_ranks" -> ((-2039279968960754707L, 5L)),
     "q52_pagination" -> ((6743341414754830305L, 4L)),
+    "q53_keyset_page" -> ((-8498787963028292925L, 10L)),
     "emb_knn_filtered" -> ((-2312461576163614589L, 50L)),
     // 39 rows, not 50: probing stays label-blind, so some queries
     // find fewer than k same-label candidates in their nprobe buckets
     // — the documented recall trade the label-partitioned-index
     // deployment removes
     "emb_knn_ivf_filtered" -> ((-8589558467914555728L, 39L)),
+    // 50 rows where the stream-filter variant returns 39: the
+    // label-partitioned walk fills its candidate floor inside the
+    // query's own partition
+    "emb_knn_label_part" -> ((-2947521584168609730L, 50L)),
     "emb_knn_pq" -> ((8039933173616903381L, 50L)),
     "emb_pq_recall" -> ((6681137179820178689L, 5L)),
     "emb_knn_mrl" -> ((4719170906433506228L, 50L)),

@@ -493,6 +493,71 @@ for (k <- Seq(1, 8, 16)) {
   println(f"  k=$k%2d (${500 * k}%5d docs base x sf-mult): $s%6.2f s")
 }
 
+println("== sig_terms shape (distinct (doc,term,source) explode -> fg/bg partial aggs -> term-keyed join -> per-source WindowGroupLimit) ==")
+// k-fold docs with fresh ids: distinct pairs, fg and bg all grow k-fold
+// but (term, source) group cardinality is CONSTANT, so the join and
+// window stay vocabulary-sized; expect ~linear scan/distinct cost
+for (k <- Seq(1, 8, 16)) {
+  val docs = multi("documents", k)
+    .withColumn("doc_id", monotonically_increasing_id())
+  val s = timed {
+    val dt = docs
+      .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("term"))
+      .distinct()
+    val fg = dt.groupBy(col("source"), col("term")).agg(count(lit(1)).as("fg"))
+    val bg = dt.groupBy(col("term")).agg(count(lit(1)).as("bg"))
+    val fgTotals = docs.groupBy(col("source")).agg(count(lit(1)).as("fg_total"))
+    val nDocs = docs.agg(count(lit(1)).as("bg_total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("jlh").desc, col("term").asc)
+    fg.join(bg, Seq("term"))
+      .join(broadcast(fgTotals), Seq("source"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("fg_pct", col("fg").cast("double") / col("fg_total").cast("double"))
+      .withColumn("bg_pct", col("bg").cast("double") / col("bg_total").cast("double"))
+      .withColumn("jlh", (col("fg_pct") - col("bg_pct")) * (col("fg_pct") / col("bg_pct")))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= 5)
+      .agg(count(lit(1))).head()
+  }
+  println(f"  k=$k%2d (${500 * k}%5d docs base x sf-mult): $s%6.2f s")
+}
+
+println("== hybrid RRF fusion shape (two top-k rank lists full-outer-joined per (query,doc) -> integer-grid fuse -> per-query window; cost must track |Q|, not corpus) ==")
+// the two subsystems (BM25, exact kNN) carry their own probes above /
+// below; what fusion adds is k*|Q|-row small-data work. Grow |Q| 4x by
+// tightening the query stride — expect ~flat-to-linear in |Q| with the
+// corpus fixed
+for (qmod <- Seq(100, 50, 25)) {
+  val docs = multi("documents", 1)
+  val s = timed {
+    // stand-in ranked lists at the real per-query width: top-10 docs
+    // per query from a deterministic hash order (the fusion consumes
+    // ONLY (query, doc, rank) — its cost does not depend on how the
+    // lists were ranked)
+    val w0 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("h").asc, col("doc_id").asc)
+    def ranked(salt: String) = docs
+      .select(col("doc_id"))
+      .crossJoin(broadcast(docs.select(col("doc_id").as("query_id"))
+        .where(col("query_id") % qmod === 0)))
+      .select(col("query_id"), col("doc_id"),
+        expr(s"CAST(conv(substring(md5(concat_ws(':', '$salt', query_id, doc_id)), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      .withColumn("rank", row_number().over(w0)).where(col("rank") <= 10)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val lex = ranked("lex").withColumnRenamed("rank", "lex_rank")
+    val vec = ranked("vec").withColumnRenamed("rank", "vec_rank")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("rrf_score").desc, col("doc_id").asc)
+    lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(expr("1099511627776 div (60 + lex_rank)"), lit(0L)) +
+          coalesce(expr("1099511627776 div (60 + vec_rank)"), lit(0L)))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= 10)
+      .agg(count(lit(1))).head()
+  }
+  println(f"  qmod=$qmod%3d (|Q| x${100 / qmod}%d): $s%6.2f s")
+}
+
 println("== bottom-k-by-hash sampling shape (q50: rank<=k window -> partial WindowGroupLimit cuts each map task to k rows/group) ==")
 for (k <- Seq(1, 8, 32)) {
   val ev = graft.sources.Tables.eventsFrom(multi("events", k))
