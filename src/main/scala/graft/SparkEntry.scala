@@ -224,7 +224,10 @@ object SparkEntry {
     "emb_knn_exact", "emb_knn_sq8",
     // r8: the containment digest-set, triangle oriented-edge, and
     // bloom file-index memos
-    "dedup_containment", "graph_triangles", "evt_bloom_skip")
+    "dedup_containment", "graph_triangles", "evt_bloom_skip",
+    // r9: the retrieval family's stored inverted index (postings +
+    // doc-length sidecar)
+    "txt_bm25")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.

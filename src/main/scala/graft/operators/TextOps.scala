@@ -740,6 +740,35 @@ object TextOps {
     * monotone transform, so the deterministic ratio keeps the oracle
     * hash-exact without changing which terms win.
     */
+  /** The materialized inverted index: (doc_id, term, tf) postings —
+    * what a search deployment STORES (ES's own index structure; the
+    * incremental twin [[graft.streaming.StreamingRetrieval]] maintains
+    * exactly this per batch). Memoized so the whole retrieval family
+    * ([[tfidf]], [[bm25Ranked]], [[sigTerms]], and [[Retrieval
+    * .hybridRrf]] through all three) reads the one artifact instead of
+    * each re-running the tokenize-explode-aggregate — the in-session
+    * analog of the index the ingest job wrote. Distinct (doc, term)
+    * pairs by construction (tf ≥ 1), so `SELECT doc_id, term` IS the
+    * doc-frequency relation.
+    */
+  private[graft] def postingsIndex(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, dir, "postings_index") {
+      withWords(spark, dir)
+        .select(col("doc_id"), explode(col("words")).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+    }
+
+  /** Per-document token lengths — the index sidecar [[bm25Ranked]]'s
+    * length normalization reads (null-text docs keep a null dl so
+    * count(dl)/sum(dl) skip them, the cross-engine convention).
+    */
+  private[graft] def docLenIndex(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, dir, "doclen_index") {
+      withWords(spark, dir)
+        .select(col("doc_id"), size(col("words")).as("dl"))
+    }
+
   def tfidf(spark: SparkSession, dir: String): DataFrame = {
     // Corpus size as a broadcast 1-row aggregate (the q20ScalarSubquery
     // pattern), NOT an eager .count(): an action at plan-construction
@@ -750,10 +779,8 @@ object TextOps {
     // shuffle join is the scale shape (AQE still broadcasts it at small
     // SF when it measures under the threshold).
     val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
-    val termCounts = withWords(spark, dir)
-      .select(col("doc_id"), explode(col("words")).as("word"))
-      .groupBy(col("doc_id"), col("word"))
-      .agg(count(lit(1)).as("tf"))
+    val termCounts = postingsIndex(spark, dir)
+      .select(col("doc_id"), col("term").as("word"), col("tf"))
     val docFreq = termCounts
       .groupBy(col("word"))
       .agg(count(lit(1)).as("df"))
@@ -1272,17 +1299,34 @@ object TextOps {
   val SigTermsTopK = 5
 
   def sigTerms(spark: SparkSession, dir: String): DataFrame = {
-    val docTerms = withWords(spark, dir)
-      .select(col("doc_id"), col("source"), explode(col("words")).as("term"))
-      .distinct()
+    // postings rows ARE the distinct (doc, term) pairs; the doc-keyed
+    // source attach replaces the explode+distinct pass (at scale a
+    // co-partitionable equi-join against doc metadata)
+    val docTerms = postingsIndex(spark, dir)
+      .select(col("doc_id"), col("term"))
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+    sigTermsFrom(docTerms,
+      Tables.documents(spark, dir).select(col("doc_id"), col("source")))
+  }
+
+  /** [[sigTerms]] over materialized relations — `docTerms` the
+    * distinct (doc_id, term, source) triples, `docSources` one row per
+    * corpus document (null-text docs included: they count in the
+    * fg/bg totals exactly as the batch operator counts them). The seam
+    * [[graft.streaming.StreamingRetrieval.sigTermsSearch]] reads
+    * through.
+    */
+  private[graft] def sigTermsFrom(docTerms: DataFrame,
+      docSources: DataFrame): DataFrame = {
     val fg = docTerms.groupBy(col("source"), col("term"))
       .agg(count(lit(1)).as("fg"))
     // docTerms rows are distinct (doc, term) pairs (one source per
     // doc), so a plain count IS the distinct-doc frequency
     val bg = docTerms.groupBy(col("term")).agg(count(lit(1)).as("bg"))
-    val fgTotals = Tables.documents(spark, dir)
+    val fgTotals = docSources
       .groupBy(col("source")).agg(count(lit(1)).as("fg_total"))
-    val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("bg_total"))
+    val nDocs = docSources.agg(count(lit(1)).as("bg_total"))
     val scored = fg
       .join(bg, Seq("term"))
       .join(broadcast(fgTotals), Seq("source"))
@@ -1555,15 +1599,13 @@ object TextOps {
     */
   private[operators] def bm25Ranked(spark: SparkSession, dir: String,
       queries: DataFrame, excludeSelf: Boolean): DataFrame = {
+    // the stored index, restricted to the query vocabulary — identical
+    // tf values to an on-the-fly tokenize (exact per-(doc, term)
+    // counts), but the read path is an index scan + broadcast semi-join
     val qterms = queries.select(col("term")).distinct()
-    val docLens = withWords(spark, dir)
-      .select(col("doc_id"), size(col("words")).as("dl"))
-    val tf = withWords(spark, dir)
-      .select(col("doc_id"), explode(col("words")).as("term"))
+    val tf = postingsIndex(spark, dir)
       .join(broadcast(qterms), Seq("term"), "left_semi")
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    bm25RankedFrom(tf, docLens, queries, excludeSelf)
+    bm25RankedFrom(tf, docLenIndex(spark, dir), queries, excludeSelf)
   }
 
   /** [[bm25Ranked]] over materialized index relations — `tf` is a

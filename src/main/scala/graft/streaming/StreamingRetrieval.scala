@@ -66,10 +66,12 @@ object StreamingRetrieval {
   private[graft] def processBatch(spark: SparkSession, batch: DataFrame,
       batchId: Long, indexPath: String): Unit = {
     val docs = batch
-      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("words"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      docs.select(col("doc_id"), size(col("words")).as("dl"))
+      // lens doubles as the per-doc metadata sidecar (source rides
+      // along for the significant-terms read side)
+      docs.select(col("doc_id"), col("source"), size(col("words")).as("dl"))
         .write.mode("overwrite").parquet(s"$indexPath/lens/batch_id=$batchId")
       docs.select(col("doc_id"), explode(col("words")).as("term"))
         .groupBy(col("doc_id"), col("term"))
@@ -97,5 +99,22 @@ object StreamingRetrieval {
     val lens = spark.read.parquet(s"$indexPath/lens")
       .select(col("doc_id"), col("dl"))
     TextOps.bm25RankedFrom(postings, lens, queries, excludeSelf = false)
+  }
+
+  /** Significant terms over the accumulated index — the second read
+    * side the one store supports (the batch operator's own relations:
+    * postings rows ARE the distinct (doc, term) pairs; the lens
+    * sidecar carries per-doc source and doubles as the doc-count
+    * table). Equal to `TextOps.sigTerms` over the union of all
+    * ingested batches.
+    */
+  def sigTermsSearch(spark: SparkSession, indexPath: String): DataFrame = {
+    val docTerms = spark.read.parquet(s"$indexPath/postings")
+      .select(col("doc_id"), col("term"))
+      .join(spark.read.parquet(s"$indexPath/lens")
+        .select(col("doc_id"), col("source")), Seq("doc_id"))
+    val docSources = spark.read.parquet(s"$indexPath/lens")
+      .select(col("doc_id"), col("source"))
+    TextOps.sigTermsFrom(docTerms, docSources)
   }
 }

@@ -39,6 +39,14 @@ class StreamingRetrievalSpec extends SparkSpec {
     val batch = resultSet(TextOps.bm25(spark, sfDir))
     assert(streamed === batch)
     assert(streamed.nonEmpty)
+    // the same store serves the second read side: significant terms
+    def sigSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("rank"),
+        r.getAs[String]("term"), r.getAs[Long]("fg"), r.getAs[Long]("bg"),
+        r.getAs[Double]("jlh"))).toSet
+    val sigStreamed = sigSet(StreamingRetrieval.sigTermsSearch(spark, indexPath))
+    assert(sigStreamed === sigSet(TextOps.sigTerms(spark, sfDir)))
+    assert(sigStreamed.nonEmpty)
   }
 
   test("batch replay is idempotent: a reprocessed slice changes nothing") {
