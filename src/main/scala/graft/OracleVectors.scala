@@ -394,6 +394,55 @@ object OracleVectors {
        |  ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
        |GROUP BY e.query_id""".stripMargin
 
+  /** Mirror of VectorOps.knnBq: the 64-plane sign code (the knnLsh
+    * code string — char-wise Hamming equals the word-wise popcount of
+    * the conv'd halves), approximate Hamming-similarity rank with the
+    * id tiebreak, exact cosine re-rank of the BqReRank·K shortlist.
+    */
+  val knnBq: String = {
+    val rr = VectorOps.BqReRank * k
+    val d = VectorOps.Dim
+    s"""WITH $baseCte, ${codeCte(d)},
+       |qc AS (
+       |  SELECT vec_id AS query_id, embedding AS qv, nrm AS qnrm, code AS qcode
+       |  FROM coded WHERE vec_id % $qm = 0
+       |),
+       |approx AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |    c.embedding, c.nrm, q.qv, q.qnrm,
+       |    CAST($d - len(list_filter(range(1, ${d + 1}), i ->
+       |      substring(c.code, CAST(i AS INT), 1) <>
+       |      substring(q.qcode, CAST(i AS INT), 1))) AS DOUBLE) AS asim
+       |  FROM coded c, qc q WHERE c.vec_id <> q.query_id
+       |),
+       |short AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY asim DESC, neighbor_id ASC) AS arank
+       |  FROM approx
+       |),
+       |sims AS (
+       |  SELECT query_id, neighbor_id,
+       |    ${dot("embedding", "qv")} / (sqrt(nrm) * sqrt(qnrm)) AS sim
+       |  FROM short WHERE arank <= $rr
+       |),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS "rank"
+       |  FROM sims
+       |)
+       |SELECT query_id, neighbor_id, "rank", sim FROM ranked WHERE "rank" <= $k""".stripMargin
+  }
+
+  /** Recall@K of the binary-quantized index vs exact. */
+  val bqRecall: String =
+    s"""SELECT e.query_id,
+       |  CAST(count(l."rank") AS DOUBLE) / $k AS recall_at_k,
+       |  count(*) AS n_exact
+       |FROM ($knnExact) e
+       |LEFT JOIN ($knnBq) l
+       |  ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
+       |GROUP BY e.query_id""".stripMargin
+
   /** Recall@K of LSH vs exact, composing the two query oracles. */
   def lshRecall(numPlanes: Int = VectorOps.NumPlanes,
       bandBits: Int = VectorOps.BandBits, probeBits: Int = 0): String =

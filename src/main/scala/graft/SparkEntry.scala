@@ -156,6 +156,8 @@ object SparkEntry {
     "emb_lsh_mp_recall" -> ((s, d) => VectorOps.lshRecall(s, d, probeBits = 1)),
     "emb_knn_sq8"    -> ((s, d) => VectorOps.knnSq8(s, d)),
     "emb_sq8_recall" -> ((s, d) => VectorOps.sq8Recall(s, d)),
+    "emb_knn_bq"     -> ((s, d) => VectorOps.knnBq(s, d)),
+    "emb_bq_recall"  -> ((s, d) => VectorOps.bqRecall(s, d)),
     "emb_knn_pq"     -> ((s, d) => VectorOps.knnPq(s, d)),
     "emb_pq_recall"  -> ((s, d) => VectorOps.pqRecall(s, d)),
     "emb_knn_mrl"    -> ((s, d) => VectorOps.knnMrl(s, d)),
@@ -226,8 +228,8 @@ object SparkEntry {
     // bloom file-index memos
     "dedup_containment", "graph_triangles", "evt_bloom_skip",
     // r9: the retrieval family's stored inverted index (postings +
-    // doc-length sidecar)
-    "txt_bm25")
+    // doc-length sidecar) and the binary-quantization sign codes
+    "txt_bm25", "emb_knn_bq")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -363,6 +365,8 @@ object SparkEntry {
     "emb_lsh_mp_recall" -> OracleVectors.lshRecall(probeBits = 1),
     "emb_knn_sq8"    -> OracleVectors.knnSq8,
     "emb_sq8_recall" -> OracleVectors.sq8Recall,
+    "emb_knn_bq"     -> OracleVectors.knnBq,
+    "emb_bq_recall"  -> OracleVectors.bqRecall,
     "emb_knn_pq"     -> OracleVectors.knnPq,
     "emb_pq_recall"  -> OracleVectors.pqRecall,
     "emb_knn_mrl"    -> OracleVectors.knnMrl,

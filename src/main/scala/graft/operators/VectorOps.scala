@@ -816,6 +816,77 @@ object VectorOps {
         count(lit(1)).as("n_exact"))
   }
 
+  // --- Binary quantization (1-bit codes, Hamming shortlist) -------------
+
+  /** Exact-re-rank shortlist size (× K) for [[knnBq]] — wider than
+    * SQ8's because 64-level Hamming similarity is coarse (many ties;
+    * the deterministic id tiebreak picks among them, the re-rank
+    * recovers the order).
+    */
+  val BqReRank = 8
+
+  /** Per-vector 64-bit sign code as two 32-bit words (BIGINT-safe
+    * halves of the [[graft.functions.SignBandKeys]] bit string). The
+    * SAME projection the LSH index bands (NumPlanes = Dim = 64 planes
+    * of the planeWeight stream): binary quantization and sign-LSH
+    * store ONE code; they differ only in search strategy — bucket
+    * collision ([[knnLsh]]) vs full Hamming scan (here). Memoized: at
+    * scale the 8-byte code is written next to the vector at ingest.
+    */
+  private def bqCodes(spark: SparkSession, dir: String): DataFrame =
+    TextOps.memoized(spark, dir, "bq_codes") {
+      graft.plans.GraftExtensions.register(spark)
+      withNorm(spark, dir)
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          expr(s"CAST(conv(element_at(sign_bands(embedding, $Dim, 32), 1), 2, 10) AS BIGINT)")
+            .as("c0"),
+          expr(s"CAST(conv(element_at(sign_bands(embedding, $Dim, 32), 2), 2, 10) AS BIGINT)")
+            .as("c1"))
+    }
+
+  /** ANN via binary quantization — the memory-compression END of the
+    * quantized-index family (SQ8 ¼, PQ 1/43, this 1/256: one BIT per
+    * dimension, 8 bytes per vector): the approximate pass ranks by
+    * Hamming similarity `64 − popcount(c ⊕ qc)` — two XORs + two
+    * POPCNTs per candidate, the cheapest possible scan, which is why
+    * every vector store ships exactly this as its pre-filter tier —
+    * then exact cosine re-ranks the [[BqReRank]]·K shortlist. Sign
+    * codes approximate ANGLE (P[bit agrees] = 1 − θ/π, the
+    * Goemans-Williamson bound LSH is built on), so Hamming order
+    * tracks cosine order in expectation. Same broadcast-queries /
+    * corpus-never-shuffles shape as [[knnExact]]; [[bqRecall]] is the
+    * evaluation loop.
+    */
+  def knnBq(spark: SparkSession, dir: String): DataFrame = {
+    val coded = bqCodes(spark, dir)
+    val q = coded.where(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qnrm"), col("c0").as("qc0"), col("c1").as("qc1"))
+    val approx = coded.select(col("vec_id"), col("c0"), col("c1"))
+      .crossJoin(broadcast(q.select(col("query_id"), col("qc0"), col("qc1"))))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        expr(s"CAST($Dim - bit_count(c0 ^ qc0) - bit_count(c1 ^ qc1) AS DOUBLE)")
+          .as("asim"))
+    val shortlist = shortlistIds(approx, BqReRank * K)
+      .join(coded.select(col("vec_id").as("neighbor_id"), col("embedding"),
+        col("nrm")), Seq("neighbor_id"))
+      .join(broadcast(q.select(col("query_id"), col("qv"), col("qnrm"))),
+        Seq("query_id"))
+    topK(shortlist.select(col("query_id"), col("neighbor_id"), cosine))
+  }
+
+  /** Recall@K of the binary-quantized index against the exact baseline. */
+  def bqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = knnExact(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val approx = knnBq(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg((count(col("hit")).cast("double") / K).as("recall_at_k"),
+        count(lit(1)).as("n_exact"))
+  }
+
   def knnIvf(spark: SparkSession, dir: String, nlist: Int = NList,
       nprobe: Int = NProbe): DataFrame = {
     val assignments = ivfAssign(spark, dir, nlist)

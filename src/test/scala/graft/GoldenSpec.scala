@@ -243,6 +243,8 @@ class GoldenSpec extends SparkSpec {
     // label-partitioned walk fills its candidate floor inside the
     // query's own partition
     "emb_knn_label_part" -> ((-2947521584168609730L, 50L)),
+    "emb_knn_bq" -> ((8911234878323013320L, 50L)),
+    "emb_bq_recall" -> ((3615814245230536898L, 5L)),
     "emb_knn_pq" -> ((8039933173616903381L, 50L)),
     "emb_pq_recall" -> ((6681137179820178689L, 5L)),
     "emb_knn_mrl" -> ((4719170906433506228L, 50L)),

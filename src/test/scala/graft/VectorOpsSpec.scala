@@ -187,6 +187,22 @@ class VectorOpsSpec extends SparkSpec {
     assert(sims.head.getDouble(3) > 0.99)
   }
 
+  test("knnBq: exhaustive shortlist on the small fixture equals exact search") {
+    // BqReRank·K exceeds the corpus, so Hamming pruning drops nothing
+    // and the exact re-rank must reproduce knnExact verbatim — the
+    // shortlist-correctness half of the binary index (recall under
+    // real pruning is the gauge's job)
+    val dir = embDir(fixture)
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(asMap(VectorOps.knnBq(spark, dir)) === asMap(VectorOps.knnExact(spark, dir)))
+    val recall = VectorOps.bqRecall(spark, dir).collect()
+    recall.foreach { r =>
+      val hits = math.round(r.getDouble(1) * VectorOps.K)
+      assert(hits === r.getLong(2), s"query ${r.getLong(0)} missed neighbors")
+    }
+  }
+
   test("sq8Recall recovers every exact neighbor on separated clusters") {
     val rows = VectorOps.sq8Recall(spark, embDir(fixture)).collect()
     assert(rows.map(_.getLong(0)).sorted === Seq(0L, 100L))
