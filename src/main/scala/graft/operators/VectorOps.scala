@@ -850,14 +850,22 @@ object VectorOps {
     * Hamming similarity `64 − popcount(c ⊕ qc)` — two XORs + two
     * POPCNTs per candidate, the cheapest possible scan, which is why
     * every vector store ships exactly this as its pre-filter tier —
-    * then exact cosine re-ranks the [[BqReRank]]·K shortlist. Sign
-    * codes approximate ANGLE (P[bit agrees] = 1 − θ/π, the
+    * then exact cosine re-ranks the `reRank`·K shortlist. Sign codes
+    * approximate ANGLE (P[bit agrees] = 1 − θ/π, the
     * Goemans-Williamson bound LSH is built on), so Hamming order
-    * tracks cosine order in expectation. Same broadcast-queries /
-    * corpus-never-shuffles shape as [[knnExact]]; [[bqRecall]] is the
-    * evaluation loop.
+    * tracks cosine order in expectation — BETWEEN clusters. WITHIN a
+    * tight cluster the codes tie (members differ by sub-threshold
+    * noise that flips no sign), the id tiebreak picks arbitrarily
+    * among the tied candidates, and recall@k degrades toward
+    * reRank·k / |cluster| — measured directly in the scale probe.
+    * `reRank` is therefore the dial: production binary-quantization
+    * tiers (e.g. ES/Lucene BBQ, Qdrant BQ) ship exactly this
+    * oversample-then-rescore loop, with oversampling sized to the
+    * expected tie-set. Same broadcast-queries / corpus-never-shuffles
+    * shape as [[knnExact]]; [[bqRecall]] is the evaluation loop.
     */
-  def knnBq(spark: SparkSession, dir: String): DataFrame = {
+  def knnBq(spark: SparkSession, dir: String,
+      reRank: Int = BqReRank): DataFrame = {
     val coded = bqCodes(spark, dir)
     val q = coded.where(col("vec_id") % QueryMod === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
@@ -868,7 +876,7 @@ object VectorOps {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         expr(s"CAST($Dim - bit_count(c0 ^ qc0) - bit_count(c1 ^ qc1) AS DOUBLE)")
           .as("asim"))
-    val shortlist = shortlistIds(approx, BqReRank * K)
+    val shortlist = shortlistIds(approx, reRank * K)
       .join(coded.select(col("vec_id").as("neighbor_id"), col("embedding"),
         col("nrm")), Seq("neighbor_id"))
       .join(broadcast(q.select(col("query_id"), col("qv"), col("qnrm"))),

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -99,6 +100,55 @@ object StreamingRetrieval {
     val lens = spark.read.parquet(s"$indexPath/lens")
       .select(col("doc_id"), col("dl"))
     TextOps.bm25RankedFrom(postings, lens, queries, excludeSelf = false)
+  }
+
+  /** The compacted segment's partition id — below every real batch id,
+    * so compaction output and live batch partitions never collide.
+    */
+  val SegmentId: Long = -1L
+
+  /** Compact the accumulated index: fold every batch partition with
+    * `batch_id ≤ upToBatch` (plus any earlier compacted segment) into
+    * ONE segment partition per store — the small-files maintenance
+    * every micro-batch-partitioned store needs (a year of 5-minute
+    * batches is ~100k tiny partitions; scan cost and NameNode/listing
+    * pressure grow with file count, not data size). Read results are
+    * IDENTICAL by construction: both stores are additive row sets and
+    * compaction only moves rows between partitions.
+    *
+    * Contract: run beyond the stream's replay horizon (checkpoint-
+    * committed batches only) — a replayed batch id that was already
+    * folded into the segment would re-create its partition and
+    * double-count, the same horizon rule every log-compacted store
+    * has. Crash-safety here is write-tmp → delete-olds → rename (a
+    * crash between the last two steps can leave duplicates for a
+    * re-run of compact to fix); a production deployment puts a
+    * manifest commit (Delta/Iceberg) around exactly this boundary.
+    */
+  def compactIndex(spark: SparkSession, indexPath: String,
+      upToBatch: Long): Unit = {
+    require(upToBatch >= 0, s"upToBatch must be a real batch id, got $upToBatch")
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    for (sub <- Seq("postings", "lens")) {
+      val root = new Path(s"$indexPath/$sub")
+      if (fs.exists(root)) {
+        val src = spark.read.parquet(root.toString)
+        val dataCols = src.columns.filter(_ != "batch_id").map(col(_))
+        val tmp = new Path(s"$indexPath/${sub}_compact_tmp")
+        src.where(col("batch_id") <= upToBatch) // includes a prior segment
+          .select(dataCols: _*)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        fs.listStatus(root)
+          .filter { st =>
+            val n = st.getPath.getName
+            n.startsWith("batch_id=") &&
+              n.stripPrefix("batch_id=").toLong <= upToBatch
+          }
+          .foreach(st => fs.delete(st.getPath, true))
+        fs.rename(tmp, new Path(s"$indexPath/$sub/batch_id=$SegmentId"))
+      }
+    }
   }
 
   /** Significant terms over the accumulated index — the second read

@@ -75,6 +75,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchangeKeys.subsetOf(Set("query_id")), p.take(800))
   }
 
+  test("label-partitioned ANN: corpus never sort-merge-joins or shuffles on the read path") {
+    // materialize the memoized IVF assignment first so the plan shows
+    // the READ path against the cached index, not the one-time build
+    // (the build legitimately shuffles the corpus — it is the index-
+    // construction job a deployment amortizes exactly this way)
+    graft.operators.VectorOps.ivfAssign(spark, sfDir).count()
+    val p = plan("emb_knn_label_part")
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+    // a neighbor_id-keyed exchange would mean the corpus-sized
+    // candidate/vector joins shuffled instead of broadcasting the
+    // ≤|Q|·nlist probe stream
+    val exchangeKeys = "Exchange hashpartitioning\\(([A-Za-z_]+)#".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(!exchangeKeys.contains("neighbor_id"), exchangeKeys)
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
   test("assetsAll issues exactly ONE eager bound fetch at plan-construction time") {
     // round 2 paid 8 driver-blocking jobs (4 bound scans + 4 interval
     // evaluations) before the real action; the hoisted bound plus

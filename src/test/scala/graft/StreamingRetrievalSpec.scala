@@ -69,4 +69,34 @@ class StreamingRetrievalSpec extends SparkSpec {
       .where(col("doc_id") === 3L).count() === 2) // spark, filter
     assert(once.nonEmpty)
   }
+
+  test("compaction folds batch partitions into one segment; reads unchanged") {
+    val indexPath = tmp("graft-retr-compact") + "/index"
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    (0 until 3).foreach { slice =>
+      StreamingRetrieval.processBatch(spark,
+        docs.where(pmod(col("doc_id"), lit(3)) === slice), slice.toLong, indexPath)
+    }
+    val before = resultSet(StreamingRetrieval.bm25Search(spark, indexPath))
+    def partitions(sub: String): Set[String] = {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$indexPath/$sub"))
+        .map(_.getPath.getName).filter(_.startsWith("batch_id=")).toSet
+    }
+    assert(partitions("postings") ===
+      Set("batch_id=0", "batch_id=1", "batch_id=2"))
+    // fold batches 0-1 into the segment; batch 2 stays live
+    StreamingRetrieval.compactIndex(spark, indexPath, upToBatch = 1L)
+    assert(partitions("postings") === Set("batch_id=-1", "batch_id=2"))
+    assert(resultSet(StreamingRetrieval.bm25Search(spark, indexPath)) === before)
+    // the stream keeps ingesting after compaction, and a SECOND
+    // compaction folds the prior segment together with the new batches
+    StreamingRetrieval.processBatch(spark,
+      docs.limit(0), 3L, indexPath) // an empty late batch is harmless
+    StreamingRetrieval.compactIndex(spark, indexPath, upToBatch = 3L)
+    assert(partitions("postings") === Set("batch_id=-1"))
+    assert(resultSet(StreamingRetrieval.bm25Search(spark, indexPath)) === before)
+    assert(before.nonEmpty)
+  }
 }

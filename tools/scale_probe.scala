@@ -188,6 +188,78 @@ for (n <- Seq(16000, 48000)) {
   graft.operators.TextOps.release(spark)
 }
 
+println("== Binary-quantization Hamming scan vs exact (2 xor+popcnt per candidate; re-rank fixed at 8K/query) ==")
+// The 1-bit tier's claim: approximate-pass cost is the cheapest
+// possible linear scan (integer ops on 8-byte codes — at real scale
+// 1/256 of the bytes), recall holds through the fixed-size re-rank.
+// CLUSTERED synthetic (32 centers + noise): sign codes carry no
+// magnitude, so an i.i.d.-random corpus (all pairs near-orthogonal,
+// Hamming ~32 everywhere) is the adversarial case for EVERY
+// direction-only index; real embedding corpora cluster, which is the
+// premise this tier (and IVF) is deployed on.
+// (n, rr): growing N at fixed re-rank shows the tie-set dilution
+// (recall ~ rr*k/|cluster|); widening rr at fixed N restores it — the
+// oversample-then-rescore dial every production BQ tier ships.
+for ((n, rr) <- Seq((16000, 8), (48000, 8), (48000, 64))) {
+  val tmp = s"/tmp/probe_bq_$n"
+  spark.range(n.toLong).select(col("id").as("vec_id"),
+    expr("""transform(sequence(0, 63), d ->
+      CAST(CAST(hash(id % 32 + 7, d) % 1000 AS DOUBLE) / 1000.0
+         + CAST(hash(id, d) % 100 AS DOUBLE) / 2000.0 AS FLOAT))""")
+      .as("embedding"), lit(0).as("label"))
+    .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+  val tE0 = System.nanoTime()
+  val exact = graft.operators.VectorOps.knnExact(spark, tmp)
+    .select(col("query_id"), col("neighbor_id")).collect()
+  val tE = (System.nanoTime() - tE0) / 1e9
+  val tI0 = System.nanoTime()
+  graft.operators.VectorOps.knnBq(spark, tmp, reRank = rr)
+    .select(col("query_id")).agg(count(lit(1))).head()
+  val tI = (System.nanoTime() - tI0) / 1e9
+  val tS0 = System.nanoTime()
+  val bq = graft.operators.VectorOps.knnBq(spark, tmp, reRank = rr)
+    .select(col("query_id"), col("neighbor_id")).collect()
+  val tS = (System.nanoTime() - tS0) / 1e9
+  val exactSet = exact.map(r => (r.getLong(0), r.getLong(1))).toSet
+  val hits = bq.count(r => exactSet((r.getLong(0), r.getLong(1))))
+  val recall = hits.toDouble / exactSet.size
+  println(f"  N=$n%6d rr=$rr%3d (|Q|=${n / 100}%4d): exact $tE%6.2f s, bq index+search $tI%6.2f s, search $tS%6.2f s, recall@10 $recall%.3f")
+  graft.operators.TextOps.release(spark)
+}
+
+println("== Label-partitioned filtered ANN at growing corpus (10 labels; candidate floor fixed) ==")
+// The nlist sizing rule, measured on the filtered index: at FIXED
+// nlist the per-(label, cell) lists grow with N, so the threshold walk
+// keeps ~one cell and candidates grow linearly; re-sizing nlist with
+// the corpus restores bounded per-query candidate work. Recall is
+// against the exact filtered ground truth (knnFiltered).
+for ((n, nl) <- Seq((16000, 10), (48000, 10), (48000, 30))) {
+  val tmp = s"/tmp/probe_lp_$n"
+  spark.range(n.toLong).select(col("id").as("vec_id"),
+    expr("""transform(sequence(0, 63), d ->
+      CAST(CAST(hash(id % 32 + 7, d) % 1000 AS DOUBLE) / 1000.0
+         + CAST(hash(id, d) % 100 AS DOUBLE) / 2000.0 AS FLOAT))""")
+      .as("embedding"), expr("CAST(id % 10 AS INT)").as("label"))
+    .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+  val tE0 = System.nanoTime()
+  val exact = graft.operators.VectorOps.knnFiltered(spark, tmp)
+    .select(col("query_id"), col("neighbor_id")).collect()
+  val tE = (System.nanoTime() - tE0) / 1e9
+  val tI0 = System.nanoTime()
+  graft.operators.VectorOps.knnLabelPartitioned(spark, tmp, nlist = nl)
+    .select(col("query_id")).agg(count(lit(1))).head()
+  val tI = (System.nanoTime() - tI0) / 1e9
+  val tS0 = System.nanoTime()
+  val lp = graft.operators.VectorOps.knnLabelPartitioned(spark, tmp, nlist = nl)
+    .select(col("query_id"), col("neighbor_id")).collect()
+  val tS = (System.nanoTime() - tS0) / 1e9
+  val exactSet = exact.map(r => (r.getLong(0), r.getLong(1))).toSet
+  val hits = lp.count(r => exactSet((r.getLong(0), r.getLong(1))))
+  val recall = hits.toDouble / exactSet.size
+  println(f"  N=$n%6d nlist=$nl%2d (|Q|=${n / 100}%4d): exact-filtered $tE%6.2f s, index+search $tI%6.2f s, search $tS%6.2f s, recall@10 $recall%.3f")
+  graft.operators.TextOps.release(spark)
+}
+
 println("== transitive-closure shape (frontier-dedup BFS over the REAL TPC-H hierarchy: lineitem -> order -> customer -> nation -> region) ==")
 // the asset graph is 19 pairs at any sf, so the closure probe derives a
 // genuinely growing DAG from the data itself: 4 levels, ~765k edges and
