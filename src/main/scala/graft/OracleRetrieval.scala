@@ -47,4 +47,51 @@ object OracleRetrieval {
        |SELECT query_id, "rank", doc_id, rrf_score, lex_rank, vec_rank
        |FROM ranked WHERE "rank" <= ${Retrieval.RrfTopK}""".stripMargin
   }
+
+  /** Mirror of Retrieval.clusterCards: the IVF assignment (nested as a
+    * subquery, the hybridRrf device) labels each embedded doc's
+    * cluster; the sig-terms pipeline then runs with cluster as the
+    * foreground source and the embedded corpus as background.
+    */
+  val clusterCards: String = {
+    val topK = graft.operators.TextOps.SigTermsTopK
+    s"""WITH asn AS (
+       |  SELECT vec_id AS doc_id,
+       |    'cluster_' || CAST(assigned_label AS VARCHAR) AS source
+       |  FROM (${OracleVectors.ivfAssign()}) a
+       |),
+       |d AS (
+       |  SELECT dd.doc_id, a.source, string_split(dd.text, ' ') AS words
+       |  FROM documents dd JOIN asn a USING (doc_id)
+       |),
+       |dt AS (
+       |  SELECT DISTINCT doc_id, source, unnest(words) AS term FROM d
+       |),
+       |fg AS (
+       |  SELECT source, term, count(*) AS fg FROM dt GROUP BY source, term
+       |),
+       |bg AS (
+       |  SELECT term, count(*) AS bg FROM dt GROUP BY term
+       |),
+       |fgt AS (
+       |  SELECT source, count(*) AS fg_total FROM asn GROUP BY source
+       |),
+       |n AS (SELECT count(*) AS bg_total FROM asn),
+       |scored AS (
+       |  SELECT f.source, f.term, f.fg, b.bg,
+       |    (CAST(f.fg AS DOUBLE) / CAST(t.fg_total AS DOUBLE) -
+       |     CAST(b.bg AS DOUBLE) / CAST(n.bg_total AS DOUBLE)) *
+       |    ((CAST(f.fg AS DOUBLE) / CAST(t.fg_total AS DOUBLE)) /
+       |     (CAST(b.bg AS DOUBLE) / CAST(n.bg_total AS DOUBLE))) AS jlh
+       |  FROM fg f JOIN bg b USING (term) JOIN fgt t USING (source), n
+       |),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY source ORDER BY jlh DESC, term ASC) AS "rank"
+       |  FROM scored
+       |)
+       |SELECT source AS cluster, "rank", term, CAST(fg AS BIGINT) AS fg,
+       |  CAST(bg AS BIGINT) AS bg, jlh
+       |FROM ranked WHERE "rank" <= $topK""".stripMargin
+  }
 }

@@ -49,6 +49,32 @@ object Retrieval {
     * serving workload (same assumption [[VectorOps.knnExact]]
     * already makes).
     */
+  /** Topic cards for the embedding clusters — the "what is THIS
+    * cluster about" readout corpus curation runs before pruning or
+    * re-weighting semantic clusters (the cluster-level companion of
+    * [[graft.operators.TextOps.sigTerms]]'s per-source view): assign
+    * each embedded document to its IVF cluster
+    * ([[graft.operators.VectorOps.ivfAssign]] — the memoized index
+    * artifact), then score each cluster's member terms with the same
+    * JLH significance engine, foreground = the cluster, background =
+    * the embedded corpus. Composes three memoized artifacts (IVF
+    * assignment, postings index) with zero new heavy passes: the only
+    * non-index work is the doc-keyed source attach and the
+    * vocabulary-sized fg/bg aggregation — the sig-terms scale shape
+    * unchanged.
+    */
+  def clusterCards(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = VectorOps.ivfAssign(spark, dir)
+      .select(col("vec_id").as("doc_id"),
+        concat(lit("cluster_"), col("assigned_label").cast("string")).as("source"))
+    val docTerms = TextOps.postingsIndex(spark, dir)
+      .select(col("doc_id"), col("term"))
+      .join(clusters, Seq("doc_id"))
+    TextOps.sigTermsFrom(docTerms, clusters)
+      .select(col("source").as("cluster"), col("rank"), col("term"),
+        col("fg"), col("bg"), col("jlh"))
+  }
+
   def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
     val queries = TextOps.tfidf(spark, dir)
       .where(col("doc_id") % VectorOps.QueryMod === 0)

@@ -171,6 +171,7 @@ class GoldenSpec extends SparkSpec {
     "svc_multivalued" -> ((-2009340863746402347L, 1000L)),
     "svc_summaries" -> ((1201948405762285216L, 402L)),
     "hybrid_rrf" -> ((-1885452052056380719L, 50L)),
+    "cluster_cards" -> ((-813937664726231098L, 50L)),
     "txt_bm25" -> ((8938680310938870376L, 50L)),
     "txt_decontaminate" -> ((2255933175511747289L, 470L)),
     // identical by construction: Bloom pre-filter + exact verify ≡ exact

@@ -49,4 +49,32 @@ class RetrievalSpec extends SparkSpec {
     // the lexical self-hit is excluded
     assert(!rows.exists(r => r.getLong(0) == r.getLong(2)))
   }
+
+  test("clusterCards: per-cluster top terms come from member docs, jlh-ordered") {
+    val cards = Retrieval.clusterCards(spark, sfDir).collect()
+    assert(cards.nonEmpty)
+    val members = VectorOps.ivfAssign(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> s"cluster_${r.getAs[Int]("assigned_label")}")
+    val clusterOf = members.toMap
+    // every assigned cluster that has any non-null-text member emits cards
+    cards.groupBy(_.getString(0)).foreach { case (cl, rs) =>
+      assert(members.exists(_._2 == cl), s"unknown cluster $cl")
+      assert(rs.length <= graft.operators.TextOps.SigTermsTopK)
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq === (1L to rs.length).toSeq)
+      val key = sorted.map(r => (-r.getDouble(5), r.getString(2))).toSeq
+      assert(key === key.sorted, s"cluster $cl order")
+    }
+    // each card's term occurs in at least one member doc of its cluster
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse("")).toMap
+    cards.foreach { r =>
+      val cl = r.getString(0); val term = r.getString(2)
+      val hit = docs.exists { case (id, text) =>
+        clusterOf.get(id).contains(cl) && text.split(" ").contains(term)
+      }
+      assert(hit, s"term '$term' not found in cluster $cl members")
+    }
+  }
 }
