@@ -48,6 +48,77 @@ object OracleRetrieval {
        |FROM ranked WHERE "rank" <= ${Retrieval.RrfTopK}""".stripMargin
   }
 
+  /** Mirror of Retrieval.mmrRerank: the knnExact candidates, the k²
+    * pairwise candidate cosines, then the greedy λ-trade selection
+    * unrolled as one CTE pair (pick + accumulated set) per step — the
+    * Lloyd-rounds device. The (1−λ) coefficient is interpolated from
+    * the same Scala subtraction the operator uses.
+    */
+  val mmrRerank: String = {
+    val lam = Retrieval.MmrLambda
+    val oml = 1 - Retrieval.MmrLambda
+    val dim = VectorOps.Dim
+    def dot(a: String, b: String): String =
+      s"""list_reduce(list_transform(range(1, ${dim + 1}),
+         |  i -> CAST($a[CAST(i AS INT)] AS DOUBLE) * CAST($b[CAST(i AS INT)] AS DOUBLE)),
+         |  (acc, v) -> acc + v)""".stripMargin
+    val steps = (2 to Retrieval.MmrK).map { t =>
+      s"""pick$t AS (
+         |  SELECT query_id, doc_id, CAST($t AS BIGINT) AS pick_order,
+         |    rel, max_div, mmr
+         |  FROM (
+         |    SELECT r.*, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY mmr DESC, doc_id ASC) AS rk
+         |    FROM (
+         |      SELECT c.query_id, c.doc_id, c.rel, m.max_div,
+         |        $lam * c.rel - $oml * m.max_div AS mmr
+         |      FROM cands c
+         |      JOIN (
+         |        SELECT p.query_id, p.a AS doc_id, max(p.psim) AS max_div
+         |        FROM pairs p
+         |        JOIN sel${t - 1} s ON s.query_id = p.query_id AND s.doc_id = p.b
+         |        GROUP BY p.query_id, p.a
+         |      ) m ON m.query_id = c.query_id AND m.doc_id = c.doc_id
+         |      WHERE NOT EXISTS (
+         |        SELECT 1 FROM sel${t - 1} s2
+         |        WHERE s2.query_id = c.query_id AND s2.doc_id = c.doc_id)
+         |    ) r
+         |  ) WHERE rk = 1
+         |),
+         |sel$t AS (SELECT * FROM sel${t - 1} UNION ALL SELECT * FROM pick$t)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH cands AS (
+       |  SELECT query_id, neighbor_id AS doc_id, sim AS rel
+       |  FROM (${OracleVectors.knnExact}) e
+       |),
+       |vec AS (
+       |  SELECT vec_id, embedding, ${dot("embedding", "embedding")} AS nrm
+       |  FROM embeddings
+       |),
+       |pairs AS (
+       |  SELECT c1.query_id, c1.doc_id AS a, c2.doc_id AS b,
+       |    ${dot("e1.embedding", "e2.embedding")} /
+       |      (sqrt(e1.nrm) * sqrt(e2.nrm)) AS psim
+       |  FROM cands c1
+       |  JOIN cands c2 ON c1.query_id = c2.query_id AND c1.doc_id <> c2.doc_id
+       |  JOIN vec e1 ON e1.vec_id = c1.doc_id
+       |  JOIN vec e2 ON e2.vec_id = c2.doc_id
+       |),
+       |sel1 AS (
+       |  SELECT query_id, doc_id, CAST(1 AS BIGINT) AS pick_order, rel,
+       |    0.0 AS max_div, $lam * rel AS mmr
+       |  FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY rel DESC, doc_id ASC) AS rk
+       |    FROM cands
+       |  ) WHERE rk = 1
+       |),
+       |$steps
+       |SELECT query_id, pick_order, doc_id, rel, max_div, mmr
+       |FROM sel${Retrieval.MmrK}""".stripMargin
+  }
+
   /** Mirror of Retrieval.clusterCards: the IVF assignment (nested as a
     * subquery, the hybridRrf device) labels each embedded doc's
     * cluster; the sig-terms pipeline then runs with cluster as the

@@ -217,13 +217,18 @@ object MultimodalOps {
       require(w > 0 && h > 0 && maxval > 0 && maxval < 65536,
         s"media ${row.media_id}: bad PPM header $w x $h maxval $maxval")
       i += 1 // spec: EXACTLY one whitespace byte separates maxval and raster
-      val n = w * h * 3
+      // netpbm: maxval > 255 means TWO bytes per sample, big-endian
+      val bps = if (maxval > 255) 2 else 1
+      val n = w * h * 3 * bps
       require(b.length - i >= n,
         s"media ${row.media_id}: truncated raster: ${b.length - i} < $n")
       var sum = 0L
       var j = i
       val end = i + n
-      while (j < end) { sum += (b(j) & 0xff); j += 1 }
+      if (bps == 1) while (j < end) { sum += (b(j) & 0xff); j += 1 }
+      else while (j < end) {
+        sum += ((b(j) & 0xff) << 8) | (b(j + 1) & 0xff); j += 2
+      }
       DecodedMedia(row.media_id, w, h, maxval, n.toLong, sum)
     }
   }

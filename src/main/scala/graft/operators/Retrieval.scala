@@ -75,6 +75,81 @@ object Retrieval {
         col("fg"), col("bg"), col("jlh"))
   }
 
+  /** MMR trade-off weight λ and number of diversified picks. */
+  val MmrLambda = 0.7
+  val MmrK = 5
+
+  /** Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998)
+    * — the serving-side diversity pass over a retrieved top-k list:
+    * greedily pick [[MmrK]] of each query's [[VectorOps.knnExact]]
+    * candidates, each next pick maximizing
+    * `λ·rel − (1−λ)·max_sim_to_already_picked`, so near-duplicate
+    * hits stop crowding the page (the redundancy problem dedup solves
+    * at ingest, solved again at serving time for what survives).
+    *
+    * Determinism/oracle: rel is the exact cosine, the diversity term
+    * a max over exact pairwise cosines of CANDIDATES (k² per query —
+    * 100 rows, never corpus-sized), every double op a fixed IEEE
+    * expression tree, ties broken on doc_id — so the greedy trace is
+    * bit-reproducible and the DuckDB mirror unrolls the same
+    * [[MmrK]]-step selection as CTEs (the Lloyd-rounds device). The
+    * `1 − λ` coefficient is computed ONCE in Scala and interpolated
+    * into both engines, because `1 − 0.7` and a literal `0.3` are
+    * different doubles.
+    *
+    * Scale shape: inputs are top-k-per-query tables; the only
+    * corpus-touching work is fetching the k·|Q| candidate embeddings
+    * (broadcast candidate ids against the vector store — at scale a
+    * point-lookup); the greedy loop itself runs on k²·|Q| rows.
+    */
+  def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    val oml = 1 - MmrLambda
+    val cands = VectorOps.knnExact(spark, dir)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("sim").as("rel"))
+      .localCheckpoint() // 5 greedy steps re-read this k·|Q|-row frame
+    val vecs = VectorOps.withNorm(spark, dir)
+    val pairs = cands.select(col("query_id"), col("doc_id").as("a"))
+      .join(cands.select(col("query_id"), col("doc_id").as("b")), Seq("query_id"))
+      .where(col("a") =!= col("b"))
+      .join(vecs.select(col("vec_id").as("a"), col("embedding").as("ea"),
+        col("nrm").as("na")), Seq("a"))
+      .join(vecs.select(col("vec_id").as("b"), col("embedding").as("eb"),
+        col("nrm").as("nb")), Seq("b"))
+      .select(col("query_id"), col("a"), col("b"),
+        (expr(VectorOps.dot("ea", "eb")) / (sqrt(col("na")) * sqrt(col("nb"))))
+          .as("psim"))
+      .localCheckpoint()
+    val wRel = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("doc_id").asc)
+    val wMmr = Window.partitionBy(col("query_id"))
+      .orderBy(col("mmr").desc, col("doc_id").asc)
+    var selected = cands
+      .withColumn("rk", row_number().over(wRel)).where(col("rk") === 1)
+      .select(col("query_id"), col("doc_id"), lit(1L).as("pick_order"),
+        col("rel"), lit(0.0).as("max_div"),
+        (lit(MmrLambda) * col("rel")).as("mmr"))
+    for (t <- 2 to MmrK) {
+      val maxdiv = pairs
+        .join(selected.select(col("query_id"), col("doc_id").as("b")),
+          Seq("query_id", "b"))
+        .groupBy(col("query_id"), col("a"))
+        .agg(max(col("psim")).as("max_div"))
+        .withColumnRenamed("a", "doc_id")
+      val pick = cands
+        .join(selected.select(col("query_id"), col("doc_id")),
+          Seq("query_id", "doc_id"), "left_anti")
+        .join(maxdiv, Seq("query_id", "doc_id"))
+        .withColumn("mmr",
+          lit(MmrLambda) * col("rel") - lit(oml) * col("max_div"))
+        .withColumn("rk", row_number().over(wMmr)).where(col("rk") === 1)
+        .select(col("query_id"), col("doc_id"), lit(t.toLong).as("pick_order"),
+          col("rel"), col("max_div"), col("mmr"))
+      selected = selected.unionByName(pick)
+    }
+    selected
+  }
+
   def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
     val queries = TextOps.tfidf(spark, dir)
       .where(col("doc_id") % VectorOps.QueryMod === 0)

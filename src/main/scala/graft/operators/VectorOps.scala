@@ -113,7 +113,7 @@ object VectorOps {
        |      CAST(0 AS DOUBLE), (acc, v) -> acc + v) > 0 THEN '1' ELSE '0' END)))""".stripMargin
 
   /** Embeddings with their (not-quite-1.0) squared norms precomputed once. */
-  private def withNorm(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def withNorm(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir).select(
       col("vec_id"), col("label"), col("embedding"),
       expr(dot("embedding", "embedding")).as("nrm"))

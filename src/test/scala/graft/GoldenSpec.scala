@@ -172,6 +172,7 @@ class GoldenSpec extends SparkSpec {
     "svc_summaries" -> ((1201948405762285216L, 402L)),
     "hybrid_rrf" -> ((-1885452052056380719L, 50L)),
     "cluster_cards" -> ((-813937664726231098L, 50L)),
+    "mmr_rerank" -> ((465589226566118004L, 25L)),
     "txt_bm25" -> ((8938680310938870376L, 50L)),
     "txt_decontaminate" -> ((2255933175511747289L, 470L)),
     // identical by construction: Bloom pre-filter + exact verify ≡ exact

@@ -65,6 +65,13 @@ class MultimodalSpec extends SparkSpec {
         "P5\n2 2\n255\n............".getBytes(
           java.nio.charset.StandardCharsets.US_ASCII)))
     }
+    // maxval > 255 switches to 2-byte big-endian samples (netpbm spec)
+    val wide = Array[Byte](0x01, 0x00, 0x00, 0x02, 0x00, 0x03) // 256, 2, 3
+    val d16 = MultimodalOps.PpmDecoder.decode(MultimodalOps.MediaRow(9L,
+      "P6\n1 1\n65535\n".getBytes(
+        java.nio.charset.StandardCharsets.US_ASCII) ++ wide))
+    assert(d16.dec_maxval === 65535 && d16.n_pixel_bytes === 6L)
+    assert(d16.brightness === 261L)
   }
 
   test("resize halves metadata and keeps exactly the leading half payload") {

@@ -50,6 +50,55 @@ class RetrievalSpec extends SparkSpec {
     assert(!rows.exists(r => r.getLong(0) == r.getLong(2)))
   }
 
+  test("mmrRerank: greedy trace matches a driver-side replay of the λ-trade") {
+    // output columns: (query_id, doc_id, pick_order, rel, max_div, mmr)
+    val out = Retrieval.mmrRerank(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(1), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(out.nonEmpty)
+    val cands = VectorOps.knnExact(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val embs = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    // the same in-order IEEE fold both engines run
+    def dotF(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i).toDouble * b(i).toDouble)
+    def cos(a: Long, b: Long): Double = {
+      val (va, vb) = (embs(a), embs(b))
+      dotF(va, vb) / (math.sqrt(dotF(va, va)) * math.sqrt(dotF(vb, vb)))
+    }
+    val lam = Retrieval.MmrLambda; val oml = 1 - Retrieval.MmrLambda
+    cands.groupBy(_._1).foreach { case (q, cs) =>
+      val rel = cs.map(c => c._2 -> c._3).toMap
+      var picked = Vector.empty[Long]
+      val expected = (1 to Retrieval.MmrK).flatMap { t =>
+        val remaining = rel.keySet -- picked
+        if (remaining.isEmpty) None else {
+          val scored = remaining.toSeq.map { d =>
+            val md = if (picked.isEmpty) 0.0 else picked.map(cos(d, _)).max
+            val m = if (picked.isEmpty) lam * rel(d) else lam * rel(d) - oml * md
+            (d, md, m)
+          }
+          val (d, md, m) = scored.minBy { case (d, _, m) => (-m, d) }
+          picked :+= d
+          Some((q, t.toLong, d, rel(d), md, m))
+        }
+      }
+      val got = out.filter(_._1 == q).sortBy(_._2).toSeq
+      assert(got === expected, s"query $q greedy trace diverges")
+    }
+    // the diversity term genuinely reorders at least one query's list
+    val relOrder = cands.groupBy(_._1).map { case (q, cs) =>
+      q -> cs.sortBy(c => (-c._3, c._2)).take(Retrieval.MmrK).map(_._2).toSeq
+    }
+    val mmrOrder = out.groupBy(_._1).map { case (q, rs) =>
+      q -> rs.sortBy(_._2).map(_._3).toSeq
+    }
+    assert(mmrOrder.exists { case (q, o) => relOrder(q) != o },
+      "MMR never diverged from pure relevance — fixture lost its near-dups")
+  }
+
   test("clusterCards: per-cluster top terms come from member docs, jlh-ordered") {
     val cards = Retrieval.clusterCards(spark, sfDir).collect()
     assert(cards.nonEmpty)
