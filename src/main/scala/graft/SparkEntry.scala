@@ -230,8 +230,9 @@ object SparkEntry {
     // bloom file-index memos
     "dedup_containment", "graph_triangles", "evt_bloom_skip",
     // r9: the retrieval family's stored inverted index (postings +
-    // doc-length sidecar) and the binary-quantization sign codes
-    "txt_bm25", "emb_knn_bq")
+    // doc-length sidecar), the binary-quantization sign codes, and
+    // the MMR candidate/pair tables
+    "txt_bm25", "emb_knn_bq", "mmr_rerank")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
