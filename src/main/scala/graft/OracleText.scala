@@ -215,6 +215,42 @@ object OracleText {
        |JOIN shsets sa ON sa.doc_id = p.doc_a
        |JOIN shsets sb ON sb.doc_id = p.doc_b""".stripMargin
 
+  /** Mirror of TextOps.fuzzyJoin — the LSH band join with the
+    * cross-side predicate in the candidate stream, exact shingle
+    * Jaccard verify, threshold filter.
+    */
+  val fuzzyJoin: String =
+    s"""WITH $wordsCte, $sigCte,
+       |sides AS (
+       |  SELECT doc_id, CAST(substring(source, 4, 8) AS INT) % 2 AS side
+       |  FROM documents
+       |),
+       |bands AS (
+       |  SELECT doc_id, sig, b.b AS band_idx,
+       |    array_to_string(list_transform(list_slice(sig, b.b * $bs + 1, b.b * $bs + $bs),
+       |                                   x -> CAST(x AS VARCHAR)), '_') AS band_key
+       |  FROM sigs CROSS JOIN (SELECT unnest(range($nBands)) AS b) b
+       |),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+       |  FROM bands a JOIN bands b USING (band_idx, band_key)
+       |  JOIN sides sa ON sa.doc_id = a.doc_id
+       |  JOIN sides sb ON sb.doc_id = b.doc_id
+       |  WHERE sa.side = 0 AND sb.side = 1
+       |),
+       |shsets AS (
+       |  SELECT doc_id, list_distinct(shingles) AS shset FROM sh
+       |)
+       |SELECT left_id, right_id, jaccard FROM (
+       |  SELECT p.left_id, p.right_id,
+       |    CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE) /
+       |      (len(sa.shset) + len(sb.shset) - len(list_intersect(sa.shset, sb.shset)))
+       |      AS jaccard
+       |  FROM pairs p
+       |  JOIN shsets sa ON sa.doc_id = p.left_id
+       |  JOIN shsets sb ON sb.doc_id = p.right_id
+       |) WHERE jaccard >= ${TextOps.FuzzyJoinThreshold}""".stripMargin
+
   /** Mirror of TextOps.simhash — one md5 per exploded word, 32 integer
     * sum aggregates, sign bits concatenated.
     */

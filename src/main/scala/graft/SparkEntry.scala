@@ -93,6 +93,8 @@ object SparkEntry {
     "txt_sample_stratified" -> ((s, d) => TextOps.sampleStratified(s, d)),
     "txt_repetition"      -> ((s, d) => TextOps.repetition(s, d)),
     "dedup_clusters_fixpoint" -> ((s, d) => TextOps.dedupClustersFixpoint(s, d)),
+    "dedup_clusters_star" -> ((s, d) => TextOps.dedupClustersStar(s, d)),
+    "fuzzy_join"          -> ((s, d) => TextOps.fuzzyJoin(s, d)),
     "dedup_segments"      -> ((s, d) => TextOps.dedupSegments(s, d)),
     "txt_shard"           -> ((s, d) => TextOps.shard(s, d)),
     "txt_ngram_stats"     -> ((s, d) => TextOps.ngramStats(s, d)),
@@ -310,6 +312,10 @@ object SparkEntry {
     "txt_repetition"      -> OracleText.repetition,
     // same oracle as dedup_clusters — the fixpoint loop's differential proof
     "dedup_clusters_fixpoint" -> OracleText.dedupClusters,
+    // same oracle again: star contraction is a DIFFERENT algorithm with
+    // the same fixed point (component minimum) — differential proof #2
+    "dedup_clusters_star" -> OracleText.dedupClusters,
+    "fuzzy_join"          -> OracleText.fuzzyJoin,
     "dedup_segments"      -> OracleText.dedupSegments,
     "txt_shard"           -> OracleText.shard,
     "txt_ngram_stats"     -> OracleText.ngramStats,

@@ -485,4 +485,83 @@ object GraphOps {
       .join(perNode, Seq("node"), "left")
       .select(col("node"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
   }
+
+  /** Runaway guard for [[starContract]] — far above the O(log² n)
+    * rounds the algorithm needs on any real graph (log²(10^12) ≈ 40²
+    * bit-ops collapse to ~2·log₂ rounds in practice; the 2000-node
+    * path-graph spec case converges in single digits).
+    */
+  val StarMaxRounds = 30
+
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris, Lattanzi, Mirrokni, Rastogi &
+    * Vassilvitskii, "Connected Components in MapReduce and Beyond",
+    * SoCC 2014) — the scale path for component labeling at 100 TB.
+    *
+    * Why it exists next to [[TextOps.propagateToFixpoint]]: min-label
+    * propagation advances one HOP per round, so its round count is the
+    * graph diameter — and a near-dup graph over a web-scale corpus
+    * reliably contains one pathological chain (mirrored boilerplate,
+    * serial-numbered templates) thousands of docs long, turning "a few
+    * rounds" into thousands of full-edge-set shuffles. Star
+    * contraction instead REWIRES: each round every node re-attaches to
+    * the minimum of its neighborhood, so component height roughly
+    * halves per double-round and convergence is O(log² n) independent
+    * of diameter. Both produce the identical labeling (component
+    * minimum), which is the differential proof the spec runs.
+    *
+    * Round shape (all scalable primitives, nothing wider than a node
+    * id): large-star symmetrizes the edge list, takes the per-node
+    * neighborhood min including self (one partial-aggregated
+    * hash-agg), and re-points every LARGER neighbor at that min;
+    * small-star orients edges (larger, smaller) and re-points the node
+    * plus every non-min neighbor at the neighborhood min. Each phase
+    * is one groupBy + one |V|-row equi-join + one distinct. Lineage is
+    * cut per round through the shared [[TextOps.cutLineage]] seam
+    * (reliable checkpoints on a cluster). Convergence = a full round
+    * leaves the edge set unchanged (symmetric difference empty — two
+    * anti-joins); the fixed points of the pair of operations are
+    * exactly per-component stars centered on the component minimum,
+    * so the final edge set IS the label table.
+    *
+    * Input: symmetric (doc_a, doc_b) pairs (the [[TextOps]] lsh_edges
+    * artifact shape). Returns (node, label) plus the round count (the
+    * spec asserts rounds ≪ diameter on a path graph).
+    */
+  private[graft] def starContract(edgesIn: DataFrame): (DataFrame, Int) = {
+    var e = cut(edgesIn
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .where(col("u") =!= col("v")).distinct())
+    var rounds = 0
+    var changed = 1L
+    while (changed > 0 && rounds < StarMaxRounds) {
+      // large-star: m(u) = min(N(u) ∪ {u}); every neighbor v > u
+      // re-points at m(u). m < v always (m ≤ u < v), so no self-loops.
+      val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val ls = sym.join(mins, Seq("u"))
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star over (larger, smaller)-oriented edges: m(u) = min
+      // neighbor (all neighbors < u here); u and every non-min
+      // neighbor re-point at m.
+      val pairs = ls.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val wm = pairs.join(
+        pairs.groupBy(col("u")).agg(min(col("v")).as("m")), Seq("u"))
+      val ss = cut(wm.where(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionAll(wm.select(col("u"), col("m").as("v")))
+        .distinct())
+      changed = ss.except(e).unionAll(e.except(ss)).count()
+      e = ss
+      rounds += 1
+    }
+    val labels = e.select(col("u").as("node"), col("v").as("label"))
+      .unionByName(e.select(col("v").as("node"), col("v").as("label")))
+      .distinct()
+    (labels, rounds)
+  }
 }

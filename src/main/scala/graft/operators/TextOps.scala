@@ -450,6 +450,63 @@ object TextOps {
           .as("jaccard"))
   }
 
+  /** Exact-Jaccard acceptance threshold for [[fuzzyJoin]] — set at the
+    * LSH design point (3 bands of 3 → s-curve midpoint ≈ 0.69^…), low
+    * enough that every true near-dup the bands surface survives
+    * verification.
+    */
+  val FuzzyJoinThreshold = 0.5
+
+  /** Cross-corpus fuzzy JOIN (entity resolution / record linkage
+    * between two document collections): match each document on the
+    * LEFT side (even source index) to its near-duplicates on the RIGHT
+    * side (odd), never within a side. Same two-stage shape as the
+    * dedup family — banded MinHash-LSH candidate generation (a
+    * bucket equi-join, O(collisions), never \|A\|×\|B\|) followed by
+    * exact shingle-Jaccard verification on candidates only — but with
+    * the join PREDICATE (side_a ≠ side_b) pushed into the candidate
+    * stream: each band row carries its side, so within-side collisions
+    * are dropped before any pairing materializes. This is the operator
+    * a pipeline runs to link a fresh crawl against a curated corpus
+    * (which duplicates does the new batch add?) or to align two
+    * vendors' dumps.
+    *
+    * Shape at 100 TB: the signature table is the memoized dedup-family
+    * artifact (built once, shared with self-dedup); the band join keys
+    * on (band_idx, band_key) exactly as [[dedupMinhashLsh]]; the side
+    * split adds one metadata column to the band rows, no extra
+    * shuffle. Verification touches candidate pairs only.
+    */
+  def fuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
+    val side = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        (expr("CAST(substring(source, 4, 8) AS INT)") % 2).as("side"))
+    val bands = minhashSignatures(spark, dir)
+      .select(col("doc_id"),
+        posexplode(expr(sigBandKeysExpr)).as(Seq("band_idx", "band_key")))
+      .join(side, Seq("doc_id"))
+    val l = bands.where(col("side") === 0)
+      .select(col("doc_id").as("left_id"), col("band_idx"), col("band_key"))
+    val r = bands.where(col("side") === 1)
+      .select(col("doc_id").as("right_id"), col("band_idx"), col("band_key"))
+    val cands = l.join(r, Seq("band_idx", "band_key"))
+      .select(col("left_id"), col("right_id")).distinct()
+    val sh = withShingles(spark, dir)
+      .select(col("doc_id"), array_distinct(col("shingles")).as("sh"))
+      .repartition(col("doc_id"))
+    cands
+      .join(sh.select(col("doc_id").as("left_id"), col("sh").as("sh_l")),
+        Seq("left_id"))
+      .join(sh.select(col("doc_id").as("right_id"), col("sh").as("sh_r")),
+        Seq("right_id"))
+      .select(col("left_id"), col("right_id"),
+        (size(array_intersect(col("sh_l"), col("sh_r"))).cast("double") /
+          (size(col("sh_l")) + size(col("sh_r")) -
+            size(array_intersect(col("sh_l"), col("sh_r")))))
+          .as("jaccard"))
+      .where(col("jaccard") >= FuzzyJoinThreshold)
+  }
+
   /** SimHash: 32-bit locality-sensitive fingerprint. Bit j is the sign
     * of the sum over tokens of ±1 from bit j of md5(token) (one bit per
     * hex digit). Near-duplicates share most bits; grouping by simhash
@@ -692,6 +749,29 @@ object TextOps {
         pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
     }
     propagateToFixpoint(edges).select(
+      col("node").as("doc_id"),
+      col("label").as("cluster_id"),
+      count(lit(1)).over(Window.partitionBy(col("label"))).as("cluster_size"))
+  }
+
+  /** [[dedupClusters]] labeled by alternating large-star/small-star
+    * contraction ([[GraphOps.starContract]]) instead of min-label
+    * propagation — the O(log² n)-round scale path whose round count is
+    * independent of the pair-graph DIAMETER (propagation pays one
+    * round per hop; a single long near-dup chain at 100 TB makes that
+    * thousands of rounds). Identical labeling by construction
+    * (component minimum), so this registers against the SAME oracle as
+    * `dedup_clusters` — a second differential proof, this time of a
+    * different algorithm, not just a different round count.
+    */
+  def dedupClustersStar(spark: SparkSession, dir: String): DataFrame = {
+    val edges = memoized(spark, dir, "lsh_edges") {
+      val pairs = dedupMinhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
+      pairs.unionAll(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    }
+    val (labels, _) = GraphOps.starContract(edges)
+    labels.select(
       col("node").as("doc_id"),
       col("label").as("cluster_id"),
       count(lit(1)).over(Window.partitionBy(col("label"))).as("cluster_size"))

@@ -208,4 +208,48 @@ class GraphOpsSpec extends SparkSpec {
     // the zero-coalesce path is NOT the only path exercised
     assert(out.values.sum > 0L)
   }
+
+  private def symEdges(pairs: Seq[(Long, Long)]) = {
+    val s = spark; import s.implicits._
+    val e = pairs.toDF("doc_a", "doc_b")
+    e.unionAll(e.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+  }
+
+  test("starContract labels a seeded random graph identically to min-label propagation") {
+    val rnd = new scala.util.Random(42)
+    // ~60 nodes, ~70 random edges → a mix of components, chains, cycles
+    val pairs = (0 until 70).map { _ =>
+      (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong)
+    }.filter(p => p._1 != p._2)
+    val edges = symEdges(pairs)
+    val (starLabels, _) = GraphOps.starContract(edges)
+    val star = starLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prop = graft.operators.TextOps.propagateToFixpoint(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star === prop, "different algorithms, same fixed point: component minimum")
+  }
+
+  test("starContract converges on a path graph in rounds ≪ diameter") {
+    // 2000-node path: diameter 1999. Min-label propagation advances one
+    // hop per round (propagateToFixpoint's CcMaxRounds=20 ceiling cannot
+    // finish it); star contraction must land every node on label 0 in
+    // O(log² n) rounds.
+    val n = 2000
+    val pairs = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong))
+    val (labels, rounds) = GraphOps.starContract(symEdges(pairs))
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === n)
+    assert(got.values.toSet === Set(0L), "path not fully contracted")
+    assert(rounds <= 15, s"took $rounds rounds — not diameter-independent")
+  }
+
+  test("starContract handles multiple components and preserves component boundaries") {
+    // two components: a triangle {10,11,12} and a 4-chain {20..23}
+    val pairs = Seq((10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L), (21L, 22L), (22L, 23L))
+    val (labels, _) = GraphOps.starContract(symEdges(pairs))
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+  }
 }

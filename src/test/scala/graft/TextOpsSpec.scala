@@ -296,6 +296,37 @@ class TextOpsSpec extends SparkSpec {
     tempTableDir("documents", df)
   }
 
+  test("fuzzyJoin links near-dups ACROSS sides only, never within a side") {
+    val textA = (1 to 20).map(i => s"alpha$i beta$i").mkString(" ")
+    val textB = (1 to 20).map(i => s"gamma$i delta$i").mkString(" ")
+    val dir = docsDirSrc(Seq(
+      (textA, "src0"), // doc 0: LEFT  (even source index)
+      (textA, "src1"), // doc 1: RIGHT — dup of 0 and 2 across sides
+      (textA, "src2"), // doc 2: LEFT  — dup of 0 WITHIN the left side
+      (textB, "src3"), // doc 3: RIGHT — dup of 4 WITHIN the right side
+      (textB, "src5"))) // doc 4: RIGHT
+    val got = TextOps.fuzzyJoin(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // exactly the two cross-side pairs; the within-side dups (0,2) and
+    // (3,4) band-collide but the side predicate drops them pre-pairing
+    assert(got.map(t => (t._1, t._2)).toSet === Set((0L, 1L), (2L, 1L)))
+    assert(got.forall(_._3 === 1.0), s"identical texts must verify at 1.0: ${got.toSeq}")
+  }
+
+  test("fuzzyJoin drops band-colliding pairs below the Jaccard threshold") {
+    // two cross-side docs sharing ONE long run of words (enough for a
+    // probable band collision via shared shingle minima) amid mostly
+    // disjoint text → est collision possible, exact jaccard < 0.5
+    val shared = (1 to 12).map(i => s"s$i").mkString(" ")
+    val left = shared + " " + (1 to 40).map(i => s"l$i").mkString(" ")
+    val right = shared + " " + (1 to 40).map(i => s"r$i").mkString(" ")
+    val dir = docsDirSrc(Seq((left, "src0"), (right, "src1")))
+    val got = TextOps.fuzzyJoin(spark, dir).collect()
+    // jaccard = 10 shared shingles / (2·50 − 10 + 2... ) ≈ 0.1 ≪ 0.5:
+    // whatever the bands surface, verification must reject it
+    assert(got.isEmpty, s"sub-threshold pair leaked: ${got.toSeq}")
+  }
+
   test("dedupSegments drops corpus-repeated segments and keeps segment order") {
     val shared = (1 to 10).map(i => s"w$i").mkString(" ")
     val uniq = (1 to 12).map(i => s"u$i").mkString(" ")
