@@ -636,6 +636,23 @@ object OracleRelational {
        |LIMIT $size""".stripMargin
   }
 
+  /** Mirror of Relational.q54CompositeAgg: the after-key predicate on
+    * raw columns, then the grouped page in key order.
+    */
+  val q54: String = {
+    val r = graft.operators.Relational
+    s"""SELECT c_nationkey, c_mktsegment,
+       |  CAST(count(*) AS BIGINT) AS n_cust,
+       |  ${dsum("c_acctbal")} AS sum_acctbal
+       |FROM customer
+       |WHERE c_nationkey > ${r.CompositeAfterNation}
+       |   OR (c_nationkey = ${r.CompositeAfterNation}
+       |       AND c_mktsegment > '${r.CompositeAfterSegment}')
+       |GROUP BY c_nationkey, c_mktsegment
+       |ORDER BY c_nationkey ASC, c_mktsegment ASC
+       |LIMIT ${r.CompositePageSize}""".stripMargin
+  }
+
   /** Mirror of sources.Layout.evtBloomSkip: the same point lookups as
     * a plain IN over the unindexed table — identical rows proves the
     * bloom skipping is correctness-free (no false negatives; false

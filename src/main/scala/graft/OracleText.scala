@@ -215,6 +215,81 @@ object OracleText {
        |JOIN shsets sa ON sa.doc_id = p.doc_a
        |JOIN shsets sb ON sb.doc_id = p.doc_b""".stripMargin
 
+  /** Mirror of TextOps.dupSpans — stride-1 window hashes, corpus
+    * duplicate-frequency filter, gaps-and-islands merge (aligned
+    * double-unnest zips starts with hashes).
+    */
+  val dupSpans: String = {
+    val w = TextOps.DupSpanLen
+    val f = TextOps.DupSpanFreq
+    s"""WITH $wordsCte,
+       |wins AS (
+       |  SELECT doc_id,
+       |    unnest(range(len(words) - $w + 1)) AS "start",
+       |    md5(unnest(list_transform(range(len(words) - $w + 1),
+       |      i -> array_to_string(list_slice(words, i + 1, i + $w), ' ')))) AS h
+       |  FROM docs WHERE len(words) >= $w
+       |),
+       |dup AS (SELECT h FROM wins GROUP BY h HAVING count(*) >= $f),
+       |marked AS (SELECT doc_id, "start" FROM wins JOIN dup USING (h)),
+       |lagged AS (
+       |  SELECT doc_id, "start",
+       |    lag("start") OVER (PARTITION BY doc_id ORDER BY "start") AS prev
+       |  FROM marked
+       |),
+       |isl AS (
+       |  SELECT doc_id, "start",
+       |    sum(CASE WHEN prev IS NULL OR "start" - prev > $w THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY "start") AS grp
+       |  FROM lagged
+       |)
+       |SELECT doc_id, min("start") AS span_start, max("start") + $w AS span_end,
+       |  count(*) AS n_dup_windows
+       |FROM isl GROUP BY doc_id, grp""".stripMargin
+  }
+
+  /** Mirror of TextOps.dsir — add-one integer-log2 unigram log-ratio,
+    * BIGINT-cast sums (DuckDB integer sums widen to HUGEINT otherwise).
+    */
+  val dsir: String = {
+    val t = TextOps.DsirTargetLang
+    s"""WITH $wordsCte,
+       |tfc AS (
+       |  SELECT doc_id, lang, word, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, lang, unnest(words) AS word FROM docs)
+       |  GROUP BY doc_id, lang, word
+       |),
+       |ws AS (
+       |  SELECT word,
+       |    CAST(sum(CASE WHEN lang = '$t' THEN tf ELSE 0 END) AS BIGINT) AS ct,
+       |    CAST(sum(CASE WHEN lang <> '$t' THEN tf ELSE 0 END) AS BIGINT) AS cs
+       |  FROM tfc GROUP BY word
+       |),
+       |tot AS (
+       |  SELECT CAST(sum(ct) AS BIGINT) AS tt, CAST(sum(cs) AS BIGINT) AS ss
+       |  FROM ws
+       |),
+       |scored AS (
+       |  SELECT word,
+       |    CAST((length(bin(ss)) - length(bin(cs + 1))) -
+       |         (length(bin(tt)) - length(bin(ct + 1))) AS BIGINT) AS wbits
+       |  FROM ws, tot
+       |),
+       |pd AS (
+       |  SELECT doc_id,
+       |    CAST(sum(tf * wbits) AS BIGINT) AS dsir_bits,
+       |    CAST(sum(tf) AS BIGINT) AS n_words
+       |  FROM tfc JOIN scored USING (word) GROUP BY doc_id
+       |)
+       |SELECT d.doc_id, d.lang,
+       |  COALESCE(pd.n_words, 0) AS n_words,
+       |  COALESCE(pd.dsir_bits, 0) AS dsir_bits,
+       |  CASE WHEN COALESCE(pd.n_words, 0) > 0
+       |       THEN CAST(pd.dsir_bits AS DOUBLE) / CAST(pd.n_words AS DOUBLE)
+       |       ELSE 0.0 END AS mean_bits
+       |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin
+  }
+
   /** Mirror of TextOps.fuzzyJoin — the LSH band join with the
     * cross-side predicate in the candidate stream, exact shingle
     * Jaccard verify, threshold filter.

@@ -1039,4 +1039,35 @@ object OracleVectors {
        |  FROM assign
        |)
        |SELECT c_label AS cluster, vec_id, rn FROM r WHERE rn <= $n""".stripMargin
+
+  /** Mirror of VectorOps.kCenter: all KcK farthest-point steps
+    * unrolled as (argmax pick, min-distance update) CTE pairs — the
+    * sentinel-2.0 initialization makes step 1 a uniform member of the
+    * loop (all-equal d ties break to the minimum vec_id).
+    */
+  val kCenter: String = {
+    val kk = VectorOps.KcK
+    val steps = (1 to kk).map { t =>
+      val prev = s"d${t - 1}"
+      val pick =
+        s"""p$t AS (
+           |  SELECT vec_id, d FROM $prev ORDER BY d DESC, vec_id ASC LIMIT 1
+           |)""".stripMargin
+      val upd =
+        s"""d$t AS (
+           |  SELECT x.vec_id, x.embedding, x.nrm,
+           |    least(x.d, 1.0 - ${dot("x.embedding", "s.embedding")} /
+           |      (sqrt(x.nrm) * sqrt(s.nrm))) AS d
+           |  FROM $prev x, base s, p$t WHERE s.vec_id = p$t.vec_id
+           |)""".stripMargin
+      if (t < kk) s"$pick,\n$upd" else pick
+    }.mkString(",\n")
+    val sel = (1 to kk)
+      .map(t => s"SELECT CAST($t AS BIGINT) AS pick_order, vec_id, d AS covered_d FROM p$t")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $baseCte,
+       |d0 AS (SELECT vec_id, embedding, nrm, CAST(2.0 AS DOUBLE) AS d FROM base),
+       |$steps
+       |$sel""".stripMargin
+  }
 }

@@ -1048,6 +1048,41 @@ object Relational {
       .limit(PageSize)
   }
 
+  /** Composite-aggregation page size and after-key cursor (the ES
+    * `composite` agg's `size` / `after`). */
+  val CompositePageSize = 20
+  val CompositeAfterNation = 7L
+  val CompositeAfterSegment = "BUILDING"
+
+  /** Composite aggregation (ES `composite` agg with `after`) — KEYSET
+    * pagination over GROUP BY results: groups are totally ordered by
+    * their key tuple and each request fetches the next
+    * [[CompositePageSize]] groups strictly after the `after` cursor.
+    * This is the agg-side twin of [[q53KeysetPage]] (rows → groups),
+    * and the only way ES exposes unbounded-cardinality aggregations.
+    *
+    * The cursor predicate is on RAW scan columns
+    * (`nation > a OR (nation = a AND segment > b)`), so it sits BELOW
+    * the aggregation and pushes into the parquet scan — skipped groups
+    * are never aggregated, which is exactly why composite beats
+    * from+size `terms` paging at depth (and with the table laid out /
+    * partitioned by the leading key column, the filter becomes
+    * partition pruning and the scan itself shrinks). The page cut is a
+    * TakeOrdered over the surviving groups, map-side k per task.
+    */
+  def q54CompositeAgg(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir)
+      .where(col("c_nationkey") > CompositeAfterNation ||
+        (col("c_nationkey") === CompositeAfterNation &&
+          col("c_mktsegment") > CompositeAfterSegment))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+          .as("sum_acctbal"))
+      .orderBy(col("c_nationkey").asc, col("c_mktsegment").asc)
+      .limit(CompositePageSize)
+  }
+
   /** Z-score anomaly flags over daily per-type event volumes — the
     * monitoring pass a production ingest runs over its own counters.
     * A (type, day) cell flags when its count deviates from the type's

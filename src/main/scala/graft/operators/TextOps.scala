@@ -1108,6 +1108,125 @@ object TextOps {
             |  s -> s.seg)""".stripMargin)).as("text_kept"))
   }
 
+  /** Window length (tokens) and corpus frequency at which an
+    * OVERLAPPING window counts as duplicated for [[dupSpans]].
+    */
+  val DupSpanLen = 5
+  val DupSpanFreq = 2
+
+  /** Maximal duplicated-span detection — the windowed form of exact
+    * substring deduplication (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better", which removes repeated spans
+    * ≥ 50 tokens via suffix arrays): every OVERLAPPING
+    * [[DupSpanLen]]-token window (stride 1) is hashed; windows whose
+    * hash occurs ≥ [[DupSpanFreq]] times corpus-wide mark their token
+    * range as duplicated; per document, overlapping/adjacent marked
+    * windows merge into MAXIMAL spans (gaps-and-islands over window
+    * starts). Any duplicated substring of ≥ DupSpanLen tokens is
+    * covered by at least one duplicated window, so the emitted spans
+    * are exactly the token ranges a span-level dedup pass would cut —
+    * where [[dedupSegments]]'s fixed non-overlapping segments can
+    * straddle (and so miss) a duplicated region, the stride-1 windows
+    * localize its precise boundaries.
+    *
+    * Shape at scale: explode (stride-1 costs DupSpanLen× the rows of
+    * the segment pass, but the shuffle carries (doc_id, start, hash) —
+    * never text) → partial-count aggregate on the hash → join back on
+    * the same key → ONE per-doc window (lag + running sum = the island
+    * ids) → per-(doc, island) aggregate. Suffix arrays find spans ≥ L
+    * in one pass but don't distribute; windowed marking is the
+    * shuffle-native equivalent, with window length the recall dial.
+    */
+  def dupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val wins = expr(
+      s"""CASE WHEN size(words) >= $DupSpanLen THEN
+         |  transform(sequence(0, size(words) - $DupSpanLen),
+         |    i -> concat_ws(' ', slice(words, i + 1, $DupSpanLen)))
+         |ELSE CAST(array() AS array<string>) END""".stripMargin)
+    // withWordsAttr: the window lambda slices into `words` (the
+    // Generate-barrier rationale of the segment/shingle family)
+    val base = withWordsAttr(spark, dir)
+      .select(col("doc_id"), posexplode(wins).as(Seq("start", "win")))
+      .select(col("doc_id"), col("start").cast("long").as("start"),
+        md5(col("win")).as("h"))
+    val dupHashes = base.groupBy(col("h")).agg(count(lit(1)).as("wfreq"))
+      .where(col("wfreq") >= DupSpanFreq)
+    val marked = base.join(dupHashes, Seq("h"))
+      .select(col("doc_id"), col("start"))
+    val byStart = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+    marked
+      .withColumn("prev", lag(col("start"), 1).over(byStart))
+      // island break: this window starts past the previous one's end
+      .withColumn("grp", sum(
+        when(col("prev").isNull || col("start") - col("prev") > DupSpanLen, 1L)
+          .otherwise(0L)).over(byStart))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("start")).as("span_start"),
+        (max(col("start")) + DupSpanLen).as("span_end"),
+        count(lit(1)).as("n_dup_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("n_dup_windows"))
+  }
+
+  /** Target language whose unigram distribution defines "target-like"
+    * for [[dsir]].
+    */
+  val DsirTargetLang = "en"
+
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score each
+    * document by how much more likely its tokens are under the TARGET
+    * distribution than the SOURCE distribution —
+    * `Σ_w tf_w · (log p̂_target(w) − log p̂_source(w))` under unigram
+    * bag-of-words models — the importance weight that selection then
+    * resamples by. Target here is the [[DsirTargetLang]] sub-corpus,
+    * source the rest (select raw text that "looks like" the curated
+    * English set — the paper's formulation with hashed n-gram features
+    * reduced to unigrams).
+    *
+    * The log-ratio runs on the INTEGER-LOG2 grid ([[surprisal]]'s
+    * device): with add-one counts,
+    * `wbits = (⌊log2 S⌋ − ⌊log2(c_s+1)⌋) − (⌊log2 T⌋ − ⌊log2(c_t+1)⌋)`
+    * via `length(bin(n))` string lengths — exact integers, so the
+    * per-doc sum commutes under any partitioning and hashes green on
+    * both engines; a float `ln` ratio would be cross-engine dirty. The
+    * grid's ±1-bit-per-term resolution is immaterial for the ranking /
+    * thresholding this score feeds.
+    *
+    * Shape at 100 TB: one token explode → one (doc, word) partial-
+    * counted aggregate (the shuffle carries counts); vocabulary stats
+    * are a groupBy OFF that aggregate (no second scan); totals a 1-row
+    * broadcast; scores join back word-keyed. Null-text docs surface
+    * with 0 words / 0 bits through the doc-table left join.
+    */
+  def dsir(spark: SparkSession, dir: String): DataFrame = {
+    val tf = withWords(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(col("words")).as("word"))
+      .groupBy(col("doc_id"), col("lang"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val wordStats = tf.groupBy(col("word")).agg(
+      sum(when(col("lang") === DsirTargetLang, col("tf")).otherwise(0L)).as("ct"),
+      sum(when(col("lang") =!= DsirTargetLang, col("tf")).otherwise(0L)).as("cs"))
+    val totals = wordStats.agg(sum(col("ct")).as("tt"), sum(col("cs")).as("ss"))
+    val scored = wordStats.crossJoin(broadcast(totals))
+      .select(col("word"),
+        ((length(bin(col("ss"))) - length(bin(col("cs") + 1))) -
+          (length(bin(col("tt"))) - length(bin(col("ct") + 1))))
+          .cast("long").as("wbits"))
+    val perDoc = tf.join(scored, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("wbits")).as("dsir_bits"),
+        sum(col("tf")).as("n_words"))
+    Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("dsir_bits"), lit(0L)).as("dsir_bits"),
+        when(coalesce(col("n_words"), lit(0L)) > 0,
+          col("dsir_bits").cast("double") / col("n_words").cast("double"))
+          .otherwise(lit(0.0)).as("mean_bits"))
+  }
+
   /** Number of shards for [[shard]] — at real scale this is the output
     * file-parallelism dial (shards ≈ cluster write slots), here small so
     * the fixture exercises multi-doc shards.

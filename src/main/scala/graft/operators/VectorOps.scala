@@ -1587,4 +1587,55 @@ object VectorOps {
       .where(col("rn") <= perCluster)
       .select(col("assigned_label").as("cluster"), col("vec_id"), col("rn"))
   }
+
+  /** Number of farthest-point picks for [[kCenter]]. */
+  val KcK = 10
+
+  /** k-center coreset selection by farthest-point (Gonzalez 1985)
+    * greedy: repeatedly pick the vector FARTHEST (max min-cosine-
+    * distance) from everything picked so far — the classic 2-approx
+    * k-center cover, and the diversity-first subset selection a
+    * curation pipeline runs to seed a labeling budget or a validation
+    * panel ([[clusterSample]] samples *within* structure; this op
+    * finds the corpus's extremes — outliers, rare modes — first).
+    *
+    * Sequentiality is inherent (pick t depends on picks 1..t−1), so
+    * the loop runs ON THE DRIVER but moves only SCALARS: per step one
+    * TakeOrdered(1) job returns the (vec_id, d) pair of the winner,
+    * the pick's embedding rejoins by id as a broadcast one-row frame,
+    * and the corpus-wide min-distance column updates in place
+    * (`least(d, dist-to-new-pick)`) — the standard distributed FPS:
+    * k corpus passes, nothing resembling the corpus ever collected.
+    * Lineage is cut per step (the d-frame feeds both the argmax and
+    * its own update — uncut, the plan would double per step).
+    *
+    * Determinism/oracle: distance is `1.0 − cos` with the house
+    * in-order dot fold, every pick tiebroken (d DESC, vec_id ASC);
+    * the d-column starts at the sentinel 2.0 (> any cosine distance),
+    * which makes pick 1 the minimum vec_id and lets the DuckDB mirror
+    * unroll all [[KcK]] steps uniformly as CTE pairs (argmax → d
+    * update), bit-equal at every step.
+    */
+  def kCenter(spark: SparkSession, dir: String): DataFrame = {
+    val base = withNorm(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+    var d = base.withColumn("d", lit(2.0))
+    val picks = Seq.newBuilder[(Long, Long, Double)]
+    for (t <- 1 to KcK) {
+      val top = d.orderBy(col("d").desc, col("vec_id").asc).limit(1)
+        .select(col("vec_id"), col("d")).head()
+      picks += ((t.toLong, top.getLong(0), top.getDouble(1)))
+      if (t < KcK) {
+        val pv = broadcast(base.where(col("vec_id") === top.getLong(0))
+          .select(col("embedding").as("pv"), col("nrm").as("pnrm")))
+        d = TextOps.cutLineage(d.crossJoin(pv).select(
+          col("vec_id"), col("embedding"), col("nrm"),
+          least(col("d"),
+            lit(1.0) - expr(dot("embedding", "pv")) /
+              (sqrt(col("nrm")) * sqrt(col("pnrm")))).as("d")))
+      }
+    }
+    import spark.implicits._
+    picks.result().toDF("pick_order", "vec_id", "covered_d")
+  }
 }

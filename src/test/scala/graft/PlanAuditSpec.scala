@@ -52,6 +52,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(800))
   }
 
+  test("q54 composite agg: after-key predicate pushed to the scan, TakeOrdered page cut") {
+    val p = plan("q54_composite_agg")
+    // the cursor predicate is on raw columns, so it must reach the
+    // parquet scan (that's why deep composite pages don't aggregate
+    // skipped groups), and the page cut is a bounded heap, not a sort
+    assert(p.contains("PushedFilters") && p.contains("c_nationkey"), p.take(1200))
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(!p.contains("Window"), p.take(800))
+  }
+
   test("minhash aggregates hash-based, never sort-based") {
     val p = plan("dedup_minhash")
     assert(!p.contains("SortAggregate"), p.take(800))

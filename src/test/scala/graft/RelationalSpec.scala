@@ -442,4 +442,32 @@ class RelationalSpec extends SparkSpec {
       assert(math.abs(rs.map(_._2._2).sum - 1.0) < 1e-9)
     }
   }
+
+  test("q54 composite agg: page strictly after the cursor, key-ordered, counts exact") {
+    val rows = Relational.q54CompositeAgg(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows.nonEmpty && rows.length <= Relational.CompositePageSize)
+    // every group is strictly AFTER the after-key (the composite
+    // cursor's exclusive semantics)...
+    assert(rows.forall { case (n, s, _) =>
+      n > Relational.CompositeAfterNation ||
+        (n == Relational.CompositeAfterNation &&
+          s > Relational.CompositeAfterSegment) })
+    // ...in key-tuple order
+    assert(rows === rows.sortBy(t => (t._1, t._2)))
+    // group counts match a driver recompute over the raw table, and the
+    // page holds the FIRST qualifying groups (nothing skipped)
+    val cust = graft.sources.Tables.customer(spark, sfDir)
+      .select(col("c_nationkey"), col("c_mktsegment")).collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    val counts = cust.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    rows.foreach { case (n, s, c) => assert(c === counts((n, s)), s"group ($n,$s)") }
+    val expectedKeys = counts.keys.toSeq
+      .filter { case (n, s) =>
+        n > Relational.CompositeAfterNation ||
+          (n == Relational.CompositeAfterNation &&
+            s > Relational.CompositeAfterSegment) }
+      .sorted.take(Relational.CompositePageSize)
+    assert(rows.map(t => (t._1, t._2)) === expectedKeys)
+  }
 }

@@ -327,6 +327,62 @@ class TextOpsSpec extends SparkSpec {
     assert(got.isEmpty, s"sub-threshold pair leaked: ${got.toSeq}")
   }
 
+  test("dupSpans merges overlapping duplicated windows into maximal spans") {
+    // docs 0 and 1 share an 8-token run at different offsets: the four
+    // duplicated 5-windows in each doc must merge into ONE span
+    // covering exactly the shared tokens
+    val shared = (1 to 8).map(i => s"dup$i").mkString(" ")
+    val dir = docsDir(Seq(
+      "a1 a2 " + shared + " a3 a4",
+      "b1 b2 b3 " + shared,
+      "c1 c2 c3 c4 c5 c6"))
+    val got = TextOps.dupSpans(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === Set((0L, 2L, 10L, 4L), (1L, 3L, 11L, 4L)))
+  }
+
+  test("dupSpans: within-doc repeats form islands; adjacent windows merge") {
+    val phrase = (1 to 5).map(i => s"p$i").mkString(" ")
+    val dir = docsDir(Seq(
+      phrase + " z1 z2 " + phrase, // gap 7 > 5 → two separate spans
+      phrase + " " + phrase + " q1")) // gap 5 = window len → one merged span
+    val got = TextOps.dupSpans(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === Set(
+      (0L, 0L, 5L, 1L), (0L, 7L, 12L, 1L),
+      (1L, 0L, 10L, 2L)))
+  }
+
+  test("dsir: exact integer recompute; target-vocab docs outscore source-vocab docs") {
+    val s = spark; import s.implicits._
+    val rows = Seq(
+      (0L, "apple banana cherry apple banana", "en"),
+      (1L, "apple cherry banana banana apple", "en"),
+      (2L, "katze hund maus katze hund", "de"),
+      (3L, "hund maus katze maus hund", "de"),
+      (4L, "apple banana katze cherry apple", "en"))
+    val df = rows.map { case (i, t, l) => (i, t, l, "spec", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tempTableDir("documents", df)
+    val got = TextOps.dsir(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    def bits(n: Long): Long = java.lang.Long.toBinaryString(n).length.toLong
+    val words = rows.flatMap { case (i, t, l) => t.split(" ").map(w => (i, l, w)) }
+    val ct = words.filter(_._2 == "en").groupBy(_._3)
+      .map { case (w, g) => w -> g.size.toLong }.withDefaultValue(0L)
+    val cs = words.filter(_._2 != "en").groupBy(_._3)
+      .map { case (w, g) => w -> g.size.toLong }.withDefaultValue(0L)
+    val tt = ct.values.sum; val ss = cs.values.sum
+    rows.foreach { case (i, t, _) =>
+      val exp = t.split(" ").map(w =>
+        (bits(ss) - bits(cs(w) + 1)) - (bits(tt) - bits(ct(w) + 1))).sum
+      assert(got(i)._1 === t.split(" ").length.toLong, s"n_words doc $i")
+      assert(got(i)._2 === exp, s"dsir_bits doc $i")
+    }
+    assert(got(0L)._3 > got(2L)._3,
+      "an en-vocab doc must outscore a de-vocab doc under the en target")
+  }
+
   test("dedupSegments drops corpus-repeated segments and keeps segment order") {
     val shared = (1 to 10).map(i => s"w$i").mkString(" ")
     val uniq = (1 to 12).map(i => s"u$i").mkString(" ")

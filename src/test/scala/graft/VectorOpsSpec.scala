@@ -453,4 +453,41 @@ class VectorOpsSpec extends SparkSpec {
     assert(stream.size < exact.size, "fixture no longer shows the <k cliff")
     assert(part.size === exact.size)
   }
+
+  test("kCenter: picks replay the exact greedy farthest-point trace") {
+    val rows = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val ids = rows.map(_._1).sorted
+    val emb = rows.toMap
+    // same in-order double fold as the operator's aggregate(zip_with)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val nrm = emb.map { case (k, v) => k -> dot(v, v) }
+    val d = scala.collection.mutable.Map(ids.map(_ -> 2.0): _*)
+    val expected = Seq.newBuilder[(Long, Long, Double)]
+    for (t <- 1 to VectorOps.KcK) {
+      val pick = ids.reduceLeft { (a, b) =>
+        if (d(b) > d(a) || (d(b) == d(a) && b < a)) b else a
+      }
+      expected += ((t.toLong, pick, d(pick)))
+      for (id <- ids) {
+        val dist = 1.0 -
+          dot(emb(id), emb(pick)) / (math.sqrt(nrm(id)) * math.sqrt(nrm(pick)))
+        if (dist < d(id)) d(id) = dist
+      }
+    }
+    val got = VectorOps.kCenter(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(got === expected.result())
+    // the covering radius is non-increasing (the FPS invariant); the
+    // sentinel-2.0 first pick is the minimum vec_id
+    assert(got.head._2 === ids.min)
+    val radii = got.map(_._3).drop(1)
+    assert(radii.zip(radii.drop(1)).forall { case (a, b) => a >= b },
+      s"covering radius increased: $radii")
+  }
 }
