@@ -528,7 +528,7 @@ object GraphOps {
     * artifact shape). Returns (node, label) plus the round count (the
     * spec asserts rounds ≪ diameter on a path graph).
     */
-  private[graft] def starContract(edgesIn: DataFrame): (DataFrame, Int) = {
+  def starContract(edgesIn: DataFrame): (DataFrame, Int) = {
     var e = cut(edgesIn
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
       .where(col("u") =!= col("v")).distinct())

@@ -780,4 +780,106 @@ for (k <- Seq(1, 8, 16)) {
   }
   println(f"  k=$k%2d (${600 * k}%6dk lineitems): $s%6.2f s")
 }
+
+println("== star-contraction CC on PATH graphs (diameter n-1; rounds must grow ~log n, NOT ~n — min-label propagation would pay n-1 rounds) ==")
+for (n <- Seq(2000, 20000, 100000)) {
+  val pairs = spark.range(n - 1L).select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+  val edges = pairs.unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+  val t0 = System.nanoTime()
+  val (labels, rounds) = graft.operators.GraphOps.starContract(edges)
+  val onRoot = labels.where(col("label") === 0).count()
+  val s = (System.nanoTime() - t0) / 1e9
+  println(f"  n=$n%7d (diameter ${n - 1}%7d): $s%6.2f s, $rounds%2d rounds, $onRoot%7d/$n nodes on label 0")
+}
+
+println("== fuzzy-join shape (band equi-join with the side predicate in the candidate stream; cost tracks collisions, never |A|x|B|) ==")
+// synthetic: n docs, ~n/50 planted cross-side dup pairs; band keys stand
+// in for minhash bands (the real operator's keys are 3-minima strings).
+for (n <- Seq(20000, 80000, 320000)) {
+  val docs = spark.range(n.toLong).select(col("id").as("doc_id"),
+    (col("id") % 2).as("side"),
+    // ~n/50 planted duplicate band-key groups; everything else unique
+    when(col("id") % 50 === 0, concat(lit("dup"), col("id") % 400))
+      .otherwise(concat(lit("u"), col("id"))).as("content"))
+  val s = timed {
+    val bands = docs.select(col("doc_id"), col("side"),
+      explode(expr("transform(sequence(0, 2), b -> md5(concat(content, CAST(b AS STRING))))")).as("band_key"))
+    val l = bands.where(col("side") === 0)
+      .select(col("doc_id").as("left_id"), col("band_key"))
+    val r = bands.where(col("side") === 1)
+      .select(col("doc_id").as("right_id"), col("band_key"))
+    l.join(r, Seq("band_key"))
+      .select(col("left_id"), col("right_id")).distinct()
+      .agg(count(lit(1))).head()
+  }
+  println(f"  n=$n%7d docs: $s%6.2f s")
+}
+
+println("== dup-span shape (stride-1 window hash -> freq agg -> join -> per-doc islands window; shuffle = (doc,start,hash), never text) ==")
+for (k <- Seq(1, 4, 8)) {
+  val s = timed {
+    val w = 5
+    val base = multi("documents", k)
+      .select(col("doc_id"), explode(array(split(col("text"), " "))).as("words"))
+      .select(col("doc_id"), posexplode(expr(
+        s"CASE WHEN size(words) >= $w THEN transform(sequence(0, size(words) - $w), i -> concat_ws(' ', slice(words, i + 1, $w))) ELSE CAST(array() AS array<string>) END"))
+        .as(Seq("start", "win")))
+      .select(col("doc_id"), col("start"), md5(col("win")).as("h"))
+    val dup = base.groupBy(col("h")).agg(count(lit(1)).as("f")).where(col("f") >= 2)
+    val byStart = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("start"))
+    base.join(dup, Seq("h")).select(col("doc_id"), col("start"))
+      .withColumn("prev", lag(col("start"), 1).over(byStart))
+      .withColumn("grp", sum(when(col("prev").isNull || col("start") - col("prev") > w, 1L).otherwise(0L)).over(byStart))
+      .groupBy(col("doc_id"), col("grp")).agg(min(col("start")), max(col("start")))
+      .agg(count(lit(1))).head()
+  }
+  println(f"  k=$k%2d: $s%6.2f s")
+}
+
+println("== k-center FPS (10 sequential corpus passes, broadcast 1-row pick, per-step scalar collect; wall must track k*N) ==")
+for (n <- Seq(16000, 48000)) {
+  val dim = 64
+  val vecs = spark.range(n.toLong).select(col("id").as("vec_id"),
+    expr(s"transform(sequence(0, ${dim - 1}), j -> CAST(hash(id, j) % 1000 AS FLOAT) / 1000.0)").as("embedding"))
+    .select(col("vec_id"), col("embedding"),
+      expr("aggregate(zip_with(embedding, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)").as("nrm"))
+    .localCheckpoint()
+  val t0 = System.nanoTime()
+  var d = vecs.withColumn("d", lit(2.0))
+  for (t <- 1 to 10) {
+    val top = d.orderBy(col("d").desc, col("vec_id").asc).limit(1)
+      .select(col("vec_id")).head().getLong(0)
+    if (t < 10) {
+      val pv = broadcast(vecs.where(col("vec_id") === top)
+        .select(col("embedding").as("pv"), col("nrm").as("pnrm")))
+      d = d.crossJoin(pv).select(col("vec_id"), col("embedding"), col("nrm"),
+        least(col("d"), lit(1.0) -
+          expr("aggregate(zip_with(embedding, pv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)") /
+          (sqrt(col("nrm")) * sqrt(col("pnrm")))).as("d")).localCheckpoint(true)
+    }
+  }
+  val s = (System.nanoTime() - t0) / 1e9
+  println(f"  n=$n%6d vectors: $s%6.2f s (10 picks)")
+}
+
+println("== DSIR shape (token explode -> (doc,word) partial-count agg -> vocab groupBy OFF it -> word-keyed join back) ==")
+for (k <- Seq(1, 8, 16)) {
+  val s = timed {
+    val tf = multi("documents", k)
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("doc_id"), col("lang"), col("word")).agg(count(lit(1)).as("tf"))
+    val ws = tf.groupBy(col("word")).agg(
+      sum(when(col("lang") === "en", col("tf")).otherwise(0L)).as("ct"),
+      sum(when(col("lang") =!= "en", col("tf")).otherwise(0L)).as("cs"))
+    val tot = ws.agg(sum(col("ct")).as("tt"), sum(col("cs")).as("ss"))
+    val scored = ws.crossJoin(broadcast(tot))
+      .select(col("word"), ((length(bin(col("ss"))) - length(bin(col("cs") + 1))) -
+        (length(bin(col("tt"))) - length(bin(col("ct") + 1)))).as("wbits"))
+    tf.join(scored, Seq("word")).groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("wbits")), sum(col("tf")))
+      .agg(count(lit(1))).head()
+  }
+  println(f"  k=$k%2d: $s%6.2f s")
+}
 sys.exit(0)
