@@ -747,6 +747,48 @@ object OracleRelational {
        |FROM smp""".stripMargin
   }
 
+  /** Mirror of Relational.q55Mad: per-group exact median, then the
+    * median of absolute deviations from it (quantile_cont ≡ Spark
+    * percentile — the q32 precedent).
+    */
+  val q55: String =
+    """WITH med AS (
+      |  SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median
+      |  FROM lineitem GROUP BY l_returnflag
+      |)
+      |SELECT l.l_returnflag, min(m.median) AS median,
+      |  quantile_cont(abs(l.l_quantity - m.median), 0.5) AS mad,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM lineitem l JOIN med m USING (l_returnflag)
+      |GROUP BY l.l_returnflag""".stripMargin
+
+  /** Mirror of Relational.q56ExtendedStats: exact integer moments
+    * (HUGEINT ≡ Spark DECIMAL(38,0) — both exact; quantities are
+    * integral), divisions and sqrt in double at the very end.
+    */
+  val q56: String =
+    """SELECT l_returnflag,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  min(l_quantity) AS min_q,
+      |  max(l_quantity) AS max_q,
+      |  CAST(sum(CAST(l_quantity AS HUGEINT)) AS DOUBLE) AS sum_q,
+      |  CAST(sum(CAST(l_quantity AS HUGEINT)) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) AS avg_q,
+      |  CAST(sum(CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS HUGEINT))
+      |    AS DOUBLE) AS sum_sq,
+      |  CAST(CAST(count(*) AS HUGEINT)
+      |         * sum(CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS HUGEINT))
+      |       - sum(CAST(l_quantity AS HUGEINT)) * sum(CAST(l_quantity AS HUGEINT))
+      |    AS DOUBLE)
+      |    / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE)) AS variance_pop,
+      |  sqrt(CAST(CAST(count(*) AS HUGEINT)
+      |         * sum(CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS HUGEINT))
+      |       - sum(CAST(l_quantity AS HUGEINT)) * sum(CAST(l_quantity AS HUGEINT))
+      |    AS DOUBLE)
+      |    / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE))) AS std_pop
+      |FROM lineitem
+      |GROUP BY l_returnflag""".stripMargin
+
   /** Mirror of Relational.evtAnomaly: same daily counters, same
     * integer-space flag rewrite `(d·n − s)² > Z²·(d·ss − s²)` (HUGEINT
     * arithmetic on DuckDB's side — exact either way), one IEEE

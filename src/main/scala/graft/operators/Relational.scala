@@ -1083,6 +1083,60 @@ object Relational {
       .limit(CompositePageSize)
   }
 
+  /** Median absolute deviation (ES `median_absolute_deviation` agg),
+    * exact two-pass form: per-group median, then the median of
+    * absolute deviations from it — the robust dispersion measure that
+    * shrugs off the outliers variance amplifies (ES computes it over
+    * TDigest sketches; the exact form is this operator, and [[q35]]'s
+    * sketch discussion covers the approximate path). Same exact-
+    * percentile device as [[q32Percentile]] (hash-green precedent);
+    * the |groups|-row median table broadcasts back for pass two, so
+    * the corpus shuffles twice on the same group key and nothing else
+    * moves.
+    */
+  def q55Mad(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_quantity"))
+    val med = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.5)").as("median"))
+    li.join(broadcast(med), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("median")).as("median"),
+        expr("percentile(abs(l_quantity - median), 0.5)").as("mad"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Extended stats (ES `extended_stats` agg): count / min / max /
+    * sum / avg / sum-of-squares / population variance / population
+    * std-dev in ONE aggregation pass. Moments are accumulated in
+    * EXACT integer space (quantities are integral; DECIMAL(38,0)
+    * sums and products — the [[evtAnomaly]] device, immune to both
+    * FP summation order and the 64-bit overflow a true 100 TB group
+    * would hit), with the variance formed as
+    * `(n·Σx² − (Σx)²) / n²` — exact numerator, one IEEE division,
+    * then one sqrt: bit-identical across engines and partitionings
+    * where a running double variance would wobble.
+    */
+  def q56ExtendedStats(spark: SparkSession, dir: String): DataFrame = {
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("l_quantity")).as("min_q"),
+        max(col("l_quantity")).as("max_q"),
+        sum(d38(col("l_quantity"))).as("s"),
+        sum(d38(col("l_quantity")) * d38(col("l_quantity"))).as("ss"))
+      .select(col("l_returnflag"), col("n"), col("min_q"), col("max_q"),
+        col("s").cast("double").as("sum_q"),
+        (col("s").cast("double") / col("n").cast("double")).as("avg_q"),
+        col("ss").cast("double").as("sum_sq"),
+        ((d38(col("n")) * col("ss") - col("s") * col("s")).cast("double") /
+          (col("n").cast("double") * col("n").cast("double")))
+          .as("variance_pop"))
+      .withColumn("std_pop", sqrt(col("variance_pop")))
+  }
+
   /** Z-score anomaly flags over daily per-type event volumes — the
     * monitoring pass a production ingest runs over its own counters.
     * A (type, day) cell flags when its count deviates from the type's

@@ -443,6 +443,56 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  private def pctl(xs: Seq[Double], p: Double): Double = {
+    // Spark `percentile` exact interpolation: index p·(n−1), linear
+    val s = xs.sorted
+    val pos = p * (s.length - 1)
+    val lo = pos.toInt
+    val frac = pos - lo
+    if (lo + 1 < s.length) s(lo) + frac * (s(lo + 1) - s(lo)) else s(lo)
+  }
+
+  test("q55 MAD: median and deviation median match a driver recompute") {
+    val rows = graft.sources.Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_quantity")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+    val got = Relational.q55Mad(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      .toMap
+    assert(got.keySet === rows.map(_._1).toSet)
+    rows.groupBy(_._1).foreach { case (g, xs) =>
+      val q = xs.map(_._2).toSeq
+      val med = pctl(q, 0.5)
+      val mad = pctl(q.map(x => math.abs(x - med)), 0.5)
+      assert(got(g)._3 === q.length.toLong, s"n for $g")
+      assert(math.abs(got(g)._1 - med) < 1e-9, s"median for $g")
+      assert(math.abs(got(g)._2 - mad) < 1e-9, s"mad for $g")
+    }
+  }
+
+  test("q56 extended stats: exact integer moments match a driver recompute") {
+    val rows = graft.sources.Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_quantity")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+    val got = Relational.q56ExtendedStats(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    rows.groupBy(_._1).foreach { case (g, xs) =>
+      val q = xs.map(_._2.toLong)
+      val n = q.length.toLong
+      val s = q.sum
+      val ss = q.map(x => x * x).sum
+      val varp = (n * ss - s * s).toDouble / (n.toDouble * n.toDouble)
+      val r = got(g)
+      assert(r.getAs[Long]("n") === n)
+      assert(r.getAs[Double]("min_q") === q.min.toDouble)
+      assert(r.getAs[Double]("max_q") === q.max.toDouble)
+      assert(r.getAs[Double]("sum_q") === s.toDouble)
+      assert(r.getAs[Double]("sum_sq") === ss.toDouble)
+      assert(r.getAs[Double]("variance_pop") === varp, s"variance for $g")
+      assert(r.getAs[Double]("std_pop") === math.sqrt(varp))
+    }
+  }
+
   test("q54 composite agg: page strictly after the cursor, key-ordered, counts exact") {
     val rows = Relational.q54CompositeAgg(spark, sfDir).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
