@@ -322,6 +322,17 @@ object TextOps {
   private def withShingles(spark: SparkSession, dir: String): DataFrame =
     withWordsAttr(spark, dir).withColumn("shingles", shingles)
 
+  /** Distinct 3-shingle sets over any (doc_id, text) frame — the exact-
+    * verification side of the dedup/linkage family, shared with the
+    * streaming linkage ([[graft.streaming.StreamingLinkage]]) which
+    * verifies batch-vs-store candidates. Same Generate barrier as
+    * [[withShingles]].
+    */
+  private[graft] def shingleSetsFrom(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"))
+      .select(col("doc_id"), explode(array(words)).as("words"))
+      .select(col("doc_id"), array_distinct(shingles).as("sh"))
+
   /** MinHash signatures: NUM_HASHES permutation-like orderings derived
     * from ONE md5 per shingle — ordering s compares digests rotated by
     * 3·s hex chars, so signature element s = min over shingles of the
@@ -491,8 +502,7 @@ object TextOps {
       .select(col("doc_id").as("right_id"), col("band_idx"), col("band_key"))
     val cands = l.join(r, Seq("band_idx", "band_key"))
       .select(col("left_id"), col("right_id")).distinct()
-    val sh = withShingles(spark, dir)
-      .select(col("doc_id"), array_distinct(col("shingles")).as("sh"))
+    val sh = shingleSetsFrom(Tables.documents(spark, dir))
       .repartition(col("doc_id"))
     cands
       .join(sh.select(col("doc_id").as("left_id"), col("sh").as("sh_l")),
