@@ -747,6 +747,76 @@ object OracleRelational {
        |FROM smp""".stripMargin
   }
 
+  /** Mirror of Relational.q57KmvJaccard: same 60-bit hash, same
+    * bottom-k sketches, same union-sketch Jaccard estimator, same
+    * exact gauges.
+    */
+  val q57: String = {
+    val k = graft.operators.Relational.KmvK
+    val rot = OracleText.rotLong("hh", 0)
+    s"""WITH hs AS (
+       |  SELECT DISTINCT event_type, $rot AS h
+       |  FROM (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hh
+       |        FROM events WHERE user_id IS NOT NULL)
+       |),
+       |sk AS (
+       |  SELECT event_type, h FROM (
+       |    SELECT event_type, h, row_number() OVER (
+       |      PARTITION BY event_type ORDER BY h) AS rn FROM hs
+       |  ) WHERE rn <= $k
+       |),
+       |types AS (SELECT DISTINCT event_type FROM hs),
+       |pairs AS (
+       |  SELECT a.event_type AS type_a, b.event_type AS type_b
+       |  FROM types a, types b WHERE a.event_type < b.event_type
+       |),
+       |uk AS (
+       |  SELECT type_a, type_b, h FROM (
+       |    SELECT p.type_a, p.type_b, u.h, row_number() OVER (
+       |      PARTITION BY p.type_a, p.type_b ORDER BY u.h) AS rn
+       |    FROM pairs p JOIN (SELECT DISTINCT p2.type_a, p2.type_b, hs.h
+       |      FROM pairs p2 JOIN hs
+       |        ON hs.event_type = p2.type_a OR hs.event_type = p2.type_b) u
+       |      ON u.type_a = p.type_a AND u.type_b = p.type_b
+       |  ) WHERE rn <= $k
+       |),
+       |ku AS (SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS k_used
+       |       FROM uk GROUP BY type_a, type_b),
+       |com AS (
+       |  SELECT u.type_a, u.type_b, CAST(count(*) AS BIGINT) AS n_common
+       |  FROM uk u
+       |  JOIN sk sa ON sa.event_type = u.type_a AND sa.h = u.h
+       |  JOIN sk sb ON sb.event_type = u.type_b AND sb.h = u.h
+       |  GROUP BY u.type_a, u.type_b
+       |),
+       |du AS (SELECT DISTINCT event_type, user_id FROM events
+       |       WHERE user_id IS NOT NULL),
+       |np AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd
+       |       FROM du GROUP BY event_type),
+       |ix AS (
+       |  SELECT p.type_a, p.type_b, CAST(count(*) AS BIGINT) AS n_inter_exact
+       |  FROM pairs p
+       |  JOIN du da ON da.event_type = p.type_a
+       |  JOIN du db ON db.event_type = p.type_b AND db.user_id = da.user_id
+       |  GROUP BY p.type_a, p.type_b
+       |)
+       |SELECT p.type_a, p.type_b, ku.k_used,
+       |  COALESCE(com.n_common, 0) AS n_common,
+       |  CAST(COALESCE(com.n_common, 0) AS DOUBLE) / CAST(ku.k_used AS DOUBLE)
+       |    AS jaccard_est,
+       |  COALESCE(ix.n_inter_exact, 0) AS n_inter_exact,
+       |  na.nd + nb.nd - COALESCE(ix.n_inter_exact, 0) AS n_union_exact,
+       |  CAST(COALESCE(ix.n_inter_exact, 0) AS DOUBLE) /
+       |    CAST(na.nd + nb.nd - COALESCE(ix.n_inter_exact, 0) AS DOUBLE)
+       |    AS jaccard_exact
+       |FROM pairs p
+       |JOIN ku ON ku.type_a = p.type_a AND ku.type_b = p.type_b
+       |LEFT JOIN com ON com.type_a = p.type_a AND com.type_b = p.type_b
+       |LEFT JOIN ix ON ix.type_a = p.type_a AND ix.type_b = p.type_b
+       |JOIN np na ON na.event_type = p.type_a
+       |JOIN np nb ON nb.event_type = p.type_b""".stripMargin
+  }
+
   /** Mirror of Relational.q55Mad: per-group exact median, then the
     * median of absolute deviations from it (quantile_cont ≡ Spark
     * percentile — the q32 precedent).

@@ -248,6 +248,41 @@ object OracleText {
        |FROM isl GROUP BY doc_id, grp""".stripMargin
   }
 
+  /** Mirror of TextOps.corpusScorecard — exact integer sums per
+    * source, digest-frequency dup flags, terminal IEEE divisions.
+    */
+  val corpusScorecard: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, lang, text,
+      |    string_split(text, ' ') AS words, md5(text) AS digest
+      |  FROM documents
+      |),
+      |dup AS (
+      |  SELECT digest, 1 AS isdup FROM d
+      |  WHERE digest IS NOT NULL GROUP BY digest HAVING count(*) >= 2
+      |),
+      |agg AS (
+      |  SELECT source,
+      |    CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |    CAST(sum(len(words)) AS BIGINT) AS n_tokens,
+      |    CAST(sum(length(text)) AS BIGINT) AS n_chars,
+      |    CAST(sum(len(list_distinct(words))) AS BIGINT) AS n_uniq_tokens,
+      |    CAST(sum(len(list_filter(words, w -> list_contains(
+      |      ['the','a','of','and','to','in','is','it','on','for'], w))))
+      |      AS BIGINT) AS n_stopwords,
+      |    CAST(sum(CASE WHEN dup.isdup IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_dup_docs
+      |  FROM d LEFT JOIN dup USING (digest)
+      |  GROUP BY source
+      |)
+      |SELECT source, n_docs, n_langs, n_tokens, n_chars,
+      |  CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avg_doc_tokens,
+      |  CAST(n_uniq_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS uniq_token_share,
+      |  CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_share,
+      |  CAST(n_dup_docs AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_doc_share
+      |FROM agg""".stripMargin
+
   /** Mirror of TextOps.dsir — add-one integer-log2 unigram log-ratio,
     * BIGINT-cast sums (DuckDB integer sums widen to HUGEINT otherwise).
     */

@@ -743,6 +743,83 @@ object Relational {
               col("kmv_kth").cast("double")))
   }
 
+  /** KMV set algebra — the composability claim the bottom-k sketch is
+    * built on, exercised: for every event-type PAIR, estimate the
+    * Jaccard of their (huge at scale) distinct-user sets from sketches
+    * alone. The union sketch is the bottom-k of the merged hash
+    * stream; J ≈ |union-sketch ∩ sketch_A ∩ sketch_B| / k_used (the
+    * Beyer et al. 2007 estimator, with k_used = |union sketch| ≤ K so
+    * small unions stay exact). The KMV hash is [[q48KmvDistinct]]'s —
+    * distinct 60-bit md5-rotation values, so bottom-k is
+    * tie-free-deterministic and BOTH engines rank identically: even
+    * the SKETCH columns hash green, the same property the q47/q48
+    * registrations prove for HLL/KMV counting.
+    *
+    * Exact intersection/union/Jaccard ride along as gauge columns
+    * (fixture-affordable; at 100 TB only the sketches exist — the
+    * recall-gauge convention of the ANN family). Shape: sketch build
+    * is one distinct + per-type WindowGroupLimit; pair work touches
+    * ≤ |types|²·K sketch rows, corpus-independent.
+    */
+  def q57KmvJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = Tables.events(spark, dir)
+      .where(col("user_id").isNotNull)
+      .select(col("event_type"),
+        md5(col("user_id").cast("string")).as("hh"))
+      .select(col("event_type"), TextOps.rotLong("hh", 0).as("h"))
+      .distinct()
+    val wT = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val sk = hashed.withColumn("rn", row_number().over(wT))
+      .where(col("rn") <= KmvK).select(col("event_type"), col("h"))
+    val types = hashed.select(col("event_type")).distinct()
+    val pairs = broadcast(types.select(col("event_type").as("type_a")))
+      .join(broadcast(types.select(col("event_type").as("type_b"))),
+        col("type_a") < col("type_b"))
+    val uh = pairs.join(hashed,
+        col("event_type") === col("type_a") || col("event_type") === col("type_b"))
+      .select(col("type_a"), col("type_b"), col("h")).distinct()
+    val wU = Window.partitionBy(col("type_a"), col("type_b")).orderBy(col("h"))
+    val uk = uh.withColumn("rn", row_number().over(wU))
+      .where(col("rn") <= KmvK).select(col("type_a"), col("type_b"), col("h"))
+    val common = uk
+      .join(sk.select(col("event_type").as("type_a"), col("h")),
+        Seq("type_a", "h"), "left_semi")
+      .join(sk.select(col("event_type").as("type_b"), col("h")),
+        Seq("type_b", "h"), "left_semi")
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val kUsed = uk.groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("k_used"))
+    // exact gauges over the true distinct-user sets
+    val du = Tables.events(spark, dir).where(col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id")).distinct()
+    val nPer = du.groupBy(col("event_type")).agg(count(lit(1)).as("nd"))
+    val inter = pairs
+      .join(du.select(col("event_type").as("type_a"), col("user_id")), Seq("type_a"))
+      .join(du.select(col("event_type").as("type_b"), col("user_id")),
+        Seq("type_b", "user_id"), "left_semi")
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_inter_exact"))
+    pairs
+      .join(kUsed, Seq("type_a", "type_b"))
+      .join(common, Seq("type_a", "type_b"), "left")
+      .join(inter, Seq("type_a", "type_b"), "left")
+      .join(broadcast(nPer.select(col("event_type").as("type_a"), col("nd").as("na"))),
+        Seq("type_a"))
+      .join(broadcast(nPer.select(col("event_type").as("type_b"), col("nd").as("nb"))),
+        Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("k_used"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        (coalesce(col("n_common"), lit(0L)).cast("double") /
+          col("k_used").cast("double")).as("jaccard_est"),
+        coalesce(col("n_inter_exact"), lit(0L)).as("n_inter_exact"),
+        (col("na") + col("nb") - coalesce(col("n_inter_exact"), lit(0L)))
+          .as("n_union_exact"),
+        (coalesce(col("n_inter_exact"), lit(0L)).cast("double") /
+          (col("na") + col("nb") - coalesce(col("n_inter_exact"), lit(0L)))
+            .cast("double")).as("jaccard_exact"))
+  }
+
   /** Rank-function family over one window: ntile quartiles, percent_rank
     * and cume_dist per order priority. The window's total order includes
     * the key (o_orderkey) so ranks are deterministic under any

@@ -1178,6 +1178,49 @@ object TextOps {
         col("n_dup_windows"))
   }
 
+  /** Per-source corpus scorecard — the curation dashboard row: doc /
+    * token / char volumes, language spread, vocabulary and stopword
+    * shares, and the corpus-wide exact-duplicate share, one row per
+    * source. Every ratio is a TERMINAL IEEE division of exact integer
+    * sums (the anomaly/mixWeights discipline) — a mean over per-doc
+    * double ratios would be summation-order dependent and cross-engine
+    * dirty. Shape: one token-stats scan groupBy(source) + one
+    * digest-frequency aggregate joined back (8-byte digests, never
+    * text) — the report a 100 TB curation pipeline emits per ingest
+    * source to decide reweighting and dedup pressure.
+    */
+  def corpusScorecard(spark: SparkSession, dir: String): DataFrame = {
+    val stop = "array('the','a','of','and','to','in','is','it','on','for')"
+    val base = withWords(spark, dir).select(
+      col("doc_id"), col("source"), col("lang"), col("text"), col("words"),
+      md5(col("text")).as("digest"))
+    val dupDigests = base.groupBy(col("digest"))
+      .agg(count(lit(1)).as("dn"))
+      .where(col("dn") >= 2 && col("digest").isNotNull)
+      .select(col("digest"), lit(1L).as("isdup"))
+    base.join(dupDigests, Seq("digest"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(size(col("words")).cast("long")).as("n_tokens"),
+        sum(length(col("text")).cast("long")).as("n_chars"),
+        sum(size(array_distinct(col("words"))).cast("long")).as("n_uniq_tokens"),
+        sum(expr(s"size(filter(words, w -> array_contains($stop, w)))")
+          .cast("long")).as("n_stopwords"),
+        sum(coalesce(col("isdup"), lit(0L))).as("n_dup_docs"))
+      .select(col("source"), col("n_docs"), col("n_langs"),
+        col("n_tokens"), col("n_chars"),
+        (col("n_tokens").cast("double") / col("n_docs").cast("double"))
+          .as("avg_doc_tokens"),
+        (col("n_uniq_tokens").cast("double") / col("n_tokens").cast("double"))
+          .as("uniq_token_share"),
+        (col("n_stopwords").cast("double") / col("n_tokens").cast("double"))
+          .as("stopword_share"),
+        (col("n_dup_docs").cast("double") / col("n_docs").cast("double"))
+          .as("dup_doc_share"))
+  }
+
   /** Target language whose unigram distribution defines "target-like"
     * for [[dsir]].
     */

@@ -493,6 +493,32 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q57 KMV set algebra: exhaustive sketches make the estimate exact; gauges recompute") {
+    val rows = Relational.q57KmvJaccard(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // exact gauge recompute from the raw table
+    val du = graft.sources.Tables.events(spark, sfDir)
+      .where(col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id")).distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val sets = du.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("type_a"), r.getAs[String]("type_b"))
+      val inter = (sets(a) & sets(b)).size.toLong
+      val union = (sets(a) | sets(b)).size.toLong
+      assert(r.getAs[Long]("n_inter_exact") === inter, s"inter $a/$b")
+      assert(r.getAs[Long]("n_union_exact") === union, s"union $a/$b")
+      assert(r.getAs[Double]("jaccard_exact") === inter.toDouble / union.toDouble)
+      // sf0.001 unions (~30 users) are far below K=256: the union
+      // sketch is EXHAUSTIVE, so the estimator must be exactly the
+      // true Jaccard — the small-set-exactness property of KMV
+      assert(r.getAs[Long]("k_used") === union)
+      assert(r.getAs[Long]("k_used") < Relational.KmvK)
+      assert(r.getAs[Double]("jaccard_est") === r.getAs[Double]("jaccard_exact"),
+        s"exhaustive sketch must be exact for $a/$b")
+    }
+  }
+
   test("q54 composite agg: page strictly after the cursor, key-ordered, counts exact") {
     val rows = Relational.q54CompositeAgg(spark, sfDir).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq

@@ -353,6 +353,32 @@ class TextOpsSpec extends SparkSpec {
       (1L, 0L, 10L, 2L)))
   }
 
+  test("corpusScorecard: integer sums recompute exactly; dup share counts corpus-wide") {
+    val s = spark; import s.implicits._
+    val rows = Seq(
+      (0L, "the cat sat on the mat", "en", "srcA"),
+      (1L, "the cat sat on the mat", "en", "srcB"), // exact dup ACROSS sources
+      (2L, "unique words only here now", "de", "srcA"),
+      (3L, "a b c", "fr", "srcB"))
+    val df = rows.map { case (i, t, l, src) => (i, t, l, src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tempTableDir("documents", df)
+    val got = TextOps.corpusScorecard(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val a = got("srcA"); val b = got("srcB")
+    assert(a.getAs[Long]("n_docs") === 2L && b.getAs[Long]("n_docs") === 2L)
+    assert(a.getAs[Long]("n_langs") === 2L && b.getAs[Long]("n_langs") === 2L)
+    assert(a.getAs[Long]("n_tokens") === 11L) // 6 + 5
+    assert(b.getAs[Long]("n_tokens") === 9L) // 6 + 3
+    // uniq: 5 + 5 ("the" twice in doc 0); stopwords: the, on, the
+    assert(a.getAs[Double]("uniq_token_share") === 10.0 / 11.0)
+    assert(a.getAs[Double]("stopword_share") === 3.0 / 11.0)
+    // the corpus-wide dup pair spans sources: BOTH sides report a dup doc
+    assert(a.getAs[Double]("dup_doc_share") === 0.5)
+    assert(b.getAs[Double]("dup_doc_share") === 0.5)
+    assert(a.getAs[Double]("avg_doc_tokens") === 11.0 / 2.0)
+  }
+
   test("dsir: exact integer recompute; target-vocab docs outscore source-vocab docs") {
     val s = spark; import s.implicits._
     val rows = Seq(
