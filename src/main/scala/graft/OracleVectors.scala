@@ -1004,6 +1004,71 @@ object OracleVectors {
        |  ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
        |GROUP BY e.query_id""".stripMargin
 
+  private def dotRp(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, ${VectorOps.RpDim + 1}),
+       |  i -> CAST($a[CAST(i AS INT)] AS DOUBLE) * CAST($b[CAST(i AS INT)] AS DOUBLE)),
+       |  (acc, v) -> acc + v)""".stripMargin
+
+  /** Mirror of VectorOps.knnRp: the same ±1 LCG planes as a literal,
+    * real-valued projection, projected-space cosine, exact re-rank of
+    * the RpReRank·K shortlist.
+    */
+  val knnRp: String = {
+    val rr = VectorOps.RpReRank * k
+    val planes = VectorOps.planesLitDuck(VectorOps.RpDim)
+    s"""WITH $baseCte,
+       |pb AS (
+       |  SELECT vec_id, embedding, nrm,
+       |    list_transform($planes, p ->
+       |      list_reduce(list_transform(range(1, ${dim + 1}),
+       |        i -> CAST(p[CAST(i AS INT)] AS DOUBLE)
+       |             * CAST(embedding[CAST(i AS INT)] AS DOUBLE)),
+       |        (acc, v) -> acc + v)) AS pv
+       |  FROM base
+       |),
+       |pn AS (
+       |  SELECT vec_id, embedding, nrm, pv, ${dotRp("pv", "pv")} AS pnrm
+       |  FROM pb
+       |),
+       |qset AS (
+       |  SELECT vec_id AS query_id, embedding AS qv, nrm AS qnrm,
+       |    pv AS qpv, pnrm AS qpnrm
+       |  FROM pn WHERE vec_id % $qm = 0
+       |),
+       |approx AS (
+       |  SELECT q.query_id, b.vec_id AS neighbor_id,
+       |    b.embedding, b.nrm, q.qv, q.qnrm,
+       |    ${dotRp("b.pv", "q.qpv")} / (sqrt(b.pnrm) * sqrt(q.qpnrm)) AS asim
+       |  FROM pn b, qset q WHERE b.vec_id <> q.query_id
+       |),
+       |short AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY asim DESC, neighbor_id ASC) AS arank
+       |  FROM approx
+       |),
+       |sims AS (
+       |  SELECT query_id, neighbor_id,
+       |    ${dot("embedding", "qv")} / (sqrt(nrm) * sqrt(qnrm)) AS sim
+       |  FROM short WHERE arank <= $rr
+       |),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS "rank"
+       |  FROM sims
+       |)
+       |SELECT query_id, neighbor_id, "rank", sim FROM ranked WHERE "rank" <= $k""".stripMargin
+  }
+
+  /** Recall@K of JL projection vs exact. */
+  val rpRecall: String =
+    s"""SELECT e.query_id,
+       |  CAST(count(l."rank") AS DOUBLE) / $k AS recall_at_k,
+       |  count(*) AS n_exact
+       |FROM ($knnExact) e
+       |LEFT JOIN ($knnRp) l
+       |  ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
+       |GROUP BY e.query_id""".stripMargin
+
   /** Mirror of VectorOps.semDedup: trained-cluster assignment, exact
     * cosine within clusters only, duplicate = some smaller-id
     * same-cluster neighbor above the threshold.

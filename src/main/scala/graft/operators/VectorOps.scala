@@ -1514,6 +1514,70 @@ object VectorOps {
         count(lit(1)).as("n_exact"))
   }
 
+  // --- Johnson–Lindenstrauss random-projection search -------------------
+
+  /** Projection width and exact-re-rank shortlist size (× K) for
+    * [[knnRp]].
+    */
+  val RpDim = 16
+  val RpReRank = 8
+
+  /** ANN via Johnson–Lindenstrauss random projection (±1 hyperplanes —
+    * Achlioptas 2003's database-friendly JL family, and the SAME
+    * deterministic LCG planes the sign-LSH/BQ index quantizes — kept
+    * REAL-VALUED here): every vector projects to [[RpDim]] dims
+    * (`y_j = <plane_j, x>`), the approximate pass scores cosine in
+    * projected space (RpDim/Dim of the flops and bytes), exact cosine
+    * re-ranks the [[RpReRank]]·K shortlist. The family contrast this
+    * tier completes: MRL truncation bets the MODEL front-loads
+    * information into prefix dims; JL preserves distances within
+    * 1 ± ε for ANY embedding (RpDim ~ log N / ε² — dial RpDim, not
+    * model properties); BQ is these same projections cut to 1 bit.
+    * [[rpRecall]] measures what the real corpus pays at this RpDim.
+    *
+    * Same scale shape as the quantized family: projections are a
+    * per-row map (at ingest they'd be a stored column), the corpus
+    * never shuffles, queries broadcast, full-width payloads rejoin
+    * only after the shortlist cut.
+    */
+  def knnRp(spark: SparkSession, dir: String, rpDim: Int = RpDim,
+      reRank: Int = RpReRank): DataFrame = {
+    val proj =
+      s"""transform(${planesLitSpark(rpDim)}, p ->
+         |  aggregate(zip_with(p, embedding, (w, x) -> w * CAST(x AS DOUBLE)),
+         |    CAST(0 AS DOUBLE), (acc, v) -> acc + v))""".stripMargin
+    val base = withNorm(spark, dir)
+      .withColumn("pv", expr(proj))
+      .withColumn("pnrm", expr(dot("pv", "pv")))
+    val q = base.where(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qnrm"), col("pv").as("qpv"), col("pnrm").as("qpnrm"))
+    val approx = base
+      .select(col("vec_id"), col("pv"), col("pnrm"))
+      .crossJoin(broadcast(q.select(col("query_id"), col("qpv"), col("qpnrm"))))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (expr(dot("pv", "qpv")) / (sqrt(col("pnrm")) * sqrt(col("qpnrm"))))
+          .as("asim"))
+    val shortlist = shortlistIds(approx, reRank * K)
+      .join(base.select(col("vec_id").as("neighbor_id"), col("embedding"),
+        col("nrm")), Seq("neighbor_id"))
+      .join(broadcast(q.select(col("query_id"), col("qv"), col("qnrm"))),
+        Seq("query_id"))
+    topK(shortlist.select(col("query_id"), col("neighbor_id"), cosine))
+  }
+
+  /** Recall@K of the JL projection index against the exact baseline. */
+  def rpRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = knnExact(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val approx = knnRp(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg((count(col("hit")).cast("double") / K).as("recall_at_k"),
+        count(lit(1)).as("n_exact"))
+  }
+
   // --- Semantic dedup + cluster-stratified sampling ---------------------
 
   /** Cluster-then-pairwise semantic dedup (the SemDeDup recipe, Abbas

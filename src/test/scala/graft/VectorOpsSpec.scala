@@ -454,6 +454,23 @@ class VectorOpsSpec extends SparkSpec {
     assert(part.size === exact.size)
   }
 
+  test("knnRp: an exhaustive shortlist reproduces exact KNN row-for-row") {
+    // with reRank·K >= corpus the JL pass only ORDERS the shortlist;
+    // the exact re-rank then sees every candidate, so the output must
+    // equal the exact baseline exactly — the BQ/SQ8 differential
+    val exact = VectorOps.knnExact(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val rp = VectorOps.knnRp(spark, sfDir, VectorOps.RpDim, reRank = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rp === exact)
+    // and the default-tier output is well-formed: K dense ranks per query
+    val deft = VectorOps.knnRp(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    deft.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted === (1L to VectorOps.K.toLong), s"query $q")
+    }
+  }
+
   test("kCenter: picks replay the exact greedy farthest-point trace") {
     val rows = graft.sources.Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding")).collect()
