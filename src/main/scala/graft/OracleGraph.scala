@@ -169,4 +169,42 @@ object OracleGraph {
        |)
        |SELECT n.node, COALESCE(p.n_triangles, 0) AS n_triangles
        |FROM nodes n LEFT JOIN pern p USING (node)""".stripMargin
+
+  /** Mirror of GraphOps.kCore: top-quartile undirected edges, then
+    * KCoreRounds peeling rounds unrolled as (degree, keep, filter)
+    * CTE triples. The round CTEs are MATERIALIZED: each e(i−1) is
+    * referenced 3× per round, and DuckDB's default inlining would
+    * expand the 8-round chain into 3^8 copies of the base scan —
+    * measured as an EMFILE blowup, not just slowness.
+    */
+  val kCore: String = {
+    val k = GraphOps.KCoreK
+    val rounds = (1 to GraphOps.KCoreRounds).map { i =>
+      val prev = s"e${i - 1}"
+      s"""d$i AS MATERIALIZED (
+         |  SELECT node, count(*) AS deg FROM (
+         |    SELECT a AS node FROM $prev UNION ALL SELECT b FROM $prev)
+         |  GROUP BY node
+         |),
+         |n$i AS MATERIALIZED (SELECT node FROM d$i WHERE deg >= $k),
+         |e$i AS MATERIALIZED (
+         |  SELECT e.a, e.b FROM $prev e
+         |  JOIN n$i na ON na.node = e.a
+         |  JOIN n$i nb ON nb.node = e.b
+         |)""".stripMargin
+    }.mkString(",\n")
+    val last = s"e${GraphOps.KCoreRounds}"
+    s"""WITH $edgesCte,
+       |und AS (
+       |  SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+       |    CAST(sum(w) AS BIGINT) AS w
+       |  FROM edges WHERE src <> dst GROUP BY 1, 2
+       |),
+       |th AS (SELECT quantile_cont(w, 0.75) AS t FROM und),
+       |e0 AS MATERIALIZED (SELECT a, b FROM und, th WHERE CAST(w AS DOUBLE) >= t),
+       |$rounds
+       |SELECT node, CAST(count(*) AS BIGINT) AS core_deg FROM (
+       |  SELECT a AS node FROM $last UNION ALL SELECT b FROM $last)
+       |GROUP BY node""".stripMargin
+  }
 }

@@ -486,6 +486,63 @@ object GraphOps {
       .select(col("node"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
   }
 
+  /** k and unrolled round count for [[kCore]] (rounds shared with the
+    * oracle's CTE unroll — the CcRounds/PrRounds device; the spec
+    * proves the fixture reaches its fixpoint within the bound).
+    */
+  val KCoreK = 5
+  val KCoreRounds = 8
+
+  /** One peeling round: drop every node with degree < k, then every
+    * edge missing an endpoint. */
+  private def peelOnce(e: DataFrame, k: Int): DataFrame = {
+    val keep = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .where(col("deg") >= k).select(col("node"))
+    e.join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
+      .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
+  }
+
+  /** Bounded-round k-core peeling over an undirected (a, b) edge set —
+    * exposed for the spec's synthetic graphs. Each round is one
+    * partial-agg degree count + two semi-joins (nothing wider than a
+    * node id); lineage is cut per round (the degree count and both
+    * semi-joins re-read the round's edge set — uncut, the plan tree
+    * would triple per round). Returns surviving nodes with their
+    * core-subgraph degree.
+    */
+  private[graft] def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var e = edges
+    for (_ <- 1 to rounds) e = cut(peelOnce(e, k))
+    e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("core_deg"))
+  }
+
+  /** k-core decomposition (bounded unroll) of the STRONG trade graph:
+    * undirected nation-trade edges kept when their combined weight
+    * reaches the corpus's own 75th percentile (a relative cut — scale-
+    * free where an absolute threshold would saturate as SF grows),
+    * then [[KCoreRounds]] peeling rounds at k = [[KCoreK]]. The k-core
+    * is the standard cohesive-subgraph readout (who is in the densely
+    * interconnected trading bloc, after the cascade of marginal
+    * members leaving destabilizes their neighbors — exactly what
+    * degree filtering alone misses). Oracle unrolls the same rounds as
+    * CTEs; GraphOpsSpec proves the cascade semantics on synthetic
+    * graphs and fixpoint-within-bound on the fixture.
+    */
+  def kCore(spark: SparkSession, dir: String): DataFrame = {
+    val d = tradeEdges(spark, dir).where(col("src") =!= col("dst"))
+    val und = d.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"), col("w"))
+      .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w"))
+    val thresh = und.agg(expr("percentile(w, 0.75)").as("t"))
+    val strong = und.crossJoin(broadcast(thresh))
+      .where(col("w").cast("double") >= col("t"))
+      .select(col("a"), col("b"))
+    kCorePeel(strong, KCoreK, KCoreRounds)
+  }
+
   /** Runaway guard for [[starContract]] — far above the O(log² n)
     * rounds the algorithm needs on any real graph (log²(10^12) ≈ 40²
     * bit-ops collapse to ~2·log₂ rounds in practice; the 2000-node

@@ -215,6 +215,52 @@ class GraphOpsSpec extends SparkSpec {
     e.unionAll(e.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
   }
 
+  private def undEdges(pairs: Seq[(Long, Long)]) = {
+    val s = spark; import s.implicits._
+    pairs.toDF("a", "b")
+  }
+
+  test("kCorePeel: the 5-core of a clique-plus-pendant-path is exactly the clique") {
+    // K6 on nodes 0..5 (every node degree 5) with a path 5-10-11-12
+    // hanging off it: the path peels away (cascade: 12 first, then 11,
+    // then 10), the clique survives with in-core degree 5
+    val clique = for { i <- 0L to 5L; j <- (i + 1) to 5L } yield (i, j)
+    val path = Seq((5L, 10L), (10L, 11L), (11L, 12L))
+    val got = GraphOps.kCorePeel(undEdges(clique ++ path), 5, 6).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (0L to 5L).map(_ -> 5L).toMap)
+  }
+
+  test("kCorePeel: degree filtering alone is NOT the k-core (the cascade matters)") {
+    // path 0-1-2-3-4 at k=2: interior nodes start at degree 2, but
+    // removing the endpoints cascades until nothing is left — while a
+    // 5-cycle at k=2 survives whole
+    val path = (0L to 3L).map(i => (i, i + 1))
+    assert(GraphOps.kCorePeel(undEdges(path), 2, 6).collect().isEmpty)
+    val cycle = (0L to 3L).map(i => (i, i + 1)) :+ (4L, 0L)
+    val got = GraphOps.kCorePeel(undEdges(cycle), 2, 6).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (0L to 4L).map(_ -> 2L).toMap)
+  }
+
+  test("kCore reaches its fixpoint within the unrolled round bound on the fixture") {
+    val bounded = GraphOps.kCore(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // re-peel the fixture graph with extra rounds: no further change
+    val d = GraphOps.tradeEdges(spark, sfDir).where(col("src") =!= col("dst"))
+    val und = d.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"), col("w"))
+      .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w"))
+    val thresh = und.agg(expr("percentile(w, 0.75)").as("t"))
+    val strong = und.crossJoin(broadcast(thresh))
+      .where(col("w").cast("double") >= col("t"))
+      .select(col("a"), col("b"))
+    val more = GraphOps.kCorePeel(strong, GraphOps.KCoreK,
+        GraphOps.KCoreRounds + 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bounded === more, "fixture did not reach its k-core fixpoint in the bound")
+  }
+
   test("starContract labels a seeded random graph identically to min-label propagation") {
     val rnd = new scala.util.Random(42)
     // ~60 nodes, ~70 random edges → a mix of components, chains, cycles
