@@ -1253,10 +1253,28 @@ object TextOps {
     * with 0 words / 0 bits through the doc-table left join.
     */
   def dsir(spark: SparkSession, dir: String): DataFrame = {
-    val tf = withWords(spark, dir)
+    val tf = dsirTfFrom(Tables.documents(spark, dir))
+    dsirFrom(tf, Tables.documents(spark, dir).select(col("doc_id"), col("lang")))
+  }
+
+  /** The (doc_id, lang, word, tf) term-frequency table a DSIR store
+    * maintains — shared with [[graft.streaming.StreamingDsir]], which
+    * builds it per micro-batch slice.
+    */
+  private[graft] def dsirTfFrom(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+        explode(array(words)).as("words"))
       .select(col("doc_id"), col("lang"), explode(col("words")).as("word"))
       .groupBy(col("doc_id"), col("lang"), col("word"))
       .agg(count(lit(1)).as("tf"))
+
+  /** [[dsir]] over materialized relations — `tf` the (doc_id, lang,
+    * word, tf) table, `docLangs` one row per corpus document. Every
+    * sum is an exact integer, so scoring the MERGED incremental store
+    * is bit-equal to scoring the batch-derived table under any batch
+    * split — the property the streaming spec proves.
+    */
+  private[graft] def dsirFrom(tf: DataFrame, docLangs: DataFrame): DataFrame = {
     val wordStats = tf.groupBy(col("word")).agg(
       sum(when(col("lang") === DsirTargetLang, col("tf")).otherwise(0L)).as("ct"),
       sum(when(col("lang") =!= DsirTargetLang, col("tf")).otherwise(0L)).as("cs"))
@@ -1270,7 +1288,7 @@ object TextOps {
       .groupBy(col("doc_id"))
       .agg(sum(col("tf") * col("wbits")).as("dsir_bits"),
         sum(col("tf")).as("n_words"))
-    Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    docLangs
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang"),
         coalesce(col("n_words"), lit(0L)).as("n_words"),

@@ -1685,18 +1685,25 @@ object VectorOps {
       .select(col("vec_id"), col("embedding"), col("nrm"))
     var d = base.withColumn("d", lit(2.0))
     val picks = Seq.newBuilder[(Long, Long, Double)]
-    for (t <- 1 to KcK) {
-      val top = d.orderBy(col("d").desc, col("vec_id").asc).limit(1)
-        .select(col("vec_id"), col("d")).head()
-      picks += ((t.toLong, top.getLong(0), top.getDouble(1)))
-      if (t < KcK) {
-        val pv = broadcast(base.where(col("vec_id") === top.getLong(0))
-          .select(col("embedding").as("pv"), col("nrm").as("pnrm")))
-        d = TextOps.cutLineage(d.crossJoin(pv).select(
-          col("vec_id"), col("embedding"), col("nrm"),
-          least(col("d"),
-            lit(1.0) - expr(dot("embedding", "pv")) /
-              (sqrt(col("nrm")) * sqrt(col("pnrm")))).as("d")))
+    var exhausted = false
+    for (t <- 1 to KcK if !exhausted) {
+      // collect(), not head(): an EMPTY corpus (cold index, fresh
+      // cluster) must yield an empty selection, not a crash
+      val rows = d.orderBy(col("d").desc, col("vec_id").asc).limit(1)
+        .select(col("vec_id"), col("d")).collect()
+      if (rows.isEmpty) exhausted = true
+      else {
+        val top = rows(0)
+        picks += ((t.toLong, top.getLong(0), top.getDouble(1)))
+        if (t < KcK) {
+          val pv = broadcast(base.where(col("vec_id") === top.getLong(0))
+            .select(col("embedding").as("pv"), col("nrm").as("pnrm")))
+          d = TextOps.cutLineage(d.crossJoin(pv).select(
+            col("vec_id"), col("embedding"), col("nrm"),
+            least(col("d"),
+              lit(1.0) - expr(dot("embedding", "pv")) /
+                (sqrt(col("nrm")) * sqrt(col("pnrm")))).as("d")))
+        }
       }
     }
     import spark.implicits._

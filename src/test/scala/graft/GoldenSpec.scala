@@ -264,7 +264,25 @@ class GoldenSpec extends SparkSpec {
     // over the registry's ~95/5 edge split (hash % 20 < 19) must land
     // on the full-closure fixpoint; heavier 30-40% splits are covered
     // in GraphOpsSpec's property tests
-    "asset_closure_incr" -> ((8639256376167313932L, 29L))
+    "asset_closure_incr" -> ((8639256376167313932L, 29L)),
+    // --- round 9 additions ---
+    "corpus_scorecard" -> ((2459005735593916183L, 20L)),
+    "q57_kmv_jaccard" -> ((-6982374245570894745L, 10L)),
+    "txt_dsir" -> ((-1273910588729949793L, 500L)),
+    "emb_kcenter" -> ((-8622945735609285306L, 10L)),
+    "txt_dup_spans" -> ((-8273753689265599722L, 58L)),
+    "emb_rp_recall" -> ((3227650419667123900L, 5L)),
+    "q55_mad" -> ((8410078268555520807L, 3L)),
+    "fuzzy_join" -> ((-5787165834800291697L, 11L)),
+    "q56_extended_stats" -> ((7837176611794134071L, 3L)),
+    "q54_composite_agg" -> ((-799582612599199092L, 20L)),
+    // 11 of 25 nations survive 8 rounds of k=5 peeling over the
+    // top-quartile edges (the sf0.001 graph is sparser than sf0.01's)
+    "graph_kcore" -> ((-3916380489245484590L, 11L)),
+    // 45 rows like dedup_clusters: same components, same min labels —
+    // the star-contraction differential at the golden layer too
+    "dedup_clusters_star" -> ((-4388125515379173L, 45L)),
+    "emb_knn_rp" -> ((-6335444676157941696L, 50L))
   )
 
   test("golden: every query output is frozen at sf0.001") {
