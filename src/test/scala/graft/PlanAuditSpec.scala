@@ -62,6 +62,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), p.take(800))
   }
 
+  test("JL projection KNN: broadcast everywhere, map-side shortlist cut, no SMJ") {
+    val p = plan("emb_knn_rp")
+    // queries and shortlist payloads broadcast; the corpus never merges
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+    // the rr·K shortlist reduces map-side (partial bounded heap), so
+    // the only exchange carries <=|tasks|·|Q|·rr entries
+    assert(p.contains("partial_topk_by_sim"), p.take(800))
+  }
+
+  test("dup spans: both island windows share ONE doc-keyed exchange; hash aggs only") {
+    val p = plan("txt_dup_spans")
+    // lag + running-sum windows sort once behind a single exchange —
+    // a second per-doc shuffle would double the operator's only
+    // corpus-sized movement
+    assert(p.split("\n").count(_.contains("Exchange hashpartitioning(doc_id")) === 1,
+      p.take(1500))
+    assert(p.split("\n").count(_.contains("Window")) === 2, p.take(1500))
+    assert(!p.contains("SortAggregate"), p.take(800))
+  }
+
   test("minhash aggregates hash-based, never sort-based") {
     val p = plan("dedup_minhash")
     assert(!p.contains("SortAggregate"), p.take(800))

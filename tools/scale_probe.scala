@@ -863,6 +863,37 @@ for (n <- Seq(16000, 48000)) {
   println(f"  n=$n%6d vectors: $s%6.2f s (10 picks)")
 }
 
+println("== k-core shape (edge-derivation scan x k over the FIXED 25-node graph; 8 peeling rounds of tiny aggregates — the pagerank/triangle cost profile) ==")
+for (k <- Seq(1, 8, 16)) {
+  val li = multi("lineitem", k)
+  val s = timed {
+    val e = li.select(col("l_orderkey"), col("l_suppkey"))
+      .join(broadcast(multi("orders", 1).select(col("o_orderkey"), col("o_custkey"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(multi("customer", 1).select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(multi("supplier", 1).select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .where(col("c_nationkey") =!= col("s_nationkey"))
+      .groupBy(least(col("c_nationkey"), col("s_nationkey")).cast("long").as("a"),
+        greatest(col("c_nationkey"), col("s_nationkey")).cast("long").as("b"))
+      .agg(count(lit(1)).as("w"))
+    val th = e.agg(expr("percentile(w, 0.75)").as("t"))
+    var cur = e.crossJoin(broadcast(th)).where(col("w").cast("double") >= col("t"))
+      .select(col("a"), col("b")).localCheckpoint(true)
+    for (_ <- 1 to 8) {
+      val keep = cur.select(col("a").as("node")).unionAll(cur.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= 5).select(col("node"))
+      cur = cur.join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
+        .localCheckpoint(true)
+    }
+    cur.agg(count(lit(1))).head()
+  }
+  println(f"  k=$k%2d (${600 * k}%6dk lineitems): $s%6.2f s")
+}
+
 println("== DSIR shape (token explode -> (doc,word) partial-count agg -> vocab groupBy OFF it -> word-keyed join back) ==")
 for (k <- Seq(1, 8, 16)) {
   val s = timed {
