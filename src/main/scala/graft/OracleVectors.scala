@@ -1105,6 +1105,26 @@ object OracleVectors {
        |)
        |SELECT c_label AS cluster, vec_id, rn FROM r WHERE rn <= $n""".stripMargin
 
+  /** Mirror of VectorOps.embCuration: the semDedup mirror wrapped with
+    * the survivors' md5-of-id rank and the keep bit.
+    */
+  def embCuration(): String = {
+    val n = VectorOps.ClusterSampleN
+    s"""WITH sd AS (
+       |${semDedup()}
+       |),
+       |r AS (
+       |  SELECT vec_id, row_number() OVER (
+       |    PARTITION BY cluster ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+       |  FROM sd WHERE is_dup = 0
+       |)
+       |SELECT sd.vec_id, sd.cluster, sd.is_dup,
+       |  COALESCE(r.rn, 0) AS sample_rank,
+       |  CAST(CASE WHEN sd.is_dup = 0 AND r.rn <= $n THEN 1 ELSE 0 END AS BIGINT)
+       |    AS kept
+       |FROM sd LEFT JOIN r USING (vec_id)""".stripMargin
+  }
+
   /** Mirror of VectorOps.kCenter: all KcK farthest-point steps
     * unrolled as (argmax pick, min-distance update) CTE pairs — the
     * sentinel-2.0 initialization makes step 1 a uniform member of the

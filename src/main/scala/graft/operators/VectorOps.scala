@@ -1652,6 +1652,30 @@ object VectorOps {
       .select(col("assigned_label").as("cluster"), col("vec_id"), col("rn"))
   }
 
+  /** Composed embedding-side curation — the vector mirror of
+    * [[graft.operators.TextOps.corpusCuration]]'s text pipeline:
+    * cluster ([[ivfAssign]]) → semantic dedup within clusters
+    * ([[semDedup]]) → cluster-stratified diversity sample over the
+    * SURVIVORS ([[clusterSample]]'s md5-of-id quota). One decision row
+    * per vector: its cluster, dup flag, sample rank among its
+    * cluster's survivors, and the final keep bit — the curation table
+    * a 100 TB embedding pipeline writes before training-set export.
+    * Composes the memoized IVF artifacts; the only new work is the
+    * survivors' rank window (partial WindowGroupLimit cut).
+    */
+  def embCuration(spark: SparkSession, dir: String): DataFrame = {
+    val sd = semDedup(spark, dir)
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(expr("md5(CAST(vec_id AS STRING))"), col("vec_id"))
+    val ranked = sd.where(col("is_dup") === 0L)
+      .withColumn("rn", row_number().over(w).cast("long"))
+    sd.join(ranked.select(col("vec_id"), col("rn")), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("is_dup"),
+        coalesce(col("rn"), lit(0L)).as("sample_rank"),
+        when(col("is_dup") === 0L && col("rn") <= ClusterSampleN, 1L)
+          .otherwise(0L).as("kept"))
+  }
+
   /** Number of farthest-point picks for [[kCenter]]. */
   val KcK = 10
 

@@ -471,6 +471,28 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("embCuration: kept = first-N survivors per cluster, dups never kept") {
+    val rows = VectorOps.embCuration(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue(),
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    // decision row for EVERY vector
+    assert(rows.length === graft.sources.Tables.embeddings(spark, sfDir).count())
+    // dups are never kept and carry no sample rank
+    rows.filter(_._3 === 1L).foreach { r =>
+      assert(r._5 === 0L && r._4 === 0L, s"dup ${r._1} kept/ranked")
+    }
+    // per cluster: survivor ranks are dense 1..m, kept = rank <= N
+    rows.filter(_._3 === 0L).groupBy(_._2).foreach { case (c, rs) =>
+      assert(rs.map(_._4).sorted === (1L to rs.length.toLong), s"cluster $c ranks")
+      rs.foreach { r =>
+        assert((r._5 === 1L) === (r._4 <= VectorOps.ClusterSampleN),
+          s"cluster $c vec ${r._1}")
+      }
+      assert(rs.count(_._5 === 1L) ===
+        math.min(VectorOps.ClusterSampleN, rs.length), s"cluster $c quota")
+    }
+  }
+
   test("kCenter: picks replay the exact greedy farthest-point trace") {
     val rows = graft.sources.Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding")).collect()
