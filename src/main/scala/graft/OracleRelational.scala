@@ -817,6 +817,26 @@ object OracleRelational {
        |JOIN np nb ON nb.event_type = p.type_b""".stripMargin
   }
 
+  /** Mirror of Relational.evtPipelineAggs: same daily counters, same
+    * three bucket-level windows.
+    */
+  val evtPipelineAggs: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY event_type, CAST(ts AS DATE)
+      |)
+      |SELECT event_type, day, n,
+      |  n - lag(n) OVER w AS delta,
+      |  CAST(sum(n) OVER w7 AS DOUBLE) / CAST(count(n) OVER w7 AS DOUBLE) AS ma7,
+      |  CAST(sum(n) OVER wcum AS BIGINT) AS cum_n
+      |FROM daily
+      |WINDOW w AS (PARTITION BY event_type ORDER BY day),
+      |  w7 AS (PARTITION BY event_type ORDER BY day
+      |         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+      |  wcum AS (PARTITION BY event_type ORDER BY day
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+
   /** Mirror of Relational.q55Mad: per-group exact median, then the
     * median of absolute deviations from it (quantile_cont ≡ Spark
     * percentile — the q32 precedent).

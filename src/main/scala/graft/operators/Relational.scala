@@ -1214,6 +1214,33 @@ object Relational {
       .withColumn("std_pop", sqrt(col("variance_pop")))
   }
 
+  /** Pipeline aggregations over date-histogram buckets (ES
+    * `derivative` + `moving_fn` + `cumulative_sum` in one pass): per
+    * (type, day) daily counters carry their day-over-day delta, the
+    * 7-bucket trailing moving average, and the running total — the
+    * bucket-level window family ES layers on a date_histogram, which
+    * is NOT [[q36RollingWindow]]'s row-level frame (these windows
+    * slide over AGGREGATED buckets, so the window input is the tiny
+    * counter table, never the corpus). Determinism: counts are exact
+    * longs, the moving average is one integer-sum ÷ integer-count IEEE
+    * division, day is unique per type so the order is total.
+    * Shape at 100 TB: one partial-aggregated counter shuffle; all
+    * three windows ride the |types|·|days| aggregate.
+    */
+  def evtPipelineAggs(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val w7 = w.rowsBetween(-6, 0)
+    val wCum = w.rowsBetween(Window.unboundedPreceding, 0)
+    daily.select(col("event_type"), col("day"), col("n"),
+      (col("n") - lag(col("n"), 1).over(w)).as("delta"),
+      (sum(col("n")).over(w7).cast("double") /
+        count(col("n")).over(w7).cast("double")).as("ma7"),
+      sum(col("n")).over(wCum).as("cum_n"))
+  }
+
   /** Z-score anomaly flags over daily per-type event volumes — the
     * monitoring pass a production ingest runs over its own counters.
     * A (type, day) cell flags when its count deviates from the type's

@@ -283,7 +283,8 @@ class GoldenSpec extends SparkSpec {
     // the star-contraction differential at the golden layer too
     "dedup_clusters_star" -> ((-4388125515379173L, 45L)),
     "emb_knn_rp" -> ((-6335444676157941696L, 50L)),
-    "emb_curation" -> ((6670476108237325309L, 500L))
+    "emb_curation" -> ((6670476108237325309L, 500L)),
+    "evt_pipeline_aggs" -> ((-2787922109988924251L, 150L))
   )
 
   test("golden: every query output is frozen at sf0.001") {

@@ -493,6 +493,28 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("pipeline aggs: delta/moving-average/cumsum recompute from the daily counters") {
+    val daily = graft.sources.Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    val got = Relational.evtPipelineAggs(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        ((Option(r.get(3)).map(_.asInstanceOf[Long]), r.getDouble(4), r.getLong(5))))
+      .toMap
+    daily.groupBy(_._1).foreach { case (t, rows) =>
+      val ordered = rows.sortBy(_._2)
+      ordered.zipWithIndex.foreach { case ((_, day, n), i) =>
+        val (delta, ma7, cum) = got((t, day))
+        assert(delta === (if (i == 0) None else Some(n - ordered(i - 1)._3)),
+          s"delta $t $day")
+        val win = ordered.slice(math.max(0, i - 6), i + 1).map(_._3)
+        assert(ma7 === win.sum.toDouble / win.length.toDouble, s"ma7 $t $day")
+        assert(cum === ordered.take(i + 1).map(_._3).sum, s"cum $t $day")
+      }
+    }
+  }
+
   test("q57 KMV set algebra: exhaustive sketches make the estimate exact; gauges recompute") {
     val rows = Relational.q57KmvJaccard(spark, sfDir).collect()
     assert(rows.nonEmpty)
