@@ -170,7 +170,10 @@ object OracleGraph {
        |SELECT n.node, COALESCE(p.n_triangles, 0) AS n_triangles
        |FROM nodes n LEFT JOIN pern p USING (node)""".stripMargin
 
-  /** Mirror of GraphOps.kCore: top-quartile undirected edges, then
+  /** Mirror of GraphOps.kCore: top-quartile undirected edges (cut at
+    * the SAME bottom-k-by-hash sample p75 as Spark — hash order,
+    * LIMIT, sorted-list index arithmetic all re-taken from scratch,
+    * value copied never computed, so the threshold is bit-equal), then
     * KCoreRounds peeling rounds unrolled as (degree, keep, filter)
     * CTE triples. The round CTEs are MATERIALIZED: each e(i−1) is
     * referenced 3× per round, and DuckDB's default inlining would
@@ -179,6 +182,7 @@ object OracleGraph {
     */
   val kCore: String = {
     val k = GraphOps.KCoreK
+    val rot = OracleText.rotLong("hh", 0)
     val rounds = (1 to GraphOps.KCoreRounds).map { i =>
       val prev = s"e${i - 1}"
       s"""d$i AS MATERIALIZED (
@@ -200,8 +204,18 @@ object OracleGraph {
        |    CAST(sum(w) AS BIGINT) AS w
        |  FROM edges WHERE src <> dst GROUP BY 1, 2
        |),
-       |th AS (SELECT quantile_cont(w, 0.75) AS t FROM und),
-       |e0 AS MATERIALIZED (SELECT a, b FROM und, th WHERE CAST(w AS DOUBLE) >= t),
+       |smp AS (
+       |  SELECT a, b, w FROM (
+       |    SELECT a, b, w, $rot AS h
+       |    FROM (SELECT a, b, w, md5(concat_ws(':', a, b)) AS hh FROM und))
+       |  ORDER BY h ASC, a ASC, b ASC LIMIT ${GraphOps.KCoreSampleK}
+       |),
+       |th AS (
+       |  SELECT vs[CAST(3 * (m - 1) // 4 + 1 AS INT)] AS t
+       |  FROM (SELECT CAST(count(*) AS BIGINT) AS m,
+       |          list(w ORDER BY w) AS vs FROM smp)
+       |),
+       |e0 AS MATERIALIZED (SELECT a, b FROM und, th WHERE w >= t),
        |$rounds
        |SELECT node, CAST(count(*) AS BIGINT) AS core_deg FROM (
        |  SELECT a AS node FROM $last UNION ALL SELECT b FROM $last)

@@ -519,26 +519,56 @@ object GraphOps {
       .groupBy(col("node")).agg(count(lit(1)).as("core_deg"))
   }
 
+  /** Edge-sample size for [[kCore]]'s threshold (the q50 sketch's k). */
+  val KCoreSampleK = 256
+
+  /** p75 strength threshold from a deterministic bottom-k-by-hash EDGE
+    * SAMPLE — the scale-safe replacement for a whole-edge-list exact
+    * `percentile`. Spark's `Percentile` is a TypedImperativeAggregate
+    * that buffers every distinct value with its count in ONE
+    * aggregation buffer; at 100 TB the distinct edge-weight set is
+    * effectively |E| and that buffer is unbounded. Here instead: keep
+    * the [[KCoreSampleK]] edges whose 60-bit md5(a:b) hashes are
+    * smallest (a TakeOrdered — mergeable per-partition bottom-k, each
+    * map task ships ≤ k rows, driver holds exactly k), then read the
+    * sample p75 off the sorted k values at index floor(3(m−1)/4) —
+    * the identical device as [[Relational.q50SampleQuantiles]], at the
+    * same √k error price, and exact (value copied, integer compare)
+    * where the old interpolated quantile compared doubles. Exposed for
+    * the spec's sample≥population equivalence proof.
+    */
+  private[graft] def sampleStrengthP75(und: DataFrame): DataFrame =
+    und
+      .select(col("a"), col("b"), col("w"),
+        TextOps.rotLong("md5(concat_ws(':', a, b))", 0).as("h"))
+      .orderBy(col("h").asc, col("a").asc, col("b").asc)
+      .limit(KCoreSampleK)
+      .agg(count(lit(1)).as("m"), sort_array(collect_list(col("w"))).as("vs"))
+      .select(expr("element_at(vs, CAST(3 * (m - 1) DIV 4 AS INT) + 1)").as("t"))
+
   /** k-core decomposition (bounded unroll) of the STRONG trade graph:
     * undirected nation-trade edges kept when their combined weight
-    * reaches the corpus's own 75th percentile (a relative cut — scale-
-    * free where an absolute threshold would saturate as SF grows),
-    * then [[KCoreRounds]] peeling rounds at k = [[KCoreK]]. The k-core
-    * is the standard cohesive-subgraph readout (who is in the densely
-    * interconnected trading bloc, after the cascade of marginal
-    * members leaving destabilizes their neighbors — exactly what
-    * degree filtering alone misses). Oracle unrolls the same rounds as
-    * CTEs; GraphOpsSpec proves the cascade semantics on synthetic
-    * graphs and fixpoint-within-bound on the fixture.
+    * reaches the corpus's own (sampled) 75th percentile — a relative
+    * cut, scale-free where an absolute threshold would saturate as SF
+    * grows — then [[KCoreRounds]] peeling rounds at k = [[KCoreK]].
+    * The k-core is the standard cohesive-subgraph readout (who is in
+    * the densely interconnected trading bloc, after the cascade of
+    * marginal members leaving destabilizes their neighbors — exactly
+    * what degree filtering alone misses). The threshold comes from
+    * [[sampleStrengthP75]]'s bounded bottom-k-by-hash sample (never an
+    * exact whole-edge-list percentile — see there for the buffer-bound
+    * argument). Oracle unrolls the same rounds as CTEs and re-takes
+    * the same sample; GraphOpsSpec proves the cascade semantics on
+    * synthetic graphs, fixpoint-within-bound on the fixture, and
+    * sample≡exact when k covers the population.
     */
   def kCore(spark: SparkSession, dir: String): DataFrame = {
     val d = tradeEdges(spark, dir).where(col("src") =!= col("dst"))
     val und = d.select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"), col("w"))
       .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w"))
-    val thresh = und.agg(expr("percentile(w, 0.75)").as("t"))
-    val strong = und.crossJoin(broadcast(thresh))
-      .where(col("w").cast("double") >= col("t"))
+    val strong = und.crossJoin(broadcast(sampleStrengthP75(und)))
+      .where(col("w") >= col("t"))
       .select(col("a"), col("b"))
     kCorePeel(strong, KCoreK, KCoreRounds)
   }

@@ -251,14 +251,27 @@ class GraphOpsSpec extends SparkSpec {
     val und = d.select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"), col("w"))
       .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w"))
-    val thresh = und.agg(expr("percentile(w, 0.75)").as("t"))
-    val strong = und.crossJoin(broadcast(thresh))
-      .where(col("w").cast("double") >= col("t"))
+    val strong = und.crossJoin(broadcast(GraphOps.sampleStrengthP75(und)))
+      .where(col("w") >= col("t"))
       .select(col("a"), col("b"))
     val more = GraphOps.kCorePeel(strong, GraphOps.KCoreK,
         GraphOps.KCoreRounds + 3).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(bounded === more, "fixture did not reach its k-core fixpoint in the bound")
+  }
+
+  test("kCore threshold: sampled p75 equals the exact order statistic when k covers the population") {
+    // a synthetic weighted edge set smaller than KCoreSampleK: the
+    // bottom-k-by-hash sample IS the population, so the sampled
+    // threshold must equal sorted(w)[floor(3(m-1)/4)] exactly
+    val rnd = new scala.util.Random(7)
+    val ws = (0 until 100).map(i => (i.toLong, (i + 500).toLong, rnd.nextInt(1000).toLong + 1))
+    assert(ws.size < GraphOps.KCoreSampleK)
+    val und = spark.createDataFrame(ws).toDF("a", "b", "w")
+    val got = GraphOps.sampleStrengthP75(und).head().getLong(0)
+    val sorted = ws.map(_._3).sorted
+    val expected = sorted(3 * (sorted.size - 1) / 4)
+    assert(got === expected)
   }
 
   test("starContract labels a seeded random graph identically to min-label propagation") {
