@@ -66,7 +66,13 @@ object Verify {
     } + "\""
     val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Filtered runs must not clobber a prior FULL run's oracle_sql.json
+    // in the same outDir: a comparator iterating the shrunken key set
+    // would skip queries whose stale dumps still exist, making a
+    // partial run look complete. Full runs keep the driver contract.
+    val jsonName =
+      if (only.isEmpty) "oracle_sql.json" else "oracle_sql.partial.json"
+    Files.writeString(Paths.get(s"$outDir/$jsonName"), json)
     graft.operators.TextOps.release(spark)
     spark.stop()
   }

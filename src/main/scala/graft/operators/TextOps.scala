@@ -1457,6 +1457,15 @@ object TextOps {
     * the self-join (pairs per gram ≤ S², never corpus-quadratic), and
     * an S²-row output. The text never shuffles — only 8-byte hashes
     * (same device as [[minhashSignatures]]).
+    *
+    * Fan-out bound: a gram shared by all S sources expands to S(S−1)/2
+    * join rows, so the per-gram cost is quadratic in the SOURCE count,
+    * not the corpus — fine at the tens of sources a mixture table
+    * names (S=20 → ≤190 rows/gram). If S ever grows past that, cap the
+    * hot grams the way [[dedupContainment]] df-caps its blocking index:
+    * count sources per gram first and drop grams above a df ceiling —
+    * a gram present in (nearly) every source carries no pair-specific
+    * signal, so the cap changes cost, not the readout's meaning.
     */
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
     val grams = withShingles(spark, dir)

@@ -274,6 +274,28 @@ class GraphOpsSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("kCore threshold: truncated sample keeps exactly the 256 smallest-hash edges") {
+    // population > KCoreSampleK so the bottom-k LIMIT path actually
+    // truncates; the expected threshold is recomputed independently:
+    // md5("a:b") first-15-hex as a 60-bit long, keep the 256 edges with
+    // the smallest (h, a, b), then the p75 order statistic of their w
+    val rnd = new scala.util.Random(11)
+    val ws = (0 until 400).map(i =>
+      (i.toLong, (i + 1000).toLong, rnd.nextInt(100000).toLong + 1))
+    assert(ws.size > GraphOps.KCoreSampleK)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(a: Long, b: Long): Long = {
+      val hex = md.digest(s"$a:$b".getBytes("UTF-8"))
+        .map(x => f"$x%02x").mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val sampled = ws.sortBy { case (a, b, _) => (h60(a, b), a, b) }
+      .take(GraphOps.KCoreSampleK).map(_._3).sorted
+    val expected = sampled(3 * (sampled.size - 1) / 4)
+    val und = spark.createDataFrame(ws).toDF("a", "b", "w")
+    assert(GraphOps.sampleStrengthP75(und).head().getLong(0) === expected)
+  }
+
   test("starContract labels a seeded random graph identically to min-label propagation") {
     val rnd = new scala.util.Random(42)
     // ~60 nodes, ~70 random edges → a mix of components, chains, cycles
