@@ -165,4 +165,50 @@ object OracleRetrieval {
        |  CAST(bg AS BIGINT) AS bg, jlh
        |FROM ranked WHERE "rank" <= $topK""".stripMargin
   }
+
+  /** Mirror of Retrieval.termsError: the same doc_id % S sharding,
+    * per-shard top-K with the (cnt DESC, term ASC) tiebreak, merged
+    * doc_count over RETURNED shards only, and the error bound as the
+    * sum of non-returning shards' K-th counts (0 for a shard that
+    * returned its whole term list).
+    */
+  val termsError: String = {
+    val s = Retrieval.TermsShards
+    val k = Retrieval.TermsTopK
+    s"""WITH wm AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |  FROM documents
+       |),
+       |p AS (SELECT DISTINCT doc_id, term FROM wm),
+       |per AS (
+       |  SELECT CAST(doc_id % $s AS BIGINT) AS shard, term,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM p GROUP BY 1, 2
+       |),
+       |rk AS (
+       |  SELECT shard, term, cnt, row_number() OVER (
+       |    PARTITION BY shard ORDER BY cnt DESC, term ASC) AS rn
+       |  FROM per
+       |),
+       |top AS (SELECT shard, term, cnt FROM rk WHERE rn <= $k),
+       |kth AS (SELECT shard, cnt AS kth_cnt FROM rk WHERE rn = $k),
+       |sk AS (
+       |  SELECT s.shard, COALESCE(kth.kth_cnt, 0) AS kth_cnt
+       |  FROM (SELECT DISTINCT shard FROM per) s
+       |  LEFT JOIN kth ON kth.shard = s.shard
+       |),
+       |cand AS (SELECT DISTINCT term FROM top),
+       |j AS (
+       |  SELECT g.term, g.kth_cnt, t.cnt
+       |  FROM (SELECT c.term, sk.shard, sk.kth_cnt FROM cand c CROSS JOIN sk) g
+       |  LEFT JOIN top t ON t.term = g.term AND t.shard = g.shard
+       |)
+       |SELECT term,
+       |  CAST(sum(COALESCE(cnt, 0)) AS BIGINT) AS doc_count,
+       |  CAST(sum(CASE WHEN cnt IS NULL THEN kth_cnt ELSE 0 END) AS BIGINT)
+       |    AS doc_count_error_upper_bound
+       |FROM j GROUP BY term
+       |ORDER BY doc_count DESC, term ASC
+       |LIMIT $k""".stripMargin
+  }
 }

@@ -784,6 +784,46 @@ object OracleText {
        |FROM docs""".stripMargin
   }
 
+  /** Mirror of TextOps.redact: the SAME pattern-family constants (the
+    * Java∩RE2 regex subset — see TextOps.RedactEmail Scaladoc), the
+    * same doc_id-derived planted PII span, the same email → key →
+    * phone → IP replace chain ('g' flag: DuckDB's regexp_replace
+    * defaults to first-match-only where Spark replaces all), counts
+    * off the pre-redaction text, null text → null with zero counts.
+    */
+  val redact: String = {
+    def cnt(pat: String, as: String): String =
+      s"CAST(COALESCE(len(regexp_extract_all(ptext, '$pat')), 0) AS BIGINT) AS $as"
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    text || ' ' ||
+       |    CASE doc_id % 4
+       |      WHEN 0 THEN 'user' || CAST(doc_id AS VARCHAR) || '@example.com'
+       |      WHEN 1 THEN '555-123-' ||
+       |        lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |      WHEN 2 THEN '10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+       |      ELSE 'AKIA' || upper(substring(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+       |    END AS ptext
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(ptext,
+       |    '${TextOps.RedactEmail}', '<EMAIL>', 'g'),
+       |    '${TextOps.RedactKey}', '<KEY>', 'g'),
+       |    '${TextOps.RedactPhone}', '<PHONE>', 'g'),
+       |    '${TextOps.RedactIpv4}', '<IP>', 'g') AS text_redacted,
+       |  ${cnt(TextOps.RedactEmail, "n_email")},
+       |  ${cnt(TextOps.RedactKey, "n_key")},
+       |  ${cnt(TextOps.RedactPhone, "n_phone")},
+       |  ${cnt(TextOps.RedactIpv4, "n_ip")},
+       |  CAST(COALESCE(len(regexp_extract_all(ptext, '${TextOps.RedactEmail}')), 0)
+       |     + COALESCE(len(regexp_extract_all(ptext, '${TextOps.RedactKey}')), 0)
+       |     + COALESCE(len(regexp_extract_all(ptext, '${TextOps.RedactPhone}')), 0)
+       |     + COALESCE(len(regexp_extract_all(ptext, '${TextOps.RedactIpv4}')), 0)
+       |    AS BIGINT) AS n_redacted
+       |FROM base""".stripMargin
+  }
+
   /** Mirror of TextOps.mixWeights: exact-integer token mass per source,
     * sqrt-temperature weight floored onto a 2^40 grid so the
     * normalizing sum is an exact integer sum (float sums are

@@ -195,4 +195,67 @@ object Retrieval {
       .select(col("query_id"), col("rank"), col("doc_id"),
         col("rrf_score"), col("lex_rank"), col("vec_rank"))
   }
+
+  /** Shard count / bucket size for [[termsError]] — S is the fixture
+    * stand-in for the index's real shard layout, K the agg's `size`.
+    */
+  val TermsShards = 8
+  val TermsTopK = 10
+
+  /** ES `terms`-aggregation error bounds: per-shard top-K term
+    * doc-counts merged the way Elasticsearch merges them, with each
+    * returned term's `doc_count_error_upper_bound` — the sum, over
+    * every shard that did NOT return the term, of that shard's K-th
+    * (smallest returned) count: the worst case the term could have
+    * hidden just below each non-reporting shard's cutoff. `doc_count`
+    * is likewise the sum of only the RETURNED shard counts (ES
+    * semantics: a merged count can undercount, and the bound caps the
+    * miss — RetrievalSpec proves doc_count ≤ true ≤ doc_count+bound
+    * for every emitted term). Sharding is the deterministic
+    * `doc_id % S` stand-in for the index's routing (the
+    * [[graft.operators.TextOps.decontaminate]] stride device), so
+    * both engines compute the identical bound.
+    *
+    * Shape at 100 TB: the only corpus-sized work is the (shard, term)
+    * partial-count aggregate off the memoized postings; the per-shard
+    * top-K window gets the WindowGroupLimit cut, and everything after
+    * operates on ≤ S·K candidate rows (the kth-count table is S rows
+    * and broadcasts).
+    */
+  def termsError(spark: SparkSession, dir: String): DataFrame =
+    termsErrorFrom(
+      TextOps.postingsIndex(spark, dir).select(col("doc_id"), col("term")),
+      TermsShards, TermsTopK)
+
+  /** [[termsError]] over a materialized distinct (doc_id, term)
+    * relation — the seam RetrievalSpec's synthetic shardings drive.
+    */
+  private[graft] def termsErrorFrom(docTerms: DataFrame,
+      nShards: Int, k: Int): DataFrame = {
+    val per = docTerms
+      .select(col("term"), pmod(col("doc_id"), lit(nShards.toLong)).as("shard"))
+      .groupBy(col("shard"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("cnt").desc, col("term").asc)
+    val ranked = per.withColumn("rn", row_number().over(w))
+    val top = ranked.where(col("rn") <= k)
+      .select(col("shard"), col("term"), col("cnt"))
+    // a shard with fewer than k terms returned ALL of them: absent
+    // terms truly have count 0 there, so its cutoff is 0
+    val kth = ranked.where(col("rn") === k)
+      .select(col("shard"), col("cnt").as("kth_cnt"))
+    val shardK = per.select(col("shard")).distinct()
+      .join(kth, Seq("shard"), "left")
+      .select(col("shard"), coalesce(col("kth_cnt"), lit(0L)).as("kth_cnt"))
+    val cands = top.select(col("term")).distinct()
+    cands.crossJoin(broadcast(shardK))
+      .join(top, Seq("term", "shard"), "left")
+      .groupBy(col("term"))
+      .agg(sum(coalesce(col("cnt"), lit(0L))).as("doc_count"),
+        sum(when(col("cnt").isNull, col("kth_cnt")).otherwise(lit(0L)))
+          .as("doc_count_error_upper_bound"))
+      .orderBy(col("doc_count").desc, col("term").asc)
+      .limit(k)
+  }
 }

@@ -1370,6 +1370,82 @@ object TextOps {
         .cast("long").as("n_removed"))
   }
 
+  /** Regex families for [[redact]] — the structured-PII counterpart of
+    * [[scrub]]'s exact-token deny-list. Patterns stay inside the
+    * Java-regex ∩ RE2 common subset (character classes, `{m,n}`
+    * bounded repeats, `\b` ASCII word boundaries — no backreferences,
+    * no lookaround), so the IDENTICAL pattern string drives Spark's
+    * `regexp_replace` and the DuckDB mirror and both engines match the
+    * same spans.
+    */
+  val RedactEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val RedactPhone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val RedactIpv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val RedactKey = "\\bAKIA[0-9A-Z]{16}\\b"
+
+  /** Deterministic planted PII span per document — the fixture
+    * stand-in for corpus text that actually contains addresses and
+    * keys (the synthetic corpus has none — same device as
+    * [[decontaminate]]'s [[EvalStride]] eval-set stand-in). Family
+    * rotates on doc_id so every pattern exercises nonzero matches:
+    * email / phone / IPv4 / AKIA-shaped key. Everything derives from
+    * doc_id with engine-identical string functions.
+    */
+  private def redactPlant: Column = {
+    val fam = pmod(col("doc_id"), lit(4L))
+    val email = concat(lit("user"), col("doc_id").cast("string"),
+      lit("@example.com"))
+    val phone = concat(lit("555-123-"),
+      lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"))
+    val ip = concat(lit("10.0."),
+      pmod(col("doc_id"), lit(256L)).cast("string"), lit(".7"))
+    val key = concat(lit("AKIA"),
+      upper(substring(md5(col("doc_id").cast("string")), 1, 16)))
+    when(fam === 0, email).when(fam === 1, phone)
+      .when(fam === 2, ip).otherwise(key)
+  }
+
+  /** Structured PII redaction — the pattern-family scrubbing pass a
+    * production pipeline runs before any corpus ships ([[scrub]]
+    * handles exact deny-tokens; this handles the SHAPES: emails,
+    * phone numbers, IPv4 addresses, cloud-key-looking strings).
+    * Each family is one `regexp_replace` in a fixed chain
+    * (email → key → phone → IP; replacement tokens contain no digits
+    * or '@', so no replacement can create a later family's match) and
+    * per-family match counts come off the PRE-redaction text. Pure
+    * projection over the scan — zero shuffle, zero UDF, codegen
+    * end-to-end (PlanAuditSpec asserts the zero-exchange plan); at
+    * 100 TB this runs at scan speed alongside any other per-doc gate.
+    * Null text stays null with zero counts (the docLenIndex
+    * convention).
+    */
+  def redact(spark: SparkSession, dir: String): DataFrame = {
+    // Generate barrier: the planted text feeds 4 count exprs + the
+    // replace chain; CollapseProject would otherwise re-evaluate the
+    // concat+md5 plant once per consumer
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(array(concat(col("text"), lit(" "), redactPlant))).as("ptext"))
+    def cnt(pat: String): Column =
+      coalesce(size(regexp_extract_all(col("ptext"), lit(pat), lit(0))), lit(0))
+        .cast("long")
+    base.select(
+      col("doc_id"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("ptext"), RedactEmail, "<EMAIL>"),
+            RedactKey, "<KEY>"),
+          RedactPhone, "<PHONE>"),
+        RedactIpv4, "<IP>").as("text_redacted"),
+      cnt(RedactEmail).as("n_email"),
+      cnt(RedactKey).as("n_key"),
+      cnt(RedactPhone).as("n_phone"),
+      cnt(RedactIpv4).as("n_ip"),
+      (cnt(RedactEmail) + cnt(RedactKey) + cnt(RedactPhone) + cnt(RedactIpv4))
+        .as("n_redacted"))
+  }
+
   /** Temperature exponent for [[mixWeights]] as (numerator,
     * denominator) of a dyadic rational: share^(1/2) = sqrt(share) is
     * IEEE-exact in both engines, so α = 0.5 keeps the oracle bit-equal

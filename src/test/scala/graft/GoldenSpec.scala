@@ -93,6 +93,8 @@ class GoldenSpec extends SparkSpec {
     "emb_semdedup" -> ((2773905373334595058L, 500L)),
     "emb_cluster_sample" -> ((-1198910685656219041L, 50L)),
     "txt_source_overlap" -> ((1106279601083369810L, 190L)),
+    "txt_redact" -> ((633729565603410063L, 500L)),
+    "q58_terms_error" -> ((-4348415149359225064L, 10L)),
     "txt_novelty" -> ((-5491881594463251946L, 500L)),
     "evt_zorder_box" -> ((8048206640084171482L, 5L)),
     "host_multivalued" -> ((8207634536938707889L, 1000L)),

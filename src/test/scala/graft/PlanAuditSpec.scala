@@ -251,6 +251,11 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.split("\n").count(_.contains("Exchange")) === 0, p.take(800))
   }
 
+  test("redact is a pure scan-shaped projection: zero exchanges") {
+    val p = plan("txt_redact")
+    assert(p.split("\n").count(_.contains("Exchange")) === 0, p.take(800))
+  }
+
   test("shard stats window is shard-partitioned, never single-partition") {
     val p = plan("txt_shard")
     assert(p.contains("Exchange hashpartitioning(shard"), p.take(800))

@@ -126,4 +126,53 @@ class RetrievalSpec extends SparkSpec {
       assert(hit, s"term '$term' not found in cluster $cl members")
     }
   }
+
+  test("termsError: the bound IS an upper bound on the true error for every emitted term") {
+    val got = Retrieval.termsError(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    val exact = graft.operators.TextOps.postingsIndex(spark, sfDir)
+      .groupBy(col("term")).agg(count(lit(1)).as("true_cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.foreach { r =>
+      val (term, dc, bound) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val truth = exact(term)
+      assert(dc <= truth, s"$term: merged $dc exceeds true $truth")
+      assert(truth <= dc + bound,
+        s"$term: true $truth above merged $dc + bound $bound")
+      assert(bound >= 0L)
+    }
+  }
+
+  test("termsError: synthetic 2-shard case reproduces the ES bound exactly") {
+    val s = spark; import s.implicits._
+    // shard = doc_id % 2. Shard 0 (even docs): x in {0,2,4}, y in {0,2}.
+    // Shard 1 (odd docs): y in {1,3,5}, x in {1,3}. With k=1 each shard
+    // returns only its winner (shard0: x cnt 3; shard1: y cnt 3), so the
+    // merged x count is 3 (true 5) and its bound is shard1's kth = 3.
+    val docTerms = Seq(
+      0L -> "x", 2L -> "x", 4L -> "x", 0L -> "y", 2L -> "y",
+      1L -> "y", 3L -> "y", 5L -> "y", 1L -> "x", 3L -> "x"
+    ).toDF("doc_id", "term")
+    val out = Retrieval.termsErrorFrom(docTerms, 2, 1).collect()
+    assert(out.length === 1) // k=1 final cut; (3,"x") beats (3,"y") on term
+    assert(out(0).getString(0) === "x")
+    assert(out(0).getLong(1) === 3L)
+    assert(out(0).getLong(2) === 3L)
+  }
+
+  test("termsError: a shard that returns its whole term list contributes zero bound") {
+    val s = spark; import s.implicits._
+    // shard 1 (docs 1,3) has ONE distinct term only; with k=2 it returns
+    // everything (no rn==k row) — terms it lacks must get bound 0 from it
+    val docTerms = Seq(
+      0L -> "a", 2L -> "a", 0L -> "b", 1L -> "c", 3L -> "c"
+    ).toDF("doc_id", "term")
+    val out = Retrieval.termsErrorFrom(docTerms, 2, 2).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // "a": returned by shard0 (cnt 2), absent from shard1's FULL list →
+    // bound 0; "c": returned by shard1 (cnt 2), absent from shard0 whose
+    // kth (rn=2) count is 1 → bound 1
+    assert(out("a") === ((2L, 0L)))
+    assert(out("c") === ((2L, 1L)))
+  }
 }

@@ -464,6 +464,34 @@ class TextOpsSpec extends SparkSpec {
     assert(r(1L).getAs[Long]("n_removed") === 2L)
   }
 
+  test("redact: planted and in-text PII spans are replaced and counted per family") {
+    // doc 0 (email plant) carries TWO more PII spans in its text;
+    // doc 1 (phone plant), doc 2 (IPv4 plant), doc 3 (key plant) are clean
+    val dir = docsDir(Seq(
+      "mail bob@corp.io or ping 10.1.2.3 today",
+      "plain text here",
+      "nothing sensitive",
+      "also clean"))
+    val r = TextOps.redact(spark, dir).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    // doc 0: in-text email + in-text IP + planted user0@example.com
+    assert(r(0L).getAs[Long]("n_email") === 2L)
+    assert(r(0L).getAs[Long]("n_ip") === 1L)
+    assert(r(0L).getAs[Long]("n_redacted") === 3L)
+    assert(r(0L).getAs[String]("text_redacted") ===
+      "mail <EMAIL> or ping <IP> today <EMAIL>")
+    // doc 1: only the planted phone 555-123-0001
+    assert(r(1L).getAs[Long]("n_phone") === 1L)
+    assert(r(1L).getAs[Long]("n_redacted") === 1L)
+    assert(r(1L).getAs[String]("text_redacted") === "plain text here <PHONE>")
+    // doc 2: only the planted 10.0.2.7
+    assert(r(2L).getAs[Long]("n_ip") === 1L)
+    assert(r(2L).getAs[String]("text_redacted") === "nothing sensitive <IP>")
+    // doc 3: only the planted AKIA + 16 upper-hex chars
+    assert(r(3L).getAs[Long]("n_key") === 1L)
+    assert(r(3L).getAs[String]("text_redacted") === "also clean <KEY>")
+  }
+
   test("mixWeights: exact shares, sqrt temperature, weights normalize to 1") {
     val dir = docsDirSrc(Seq(
       (Seq.fill(9)("w").mkString(" "), "sA"),
