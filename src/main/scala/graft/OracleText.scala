@@ -120,6 +120,58 @@ object OracleText {
        |GROUP BY m.doc_id""".stripMargin
   }
 
+  /** Mirror of TextOps.bpeTrain: the same type-dictionary training
+    * loop, unrolled as MATERIALIZED CTE rounds (the OracleGraph.kCore
+    * device — each round's token table is referenced by both the pair
+    * count and the fuse, so inlining would double the chain per
+    * round). Token sequences ride the tokensBpe '|'-delimited STRING;
+    * pair extraction splits it back to a list and zips adjacent
+    * elements; the round's fuse applies the learned pair as
+    * `replace('|a|b|','|ab|')` nested 5 deep — non-overlapping
+    * leftmost replacement fuses alternate occurrences of a
+    * consecutive chain per application, so 5 applications reach the
+    * fixpoint for chains up to 2^5 pair occurrences (64-char words;
+    * corpus words are an order of magnitude shorter), and at fixpoint
+    * the result equals the Spark fold's single left-to-right pass for
+    * every a ≠ b pair — the a = b case both engines exclude.
+    */
+  val bpeTrain: String = {
+    val pat = "'|' || a || '|' || b || '|'"
+    val rep = "'|' || a || b || '|'"
+    def rounds = (1 to TextOps.BpeTrainRounds).map { i =>
+      val prev = s"t${i - 1}"
+      val fused = (1 to 5).foldLeft("s") { (acc, _) =>
+        s"replace($acc, $pat, $rep)"
+      }
+      s"""p$i AS MATERIALIZED (
+         |  SELECT pr.a AS a, pr.b AS b, CAST(sum(f) AS BIGINT) AS cnt FROM (
+         |    SELECT f, unnest(list_transform(range(1, len(tk)),
+         |      j -> {'a': tk[j], 'b': tk[j + 1]})) AS pr
+         |    FROM (SELECT f, string_split(trim(s, '|'), '|') AS tk FROM $prev)
+         |  ) WHERE pr.a <> pr.b GROUP BY 1, 2
+         |),
+         |b$i AS MATERIALIZED (
+         |  SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+         |),
+         |t$i AS MATERIALIZED (
+         |  SELECT f, $fused AS s FROM $prev, b$i
+         |)""".stripMargin
+    }.mkString(",\n")
+    val selects = (1 to TextOps.BpeTrainRounds).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS "rank", a, b, cnt AS pair_count FROM b$i"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $wordsCte,
+       |wm AS MATERIALIZED (SELECT unnest(words) AS w FROM docs),
+       |wf AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS f FROM wm GROUP BY w
+       |),
+       |t0 AS MATERIALIZED (
+       |  SELECT f, '|' || regexp_replace(w, '(.)', '\\1|', 'g') AS s FROM wf
+       |),
+       |$rounds
+       |$selects""".stripMargin
+  }
+
   val quality: String =
     s"""WITH $wordsCte
        |SELECT doc_id,

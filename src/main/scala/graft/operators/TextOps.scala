@@ -165,12 +165,16 @@ object TextOps {
     */
   val BpeVocab: Seq[String] = BpeMerges.map { case (a, b) => a + b }.distinct
 
-  /** The merge table as a Spark array-of-structs literal, rank order
-    * preserved (element order IS the rank).
+  /** A merge table as a Spark array-of-structs literal, rank order
+    * preserved (element order IS the rank) — parameterized so
+    * [[bpeTrain]]'s LEARNED table drives the same encoder
+    * (TextOpsSpec's round-trip proof).
     */
-  private def bpeMergesLitSpark: String =
-    BpeMerges.map { case (a, b) => s"named_struct('a','$a','b','$b')" }
+  private[graft] def bpeMergesLitFor(ms: Seq[(String, String)]): String =
+    ms.map { case (a, b) => s"named_struct('a','$a','b','$b')" }
       .mkString("array(", ",", ")")
+
+  private def bpeMergesLitSpark: String = bpeMergesLitFor(BpeMerges)
 
   /** FAITHFUL merge-order BPE piece count of ONE word: split to
     * characters, then apply every merge of [[BpeMerges]] in rank
@@ -195,15 +199,24 @@ object TextOps {
     * "data". That divergence is exactly why the greedy scheme was an
     * approximation.
     */
-  private def bpeWordPieces(w: String): String =
-    s"""CAST(size(
-       |  aggregate($bpeMergesLitSpark,
+  private def bpePieceArray(mergesLit: String, w: String): String =
+    s"""aggregate($mergesLit,
        |    CASE WHEN length($w) = 0 THEN CAST(array() AS array<string>)
        |         ELSE transform(sequence(1, length($w)), i -> substring($w, i, 1)) END,
        |    (toks, m) -> aggregate(toks, CAST(array() AS array<string>), (acc, t) ->
        |      CASE WHEN try_element_at(acc, -1) = m.a AND t = m.b
        |           THEN concat(slice(acc, 1, size(acc) - 1), array(concat(m.a, m.b)))
-       |           ELSE concat(acc, array(t)) END))) AS BIGINT)""".stripMargin
+       |           ELSE concat(acc, array(t)) END))""".stripMargin
+
+  private def bpeWordPieces(w: String): String =
+    s"CAST(size(${bpePieceArray(bpeMergesLitSpark, w)}) AS BIGINT)"
+
+  /** Test-only: the encoder's piece SEGMENTATION ('|'-joined) under an
+    * arbitrary merge table — TextOpsSpec feeds [[bpeTrain]]'s learned
+    * table through it to close the train → encode loop.
+    */
+  private[graft] def bpeEncodeForTest(ms: Seq[(String, String)], w: String): String =
+    s"concat_ws('|', ${bpePieceArray(bpeMergesLitFor(ms), w)})"
 
   /** Per-document piece total as a single scan-bound expression over
     * the `words` array — zero shuffle; what [[pack]]/[[mixWeights]]
@@ -250,6 +263,87 @@ object TextOps {
         col("n_pieces").cast("double") / col("n_words"))
       .select(col("doc_id"), col("n_words"), col("n_pieces"),
         col("pieces_per_word"))
+  }
+
+  /** Merges learned per [[bpeTrain]] run — the bounded unroll the
+    * oracle mirrors round for round (the kCorePeel device). A real
+    * tokenizer trains tens of thousands; the bound is the fixture's
+    * round count, not an algorithmic limit (each extra round is one
+    * more pair-count aggregate over the shrinking type dictionary).
+    */
+  val BpeTrainRounds = 8
+
+  /** One left-to-right merge pass fusing adjacent (`ba`, `bb`) token
+    * pairs — [[bpeWordPieces]]'s inner fold with the merge sides as
+    * COLUMNS (the trained pair of the round) instead of literals.
+    */
+  private val bpeMergeFoldSql: String =
+    """aggregate(toks, CAST(array() AS array<string>), (acc, t) ->
+      |  CASE WHEN try_element_at(acc, -1) = ba AND t = bb
+      |       THEN concat(slice(acc, 1, size(acc) - 1), array(concat(ba, bb)))
+      |       ELSE concat(acc, array(t)) END)""".stripMargin
+
+  /** BPE merge-table TRAINING (Sennrich, Haddow & Birch 2016): learn
+    * [[BpeTrainRounds]] merges from the corpus itself — per round, the
+    * exact occurrence-weighted count of every adjacent token pair, the
+    * arg-max pair under the deterministic (count DESC, a ASC, b ASC)
+    * tiebreak, then one left-to-right fuse pass — the table
+    * [[tokensBpe]]'s encoder consumes (TextOpsSpec closes the loop:
+    * the learned table fed to the encoder matches a classic trainer's
+    * segmentation word for word).
+    *
+    * Scale shape: training runs over the DISTINCT-WORD dictionary with
+    * occurrence weights (the [[tokensBpe]] type-vs-token device — the
+    * corpus is scanned ONCE for the word-frequency aggregate; every
+    * round after that is a pair-count aggregate + argmax + fuse over
+    * the dictionary, which is vocabulary-sized, not corpus-sized).
+    * Each round cuts lineage ([[cutLineage]], the kCorePeel seam):
+    * the round's token table feeds both the pair count and the next
+    * fuse, and uncut the plan tree would double per round. The argmax
+    * is a 1-row TakeOrdered broadcast back onto the dictionary —
+    * nothing driver-side, nothing corpus-sized after the first
+    * aggregate.
+    *
+    * One documented determinism guard: candidate pairs with a = b are
+    * excluded. For a self-pair, "fuse leftmost-first then continue
+    * after the fused token" (this fold) and "replace non-overlapping
+    * occurrences to a fixpoint" (the only engine-portable SQL mirror)
+    * group runs of length ≥ 5 differently, so the self-pair is the one
+    * candidate whose application is not bit-portable; natural-language
+    * early merges are never self-pairs, and both engines apply the
+    * identical exclusion.
+    */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    val wf = withWords(spark, dir)
+      .select(explode(col("words")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    var toks = cutLineage(wf.select(col("f"), expr(
+      """CASE WHEN length(w) = 0 THEN CAST(array() AS array<string>)
+        |     ELSE transform(sequence(1, length(w)), i -> substring(w, i, 1))
+        |END""".stripMargin).as("toks")))
+    val bests = (1 to BpeTrainRounds).map { r =>
+      val pairs = toks.select(col("f"), explode(expr(
+        """CASE WHEN size(toks) >= 2
+          |     THEN transform(sequence(1, size(toks) - 1),
+          |       i -> named_struct('a', element_at(toks, i),
+          |                         'b', element_at(toks, i + 1)))
+          |     ELSE CAST(array() AS array<struct<a: string, b: string>>)
+          |END""".stripMargin)).as("p"))
+        .select(col("f"), col("p.a").as("a"), col("p.b").as("b"))
+      val best = pairs
+        .where(col("a") =!= col("b")) // the self-pair guard (see Scaladoc)
+        .groupBy(col("a"), col("b"))
+        .agg(sum(col("f")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1)
+      toks = cutLineage(
+        toks.crossJoin(broadcast(
+          best.select(col("a").as("ba"), col("b").as("bb"))))
+          .select(col("f"), expr(bpeMergeFoldSql).as("toks")))
+      best.select(lit(r.toLong).as("rank"), col("a"), col("b"),
+        col("cnt").as("pair_count"))
+    }
+    bests.reduce(_.unionAll(_))
   }
 
   /** Quality scoring: length / vocabulary-diversity / stopword signals.

@@ -117,6 +117,87 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  /** Classic BPE TRAINER (Sennrich et al.'s loop, driver-side): count
+    * every adjacent token pair weighted by word frequency (self-pairs
+    * excluded — the operator's documented guard), take the arg-max
+    * under (count DESC, a ASC, b ASC), fuse it greedily left-to-right
+    * in every word, repeat.
+    */
+  private def classicTrain(wordFreq: Map[String, Long],
+      rounds: Int): Seq[(String, String, Long)] = {
+    def fuse(ts: Vector[String], a: String, b: String): Vector[String] =
+      ts.foldLeft(Vector.empty[String]) { (acc, t) =>
+        if (acc.nonEmpty && acc.last == a && t == b) acc.init :+ (a + b)
+        else acc :+ t
+      }
+    var toks: Seq[(Vector[String], Long)] =
+      wordFreq.toSeq.map { case (w, f) => w.map(_.toString).toVector -> f }
+    val out = Seq.newBuilder[(String, String, Long)]
+    var r = 0
+    var exhausted = false
+    while (r < rounds && !exhausted) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((ts, f) <- toks; i <- 0 until ts.size - 1 if ts(i) != ts(i + 1))
+        counts((ts(i), ts(i + 1))) = counts.getOrElse((ts(i), ts(i + 1)), 0L) + f
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((a, b), c) = counts.toSeq
+          .sortBy { case ((a, b), c) => (-c, a, b) }.head
+        out += ((a, b, c))
+        toks = toks.map { case (ts, f) => fuse(ts, a, b) -> f }
+        r += 1
+      }
+    }
+    out.result()
+  }
+
+  test("bpeTrain learns the classic trainer's merges; the encoder reproduces its segmentation") {
+    val texts = Seq(
+      "the data table stores the data rows",
+      "spark merges the sorted data stream",
+      "the stream joins the data table")
+    val dir = docsDir(texts)
+    val learned = TextOps.bpeTrain(spark, dir).collect()
+      .sortBy(_.getAs[Long]("rank"))
+      .map(r => (r.getAs[String]("a"), r.getAs[String]("b"),
+        r.getAs[Long]("pair_count"))).toSeq
+    val wf = texts.flatMap(_.split(" ")).groupBy(identity)
+      .map { case (w, ws) => w -> ws.size.toLong }
+    val expect = classicTrain(wf, TextOps.BpeTrainRounds)
+    assert(learned === expect, "learned table diverges from the classic trainer")
+    // round trip: the LEARNED table fed through the production encoder
+    // segments every corpus word exactly as a classic trainer's own
+    // iterative state does (re-apply the merges rank by rank)
+    val merges = learned.map(t => (t._1, t._2))
+    def classicApply(w: String): String = {
+      var ts = w.map(_.toString).toVector
+      for ((a, b) <- merges)
+        ts = ts.foldLeft(Vector.empty[String]) { (acc, t) =>
+          if (acc.nonEmpty && acc.last == a && t == b) acc.init :+ (a + b)
+          else acc :+ t
+        }
+      ts.mkString("|")
+    }
+    val s = spark; import s.implicits._
+    val viaExpr = wf.keys.toSeq.sorted.toDF("w")
+      .selectExpr("w", TextOps.bpeEncodeForTest(merges, "w") + " AS seg")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    wf.keys.foreach { w =>
+      assert(viaExpr(w) === classicApply(w),
+        s"word '$w': encoder ${viaExpr(w)} vs classic ${classicApply(w)}")
+    }
+  }
+
+  test("bpeTrain: a corpus that runs out of pairs stops early without failing") {
+    // two one-or-two-char words: only one mergeable pair exists
+    val dir = docsDir(Seq("ab ab a"))
+    val learned = TextOps.bpeTrain(spark, dir).collect()
+    assert(learned.length === 1)
+    assert(learned(0).getAs[String]("a") === "a")
+    assert(learned(0).getAs[String]("b") === "b")
+    assert(learned(0).getAs[Long]("pair_count") === 2L)
+  }
+
   test("pack/mixWeights: default tokenizer unchanged, bpe variant re-budgets") {
     val dir = docsDir(Seq("the data table", "batch merge", "xyz xyz xyz"))
     // default ("ws") must equal an explicit ws selection row-for-row
