@@ -1008,6 +1008,38 @@ object OracleText {
        |  CAST(bg AS BIGINT) AS bg, jlh
        |FROM ranked WHERE "rank" <= ${TextOps.SigTermsTopK}""".stripMargin
 
+  /** Mirror of TextOps.phraseSearch: the same positional-postings
+    * relation (1-based struct unnest), the same literal workload as a
+    * VALUES table, the same start = pos − offset grouping with a
+    * DISTINCT-offset completeness count.
+    */
+  val phraseSearch: String = {
+    val qvals = TextOps.PhraseQueries.flatMap { case (q, ts) =>
+      ts.zipWithIndex.map { case (t, o) =>
+        s"(CAST($q AS BIGINT), CAST($o AS BIGINT), '$t', CAST(${ts.length} AS BIGINT))"
+      }
+    }.mkString(", ")
+    s"""WITH $wordsCte,
+       |pp AS (
+       |  SELECT doc_id, u.p AS pos, u.t AS term FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(words) + 1),
+       |      i -> {'p': CAST(i AS BIGINT), 't': words[i]})) AS u
+       |    FROM docs)
+       |),
+       |q(query_id, off, term, plen) AS (VALUES $qvals),
+       |g AS (
+       |  SELECT q.query_id, q.plen, pp.doc_id, pp.pos - q.off AS start,
+       |    count(DISTINCT q.off) AS n_hit
+       |  FROM pp JOIN q ON q.term = pp.term
+       |  GROUP BY 1, 2, 3, 4
+       |)
+       |SELECT query_id, doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_occurrences,
+       |  CAST(min(start) AS BIGINT) AS first_pos
+       |FROM g WHERE n_hit = plen
+       |GROUP BY query_id, doc_id""".stripMargin
+  }
+
   /** Mirror of TextOps.bm25 — same rational-idf BM25 with the same
     * fixed expression tree (every double op IEEE-correctly-rounded and
     * identically ordered), per-term contributions floored onto the

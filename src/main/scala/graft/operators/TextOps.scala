@@ -943,6 +943,68 @@ object TextOps {
         .agg(count(lit(1)).as("tf"))
     }
 
+  /** POSITIONAL postings (doc_id, pos, term), 1-based — the "with
+    * positions" half of an inverted index ([[postingsIndex]] stores
+    * frequencies; this stores WHERE, the structure ES/Lucene consult
+    * for `match_phrase` and proximity queries). Memoized like the tf
+    * postings: built once per session, read by every phrase query.
+    * ~L rows per document of L words — the same explode the tf index
+    * pays, without the aggregate.
+    */
+  private[graft] def positionsIndex(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, dir, "positions_index") {
+      withWords(spark, dir)
+        .select(col("doc_id"),
+          posexplode(col("words")).as(Seq("pos0", "term")))
+        .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+          col("term"))
+    }
+
+  /** Fixed phrase workload — (query_id, exact word sequence); literal
+    * on both engines (the [[bm25Queries]] serving-table stand-in).
+    * Includes a 3-word phrase, a repeated-term phrase, and a phrase
+    * with an out-of-vocabulary word (matches nothing — negative).
+    */
+  val PhraseQueries: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("order", "fast"),
+    1L -> Seq("stream", "column"),
+    2L -> Seq("big", "order", "scan"),
+    3L -> Seq("order", "order"),
+    4L -> Seq("slow", "zebra"))
+
+  /** Phrase retrieval over [[positionsIndex]] — ES `match_phrase`: a
+    * phrase of terms t₀…tₙ₋₁ occurs at start s iff tᵢ sits at position
+    * s+i for EVERY i. Relational form (no self-join chain per term):
+    * each posting row matching any (query, offset, term) of the
+    * broadcast workload proposes start = pos − offset; a (query, doc,
+    * start) group where the count of DISTINCT offsets equals the
+    * phrase length is a complete occurrence. One corpus-sized shuffle
+    * on (query, doc, start) — and only for postings whose term appears
+    * in some phrase (the broadcast join drops the rest map-side, the
+    * [[bm25Ranked]] pre-shuffle cut). `countDistinct(offset)` (not
+    * count(*)) keeps repeated-term phrases exact: one position can
+    * satisfy two offsets of "order order" but contributes each offset
+    * once. Emits per (query, doc): occurrence count and the first
+    * match position (1-based).
+    */
+  def phraseSearch(spark: SparkSession, dir: String,
+      workload: Seq[(Long, Seq[String])] = PhraseQueries): DataFrame = {
+    import spark.implicits._
+    val qterms = workload.flatMap { case (q, ts) =>
+      ts.zipWithIndex.map { case (t, o) => (q, o.toLong, t, ts.length.toLong) }
+    }.toDF("query_id", "off", "term", "plen")
+    positionsIndex(spark, dir)
+      .join(broadcast(qterms), Seq("term"))
+      .select(col("query_id"), col("plen"), col("doc_id"),
+        (col("pos") - col("off")).as("start"), col("off"))
+      .groupBy(col("query_id"), col("plen"), col("doc_id"), col("start"))
+      .agg(countDistinct(col("off")).as("n_hit"))
+      .where(col("n_hit") === col("plen"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        min(col("start")).as("first_pos"))
+  }
+
   /** Per-document token lengths — the index sidecar [[bm25Ranked]]'s
     * length normalization reads (null-text docs keep a null dl so
     * count(dl)/sum(dl) skip them, the cross-engine convention).

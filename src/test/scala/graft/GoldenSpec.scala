@@ -95,6 +95,7 @@ class GoldenSpec extends SparkSpec {
     "txt_source_overlap" -> ((1106279601083369810L, 190L)),
     "txt_redact" -> ((633729565603410063L, 500L)),
     "txt_bpe_train" -> ((-1769575030168179654L, 8L)),
+    "txt_phrase" -> ((8803091073230259390L, 142L)),
     "q58_terms_error" -> ((-4348415149359225064L, 10L)),
     "txt_novelty" -> ((-5491881594463251946L, 500L)),
     "evt_zorder_box" -> ((8048206640084171482L, 5L)),

@@ -545,6 +545,27 @@ class TextOpsSpec extends SparkSpec {
     assert(r(1L).getAs[Long]("n_removed") === 2L)
   }
 
+  test("phraseSearch: adjacency is load-bearing — scattered terms and wrong order do not match") {
+    val dir = docsDir(Seq(
+      "alpha beta gamma",            // 0: adjacent -> match at 1
+      "beta alpha gamma beta",       // 1: both words present, never adjacent
+      "alpha gamma beta",            // 2: scattered (one word apart)
+      "alpha beta x alpha beta",     // 3: two occurrences
+      "beta beta alpha",             // 4: reverse order only
+      "x beta beta beta y"))         // 5: repeated-term phrase, 2 occurrences
+    val workload = Seq(0L -> Seq("alpha", "beta"), 1L -> Seq("beta", "beta"))
+    val got = TextOps.phraseSearch(spark, dir, workload).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id")) ->
+        ((r.getAs[Long]("n_occurrences"), r.getAs[Long]("first_pos")))).toMap
+    // docs 1 and 2 (scattered) and reverse-order-only matches are absent;
+    // doc 5's repeated-term run counts OVERLAPPING starts 2 and 3
+    assert(got === Map(
+      (0L, 0L) -> ((1L, 1L)),   // "alpha beta" at position 1
+      (0L, 3L) -> ((2L, 1L)),   // twice, first at 1
+      (1L, 4L) -> ((1L, 1L)),   // "beta beta" at 1
+      (1L, 5L) -> ((2L, 2L))))
+  }
+
   test("redact: planted and in-text PII spans are replaced and counted per family") {
     // doc 0 (email plant) carries TWO more PII spans in its text;
     // doc 1 (phone plant), doc 2 (IPv4 plant), doc 3 (key plant) are clean
