@@ -605,6 +605,146 @@ object OracleText {
        |GROUP BY d.lang""".stripMargin
   }
 
+  /** Shared staged-CTE chain for the corpus-export mirrors: the
+    * corpusCuration gates (quality, exact-canonical, near-dup losers
+    * via the same unrolled label propagation), the decontaminate keep
+    * set, then the mixture downsampling (√(T_min/T_s) basis-point
+    * rates — the same int/int-in-double + IEEE-sqrt discipline as
+    * mixWeights). Every stage CTE is MATERIALIZED: the stages query
+    * references each one twice and s5 references s4 three times — left
+    * to DuckDB's default inlining, each copy would re-expand the
+    * 2^CcRounds propagation chain (the OracleGraph.kCore EMFILE
+    * lesson).
+    */
+  private def exportCte: String = {
+    val rounds = (1 to TextOps.CcRounds).map { i =>
+      val prev = s"l${i - 1}"
+      s"""l$i AS (
+         |  SELECT n.node,
+         |    least(n.label, COALESCE(m.nbr, n.label)) AS label
+         |  FROM $prev n LEFT JOIN (
+         |    SELECT e.doc_a AS node, min(x.label) AS nbr
+         |    FROM edges e JOIN $prev x ON x.node = e.doc_b
+         |    GROUP BY e.doc_a
+         |  ) m USING (node)
+         |)""".stripMargin
+    }.mkString(",\n")
+    val n = TextOps.ContamNgram
+    val m = TextOps.EvalStride
+    s"""WITH $wordsCte, $sigCte,
+       |bands AS (
+       |  SELECT doc_id, sig, b.b AS band_idx,
+       |    array_to_string(list_transform(list_slice(sig, b.b * $bs + 1, b.b * $bs + $bs),
+       |                                   x -> CAST(x AS VARCHAR)), '_') AS band_key
+       |  FROM sigs CROSS JOIN (SELECT unnest(range($nBands)) AS b) b
+       |),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b USING (band_idx, band_key)
+       |  WHERE a.doc_id < b.doc_id
+       |),
+       |edges AS (
+       |  SELECT doc_a, doc_b FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
+       |),
+       |nodes AS (SELECT DISTINCT doc_a AS node FROM edges),
+       |l0 AS (SELECT node, node AS label FROM nodes),
+       |$rounds,
+       |near_dup_losers AS MATERIALIZED (
+       |  SELECT node AS doc_id FROM l${TextOps.CcRounds} WHERE node <> label
+       |),
+       |g8 AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(words) >= $n
+       |         THEN list_transform(range(len(words) - ${n - 1}),
+       |                i -> md5(array_to_string(list_slice(words, i + 1, i + $n), ' ')))
+       |         ELSE CAST([] AS VARCHAR[]) END AS grams
+       |  FROM docs
+       |),
+       |evalg AS MATERIALIZED (
+       |  SELECT DISTINCT unnest(grams) AS g FROM g8 WHERE doc_id % $m = 0
+       |),
+       |decon_keep AS MATERIALIZED (
+       |  SELECT doc_id FROM g8 WHERE doc_id % $m <> 0 AND doc_id NOT IN (
+       |    SELECT DISTINCT doc_id FROM (
+       |      SELECT doc_id, unnest(grams) AS g FROM g8 WHERE doc_id % $m <> 0)
+       |    WHERE g IN (SELECT g FROM evalg))
+       |),
+       |base AS MATERIALIZED (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    ${rotLong("md5(text)", 0)} % ${TextOps.ExportRateBp} AS bucket,
+       |    ${rotLong("md5(text)", 0)} % ${TextOps.NumShards} AS shard
+       |  FROM documents
+       |),
+       |q AS MATERIALIZED (
+       |  SELECT doc_id FROM docs
+       |  WHERE len(words) >= ${TextOps.MinWords}
+       |    AND CAST(len(list_distinct(words)) AS DOUBLE) / len(words)
+       |          >= ${TextOps.MinUniqRatio}
+       |),
+       |s1 AS MATERIALIZED (
+       |  SELECT * FROM base WHERE doc_id IN (SELECT doc_id FROM q)
+       |),
+       |s2 AS MATERIALIZED (
+       |  SELECT * FROM s1 WHERE doc_id IN (
+       |    SELECT min(doc_id) FROM documents GROUP BY md5(text))
+       |),
+       |s3 AS MATERIALIZED (
+       |  SELECT * FROM s2
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM near_dup_losers)
+       |),
+       |s4 AS MATERIALIZED (
+       |  SELECT * FROM s3 WHERE doc_id IN (SELECT doc_id FROM decon_keep)
+       |),
+       |persrc AS MATERIALIZED (
+       |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS t_s
+       |  FROM s4 GROUP BY source
+       |),
+       |rates AS MATERIALIZED (
+       |  SELECT source,
+       |    CAST(floor(sqrt(CAST(t.t_min AS DOUBLE) / CAST(t_s AS DOUBLE))
+       |      * ${TextOps.ExportRateBp}) AS BIGINT) AS rate_bp
+       |  FROM persrc, (SELECT min(t_s) AS t_min FROM persrc) t
+       |),
+       |s5 AS MATERIALIZED (
+       |  SELECT s4.* FROM s4 JOIN rates USING (source)
+       |  WHERE bucket < rate_bp
+       |)""".stripMargin
+  }
+
+  /** Mirror of TextOps.corpusExport: shard manifest over the final
+    * survivor set.
+    */
+  val corpusExport: String = {
+    val b = TextOps.PackBudget
+    s"""$exportCte
+       |SELECT shard,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST((CAST(sum(n_tokens) AS BIGINT) + ${b - 1}) // $b AS BIGINT)
+       |    AS n_seqs
+       |FROM s5 GROUP BY shard""".stripMargin
+  }
+
+  /** Mirror of TextOps.corpusExportStages: per-stage attrition rows. */
+  val corpusExportStages: String = {
+    val names = Seq("base", "s1", "s2", "s3", "s4", "s5")
+    val labels = Seq("quality", "dedup_exact", "dedup_near",
+      "decontaminate", "mix_sample")
+    val rows = labels.zipWithIndex.map { case (nm, i) =>
+      s"""SELECT CAST(${i + 1} AS BIGINT) AS stage_ord, '$nm' AS stage,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM ${names(i)}) AS docs_in,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM ${names(i + 1)}) AS docs_kept,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM ${names(i)})
+         |    - (SELECT CAST(count(*) AS BIGINT) FROM ${names(i + 1)})
+         |    AS docs_dropped""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""$exportCte
+       |$rows""".stripMargin
+  }
+
   /** Mirror of TextOps.tfidf (log-free idf ratio; see that Scaladoc). */
   val tfidf: String =
     s"""WITH $wordsCte,

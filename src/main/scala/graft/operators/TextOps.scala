@@ -914,6 +914,108 @@ object TextOps {
         max(col("doc_id")).as("last_doc"))
   }
 
+  /** Sampling resolution for [[corpusExport]]'s mixture stage (basis
+    * points: rate quantized to 1/10000, decided by a content-hash
+    * bucket — the [[sampleStratified]] device at finer grain).
+    */
+  val ExportRateBp = 10000L
+
+  /** Stage-by-stage survivor frames of the composed training-set
+    * EXPORT pipeline — the artifact chain every pretraining run
+    * consumes: quality gate → exact-dup canonical keep → near-dup
+    * cluster-loser drop → eval-set decontamination (eval-stride docs
+    * themselves leave the training set here, by construction of
+    * [[decontaminate]]'s output) → mixture downsampling. Every stage
+    * is one of the library's proven operators; this seam returns
+    * (stage name, survivors with per-doc token counts) so the manifest
+    * and attrition queries — and the conservation spec — read one
+    * definition.
+    *
+    * The mixture stage APPLIES [[mixWeights]]'s α = 0.5 temperature:
+    * per-token acceptance ∝ share^(α−1) = 1/√share, normalized to 1
+    * at the smallest surviving source — i.e. rate(s) = √(T_min/T_s),
+    * quantized to [[ExportRateBp]] basis points and decided by a
+    * deterministic md5-of-content bucket. Kept token mass per source
+    * is then ∝ √share — exactly the mix_weight proportion the weights
+    * table promises. The rate arithmetic is int/int division in
+    * double + one IEEE sqrt (the [[mixWeights]] float discipline), so
+    * both engines compute the identical basis-point cutoffs.
+    *
+    * Scale shape: each stage is a semi/anti-join of the survivor id
+    * set against an already-audited operator's output; the mixture
+    * aggregate is per-source (S rows, broadcast back). At 100 TB a
+    * pipeline materializes each stage's survivor set instead of
+    * re-deriving it per downstream query — in-session that
+    * materialization is the dedup family's memoized artifacts, which
+    * stages 2–3 read.
+    */
+  private[graft] def exportStages(spark: SparkSession, dir: String): Seq[(String, DataFrame)] = {
+    val base = withWords(spark, dir).select(
+      col("doc_id"), col("source"),
+      size(col("words")).cast("long").as("n_tokens"),
+      (rotLong("md5(text)", 0) % ExportRateBp).as("bucket"),
+      (rotLong("md5(text)", 0) % NumShards).as("shard"))
+    val q = quality(spark, dir)
+      .where(col("n_words") >= MinWords && col("uniq_ratio") >= MinUniqRatio)
+      .select(col("doc_id"))
+    val s1 = base.join(q, Seq("doc_id"), "left_semi")
+    val s2 = s1.join(
+      dedupExact(spark, dir).select(col("canonical_doc_id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val s3 = s2.join(
+      dedupClusters(spark, dir).where(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+    val s4 = s3.join(
+      decontaminate(spark, dir).where(col("keep")).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val perSrc = s4.groupBy(col("source")).agg(sum(col("n_tokens")).as("t_s"))
+    val tMin = perSrc.agg(min(col("t_s")).as("t_min"))
+    val rates = perSrc.crossJoin(broadcast(tMin)).select(
+      col("source"),
+      floor(sqrt(col("t_min").cast("double") / col("t_s").cast("double"))
+        * ExportRateBp).cast("long").as("rate_bp"))
+    val s5 = s4.join(broadcast(rates), Seq("source"))
+      .where(col("bucket") < col("rate_bp"))
+      .select(s4.columns.map(col): _*)
+    Seq("corpus" -> base, "quality" -> s1, "dedup_exact" -> s2,
+      "dedup_near" -> s3, "decontaminate" -> s4, "mix_sample" -> s5)
+  }
+
+  /** The export SHARD MANIFEST — what the training loader mounts: per
+    * content-hash shard of the final survivor set, document count,
+    * token mass, and the packed-sequence count at [[PackBudget]]
+    * tokens (contiguous greedy fill per shard ⇒ exactly
+    * ⌈tokens/budget⌉ sequences). Integer arithmetic end to end.
+    */
+  def corpusExport(spark: SparkSession, dir: String): DataFrame = {
+    val survivors = exportStages(spark, dir).last._2
+    survivors.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        expr(s"CAST((n_tokens + ${PackBudget - 1}) DIV $PackBudget AS BIGINT)")
+          .as("n_seqs"))
+  }
+
+  /** Per-stage ATTRITION of the export pipeline — the audit sidecar a
+    * compliance review reads next to the manifest: docs in, kept, and
+    * dropped at every gate (TextOpsSpec proves conservation and that
+    * consecutive stages chain). Each row is a pair of 1-row counts
+    * cross-joined — at fixture scale the stages re-derive per row; a
+    * cluster pipeline writes each stage once and counts the files.
+    */
+  def corpusExportStages(spark: SparkSession, dir: String): DataFrame = {
+    val stages = exportStages(spark, dir)
+    stages.sliding(2).zipWithIndex.map {
+      case (Seq((_, prev), (nm, cur)), i) =>
+        prev.agg(count(lit(1)).as("docs_in"))
+          .crossJoin(cur.agg(count(lit(1)).as("docs_kept")))
+          .select(lit((i + 1).toLong).as("stage_ord"), lit(nm).as("stage"),
+            col("docs_in"), col("docs_kept"),
+            (col("docs_in") - col("docs_kept")).as("docs_dropped"))
+    }.reduce(_.unionAll(_))
+  }
+
   /** TF-IDF top terms per document. Classic shape: explode → per-(doc,
     * term) counts (one shuffle with map-side combine) → document
     * frequency per term (second partial agg) → term-keyed shuffle join

@@ -566,6 +566,43 @@ class TextOpsSpec extends SparkSpec {
       (1L, 5L) -> ((2L, 2L))))
   }
 
+  test("corpusExport: attrition conserves documents, stages chain, manifest sums to the survivor set") {
+    val stages = TextOps.corpusExportStages(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("stage_ord"))
+    assert(stages.map(_.getAs[String]("stage")).toSeq ===
+      Seq("quality", "dedup_exact", "dedup_near", "decontaminate", "mix_sample"))
+    stages.foreach { r =>
+      assert(r.getAs[Long]("docs_in") ===
+        r.getAs[Long]("docs_kept") + r.getAs[Long]("docs_dropped"),
+        s"stage ${r.getAs[String]("stage")} does not conserve documents")
+      assert(r.getAs[Long]("docs_dropped") >= 0L)
+    }
+    stages.sliding(2).foreach { case Array(p, c) =>
+      assert(c.getAs[Long]("docs_in") === p.getAs[Long]("docs_kept"),
+        s"stage ${c.getAs[String]("stage")} does not chain from its predecessor")
+    }
+    // every gate on this fixture actually gates (no vacuous stage except
+    // exact-dedup, whose fixture corpus has no byte-identical copies)
+    assert(stages.head.getAs[Long]("docs_in") === 500L)
+    assert(stages.last.getAs[Long]("docs_kept") <
+      stages.head.getAs[Long]("docs_in"))
+    // manifest totals equal the final survivor set, doc for doc and token
+    // for token (independent recompute through the survivor seam)
+    val manifest = TextOps.corpusExport(spark, sfDir).collect()
+    val survivors = TextOps.exportStages(spark, sfDir).last._2
+    val (nDocs, nToks) = {
+      val r = survivors.agg(count(lit(1)), sum(col("n_tokens"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(manifest.map(_.getAs[Long]("n_docs")).sum === nDocs)
+    assert(manifest.map(_.getAs[Long]("n_tokens")).sum === nToks)
+    assert(nDocs === stages.last.getAs[Long]("docs_kept"))
+    manifest.foreach { r =>
+      val (t, s) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_seqs"))
+      assert(s === (t + TextOps.PackBudget - 1) / TextOps.PackBudget)
+    }
+  }
+
   test("redact: planted and in-text PII spans are replaced and counted per family") {
     // doc 0 (email plant) carries TWO more PII spans in its text;
     // doc 1 (phone plant), doc 2 (IPv4 plant), doc 3 (key plant) are clean
