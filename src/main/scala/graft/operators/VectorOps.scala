@@ -608,23 +608,40 @@ object VectorOps {
     */
   def centroidsRaw(spark: SparkSession, dir: String, nlist: Int = NList): DataFrame =
     TextOps.memoized(spark, dir, s"ivf_means_$nlist") {
-      val base = withNorm(spark, dir)
-      val seed = Tables.embeddings(spark, dir)
-        .select(pmod(col("label"), lit(nlist)).as("grp"), col("embedding"))
-      var means = meansBy(seed)
-      for (_ <- 1 to LloydRounds) {
-        val assigned = nearestCentroids(base, vectorsFromMeans(means), nearest = 1)
-          .select(col("vec_id"), col("c_label").as("grp"))
-        means = meansBy(assigned
-          .join(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
-            Seq("vec_id"))
-          .select(col("grp"), col("embedding")))
-      }
-      // lineage cut: the training chain (2 rounds of windows over
-      // crossJoins) otherwise re-enters Catalyst in EVERY consumer's
-      // logical plan — measured seconds of pure planning per IVF query
-      means.localCheckpoint()
+      trainMeans(Tables.embeddings(spark, dir), nlist)
     }
+
+  /** The Lloyd training loop of [[centroidsRaw]] over an ARBITRARY
+    * (vec_id, label, embedding) relation — the seam the streaming
+    * index's codebook REFRESH retrains through
+    * ([[graft.streaming.StreamingVectors.refreshCodebook]]): identical
+    * seeding, rounds, and decimal-exact means, so a refresh over the
+    * ingested union equals the batch-trained codebook row for row.
+    */
+  private[graft] def trainMeans(vecs: DataFrame, nlist: Int): DataFrame = {
+    val base = vecs.select(col("vec_id"), col("label"), col("embedding"),
+      expr(dot("embedding", "embedding")).as("nrm"))
+    val seed = vecs.select(pmod(col("label"), lit(nlist)).as("grp"), col("embedding"))
+    var means = meansBy(seed)
+    for (_ <- 1 to LloydRounds) {
+      val assigned = nearestCentroids(base, vectorsFromMeans(means), nearest = 1)
+        .select(col("vec_id"), col("c_label").as("grp"))
+      means = meansBy(assigned
+        .join(vecs.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+        .select(col("grp"), col("embedding")))
+    }
+    // lineage cut: the training chain (2 rounds of windows over
+    // crossJoins) otherwise re-enters Catalyst in EVERY consumer's
+    // logical plan — measured seconds of pure planning per IVF query
+    means.localCheckpoint()
+  }
+
+  /** Broadcastable (c_label, centroid, cnrm) codebook from a
+    * long-format means table — [[vectorsFromMeans]] exposed for the
+    * streaming refresh path.
+    */
+  private[graft] def codebookFromMeans(means: DataFrame): DataFrame =
+    vectorsFromMeans(means)
 
   /** [[centroidsRaw]] with the decimal sum serialized to its exact
     * integer-digit string: DECIMAL is the one output type whose

@@ -60,6 +60,55 @@ class StreamingVectorsSpec extends SparkSpec {
       .forall(_.getName.startsWith("assigned_label="))))
   }
 
+  test("refreshing ingest: versioned re-trains, pinned reads, final read equals batch ivfAssign; replaying the re-train batch changes nothing") {
+    val src = tmp("graft-vecr-src")
+    val store = tmp("graft-vecr-store") + "/index"
+    val ckpt = tmp("graft-vecr-ckpt")
+    val all = graft.sources.Tables.embeddings(spark, sfDir)
+    def part(b: Int) = all.where(pmod(col("vec_id"), lit(4)) === b)
+    for (b <- 0 to 3) {
+      part(b).write.mode("append").parquet(src)
+      val q = StreamingVectors.startRefreshingIngest(spark, src, store, ckpt)
+      q.awaitTermination(180000)
+      if (b == 2) {
+        // mid-drain: refresh fired on batch 1 only; reads pin to assign
+        // version=1 and batch 2 rides as a delta under codebook v1
+        val versions = new java.io.File(s"$store/assign").listFiles()
+          .map(_.getName).sorted
+        assert(versions === Array("version=1"))
+        val read = StreamingVectors.readAssignments(spark, store)
+        assert(read.count() ===
+          all.where(pmod(col("vec_id"), lit(4)) <= 2).count())
+      }
+    }
+    // batch 0 arrived before any codebook existed (cold start): only
+    // batch 2 ever produced a delta; refreshes on 1 and 3 covered the rest
+    assert(new java.io.File(s"$store/delta").listFiles().map(_.getName).toSeq
+      === Seq("ingest_batch=2"))
+    assert(new java.io.File(s"$store/codebook").listFiles().map(_.getName).sorted
+      === Array("version=1", "version=3"))
+    // the final refresh (batch 3) re-trained and re-assigned EVERYTHING:
+    // the read side must equal batch ivfAssign over the identical union
+    val streamed = StreamingVectors.readAssignments(spark, store)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Int]("assigned_label"), r.getAs[Double]("sim")))).toMap
+    val unionDir = tmp("graft-vecr-union")
+    all.write.parquet(s"$unionDir/embeddings.parquet")
+    val batch = VectorOps.ivfAssign(spark, unionDir)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Int]("assigned_label"), r.getAs[Double]("sim")))).toMap
+    assert(streamed === batch,
+      "refreshed read side diverges from batch ivfAssign over the union")
+    // crash window on the RE-TRAIN batch: re-deliver batchId 3 directly;
+    // vectors, codebook and assignment all overwrite their own version
+    // with identical deterministic rows
+    StreamingVectors.writeRefreshingBatch(spark, part(3), store, 3L)
+    val replayed = StreamingVectors.readAssignments(spark, store)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Int]("assigned_label"), r.getAs[Double]("sim")))).toMap
+    assert(replayed === streamed, "replayed re-train batch must be a no-op")
+  }
+
   test("a re-delivered batch overwrites itself: at-least-once becomes exactly-once") {
     // foreachBatch re-runs a batch when the process dies after the sink
     // write but before the offset commit; simulate that crash window by
