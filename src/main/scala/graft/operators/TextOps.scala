@@ -950,34 +950,51 @@ object TextOps {
     * stages 2–3 read.
     */
   private[graft] def exportStages(spark: SparkSession, dir: String): Seq[(String, DataFrame)] = {
-    val base = withWords(spark, dir).select(
-      col("doc_id"), col("source"),
-      size(col("words")).cast("long").as("n_tokens"),
-      (rotLong("md5(text)", 0) % ExportRateBp).as("bucket"),
-      (rotLong("md5(text)", 0) % NumShards).as("shard"))
-    val q = quality(spark, dir)
-      .where(col("n_words") >= MinWords && col("uniq_ratio") >= MinUniqRatio)
-      .select(col("doc_id"))
-    val s1 = base.join(q, Seq("doc_id"), "left_semi")
-    val s2 = s1.join(
-      dedupExact(spark, dir).select(col("canonical_doc_id").as("doc_id")),
-      Seq("doc_id"), "left_semi")
-    val s3 = s2.join(
-      dedupClusters(spark, dir).where(col("doc_id") =!= col("cluster_id"))
-        .select(col("doc_id")),
-      Seq("doc_id"), "left_anti")
-    val s4 = s3.join(
-      decontaminate(spark, dir).where(col("keep")).select(col("doc_id")),
-      Seq("doc_id"), "left_semi")
-    val perSrc = s4.groupBy(col("source")).agg(sum(col("n_tokens")).as("t_s"))
-    val tMin = perSrc.agg(min(col("t_s")).as("t_min"))
-    val rates = perSrc.crossJoin(broadcast(tMin)).select(
-      col("source"),
-      floor(sqrt(col("t_min").cast("double") / col("t_s").cast("double"))
-        * ExportRateBp).cast("long").as("rate_bp"))
-    val s5 = s4.join(broadcast(rates), Seq("source"))
-      .where(col("bucket") < col("rate_bp"))
-      .select(s4.columns.map(col): _*)
+    // every stage frame is memoized: the attrition query reads each
+    // stage twice (in + kept) and the manifest reads the last — the
+    // in-session analog of a cluster pipeline WRITING each stage's
+    // survivor set once instead of re-deriving the dedup chain per
+    // downstream consumer
+    val base = memoized(spark, dir, "export_base") {
+      withWords(spark, dir).select(
+        col("doc_id"), col("source"),
+        size(col("words")).cast("long").as("n_tokens"),
+        (rotLong("md5(text)", 0) % ExportRateBp).as("bucket"),
+        (rotLong("md5(text)", 0) % NumShards).as("shard"))
+    }
+    val s1 = memoized(spark, dir, "export_s1") {
+      val q = quality(spark, dir)
+        .where(col("n_words") >= MinWords && col("uniq_ratio") >= MinUniqRatio)
+        .select(col("doc_id"))
+      base.join(q, Seq("doc_id"), "left_semi")
+    }
+    val s2 = memoized(spark, dir, "export_s2") {
+      s1.join(
+        dedupExact(spark, dir).select(col("canonical_doc_id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+    }
+    val s3 = memoized(spark, dir, "export_s3") {
+      s2.join(
+        dedupClusters(spark, dir).where(col("doc_id") =!= col("cluster_id"))
+          .select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+    }
+    val s4 = memoized(spark, dir, "export_s4") {
+      s3.join(
+        decontaminate(spark, dir).where(col("keep")).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+    }
+    val s5 = memoized(spark, dir, "export_s5") {
+      val perSrc = s4.groupBy(col("source")).agg(sum(col("n_tokens")).as("t_s"))
+      val tMin = perSrc.agg(min(col("t_s")).as("t_min"))
+      val rates = perSrc.crossJoin(broadcast(tMin)).select(
+        col("source"),
+        floor(sqrt(col("t_min").cast("double") / col("t_s").cast("double"))
+          * ExportRateBp).cast("long").as("rate_bp"))
+      s4.join(broadcast(rates), Seq("source"))
+        .where(col("bucket") < col("rate_bp"))
+        .select(s4.columns.map(col): _*)
+    }
     Seq("corpus" -> base, "quality" -> s1, "dedup_exact" -> s2,
       "dedup_near" -> s3, "decontaminate" -> s4, "mix_sample" -> s5)
   }

@@ -1680,8 +1680,9 @@ object VectorOps {
     * Composes the memoized IVF artifacts; the only new work is the
     * survivors' rank window (partial WindowGroupLimit cut).
     */
-  def embCuration(spark: SparkSession, dir: String): DataFrame = {
-    val sd = semDedup(spark, dir)
+  def embCuration(spark: SparkSession, dir: String,
+      nlist: Int = NList): DataFrame = {
+    val sd = semDedup(spark, dir, nlist)
     val w = Window.partitionBy(col("cluster"))
       .orderBy(expr("md5(CAST(vec_id AS STRING))"), col("vec_id"))
     val ranked = sd.where(col("is_dup") === 0L)

@@ -913,4 +913,112 @@ for (k <- Seq(1, 8, 16)) {
   }
   println(f"  k=$k%2d: $s%6.2f s")
 }
+println("== MMR re-rank shape (exact kNN -> k^2 x |Q| pair table; cost tracks |Q| at fixed corpus, k^2 fixed) ==")
+// the 5 greedy steps run over the CACHED k^2·|Q| pair table; what grows
+// with the workload is the kNN + pair-table construction probed here.
+for (qmod <- Seq(100, 50, 25)) {
+  val s = timed {
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"),
+        expr(graft.operators.VectorOps.dot("embedding", "embedding")).as("nrm"))
+    val q = vecs.where(col("vec_id") % qmod === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qnrm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id").asc)
+    val cands = vecs.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (expr(graft.operators.VectorOps.dot("embedding", "qv")) /
+          (sqrt(col("nrm")) * sqrt(col("qnrm")))).as("sim"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= 10)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("sim").as("rel"))
+    val pairs = cands.select(col("query_id"), col("doc_id").as("a"))
+      .join(cands.select(col("query_id"), col("doc_id").as("b")), Seq("query_id"))
+      .where(col("a") =!= col("b"))
+      .join(vecs.select(col("vec_id").as("a"), col("embedding").as("ea"), col("nrm").as("na")), Seq("a"))
+      .join(vecs.select(col("vec_id").as("b"), col("embedding").as("eb"), col("nrm").as("nb")), Seq("b"))
+      .select(col("query_id"), col("a"), col("b"),
+        (expr(graft.operators.VectorOps.dot("ea", "eb")) / (sqrt(col("na")) * sqrt(col("nb")))).as("psim"))
+    pairs.agg(count(lit(1)), sum(col("psim"))).head()
+  }
+  println(f"  qmod=$qmod%3d (|Q| x${100 / qmod}%d): $s%6.2f s")
+}
+
+println("== embCuration at growing N (semDedup + per-cluster sample window; nlist is the documented dial) ==")
+for ((n, nlist) <- Seq((8000, 10), (64000, 10), (64000, 28))) {
+  val tmp = s"/tmp/probe_embcur_${n}_$nlist"
+  spark.range(n.toLong).select(col("id").as("vec_id"),
+    expr("transform(sequence(0, 63), d -> CAST(CAST(hash(id, d) % 1000 AS DOUBLE) / 1000.0 AS FLOAT))")
+      .as("embedding"),
+    (col("id") % nlist).cast("int").as("label"))
+    .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+  val s = timed {
+    graft.operators.VectorOps.embCuration(spark, tmp, nlist)
+      .agg(count(lit(1)), sum(col("kept")), sum(col("is_dup"))).head()
+  }
+  println(f"  N=$n%6d nlist=$nlist%3d: $s%6.2f s")
+  graft.operators.TextOps.release(spark)
+}
+
+println("== keyset page fetch at growing depth vs offset pagination (the q53-vs-q52 claim, measured) ==")
+// given the cursor (the previous page's last key - computed OUTSIDE the
+// timer), the keyset fetch is filter + TakeOrdered(pagesize): depth-flat.
+// The offset fetch must rank/skip depth rows every time: grows with depth.
+{
+  val c = multi("customer", 16).select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+  c.agg(count(lit(1))).head()
+  for (depth <- Seq(250, 2500, 25000)) {
+    val cur = c.orderBy(col("c_acctbal").desc, col("c_custkey").asc).limit(depth)
+      .agg(min(struct(col("c_acctbal"), (-col("c_custkey")).as("negkey"))).as("b"))
+      .select(col("b.c_acctbal").as("ba"), (-col("b.negkey")).as("bk")).head()
+    val (ba, bk) = (cur.getDouble(0), cur.getLong(1))
+    val sKey = timed {
+      c.where(col("c_acctbal") < ba ||
+          (col("c_acctbal") === ba && col("c_custkey") > bk))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc).limit(10)
+        .collect()
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    val sOff = timed {
+      c.withColumn("rn", row_number().over(w))
+        .where(col("rn") > depth && col("rn") <= depth + 10)
+        .collect()
+    }
+    println(f"  depth=$depth%6d: keyset $sKey%6.2f s, offset $sOff%6.2f s")
+  }
+}
+
+println("== BPE training shape (word-freq agg scans the corpus x k; 8 rounds run over the FIXED type dictionary) ==")
+for (k <- Seq(1, 8, 16)) {
+  val s = timed {
+    val wf = multi("documents", k)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    var toks = wf.select(col("f"), expr(
+      """CASE WHEN length(w) = 0 THEN CAST(array() AS array<string>)
+        |     ELSE transform(sequence(1, length(w)), i -> substring(w, i, 1)) END""".stripMargin).as("toks"))
+      .localCheckpoint(true)
+    for (r <- 1 to 8) {
+      val pairs = toks.select(col("f"), explode(expr(
+        """CASE WHEN size(toks) >= 2
+          |     THEN transform(sequence(1, size(toks) - 1),
+          |       i -> named_struct('a', element_at(toks, i), 'b', element_at(toks, i + 1)))
+          |     ELSE CAST(array() AS array<struct<a: string, b: string>>) END""".stripMargin)).as("p"))
+        .select(col("f"), col("p.a").as("a"), col("p.b").as("b"))
+      val best = pairs.where(col("a") =!= col("b"))
+        .groupBy(col("a"), col("b")).agg(sum(col("f")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc).limit(1)
+      toks = toks.crossJoin(broadcast(best.select(col("a").as("ba"), col("b").as("bb"))))
+        .select(col("f"), expr(
+          """aggregate(toks, CAST(array() AS array<string>), (acc, t) ->
+            |  CASE WHEN try_element_at(acc, -1) = ba AND t = bb
+            |       THEN concat(slice(acc, 1, size(acc) - 1), array(concat(ba, bb)))
+            |       ELSE concat(acc, array(t)) END)""".stripMargin).as("toks"))
+        .localCheckpoint(true)
+    }
+    toks.agg(count(lit(1))).head()
+  }
+  println(f"  k=$k%2d (${500 * k}%6d docs base x sf-mult): $s%6.2f s")
+}
 sys.exit(0)
