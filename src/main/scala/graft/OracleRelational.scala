@@ -998,4 +998,141 @@ object OracleRelational {
       |  CAST(n AS DOUBLE) /
       |    CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
       |FROM c""".stripMargin
+
+  /** Mirror of Relational.q59MatrixStats: identical centi-unit
+    * integerization (DECIMAL(18,2)·100 → BIGINT), HUGEINT moments
+    * (≡ Spark DECIMAL(38,0) — both exact), one fixed double expression
+    * per output; the 6-pair matrix comes off the single moment row via
+    * a VALUES cross join.
+    */
+  val q59MatrixStats: String =
+    """WITH c AS (
+      |  SELECT
+      |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS xq,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS xp,
+      |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS xd
+      |  FROM lineitem
+      |),
+      |m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    sum(CAST(xq AS HUGEINT)) AS s_q,
+      |    sum(CAST(xp AS HUGEINT)) AS s_p,
+      |    sum(CAST(xd AS HUGEINT)) AS s_d,
+      |    sum(CAST(xq AS HUGEINT) * xq) AS s_qq,
+      |    sum(CAST(xq AS HUGEINT) * xp) AS s_qp,
+      |    sum(CAST(xq AS HUGEINT) * xd) AS s_qd,
+      |    sum(CAST(xp AS HUGEINT) * xp) AS s_pp,
+      |    sum(CAST(xp AS HUGEINT) * xd) AS s_pd,
+      |    sum(CAST(xd AS HUGEINT) * xd) AS s_dd
+      |  FROM c
+      |),
+      |pairs(field_x, field_y, k) AS (VALUES
+      |  ('quantity', 'quantity', 's_qq'),
+      |  ('quantity', 'extendedprice', 's_qp'),
+      |  ('quantity', 'discount', 's_qd'),
+      |  ('extendedprice', 'extendedprice', 's_pp'),
+      |  ('extendedprice', 'discount', 's_pd'),
+      |  ('discount', 'discount', 's_dd')
+      |),
+      |j AS (
+      |  SELECT field_x, field_y, n,
+      |    CASE field_x WHEN 'quantity' THEN s_q
+      |                 WHEN 'extendedprice' THEN s_p ELSE s_d END AS sx,
+      |    CASE field_y WHEN 'quantity' THEN s_q
+      |                 WHEN 'extendedprice' THEN s_p ELSE s_d END AS sy,
+      |    CASE field_x WHEN 'quantity' THEN s_qq
+      |                 WHEN 'extendedprice' THEN s_pp ELSE s_dd END AS sxx,
+      |    CASE field_y WHEN 'quantity' THEN s_qq
+      |                 WHEN 'extendedprice' THEN s_pp ELSE s_dd END AS syy,
+      |    CASE k WHEN 's_qq' THEN s_qq WHEN 's_qp' THEN s_qp
+      |           WHEN 's_qd' THEN s_qd WHEN 's_pp' THEN s_pp
+      |           WHEN 's_pd' THEN s_pd ELSE s_dd END AS sxy
+      |  FROM pairs, m
+      |)
+      |SELECT field_x, field_y, n,
+      |  CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean_x,
+      |  CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean_y,
+      |  CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+      |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 10000.0 AS cov_pop,
+      |  CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+      |    / sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+      |         * CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE)) AS corr
+      |FROM j""".stripMargin
+
+  /** Mirror of Relational.q60StringStats: same char explode
+    * (string_split with '' delimiter ≡ Spark split on the empty
+    * regex — both yield the character list, spaces included), same
+    * integer-log2 entropy grid, one IEEE division per double.
+    */
+  val q60StringStats: String =
+    """WITH d AS (
+      |  SELECT lang, text FROM documents WHERE length(text) >= 1
+      |),
+      |lens AS (
+      |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(min(length(text)) AS BIGINT) AS min_len,
+      |    CAST(max(length(text)) AS BIGINT) AS max_len,
+      |    CAST(sum(CAST(length(text) AS BIGINT)) AS BIGINT) AS sum_len
+      |  FROM d GROUP BY lang
+      |),
+      |cc AS (
+      |  SELECT lang, ch, CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT lang, unnest(string_split(text, '')) AS ch FROM d)
+      |  GROUP BY lang, ch
+      |),
+      |ent AS (
+      |  SELECT lang, CAST(sum(c) AS BIGINT) AS n_chars,
+      |    CAST(count(*) AS BIGINT) AS n_distinct_chars,
+      |    CAST(sum(c * (length(bin(c)) - 1)) AS BIGINT) AS sum_clog
+      |  FROM cc GROUP BY lang
+      |)
+      |SELECT lang, n_docs, min_len, max_len,
+      |  CAST(sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avg_len,
+      |  n_chars, n_distinct_chars,
+      |  CAST(n_chars * (length(bin(n_chars)) - 1) - sum_clog AS DOUBLE)
+      |    / CAST(n_chars AS DOUBLE) AS entropy_bits
+      |FROM lens JOIN ent USING (lang)""".stripMargin
+
+  /** Mirror of Relational.q61TTest: identical conditional HUGEINT
+    * moments in one pass, sample variance as exact numerator over a
+    * double n·(n−1), t and Welch df as the same fixed double
+    * expressions.
+    */
+  val q61TTest: String =
+    """WITH g AS (
+      |  SELECT l_linestatus,
+      |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_r,
+      |    sum(CASE WHEN l_returnflag = 'R'
+      |        THEN CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS HUGEINT) END) AS s_r,
+      |    sum(CASE WHEN l_returnflag = 'R'
+      |        THEN CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS HUGEINT)
+      |           * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) END) AS ss_r,
+      |    CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    sum(CASE WHEN l_returnflag = 'A'
+      |        THEN CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS HUGEINT) END) AS s_a,
+      |    sum(CASE WHEN l_returnflag = 'A'
+      |        THEN CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS HUGEINT)
+      |           * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) END) AS ss_a
+      |  FROM lineitem WHERE l_returnflag IN ('R', 'A')
+      |  GROUP BY l_linestatus
+      |),
+      |e AS (
+      |  SELECT l_linestatus, n_r, n_a,
+      |    CAST(s_r AS DOUBLE) / CAST(n_r AS DOUBLE) AS m_r,
+      |    CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS m_a,
+      |    CAST(CAST(n_r AS HUGEINT) * ss_r - s_r * s_r AS DOUBLE)
+      |      / (CAST(n_r AS DOUBLE) * (CAST(n_r AS DOUBLE) - 1.0)) AS v_r,
+      |    CAST(CAST(n_a AS HUGEINT) * ss_a - s_a * s_a AS DOUBLE)
+      |      / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0)) AS v_a
+      |  FROM g
+      |)
+      |SELECT l_linestatus, n_r, n_a,
+      |  m_r / 100.0 AS mean_r,
+      |  m_a / 100.0 AS mean_a,
+      |  (m_r - m_a) / sqrt(v_r / CAST(n_r AS DOUBLE) + v_a / CAST(n_a AS DOUBLE)) AS t_stat,
+      |  ((v_r / CAST(n_r AS DOUBLE) + v_a / CAST(n_a AS DOUBLE))
+      |   * (v_r / CAST(n_r AS DOUBLE) + v_a / CAST(n_a AS DOUBLE)))
+      |  / ((v_r / CAST(n_r AS DOUBLE)) * (v_r / CAST(n_r AS DOUBLE)) / (CAST(n_r AS DOUBLE) - 1.0)
+      |   + (v_a / CAST(n_a AS DOUBLE)) * (v_a / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0)) AS welch_df
+      |FROM e""".stripMargin
 }

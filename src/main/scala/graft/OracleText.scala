@@ -960,6 +960,29 @@ object OracleText {
        |ORDER BY n_occurrences DESC, ngram
        |LIMIT ${TextOps.NgramTopK}""".stripMargin
 
+  /** Mirror of TextOps.rareTerms: same 4-word shingle space, same
+    * per-doc-distinct df count, same (df asc, term asc) bottom-k.
+    */
+  val rareTerms: String =
+    s"""WITH $wordsCte,
+       |sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(words) >= 4
+       |         THEN list_distinct(list_transform(range(len(words) - 3),
+       |                i -> array_to_string(list_slice(words, i + 1, i + 4), ' ')))
+       |         ELSE CAST([] AS VARCHAR[]) END AS grams
+       |  FROM docs
+       |),
+       |df AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS doc_count
+       |  FROM (SELECT unnest(grams) AS term FROM sh)
+       |  GROUP BY term
+       |)
+       |SELECT term, doc_count FROM df
+       |WHERE doc_count <= ${TextOps.RareMaxDocCount}
+       |ORDER BY doc_count ASC, term ASC
+       |LIMIT ${TextOps.RareTermsK}""".stripMargin
+
   /** Mirror of TextOps.scrub: deny-list token filter with removal
     * count; empty scrub result coalesces to '' (DuckDB's
     * array_to_string of an empty list is NULL, Spark's concat_ws is '').

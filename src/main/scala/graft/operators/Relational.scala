@@ -1375,4 +1375,183 @@ object Relational {
       .orderBy(col("n_sessions").desc, col("path").asc)
       .limit(PathTopK)
   }
+
+  // --- ES statistical aggregations (matrix_stats / string_stats / t_test)
+
+  /** Exact centi-unit integerization of a 2-decimal money/metric double:
+    * DECIMAL(18,2) cast is exact for these inputs (the house money
+    * rule), ×100 clears the scale, and the BIGINT holds the integer.
+    * All downstream moments then run in exact integer space.
+    */
+  private def centi(c: Column): Column =
+    (c.cast("decimal(18,2)") * 100).cast("long")
+
+  private def d38(c: Column): Column = c.cast("decimal(38,0)")
+
+  /** ES `matrix_stats` aggregation: the pairwise covariance/correlation
+    * matrix over a set of numeric fields (quantity, extendedprice,
+    * discount) in ONE aggregation pass — count, per-field means, and for
+    * every unordered field pair the population covariance and Pearson
+    * correlation.
+    *
+    * Determinism: fields are integerized to exact centi-units
+    * ([[centi]]), all sums and sums-of-products accumulate in
+    * DECIMAL(38,0) (≡ DuckDB HUGEINT — both exact, order-free), and
+    * every reported double is a fixed expression over those exact
+    * integers: cov = (n·Σxy − Σx·Σy)/n² descaled by 10⁴, corr =
+    * (n·Σxy − Σx·Σy)/√((n·Σx²−(Σx)²)·(n·Σy²−(Σy)²)) — scale-invariant,
+    * so the centi-unit grid cancels out of the correlation entirely.
+    *
+    * Shape at 100 TB: one partial-aggregated pass producing a SINGLE
+    * 10-column moment row (no per-key shuffle at all); the 6-pair
+    * matrix explodes off that one row driver-side-free (a one-row
+    * Generate, not a collect). n·Σx² stays under DECIMAL(38)'s 1e38
+    * ceiling until n·x⁴ ≈ 1e38 — n ≈ 1e10 rows at these magnitudes;
+    * beyond that shard the aggregation by a coarse key and merge
+    * moments (they are mergeable summaries by construction).
+    */
+  def q59MatrixStats(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(
+      centi(col("l_quantity")).as("xq"),
+      centi(col("l_extendedprice")).as("xp"),
+      centi(col("l_discount")).as("xd"))
+    val agg = li.agg(
+      count(lit(1)).as("n"),
+      sum(d38(col("xq"))).as("s_q"),
+      sum(d38(col("xp"))).as("s_p"),
+      sum(d38(col("xd"))).as("s_d"),
+      sum(d38(col("xq")) * d38(col("xq"))).as("s_qq"),
+      sum(d38(col("xq")) * d38(col("xp"))).as("s_qp"),
+      sum(d38(col("xq")) * d38(col("xd"))).as("s_qd"),
+      sum(d38(col("xp")) * d38(col("xp"))).as("s_pp"),
+      sum(d38(col("xp")) * d38(col("xd"))).as("s_pd"),
+      sum(d38(col("xd")) * d38(col("xd"))).as("s_dd"))
+    val pairLit = MatrixPairs.map { case (a, b, k) =>
+      s"named_struct('field_x','$a','field_y','$b','k','$k')"
+    }.mkString("array(", ",", ")")
+    val withPair = agg.select(col("*"), explode(expr(pairLit)).as("pr"))
+    def sOf(side: String): Column =
+      when(col(s"pr.$side") === "quantity", col("s_q"))
+        .when(col(s"pr.$side") === "extendedprice", col("s_p"))
+        .otherwise(col("s_d"))
+    def ssOf(side: String): Column =
+      when(col(s"pr.$side") === "quantity", col("s_qq"))
+        .when(col(s"pr.$side") === "extendedprice", col("s_pp"))
+        .otherwise(col("s_dd"))
+    val sxy = MatrixPairs.map(_._3).foldRight(lit(null).cast("decimal(38,0)")) {
+      case (k, acc) => when(col("pr.k") === k, col(k)).otherwise(acc)
+    }
+    val nD = col("n").cast("double")
+    val covNum = d38(col("n")) * sxy - sOf("field_x") * sOf("field_y")
+    val varNumX = d38(col("n")) * ssOf("field_x") - sOf("field_x") * sOf("field_x")
+    val varNumY = d38(col("n")) * ssOf("field_y") - sOf("field_y") * sOf("field_y")
+    withPair.select(
+      col("pr.field_x").as("field_x"),
+      col("pr.field_y").as("field_y"),
+      col("n"),
+      (sOf("field_x").cast("double") / nD / 100.0).as("mean_x"),
+      (sOf("field_y").cast("double") / nD / 100.0).as("mean_y"),
+      (covNum.cast("double") / (nD * nD) / 10000.0).as("cov_pop"),
+      (covNum.cast("double") /
+        sqrt(varNumX.cast("double") * varNumY.cast("double"))).as("corr"))
+  }
+
+  /** The 6 unordered field pairs of [[q59MatrixStats]] with their
+    * moment-column key, in output order.
+    */
+  val MatrixPairs: Seq[(String, String, String)] = Seq(
+    ("quantity", "quantity", "s_qq"),
+    ("quantity", "extendedprice", "s_qp"),
+    ("quantity", "discount", "s_qd"),
+    ("extendedprice", "extendedprice", "s_pp"),
+    ("extendedprice", "discount", "s_pd"),
+    ("discount", "discount", "s_dd"))
+
+  /** ES `string_stats` aggregation (with `show_distribution`-style
+    * character statistics) per language: doc count, min/max/avg text
+    * length, total and distinct character counts, and the Shannon
+    * entropy of the character distribution QUANTIZED to the
+    * integer-log2 grid (the [[graft.operators.TextOps.surprisal]]
+    * device): entropy_bits = (N·⌊log2 N⌋ − Σ cᵢ·⌊log2 cᵢ⌋)/N where
+    * ⌊log2 n⌋ = length(bin(n))−1 — pure integer arithmetic up to the
+    * one final IEEE division, bit-equal in any engine; a float `ln`
+    * entropy would be cross-engine hash-dirty.
+    *
+    * Shape at 100 TB: the char explode is corpus×L rows but carries a
+    * 1-char payload and partial-aggregates map-side into the (lang, ch)
+    * count table (≤ |langs|·|alphabet| rows); length stats ride a
+    * separate partial agg over the un-exploded scan. Two scans of the
+    * corpus, both aggregate-only, no wide shuffle.
+    */
+  def q60StringStats(spark: SparkSession, dir: String): DataFrame = {
+    def flog2(c: Column): Column = (length(bin(c)) - 1).cast("long")
+    val docs = Tables.documents(spark, dir).where(length(col("text")) >= 1)
+    val lenAgg = docs.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_docs"),
+      min(length(col("text"))).cast("long").as("min_len"),
+      max(length(col("text"))).cast("long").as("max_len"),
+      sum(length(col("text")).cast("long")).as("sum_len"))
+    val ent = docs
+      .select(col("lang"), explode(split(col("text"), "")).as("ch"))
+      .groupBy(col("lang"), col("ch")).agg(count(lit(1)).as("c"))
+      .groupBy(col("lang")).agg(
+        sum(col("c")).as("n_chars"),
+        count(lit(1)).as("n_distinct_chars"),
+        sum(col("c") * flog2(col("c"))).as("sum_clog"))
+    lenAgg.join(ent, Seq("lang"))
+      .select(col("lang"), col("n_docs"), col("min_len"), col("max_len"),
+        (col("sum_len").cast("double") / col("n_docs").cast("double"))
+          .as("avg_len"),
+        col("n_chars"), col("n_distinct_chars"),
+        ((col("n_chars") * flog2(col("n_chars")) - col("sum_clog"))
+          .cast("double") / col("n_chars").cast("double")).as("entropy_bits"))
+  }
+
+  /** ES `t_test` aggregation: Welch's unpaired two-sample t-statistic
+    * (plus the Welch–Satterthwaite degrees of freedom) comparing
+    * `l_extendedprice` between returnflag 'R' and 'A', per linestatus —
+    * the A/B-significance primitive ES ships as a metric agg.
+    *
+    * Determinism: both groups' moments accumulate in one conditional
+    * aggregation pass as exact integers (centi-units, DECIMAL(38,0)
+    * sums — the [[q59MatrixStats]] device); sample variance is the
+    * exact numerator (n·Σx² − (Σx)²) over one double denominator
+    * n·(n−1); t and df are fixed double expressions over those — the
+    * centi-unit scale cancels out of t entirely (both numerator and
+    * denominator are linear in the unit).
+    *
+    * Shape at 100 TB: ONE partial-aggregated pass over the fact table
+    * (conditional sums, no per-group second scan), output |linestatus|
+    * rows.
+    */
+  def q61TTest(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .where(col("l_returnflag").isin("R", "A"))
+      .select(col("l_linestatus"), col("l_returnflag"),
+        centi(col("l_extendedprice")).as("x"))
+    def side(f: String, suffix: String): Seq[(String, Column)] = Seq(
+      s"n_$suffix" -> sum(when(col("l_returnflag") === f, 1L).otherwise(0L)),
+      s"s_$suffix" -> sum(when(col("l_returnflag") === f, d38(col("x")))),
+      s"ss_$suffix" -> sum(when(col("l_returnflag") === f,
+        d38(col("x")) * d38(col("x")))))
+    val aggs = side("R", "r") ++ side("A", "a")
+    val g = li.groupBy(col("l_linestatus"))
+      .agg(aggs.head._2.as(aggs.head._1),
+        aggs.tail.map { case (n, c) => c.as(n) }: _*)
+    def nD(s: String) = col(s"n_$s").cast("double")
+    def mean(s: String) = col(s"s_$s").cast("double") / nD(s)
+    def v(s: String) =
+      (d38(col(s"n_$s")) * col(s"ss_$s") - col(s"s_$s") * col(s"s_$s"))
+        .cast("double") / (nD(s) * (nD(s) - 1.0))
+    val se2 = v("r") / nD("r") + v("a") / nD("a")
+    val welchDf = (se2 * se2) /
+      ((v("r") / nD("r")) * (v("r") / nD("r")) / (nD("r") - 1.0) +
+        (v("a") / nD("a")) * (v("a") / nD("a")) / (nD("a") - 1.0))
+    g.select(col("l_linestatus"),
+      col("n_r"), col("n_a"),
+      (mean("r") / 100.0).as("mean_r"),
+      (mean("a") / 100.0).as("mean_a"),
+      ((mean("r") - mean("a")) / sqrt(se2)).as("t_stat"),
+      welchDf.as("welch_df"))
+  }
 }

@@ -1623,6 +1623,40 @@ object TextOps {
       .orderBy(col("n_occurrences").desc, col("ngram"))
       .limit(NgramTopK)
 
+  /** ES `rare_terms` aggregation: the LONG-TAIL complement of a `terms`
+    * agg — every term whose document frequency is ≤ [[RareMaxDocCount]],
+    * ordered ascending by df (then term, a total order). The term space
+    * here is 4-word shingles — wide enough that even this saturated
+    * ~31-word fixture vocabulary has a genuine rare tail at every SF
+    * (the same width-is-the-discrimination-lever argument as
+    * [[ContainBlockWidth]]'s Scaladoc; 1/2/3-grams of this corpus have
+    * NO term under any reasonable absolute cutoff).
+    *
+    * Shape at 100 TB: per-doc `array_distinct` BEFORE the explode (df
+    * needs one occurrence per doc — dedup in the array world costs no
+    * exchange) → ONE term-keyed partial-aggregated df count → filter ≤
+    * cutoff → TakeOrderedAndProject bottom-[[RareTermsK]]. ES
+    * implements this agg with a per-shard CuckooFilter precisely
+    * because the rare set is unbounded; the bottom-k cap plays that
+    * role here — the full rare set never sorts globally and never
+    * reaches the driver.
+    */
+  val RareMaxDocCount = 2L
+  val RareTermsK = 100
+
+  def rareTerms(spark: SparkSession, dir: String): DataFrame = {
+    val grams4 = when(size(col("words")) >= 4,
+      expr("transform(sequence(0, size(words) - 4), i -> concat_ws(' ', slice(words, i + 1, 4)))"))
+      .otherwise(expr("CAST(array() AS array<string>)"))
+    withWordsAttr(spark, dir)
+      .withColumn("grams", grams4)
+      .select(explode(array_distinct(col("grams"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("doc_count"))
+      .where(col("doc_count") <= RareMaxDocCount)
+      .orderBy(col("doc_count").asc, col("term").asc)
+      .limit(RareTermsK)
+  }
+
   /** Deny-list for [[scrub]] — stand-in for the PII / boilerplate
     * pattern set of a production scrubber (the fixture corpus has no
     * digits or addresses, so the list names tokens that actually occur).

@@ -99,6 +99,10 @@ class GoldenSpec extends SparkSpec {
     "corpus_export" -> ((244521849649562813L, 16L)),
     "corpus_export_stages" -> ((-5434056145872121026L, 5L)),
     "q58_terms_error" -> ((-4348415149359225064L, 10L)),
+    "q59_matrix_stats" -> ((-5110426852503388200L, 6L)),
+    "q60_string_stats" -> ((7206001734591452972L, 5L)),
+    "q61_t_test" -> ((3080645606827884154L, 2L)),
+    "q62_rare_terms" -> ((-8157328469054421064L, 100L)),
     "txt_novelty" -> ((-5491881594463251946L, 500L)),
     "evt_zorder_box" -> ((8048206640084171482L, 5L)),
     "host_multivalued" -> ((8207634536938707889L, 1000L)),

@@ -568,4 +568,82 @@ class RelationalSpec extends SparkSpec {
       .sorted.take(Relational.CompositePageSize)
     assert(rows.map(t => (t._1, t._2)) === expectedKeys)
   }
+
+  test("q59 matrix stats: diagonal corr exactly 1, off-diagonals match a driver Pearson") {
+    val out = Relational.q59MatrixStats(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("field_x"), r.getAs[String]("field_y")) -> r).toMap
+    assert(out.size === 6)
+    // corr(x,x) = num/sqrt(num·num) must be EXACTLY 1.0 (positive variance)
+    for (f <- Seq("quantity", "extendedprice", "discount"))
+      assert(out((f, f)).getAs[Double]("corr") === 1.0, s"diag $f")
+    // off-diagonal vs a driver float recompute (approx — the operator is
+    // exact-integer, the reference here is a plain double loop)
+    val vals = graft.sources.Tables.lineitem(spark, sfDir)
+      .select(col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    def pearson(xs: Seq[Double], ys: Seq[Double]): Double = {
+      val n = xs.size.toDouble
+      val (mx, my) = (xs.sum / n, ys.sum / n)
+      val cov = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum / n
+      val vx = xs.map(x => (x - mx) * (x - mx)).sum / n
+      val vy = ys.map(y => (y - my) * (y - my)).sum / n
+      cov / math.sqrt(vx * vy)
+    }
+    val want = pearson(vals.map(_._1).toSeq, vals.map(_._2).toSeq)
+    val got = out(("quantity", "extendedprice")).getAs[Double]("corr")
+    assert(math.abs(got - want) < 1e-9, s"corr q/p: $got vs $want")
+    // cov descaling: cov_pop(quantity, discount) vs driver recompute
+    val covWant = {
+      val xs = vals.map(_._1); val ys = vals.map(_._3)
+      val n = xs.length.toDouble
+      val (mx, my) = (xs.sum / n, ys.sum / n)
+      xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum / n
+    }
+    val covGot = out(("quantity", "discount")).getAs[Double]("cov_pop")
+    assert(math.abs(covGot - covWant) < 1e-9, s"cov q/d: $covGot vs $covWant")
+  }
+
+  test("q61 t-test: Welch statistic and df match a driver recompute") {
+    val out = Relational.q61TTest(spark, sfDir).collect()
+      .map(r => r.getAs[String]("l_linestatus") -> r).toMap
+    val li = graft.sources.Tables.lineitem(spark, sfDir)
+      .select(col("l_linestatus"), col("l_returnflag"), col("l_extendedprice"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    for ((ls, row) <- out) {
+      val r = li.collect { case (`ls`, "R", x) => x }
+      val a = li.collect { case (`ls`, "A", x) => x }
+      def mean(v: Seq[Double]) = v.sum / v.size
+      def svar(v: Seq[Double]) = {
+        val m = mean(v); v.map(x => (x - m) * (x - m)).sum / (v.size - 1)
+      }
+      val se2 = svar(r) / r.size + svar(a) / a.size
+      val tWant = (mean(r) - mean(a)) / math.sqrt(se2)
+      val dfWant = se2 * se2 /
+        (math.pow(svar(r) / r.size, 2) / (r.size - 1) +
+          math.pow(svar(a) / a.size, 2) / (a.size - 1))
+      assert(row.getAs[Long]("n_r") === r.size.toLong)
+      assert(row.getAs[Long]("n_a") === a.size.toLong)
+      assert(math.abs(row.getAs[Double]("t_stat") - tWant) < 1e-6, s"t at $ls")
+      assert(math.abs(row.getAs[Double]("welch_df") - dfWant) < 1e-4, s"df at $ls")
+    }
+  }
+
+  test("q60 string stats: grid entropy is 0 for a one-char alphabet, 1 for a balanced pair") {
+    val s = spark; import s.implicits._
+    // "aaaa": one char, entropy 0. "abababab": two chars at 4+4 of N=8 —
+    // grid entropy = flog2(8) − flog2(4) = 1 exactly.
+    val df = Seq(
+      (1L, "aaaa", "mono", "spec", 4L),
+      (2L, "abababab", "duo", "spec", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tempTableDir("documents", df)
+    val out = Relational.q60StringStats(spark, dir).collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    assert(out("mono").getAs[Double]("entropy_bits") === 0.0)
+    assert(out("mono").getAs[Long]("n_distinct_chars") === 1L)
+    assert(out("duo").getAs[Double]("entropy_bits") === 1.0)
+    assert(out("duo").getAs[Long]("n_chars") === 8L)
+    assert(out("duo").getAs[Long]("min_len") === 8L)
+    assert(out("duo").getAs[Double]("avg_len") === 8.0)
+  }
 }

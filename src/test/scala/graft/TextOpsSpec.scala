@@ -908,4 +908,26 @@ class TextOpsSpec extends SparkSpec {
     val c0 = out((0L, 0L))._3.split(" "); val c1 = out((0L, 1L))._3.split(" ")
     assert(c0.takeRight(8).sameElements(c1.take(8)))
   }
+
+  test("rare terms: df-counted 4-gram tail, common grams excluded, df not tf") {
+    // "a b c d" occurs in 3 docs (df=3 > cutoff 2) → excluded even
+    // though rare-by-tf would keep nothing else; "b c d e" df=1 and
+    // "b c d f" df=2 are in. doc4 repeats its gram TWICE in one doc —
+    // df counts documents, not occurrences, so it stays at df=1.
+    val dir = docsDir(Seq(
+      "a b c d e",
+      "a b c d f",
+      "a b c d f",
+      "x y z w x y z w"))
+    val out = TextOps.rareTerms(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!out.contains("a b c d"))
+    assert(out("b c d e") === 1L)
+    assert(out("b c d f") === 2L)
+    assert(out("x y z w") === 1L, "df counts docs, not occurrences")
+    // ordering: df ascending then term ascending
+    val rows = TextOps.rareTerms(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getString(0)))
+    assert(rows.sameElements(rows.sorted))
+  }
 }
