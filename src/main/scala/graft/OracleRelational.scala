@@ -1135,4 +1135,90 @@ object OracleRelational {
       |  / ((v_r / CAST(n_r AS DOUBLE)) * (v_r / CAST(n_r AS DOUBLE)) / (CAST(n_r AS DOUBLE) - 1.0)
       |   + (v_a / CAST(n_a AS DOUBLE)) * (v_a / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0)) AS welch_df
       |FROM e""".stripMargin
+
+  /** Mirror of Relational.evtChangePoint: same daily counters, same
+    * exact HUGEINT split statistic with one IEEE division, same
+    * (stat DESC, day ASC) argmax.
+    */
+  val evtChangePoint: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY event_type, CAST(ts AS DATE)
+      |),
+      |cum AS (
+      |  SELECT event_type, day, n,
+      |    CAST(row_number() OVER wo AS BIGINT) AS d,
+      |    sum(n) OVER wo AS s,
+      |    count(*) OVER wp AS dd,
+      |    sum(n) OVER wp AS ss
+      |  FROM daily
+      |  WINDOW wo AS (PARTITION BY event_type ORDER BY day
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |         wp AS (PARTITION BY event_type)
+      |),
+      |scored AS (
+      |  SELECT event_type, day, d, s, dd, ss,
+      |    CAST(abs(CAST(dd - d AS HUGEINT) * s - CAST(d AS HUGEINT) * (ss - s)) AS DOUBLE)
+      |      / (CAST(d AS DOUBLE) * CAST(dd - d AS DOUBLE)) AS stat
+      |  FROM cum WHERE d < dd
+      |),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY event_type ORDER BY stat DESC, day ASC) AS rk
+      |  FROM scored
+      |)
+      |SELECT event_type, day AS change_day,
+      |  CAST(s AS DOUBLE) / CAST(d AS DOUBLE) AS mean_before,
+      |  CAST(ss - s AS DOUBLE) / CAST(dd - d AS DOUBLE) AS mean_after,
+      |  CAST(ss - s AS DOUBLE) / CAST(dd - d AS DOUBLE)
+      |    - CAST(s AS DOUBLE) / CAST(d AS DOUBLE) AS shift,
+      |  stat
+      |FROM ranked WHERE rk = 1""".stripMargin
+
+  /** Mirror of Relational.q63AdjacencyMatrix: one conditional-sum
+    * scan, the same ES-style key labels, pairs as conjunction sums.
+    */
+  val q63AdjacencyMatrix: String = {
+    val hv = graft.operators.Relational.AdjHighValue
+    s"""WITH m AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN event_type IN ('click','view') THEN 1 ELSE 0 END) AS BIGINT) AS c_ui,
+       |    CAST(sum(CASE WHEN value > $hv THEN 1 ELSE 0 END) AS BIGINT) AS c_hv,
+       |    CAST(sum(CASE WHEN hour(ts) < 12 THEN 1 ELSE 0 END) AS BIGINT) AS c_mo,
+       |    CAST(sum(CASE WHEN event_type IN ('click','view') AND value > $hv THEN 1 ELSE 0 END) AS BIGINT) AS c_ui_hv,
+       |    CAST(sum(CASE WHEN event_type IN ('click','view') AND hour(ts) < 12 THEN 1 ELSE 0 END) AS BIGINT) AS c_ui_mo,
+       |    CAST(sum(CASE WHEN value > $hv AND hour(ts) < 12 THEN 1 ELSE 0 END) AS BIGINT) AS c_hv_mo
+       |  FROM events
+       |),
+       |k(key, c) AS (VALUES
+       |  ('ui', 'c_ui'), ('high_value', 'c_hv'), ('morning', 'c_mo'),
+       |  ('high_value&ui', 'c_ui_hv'), ('morning&ui', 'c_ui_mo'),
+       |  ('high_value&morning', 'c_hv_mo')
+       |)
+       |SELECT key,
+       |  CASE c WHEN 'c_ui' THEN c_ui WHEN 'c_hv' THEN c_hv
+       |         WHEN 'c_mo' THEN c_mo WHEN 'c_ui_hv' THEN c_ui_hv
+       |         WHEN 'c_ui_mo' THEN c_ui_mo ELSE c_hv_mo END AS doc_count
+       |FROM k, m
+       |WHERE CASE c WHEN 'c_ui' THEN c_ui WHEN 'c_hv' THEN c_hv
+       |             WHEN 'c_mo' THEN c_mo WHEN 'c_ui_hv' THEN c_ui_hv
+       |             WHEN 'c_ui_mo' THEN c_ui_mo ELSE c_hv_mo END > 0""".stripMargin
+  }
+
+  /** Mirror of Relational.evtDownsample: identical integer epoch-floor
+    * bucketing, DECIMAL value sums, one IEEE division for the avg.
+    */
+  val evtDownsample: String = {
+    val w = graft.operators.Relational.DownsampleSeconds
+    s"""SELECT event_type,
+       |  (CAST(floor(epoch(ts)) AS BIGINT) // $w) * $w AS bucket_epoch,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  min(value) AS v_min,
+       |  max(value) AS v_max,
+       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v_sum,
+       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS v_avg
+       |FROM events
+       |GROUP BY event_type, (CAST(floor(epoch(ts)) AS BIGINT) // $w) * $w""".stripMargin
+  }
 }

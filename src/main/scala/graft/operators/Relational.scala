@@ -1554,4 +1554,121 @@ object Relational {
       ((mean("r") - mean("a")) / sqrt(se2)).as("t_stat"),
       welchDf.as("welch_df"))
   }
+
+  /** ES `change_point` aggregation (the step-change member, simplified
+    * to the mean-shift scan): for each event type's daily-count series,
+    * find the split day maximizing the normalized mean shift between
+    * prefix and suffix — |mean_after − mean_before| with the argmax
+    * taken over every candidate boundary. The statistic compared across
+    * splits is (D−d)·s − d·(S−s) over d·(D−d): exact DECIMAL numerator
+    * (counts are integers; DECIMAL(38,0), not LONG — at true 100 TB
+    * daily volumes D·s exceeds 2^63), one IEEE division, so the ranking
+    * doubles are bit-identical across engines; ties break on earliest
+    * day (row_number over stat DESC, day ASC — a total order).
+    *
+    * Shape at 100 TB: identical to [[evtAnomaly]] — one
+    * partial-aggregated (type, day) counter shuffle, then all prefix
+    * sums, the split scan, and the argmax ride windows over that tiny
+    * |types|·|days| aggregate.
+    */
+  def evtChangePoint(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val byType = Window.partitionBy(col("event_type"))
+    val ordered = byType.orderBy(col("day"))
+    val run = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = daily
+      .withColumn("d", row_number().over(ordered).cast("long"))
+      .withColumn("s", sum(col("n")).over(run))
+      .withColumn("dd", count(lit(1)).over(byType))
+      .withColumn("ss", sum(col("n")).over(byType))
+      .where(col("d") < col("dd")) // suffix must be nonempty
+    val statNum = d38(col("dd") - col("d")) * d38(col("s")) -
+      d38(col("d")) * d38(col("ss") - col("s"))
+    val stat = abs(statNum).cast("double") /
+      (col("d").cast("double") * (col("dd") - col("d")).cast("double"))
+    val ranked = withCum
+      .withColumn("stat", stat)
+      .withColumn("rk", row_number().over(
+        byType.orderBy(col("stat").desc, col("day").asc)))
+      .where(col("rk") === 1)
+    ranked.select(col("event_type"), col("day").as("change_day"),
+      (col("s").cast("double") / col("d").cast("double")).as("mean_before"),
+      ((col("ss") - col("s")).cast("double") /
+        (col("dd") - col("d")).cast("double")).as("mean_after"),
+      ((col("ss") - col("s")).cast("double") /
+        (col("dd") - col("d")).cast("double") -
+        col("s").cast("double") / col("d").cast("double")).as("shift"),
+      col("stat"))
+  }
+
+  /** ES `adjacency_matrix` aggregation: named filters evaluated once
+    * per document, with a bucket per filter AND per filter pair holding
+    * the intersection doc count (`a`, `b`, `a&b` keys, ES's own
+    * labeling). Filters here: `ui` (click/view types), `high_value`
+    * (value > [[AdjHighValue]]), `morning` (hour < 12) — mutually
+    * overlapping so every intersection is meaningful.
+    *
+    * Shape at 100 TB: ONE aggregate-only scan (each filter is a
+    * conditional sum; pairs are sums of conjunctions — no join, no
+    * per-filter second pass, unlike the naive N-filters = N scans
+    * reading); the key unpivot explodes off the single moment row.
+    * Adding a filter costs one column, the matrix grows client-side
+    * only.
+    */
+  val AdjHighValue = 250.0
+
+  def q63AdjacencyMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val fUi = col("event_type").isin("click", "view")
+    val fHv = col("value") > AdjHighValue
+    val fMo = hour(col("ts")) < 12
+    def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    val agg = Tables.events(spark, dir).agg(
+      cnt(fUi).as("c_ui"),
+      cnt(fHv).as("c_hv"),
+      cnt(fMo).as("c_mo"),
+      cnt(fUi && fHv).as("c_ui_hv"),
+      cnt(fUi && fMo).as("c_ui_mo"),
+      cnt(fHv && fMo).as("c_hv_mo"))
+    val keys = Seq("ui" -> "c_ui", "high_value" -> "c_hv", "morning" -> "c_mo",
+      "high_value&ui" -> "c_ui_hv", "morning&ui" -> "c_ui_mo",
+      "high_value&morning" -> "c_hv_mo")
+    val keyLit = keys.map { case (k, c) =>
+      s"named_struct('key','$k','c','$c')"
+    }.mkString("array(", ",", ")")
+    val sel = keys.map(_._2).foldRight(lit(null).cast("long")) {
+      case (c, acc) => when(col("kv.c") === c, col(c)).otherwise(acc)
+    }
+    agg.select(col("*"), explode(expr(keyLit)).as("kv"))
+      .select(col("kv.key").as("key"), sel.as("doc_count"))
+      .where(col("doc_count") > 0) // ES min_doc_count semantics
+  }
+
+  /** ES TSDB downsampling: roll raw events into fixed
+    * [[DownsampleSeconds]]-second buckets per event type, keeping the
+    * count / min / max / sum / avg summary ES materializes when it
+    * downsamples a time-series index. Bucket identity is the epoch
+    * floor (`unix_timestamp div w · w` ≡ DuckDB `floor(epoch) // w·w` —
+    * integer arithmetic, no tz or float wobble); the value sum takes
+    * the DECIMAL money route, avg is the one IEEE division.
+    *
+    * Shape at 100 TB: one partial-aggregated (type, bucket) shuffle —
+    * the downsampled table IS the aggregate, ~raw/5000 rows at 6-hour
+    * buckets; a second downsample pass (1d, 1w) would stack on the
+    * output, never re-reading raw.
+    */
+  val DownsampleSeconds = 21600L
+
+  def evtDownsample(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("bucket_epoch",
+        expr(s"CAST(unix_timestamp(ts) AS BIGINT) div $DownsampleSeconds * $DownsampleSeconds"))
+      .groupBy(col("event_type"), col("bucket_epoch"))
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("v_min"),
+        max(col("value")).as("v_max"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("v_sum"),
+        (sum(col("value").cast("decimal(18,2)")).cast("double") /
+          count(lit(1)).cast("double")).as("v_avg"))
 }

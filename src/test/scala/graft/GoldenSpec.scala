@@ -103,6 +103,9 @@ class GoldenSpec extends SparkSpec {
     "q60_string_stats" -> ((7206001734591452972L, 5L)),
     "q61_t_test" -> ((3080645606827884154L, 2L)),
     "q62_rare_terms" -> ((-8157328469054421064L, 100L)),
+    "q63_adjacency_matrix" -> ((-5555217509062166621L, 6L)),
+    "evt_change_point" -> ((6184182922743164696L, 5L)),
+    "evt_downsample" -> ((-3523565272901993742L, 477L)),
     "txt_novelty" -> ((-5491881594463251946L, 500L)),
     "evt_zorder_box" -> ((8048206640084171482L, 5L)),
     "host_multivalued" -> ((8207634536938707889L, 1000L)),

@@ -628,6 +628,91 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("evt_change_point: a planted step lands the split on the step boundary") {
+    val s = spark; import s.implicits._
+    // type "step": 3 days at 2 events/day then 3 days at 10/day — the
+    // max normalized mean-shift split is exactly the step boundary
+    // (day 3), mean_before 2, mean_after 10.
+    val rows = for {
+      (day, perDay) <- Seq(1 -> 2, 2 -> 2, 3 -> 2, 4 -> 10, 5 -> 10, 6 -> 10)
+      i <- 0 until perDay
+    } yield (day.toLong * 100 + i, java.sql.Timestamp.valueOf(f"2024-01-0$day 0$i:00:00"),
+      1L, "step", 1.0, "{}")
+    val dir = tempTableDir("events",
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val out = Relational.evtChangePoint(spark, dir).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[java.sql.Date]("change_day").toString === "2024-01-03")
+    assert(r.getAs[Double]("mean_before") === 2.0)
+    assert(r.getAs[Double]("mean_after") === 10.0)
+    assert(r.getAs[Double]("shift") === 8.0)
+  }
+
+  test("evt_change_point: argmax matches a driver brute-force over real daily series") {
+    val daily = graft.sources.Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    val out = Relational.evtChangePoint(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getAs[java.sql.Date]("change_day").toString).toMap
+    for ((tpe, rows) <- daily.groupBy(_._1)) {
+      val series = rows.sortBy(_._2).map(r => (r._2, r._3))
+      val total = series.map(_._2).sum
+      val best = (1 until series.length).map { d =>
+        val s = series.take(d).map(_._2).sum
+        val stat = math.abs((series.length - d).toDouble * s - d.toDouble * (total - s)) /
+          (d.toDouble * (series.length - d).toDouble)
+        (stat, series(d - 1)._1)
+      }.sortBy { case (stat, day) => (-stat, day) }.head._2
+      assert(out(tpe) === best, s"argmax split for $tpe")
+    }
+  }
+
+  test("q63 adjacency matrix: filter and pair counts match a driver recompute") {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value"), hour(col("ts")).as("h"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getInt(2)))
+    def ui(t: (String, Double, Int)) = t._1 == "click" || t._1 == "view"
+    def hv(t: (String, Double, Int)) = t._2 > Relational.AdjHighValue
+    def mo(t: (String, Double, Int)) = t._3 < 12
+    val out = Relational.q63AdjacencyMatrix(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("ui") === ev.count(ui).toLong)
+    assert(out("high_value") === ev.count(hv).toLong)
+    assert(out("morning") === ev.count(mo).toLong)
+    assert(out("high_value&ui") === ev.count(t => ui(t) && hv(t)).toLong)
+    assert(out("morning&ui") === ev.count(t => ui(t) && mo(t)).toLong)
+    assert(out("high_value&morning") === ev.count(t => hv(t) && mo(t)).toLong)
+    // structural: every intersection is bounded by both of its filters
+    assert(out("high_value&ui") <= math.min(out("high_value"), out("ui")))
+  }
+
+  test("evt_downsample: bucket identity, boundary assignment, and summary stats") {
+    val s = spark; import s.implicits._
+    // Two events inside one 6h bucket, one exactly ON the next boundary
+    // (06:00:00 → second bucket — floor semantics).
+    val rows = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), 1L, "t", 10.0, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 05:59:59"), 1L, "t", 20.0, "{}"),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 06:00:00"), 1L, "t", 7.5, "{}"))
+    val dir = tempTableDir("events",
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val out = Relational.evtDownsample(spark, dir).collect()
+      .map(r => r.getAs[Long]("bucket_epoch") -> r).toMap
+    assert(out.size === 2)
+    assert(out.keySet.forall(_ % Relational.DownsampleSeconds === 0))
+    val b0 = out(1704067200L) // 2024-01-01 00:00 UTC
+    assert(b0.getAs[Long]("n") === 2L)
+    assert(b0.getAs[Double]("v_min") === 10.0)
+    assert(b0.getAs[Double]("v_max") === 20.0)
+    assert(b0.getAs[Double]("v_sum") === 30.0)
+    assert(b0.getAs[Double]("v_avg") === 15.0)
+    val b1 = out(1704067200L + Relational.DownsampleSeconds)
+    assert(b1.getAs[Long]("n") === 1L)
+    assert(b1.getAs[Double]("v_sum") === 7.5)
+  }
+
   test("q60 string stats: grid entropy is 0 for a one-char alphabet, 1 for a balanced pair") {
     val s = spark; import s.implicits._
     // "aaaa": one char, entropy 0. "abababab": two chars at 4+4 of N=8 —
