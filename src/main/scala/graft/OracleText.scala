@@ -120,6 +120,127 @@ object OracleText {
        |GROUP BY m.doc_id""".stripMargin
   }
 
+  /** Mirror of TextOps.nbClassifier: the same (doc, word, tf) table,
+    * per-class HUGEINT counts cast back to BIGINT, identical third-bit
+    * integer-log2 scores (TextOps.b3Duck — the same exact integer map
+    * as the Spark side's b3Spark), greatest + first-match argmax with
+    * the same alphabetical tiebreak.
+    */
+  val nbClassifier: String = {
+    val cs = TextOps.NbClasses
+    val m = TextOps.NbTrainMod
+    def b3(x: String): String = TextOps.b3Duck(x)
+    val wsCols = cs.map(c =>
+      s"CAST(sum(CASE WHEN lang = '$c' THEN tf ELSE 0 END) AS BIGINT) AS c_$c")
+      .mkString(",\n       |    ")
+    val totCols = cs.map(c => s"CAST(sum(c_$c) AS BIGINT) AS n_$c")
+      .mkString(",\n       |    ")
+    val priCols = cs.map(c =>
+      s"CAST(sum(CASE WHEN lang = '$c' THEN 1 ELSE 0 END) AS BIGINT) AS d_$c")
+      .mkString(",\n       |    ")
+    val pdCols = cs.map(c =>
+      s"CAST(sum(tf * ${b3(s"c_$c + 1")}) AS BIGINT) AS b_$c")
+      .mkString(",\n       |    ")
+    val scoreCols = cs.map(c =>
+      s"""CAST(COALESCE(b_$c, 0) - COALESCE(n_tokens, 0) * ${b3(s"COALESCE(n_$c, 0) + v")}
+         |      + ${b3(s"COALESCE(d_$c, 0) + 1")} - ${b3(s"d + ${cs.size}")} AS BIGINT) AS s_$c"""
+        .stripMargin).mkString(",\n       |    ")
+    val predCase = cs.map(c => s"WHEN s_$c = mx THEN '$c'").mkString(" ")
+    val sList = cs.map(c => s"s_$c").mkString(", ")
+    s"""WITH $wordsCte,
+       |tfc AS (
+       |  SELECT doc_id, lang, word, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, lang, unnest(words) AS word FROM docs)
+       |  GROUP BY doc_id, lang, word
+       |),
+       |tr AS (SELECT * FROM tfc WHERE doc_id % $m <> 0),
+       |ws AS (
+       |  SELECT word,
+       |    $wsCols
+       |  FROM tr GROUP BY word
+       |),
+       |tot AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS v,
+       |    $totCols
+       |  FROM ws
+       |),
+       |pri AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS d,
+       |    $priCols
+       |  FROM documents WHERE doc_id % $m <> 0
+       |),
+       |pd AS (
+       |  SELECT doc_id,
+       |    $pdCols
+       |  FROM tfc JOIN ws USING (word) GROUP BY doc_id
+       |),
+       |tok AS (
+       |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens
+       |  FROM tfc GROUP BY doc_id
+       |),
+       |sc AS (
+       |  SELECT dd.doc_id, dd.lang, dd.doc_id % $m <> 0 AS is_train,
+       |    $scoreCols
+       |  FROM documents dd
+       |  LEFT JOIN pd USING (doc_id)
+       |  LEFT JOIN tok USING (doc_id), tot, pri
+       |)
+       |SELECT doc_id, lang, is_train,
+       |  CASE $predCase END AS pred_lang,
+       |  $sList
+       |FROM (SELECT *, greatest($sList) AS mx FROM sc)""".stripMargin
+  }
+
+  /** Mirror of TextOps.vocabCoverage: the tokensBpe recursive-march
+    * dictionary (`bpe` CTE) joined back to the per-source occurrence
+    * stream; ratios are single IEEE divisions of exact integers.
+    */
+  val vocabCoverage: String = {
+    val mergeRows = TextOps.BpeMerges.zipWithIndex
+      .map { case ((a, b), r) => s"($r, '$a', '$b')" }.mkString(", ")
+    val nm = TextOps.BpeMerges.size
+    s"""WITH RECURSIVE docs AS (
+       |  SELECT doc_id, text, source, string_split(text, ' ') AS words
+       |  FROM documents
+       |),
+       |wm AS (
+       |  SELECT source, unnest(words) AS w FROM docs
+       |),
+       |uw AS (SELECT DISTINCT w FROM wm),
+       |merges(rk, a, b) AS (SELECT * FROM (VALUES $mergeRows) v(rk, a, b)),
+       |bpe(w, mi, s) AS (
+       |  SELECT w, 0, '|' || regexp_replace(w, '(.)', '\\1|', 'g') FROM uw
+       |  UNION ALL
+       |  SELECT b.w,
+       |    CASE WHEN replace(b.s, '|' || m.a || '|' || m.b || '|',
+       |                      '|' || m.a || m.b || '|') = b.s
+       |         THEN b.mi + 1 ELSE b.mi END,
+       |    replace(b.s, '|' || m.a || '|' || m.b || '|',
+       |            '|' || m.a || m.b || '|')
+       |  FROM bpe b JOIN merges m ON m.rk = b.mi
+       |),
+       |pieces AS (
+       |  SELECT w,
+       |    CAST(length(s) - length(replace(s, '|', '')) - 1 AS BIGINT) AS np,
+       |    CAST(length(w) AS BIGINT) AS wlen
+       |  FROM bpe WHERE mi = $nm
+       |),
+       |agg AS (
+       |  SELECT m.source,
+       |    CAST(count(*) AS BIGINT) AS n_words,
+       |    CAST(sum(p.np) AS BIGINT) AS n_pieces,
+       |    CAST(sum(p.wlen) AS BIGINT) AS n_chars,
+       |    CAST(sum(CASE WHEN p.np = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_single_piece
+       |  FROM wm m JOIN pieces p ON p.w = m.w
+       |  GROUP BY m.source
+       |)
+       |SELECT source, n_words, n_pieces, n_chars,
+       |  CAST(n_pieces AS DOUBLE) / CAST(n_words AS DOUBLE) AS pieces_per_word,
+       |  CAST(n_chars AS DOUBLE) / CAST(n_pieces AS DOUBLE) AS chars_per_piece,
+       |  CAST(n_single_piece AS DOUBLE) / CAST(n_words AS DOUBLE) AS single_piece_share
+       |FROM agg""".stripMargin
+  }
+
   /** Mirror of TextOps.bpeTrain: the same type-dictionary training
     * loop, unrolled as MATERIALIZED CTE rounds (the OracleGraph.kCore
     * device — each round's token table is referenced by both the pair

@@ -1573,6 +1573,140 @@ object TextOps {
           .otherwise(lit(0.0)).as("mean_bits"))
   }
 
+  /** Class inventory for [[nbClassifier]] — the corpus's language
+    * labels, fixed in alphabetical order (the order IS the
+    * deterministic argmax tiebreak).
+    */
+  val NbClasses: Seq[String] = Seq("de", "en", "es", "fr", "zh")
+
+  /** Train/score split modulus for [[nbClassifier]]: doc_id % 5 ≠ 0
+    * trains (80%), everything scores — held-out docs exercise
+    * generalization, OOV handling included.
+    */
+  val NbTrainMod = 5L
+
+  /** Third-bit integer-log2: `b3(x) = ⌊3·log2 m⌋ + 3s` with
+    * `s = max(⌊log2 x⌋ − 20, 0)` and mantissa `m = x >> s` — i.e.
+    * ⌊3·log2 x⌋ computed exactly for x < 2²¹ via `length(bin(m³)) − 1`
+    * (the cube fits int64 because m < 2²¹), and with the mantissa
+    * truncated to its top 21 bits beyond that (error ≤ 1 grid step,
+    * but the FUNCTION is the same exact integer map on both engines —
+    * the determinism contract cares about cross-engine equality, not
+    * the last ulp of the log). Three times the resolution of
+    * [[surprisal]]'s whole-bit grid — the difference between a
+    * working and a prior-collapsed [[nbClassifier]]: whole-bit
+    * quantization loses the ~½-bit per-token likelihood margins that
+    * separate these classes.
+    */
+  private def b3Spark(x: String): String = {
+    val s = s"greatest(length(bin($x)) - 21, 0)"
+    val m = s"shiftright($x, $s)"
+    s"CAST(3 * $s + length(bin($m * $m * $m)) - 1 AS BIGINT)"
+  }
+
+  /** DuckDB spelling of [[b3Spark]] (shared with OracleText). */
+  private[graft] def b3Duck(x: String): String = {
+    val s = s"greatest(length(bin($x)) - 21, 0)"
+    val m = s"(($x) >> ($s))"
+    s"CAST(3 * $s + length(bin($m * $m * $m)) - 1 AS BIGINT)"
+  }
+
+  /** Multinomial Naive Bayes classifier, trained ON THE CORPUS and
+    * applied back to every document — the quality/language-classifier
+    * pattern of a pretraining pipeline (CCNet/fastText-style linear
+    * scorer), supervised here by the `lang` column with an 80/20
+    * doc_id-hash split. Per class c:
+    * `score_c(doc) = Σ_w tf_w·b3(c_c(w)+1) − n_tokens·b3(N_c+V)
+    *  + b3(D_c+1) − b3(D+|C|)`
+    * — add-one-smoothed multinomial NB with every logarithm on the
+    * third-bit integer-log2 grid ([[b3Spark]]), so scores are exact
+    * integers: order-free sums, bit-equal across engines, and the
+    * argmax (alphabetical tiebreak via a greatest + first-match chain)
+    * can never wobble. OOV tokens contribute b3(1) = 0 to every
+    * class — exactly add-one smoothing's unseen-word term on the grid.
+    *
+    * Shape at 100 TB: one token explode → (doc, word) partial-counted
+    * aggregate (the [[dsir]] table, counts not text); per-word class
+    * counts are a groupBy OFF that aggregate; scoring joins the
+    * vocabulary-sized stats back on the word key (broadcast when the
+    * vocab is bounded, shuffle join otherwise — the [[dsir]] choice);
+    * class totals and priors are 1-row broadcasts. Nothing
+    * corpus-sized crosses the driver.
+    */
+  def nbClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tf = dsirTfFrom(docs)
+    val isTrain = col("doc_id") % NbTrainMod =!= 0L
+    val train = tf.where(isTrain)
+    val wsAggs = NbClasses.map(c =>
+      sum(when(col("lang") === c, col("tf")).otherwise(0L)).as(s"c_$c"))
+    val wordStats = train.groupBy(col("word")).agg(wsAggs.head, wsAggs.tail: _*)
+    val totAggs = count(lit(1)).as("v") +:
+      NbClasses.map(c => sum(col(s"c_$c")).as(s"n_$c"))
+    val totals = wordStats.agg(totAggs.head, totAggs.tail: _*)
+    val priAggs = count(lit(1)).as("d") +: NbClasses.map(c =>
+      sum(when(col("lang") === c, 1L).otherwise(0L)).as(s"d_$c"))
+    val priors = docs.where(isTrain).agg(priAggs.head, priAggs.tail: _*)
+    val pdAggs = NbClasses.map(c =>
+      sum(col("tf") * expr(b3Spark(s"c_$c + 1"))).as(s"b_$c"))
+    val perDoc = tf.join(wordStats, Seq("word"))
+      .groupBy(col("doc_id")).agg(pdAggs.head, pdAggs.tail: _*)
+    val tok = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("n_tokens"))
+    val scoreCols = NbClasses.map { c =>
+      (coalesce(col(s"b_$c"), lit(0L)) -
+        coalesce(col("n_tokens"), lit(0L)) *
+          expr(b3Spark(s"COALESCE(n_$c, 0) + v")) +
+        expr(b3Spark(s"COALESCE(d_$c, 0) + 1")) -
+        expr(b3Spark(s"d + ${NbClasses.size}"))).as(s"s_$c")
+    }
+    val scored = docs.select(col("doc_id"), col("lang"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .join(tok, Seq("doc_id"), "left")
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(priors))
+      .select(col("doc_id") +: col("lang") +: isTrain.as("is_train") +:
+        scoreCols: _*)
+    val best = greatest(NbClasses.map(c => col(s"s_$c")): _*)
+    val pred = NbClasses.foldRight(lit(null).cast("string")) { (c, acc) =>
+      when(col(s"s_$c") === best, lit(c)).otherwise(acc)
+    }
+    scored.select(col("doc_id") +: col("lang") +: col("is_train") +:
+      pred.as("pred_lang") +: NbClasses.map(c => col(s"s_$c")): _*)
+  }
+
+  /** Tokenizer vocabulary-coverage report per source — the artifact a
+    * tokenizer owner reads after [[bpeTrain]]: word and piece totals,
+    * fertility (pieces per word), compression (chars per piece), and
+    * the share of word occurrences the merge table fuses to a SINGLE
+    * piece (full-word coverage). Uses the rank-ordered [[BpeMerges]]
+    * inventory through the same faithful encoder as [[tokensBpe]].
+    *
+    * Shape at 100 TB: the [[tokensBpe]] type-vs-token device — the
+    * encoder runs once per DISTINCT word, the tiny dictionary
+    * broadcasts back onto the exploded occurrence stream, and the
+    * shuffle carries one partial-aggregated row per source.
+    */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val wm = withWords(spark, dir)
+      .select(col("source"), explode(col("words")).as("w"))
+    val dict = wm.select(col("w")).distinct()
+      .withColumn("np", expr(bpeWordPieces("w")))
+      .withColumn("wlen", length(col("w")).cast("long"))
+    wm.join(broadcast(dict), Seq("w"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("np")).as("n_pieces"),
+        sum(col("wlen")).as("n_chars"),
+        sum(when(col("np") === 1L, 1L).otherwise(0L)).as("n_single_piece"))
+      .select(col("source"), col("n_words"), col("n_pieces"), col("n_chars"),
+        (col("n_pieces").cast("double") / col("n_words").cast("double"))
+          .as("pieces_per_word"),
+        (col("n_chars").cast("double") / col("n_pieces").cast("double"))
+          .as("chars_per_piece"),
+        (col("n_single_piece").cast("double") / col("n_words").cast("double"))
+          .as("single_piece_share"))
+  }
+
   /** Number of shards for [[shard]] — at real scale this is the output
     * file-parallelism dial (shards ≈ cluster write slots), here small so
     * the fixture exercises multi-doc shards.

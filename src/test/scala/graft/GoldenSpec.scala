@@ -106,6 +106,8 @@ class GoldenSpec extends SparkSpec {
     "q63_adjacency_matrix" -> ((-5555217509062166621L, 6L)),
     "evt_change_point" -> ((6184182922743164696L, 5L)),
     "evt_downsample" -> ((-3523565272901993742L, 477L)),
+    "txt_nb_classifier" -> ((2151799282903343081L, 500L)),
+    "txt_vocab_coverage" -> ((-377899420734981330L, 20L)),
     "txt_novelty" -> ((-5491881594463251946L, 500L)),
     "evt_zorder_box" -> ((8048206640084171482L, 5L)),
     "host_multivalued" -> ((8207634536938707889L, 1000L)),

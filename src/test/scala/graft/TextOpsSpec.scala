@@ -909,6 +909,84 @@ class TextOpsSpec extends SparkSpec {
     assert(c0.takeRight(8).sameElements(c1.take(8)))
   }
 
+  test("nb classifier: separable fixture classifies held-out docs; OOV falls back to prior") {
+    val s = spark; import s.implicits._
+    // Disjoint vocabularies per class; doc_ids chosen so each class has
+    // train docs (id % 5 != 0) and one held-out doc (id % 5 == 0).
+    // doc 15 is OOV-only (words unseen in training) → all word terms
+    // are b3(1) = 0 for every class, so the argmax is decided by the
+    // smoothing normalizer −n·b3(N_c+V): the two classes with NO
+    // training mass (fr, zh) have the smallest penalty and tie;
+    // the alphabetical tiebreak picks 'fr'.
+    val df = Seq(
+      (1L, "aa bb aa bb aa", "de", "spec", 1L),
+      (2L, "aa bb bb aa aa", "de", "spec", 1L),
+      (5L, "aa aa bb aa bb", "de", "spec", 1L), // held out
+      (3L, "cc dd cc dd cc", "en", "spec", 1L),
+      (4L, "cc dd dd cc cc", "en", "spec", 1L),
+      (10L, "cc cc dd cc dd", "en", "spec", 1L), // held out
+      (6L, "ee ff ee ff ee", "es", "spec", 1L),
+      (7L, "ee ff ff ee ee", "es", "spec", 1L),
+      (20L, "ee ee ff ee ff", "es", "spec", 1L), // held out
+      (15L, "zz yy zz", "fr", "spec", 1L)) // held out, fully OOV
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tempTableDir("documents", df)
+    val out = TextOps.nbClassifier(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("pred_lang"), r.getAs[Boolean]("is_train")))).toMap
+    // every vocab-covered doc classifies correctly, held-out included
+    for ((id, want) <- Seq(1L -> "de", 2L -> "de", 5L -> "de",
+      3L -> "en", 4L -> "en", 10L -> "en",
+      6L -> "es", 7L -> "es", 20L -> "es"))
+      assert(out(id)._1 === want, s"doc $id")
+    assert(out(5L)._2 === false && out(1L)._2 === true)
+    // OOV doc: least-penalized unseen classes tie → alphabetical first
+    assert(out(15L)._1 === "fr")
+  }
+
+  test("nb classifier: third-bit grid scores are exact b3 sums on a hand-computable case") {
+    val s = spark; import s.implicits._
+    // One class, one train doc "aa aa aa" (3 tokens of one word), one
+    // held-out doc "aa" (1 token). V = 1, N_de = 3, D = 1.
+    // s_de(held-out) = 1·b3(3+1) − 1·b3(3+1) + b3(1+1) − b3(1+5)
+    //                = 0 + 3 − 7 = −4   (b3(2)=3, b3(6)=⌊3·2.585⌋=7)
+    val df = Seq(
+      (1L, "aa aa aa", "de", "spec", 1L),
+      (5L, "aa", "de", "spec", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tempTableDir("documents", df)
+    val r = TextOps.nbClassifier(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("s_de")).toMap
+    assert(r(5L) === -4L)
+    // train doc: 3·b3(4) − 3·b3(4) + b3(2) − b3(6) = 3 − 7 = −4 too
+    assert(r(1L) === -4L)
+  }
+
+  test("vocab coverage: piece accounting matches the faithful encoder on known words") {
+    val s = spark; import s.implicits._
+    // "the": t+h → th, th+e → the = 1 piece (ranks 0, 1).
+    // "data": rank-7 (a,t) preempts → d|at|a = 3 pieces (the
+    //   bpeWordPieces Scaladoc example).
+    // "xq": no merges apply → x|q = 2 pieces.
+    val df = Seq(
+      (1L, "the data", "en", "srcA", 8L),
+      (2L, "the xq", "en", "srcB", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tempTableDir("documents", df)
+    val out = TextOps.vocabCoverage(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val a = out("srcA")
+    assert(a.getAs[Long]("n_words") === 2L)
+    assert(a.getAs[Long]("n_pieces") === 4L) // the=1, data=3
+    assert(a.getAs[Long]("n_chars") === 7L)
+    assert(a.getAs[Double]("pieces_per_word") === 2.0)
+    assert(a.getAs[Double]("chars_per_piece") === 7.0 / 4.0)
+    assert(a.getAs[Double]("single_piece_share") === 0.5)
+    val b = out("srcB")
+    assert(b.getAs[Long]("n_pieces") === 3L) // the=1, xq=2
+    assert(b.getAs[Double]("single_piece_share") === 0.5)
+  }
+
   test("rare terms: df-counted 4-gram tail, common grams excluded, df not tf") {
     // "a b c d" occurs in 3 docs (df=3 > cutoff 2) → excluded even
     // though rare-by-tf would keep nothing else; "b c d e" df=1 and
