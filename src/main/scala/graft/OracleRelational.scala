@@ -1221,4 +1221,113 @@ object OracleRelational {
        |FROM events
        |GROUP BY event_type, (CAST(floor(epoch(ts)) AS BIGINT) // $w) * $w""".stripMargin
   }
+
+  /** Mirror of Relational.q64AutoDateHistogram: identical integer
+    * ladder election over the 1-row span, identical epoch-floor bucket
+    * identity, DECIMAL value sums.
+    */
+  val q64: String = {
+    val lad = graft.operators.Relational.AutoHistLadder
+    val target = graft.operators.Relational.AutoHistTarget
+    s"""WITH ev AS (
+       |  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS e, value FROM events
+       |),
+       |span AS (SELECT min(e) AS e0, max(e) AS e1 FROM ev),
+       |lad AS (SELECT unnest([${lad.mkString(", ")}]) AS ival),
+       |pick AS (
+       |  SELECT COALESCE(min(ival), ${lad.max}) AS interval_sec
+       |  FROM lad, span
+       |  WHERE (e1 // ival) - (e0 // ival) + 1 <= $target
+       |)
+       |SELECT p.interval_sec,
+       |  (e // p.interval_sec) * p.interval_sec AS bucket_start,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+       |FROM ev, pick p
+       |GROUP BY 1, 2""".stripMargin
+  }
+
+  /** Mirror of Relational.q65DiversifiedSampler: identical md5-device
+    * score order, nested (shard, user) / shard row_number cutoffs,
+    * terms agg over the merged sample.
+    */
+  val q65: String = {
+    val s = graft.operators.Relational.SamplerShards
+    val sz = graft.operators.Relational.SamplerShardSize
+    val mk = graft.operators.Relational.SamplerMaxPerKey
+    s"""WITH ev AS (
+       |  SELECT event_id, user_id, event_type,
+       |    event_id % $s AS shard,
+       |    ${OracleText.rotLong("md5(CAST(event_id AS VARCHAR))", 0)} AS h
+       |  FROM events
+       |),
+       |k AS (
+       |  SELECT *, row_number() OVER
+       |    (PARTITION BY shard, user_id ORDER BY h, event_id) AS rk
+       |  FROM ev
+       |),
+       |smp AS (
+       |  SELECT *, row_number() OVER
+       |    (PARTITION BY shard ORDER BY h, event_id) AS rs
+       |  FROM k WHERE rk <= $mk
+       |)
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS doc_count,
+       |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+       |FROM smp WHERE rs <= $sz
+       |GROUP BY event_type""".stripMargin
+  }
+
+  /** Mirror of Relational.evtInterpolate: identical dense hourly frame,
+    * IGNORE NULLS neighbor windows, and the integer-cents lerp with one
+    * terminal IEEE division.
+    */
+  val evtInterpolate: String = {
+    val w = graft.operators.Relational.InterpSeconds
+    s"""WITH ev AS (
+       |  SELECT event_type,
+       |    (CAST(floor(epoch(ts)) AS BIGINT) // $w) * $w AS b, value
+       |  FROM events
+       |),
+       |hourly AS (
+       |  SELECT event_type, b, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+       |  FROM ev GROUP BY event_type, b
+       |),
+       |span AS (SELECT min(b) AS b0, max(b) AS b1 FROM ev),
+       |buckets AS (
+       |  SELECT CAST(unnest(generate_series(b0, b1, $w)) AS BIGINT) AS b
+       |  FROM span
+       |),
+       |types AS (SELECT DISTINCT event_type FROM ev),
+       |frame AS (
+       |  SELECT t.event_type, bk.b, h.n, h.cents
+       |  FROM buckets bk CROSS JOIN types t
+       |  LEFT JOIN hourly h ON h.event_type = t.event_type AND h.b = bk.b
+       |),
+       |fb AS (
+       |  SELECT event_type, b, n, cents,
+       |    last_value(cents IGNORE NULLS) OVER up AS pc,
+       |    last_value(CASE WHEN cents IS NOT NULL THEN b END IGNORE NULLS)
+       |      OVER up AS pb,
+       |    first_value(cents IGNORE NULLS) OVER dn AS nc,
+       |    first_value(CASE WHEN cents IS NOT NULL THEN b END IGNORE NULLS)
+       |      OVER dn AS nb
+       |  FROM frame
+       |  WINDOW up AS (PARTITION BY event_type ORDER BY b
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |    dn AS (PARTITION BY event_type ORDER BY b
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+       |)
+       |SELECT event_type, b AS bucket_epoch,
+       |  COALESCE(n, 0) AS n,
+       |  CAST(COALESCE(pc, nc) AS DOUBLE) / 100.0 AS v_locf,
+       |  CASE
+       |    WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE) / 100.0
+       |    WHEN pc IS NOT NULL AND nc IS NOT NULL THEN
+       |      CAST(pc * (nb - b) + nc * (b - pb) AS DOUBLE)
+       |        / CAST((nb - pb) * 100 AS DOUBLE)
+       |    ELSE CAST(COALESCE(pc, nc) AS DOUBLE) / 100.0
+       |  END AS v_interp
+       |FROM fb""".stripMargin
+  }
 }

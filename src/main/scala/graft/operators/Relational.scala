@@ -1671,4 +1671,163 @@ object Relational {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("v_sum"),
         (sum(col("value").cast("decimal(18,2)")).cast("double") /
           count(lit(1)).cast("double")).as("v_avg"))
+
+  /** Fixed-duration rounding ladder for [[q64AutoDateHistogram]], in
+    * seconds — the ES `auto_date_histogram` interval menu restricted to
+    * its fixed-width rungs (1s…1m…1h…1d, 7d, then 30/90/365-day
+    * stand-ins for the calendar month/quarter/year rungs;
+    * calendar-aware months would
+    * make bucket identity timezone-policy–dependent, which the
+    * cross-engine hash contract forbids).
+    */
+  val AutoHistLadder: Seq[Long] = Seq(1L, 5L, 10L, 30L, 60L, 300L, 600L,
+    1800L, 3600L, 10800L, 43200L, 86400L, 604800L, 2592000L, 7776000L,
+    31536000L)
+
+  /** Bucket-count target for [[q64AutoDateHistogram]] — ES's
+    * `buckets` parameter (default 10 there; 40 here so the month-long
+    * test corpora resolve to daily buckets, not weekly).
+    */
+  val AutoHistTarget = 40L
+
+  /** ES `auto_date_histogram`: the engine, not the caller, picks the
+    * histogram interval — the smallest rung of [[AutoHistLadder]] whose
+    * bucket count over the corpus's [min ts, max ts] span stays within
+    * [[AutoHistTarget]] (largest rung if none does). Bucket identity is
+    * the integer epoch floor (`e div i · i` — the [[evtDownsample]]
+    * device), bucket counts are pure BIGINT arithmetic on the 1-row
+    * span aggregate, so both engines pick the identical rung and the
+    * result hashes bit-equal. Value totals take the DECIMAL money rule.
+    *
+    * Shape at 100 TB: the interval election costs one 1-row min/max
+    * aggregate (a second corpus scan, but a 2-column count-free one —
+    * at cluster scale you'd serve it from table statistics); the
+    * histogram itself is the single partial-aggregated (bucket) shuffle
+    * every fixed histogram here pays. The 16-row ladder explode lives
+    * on the 1-row span frame and broadcasts back as a scalar.
+    */
+  def q64AutoDateHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("e", expr("CAST(unix_timestamp(ts) AS BIGINT)"))
+    val ladder = AutoHistLadder.mkString("array(", ", ", ")")
+    val pick = ev.agg(min(col("e")).as("e0"), max(col("e")).as("e1"))
+      .select(col("e0"), col("e1"),
+        explode(expr(ladder)).as("ival"))
+      .where(expr("e1 div ival - e0 div ival + 1") <= AutoHistTarget)
+      .agg(min(col("ival")).as("ival"))
+      .select(coalesce(col("ival"), lit(AutoHistLadder.max))
+        .as("interval_sec"))
+    ev.crossJoin(broadcast(pick))
+      .groupBy(col("interval_sec"),
+        expr("e div interval_sec * interval_sec").as("bucket_start"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+  }
+
+  /** Synthetic shard fan for [[q65DiversifiedSampler]] (the
+    * [[graft.operators.Retrieval.TermsShards]] routing stand-in),
+    * per-shard sample budget, and the diversity cap — ES
+    * `diversified_sampler`'s `shard_size` and `max_docs_per_value`.
+    */
+  val SamplerShards = 8
+  val SamplerShardSize = 20
+  val SamplerMaxPerKey = 2
+
+  /** ES `sampler`/`diversified_sampler` aggregation: each shard keeps
+    * its `shard_size` best-scoring docs, but never more than
+    * `max_docs_per_value` per diversity-field value (here `user_id` —
+    * the "don't let one prolific author fill the sample" control);
+    * downstream aggregations (a `terms` over `event_type`, plus the
+    * distinct-user width) then run over the merged sample only. Score
+    * order is the deterministic md5-of-id stand-in for ES's relevance
+    * order (the [[q49WeightedSample]] device), so both engines draw the
+    * identical sample.
+    *
+    * Shape at 100 TB: two keyed exchanges, deliberately ordered — the
+    * (shard, user) diversity window runs first over the full stream
+    * (WindowGroupLimit caps its sort buffers at `max_docs_per_value`
+    * rows per key), and the per-shard cutoff window only sees the
+    * diversity-capped survivors (≤ `max_docs_per_value`·|users| rows),
+    * so the coarser, skew-prone shard partitioning never carries the
+    * raw corpus. Everything after the second cutoff is ≤ S·shard_size
+    * rows.
+    */
+  def q65DiversifiedSampler(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        pmod(col("event_id"), lit(SamplerShards.toLong)).as("shard"),
+        graft.operators.TextOps
+          .rotLong("md5(CAST(event_id AS STRING))", 0).as("h"))
+    val perKey = Window.partitionBy(col("shard"), col("user_id"))
+      .orderBy(col("h").asc, col("event_id").asc)
+    val perShard = Window.partitionBy(col("shard"))
+      .orderBy(col("h").asc, col("event_id").asc)
+    ev.withColumn("rk", row_number().over(perKey))
+      .where(col("rk") <= SamplerMaxPerKey)
+      .withColumn("rs", row_number().over(perShard))
+      .where(col("rs") <= SamplerShardSize)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("doc_count"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
+  /** Bucket width for [[evtInterpolate]] — hourly, fine enough that
+    * real gaps exist at every test SF (the interpolation branch must
+    * be exercised by corpus data, not only by the spec fixture).
+    */
+  val InterpSeconds = 3600L
+
+  /** Time-series gap interpolation — the `fill(linear)` /
+    * `fill(previous)` of a time-series engine (InfluxDB, Timescale
+    * `interpolate`/`locf`), downstream of a gap-filled histogram:
+    * every (event_type, hourly bucket) cell of the corpus span exists;
+    * present cells carry their own total, missing cells get BOTH a
+    * last-observation-carried-forward value (leading gaps backfill
+    * from the next observation) and a linear interpolation between the
+    * surrounding observations (edge gaps degrade to LOCF). All
+    * arithmetic stays in integer cents × integer epoch-seconds —
+    * `v = (pc·(nb−b) + nc·(b−pb)) / ((nb−pb)·100)` is one IEEE
+    * division of two exact BIGINTs, so the interpolated series is
+    * bit-equal cross-engine (a float lerp would wobble in the last
+    * ulp).
+    *
+    * Shape at 100 TB: one partial-aggregated (type, bucket) shuffle
+    * builds the totals; the dense frame is a broadcast cross join of
+    * two tiny derived aggregates; all four neighbor columns ride ONE
+    * type-keyed sort (two frames over the same window partitioning —
+    * no second exchange). The dense frame is span/width × |types|
+    * rows — the downsampled series, not the corpus.
+    */
+  def evtInterpolate(spark: SparkSession, dir: String): DataFrame = {
+    val w = InterpSeconds
+    val ev = Tables.events(spark, dir)
+      .withColumn("b", expr(s"CAST(unix_timestamp(ts) AS BIGINT) div $w * $w"))
+    val hourly = ev.groupBy(col("event_type"), col("b"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("value").cast("decimal(18,2)")) * 100).cast("long")
+          .as("cents"))
+    val buckets = ev.agg(min(col("b")).as("b0"), max(col("b")).as("b1"))
+      .select(explode(expr(s"sequence(b0, b1, $w)")).as("b"))
+    val types = ev.select(col("event_type")).distinct()
+    val frame = buckets.crossJoin(broadcast(types))
+      .join(hourly, Seq("event_type", "b"), "left")
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("b").asc)
+    val upTo = byType.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val from = byType.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsB = when(col("cents").isNotNull, col("b"))
+    frame
+      .withColumn("pc", last(col("cents"), ignoreNulls = true).over(upTo))
+      .withColumn("pb", last(obsB, ignoreNulls = true).over(upTo))
+      .withColumn("nc", first(col("cents"), ignoreNulls = true).over(from))
+      .withColumn("nb", first(obsB, ignoreNulls = true).over(from))
+      .select(col("event_type"), col("b").as("bucket_epoch"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        (coalesce(col("pc"), col("nc")).cast("double") / 100.0d).as("v_locf"),
+        when(col("cents").isNotNull, col("cents").cast("double") / 100.0d)
+          .when(col("pc").isNotNull && col("nc").isNotNull,
+            (col("pc") * (col("nb") - col("b")) +
+              col("nc") * (col("b") - col("pb"))).cast("double") /
+              ((col("nb") - col("pb")) * 100L).cast("double"))
+          .otherwise(coalesce(col("pc"), col("nc")).cast("double") / 100.0d)
+          .as("v_interp"))
+  }
 }

@@ -106,6 +106,9 @@ class GoldenSpec extends SparkSpec {
     "q63_adjacency_matrix" -> ((-5555217509062166621L, 6L)),
     "evt_change_point" -> ((6184182922743164696L, 5L)),
     "evt_downsample" -> ((-3523565272901993742L, 477L)),
+    "q64_auto_date_histogram" -> ((4959920904366773997L, 30L)),
+    "q65_diversified_sampler" -> ((861734594457600104L, 5L)),
+    "evt_interpolate" -> ((-4964766048116326274L, 3600L)),
     "txt_nb_classifier" -> ((2151799282903343081L, 500L)),
     "txt_vocab_coverage" -> ((-377899420734981330L, 20L)),
     "txt_novelty" -> ((-5491881594463251946L, 500L)),
