@@ -1155,4 +1155,208 @@ object OracleVectors {
        |$steps
        |$sel""".stripMargin
   }
+
+  /** Shared band CTE body (all vectors) — mirror of the sign_bands
+    * posexplode every banded operator opens with. MATERIALIZED: it is
+    * referenced more than once downstream and DuckDB 1.0 inlines
+    * non-materialized CTE references (the EMFILE gotcha).
+    */
+  private def bandsCte(numPlanes: Int, bandBits: Int): String =
+    s"""bands AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    b.b AS band_idx,
+       |    substring(code, CAST(b.b * $bandBits + 1 AS INT), $bandBits) AS band_key
+       |  FROM coded CROSS JOIN (SELECT unnest(range(${numPlanes / bandBits})) AS b) b
+       |)""".stripMargin
+
+  /** Mirror of VectorOps.knnGraph: directed banded candidates, exact
+    * cosine, per-source rank cut at GraphK.
+    */
+  def knnGraph(numPlanes: Int = VectorOps.NumPlanes,
+      bandBits: Int = VectorOps.BandBits): String =
+    s"""WITH $baseCte, ${codeCte(numPlanes)},
+       |${bandsCte(numPlanes, bandBits)},
+       |und AS (
+       |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+       |  FROM bands a JOIN bands b USING (band_idx, band_key)
+       |  WHERE a.vec_id < b.vec_id
+       |),
+       |cands AS (
+       |  SELECT src, dst FROM und
+       |  UNION ALL
+       |  SELECT dst AS src, src AS dst FROM und
+       |),
+       |sims AS (
+       |  SELECT c.src AS vec_id, c.dst AS neighbor_id,
+       |    ${dot("ba.embedding", "bb.embedding")} / (sqrt(ba.nrm) * sqrt(bb.nrm)) AS sim
+       |  FROM cands c
+       |  JOIN base ba ON ba.vec_id = c.src
+       |  JOIN base bb ON bb.vec_id = c.dst
+       |),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC) AS "rank"
+       |  FROM sims
+       |)
+       |SELECT vec_id, neighbor_id, "rank", sim FROM ranked
+       |WHERE "rank" <= ${VectorOps.GraphK}""".stripMargin
+
+  /** Expanded-candidate CTE chain shared by knnGraphExpand and
+    * graphRecall: LSH seeds ∪ one graph hop, re-ranked exact top-k.
+    */
+  private def graphExpandCtes(numPlanes: Int, bandBits: Int): String =
+    s"""${bandsCte(numPlanes, bandBits)},
+       |seeds AS MATERIALIZED (
+       |  SELECT DISTINCT qb.vec_id AS query_id, db.vec_id AS seed_id
+       |  FROM bands db JOIN bands qb USING (band_idx, band_key)
+       |  WHERE qb.vec_id % $qm = 0 AND db.vec_id <> qb.vec_id
+       |),
+       |gund AS (
+       |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+       |  FROM bands a JOIN bands b USING (band_idx, band_key)
+       |  WHERE a.vec_id < b.vec_id
+       |),
+       |gcands AS (
+       |  SELECT src, dst FROM gund
+       |  UNION ALL
+       |  SELECT dst AS src, src AS dst FROM gund
+       |),
+       |gsims AS (
+       |  SELECT c.src, c.dst,
+       |    ${dot("ba.embedding", "bb.embedding")} / (sqrt(ba.nrm) * sqrt(bb.nrm)) AS sim
+       |  FROM gcands c
+       |  JOIN base ba ON ba.vec_id = c.src
+       |  JOIN base bb ON bb.vec_id = c.dst
+       |),
+       |graph AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY src ORDER BY sim DESC, dst ASC) AS rn
+       |    FROM gsims
+       |  ) WHERE rn <= ${VectorOps.GraphK}
+       |),
+       |expanded AS MATERIALIZED (
+       |  SELECT DISTINCT query_id, neighbor_id FROM (
+       |    SELECT query_id, seed_id AS neighbor_id FROM seeds
+       |    UNION ALL
+       |    SELECT s.query_id, g.dst AS neighbor_id
+       |    FROM seeds s JOIN graph g ON g.src = s.seed_id
+       |  ) WHERE neighbor_id <> query_id
+       |),
+       |esims AS (
+       |  SELECT e.query_id, e.neighbor_id,
+       |    ${dot("db.embedding", "qb.embedding")} / (sqrt(db.nrm) * sqrt(qb.nrm)) AS sim
+       |  FROM expanded e
+       |  JOIN base db ON db.vec_id = e.neighbor_id
+       |  JOIN base qb ON qb.vec_id = e.query_id
+       |),
+       |eranked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS "rank"
+       |  FROM esims
+       |)""".stripMargin
+
+  /** Mirror of VectorOps.knnGraphExpand. */
+  def knnGraphExpand(numPlanes: Int = VectorOps.NumPlanes,
+      bandBits: Int = VectorOps.BandBits): String =
+    s"""WITH $baseCte, ${codeCte(numPlanes)},
+       |${graphExpandCtes(numPlanes, bandBits)}
+       |SELECT query_id, neighbor_id, "rank", sim FROM eranked
+       |WHERE "rank" <= $k""".stripMargin
+
+  /** Mirror of VectorOps.graphRecall: exact baseline joined against
+    * the expanded search AND the bare LSH-seed top-k gauge.
+    */
+  def graphRecall(numPlanes: Int = VectorOps.NumPlanes,
+      bandBits: Int = VectorOps.BandBits): String =
+    s"""WITH $baseCte, ${codeCte(numPlanes)},
+       |${graphExpandCtes(numPlanes, bandBits)},
+       |expand_hits AS (
+       |  SELECT query_id, neighbor_id FROM eranked WHERE "rank" <= $k
+       |),
+       |ssims AS (
+       |  SELECT s.query_id, s.seed_id AS neighbor_id,
+       |    ${dot("db.embedding", "qb.embedding")} / (sqrt(db.nrm) * sqrt(qb.nrm)) AS sim
+       |  FROM seeds s
+       |  JOIN base db ON db.vec_id = s.seed_id
+       |  JOIN base qb ON qb.vec_id = s.query_id
+       |),
+       |seed_hits AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rn
+       |    FROM ssims
+       |  ) WHERE rn <= $k
+       |),
+       |exact AS (
+       |  SELECT q.query_id, b.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |      ${dot("b.embedding", "q.qv")} / (sqrt(b.nrm) * sqrt(q.qnrm)) DESC,
+       |      b.vec_id ASC) AS rn
+       |  FROM base b, (SELECT vec_id AS query_id, embedding AS qv, nrm AS qnrm
+       |                FROM base WHERE vec_id % $qm = 0) q
+       |  WHERE b.vec_id <> q.query_id
+       |)
+       |SELECT e.query_id,
+       |  CAST(count(eh.neighbor_id) AS DOUBLE) / $k AS recall_at_k,
+       |  CAST(count(sh.neighbor_id) AS DOUBLE) / $k AS seed_recall_at_k,
+       |  CAST(count(*) AS BIGINT) AS n_exact
+       |FROM (SELECT query_id, neighbor_id FROM exact WHERE rn <= $k) e
+       |LEFT JOIN expand_hits eh USING (query_id, neighbor_id)
+       |LEFT JOIN seed_hits sh USING (query_id, neighbor_id)
+       |GROUP BY e.query_id""".stripMargin
+
+  /** Mirror of VectorOps.bitextMine: cross-parity banded candidates,
+    * fused-fold cosines, 2^40-grid penalty sums over (sim DESC, id)
+    * top-k windows, one-division margin, total-order top-N.
+    */
+  def bitextMine(numPlanes: Int = VectorOps.NumPlanes,
+      bandBits: Int = VectorOps.BandBits): String =
+    s"""WITH $baseCte, ${codeCte(numPlanes)},
+       |${bandsCte(numPlanes, bandBits)},
+       |cands AS (
+       |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM bands a JOIN bands b USING (band_idx, band_key)
+       |  WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+       |),
+       |pairs AS MATERIALIZED (
+       |  SELECT c.a_id, c.b_id,
+       |    ${dot("ba.embedding", "bb.embedding")} / (sqrt(ba.nrm) * sqrt(bb.nrm)) AS sim,
+       |    CAST(floor((1.0 + ${dot("ba.embedding", "bb.embedding")}
+       |        / (sqrt(ba.nrm) * sqrt(bb.nrm))) * 1099511627776.0) AS BIGINT) AS g
+       |  FROM cands c
+       |  JOIN base ba ON ba.vec_id = c.a_id
+       |  JOIN base bb ON bb.vec_id = c.b_id
+       |),
+       |pen_a AS (
+       |  SELECT a_id, CAST(sum(g) AS BIGINT) AS pen_a,
+       |    CAST(count(*) AS BIGINT) AS cnt_a
+       |  FROM (SELECT *, row_number() OVER (
+       |          PARTITION BY a_id ORDER BY sim DESC, b_id ASC) AS rn
+       |        FROM pairs)
+       |  WHERE rn <= ${VectorOps.BitextK} GROUP BY a_id
+       |),
+       |pen_b AS (
+       |  SELECT b_id, CAST(sum(g) AS BIGINT) AS pen_b,
+       |    CAST(count(*) AS BIGINT) AS cnt_b
+       |  FROM (SELECT *, row_number() OVER (
+       |          PARTITION BY b_id ORDER BY sim DESC, a_id ASC) AS rn
+       |        FROM pairs)
+       |  WHERE rn <= ${VectorOps.BitextK} GROUP BY b_id
+       |),
+       |scored AS (
+       |  SELECT p.a_id, p.b_id, p.sim,
+       |    ((1.0 + p.sim) * CAST(2199023255552 * pa.cnt_a * pb.cnt_b AS DOUBLE))
+       |      / CAST(pa.pen_a * pb.cnt_b + pb.pen_b * pa.cnt_a AS DOUBLE) AS margin
+       |  FROM pairs p
+       |  JOIN pen_a pa USING (a_id)
+       |  JOIN pen_b pb USING (b_id)
+       |)
+       |SELECT row_number() OVER (ORDER BY margin DESC, a_id ASC, b_id ASC)
+       |    AS "rank",
+       |  a_id, b_id, sim, margin
+       |FROM scored
+       |ORDER BY margin DESC, a_id ASC, b_id ASC
+       |LIMIT ${VectorOps.BitextTopN}""".stripMargin
 }
+

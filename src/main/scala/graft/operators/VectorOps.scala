@@ -1751,4 +1751,216 @@ object VectorOps {
     import spark.implicits._
     picks.result().toDF("pick_order", "vec_id", "covered_d")
   }
+
+  // --- kNN graph (the graph-based ANN family) -------------------------
+
+  /** Out-degree of the kNN graph — the `M` of an HNSW/NSW layer. */
+  val GraphK = 8
+
+  /** Approximate kNN GRAPH over the corpus — the index artifact of the
+    * graph-ANN family (NSW/HNSW's base layer): per vector, its
+    * [[GraphK]] best neighbors among the sign-LSH banded candidates
+    * (the [[dedupEmbedding]] candidate stream, both orientations),
+    * exact-cosine ranked. Approximate by construction: a true neighbor
+    * sharing no band is invisible — the same contract as every
+    * LSH-seeded structure here, and the reason [[graphRecall]] gauges
+    * the EXPANDED search, not the bare graph.
+    *
+    * Memoized: the graph is consumed by [[knnGraphExpand]] and
+    * [[graphRecall]] in the same session (at scale: written next to
+    * the index like the IVF codebook).
+    *
+    * Shape at 100 TB: band self-join (O(collisions)), fused-cosine
+    * scoring on candidate pairs only, and the per-source cut rides the
+    * bounded-heap `topk_by_sim` aggregate — ≤ GraphK rows per vector
+    * cross the final shuffle, never a global window sort.
+    */
+  def knnGraph(spark: SparkSession, dir: String,
+      numPlanes: Int = NumPlanes, bandBits: Int = BandBits): DataFrame =
+    TextOps.memoized(spark, dir, "knn_graph") {
+      graft.plans.GraftExtensions.register(spark)
+      val bands = Tables.embeddings(spark, dir).select(
+        col("vec_id"),
+        posexplode(expr(s"sign_bands(embedding, $numPlanes, $bandBits)"))
+          .as(Seq("band_idx", "band_key")))
+      val und = bands.select(col("vec_id").as("src"), col("band_idx"), col("band_key"))
+        .join(bands.select(col("vec_id").as("dst"), col("band_idx"), col("band_key")),
+          Seq("band_idx", "band_key"))
+        .where(col("src") < col("dst"))
+        .select(col("src"), col("dst")).distinct()
+      val cands = und.unionAll(und.select(col("dst").as("src"), col("src").as("dst")))
+      val sims = cands
+        .join(Tables.embeddings(spark, dir)
+          .select(col("vec_id").as("src"), col("embedding").as("emb_s")), Seq("src"))
+        .join(Tables.embeddings(spark, dir)
+          .select(col("vec_id").as("dst"), col("embedding").as("emb_d")), Seq("dst"))
+        .select(col("src").as("query_id"), col("dst").as("neighbor_id"),
+          expr("cosine_sim(emb_s, emb_d)").as("sim"))
+      sims.groupBy(col("query_id"))
+        .agg(expr(s"topk_by_sim(neighbor_id, sim, $GraphK)").as("tk"))
+        .select(col("query_id").as("vec_id"), posexplode(col("tk")).as(Seq("pos", "nb")))
+        .select(col("vec_id"), col("nb.neighbor_id").as("neighbor_id"),
+          (col("pos") + 1).cast("long").as("rank"), col("nb.sim").as("sim"))
+    }
+
+  /** Graph-expanded ANN search — the query-time half of the graph
+    * index: seed candidates from the exact-bucket LSH join (the
+    * [[knnLsh]] stream), expand ONE hop through [[knnGraph]]
+    * (neighbors-of-seeds — NSW's "follow the edges of whatever you
+    * found"), exact-cosine re-rank the union. The expansion recovers
+    * true neighbors that share no band with the query but sit next to
+    * something that does — [[graphRecall]] measures exactly that
+    * recovery over the raw-seed baseline.
+    *
+    * Shape at 100 TB: seeds are the banded equi-join (queries
+    * broadcast); the hop is an equi-join of the seed pairs against the
+    * ≤ GraphK-wide graph on the seed key; re-rank touches
+    * |seeds|·(1+GraphK) candidates per query, and the final cut is the
+    * bounded-heap aggregate. No corpus-sized shuffle beyond the band
+    * join every LSH query already pays.
+    */
+  def knnGraphExpand(spark: SparkSession, dir: String,
+      numPlanes: Int = NumPlanes, bandBits: Int = BandBits): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
+    val base = withNorm(spark, dir)
+    val bands = base.select(
+      col("vec_id"),
+      posexplode(expr(s"sign_bands(embedding, $numPlanes, $bandBits)"))
+        .as(Seq("band_idx", "band_key")))
+    val qBands = bands.where(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("band_idx"), col("band_key"))
+    val seeds = bands.join(broadcast(qBands), Seq("band_idx", "band_key"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("seed_id"))
+      .distinct()
+    val hop = seeds.join(
+      knnGraph(spark, dir, numPlanes, bandBits)
+        .select(col("vec_id").as("seed_id"), col("neighbor_id")),
+      Seq("seed_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    val expanded = seeds.select(col("query_id"), col("seed_id").as("neighbor_id"))
+      .unionAll(hop)
+      .where(col("neighbor_id") =!= col("query_id"))
+      .distinct()
+    val sims = expanded
+      .join(base.select(col("vec_id").as("neighbor_id"), col("embedding"),
+        col("nrm")), Seq("neighbor_id"))
+      .join(broadcast(base.where(col("vec_id") % QueryMod === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("nrm").as("qnrm"))), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine)
+    topK(sims)
+  }
+
+  /** Recall@K of the graph-expanded search against the exact baseline,
+    * with the bare-seed (no-expansion) recall as a gauge column — the
+    * one-hop expansion must buy recall the raw LSH buckets don't have,
+    * and this query is where that claim is measured (the spec pins the
+    * ≥ direction; golden freezes the achieved values).
+    */
+  def graphRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = knnExact(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val expand = knnGraphExpand(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("ghit"))
+    val seed = knnLsh(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("shit"))
+    exact
+      .join(expand, Seq("query_id", "neighbor_id"), "left")
+      .join(seed, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg((count(col("ghit")).cast("double") / K).as("recall_at_k"),
+        (count(col("shit")).cast("double") / K).as("seed_recall_at_k"),
+        count(lit(1)).as("n_exact"))
+  }
+
+  // --- Margin-based bitext mining ------------------------------------
+
+  /** CSLS penalty neighborhood size (Conneau et al. 2018; Artetxe &
+    * Schwenk 2019 use the same k-NN mean in the ratio margin).
+    */
+  val BitextK = 4
+
+  /** Mined pairs kept (top-N by margin). */
+  val BitextTopN = 50
+
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019): find
+    * translation-pair candidates between two corpora embedded in one
+    * space by scoring cross-side cosine AGAINST each endpoint's local
+    * neighborhood — `margin(x,y) = (1+cos(x,y)) / mean_k((1+cos))` over
+    * the two endpoints' k-NN penalty sets — so a pair only scores high
+    * when the two vectors are each other's outstanding match, not
+    * merely residents of a dense region (the hubness fix plain cosine
+    * thresholds lack). Sides here are the deterministic `vec_id`
+    * parity split (the fixture stand-in for an actual two-language
+    * corpus pair). The affine `1+cos` shift keeps every penalty
+    * positive for sims spanning negative values — a monotone variant
+    * of the published ratio margin.
+    *
+    * Determinism: pairwise cosines are the fused in-order fold;
+    * penalty sums leave float space — each candidate sim quantizes to
+    * the 2^40 integer grid (`⌊(1+sim)·2^40⌋`), the k-NN penalty is an
+    * order-free BIGINT sum over the (sim DESC, id ASC) top-k, and the
+    * margin is ONE IEEE division of a product chain whose every factor
+    * is exact (`(1+sim)·2^41·ka·kb / (pa·kb + pb·ka)` — all integer
+    * factors < 2^53). A float mean of penalties would wobble with
+    * summation order; the grid cannot.
+    *
+    * Shape at 100 TB: the cross-side candidate stream is the banded
+    * equi-join (never all-pairs); penalty windows ride (side-keyed)
+    * WindowGroupLimit cuts over candidate pairs only; the final top-N
+    * is a TakeOrdered over pairs that already carry their margins.
+    */
+  def bitextMine(spark: SparkSession, dir: String,
+      numPlanes: Int = NumPlanes, bandBits: Int = BandBits): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
+    val bands = Tables.embeddings(spark, dir).select(
+      col("vec_id"),
+      posexplode(expr(s"sign_bands(embedding, $numPlanes, $bandBits)"))
+        .as(Seq("band_idx", "band_key")))
+    val cands = bands.where(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("a_id"), col("band_idx"), col("band_key"))
+      .join(bands.where(col("vec_id") % 2 === 1)
+        .select(col("vec_id").as("b_id"), col("band_idx"), col("band_key")),
+        Seq("band_idx", "band_key"))
+      .select(col("a_id"), col("b_id")).distinct()
+    val pairs = cands
+      .join(Tables.embeddings(spark, dir)
+        .select(col("vec_id").as("a_id"), col("embedding").as("emb_a")), Seq("a_id"))
+      .join(Tables.embeddings(spark, dir)
+        .select(col("vec_id").as("b_id"), col("embedding").as("emb_b")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        expr("cosine_sim(emb_a, emb_b)").as("sim"))
+      .withColumn("g", floor((lit(1.0d) + col("sim")) * lit(1099511627776.0d))
+        .cast("long"))
+    val byA = Window.partitionBy(col("a_id"))
+      .orderBy(col("sim").desc, col("b_id").asc)
+    val byB = Window.partitionBy(col("b_id"))
+      .orderBy(col("sim").desc, col("a_id").asc)
+    val penA = pairs.withColumn("rn", row_number().over(byA))
+      .where(col("rn") <= BitextK)
+      .groupBy(col("a_id"))
+      .agg(sum(col("g")).as("pen_a"), count(lit(1)).as("cnt_a"))
+    val penB = pairs.withColumn("rn", row_number().over(byB))
+      .where(col("rn") <= BitextK)
+      .groupBy(col("b_id"))
+      .agg(sum(col("g")).as("pen_b"), count(lit(1)).as("cnt_b"))
+    val scored = pairs
+      .join(penA, Seq("a_id"))
+      .join(penB, Seq("b_id"))
+      .select(col("a_id"), col("b_id"), col("sim"),
+        (((lit(1.0d) + col("sim")) *
+          (lit(2199023255552L) * col("cnt_a") * col("cnt_b")).cast("double")) /
+          (col("pen_a") * col("cnt_b") + col("pen_b") * col("cnt_a"))
+            .cast("double")).as("margin"))
+    // total-order TakeOrderedAndProject cut (the q15 device) — a global
+    // rank window here would sort EVERY candidate pair through one
+    // partition; the rank is re-derived over the 50 survivors only
+    val byMargin = Window.orderBy(col("margin").desc, col("a_id").asc,
+      col("b_id").asc)
+    scored
+      .orderBy(col("margin").desc, col("a_id").asc, col("b_id").asc)
+      .limit(BitextTopN)
+      .withColumn("rank", row_number().over(byMargin).cast("long"))
+      .select(col("rank"), col("a_id"), col("b_id"), col("sim"), col("margin"))
+  }
 }

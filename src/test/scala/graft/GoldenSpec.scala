@@ -106,6 +106,10 @@ class GoldenSpec extends SparkSpec {
     "q63_adjacency_matrix" -> ((-5555217509062166621L, 6L)),
     "evt_change_point" -> ((6184182922743164696L, 5L)),
     "evt_downsample" -> ((-3523565272901993742L, 477L)),
+    "emb_knn_graph" -> ((-7728571201687308002L, 3882L)),
+    "emb_knn_graph_expand" -> ((1343960209607181454L, 50L)),
+    "emb_graph_recall" -> ((7040264951158690712L, 5L)),
+    "emb_bitext_mine" -> ((-4895155363851963298L, 50L)),
     "q64_auto_date_histogram" -> ((4959920904366773997L, 30L)),
     "q65_diversified_sampler" -> ((861734594457600104L, 5L)),
     "evt_interpolate" -> ((-4964766048116326274L, 3600L)),

@@ -529,4 +529,81 @@ class VectorOpsSpec extends SparkSpec {
     assert(radii.zip(radii.drop(1)).forall { case (a, b) => a >= b },
       s"covering radius increased: $radii")
   }
+
+  test("knnGraph: bounded out-degree, dense ranks, sims descend, no self-edges") {
+    graft.operators.TextOps.release(spark)
+    val rows = VectorOps.knnGraph(spark, sfDir).collect()
+    val bySrc = rows.groupBy(_.getAs[Long]("vec_id"))
+    assert(bySrc.values.forall(_.length <= VectorOps.GraphK))
+    bySrc.foreach { case (src, es) =>
+      val sorted = es.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq === (1L to es.length))
+      val sims = sorted.map(_.getAs[Double]("sim"))
+      assert(sims.zip(sims.drop(1)).forall { case (a, b) => a >= b })
+      assert(es.forall(_.getAs[Long]("neighbor_id") != src))
+    }
+    graft.operators.TextOps.release(spark)
+  }
+
+  test("graphRecall: one-hop expansion never loses to bare seeds, and buys recall here") {
+    graft.operators.TextOps.release(spark)
+    val rows = VectorOps.graphRecall(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("recall_at_k") >= r.getAs[Double]("seed_recall_at_k"),
+        s"expansion lost recall for query ${r.getAs[Long]("query_id")}")
+    }
+    // on the sf0.001 corpus the hop genuinely recovers neighbors
+    assert(rows.map(_.getAs[Double]("recall_at_k")).sum >
+      rows.map(_.getAs[Double]("seed_recall_at_k")).sum)
+    graft.operators.TextOps.release(spark)
+  }
+
+  test("bitextMine: parity sides, dense rank, and an exact margin recompute") {
+    graft.operators.TextOps.release(spark)
+    val rows = VectorOps.bitextMine(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("rank"))
+    assert(rows.length === VectorOps.BitextTopN)
+    assert(rows.map(_.getAs[Long]("rank")).toSeq ===
+      (1L to VectorOps.BitextTopN))
+    assert(rows.forall(r => r.getAs[Long]("a_id") % 2 == 0 &&
+      r.getAs[Long]("b_id") % 2 == 1))
+    val margins = rows.map(_.getAs[Double]("margin"))
+    assert(margins.zip(margins.drop(1)).forall { case (a, b) => a >= b })
+    // driver recompute of the top pair's margin from its penalty sets:
+    // rebuild the candidate sims of both endpoints from the banded
+    // pair stream the operator itself scores
+    val top = rows.head
+    val (aId, bId) = (top.getAs[Long]("a_id"), top.getAs[Long]("b_id"))
+    graft.plans.GraftExtensions.register(spark)
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val bands = emb.select(col("vec_id"),
+      posexplode(expr(s"sign_bands(embedding, ${VectorOps.NumPlanes}, ${VectorOps.BandBits})"))
+        .as(Seq("band_idx", "band_key")))
+    val cands = bands.where(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("a_id"), col("band_idx"), col("band_key"))
+      .join(bands.where(col("vec_id") % 2 === 1)
+        .select(col("vec_id").as("b_id"), col("band_idx"), col("band_key")),
+        Seq("band_idx", "band_key"))
+      .select(col("a_id"), col("b_id")).distinct()
+      .where(col("a_id") === aId || col("b_id") === bId)
+    val sims = cands
+      .join(emb.select(col("vec_id").as("a_id"), col("embedding").as("ea")), Seq("a_id"))
+      .join(emb.select(col("vec_id").as("b_id"), col("embedding").as("eb")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"), expr("cosine_sim(ea, eb)").as("sim"))
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Double]("sim")))
+    def pen(side: Seq[(Long, Double)]): (Long, Long) = {
+      val topk = side.sortBy { case (id, s) => (-s, id) }.take(VectorOps.BitextK)
+      (topk.map { case (_, s) =>
+        math.floor((1.0 + s) * 1099511627776.0).toLong }.sum, topk.length.toLong)
+    }
+    val (pa, ca) = pen(sims.filter(_._1 == aId).map(t => (t._2, t._3)).toSeq)
+    val (pb, cb) = pen(sims.filter(_._2 == bId).map(t => (t._1, t._3)).toSeq)
+    val simTop = sims.find(t => t._1 == aId && t._2 == bId).get._3
+    val expected = ((1.0 + simTop) * (2199023255552L * ca * cb).toDouble) /
+      (pa * cb + pb * ca).toDouble
+    assert(top.getAs[Double]("margin") === expected)
+    graft.operators.TextOps.release(spark)
+  }
 }
