@@ -1341,9 +1341,19 @@ object OracleText {
     * supplies the q(query_id, term) relation (mirror of
     * TextOps.bm25Ranked's queries parameter).
     */
-  private[graft] def bm25Sql(qCte: String, excludeSelf: Boolean): String = {
+  private[graft] def bm25Sql(qCte: String, excludeSelf: Boolean): String =
+    s"""WITH ${bm25Ctes(qCte, excludeSelf)}
+       |SELECT query_id, "rank", doc_id, score, n_matched
+       |FROM ranked WHERE "rank" <= ${TextOps.Bm25TopK}""".stripMargin
+
+  /** The WITH-body of [[bm25Sql]] up through the `ranked` relation —
+    * the seam composite mirrors ([[moreLikeThis]] feeding a derived
+    * query table in, [[highlight]] reading the ranking back out)
+    * splice their own CTEs around.
+    */
+  private[graft] def bm25Ctes(qCte: String, excludeSelf: Boolean): String = {
     val selfFilter = if (excludeSelf) "WHERE c3.doc_id <> q.query_id " else ""
-    s"""WITH $wordsCte,
+    s"""$wordsCte,
        |$qCte,
        |dl AS (SELECT doc_id, len(words) AS dl FROM docs),
        |stats AS (
@@ -1385,9 +1395,141 @@ object OracleText {
        |  SELECT *, row_number() OVER (
        |    PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS "rank"
        |  FROM scored
+       |)""".stripMargin
+  }
+
+  /** Mirror of TextOps.moreLikeThis: the same two index phases — a
+    * full-vocabulary (doc, term, tf) relation feeds seed-term
+    * selection (tf · (N+1)/(df+1), the log-free tfidf ratio, df ≥
+    * MltMinDocFreq, top MltMaxTerms by (score DESC, term ASC)) — and
+    * the selected terms ARE the `q` table of the standard BM25 chain
+    * with the seed doc excluded.
+    */
+  val moreLikeThis: String = {
+    val seedVals = TextOps.MltSeeds
+      .map(s => s"(CAST($s AS BIGINT))").mkString(", ")
+    val qCte =
+      s"""seeds(query_id) AS (VALUES $seedVals),
+         |ptf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(words) AS term FROM docs) t
+         |  GROUP BY doc_id, term
+         |),
+         |mdf AS (SELECT term, count(*) AS df FROM ptf GROUP BY term),
+         |mn AS (
+         |  SELECT count(dl) AS n_docs
+         |  FROM (SELECT len(words) AS dl FROM docs) d
+         |),
+         |mscore AS (
+         |  SELECT s.query_id, p.term,
+         |    CAST(p.tf AS DOUBLE) *
+         |      (CAST(mn.n_docs + 1 AS DOUBLE) / CAST(mdf.df + 1 AS DOUBLE))
+         |      AS mlt_score
+         |  FROM ptf p
+         |  JOIN seeds s ON p.doc_id = s.query_id
+         |  JOIN mdf USING (term), mn
+         |  WHERE mdf.df >= ${TextOps.MltMinDocFreq}
+         |),
+         |mrank AS (
+         |  SELECT query_id, term, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY mlt_score DESC, term ASC) AS r
+         |  FROM mscore
+         |),
+         |q AS (SELECT query_id, term FROM mrank WHERE r <= ${TextOps.MltMaxTerms})"""
+        .stripMargin
+    bm25Sql(qCte, excludeSelf = true)
+  }
+
+  /** Mirror of TextOps.suggest: the same deletion-1 key blocking
+    * (term itself + one-char-removed variants, distinct), key
+    * equi-join, exact `levenshtein` verify (both engines ship the
+    * classic integer DP), and (dist ASC, freq DESC, term ASC)
+    * ranking. `sum(tf)` widens to HUGEINT in DuckDB — cast back.
+    */
+  val suggest: String = {
+    val inVals = TextOps.SuggestInputs.map(s => s"('$s')").mkString(", ")
+    def delKeys(c: String): String =
+      s"""list_distinct(list_concat([$c],
+         |    list_transform(range(1, length($c) + 1),
+         |      i -> substr($c, 1, i - 1) || substr($c, i + 1))))""".stripMargin
+    s"""WITH $wordsCte,
+       |ptf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(words) AS term FROM docs) t
+       |  GROUP BY doc_id, term
+       |),
+       |vocab AS (
+       |  SELECT term, CAST(sum(tf) AS BIGINT) AS freq FROM ptf GROUP BY term
+       |),
+       |vkeys AS (
+       |  SELECT term, freq, unnest(${delKeys("term")}) AS key FROM vocab
+       |),
+       |ikeys AS (
+       |  SELECT input_term, unnest(${delKeys("input_term")}) AS key
+       |  FROM (VALUES $inVals) t(input_term)
+       |),
+       |cands AS (
+       |  SELECT DISTINCT input_term, term, freq
+       |  FROM vkeys JOIN ikeys USING (key)
+       |),
+       |scored AS (
+       |  SELECT input_term, term, freq,
+       |    CAST(levenshtein(input_term, term) AS BIGINT) AS dist
+       |  FROM cands
+       |),
+       |ranked AS (
+       |  SELECT input_term, term, freq, dist, row_number() OVER (
+       |    PARTITION BY input_term
+       |    ORDER BY dist ASC, freq DESC, term ASC) AS r
+       |  FROM scored WHERE dist <= ${TextOps.SuggestMaxEdits}
        |)
-       |SELECT query_id, "rank", doc_id, score, n_matched
-       |FROM ranked WHERE "rank" <= ${TextOps.Bm25TopK}""".stripMargin
+       |SELECT input_term, CAST(r AS BIGINT) AS "rank", term AS suggestion,
+       |  dist, freq
+       |FROM ranked WHERE r <= ${TextOps.SuggestTopK}""".stripMargin
+  }
+
+  /** Mirror of TextOps.highlight: the BM25 CTE chain (same literal
+    * workload), ranked top-[[TextOps.HlTopK]] joined back to the docs
+    * relation, first match position = min over query terms of
+    * `list_position` (NULL-absent filtered), the same ±HlWindow slice
+    * with per-word `<em>` wrapping. All integer/string ops — no float
+    * crosses the compare.
+    */
+  val highlight: String = {
+    val qvals = TextOps.bm25Queries
+      .flatMap { case (q, ts) => ts.map(t => s"(CAST($q AS BIGINT), '$t')") }
+      .mkString(", ")
+    val hw = TextOps.HlWindow
+    s"""WITH ${bm25Ctes(s"q(query_id, term) AS (VALUES $qvals)", excludeSelf = false)},
+       |qa AS (
+       |  SELECT query_id, list(DISTINCT term ORDER BY term) AS qterms
+       |  FROM q GROUP BY query_id
+       |),
+       |hl AS (
+       |  SELECT r.query_id, r."rank", r.doc_id, d.words, qa.qterms
+       |  FROM ranked r
+       |  JOIN docs d ON r.doc_id = d.doc_id
+       |  JOIN qa ON r.query_id = qa.query_id
+       |  WHERE r."rank" <= ${TextOps.HlTopK}
+       |),
+       |pos AS (
+       |  SELECT query_id, "rank", doc_id, words, qterms,
+       |    CAST(list_aggregate(list_filter(
+       |      list_transform(qterms, t -> list_position(words, t)),
+       |      p -> p IS NOT NULL), 'min') AS BIGINT) AS first_pos
+       |  FROM hl
+       |),
+       |fr AS (
+       |  SELECT query_id, "rank", doc_id, words, qterms, first_pos,
+       |    greatest(CAST(1 AS BIGINT), first_pos - $hw) AS frag_start
+       |  FROM pos
+       |)
+       |SELECT query_id, "rank", doc_id, first_pos, frag_start,
+       |  array_to_string(list_transform(
+       |    list_slice(words, frag_start, first_pos + $hw),
+       |    w -> CASE WHEN list_contains(qterms, w)
+       |      THEN '<em>' || w || '</em>' ELSE w END), ' ') AS fragment
+       |FROM fr""".stripMargin
   }
 
   /** Mirror of TextOps.surprisal: same bigram counts, context totals

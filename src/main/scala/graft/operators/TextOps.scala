@@ -2448,4 +2448,148 @@ object TextOps {
       .select(col("query_id"), col("rank"), col("doc_id"),
         col("score"), col("n_matched"))
   }
+
+  /** more_like_this seed documents (ES MLT's `like` docs) — literal
+    * doc_ids present at every SF (the serving-request stand-in, same
+    * device as [[bm25Queries]]).
+    */
+  val MltSeeds: Seq[Long] = Seq(3L, 11L, 42L)
+  /** ES `max_query_terms` (default 25 upstream; 8 keeps the fixture
+    * workload readable) and `min_doc_freq` (terms in fewer docs are
+    * too rare to generalize from — ES's own default gate).
+    */
+  val MltMaxTerms = 8
+  val MltMinDocFreq = 2
+
+  /** ES `more_like_this`: find documents similar to given SEED docs.
+    * Two phases, both index reads: (1) select the seed's most
+    * informative terms — per (seed, term) score tf·(N+1)/(df+1), the
+    * [[tfidf]] log-free ratio (rank order is what matters; the ratio
+    * avoids cross-engine `ln`), df from the FULL stored index, keep
+    * the top [[MltMaxTerms]] by (score DESC, term ASC) after the
+    * [[MltMinDocFreq]] gate; (2) run those terms as a standard
+    * [[bm25RankedFrom]] query with the seed itself excluded
+    * (`excludeSelf` — ES never returns the `like` doc). Phase 1's
+    * seed-side relation is |seeds|·L rows — broadcast into the
+    * vocabulary-sized df aggregate, so the only corpus-scale work is
+    * the one term-keyed df shuffle the index build already pays.
+    * Reference: the ES query DSL family surveyed in SURVEY.md §2.7
+    * (lib/fetchPaginatedAssets.ts:21-38 is the bool-query half).
+    */
+  def moreLikeThis(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val seeds = MltSeeds.toDF("query_id")
+    val postings = postingsIndex(spark, dir)
+    val seedTf = postings.join(broadcast(seeds),
+      postings("doc_id") === seeds("query_id"))
+      .select(col("query_id"), col("term"), col("tf"))
+    val dfAll = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = docLenIndex(spark, dir).agg(count(col("dl")).as("n_docs"))
+    val scored = dfAll.join(broadcast(seedTf), Seq("term"))
+      .where(col("df") >= MltMinDocFreq)
+      .crossJoin(broadcast(stats))
+      .withColumn("mlt_score",
+        col("tf").cast("double") *
+          ((col("n_docs") + lit(1)).cast("double") /
+            (col("df") + lit(1)).cast("double")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("mlt_score").desc, col("term").asc)
+    val qterms = scored.withColumn("r", row_number().over(w))
+      .where(col("r") <= MltMaxTerms)
+      .select(col("query_id"), col("term"))
+    bm25Ranked(spark, dir, qterms, excludeSelf = true)
+  }
+
+  /** Term-suggester inputs (ES `suggest` request terms): three true
+    * misspellings, one exact vocabulary term (distance-0 case), one
+    * out-of-vocabulary negative.
+    */
+  val SuggestInputs: Seq[String] =
+    Seq("ordr", "scann", "colum", "vektor", "key", "zebra")
+  val SuggestTopK = 3
+  /** Max edit distance — 1, the deletion-1 neighborhood's completeness
+    * bound (SymSpell: every Levenshtein-1 pair shares a 1-deletion
+    * key). ES's `max_edits: 2` tier would swap in deletion-2 keys
+    * (L² keys per term) — same join shape, bigger blocking index.
+    */
+  val SuggestMaxEdits = 1
+
+  /** ES term suggester ("did you mean"): for each input term, the top
+    * vocabulary terms within [[SuggestMaxEdits]] edits, ranked by
+    * (distance ASC, corpus frequency DESC, term ASC). Candidate
+    * generation is SymSpell deletion blocking — explode each side to
+    * its 1-deletion keys (term itself + one char removed) and
+    * equi-join on the key — so the work is vocab·(L+1) index rows and
+    * a key-partitioned join, never a query×vocab cross product; exact
+    * `levenshtein` then verifies the candidates (both engines ship
+    * the classic DP, integer-exact). Vocabulary and frequency come
+    * from the stored [[postingsIndex]] — the suggester reads the same
+    * artifact ES's does.
+    */
+  def suggest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def delKeys(c: String): String =
+      s"""array_distinct(concat(array($c),
+         |  transform(sequence(1, length($c)),
+         |    i -> concat(substr($c, 1, i - 1), substr($c, i + 1)))))""".stripMargin
+    val vocab = postingsIndex(spark, dir)
+      .groupBy(col("term")).agg(sum(col("tf")).as("freq"))
+      .select(col("term"), col("freq"),
+        explode(expr(delKeys("term"))).as("key"))
+    val inputs = SuggestInputs.toDF("input_term")
+      .select(col("input_term"),
+        explode(expr(delKeys("input_term"))).as("key"))
+    val cands = vocab.join(broadcast(inputs), Seq("key"))
+      .select(col("input_term"), col("term"), col("freq")).distinct()
+      .withColumn("dist",
+        levenshtein(col("input_term"), col("term")).cast("long"))
+      .where(col("dist") <= SuggestMaxEdits)
+    val w = Window.partitionBy(col("input_term"))
+      .orderBy(col("dist").asc, col("freq").desc, col("term").asc)
+    cands.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= SuggestTopK)
+      .select(col("input_term"), col("rank"),
+        col("term").as("suggestion"), col("dist"), col("freq"))
+  }
+
+  /** Highlighter window: words kept each side of the first match. */
+  val HlWindow = 3
+  /** Highlighted docs per query — the "show snippets for the first
+    * page" serving shape (top 3 of the BM25 ranking).
+    */
+  val HlTopK = 3
+
+  /** ES highlighting: for each (query, top-doc) of the [[bm25]]
+    * ranking, a fragment of ±[[HlWindow]] words around the FIRST
+    * query-term occurrence, with every query term in the fragment
+    * wrapped in `<em>` tags. Pure per-row array work after the two
+    * broadcast joins (ranked top-k ⋈ docs on doc_id is the only
+    * corpus-side probe; the query-term arrays are a literal): first
+    * position = min over query terms of `array_position` (>0 filter
+    * drops absent terms; n_matched ≥ 1 guarantees a hit), fragment =
+    * `slice` + per-word conditional wrap + join. Output is flat
+    * strings — no array columns cross the driver boundary.
+    */
+  def highlight(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ranked = bm25(spark, dir).where(col("rank") <= HlTopK)
+    val qarr = bm25Queries.map { case (q, ts) => (q, ts.distinct.sorted) }
+      .toDF("query_id", "qterms")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+    ranked.join(docs, Seq("doc_id"))
+      .join(broadcast(qarr), Seq("query_id"))
+      .withColumn("first_pos", expr(
+        "array_min(filter(transform(qterms, t -> array_position(words, t)), p -> p > 0))"))
+      .withColumn("frag_start",
+        greatest(lit(1L), col("first_pos") - lit(HlWindow.toLong)))
+      .withColumn("fragment", expr(
+        s"""array_join(transform(
+           |  slice(words, CAST(frag_start AS INT),
+           |    CAST(first_pos + $HlWindow - frag_start + 1 AS INT)),
+           |  w -> IF(array_contains(qterms, w),
+           |    concat('<em>', w, '</em>'), w)), ' ')""".stripMargin))
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("first_pos"), col("frag_start"), col("fragment"))
+  }
 }

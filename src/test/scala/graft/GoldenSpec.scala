@@ -96,6 +96,9 @@ class GoldenSpec extends SparkSpec {
     "txt_redact" -> ((633729565603410063L, 500L)),
     "txt_bpe_train" -> ((-1769575030168179654L, 8L)),
     "txt_phrase" -> ((8803091073230259390L, 142L)),
+    "txt_mlt" -> ((-6708254884330626570L, 30L)),
+    "txt_suggest" -> ((-3269826525140055768L, 5L)),
+    "txt_highlight" -> ((-7666377038368692416L, 15L)),
     "corpus_export" -> ((244521849649562813L, 16L)),
     "corpus_export_stages" -> ((-5434056145872121026L, 5L)),
     "q58_terms_error" -> ((-4348415149359225064L, 10L)),

@@ -175,4 +175,142 @@ class RetrievalSpec extends SparkSpec {
     assert(out("a") === ((2L, 0L)))
     assert(out("c") === ((2L, 1L)))
   }
+
+  // ---- shared driver-side corpus replay for the search-feature specs ----
+
+  /** (doc_id, words) for every non-null-text doc, driver-side. */
+  private lazy val corpusWords: Seq[(Long, Array[String])] =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .flatMap(r => Option(r.getString(1)).map(t => (r.getLong(0), t.split(" "))))
+      .toSeq
+
+  /** Full BM25 replay (the TextOps integer-grid formula) for a given
+    * (query → terms) workload — returns (query, doc) → (score, nMatched).
+    */
+  private def bm25Replay(workload: Map[Long, Seq[String]], excludeSelf: Boolean)
+      : Map[Long, Seq[(Long, Long, Long)]] = {
+    val qvocab = workload.values.flatten.toSet
+    val tf = corpusWords.flatMap { case (d, ws) =>
+      ws.filter(qvocab).groupBy(identity).map { case (t, o) => ((d, t), o.length.toLong) }
+    }.toMap
+    val df = tf.keys.groupBy(_._2).map { case (t, ks) => t -> ks.size.toLong }
+    val nDocs = corpusWords.size.toLong
+    val dlSum = corpusWords.map(_._2.length.toLong).sum
+    val avgdl = dlSum.toDouble / nDocs.toDouble
+    val dl = corpusWords.map { case (d, ws) => d -> ws.length.toLong }.toMap
+    def cg(d: Long, t: String): Long = {
+      val idf = (nDocs.toDouble - df(t).toDouble + 0.5) / (df(t).toDouble + 0.5) + 1.0
+      val norm = 0.25 + 0.75 * (dl(d).toDouble / avgdl)
+      math.floor(idf * ((tf((d, t)).toDouble * 2.2) /
+        (tf((d, t)).toDouble + 1.2 * norm)) * 1099511627776.0).toLong
+    }
+    workload.map { case (q, ts) =>
+      val scored = corpusWords.map(_._1)
+        .filter(d => !excludeSelf || d != q)
+        .flatMap { d =>
+          val hit = ts.filter(t => tf.contains((d, t)))
+          if (hit.isEmpty) None
+          else Some((d, hit.map(t => cg(d, t)).sum, hit.size.toLong))
+        }
+      q -> scored.sortBy { case (d, s, _) => (-s, d) }
+        .take(operators.TextOps.Bm25TopK)
+        .map { case (d, s, m) => (d, s, m) }
+    }
+  }
+
+  test("moreLikeThis: full two-phase driver replay reproduces every row") {
+    // phase 1: seed-term selection
+    val n = corpusWords.size.toLong
+    val dfAll = corpusWords.flatMap { case (_, ws) => ws.distinct }
+      .groupBy(identity).map { case (t, o) => t -> o.size.toLong }
+    val byDoc = corpusWords.toMap
+    val workload = operators.TextOps.MltSeeds.map { s =>
+      val tf = byDoc(s).groupBy(identity).map { case (t, o) => t -> o.length.toLong }
+      val terms = tf.toSeq
+        .filter { case (t, _) => dfAll(t) >= operators.TextOps.MltMinDocFreq }
+        .map { case (t, f) =>
+          (t, f.toDouble * ((n + 1L).toDouble / (dfAll(t) + 1L).toDouble)) }
+        .sortBy { case (t, sc) => (-sc, t) }
+        .take(operators.TextOps.MltMaxTerms).map(_._1)
+      s -> terms
+    }.toMap
+    // phase 2: BM25 with the seed excluded
+    val want = bm25Replay(workload, excludeSelf = true)
+    val got = operators.TextOps.moreLikeThis(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .groupBy(_._1)
+    assert(got.keySet === operators.TextOps.MltSeeds.toSet)
+    operators.TextOps.MltSeeds.foreach { s =>
+      val rows = got(s).sortBy(_._2)
+      assert(rows.map(_._2).toSeq === (1L to rows.length).toSeq, s"seed $s ranks")
+      assert(rows.map { case (_, _, d, sc, m) => (d, sc, m) }.toSeq === want(s),
+        s"seed $s result drift")
+      assert(!rows.exists(_._3 == s), s"seed $s returned itself")
+    }
+  }
+
+  test("suggest: blocking finds EXACTLY the brute-force edit-1 vocabulary hits") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val freq = corpusWords.flatMap(_._2).groupBy(identity)
+      .map { case (t, o) => t -> o.size.toLong }
+    val got = operators.TextOps.suggest(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    operators.TextOps.SuggestInputs.foreach { in =>
+      val want = freq.keys.toSeq.map(t => (t, lev(in, t)))
+        .filter(_._2 <= operators.TextOps.SuggestMaxEdits)
+        .map { case (t, d) => (d.toLong, -freq(t), t) }.sorted
+        .take(operators.TextOps.SuggestTopK)
+        .map { case (d, nf, t) => (t, d, -nf) }
+      val rows = got.filter(_._1 == in).sortBy(_._2)
+      assert(rows.map(_._2).toSeq === (1L to rows.length).toSeq, s"$in ranks")
+      assert(rows.map { case (_, _, t, d, f) => (t, d, f) }.toSeq === want,
+        s"$in suggestions drift")
+    }
+    // the fixture exercises all three cases
+    val byIn = got.groupBy(_._1)
+    assert(byIn("ordr").head._3 === "order")
+    assert(byIn("key").head._4 === 0L)   // exact-match distance 0
+    assert(!byIn.contains("zebra"))      // out-of-vocabulary negative
+  }
+
+  test("highlight: fragments rebuild exactly from the raw text around the first hit") {
+    val byDoc = corpusWords.toMap
+    val qterms = operators.TextOps.bm25Queries
+      .map { case (q, ts) => q -> ts.distinct.toSet }.toMap
+    val rows = operators.TextOps.highlight(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // (query, doc) pairs are exactly the BM25 top-HlTopK
+    val want = bm25Replay(
+      operators.TextOps.bm25Queries.toMap.map { case (q, ts) => q -> ts },
+      excludeSelf = false)
+      .toSeq.flatMap { case (q, rs) =>
+        rs.take(operators.TextOps.HlTopK).map(r => (q, r._1)) }.toSet
+    assert(rows.map(r => (r.getLong(0), r.getLong(2))).toSet === want)
+    rows.foreach { r =>
+      val (q, doc) = (r.getLong(0), r.getLong(2))
+      val words = byDoc(doc)
+      val ts = qterms(q)
+      val first = words.indexWhere(ts) + 1
+      assert(first > 0, s"($q,$doc) no term present")
+      assert(r.getLong(3) === first.toLong, s"($q,$doc) first_pos")
+      val start = math.max(1, first - operators.TextOps.HlWindow)
+      val end = math.min(words.length, first + operators.TextOps.HlWindow)
+      val frag = words.slice(start - 1, end)
+        .map(w => if (ts(w)) s"<em>$w</em>" else w).mkString(" ")
+      assert(r.getLong(4) === start.toLong, s"($q,$doc) frag_start")
+      assert(r.getString(5) === frag, s"($q,$doc) fragment")
+      assert(r.getString(5).contains("<em>"), s"($q,$doc) no highlight")
+    }
+    // every query with any match is represented
+    assert(rows.map(_.getLong(0)).distinct.length ===
+      operators.TextOps.bm25Queries.size)
+  }
 }
