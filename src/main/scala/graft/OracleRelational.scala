@@ -967,6 +967,31 @@ object OracleRelational {
       |FROM days dy CROSS JOIN types t
       |LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = dy.day""".stripMargin
 
+  /** Mirror of Relational.evtValueHistogram: the same
+    * floor(value/interval) bucket ids, range() dense frame off the
+    * min/max ids, zero-filled left join, DECIMAL value sums, exact
+    * integer·interval lower bounds.
+    */
+  val evtValueHistogram: String =
+    """WITH ev AS (
+      |  SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket_id, value
+      |  FROM events
+      |),
+      |per AS (
+      |  SELECT bucket_id, CAST(count(*) AS BIGINT) AS doc_count,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+      |  FROM ev GROUP BY bucket_id
+      |),
+      |bounds AS (SELECT min(bucket_id) AS b0, max(bucket_id) AS b1 FROM ev),
+      |frame AS (
+      |  SELECT unnest(range(b0, b1 + 1)) AS bucket_id
+      |  FROM bounds WHERE b0 IS NOT NULL
+      |)
+      |SELECT f.bucket_id, CAST(f.bucket_id * 25 AS DOUBLE) AS bucket_lo,
+      |  COALESCE(p.doc_count, 0) AS doc_count,
+      |  COALESCE(p.value_sum, 0.0) AS value_sum
+      |FROM frame f LEFT JOIN per p USING (bucket_id)""".stripMargin
+
   /** Mirror of Relational.q51PercentileRanks: conditional integer
     * counts, one IEEE division each.
     */

@@ -1532,6 +1532,43 @@ object OracleText {
        |FROM fr""".stripMargin
   }
 
+  /** Mirror of TextOps.functionScore: the BM25 CTE chain's top window
+    * joined to the documents base table, the same integer CASE
+    * weights, integer linear-decay numerator, and `//`-floored score
+    * shift (≡ Spark `div` on positives).
+    */
+  val functionScore: String = {
+    val qvals = TextOps.bm25Queries
+      .flatMap { case (q, ts) => ts.map(t => s"(CAST($q AS BIGINT), '$t')") }
+      .mkString(", ")
+    val srcs = TextOps.FsBoostSources.map(s => s"'$s'").mkString(", ")
+    s"""WITH ${bm25Ctes(s"q(query_id, term) AS (VALUES $qvals)", excludeSelf = false)},
+       |fs AS (
+       |  SELECT r.query_id, r.doc_id, r.score,
+       |    CAST(CASE WHEN d.source IN ($srcs) THEN 3 ELSE 1 END *
+       |      CASE WHEN d.lang = '${TextOps.FsBoostLang}' THEN 2 ELSE 1 END
+       |      AS BIGINT) AS weight,
+       |    CAST(greatest(0, ${TextOps.FsDecayScale} -
+       |      abs(d.n_chars - ${TextOps.FsDecayOrigin})) AS BIGINT) AS decay_num
+       |  FROM ranked r JOIN documents d ON r.doc_id = d.doc_id
+       |  WHERE r."rank" <= ${TextOps.Bm25TopK}
+       |),
+       |rescored AS (
+       |  SELECT query_id, doc_id, score AS base_score, weight, decay_num,
+       |    CAST((score // ${TextOps.FsScoreShift}) * weight * decay_num
+       |      AS BIGINT) AS final_score
+       |  FROM fs
+       |),
+       |rr AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY final_score DESC, doc_id ASC) AS r2
+       |  FROM rescored
+       |)
+       |SELECT query_id, CAST(r2 AS BIGINT) AS "rank", doc_id, base_score,
+       |  weight, decay_num, final_score
+       |FROM rr WHERE r2 <= ${TextOps.FsTopK}""".stripMargin
+  }
+
   /** Mirror of TextOps.surprisal: same bigram counts, context totals
     * off the bigram aggregate, integer-log2 via `length(bin(n))`
     * (identical unpadded binary rendering in both engines), one IEEE

@@ -1315,6 +1315,34 @@ object Relational {
         coalesce(col("value_sum"), lit(0.0d)).as("value_sum"))
   }
 
+  /** Numeric-histogram interval (ES `histogram` agg `interval`). */
+  val VhInterval = 25.0
+
+  /** ES numeric `histogram` aggregation with `min_doc_count: 0`: fixed
+    * [[VhInterval]]-wide buckets over `events.value`, every bucket of
+    * the observed span emitted (zero-filled — the gap a chart renders
+    * as an honest empty bar, not a skipped one). Same shape as
+    * [[evtDateHistogram]]: one partial-aggregated bucket shuffle +
+    * a broadcast dense frame off the min/max bucket ids; DECIMAL sums
+    * for the per-bucket value metric. `floor(value / interval)` is one
+    * IEEE division + floor — identical on both engines; the bucket
+    * LOWER BOUND is reconstructed as integer·interval (exact: the id
+    * is small, the interval integral).
+    */
+  def evtValueHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("bucket_id", floor(col("value") / lit(VhInterval)).cast("long"))
+    val per = ev.groupBy(col("bucket_id"))
+      .agg(count(lit(1)).as("doc_count"), dsum(col("value")).as("value_sum"))
+    val frame = ev.agg(min(col("bucket_id")).as("b0"), max(col("bucket_id")).as("b1"))
+      .select(explode(expr("sequence(b0, b1)")).as("bucket_id"))
+    frame.join(per, Seq("bucket_id"), "left")
+      .select(col("bucket_id"),
+        (col("bucket_id") * lit(25L)).cast("double").as("bucket_lo"),
+        coalesce(col("doc_count"), lit(0L)).as("doc_count"),
+        coalesce(col("value_sum"), lit(0.0d)).as("value_sum"))
+  }
+
   /** Percentile ranks — the ES `percentile_ranks` aggregation: per
     * order priority, the fraction of orders at or under each fixed
     * threshold. The inverse question of q32's percentiles ("what

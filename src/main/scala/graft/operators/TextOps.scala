@@ -2592,4 +2592,53 @@ object TextOps {
       .select(col("query_id"), col("rank"), col("doc_id"),
         col("first_pos"), col("frag_start"), col("fragment"))
   }
+
+  /** function_score fixture dials (ES `function_score` request):
+    * filter-weight functions (×3 for the boosted sources, ×2 for the
+    * boosted language — `score_mode: multiply`), a linear decay on
+    * document length (origin/scale), and the rescore-window size.
+    */
+  val FsBoostSources: Seq[String] = Seq("src1", "src3", "src5")
+  val FsBoostLang = "en"
+  val FsDecayOrigin = 300L
+  val FsDecayScale = 256L
+  val FsTopK = 5
+  /** Base-score down-shift (integer 2^20 divide) so the final
+    * weight·decay product stays far inside Long under ANSI mode.
+    */
+  val FsScoreShift = 1048576L
+
+  /** ES `function_score` + `rescore`: re-rank the [[bm25]] top window
+    * by base_score × filter-weights × linear length decay. Every
+    * factor is exact-integer: the BM25 grid score is integer-divided
+    * by [[FsScoreShift]] (floor ≡ on positives across engines), the
+    * two filter weights are integer CASEs (ES `weight` functions,
+    * `score_mode: multiply`), and the ES `linear` decay is kept as its
+    * integer NUMERATOR `max(0, scale − |n_chars − origin|)` over the
+    * documented constant denominator — ranking is invariant to the
+    * shared denominator, so no float ever enters the sort key (the
+    * gauss/exp decay tiers would quantize onto the 2^40 grid instead).
+    * Corpus-side work: one broadcast probe of the ≤ |Q|·topK ranked
+    * rows into `documents` for (source, lang, n_chars).
+    */
+  def functionScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+    val base = bm25(spark, dir)
+    docs.join(broadcast(base), Seq("doc_id"))
+      .withColumn("weight",
+        when(col("source").isin(FsBoostSources: _*), lit(3L)).otherwise(lit(1L)) *
+          when(col("lang") === FsBoostLang, lit(2L)).otherwise(lit(1L)))
+      .withColumn("decay_num",
+        greatest(lit(0L), lit(FsDecayScale) - abs(col("n_chars") - lit(FsDecayOrigin))))
+      .withColumn("final_score",
+        expr(s"(score div $FsScoreShift)") * col("weight") * col("decay_num"))
+      .withColumn("fs_rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("final_score").desc, col("doc_id").asc)).cast("long"))
+      .where(col("fs_rank") <= FsTopK)
+      .select(col("query_id"), col("fs_rank").as("rank"), col("doc_id"),
+        col("score").as("base_score"), col("weight"), col("decay_num"),
+        col("final_score"))
+  }
 }

@@ -97,6 +97,8 @@ class GoldenSpec extends SparkSpec {
     "txt_bpe_train" -> ((-1769575030168179654L, 8L)),
     "txt_phrase" -> ((8803091073230259390L, 142L)),
     "txt_mlt" -> ((-6708254884330626570L, 30L)),
+    "evt_value_histogram" -> ((-9199241966602610489L, 14L)),
+    "txt_function_score" -> ((5427805543320851037L, 25L)),
     "txt_suggest" -> ((-3269826525140055768L, 5L)),
     "txt_highlight" -> ((-7666377038368692416L, 15L)),
     "corpus_export" -> ((244521849649562813L, 16L)),

@@ -800,4 +800,31 @@ class RelationalSpec extends SparkSpec {
     // type a has nothing after h0: trailing cells carry 10.0 forward
     assert(out2(("a", h0 + 10800)).getAs[Double]("v_interp") === 10.0)
   }
+
+  test("evt_value_histogram: dense frame, conservation, exact per-bucket recompute") {
+    val rows = operators.Relational.evtValueHistogram(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val values = spark.read.parquet(s"$sfDir/events.parquet")
+      .select("value").collect().map(_.getDouble(0))
+    // dense: every bucket id between min and max present, bounds exact
+    val ids = values.map(v => math.floor(v / operators.Relational.VhInterval).toLong)
+    assert(rows.keySet === (ids.min to ids.max).toSet)
+    rows.foreach { case (id, (lo, _, _)) => assert(lo === id * 25.0) }
+    // conservation + exact per-bucket recompute (decimal-summed values)
+    assert(rows.values.map(_._2).sum === values.length.toLong)
+    val want = ids.zip(values).groupBy(_._1).map { case (id, vs) =>
+      id -> ((vs.length.toLong,
+        vs.map(p => BigDecimal(p._2).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+          .sum.toDouble))
+    }
+    want.foreach { case (id, (n, s)) =>
+      assert(rows(id)._2 === n, s"bucket $id count")
+      assert(rows(id)._3 === s, s"bucket $id sum")
+    }
+    // zero-filled buckets (if any) carry exactly (0, 0.0)
+    rows.filterNot(r => want.contains(r._1)).foreach { case (id, (_, n, s)) =>
+      assert(n === 0L && s === 0.0, s"bucket $id zero-fill")
+    }
+  }
 }

@@ -313,4 +313,54 @@ class RetrievalSpec extends SparkSpec {
     assert(rows.map(_.getLong(0)).distinct.length ===
       operators.TextOps.bm25Queries.size)
   }
+
+  test("functionScore: weights, decay, and ranking replay exactly from doc metadata") {
+    val T = operators.TextOps
+    val meta = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source", "lang", "n_chars").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getLong(3))))
+      .toMap
+    val base = T.bm25(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    val rows = T.functionScore(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (q, d) = (r.getLong(0), r.getLong(2))
+      val (src, lang, nc) = meta(d)
+      val w = (if (T.FsBoostSources.contains(src)) 3L else 1L) *
+        (if (lang == T.FsBoostLang) 2L else 1L)
+      val dec = math.max(0L, T.FsDecayScale - math.abs(nc - T.FsDecayOrigin))
+      assert(r.getLong(3) === base((q, d)), s"($q,$d) base score drift")
+      assert(r.getLong(4) === w, s"($q,$d) weight")
+      assert(r.getLong(5) === dec, s"($q,$d) decay")
+      assert(r.getLong(6) === (base((q, d)) / T.FsScoreShift) * w * dec,
+        s"($q,$d) final")
+    }
+    // per query: the emitted window is the exact top-FsTopK of the
+    // rescored base window, dense ranks, (final DESC, doc ASC) order
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet === base.keySet.map(_._1))
+    byQ.foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq === (1L to rs.length).toSeq)
+      val want = base.collect { case ((`q`, d), sc) =>
+        val (src, lang, nc) = meta(d)
+        val w = (if (T.FsBoostSources.contains(src)) 3L else 1L) *
+          (if (lang == T.FsBoostLang) 2L else 1L)
+        val dec = math.max(0L, T.FsDecayScale - math.abs(nc - T.FsDecayOrigin))
+        (d, (sc / T.FsScoreShift) * w * dec)
+      }.toSeq.sortBy { case (d, f) => (-f, d) }.take(T.FsTopK)
+      assert(sorted.map(r => (r.getLong(2), r.getLong(6))).toSeq === want,
+        s"query $q window")
+    }
+    // the boost genuinely reorders at least one query vs base rank
+    val reordered = rows.exists { r =>
+      val (q, d) = (r.getLong(0), r.getLong(2))
+      val baseRank = base.collect { case ((`q`, d2), sc) => (d2, sc) }
+        .toSeq.sortBy { case (d2, sc) => (-sc, d2) }
+        .indexWhere(_._1 == d) + 1
+      baseRank != r.getLong(1)
+    }
+    assert(reordered, "function_score never changed any ranking — fixture too weak")
+  }
 }
