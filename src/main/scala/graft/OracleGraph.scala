@@ -180,25 +180,14 @@ object OracleGraph {
     * expand the 8-round chain into 3^8 copies of the base scan —
     * measured as an EMFILE blowup, not just slowness.
     */
-  val kCore: String = {
-    val k = GraphOps.KCoreK
+  /** The strong-trade-graph CTE chain (mirror of GraphOps.strongEdges):
+    * undirected summed edges, the bottom-k-by-hash sample threshold
+    * re-taken from scratch, and the w ≥ p75 cut — ends in
+    * `strong(a, b)`. Shared by [[kCore]] and [[linkPredict]].
+    */
+  private val strongCtes: String = {
     val rot = OracleText.rotLong("hh", 0)
-    val rounds = (1 to GraphOps.KCoreRounds).map { i =>
-      val prev = s"e${i - 1}"
-      s"""d$i AS MATERIALIZED (
-         |  SELECT node, count(*) AS deg FROM (
-         |    SELECT a AS node FROM $prev UNION ALL SELECT b FROM $prev)
-         |  GROUP BY node
-         |),
-         |n$i AS MATERIALIZED (SELECT node FROM d$i WHERE deg >= $k),
-         |e$i AS MATERIALIZED (
-         |  SELECT e.a, e.b FROM $prev e
-         |  JOIN n$i na ON na.node = e.a
-         |  JOIN n$i nb ON nb.node = e.b
-         |)""".stripMargin
-    }.mkString(",\n")
-    val last = s"e${GraphOps.KCoreRounds}"
-    s"""WITH $edgesCte,
+    s"""$edgesCte,
        |und AS (
        |  SELECT least(src, dst) AS a, greatest(src, dst) AS b,
        |    CAST(sum(w) AS BIGINT) AS w
@@ -215,10 +204,100 @@ object OracleGraph {
        |  FROM (SELECT CAST(count(*) AS BIGINT) AS m,
        |          list(w ORDER BY w) AS vs FROM smp)
        |),
-       |e0 AS MATERIALIZED (SELECT a, b FROM und, th WHERE w >= t),
+       |strong AS MATERIALIZED (SELECT a, b FROM und, th WHERE w >= t)""".stripMargin
+  }
+
+  val kCore: String = {
+    val k = GraphOps.KCoreK
+    val rounds = (1 to GraphOps.KCoreRounds).map { i =>
+      val prev = if (i == 1) "strong" else s"e${i - 1}"
+      s"""d$i AS MATERIALIZED (
+         |  SELECT node, count(*) AS deg FROM (
+         |    SELECT a AS node FROM $prev UNION ALL SELECT b FROM $prev)
+         |  GROUP BY node
+         |),
+         |n$i AS MATERIALIZED (SELECT node FROM d$i WHERE deg >= $k),
+         |e$i AS MATERIALIZED (
+         |  SELECT e.a, e.b FROM $prev e
+         |  JOIN n$i na ON na.node = e.a
+         |  JOIN n$i nb ON nb.node = e.b
+         |)""".stripMargin
+    }.mkString(",\n")
+    val last = s"e${GraphOps.KCoreRounds}"
+    s"""WITH $strongCtes,
        |$rounds
        |SELECT node, CAST(count(*) AS BIGINT) AS core_deg FROM (
        |  SELECT a AS node FROM $last UNION ALL SELECT b FROM $last)
        |GROUP BY node""".stripMargin
+  }
+
+  /** Mirror of GraphOps.linkPredict: the same strong-graph chain, the
+    * same friends-of-friends wedge join with per-middle-node grid
+    * contributions (AA via integer-log2 `length(bin(deg))`, RA via
+    * integer reciprocal), anti-joined against the existing edge set,
+    * total-ordered top-N.
+    */
+  val linkPredict: String =
+    s"""WITH $strongCtes,
+       |adj AS (
+       |  SELECT a AS z, b AS n FROM strong
+       |  UNION ALL SELECT b, a FROM strong
+       |),
+       |deg AS (SELECT z, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY z),
+       |adjd AS (
+       |  SELECT adj.z, adj.n,
+       |    CAST(1099511627776 // length(bin(deg)) AS BIGINT) AS aa_c,
+       |    CAST(1099511627776 // deg AS BIGINT) AS ra_c
+       |  FROM adj JOIN deg USING (z)
+       |),
+       |wedges AS (
+       |  SELECT x.n AS u, y.n AS v, x.aa_c, x.ra_c
+       |  FROM adjd x JOIN adjd y ON x.z = y.z AND x.n < y.n
+       |),
+       |cand AS (
+       |  SELECT u, v, CAST(count(*) AS BIGINT) AS cn,
+       |    CAST(sum(aa_c) AS BIGINT) AS aa_grid,
+       |    CAST(sum(ra_c) AS BIGINT) AS ra_grid
+       |  FROM wedges GROUP BY u, v
+       |)
+       |SELECT c.u, c.v, c.cn, c.aa_grid, c.ra_grid
+       |FROM cand c LEFT JOIN strong s ON s.a = c.u AND s.b = c.v
+       |WHERE s.a IS NULL
+       |ORDER BY c.aa_grid DESC, c.u ASC, c.v ASC
+       |LIMIT ${GraphOps.LpTopN}""".stripMargin
+
+  /** Mirror of GraphOps.personalizedPagerank: the pagerank unroll with
+    * the teleport mass CASEd onto the seed set only.
+    */
+  val personalizedPagerank: String = {
+    val base =
+      GraphOps.PrScale * (GraphOps.PrDampDen - GraphOps.PrDampNum) / GraphOps.PrDampDen
+    val seeds = GraphOps.PprSeeds.mkString(", ")
+    val rounds = (1 to GraphOps.PrRounds).map { i =>
+      val prev = s"p${i - 1}"
+      s"""p$i AS (
+         |  SELECT n.node,
+         |    CAST(CASE WHEN n.node IN ($seeds) THEN $base ELSE 0 END AS BIGINT)
+         |      + COALESCE(CAST(sum(
+         |        (p.ppr * ${GraphOps.PrDampNum} * e.w)
+         |        // (${GraphOps.PrDampDen} * e.wout)) AS BIGINT), 0) AS ppr
+         |  FROM nodes n
+         |  LEFT JOIN edges2 e ON e.dst = n.node
+         |  LEFT JOIN $prev p ON p.node = e.src
+         |  GROUP BY n.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgesCte,
+       |wo AS (SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM edges GROUP BY src),
+       |edges2 AS (SELECT e.src, e.dst, e.w, wo.wout FROM edges e JOIN wo ON e.src = wo.src),
+       |nodes AS (SELECT src AS node FROM edges2 UNION SELECT dst FROM edges2),
+       |p0 AS (
+       |  SELECT node,
+       |    CAST(CASE WHEN node IN ($seeds) THEN ${GraphOps.PrScale} ELSE 0 END
+       |      AS BIGINT) AS ppr
+       |  FROM nodes
+       |),
+       |$rounds
+       |SELECT node, ppr FROM p${GraphOps.PrRounds}""".stripMargin
   }
 }

@@ -562,15 +562,106 @@ object GraphOps {
     * synthetic graphs, fixpoint-within-bound on the fixture, and
     * sample≡exact when k covers the population.
     */
-  def kCore(spark: SparkSession, dir: String): DataFrame = {
+  def kCore(spark: SparkSession, dir: String): DataFrame =
+    kCorePeel(strongEdges(spark, dir), KCoreK, KCoreRounds)
+
+  /** The STRONG undirected trade graph (w ≥ sampled p75 — [[kCore]]'s
+    * edge set), factored out because two analytics ([[kCore]],
+    * [[linkPredict]]) read it. NOT memoized: each consumer's one
+    * derivation is a lineitem-scale scan it already budgets for.
+    */
+  private[graft] def strongEdges(spark: SparkSession, dir: String): DataFrame = {
     val d = tradeEdges(spark, dir).where(col("src") =!= col("dst"))
     val und = d.select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"), col("w"))
       .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w"))
-    val strong = und.crossJoin(broadcast(sampleStrengthP75(und)))
+    und.crossJoin(broadcast(sampleStrengthP75(und)))
       .where(col("w") >= col("t"))
       .select(col("a"), col("b"))
-    kCorePeel(strong, KCoreK, KCoreRounds)
+  }
+
+  /** Predicted pairs kept (total-ordered TakeOrdered cut). */
+  val LpTopN = 20
+
+  /** Link prediction over the strong trade graph — which ABSENT edge
+    * is likeliest to appear: common-neighbor count, Adamic–Adar, and
+    * resource-allocation scores for every distance-2 non-adjacent
+    * pair (Liben-Nowell & Kleinberg 2003). The candidate generator is
+    * the friends-of-friends wedge join (adjacency ⨝ adjacency on the
+    * shared middle node) — candidates are Σ deg(z)² over MIDDLE
+    * nodes, never the |V|² all-pairs; at web scale the hub dial is a
+    * per-node neighbor cap, the same df-cap device as
+    * `dedupContainment`'s blocking index (the strong-graph w≥p75 cut
+    * already prunes the weight-1 noise hubs here). Scores stay
+    * exact-integer: AA's 1/log(deg z) lands on the 2^40 grid via the
+    * integer-log2 `length(bin(deg))` (the surprisal/DSIR device —
+    * deg ≥ 2 for any shared neighbor, so the denominator is never 0),
+    * RA's 1/deg likewise; grid sums are order-free BIGINT adds. Both
+    * wedge sides and the degree attach share the one middle-node-keyed
+    * exchange; existing edges leave via a left-anti join on the same
+    * (u, v) key the grouping just produced.
+    */
+  def linkPredict(spark: SparkSession, dir: String): DataFrame = {
+    val strong = strongEdges(spark, dir)
+    val adj = strong.select(col("a").as("z"), col("b").as("n"))
+      .unionAll(strong.select(col("b").as("z"), col("a").as("n")))
+    val deg = adj.groupBy(col("z")).agg(count(lit(1)).as("deg"))
+    val adjD = adj.join(deg, Seq("z"))
+      .select(col("z"), col("n"),
+        expr("1099511627776L div length(bin(deg))").as("aa_c"),
+        expr("1099511627776L div deg").as("ra_c"))
+    val wedges = adjD.alias("x").join(adjD.alias("y"),
+        col("x.z") === col("y.z") && col("x.n") < col("y.n"))
+      .select(col("x.n").as("u"), col("y.n").as("v"),
+        col("x.aa_c").as("aa_c"), col("x.ra_c").as("ra_c"))
+    val cand = wedges.groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("cn"),
+        sum(col("aa_c")).as("aa_grid"), sum(col("ra_c")).as("ra_grid"))
+    cand.join(strong.select(col("a").as("u"), col("b").as("v")),
+        Seq("u", "v"), "left_anti")
+      .orderBy(col("aa_grid").desc, col("u").asc, col("v").asc)
+      .limit(LpTopN)
+  }
+
+  /** Personalization seed set (the "random walk restarts HERE" nodes
+    * of a recommendation query) — literal on both engines.
+    */
+  val PprSeeds: Seq[Long] = Seq(0L, 7L)
+
+  /** Personalized PageRank — [[pagerank]] with the teleport mass
+    * restricted to [[PprSeeds]] (random walk with restart; the
+    * recommendation/affinity readout "how close is every node to THIS
+    * query set"). Identical integer-mass-grid rounds and per-round
+    * lineage cuts; the ONLY change is where the (1−d) teleport lands:
+    * seeds start with the full [[PrScale]] mass and re-receive the
+    * base term each round, every other node starts at (and teleports)
+    * zero. Shares the memoized trade-edge artifact with [[pagerank]]
+    * (same memo key — one derivation serves both).
+    */
+  def personalizedPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val edges = TextOps.memoized(spark, dir, "trade_edges") {
+      val e = tradeEdges(spark, dir)
+      val wout = e.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+      e.join(wout, Seq("src"))
+    }
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    val base = PrScale * (PrDampDen - PrDampNum) / PrDampDen
+    def isSeed = col("node").isin(PprSeeds: _*)
+    var pr = nodes.withColumn("ppr",
+      when(isSeed, lit(PrScale)).otherwise(lit(0L)))
+    for (_ <- 1 to PrRounds) {
+      val contrib = edges
+        .join(broadcast(pr), col("src") === col("node"))
+        .select(col("dst"),
+          expr(s"(ppr * $PrDampNum * w) div ($PrDampDen * wout)").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
+      pr = cut(nodes.join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (when(isSeed, lit(base)).otherwise(lit(0L)) +
+            coalesce(col("contrib"), lit(0L))).as("ppr")))
+    }
+    pr
   }
 
   /** Runaway guard for [[starContract]] — far above the O(log² n)

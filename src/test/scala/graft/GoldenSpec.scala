@@ -98,6 +98,8 @@ class GoldenSpec extends SparkSpec {
     "txt_phrase" -> ((8803091073230259390L, 142L)),
     "txt_mlt" -> ((-6708254884330626570L, 30L)),
     "evt_value_histogram" -> ((-9199241966602610489L, 14L)),
+    "graph_link_predict" -> ((5993286112755573745L, 20L)),
+    "graph_ppr" -> ((8336775892061540728L, 25L)),
     "txt_function_score" -> ((5427805543320851037L, 25L)),
     "txt_suggest" -> ((-3269826525140055768L, 5L)),
     "txt_highlight" -> ((-7666377038368692416L, 15L)),

@@ -333,4 +333,63 @@ class GraphOpsSpec extends SparkSpec {
     assert(got === Map(10L -> 10L, 11L -> 10L, 12L -> 10L,
       20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
   }
+
+  test("linkPredict: full driver replay from the strong edge set") {
+    val strong = GraphOps.strongEdges(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // friends-of-friends replay with integer-grid AA/RA contributions
+    val adj = strong.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val nbrs = adj.groupBy(_._1).map { case (z, ps) => z -> ps.map(_._2).toSet }
+    def bits(n: Long): Long = java.lang.Long.toBinaryString(n).length.toLong
+    val grid = 1099511627776L
+    val cand = nbrs.toSeq.flatMap { case (z, ns0) =>
+      val ns = ns0.toSeq.sorted
+      for (u <- ns; v <- ns if u < v) yield ((u, v), z)
+    }.groupBy(_._1).map { case ((u, v), zs) =>
+      val mid = zs.map(_._2)
+      val deg = mid.map(z => nbrs(z).size.toLong)
+      (u, v, mid.size.toLong,
+        deg.map(d => grid / bits(d)).sum, deg.map(d => grid / d).sum)
+    }.filterNot { case (u, v, _, _, _) => strong((u, v)) }
+      .toSeq.sortBy { case (u, v, _, aa, _) => (-aa, u, v) }
+      .take(GraphOps.LpTopN)
+    val got = GraphOps.linkPredict(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty, "fixture produced no non-edge candidates")
+    assert(got.toSeq === cand)
+    // every emitted pair is genuinely absent from the graph
+    got.foreach { case (u, v, cn, _, _) =>
+      assert(!strong((u, v)) && !strong((v, u)), s"($u,$v) is an edge")
+      assert(cn >= 1L)
+    }
+  }
+
+  test("personalizedPagerank: exact integer replay; teleport mass only at seeds") {
+    val edges = GraphOps.tradeEdges(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val wout = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val base = GraphOps.PrScale *
+      (GraphOps.PrDampDen - GraphOps.PrDampNum) / GraphOps.PrDampDen
+    val seeds = GraphOps.PprSeeds.toSet
+    var pr = nodes.map(n =>
+      n -> (if (seeds(n)) GraphOps.PrScale else 0L)).toMap
+    for (_ <- 1 to GraphOps.PrRounds) {
+      val contrib = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _, w) =>
+          (pr(src) * GraphOps.PrDampNum * w) /
+            (GraphOps.PrDampDen * wout(src))
+        }.sum
+      }
+      pr = nodes.map(n =>
+        n -> ((if (seeds(n)) base else 0L) + contrib.getOrElse(n, 0L))).toMap
+    }
+    val got = GraphOps.personalizedPagerank(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === pr)
+    // personalization is real: seeds hold strictly more mass than the
+    // non-seed median (close-to-seed nodes outrank far ones)
+    val nonSeed = got.filterNot(kv => seeds(kv._1)).values.toSeq.sorted
+    assert(seeds.forall(s => got(s) > nonSeed(nonSeed.size / 2)))
+  }
 }
