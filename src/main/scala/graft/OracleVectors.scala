@@ -69,6 +69,82 @@ object OracleVectors {
        |)
        |SELECT query_id, neighbor_id, "rank", sim FROM ranked WHERE "rank" <= $k""".stripMargin
 
+  /** Mirror of VectorOps.hardNegatives: one scored relation split by
+    * the label predicate — negatives ranked (sim DESC, neighbor_id),
+    * the positive reference a per-query max, the semi-hard CASE over
+    * the same literals.
+    */
+  val hardNegatives: String =
+    s"""WITH $baseCte,
+       |qf AS (
+       |  SELECT vec_id AS query_id, label AS qlabel, embedding AS qv, nrm AS qnrm
+       |  FROM base WHERE vec_id % $qm = 0
+       |),
+       |scored AS (
+       |  SELECT q.query_id, b.vec_id AS neighbor_id, b.label, q.qlabel,
+       |    ${dot("b.embedding", "q.qv")} / (sqrt(b.nrm) * sqrt(q.qnrm)) AS sim
+       |  FROM base b, qf q WHERE b.vec_id <> q.query_id
+       |),
+       |negs AS (
+       |  SELECT query_id, neighbor_id, sim, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS "rank"
+       |  FROM scored WHERE label <> qlabel
+       |),
+       |pos AS (
+       |  SELECT query_id, max(sim) AS pos_sim
+       |  FROM scored WHERE label = qlabel GROUP BY query_id
+       |)
+       |SELECT n.query_id, n.neighbor_id, n."rank", n.sim, p.pos_sim,
+       |  CAST(CASE WHEN p.pos_sim IS NOT NULL AND n.sim < p.pos_sim
+       |    AND n.sim + ${VectorOps.HnMargin} > p.pos_sim
+       |    THEN 1 ELSE 0 END AS BIGINT) AS semi_hard
+       |FROM negs n LEFT JOIN pos p USING (query_id)
+       |WHERE n."rank" <= $k""".stripMargin
+
+  /** Mirror of VectorOps.silhouette: the trained-codebook chain plus
+    * one more means→vector step, per-vector top-2 centroids by
+    * (sim DESC, c_label ASC), the same grid CASE, BIGINT grid sums,
+    * one edge division.
+    */
+  def silhouette(nlist: Int = VectorOps.NList): String = {
+    val g = VectorOps.SilGrid
+    s"""WITH $baseCte, ${centroidsCte(nlist)},
+       |cvf AS (
+       |  SELECT label AS c_label,
+       |    list(CAST(centroid_sum AS DOUBLE) / $scale / n ORDER BY pos) AS centroid
+       |  FROM cent GROUP BY label
+       |),
+       |cnf AS (
+       |  SELECT c_label, centroid, ${dot("centroid", "centroid")} AS cnrm FROM cvf
+       |),
+       |csims AS (
+       |  SELECT b.vec_id, c.c_label,
+       |    ${dot("b.embedding", "c.centroid")} / (sqrt(b.nrm) * sqrt(c.cnrm)) AS sim
+       |  FROM base b, cnf c
+       |),
+       |rk AS (
+       |  SELECT vec_id, c_label, sim, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY sim DESC, c_label ASC) AS rn
+       |  FROM csims
+       |),
+       |pair AS (
+       |  SELECT a.vec_id, a.c_label AS cluster, a.sim AS sim1, b.sim AS sim2
+       |  FROM rk a JOIN rk b ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2
+       |),
+       |sgrid AS (
+       |  SELECT cluster,
+       |    CAST(CASE WHEN greatest(1.0 - sim1, 1.0 - sim2) = 0.0 THEN 0
+       |      ELSE floor((sim1 - sim2) / greatest(1.0 - sim1, 1.0 - sim2)
+       |        * CAST($g AS DOUBLE)) END AS BIGINT) AS s_grid
+       |  FROM pair
+       |)
+       |SELECT CAST(cluster AS BIGINT) AS cluster, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(s_grid) AS BIGINT) AS s_grid_sum,
+       |  CAST(sum(s_grid) AS DOUBLE) /
+       |    (CAST(count(*) AS DOUBLE) * CAST($g AS DOUBLE)) AS mean_silhouette
+       |FROM sgrid GROUP BY cluster""".stripMargin
+  }
+
   private def codeCte(numPlanes: Int): String =
     s"""coded AS (
        |  SELECT vec_id, embedding, nrm,

@@ -252,6 +252,90 @@ object VectorOps {
         .select(col("query_id"), col("vec_id").as("neighbor_id"), cosine))
   }
 
+  /** Semi-hard margin (FaceNet's α): a negative is semi-hard when it
+    * sits within α of the anchor's closest positive — farther than the
+    * positive, but close enough to produce gradient. Literal on both
+    * engines (the identical decimal literal parses to the identical
+    * double).
+    */
+  val HnMargin = "0.05"
+
+  /** Contrastive hard-negative mining — the training-data op an
+    * embedding-model pipeline runs between curation and training: for
+    * each anchor (the query subset), the top-k most similar vectors of
+    * a DIFFERENT label ([[knnFiltered]] with the predicate inverted —
+    * the same pre-scoring filter placement), annotated with the
+    * anchor's closest-positive similarity and the FaceNet semi-hard
+    * flag (pos_sim − α < sim < pos_sim). The flag is a CASE over
+    * doubles both engines compute from the identical expression tree —
+    * no new float enters the compare. Corpus-side work is the one
+    * broadcast-nested-loop scan the exact-KNN family pays; the
+    * positive reference is a per-query max over the same scored
+    * stream (no second corpus pass at scale — one conditional split
+    * of one scan).
+    */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val base = withNorm(spark, dir)
+    val q = base.where(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("embedding").as("qv"), col("nrm").as("qnrm"))
+    val scored = base.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("query_id"))
+    val negs = topK(scored.where(col("label") =!= col("qlabel"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), cosine))
+    val pos = scored.where(col("label") === col("qlabel"))
+      .select(col("query_id"), cosine)
+      .groupBy(col("query_id")).agg(max(col("sim")).as("pos_sim"))
+    negs.join(pos, Seq("query_id"), "left")
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"),
+        col("pos_sim"),
+        expr(s"""CAST(CASE WHEN pos_sim IS NOT NULL AND sim < pos_sim
+                 |AND sim + $HnMargin > pos_sim THEN 1 ELSE 0 END AS BIGINT)"""
+          .stripMargin).as("semi_hard"))
+  }
+
+  /** Silhouette grid: 2^20 — s ∈ [−1, 1] needs no 2^40 headroom. */
+  val SilGrid = 1048576L
+
+  /** Per-cluster SIMPLIFIED silhouette over the trained IVF codebook —
+    * the clustering-quality readout that prices the `nlist` dial
+    * (collapsing silhouette ⇒ centroids too close; the metric k-means
+    * elbow charts plot). Simplified = centroid-based (Hruschka et al.):
+    * a = cosine distance to own centroid, b = to the nearest OTHER
+    * centroid, s = (b − a)/max(a, b) — the classic pairwise form is
+    * O(N²) and never runs at corpus scale. Mechanics: one corpus ×
+    * broadcast-codebook scan, top-2 centroids per vector via the
+    * bounded-heap aggregate (map-side, no vec-keyed window shuffle),
+    * s floored onto the 2^20 grid per vector (IEEE-deterministic
+    * inputs → deterministic floor), order-free BIGINT grid sums per
+    * cluster, ONE double division at the edge. Shares the memoized
+    * codebook with the whole IVF family.
+    */
+  def silhouette(spark: SparkSession, dir: String, nlist: Int = NList): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
+    val sims = withNorm(spark, dir)
+      .crossJoin(broadcast(centroidVectors(spark, dir, nlist)))
+      .select(col("vec_id"), col("c_label").cast("long").as("c_label"),
+        (expr(dot("embedding", "centroid")) /
+          (sqrt(col("nrm")) * sqrt(col("cnrm")))).as("sim"))
+    val top2 = sims.groupBy(col("vec_id"))
+      .agg(expr("topk_by_sim(c_label, sim, 2)").as("tk"))
+      .where(size(col("tk")) === 2)
+      .select(col("vec_id"),
+        expr("tk[0].neighbor_id").as("cluster"),
+        expr("tk[0].sim").as("sim1"), expr("tk[1].sim").as("sim2"))
+    top2
+      .select(col("cluster"), expr(
+        s"""CAST(CASE WHEN greatest(1.0D - sim1, 1.0D - sim2) = 0.0D THEN 0
+           |ELSE floor((sim1 - sim2) / greatest(1.0D - sim1, 1.0D - sim2)
+           |  * CAST($SilGrid AS DOUBLE)) END AS BIGINT)""".stripMargin).as("s_grid"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"), sum(col("s_grid")).as("s_grid_sum"))
+      .select(col("cluster"), col("n"), col("s_grid_sum"),
+        (col("s_grid_sum").cast("double") /
+          (col("n").cast("double") * lit(SilGrid.toDouble))).as("mean_silhouette"))
+  }
+
   /** Query-side multi-probe expansion: the band key itself plus every
     * Hamming-1 variant when `probeBits = 1` — the standard recall
     * lever at FIXED band entropy (wider bands keep collision rates

@@ -99,6 +99,8 @@ class GoldenSpec extends SparkSpec {
     "txt_mlt" -> ((-6708254884330626570L, 30L)),
     "evt_value_histogram" -> ((-9199241966602610489L, 14L)),
     "graph_link_predict" -> ((5993286112755573745L, 20L)),
+    "emb_hard_negatives" -> ((-7032692847837514657L, 50L)),
+    "emb_silhouette" -> ((3528614142472432465L, 10L)),
     "graph_ppr" -> ((8336775892061540728L, 25L)),
     "txt_function_score" -> ((5427805543320851037L, 25L)),
     "txt_suggest" -> ((-3269826525140055768L, 5L)),

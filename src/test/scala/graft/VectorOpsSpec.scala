@@ -606,4 +606,57 @@ class VectorOpsSpec extends SparkSpec {
     assert(top.getAs[Double]("margin") === expected)
     graft.operators.TextOps.release(spark)
   }
+
+  test("hardNegatives: labels differ, pos_sim is the true positive max, semi-hard replays") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).toArray, r.getInt(2)))
+    val labelOf = emb.map(e => e._1 -> e._3).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def fold(x: Array[Float], y: Array[Float]) =
+        x.indices.foldLeft(0.0)((acc, i) => acc + x(i).toDouble * y(i).toDouble)
+      fold(a, b) / (math.sqrt(fold(a, a)) * math.sqrt(fold(b, b)))
+    }
+    val byId = emb.map(e => e._1 -> e._2).toMap
+    val rows = VectorOps.hardNegatives(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (q, nb) = (r.getLong(0), r.getLong(1))
+      assert(labelOf(nb) !== labelOf(q), s"($q,$nb) shares the label")
+      val posMax = emb.filter(e => e._1 != q && e._3 == labelOf(q))
+        .map(e => cos(byId(q), e._2)).max
+      assert(r.getDouble(4) === posMax, s"query $q pos_sim")
+      val semi = r.getDouble(3) < posMax && r.getDouble(3) + 0.05 > posMax
+      assert(r.getLong(5) === (if (semi) 1L else 0L), s"($q,$nb) semi_hard")
+    }
+    // dense ranks ordered by (sim DESC, id ASC); both flag values occur
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getLong(2))
+      assert(sorted.map(_.getLong(2)).toSeq === (1L to rs.length).toSeq)
+      val key = sorted.map(r => (-r.getDouble(3), r.getLong(1))).toSeq
+      assert(key === key.sorted, s"query $q order")
+    }
+    assert(rows.map(_.getLong(5)).distinct.sorted.toSeq === Seq(0L, 1L))
+  }
+
+  test("silhouette: separated synthetic clusters score high; degenerate mixing scores low") {
+    // two tight orthogonal clusters, labels 0/1 → nlist=2 trains onto them
+    val tight = embDir(Seq(
+      (0L, vec(0, 0.00f), 0), (1L, vec(0, 0.01f), 0), (2L, vec(0, 0.02f), 0),
+      (10L, vec(1, 0.00f), 1), (11L, vec(1, 0.01f), 1), (12L, vec(1, 0.02f), 1)))
+    val hi = VectorOps.silhouette(spark, tight, nlist = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+    graft.operators.TextOps.release(spark)
+    assert(hi.map(_._2._1).sum === 6L)       // every vector scored once
+    hi.foreach { case (c, (_, _, s)) => assert(s > 0.8, s"cluster $c low s=$s") }
+    // real fixture: conservation + the emitted mean IS sum/(n·grid)
+    val rows = VectorOps.silhouette(spark, sfDir).collect()
+    val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    assert(rows.map(_.getLong(1)).sum === n)
+    rows.foreach { r =>
+      val want = r.getLong(2).toDouble / (r.getLong(1).toDouble * VectorOps.SilGrid.toDouble)
+      assert(r.getDouble(3) === want)
+      assert(r.getDouble(3) >= -1.0 && r.getDouble(3) <= 1.0)
+    }
+  }
 }
