@@ -967,6 +967,75 @@ object OracleRelational {
       |FROM days dy CROSS JOIN types t
       |LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = dy.day""".stripMargin
 
+  /** Mirror of Relational.evtRangeAgg: the same literal bucket table,
+    * per-bucket predicate join, zero-filled left join back onto the
+    * configured buckets.
+    */
+  val evtRangeAgg: String = {
+    val vals = graft.operators.Relational.RangeBuckets.map { case (k, lo, hi) =>
+      def d(o: Option[Double]) =
+        o.map(_.toString).getOrElse("CAST(NULL AS DOUBLE)")
+      s"('$k', ${d(lo)}, ${d(hi)})"
+    }.mkString(", ")
+    s"""WITH b(range_key, lo, hi) AS (VALUES $vals),
+       |per AS (
+       |  SELECT b.range_key, CAST(count(*) AS BIGINT) AS doc_count,
+       |    CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+       |  FROM events e JOIN b
+       |    ON (b.lo IS NULL OR e.value >= b.lo)
+       |   AND (b.hi IS NULL OR e.value < b.hi)
+       |  GROUP BY b.range_key
+       |)
+       |SELECT b.range_key, CAST(b.lo AS DOUBLE) AS lo, CAST(b.hi AS DOUBLE) AS hi,
+       |  COALESCE(p.doc_count, 0) AS doc_count,
+       |  COALESCE(p.value_sum, 0.0) AS value_sum
+       |FROM b LEFT JOIN per p USING (range_key)""".stripMargin
+  }
+
+  /** Mirror of Relational.evtFiltersAgg: the same conditional
+    * aggregates via FILTER clauses, unpivoted as a 3-way UNION ALL of
+    * the one aggregate row.
+    */
+  val evtFiltersAgg: String =
+    """WITH agg AS (
+      |  SELECT
+      |    CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS c_views,
+      |    COALESCE(CAST(sum(CAST(value AS DECIMAL(18,2)))
+      |      FILTER (event_type = 'view') AS DOUBLE), 0.0) AS s_views,
+      |    CAST(count(*) FILTER (event_type = 'purchase' AND value > 100.0)
+      |      AS BIGINT) AS c_big,
+      |    COALESCE(CAST(sum(CAST(value AS DECIMAL(18,2)))
+      |      FILTER (event_type = 'purchase' AND value > 100.0) AS DOUBLE), 0.0)
+      |      AS s_big,
+      |    CAST(count(*) FILTER (NOT (event_type = 'view')
+      |      AND NOT (event_type = 'purchase' AND value > 100.0)) AS BIGINT)
+      |      AS c_other,
+      |    COALESCE(CAST(sum(CAST(value AS DECIMAL(18,2)))
+      |      FILTER (NOT (event_type = 'view')
+      |        AND NOT (event_type = 'purchase' AND value > 100.0)) AS DOUBLE), 0.0)
+      |      AS s_other
+      |  FROM events
+      |)
+      |SELECT 'views' AS filter_key, c_views AS doc_count, s_views AS value_sum FROM agg
+      |UNION ALL
+      |SELECT 'big_purchases', c_big, s_big FROM agg
+      |UNION ALL
+      |SELECT 'other', c_other, s_other FROM agg""".stripMargin
+
+  /** Mirror of Relational.q66WeightedAvg: DECIMAL product and weight
+    * sums, one edge division.
+    */
+  val q66: String =
+    """SELECT l_returnflag,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS weight_sum,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |    CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS wprice_sum,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |    CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) /
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS weighted_avg_price
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   /** Mirror of Relational.evtValueHistogram: the same
     * floor(value/interval) bucket ids, range() dense frame off the
     * min/max ids, zero-filled left join, DECIMAL value sums, exact

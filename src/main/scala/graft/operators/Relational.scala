@@ -1315,6 +1315,80 @@ object Relational {
         coalesce(col("value_sum"), lit(0.0d)).as("value_sum"))
   }
 
+  /** ES `range`-agg buckets: (key, from inclusive, to exclusive);
+    * None = unbounded, the ES "*" edge. Literal on both engines.
+    */
+  val RangeBuckets: Seq[(String, Option[Double], Option[Double])] = Seq(
+    ("*-50.0", None, Some(50.0)),
+    ("50.0-150.0", Some(50.0), Some(150.0)),
+    ("150.0-*", Some(150.0), None))
+
+  /** ES `range` aggregation over `events.value`: every CONFIGURED
+    * bucket is emitted (ES always returns the full bucket list, count
+    * 0 included), assignment is the broadcast theta-join of the corpus
+    * against the 3-row bucket table — buckets may overlap in general
+    * ES requests, so membership is per-bucket predicate, not a CASE
+    * ladder. One partial-aggregated shuffle on the bucket key;
+    * DECIMAL value sums.
+    */
+  def evtRangeAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val buckets = RangeBuckets.toDF("range_key", "lo", "hi")
+    val per = Tables.events(spark, dir).join(broadcast(buckets),
+        (col("lo").isNull || col("value") >= col("lo")) &&
+          (col("hi").isNull || col("value") < col("hi")))
+      .groupBy(col("range_key"))
+      .agg(count(lit(1)).as("doc_count"), dsum(col("value")).as("value_sum"))
+    buckets.join(per, Seq("range_key"), "left")
+      .select(col("range_key"), col("lo"), col("hi"),
+        coalesce(col("doc_count"), lit(0L)).as("doc_count"),
+        coalesce(col("value_sum"), lit(0.0d)).as("value_sum"))
+  }
+
+  /** ES `filters` aggregation (+ `other_bucket`): named predicate
+    * buckets over one corpus pass — conditional partial aggregates
+    * (each predicate's count/sum folds map-side, a doc may satisfy
+    * several filters), the `other` bucket counts docs matching NONE.
+    * The single agg row unpivots via `stack` — zero joins, zero extra
+    * scans.
+    */
+  def evtFiltersAgg(spark: SparkSession, dir: String): DataFrame = {
+    val isView = col("event_type") === "view"
+    val isBig = col("event_type") === "purchase" && col("value") > 100.0
+    def cnt(p: org.apache.spark.sql.Column) =
+      sum(when(p, 1L).otherwise(0L))
+    def vs(p: org.apache.spark.sql.Column) =
+      coalesce(sum(when(p, col("value").cast("decimal(18,2)"))).cast("double"),
+        lit(0.0d))
+    Tables.events(spark, dir).agg(
+        cnt(isView).as("c_views"), vs(isView).as("s_views"),
+        cnt(isBig).as("c_big"), vs(isBig).as("s_big"),
+        cnt(!isView && !isBig).as("c_other"), vs(!isView && !isBig).as("s_other"))
+      .select(expr(
+        """stack(3,
+          |  'views', c_views, s_views,
+          |  'big_purchases', c_big, s_big,
+          |  'other', c_other, s_other) AS (filter_key, doc_count, value_sum)"""
+          .stripMargin))
+  }
+
+  /** ES `weighted_avg` aggregation: per return flag, the average
+    * extended price weighted by quantity. Numerator = DECIMAL product
+    * sum (both factors cast to DECIMAL(18,2) first — the q1
+    * sum_disc_price device, exact), denominator = DECIMAL weight sum;
+    * ONE double division at the edge. Single q1-shaped partial-agg
+    * shuffle.
+    */
+  def q66WeightedAvg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("weight_sum"),
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+          col("l_quantity").cast("decimal(18,2)")).cast("double").as("wprice_sum"))
+      .select(col("l_returnflag"), col("weight_sum"), col("wprice_sum"),
+        (col("wprice_sum") / col("weight_sum")).as("weighted_avg_price"))
+
   /** Numeric-histogram interval (ES `histogram` agg `interval`). */
   val VhInterval = 25.0
 

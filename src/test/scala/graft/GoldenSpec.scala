@@ -100,6 +100,9 @@ class GoldenSpec extends SparkSpec {
     "evt_value_histogram" -> ((-9199241966602610489L, 14L)),
     "graph_link_predict" -> ((5993286112755573745L, 20L)),
     "emb_hard_negatives" -> ((-7032692847837514657L, 50L)),
+    "evt_range_agg" -> ((7504466507948292938L, 3L)),
+    "evt_filters_agg" -> ((-5439690195675573527L, 3L)),
+    "q66_weighted_avg" -> ((468720987685060888L, 3L)),
     "emb_silhouette" -> ((3528614142472432465L, 10L)),
     "graph_ppr" -> ((8336775892061540728L, 25L)),
     "txt_function_score" -> ((5427805543320851037L, 25L)),

@@ -801,6 +801,64 @@ class RelationalSpec extends SparkSpec {
     assert(out2(("a", h0 + 10800)).getAs[Double]("v_interp") === 10.0)
   }
 
+  test("evt_range_agg: bucket membership replays; configured buckets survive empty") {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val values = ev.select("value").collect().map(_.getDouble(0))
+    val rows = operators.Relational.evtRangeAgg(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(3), r.getDouble(4)))).toMap
+    assert(rows.keySet ===
+      operators.Relational.RangeBuckets.map(_._1).toSet)
+    operators.Relational.RangeBuckets.foreach { case (k, lo, hi) =>
+      val in = values.filter(v => lo.forall(v >= _) && hi.forall(v < _))
+      val s = in.map(v =>
+        BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+      assert(rows(k) === ((in.length.toLong, s)), s"bucket $k")
+    }
+    // all-low fixture: upper buckets must still be emitted, zero-filled
+    val low = tempTableDir("events", ev.withColumn("value", lit(1.0d)))
+    val zf = operators.Relational.evtRangeAgg(spark, low).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(zf("*-50.0") === values.length.toLong)
+    assert(zf("50.0-150.0") === 0L && zf("150.0-*") === 0L)
+  }
+
+  test("evt_filters_agg: conditional buckets replay; other catches the rest") {
+    val evs = spark.read.parquet(s"$sfDir/events.parquet")
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    def dec(vs: Seq[Double]) = vs.map(v =>
+      BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+    val isView = (e: (String, Double)) => e._1 == "view"
+    val isBig = (e: (String, Double)) => e._1 == "purchase" && e._2 > 100.0
+    val rows = operators.Relational.evtFiltersAgg(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(rows.keySet === Set("views", "big_purchases", "other"))
+    assert(rows("views") ===
+      ((evs.count(isView).toLong, dec(evs.filter(isView).map(_._2)))))
+    assert(rows("big_purchases") ===
+      ((evs.count(isBig).toLong, dec(evs.filter(isBig).map(_._2)))))
+    val other = evs.filterNot(e => isView(e) || isBig(e))
+    assert(rows("other") === ((other.length.toLong, dec(other.map(_._2)))))
+    assert(rows.values.map(_._1).sum === evs.length.toLong)
+  }
+
+  test("q66 weighted_avg: exact decimal replay") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_returnflag", "l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    def d2(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    val rows = operators.Relational.q66WeightedAvg(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    li.groupBy(_._1).foreach { case (f, es) =>
+      val w = es.map(e => d2(e._2)).sum.toDouble
+      val p = es.map(e => d2(e._3) * d2(e._2)).sum.toDouble
+      assert(rows(f)._1 === w, s"$f weight_sum")
+      assert(rows(f)._2 === p, s"$f wprice_sum")
+      assert(rows(f)._3 === p / w, s"$f weighted avg")
+    }
+  }
+
   test("evt_value_histogram: dense frame, conservation, exact per-bucket recompute") {
     val rows = operators.Relational.evtValueHistogram(spark, sfDir).collect()
       .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2), r.getDouble(3))))
