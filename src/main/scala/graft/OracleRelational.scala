@@ -967,6 +967,53 @@ object OracleRelational {
       |FROM days dy CROSS JOIN types t
       |LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = dy.day""".stripMargin
 
+  /** Mirror of Relational.evtMovingMedian: the same ≤7-day explode
+    * onto target days, inner join to observed days, sorted in-window
+    * list, lower-median index copy.
+    */
+  val evtMovingMedian: String = {
+    val w = graft.operators.Relational.MmWindow
+    s"""WITH daily AS (
+       |  SELECT CAST(ts AS DATE) AS day,
+       |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+       |  FROM events GROUP BY CAST(ts AS DATE)
+       |),
+       |contrib AS (
+       |  SELECT CAST(unnest(generate_series(day, day + INTERVAL ${w - 1} DAY,
+       |    INTERVAL 1 DAY)) AS DATE) AS tday, value_sum
+       |  FROM daily
+       |),
+       |win AS (
+       |  SELECT c.tday, CAST(count(*) AS BIGINT) AS n_window,
+       |    list(c.value_sum ORDER BY c.value_sum) AS vs
+       |  FROM contrib c JOIN (SELECT day AS tday FROM daily) d USING (tday)
+       |  GROUP BY c.tday
+       |)
+       |SELECT tday AS day, n_window,
+       |  vs[CAST((n_window - 1) // 2 + 1 AS INT)] AS p50
+       |FROM win""".stripMargin
+  }
+
+  /** Mirror of Relational.evtRandomSampler: the same md5-rotation
+    * keep-1-in-N gate, DECIMAL sampled sums, ×N scale-ups.
+    */
+  val evtRandomSampler: String = {
+    val m = graft.operators.Relational.RsMod
+    s"""WITH s AS (
+       |  SELECT event_type, value FROM (
+       |    SELECT event_type, value, ${OracleText.rotLong("hh", 0)} AS h
+       |    FROM (SELECT event_type, value,
+       |            md5(CAST(event_id AS VARCHAR)) AS hh FROM events))
+       |  WHERE h % $m = 0
+       |)
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n_sampled,
+       |  CAST(count(*) * $m AS BIGINT) AS est_count,
+       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum_sampled,
+       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) * ${m}.0
+       |    AS est_value_sum
+       |FROM s GROUP BY event_type""".stripMargin
+  }
+
   /** Mirror of Relational.evtRangeAgg: the same literal bucket table,
     * per-bucket predicate join, zero-filled left join back onto the
     * configured buckets.

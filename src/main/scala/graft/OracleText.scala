@@ -1532,6 +1532,29 @@ object OracleText {
        |FROM fr""".stripMargin
   }
 
+  /** Mirror of TextOps.percolate: distinct (doc, term) pairs joined to
+    * the literal stored-query table, DISTINCT-matched-term count per
+    * (doc, query), conjunction test in the HAVING.
+    */
+  val percolate: String = {
+    val qvals = TextOps.bm25Queries.flatMap { case (id, ts) =>
+      val d = ts.distinct
+      d.map(t => s"(CAST($id AS BIGINT), '$t', CAST(${d.length} AS BIGINT))")
+    }.mkString(", ")
+    s"""WITH $wordsCte,
+       |q(query_id, term, n_terms) AS (VALUES $qvals),
+       |tc AS (
+       |  SELECT doc_id, term FROM (
+       |    SELECT doc_id, unnest(words) AS term FROM docs) t
+       |  GROUP BY doc_id, term
+       |)
+       |SELECT tc.doc_id, q.query_id,
+       |  CAST(count(DISTINCT q.term) AS BIGINT) AS n_matched
+       |FROM tc JOIN q USING (term)
+       |GROUP BY tc.doc_id, q.query_id, q.n_terms
+       |HAVING count(DISTINCT q.term) = q.n_terms""".stripMargin
+  }
+
   /** Mirror of TextOps.functionScore: the BM25 CTE chain's top window
     * joined to the documents base table, the same integer CASE
     * weights, integer linear-decay numerator, and `//`-floored score

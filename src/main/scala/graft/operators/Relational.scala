@@ -1315,6 +1315,64 @@ object Relational {
         coalesce(col("value_sum"), lit(0.0d)).as("value_sum"))
   }
 
+  /** Moving-median trailing window, days (ES `moving_percentiles`
+    * `window` over a date_histogram).
+    */
+  val MmWindow = 7
+
+  /** ES `moving_percentiles` (p50) over the daily date-histogram: for
+    * each PRESENT day bucket, the exact median of the trailing
+    * [[MmWindow]] days' value sums. Window formation is the
+    * rolling-distinct device — each daily row EXPLODES to the ≤ 7
+    * target days it contributes to (equi-keyed group, never a range
+    * join), inner-joined back to the observed-day set so only real
+    * histogram buckets emit (ES pipeline aggs run over existing
+    * buckets). The median is the LOWER order statistic off the sorted
+    * in-window list — an existing decimal-summed double is COPIED,
+    * never interpolated, so the result is grid-exact on both engines.
+    * Window lists are ≤ 7 values regardless of corpus size.
+    */
+  def evtMovingMedian(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(dsum(col("value")).as("value_sum"))
+    val contrib = daily.select(
+      explode(expr(s"sequence(day, date_add(day, ${MmWindow - 1}), interval 1 day)"))
+        .as("tday"),
+      col("value_sum"))
+    contrib.join(daily.select(col("day").as("tday")), Seq("tday"))
+      .groupBy(col("tday"))
+      .agg(count(lit(1)).as("n_window"),
+        sort_array(collect_list(col("value_sum"))).as("vs"))
+      .select(col("tday").as("day"), col("n_window"),
+        expr("element_at(vs, CAST((n_window - 1) DIV 2 AS INT) + 1)").as("p50"))
+  }
+
+  /** Sampler keep-1-in-N modulus (ES `random_sampler` probability =
+    * 1/[[RsMod]]).
+    */
+  val RsMod = 8L
+
+  /** ES `random_sampler` aggregation: run the agg over a deterministic
+    * 1-in-[[RsMod]] row sample and SCALE the estimates back up — the
+    * ES agg that trades exactness for a bounded fraction of the scan's
+    * work downstream (the map-side filter drops 7/8 of the rows before
+    * the shuffle). "Random" here is the repo's pseudo-random device:
+    * 60-bit md5 of the row id, keep `h mod N = 0` — deterministic on
+    * both engines, uniform across ids. Emits per type the sampled
+    * counts/sums AND the ×N estimates next to them.
+    */
+  def evtRandomSampler(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("h", graft.operators.TextOps.rotLong("md5(CAST(event_id AS STRING))", 0))
+      .where(col("h") % RsMod === 0L)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_sampled"), dsum(col("value")).as("value_sum_sampled"))
+      .select(col("event_type"), col("n_sampled"),
+        (col("n_sampled") * lit(RsMod)).as("est_count"),
+        col("value_sum_sampled"),
+        (col("value_sum_sampled") * lit(RsMod.toDouble)).as("est_value_sum"))
+
   /** ES `range`-agg buckets: (key, from inclusive, to exclusive);
     * None = unbounded, the ES "*" edge. Literal on both engines.
     */

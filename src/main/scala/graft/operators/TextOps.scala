@@ -2593,6 +2593,34 @@ object TextOps {
         col("first_pos"), col("frag_start"), col("fragment"))
   }
 
+  /** ES percolate — search INVERTED: the stored queries are the index,
+    * arriving documents are probed against them ("which of my saved
+    * alerts/routing rules does this doc trigger"). Stored queries =
+    * the [[bm25Queries]] term sets as conjunctions (bool/must); a doc
+    * matches when EVERY query term appears. Mechanics: the broadcast
+    * (query, term) table cuts the stored postings map-side (only
+    * percolator-vocabulary postings reach the shuffle — the
+    * [[bm25Ranked]] pre-cut), one (doc, query) group counts DISTINCT
+    * matched terms, and `n_matched = |query|` is the conjunction
+    * test. At scale this is the standard set-containment join; the
+    * per-term candidate streams stay bucket-bounded exactly like the
+    * phrase search's. Emits matches only (ES returns matching query
+    * ids per doc).
+    */
+  def percolate(spark: SparkSession, dir: String,
+      workload: Seq[(Long, Seq[String])] = bm25Queries): DataFrame = {
+    import spark.implicits._
+    val q = workload.flatMap { case (id, ts) =>
+      ts.distinct.map(t => (id, t, ts.distinct.length.toLong))
+    }.toDF("query_id", "term", "n_terms")
+    postingsIndex(spark, dir)
+      .join(broadcast(q), Seq("term"))
+      .groupBy(col("doc_id"), col("query_id"), col("n_terms"))
+      .agg(countDistinct(col("term")).as("n_matched"))
+      .where(col("n_matched") === col("n_terms"))
+      .select(col("doc_id"), col("query_id"), col("n_matched"))
+  }
+
   /** function_score fixture dials (ES `function_score` request):
     * filter-weight functions (×3 for the boosted sources, ×2 for the
     * boosted language — `score_mode: multiply`), a linear decay on

@@ -101,6 +101,9 @@ class GoldenSpec extends SparkSpec {
     "graph_link_predict" -> ((5993286112755573745L, 20L)),
     "emb_hard_negatives" -> ((-7032692847837514657L, 50L)),
     "evt_range_agg" -> ((7504466507948292938L, 3L)),
+    "txt_percolate" -> ((-8412797398769067444L, 1573L)),
+    "evt_moving_median" -> ((1442373081704886722L, 30L)),
+    "evt_random_sampler" -> ((1730915374594857300L, 5L)),
     "evt_filters_agg" -> ((-5439690195675573527L, 3L)),
     "q66_weighted_avg" -> ((468720987685060888L, 3L)),
     "emb_silhouette" -> ((3528614142472432465L, 10L)),

@@ -801,6 +801,52 @@ class RelationalSpec extends SparkSpec {
     assert(out2(("a", h0 + 10800)).getAs[Double]("v_interp") === 10.0)
   }
 
+  test("evt_moving_median: trailing-window lower median replays from daily sums") {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(to_date(col("ts")).as("day"), col("value")).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getDouble(1)))
+    val daily = ev.groupBy(_._1).map { case (d, vs) =>
+      d -> vs.map(v => BigDecimal(v._2).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+    }
+    val rows = operators.Relational.evtMovingMedian(spark, sfDir).collect()
+      .map(r => r.getDate(0).toLocalDate -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(rows.keySet === daily.keySet)
+    daily.keys.foreach { d =>
+      val win = daily.filter { case (d2, _) =>
+        !d2.isAfter(d) && !d2.isBefore(d.minusDays(operators.Relational.MmWindow - 1))
+      }.values.toSeq.sorted
+      assert(rows(d)._1 === win.length.toLong, s"$d window size")
+      assert(rows(d)._2 === win((win.length - 1) / 2), s"$d median")
+    }
+    // windows genuinely span multiple days somewhere
+    assert(rows.values.exists(_._1 > 1L))
+  }
+
+  test("evt_random_sampler: md5-rotation gate and scale-ups replay exactly") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(id: Long): Long = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select("event_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val kept = ev.filter(e => h60(e._1) % operators.Relational.RsMod == 0)
+    assert(kept.nonEmpty && kept.length < ev.length)
+    val rows = operators.Relational.evtRandomSampler(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val want = kept.groupBy(_._2).map { case (t, es) =>
+      val s = es.map(e =>
+        BigDecimal(e._3).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+      t -> ((es.length.toLong, es.length.toLong * operators.Relational.RsMod,
+        s, s * operators.Relational.RsMod.toDouble))
+    }
+    assert(rows === want)
+  }
+
   test("evt_range_agg: bucket membership replays; configured buckets survive empty") {
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
     val values = ev.select("value").collect().map(_.getDouble(0))

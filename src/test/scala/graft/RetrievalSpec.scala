@@ -314,6 +314,23 @@ class RetrievalSpec extends SparkSpec {
       operators.TextOps.bm25Queries.size)
   }
 
+  test("percolate: matches are exactly the docs containing EVERY query term") {
+    val rows = operators.TextOps.percolate(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = (for {
+      (d, ws) <- corpusWords
+      set = ws.toSet
+      (q, ts) <- operators.TextOps.bm25Queries
+      dts = ts.distinct
+      if dts.forall(set)
+    } yield (d, q) -> dts.length.toLong).toMap
+    assert(rows === want)
+    assert(rows.nonEmpty)
+    // the conjunction is doing work: some doc matches one query but not all
+    val byDoc = rows.keys.groupBy(_._1).values.map(_.size)
+    assert(byDoc.exists(_ < operators.TextOps.bm25Queries.size))
+  }
+
   test("functionScore: weights, decay, and ranking replay exactly from doc metadata") {
     val T = operators.TextOps
     val meta = spark.read.parquet(s"$sfDir/documents.parquet")
