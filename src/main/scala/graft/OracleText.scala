@@ -1532,6 +1532,104 @@ object OracleText {
        |FROM fr""".stripMargin
   }
 
+  /** Mirror of TextOps.nearSearch: the positional-postings relation,
+    * the same a-position explode onto its ≤ slop+1 admissible
+    * b-positions (range() is end-exclusive — pos+2+slop matches
+    * Spark's inclusive sequence), exact (doc, pos, term) equi-join.
+    */
+  val nearSearch: String = {
+    val qvals = TextOps.NearQueries.map { case (id, a, b, s) =>
+      s"(CAST($id AS BIGINT), '$a', '$b', CAST($s AS BIGINT))"
+    }.mkString(", ")
+    s"""WITH $wordsCte,
+       |pp AS (
+       |  SELECT doc_id, u.p AS pos, u.t AS term FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(words) + 1),
+       |      i -> {'p': CAST(i AS BIGINT), 't': words[i]})) AS u
+       |    FROM docs)
+       |),
+       |q(query_id, term_a, term_b, slop) AS (VALUES $qvals),
+       |a AS (
+       |  SELECT q.query_id, pp.doc_id, pp.pos AS p1, q.term_b,
+       |    unnest(range(pp.pos + 1, pp.pos + 2 + q.slop)) AS p2
+       |  FROM pp JOIN q ON pp.term = q.term_a
+       |)
+       |SELECT a.query_id, a.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences,
+       |  CAST(min(a.p1) AS BIGINT) AS first_pos
+       |FROM a JOIN pp b
+       |  ON b.doc_id = a.doc_id AND b.pos = a.p2 AND b.term = a.term_b
+       |GROUP BY a.query_id, a.doc_id""".stripMargin
+  }
+
+  /** Mirror of TextOps.suggestPhrase: the term suggester's candidate
+    * chain per slot, within-phrase candidate cross, the surprisal
+    * bigram counts as the LM, the same all-integer ranking key.
+    */
+  val suggestPhrase: String = {
+    val inputs = TextOps.PhraseSuggestInputs
+      .flatMap { case (_, a, b) => Seq(a, b) }.distinct
+    val inVals = inputs.map(s => s"('$s')").mkString(", ")
+    val phVals = TextOps.PhraseSuggestInputs.map { case (id, a, b) =>
+      s"(CAST($id AS BIGINT), '$a', '$b')"
+    }.mkString(", ")
+    def delKeys(c: String): String =
+      s"""list_distinct(list_concat([$c],
+         |    list_transform(range(1, length($c) + 1),
+         |      i -> substr($c, 1, i - 1) || substr($c, i + 1))))""".stripMargin
+    s"""WITH $wordsCte,
+       |ptf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(words) AS term FROM docs) t
+       |  GROUP BY doc_id, term
+       |),
+       |vocab AS (SELECT term FROM ptf GROUP BY term),
+       |vkeys AS (
+       |  SELECT term, unnest(${delKeys("term")}) AS key FROM vocab
+       |),
+       |ikeys AS (
+       |  SELECT input_term, unnest(${delKeys("input_term")}) AS key
+       |  FROM (VALUES $inVals) t(input_term)
+       |),
+       |cands AS (
+       |  SELECT DISTINCT input_term, term FROM vkeys JOIN ikeys USING (key)
+       |),
+       |sc AS (
+       |  SELECT input_term, term,
+       |    CAST(levenshtein(input_term, term) AS BIGINT) AS dist
+       |  FROM cands
+       |  WHERE levenshtein(input_term, term) <= ${TextOps.SuggestMaxEdits}
+       |),
+       |ph(query_id, in_a, in_b) AS (VALUES $phVals),
+       |pairs AS (
+       |  SELECT ph.query_id, a.term AS cand_a, a.dist AS dist_a,
+       |    b.term AS cand_b, b.dist AS dist_b
+       |  FROM ph
+       |  JOIN sc a ON a.input_term = ph.in_a
+       |  JOIN sc b ON b.input_term = ph.in_b
+       |),
+       |bgr AS (
+       |  SELECT words[CAST(i AS INT)] AS w1, words[CAST(i + 1 AS INT)] AS w2
+       |  FROM docs, unnest(range(1, len(words))) t(i)
+       |  WHERE len(words) >= 2
+       |),
+       |bgc AS (SELECT w1, w2, count(*) AS c_bg FROM bgr GROUP BY w1, w2),
+       |scored AS (
+       |  SELECT p.query_id, p.cand_a, p.cand_b,
+       |    CAST(COALESCE(bgc.c_bg, 0) AS BIGINT) AS bg_count,
+       |    p.dist_a + p.dist_b AS dist_sum
+       |  FROM pairs p
+       |  LEFT JOIN bgc ON bgc.w1 = p.cand_a AND bgc.w2 = p.cand_b
+       |),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY bg_count DESC, dist_sum ASC, cand_a ASC, cand_b ASC) AS r
+       |  FROM scored
+       |)
+       |SELECT query_id, CAST(r AS BIGINT) AS "rank",
+       |  cand_a AS suggestion_a, cand_b AS suggestion_b, bg_count, dist_sum
+       |FROM ranked WHERE r <= ${TextOps.PhraseSuggestTopK}""".stripMargin
+  }
+
   /** Mirror of TextOps.percolate: distinct (doc, term) pairs joined to
     * the literal stored-query table, DISTINCT-matched-term count per
     * (doc, query), conjunction test in the HAVING.

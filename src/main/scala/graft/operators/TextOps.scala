@@ -2527,6 +2527,21 @@ object TextOps {
     * artifact ES's does.
     */
   def suggest(spark: SparkSession, dir: String): DataFrame = {
+    val cands = suggestCands(spark, dir, SuggestInputs)
+    val w = Window.partitionBy(col("input_term"))
+      .orderBy(col("dist").asc, col("freq").desc, col("term").asc)
+    cands.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= SuggestTopK)
+      .select(col("input_term"), col("rank"),
+        col("term").as("suggestion"), col("dist"), col("freq"))
+  }
+
+  /** [[suggest]]'s candidate generator, factored for the PHRASE
+    * suggester: deletion-1 blocked, levenshtein-verified
+    * (input_term, term, dist, freq) candidates, unranked.
+    */
+  private def suggestCands(spark: SparkSession, dir: String,
+      inputTerms: Seq[String]): DataFrame = {
     import spark.implicits._
     def delKeys(c: String): String =
       s"""array_distinct(concat(array($c),
@@ -2536,20 +2551,14 @@ object TextOps {
       .groupBy(col("term")).agg(sum(col("tf")).as("freq"))
       .select(col("term"), col("freq"),
         explode(expr(delKeys("term"))).as("key"))
-    val inputs = SuggestInputs.toDF("input_term")
+    val inputs = inputTerms.toDF("input_term")
       .select(col("input_term"),
         explode(expr(delKeys("input_term"))).as("key"))
-    val cands = vocab.join(broadcast(inputs), Seq("key"))
+    vocab.join(broadcast(inputs), Seq("key"))
       .select(col("input_term"), col("term"), col("freq")).distinct()
       .withColumn("dist",
         levenshtein(col("input_term"), col("term")).cast("long"))
       .where(col("dist") <= SuggestMaxEdits)
-    val w = Window.partitionBy(col("input_term"))
-      .orderBy(col("dist").asc, col("freq").desc, col("term").asc)
-    cands.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= SuggestTopK)
-      .select(col("input_term"), col("rank"),
-        col("term").as("suggestion"), col("dist"), col("freq"))
   }
 
   /** Highlighter window: words kept each side of the first match. */
@@ -2591,6 +2600,94 @@ object TextOps {
            |    concat('<em>', w, '</em>'), w)), ' ')""".stripMargin))
       .select(col("query_id"), col("rank"), col("doc_id"),
         col("first_pos"), col("frag_start"), col("fragment"))
+  }
+
+  /** Proximity workload — (query_id, first term, second term, slop):
+    * an adjacent-heavy pair, a loose pair, an out-of-vocabulary
+    * negative, and a repeated-term pair (p2 > p1 strictly).
+    */
+  val NearQueries: Seq[(Long, String, String, Int)] = Seq(
+    (0L, "order", "fast", 2),
+    (1L, "stream", "column", 4),
+    (2L, "slow", "zebra", 3),
+    (3L, "batch", "batch", 2))
+
+  /** ES `span_near` (ordered, in_order: true): term b within `slop`
+    * positions AFTER term a (gap 0 = adjacent). Like
+    * [[phraseSearch]], a positional-index read — and like the rolling
+    * windows, the slop is handled by EXPLODING each a-position to its
+    * ≤ slop+1 admissible b-positions and equi-joining on the exact
+    * (doc, pos, term) key: no range join, no per-doc M×N position
+    * blowup, candidate stream bounded by tf(a)·(slop+1). Emits per
+    * (query, doc) the matched (a, b) pair count and the first a
+    * position.
+    */
+  def nearSearch(spark: SparkSession, dir: String,
+      workload: Seq[(Long, String, String, Int)] = NearQueries): DataFrame = {
+    import spark.implicits._
+    val q = workload.map { case (id, a, b, s) => (id, a, b, s.toLong) }
+      .toDF("query_id", "term_a", "term_b", "slop")
+    val pi = positionsIndex(spark, dir)
+    val aSide = pi.join(broadcast(q), col("term") === col("term_a"))
+      .select(col("query_id"), col("doc_id"), col("pos").as("p1"),
+        col("term_b"),
+        explode(expr("sequence(pos + 1, pos + 1 + slop)")).as("p2"))
+    aSide.join(pi.select(col("doc_id"), col("pos").as("p2"),
+        col("term").as("term_b")), Seq("doc_id", "p2", "term_b"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_occurrences"), min(col("p1")).as("first_pos"))
+  }
+
+  /** Phrase-suggester workload — two-slot inputs: both slots
+    * misspelled, first slot misspelled + exact second, and an
+    * out-of-vocabulary second slot (no candidate → no suggestion, the
+    * negative).
+    */
+  val PhraseSuggestInputs: Seq[(Long, String, String)] = Seq(
+    (0L, "ordr", "scann"),
+    (1L, "fst", "joinn"),
+    (2L, "slow", "zebra"))
+  val PhraseSuggestTopK = 3
+
+  /** ES phrase suggester ("did you mean", whole-phrase): per input
+    * slot the deletion-1/levenshtein candidate set ([[suggestCands]] —
+    * the term suggester's generator), slot candidates crossed WITHIN
+    * each phrase (tiny: |cands_a|·|cands_b| per input), then rescored
+    * by the corpus bigram LANGUAGE MODEL — the [[surprisal]] bigram
+    * counts — so "order scan" outranks a frequency-plausible but
+    * never-adjacent pair (exactly ES's candidate-generator + LM-scorer
+    * split). Ranking key (bigram count DESC, total edit distance ASC,
+    * candidates ASC) is all-integer. The bigram join broadcasts the
+    * candidate pairs into the corpus-sized count table.
+    */
+  def suggestPhrase(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val inputs = PhraseSuggestInputs.flatMap { case (_, a, b) => Seq(a, b) }.distinct
+    val cands = suggestCands(spark, dir, inputs)
+    val ph = PhraseSuggestInputs.toDF("query_id", "in_a", "in_b")
+    val pairs = ph
+      .join(cands.select(col("input_term").as("in_a"),
+        col("term").as("cand_a"), col("dist").as("dist_a")), Seq("in_a"))
+      .join(cands.select(col("input_term").as("in_b"),
+        col("term").as("cand_b"), col("dist").as("dist_b")), Seq("in_b"))
+    val bg = withWordsAttr(spark, dir)
+      .where(size(col("words")) >= 2)
+      .select(posexplode(expr(
+        "transform(sequence(0, size(words) - 2), i -> struct(words[i] AS w1, words[i + 1] AS w2))"))
+        .as(Seq("pos", "bg")))
+      .select(col("bg.w1").as("cand_a"), col("bg.w2").as("cand_b"))
+      .groupBy(col("cand_a"), col("cand_b")).agg(count(lit(1)).as("c_bg"))
+    val scored = bg.join(broadcast(pairs), Seq("cand_a", "cand_b"), "right")
+      .withColumn("bg_count", coalesce(col("c_bg"), lit(0L)))
+      .withColumn("dist_sum", col("dist_a") + col("dist_b"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("bg_count").desc, col("dist_sum").asc,
+        col("cand_a").asc, col("cand_b").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= PhraseSuggestTopK)
+      .select(col("query_id"), col("rank"),
+        col("cand_a").as("suggestion_a"), col("cand_b").as("suggestion_b"),
+        col("bg_count"), col("dist_sum"))
   }
 
   /** ES percolate — search INVERTED: the stored queries are the index,

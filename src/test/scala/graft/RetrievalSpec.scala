@@ -314,6 +314,59 @@ class RetrievalSpec extends SparkSpec {
       operators.TextOps.bm25Queries.size)
   }
 
+  test("nearSearch: ordered-proximity pairs replay; OOV pair stays empty") {
+    val rows = operators.TextOps.nearSearch(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    val want = (for {
+      (q, a, b, slop) <- operators.TextOps.NearQueries
+      (d, ws) <- corpusWords
+      pairs = for {
+        i <- ws.indices if ws(i) == a
+        j <- ws.indices if ws(j) == b && j - i >= 1 && j - i <= 1 + slop
+      } yield (i + 1, j + 1)
+      if pairs.nonEmpty
+    } yield (q, d) -> ((pairs.length.toLong, pairs.map(_._1).min.toLong))).toMap
+    assert(rows === want)
+    assert(rows.nonEmpty)
+    assert(!rows.keys.exists(_._1 == 2L), "OOV pair matched")
+    assert(rows.keys.exists(_._1 == 3L), "repeated-term pair never matched")
+  }
+
+  test("suggestPhrase: per-slot candidates × bigram LM replay; OOV slot yields nothing") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val vocab = corpusWords.flatMap(_._2).distinct
+    val bg = corpusWords.flatMap { case (_, ws) => ws.zip(ws.drop(1)) }
+      .groupBy(identity).map { case (p, o) => p -> o.size.toLong }
+    def cands(in: String) = vocab.map(t => (t, lev(in, t).toLong))
+      .filter(_._2 <= operators.TextOps.SuggestMaxEdits)
+    val got = operators.TextOps.suggestPhrase(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getLong(4), r.getLong(5)))
+    operators.TextOps.PhraseSuggestInputs.foreach { case (q, ia, ib) =>
+      val want = (for ((ca, da) <- cands(ia); (cb, db) <- cands(ib))
+        yield (ca, cb, bg.getOrElse((ca, cb), 0L), da + db))
+        .sortBy { case (ca, cb, c, ds) => (-c, ds, ca, cb) }
+        .take(operators.TextOps.PhraseSuggestTopK)
+      val rows = got.filter(_._1 == q).sortBy(_._2)
+      assert(rows.map(_._2).toSeq === (1L to rows.length).toSeq, s"query $q ranks")
+      assert(rows.map { case (_, _, a, b, c, ds) => (a, b, c, ds) }.toSeq === want,
+        s"query $q suggestions")
+    }
+    // the LM is doing work: the top correction is a real adjacent bigram
+    val top0 = got.filter(r => r._1 == 0L && r._2 == 1L).head
+    assert((top0._3, top0._4) === (("order", "scan")))
+    assert(top0._5 > 0L)
+    assert(!got.exists(_._1 == 2L), "OOV slot produced a suggestion")
+  }
+
   test("percolate: matches are exactly the docs containing EVERY query term") {
     val rows = operators.TextOps.percolate(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
