@@ -920,14 +920,30 @@ object Relational {
     * map task ships ≤ k rows per group) and the final per-group
     * sorted-array fold touches k values — group count × k total.
     */
-  def q50SampleQuantiles(spark: SparkSession, dir: String): DataFrame = {
+  def q50SampleQuantiles(spark: SparkSession, dir: String): DataFrame =
+    sampleQuantiles(bottomKSample(Tables.events(spark, dir)))
+
+  /** The sketch half of [[q50SampleQuantiles]]: per-type bottom-[[SqK]]
+    * rows by 60-bit md5(event_id) — the mergeable sample. Factored so
+    * the STREAMING store ([[graft.streaming.StreamingQuantiles]])
+    * reduces each micro-batch and re-takes over the union through the
+    * identical code.
+    */
+  private[graft] def bottomKSample(ev: DataFrame, k: Int = SqK): DataFrame = {
     val w = Window.partitionBy(col("event_type"))
       .orderBy(col("h").asc, col("event_id").asc)
-    Tables.events(spark, dir)
-      .select(col("event_type"), col("event_id"), col("value"),
+    ev.select(col("event_type"), col("event_id"), col("value"),
         TextOps.rotLong("md5(CAST(event_id AS STRING))", 0).as("h"))
       .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= SqK)
+      .where(col("rn") <= k)
+      .select(col("event_type"), col("event_id"), col("value"), col("h"))
+  }
+
+  /** The readout half of [[q50SampleQuantiles]]: quantiles copied off
+    * each type's sorted sample values.
+    */
+  private[graft] def sampleQuantiles(sample: DataFrame): DataFrame =
+    sample
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_sampled"),
         sort_array(collect_list(col("value"))).as("vs"))
@@ -937,7 +953,6 @@ object Relational {
         expr("element_at(vs, CAST((n_sampled - 1) DIV 2 AS INT) + 1)").as("p50"),
         expr("element_at(vs, CAST(3 * (n_sampled - 1) DIV 4 AS INT) + 1)").as("p75"),
         expr("element_at(vs, CAST(n_sampled AS INT))").as("sample_max"))
-  }
 
   // --- Sequence analytics -----------------------------------------------
 

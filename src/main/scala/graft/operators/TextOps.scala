@@ -453,7 +453,7 @@ object TextOps {
     * map-side partial min. Family shared with the DuckDB oracle
     * (OracleText.rotLong).
     */
-  private[operators] def rotLong(h: String, r: Int): Column = {
+  private[graft] def rotLong(h: String, r: Int): Column = {
     val prefix15 =
       if (r <= 17) s"substring($h, ${r + 1}, 15)"
       else s"concat(substring($h, ${r + 1}, ${32 - r}), substring($h, 1, ${r - 17}))"
