@@ -967,6 +967,30 @@ object OracleRelational {
       |FROM days dy CROSS JOIN types t
       |LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = dy.day""".stripMargin
 
+  /** Mirror of Relational.evtBucketPipeline: daily conditional counts,
+    * HAVING floor, integer-grid derived metric, total-ordered top-N.
+    */
+  val evtBucketPipeline: String = {
+    val r = graft.operators.Relational
+    s"""WITH daily AS (
+       |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS doc_count,
+       |    CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase
+       |  FROM events GROUP BY CAST(ts AS DATE)
+       |  HAVING count(*) >= ${r.BsMinDocs}
+       |),
+       |derived AS (
+       |  SELECT day, doc_count, n_purchase,
+       |    CAST((n_purchase * 1099511627776) // doc_count AS BIGINT)
+       |      AS purchase_share_grid
+       |  FROM daily
+       |)
+       |SELECT day, doc_count, n_purchase, purchase_share_grid,
+       |  CAST(purchase_share_grid AS DOUBLE) / 1099511627776.0 AS purchase_share
+       |FROM derived
+       |ORDER BY purchase_share_grid DESC, day ASC
+       |LIMIT ${r.BsTopN}""".stripMargin
+  }
+
   /** Mirror of Relational.evtMovingMedian: the same ≤7-day explode
     * onto target days, inner join to observed days, sorted in-window
     * list, lower-median index copy.

@@ -1532,6 +1532,89 @@ object OracleText {
        |FROM fr""".stripMargin
   }
 
+  /** Mirror of TextOps.ragRetrieve: the chunk CTE chain, keeper
+    * dedup by min packed id per content hash, the BM25 formula over
+    * chunk postings (cid plays doc_id), packed-key decode at the edge.
+    */
+  val ragRetrieve: String = {
+    val (w, s0) = (TextOps.ChunkWindow, TextOps.ChunkStride)
+    val radix = TextOps.ChunkPackRadix
+    val qvals = TextOps.bm25Queries
+      .flatMap { case (q, ts) => ts.map(t => s"(CAST($q AS BIGINT), '$t')") }
+      .mkString(", ")
+    s"""WITH cdocs AS (
+       |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+       |),
+       |sized AS (
+       |  SELECT doc_id, words, CAST(len(words) AS BIGINT) AS n FROM cdocs
+       |),
+       |idx AS (
+       |  SELECT doc_id, words, n,
+       |    unnest(range(0, CAST(ceil(n / CAST($s0 AS DOUBLE)) AS BIGINT))) AS chunk_id
+       |  FROM sized
+       |),
+       |cut AS (
+       |  SELECT doc_id, chunk_id,
+       |    array_to_string(list_slice(words,
+       |      CAST(chunk_id * $s0 + 1 AS INT), CAST(chunk_id * $s0 + $w AS INT)), ' ')
+       |      AS chunk_text
+       |  FROM idx
+       |),
+       |ck AS (
+       |  SELECT doc_id * $radix + chunk_id AS cid, chunk_text,
+       |    md5(chunk_text) AS chunk_hash
+       |  FROM cut
+       |),
+       |keep AS (SELECT chunk_hash, min(cid) AS cid FROM ck GROUP BY chunk_hash),
+       |kept AS (
+       |  SELECT ck.cid, ck.chunk_text FROM ck
+       |  JOIN keep ON ck.chunk_hash = keep.chunk_hash AND ck.cid = keep.cid
+       |),
+       |q(query_id, term) AS (VALUES $qvals),
+       |cdl AS (SELECT cid, len(string_split(chunk_text, ' ')) AS dl FROM kept),
+       |stats AS (SELECT count(dl) AS n_docs, sum(dl) AS dl_sum FROM cdl),
+       |tc AS (
+       |  SELECT cid, term, count(*) AS tf FROM (
+       |    SELECT cid, unnest(string_split(chunk_text, ' ')) AS term FROM kept) t
+       |  WHERE term IN (SELECT DISTINCT term FROM q)
+       |  GROUP BY cid, term
+       |),
+       |dfq AS (SELECT term, count(*) AS df FROM tc GROUP BY term),
+       |c1 AS (
+       |  SELECT tc.cid, tc.term, tc.tf, dfq.df, cdl.dl,
+       |    stats.n_docs, stats.dl_sum
+       |  FROM tc JOIN dfq USING (term) JOIN cdl USING (cid), stats
+       |),
+       |c2 AS (
+       |  SELECT cid, term, tf, dl,
+       |    CAST(dl_sum AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl,
+       |    (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+       |      (CAST(df AS DOUBLE) + 0.5) + 1.0 AS idf
+       |  FROM c1
+       |),
+       |c3 AS (
+       |  SELECT cid, term,
+       |    CAST(floor(idf * ((CAST(tf AS DOUBLE) * 2.2) /
+       |      (CAST(tf AS DOUBLE) + 1.2 *
+       |        (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))) *
+       |      1099511627776.0) AS BIGINT) AS cg
+       |  FROM c2
+       |),
+       |scored AS (
+       |  SELECT q.query_id, c3.cid,
+       |    CAST(sum(c3.cg) AS BIGINT) AS score, count(*) AS n_matched
+       |  FROM c3 JOIN q USING (term) GROUP BY q.query_id, c3.cid
+       |),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY score DESC, cid ASC) AS "rank"
+       |  FROM scored
+       |)
+       |SELECT query_id, "rank", cid // $radix AS doc_id, cid % $radix AS chunk_id,
+       |  score, n_matched
+       |FROM ranked WHERE "rank" <= ${TextOps.Bm25TopK}""".stripMargin
+  }
+
   /** Mirror of TextOps.nearSearch: the positional-postings relation,
     * the same a-position explode onto its ≤ slop+1 admissible
     * b-positions (range() is end-exclusive — pos+2+slop matches

@@ -1330,6 +1330,35 @@ object Relational {
         coalesce(col("value_sum"), lit(0.0d)).as("value_sum"))
   }
 
+  /** bucket_selector floor and bucket_sort size (ES pipeline trio). */
+  val BsMinDocs = 10L
+  val BsTopN = 10
+
+  /** The remaining ES bucket-pipeline trio in one flow —
+    * `bucket_script` (a derived per-bucket metric: purchase share, on
+    * the 2^40 integer grid — exact integer division, no float in the
+    * sort key), `bucket_selector` (drop buckets under [[BsMinDocs]]
+    * docs — HAVING over the bucket table), `bucket_sort` (top
+    * [[BsTopN]] buckets by the derived metric, total-ordered
+    * TakeOrdered). All three run over the tiny daily bucket aggregate;
+    * the corpus pays exactly one partial-aggregated day shuffle.
+    */
+  def evtBucketPipeline(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("doc_count"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchase"))
+      .where(col("doc_count") >= BsMinDocs)
+      .withColumn("purchase_share_grid",
+        expr("(n_purchase * 1099511627776L) div doc_count"))
+      .orderBy(col("purchase_share_grid").desc, col("day").asc)
+      .limit(BsTopN)
+      .select(col("day"), col("doc_count"), col("n_purchase"),
+        col("purchase_share_grid"),
+        (col("purchase_share_grid").cast("double") / lit(1099511627776.0))
+          .as("purchase_share"))
+
   /** Moving-median trailing window, days (ES `moving_percentiles`
     * `window` over a date_histogram).
     */

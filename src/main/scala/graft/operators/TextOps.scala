@@ -2718,6 +2718,44 @@ object TextOps {
       .select(col("doc_id"), col("query_id"), col("n_matched"))
   }
 
+  /** Composed RAG retrieval — the modern ingest-then-serve story in
+    * one operator: [[chunks]] the corpus into overlapping retrieval
+    * units, drop duplicate chunk text down to its keeper occurrence
+    * (the [[chunkDedup]] keep-lowest-packed-id convention — duplicated
+    * boilerplate otherwise poisons every nearest list with identical
+    * hits), then rank chunks for the [[bm25Queries]] workload through
+    * the SAME [[bm25RankedFrom]] scoring the document index uses —
+    * the chunk key is the packed `doc·2^32 + chunk` integer, decoded
+    * back to (doc_id, chunk_id) at the edge. Every stage is an
+    * existing audited shape: one Generate (chunking), one hash-keyed
+    * keeper groupBy, one term-keyed postings aggregate, the BM25
+    * broadcast chain.
+    */
+  def ragRetrieve(spark: SparkSession, dir: String,
+      workload: Seq[(Long, Seq[String])] = bm25Queries): DataFrame = {
+    import spark.implicits._
+    val ch = chunks(spark, dir).select(
+      (col("doc_id") * ChunkPackRadix + col("chunk_id")).as("cid"),
+      col("chunk_text"), col("chunk_hash"))
+    val keepers = ch.groupBy(col("chunk_hash")).agg(min(col("cid")).as("cid"))
+    val kept = ch.join(keepers, Seq("chunk_hash", "cid"))
+      .select(col("cid").as("doc_id"), col("chunk_text"))
+    val queries = workload.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("query_id", "term")
+    val qterms = queries.select(col("term")).distinct()
+    val tf = kept
+      .select(col("doc_id"), explode(split(col("chunk_text"), " ")).as("term"))
+      .join(broadcast(qterms), Seq("term"), "left_semi")
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = kept.select(col("doc_id"),
+      size(split(col("chunk_text"), " ")).as("dl"))
+    bm25RankedFrom(tf, dl, queries, excludeSelf = false)
+      .select(col("query_id"), col("rank"),
+        expr(s"doc_id div $ChunkPackRadix").as("doc_id"),
+        expr(s"doc_id % $ChunkPackRadix").as("chunk_id"),
+        col("score"), col("n_matched"))
+  }
+
   /** function_score fixture dials (ES `function_score` request):
     * filter-weight functions (×3 for the boosted sources, ×2 for the
     * boosted language — `score_mode: multiply`), a linear decay on

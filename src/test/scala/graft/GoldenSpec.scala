@@ -103,6 +103,8 @@ class GoldenSpec extends SparkSpec {
     "evt_range_agg" -> ((7504466507948292938L, 3L)),
     "txt_percolate" -> ((-8412797398769067444L, 1573L)),
     "txt_near" -> ((-7856918457346586988L, 303L)),
+    "rag_retrieve" -> ((-3879666950225425432L, 50L)),
+    "evt_bucket_pipeline" -> ((4265221512268032702L, 10L)),
     "txt_suggest_phrase" -> ((9220818723791582033L, 2L)),
     "evt_moving_median" -> ((1442373081704886722L, 30L)),
     "evt_random_sampler" -> ((1730915374594857300L, 5L)),

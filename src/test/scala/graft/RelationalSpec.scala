@@ -801,6 +801,31 @@ class RelationalSpec extends SparkSpec {
     assert(out2(("a", h0 + 10800)).getAs[Double]("v_interp") === 10.0)
   }
 
+  test("evt_bucket_pipeline: script/selector/sort replay over daily buckets") {
+    val R = operators.Relational
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(to_date(col("ts")).as("day"), col("event_type")).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getString(1)))
+    val daily = ev.groupBy(_._1).map { case (d, es) =>
+      (d, es.length.toLong, es.count(_._2 == "purchase").toLong)
+    }.toSeq
+    val want = daily.filter(_._2 >= R.BsMinDocs)
+      .map { case (d, n, p) => (d, n, p, (p * 1099511627776L) / n) }
+      .sortBy { case (d, _, _, g) => (-g, d.toEpochDay) }
+      .take(R.BsTopN)
+    val got = R.evtBucketPipeline(spark, sfDir).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === want)
+    got.zip(R.evtBucketPipeline(spark, sfDir).collect()).foreach { case ((_, _, _, g), r) =>
+      assert(r.getDouble(4) === g.toDouble / 1099511627776.0)
+    }
+    // the selector would drop something on a thinned fixture
+    val thin = daily.count(_._2 < R.BsMinDocs)
+    assert(got.size <= R.BsTopN)
+    assert(thin >= 0) // informational; floor exercised by construction when thin > 0
+  }
+
   test("evt_moving_median: trailing-window lower median replays from daily sums") {
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
       .select(to_date(col("ts")).as("day"), col("value")).collect()

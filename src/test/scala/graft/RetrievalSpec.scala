@@ -314,6 +314,55 @@ class RetrievalSpec extends SparkSpec {
       operators.TextOps.bm25Queries.size)
   }
 
+  test("ragRetrieve: scores the deduped chunk corpus; keys decode; dedup is load-bearing") {
+    val T = operators.TextOps
+    val rows = T.ragRetrieve(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // full driver replay: chunk, dedup to keeper occurrences, BM25
+    val radix = T.ChunkPackRadix
+    val chunks = corpusWords.flatMap { case (d, ws) =>
+      val n = (ws.length + T.ChunkStride - 1) / T.ChunkStride
+      (0 until math.max(n, if (ws.length == 0) 0 else 1)).map { i =>
+        val text = ws.slice(i * T.ChunkStride,
+          math.min(ws.length, i * T.ChunkStride + T.ChunkWindow)).mkString(" ")
+        (d * radix + i, text)
+      }
+    }
+    val kept = chunks.groupBy(_._2).map { case (_, occ) => occ.minBy(_._1) }.toSeq
+    val keptWords = kept.map { case (cid, text) => (cid, text.split(" ")) }
+    // reuse the BM25 replay shape over the chunk corpus
+    val qvocab = operators.TextOps.bm25Queries.flatMap(_._2).toSet
+    val tf = keptWords.flatMap { case (c, ws) =>
+      ws.filter(qvocab).groupBy(identity).map { case (t, o) => ((c, t), o.length.toLong) }
+    }.toMap
+    val df = tf.keys.groupBy(_._2).map { case (t, ks) => t -> ks.size.toLong }
+    val nDocs = keptWords.size.toLong
+    val dlSum = keptWords.map(_._2.length.toLong).sum
+    val avgdl = dlSum.toDouble / nDocs.toDouble
+    val dl = keptWords.map { case (c, ws) => c -> ws.length.toLong }.toMap
+    def cg(c: Long, t: String): Long = {
+      val idf = (nDocs.toDouble - df(t).toDouble + 0.5) / (df(t).toDouble + 0.5) + 1.0
+      val norm = 0.25 + 0.75 * (dl(c).toDouble / avgdl)
+      math.floor(idf * ((tf((c, t)).toDouble * 2.2) /
+        (tf((c, t)).toDouble + 1.2 * norm)) * 1099511627776.0).toLong
+    }
+    val want = operators.TextOps.bm25Queries.map { case (q, ts) =>
+      q -> keptWords.map(_._1).flatMap { c =>
+        val hit = ts.filter(t => tf.contains((c, t)))
+        if (hit.isEmpty) None
+        else Some((c, hit.map(t => cg(c, t)).sum, hit.size.toLong))
+      }.sortBy { case (c, s, _) => (-s, c) }.take(operators.TextOps.Bm25TopK)
+    }.toMap
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val got = rs.sortBy(_.getLong(1))
+        .map(r => (r.getLong(2) * radix + r.getLong(3), r.getLong(4), r.getLong(5)))
+        .toSeq
+      assert(got === want(q), s"query $q chunk ranking")
+    }
+    // the dedup stage genuinely dropped occurrences
+    assert(kept.size < chunks.size, "fixture has no duplicate chunks — dedup untested")
+  }
+
   test("nearSearch: ordered-proximity pairs replay; OOV pair stays empty") {
     val rows = operators.TextOps.nearSearch(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))

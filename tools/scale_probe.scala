@@ -1021,4 +1021,107 @@ for (k <- Seq(1, 8, 16)) {
   }
   println(f"  k=$k%2d (${500 * k}%6d docs base x sf-mult): $s%6.2f s")
 }
+
+println("== suggester shape (vocab + freq agg, deletion-1 key explode, key equi-join, levenshtein verify) ==")
+for (k <- Seq(1, 8, 16)) {
+  val inputs = Seq("ordr", "scann", "colum", "vektor", "key", "zebra")
+  val s = timed {
+    def delKeys(c: String) =
+      s"""array_distinct(concat(array($c), transform(sequence(1, length($c)),
+         |  i -> concat(substr($c, 1, i - 1), substr($c, i + 1)))))""".stripMargin
+    val vocab = multi("documents", k)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+      .select(col("term"), col("freq"), explode(expr(delKeys("term"))).as("key"))
+    val ik = inputs.toDF("input_term")
+      .select(col("input_term"), explode(expr(delKeys("input_term"))).as("key"))
+    vocab.join(broadcast(ik), Seq("key"))
+      .select(col("input_term"), col("term"), col("freq")).distinct()
+      .where(levenshtein(col("input_term"), col("term")) <= 1)
+      .collect()
+  }
+  println(f"  k=$k%2d (${500 * k}%6d docs): $s%6.2f s")
+}
+
+println("== percolate shape (distinct doc-term postings, broadcast query-term cut, conjunction count) ==")
+for (k <- Seq(1, 8, 16)) {
+  val q = graft.operators.TextOps.bm25Queries.flatMap { case (id, ts) =>
+    ts.distinct.map(t => (id, t, ts.distinct.length.toLong))
+  }.toDF("query_id", "term", "n_terms")
+  val s = timed {
+    multi("documents", k)
+      .select(monotonically_increasing_id().as("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .join(broadcast(q), Seq("term"))
+      .groupBy(col("doc_id"), col("query_id"), col("n_terms"))
+      .agg(countDistinct(col("term")).as("n_matched"))
+      .where(col("n_matched") === col("n_terms"))
+      .agg(count(lit(1))).head()
+  }
+  println(f"  k=$k%2d (${500 * k}%6d docs): $s%6.2f s")
+}
+
+println("== span_near shape (positional explode, a-positions fan to <= slop+1 targets, exact-key join) ==")
+for (k <- Seq(1, 8, 16)) {
+  val q = graft.operators.TextOps.NearQueries
+    .map { case (id, a, b, s0) => (id, a, b, s0.toLong) }
+    .toDF("query_id", "term_a", "term_b", "slop")
+  val s = timed {
+    val pi = multi("documents", k)
+      .select(monotonically_increasing_id().as("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos0", "term")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("term"))
+    val aSide = pi.join(broadcast(q), col("term") === col("term_a"))
+      .select(col("query_id"), col("doc_id"), col("pos").as("p1"), col("term_b"),
+        explode(expr("sequence(pos + 1, pos + 1 + slop)")).as("p2"))
+    aSide.join(pi.select(col("doc_id"), col("pos").as("p2"), col("term").as("term_b")),
+        Seq("doc_id", "p2", "term_b"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)), min(col("p1")))
+      .agg(count(lit(1))).head()
+  }
+  println(f"  k=$k%2d (${500 * k}%6d docs): $s%6.2f s")
+}
+
+println("== link-prediction shape (edge-derivation scan x k over the fixed nation graph; wedge join + anti join) ==")
+for (k <- Seq(1, 8, 16)) {
+  val s = timed {
+    val li = multi("lineitem", k).select(col("l_orderkey"), col("l_suppkey"))
+    val e = li
+      .join(spark.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(spark.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(spark.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").cast("long").as("src"),
+        col("s_nationkey").cast("long").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .where(col("src") =!= col("dst"))
+    val und = e.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"), col("w"))
+      .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w"))
+    val t = und.agg(expr("percentile_approx(w, 0.75)").as("t"))
+    val strong = und.crossJoin(broadcast(t)).where(col("w") >= col("t"))
+      .select(col("a"), col("b"))
+    val adj = strong.select(col("a").as("z"), col("b").as("n"))
+      .unionAll(strong.select(col("b").as("z"), col("a").as("n")))
+    val deg = adj.groupBy(col("z")).agg(count(lit(1)).as("deg"))
+    val adjD = adj.join(deg, Seq("z"))
+      .select(col("z"), col("n"), expr("1099511627776L div deg").as("ra_c"))
+    val wedges = adjD.alias("x").join(adjD.alias("y"),
+        col("x.z") === col("y.z") && col("x.n") < col("y.n"))
+      .select(col("x.n").as("u"), col("y.n").as("v"), col("x.ra_c").as("ra_c"))
+    wedges.groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("cn"), sum(col("ra_c")).as("ra"))
+      .join(strong.select(col("a").as("u"), col("b").as("v")), Seq("u", "v"), "left_anti")
+      .orderBy(col("ra").desc, col("u").asc, col("v").asc).limit(20)
+      .collect()
+  }
+  println(f"  k=$k%2d: $s%6.2f s")
+}
 sys.exit(0)
