@@ -300,4 +300,48 @@ object OracleGraph {
        |$rounds
        |SELECT node, ppr FROM p${GraphOps.PrRounds}""".stripMargin
   }
+
+  /** Mirror of GraphOps.hits: the same bounded unroll with the
+    * max-normalized integer grid — every round MATERIALIZED (each
+    * rank CTE is referenced twice; the kCore EMFILE lesson), the
+    * per-round max as a scalar subquery.
+    */
+  val hits: String = {
+    val s = GraphOps.HitsScale
+    val rounds = (1 to GraphOps.HitsRounds).map { i =>
+      val prevH = if (i == 1) "h0" else s"h${i - 1}"
+      s"""a${i}raw AS MATERIALIZED (
+         |  SELECT n.node, COALESCE(CAST(sum(p.h) AS BIGINT), 0) AS a
+         |  FROM nodes n
+         |  LEFT JOIN e2 e ON e.dst = n.node
+         |  LEFT JOIN $prevH p ON p.node = e.src
+         |  GROUP BY n.node
+         |),
+         |a$i AS MATERIALIZED (
+         |  SELECT node, (a * $s) // (SELECT max(a) FROM a${i}raw) AS a
+         |  FROM a${i}raw
+         |),
+         |h${i}raw AS MATERIALIZED (
+         |  SELECT n.node, COALESCE(CAST(sum(p.a) AS BIGINT), 0) AS h
+         |  FROM nodes n
+         |  LEFT JOIN e2 e ON e.src = n.node
+         |  LEFT JOIN a$i p ON p.node = e.dst
+         |  GROUP BY n.node
+         |),
+         |h$i AS MATERIALIZED (
+         |  SELECT node, (h * $s) // (SELECT max(h) FROM h${i}raw) AS h
+         |  FROM h${i}raw
+         |)""".stripMargin
+    }.mkString(",\n")
+    val r = GraphOps.HitsRounds
+    s"""WITH $edgesCte,
+       |e2 AS (SELECT src, dst FROM edges),
+       |nodes AS (SELECT src AS node FROM e2 UNION SELECT dst FROM e2),
+       |h0 AS (SELECT node, CAST($s AS BIGINT) AS h FROM nodes),
+       |$rounds
+       |SELECT h.node, h.h AS hub_grid, a.a AS auth_grid,
+       |  CAST(h.h AS DOUBLE) / CAST($s AS DOUBLE) AS hub,
+       |  CAST(a.a AS DOUBLE) / CAST($s AS DOUBLE) AS authority
+       |FROM h$r h JOIN a$r a ON a.node = h.node""".stripMargin
+  }
 }

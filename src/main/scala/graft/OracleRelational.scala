@@ -1495,4 +1495,259 @@ object OracleRelational {
        |  END AS v_interp
        |FROM fb""".stripMargin
   }
+
+  /** Mirror of Relational.evtEwma: same explode-onto-target-days window,
+    * day-ordered cents list, dyadic-weight integer fold, one edge
+    * division.
+    */
+  val evtEwma: String = {
+    val w = graft.operators.Relational.EwmaWindow
+    val weights = (Seq(1L) ++ (1 until w).map(k => 1L << (k - 1)))
+      .mkString("[", ",", "]")
+    val denoms = (1 to w).map(n => 1L << (n - 1)).mkString("[", ",", "]")
+    s"""WITH daily AS (
+       |  SELECT CAST(ts AS DATE) AS day,
+       |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+       |  FROM events GROUP BY CAST(ts AS DATE)
+       |),
+       |contrib AS (
+       |  SELECT CAST(unnest(generate_series(day, day + INTERVAL ${w - 1} DAY,
+       |    INTERVAL 1 DAY)) AS DATE) AS tday, day, cents
+       |  FROM daily
+       |),
+       |win AS (
+       |  SELECT c.tday, CAST(count(*) AS BIGINT) AS n_window,
+       |    list(c.cents ORDER BY c.day) AS vs
+       |  FROM contrib c JOIN (SELECT day AS tday FROM daily) d USING (tday)
+       |  GROUP BY c.tday
+       |)
+       |SELECT tday AS day, n_window,
+       |  CAST(list_reduce(list_transform(range(1, CAST(n_window + 1 AS INT)),
+       |      j -> vs[CAST(j AS INT)] * ($weights)[CAST(j AS INT)]),
+       |    (x, y) -> x + y) AS DOUBLE)
+       |  / CAST(($denoms)[CAST(n_window AS INT)] * 100 AS DOUBLE) AS ewma
+       |FROM win""".stripMargin
+  }
+
+  /** Mirror of Relational.q67Boxplot: integer-cents quantization, exact
+    * quartile interpolation, identical fence arithmetic op order.
+    */
+  val q67: String =
+    """WITH o AS (
+      |  SELECT o_orderpriority,
+      |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM orders
+      |),
+      |quart AS (
+      |  SELECT o_orderpriority,
+      |    quantile_cont(cents, 0.25) AS q1c,
+      |    quantile_cont(cents, 0.5) AS q2c,
+      |    quantile_cont(cents, 0.75) AS q3c,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM o GROUP BY o_orderpriority
+      |),
+      |fences AS (
+      |  SELECT *, q1c - 1.5 * (q3c - q1c) AS lo_fence,
+      |            q3c + 1.5 * (q3c - q1c) AS hi_fence
+      |  FROM quart
+      |)
+      |SELECT o.o_orderpriority, min(f.n) AS n,
+      |  CAST(min(o.cents) AS DOUBLE) / 100.0 AS min_price,
+      |  min(f.q1c) / 100.0 AS q1,
+      |  min(f.q2c) / 100.0 AS median,
+      |  min(f.q3c) / 100.0 AS q3,
+      |  CAST(max(o.cents) AS DOUBLE) / 100.0 AS max_price,
+      |  CAST(min(CASE WHEN o.cents >= f.lo_fence THEN o.cents END) AS DOUBLE)
+      |    / 100.0 AS lower_whisker,
+      |  CAST(max(CASE WHEN o.cents <= f.hi_fence THEN o.cents END) AS DOUBLE)
+      |    / 100.0 AS upper_whisker
+      |FROM o JOIN fences f USING (o_orderpriority)
+      |GROUP BY o.o_orderpriority""".stripMargin
+
+  /** Mirror of Relational.q68MultiTerms. */
+  val q68: String =
+    s"""SELECT c_mktsegment, o_orderpriority,
+       |  CAST(count(*) AS BIGINT) AS doc_count,
+       |  ${dsum("o_totalprice")} AS price_sum
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY c_mktsegment, o_orderpriority
+       |ORDER BY doc_count DESC, c_mktsegment ASC, o_orderpriority ASC
+       |LIMIT 10""".stripMargin
+
+  /** Mirror of Relational.q69TopMetrics. */
+  val q69: String =
+    """SELECT event_type, ts AS latest_ts, event_id, user_id,
+      |  value AS top_value
+      |FROM events
+      |QUALIFY row_number() OVER (PARTITION BY event_type
+      |  ORDER BY ts DESC, event_id DESC) = 1""".stripMargin
+
+  /** Mirror of Relational.q70FrequentPairs: identical basket
+    * construction, exact integer lift numerator/denominator, one
+    * division.
+    */
+  val q70: String =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey, p_brand
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |),
+      |pairs AS (
+      |  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+      |    CAST(count(*) AS BIGINT) AS pair_support
+      |  FROM items a JOIN items b
+      |    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      |  GROUP BY 1, 2
+      |),
+      |sup AS (
+      |  SELECT p_brand, CAST(count(*) AS BIGINT) AS s
+      |  FROM items GROUP BY p_brand
+      |),
+      |nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_baskets
+      |       FROM items)
+      |SELECT brand_a, brand_b, pair_support,
+      |  sa.s AS support_a, sb.s AS support_b, nb.n_baskets,
+      |  CAST(pair_support * nb.n_baskets AS DOUBLE)
+      |    / CAST(sa.s * sb.s AS DOUBLE) AS lift
+      |FROM pairs
+      |JOIN sup sa ON sa.p_brand = brand_a
+      |JOIN sup sb ON sb.p_brand = brand_b
+      |CROSS JOIN nb
+      |ORDER BY pair_support DESC, brand_a ASC, brand_b ASC
+      |LIMIT 25""".stripMargin
+
+  /** Mirror of Relational.q71NestedAgg: children pre-aggregated per
+    * parent key, 1:1 left join, plain sums.
+    */
+  val q71: String =
+    """WITH kids AS (
+      |  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS kc,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS kp
+      |  FROM lineitem WHERE l_quantity > 25
+      |  GROUP BY l_orderkey
+      |)
+      |SELECT o_orderpriority,
+      |  CAST(count(*) AS BIGINT) AS parent_count,
+      |  CAST(sum(COALESCE(kc, 0)) AS BIGINT) AS child_count,
+      |  CAST(COALESCE(SUM(kp), 0) AS DOUBLE) AS child_price_sum,
+      |  CAST(sum(CASE WHEN kc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS parents_with_match
+      |FROM orders LEFT JOIN kids ON o_orderkey = l_orderkey
+      |WHERE o_orderstatus = 'F'
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** Mirror of Relational.q72RateAgg. */
+  val q72: String =
+    """SELECT event_type,
+      |  CAST(date_trunc('month', ts) AS DATE) AS month_start,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+      |  CAST(day(last_day(CAST(date_trunc('month', ts) AS DATE))) AS BIGINT)
+      |    AS days_in_month,
+      |  CAST(count(*) AS DOUBLE)
+      |    / CAST(day(last_day(CAST(date_trunc('month', ts) AS DATE))) AS DOUBLE)
+      |    AS rate_per_day,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+      |    / CAST(day(last_day(CAST(date_trunc('month', ts) AS DATE))) AS DOUBLE)
+      |    AS value_per_day
+      |FROM events
+      |GROUP BY event_type, CAST(date_trunc('month', ts) AS DATE)""".stripMargin
+
+  /** Mirror of Relational.q73BucketSort. */
+  val q73: String = {
+    val from = graft.operators.Relational.BsFrom
+    val size = graft.operators.Relational.BsSize
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    CAST(count(*) AS BIGINT) AS doc_count,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+      |  FROM events GROUP BY CAST(ts AS DATE)
+      |),
+      |r AS (
+      |  SELECT *, CAST(row_number() OVER (
+      |    ORDER BY value_sum DESC, day ASC) AS BIGINT) AS bucket_rank
+      |  FROM daily
+      |)
+      |SELECT day, doc_count, value_sum, bucket_rank
+      |FROM r
+      |""".stripMargin +
+      s"WHERE bucket_rank > $from AND bucket_rank <= ${from + size}"
+  }
+
+  /** Mirror of Relational.evtIpRange: identical md5-derived integer
+    * address, integer range membership, integer-div dotted quads
+    * (OracleText.rotLong is the shared hex fold).
+    */
+  val evtIpRange: String = {
+    val edges = graft.operators.Relational.IpRangeEdges
+    val bounds = (Seq(0L) ++ edges) :+ 4294967296L
+    val values = bounds.sliding(2).zipWithIndex.map { case (Seq(lo, hi), i) =>
+      s"($i, CAST($lo AS BIGINT), CAST($hi AS BIGINT))"
+    }.mkString(", ")
+    def quad(c: String): String =
+      s"""CAST($c // 16777216 AS VARCHAR) || '.' ||
+         |  CAST(($c // 65536) % 256 AS VARCHAR) || '.' ||
+         |  CAST(($c // 256) % 256 AS VARCHAR) || '.' ||
+         |  CAST($c % 256 AS VARCHAR)""".stripMargin
+    s"""WITH frame(range_id, ip_from, ip_to) AS (VALUES $values),
+       |ips AS (
+       |  SELECT ${OracleText.rotLong("md5(CAST(event_id AS VARCHAR))", 0)}
+       |    % 4294967296 AS ip, value
+       |  FROM events
+       |),
+       |per AS (
+       |  SELECT f.range_id,
+       |    CAST(count(*) AS BIGINT) AS doc_count,
+       |    CAST(sum(CAST(i.value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+       |  FROM ips i JOIN frame f ON i.ip >= f.ip_from AND i.ip < f.ip_to
+       |  GROUP BY f.range_id
+       |)
+       |SELECT CAST(f.range_id AS BIGINT) AS range_id,
+       |  ${quad("f.ip_from")} AS from_addr,
+       |  ${quad("(f.ip_to - 1)")} AS to_addr,
+       |  COALESCE(per.doc_count, 0) AS doc_count,
+       |  COALESCE(per.value_sum, 0.0) AS value_sum
+       |FROM frame f LEFT JOIN per ON per.range_id = f.range_id""".stripMargin
+  }
+
+  /** Mirror of Relational.evtIpPrefix. */
+  val evtIpPrefix: String =
+    s"""WITH nets AS (
+       |  SELECT (${OracleText.rotLong("md5(CAST(event_id AS VARCHAR))", 0)}
+       |    % 4294967296) // 16777216 AS net, value
+       |  FROM events
+       |)
+       |SELECT CAST(net AS VARCHAR) || '.0.0.0/8' AS prefix, net,
+       |  CAST(count(*) AS BIGINT) AS doc_count,
+       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+       |FROM nets
+       |GROUP BY net
+       |ORDER BY doc_count DESC, net ASC
+       |LIMIT ${graft.operators.Relational.IpPrefixTopK}""".stripMargin
+
+  /** Mirror of Relational.q74TermsPartition: the hash-shard filter on
+    * the grouping key, then the standard terms ordering.
+    */
+  val q74: String = {
+    val np = graft.operators.Relational.TpNumPartitions
+    val p = graft.operators.Relational.TpPartition
+    s"""SELECT term, CAST(count(*) AS BIGINT) AS doc_count
+       |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+       |WHERE ${OracleText.rotLong("md5(term)", 0)} % $np = $p
+       |GROUP BY term
+       |ORDER BY doc_count DESC, term ASC""".stripMargin
+  }
+
+  /** Mirror of Relational.evtCategorize ('g' flag: DuckDB's
+    * regexp_replace is first-match-only by default, Spark's replaces
+    * all).
+    */
+  val evtCategorize: String =
+    """SELECT regexp_replace(event_type || ' ' || props, '[0-9]+', '#', 'g')
+      |    AS template,
+      |  CAST(count(*) AS BIGINT) AS doc_count,
+      |  min(event_id) AS example_event,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY doc_count DESC, template ASC""".stripMargin
 }

@@ -211,4 +211,55 @@ object OracleRetrieval {
        |ORDER BY doc_count DESC, term ASC
        |LIMIT $k""".stripMargin
   }
+
+  /** Mirror of Retrieval.rankEval: the exact-KNN run (nested-WITH
+    * subquery, the hybridRrf device) judged by label match; per-query
+    * integer divisions, summary means via the DECIMAL(18,12)
+    * quantize-then-exact-sum device.
+    */
+  val rankEval: String = {
+    val k = VectorOps.K
+    val qm = VectorOps.QueryMod
+    s"""WITH knn AS (${OracleVectors.knnExact}),
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |qlab AS (
+       |  SELECT vec_id AS query_id, label AS qlabel
+       |  FROM embeddings WHERE vec_id % $qm = 0
+       |),
+       |nrel AS (
+       |  SELECT q.query_id, CAST(count(*) - 1 AS BIGINT) AS n_rel
+       |  FROM qlab q JOIN lab l ON l.label = q.qlabel
+       |  GROUP BY q.query_id
+       |),
+       |per AS (
+       |  SELECT kn.query_id,
+       |    CAST(sum(CASE WHEN nl.label = q.qlabel THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS rel_at_k,
+       |    min(CASE WHEN nl.label = q.qlabel THEN kn."rank" END) AS first_rank
+       |  FROM knn kn
+       |  JOIN qlab q USING (query_id)
+       |  JOIN lab nl ON nl.vec_id = kn.neighbor_id
+       |  GROUP BY kn.query_id
+       |),
+       |met AS (
+       |  SELECT p.query_id, p.rel_at_k, n.n_rel, p.first_rank,
+       |    CAST(p.rel_at_k AS DOUBLE) / CAST($k AS DOUBLE) AS p_at_k,
+       |    CAST(p.rel_at_k AS DOUBLE) / CAST(n.n_rel AS DOUBLE) AS recall_at_k,
+       |    COALESCE(CAST(1 AS DOUBLE) / p.first_rank, CAST(0 AS DOUBLE)) AS rr
+       |  FROM per p JOIN nrel n USING (query_id)
+       |)
+       |SELECT * FROM met
+       |UNION ALL
+       |SELECT CAST(-1 AS BIGINT) AS query_id,
+       |  CAST(sum(rel_at_k) AS BIGINT) AS rel_at_k,
+       |  CAST(sum(n_rel) AS BIGINT) AS n_rel,
+       |  CAST(NULL AS BIGINT) AS first_rank,
+       |  CAST(sum(CAST(p_at_k AS DECIMAL(18,12))) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS p_at_k,
+       |  CAST(sum(CAST(recall_at_k AS DECIMAL(18,12))) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS recall_at_k,
+       |  CAST(sum(CAST(rr AS DECIMAL(18,12))) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS rr
+       |FROM met""".stripMargin
+  }
 }

@@ -1798,6 +1798,49 @@ object OracleText {
        |  CAST(sum(bits) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_bits
        |FROM bits GROUP BY doc_id""".stripMargin
 
+  /** Mirror of TextOps.pplBuckets: the surprisal mirror as a subquery
+    * (nested-WITH device), lang joined back, the identical ntile(3)
+    * over the (mean_bits, doc_id) total order.
+    */
+  lazy val pplBuckets: String =
+    s"""WITH sp AS ($surprisal),
+       |j AS (
+       |  SELECT sp.doc_id, d.lang, sp.n_bigrams, sp.total_bits, sp.mean_bits
+       |  FROM sp JOIN documents d ON d.doc_id = sp.doc_id
+       |),
+       |t AS (
+       |  SELECT *, CAST(ntile(3) OVER (PARTITION BY lang
+       |    ORDER BY mean_bits ASC, doc_id ASC) AS BIGINT) AS tercile
+       |  FROM j
+       |)
+       |SELECT doc_id, lang, n_bigrams, total_bits, mean_bits, tercile,
+       |  CASE WHEN tercile = 1 THEN 'head'
+       |       WHEN tercile = 2 THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM t""".stripMargin
+
+  /** Mirror of TextOps.collocations: same bigram margins, exact
+    * integer-product lift ratio, one division, full-tiebreak top-k.
+    */
+  val collocations: String =
+    s"""WITH $wordsCte,
+       |bgr AS (
+       |  SELECT words[CAST(i AS INT)] AS w1, words[CAST(i + 1 AS INT)] AS w2
+       |  FROM docs, unnest(range(1, len(words))) t(i)
+       |  WHERE len(words) >= 2
+       |),
+       |bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+       |       FROM bgr GROUP BY w1, w2),
+       |m1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bg GROUP BY w1),
+       |m2 AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM bg GROUP BY w2),
+       |n AS (SELECT CAST(sum(c12) AS BIGINT) AS n_bigrams FROM bg)
+       |SELECT w1, w2, c12, c1, c2, n_bigrams,
+       |  CAST(c12 * n_bigrams AS DOUBLE) / CAST(c1 * c2 AS DOUBLE) AS pmi_ratio
+       |FROM bg JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN n
+       |WHERE c12 >= ${TextOps.CollocMinCount}
+       |ORDER BY pmi_ratio DESC, w1 ASC, w2 ASC
+       |LIMIT ${TextOps.CollocTopK}""".stripMargin
+
   /** Mirror of TextOps.chunkDedup: the chunks mirror as a subquery,
     * one GROUP BY on the content hash, the same packed-integer
     * keeper arg-min (`//` ≡ Spark `div` on non-negative operands).

@@ -742,4 +742,76 @@ object GraphOps {
       .distinct()
     (labels, rounds)
   }
+
+  /** HITS iteration count (fixed bounded unroll, the pagerank device). */
+  val HitsRounds = 5
+
+  /** HITS score grid: scores live on ⟦0, HitsScale⟧ integers. */
+  val HitsScale = 1000000L
+
+  /** HITS hubs & authorities (Kleinberg 1999) over the directed trade
+    * graph, [[HitsRounds]] fixed iterations on the integer grid:
+    *   a'(v) = Σ_{u→v} h(u),  then max-normalized to the grid:
+    *   a(v) = ⌊a'(v)·S / max_w a'(w)⌋  (h symmetric over out-edges).
+    * Max normalization replaces the classic L2 norm — same fixpoint
+    * ranking, but every value stays an exact integer (an L2 sqrt per
+    * round would be cross-engine hash-dirty), the same reason pagerank
+    * runs on its damping grid. The per-round max is a one-row
+    * broadcast, never a driver collect.
+    *
+    * Shape at 100 TB: each round is two (broadcast-rank join onto
+    * edges + partial-aggregated groupBy) passes plus a 1-row max
+    * aggregate; ranks are node-sized. Lineage cuts per round (the
+    * pagerank seam) keep planning linear in rounds.
+    */
+  def hits(spark: SparkSession, dir: String): DataFrame = {
+    val edges = TextOps.memoized(spark, dir, "trade_edges") {
+      val e = tradeEdges(spark, dir)
+      val wout = e.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+      e.join(wout, Seq("src"))
+    }.select(col("src"), col("dst"))
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    var hub = nodes.withColumn("h", lit(HitsScale))
+    var auth = nodes.withColumn("a", lit(HitsScale))
+    // per-round max via ONE unpartitioned window pass over the
+    // node-sized rank table (the rank table is nations here and stays
+    // ≪ edges on any trade-style graph; a web-scale node table would
+    // swap this for the agg + broadcast form — same values, the
+    // window's single partition is the only thing that changes).
+    // First cut of this loop used agg + broadcast(crossJoin): the
+    // broadcast subtree re-evaluated the whole round tree once more
+    // per round (measured 7.7 s); the window reads it once.
+    def gridNorm(raw: DataFrame, c: String): DataFrame = {
+      val all = org.apache.spark.sql.expressions.Window.partitionBy()
+      raw.select(col("node"), col(c), max(col(c)).over(all).as("mx"))
+        .select(col("node"), expr(s"($c * $HitsScale) div mx").as(c))
+    }
+    for (_ <- 1 to HitsRounds) {
+      val araw = nodes.join(
+          edges.join(broadcast(hub), col("src") === col("node"))
+            .groupBy(col("dst")).agg(sum(col("h")).as("a")),
+          col("node") === col("dst"), "left")
+        .select(col("node"), coalesce(col("a"), lit(0L)).as("a"))
+      auth = gridNorm(araw, "a")
+      val hraw = nodes.join(
+          edges.join(broadcast(auth), col("dst") === col("node"))
+            .groupBy(col("src")).agg(sum(col("a")).as("h"))
+            .select(col("src"), col("h")),
+          col("node") === col("src"), "left")
+        .select(col("node"), coalesce(col("h"), lit(0L)).as("h"))
+      // ONE lineage cut per round (the pagerank cadence, house seam).
+      // Measured variants at sf0.1: agg+broadcast norm with 2 cuts
+      // 4.0 s, window norm + eager cut 4.2 s, lazy cut 4.7 s, no cut
+      // 15 s (the 5-round monolith replans every window/join) — the
+      // ~4 s floor is the 25-stage iterative chain itself, the same
+      // per-round constant pagerank pays half of for half the
+      // operators. The data work is node-sized throughout.
+      hub = cut(gridNorm(hraw, "h"))
+    }
+    hub.join(auth, Seq("node"))
+      .select(col("node"), col("h").as("hub_grid"), col("a").as("auth_grid"),
+        (col("h").cast("double") / lit(HitsScale.toDouble)).as("hub"),
+        (col("a").cast("double") / lit(HitsScale.toDouble)).as("authority"))
+  }
 }

@@ -408,12 +408,20 @@ object Relational {
     * boundaries. Two windows over ONE shuffle on user_id (same
     * partitioning, no re-exchange), the standard scalable sessionize.
     */
-  def q30Sessionize(spark: SparkSession, dir: String): DataFrame = {
+  def q30Sessionize(spark: SparkSession, dir: String): DataFrame =
+    sessionizeEvents(Tables.events(spark, dir))
+
+  /** The gap-rule sessionizer over any events-shaped frame — shared
+    * verbatim by [[q30Sessionize]] and the streaming session store
+    * ([[graft.streaming.StreamingSessions]] runs it per micro-batch,
+    * then merges the resulting intervals with the same 30-minute
+    * tolerance).
+    */
+  private[graft] def sessionizeEvents(ev: DataFrame): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").asc, col("event_id").asc)
     val runSum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(spark, dir)
-      .select(col("event_id"), col("user_id"), col("ts"))
+    ev.select(col("event_id"), col("user_id"), col("ts"))
       .withColumn("new_session",
         when(col("ts") - lag(col("ts"), 1).over(byUser) <=
           expr("INTERVAL 30 MINUTES"), lit(0)).otherwise(lit(1)))
@@ -2034,4 +2042,387 @@ object Relational {
           .otherwise(coalesce(col("pc"), col("nc")).cast("double") / 100.0d)
           .as("v_interp"))
   }
+
+  /** Whisker fence multiplier for [[q67Boxplot]] (ES `boxplot` agg
+    * default `1.5` IQRs past the quartiles).
+    */
+  val BoxplotIqrK = 1.5
+
+  /** ES `boxplot` aggregation: per order priority over `o_totalprice` —
+    * min / q1 / median / q3 / max plus the Tukey whiskers (innermost
+    * values inside the q1−1.5·IQR .. q3+1.5·IQR fences).
+    *
+    * Exactness: prices quantize to integer CENTS first
+    * (`floor(x·100 + 0.5)` — identical text both engines; a 2-decimal
+    * price never lands on an exact .5 so the rounding mode can't
+    * diverge), quartiles interpolate integers at frac ∈ {.25,.5,.75}
+    * (every intermediate exact in double — the q32 precedent), and the
+    * fence arithmetic is +/−/× on those exact values (IEEE
+    * correctly-rounded, same op order in the mirror). One /100.0 per
+    * output column at the edge.
+    *
+    * Shape at 100 TB: quartiles are one partial-aggregated groupBy
+    * (percentile buffers bounded by per-group distinct cents — prices,
+    * not rows); the whisker pass re-scans with the 5-row fence frame
+    * BROADCAST back, so the second pass is conditional min/max folding
+    * map-side. Two scans, zero wide shuffles.
+    */
+  def q67Boxplot(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_orderpriority"),
+      expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+    val quart = o.groupBy(col("o_orderpriority")).agg(
+      expr("percentile(cents, 0.25)").as("q1c"),
+      expr("percentile(cents, 0.5)").as("q2c"),
+      expr("percentile(cents, 0.75)").as("q3c"),
+      count(lit(1)).as("n"))
+    val fences = quart
+      .withColumn("lo_fence", col("q1c") - lit(BoxplotIqrK) * (col("q3c") - col("q1c")))
+      .withColumn("hi_fence", col("q3c") + lit(BoxplotIqrK) * (col("q3c") - col("q1c")))
+    o.join(broadcast(fences), Seq("o_orderpriority"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        min(col("q1c")).as("q1c"), min(col("q2c")).as("q2c"),
+        min(col("q3c")).as("q3c"), min(col("n")).as("n"),
+        min(col("cents")).as("min_c"), max(col("cents")).as("max_c"),
+        min(when(col("cents") >= col("lo_fence"), col("cents"))).as("lw_c"),
+        max(when(col("cents") <= col("hi_fence"), col("cents"))).as("uw_c"))
+      .select(col("o_orderpriority"), col("n"),
+        (col("min_c").cast("double") / 100.0d).as("min_price"),
+        (col("q1c") / 100.0d).as("q1"),
+        (col("q2c") / 100.0d).as("median"),
+        (col("q3c") / 100.0d).as("q3"),
+        (col("max_c").cast("double") / 100.0d).as("max_price"),
+        (col("lw_c").cast("double") / 100.0d).as("lower_whisker"),
+        (col("uw_c").cast("double") / 100.0d).as("upper_whisker"))
+  }
+
+  /** Bucket budget for [[q68MultiTerms]] (ES `multi_terms` `size`). */
+  val MultiTermsK = 10
+
+  /** ES `multi_terms` aggregation: buckets keyed by the COMPOSITE
+    * (market segment, order priority) term pair, ranked by doc count —
+    * the multi-key cousin of the plain `terms` agg (and of
+    * [[q54CompositeAgg]], which paginates ALL composite buckets in key
+    * order; multi_terms returns the top-`size` by count).
+    *
+    * Shape: broadcast the customer dim onto orders (fact never
+    * shuffles for the join), one partial-aggregated composite-key
+    * groupBy, then a [[MultiTermsK]]-row TakeOrderedAndProject with
+    * the deterministic (count DESC, keys ASC) tiebreak.
+    */
+  def q68MultiTerms(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("doc_count"), dsum(col("o_totalprice")).as("price_sum"))
+      .orderBy(col("doc_count").desc, col("c_mktsegment").asc,
+        col("o_orderpriority").asc)
+      .limit(MultiTermsK)
+
+  /** ES `top_metrics` aggregation: per event type, the metric columns
+    * of the single LATEST row (`sort: ts desc`), event_id as the
+    * deterministic tiebreak — the argmax-row primitive `top_hits
+    * size:1` also reduces to.
+    *
+    * Shape: one window rank over the type-keyed exchange; at 100 TB
+    * this is the standard max-row-per-key pattern (partial
+    * TakeOrdered per partition would also work, but the window form
+    * keeps it one declarative rank Catalyst can push into a
+    * WindowGroupLimit — no full sort, just a per-key running top-1).
+    */
+  def q69TopMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("event_type"), col("ts").as("latest_ts"),
+        col("event_id"), col("user_id"), col("value").as("top_value"))
+  }
+
+  /** Result budget for [[q70FrequentPairs]]. */
+  val FpTopK = 25
+
+  /** ES `frequent_item_sets` aggregation, pair-sized: market-basket
+    * mining over orders as baskets and part BRANDS as items — the
+    * top co-occurring brand pairs with support and lift. (ES caps
+    * set size the same way; pairs are the workhorse.)
+    *
+    * Shape at 100 TB: items = distinct (order, brand) after a
+    * broadcast dim join; candidate pairs come from a SELF-JOIN ON THE
+    * ORDER KEY — fan-out bounded by items-per-basket², never
+    * corpus-quadratic (the LSH-band candidate-generation discipline).
+    * Supports and the basket total are partial-aggregated; lift is
+    * exact integer products (< 2⁵³, double-exact) with ONE division
+    * at the edge; top-k is a TakeOrderedAndProject with full
+    * tiebreak.
+    */
+  def q70FrequentPairs(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand")).distinct()
+    val pairs = items.as("a")
+      .join(items.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.p_brand") < col("b.p_brand"))
+      .groupBy(col("a.p_brand").as("brand_a"), col("b.p_brand").as("brand_b"))
+      .agg(count(lit(1)).as("pair_support"))
+    val sup = items.groupBy(col("p_brand")).agg(count(lit(1)).as("s"))
+    val nb = items.agg(countDistinct(col("l_orderkey")).as("n_baskets"))
+    pairs
+      .join(broadcast(sup.select(col("p_brand").as("brand_a"), col("s").as("support_a"))), Seq("brand_a"))
+      .join(broadcast(sup.select(col("p_brand").as("brand_b"), col("s").as("support_b"))), Seq("brand_b"))
+      .crossJoin(broadcast(nb))
+      .select(col("brand_a"), col("brand_b"), col("pair_support"),
+        col("support_a"), col("support_b"), col("n_baskets"),
+        ((col("pair_support") * col("n_baskets")).cast("double") /
+          (col("support_a") * col("support_b")).cast("double")).as("lift"))
+      .orderBy(col("pair_support").desc, col("brand_a").asc, col("brand_b").asc)
+      .limit(FpTopK)
+  }
+
+  /** Trailing window, days, for [[evtEwma]] (ES `moving_fn` `window`). */
+  val EwmaWindow = 8
+
+  /** ES `moving_fn` with `MovingFunctions.ewma(values, 0.5)` over the
+    * daily date-histogram: for each present day, the exponentially
+    * weighted average of the trailing [[EwmaWindow]] days' value sums
+    * (ES's ewma folds the window oldest-first: avg = v₀, then
+    * avg = α·v + (1−α)·avg). At α = ½ the weights are dyadic, so the
+    * fold is computed EXACTLY on integer cents scaled by 2^(n−1):
+    *   scaled = c₀ + Σ_{k≥1} c_k·2^(k−1),  ewma = scaled / (2^(n−1)·100)
+    * — the weight and denominator tables are integer literals indexed
+    * by position (no float pow — a transcendental would be
+    * cross-engine hash-dirty), and the single division at the edge is
+    * IEEE-exact-deterministic.
+    *
+    * Window formation is [[evtMovingMedian]]'s device: each daily row
+    * explodes to the ≤ [[EwmaWindow]] target days it contributes to
+    * (equi-keyed, never a range join), inner-joined to observed days;
+    * the in-window series sorts by day inside a struct array, so the
+    * fold order is deterministic under any partitioning.
+    */
+  def evtEwma(spark: SparkSession, dir: String): DataFrame =
+    ewmaOverDaily(Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long")
+        .as("cents")))
+
+  /** The dyadic EWMA fold over any (day, cents) daily frame — shared
+    * verbatim by [[evtEwma]] and the streaming counter store's read
+    * surface ([[graft.streaming.StreamingCounters.globalEwma]] feeds
+    * it the merged counter table; exact-decimal day totals commute
+    * under any batch split, so drain ≡ batch holds through this seam).
+    */
+  private[graft] def ewmaOverDaily(daily: DataFrame): DataFrame = {
+    val w = EwmaWindow
+    val weights = (Seq(1L) ++ (1 until w).map(k => 1L << (k - 1)))
+      .mkString("array(", "L,", "L)")
+    val denoms = (1 to w).map(n => 1L << (n - 1)).mkString("array(", "L,", "L)")
+    val contrib = daily.select(
+      explode(expr(s"sequence(day, date_add(day, ${w - 1}), interval 1 day)"))
+        .as("tday"),
+      col("day"), col("cents"))
+    contrib.join(daily.select(col("day").as("tday")), Seq("tday"))
+      .groupBy(col("tday"))
+      .agg(count(lit(1)).as("n_window"),
+        sort_array(collect_list(struct(col("day"), col("cents")))).as("vs"))
+      .select(col("tday").as("day"), col("n_window"),
+        (expr(s"""aggregate(sequence(1, CAST(n_window AS INT)), 0L,
+                 |  (acc, j) -> acc + element_at(vs, j).cents *
+                 |    element_at($weights, j))""".stripMargin).cast("double") /
+          (expr(s"element_at($denoms, CAST(n_window AS INT))") * lit(100L))
+            .cast("double")).as("ewma"))
+  }
+
+  /** ES `nested` + `reverse_nested` aggregations: orders are the
+    * parent documents, line items their nested children. Per order
+    * priority over 'F'-status parents: the parent doc count, the
+    * nested child doc count under the child filter (quantity > 25),
+    * the children's DECIMAL-exact price mass, and the reverse_nested
+    * count (parents with ≥ 1 matching child).
+    *
+    * Shape at 100 TB: children pre-aggregate per parent key FIRST
+    * (one partial-aggregated shuffle on the join key), so the
+    * parent-child join is 1:1 and the final groupBy sums plain
+    * per-parent scalars — the nested-agg plan that never fans the
+    * fact table out, and no COUNT DISTINCT anywhere.
+    */
+  def q71NestedAgg(spark: SparkSession, dir: String): DataFrame = {
+    val kidsPerOrder = Tables.lineitem(spark, dir)
+      .where(col("l_quantity") > 25.0)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("kc"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("kp"))
+    Tables.orders(spark, dir).where(col("o_orderstatus") === "F")
+      .join(kidsPerOrder, col("o_orderkey") === col("l_orderkey"), "left")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("parent_count"),
+        sum(coalesce(col("kc"), lit(0L))).as("child_count"),
+        coalesce(sum(col("kp")), lit(0).cast("decimal(18,2)")).cast("double")
+          .as("child_price_sum"),
+        sum(when(col("kc").isNotNull, 1L).otherwise(0L))
+          .as("parents_with_match"))
+  }
+
+  /** ES `rate` aggregation (unit: day) inside a calendar-month
+    * date_histogram: per (type, month), the event count and value mass
+    * NORMALIZED to a per-day rate by the month's actual day count —
+    * the calendar-aware division the plain histogram lacks. One
+    * partial-aggregated (type, month) shuffle; the day count is
+    * integer calendar arithmetic, each rate one IEEE division.
+    */
+  def q72RateAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        date_trunc("month", col("ts")).cast("date").as("month_start"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+      .select(col("event_type"), col("month_start"), col("n"), col("value_sum"),
+        dayofmonth(last_day(col("month_start"))).cast("long").as("days_in_month"),
+        (col("n").cast("double") /
+          dayofmonth(last_day(col("month_start"))).cast("double"))
+          .as("rate_per_day"),
+        (col("value_sum") /
+          dayofmonth(last_day(col("month_start"))).cast("double"))
+          .as("value_per_day"))
+
+  /** ES `bucket_sort` pipeline aggregation (`sort` + `from` + `size`):
+    * re-rank the daily date-histogram buckets by their value mass and
+    * keep the page `from` [[BsFrom]], `size` [[BsSize]] — the pipeline
+    * agg that turns a time series into a leaderboard page. Rank is a
+    * row_number over the (value_sum DESC, day ASC) total order —
+    * deterministic under ties — and rides the tiny bucket table, not
+    * the corpus.
+    */
+  val BsFrom = 2
+  val BsSize = 10
+
+  def q73BucketSort(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("doc_count"), dsum(col("value")).as("value_sum"))
+    val w = Window.orderBy(col("value_sum").desc, col("day").asc)
+    daily.withColumn("bucket_rank", row_number().over(w).cast("long"))
+      .where(col("bucket_rank") > BsFrom &&
+        col("bucket_rank") <= BsFrom + BsSize)
+  }
+
+  /** CIDR edges for [[evtIpRange]], as unsigned /8-aligned integer
+    * bounds (ES `ip_range` takes explicit from/to addresses; these are
+    * 64.0.0.0 and 192.0.0.0).
+    */
+  val IpRangeEdges: Seq[Long] = Seq(64L << 24, 192L << 24)
+
+  /** Synthetic deterministic IPv4 per event — the low 32 bits of the
+    * event-id md5 (the GeoOps coordinate device on the address axis:
+    * the testdata has no IP column, and the derivation is identical
+    * integer arithmetic on both engines).
+    */
+  private def ipExpr: String =
+    "CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 4294967296"
+
+  /** ES `ip_range` aggregation: counts and value mass per address
+    * range over the synthetic per-event IPv4, every bucket emitted
+    * (dense literal frame). Addresses are plain unsigned integers, so
+    * membership is two integer compares; the dotted-quad rendering is
+    * integer div/mod string assembly — no engine IP type involved
+    * (DuckDB's INET vs Spark's lack of one would be a semantics trap;
+    * integers are the portable common core ES itself stores).
+    */
+  def evtIpRange(spark: SparkSession, dir: String): DataFrame = {
+    val bounds = (Seq(0L) ++ IpRangeEdges) :+ 4294967296L
+    val ranges = bounds.sliding(2).zipWithIndex.map { case (Seq(lo, hi), i) =>
+      (i.toLong, lo, hi)
+    }.toSeq
+    val frame = spark.createDataFrame(ranges)
+      .toDF("range_id", "ip_from", "ip_to")
+    // dotted quad via integer div/mod ONLY (a float division + int
+    // cast would truncate in Spark but round in DuckDB)
+    def quad(c: String): Column = expr(
+      s"""concat(CAST($c div 16777216 AS STRING), '.',
+         |  CAST(($c div 65536) % 256 AS STRING), '.',
+         |  CAST(($c div 256) % 256 AS STRING), '.',
+         |  CAST($c % 256 AS STRING))""".stripMargin)
+    val per = Tables.events(spark, dir)
+      .withColumn("ip", expr(ipExpr))
+      .crossJoin(broadcast(frame))
+      .where(col("ip") >= col("ip_from") && col("ip") < col("ip_to"))
+      .groupBy(col("range_id"))
+      .agg(count(lit(1)).as("doc_count"), dsum(col("value")).as("value_sum"))
+    broadcast(frame).join(per, Seq("range_id"), "left")
+      .withColumn("ip_hi", col("ip_to") - 1L)
+      .select(col("range_id"),
+        quad("ip_from").as("from_addr"),
+        quad("ip_hi").as("to_addr"),
+        coalesce(col("doc_count"), lit(0L)).as("doc_count"),
+        coalesce(col("value_sum"), lit(0.0d)).as("value_sum"))
+  }
+
+  /** Bucket budget for [[evtIpPrefix]]. */
+  val IpPrefixTopK = 20
+
+  /** ES `ip_prefix` aggregation (`prefix_length: 8`): bucket the
+    * synthetic IPv4 space by /8 network — one integer division — and
+    * keep the busiest [[IpPrefixTopK]] networks with the full
+    * (count DESC, prefix ASC) tiebreak. One partial-aggregated
+    * groupBy on a scan-computed integer key.
+    */
+  def evtIpPrefix(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("net", expr(s"($ipExpr) div 16777216"))
+      .groupBy(col("net"))
+      .agg(count(lit(1)).as("doc_count"), dsum(col("value")).as("value_sum"))
+      .select(concat(col("net").cast("string"), lit(".0.0.0/8")).as("prefix"),
+        col("net"), col("doc_count"), col("value_sum"))
+      .orderBy(col("doc_count").desc, col("net").asc)
+      .limit(IpPrefixTopK)
+
+  /** Partition fan for [[q74TermsPartition]] (ES `include.partition` /
+    * `num_partitions`).
+    */
+  val TpNumPartitions = 4
+  val TpPartition = 1
+
+  /** ES `terms` aggregation with `include: {partition, num_partitions}`
+    * — the scale device for enumerating a HIGH-CARDINALITY term space
+    * across several requests: each call keeps only the terms whose
+    * hash lands in its partition, so no single response (or
+    * coordinator) holds the full term set. Partitioning is on the
+    * md5-derived 60-bit term hash mod [[TpNumPartitions]] (engine-
+    * portable, uniform); within the partition the standard
+    * (count DESC, term ASC) ordering applies. The filter sits ON THE
+    * GROUPING KEY, so it pushes below the aggregate exchange — each
+    * partition's request aggregates only its own term shard.
+    */
+  def q74TermsPartition(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .where(expr("CAST(conv(substring(md5(term), 1, 15), 16, 10) AS BIGINT)")
+        % TpNumPartitions === TpPartition)
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("doc_count"))
+      .orderBy(col("doc_count").desc, col("term").asc)
+
+  /** ES `categorize_text` aggregation, the regex-normalization core:
+    * collapse every digit run in the (type + props) message to `#`,
+    * so numeric payload variants fold into one log TEMPLATE per
+    * message shape — counts, example id, and the value mass per
+    * template. One partial-aggregated groupBy on the masked key; the
+    * template count is message-shape-bounded, not corpus-bounded.
+    * (DuckDB's regexp_replace needs the explicit 'g' flag to match
+    * Spark's replace-all default — the mirror sets it.)
+    */
+  def evtCategorize(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(regexp_replace(concat(col("event_type"), lit(" "), col("props")),
+        "[0-9]+", "#").as("template"), col("event_id"), col("value"))
+      .groupBy(col("template"))
+      .agg(count(lit(1)).as("doc_count"),
+        min(col("event_id")).as("example_event"),
+        dsum(col("value")).as("value_sum"))
+      .orderBy(col("doc_count").desc, col("template").asc)
 }

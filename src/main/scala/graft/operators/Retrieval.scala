@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -257,5 +257,64 @@ object Retrieval {
           .as("doc_count_error_upper_bound"))
       .orderBy(col("doc_count").desc, col("term").asc)
       .limit(k)
+  }
+
+  /** ES Ranking Evaluation API (`_rank_eval`): score a retrieval run
+    * against relevance judgments — here the memoized exact-KNN run
+    * ([[VectorOps.knnExact]]) judged by LABEL MATCH (a hit is relevant
+    * iff it carries the query vector's class label, the standard
+    * ANN-benchmark ground-truth convention). Emits one row per query
+    * (hits@k, corpus relevant count, first relevant rank,
+    * precision@k, recall@k, reciprocal rank) plus the corpus summary
+    * row (`query_id = -1`) with the mean metrics — ES's
+    * `metric_score` + per-query `details` in one frame.
+    *
+    * Exactness: every per-query metric is a single IEEE division of
+    * exact integers; the summary means quantize each per-query double
+    * to DECIMAL(18,12) (deterministic cast), sum EXACTLY in decimal,
+    * and divide once — the order-independence device the money sums
+    * use, applied to metric means.
+    *
+    * Shape at 100 TB: the ranked run is k·|Q| rows (the expensive
+    * retrieval is the memoized operator, already audited); judgments
+    * attach by broadcasting the small run/query frames against the
+    * corpus label table, so nothing corpus-sized shuffles.
+    */
+  def rankEval(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables
+    val k = VectorOps.K
+    val knn = VectorOps.knnExact(spark, dir)
+    val lab = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"))
+    val qlab = lab.where(col("vec_id") % VectorOps.QueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"))
+    val nRel = qlab
+      .join(broadcast(lab.groupBy(col("label")).agg(count(lit(1)).as("nlab"))),
+        col("qlabel") === col("label"))
+      .select(col("query_id"), (col("nlab") - 1L).as("n_rel"))
+    val judged = lab.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nlabel"))
+      .join(broadcast(knn), Seq("neighbor_id"))
+      .join(broadcast(qlab), Seq("query_id"))
+    val per = judged.groupBy(col("query_id"))
+      .agg(sum(when(col("nlabel") === col("qlabel"), 1L).otherwise(0L))
+          .as("rel_at_k"),
+        min(when(col("nlabel") === col("qlabel"), col("rank"))).as("first_rank"))
+      .join(broadcast(nRel), Seq("query_id"))
+      .select(col("query_id"), col("rel_at_k"), col("n_rel"), col("first_rank"),
+        (col("rel_at_k").cast("double") / lit(k.toDouble)).as("p_at_k"),
+        (col("rel_at_k").cast("double") / col("n_rel").cast("double"))
+          .as("recall_at_k"),
+        coalesce(lit(1.0d) / col("first_rank"), lit(0.0d)).as("rr"))
+    def dmean(c: String): Column =
+      (sum(col(c).cast("decimal(18,12)")).cast("double") /
+        count(lit(1)).cast("double")).as(c)
+    val summary = per.agg(
+        sum(col("rel_at_k")).as("rel_at_k"), sum(col("n_rel")).as("n_rel"),
+        dmean("p_at_k"), dmean("recall_at_k"), dmean("rr"))
+      .select(lit(-1L).as("query_id"), col("rel_at_k"), col("n_rel"),
+        lit(null).cast("long").as("first_rank"),
+        col("p_at_k"), col("recall_at_k"), col("rr"))
+    per.unionAll(summary)
   }
 }

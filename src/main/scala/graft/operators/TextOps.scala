@@ -2166,6 +2166,87 @@ object TextOps {
     * and drop out (documented; the quality gate handles them by
     * length).
     */
+  /** Minimum pair count for [[collocations]] (noise floor — textbook
+    * PMI is unstable on hapax pairs).
+    */
+  val CollocMinCount = 5L
+
+  /** Result budget for [[collocations]]. */
+  val CollocTopK = 50
+
+  /** Collocation mining: the corpus's most associated adjacent word
+    * pairs by POINTWISE MUTUAL INFORMATION, computed as the exact
+    * lift ratio `P(w1,w2) / (P(w1·)·P(·w2)) = c₁₂·N / (c₁·c₂)` over
+    * the bigram contingency margins (c₁ = pair occurrences with that
+    * first word, c₂ = with that second word, N = total bigrams). The
+    * ratio is ONE IEEE division of exact integer products (both
+    * < 2⁵³ at any fixture scale — at true corpus scale the products
+    * approach the mantissa and the score would move to the integer-
+    * log2 grid [[surprisal]] uses; the ranking is what matters and
+    * log is monotone). PMI itself is log(ratio) — monotone, so
+    * ranking by the ratio IS ranking by PMI without a cross-engine
+    * transcendental.
+    *
+    * Shape at 100 TB: one bigram-keyed partial-aggregated count
+    * shuffle; both margins are groupBys OFF that aggregate (vocab²-
+    * bounded, not corpus-bounded); N is a 1-row broadcast; top-k is a
+    * TakeOrderedAndProject with full (ratio, w1, w2) tiebreak.
+    */
+  def collocations(spark: SparkSession, dir: String): DataFrame = {
+    val bigrams = withWordsAttr(spark, dir)
+      .where(size(col("words")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(words) - 2), i -> struct(words[i] AS w1, words[i + 1] AS w2))"))
+        .as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bg = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val m1 = bg.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val m2 = bg.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
+    val n = bg.agg(sum(col("c12")).as("n_bigrams"))
+    bg.where(col("c12") >= CollocMinCount)
+      .join(m1, Seq("w1")).join(m2, Seq("w2"))
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        col("n_bigrams"),
+        ((col("c12") * col("n_bigrams")).cast("double") /
+          (col("c1") * col("c2")).cast("double")).as("pmi_ratio"))
+      .orderBy(col("pmi_ratio").desc, col("w1").asc, col("w2").asc)
+      .limit(CollocTopK)
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): within
+    * each language, split documents into head / middle / tail thirds
+    * by their LM score — here the corpus-bigram surprisal
+    * ([[surprisal]]'s mean bits, the repo's KenLM stand-in). The split
+    * is `ntile(3)` over the (mean_bits, doc_id) TOTAL order — a pure
+    * rank bucket, so no quantile interpolation ever touches a float
+    * boundary and the assignment is bit-portable by construction.
+    * Head = most predictable text (lowest bits), the third CCNet
+    * keeps first. Documents under 2 words have no bigrams and drop
+    * out with [[surprisal]] (documented there; the length gate owns
+    * them).
+    *
+    * Shape at 100 TB: surprisal's own audited shape plus one
+    * lang-keyed window over the per-DOC score table (corpus-row
+    * sized, ~16 bytes a row) — the window partitions by language, so
+    * skew equals corpus language skew; a production run would
+    * sub-salt the dominant language only to RANK, which ntile
+    * tolerates (ranks then merge by range), kept single-window here.
+    */
+  def pplBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val byLang = Window.partitionBy(col("lang"))
+      .orderBy(col("mean_bits").asc, col("doc_id").asc)
+    surprisal(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+      .withColumn("tercile", ntile(3).over(byLang).cast("long"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"), col("total_bits"),
+        col("mean_bits"), col("tercile"),
+        when(col("tercile") === 1L, lit("head"))
+          .when(col("tercile") === 2L, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
   def surprisal(spark: SparkSession, dir: String): DataFrame = {
     val bigrams = withWordsAttr(spark, dir)
       .where(size(col("words")) >= 2)

@@ -88,6 +88,18 @@ object StreamingCounters {
           .as("is_anomaly"))
   }
 
+  /** The batch [[graft.operators.Relational.evtEwma]] answer read off
+    * the store: day totals are exact-decimal sums over (type, batch)
+    * cells — commutative under any split — quantized to the identical
+    * integer cents, then the SAME dyadic fold
+    * ([[graft.operators.Relational.ewmaOverDaily]], shared code).
+    */
+  def globalEwma(spark: SparkSession, storePath: String): DataFrame =
+    graft.operators.Relational.ewmaOverDaily(
+      spark.read.parquet(storePath)
+        .groupBy(col("day"))
+        .agg((sum(col("value_dec")) * 100).cast("long").as("cents")))
+
   /** The batch [[graft.operators.Relational.evtDateHistogram]] answer
     * read off the store: the same gap-filled calendar frame over the
     * span of OBSERVED days, zero-filled, decimal totals to double at

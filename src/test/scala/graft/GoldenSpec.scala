@@ -325,7 +325,27 @@ class GoldenSpec extends SparkSpec {
     "dedup_clusters_star" -> ((-4388125515379173L, 45L)),
     "emb_knn_rp" -> ((-6335444676157941696L, 50L)),
     "emb_curation" -> ((6670476108237325309L, 500L)),
-    "evt_pipeline_aggs" -> ((-2787922109988924251L, 150L))
+    "evt_pipeline_aggs" -> ((-2787922109988924251L, 150L)),
+    // --- round 11 additions (second wave: ES agg parity + geo + eval) ---
+    "q67_boxplot" -> ((1134297902415446815L, 5L)),
+    "q68_multi_terms" -> ((-4455657121420873830L, 10L)),
+    "q69_top_metrics" -> ((5957343445975575092L, 5L)),
+    "q70_frequent_pairs" -> ((8073349744442037917L, 25L)),
+    "evt_categorize" -> ((-7680123305115389590L, 5L)),
+    "geo_grid" -> ((4383475937040964865L, 20L)),
+    "geo_rings" -> ((-4312502133909906051L, 4L)),
+    "geo_centroid" -> ((-2391530400239847446L, 5L)),
+    "rank_eval" -> ((-1618337829220987308L, 6L)),
+    "graph_hits" -> ((-4265417382349644853L, 25L)),
+    "evt_ewma" -> ((4701734477159764869L, 30L)),
+    "q71_nested_agg" -> ((4051881785390916810L, 5L)),
+    "q72_rate_agg" -> ((-3122499351221009577L, 5L)),
+    "txt_collocations" -> ((7034599979249139388L, 50L)),
+    "q73_bucket_sort" -> ((-6356153549051693470L, 10L)),
+    "txt_ppl_buckets" -> ((-6347153628825134247L, 500L)),
+    "q74_terms_partition" -> ((-580970131516114061L, 9L)),
+    "evt_ip_range" -> ((2339254684288860274L, 3L)),
+    "evt_ip_prefix" -> ((-9190911181604061264L, 20L))
   )
 
   test("golden: every query output is frozen at sf0.001") {

@@ -392,4 +392,37 @@ class GraphOpsSpec extends SparkSpec {
     val nonSeed = got.filterNot(kv => seeds(kv._1)).values.toSeq.sorted
     assert(seeds.forall(s => got(s) > nonSeed(nonSeed.size / 2)))
   }
+
+  test("hits: integer-grid replay equals the operator, top ranks pin to the grid") {
+    val edges = GraphOps.tradeEdges(spark, sfDir)
+      .select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    var h = nodes.map(_ -> GraphOps.HitsScale).toMap
+    var a = Map.empty[Long, Long]
+    for (_ <- 1 to GraphOps.HitsRounds) {
+      val araw = nodes.map(n =>
+        n -> edges.filter(_._2 == n).map(e => h(e._1)).sum).toMap
+      val amax = araw.values.max
+      a = araw.map { case (n, v) => n -> v * GraphOps.HitsScale / amax }
+      val hraw = nodes.map(n =>
+        n -> edges.filter(_._1 == n).map(e => a(e._2)).sum).toMap
+      val hmax = hraw.values.max
+      h = hraw.map { case (n, v) => n -> v * GraphOps.HitsScale / hmax }
+    }
+    val got = GraphOps.hits(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet === nodes.toSet)
+    nodes.foreach(n => assert(got(n) === ((h(n), a(n))), s"node $n"))
+    // max normalization pins the top of each ranking to the full grid
+    assert(got.values.map(_._1).max === GraphOps.HitsScale)
+    assert(got.values.map(_._2).max === GraphOps.HitsScale)
+    // the double scores are the single-division views of the grid
+    GraphOps.hits(spark, sfDir).collect().foreach { r =>
+      assert(r.getDouble(3) ===
+        r.getLong(1).toDouble / GraphOps.HitsScale.toDouble)
+      assert(r.getDouble(4) ===
+        r.getLong(2).toDouble / GraphOps.HitsScale.toDouble)
+    }
+  }
 }

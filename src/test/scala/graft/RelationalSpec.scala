@@ -956,4 +956,247 @@ class RelationalSpec extends SparkSpec {
       assert(n === 0L && s === 0.0, s"bucket $id zero-fill")
     }
   }
+
+  test("q67 boxplot: quartiles, fences, and whiskers replay exactly") {
+    // the interpolation both engines use at frac ∈ {0, .25, .5, .75}
+    def pct(sorted: Array[Long], f: Double): Double = {
+      val pos = (sorted.length - 1) * f
+      val lo = pos.toInt
+      val frac = pos - lo
+      if (frac == 0.0) sorted(lo).toDouble
+      else sorted(lo) + (sorted(lo + 1) - sorted(lo)) * frac
+    }
+    val cents = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderpriority", "o_totalprice").collect()
+      .map(r => (r.getString(0), math.floor(r.getDouble(1) * 100 + 0.5).toLong))
+    val rows = operators.Relational.q67Boxplot(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    cents.groupBy(_._1).foreach { case (p, es) =>
+      val s = es.map(_._2).sorted
+      val (q1, q2, q3) = (pct(s, 0.25), pct(s, 0.5), pct(s, 0.75))
+      val lo = q1 - 1.5 * (q3 - q1)
+      val hi = q3 + 1.5 * (q3 - q1)
+      val r = rows(p)
+      assert(r.getLong(1) === s.length.toLong, s"$p n")
+      assert(r.getDouble(2) === s.head.toDouble / 100.0, s"$p min")
+      assert(r.getDouble(3) === q1 / 100.0, s"$p q1")
+      assert(r.getDouble(4) === q2 / 100.0, s"$p median")
+      assert(r.getDouble(5) === q3 / 100.0, s"$p q3")
+      assert(r.getDouble(6) === s.last.toDouble / 100.0, s"$p max")
+      assert(r.getDouble(7) === s.filter(_ >= lo).min.toDouble / 100.0, s"$p lw")
+      assert(r.getDouble(8) === s.filter(_ <= hi).max.toDouble / 100.0, s"$p uw")
+      // whiskers sit inside the box-extremes envelope
+      assert(r.getDouble(7) >= r.getDouble(2) && r.getDouble(7) <= r.getDouble(3))
+      assert(r.getDouble(8) <= r.getDouble(6) && r.getDouble(8) >= r.getDouble(5))
+    }
+  }
+
+  test("q68 multi_terms: top composite buckets by count with full tiebreak") {
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_custkey", "o_orderpriority").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val seg = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select("c_custkey", "c_mktsegment").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val want = o.map { case (ck, pr) => (seg(ck), pr) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case ((s, p), n) => (-n, s, p) }
+      .take(operators.Relational.MultiTermsK)
+    val got = operators.Relational.q68MultiTerms(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    assert(got.toSeq === want.map { case (k, n) => (k, n) })
+  }
+
+  test("q69 top_metrics: exactly the latest row per type, tiebreak on id") {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .selectExpr("event_type", "unix_micros(ts) AS t", "event_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val got = operators.Relational.q69TopMetrics(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val want = ev.groupBy(_._1).map { case (t, es) =>
+      t -> es.maxBy(e => (e._2, e._3))._3
+    }
+    assert(got === want)
+  }
+
+  test("q70 frequent_pairs: support and lift replay on brand baskets") {
+    val brand = spark.read.parquet(s"$sfDir/part.parquet")
+      .select("p_partkey", "p_brand").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val items = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), brand(r.getLong(1)))).distinct
+    val nBaskets = items.map(_._1).distinct.length.toLong
+    val sup = items.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pairSup = items.groupBy(_._1).toSeq.flatMap { case (_, is) =>
+      val bs = is.map(_._2).sorted
+      for (i <- bs.indices; j <- (i + 1) until bs.length) yield (bs(i), bs(j))
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = operators.Relational.q70FrequentPairs(spark, sfDir).collect()
+    assert(got.length === math.min(operators.Relational.FpTopK, pairSup.size))
+    // returned pairs are the top-k under (support desc, a asc, b asc)
+    val want = pairSup.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }
+      .take(operators.Relational.FpTopK)
+    assert(got.map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toSeq
+      === want)
+    got.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      assert(r.getLong(3) === sup(a), s"support_a $a")
+      assert(r.getLong(4) === sup(b), s"support_b $b")
+      assert(r.getLong(5) === nBaskets)
+      assert(r.getDouble(6) ===
+        (pairSup((a, b)) * nBaskets).toDouble / (sup(a) * sup(b)).toDouble)
+    }
+  }
+
+  test("evt_ewma: dyadic fold equals the classic ewma recursion exactly") {
+    val cents = graft.sources.Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long")
+        .as("cents"))
+      .collect().map(r => r.getDate(0).toLocalDate -> r.getLong(1)).toMap
+    val got = operators.Relational.evtEwma(spark, sfDir).collect()
+      .map(r => r.getDate(0).toLocalDate -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got.keySet === cents.keySet)
+    cents.keys.foreach { d =>
+      val window = (0 until operators.Relational.EwmaWindow)
+        .map(k => d.minusDays(k.toLong)).filter(cents.contains).sorted
+      assert(got(d)._1 === window.length.toLong, s"$d n_window")
+      // ES's MovingFunctions.ewma recursion, run in double: every step
+      // is a halving (exact in binary) + an exact small-int add, so it
+      // must equal the integer fold BIT FOR BIT after the one /100
+      var avg = cents(window.head).toDouble
+      window.tail.foreach(w => avg = cents(w).toDouble / 2.0 + avg / 2.0)
+      assert(got(d)._2 === avg / 100.0, s"$d ewma")
+    }
+  }
+
+  test("q71 nested_agg: parent/child/reverse_nested counts replay") {
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_orderstatus", "o_orderpriority").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .filter(_._2 == "F")
+    val kids = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .filter(_._2 > 25.0)
+      .groupBy(_._1)
+    def d2(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    val got = operators.Relational.q71NestedAgg(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    orders.groupBy(_._3).foreach { case (p, os) =>
+      val r = got(p)
+      assert(r.getLong(1) === os.length.toLong, s"$p parents")
+      assert(r.getLong(2) ===
+        os.map(o => kids.get(o._1).map(_.length).getOrElse(0)).sum.toLong,
+        s"$p children")
+      assert(r.getDouble(3) ===
+        os.flatMap(o => kids.get(o._1).toSeq.flatten.map(k => d2(k._3)))
+          .sum.toDouble, s"$p price")
+      assert(r.getLong(4) ===
+        os.count(o => kids.contains(o._1)).toLong, s"$p reverse_nested")
+    }
+  }
+
+  test("q72 rate_agg: calendar-day normalization replays") {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .selectExpr("event_type",
+        "CAST(date_trunc('month', ts) AS DATE) AS m", "value").collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getDouble(2)))
+    val got = operators.Relational.q72RateAgg(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate) -> r).toMap
+    assert(got.keySet === ev.map(e => (e._1, e._2)).toSet)
+    ev.groupBy(e => (e._1, e._2)).foreach { case (k, es) =>
+      val r = got(k)
+      val days = k._2.lengthOfMonth().toLong
+      assert(r.getLong(2) === es.length.toLong)
+      assert(r.getLong(4) === days, s"$k days")
+      assert(r.getDouble(5) === es.length.toDouble / days.toDouble, s"$k rate")
+    }
+  }
+
+  test("q73 bucket_sort: the from/size page of value-ranked buckets") {
+    import operators.{Relational => R}
+    val daily = graft.sources.Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n")).collect()
+    val got = R.q73BucketSort(spark, sfDir).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(3), r.getDouble(2)))
+    assert(got.length === math.min(R.BsSize, math.max(0, daily.length - R.BsFrom)))
+    // ranks are exactly the requested page and value_sum is non-increasing
+    assert(got.map(_._2).sorted.toSeq ===
+      ((R.BsFrom + 1).toLong to (R.BsFrom + got.length).toLong).toSeq)
+    val byRank = got.sortBy(_._2).map(_._3)
+    assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("evt_ip_range / evt_ip_prefix: integer address space replay") {
+    import operators.{Relational => R}
+    // replay the md5 address derivation
+    val ips = graft.sources.Tables.events(spark, sfDir)
+      .selectExpr("CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 4294967296 AS ip")
+      .collect().map(_.getLong(0))
+    val bounds = (Seq(0L) ++ R.IpRangeEdges) :+ 4294967296L
+    val rows = R.evtIpRange(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet === bounds.sliding(2).zipWithIndex.map(_._2.toLong).toSet)
+    // conservation + per-range membership
+    assert(rows.values.map(_.getLong(3)).sum === ips.length.toLong)
+    bounds.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+      val r = rows(i.toLong)
+      assert(r.getLong(3) === ips.count(ip => ip >= lo && ip < hi).toLong, s"range $i")
+      // dotted quads render the integer bounds
+      def quad(v: Long) =
+        s"${v / 16777216}.${v / 65536 % 256}.${v / 256 % 256}.${v % 256}"
+      assert(r.getString(1) === quad(lo) && r.getString(2) === quad(hi - 1))
+    }
+    // /8 prefixes: counts replay and the page is fully tiebroken
+    val nets = ips.map(_ / 16777216L)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val want = nets.toSeq.sortBy { case (n, c) => (-c, n) }.take(R.IpPrefixTopK)
+    val got = R.evtIpPrefix(spark, sfDir).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === want)
+    R.evtIpPrefix(spark, sfDir).collect().foreach(r =>
+      assert(r.getString(0) === s"${r.getLong(1)}.0.0.0/8"))
+  }
+
+  test("q74 terms_partition: the shards tile the term space exactly") {
+    import operators.{Relational => R}
+    val words = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("explode(split(text, ' ')) AS term").collect()
+      .map(_.getString(0))
+    val full = words.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = R.q74TermsPartition(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // correct counts within the partition
+    got.foreach { case (t, c) => assert(full(t) === c, t) }
+    // the union of ALL partitions is exactly the full term set, disjoint
+    val shards = (0 until R.TpNumPartitions).map { p =>
+      graft.sources.Tables.documents(spark, sfDir)
+        .selectExpr("explode(split(text, ' ')) AS term")
+        .where(expr("CAST(conv(substring(md5(term), 1, 15), 16, 10) AS BIGINT)")
+          % R.TpNumPartitions === p)
+        .groupBy("term").count().collect().map(_.getString(0)).toSet
+    }
+    assert(shards.map(_.size).sum === full.keySet.size, "disjoint tiling")
+    assert(shards.reduce(_ ++ _) === full.keySet, "complete tiling")
+    assert(shards(R.TpPartition) === got.keySet)
+  }
+
+  test("evt_categorize: digit runs collapse to stable templates") {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select("event_type", "props").collect()
+      .map(r => (r.getString(0) + " " + r.getString(1)).replaceAll("[0-9]+", "#"))
+    val want = ev.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = operators.Relational.evtCategorize(spark, sfDir).collect()
+    assert(got.map(_.getString(0)).toSet === want.keySet)
+    got.foreach(r => assert(r.getLong(1) === want(r.getString(0))))
+    // sorted by count desc then template asc
+    val order = got.map(r => (-r.getLong(1), r.getString(0)))
+    assert(order.toSeq === order.sorted.toSeq)
+    // masking collapsed every digit
+    got.foreach(r => assert(!r.getString(0).exists(_.isDigit)))
+  }
 }

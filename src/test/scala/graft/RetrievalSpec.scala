@@ -482,4 +482,44 @@ class RetrievalSpec extends SparkSpec {
     }
     assert(reordered, "function_score never changed any ranking — fixture too weak")
   }
+
+  test("rank_eval: per-query metrics replay and the summary row is the decimal mean") {
+    import graft.operators.{Retrieval => R, VectorOps => V}
+    val labels = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val knn = V.knnExact(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val rows = R.rankEval(spark, sfDir).collect()
+    val (summ, per) = rows.partition(_.getLong(0) == -1L)
+    assert(summ.length === 1)
+    assert(per.map(_.getLong(0)).toSet === knn.map(_._1).toSet)
+    val perMap = per.map(r => r.getLong(0) -> r).toMap
+    knn.groupBy(_._1).foreach { case (q, ns) =>
+      val ql = labels(q)
+      val rel = ns.filter(n => labels(n._2) == ql)
+      val r = perMap(q)
+      assert(r.getLong(1) === rel.length.toLong, s"q$q rel_at_k")
+      assert(r.getLong(2) === labels.values.count(_ == ql).toLong - 1L,
+        s"q$q n_rel")
+      if (rel.isEmpty) assert(r.isNullAt(3) && r.getDouble(6) === 0.0)
+      else {
+        assert(r.getLong(3) === rel.map(_._3).min, s"q$q first_rank")
+        assert(r.getDouble(6) === 1.0 / rel.map(_._3).min, s"q$q rr")
+      }
+      assert(r.getDouble(4) === rel.length.toDouble / V.K, s"q$q p_at_k")
+      assert(r.getDouble(5) === rel.length.toDouble / r.getLong(2), s"q$q recall")
+    }
+    // summary: exact decimal means of the per-query columns
+    def dmean(vs: Seq[Double]): Double =
+      vs.map(v => BigDecimal(v).setScale(12, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble / vs.length.toDouble
+    val s = summ.head
+    assert(s.getLong(1) === per.map(_.getLong(1)).sum)
+    assert(s.getLong(2) === per.map(_.getLong(2)).sum)
+    assert(s.isNullAt(3))
+    assert(s.getDouble(4) === dmean(per.map(_.getDouble(4)).toSeq))
+    assert(s.getDouble(5) === dmean(per.map(_.getDouble(5)).toSeq))
+    assert(s.getDouble(6) === dmean(per.map(_.getDouble(6)).toSeq))
+  }
 }

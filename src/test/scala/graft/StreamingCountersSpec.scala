@@ -42,6 +42,13 @@ class StreamingCountersSpec extends SparkSpec {
     assert(anomaly(StreamingCounters.globalAnomaly(spark, store)) === batchAnomaly)
     assert(histo(StreamingCounters.globalHistogram(spark, store)) === batchHisto)
 
+    // the EWMA read surface: decimal day totals commute under the batch
+    // split, so the dyadic fold must equal the batch operator row for row
+    def ewma(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getDate(0).toString -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(ewma(StreamingCounters.globalEwma(spark, store)) ===
+      ewma(graft.operators.Relational.evtEwma(spark, sfDir)))
+
     // restart with no new files: checkpoint skips everything
     val n = spark.read.parquet(store).count()
     val q3 = StreamingCounters.startCounterIngest(spark, src, store, ckpt)

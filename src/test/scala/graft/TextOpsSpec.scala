@@ -1008,4 +1008,58 @@ class TextOpsSpec extends SparkSpec {
       .map(r => (r.getLong(1), r.getString(0)))
     assert(rows.sameElements(rows.sorted))
   }
+
+  test("ppl_buckets: rank terciles per language, conservation, head = lowest bits") {
+    val rows = TextOps.pplBuckets(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(4),
+        r.getLong(5), r.getString(6)))
+    // every scored doc appears exactly once, buckets map 1/2/3
+    assert(rows.map(_._1).distinct.length === rows.length)
+    assert(rows.forall(r => Seq("head", "middle", "tail").contains(r._5)))
+    assert(rows.forall(r =>
+      (r._4 == 1L) == (r._5 == "head") && (r._4 == 3L) == (r._5 == "tail")))
+    rows.groupBy(_._2).foreach { case (lang, ls) =>
+      // ntile balance: tercile sizes differ by at most 1
+      val sizes = ls.groupBy(_._4).view.mapValues(_.length).toMap
+      assert(sizes.values.max - sizes.values.min <= 1, s"$lang balance")
+      // ordering respects the score: every head score <= every tail score
+      val head = ls.filter(_._4 == 1L).map(_._3)
+      val tail = ls.filter(_._4 == 3L).map(_._3)
+      if (head.nonEmpty && tail.nonEmpty)
+        assert(head.max <= tail.min, s"$lang head<=tail")
+    }
+    // drops exactly the no-bigram docs, nothing else
+    val scored = graft.operators.TextOps.surprisal(spark, sfDir).count()
+    assert(rows.length.toLong === scored)
+  }
+
+  test("collocations: PMI lift ratio replays on the fixture corpus") {
+    val texts = graft.sources.Tables.documents(spark, sfDir)
+      .select("text").collect().map(_.getString(0))
+    val bigrams = texts.flatMap { t =>
+      val w = t.split(" ", -1)
+      if (w.length < 2) Nil else w.sliding(2).map(p => (p(0), p(1))).toSeq
+    }
+    val c12 = bigrams.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val c1 = bigrams.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val c2 = bigrams.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = bigrams.length.toLong
+    val want = c12.filter(_._2 >= TextOps.CollocMinCount).toSeq
+      .map { case (p, c) =>
+        (p, c, (c * n).toDouble / (c1(p._1) * c2(p._2)).toDouble)
+      }
+      .sortBy { case (p, _, r) => (-r, p._1, p._2) }
+      .take(TextOps.CollocTopK)
+    val got = TextOps.collocations(spark, sfDir).collect()
+    assert(got.length === want.length)
+    got.zip(want).foreach { case (g, (p, c, r)) =>
+      assert((g.getString(0), g.getString(1)) === p)
+      assert(g.getLong(2) === c)
+      assert(g.getLong(3) === c1(p._1) && g.getLong(4) === c2(p._2))
+      assert(g.getLong(5) === n)
+      assert(g.getDouble(6) === r)
+    }
+    // an associated pair outranks a chance pair: the top ratio exceeds 1
+    assert(got.head.getDouble(6) > 1.0)
+  }
 }
