@@ -73,7 +73,7 @@ object GeoOps {
     * (OracleGeo) generates the IDENTICAL arithmetic from this one
     * function — zero drift between engine and oracle by construction.
     */
-  private[graft] def geohashSql(p: Int,
+  def geohashSql(p: Int,
       idiv: (String, String) => String = (a, b) => s"($a div $b)"): String = {
     val bits = 5 * p
     val lonBits = (bits + 1) / 2

@@ -1124,4 +1124,129 @@ for (k <- Seq(1, 8, 16)) {
   }
   println(f"  k=$k%2d: $s%6.2f s")
 }
+println("== frequent-pairs growth vs basket count (synthetic 4-item baskets over a 25-item catalog; pairs/basket <= C(4,2)) ==")
+for (n <- Seq(100000, 400000, 1600000)) {
+  val items = spark.range(n.toLong).select(col("id").as("basket"),
+      explode(expr("transform(sequence(0, 3), j -> abs(hash(id, j)) % 25)")).as("item"))
+    .distinct()
+  val s = timed {
+    val pairs = items.as("a").join(items.as("b"),
+        col("a.basket") === col("b.basket") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("ia"), col("b.item").as("ib"))
+      .agg(count(lit(1)).as("sup"))
+    pairs.agg(count(lit(1)), sum(col("sup"))).head()
+  }
+  println(f"  N=$n%8d baskets: $s%6.2f s")
+}
+
+println("== HITS shape (edge-derivation scan x k over the FIXED 25-node graph; 5 max-normalized integer rounds) ==")
+for (k <- Seq(1, 8, 16)) {
+  val e0 = multi("lineitem", k).select(col("l_orderkey"), col("l_suppkey"))
+    .join(multi("orders", 1).select(col("o_orderkey"), col("o_custkey")),
+      col("l_orderkey") === col("o_orderkey"))
+    .join(broadcast(multi("customer", 1).select(col("c_custkey"), col("c_nationkey"))),
+      col("o_custkey") === col("c_custkey"))
+    .join(broadcast(multi("supplier", 1).select(col("s_suppkey"), col("s_nationkey"))),
+      col("l_suppkey") === col("s_suppkey"))
+    .groupBy(col("c_nationkey").cast("long").as("src"),
+      col("s_nationkey").cast("long").as("dst"))
+    .agg(count(lit(1)).as("w")).select("src", "dst")
+  val s = timed {
+    val edges = e0.localCheckpoint()
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    var hub = nodes.withColumn("h", lit(1000000L))
+    var auth = nodes.withColumn("a", lit(1000000L))
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    def norm(raw: org.apache.spark.sql.DataFrame, c: String) =
+      raw.select(col("node"), col(c), max(col(c)).over(all).as("mx"))
+        .select(col("node"), expr(s"($c * 1000000) div mx").as(c))
+    for (_ <- 1 to 5) {
+      val araw = nodes.join(
+          edges.join(broadcast(hub), col("src") === col("node"))
+            .groupBy(col("dst")).agg(sum(col("h")).as("a")),
+          col("node") === col("dst"), "left")
+        .select(col("node"), coalesce(col("a"), lit(0L)).as("a"))
+      auth = norm(araw, "a")
+      val hraw = nodes.join(
+          edges.join(broadcast(auth), col("dst") === col("node"))
+            .groupBy(col("src")).agg(sum(col("a")).as("h"))
+            .select(col("src"), col("h")),
+          col("node") === col("src"), "left")
+        .select(col("node"), coalesce(col("h"), lit(0L)).as("h"))
+      hub = norm(hraw, "h").localCheckpoint()
+    }
+    hub.agg(count(lit(1))).head()
+  }
+  println(f"  k=$k%2d: $s%6.2f s")
+}
+
+println("== geohash grid shape (md5 + integer interleave per row -> 1024-cell partial agg; cost IS the scan) ==")
+for (k <- Seq(1, 8, 16)) {
+  val ev = graft.sources.Tables.eventsFrom(multi("events", k))
+  val s = timed {
+    val c = ev
+      .withColumn("__h", expr("CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
+      .withColumn("lon_micro", expr("__h % 360000000"))
+      .withColumn("lat_micro", expr("(__h div 360000000) % 180000000"))
+      .withColumn("cell", expr(graft.operators.GeoOps.geohashSql(2)))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("vs"))
+    c.agg(count(lit(1))).head()
+  }
+  println(f"  k=$k%2d: $s%6.2f s")
+}
+
+println("== collocation shape (bigram partial-count agg; margins are groupBys OFF the vocab^2-bounded pair table) ==")
+for (k <- Seq(1, 8, 16)) {
+  val docs = multi("documents", k)
+  val s = timed {
+    val bigrams = docs
+      .select(col("doc_id"), explode(array(split(col("text"), " "))).as("words"))
+      .where(size(col("words")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(words) - 2), i -> struct(words[i] AS w1, words[i + 1] AS w2))")).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bg = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val m1 = bg.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val m2 = bg.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
+    val n = bg.agg(sum(col("c12")).as("nb"))
+    bg.where(col("c12") >= 5).join(m1, Seq("w1")).join(m2, Seq("w2"))
+      .crossJoin(broadcast(n))
+      .select(((col("c12") * col("nb")).cast("double") /
+        (col("c1") * col("c2")).cast("double")).as("r"))
+      .orderBy(col("r").desc).limit(50).collect()
+  }
+  println(f"  k=$k%2d: $s%6.2f s")
+}
+
+println("== ppl-bucket shape (surprisal's bigram shuffle + one lang-keyed ntile window over per-doc scores) ==")
+// k-fold duplicates doc_ids, so tercile SEMANTICS are k-degenerate here
+// (duplicate scores tie); only the wall-clock shape is under test
+for (k <- Seq(1, 8, 16)) {
+  val docs = multi("documents", k)
+  val s = timed {
+    val bigrams = docs
+      .select(col("doc_id"), col("lang"), explode(array(split(col("text"), " "))).as("words"))
+      .where(size(col("words")) >= 2)
+      .select(col("doc_id"), col("lang"), posexplode(expr(
+        "transform(sequence(0, size(words) - 2), i -> struct(words[i] AS w1, words[i + 1] AS w2))"))
+        .as(Seq("p", "bg")))
+      .select(col("doc_id"), col("lang"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bgc = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_bg"))
+    val ctx = bgc.groupBy(col("w1")).agg(sum(col("c_bg")).as("c_ctx"))
+    val scored = bigrams.join(bgc, Seq("w1", "w2")).join(ctx, Seq("w1"))
+      .select(col("doc_id"), col("lang"),
+        (length(bin(col("c_ctx"))) - length(bin(col("c_bg")))).cast("long").as("bits"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("nb"), sum(col("bits")).as("tb"))
+      .withColumn("mb", col("tb").cast("double") / col("nb").cast("double"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("mb").asc, col("doc_id").asc)
+    scored.withColumn("t", ntile(3).over(w)).agg(count(lit(1))).head()
+  }
+  println(f"  k=$k%2d: $s%6.2f s")
+}
+
 sys.exit(0)
