@@ -1819,6 +1819,43 @@ object OracleText {
        |       ELSE 'tail' END AS bucket
        |FROM t""".stripMargin
 
+  /** Mirror of TextOps.langidCng: same trigram rank profiles,
+    * out-of-place displacement sum, argmin with language tiebreak.
+    */
+  val langidCng: String = {
+    val k = TextOps.CngK
+    s"""WITH grams AS (
+       |  SELECT doc_id, lang,
+       |    unnest(list_transform(range(1, length(text) - 1),
+       |      i -> substring(text, CAST(i AS INT), 3))) AS g
+       |  FROM documents WHERE length(text) >= 3
+       |),
+       |dc AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cnt
+       |       FROM grams GROUP BY doc_id, g),
+       |dt AS (SELECT * FROM (
+       |  SELECT doc_id, g, CAST(row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY cnt DESC, g ASC) AS BIGINT) AS dr FROM dc) WHERE dr <= $k),
+       |lc AS (SELECT lang AS plang, g, CAST(count(*) AS BIGINT) AS cnt
+       |       FROM grams GROUP BY lang, g),
+       |lt AS (SELECT * FROM (
+       |  SELECT plang, g, CAST(row_number() OVER (PARTITION BY plang
+       |    ORDER BY cnt DESC, g ASC) AS BIGINT) AS lr FROM lc) WHERE lr <= $k),
+       |langs AS (SELECT DISTINCT plang FROM lt),
+       |dist AS (
+       |  SELECT d.doc_id, l.plang,
+       |    CAST(sum(COALESCE(abs(d.dr - p.lr), $k)) AS BIGINT) AS dist
+       |  FROM dt d CROSS JOIN langs l
+       |  LEFT JOIN lt p ON p.plang = l.plang AND p.g = d.g
+       |  GROUP BY d.doc_id, l.plang
+       |),
+       |best AS (SELECT * FROM (
+       |  SELECT doc_id, plang, dist, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY dist ASC, plang ASC) AS rn FROM dist) WHERE rn = 1)
+       |SELECT b.doc_id, d.lang, b.plang AS lang_pred, b.dist,
+       |  d.lang = b.plang AS correct
+       |FROM best b JOIN documents d ON d.doc_id = b.doc_id""".stripMargin
+  }
+
   /** Mirror of TextOps.collocations: same bigram margins, exact
     * integer-product lift ratio, one division, full-tiebreak top-k.
     */

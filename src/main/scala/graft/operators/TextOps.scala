@@ -385,6 +385,67 @@ object TextOps {
     )
   }
 
+  /** Profile length for [[langidCng]] (Cavnar & Trenkle use 300; the
+    * fixture vocabulary saturates far earlier).
+    */
+  val CngK = 40
+
+  /** Character-n-gram language ID (Cavnar & Trenkle 1994, the
+    * out-of-place measure): train per-language trigram RANK profiles
+    * from the corpus's own labeled docs, rank each document's top
+    * trigrams, and classify by the summed rank displacement
+    * (|doc_rank − profile_rank|, missing profile gram = [[CngK]]
+    * penalty), argmin with a language tiebreak. The heavier,
+    * rank-based sibling of the stopword scorer [[langid]] — and every
+    * quantity is an exact integer (counts, ranks, displacements), so
+    * the whole classifier is oracle-hashable. (The fixture's text is
+    * language-invariant word soup, so per-language profiles differ
+    * only by subset noise — the machinery, not the accuracy, is the
+    * deliverable, exactly as with [[langid]].)
+    *
+    * Shape at 100 TB: one trigram explode (3 bytes per char) into a
+    * (doc, gram) partial-count agg; the doc top-k is a rank window
+    * that plans as a partial WindowGroupLimit; language profiles are
+    * |langs|·k rows and BROADCAST into the displacement join, so the
+    * per-doc cost after the explode is k·|langs| integer rows.
+    */
+  def langidCng(spark: SparkSession, dir: String): DataFrame = {
+    val k = CngK
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        """CASE WHEN length(text) >= 3
+          |     THEN transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))
+          |     ELSE CAST(array() AS array<string>) END""".stripMargin)).as("g"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("cnt").desc, col("g").asc)
+    val docTop = grams.groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("dr", row_number().over(byDoc).cast("long"))
+      .where(col("dr") <= k)
+      .select(col("doc_id"), col("g"), col("dr"))
+    val byLang = Window.partitionBy(col("plang"))
+      .orderBy(col("cnt").desc, col("g").asc)
+    val langTop = grams.groupBy(col("lang").as("plang"), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("lr", row_number().over(byLang).cast("long"))
+      .where(col("lr") <= k)
+      .select(col("plang"), col("g"), col("lr"))
+    val dist = docTop
+      .crossJoin(broadcast(langTop.select(col("plang")).distinct()))
+      .join(broadcast(langTop), Seq("plang", "g"), "left")
+      .groupBy(col("doc_id"), col("plang"))
+      .agg(sum(coalesce(abs(col("dr") - col("lr")), lit(k.toLong)))
+        .as("dist"))
+    val best = Window.partitionBy(col("doc_id"))
+      .orderBy(col("dist").asc, col("plang").asc)
+    dist.withColumn("rn", row_number().over(best))
+      .where(col("rn") === 1)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("plang").as("lang_pred"),
+        col("dist"), (col("lang") === col("plang")).as("correct"))
+  }
+
   /** Document fingerprinting: md5 over the sorted distinct vocabulary —
     * an order-insensitive content fingerprint (the hash analog of the
     * reference's EAN identity keys, SURVEY.md P5).

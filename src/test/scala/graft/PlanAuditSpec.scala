@@ -446,4 +446,43 @@ class PlanAuditSpec extends SparkSpec {
     // the closing probe is the semi-join form
     assert(p.contains("LeftSemi"), p.take(800))
   }
+
+  test("geo_grid: scan-bound — one partial-aggregated exchange, TakeOrdered page") {
+    val p = plan("geo_grid")
+    assert(p.split("\n").count(_.contains("Exchange hashpartitioning")) === 1,
+      p.take(1200))
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q70 frequent_pairs: basket self-join is keyed, dims broadcast, top-k is a bounded heap") {
+    val p = plan("q70_frequent_pairs")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    // the ONLY nested-loop is the broadcast cross of the 1-row basket
+    // total; every data-bearing join is hashed
+    assert(p.split("\n").count(_.contains("BroadcastNestedLoopJoin")) === 1,
+      p.take(1200))
+    // the part dim and both support tables ride broadcasts
+    assert(p.split("\n").count(_.contains("BroadcastHashJoin")) >= 3, p.take(1200))
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  test("q69 top_metrics: per-key rank runs as a WindowGroupLimit, not a full sort") {
+    val df = SparkEntry.queries("q69_top_metrics")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+  }
+
+  test("q74 terms_partition: the shard filter sits below the aggregate exchange") {
+    val p = plan("q74_terms_partition")
+    // exactly one aggregation exchange (term-keyed); the hash filter
+    // must appear under it (scan side), so each request aggregates
+    // only its own term shard
+    val lines = p.split("\n")
+    val exIdx = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+    val filterIdx = lines.indexWhere(l =>
+      l.contains("Filter") && l.contains("md5"))
+    assert(exIdx >= 0 && filterIdx > exIdx, p.take(1500))
+  }
 }

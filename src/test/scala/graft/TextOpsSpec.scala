@@ -1033,6 +1033,41 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.length.toLong === scored)
   }
 
+  test("langid_cng: out-of-place rank distance replays on the fixture") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def trigrams(t: String): Seq[String] =
+      if (t.length < 3) Nil else (0 to t.length - 3).map(i => t.substring(i, i + 3))
+    def topK(counts: Map[String, Int]): Map[String, Long] =
+      counts.toSeq.sortBy { case (g, c) => (-c, g) }
+        .take(TextOps.CngK).zipWithIndex
+        .map { case ((g, _), i) => g -> (i + 1).toLong }.toMap
+    val docTop = docs.map { case (id, _, t) =>
+      id -> topK(trigrams(t).groupBy(identity).view.mapValues(_.length).toMap)
+    }.toMap
+    val langTop = docs.groupBy(_._2).map { case (l, ds) =>
+      l -> topK(ds.flatMap(d => trigrams(d._3))
+        .groupBy(identity).view.mapValues(_.length).toMap)
+    }
+    val k = TextOps.CngK.toLong
+    val want = docs.collect { case (id, lang, t) if t.length >= 3 =>
+      val dists = langTop.keys.toSeq.sorted.map { l =>
+        val prof = langTop(l)
+        l -> docTop(id).map { case (g, dr) =>
+          prof.get(g).map(lr => math.abs(dr - lr)).getOrElse(k)
+        }.sum
+      }
+      val (pl, pd) = dists.minBy { case (l, d) => (d, l) }
+      id -> ((lang, pl, pd, lang == pl))
+    }.toMap
+    val got = TextOps.langidCng(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    assert(got === want)
+  }
+
   test("collocations: PMI lift ratio replays on the fixture corpus") {
     val texts = graft.sources.Tables.documents(spark, sfDir)
       .select("text").collect().map(_.getString(0))
