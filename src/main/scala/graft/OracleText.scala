@@ -1856,6 +1856,46 @@ object OracleText {
        |FROM best b JOIN documents d ON d.doc_id = b.doc_id""".stripMargin
   }
 
+  /** Mirror of TextOps.winnowing: same k-gram hash stream, the same
+    * backward-min / forward-max two-window selection, FILTERed
+    * distinct fingerprint digest.
+    */
+  val winnowing: String = {
+    val k = TextOps.WinnowK
+    val w = TextOps.WinnowW
+    s"""WITH grams0 AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |    substring(text, CAST(i AS INT), $k) AS g
+       |  FROM documents, unnest(range(1, length(text) - ${k - 2})) t(i)
+       |  WHERE length(text) >= $k
+       |),
+       |-- hash staged on a COLUMN: rotLong's fold lambda binds `i`, so
+       |-- inlining the correlated unnest variable would be shadowed
+       |grams AS (
+       |  SELECT doc_id, pos, ${rotLong("md5(g)", 0)} AS h FROM grams0
+       |),
+       |wm AS (
+       |  SELECT doc_id, pos, h,
+       |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS m
+       |  FROM grams
+       |),
+       |sel AS (
+       |  SELECT doc_id, h,
+       |    max(m) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) = h AS s
+       |  FROM wm
+       |)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |  CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+       |  CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS density,
+       |  md5(array_to_string(list_transform(
+       |    list_sort(list(DISTINCT h) FILTER (WHERE s)),
+       |    x -> CAST(x AS VARCHAR)), ',')) AS fp_digest
+       |FROM sel GROUP BY doc_id""".stripMargin
+  }
+
   /** Mirror of TextOps.collocations: same bigram margins, exact
     * integer-product lift ratio, one division, full-tiebreak top-k.
     */

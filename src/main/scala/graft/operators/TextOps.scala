@@ -1483,6 +1483,62 @@ object TextOps {
     * in one pass but don't distribute; windowed marking is the
     * shuffle-native equivalent, with window length the recall dial.
     */
+  /** Winnowing k-gram length (characters) and window width. */
+  val WinnowK = 8
+  val WinnowW = 4
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    * 2003, the MOSS algorithm): hash every [[WinnowK]]-char gram, then
+    * keep each [[WinnowW]]-window's MINIMUM hash — the guarantee-dense
+    * fingerprint selection plagiarism/dup detectors use (any shared
+    * substring of length ≥ w+k−1 shares a selected fingerprint).
+    *
+    * The selection runs as TWO plain windows instead of a per-window
+    * loop: with m(e) = min hash over the window ENDING at position e,
+    * a position p is selected iff some window containing p has p as
+    * its minimum ⟺ max{m(e) : e ∈ [p, p+w−1]} = h(p) (every such
+    * window contains p, so m(e) ≤ h(p) throughout and equality holds
+    * exactly when p is the min — a backward ROWS min then a forward
+    * ROWS max, both on the same doc-keyed sort, no self-join).
+    * Truncated boundary windows participate (documented deviation:
+    * classic winnowing starts at the first full window; the truncated
+    * form keeps the guarantee and is identical on both engines).
+    * Hashes are 60-bit md5 prefixes — ties impossible in practice, and
+    * the tie case only over-selects (both engines identically).
+    *
+    * Emitted per doc: gram count, selected count, the selection
+    * density (one IEEE division; expectation 2/(w+1)), and an
+    * order-insensitive fingerprint-set digest (md5 over the sorted
+    * distinct selected hashes — the [[fingerprint]] device), which is
+    * what a dedup pass would index.
+    */
+  def winnowing(spark: SparkSession, dir: String): DataFrame = {
+    val (k, w) = (WinnowK, WinnowW)
+    val grams = Tables.documents(spark, dir)
+      .where(length(col("text")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(1, length(text) - ${k - 1}),
+           |  i -> substring(text, i, $k))""".stripMargin))
+        .as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"), rotLong("md5(gram)", 0).as("h"))
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+    val back = byPos.rowsBetween(-(w - 1), 0)
+    val fwd = byPos.rowsBetween(0, w - 1)
+    grams
+      .withColumn("m", min(col("h")).over(back))
+      .withColumn("sel", max(col("m")).over(fwd) === col("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("sel"), 1L).otherwise(0L)).as("n_selected"),
+        expr("""md5(concat_ws(',', transform(
+                |  sort_array(collect_set(CASE WHEN sel THEN h END)),
+                |  x -> CAST(x AS STRING))))""".stripMargin).as("fp_digest"))
+      .withColumn("density",
+        col("n_selected").cast("double") / col("n_grams").cast("double"))
+      .select(col("doc_id"), col("n_grams"), col("n_selected"),
+        col("density"), col("fp_digest"))
+  }
+
   def dupSpans(spark: SparkSession, dir: String): DataFrame = {
     val wins = expr(
       s"""CASE WHEN size(words) >= $DupSpanLen THEN

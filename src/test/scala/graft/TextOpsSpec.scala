@@ -1068,6 +1068,47 @@ class TextOpsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("winnowing: two-window selection equals per-window argmin; density guarantee holds") {
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val (k, w) = (TextOps.WinnowK, TextOps.WinnowW)
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._2.length >= k)
+    val got = TextOps.winnowing(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(4))))
+      .toMap
+    assert(got.keySet === docs.map(_._1).toSet)
+    docs.foreach { case (id, text) =>
+      val hs = (0 to text.length - k).map(i => h60(text.substring(i, i + k)))
+      // classic winnowing replay: every window (truncated at the left
+      // boundary, like the operator) selects its minimum position(s)
+      val sel = (hs.indices).flatMap { e =>
+        val lo = math.max(0, e - w + 1)
+        val win = (lo to e)
+        val m = win.map(hs).min
+        win.filter(p => hs(p) == m)
+      }.toSet
+      val (ng, ns, dig) = got(id)
+      assert(ng === hs.length.toLong, s"doc $id n_grams")
+      assert(ns === sel.size.toLong, s"doc $id n_selected")
+      val wantDig = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val s = sel.map(hs).toSeq.distinct.sorted.mkString(",")
+        md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      }
+      assert(dig === wantDig, s"doc $id digest")
+      // the density guarantee: every FULL window contains a selection
+      (w - 1 until hs.length).foreach { e =>
+        assert((e - w + 1 to e).exists(sel.contains), s"doc $id window at $e")
+      }
+    }
+  }
+
   test("collocations: PMI lift ratio replays on the fixture corpus") {
     val texts = graft.sources.Tables.documents(spark, sfDir)
       .select("text").collect().map(_.getString(0))
