@@ -1856,6 +1856,49 @@ object OracleText {
        |FROM best b JOIN documents d ON d.doc_id = b.doc_id""".stripMargin
   }
 
+  /** Mirror of TextOps.gopherRules: identical integer cross-multiplied
+    * thresholds, distinct-stopword filter, (doc, bigram) max/sum pair.
+    */
+  val gopherRules: String = {
+    val stop = "['the','a','of','and','to','in','is','it','on','for']"
+    s"""WITH $wordsCte,
+       |pw AS (
+       |  SELECT doc_id,
+       |    CAST(len(words) AS BIGINT) AS n_words,
+       |    CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct,
+       |    CAST(list_sum(list_transform(words, w -> CAST(length(w) AS BIGINT)))
+       |      AS BIGINT) AS sum_len,
+       |    CAST(len(list_distinct(list_filter(words,
+       |      w -> list_contains($stop, w)))) AS BIGINT) AS n_stop
+       |  FROM docs
+       |),
+       |bgr AS (
+       |  SELECT doc_id,
+       |    words[CAST(i AS INT)] || ' ' || words[CAST(i + 1 AS INT)] AS b
+       |  FROM docs, unnest(range(1, len(words))) t(i)
+       |  WHERE len(words) >= 2
+       |),
+       |bg AS (
+       |  SELECT doc_id, CAST(max(c) AS BIGINT) AS max_bg,
+       |    CAST(sum(c) AS BIGINT) AS n_bg
+       |  FROM (SELECT doc_id, b, count(*) AS c FROM bgr GROUP BY doc_id, b)
+       |  GROUP BY doc_id
+       |)
+       |SELECT p.doc_id, p.n_words,
+       |  p.n_words >= 50 AND p.n_words <= 100000 AS r_word_count,
+       |  p.sum_len >= p.n_words * 3 AND p.sum_len <= p.n_words * 10
+       |    AS r_mean_word_len,
+       |  p.n_stop >= 2 AS r_stopwords,
+       |  COALESCE(bg.max_bg * 5 <= bg.n_bg, true) AS r_top_bigram,
+       |  (p.n_words - p.n_distinct) * 10 <= p.n_words * 3 AS r_dup_words,
+       |  (p.n_words >= 50 AND p.n_words <= 100000)
+       |    AND (p.sum_len >= p.n_words * 3 AND p.sum_len <= p.n_words * 10)
+       |    AND p.n_stop >= 2
+       |    AND COALESCE(bg.max_bg * 5 <= bg.n_bg, true)
+       |    AND (p.n_words - p.n_distinct) * 10 <= p.n_words * 3 AS keep
+       |FROM pw p LEFT JOIN bg ON bg.doc_id = p.doc_id""".stripMargin
+  }
+
   /** Mirror of TextOps.winnowing: same k-gram hash stream, the same
     * backward-min / forward-max two-window selection, FILTERed
     * distinct fingerprint digest.

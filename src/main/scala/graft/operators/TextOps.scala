@@ -364,6 +364,55 @@ object TextOps {
     )
   }
 
+  /** Gopher-style repetition/quality rule gate (Rae et al. 2021 §A1.1,
+    * the rule families adapted to the fixture's clean word soup): the
+    * classic pre-training document filter as PER-RULE booleans plus
+    * the conjunction, every decision made in EXACT INTEGER space —
+    * ratio thresholds are cross-multiplied (`mean ≥ 3` becomes
+    * `sum ≥ 3·n`), so no rule can wobble across engines:
+    *   - word count within [50, 100000];
+    *   - mean word length within [3, 10];
+    *   - ≥ 2 distinct stopwords present (the "has real syntax" proxy);
+    *   - top bigram ≤ 20% of all bigrams (boilerplate/chant filter);
+    *   - duplicate word occurrences ≤ 30% of tokens.
+    *
+    * Shape at 100 TB: the per-word rules are scan-bound folds; the
+    * top-bigram rule is one (doc, bigram)-keyed partial-count
+    * aggregate reduced per doc (max + sum ride the same groupBy) —
+    * no sort, no join except the 1:1 doc-level merge of the two
+    * aggregate grains.
+    */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val stop = "array('the','a','of','and','to','in','is','it','on','for')"
+    val perWord = withWords(spark, dir).select(
+      col("doc_id"),
+      size(col("words")).cast("long").as("n_words"),
+      size(array_distinct(col("words"))).cast("long").as("n_distinct"),
+      expr("aggregate(words, 0L, (acc, w) -> acc + length(w))").as("sum_len"),
+      expr(s"size(array_intersect(words, $stop))").cast("long").as("n_stop"))
+    val bg = withWordsAttr(spark, dir)
+      .where(size(col("words")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(words) - 2), i -> concat(words[i], ' ', words[i + 1]))"))
+        .as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("max_bg"), sum(col("c")).as("n_bg"))
+    perWord.join(bg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        (col("n_words") >= 50L && col("n_words") <= 100000L).as("r_word_count"),
+        (col("sum_len") >= col("n_words") * 3L &&
+          col("sum_len") <= col("n_words") * 10L).as("r_mean_word_len"),
+        (col("n_stop") >= 2L).as("r_stopwords"),
+        // docs too short for bigrams pass the repetition rules vacuously
+        coalesce(col("max_bg") * 5L <= col("n_bg"), lit(true)).as("r_top_bigram"),
+        ((col("n_words") - col("n_distinct")) * 10L <= col("n_words") * 3L)
+          .as("r_dup_words"))
+      .withColumn("keep",
+        col("r_word_count") && col("r_mean_word_len") && col("r_stopwords") &&
+          col("r_top_bigram") && col("r_dup_words"))
+  }
+
   /** Language identification via per-language stopword scoring with a
     * deterministic priority tiebreak — the n-gram-heuristic family of
     * langid, reduced to word unigrams (the fixture text is synthetic).

@@ -1068,6 +1068,32 @@ class TextOpsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("gopher rules: each rule trips on its planted violation, conjunction gates") {
+    val okWords = (1 to 48).map(i => s"word$i") ++ Seq("the", "a")  // 50 words, stopwords, varied
+    val ok = okWords.mkString(" ")
+    val short = "the a tiny doc"                                     // < 50 words
+    val longWords = ((1 to 48).map(i => "w" * 20 + i) ++ Seq("the", "a")).mkString(" ") // mean len > 10
+    val noStop = (1 to 50).map(i => s"word$i").mkString(" ")         // no stopwords
+    val chant = (Seq("the", "a") ++ Seq.fill(24)(Seq("spam", "ham")).flatten
+      ++ (1 to 2).map(i => s"w$i")).mkString(" ")                    // top bigram > 20%
+    val dups = (Seq("the", "a") ++ Seq.fill(48)("word")).mkString(" ") // dup ratio > 30%
+    val dir = docsDir(Seq(ok, short, longWords, noStop, chant, dups))
+    val rows = TextOps.gopherRules(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def flags(id: Long) = (1 to 5).map(i => rows(id).getBoolean(i + 1))
+    assert(rows(0L).getBoolean(7), "clean doc keeps")
+    assert(!rows(1L).getBoolean(2) && !rows(1L).getBoolean(7), "short doc fails word count")
+    assert(!rows(2L).getBoolean(3), "long words fail mean length")
+    assert(!rows(3L).getBoolean(4), "no stopwords fails")
+    assert(!rows(4L).getBoolean(5), "chant fails top-bigram")
+    assert(!rows(5L).getBoolean(6), "dup words fail")
+    // conjunction: keep == AND of the five rules, every row
+    rows.values.foreach { r =>
+      assert(r.getBoolean(7) === (2 to 6).forall(r.getBoolean))
+    }
+    assert(flags(0L).forall(identity))
+  }
+
   test("winnowing: two-window selection equals per-window argmin; density guarantee holds") {
     def h60(s: String): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
