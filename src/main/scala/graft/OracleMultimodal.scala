@@ -62,6 +62,42 @@ object OracleMultimodal {
        |  CAST(sum(f) AS DOUBLE) / count(*) AS mean_feature
        |FROM feat GROUP BY media_id""".stripMargin
 
+  /** Mirror of MultimodalOps.mediaAhash: same per-frame feature fold,
+    * frame-ordered list, cross-multiplied above-mean bits.
+    */
+  val ahash: String =
+    s"""WITH $mediaCte,
+       |exploded AS (
+       |  SELECT media_id, payload, unnest(range(n_frames)) AS frame_idx
+       |  FROM media
+       |),
+       |feat AS (
+       |  SELECT media_id, frame_idx,
+       |    list_reduce(list_transform(range(1, 9),
+       |      i -> CAST(strpos('0123456789abcdef', substring(
+       |             md5(substring(payload, CAST(frame_idx * $fb + 1 AS INT), $fb)),
+       |             CAST(i AS INT), 1)) - 1 AS BIGINT)),
+       |      (a, d) -> a * 16 + d) % 256 AS f
+       |  FROM exploded
+       |),
+       |agg AS (
+       |  SELECT media_id, CAST(count(*) AS BIGINT) AS n_frames,
+       |    CAST(sum(f) AS BIGINT) AS fsum,
+       |    list(f ORDER BY frame_idx) AS fs
+       |  FROM feat GROUP BY media_id
+       |),
+       |bits AS (
+       |  SELECT media_id, n_frames,
+       |    CAST(len(list_filter(fs, x -> x * n_frames > fsum)) AS BIGINT)
+       |      AS n_ones,
+       |    array_to_string(list_transform(fs,
+       |      x -> CASE WHEN x * n_frames > fsum THEN '1' ELSE '0' END), '')
+       |      AS ahash
+       |  FROM agg
+       |)
+       |SELECT media_id, n_frames, n_ones, ahash, md5(ahash) AS ahash_md5
+       |FROM bits""".stripMargin
+
   /** Mirror of MultimodalOps.mediaDedupExact. */
   val dedupExact: String =
     s"""WITH $mediaCte

@@ -97,6 +97,39 @@ object MultimodalOps {
       .agg(count(lit(1)).as("n_frames_scanned"),
         (sum(col("f")).cast("double") / count(lit(1))).as("mean_feature"))
 
+  /** Perceptual AVERAGE-HASH at frame granularity (the aHash family:
+    * bit = unit brighter than the media's mean), over the same
+    * digest-derived per-frame feature [[mediaFeatures]] extracts — for
+    * video this is exactly keyframe-level aHash, the cheap perceptual
+    * signature near-dup pipelines band on. The above/below-mean test
+    * is CROSS-MULTIPLIED (`f·n > Σf`) so every bit is an exact integer
+    * decision; the bitstring assembles in frame order via a sorted
+    * struct array (deterministic under any partitioning), and the md5
+    * gives the bandable fixed-width signature.
+    *
+    * Shape: one frame explode → one per-media aggregate carrying
+    * (count, sum, ordered feature list ≤ n_frames ints) — payload
+    * bytes never shuffle.
+    */
+  def mediaAhash(spark: SparkSession, dir: String): DataFrame =
+    media(spark, dir)
+      .select(col("media_id"), col("payload"),
+        explode(expr(frameIdxs)).as("frame_idx"))
+      .select(col("media_id"), col("frame_idx"),
+        expr(s"""CAST(conv(substring(md5(substring(payload, frame_idx * $FrameBytes + 1,
+                 $FrameBytes)), 1, 8), 16, 10) AS BIGINT) % 256""").as("f"))
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("f")).as("fsum"),
+        sort_array(collect_list(struct(col("frame_idx"), col("f")))).as("fs"))
+      .select(col("media_id"), col("n_frames"),
+        expr("CAST(size(filter(fs, x -> x.f * n_frames > fsum)) AS BIGINT)")
+          .as("n_ones"),
+        expr("""concat_ws('', transform(fs,
+                |  x -> CASE WHEN x.f * n_frames > fsum THEN '1' ELSE '0' END))"""
+          .stripMargin).as("ahash"))
+      .withColumn("ahash_md5", md5(col("ahash")))
+
   /** "Resize": keep the first half of the payload, halve the spatial
     * metadata — a byte-level truncation standing in for a real
     * downscale, with the checksum proving which bytes survived.

@@ -347,6 +347,7 @@ class GoldenSpec extends SparkSpec {
     "txt_langid_cng" -> ((2284344809763997288L, 500L)),
     "txt_winnowing" -> ((-9209604879520930963L, 500L)),
     "txt_gopher_rules" -> ((-1783483726511714431L, 500L)),
+    "media_ahash" -> ((5165316161349476776L, 500L)),
     "evt_ip_range" -> ((2339254684288860274L, 3L)),
     "evt_ip_prefix" -> ((-9190911181604061264L, 20L))
   )

@@ -120,4 +120,34 @@ class MultimodalSpec extends SparkSpec {
     // the unrelated payload pairs with nothing
     assert(!near.keys.exists { case (a, b) => a == 3L || b == 3L })
   }
+
+  test("media_ahash: frame-ordered above-mean bits replay exactly") {
+    def md5hex(b: Array[Byte]): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(b).map("%02x".format(_)).mkString
+    }
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).take(50)
+    val got = MultimodalOps.mediaAhash(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getString(4))))
+      .toMap
+    val fb = MultimodalOps.FrameBytes
+    docs.foreach { case (id, text) =>
+      val bytes = text.getBytes("UTF-8")
+      val nFrames = math.ceil(bytes.length.toDouble / fb).toInt
+      val fs = (0 until nFrames).map { i =>
+        val slice = bytes.slice(i * fb, math.min((i + 1) * fb, bytes.length))
+        java.lang.Long.parseLong(md5hex(slice).take(8), 16) % 256
+      }
+      val sum = fs.sum
+      val bits = fs.map(f => if (f * nFrames > sum) '1' else '0').mkString
+      val (gn, gOnes, gHash, gMd5) = got(id)
+      assert(gn === nFrames.toLong, s"media $id n_frames")
+      assert(gHash === bits, s"media $id ahash")
+      assert(gOnes === bits.count(_ == '1').toLong, s"media $id n_ones")
+      assert(gMd5 === md5hex(bits.getBytes("UTF-8")), s"media $id md5")
+    }
+  }
 }
