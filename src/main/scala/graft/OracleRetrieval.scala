@@ -220,6 +220,17 @@ object OracleRetrieval {
   val rankEval: String = {
     val k = VectorOps.K
     val qm = VectorOps.QueryMod
+    // the SAME code-gen decimal literals the Spark side embeds
+    // (Retrieval.dcgWeight) — DuckDB list syntax, identical values
+    val wLit = (1 to k)
+      .map(r => s"CAST('${Retrieval.dcgWeight(r).toPlainString}' AS DECIMAL(18,12))")
+      .mkString("[", ", ", "]")
+    val prefix = (1 to k).scanLeft(java.math.BigDecimal.ZERO) {
+      (acc, r) => acc.add(Retrieval.dcgWeight(r))
+    }.tail
+    val pLit = prefix
+      .map(p => s"CAST('${p.toPlainString}' AS DECIMAL(18,12))")
+      .mkString("[", ", ", "]")
     s"""WITH knn AS (${OracleVectors.knnExact}),
        |lab AS (SELECT vec_id, label FROM embeddings),
        |qlab AS (
@@ -235,7 +246,10 @@ object OracleRetrieval {
        |  SELECT kn.query_id,
        |    CAST(sum(CASE WHEN nl.label = q.qlabel THEN 1 ELSE 0 END) AS BIGINT)
        |      AS rel_at_k,
-       |    min(CASE WHEN nl.label = q.qlabel THEN kn."rank" END) AS first_rank
+       |    min(CASE WHEN nl.label = q.qlabel THEN kn."rank" END) AS first_rank,
+       |    sum(CASE WHEN nl.label = q.qlabel
+       |        THEN ($wLit)[CAST(kn."rank" AS INT)]
+       |        ELSE CAST('0' AS DECIMAL(18,12)) END) AS dcg
        |  FROM knn kn
        |  JOIN qlab q USING (query_id)
        |  JOIN lab nl ON nl.vec_id = kn.neighbor_id
@@ -245,7 +259,10 @@ object OracleRetrieval {
        |  SELECT p.query_id, p.rel_at_k, n.n_rel, p.first_rank,
        |    CAST(p.rel_at_k AS DOUBLE) / CAST($k AS DOUBLE) AS p_at_k,
        |    CAST(p.rel_at_k AS DOUBLE) / CAST(n.n_rel AS DOUBLE) AS recall_at_k,
-       |    COALESCE(CAST(1 AS DOUBLE) / p.first_rank, CAST(0 AS DOUBLE)) AS rr
+       |    COALESCE(CAST(1 AS DOUBLE) / p.first_rank, CAST(0 AS DOUBLE)) AS rr,
+       |    CAST(p.dcg AS DOUBLE)
+       |      / CAST(($pLit)[CAST(least(n.n_rel, $k) AS INT)] AS DOUBLE)
+       |      AS ndcg_at_k
        |  FROM per p JOIN nrel n USING (query_id)
        |)
        |SELECT * FROM met
@@ -259,7 +276,9 @@ object OracleRetrieval {
        |  CAST(sum(CAST(recall_at_k AS DECIMAL(18,12))) AS DOUBLE)
        |    / CAST(count(*) AS DOUBLE) AS recall_at_k,
        |  CAST(sum(CAST(rr AS DECIMAL(18,12))) AS DOUBLE)
-       |    / CAST(count(*) AS DOUBLE) AS rr
+       |    / CAST(count(*) AS DOUBLE) AS rr,
+       |  CAST(sum(CAST(ndcg_at_k AS DECIMAL(18,12))) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS ndcg_at_k
        |FROM met""".stripMargin
   }
 }

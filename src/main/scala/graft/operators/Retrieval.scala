@@ -280,6 +280,32 @@ object Retrieval {
     * attach by broadcasting the small run/query frames against the
     * corpus label table, so nothing corpus-sized shuffles.
     */
+  /** DCG weight for rank r (1/log₂(r+1)) quantized to 12 decimal
+    * places AT CODE-GENERATION time — both engines embed the identical
+    * decimal literal, so NDCG needs no runtime logarithm and its sums
+    * are exact decimal arithmetic. Shared with the oracle
+    * (OracleRetrieval embeds the same strings).
+    */
+  private[graft] def dcgWeight(r: Int): java.math.BigDecimal =
+    new java.math.BigDecimal(1.0 / (math.log(r + 1.0) / math.log(2.0)))
+      .setScale(12, java.math.RoundingMode.HALF_UP)
+
+  /** SQL array literal of [[dcgWeight]] 1..k as DECIMAL(18,12). */
+  private[graft] def dcgWeightsLit(k: Int): String =
+    (1 to k).map(r => s"CAST('${dcgWeight(r).toPlainString}' AS DECIMAL(18,12))")
+      .mkString("array(", ", ", ")")
+
+  /** Ideal-DCG prefix sums W[m] = Σ_{r≤m} w(r), m = 1..k, as the same
+    * decimal literals (exact BigDecimal addition at code-gen time).
+    */
+  private[graft] def idcgPrefixLit(k: Int): String = {
+    val prefix = (1 to k).scanLeft(java.math.BigDecimal.ZERO) {
+      (acc, r) => acc.add(dcgWeight(r))
+    }.tail
+    prefix.map(p => s"CAST('${p.toPlainString}' AS DECIMAL(18,12))")
+      .mkString("array(", ", ", ")")
+  }
+
   def rankEval(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.Tables
     val k = VectorOps.K
@@ -299,22 +325,32 @@ object Retrieval {
     val per = judged.groupBy(col("query_id"))
       .agg(sum(when(col("nlabel") === col("qlabel"), 1L).otherwise(0L))
           .as("rel_at_k"),
-        min(when(col("nlabel") === col("qlabel"), col("rank"))).as("first_rank"))
+        min(when(col("nlabel") === col("qlabel"), col("rank"))).as("first_rank"),
+        // exact decimal DCG: per-rank weights are code-gen literals
+        sum(when(col("nlabel") === col("qlabel"),
+          expr(s"element_at(${dcgWeightsLit(k)}, CAST(rank AS INT))"))
+          .otherwise(expr("CAST('0' AS DECIMAL(18,12))"))).as("dcg"))
       .join(broadcast(nRel), Seq("query_id"))
       .select(col("query_id"), col("rel_at_k"), col("n_rel"), col("first_rank"),
         (col("rel_at_k").cast("double") / lit(k.toDouble)).as("p_at_k"),
         (col("rel_at_k").cast("double") / col("n_rel").cast("double"))
           .as("recall_at_k"),
-        coalesce(lit(1.0d) / col("first_rank"), lit(0.0d)).as("rr"))
+        coalesce(lit(1.0d) / col("first_rank"), lit(0.0d)).as("rr"),
+        // NDCG@k: ideal DCG is the prefix-sum literal at min(n_rel, k)
+        // — n_rel ≥ 1 on this fixture (every label class has > 1
+        // member), so the division is always defined
+        (col("dcg").cast("double") /
+          expr(s"CAST(element_at(${idcgPrefixLit(k)}, CAST(least(n_rel, $k) AS INT)) AS DOUBLE)"))
+          .as("ndcg_at_k"))
     def dmean(c: String): Column =
       (sum(col(c).cast("decimal(18,12)")).cast("double") /
         count(lit(1)).cast("double")).as(c)
     val summary = per.agg(
         sum(col("rel_at_k")).as("rel_at_k"), sum(col("n_rel")).as("n_rel"),
-        dmean("p_at_k"), dmean("recall_at_k"), dmean("rr"))
+        dmean("p_at_k"), dmean("recall_at_k"), dmean("rr"), dmean("ndcg_at_k"))
       .select(lit(-1L).as("query_id"), col("rel_at_k"), col("n_rel"),
         lit(null).cast("long").as("first_rank"),
-        col("p_at_k"), col("recall_at_k"), col("rr"))
+        col("p_at_k"), col("recall_at_k"), col("rr"), col("ndcg_at_k"))
     per.unionAll(summary)
   }
 }

@@ -335,7 +335,8 @@ class GoldenSpec extends SparkSpec {
     "geo_grid" -> ((4383475937040964865L, 20L)),
     "geo_rings" -> ((-4312502133909906051L, 4L)),
     "geo_centroid" -> ((-2391530400239847446L, 5L)),
-    "rank_eval" -> ((-1618337829220987308L, 6L)),
+    // re-frozen when ndcg_at_k joined the metric set
+    "rank_eval" -> ((-2814809193882587799L, 6L)),
     "graph_hits" -> ((-4265417382349644853L, 25L)),
     "evt_ewma" -> ((4701734477159764869L, 30L)),
     "q71_nested_agg" -> ((4051881785390916810L, 5L)),

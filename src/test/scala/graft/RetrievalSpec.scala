@@ -509,6 +509,14 @@ class RetrievalSpec extends SparkSpec {
       }
       assert(r.getDouble(4) === rel.length.toDouble / V.K, s"q$q p_at_k")
       assert(r.getDouble(5) === rel.length.toDouble / r.getLong(2), s"q$q recall")
+      // NDCG replay with the same code-gen decimal weights
+      val dcg = rel.map(n => R.dcgWeight(n._3.toInt))
+        .foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+      val m = math.min(r.getLong(2), V.K.toLong).toInt
+      val idcg = (1 to m).map(R.dcgWeight)
+        .foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+      assert(r.getDouble(7) === dcg.doubleValue / idcg.doubleValue, s"q$q ndcg")
+      assert(r.getDouble(7) >= 0.0 && r.getDouble(7) <= 1.0)
     }
     // summary: exact decimal means of the per-query columns
     def dmean(vs: Seq[Double]): Double =
@@ -521,5 +529,6 @@ class RetrievalSpec extends SparkSpec {
     assert(s.getDouble(4) === dmean(per.map(_.getDouble(4)).toSeq))
     assert(s.getDouble(5) === dmean(per.map(_.getDouble(5)).toSeq))
     assert(s.getDouble(6) === dmean(per.map(_.getDouble(6)).toSeq))
+    assert(s.getDouble(7) === dmean(per.map(_.getDouble(7)).toSeq))
   }
 }
