@@ -1737,6 +1737,25 @@ object OracleRelational {
        |ORDER BY doc_count DESC, term ASC""".stripMargin
   }
 
+  /** Mirror of Relational.evtCumulativeCardinality. */
+  val evtCumulativeCardinality: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS doc_count
+      |  FROM events GROUP BY 1
+      |),
+      |nu AS (
+      |  SELECT day, CAST(count(*) AS BIGINT) AS new_users
+      |  FROM (SELECT user_id, min(CAST(ts AS DATE)) AS day
+      |        FROM events GROUP BY user_id)
+      |  GROUP BY day
+      |)
+      |SELECT d.day, d.doc_count,
+      |  COALESCE(nu.new_users, 0) AS new_users,
+      |  CAST(sum(COALESCE(nu.new_users, 0)) OVER (ORDER BY d.day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cumulative_users
+      |FROM daily d LEFT JOIN nu ON nu.day = d.day""".stripMargin
+
   /** Mirror of Relational.evtCategorize ('g' flag: DuckDB's
     * regexp_replace is first-match-only by default, Spark's replaces
     * all).

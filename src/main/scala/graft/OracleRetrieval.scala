@@ -217,7 +217,12 @@ object OracleRetrieval {
     * integer divisions, summary means via the DECIMAL(18,12)
     * quantize-then-exact-sum device.
     */
-  val rankEval: String = {
+  val rankEval: String = rankEvalOf(OracleVectors.knnExact)
+
+  /** rank_eval over the IVF run — same harness, ANN run subquery. */
+  val rankEvalIvf: String = rankEvalOf(OracleVectors.knnIvf())
+
+  private def rankEvalOf(run: String): String = {
     val k = VectorOps.K
     val qm = VectorOps.QueryMod
     // the SAME code-gen decimal literals the Spark side embeds
@@ -231,7 +236,7 @@ object OracleRetrieval {
     val pLit = prefix
       .map(p => s"CAST('${p.toPlainString}' AS DECIMAL(18,12))")
       .mkString("[", ", ", "]")
-    s"""WITH knn AS (${OracleVectors.knnExact}),
+    s"""WITH knn AS ($run),
        |lab AS (SELECT vec_id, label FROM embeddings),
        |qlab AS (
        |  SELECT vec_id AS query_id, label AS qlabel

@@ -2407,6 +2407,30 @@ object Relational {
       .agg(count(lit(1)).as("doc_count"))
       .orderBy(col("doc_count").desc, col("term").asc)
 
+  /** ES `cumulative_cardinality` pipeline aggregation: per daily
+    * bucket, the number of DISTINCT users seen up to and including
+    * that day (the "total users to date" curve). Rewritten to the
+    * scalable exact form: distinct-to-date ≡ running SUM of
+    * first-seen-per-user counts — one user-keyed min-day aggregate +
+    * one tiny bucket window, instead of a per-bucket distinct over
+    * ever-growing prefixes (which is what makes the ES original a
+    * sketch; first-seen needs no approximation and no growing state).
+    */
+  def evtCumulativeCardinality(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val daily = ev.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("doc_count"))
+    val newUsers = ev.groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+    val w = Window.orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    daily.join(newUsers, Seq("day"), "left")
+      .select(col("day"), col("doc_count"),
+        coalesce(col("new_users"), lit(0L)).as("new_users"))
+      .withColumn("cumulative_users", sum(col("new_users")).over(w))
+  }
+
   /** ES `categorize_text` aggregation, the regex-normalization core:
     * collapse every digit run in the (type + props) message to `#`,
     * so numeric payload variants fold into one log TEMPLATE per

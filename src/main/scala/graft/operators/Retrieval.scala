@@ -306,10 +306,27 @@ object Retrieval {
       .mkString("array(", ", ", ")")
   }
 
-  def rankEval(spark: SparkSession, dir: String): DataFrame = {
+  def rankEval(spark: SparkSession, dir: String): DataFrame =
+    rankEvalOf(spark, dir, VectorOps.knnExact(spark, dir))
+
+  /** [[rankEval]] over the IVF approximate run — the judgment harness
+    * is run-agnostic (ES `_rank_eval` takes any search body), so the
+    * SAME metrics evaluated on the ANN index quantify the
+    * approximation's behavior under label relevance. Note the ANN
+    * metrics are NOT bounded by the exact run's: cosine-optimal is
+    * not label-optimal, so an approximate list can legitimately score
+    * HIGHER on label judgments (measured on the fixture: IVF p@k 0.14
+    * vs exact 0.12) — recall-vs-exact is the [[VectorOps.ivfRecall]]
+    * gauge's job; this one answers "how good are the results a user
+    * sees".
+    */
+  def rankEvalIvf(spark: SparkSession, dir: String): DataFrame =
+    rankEvalOf(spark, dir, VectorOps.knnIvf(spark, dir))
+
+  private def rankEvalOf(spark: SparkSession, dir: String,
+      knn: DataFrame): DataFrame = {
     import graft.sources.Tables
     val k = VectorOps.K
-    val knn = VectorOps.knnExact(spark, dir)
     val lab = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"))
     val qlab = lab.where(col("vec_id") % VectorOps.QueryMod === 0)

@@ -1185,6 +1185,29 @@ class RelationalSpec extends SparkSpec {
     assert(shards(R.TpPartition) === got.keySet)
   }
 
+  test("evt_cumulative_cardinality: running first-seen sum equals per-day prefix distinct") {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .selectExpr("CAST(ts AS DATE) AS d", "user_id").collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val got = operators.Relational.evtCumulativeCardinality(spark, sfDir)
+      .collect()
+      .map(r => r.getDate(0).toLocalDate ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val days = ev.map(_._1).distinct.sorted
+    assert(got.keySet === days.toSet)
+    days.foreach { d =>
+      // the DEFINITION, computed the expensive way: distinct users in
+      // the full prefix up to day d
+      val prefix = ev.filter(!_._1.isAfter(d)).map(_._2).distinct.length.toLong
+      assert(got(d)._3 === prefix, s"$d cumulative")
+      assert(got(d)._1 === ev.count(_._1 == d).toLong, s"$d doc_count")
+    }
+    // monotone non-decreasing, ends at the corpus distinct-user count
+    val curve = days.map(got(_)._3)
+    assert(curve.zip(curve.tail).forall { case (a, b) => a <= b })
+    assert(curve.last === ev.map(_._2).distinct.length.toLong)
+  }
+
   test("evt_categorize: digit runs collapse to stable templates") {
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
       .select("event_type", "props").collect()

@@ -531,4 +531,34 @@ class RetrievalSpec extends SparkSpec {
     assert(s.getDouble(6) === dmean(per.map(_.getDouble(6)).toSeq))
     assert(s.getDouble(7) === dmean(per.map(_.getDouble(7)).toSeq))
   }
+
+  test("rank_eval_ivf: the harness replays exactly over the ANN run") {
+    import graft.operators.{Retrieval => R, VectorOps => V}
+    // NOTE: the IVF run's metrics are NOT bounded by the exact run's —
+    // cosine-optimal is not label-optimal, so an approximate list can
+    // legitimately score higher on label relevance (observed on this
+    // fixture: IVF p@k 0.14 vs exact 0.12). The invariant is the
+    // harness itself: identical metric math over whichever run.
+    val labels = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val run = V.knnIvf(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val per = R.rankEvalIvf(spark, sfDir)
+      .where(col("query_id") >= 0).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(per.keySet === run.map(_._1).toSet)
+    run.groupBy(_._1).foreach { case (q, ns) =>
+      val rel = ns.filter(n => labels(n._2) == labels(q))
+      val r = per(q)
+      assert(r.getLong(1) === rel.length.toLong, s"q$q rel_at_k")
+      assert(r.getDouble(4) === rel.length.toDouble / V.K, s"q$q p_at_k")
+      val dcg = rel.map(n => R.dcgWeight(n._3.toInt))
+        .foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+      val m = math.min(r.getLong(2), V.K.toLong).toInt
+      val idcg = (1 to m).map(R.dcgWeight)
+        .foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+      assert(r.getDouble(7) === dcg.doubleValue / idcg.doubleValue, s"q$q ndcg")
+    }
+  }
 }
