@@ -1737,6 +1737,56 @@ object OracleRelational {
        |ORDER BY doc_count DESC, term ASC""".stripMargin
   }
 
+  /** Mirror of Relational.evtBucketScript. */
+  val evtBucketScript: String =
+    """SELECT CAST(ts AS DATE) AS day,
+      |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS purchases,
+      |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS views,
+      |  COALESCE(CAST(sum(CASE WHEN event_type = 'purchase'
+      |    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0)
+      |    AS purchase_value,
+      |  CASE WHEN sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) > 0
+      |    THEN CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |           AS DOUBLE)
+      |       / CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      |           AS DOUBLE)
+      |  END AS conversion
+      |FROM events
+      |GROUP BY 1""".stripMargin
+
+  /** Mirror of Relational.evtAnomalyDow (isodow − 1 ≡ Spark weekday). */
+  val evtAnomalyDow: String = {
+    val z2 = graft.operators.Relational.AnomalyZ * graft.operators.Relational.AnomalyZ
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    CAST(isodow(CAST(ts AS DATE)) - 1 AS BIGINT) AS dow
+       |  FROM events GROUP BY event_type, CAST(ts AS DATE)
+       |),
+       |m AS (
+       |  SELECT event_type, day, dow, n,
+       |    CAST(count(*) OVER w AS BIGINT) AS d,
+       |    CAST(sum(n) OVER w AS BIGINT) AS s,
+       |    CAST(sum(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0)))
+       |      OVER w AS DECIMAL(19,0)) AS ss
+       |  FROM daily
+       |  WINDOW w AS (PARTITION BY event_type, dow)
+       |)
+       |SELECT event_type, day, dow, n,
+       |  CAST(s AS DOUBLE) / CAST(d AS DOUBLE) AS mean_dow,
+       |  (CAST(d AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))
+       |     - CAST(s AS DECIMAL(19,0))) *
+       |  (CAST(d AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))
+       |     - CAST(s AS DECIMAL(19,0))) >
+       |  CAST($z2 AS DECIMAL(19,0)) *
+       |    (CAST(d AS DECIMAL(19,0)) * ss
+       |       - CAST(s AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0)))
+       |    AS is_anomaly
+       |FROM m""".stripMargin
+  }
+
   /** Mirror of Relational.evtCumulativeCardinality. */
   val evtCumulativeCardinality: String =
     """WITH daily AS (

@@ -2407,6 +2407,58 @@ object Relational {
       .agg(count(lit(1)).as("doc_count"))
       .orderBy(col("doc_count").desc, col("term").asc)
 
+  /** ES `bucket_script` pipeline aggregation: a derived per-bucket
+    * metric computed FROM sibling aggregations — here the classic
+    * conversion rate (purchases / views) plus the purchase value mass
+    * per daily bucket. Conditional counts fold map-side (one q1-shaped
+    * shuffle); the script output is one guarded IEEE division per
+    * bucket (NULL when the denominator bucket is empty, matching ES's
+    * skip gap policy).
+    */
+  def evtBucketScript(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("purchases"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("views"),
+        coalesce(sum(when(col("event_type") === "purchase",
+          col("value").cast("decimal(18,2)"))).cast("double"), lit(0.0d))
+          .as("purchase_value"))
+      .withColumn("conversion",
+        when(col("views") > 0L,
+          col("purchases").cast("double") / col("views").cast("double")))
+
+  /** Day-of-week-adjusted anomaly flags — [[evtAnomaly]] with weekday
+    * seasonality removed: a (type, day) cell is judged against the
+    * moments of ITS OWN (type, weekday) cohort, so a quiet Sunday
+    * stops flagging as an anomaly just for being a Sunday. The same
+    * exact-integer z² rewrite (`(d·x − s)² > Z²·(d·ss − s²)` over
+    * cohort sums) — both sides exact, the flag can never wobble.
+    * Weekday = Monday 0 (Spark `weekday` ≡ DuckDB `isodow − 1`; bare
+    * `dayofweek` anchors differently in the two engines).
+    */
+  def evtAnomalyDow(spark: SparkSession, dir: String): DataFrame = {
+    val z2 = AnomalyZ * AnomalyZ
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dow", expr("weekday(day)").cast("long"))
+    val cohort = Window.partitionBy(col("event_type"), col("dow"))
+    def dec(c: Column) = c.cast("decimal(19,0)")
+    daily
+      .withColumn("d", count(lit(1)).over(cohort))
+      .withColumn("s", sum(col("n")).over(cohort))
+      .withColumn("ss", sum(dec(col("n")) * dec(col("n"))).over(cohort))
+      .select(col("event_type"), col("day"), col("dow"), col("n"),
+        (col("s").cast("double") / col("d").cast("double")).as("mean_dow"),
+        ((dec(col("d")) * dec(col("n")) - dec(col("s"))) *
+          (dec(col("d")) * dec(col("n")) - dec(col("s"))) >
+          lit(z2).cast("decimal(19,0)") *
+            (dec(col("d")) * col("ss") - dec(col("s")) * dec(col("s"))))
+          .as("is_anomaly"))
+  }
+
   /** ES `cumulative_cardinality` pipeline aggregation: per daily
     * bucket, the number of DISTINCT users seen up to and including
     * that day (the "total users to date" curve). Rewritten to the

@@ -339,6 +339,8 @@ class GoldenSpec extends SparkSpec {
     "rank_eval" -> ((-2814809193882587799L, 6L)),
     "rank_eval_ivf" -> ((-3519141957748715376L, 6L)),
     "evt_cumulative_cardinality" -> ((-8820355694124182182L, 30L)),
+    "evt_bucket_script" -> ((6056561189835724665L, 30L)),
+    "evt_anomaly_dow" -> ((-2689223333843418489L, 150L)),
     "graph_hits" -> ((-4265417382349644853L, 25L)),
     "evt_ewma" -> ((4701734477159764869L, 30L)),
     "q71_nested_agg" -> ((4051881785390916810L, 5L)),

@@ -1208,6 +1208,47 @@ class RelationalSpec extends SparkSpec {
     assert(curve.last === ev.map(_._2).distinct.length.toLong)
   }
 
+  test("evt_bucket_script: per-bucket conversion replays; empty-view buckets null out") {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .selectExpr("CAST(ts AS DATE) AS d", "event_type").collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getString(1)))
+    val got = operators.Relational.evtBucketScript(spark, sfDir).collect()
+      .map(r => r.getDate(0).toLocalDate -> r).toMap
+    assert(got.keySet === ev.map(_._1).toSet)
+    ev.groupBy(_._1).foreach { case (d, es) =>
+      val (p, v) = (es.count(_._2 == "purchase").toLong,
+        es.count(_._2 == "view").toLong)
+      val r = got(d)
+      assert(r.getLong(1) === p && r.getLong(2) === v, s"$d counts")
+      if (v > 0) assert(r.getDouble(4) === p.toDouble / v.toDouble, s"$d conv")
+      else assert(r.isNullAt(4), s"$d null conversion")
+    }
+  }
+
+  test("evt_anomaly_dow: flags judge against the weekday cohort, exactly") {
+    val daily = graft.sources.Tables.events(spark, sfDir)
+      .selectExpr("event_type", "CAST(ts AS DATE) AS d").collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .map { case ((t, d), n) => (t, d, d.getDayOfWeek.getValue - 1, n) }
+    val got = operators.Relational.evtAnomalyDow(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(5)))).toMap
+    assert(got.keySet === daily.map(e => (e._1, e._2)).toSet)
+    daily.groupBy(e => (e._1, e._3)).foreach { case (_, cohort) =>
+      val d = cohort.length.toLong
+      val s = cohort.map(_._4).sum
+      val ss = cohort.map(x => BigInt(x._4) * BigInt(x._4)).sum
+      cohort.foreach { case (t, day, dow, n) =>
+        val (gDow, gN, flag) = got((t, day))
+        assert(gDow === dow.toLong && gN === n, s"($t,$day)")
+        val lhs = (BigInt(d) * BigInt(n) - BigInt(s)).pow(2)
+        val rhs = BigInt(4) * (BigInt(d) * ss - BigInt(s) * BigInt(s))
+        assert(flag === (lhs > rhs), s"($t,$day) flag")
+      }
+    }
+  }
+
   test("evt_categorize: digit runs collapse to stable templates") {
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
       .select("event_type", "props").collect()
