@@ -1989,6 +1989,66 @@ object OracleText {
     * candidate-only intersections, size-then-id role assignment, the
     * integer-space threshold, one IEEE division of exact integers.
     */
+  /** Mirror of TextOps.dedupEval: the same df-capped shingle-blocked
+    * exact truth (containment's shs CTE), the LSH candidate mirror as
+    * a subquery, integer-threshold confusion counts.
+    */
+  val dedupEval: String = {
+    val rot = rotLong("md5(sg)", 0)
+    val (num, den) = (TextOps.EvalJacNum, TextOps.EvalJacDen)
+    s"""WITH $wordsCte,
+       |shs AS (
+       |  SELECT DISTINCT doc_id, $rot AS h
+       |  FROM (
+       |    SELECT doc_id, unnest(list_transform(range(len(words) - 2),
+       |      i -> array_to_string(list_slice(words, i + 1, i + 3), ' '))) AS sg
+       |    FROM docs WHERE len(words) >= 3)
+       |),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shs GROUP BY doc_id),
+       |rare AS (
+       |  SELECT doc_id, h FROM shs
+       |  WHERE h IN (SELECT h FROM shs GROUP BY h
+       |              HAVING count(*) >= 2 AND count(*) <= ${TextOps.EvalDfCap})
+       |),
+       |cand AS (
+       |  SELECT DISTINCT ra.doc_id AS a, rb.doc_id AS b
+       |  FROM rare ra JOIN rare rb ON ra.h = rb.h AND ra.doc_id < rb.doc_id
+       |),
+       |inter AS (
+       |  SELECT c.a, c.b, count(*) AS inter
+       |  FROM cand c
+       |  JOIN shs sa ON sa.doc_id = c.a
+       |  JOIN shs sb ON sb.doc_id = c.b AND sb.h = sa.h
+       |  GROUP BY c.a, c.b
+       |),
+       |truth AS (
+       |  SELECT i.a, i.b, CAST(1 AS BIGINT) AS t
+       |  FROM inter i
+       |  JOIN sizes za ON za.doc_id = i.a
+       |  JOIN sizes zb ON zb.doc_id = i.b
+       |  WHERE i.inter * ${num + den} >= (za.n + zb.n) * $num
+       |),
+       |pred AS (
+       |  SELECT doc_a AS a, doc_b AS b, CAST(1 AS BIGINT) AS p
+       |  FROM ($dedupMinhashLsh)
+       |),
+       |conf AS (
+       |  SELECT
+       |    CAST(sum(COALESCE(t, 0)) AS BIGINT) AS n_true_pairs,
+       |    CAST(sum(COALESCE(p, 0)) AS BIGINT) AS n_cand_pairs,
+       |    CAST(sum(COALESCE(t, 0) * COALESCE(p, 0)) AS BIGINT) AS n_tp
+       |  FROM truth FULL OUTER JOIN pred USING (a, b)
+       |)
+       |SELECT n_true_pairs, n_cand_pairs, n_tp,
+       |  CASE WHEN n_cand_pairs > 0
+       |    THEN CAST(n_tp AS DOUBLE) / CAST(n_cand_pairs AS DOUBLE) END
+       |    AS precision,
+       |  CASE WHEN n_true_pairs > 0
+       |    THEN CAST(n_tp AS DOUBLE) / CAST(n_true_pairs AS DOUBLE) END
+       |    AS recall
+       |FROM conf""".stripMargin
+  }
+
   val dedupContainment: String = {
     val rot = rotLong("md5(sg)", 0)
     val bw = TextOps.ContainBlockWidth

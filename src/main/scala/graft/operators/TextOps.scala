@@ -2491,6 +2491,81 @@ object TextOps {
     * plan-level exchange reuse; at cluster scale both are
     * write-once tables).
     */
+  /** The distinct (doc, 3-shingle-hash) digest set — shared by
+    * [[dedupContainment]] and [[dedupEval]] (same memo key: one
+    * artifact per session regardless of which consumer builds it
+    * first).
+    */
+  private def containShingles(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, dir, "contain_shingles") {
+      withShingles(spark, dir)
+        .select(col("doc_id"), explode(col("shingles")).as("sg"))
+        .select(col("doc_id"), rotLong("md5(sg)", 0).as("h"))
+        .distinct()
+    }
+
+  /** Ground-truth Jaccard threshold for [[dedupEval]] (τ = 1/2) and
+    * the blocking df cap bounding the exact pass's pair fan-out.
+    */
+  val EvalJacNum = 1L
+  val EvalJacDen = 2L
+  val EvalDfCap = 16L
+
+  /** Dedup-quality evaluation — [[rankEval]]'s role for the dedup
+    * family: score the LSH candidate generator ([[dedupMinhashLsh]])
+    * against EXACT ground truth (3-shingle Jaccard ≥ τ) and emit the
+    * confusion counts with precision/recall. Ground truth comes from
+    * the df-capped shingle-blocking pass (shared digest artifact with
+    * [[dedupContainment]]): pairs sharing a ≤-[[EvalDfCap]]-df shingle
+    * get exact intersection counts, and the threshold test is the
+    * cross-multiplied integer form `inter·(num+den) ≥ num·(|A|+|B|)`
+    * — a pair sharing NO shingle has Jaccard 0 and is correctly
+    * absent. The df cap is the documented blocking-recall dial
+    * (boilerplate shingles generate no candidate pairs), exactly as
+    * in containment; at τ = 1/2 a qualifying pair must share rare
+    * shingles, so the capped truth equals the uncapped truth on any
+    * near-dup-shaped corpus.
+    *
+    * Shape at 100 TB: both sides are banded/blocked candidate streams
+    * (never all-pairs); the confusion join runs over two pair SETS.
+    */
+  def dedupEval(spark: SparkSession, dir: String): DataFrame = {
+    val sh = containShingles(spark, dir)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val rare = sh.join(
+      sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .where(col("df") >= 2 && col("df") <= EvalDfCap),
+      Seq("h"))
+    val cand = rare.select(col("h"), col("doc_id").as("a"))
+      .join(rare.select(col("h"), col("doc_id").as("b")), Seq("h"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val inter = cand
+      .join(sh.select(col("doc_id").as("a"), col("h")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("h")), Seq("b", "h"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    val truth = inter
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+      .where(col("inter") * (EvalJacNum + EvalJacDen) >=
+        (col("na") + col("nb")) * EvalJacNum)
+      .select(col("a"), col("b"), lit(1L).as("t"))
+    val pred = dedupMinhashLsh(spark, dir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"), lit(1L).as("p"))
+    truth.join(pred, Seq("a", "b"), "full_outer")
+      .agg(sum(coalesce(col("t"), lit(0L))).as("n_true_pairs"),
+        sum(coalesce(col("p"), lit(0L))).as("n_cand_pairs"),
+        sum(coalesce(col("t"), lit(0L)) * coalesce(col("p"), lit(0L)))
+          .as("n_tp"))
+      .select(col("n_true_pairs"), col("n_cand_pairs"), col("n_tp"),
+        when(col("n_cand_pairs") > 0L,
+          col("n_tp").cast("double") / col("n_cand_pairs").cast("double"))
+          .as("precision"),
+        when(col("n_true_pairs") > 0L,
+          col("n_tp").cast("double") / col("n_true_pairs").cast("double"))
+          .as("recall"))
+  }
+
   def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
     // memoized like minhashSignatures, and for the same reason: the
     // distinct digest set feeds FIVE consumers (df counts, both
@@ -2500,12 +2575,7 @@ object TextOps {
     // consumer and was the whole suite's slowest entry (9.6 s at
     // sf0.1; 0.9 s memoized). At cluster scale the digest set is the
     // artifact you write to a table once.
-    val sh = memoized(spark, dir, "contain_shingles") {
-      withShingles(spark, dir)
-        .select(col("doc_id"), explode(col("shingles")).as("sg"))
-        .select(col("doc_id"), rotLong("md5(sg)", 0).as("h"))
-        .distinct()
-    }
+    val sh = containShingles(spark, dir)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val blocks = memoized(spark, dir, "contain_blocks") {
       val w = ContainBlockWidth

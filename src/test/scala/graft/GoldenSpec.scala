@@ -353,6 +353,10 @@ class GoldenSpec extends SparkSpec {
     "txt_winnowing" -> ((-9209604879520930963L, 500L)),
     "txt_gopher_rules" -> ((-1783483726511714431L, 500L)),
     "media_ahash" -> ((5165316161349476776L, 500L)),
+    // 28 true pairs = 28 candidates = 28 tp: the LSH generator is
+    // exact on the fixture at tau = 1/2 — a drop in either metric
+    // means one side of the dedup family regressed
+    "dedup_eval" -> ((-988134441863834730L, 1L)),
     "evt_ip_range" -> ((2339254684288860274L, 3L)),
     "evt_ip_prefix" -> ((-9190911181604061264L, 20L))
   )

@@ -1068,6 +1068,24 @@ class TextOpsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("dedup_eval: confusion counts on planted near/far/exact pairs") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val near = ((1 to 39).map(i => s"w$i") :+ "zz").mkString(" ") // high Jaccard
+    val far = (1 to 40).map(i => s"w$i q$i").mkString(" ")        // shares some shingles? none of 3-grams
+    val dir = docsDir(Seq(base, base, near, far,
+      (1 to 40).map(i => s"u$i").mkString(" ")))
+    val row = TextOps.dedupEval(spark, dir).head()
+    // truth: (0,1) identical J=1; (0,2)/(1,2) share 37/41 shingles ≥ 1/2
+    assert(row.getLong(0) === 3L, "n_true_pairs")
+    // every true pair must also be an LSH candidate on this fixture
+    assert(row.getLong(2) === 3L, "n_tp")
+    assert(row.getDouble(4) === 1.0, "recall")
+    // precision defined and within (0, 1]
+    assert(row.getDouble(3) > 0.0 && row.getDouble(3) <= 1.0)
+    // confusion arithmetic is internally consistent
+    assert(row.getLong(2) <= math.min(row.getLong(0), row.getLong(1)))
+  }
+
   test("gopher rules: each rule trips on its planted violation, conjunction gates") {
     val okWords = (1 to 48).map(i => s"word$i") ++ Seq("the", "a")  // 50 words, stopwords, varied
     val ok = okWords.mkString(" ")
