@@ -72,6 +72,19 @@ object OracleGeo {
        |LEFT JOIN per ON per.ring = f.ring""".stripMargin
   }
 
+  /** Mirror of GeoOps.geoBbox. */
+  val geoBbox: String =
+    s"""WITH $coords
+       |SELECT event_type,
+       |  CAST(count(*) AS BIGINT) AS doc_count,
+       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+       |  CAST(min(lon_micro) AS DOUBLE) / 1000000.0 - 180.0 AS min_lon,
+       |  CAST(max(lon_micro) AS DOUBLE) / 1000000.0 - 180.0 AS max_lon
+       |FROM coords
+       |WHERE lon_micro >= ${GeoOps.BboxLonLo} AND lon_micro < ${GeoOps.BboxLonHi}
+       |  AND lat_micro >= ${GeoOps.BboxLatLo} AND lat_micro < ${GeoOps.BboxLatHi}
+       |GROUP BY event_type""".stripMargin
+
   /** Mirror of GeoOps.geoCentroid. */
   val geoCentroid: String =
     s"""WITH $coords

@@ -142,6 +142,32 @@ object GeoOps {
         coalesce(col("value_sum"), lit(0.0d)).as("value_sum"))
   }
 
+  /** Bounding box for [[geoBbox]] in integer microdegrees:
+    * lon ∈ [−45°, 45°), lat ∈ [0°, 60°).
+    */
+  val BboxLonLo = 135000000L
+  val BboxLonHi = 225000000L
+  val BboxLatLo = 90000000L
+  val BboxLatHi = 150000000L
+
+  /** ES `geo_bounding_box` filter + per-type aggregations inside the
+    * box: membership is four integer compares on the microdegree
+    * columns (a real deployment stores these as the indexed integer
+    * pair for exactly this reason — the filter folds into the scan),
+    * then one partial-aggregated groupBy.
+    */
+  def geoBbox(spark: SparkSession, dir: String): DataFrame =
+    withCoords(spark, dir)
+      .where(col("lon_micro") >= BboxLonLo && col("lon_micro") < BboxLonHi &&
+        col("lat_micro") >= BboxLatLo && col("lat_micro") < BboxLatHi)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("doc_count"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"),
+        (min(col("lon_micro")).cast("double") / 1000000.0d - 180.0d)
+          .as("min_lon"),
+        (max(col("lon_micro")).cast("double") / 1000000.0d - 180.0d)
+          .as("max_lon"))
+
   /** ES `geo_centroid` + `geo_bounds` per event type: exact integer
     * coordinate sums (one division per centroid axis at the edge) and
     * integer min/max bounds, reported in degrees.

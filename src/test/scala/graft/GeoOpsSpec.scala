@@ -93,6 +93,24 @@ class GeoOpsSpec extends SparkSpec {
     want.foreach { case (ring, n) => assert(rows(ring) === n, s"ring $ring") }
   }
 
+  test("geo_bbox: box membership and per-type aggregates replay") {
+    val pts = GeoOps.withCoords(spark, sfDir)
+      .select("event_type", "lon_micro", "lat_micro").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val inBox = pts.filter { case (_, lon, lat) =>
+      lon >= GeoOps.BboxLonLo && lon < GeoOps.BboxLonHi &&
+        lat >= GeoOps.BboxLatLo && lat < GeoOps.BboxLatHi
+    }
+    val got = GeoOps.geoBbox(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet === inBox.map(_._1).toSet)
+    inBox.groupBy(_._1).foreach { case (t, es) =>
+      assert(got(t) === es.length.toLong, s"type $t")
+    }
+    // the box is a REAL filter: strictly fewer rows than the corpus
+    assert(inBox.length < pts.length && inBox.nonEmpty)
+  }
+
   test("geo_centroid: exact integer-sum centroid and bounds per type") {
     val pts = GeoOps.withCoords(spark, sfDir)
       .select("event_type", "lon_micro", "lat_micro").collect()

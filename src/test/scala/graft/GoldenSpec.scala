@@ -335,6 +335,7 @@ class GoldenSpec extends SparkSpec {
     "geo_grid" -> ((4383475937040964865L, 20L)),
     "geo_rings" -> ((-4312502133909906051L, 4L)),
     "geo_centroid" -> ((-2391530400239847446L, 5L)),
+    "geo_bbox" -> ((-1727553758877694161L, 5L)),
     // re-frozen when ndcg_at_k joined the metric set
     "rank_eval" -> ((-2814809193882587799L, 6L)),
     "rank_eval_ivf" -> ((-3519141957748715376L, 6L)),
