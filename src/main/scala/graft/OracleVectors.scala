@@ -226,6 +226,43 @@ object OracleVectors {
        |WHERE ${dot("ba.embedding", "bb.embedding")} / (sqrt(ba.nrm) * sqrt(bb.nrm))
        |      >= ${VectorOps.DupThreshold}""".stripMargin
 
+  /** Mirror of VectorOps.embDedupEval: sampled all-pairs cosine truth
+    * (composed dot/sqrt ≡ the fused cosine_sim, the standing
+    * contract), the banded-candidate mirror filtered to the sample,
+    * confusion counts.
+    */
+  def embDedupEval(): String = {
+    val m = VectorOps.DedupEvalMod
+    s"""WITH $baseCte,
+       |samp AS (SELECT vec_id, embedding, nrm FROM base WHERE vec_id % $m = 0),
+       |truth AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, CAST(1 AS BIGINT) AS t
+       |  FROM samp a JOIN samp b ON a.vec_id < b.vec_id
+       |  WHERE ${dot("a.embedding", "b.embedding")} / (sqrt(a.nrm) * sqrt(b.nrm))
+       |        >= ${VectorOps.DupThreshold}
+       |),
+       |pred AS (
+       |  SELECT vec_a, vec_b, CAST(1 AS BIGINT) AS p
+       |  FROM (${dedupEmbedding()})
+       |  WHERE vec_a % $m = 0 AND vec_b % $m = 0
+       |),
+       |conf AS (
+       |  SELECT
+       |    CAST(sum(COALESCE(t, 0)) AS BIGINT) AS n_true_pairs,
+       |    CAST(sum(COALESCE(p, 0)) AS BIGINT) AS n_cand_pairs,
+       |    CAST(sum(COALESCE(t, 0) * COALESCE(p, 0)) AS BIGINT) AS n_tp
+       |  FROM truth FULL OUTER JOIN pred USING (vec_a, vec_b)
+       |)
+       |SELECT n_true_pairs, n_cand_pairs, n_tp,
+       |  CASE WHEN n_cand_pairs > 0
+       |    THEN CAST(n_tp AS DOUBLE) / CAST(n_cand_pairs AS DOUBLE) END
+       |    AS precision,
+       |  CASE WHEN n_true_pairs > 0
+       |    THEN CAST(n_tp AS DOUBLE) / CAST(n_true_pairs AS DOUBLE) END
+       |    AS recall
+       |FROM conf""".stripMargin
+  }
+
   /** Mirror of VectorOps.embDecontaminate: corpus bands join the
     * eval side's Hamming-1-expanded probes, exact cosine on
     * candidates, per-corpus-vector hit aggregate, left join so

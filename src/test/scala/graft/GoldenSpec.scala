@@ -358,6 +358,7 @@ class GoldenSpec extends SparkSpec {
     // exact on the fixture at tau = 1/2 — a drop in either metric
     // means one side of the dedup family regressed
     "dedup_eval" -> ((-988134441863834730L, 1L)),
+    "emb_dedup_eval" -> ((629681235041655408L, 1L)),
     "evt_ip_range" -> ((2339254684288860274L, 3L)),
     "evt_ip_prefix" -> ((-9190911181604061264L, 20L))
   )

@@ -659,4 +659,31 @@ class VectorOpsSpec extends SparkSpec {
       assert(r.getDouble(3) >= -1.0 && r.getDouble(3) <= 1.0)
     }
   }
+
+  test("emb_dedup_eval: truth replay; the verified generator has precision 1") {
+    val row = VectorOps.embDedupEval(spark, sfDir).head()
+    // precision 1.0 by construction: dedupEmbedding post-verifies
+    assert(row.getLong(1) === row.getLong(2), "pred within truth")
+    if (row.getLong(1) > 0) assert(row.getDouble(3) === 1.0)
+    // truth replay: exact cosine over the sampled pairs
+    val sample = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .where(col("vec_id") % VectorOps.DedupEvalMod === 0)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val nTrue = (for {
+      i <- sample.indices; j <- (i + 1) until sample.length
+      if cos(sample(i)._2, sample(j)._2) >= VectorOps.DupThreshold
+    } yield 1).length.toLong
+    assert(row.getLong(0) === nTrue, "truth pair count")
+    assert(row.getLong(2) <= nTrue)
+  }
 }
