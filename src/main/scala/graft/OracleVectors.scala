@@ -342,6 +342,15 @@ object OracleVectors {
   /** Recall@K of IVF vs exact, composing the two query oracles (the
     * ivfRecall mirror; same shape as [[lshRecall]]).
     */
+  /** Mirror of VectorOps.ivfRecallCurve: the labeled union of the
+    * per-nprobe recall mirrors.
+    */
+  def ivfRecallCurve(): String =
+    VectorOps.RecallCurveProbes.map { np =>
+      s"""SELECT CAST($np AS BIGINT) AS nprobe, query_id, recall_at_k, n_exact
+         |FROM (${ivfRecall(nprobe = np)})""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
   def ivfRecall(nlist: Int = VectorOps.NList,
       nprobe: Int = VectorOps.NProbe): String =
     s"""SELECT e.query_id,

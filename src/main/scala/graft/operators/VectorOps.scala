@@ -614,6 +614,26 @@ object VectorOps {
         count(lit(1)).as("n_exact"))
   }
 
+  /** nprobe sweep for [[ivfRecallCurve]]. */
+  val RecallCurveProbes: Seq[Int] = Seq(1, 2, 4, 8)
+
+  /** The IVF OPERATING CURVE: per-query recall at every
+    * [[RecallCurveProbes]] nprobe in one frame — the recall-vs-cost
+    * artifact an index operator reads before picking the production
+    * dial (each nprobe multiplies scanned cells, so this IS the cost
+    * axis). Composes the memoized exact baseline and the memoized IVF
+    * index; each sweep point is one [[ivfRecall]] run labeled with its
+    * nprobe. Recall must be monotone non-decreasing in nprobe per
+    * query (probing strictly more cells can only add hits) — the spec
+    * pins that.
+    */
+  def ivfRecallCurve(spark: SparkSession, dir: String): DataFrame =
+    RecallCurveProbes.map { np =>
+      ivfRecall(spark, dir, nprobe = np)
+        .select(lit(np.toLong).as("nprobe"), col("query_id"),
+          col("recall_at_k"), col("n_exact"))
+    }.reduce(_.unionAll(_))
+
   /** Per-label centroids in long format (label, pos, centroid_sum, n,
     * mean). Element sums accumulate in DECIMAL so the result is
     * independent of partitioning/order — the same property the decimal

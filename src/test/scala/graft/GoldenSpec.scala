@@ -359,6 +359,7 @@ class GoldenSpec extends SparkSpec {
     // means one side of the dedup family regressed
     "dedup_eval" -> ((-988134441863834730L, 1L)),
     "emb_dedup_eval" -> ((629681235041655408L, 1L)),
+    "emb_ivf_recall_curve" -> ((7041617246702347709L, 20L)),
     "evt_ip_range" -> ((2339254684288860274L, 3L)),
     "evt_ip_prefix" -> ((-9190911181604061264L, 20L))
   )

@@ -660,6 +660,24 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("ivf_recall_curve: monotone non-decreasing in nprobe per query") {
+    val rows = VectorOps.ivfRecallCurve(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val probes = VectorOps.RecallCurveProbes.map(_.toLong)
+    assert(rows.map(_._1).distinct.sorted.toSeq === probes.sorted)
+    rows.groupBy(_._2).foreach { case (q, qs) =>
+      val byProbe = qs.sortBy(_._1).map(_._3)
+      assert(byProbe.zip(byProbe.tail).forall { case (a, b) => a <= b },
+        s"query $q curve ${byProbe.mkString(",")}")
+    }
+    // each sweep point matches its standalone gauge
+    val single = VectorOps.ivfRecall(spark, sfDir, nprobe = 4).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.filter(_._1 == 4L).foreach { case (_, q, rec) =>
+      assert(rec === single(q), s"query $q at nprobe 4")
+    }
+  }
+
   test("emb_dedup_eval: truth replay; the verified generator has precision 1") {
     val row = VectorOps.embDedupEval(spark, sfDir).head()
     // precision 1.0 by construction: dedupEmbedding post-verifies
