@@ -1996,6 +1996,7 @@ object OracleText {
   val dedupEval: String = {
     val rot = rotLong("md5(sg)", 0)
     val (num, den) = (TextOps.EvalJacNum, TextOps.EvalJacDen)
+    val bw = TextOps.ContainBlockWidth
     s"""WITH $wordsCte,
        |shs AS (
        |  SELECT DISTINCT doc_id, $rot AS h
@@ -2005,10 +2006,17 @@ object OracleText {
        |    FROM docs WHERE len(words) >= 3)
        |),
        |sizes AS (SELECT doc_id, count(*) AS n FROM shs GROUP BY doc_id),
+       |blocks AS (
+       |  SELECT DISTINCT doc_id, $rot AS h
+       |  FROM (
+       |    SELECT doc_id, unnest(list_transform(range(len(words) - ${bw - 1}),
+       |      i -> array_to_string(list_slice(words, i + 1, i + $bw), ' '))) AS sg
+       |    FROM docs WHERE len(words) >= $bw)
+       |),
        |rare AS (
-       |  SELECT doc_id, h FROM shs
-       |  WHERE h IN (SELECT h FROM shs GROUP BY h
-       |              HAVING count(*) >= 2 AND count(*) <= ${TextOps.EvalDfCap})
+       |  SELECT doc_id, h FROM blocks
+       |  WHERE h IN (SELECT h FROM blocks GROUP BY h
+       |              HAVING count(*) >= 2 AND count(*) <= ${TextOps.ContainMaxDf})
        |),
        |cand AS (
        |  SELECT DISTINCT ra.doc_id AS a, rb.doc_id AS b

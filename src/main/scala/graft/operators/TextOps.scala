@@ -2504,27 +2504,42 @@ object TextOps {
         .distinct()
     }
 
-  /** Ground-truth Jaccard threshold for [[dedupEval]] (τ = 1/2) and
-    * the blocking df cap bounding the exact pass's pair fan-out.
+  /** The distinct (doc, [[ContainBlockWidth]]-gram-hash) blocking
+    * index — shared by [[dedupContainment]] and [[dedupEval]] (same
+    * memo key).
     */
+  private def containBlocks(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, dir, "contain_blocks") {
+      val w = ContainBlockWidth
+      withWordsAttr(spark, dir)
+        .where(size(col("words")) >= w)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(0, size(words) - $w), i -> concat_ws(' ', slice(words, i + 1, $w)))"))
+          .as("sg"))
+        .select(col("doc_id"), rotLong("md5(sg)", 0).as("h"))
+        .distinct()
+    }
+
+  /** Ground-truth Jaccard threshold for [[dedupEval]] (τ = 1/2). */
   val EvalJacNum = 1L
   val EvalJacDen = 2L
-  val EvalDfCap = 16L
 
   /** Dedup-quality evaluation — [[rankEval]]'s role for the dedup
     * family: score the LSH candidate generator ([[dedupMinhashLsh]])
     * against EXACT ground truth (3-shingle Jaccard ≥ τ) and emit the
-    * confusion counts with precision/recall. Ground truth comes from
-    * the df-capped shingle-blocking pass (shared digest artifact with
-    * [[dedupContainment]]): pairs sharing a ≤-[[EvalDfCap]]-df shingle
-    * get exact intersection counts, and the threshold test is the
-    * cross-multiplied integer form `inter·(num+den) ≥ num·(|A|+|B|)`
-    * — a pair sharing NO shingle has Jaccard 0 and is correctly
-    * absent. The df cap is the documented blocking-recall dial
-    * (boilerplate shingles generate no candidate pairs), exactly as
-    * in containment; at τ = 1/2 a qualifying pair must share rare
-    * shingles, so the capped truth equals the uncapped truth on any
-    * near-dup-shaped corpus.
+    * confusion counts with precision/recall. Ground-truth candidates
+    * come from the SAME rare-[[ContainBlockWidth]]-gram blocking index
+    * [[dedupContainment]] uses (shared memoized artifacts — and the
+    * same documented blocking-recall caveat: a τ-similar pair that
+    * shares no rare [[ContainBlockWidth]]-gram is invisible to the
+    * truth pass; near-dup-shaped corpora always share runs). The
+    * 3-shingle blocking first tried here degenerated on the word-soup
+    * fixture — at sf0.1 its ~30k-type shingle space has mean df ≈ 13,
+    * so "rare-shingle" pairs were ~all-pairs (measured 8.0 s); the
+    * 5-gram space is ~10³× larger and collision-driven, the same
+    * reason containment made that switch in r8. The threshold test is
+    * the cross-multiplied integer form
+    * `inter·(num+den) ≥ num·(|A|+|B|)`.
     *
     * Shape at 100 TB: both sides are banded/blocked candidate streams
     * (never all-pairs); the confusion join runs over two pair SETS.
@@ -2532,9 +2547,10 @@ object TextOps {
   def dedupEval(spark: SparkSession, dir: String): DataFrame = {
     val sh = containShingles(spark, dir)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val rare = sh.join(
-      sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
-        .where(col("df") >= 2 && col("df") <= EvalDfCap),
+    val blocks = containBlocks(spark, dir)
+    val rare = blocks.join(
+      blocks.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .where(col("df") >= 2 && col("df") <= ContainMaxDf),
       Seq("h"))
     val cand = rare.select(col("h"), col("doc_id").as("a"))
       .join(rare.select(col("h"), col("doc_id").as("b")), Seq("h"))
@@ -2577,16 +2593,7 @@ object TextOps {
     // artifact you write to a table once.
     val sh = containShingles(spark, dir)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val blocks = memoized(spark, dir, "contain_blocks") {
-      val w = ContainBlockWidth
-      withWordsAttr(spark, dir)
-        .where(size(col("words")) >= w)
-        .select(col("doc_id"), explode(expr(
-          s"transform(sequence(0, size(words) - $w), i -> concat_ws(' ', slice(words, i + 1, $w)))"))
-          .as("sg"))
-        .select(col("doc_id"), rotLong("md5(sg)", 0).as("h"))
-        .distinct()
-    }
+    val blocks = containBlocks(spark, dir)
     val rare = blocks.join(
       blocks.groupBy(col("h")).agg(count(lit(1)).as("df"))
         .where(col("df") <= ContainMaxDf),
