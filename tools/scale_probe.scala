@@ -1249,4 +1249,58 @@ for (k <- Seq(1, 8, 16)) {
   println(f"  k=$k%2d: $s%6.2f s")
 }
 
+println("== winnowing shape (char k-gram explode -> 2 doc-keyed windows -> per-doc digest agg) ==")
+for (k <- Seq(1, 4, 8)) {
+  val docs = multi("documents", k)
+  val s = timed {
+    val grams = docs.where(length(col("text")) >= 8)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(1, length(text) - 7), i -> substring(text, i, 8))"))
+        .as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"),
+        expr("CAST(conv(substring(md5(gram), 1, 15), 16, 10) AS BIGINT)").as("h"))
+    val byPos = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos").asc)
+    grams
+      .withColumn("m", min(col("h")).over(byPos.rowsBetween(-3, 0)))
+      .withColumn("sel", max(col("m")).over(byPos.rowsBetween(0, 3)) === col("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)), sum(when(col("sel"), 1L).otherwise(0L)))
+      .agg(count(lit(1))).head()
+  }
+  println(f"  k=$k%2d: $s%6.2f s")
+}
+
+println("== langid_cng shape (trigram explode -> (doc,gram) partial agg -> WindowGroupLimit top-40 -> broadcast profile join) ==")
+// k-fold duplicates doc_ids: per-doc windows see k copies of each
+// gram count — semantics k-degenerate, the wall-clock shape is under test
+for (k <- Seq(1, 4, 8)) {
+  val docs = multi("documents", k)
+  val s = timed {
+    val grams = docs.select(col("doc_id"), col("lang"), explode(expr(
+      """CASE WHEN length(text) >= 3
+        |     THEN transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))
+        |     ELSE CAST(array() AS array<string>) END""".stripMargin)).as("g"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("cnt").desc, col("g").asc)
+    val docTop = grams.groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("dr", row_number().over(byDoc).cast("long"))
+      .where(col("dr") <= 40)
+    val byLang = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("plang")).orderBy(col("cnt").desc, col("g").asc)
+    val langTop = grams.groupBy(col("lang").as("plang"), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("lr", row_number().over(byLang).cast("long"))
+      .where(col("lr") <= 40)
+      .select(col("plang"), col("g"), col("lr"))
+    docTop.crossJoin(broadcast(langTop.select(col("plang")).distinct()))
+      .join(broadcast(langTop), Seq("plang", "g"), "left")
+      .groupBy(col("doc_id"), col("plang"))
+      .agg(sum(coalesce(abs(col("dr") - col("lr")), lit(40L))).as("dist"))
+      .agg(count(lit(1))).head()
+  }
+  println(f"  k=$k%2d: $s%6.2f s")
+}
+
 sys.exit(0)
