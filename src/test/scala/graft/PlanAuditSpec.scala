@@ -474,6 +474,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p.take(800))
   }
 
+  test("cumulative_cardinality: first-seen rewrite — no distinct expansion, no growing state") {
+    val p = plan("evt_cumulative_cardinality")
+    // the whole point of the rewrite: no per-bucket COUNT DISTINCT
+    // (which plans an Expand over ever-growing prefixes)
+    assert(!p.contains("Expand"), p.take(1200))
+    assert(!p.toLowerCase.contains("distinct"), p.take(1200))
+    assert(p.contains("Window"), p.take(800))
+  }
+
+  test("q71 nested_agg: children pre-aggregate below the parent join, no count-distinct") {
+    val p = plan("q71_nested_agg")
+    assert(!p.contains("Expand"), p.take(1200))
+    assert(!p.toLowerCase.contains("distinct"), p.take(1200))
+    val lines = p.split("\n")
+    // a partial aggregate on the child key must appear BELOW the join
+    val joinIdx = lines.indexWhere(l =>
+      l.contains("Join") && l.contains("l_orderkey"))
+    val kidAggIdx = lines.indexWhere(l =>
+      l.contains("HashAggregate") && l.contains("l_orderkey"))
+    assert(joinIdx >= 0 && kidAggIdx > joinIdx, p.take(1500))
+  }
+
   test("q74 terms_partition: the shard filter sits below the aggregate exchange") {
     val p = plan("q74_terms_partition")
     // exactly one aggregation exchange (term-keyed); the hash filter
