@@ -1756,7 +1756,10 @@ object OracleRelational {
       |FROM events
       |GROUP BY 1""".stripMargin
 
-  /** Mirror of Relational.evtAnomalyDow (isodow − 1 ≡ Spark weekday). */
+  /** Mirror of Relational.evtAnomalyDow (isodow − 1 ≡ Spark weekday).
+    * ss and the flag arms use HUGEINT (≡ the Spark side's widened
+    * DECIMAL(38,0)), the same device as [[evtAnomaly]] — a
+    * DECIMAL(19,0) ss would overflow before Spark's at n ≳ 3e9. */
   val evtAnomalyDow: String = {
     val z2 = graft.operators.Relational.AnomalyZ * graft.operators.Relational.AnomalyZ
     s"""WITH daily AS (
@@ -1769,20 +1772,14 @@ object OracleRelational {
        |  SELECT event_type, day, dow, n,
        |    CAST(count(*) OVER w AS BIGINT) AS d,
        |    CAST(sum(n) OVER w AS BIGINT) AS s,
-       |    CAST(sum(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0)))
-       |      OVER w AS DECIMAL(19,0)) AS ss
+       |    sum(CAST(n AS HUGEINT) * n) OVER w AS ss
        |  FROM daily
        |  WINDOW w AS (PARTITION BY event_type, dow)
        |)
        |SELECT event_type, day, dow, n,
        |  CAST(s AS DOUBLE) / CAST(d AS DOUBLE) AS mean_dow,
-       |  (CAST(d AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))
-       |     - CAST(s AS DECIMAL(19,0))) *
-       |  (CAST(d AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))
-       |     - CAST(s AS DECIMAL(19,0))) >
-       |  CAST($z2 AS DECIMAL(19,0)) *
-       |    (CAST(d AS DECIMAL(19,0)) * ss
-       |       - CAST(s AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0)))
+       |  CAST(d * n - s AS HUGEINT) * (d * n - s)
+       |    > $z2 * (CAST(d AS HUGEINT) * ss - CAST(s AS HUGEINT) * s)
        |    AS is_anomaly
        |FROM m""".stripMargin
   }

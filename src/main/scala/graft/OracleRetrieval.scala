@@ -265,9 +265,10 @@ object OracleRetrieval {
        |    CAST(p.rel_at_k AS DOUBLE) / CAST($k AS DOUBLE) AS p_at_k,
        |    CAST(p.rel_at_k AS DOUBLE) / CAST(n.n_rel AS DOUBLE) AS recall_at_k,
        |    COALESCE(CAST(1 AS DOUBLE) / p.first_rank, CAST(0 AS DOUBLE)) AS rr,
-       |    CAST(p.dcg AS DOUBLE)
-       |      / CAST(($pLit)[CAST(least(n.n_rel, $k) AS INT)] AS DOUBLE)
-       |      AS ndcg_at_k
+       |    CASE WHEN n.n_rel = 0 THEN CAST(NULL AS DOUBLE)
+       |      ELSE CAST(p.dcg AS DOUBLE)
+       |        / CAST(($pLit)[CAST(greatest(1, least(n.n_rel, $k)) AS INT)] AS DOUBLE)
+       |      END AS ndcg_at_k
        |  FROM per p JOIN nrel n USING (query_id)
        |)
        |SELECT * FROM met

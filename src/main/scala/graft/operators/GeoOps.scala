@@ -48,16 +48,24 @@ object GeoOps {
   private def h60(idCol: String): String =
     s"CAST(conv(substring(md5(CAST($idCol AS STRING)), 1, 15), 16, 10) AS BIGINT)"
 
-  /** Events with integer microdegree coordinates attached, via ONE
-    * md5 per row (the hash is projected once; both fields derive from
-    * it behind an explode-barrier-free select — integer div/mod only).
+  /** Integer microdegree coordinates attached to ANY frame carrying
+    * `event_id`, via ONE md5 per row (the hash is projected once; both
+    * fields derive from it behind an explode-barrier-free select —
+    * integer div/mod only). THE single definition of the coordinate
+    * derivation: the batch operators ([[withCoords]]) and the
+    * streaming grid store (StreamingGeo.gridBatch) both call this, so
+    * the store's drain≡batch bit-exactness cannot drift if the
+    * derivation constants ever change.
     */
-  private[graft] def withCoords(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .withColumn("__h", expr(h60("event_id")))
+  private[graft] def attachCoords(df: DataFrame): DataFrame =
+    df.withColumn("__h", expr(h60("event_id")))
       .withColumn("lon_micro", expr("__h % 360000000"))
       .withColumn("lat_micro", expr("(__h div 360000000) % 180000000"))
       .drop("__h")
+
+  /** The events table with coordinates attached. */
+  private[graft] def withCoords(spark: SparkSession, dir: String): DataFrame =
+    attachCoords(Tables.events(spark, dir))
 
   /** The geohash base-32 alphabet (public spec: no a/i/l/o). */
   val GeohashAlphabet = "0123456789bcdefghjkmnpqrstuvwxyz"

@@ -2160,11 +2160,17 @@ object Relational {
     * tiebreak.
     */
   def q70FrequentPairs(spark: SparkSession, dir: String): DataFrame = {
-    val items = Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.part(spark, dir)
-        .select(col("p_partkey"), col("p_brand"))),
-        col("l_partkey") === col("p_partkey"))
-      .select(col("l_orderkey"), col("p_brand")).distinct()
+    // memoized: the basket table feeds four consumers (both self-join
+    // sides, sup, nb) — without the memo the lineitem⋈part distinct
+    // re-evaluates per consumer (the recompute pattern dedupContainment
+    // / the minhash signatures memoize away)
+    val items = TextOps.memoized(spark, dir, "fp_baskets") {
+      Tables.lineitem(spark, dir)
+        .join(broadcast(Tables.part(spark, dir)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("p_brand")).distinct()
+    }
     val pairs = items.as("a")
       .join(items.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&

@@ -353,11 +353,14 @@ object Retrieval {
         (col("rel_at_k").cast("double") / col("n_rel").cast("double"))
           .as("recall_at_k"),
         coalesce(lit(1.0d) / col("first_rank"), lit(0.0d)).as("rr"),
-        // NDCG@k: ideal DCG is the prefix-sum literal at min(n_rel, k)
-        // — n_rel ≥ 1 on this fixture (every label class has > 1
-        // member), so the division is always defined
-        (col("dcg").cast("double") /
-          expr(s"CAST(element_at(${idcgPrefixLit(k)}, CAST(least(n_rel, $k) AS INT)) AS DOUBLE)"))
+        // NDCG@k: ideal DCG is the prefix-sum literal at min(n_rel, k).
+        // A singleton label class (n_rel = 0) has no defined ideal —
+        // emit NULL, and clamp the lookup index to ≥ 1 so Spark's
+        // element_at never sees 0 (it throws; DuckDB's arr[0] yields
+        // NULL — an engine-divergent failure this guard removes).
+        when(col("n_rel") === 0L, lit(null).cast("double"))
+          .otherwise(col("dcg").cast("double") /
+            expr(s"CAST(element_at(${idcgPrefixLit(k)}, CAST(greatest(1, least(n_rel, $k)) AS INT)) AS DOUBLE)"))
           .as("ndcg_at_k"))
     def dmean(c: String): Column =
       (sum(col(c).cast("decimal(18,12)")).cast("double") /

@@ -23,13 +23,12 @@ import graft.operators.GeoOps
   */
 object StreamingGeo {
 
-  /** One micro-batch reduced to its geohash-cell grid. */
+  /** One micro-batch reduced to its geohash-cell grid. Coordinate
+    * attachment is [[GeoOps.attachCoords]] — the SAME code the batch
+    * operator runs, not a re-inlined copy.
+    */
   def gridBatch(batch: DataFrame): DataFrame =
-    batch
-      .withColumn("__h", expr(
-        "CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
-      .withColumn("lon_micro", expr("__h % 360000000"))
-      .withColumn("lat_micro", expr("(__h div 360000000) % 180000000"))
+    GeoOps.attachCoords(batch)
       .withColumn("cell", expr(GeoOps.geohashSql(GeoOps.GeohashPrecision)))
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n"),
