@@ -350,9 +350,18 @@ object TextOps {
     * All ratios are exact-integer divisions evaluated in double — bit-
     * identical across engines.
     */
-  def quality(spark: SparkSession, dir: String): DataFrame = {
+  def quality(spark: SparkSession, dir: String): DataFrame =
+    qualityFrom(Tables.documents(spark, dir))
+
+  /** [[quality]] over any (doc_id, text) frame — the un-memoized core
+    * shared with the streaming export store
+    * ([[graft.streaming.StreamingExport]]), which scores each
+    * micro-batch slice rather than a table directory. One definition
+    * ⇒ the store's drain≡batch bit-exactness cannot drift.
+    */
+  private[graft] def qualityFrom(docs: DataFrame): DataFrame = {
     val stop = "array('the','a','of','and','to','in','is','it','on','for')"
-    withWords(spark, dir).select(
+    docs.withColumn("words", words).select(
       col("doc_id"),
       length(col("text")).cast("long").as("n_chars"),
       size(col("words")).cast("long").as("n_words"),
@@ -625,8 +634,20 @@ object TextOps {
     * join — so candidate generation is O(collisions), the scale path
     * for dedup at 100 TB.
     */
-  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = minhashSignatures(spark, dir)
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    lshBandPairsFrom(minhashSignatures(spark, dir))
+      .select(col("doc_a"), col("doc_b"),
+        (expr(s"size(filter(sequence(1, $NumHashes), i -> sig_a[i - 1] = sig_b[i - 1]))")
+          .cast("double") / NumHashes).as("est_jaccard"))
+      .distinct()
+
+  /** Band-collision candidate pairs over any (doc_id, sig) frame —
+    * (doc_a, doc_b, sig_a, sig_b), a < b, one row per colliding band.
+    * The un-memoized core of [[dedupMinhashLsh]], shared with the
+    * streaming export store's read side so the edge set the store's
+    * cluster stage propagates over is THE batch definition.
+    */
+  private[graft] def lshBandPairsFrom(sigs: DataFrame): DataFrame = {
     val bands = sigs.select(
       col("doc_id"), col("sig"),
       posexplode(expr(sigBandKeysExpr))
@@ -637,10 +658,6 @@ object TextOps {
       col("band_idx"), col("band_key"))
     a.join(b, Seq("band_idx", "band_key"))
       .where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        (expr(s"size(filter(sequence(1, $NumHashes), i -> sig_a[i - 1] = sig_b[i - 1]))")
-          .cast("double") / NumHashes).as("est_jaccard"))
-      .distinct()
   }
 
   /** Exact n-gram Jaccard over LSH candidate pairs: verify candidates
@@ -870,18 +887,7 @@ object TextOps {
     // stage consume them, and each CC round re-reads them — one more
     // memoized table keeps the rounds' lineage from re-running
     val labels = memoized(spark, dir, "cc_labels") {
-      val nodes = edges.select(col("doc_a").as("node")).distinct()
-      var l = nodes.withColumn("label", col("node"))
-      for (_ <- 1 to CcRounds) {
-        val nbrMin = edges
-          .join(l.select(col("node").as("doc_b"), col("label")), Seq("doc_b"))
-          .groupBy(col("doc_a").as("node"))
-          .agg(min(col("label")).as("nbr_label"))
-        l = l.join(nbrMin, Seq("node"), "left")
-          .select(col("node"),
-            least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-      }
-      l
+      propagateBounded(edges)
     }
     labels.select(
       col("node").as("doc_id"),
@@ -907,6 +913,28 @@ object TextOps {
     */
   val CcMaxRounds = 20
 
+  /** The [[CcRounds]]-bounded min-label propagation over a symmetrized
+    * (doc_a, doc_b) edge set — the EXACT unrolled computation the
+    * DuckDB oracle mirrors. Factored out of [[dedupClusters]] so the
+    * streaming export store's cluster stage runs the identical rounds
+    * (one definition; see also [[propagateToFixpoint]] for the
+    * unbounded variant).
+    */
+  private[graft] def propagateBounded(edges: DataFrame): DataFrame = {
+    val nodes = edges.select(col("doc_a").as("node")).distinct()
+    var l = nodes.withColumn("label", col("node"))
+    for (_ <- 1 to CcRounds) {
+      val nbrMin = edges
+        .join(l.select(col("node").as("doc_b"), col("label")), Seq("doc_b"))
+        .groupBy(col("doc_a").as("node"))
+        .agg(min(col("label")).as("nbr_label"))
+      l = l.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+    }
+    l
+  }
+
   /** Min-label propagation over a symmetrized (doc_a, doc_b) edge set
     * until no label changes (or [[CcMaxRounds]]). Exposed for direct
     * testing on graphs whose diameter exceeds [[CcRounds]].
@@ -931,7 +959,7 @@ object TextOps {
     * iterative loop in the library cuts lineage through this one seam
     * so the reliable-mode upgrade applies uniformly.
     */
-  private[operators] def cutLineage(df: DataFrame): DataFrame =
+  private[graft] def cutLineage(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
     else df.localCheckpoint(true)
 
@@ -1066,11 +1094,7 @@ object TextOps {
     // survivor set once instead of re-deriving the dedup chain per
     // downstream consumer
     val base = memoized(spark, dir, "export_base") {
-      withWords(spark, dir).select(
-        col("doc_id"), col("source"),
-        size(col("words")).cast("long").as("n_tokens"),
-        (rotLong("md5(text)", 0) % ExportRateBp).as("bucket"),
-        (rotLong("md5(text)", 0) % NumShards).as("shard"))
+      exportBaseFrom(Tables.documents(spark, dir))
     }
     val s1 = memoized(spark, dir, "export_s1") {
       val q = quality(spark, dir)
@@ -1095,18 +1119,39 @@ object TextOps {
         Seq("doc_id"), "left_semi")
     }
     val s5 = memoized(spark, dir, "export_s5") {
-      val perSrc = s4.groupBy(col("source")).agg(sum(col("n_tokens")).as("t_s"))
-      val tMin = perSrc.agg(min(col("t_s")).as("t_min"))
-      val rates = perSrc.crossJoin(broadcast(tMin)).select(
-        col("source"),
-        floor(sqrt(col("t_min").cast("double") / col("t_s").cast("double"))
-          * ExportRateBp).cast("long").as("rate_bp"))
-      s4.join(broadcast(rates), Seq("source"))
-        .where(col("bucket") < col("rate_bp"))
-        .select(s4.columns.map(col): _*)
+      mixSampleFrom(s4)
     }
     Seq("corpus" -> base, "quality" -> s1, "dedup_exact" -> s2,
       "dedup_near" -> s3, "decontaminate" -> s4, "mix_sample" -> s5)
+  }
+
+  /** The export base frame over any documents frame: per-doc token
+    * count plus the content-hash sampling bucket and shard — every
+    * derivation per-doc, so the streaming store computes it
+    * batch-locally from THIS definition.
+    */
+  private[graft] def exportBaseFrom(docs: DataFrame): DataFrame =
+    docs.withColumn("words", words).select(
+      col("doc_id"), col("source"),
+      size(col("words")).cast("long").as("n_tokens"),
+      (rotLong("md5(text)", 0) % ExportRateBp).as("bucket"),
+      (rotLong("md5(text)", 0) % NumShards).as("shard"))
+
+  /** The mixture stage over any decontaminated survivor frame —
+    * α = 0.5 temperature rates from the frame's OWN per-source token
+    * masses (see [[exportStages]] for the arithmetic discipline).
+    * Shared by the batch chain and the streaming read side.
+    */
+  private[graft] def mixSampleFrom(s4: DataFrame): DataFrame = {
+    val perSrc = s4.groupBy(col("source")).agg(sum(col("n_tokens")).as("t_s"))
+    val tMin = perSrc.agg(min(col("t_s")).as("t_min"))
+    val rates = perSrc.crossJoin(broadcast(tMin)).select(
+      col("source"),
+      floor(sqrt(col("t_min").cast("double") / col("t_s").cast("double"))
+        * ExportRateBp).cast("long").as("rate_bp"))
+    s4.join(broadcast(rates), Seq("source"))
+      .where(col("bucket") < col("rate_bp"))
+      .select(s4.columns.map(col): _*)
   }
 
   /** The export SHARD MANIFEST — what the training loader mounts: per
@@ -1115,14 +1160,17 @@ object TextOps {
     * tokens (contiguous greedy fill per shard ⇒ exactly
     * ⌈tokens/budget⌉ sequences). Integer arithmetic end to end.
     */
-  def corpusExport(spark: SparkSession, dir: String): DataFrame = {
-    val survivors = exportStages(spark, dir).last._2
+  def corpusExport(spark: SparkSession, dir: String): DataFrame =
+    exportManifestFrom(exportStages(spark, dir).last._2)
+
+  /** Shard manifest over any final survivor frame (shared batch /
+    * streaming-read definition). */
+  private[graft] def exportManifestFrom(survivors: DataFrame): DataFrame =
     survivors.groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
       .select(col("shard"), col("n_docs"), col("n_tokens"),
         expr(s"CAST((n_tokens + ${PackBudget - 1}) DIV $PackBudget AS BIGINT)")
           .as("n_seqs"))
-  }
 
   /** Per-stage ATTRITION of the export pipeline — the audit sidecar a
     * compliance review reads next to the manifest: docs in, kept, and
@@ -1131,8 +1179,12 @@ object TextOps {
     * cross-joined — at fixture scale the stages re-derive per row; a
     * cluster pipeline writes each stage once and counts the files.
     */
-  def corpusExportStages(spark: SparkSession, dir: String): DataFrame = {
-    val stages = exportStages(spark, dir)
+  def corpusExportStages(spark: SparkSession, dir: String): DataFrame =
+    exportAttritionFrom(exportStages(spark, dir))
+
+  /** Attrition rows over any stage chain (shared batch /
+    * streaming-read definition). */
+  private[graft] def exportAttritionFrom(stages: Seq[(String, DataFrame)]): DataFrame = {
     stages.sliding(2).zipWithIndex.map {
       case (Seq((_, prev), (nm, cur)), i) =>
         prev.agg(count(lit(1)).as("docs_in"))
@@ -1297,6 +1349,18 @@ object TextOps {
 
   def decontaminate(spark: SparkSession, dir: String): DataFrame =
     decontaminateImpl(spark, dir, bloomPrefilter = false)
+
+  /** Per-doc DISTINCT contamination n-gram digests over any (doc_id,
+    * text) frame — the decontamination slice the streaming export
+    * store persists per micro-batch (docs with < [[ContamNgram]]
+    * words vanish: they can never hit). Same Generate barrier and the
+    * SAME [[contamGrams]] expression as [[decontaminateImpl]], so the
+    * store's replayed keep-set is the batch operator's bit for bit.
+    */
+  private[graft] def contamDocGramsFrom(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(array(words)).as("words"))
+      .select(col("doc_id"), explode(contamGrams).as("g"))
+      .distinct()
 
   /** [[decontaminate]] with a Bloom pre-filter — the cluster-scale
     * variant. The eval n-gram set is folded into one Bloom filter
