@@ -50,6 +50,13 @@ object Bench {
     // host contention on the shared driver box, not plan cost. Min-of-2
     // measures the steady-state plan; both samples go to stderr so a
     // genuine regression (both runs slow) is still visible.
+    // Canary probe before and after the timed loop (BenchSanity): the
+    // contaminated-run guard the r9/r11 artifact sagas motivated —
+    // instability ≥ 2 or drift far from 1 marks the artifact as a
+    // loaded-box measurement from the JSON alone.
+    val canaryPre = BenchSanity.sample(drive)
+    System.err.println(f"[bench] canary pre: instability ${BenchSanity.instability(canaryPre)}%.2f")
+    val gcByQuery = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val g0 = gcMillis()
       val samples = (1 to 2).map { _ =>
@@ -60,9 +67,19 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       val secs = samples.min
-      System.err.println(f"[bench] $name%-22s ${secs}%8.3f s  (runs: ${samples.map(s => f"$s%.3f").mkString("/")})  gc+${gcMillis() - g0}%5d ms")
+      val gcDelta = gcMillis() - g0
+      gcByQuery(name) = gcDelta
+      System.err.println(f"[bench] $name%-22s ${secs}%8.3f s  (runs: ${samples.map(s => f"$s%.3f").mkString("/")})  gc+$gcDelta%5d ms")
       name -> secs
     }.toMap
+    val canaryPost = BenchSanity.sample(drive)
+    val canaryJson = {
+      val pre = BenchSanity.instability(canaryPre)
+      val post = BenchSanity.instability(canaryPost)
+      val drift = BenchSanity.drift(canaryPre, canaryPost)
+      System.err.println(f"[bench] canary post: instability $post%.2f, drift $drift%.2f")
+      f""""canary":{"pre":$pre%.2f,"post":$post%.2f,"drift":$drift%.2f}"""
+    }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // Total process-CPU seconds since JVM start: makes a contended run
     // self-diagnosing from the artifact alone — plans getting slower
@@ -93,7 +110,7 @@ object Bench {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v, dp) }
         .mkString("{", ",", "}")
       val om = if (omitted > 0) s""","omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","cpu":${fmt(cpuSecs, 1)},"queries":$qs$om,"sf":$sfNum}"""
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","cpu":${fmt(cpuSecs, 1)},$canaryJson,"queries":$qs$om,"sf":$sfNum}"""
     }
     val sorted = results.toSeq.sortBy(_._1)
     // 1992 = the 2000-char window minus the trailing newline and a small
@@ -121,8 +138,13 @@ object Bench {
     // when the stdout line had to drop precision or entries.
     val full = sorted.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // per-query GC deltas ride only the file artifact (the stdout line
+    // is window-budgeted): collector pressure vs plan cost per query,
+    // attributable from the committed JSON alone
+    val gcFull = sorted.map { case (k, _) => "\"" + k + "\":" + gcByQuery.getOrElse(k, 0L) }
+      .mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","cpu":$cpuSecs,"queries":$full,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","cpu":$cpuSecs,$canaryJson,"queries":$full,"gc_ms":$gcFull,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("/tmp/bench.json"), fullJson)
     try Files.writeString(Paths.get("/root/repo/BENCH_FULL.json"), fullJson + "\n")
     catch { case _: Throwable => () }
