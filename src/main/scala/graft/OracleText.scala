@@ -293,6 +293,97 @@ object OracleText {
        |$selects""".stripMargin
   }
 
+  /** Mirror of TextOps.unigramTrain: the SAME plan-time composition
+    * literal (rendered as VALUES from TextOps.unigramPartRows — one
+    * generator, zero drift), the same third-bit integer-log2 scores
+    * (TextOps.b3Duck), EM rounds unrolled as MATERIALIZED CTEs with
+    * the window-rank form of the Spark side's struct-min argmax
+    * (identical selection under the same (score DESC, comp_id ASC)
+    * order on exact integers).
+    */
+  val unigramTrain: String = {
+    def b3(x: String): String = TextOps.b3Duck(x)
+    val partsVals = TextOps.unigramPartRows
+      .map { case (wl, cid, np, ps, pl) => s"($wl,$cid,$np,$ps,$pl)" }
+      .mkString(", ")
+    def pruneCtes(src: String, k: Int, out: String): String =
+      s"""${out}_t AS MATERIALIZED (
+         |  SELECT piece, cnt FROM (
+         |    SELECT piece, cnt,
+         |      row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rk
+         |    FROM $src) WHERE rk <= $k
+         |),
+         |$out AS MATERIALIZED (
+         |  SELECT piece, cnt FROM ${out}_t
+         |  UNION ALL
+         |  SELECT a.piece, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+         |  FROM alpha a
+         |  LEFT JOIN $src c ON c.piece = a.piece
+         |  WHERE a.piece NOT IN (SELECT piece FROM ${out}_t)
+         |)""".stripMargin
+    def round(i: Int): String = {
+      val prev = s"v${i - 1}"
+      s"""z$i AS MATERIALIZED (
+         |  SELECT ${b3("ctot + v")} AS z FROM (
+         |    SELECT CAST(sum(cnt) AS BIGINT) AS ctot,
+         |           CAST(count(*) AS BIGINT) AS v FROM $prev)
+         |),
+         |seg$i AS MATERIALIZED (
+         |  SELECT c.w, c.f, c.comp_id,
+         |    CAST(sum(${b3("vv.cnt + 1")}) AS BIGINT)
+         |      - c.n_parts * (SELECT z FROM z$i) AS score
+         |  FROM (SELECT d.w, d.f, p.comp_id, p.n_parts,
+         |          substring(d.w, p.pstart, p.plen) AS piece
+         |        FROM wf d JOIN parts p ON length(d.w) = p.wlen) c
+         |  JOIN $prev vv ON vv.piece = c.piece
+         |  GROUP BY c.w, c.f, c.comp_id, c.n_parts
+         |  HAVING count(*) = c.n_parts
+         |),
+         |best$i AS MATERIALIZED (
+         |  SELECT w, f, comp_id FROM (
+         |    SELECT w, f, comp_id, row_number() OVER (
+         |      PARTITION BY w ORDER BY score DESC, comp_id ASC) AS rk
+         |    FROM seg$i) WHERE rk = 1
+         |),
+         |cnt$i AS MATERIALIZED (
+         |  SELECT substring(b.w, p.pstart, p.plen) AS piece,
+         |    CAST(sum(b.f) AS BIGINT) AS cnt
+         |  FROM best$i b JOIN parts p
+         |    ON length(b.w) = p.wlen AND b.comp_id = p.comp_id
+         |  GROUP BY 1
+         |),
+         |${pruneCtes(s"cnt$i", TextOps.UnigramVocab, s"v$i")}"""
+    }
+    s"""WITH $wordsCte,
+       |wm AS MATERIALIZED (SELECT unnest(words) AS w FROM docs),
+       |wf AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS f FROM wm
+       |  WHERE length(w) BETWEEN 1 AND ${TextOps.UnigramMaxWord} GROUP BY w
+       |),
+       |alpha AS MATERIALIZED (
+       |  SELECT DISTINCT unnest(list_transform(range(1, length(w) + 1),
+       |    i -> substring(w, i, 1))) AS piece FROM wf
+       |),
+       |parts(wlen, comp_id, n_parts, pstart, plen) AS MATERIALIZED (
+       |  VALUES $partsVals
+       |),
+       |seed AS MATERIALIZED (
+       |  SELECT piece, CAST(sum(f) AS BIGINT) AS cnt FROM (
+       |    SELECT f, unnest(flatten(list_transform(range(1, length(w) + 1),
+       |      i -> list_transform(
+       |        range(i, least(length(w), i + ${TextOps.UnigramMaxPiece - 1}) + 1),
+       |        j -> substring(w, i, j - i + 1))))) AS piece
+       |    FROM wf)
+       |  GROUP BY 1
+       |),
+       |${pruneCtes("seed", TextOps.UnigramSeedVocab, "v0")},
+       |${(1 to TextOps.UnigramRounds).map(round).mkString(",\n")}
+       |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece ASC) AS BIGINT)
+       |    AS "rank",
+       |  piece, cnt
+       |FROM v${TextOps.UnigramRounds}""".stripMargin
+  }
+
   val quality: String =
     s"""WITH $wordsCte
        |SELECT doc_id,

@@ -346,6 +346,139 @@ object TextOps {
     bests.reduce(_.unionAll(_))
   }
 
+  /** Max subword piece length for [[unigramTrain]]. */
+  val UnigramMaxPiece = 4
+
+  /** Words longer than this are excluded from unigram training: the
+    * segmentation-composition table is a PLAN-TIME literal in this
+    * bound (it grows ~3.4× per extra character — 223 compositions /
+    * ~700 part rows at 8). The fixture dictionary tops out at 8; a
+    * real corpus raises the constant (16 ≈ 18k rows, still a
+    * broadcast literal) or splits rare ultra-long words on a
+    * character fallback first, the SentencePiece convention.
+    */
+  val UnigramMaxWord = 8
+
+  /** Seed vocabulary size (round 0 keeps the top substrings). */
+  val UnigramSeedVocab = 60
+
+  /** Pruned vocabulary size per EM round (plus full char coverage). */
+  val UnigramVocab = 40
+
+  /** EM rounds in [[unigramTrain]] — bounded and unrolled so the
+    * DuckDB oracle mirrors the exact computation (the [[CcRounds]] /
+    * [[BpeTrainRounds]] discipline). */
+  val UnigramRounds = 3
+
+  /** All ordered compositions of `n` into parts 1..[[UnigramMaxPiece]],
+    * lexicographic by part sequence — the enumeration order IS the
+    * deterministic tiebreak id. */
+  private[graft] def unigramCompositions(n: Int): Seq[Seq[Int]] =
+    if (n == 0) Seq(Seq.empty)
+    else (1 to math.min(UnigramMaxPiece, n)).flatMap(p =>
+      unigramCompositions(n - p).map(p +: _))
+
+  /** The composition table flattened to one row per (composition,
+    * part): (wlen, comp_id, n_parts, pstart, plen). Data-independent,
+    * so it is a literal on BOTH engines (OracleText renders the same
+    * rows as VALUES) — zero drift by construction. */
+  private[graft] def unigramPartRows: Seq[(Int, Int, Int, Int, Int)] =
+    for {
+      wlen <- 1 to UnigramMaxWord
+      (comp, cid) <- unigramCompositions(wlen).zipWithIndex
+      (plen, idx) <- comp.zipWithIndex
+    } yield (wlen, cid, comp.size, comp.take(idx).sum + 1, plen)
+
+  /** Unigram-LM (SentencePiece-style) tokenizer TRAINING (Kudo 2018):
+    * the other production tokenizer family next to [[bpeTrain]] —
+    * seed a substring vocabulary, then EM: E-step segments every
+    * dictionary word into its maximum-likelihood piece sequence under
+    * the current vocabulary, M-step re-estimates piece masses from
+    * the chosen segmentations, prune to the vocab budget (always
+    * keeping full single-character coverage, so every word stays
+    * segmentable). Hard-EM (Viterbi counts, the `--hard_em`-style
+    * variant) rather than lattice posteriors: the arg-max is
+    * engine-portable where forward-backward sums of doubles are not.
+    *
+    * Determinism devices: piece log-masses live on the third-bit
+    * integer-log2 grid ([[b3Spark]], the [[nbClassifier]] device) —
+    * a segmentation's score is Σ b3(cnt+1) − n_parts·b3(C+V), exact
+    * integers, so the per-word arg-max (ties → smallest composition
+    * id in lexicographic part order) can never wobble across engines.
+    * The Viterbi search itself is RELATIONAL: all segmentations of a
+    * length-L word are the compositions of L into parts ≤
+    * [[UnigramMaxPiece]] — a data-independent PLAN-TIME literal
+    * ([[unigramPartRows]]) — so the E-step is dictionary ⋈ compositions
+    * ⋈ vocabulary + one argmax groupBy, no fold, no recursion. A
+    * composition is valid iff every part found its piece in the
+    * current vocab (count match), and char coverage guarantees the
+    * all-singles composition always survives.
+    *
+    * Scale shape: the corpus is scanned ONCE for the word-frequency
+    * dictionary ([[bpeTrain]]'s type-vs-token device); every EM round
+    * is dictionary-sized × a ~700-row broadcast literal — vocab-bound
+    * flat, like BPE. Per-round lineage is cut ([[cutLineage]]).
+    */
+  def unigramTrain(spark: SparkSession, dir: String): DataFrame = {
+    val dict = cutLineage(
+      withWords(spark, dir).select(explode(col("words")).as("w"))
+        .where(length(col("w")).between(1, UnigramMaxWord))
+        .groupBy(col("w")).agg(count(lit(1)).as("f")))
+    val alphabet = dict.select(explode(expr(
+      "transform(sequence(1, length(w)), i -> substring(w, i, 1))")).as("piece"))
+      .distinct()
+    // prune to top-k by mass (piece ASC tiebreak) ∪ char coverage
+    def prune(counts: DataFrame, k: Int): DataFrame = {
+      val top = counts
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("cnt").desc, col("piece").asc)))
+        .where(col("rk") <= k).select(col("piece"), col("cnt"))
+      val singles = alphabet
+        .join(counts.where(length(col("piece")) === 1), Seq("piece"), "left")
+        .select(col("piece"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      top.unionAll(singles.join(top, Seq("piece"), "left_anti"))
+    }
+    val seed = dict.select(col("f"), explode(expr(
+      s"""flatten(transform(sequence(1, length(w)),
+            i -> transform(sequence(i, least(length(w), i + ${UnigramMaxPiece - 1})),
+              j -> substring(w, i, j - i + 1))))""")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("f")).as("cnt"))
+    var vocab = cutLineage(prune(seed, UnigramSeedVocab))
+    val sess = spark
+    import sess.implicits._
+    val parts = broadcast(
+      unigramPartRows.toDF("wlen", "comp_id", "n_parts", "pstart", "plen"))
+    for (_ <- 1 to UnigramRounds) {
+      val norm = vocab
+        .agg(sum(col("cnt")).as("ctot"), count(lit(1)).as("v"))
+        .select(expr(b3Spark("ctot + v")).as("z"))
+      val cand = dict.join(parts, length(col("w")) === col("wlen"))
+        .select(col("w"), col("f"), col("comp_id"), col("n_parts"),
+          expr("substring(w, pstart, plen)").as("piece"))
+      val segs = cand.join(vocab, Seq("piece"))
+        .groupBy(col("w"), col("f"), col("comp_id"), col("n_parts"))
+        .agg(sum(expr(b3Spark("cnt + 1"))).as("s"),
+          count(lit(1)).as("n_found"))
+        .where(col("n_found") === col("n_parts"))
+        .crossJoin(broadcast(norm))
+        .select(col("w"), col("f"), col("comp_id"),
+          (col("s") - col("n_parts") * col("z")).as("score"))
+      val best = segs.groupBy(col("w"), col("f"))
+        .agg(min(struct((-col("score")).as("ns"), col("comp_id").as("cid")))
+          .as("b"))
+        .select(col("w"), col("f"), col("b.cid").as("bcid"))
+      val counts = best.join(parts,
+          length(col("w")) === col("wlen") && col("bcid") === col("comp_id"))
+        .select(col("f"), expr("substring(w, pstart, plen)").as("piece"))
+        .groupBy(col("piece")).agg(sum(col("f")).as("cnt"))
+      vocab = cutLineage(prune(counts, UnigramVocab))
+    }
+    vocab.select(
+      row_number().over(Window.orderBy(col("cnt").desc, col("piece").asc))
+        .cast("long").as("rank"),
+      col("piece"), col("cnt"))
+  }
+
   /** Quality scoring: length / vocabulary-diversity / stopword signals.
     * All ratios are exact-integer divisions evaluated in double — bit-
     * identical across engines.

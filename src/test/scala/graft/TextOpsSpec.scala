@@ -188,6 +188,78 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  /** Independent reference hard-EM unigram trainer — re-derives the
+    * compositions, the b3 grid, and the prune rule from scratch (no
+    * TextOps helpers), so a bug in any shared generator cannot hide.
+    */
+  private def classicUnigram(wordFreq: Map[String, Long]): Seq[(Long, String, Long)] = {
+    def bitlen(x: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    def b3(x: Long): Long = {
+      val s = math.max(bitlen(x) - 21, 0)
+      val m = x >> s
+      3L * s + bitlen(m * m * m) - 1
+    }
+    def comps(n: Int): Seq[Seq[Int]] =
+      if (n == 0) Seq(Seq.empty)
+      else (1 to math.min(TextOps.UnigramMaxPiece, n))
+        .flatMap(p => comps(n - p).map(p +: _))
+    val words = wordFreq.filter(_._1.length <= TextOps.UnigramMaxWord)
+    val alphabet = words.keys.flatMap(_.map(_.toString)).toSet
+    def prune(counts: Map[String, Long], k: Int): Map[String, Long] = {
+      val top = counts.toSeq.sortBy { case (p, c) => (-c, p) }.take(k).toMap
+      top ++ alphabet.filterNot(top.contains)
+        .map(ch => ch -> counts.getOrElse(ch, 0L))
+    }
+    val seed = words.toSeq.flatMap { case (w, f) =>
+      for {
+        i <- 0 until w.length
+        j <- 1 to math.min(TextOps.UnigramMaxPiece, w.length - i)
+      } yield w.substring(i, i + j) -> f
+    }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+    var vocab = prune(seed, TextOps.UnigramSeedVocab)
+    for (_ <- 1 to TextOps.UnigramRounds) {
+      val z = b3(vocab.values.sum + vocab.size)
+      val counts = scala.collection.mutable.Map.empty[String, Long]
+      for ((w, f) <- words) {
+        val segs = comps(w.length).zipWithIndex.flatMap { case (comp, cid) =>
+          val pieces = comp.scanLeft(0)(_ + _).zip(comp)
+            .map { case (off, len) => w.substring(off, off + len) }
+          if (pieces.forall(vocab.contains))
+            Some((pieces.map(p => b3(vocab(p) + 1)).sum - comp.size * z,
+              cid, pieces))
+          else None
+        }
+        val (_, _, pieces) = segs.sortBy { case (s, cid, _) => (-s, cid) }.head
+        pieces.foreach(p => counts(p) = counts.getOrElse(p, 0L) + f)
+      }
+      vocab = prune(counts.toMap, TextOps.UnigramVocab)
+    }
+    vocab.toSeq.sortBy { case (p, c) => (-c, p) }.zipWithIndex
+      .map { case ((p, c), i) => ((i + 1).toLong, p, c) }
+  }
+
+  test("unigramTrain replays the classic hard-EM trainer; char coverage holds") {
+    val texts = Seq(
+      "the data table stores the data rows",
+      "spark merges the sorted data stream",
+      "the stream joins the data table")
+    val dir = docsDir(texts)
+    val learned = TextOps.unigramTrain(spark, dir).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[String]("piece"),
+        r.getAs[Long]("cnt"))).toSeq.sortBy(_._1)
+    val wf = texts.flatMap(_.split(" ")).groupBy(identity)
+      .map { case (w, ws) => w -> ws.size.toLong }
+    val expect = classicUnigram(wf)
+    assert(learned === expect, "learned vocab diverges from the classic trainer")
+    // full char coverage: every dictionary character survives pruning,
+    // so every word remains segmentable
+    val chars = wf.keys.flatMap(_.map(_.toString)).toSet
+    val pieces = learned.map(_._2).toSet
+    assert(chars.subsetOf(pieces), s"missing chars: ${chars -- pieces}")
+    // the corpus's repeated subwords earn multi-char pieces
+    assert(pieces.exists(_.length > 1), "no multi-char piece learned")
+  }
+
   test("bpeTrain: a corpus that runs out of pairs stops early without failing") {
     // two one-or-two-char words: only one mergeable pair exists
     val dir = docsDir(Seq("ab ab a"))
