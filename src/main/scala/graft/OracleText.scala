@@ -1579,6 +1579,48 @@ object OracleText {
        |FROM ranked WHERE r <= ${TextOps.SuggestTopK}""".stripMargin
   }
 
+  /** Mirror of TextOps.suggestCompletion: the same postings-derived
+    * vocabulary, prefix keys to the same cap, the same starts-with
+    * verification and (freq DESC, term ASC) ranking.
+    */
+  val suggestCompletion: String = {
+    val inVals = TextOps.CompletionInputs.map(s => s"('$s')").mkString(", ")
+    val cap = TextOps.CompletionMaxPrefix
+    s"""WITH $wordsCte,
+       |ptf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(words) AS term FROM docs) t
+       |  GROUP BY doc_id, term
+       |),
+       |vocab AS (
+       |  SELECT term, CAST(sum(tf) AS BIGINT) AS freq FROM ptf GROUP BY term
+       |),
+       |pfx AS (
+       |  SELECT term, freq, unnest(list_transform(
+       |    range(1, least(length(term), $cap) + 1),
+       |    i -> substr(term, 1, i))) AS key
+       |  FROM vocab
+       |),
+       |ikeys AS (
+       |  SELECT input_prefix, substr(input_prefix, 1, $cap) AS key
+       |  FROM (VALUES $inVals) t(input_prefix)
+       |),
+       |cands AS (
+       |  SELECT input_prefix, term, freq
+       |  FROM pfx JOIN ikeys USING (key)
+       |  WHERE substr(term, 1, length(input_prefix)) = input_prefix
+       |),
+       |ranked AS (
+       |  SELECT input_prefix, term, freq, row_number() OVER (
+       |    PARTITION BY input_prefix
+       |    ORDER BY freq DESC, term ASC) AS r
+       |  FROM cands
+       |)
+       |SELECT input_prefix, CAST(r AS BIGINT) AS "rank",
+       |  term AS suggestion, freq
+       |FROM ranked WHERE r <= ${TextOps.CompletionTopK}""".stripMargin
+  }
+
   /** Mirror of TextOps.highlight: the BM25 CTE chain (same literal
     * workload), ranked top-[[TextOps.HlTopK]] joined back to the docs
     * relation, first match position = min over query terms of

@@ -3082,6 +3082,59 @@ object TextOps {
       .where(col("dist") <= SuggestMaxEdits)
   }
 
+  /** Completion-suggester inputs (ES `completion` prefixes): a
+    * single-char prefix (many matches, budget pressure), two 2-char
+    * prefixes, a 4-char prefix, one full vocabulary word (a prefix of
+    * itself), and an out-of-vocabulary negative.
+    */
+  val CompletionInputs: Seq[String] =
+    Seq("s", "st", "co", "cust", "join", "zeb")
+  val CompletionTopK = 3
+
+  /** Prefix-index depth: the vocabulary explodes to prefixes of at
+    * most this length (ES's FST holds all depths; a relational
+    * completion index caps the key length and verifies the tail).
+    * Inputs LONGER than the cap stay correct — they block on their
+    * first [[CompletionMaxPrefix]] chars and the exact
+    * starts-with predicate verifies the rest.
+    */
+  val CompletionMaxPrefix = 4
+
+  /** ES `completion` suggester (search-as-you-type): for each input
+    * prefix, the top-[[CompletionTopK]] vocabulary terms extending
+    * it, ranked by (corpus frequency DESC, term ASC) — ES's
+    * default-weight ordering with the deterministic tiebreak. The
+    * candidate generator is the suggester family's blocking device
+    * in prefix form: the vocabulary explodes to ≤
+    * [[CompletionMaxPrefix]] prefix keys per term (V·L index rows —
+    * what ES materializes as the in-memory FST), the input prefixes
+    * broadcast onto the key equi-join, and the exact starts-with
+    * predicate verifies (only needed past the cap) — never a
+    * query×vocab LIKE scan. Vocabulary and frequency come from the
+    * stored [[postingsIndex]], the same artifact the term and phrase
+    * suggesters read.
+    */
+  def suggestCompletion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vocab = postingsIndex(spark, dir)
+      .groupBy(col("term")).agg(sum(col("tf")).as("freq"))
+    val pfx = vocab.select(col("term"), col("freq"),
+      explode(expr(
+        s"""transform(sequence(1, least(length(term), $CompletionMaxPrefix)),
+           |  i -> substr(term, 1, i))""".stripMargin)).as("key"))
+    val inputs = CompletionInputs.toDF("input_prefix")
+      .select(col("input_prefix"),
+        expr(s"substr(input_prefix, 1, $CompletionMaxPrefix)").as("key"))
+    val cands = pfx.join(broadcast(inputs), Seq("key"))
+      .where(expr("substr(term, 1, length(input_prefix)) = input_prefix"))
+    val w = Window.partitionBy(col("input_prefix"))
+      .orderBy(col("freq").desc, col("term").asc)
+    cands.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= CompletionTopK)
+      .select(col("input_prefix"), col("rank"),
+        col("term").as("suggestion"), col("freq"))
+  }
+
   /** Highlighter window: words kept each side of the first match. */
   val HlWindow = 3
   /** Highlighted docs per query — the "show snippets for the first

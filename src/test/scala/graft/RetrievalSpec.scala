@@ -382,6 +382,29 @@ class RetrievalSpec extends SparkSpec {
     assert(rows.keys.exists(_._1 == 3L), "repeated-term pair never matched")
   }
 
+  test("suggestCompletion: blocking finds EXACTLY the brute-force prefix hits; OOV yields nothing") {
+    val freq = corpusWords.flatMap(_._2).groupBy(identity)
+      .map { case (t, o) => t -> o.size.toLong }
+    val got = operators.TextOps.suggestCompletion(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    operators.TextOps.CompletionInputs.foreach { in =>
+      val want = freq.keys.toSeq.filter(_.startsWith(in))
+        .map(t => (-freq(t), t)).sorted
+        .take(operators.TextOps.CompletionTopK)
+        .map { case (nf, t) => (t, -nf) }
+      val rows = got.filter(_._1 == in).sortBy(_._2)
+      assert(rows.map(_._2).toSeq === (1L to rows.length).toSeq, s"$in ranks")
+      assert(rows.map { case (_, _, t, f) => (t, f) }.toSeq === want,
+        s"$in completions drift")
+    }
+    val byIn = got.groupBy(_._1)
+    assert(!byIn.contains("zeb"), "OOV prefix produced a completion")
+    assert(byIn("join").exists(_._3 == "join"),
+      "a full vocabulary word is a completion of itself")
+    assert(byIn("s").length === operators.TextOps.CompletionTopK,
+      "a fertile single-char prefix must fill the budget")
+  }
+
   test("suggestPhrase: per-slot candidates × bigram LM replay; OOV slot yields nothing") {
     def lev(a: String, b: String): Int = {
       val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
