@@ -1582,6 +1582,26 @@ object OracleRelational {
       |QUALIFY row_number() OVER (PARTITION BY event_type
       |  ORDER BY ts DESC, event_id DESC) = 1""".stripMargin
 
+  /** Mirror of Relational.q75TopHits (both engines default DESC
+    * ordering to NULLS LAST, and the integer tiebreak pins ties). */
+  val q75: String = {
+    val k = graft.operators.Relational.TopHitsK
+    s"""WITH hits AS (
+       |  SELECT event_type, event_id, user_id, ts, value,
+       |    CAST(row_number() OVER (PARTITION BY event_type
+       |      ORDER BY value DESC, event_id ASC) AS BIGINT) AS hit_rank
+       |  FROM events
+       |),
+       |cnt AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS doc_count
+       |  FROM events GROUP BY 1
+       |)
+       |SELECT h.event_type, c.doc_count, h.hit_rank, h.event_id,
+       |  h.user_id, h.ts, h.value
+       |FROM hits h JOIN cnt c USING (event_type)
+       |WHERE h.hit_rank <= $k""".stripMargin
+  }
+
   /** Mirror of Relational.q70FrequentPairs: identical basket
     * construction, exact integer lift numerator/denominator, one
     * division.

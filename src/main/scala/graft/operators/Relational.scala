@@ -2142,6 +2142,40 @@ object Relational {
         col("event_id"), col("user_id"), col("value").as("top_value"))
   }
 
+  /** Hits carried per bucket by [[q75TopHits]] (ES `top_hits` `size`). */
+  val TopHitsK = 3
+
+  /** ES `top_hits` aggregation: each `event_type` bucket reports its
+    * doc_count AND its top-[[TopHitsK]] FULL source documents by
+    * (value DESC, event_id ASC) — the "show me the bucket's best
+    * examples" agg, and the last commonly-used ES aggregation without
+    * a row ([[q69TopMetrics]] returns metric VALUES; this carries
+    * whole hits). One row per (bucket, hit) — the flattened form of
+    * ES's nested hits array (array outputs can't cross the driver
+    * compare).
+    *
+    * Shape at 100 TB: the per-bucket rank is a WindowGroupLimit —
+    * InferWindowGroupLimit cuts each map partition to its local
+    * top-k BEFORE the exchange (PlanAuditSpec pins the Partial
+    * limit), so the shuffle carries k·buckets·partitions rows, not
+    * the corpus; the doc_count side is a partial-agg groupBy on the
+    * same key broadcast back onto k·buckets hit rows.
+    */
+  def q75TopHits(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id").asc)
+    val hits = ev
+      .select(col("event_type"), col("event_id"), col("user_id"),
+        col("ts"), col("value"))
+      .withColumn("hit_rank", row_number().over(w).cast("long"))
+      .where(col("hit_rank") <= TopHitsK)
+    val cnt = ev.groupBy(col("event_type")).agg(count(lit(1)).as("doc_count"))
+    hits.join(broadcast(cnt), Seq("event_type"))
+      .select(col("event_type"), col("doc_count"), col("hit_rank"),
+        col("event_id"), col("user_id"), col("ts"), col("value"))
+  }
+
   /** Result budget for [[q70FrequentPairs]]. */
   val FpTopK = 25
 

@@ -332,6 +332,7 @@ class GoldenSpec extends SparkSpec {
     "q67_boxplot" -> ((1134297902415446815L, 5L)),
     "q68_multi_terms" -> ((-4455657121420873830L, 10L)),
     "q69_top_metrics" -> ((5957343445975575092L, 5L)),
+    "q75_top_hits" -> ((-88334440909698188L, 15L)),
     "q70_frequent_pairs" -> ((8073349744442037917L, 25L)),
     "evt_categorize" -> ((-7680123305115389590L, 5L)),
     "geo_grid" -> ((4383475937040964865L, 20L)),

@@ -474,6 +474,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p.take(800))
   }
 
+  test("q75 top_hits: per-bucket hits get a partial WindowGroupLimit before the exchange") {
+    val df = SparkEntry.queries("q75_top_hits")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the map-side cut is the whole scale story: k·buckets rows per
+    // partition cross the shuffle, never the corpus
+    assert(p.split("\n").exists(l =>
+      l.contains("WindowGroupLimit") && l.contains("Partial")), p.take(800))
+  }
+
   test("cumulative_cardinality: first-seen rewrite — no distinct expansion, no growing state") {
     val p = plan("evt_cumulative_cardinality")
     // the whole point of the rewrite: no per-bucket COUNT DISTINCT

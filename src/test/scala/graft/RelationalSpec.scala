@@ -1019,6 +1019,27 @@ class RelationalSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("q75 top_hits: each bucket carries doc_count and exactly its k best full rows") {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .selectExpr("event_type", "event_id", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val got = operators.Relational.q75TopHits(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byType = ev.groupBy(_._1)
+    byType.foreach { case (t, es) =>
+      val rows = got.filter(_._1 == t).sortBy(_._3)
+      assert(rows.forall(_._2 === es.length.toLong), s"$t doc_count")
+      val want = es.sortBy(e => (-e._3, e._2))
+        .take(operators.Relational.TopHitsK).map(_._2)
+      assert(rows.map(_._4).toSeq === want.toSeq, s"$t hit ids")
+      assert(rows.map(_._3).toSeq ===
+        (1L to want.length).toSeq, s"$t hit ranks")
+    }
+    assert(got.length ===
+      byType.values.map(es =>
+        math.min(operators.Relational.TopHitsK, es.length)).sum)
+  }
+
   test("q70 frequent_pairs: support and lift replay on brand baskets") {
     val brand = spark.read.parquet(s"$sfDir/part.parquet")
       .select("p_partkey", "p_brand").collect()
