@@ -142,6 +142,78 @@ object OracleMultimodal {
        |WHERE a.media_id < b.media_id""".stripMargin
   }
 
+  /** Mirror of MultimodalOps.mediaSemdedup: exact-digest star edges,
+    * the thresholded frame-MinHash candidates ([[dedupNear]] nested),
+    * the embedding near-dups (OracleVectors.dedupEmbedding nested),
+    * union → symmetrize → the shared CcRounds min-label unroll
+    * (MATERIALIZED: the nested generators are whole query chains),
+    * signal flags, keep = cluster minimum.
+    */
+  val semdedup: String = {
+    val rounds = (1 to graft.operators.TextOps.CcRounds).map { i =>
+      val prev = s"l${i - 1}"
+      s"""l$i AS MATERIALIZED (
+         |  SELECT n.node,
+         |    least(n.label, COALESCE(m.nbr, n.label)) AS label
+         |  FROM $prev n LEFT JOIN (
+         |    SELECT e.doc_a AS node, min(x.label) AS nbr
+         |    FROM edges e JOIN $prev x ON x.node = e.doc_b
+         |    GROUP BY e.doc_a
+         |  ) m USING (node)
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $mediaCte,
+       |exact_edges AS MATERIALIZED (
+       |  SELECT canon AS media_a, media_id AS media_b FROM (
+       |    SELECT media_id,
+       |      min(media_id) OVER (PARTITION BY md5(payload)) AS canon
+       |    FROM media)
+       |  WHERE media_id <> canon
+       |),
+       |near_edges AS MATERIALIZED (
+       |  SELECT media_a, media_b FROM (${dedupNear})
+       |  WHERE est_jaccard >= ${MultimodalOps.MediaDupEst}
+       |),
+       |payload_edges AS MATERIALIZED (
+       |  SELECT * FROM exact_edges UNION ALL SELECT * FROM near_edges
+       |),
+       |sem_edges AS MATERIALIZED (
+       |  SELECT vec_a AS media_a, vec_b AS media_b
+       |  FROM (${OracleVectors.dedupEmbedding()})
+       |),
+       |pairs AS MATERIALIZED (
+       |  SELECT DISTINCT media_a AS doc_a, media_b AS doc_b FROM (
+       |    SELECT * FROM payload_edges UNION ALL SELECT * FROM sem_edges)
+       |),
+       |edges AS MATERIALIZED (
+       |  SELECT doc_a, doc_b FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
+       |),
+       |nodes AS (SELECT DISTINCT doc_a AS node FROM edges),
+       |l0 AS (SELECT node, node AS label FROM nodes),
+       |$rounds,
+       |pflag AS (
+       |  SELECT DISTINCT media_id FROM (
+       |    SELECT media_a AS media_id FROM payload_edges
+       |    UNION ALL SELECT media_b FROM payload_edges)
+       |),
+       |sflag AS (
+       |  SELECT DISTINCT media_id FROM (
+       |    SELECT media_a AS media_id FROM sem_edges
+       |    UNION ALL SELECT media_b FROM sem_edges)
+       |)
+       |SELECT m.media_id,
+       |  COALESCE(l.label, m.media_id) AS cluster_id,
+       |  p.media_id IS NOT NULL AS payload_signal,
+       |  s.media_id IS NOT NULL AS semantic_signal,
+       |  m.media_id = COALESCE(l.label, m.media_id) AS keep
+       |FROM media m
+       |LEFT JOIN l${graft.operators.TextOps.CcRounds} l ON l.node = m.media_id
+       |LEFT JOIN pflag p ON p.media_id = m.media_id
+       |LEFT JOIN sflag s ON s.media_id = m.media_id""".stripMargin
+  }
+
   val resize: String =
     s"""WITH $mediaCte
        |SELECT media_id,

@@ -134,6 +134,72 @@ object MultimodalOps {
     * metadata — a byte-level truncation standing in for a real
     * downscale, with the checksum proving which bytes survived.
     */
+  /** Frame-signature agreement fraction at or above which a
+    * [[mediaDedupNear]] candidate counts as a payload-signal edge in
+    * [[mediaSemdedup]] (the [[graft.streaming.StreamingCorpus]]
+    * NearDupEst bar: one shared band + 5/9 agreement).
+    */
+  val MediaDupEst: Double = 5.0 / 9
+
+  /** CROSS-MODAL dedup composition — one keep/drop decision per media
+    * item from BOTH duplicate signals a multimodal (image+caption)
+    * corpus needs:
+    *   - PAYLOAD signal: exact content dups (md5 groups as star
+    *     edges to the group min) plus frame-MinHash near-dups
+    *     ([[mediaDedupNear]] candidates at ≥ [[MediaDupEst]]
+    *     agreement) — catches re-encodes/trims of the same pixels;
+    *   - SEMANTIC signal: the aligned caption-embedding near-dups
+    *     (VectorOps.dedupEmbedding, cosine-verified pairs) — catches
+    *     the same scene re-shot / re-captioned, which shares no
+    *     payload bytes.
+    * The union edge set propagates to connected components (the
+    * bounded min-label rounds every dedup family shares —
+    * TextOps.propagateBounded), so a chain A ~payload~ B ~semantic~ C
+    * collapses to ONE curation cluster; keep = cluster minimum. Each
+    * row also carries which signal(s) touched the item — the audit
+    * columns a curation review reads (the spec plants a pair only the
+    * union catches).
+    *
+    * Shape at 100 TB: both pair generators are banded equi-joins
+    * (never all-pairs), the exact-dup stars are one digest-keyed
+    * window, propagation is join + partial-agg rounds over the pair
+    * graph, and the final assembly is three left joins on media_id.
+    */
+  def mediaSemdedup(spark: SparkSession, dir: String): DataFrame = {
+    val exactEdges = media(spark, dir)
+      .select(col("media_id"), md5(col("payload")).as("digest"))
+      .withColumn("canon",
+        min(col("media_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("digest"))))
+      .where(col("media_id") =!= col("canon"))
+      .select(col("canon").as("media_a"), col("media_id").as("media_b"))
+    val nearEdges = mediaDedupNear(spark, dir)
+      .where(col("est_jaccard") >= MediaDupEst)
+      .select(col("media_a"), col("media_b"))
+    val payloadEdges = exactEdges.unionAll(nearEdges)
+    val semEdges = VectorOps.dedupEmbedding(spark, dir)
+      .select(col("vec_a").as("media_a"), col("vec_b").as("media_b"))
+    val edges = payloadEdges.unionAll(semEdges)
+      .select(col("media_a").as("doc_a"), col("media_b").as("doc_b"))
+      .distinct()
+    val sym = edges.unionAll(
+      edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val labels = TextOps.propagateBounded(sym)
+    def flag(e: DataFrame, name: String): DataFrame =
+      e.select(explode(array(col("media_a"), col("media_b"))).as("media_id"))
+        .distinct().withColumn(name, lit(true))
+    media(spark, dir).select(col("media_id"))
+      .join(labels.select(col("node").as("media_id"),
+        col("label").as("cluster_id")), Seq("media_id"), "left")
+      .join(flag(payloadEdges, "payload_signal"), Seq("media_id"), "left")
+      .join(flag(semEdges, "semantic_signal"), Seq("media_id"), "left")
+      .select(col("media_id"),
+        coalesce(col("cluster_id"), col("media_id")).as("cluster_id"),
+        coalesce(col("payload_signal"), lit(false)).as("payload_signal"),
+        coalesce(col("semantic_signal"), lit(false)).as("semantic_signal"))
+      .withColumn("keep", col("media_id") === col("cluster_id"))
+  }
+
   def mediaResize(spark: SparkSession, dir: String): DataFrame =
     media(spark, dir).select(
       col("media_id"),

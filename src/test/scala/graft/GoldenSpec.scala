@@ -164,6 +164,7 @@ class GoldenSpec extends SparkSpec {
     // bytes, same canonical rule — cross-family consistency by design
     "media_dedup_exact" -> ((678982984489084868L, 500L)),
     "media_dedup_near" -> ((-513593079184156672L, 23L)),
+    "media_semdedup" -> ((-6528833005669043343L, 500L)),
     "media_features" -> ((2569904728989504125L, 500L)),
     "media_frames" -> ((3852345315225660323L, 5023L)),
     "media_metadata" -> ((-3264019044137968013L, 500L)),

@@ -121,6 +121,36 @@ class MultimodalSpec extends SparkSpec {
     assert(!near.keys.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("media_semdedup: a chain only the UNION of signals catches collapses to one cluster") {
+    val s = spark; import s.implicits._
+    val base = (0 until 8).map(i => s"frame_${i}AB_chunk!").mkString
+    val dir = java.nio.file.Files.createTempDirectory("graft-semdedup").toString
+    Seq(
+      // 0 ↔ 2 share payload frames (re-encode); 0 ↔ 1 share ONLY the
+      // caption embedding (same scene, new pixels); 3 is unrelated
+      (0L, base, "en", "spec", base.length.toLong),
+      (1L, "wholly different caption words about the very same scene !!!",
+        "en", "spec", 0L),
+      (2L, base + "TRAILING EXTRA!!", "en", "spec", 0L),
+      (3L, "zz" * 64, "en", "spec", 128L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    def vec(i: Int): Array[Float] =
+      Array.tabulate(64)(j => if (j == i) 1.0f else 0.0f)
+    Seq((0L, vec(0), 1), (1L, vec(0), 2), (2L, vec(5), 3), (3L, vec(9), 4))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val got = MultimodalOps.mediaSemdedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4)))).toMap
+    // 1 and 2 share NO signal directly — only the cross-modal union
+    // (1 ~sem~ 0 ~payload~ 2) puts them in one curation cluster
+    assert(got(0L) === ((0L, true, true, true)), s"doc 0: ${got(0L)}")
+    assert(got(1L) === ((0L, false, true, false)), s"doc 1: ${got(1L)}")
+    assert(got(2L) === ((0L, true, false, false)), s"doc 2: ${got(2L)}")
+    assert(got(3L) === ((3L, false, false, true)), s"doc 3: ${got(3L)}")
+  }
+
   test("media_ahash: frame-ordered above-mean bits replay exactly") {
     def md5hex(b: Array[Byte]): String = {
       val md = java.security.MessageDigest.getInstance("MD5")
