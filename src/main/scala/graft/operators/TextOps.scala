@@ -419,9 +419,18 @@ object TextOps {
     * is dictionary-sized × a ~700-row broadcast literal — vocab-bound
     * flat, like BPE. Per-round lineage is cut ([[cutLineage]]).
     */
-  def unigramTrain(spark: SparkSession, dir: String): DataFrame = {
+  def unigramTrain(spark: SparkSession, dir: String): DataFrame =
+    unigramTrainFrom(Tables.documents(spark, dir))
+
+  /** [[unigramTrain]] over any (doc_id, text) frame — the public
+    * train-on-anything entry (also the scale probe's seam: the corpus
+    * scan is the only input-sized stage; every EM round is
+    * dictionary-bound).
+    */
+  def unigramTrainFrom(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     val dict = cutLineage(
-      withWords(spark, dir).select(explode(col("words")).as("w"))
+      docs.withColumn("words", words).select(explode(col("words")).as("w"))
         .where(length(col("w")).between(1, UnigramMaxWord))
         .groupBy(col("w")).agg(count(lit(1)).as("f")))
     val alphabet = dict.select(explode(expr(
@@ -1295,6 +1304,79 @@ object TextOps {
     */
   def corpusExport(spark: SparkSession, dir: String): DataFrame =
     exportManifestFrom(exportStages(spark, dir).last._2)
+
+  /** The per-doc export FEATURE frame over any (doc_id, text, source)
+    * frame: the [[exportBaseFrom]] columns + quality verdict + content
+    * digest + MinHash signature (null for short docs, which can never
+    * near-match). Every column is a per-doc derivation — the streaming
+    * export store ([[graft.streaming.StreamingExport]]) computes this
+    * batch-locally as its persisted slice.
+    */
+  def exportFeaturesFrom(docs: DataFrame): DataFrame = {
+    val base = exportBaseFrom(docs)
+    val qpass = qualityFrom(docs)
+      .where(col("n_words") >= MinWords && col("uniq_ratio") >= MinUniqRatio)
+      .select(col("doc_id"), lit(true).as("q_pass"))
+    val digests = docs.select(col("doc_id"), md5(col("text")).as("digest"))
+    base
+      .join(qpass, Seq("doc_id"), "left")
+      .join(digests, Seq("doc_id"))
+      .join(minhashSignaturesFrom(docs), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("bucket"),
+        col("shard"), coalesce(col("q_pass"), lit(false)).as("q_pass"),
+        col("digest"), col("sig"))
+  }
+
+  /** The export stage chain over an arbitrary feature frame + gram
+    * slice (the (spark, dir)-free core): quality filter, exact-dup
+    * canonical keep (min doc_id per digest over THIS frame), LSH
+    * cluster-loser drop (band pairs over the frame's signatures,
+    * propagated the batch way), decontamination (eval docs leave; a
+    * train doc survives iff its gram set misses every eval gram), and
+    * the temperature mixture. Consumed by the streaming export store's
+    * read side (slices) and [[corpusExportFrom]] (direct frames) —
+    * one definition for every deployment shape.
+    */
+  def exportStagesFrom(feat: DataFrame,
+      grams: DataFrame): Seq[(String, DataFrame)] = {
+    val baseCols = Seq("doc_id", "source", "n_tokens", "bucket", "shard")
+      .map(col)
+    val base = feat.select(baseCols: _*)
+    val s1 = feat.where(col("q_pass")).select(baseCols: _*)
+    val canon = feat.groupBy(col("digest"))
+      .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+    val s2 = s1.join(canon, Seq("doc_id"), "left_semi")
+    val sigs = feat.where(col("sig").isNotNull)
+      .select(col("doc_id"), col("sig"))
+    val pairs = lshBandPairsFrom(sigs)
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val edges = cutLineage(pairs.unionAll(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
+    val losers = propagateBounded(edges)
+      .where(col("node") =!= col("label"))
+      .select(col("node").as("doc_id"))
+    val s3 = s2.join(losers, Seq("doc_id"), "left_anti")
+    val isEval = pmod(col("doc_id"), lit(EvalStride.toLong)) === 0
+    val evalGrams = grams.where(isEval).select(col("g")).distinct()
+    val contaminated = grams.where(!isEval)
+      .join(broadcast(evalGrams), Seq("g"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val s4 = s3.where(!isEval)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    val s5 = mixSampleFrom(s4)
+    Seq("corpus" -> base, "quality" -> s1, "dedup_exact" -> s2,
+      "dedup_near" -> s3, "decontaminate" -> s4, "mix_sample" -> s5)
+  }
+
+  /** [[corpusExport]] over any documents frame — the public
+    * curate-anything entry (and the scale probe's seam for the
+    * composed chain). Un-memoized: a production pipeline materializes
+    * each stage once instead.
+    */
+  def corpusExportFrom(docs: DataFrame): DataFrame =
+    exportManifestFrom(
+      exportStagesFrom(exportFeaturesFrom(docs),
+        contamDocGramsFrom(docs)).last._2)
 
   /** Shard manifest over any final survivor frame (shared batch /
     * streaming-read definition). */

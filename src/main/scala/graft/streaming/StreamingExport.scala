@@ -60,34 +60,17 @@ import graft.operators.TextOps
   */
 object StreamingExport {
 
-  /** One micro-batch reduced to its per-doc export-feature slice:
-    * the [[TextOps.exportBaseFrom]] columns + quality verdict +
-    * content digest + MinHash signature (null for short docs, which
-    * can never near-match — the [[StreamingCorpus]] convention).
-    */
-  private[graft] def featureSliceFrom(batch: DataFrame): DataFrame = {
-    val base = TextOps.exportBaseFrom(batch)
-    val qpass = TextOps.qualityFrom(batch)
-      .where(col("n_words") >= TextOps.MinWords &&
-        col("uniq_ratio") >= TextOps.MinUniqRatio)
-      .select(col("doc_id"), lit(true).as("q_pass"))
-    val digests = batch.select(col("doc_id"), md5(col("text")).as("digest"))
-    base
-      .join(qpass, Seq("doc_id"), "left")
-      .join(digests, Seq("doc_id"))
-      .join(TextOps.minhashSignaturesFrom(batch), Seq("doc_id"), "left")
-      .select(col("doc_id"), col("source"), col("n_tokens"), col("bucket"),
-        col("shard"), coalesce(col("q_pass"), lit(false)).as("q_pass"),
-        col("digest"), col("sig"))
-  }
-
   /** Per-batch sink write, idempotent on `batchId` (overwrite-own-
     * partition: the Structured Streaming sink contract without a
-    * transactional table format).
+    * transactional table format). The feature slice is
+    * [[TextOps.exportFeaturesFrom]] — the [[TextOps.exportBaseFrom]]
+    * columns + quality verdict + content digest + MinHash signature
+    * (null for short docs, which can never near-match — the
+    * [[StreamingCorpus]] convention).
     */
   private[graft] def writeBatch(batch: DataFrame, batchId: Long,
       storePath: String): Unit = {
-    featureSliceFrom(batch)
+    TextOps.exportFeaturesFrom(batch)
       .write.mode("overwrite").parquet(s"$storePath/feat/batch_id=$batchId")
     TextOps.contamDocGramsFrom(batch)
       .write.mode("overwrite").parquet(s"$storePath/grams/batch_id=$batchId")
@@ -110,52 +93,21 @@ object StreamingExport {
 
   /** The stage chain replayed over the merged store — same names,
     * same frames (by value) as [[TextOps.exportStages]] over the
-    * ingested union.
+    * ingested union: [[TextOps.exportStagesFrom]] over the merged
+    * slices. The global re-decisions live there — exact-dup canonical
+    * = min doc_id per digest over the UNION (a later batch with a
+    * smaller id takes the crown away), cluster losers re-propagate
+    * over the merged signatures, eval grams from ALL batches
+    * contaminate, mixture rates re-derive from the union masses.
     */
   private[graft] def storedStages(spark: SparkSession,
       storePath: String): Seq[(String, DataFrame)] = {
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(new Path(s"$storePath/feat")),
       s"empty export store: $storePath")
-    val feat = spark.read.parquet(s"$storePath/feat")
-    val baseCols = Seq("doc_id", "source", "n_tokens", "bucket", "shard")
-      .map(col)
-    val base = feat.select(baseCols: _*)
-    val s1 = feat.where(col("q_pass")).select(baseCols: _*)
-    // exact-dup canonical = min doc_id per content digest over the
-    // UNION (a later batch with a smaller id takes the crown away)
-    val canon = feat.groupBy(col("digest"))
-      .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
-    val s2 = s1.join(canon, Seq("doc_id"), "left_semi")
-    // near-dup cluster losers: THE batch edge set (banded LSH pairs
-    // over the merged signatures) propagated THE batch way. The edge
-    // table is lineage-cut once — propagateBounded reads it twice per
-    // round, and re-deriving the band join 6× is the recompute the
-    // batch side's memo avoids.
-    val sigs = feat.where(col("sig").isNotNull)
-      .select(col("doc_id"), col("sig"))
-    val pairs = TextOps.lshBandPairsFrom(sigs)
-      .select(col("doc_a"), col("doc_b")).distinct()
-    val edges = TextOps.cutLineage(pairs.unionAll(
-      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
-    val losers = TextOps.propagateBounded(edges)
-      .where(col("node") =!= col("label"))
-      .select(col("node").as("doc_id"))
-    val s3 = s2.join(losers, Seq("doc_id"), "left_anti")
-    // decontamination: eval docs leave the set; a train doc survives
-    // iff its gram set misses EVERY eval gram (hit-count = 0 ⟺ no
-    // semi-join match — the emptiness form of the batch countDistinct)
-    val isEval = pmod(col("doc_id"), lit(TextOps.EvalStride.toLong)) === 0
-    val grams = spark.read.parquet(s"$storePath/grams")
-    val evalGrams = grams.where(isEval).select(col("g")).distinct()
-    val contaminated = grams.where(!isEval)
-      .join(broadcast(evalGrams), Seq("g"), "left_semi")
-      .select(col("doc_id")).distinct()
-    val s4 = s3.where(!isEval)
-      .join(contaminated, Seq("doc_id"), "left_anti")
-    val s5 = TextOps.mixSampleFrom(s4)
-    Seq("corpus" -> base, "quality" -> s1, "dedup_exact" -> s2,
-      "dedup_near" -> s3, "decontaminate" -> s4, "mix_sample" -> s5)
+    TextOps.exportStagesFrom(
+      spark.read.parquet(s"$storePath/feat"),
+      spark.read.parquet(s"$storePath/grams"))
   }
 
   /** The shard manifest over everything ingested so far —

@@ -53,6 +53,10 @@ class StreamingExportSpec extends SparkSpec {
     assert(stageRows(StreamingExport.globalExportStages(spark, store))
       === batchStages, "drained attrition diverged from batch")
 
+    // the public frame-level entry is the same chain: one definition
+    assert(manifestRows(TextOps.corpusExportFrom(docs)) === batchManifest,
+      "corpusExportFrom diverged from the (spark, dir) operator")
+
     // same-id replay (crash after store write, before checkpoint
     // commit): overwriting batch 0's own partitions changes nothing
     StreamingExport.writeBatch(docs.where(col("doc_id") % 3 === 0), 0L, store)

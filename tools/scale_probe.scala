@@ -1303,4 +1303,40 @@ for (k <- Seq(1, 4, 8)) {
   println(f"  k=$k%2d: $s%6.2f s")
 }
 
+println("== corpus_export chain (quality semi -> exact-canonical semi -> LSH-loser anti -> decontaminate anti -> mixture broadcast -> shard manifest) ==")
+// k-fold duplicates doc_ids: the chain is k-degenerate semantically
+// (copies canonicalize together; pairs between equal ids drop at
+// a < b) — the property under test is that every stage stays a
+// semi/anti hash join / banded equi-join at k x input
+for (k <- Seq(1, 4, 8)) {
+  val docs = multi("documents", k)
+  val s = timed { graft.operators.TextOps.corpusExportFrom(docs).collect() }
+  println(f"  k=$k%2d (${5 * k}%3dk docs): $s%6.2f s")
+}
+
+println("== unigram-LM training (corpus word-freq scan x k; 3 EM rounds over the FIXED dictionary x ~700-row composition literal) ==")
+for (k <- Seq(1, 8, 16)) {
+  val docs = multi("documents", k)
+  val s = timed { graft.operators.TextOps.unigramTrainFrom(docs).collect() }
+  println(f"  k=$k%2d: $s%6.2f s")
+}
+
+println("== RAG retrieve (chunk -> dedup -> query-term-cut BM25; |Q| x1/x2/x4, corpus fixed) ==")
+for (m <- Seq(1, 2, 4)) {
+  val wl = (0 until m).flatMap(i =>
+    graft.operators.TextOps.bm25Queries.map { case (q, ts) => (q + 1000L * i, ts) })
+  val s = timed { graft.operators.TextOps.ragRetrieve(spark, dir, wl).collect() }
+  println(f"  |Q|x$m: ${wl.size}%3d queries: $s%6.2f s")
+}
+
+println("== IVF recall curve (sweep width x2/x4: 2/4/8 nprobe points; cost must be ~linear in points) ==")
+for (pts <- Seq(Seq(1, 8), Seq(1, 2, 4, 8), Seq(1, 2, 3, 4, 5, 6, 7, 8))) {
+  val s = timed {
+    pts.map(np => graft.operators.VectorOps.ivfRecall(spark, dir, nprobe = np)
+        .select(lit(np.toLong).as("nprobe"), col("query_id"), col("recall_at_k")))
+      .reduce(_.unionAll(_)).collect()
+  }
+  println(f"  ${pts.size}%2d points: $s%6.2f s")
+}
+
 sys.exit(0)
