@@ -820,6 +820,59 @@ object OracleRelational {
   /** Mirror of Relational.evtPipelineAggs: same daily counters, same
     * three bucket-level windows.
     */
+  /** Mirror of Relational.evtSerialDiff. */
+  val evtSerialDiff: String = {
+    val lag = graft.operators.Relational.SerialDiffLag
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM events GROUP BY event_type, CAST(ts AS DATE)
+       |)
+       |SELECT event_type, day, n,
+       |  n - lag(n, $lag) OVER (PARTITION BY event_type ORDER BY day)
+       |    AS diff7
+       |FROM daily""".stripMargin
+  }
+
+  /** Mirror of Relational.evtSiblingAggs: window-rank argmin/argmax
+    * (≡ the Spark struct-min selection on exact integers), one IEEE
+    * division, exact lower median at the integer index.
+    */
+  val evtSiblingAggs: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY event_type, CAST(ts AS DATE)
+      |),
+      |agg AS (
+      |  SELECT event_type,
+      |    CAST(sum(n) AS BIGINT) AS sum_n,
+      |    CAST(count(*) AS BIGINT) AS n_buckets,
+      |    list_sort(list(n)) AS ns
+      |  FROM daily GROUP BY event_type
+      |),
+      |mx AS (
+      |  SELECT event_type, day AS max_bucket_day, n AS max_n FROM (
+      |    SELECT event_type, day, n, row_number() OVER (
+      |      PARTITION BY event_type ORDER BY n DESC, day ASC) AS rk
+      |    FROM daily) WHERE rk = 1
+      |),
+      |mn AS (
+      |  SELECT event_type, day AS min_bucket_day, n AS min_n FROM (
+      |    SELECT event_type, day, n, row_number() OVER (
+      |      PARTITION BY event_type ORDER BY n ASC, day ASC) AS rk
+      |    FROM daily) WHERE rk = 1
+      |)
+      |SELECT a.event_type,
+      |  mx.max_bucket_day, mx.max_n,
+      |  mn.min_bucket_day, mn.min_n,
+      |  CAST(a.sum_n AS DOUBLE) / CAST(a.n_buckets AS DOUBLE) AS avg_n,
+      |  a.sum_n, a.n_buckets,
+      |  a.ns[CAST((a.n_buckets - 1) // 2 + 1 AS INT)] AS p50_n
+      |FROM agg a
+      |JOIN mx ON mx.event_type = a.event_type
+      |JOIN mn ON mn.event_type = a.event_type""".stripMargin
+
   val evtPipelineAggs: String =
     """WITH daily AS (
       |  SELECT event_type, CAST(ts AS DATE) AS day,

@@ -1250,6 +1250,57 @@ object Relational {
     * Shape at 100 TB: one partial-aggregated counter shuffle; all
     * three windows ride the |types|·|days| aggregate.
     */
+  /** Lag for [[evtSerialDiff]] (ES `serial_diff` `lag` — 7 days, the
+    * week-over-week seasonality remover). */
+  val SerialDiffLag = 7
+
+  /** ES `serial_diff` pipeline aggregation: the lag-[[SerialDiffLag]]
+    * difference over the per-(type, day) counter buckets — the
+    * seasonal twin of [[evtPipelineAggs]]'s lag-1 derivative (weekly
+    * cycles cancel; what remains is trend + anomaly). Window over the
+    * tiny daily aggregate, never the corpus; the first lag buckets
+    * carry NULL exactly as ES emits nothing for them.
+    */
+  def evtSerialDiff(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    daily.select(col("event_type"), col("day"), col("n"),
+      (col("n") - lag(col("n"), SerialDiffLag).over(w)).as("diff7"))
+  }
+
+  /** ES SIBLING pipeline aggregations (`max_bucket` / `min_bucket` /
+    * `avg_bucket` / `sum_bucket` / `percentiles_bucket` p50) over the
+    * daily histogram: one row per event type reporting which bucket
+    * holds the extreme and its value (ties → smallest day, the
+    * deterministic form of ES's keys-array), the bucket mean (one
+    * IEEE division of exact integers), total, and the exact lower
+    * median of the daily counts (the q32 integer-index device — ES
+    * approximates over TDigest). All work rides the tiny (type, day)
+    * aggregate; the argmax is a struct-min, no rank window.
+    */
+  def evtSiblingAggs(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    daily.groupBy(col("event_type"))
+      .agg(
+        min(struct((-col("n")).as("nn"), col("day").as("d"))).as("mx"),
+        min(struct(col("n").as("nn"), col("day").as("d"))).as("mn"),
+        sum(col("n")).as("sum_n"),
+        count(lit(1)).as("n_buckets"),
+        sort_array(collect_list(col("n"))).as("ns"))
+      .select(col("event_type"),
+        col("mx.d").as("max_bucket_day"), (-col("mx.nn")).as("max_n"),
+        col("mn.d").as("min_bucket_day"), col("mn.nn").as("min_n"),
+        (col("sum_n").cast("double") / col("n_buckets").cast("double"))
+          .as("avg_n"),
+        col("sum_n"), col("n_buckets"),
+        expr("element_at(ns, CAST((n_buckets - 1) DIV 2 + 1 AS INT))")
+          .as("p50_n"))
+  }
+
   def evtPipelineAggs(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(spark, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))

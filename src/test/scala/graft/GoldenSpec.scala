@@ -329,6 +329,8 @@ class GoldenSpec extends SparkSpec {
     "emb_knn_rp" -> ((-6335444676157941696L, 50L)),
     "emb_curation" -> ((6670476108237325309L, 500L)),
     "evt_pipeline_aggs" -> ((-2787922109988924251L, 150L)),
+    "evt_serial_diff" -> ((3982816259549375090L, 150L)),
+    "evt_sibling_aggs" -> ((-1055977028847547383L, 5L)),
     // --- round 11 additions (second wave: ES agg parity + geo + eval) ---
     "q67_boxplot" -> ((1134297902415446815L, 5L)),
     "q68_multi_terms" -> ((-4455657121420873830L, 10L)),

@@ -1019,6 +1019,46 @@ class RelationalSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("evt_serial_diff: lag-7 differences replay; first lag buckets are NULL") {
+    val daily = graft.sources.Tables.events(spark, sfDir)
+      .groupBy(org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.expr("CAST(ts AS DATE)").as("day"))
+      .count().collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    val got = operators.Relational.evtSerialDiff(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getDate(1).toString),
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    val lag = operators.Relational.SerialDiffLag
+    daily.groupBy(_._1).foreach { case (t, ds) =>
+      val ordered = ds.sortBy(_._2)
+      ordered.zipWithIndex.foreach { case ((_, day, n), i) =>
+        val want = if (i < lag) None else Some(n - ordered(i - lag)._3)
+        assert(got((t, day)) === ((n, want)), s"$t $day")
+      }
+    }
+  }
+
+  test("evt_sibling_aggs: bucket extremes, mean, total and exact p50 replay") {
+    val daily = graft.sources.Tables.events(spark, sfDir)
+      .groupBy(org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.expr("CAST(ts AS DATE)").as("day"))
+      .count().collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    val got = operators.Relational.evtSiblingAggs(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getDate(1).toString, r.getLong(2),
+        r.getDate(3).toString, r.getLong(4), r.getDouble(5), r.getLong(6),
+        r.getLong(7), r.getLong(8)))).toMap
+    daily.groupBy(_._1).foreach { case (t, ds) =>
+      val mx = ds.minBy(d => (-d._3, d._2))
+      val mn = ds.minBy(d => (d._3, d._2))
+      val ns = ds.map(_._3).sorted
+      val want = (mx._2, mx._3, mn._2, mn._3,
+        ds.map(_._3).sum.toDouble / ds.length, ds.map(_._3).sum,
+        ds.length.toLong, ns((ns.length - 1) / 2))
+      assert(got(t) === want, s"$t")
+    }
+  }
+
   test("q75 top_hits: each bucket carries doc_count and exactly its k best full rows") {
     val ev = graft.sources.Tables.events(spark, sfDir)
       .selectExpr("event_type", "event_id", "value").collect()
