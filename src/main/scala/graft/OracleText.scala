@@ -301,7 +301,10 @@ object OracleText {
     * (identical selection under the same (score DESC, comp_id ASC)
     * order on exact integers).
     */
-  val unigramTrain: String = {
+  /** The shared WITH-chain of the unigram family (through the final
+    * vocabulary CTE `v{UnigramRounds}`) — one definition consumed by
+    * [[unigramTrain]] and the encoder mirror [[tokensUnigram]]. */
+  private val unigramCtes: String = {
     def b3(x: String): String = TextOps.b3Duck(x)
     val partsVals = TextOps.unigramPartRows
       .map { case (wl, cid, np, ps, pl) => s"($wl,$cid,$np,$ps,$pl)" }
@@ -354,7 +357,7 @@ object OracleText {
          |),
          |${pruneCtes(s"cnt$i", TextOps.UnigramVocab, s"v$i")}"""
     }
-    s"""WITH $wordsCte,
+    s"""$wordsCte,
        |wm AS MATERIALIZED (SELECT unnest(words) AS w FROM docs),
        |wf AS MATERIALIZED (
        |  SELECT w, CAST(count(*) AS BIGINT) AS f FROM wm
@@ -377,11 +380,55 @@ object OracleText {
        |  GROUP BY 1
        |),
        |${pruneCtes("seed", TextOps.UnigramSeedVocab, "v0")},
-       |${(1 to TextOps.UnigramRounds).map(round).mkString(",\n")}
+       |${(1 to TextOps.UnigramRounds).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  val unigramTrain: String =
+    s"""WITH $unigramCtes
        |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece ASC) AS BIGINT)
        |    AS "rank",
        |  piece, cnt
        |FROM v${TextOps.UnigramRounds}""".stripMargin
+
+  /** Mirror of TextOps.tokensUnigram: one more E-step over the FINAL
+    * vocabulary (the same seg/best shape as the training rounds),
+    * piece counts left-joined onto the occurrence stream with the
+    * character fallback for words beyond the cap.
+    */
+  val tokensUnigram: String = {
+    def b3(x: String): String = TextOps.b3Duck(x)
+    val vf = s"v${TextOps.UnigramRounds}"
+    s"""WITH $unigramCtes,
+       |zf AS MATERIALIZED (
+       |  SELECT ${b3("ctot + v")} AS z FROM (
+       |    SELECT CAST(sum(cnt) AS BIGINT) AS ctot,
+       |           CAST(count(*) AS BIGINT) AS v FROM $vf)
+       |),
+       |segf AS MATERIALIZED (
+       |  SELECT c.w, c.comp_id, c.n_parts,
+       |    CAST(sum(${b3("vv.cnt + 1")}) AS BIGINT)
+       |      - c.n_parts * (SELECT z FROM zf) AS score
+       |  FROM (SELECT d.w, p.comp_id, p.n_parts,
+       |          substring(d.w, p.pstart, p.plen) AS piece
+       |        FROM wf d JOIN parts p ON length(d.w) = p.wlen) c
+       |  JOIN $vf vv ON vv.piece = c.piece
+       |  GROUP BY c.w, c.comp_id, c.n_parts
+       |  HAVING count(*) = c.n_parts
+       |),
+       |bestf AS MATERIALIZED (
+       |  SELECT w, n_parts AS bnp FROM (
+       |    SELECT w, n_parts, row_number() OVER (
+       |      PARTITION BY w ORDER BY score DESC, comp_id ASC) AS rk
+       |    FROM segf) WHERE rk = 1
+       |),
+       |wmd AS (SELECT doc_id, unnest(words) AS w FROM docs)
+       |SELECT m.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(COALESCE(b.bnp, length(m.w))) AS BIGINT) AS n_pieces,
+       |  CAST(sum(COALESCE(b.bnp, length(m.w))) AS DOUBLE) / count(*)
+       |    AS pieces_per_word
+       |FROM wmd m LEFT JOIN bestf b ON b.w = m.w
+       |GROUP BY m.doc_id""".stripMargin
   }
 
   val quality: String =

@@ -458,25 +458,9 @@ object TextOps {
     val parts = broadcast(
       unigramPartRows.toDF("wlen", "comp_id", "n_parts", "pstart", "plen"))
     for (_ <- 1 to UnigramRounds) {
-      val norm = vocab
-        .agg(sum(col("cnt")).as("ctot"), count(lit(1)).as("v"))
-        .select(expr(b3Spark("ctot + v")).as("z"))
-      val cand = dict.join(parts, length(col("w")) === col("wlen"))
-        .select(col("w"), col("f"), col("comp_id"), col("n_parts"),
-          expr("substring(w, pstart, plen)").as("piece"))
-      val segs = cand.join(vocab, Seq("piece"))
-        .groupBy(col("w"), col("f"), col("comp_id"), col("n_parts"))
-        .agg(sum(expr(b3Spark("cnt + 1"))).as("s"),
-          count(lit(1)).as("n_found"))
-        .where(col("n_found") === col("n_parts"))
-        .crossJoin(broadcast(norm))
-        .select(col("w"), col("f"), col("comp_id"),
-          (col("s") - col("n_parts") * col("z")).as("score"))
-      val best = segs.groupBy(col("w"), col("f"))
-        .agg(min(struct((-col("score")).as("ns"), col("comp_id").as("cid")))
-          .as("b"))
-        .select(col("w"), col("f"), col("b.cid").as("bcid"))
-      val counts = best.join(parts,
+      val best = unigramBest(dict.select(col("w")), vocab, parts)
+      val counts = best.join(dict, Seq("w"))
+        .join(parts,
           length(col("w")) === col("wlen") && col("bcid") === col("comp_id"))
         .select(col("f"), expr("substring(w, pstart, plen)").as("piece"))
         .groupBy(col("piece")).agg(sum(col("f")).as("cnt"))
@@ -486,6 +470,72 @@ object TextOps {
       row_number().over(Window.orderBy(col("cnt").desc, col("piece").asc))
         .cast("long").as("rank"),
       col("piece"), col("cnt"))
+  }
+
+  /** THE unigram E-step, shared by the training rounds and the
+    * encoder ([[tokensUnigram]]): the maximum-likelihood composition
+    * per dictionary word under a given (piece, cnt) vocabulary —
+    * scores Σ b3(cnt+1) − n_parts·b3(C+V) on the exact integer grid,
+    * argmax via struct-min with the (score DESC, comp_id ASC)
+    * tiebreak. Returns (w, bcid, bnp) — chosen composition id and its
+    * piece count.
+    */
+  private def unigramBest(dict: DataFrame, vocab: DataFrame,
+      parts: DataFrame): DataFrame = {
+    val norm = vocab
+      .agg(sum(col("cnt")).as("ctot"), count(lit(1)).as("v"))
+      .select(expr(b3Spark("ctot + v")).as("z"))
+    val cand = dict.join(parts, length(col("w")) === col("wlen"))
+      .select(col("w"), col("comp_id"), col("n_parts"),
+        expr("substring(w, pstart, plen)").as("piece"))
+    cand.join(vocab, Seq("piece"))
+      .groupBy(col("w"), col("comp_id"), col("n_parts"))
+      .agg(sum(expr(b3Spark("cnt + 1"))).as("s"),
+        count(lit(1)).as("n_found"))
+      .where(col("n_found") === col("n_parts"))
+      .crossJoin(broadcast(norm))
+      .select(col("w"), col("comp_id"), col("n_parts"),
+        (col("s") - col("n_parts") * col("z")).as("score"))
+      .groupBy(col("w"))
+      .agg(min(struct((-col("score")).as("ns"), col("comp_id").as("cid"),
+        col("n_parts").as("np"))).as("b"))
+      .select(col("w"), col("b.cid").as("bcid"), col("b.np").as("bnp"))
+  }
+
+  /** Unigram ENCODING — [[tokensBpe]]'s twin under the
+    * [[unigramTrain]]-learned vocabulary: every DISTINCT word Viterbi-
+    * segments once through the shared E-step ([[unigramBest]], the
+    * same relational composition device), the piece counts broadcast
+    * back onto the occurrence stream, per-doc totals aggregate. Words
+    * beyond [[UnigramMaxWord]] fall back to character segmentation
+    * (the SentencePiece rare-ultra-long-word convention), spelled as
+    * a left-join coalesce onto length(w). The learned vocabulary is
+    * memoized — the stored tokenizer artifact the encoder mounts.
+    */
+  def tokensUnigram(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = memoized(spark, dir, "unigram_vocab") {
+      unigramTrainFrom(Tables.documents(spark, dir))
+        .select(col("piece"), col("cnt"))
+    }
+    val sess = spark
+    import sess.implicits._
+    val parts = broadcast(
+      unigramPartRows.toDF("wlen", "comp_id", "n_parts", "pstart", "plen"))
+    val wm = withWords(spark, dir)
+      .select(col("doc_id"), explode(col("words")).as("w"))
+    val dict = wm.select(col("w")).distinct()
+      .where(length(col("w")).between(1, UnigramMaxWord))
+    val best = unigramBest(dict, vocab, parts)
+    wm.join(broadcast(best.select(col("w"), col("bnp"))), Seq("w"), "left")
+      .select(col("doc_id"),
+        coalesce(col("bnp").cast("long"), length(col("w")).cast("long"))
+          .as("np"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("np")).as("n_pieces"))
+      .withColumn("pieces_per_word",
+        col("n_pieces").cast("double") / col("n_words"))
+      .select(col("doc_id"), col("n_words"), col("n_pieces"),
+        col("pieces_per_word"))
   }
 
   /** Quality scoring: length / vocabulary-diversity / stopword signals.

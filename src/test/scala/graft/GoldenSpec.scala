@@ -96,6 +96,7 @@ class GoldenSpec extends SparkSpec {
     "txt_redact" -> ((633729565603410063L, 500L)),
     "txt_bpe_train" -> ((-1769575030168179654L, 8L)),
     "txt_unigram_train" -> ((-3792582774816093591L, 41L)),
+    "txt_unigram_encode" -> ((-5272729801762707972L, 500L)),
     "txt_phrase" -> ((8803091073230259390L, 142L)),
     "txt_mlt" -> ((-6708254884330626570L, 30L)),
     "evt_value_histogram" -> ((-9199241966602610489L, 14L)),

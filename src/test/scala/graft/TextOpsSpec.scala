@@ -260,6 +260,46 @@ class TextOpsSpec extends SparkSpec {
     assert(pieces.exists(_.length > 1), "no multi-char piece learned")
   }
 
+  test("tokensUnigram: encoder replays the reference Viterbi under the learned vocab") {
+    val texts = Seq(
+      "the data table stores the data rows",
+      "spark merges the sorted data stream",
+      "the stream joins the data table")
+    val dir = docsDir(texts)
+    val wf = texts.flatMap(_.split(" ")).groupBy(identity)
+      .map { case (w, ws) => w -> ws.size.toLong }
+    // reference: final vocab from the classic trainer, then one more
+    // Viterbi pass under it (z from the FINAL vocab)
+    val vocab = classicUnigram(wf).map { case (_, p, c) => p -> c }.toMap
+    def bitlen(x: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    def b3(x: Long): Long = {
+      val s = math.max(bitlen(x) - 21, 0)
+      3L * s + bitlen((x >> s) * (x >> s) * (x >> s)) - 1
+    }
+    def comps(n: Int): Seq[Seq[Int]] =
+      if (n == 0) Seq(Seq.empty)
+      else (1 to math.min(TextOps.UnigramMaxPiece, n))
+        .flatMap(p => comps(n - p).map(p +: _))
+    val z = b3(vocab.values.sum + vocab.size)
+    def bestNp(w: String): Long =
+      if (w.length > TextOps.UnigramMaxWord) w.length.toLong
+      else comps(w.length).zipWithIndex.flatMap { case (comp, cid) =>
+        val pieces = comp.scanLeft(0)(_ + _).zip(comp)
+          .map { case (off, len) => w.substring(off, off + len) }
+        if (pieces.forall(vocab.contains))
+          Some((pieces.map(p => b3(vocab(p) + 1)).sum - comp.size * z,
+            cid, comp.size.toLong))
+        else None
+      }.sortBy { case (s, cid, _) => (-s, cid) }.head._3
+    val want = texts.zipWithIndex.map { case (t, i) =>
+      val ws = t.split(" ")
+      (i.toLong, ws.length.toLong, ws.map(bestNp).sum)
+    }.toSet
+    val got = TextOps.tokensUnigram(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want, s"encoder drifted: $got vs $want")
+  }
+
   test("bpeTrain: a corpus that runs out of pairs stops early without failing") {
     // two one-or-two-char words: only one mergeable pair exists
     val dir = docsDir(Seq("ab ab a"))
