@@ -3246,15 +3246,26 @@ object TextOps {
     * stored [[postingsIndex]], the same artifact the term and phrase
     * suggesters read.
     */
-  def suggestCompletion(spark: SparkSession, dir: String): DataFrame = {
+  def suggestCompletion(spark: SparkSession, dir: String): DataFrame =
+    suggestCompletionFrom(
+      postingsIndex(spark, dir)
+        .groupBy(col("term")).agg(sum(col("tf")).as("freq")),
+      CompletionInputs)
+
+  /** [[suggestCompletion]] over any (term, freq) vocabulary frame —
+    * shared with the incremental index's read side
+    * ([[graft.streaming.StreamingRetrieval.completionSearch]]), so the
+    * drained store completes bit-identically to the batch operator.
+    */
+  private[graft] def suggestCompletionFrom(vocab: DataFrame,
+      inputTerms: Seq[String]): DataFrame = {
+    val spark = vocab.sparkSession
     import spark.implicits._
-    val vocab = postingsIndex(spark, dir)
-      .groupBy(col("term")).agg(sum(col("tf")).as("freq"))
     val pfx = vocab.select(col("term"), col("freq"),
       explode(expr(
         s"""transform(sequence(1, least(length(term), $CompletionMaxPrefix)),
            |  i -> substr(term, 1, i))""".stripMargin)).as("key"))
-    val inputs = CompletionInputs.toDF("input_prefix")
+    val inputs = inputTerms.toDF("input_prefix")
       .select(col("input_prefix"),
         expr(s"substr(input_prefix, 1, $CompletionMaxPrefix)").as("key"))
     val cands = pfx.join(broadcast(inputs), Seq("key"))

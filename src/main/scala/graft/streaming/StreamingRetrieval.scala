@@ -167,4 +167,20 @@ object StreamingRetrieval {
       .select(col("doc_id"), col("source"))
     TextOps.sigTermsFrom(docTerms, docSources)
   }
+
+  /** Completion suggestions off the accumulated index: the vocabulary
+    * (term, Σtf) aggregates over the merged postings slices and feeds
+    * the shared prefix engine ([[TextOps.suggestCompletionFrom]]) —
+    * equal to the batch `txt_suggest_completion` over the union of
+    * all ingested batches (frequencies are corpus-wide sums no
+    * per-batch state could finalize early, the bm25 df/avgdl
+    * argument). Search-as-you-type served straight from the same
+    * store the ranking reads.
+    */
+  def completionSearch(spark: SparkSession, indexPath: String,
+      inputs: Seq[String] = TextOps.CompletionInputs): DataFrame =
+    TextOps.suggestCompletionFrom(
+      spark.read.parquet(s"$indexPath/postings")
+        .groupBy(col("term")).agg(sum(col("tf")).as("freq")),
+      inputs)
 }

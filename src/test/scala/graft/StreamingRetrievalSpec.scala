@@ -47,6 +47,14 @@ class StreamingRetrievalSpec extends SparkSpec {
     val sigStreamed = sigSet(StreamingRetrieval.sigTermsSearch(spark, indexPath))
     assert(sigStreamed === sigSet(TextOps.sigTerms(spark, sfDir)))
     assert(sigStreamed.nonEmpty)
+    // ...and the third: search-as-you-type completion off the same store
+    def compSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3))).toSet
+    val compStreamed =
+      compSet(StreamingRetrieval.completionSearch(spark, indexPath))
+    assert(compStreamed === compSet(TextOps.suggestCompletion(spark, sfDir)))
+    assert(compStreamed.nonEmpty)
   }
 
   test("batch replay is idempotent: a reprocessed slice changes nothing") {
