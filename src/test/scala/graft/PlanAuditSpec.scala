@@ -474,6 +474,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p.take(800))
   }
 
+  test("completion suggester: inputs broadcast onto the prefix key; top-k gets a WindowGroupLimit") {
+    val df = SparkEntry.queries("txt_suggest_completion")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(p.split("\n").count(_.contains("SortMergeJoin")) === 0, p.take(800))
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+  }
+
+  test("media_semdedup: both pair generators stay banded equi-joins — no nested-loop, no cartesian") {
+    val df = SparkEntry.queries("media_semdedup")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoop"), p.take(1200))
+  }
+
   test("q75 top_hits: per-bucket hits get a partial WindowGroupLimit before the exchange") {
     val df = SparkEntry.queries("q75_top_hits")(spark, sfDir)
     df.collect()
