@@ -313,10 +313,18 @@ object TextOps {
     * early merges are never self-pairs, and both engines apply the
     * identical exclusion.
     */
-  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
-    val wf = withWords(spark, dir)
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame =
+    bpeTrainFromDict(withWords(spark, dir)
       .select(explode(col("words")).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f")))
+
+  /** [[bpeTrain]] over any (w, f) word-frequency dictionary — shared
+    * with the incremental vocabulary store
+    * ([[graft.streaming.StreamingVocab]]): the trainer is
+    * dictionary-driven by construction (the type-vs-token device), so
+    * a merged count store re-trains bit-identically to the batch scan.
+    */
+  private[graft] def bpeTrainFromDict(wf: DataFrame): DataFrame = {
     var toks = cutLineage(wf.select(col("f"), expr(
       """CASE WHEN length(w) = 0 THEN CAST(array() AS array<string>)
         |     ELSE transform(sequence(1, length(w)), i -> substring(w, i, 1))
@@ -427,12 +435,19 @@ object TextOps {
     * scan is the only input-sized stage; every EM round is
     * dictionary-bound).
     */
-  def unigramTrainFrom(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    val dict = cutLineage(
+  def unigramTrainFrom(docs: DataFrame): DataFrame =
+    unigramTrainFromDict(
       docs.withColumn("words", words).select(explode(col("words")).as("w"))
-        .where(length(col("w")).between(1, UnigramMaxWord))
         .groupBy(col("w")).agg(count(lit(1)).as("f")))
+
+  /** [[unigramTrain]] over any (w, f) dictionary (the word-length cap
+    * applies here, so callers pass the raw dictionary) — shared with
+    * the incremental vocabulary store like [[bpeTrainFromDict]].
+    */
+  private[graft] def unigramTrainFromDict(wf: DataFrame): DataFrame = {
+    val spark = wf.sparkSession
+    val dict = cutLineage(
+      wf.where(length(col("w")).between(1, UnigramMaxWord)))
     val alphabet = dict.select(explode(expr(
       "transform(sequence(1, length(w)), i -> substring(w, i, 1))")).as("piece"))
       .distinct()
