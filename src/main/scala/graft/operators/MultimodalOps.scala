@@ -37,7 +37,13 @@ object MultimodalOps {
     * robined across image/audio/video.
     */
   def media(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).select(
+    mediaFrom(Tables.documents(spark, dir))
+
+  /** The opaque-media view over any documents frame — shared with the
+    * streaming media store ([[graft.streaming.StreamingMedia]]), which
+    * derives per-batch slices from THIS definition. */
+  private[graft] def mediaFrom(docs: DataFrame): DataFrame =
+    docs.select(
       col("doc_id").as("media_id"),
       when(col("doc_id") % 3 === 0, lit("image"))
         .when(col("doc_id") % 3 === 1, lit("audio"))
@@ -257,16 +263,28 @@ object MultimodalOps {
     // mins), shared between this query and the cross-modal
     // composition ([[mediaSemdedup]]'s payload-signal edges)
     val sigs = TextOps.memoized(spark, dir, "media_frame_sigs") {
-      media(spark, dir)
-        .select(col("media_id"), col("payload"),
-          explode(expr(frameIdxs)).as("frame_idx"))
-        .select(col("media_id"),
-          md5(expr(s"substring(payload, frame_idx * $FrameBytes + 1, $FrameBytes)"))
-            .as("h"))
-        .groupBy(col("media_id"))
-        .agg(array((0 until TextOps.NumHashes)
-          .map(s => min(TextOps.rotLong("h", s * 3))): _*).as("sig"))
+      mediaFrameSigsFrom(media(spark, dir))
     }
+    mediaNearPairsFrom(sigs)
+  }
+
+  /** Frame-digest MinHash signatures over any media-shaped frame —
+    * a per-item derivation, so the streaming media store computes it
+    * batch-locally from THIS definition. */
+  private[graft] def mediaFrameSigsFrom(m: DataFrame): DataFrame =
+    m.select(col("media_id"), col("payload"),
+        explode(expr(frameIdxs)).as("frame_idx"))
+      .select(col("media_id"),
+        md5(expr(s"substring(payload, frame_idx * $FrameBytes + 1, $FrameBytes)"))
+          .as("h"))
+      .groupBy(col("media_id"))
+      .agg(array((0 until TextOps.NumHashes)
+        .map(s => min(TextOps.rotLong("h", s * 3))): _*).as("sig"))
+
+  /** Banded candidate pairs + agreement estimate over any
+    * (media_id, sig) frame — shared with the streaming media store's
+    * read side. */
+  private[graft] def mediaNearPairsFrom(sigs: DataFrame): DataFrame = {
     val bands = sigs.select(
       col("media_id"), col("sig"),
       posexplode(expr(TextOps.sigBandKeysExpr)).as(Seq("band_idx", "band_key")))
