@@ -1063,6 +1063,17 @@ object OracleText {
        |LEFT JOIN hits h USING (doc_id)""".stripMargin
   }
 
+  /** Mirror of TextOps.decontaminateMulti: both filter mirrors nested
+    * as subqueries, one doc-keyed join, identical flag arithmetic. */
+  val decontaminateMulti: String =
+    s"""SELECT s.doc_id, s.lang, s.n_hit_ngrams,
+       |  s.n_hit_ngrams > 0 AS surface_hit,
+       |  e.n_hits AS n_sem_hits, e.max_sim,
+       |  e.n_hits > 0 AS semantic_hit,
+       |  NOT (s.n_hit_ngrams > 0) AND NOT (e.n_hits > 0) AS keep
+       |FROM ($decontaminate) s
+       |JOIN (${OracleVectors.embDecontaminate()}) e ON e.vec_id = s.doc_id""".stripMargin
+
   /** Mirror of TextOps.pack: per-bucket running token sum, integer
     * division into sequence slots.
     */

@@ -1645,6 +1645,33 @@ object TextOps {
   def decontaminate(spark: SparkSession, dir: String): DataFrame =
     decontaminateImpl(spark, dir, bloomPrefilter = false)
 
+  /** COMPOSED decontamination report — the text-side twin of the
+    * cross-modal dedup composition (MultimodalOps.mediaSemdedup): one
+    * row per training candidate combining BOTH leakage signals a
+    * modern pipeline runs — the surface n-gram filter
+    * ([[decontaminate]], catches verbatim benchmark text) and the
+    * embedding-space filter (VectorOps.embDecontaminate, catches
+    * paraphrases/translations that share no n-gram) — over the
+    * aligned documents/embeddings id space. The inner join IS the
+    * candidate definition: docs in either eval role (the two strides
+    * are coprime by design) are eval material, not training
+    * candidates. keep = clean under BOTH filters; the per-signal
+    * columns are the audit a contamination review reads.
+    *
+    * Shape: both inputs are the audited operators (broadcast
+    * eval-gram semi-join; banded Hamming-probe candidates + exact
+    * cosine); the composition adds one doc-keyed join.
+    */
+  def decontaminateMulti(spark: SparkSession, dir: String): DataFrame =
+    decontaminate(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_hit_ngrams"),
+        (col("n_hit_ngrams") > 0).as("surface_hit"))
+      .join(VectorOps.embDecontaminate(spark, dir)
+        .select(col("vec_id").as("doc_id"), col("n_hits").as("n_sem_hits"),
+          col("max_sim"), (col("n_hits") > 0).as("semantic_hit")),
+        Seq("doc_id"))
+      .withColumn("keep", !col("surface_hit") && !col("semantic_hit"))
+
   /** Per-doc DISTINCT contamination n-gram digests over any (doc_id,
     * text) frame — the decontamination slice the streaming export
     * store persists per micro-batch (docs with < [[ContamNgram]]

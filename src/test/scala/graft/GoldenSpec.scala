@@ -220,6 +220,7 @@ class GoldenSpec extends SparkSpec {
     "mmr_rerank" -> ((465589226566118004L, 25L)),
     "txt_bm25" -> ((8938680310938870376L, 50L)),
     "txt_decontaminate" -> ((2255933175511747289L, 470L)),
+    "txt_decontaminate_multi" -> ((-7782412562794749982L, 434L)),
     // identical by construction: Bloom pre-filter + exact verify ≡ exact
     "txt_decontaminate_bloom" -> ((2255933175511747289L, 470L)),
     "txt_fingerprint" -> ((9069157633707950874L, 500L)),

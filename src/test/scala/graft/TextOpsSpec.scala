@@ -260,6 +260,30 @@ class TextOpsSpec extends SparkSpec {
     assert(pieces.exists(_.length > 1), "no multi-char piece learned")
   }
 
+  test("decontaminateMulti: both signals compose; each catches leakage the other misses") {
+    val got = TextOps.decontaminateMulti(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(3), r.getBoolean(6),
+        r.getBoolean(7)))).toMap
+    // candidate domain: docs in NEITHER eval role (coprime strides)
+    got.keys.foreach { id =>
+      assert(id % TextOps.EvalStride != 0 && id % operators.VectorOps.EvalMod != 0, s"doc $id")
+    }
+    // keep arithmetic + consistency with the component operators
+    val surf = TextOps.decontaminate(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2) > 0)).toMap
+    val sem = operators.VectorOps.embDecontaminate(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1) > 0)).toMap
+    got.foreach { case (id, (sh, eh, keep)) =>
+      assert(sh === surf(id) && eh === sem(id) && keep === (!sh && !eh), s"doc $id")
+    }
+    // the composition is load-bearing: each filter catches docs the
+    // other passes (verbatim leakage vs paraphrase leakage)
+    assert(got.values.exists { case (sh, eh, _) => sh && !eh },
+      "no surface-only contamination on the fixture")
+    assert(got.values.exists { case (sh, eh, _) => !sh && eh },
+      "no semantic-only contamination on the fixture")
+  }
+
   test("tokensUnigram: encoder replays the reference Viterbi under the learned vocab") {
     val texts = Seq(
       "the data table stores the data rows",
