@@ -1441,6 +1441,60 @@ object OracleText {
        |  CAST(bg AS BIGINT) AS bg, jlh
        |FROM ranked WHERE "rank" <= ${TextOps.SigTermsTopK}""".stripMargin
 
+  /** Mirror of TextOps.phrasePrefixSearch: the phrase mirror with the
+    * final slot expanded through the capped prefix index (term-ASC
+    * row_number ≤ MppMaxExpansions — ES's index-term-order
+    * truncation) and unioned into the workload.
+    */
+  val phrasePrefixSearch: String = {
+    val cap = TextOps.CompletionMaxPrefix
+    val fvals = TextOps.MppQueries.flatMap { case (q, ts, _) =>
+      ts.zipWithIndex.map { case (t, o) =>
+        s"(CAST($q AS BIGINT), CAST($o AS BIGINT), '$t', CAST(${ts.length + 1} AS BIGINT))"
+      }
+    }.mkString(", ")
+    val pvals = TextOps.MppQueries.map { case (q, ts, p) =>
+      s"(CAST($q AS BIGINT), CAST(${ts.length} AS BIGINT), '$p', " +
+        s"CAST(${ts.length + 1} AS BIGINT), substr('$p', 1, $cap))"
+    }.mkString(", ")
+    s"""WITH $wordsCte,
+       |pp AS (
+       |  SELECT doc_id, u.p AS pos, u.t AS term FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(words) + 1),
+       |      i -> {'p': CAST(i AS BIGINT), 't': words[i]})) AS u
+       |    FROM docs)
+       |),
+       |fq(query_id, off, term, plen) AS (VALUES $fvals),
+       |pr(query_id, off, prefix, plen, key) AS (VALUES $pvals),
+       |vk AS (
+       |  SELECT term, unnest(list_transform(
+       |    range(1, least(length(term), $cap) + 1),
+       |    i -> substr(term, 1, i))) AS key
+       |  FROM (SELECT DISTINCT term FROM pp)
+       |),
+       |ex AS (
+       |  SELECT query_id, off, term, plen FROM (
+       |    SELECT p.query_id, p.off, v.term, p.plen,
+       |      row_number() OVER (PARTITION BY p.query_id
+       |        ORDER BY v.term ASC) AS rk
+       |    FROM vk v JOIN pr p USING (key)
+       |    WHERE substr(v.term, 1, length(p.prefix)) = p.prefix)
+       |  WHERE rk <= ${TextOps.MppMaxExpansions}
+       |),
+       |q AS (SELECT * FROM fq UNION ALL SELECT * FROM ex),
+       |g AS (
+       |  SELECT q.query_id, q.plen, pp.doc_id, pp.pos - q.off AS start,
+       |    count(DISTINCT q.off) AS n_hit
+       |  FROM pp JOIN q ON q.term = pp.term
+       |  GROUP BY 1, 2, 3, 4
+       |)
+       |SELECT query_id, doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_occurrences,
+       |  CAST(min(start) AS BIGINT) AS first_pos
+       |FROM g WHERE n_hit = plen
+       |GROUP BY query_id, doc_id""".stripMargin
+  }
+
   /** Mirror of TextOps.phraseSearch: the same positional-postings
     * relation (1-based struct unnest), the same literal workload as a
     * VALUES table, the same start = pos − offset grouping with a

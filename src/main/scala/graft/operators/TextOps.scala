@@ -1563,6 +1563,71 @@ object TextOps {
     * once. Emits per (query, doc): occurrence count and the first
     * match position (1-based).
     */
+  /** `match_phrase_prefix` workload — (query_id, fixed terms, final
+    * prefix): a one-word prefix tail, a bare prefix (no fixed slot),
+    * an out-of-vocabulary prefix (negative), and a case where the
+    * fixed term itself also matches the prefix slot.
+    */
+  val MppQueries: Seq[(Long, Seq[String], String)] = Seq(
+    (0L, Seq("big"), "ord"),
+    (1L, Seq("stream"), "col"),
+    (2L, Seq.empty, "cust"),
+    (3L, Seq("slow"), "zeb"),
+    (4L, Seq("order"), "or"))
+
+  /** ES `max_expansions` (default 50): the prefix slot expands to at
+    * most this many vocabulary terms, FIRST in term order — exactly
+    * ES's index-term-order truncation, deterministic on both engines.
+    */
+  val MppMaxExpansions = 50
+
+  /** ES `match_phrase_prefix` (search-as-you-type phrase): the phrase
+    * device with the LAST slot expanded through the completion
+    * device — fixed terms t₀…tₙ₋₂ must sit at s…s+n−2 and ANY
+    * vocabulary term extending the prefix at s+n−1. The expansion is
+    * the capped prefix-key equi-join ([[suggestCompletionFrom]]'s
+    * index shape) ranked (term ASC) to [[MppMaxExpansions]]; the
+    * expanded rows simply UNION into the phrase workload at the final
+    * offset, and [[phraseSearch]]'s distinct-offset completeness
+    * count is already correct under multiple admissible terms per
+    * slot (each offset counts once however many expansions land on
+    * it). Corpus-side cost identical to the plain phrase: one
+    * broadcast-cut positional shuffle.
+    */
+  def phrasePrefixSearch(spark: SparkSession, dir: String,
+      workload: Seq[(Long, Seq[String], String)] = MppQueries): DataFrame = {
+    import spark.implicits._
+    val fixed = workload.flatMap { case (q, ts, _) =>
+      ts.zipWithIndex.map { case (t, o) => (q, o.toLong, t, ts.length + 1L) }
+    }.toDF("query_id", "off", "term", "plen")
+    val prefixes = workload
+      .map { case (q, ts, p) => (q, ts.length.toLong, p, ts.length + 1L) }
+      .toDF("query_id", "off", "prefix", "plen")
+      .select(col("query_id"), col("off"), col("prefix"), col("plen"),
+        expr(s"substr(prefix, 1, $CompletionMaxPrefix)").as("key"))
+    val vkeys = postingsIndex(spark, dir).select(col("term")).distinct()
+      .select(col("term"), explode(expr(
+        s"""transform(sequence(1, least(length(term), $CompletionMaxPrefix)),
+           |  i -> substr(term, 1, i))""".stripMargin)).as("key"))
+    val expansions = vkeys.join(broadcast(prefixes), Seq("key"))
+      .where(expr("substr(term, 1, length(prefix)) = prefix"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("term").asc)))
+      .where(col("rk") <= MppMaxExpansions)
+      .select(col("query_id"), col("off"), col("term"), col("plen"))
+    val qterms = fixed.unionByName(expansions)
+    positionsIndex(spark, dir)
+      .join(broadcast(qterms), Seq("term"))
+      .select(col("query_id"), col("plen"), col("doc_id"),
+        (col("pos") - col("off")).as("start"), col("off"))
+      .groupBy(col("query_id"), col("plen"), col("doc_id"), col("start"))
+      .agg(countDistinct(col("off")).as("n_hit"))
+      .where(col("n_hit") === col("plen"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        min(col("start")).as("first_pos"))
+  }
+
   def phraseSearch(spark: SparkSession, dir: String,
       workload: Seq[(Long, Seq[String])] = PhraseQueries): DataFrame = {
     import spark.implicits._

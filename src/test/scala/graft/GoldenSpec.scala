@@ -98,6 +98,7 @@ class GoldenSpec extends SparkSpec {
     "txt_unigram_train" -> ((-3792582774816093591L, 41L)),
     "txt_unigram_encode" -> ((-5272729801762707972L, 500L)),
     "txt_phrase" -> ((8803091073230259390L, 142L)),
+    "txt_phrase_prefix" -> ((-7223307663616775306L, 525L)),
     "txt_mlt" -> ((-6708254884330626570L, 30L)),
     "evt_value_histogram" -> ((-9199241966602610489L, 14L)),
     "graph_link_predict" -> ((5993286112755573745L, 20L)),

@@ -405,6 +405,30 @@ class RetrievalSpec extends SparkSpec {
       "a fertile single-char prefix must fill the budget")
   }
 
+  test("phrasePrefixSearch: brute-force window replay; bare-prefix, OOV, and self-matching-fixed cases") {
+    val got = operators.TextOps.phrasePrefixSearch(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    val want = scala.collection.mutable.Map.empty[(Long, Long), (Long, Long)]
+    operators.TextOps.MppQueries.foreach { case (q, fixed, prefix) =>
+      corpusWords.foreach { case (doc, ws) =>
+        val n = fixed.length + 1
+        val starts = (0 to ws.length - n).filter { s =>
+          fixed.zipWithIndex.forall { case (t, i) => ws(s + i) == t } &&
+            ws(s + n - 1).startsWith(prefix)
+        }
+        if (starts.nonEmpty)
+          want((q, doc)) = (starts.length.toLong, starts.head.toLong + 1)
+      }
+    }
+    assert(got === want.toMap, s"got ${got.size} vs want ${want.size}")
+    // fixture exercises the cases: bare prefix matches, OOV is empty,
+    // and the fixed-term-also-matches-prefix query returns something
+    assert(got.keys.exists(_._1 == 2L), "bare-prefix query matched nothing")
+    assert(!got.keys.exists(_._1 == 3L), "OOV prefix produced matches")
+    assert(got.keys.exists(_._1 == 4L), "self-matching-fixed query matched nothing")
+  }
+
   test("suggestPhrase: per-slot candidates × bigram LM replay; OOV slot yields nothing") {
     def lev(a: String, b: String): Int = {
       val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
