@@ -1691,6 +1691,79 @@ object OracleText {
        |FROM ranked WHERE r <= ${TextOps.SuggestTopK}""".stripMargin
   }
 
+  /** Mirror of TextOps.fuzzyQuery: the suggester's deletion-1 candidate
+    * chain joined back onto the postings, per-(input, doc) summary. */
+  val fuzzyQuery: String = {
+    val inVals = TextOps.SuggestInputs.map(s => s"('$s')").mkString(", ")
+    def delKeys(c: String): String =
+      s"""list_distinct(list_concat([$c],
+         |    list_transform(range(1, length($c) + 1),
+         |      i -> substr($c, 1, i - 1) || substr($c, i + 1))))""".stripMargin
+    s"""WITH $wordsCte,
+       |ptf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(words) AS term FROM docs) t
+       |  GROUP BY doc_id, term
+       |),
+       |vocab AS (SELECT DISTINCT term FROM ptf),
+       |vkeys AS (
+       |  SELECT term, unnest(${delKeys("term")}) AS key FROM vocab
+       |),
+       |ikeys AS (
+       |  SELECT input_term, unnest(${delKeys("input_term")}) AS key
+       |  FROM (VALUES $inVals) t(input_term)
+       |),
+       |cands AS (
+       |  SELECT input_term, term,
+       |    CAST(levenshtein(input_term, term) AS BIGINT) AS dist
+       |  FROM (SELECT DISTINCT input_term, term
+       |        FROM vkeys JOIN ikeys USING (key))
+       |  WHERE levenshtein(input_term, term) <= ${TextOps.SuggestMaxEdits}
+       |)
+       |SELECT c.input_term, p.doc_id,
+       |  CAST(count(DISTINCT c.term) AS BIGINT) AS n_terms_matched,
+       |  CAST(sum(p.tf) AS BIGINT) AS total_tf,
+       |  CAST(min(c.dist) AS BIGINT) AS min_dist
+       |FROM cands c JOIN ptf p USING (term)
+       |GROUP BY 1, 2""".stripMargin
+  }
+
+  /** Mirror of TextOps.wildcardSearch: forward and reversed capped
+    * prefix indexes, starts-with verification, per-pattern resolved
+    * term dictionary with document/occurrence mass. */
+  val wildcardSearch: String = {
+    val cap = TextOps.CompletionMaxPrefix
+    val preVals = TextOps.WildcardQueries.filter(_.endsWith("*"))
+      .map(p => s"('$p', '${p.stripSuffix("*")}')").mkString(", ")
+    val sufVals = TextOps.WildcardQueries.filter(_.startsWith("*"))
+      .map(p => s"('$p', '${p.stripPrefix("*").reverse}')").mkString(", ")
+    def sideSql(patCte: String, keyExpr: String): String =
+      s"""SELECT p.pattern, s.term, s.n_docs, s.total_tf FROM (
+         |  SELECT term, n_docs, total_tf, unnest(list_transform(
+         |    range(1, least(length(term), $cap) + 1),
+         |    i -> substr($keyExpr, 1, i))) AS key
+         |  FROM stats) s
+         |JOIN (SELECT pattern, body, substr(body, 1, $cap) AS key
+         |      FROM $patCte) p USING (key)
+         |WHERE substr($keyExpr, 1, length(p.body)) = p.body""".stripMargin
+    s"""WITH $wordsCte,
+       |ptf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(words) AS term FROM docs) t
+       |  GROUP BY doc_id, term
+       |),
+       |stats AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(tf) AS BIGINT) AS total_tf
+       |  FROM ptf GROUP BY term
+       |),
+       |prepat(pattern, body) AS (VALUES $preVals),
+       |sufpat(pattern, body) AS (VALUES $sufVals)
+       |${sideSql("prepat", "term")}
+       |UNION ALL
+       |${sideSql("sufpat", "reverse(term)")}""".stripMargin
+  }
+
   /** Mirror of TextOps.suggestCompletion: the same postings-derived
     * vocabulary, prefix keys to the same cap, the same starts-with
     * verification and (freq DESC, term ASC) ranking.

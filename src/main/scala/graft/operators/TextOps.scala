@@ -3406,6 +3406,62 @@ object TextOps {
         col("term").as("suggestion"), col("freq"))
   }
 
+  /** ES `fuzzy` QUERY (not the suggester: this one returns DOCS): for
+    * each input term, every document containing any vocabulary term
+    * within [[SuggestMaxEdits]] edits, with the per-doc match summary
+    * (distinct matched variants, their tf mass, best distance). The
+    * term expansion is the suggester family's SymSpell deletion-1
+    * blocking ([[suggest]]'s generator, shared); the doc side is one
+    * broadcast cut of the stored postings on the expanded term set —
+    * ES's own execution (fuzzy rewrites to a term disjunction against
+    * the index).
+    */
+  def fuzzyQuery(spark: SparkSession, dir: String): DataFrame =
+    postingsIndex(spark, dir)
+      .join(broadcast(suggestCands(spark, dir, SuggestInputs)
+        .select(col("input_term"), col("term"), col("dist"))), Seq("term"))
+      .groupBy(col("input_term"), col("doc_id"))
+      .agg(countDistinct(col("term")).as("n_terms_matched"),
+        sum(col("tf")).as("total_tf"), min(col("dist")).as("min_dist"))
+
+  /** Wildcard workload — one star at either end: two prefix patterns
+    * (one OOV), two suffix patterns, one OOV suffix. */
+  val WildcardQueries: Seq[String] = Seq("ord*", "*er", "*ream", "zeb*", "*xx")
+
+  /** ES `wildcard` query, both anchors: a trailing star resolves
+    * through the FORWARD prefix index (the [[suggestCompletionFrom]]
+    * device), a LEADING star through the REVERSED-term prefix index —
+    * the classic reverse-field device every search engine uses for
+    * leading wildcards, because a raw leading-star is a full term
+    * dictionary scan. Emits the resolved term dictionary per pattern
+    * with document and occurrence mass (what ES's wildcard rewrite
+    * produces before scoring); both sides are vocab-sized exploded
+    * key joins, never a corpus LIKE scan.
+    */
+  def wildcardSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stats = postingsIndex(spark, dir)
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tf")).as("total_tf"))
+    def side(pats: Seq[(String, String)], keyOf: Column): DataFrame = {
+      val inputs = pats.toDF("pattern", "body")
+        .select(col("pattern"), col("body"),
+          expr(s"substr(body, 1, $CompletionMaxPrefix)").as("key"))
+      stats.select(col("term"), col("n_docs"), col("total_tf"),
+          explode(expr(
+            s"""transform(sequence(1, least(length(term), $CompletionMaxPrefix)),
+               |  i -> substr(${keyOf.toString}, 1, i))""".stripMargin)).as("key"))
+        .join(broadcast(inputs), Seq("key"))
+        .where(expr(s"substr(${keyOf.toString}, 1, length(body)) = body"))
+        .select(col("pattern"), col("term"), col("n_docs"), col("total_tf"))
+    }
+    val pre = WildcardQueries.filter(_.endsWith("*"))
+      .map(p => (p, p.stripSuffix("*")))
+    val suf = WildcardQueries.filter(_.startsWith("*"))
+      .map(p => (p, p.stripPrefix("*").reverse))
+    side(pre, col("term")).unionAll(side(suf, expr("reverse(term)")))
+  }
+
   /** Highlighter window: words kept each side of the first match. */
   val HlWindow = 3
   /** Highlighted docs per query — the "show snippets for the first

@@ -110,6 +110,8 @@ class GoldenSpec extends SparkSpec {
     "evt_bucket_pipeline" -> ((4265221512268032702L, 10L)),
     "txt_suggest_phrase" -> ((9220818723791582033L, 2L)),
     "txt_suggest_completion" -> ((-2688437400975068988L, 7L)),
+    "txt_fuzzy_query" -> ((-7856006667908053801L, 1956L)),
+    "txt_wildcard" -> ((5096358797308693831L, 5L)),
     "evt_moving_median" -> ((1442373081704886722L, 30L)),
     "evt_random_sampler" -> ((1730915374594857300L, 5L)),
     "evt_filters_agg" -> ((-5439690195675573527L, 3L)),

@@ -405,6 +405,53 @@ class RetrievalSpec extends SparkSpec {
       "a fertile single-char prefix must fill the budget")
   }
 
+  test("fuzzyQuery: docs match exactly the brute-force edit-1 expansion") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val got = operators.TextOps.fuzzyQuery(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val vocab = corpusWords.flatMap(_._2).distinct
+    val want = (for {
+      in <- operators.TextOps.SuggestInputs
+      variants = vocab.map(t => t -> lev(in, t).toLong)
+        .filter(_._2 <= operators.TextOps.SuggestMaxEdits).toMap
+      if variants.nonEmpty
+      (doc, ws) <- corpusWords
+      hits = ws.filter(variants.contains)
+      if hits.nonEmpty
+    } yield (in, doc) -> ((hits.distinct.length.toLong, hits.length.toLong,
+      hits.map(variants).min))).toMap
+    assert(got === want, s"got ${got.size} vs want ${want.size}")
+  }
+
+  test("wildcardSearch: both anchors resolve exactly the brute-force term sets") {
+    val tf = corpusWords.flatMap { case (d, ws) => ws.map(w => (d, w)) }
+    val stats = tf.groupBy(_._2).map { case (t, xs) =>
+      t -> ((xs.map(_._1).distinct.length.toLong, xs.length.toLong))
+    }
+    val got = operators.TextOps.wildcardSearch(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val want = (for {
+      p <- operators.TextOps.WildcardQueries
+      t <- stats.keys
+      if (p.endsWith("*") && t.startsWith(p.stripSuffix("*"))) ||
+        (p.startsWith("*") && t.endsWith(p.stripPrefix("*")))
+    } yield (p, t) -> stats(t)).toMap
+    assert(got === want, s"got ${got.keySet} vs want ${want.keySet}")
+    assert(got.keys.exists(_._1 == "*er") && got.keys.exists(_._1 == "ord*"),
+      "both anchor directions must resolve")
+    assert(!got.keys.exists(k => k._1 == "zeb*" || k._1 == "*xx"),
+      "OOV patterns must resolve to nothing")
+  }
+
   test("phrasePrefixSearch: brute-force window replay; bare-prefix, OOV, and self-matching-fixed cases") {
     val got = operators.TextOps.phrasePrefixSearch(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
