@@ -31,8 +31,20 @@ object Bench {
     // inside the first timed sample of whichever family query runs
     // first. WarmupSpec asserts the list is never stale (every memo
     // key some registry query builds is touched by a warmup entry).
-    for (w <- SparkEntry.warmups)
+    // The warmup is untimed in the headline but NOT unaccounted: total
+    // and per-entry wall seconds ride the artifact, so the memoized
+    // trained-artifact discipline (rank tables, merge tables, peel
+    // results built here and served by the timed queries) is auditable
+    // from the committed JSON alone — steady-state serving cost in
+    // `queries`, cold-build cost in `warmup_by_entry`.
+    val warmupByEntry = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    for (w <- SparkEntry.warmups) {
+      val t0 = System.nanoTime()
       try drive(w) catch { case _: Throwable => () }
+      warmupByEntry(w) = (System.nanoTime() - t0) / 1e9
+    }
+    val warmupSecs = warmupByEntry.values.sum
+    System.err.println(f"[bench] warmup: $warmupSecs%.1f s over ${warmupByEntry.size} entries")
     // Per-query instrumentation to stderr as the run progresses:
     // wall seconds plus the session's cumulative GC time delta, so a
     // regression is attributable (slow plan vs collector pressure from
@@ -50,12 +62,28 @@ object Bench {
     // host contention on the shared driver box, not plan cost. Min-of-2
     // measures the steady-state plan; both samples go to stderr so a
     // genuine regression (both runs slow) is still visible.
+    // Locale-safe number formatting for every JSON field (the f"%.2f"
+    // interpolator is locale-sensitive: comma-decimal locales would
+    // emit "pre":1,16 and corrupt the artifact).
+    def fmt(v: Double, dp: Int): String = {
+      val s = BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toString
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+      else s
+    }
     // Canary probe before and after the timed loop (BenchSanity): the
     // contaminated-run guard the r9/r11 artifact sagas motivated —
     // instability ≥ 2 or drift far from 1 marks the artifact as a
-    // loaded-box measurement from the JSON alone.
-    val canaryPre = BenchSanity.sample(drive)
-    System.err.println(f"[bench] canary pre: instability ${BenchSanity.instability(canaryPre)}%.2f")
+    // loaded-box measurement from the JSON alone. A probe that THROWS
+    // (broken/unregistered canary) is recorded as failed rather than
+    // timed on its exception path — see BenchSanity.sample.
+    def canaryProbe(label: String): Option[Map[String, (Double, Double)]] =
+      try Some(BenchSanity.sample(drive)) catch { case e: Throwable =>
+        System.err.println(s"[bench] canary $label FAILED: ${e.getMessage}")
+        None
+      }
+    val canaryPre = canaryProbe("pre")
+    canaryPre.foreach(p => System.err.println(
+      s"[bench] canary pre: instability ${fmt(BenchSanity.instability(p), 2)}"))
     val gcByQuery = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val g0 = gcMillis()
@@ -72,13 +100,18 @@ object Bench {
       System.err.println(f"[bench] $name%-22s ${secs}%8.3f s  (runs: ${samples.map(s => f"$s%.3f").mkString("/")})  gc+$gcDelta%5d ms")
       name -> secs
     }.toMap
-    val canaryPost = BenchSanity.sample(drive)
-    val canaryJson = {
-      val pre = BenchSanity.instability(canaryPre)
-      val post = BenchSanity.instability(canaryPost)
-      val drift = BenchSanity.drift(canaryPre, canaryPost)
-      System.err.println(f"[bench] canary post: instability $post%.2f, drift $drift%.2f")
-      f""""canary":{"pre":$pre%.2f,"post":$post%.2f,"drift":$drift%.2f}"""
+    val canaryPost = canaryProbe("post")
+    val canaryJson = (canaryPre, canaryPost) match {
+      case (Some(preS), Some(postS)) =>
+        val pre = BenchSanity.instability(preS)
+        val post = BenchSanity.instability(postS)
+        val drift = BenchSanity.drift(preS, postS)
+        System.err.println(
+          s"[bench] canary post: instability ${fmt(post, 2)}, drift ${fmt(drift, 2)}")
+        s""""canary":{"pre":${fmt(pre, 2)},"post":${fmt(post, 2)},"drift":${fmt(drift, 2)}}"""
+      case _ =>
+        // a failed probe must read as UNGUARDED, never as clean
+        """"canary":{"failed":true}"""
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // Total process-CPU seconds since JVM start: makes a contended run
@@ -97,11 +130,6 @@ object Bench {
     // the full-precision line for 90+ queries is ~2600 chars and its head
     // fell outside the window). Shrink per-query precision until the whole
     // line fits; full precision still goes to /tmp/bench.json below.
-    def fmt(v: Double, dp: Int): String = {
-      val s = BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toString
-      if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
-      else s
-    }
     // "sf0.1" → 0.1: the numeric form keeps the line inside the window
     // (the full dir path costs 24 more chars right at the 2000 limit).
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
@@ -110,7 +138,7 @@ object Bench {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v, dp) }
         .mkString("{", ",", "}")
       val om = if (omitted > 0) s""","omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","cpu":${fmt(cpuSecs, 1)},$canaryJson,"queries":$qs$om,"sf":$sfNum}"""
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","cpu":${fmt(cpuSecs, 1)},"warmup_secs":${fmt(warmupSecs, 1)},$canaryJson,"queries":$qs$om,"sf":$sfNum}"""
     }
     val sorted = results.toSeq.sortBy(_._1)
     // 1992 = the 2000-char window minus the trailing newline and a small
@@ -143,8 +171,13 @@ object Bench {
     // attributable from the committed JSON alone
     val gcFull = sorted.map { case (k, _) => "\"" + k + "\":" + gcByQuery.getOrElse(k, 0L) }
       .mkString("{", ",", "}")
+    // per-entry warmup wall seconds: the cold-build cost of every
+    // memoized trained artifact, versioned alongside the steady-state
+    // numbers it was moved out of
+    val warmupFull = warmupByEntry.toSeq.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","cpu":$cpuSecs,$canaryJson,"queries":$full,"gc_ms":$gcFull,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","cpu":$cpuSecs,"warmup_secs":$warmupSecs,"warmup_by_entry":$warmupFull,$canaryJson,"queries":$full,"gc_ms":$gcFull,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("/tmp/bench.json"), fullJson)
     try Files.writeString(Paths.get("/root/repo/BENCH_FULL.json"), fullJson + "\n")
     catch { case _: Throwable => () }

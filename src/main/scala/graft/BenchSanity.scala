@@ -19,12 +19,17 @@ object BenchSanity {
     * aggregate, a pushed semi-join, and a rollup. */
   val Canaries: Seq[String] = Seq("q1_pricing_summary", "q4_semi_join", "q13_rollup")
 
-  /** Warm each canary once, then time it twice. */
+  /** Warm each canary once, then time it twice. A failing canary
+    * PROPAGATES: timing the exception path would report a fast,
+    * stable probe and silently defeat the contamination guard
+    * ([[graft.Bench]] catches it and marks the artifact's canary
+    * block failed instead).
+    */
   def sample(drive: String => Unit): Map[String, (Double, Double)] =
     Canaries.map { n =>
       def one(): Double = {
         val t0 = System.nanoTime()
-        try drive(n) catch { case _: Throwable => () }
+        drive(n)
         (System.nanoTime() - t0) / 1e9
       }
       one() // untimed warm: steady state is the property under test

@@ -106,8 +106,12 @@ object TextOps {
   }
   private[graft] def memoEntriesTotal: Int = { sweepStopped(); memo.size }
 
-  /** Whitespace tokenization shared by all text operators. */
-  private val words: Column = split(col("text"), " ")
+  /** Whitespace tokenization shared by all text operators — and by the
+    * streaming twins (StreamingVocab): one definition, so a tokenizer
+    * change cannot silently diverge the drained dictionary from
+    * [[bpeTrain]]/[[unigramTrain]]'s corpus view.
+    */
+  private[graft] val words: Column = split(col("text"), " ")
 
   private def withWords(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).withColumn("words", words)
@@ -3443,23 +3447,26 @@ object TextOps {
     val stats = postingsIndex(spark, dir)
       .groupBy(col("term"))
       .agg(count(lit(1)).as("n_docs"), sum(col("tf")).as("total_tf"))
-    def side(pats: Seq[(String, String)], keyOf: Column): DataFrame = {
+    // keyOf is spliced into SQL expression strings, so it is a plain
+    // SQL fragment — not a Column round-tripped through toString,
+    // whose pretty-printed form is not guaranteed parseable
+    def side(pats: Seq[(String, String)], keyOf: String): DataFrame = {
       val inputs = pats.toDF("pattern", "body")
         .select(col("pattern"), col("body"),
           expr(s"substr(body, 1, $CompletionMaxPrefix)").as("key"))
       stats.select(col("term"), col("n_docs"), col("total_tf"),
           explode(expr(
             s"""transform(sequence(1, least(length(term), $CompletionMaxPrefix)),
-               |  i -> substr(${keyOf.toString}, 1, i))""".stripMargin)).as("key"))
+               |  i -> substr($keyOf, 1, i))""".stripMargin)).as("key"))
         .join(broadcast(inputs), Seq("key"))
-        .where(expr(s"substr(${keyOf.toString}, 1, length(body)) = body"))
+        .where(expr(s"substr($keyOf, 1, length(body)) = body"))
         .select(col("pattern"), col("term"), col("n_docs"), col("total_tf"))
     }
     val pre = WildcardQueries.filter(_.endsWith("*"))
       .map(p => (p, p.stripSuffix("*")))
     val suf = WildcardQueries.filter(_.startsWith("*"))
       .map(p => (p, p.stripPrefix("*").reverse))
-    side(pre, col("term")).unionAll(side(suf, expr("reverse(term)")))
+    side(pre, "term").unionAll(side(suf, "reverse(term)"))
   }
 
   /** Highlighter window: words kept each side of the first match. */

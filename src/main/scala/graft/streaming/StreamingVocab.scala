@@ -32,10 +32,14 @@ import graft.operators.TextOps
   */
 object StreamingVocab {
 
-  /** One micro-batch reduced to its word-frequency slice. */
+  /** One micro-batch reduced to its word-frequency slice. The
+    * tokenizer is [[TextOps.words]] — the SAME definition the batch
+    * trainers scan with, so drain≡batch cannot silently break on a
+    * tokenizer change (the module's one-definition invariant).
+    */
   private[graft] def writeBatch(batch: DataFrame, batchId: Long,
       storePath: String): Unit =
-    batch.select(explode(split(col("text"), " ")).as("w"))
+    batch.select(explode(TextOps.words).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("f"))
       .write.mode("overwrite").parquet(s"$storePath/wf/batch_id=$batchId")
 
