@@ -85,11 +85,16 @@ object OracleAssets {
        |       OR host_name IS NOT NULL OR host_hostname IS NOT NULL)
        |  AND s.service_name IN (SELECT service_name FROM p1)""".stripMargin
 
-  /** Collapsed (top-1 per service, newest-first) signal rows. */
+  /** Collapsed (top-1 per service, newest-first) signal rows — with
+    * the body's binding `should`+`minimum_should_match:1` parent-
+    * candidate disjunction (lib/collectServices.ts:56-78).
+    */
   private def collapsedServicesCteNamed(base: String, c: String, days: Int = 21): String =
     s"""$base AS (
        |  SELECT s.* FROM signals s, mx
        |  WHERE s.ts >= m - INTERVAL $days DAY AND s.service_name IS NOT NULL
+       |    AND (container_id IS NOT NULL OR kubernetes_pod_uid IS NOT NULL
+       |         OR host_name IS NOT NULL OR host_hostname IS NOT NULL)
        |),
        |$c AS (
        |  SELECT *, row_number() OVER (
@@ -379,4 +384,50 @@ object OracleAssets {
        |  service_environment, cloud_provider, orchestrator_cluster_name
        |FROM r WHERE rn2 = 1""".stripMargin
   }
+
+  /** Parent/child join-field CTEs shared by the has_child/has_parent
+    * mirrors: assetsAll as `aa`, plus the (child, parent) relation
+    * from asset_parents ∪ inverted asset_children (references
+    * excluded — GraphOps.parentChildEdges' rationale).
+    */
+  private val joinFieldCtes: String =
+    s"""aa AS (
+       |$assetsAll
+       |),
+       |pc AS (
+       |  SELECT asset_ean AS child, unnest(string_split(asset_parents, '|')) AS parent
+       |  FROM aa WHERE asset_parents IS NOT NULL AND asset_parents <> ''
+       |  UNION
+       |  SELECT unnest(string_split(asset_children, '|')) AS child, asset_ean AS parent
+       |  FROM aa WHERE asset_children IS NOT NULL AND asset_children <> ''
+       |)""".stripMargin
+
+  /** Mirror of GraphOps.assetHasChild. */
+  val assetHasChild: String =
+    s"""WITH $joinFieldCtes,
+       |matching AS (
+       |  SELECT asset_ean AS child FROM aa
+       |  WHERE asset_type = 'service' AND service_environment = 'prod'
+       |),
+       |hits AS (
+       |  SELECT parent, CAST(count(DISTINCT child) AS BIGINT) AS n_matching_children
+       |  FROM pc JOIN matching USING (child) GROUP BY parent
+       |)
+       |SELECT aa.*, h.n_matching_children
+       |FROM aa JOIN hits h ON aa.asset_ean = h.parent""".stripMargin
+
+  /** Mirror of GraphOps.assetHasParent. */
+  val assetHasParent: String =
+    s"""WITH $joinFieldCtes,
+       |matching AS (
+       |  SELECT asset_ean AS parent FROM aa
+       |  WHERE asset_type = 'k8s.node'
+       |    AND asset_references IS NOT NULL AND asset_references <> ''
+       |),
+       |hits AS (
+       |  SELECT child, CAST(count(DISTINCT parent) AS BIGINT) AS n_matching_parents
+       |  FROM pc JOIN matching USING (parent) GROUP BY child
+       |)
+       |SELECT aa.*, h.n_matching_parents
+       |FROM aa JOIN hits h ON aa.asset_ean = h.child""".stripMargin
 }

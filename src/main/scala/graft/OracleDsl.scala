@@ -1,0 +1,85 @@
+package graft
+
+import graft.operators.{DslQueries, VectorOps}
+
+/** DuckDB oracle SQL for the [[graft.operators.DslQueries]] bodies —
+  * each mirror is the hand-written SQL meaning of the JSON request the
+  * compiler lowered, over the same fixture CTEs the asset oracles use.
+  */
+object OracleDsl {
+
+  /** Mirror of DslQueries.SearchBody: filter range + must terms (with
+    * the `service_summary`→`purchase` value translation) + null-safe
+    * must_not + should/msm=1 + (ts desc, id desc) size cut.
+    */
+  val dslSearch: String =
+    s"""WITH ${OracleAssets.signalsCte}
+       |SELECT event_id, ts, service_name, service_environment,
+       |       container_id, kubernetes_pod_uid, cloud_provider
+       |FROM signals, mx
+       |WHERE ts >= m - INTERVAL 14 DAY
+       |  AND event_type IN ('purchase', 'view')
+       |  AND NOT COALESCE(cloud_provider = 'aws', FALSE)
+       |  AND (container_id IS NOT NULL OR kubernetes_pod_uid IS NOT NULL)
+       |ORDER BY ts DESC, event_id DESC
+       |LIMIT 500""".stripMargin
+
+  /** Mirror of DslQueries.CollapseBody: the logs∪apm union stream
+    * (both patterns resolve to the same physical events, so the union
+    * doubles rows — the overlapping-index shape podsMultiSource
+    * models), exists conjunction, top-1 per pod uid under
+    * (ts desc, event_id desc).
+    */
+  val dslCollapse: String =
+    s"""WITH ${OracleAssets.signalsCteFrom(
+            "(SELECT * FROM events UNION ALL SELECT * FROM events)")},
+       |filtered AS (
+       |  SELECT * FROM signals, mx
+       |  WHERE ts >= m - INTERVAL 21 DAY
+       |    AND kubernetes_pod_uid IS NOT NULL
+       |    AND kubernetes_node_name IS NOT NULL
+       |),
+       |collapsed AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY kubernetes_pod_uid
+       |    ORDER BY ts DESC, event_id DESC) AS rn
+       |  FROM filtered
+       |)
+       |SELECT event_id, ts, kubernetes_pod_uid, kubernetes_node_name,
+       |       orchestrator_cluster_name, cloud_provider
+       |FROM collapsed WHERE rn = 1""".stripMargin
+
+  /** Mirror of DslQueries.MatchBody: `match` = OR of token membership
+    * (whitespace analysis), `match_phrase` = padded-text adjacency.
+    */
+  val dslMatch: String =
+    """SELECT doc_id, lang, source, n_chars
+      |FROM documents
+      |WHERE (list_contains(string_split(text, ' '), 'vector')
+      |       OR list_contains(string_split(text, ' '), 'hash'))
+      |  AND instr(' ' || text || ' ', ' merge slow ') > 0""".stripMargin
+
+  /** In-order dot fold (OracleVectors' device: `list_reduce` seeding
+    * the first element ≡ Spark `aggregate` seeding 0.0).
+    */
+  private def dot(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, ${VectorOps.Dim + 1}),
+       |  i -> CAST($a[CAST(i AS INT)] AS DOUBLE) * CAST($b[CAST(i AS INT)] AS DOUBLE)),
+       |  (acc, v) -> acc + v)""".stripMargin
+
+  /** Mirror of DslQueries.KnnBody: pre-filtered exact cosine top-k,
+    * the identical literal vector text on both engines.
+    */
+  val dslKnn: String = {
+    val qv = DslQueries.KnnVector
+      .map(d => s"CAST($d AS DOUBLE)").mkString("[", ", ", "]")
+    s"""WITH q AS (SELECT $qv AS v)
+       |SELECT vec_id,
+       |  ${dot("embedding", "q.v")} / (sqrt(${dot("embedding", "embedding")})
+       |    * sqrt(${dot("q.v", "q.v")})) AS score
+       |FROM embeddings, q
+       |WHERE label = ${DslQueries.KnnLabel}
+       |ORDER BY score DESC, vec_id ASC
+       |LIMIT 10""".stripMargin
+  }
+}

@@ -1160,6 +1160,47 @@ object OracleRelational {
       |    AS weighted_avg_price
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** Mirror of Relational.evtVariableWidthHistogram: the same
+    * integer-grid quantize → largest-gaps single-linkage cut →
+    * per-bucket stats with the 2^20-grid centroid (one IEEE division
+    * at the edge, identical formula text).
+    */
+  val evtVariableWidthHistogram: String = {
+    val b = operators.Relational.VwBuckets
+    val g = operators.Relational.VwCells
+    val s = operators.Relational.VwScale
+    s"""WITH e AS (SELECT value FROM events WHERE value IS NOT NULL),
+       |mm AS (SELECT min(value) AS vmin, max(value) AS vmax FROM e),
+       |cells AS (
+       |  SELECT CASE WHEN vmax = vmin THEN 0
+       |              ELSE least(${g - 1}, CAST(floor((value - vmin) / (vmax - vmin) * $g) AS BIGINT))
+       |         END AS cell,
+       |    count(*) AS cnt,
+       |    CAST(sum(CAST(floor(value * $s) AS BIGINT)) AS BIGINT) AS gsum,
+       |    min(value) AS cell_min, max(value) AS cell_max
+       |  FROM e, mm GROUP BY 1
+       |),
+       |gaps AS (
+       |  SELECT *, cell - lag(cell) OVER (ORDER BY cell) AS gap FROM cells
+       |),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (ORDER BY gap DESC NULLS LAST, cell ASC) AS grk
+       |  FROM gaps
+       |),
+       |clustered AS (
+       |  SELECT *, 1 + CAST(sum(CASE WHEN gap IS NOT NULL AND grk <= ${b - 1}
+       |                            THEN 1 ELSE 0 END)
+       |    OVER (ORDER BY cell ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    AS BIGINT) AS bucket
+       |  FROM ranked
+       |)
+       |SELECT bucket, min(cell_min) AS min_value, max(cell_max) AS max_value,
+       |  CAST(sum(gsum) AS DOUBLE) / (CAST($s AS DOUBLE) * CAST(sum(cnt) AS DOUBLE))
+       |    AS centroid,
+       |  CAST(sum(cnt) AS BIGINT) AS doc_count
+       |FROM clustered GROUP BY bucket""".stripMargin
+  }
+
   /** Mirror of Relational.evtValueHistogram: the same
     * floor(value/interval) bucket ids, range() dense frame off the
     * min/max ids, zero-filled left join, DECIMAL value sums, exact
@@ -1687,6 +1728,46 @@ object OracleRelational {
       |CROSS JOIN nb
       |ORDER BY pair_support DESC, brand_a ASC, brand_b ASC
       |LIMIT 25""".stripMargin
+
+  /** Mirror of Relational.q76FrequentTriples: the same support-ordered
+    * chained enumeration (each set built once, rarest item leading),
+    * lossless item prune, canonical sorted itemset key, one division.
+    */
+  val q76: String = {
+    val m = operators.Relational.FtMinSupport
+    s"""WITH items AS (
+       |  SELECT DISTINCT l_orderkey, p_brand
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |),
+       |sup AS (
+       |  SELECT p_brand, CAST(count(*) AS BIGINT) AS s
+       |  FROM items GROUP BY p_brand
+       |  HAVING count(*) >= $m
+       |),
+       |oi AS (
+       |  SELECT i.l_orderkey, i.p_brand, s.s FROM items i JOIN sup s USING (p_brand)
+       |),
+       |nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_baskets
+       |       FROM items),
+       |t AS (
+       |  SELECT a.p_brand AS ba, b.p_brand AS bb, c.p_brand AS bc
+       |  FROM oi a
+       |  JOIN oi b ON a.l_orderkey = b.l_orderkey
+       |    AND (a.s < b.s OR (a.s = b.s AND a.p_brand < b.p_brand))
+       |  JOIN oi c ON b.l_orderkey = c.l_orderkey
+       |    AND (b.s < c.s OR (b.s = c.s AND b.p_brand < c.p_brand))
+       |),
+       |g AS (
+       |  SELECT array_to_string(list_sort([ba, bb, bc]), '|') AS items,
+       |    CAST(count(*) AS BIGINT) AS support
+       |  FROM t GROUP BY 1
+       |)
+       |SELECT items, support, n_baskets,
+       |  CAST(support AS DOUBLE) / CAST(n_baskets AS DOUBLE) AS support_ratio
+       |FROM g, nb WHERE support >= $m
+       |ORDER BY support DESC, items ASC
+       |LIMIT ${operators.Relational.FpTopK}""".stripMargin
+  }
 
   /** Mirror of Relational.q71NestedAgg: children pre-aggregated per
     * parent key, 1:1 left join, plain sums.

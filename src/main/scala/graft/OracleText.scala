@@ -1728,6 +1728,52 @@ object OracleText {
        |GROUP BY 1, 2""".stripMargin
   }
 
+  /** Mirror of TextOps.boolPrefixSearch: the same literal workload,
+    * capped prefix expansion of the final slot (term-ASC truncation),
+    * bool-OR postings probe, both-roles double-count preserved.
+    */
+  val boolPrefixSearch: String = {
+    val cap = TextOps.CompletionMaxPrefix
+    val fvals = TextOps.MppQueries.flatMap { case (q, ts, _) =>
+      ts.map(t => s"(CAST($q AS BIGINT), '$t', 0)")
+    }.mkString(", ")
+    val pvals = TextOps.MppQueries.map { case (q, _, p) =>
+      s"(CAST($q AS BIGINT), '$p', substr('$p', 1, $cap))"
+    }.mkString(", ")
+    s"""WITH $wordsCte,
+       |ptf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(words) AS term FROM docs) t
+       |  GROUP BY doc_id, term
+       |),
+       |fq(query_id, term, is_prefix) AS (VALUES $fvals),
+       |pr(query_id, prefix, key) AS (VALUES $pvals),
+       |vk AS (
+       |  SELECT term, unnest(list_transform(
+       |    range(1, least(length(term), $cap) + 1),
+       |    i -> substr(term, 1, i))) AS key
+       |  FROM (SELECT DISTINCT term FROM ptf)
+       |),
+       |ex AS (
+       |  SELECT query_id, term, 1 AS is_prefix FROM (
+       |    SELECT p.query_id, v.term,
+       |      row_number() OVER (PARTITION BY p.query_id
+       |        ORDER BY v.term ASC) AS rk
+       |    FROM vk v JOIN pr p USING (key)
+       |    WHERE substr(v.term, 1, length(p.prefix)) = p.prefix)
+       |  WHERE rk <= ${TextOps.MppMaxExpansions}
+       |),
+       |q AS (SELECT * FROM fq UNION ALL SELECT * FROM ex)
+       |SELECT q.query_id, p.doc_id,
+       |  CAST(count(DISTINCT CASE WHEN q.is_prefix = 0 THEN q.term END) AS BIGINT)
+       |    AS n_terms_matched,
+       |  CAST(count(DISTINCT CASE WHEN q.is_prefix = 1 THEN q.term END) AS BIGINT)
+       |    AS n_prefix_terms,
+       |  CAST(sum(p.tf) AS BIGINT) AS total_tf
+       |FROM q JOIN ptf p USING (term)
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   /** Mirror of TextOps.wildcardSearch: forward and reversed capped
     * prefix indexes, starts-with verification, per-pattern resolved
     * term dictionary with document/occurrence mass. */

@@ -1386,6 +1386,91 @@ object OracleVectors {
        |SELECT query_id, neighbor_id, "rank", sim FROM eranked
        |WHERE "rank" <= $k""".stripMargin
 
+  /** Beam-round unroll extending [[graphExpandCtes]]: v1 is the scored
+    * exhaustive-first-hop set (esims); each round takes the BeamWidth
+    * best NEW candidates per query, follows the graph, anti-joins the
+    * visited set, scores the fresh ones. MATERIALIZED round CTEs — the
+    * multi-reference inlining rule (see kCore's Scaladoc).
+    */
+  private def beamCtes(numPlanes: Int, bandBits: Int): String = {
+    val rounds = (2 to VectorOps.BeamRounds).map { r =>
+      val pn = if (r == 2) "v1" else s"new_${r - 1}"
+      val pv = if (r == 2) "v1" else s"visited_${r - 1}"
+      s"""beam_$r AS (
+         |  SELECT query_id, neighbor_id AS seed_id FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rn
+         |    FROM $pn
+         |  ) WHERE rn <= ${VectorOps.BeamWidth}
+         |),
+         |cand_$r AS (
+         |  SELECT DISTINCT b.query_id, g.dst AS neighbor_id
+         |  FROM beam_$r b JOIN graph g ON g.src = b.seed_id
+         |  WHERE g.dst <> b.query_id
+         |    AND NOT EXISTS (SELECT 1 FROM $pv v
+         |                    WHERE v.query_id = b.query_id
+         |                      AND v.neighbor_id = g.dst)
+         |),
+         |new_$r AS MATERIALIZED (
+         |  SELECT c.query_id, c.neighbor_id,
+         |    ${dot("db.embedding", "qb.embedding")} / (sqrt(db.nrm) * sqrt(qb.nrm)) AS sim
+         |  FROM cand_$r c
+         |  JOIN base db ON db.vec_id = c.neighbor_id
+         |  JOIN base qb ON qb.vec_id = c.query_id
+         |),
+         |visited_$r AS MATERIALIZED (
+         |  SELECT * FROM $pv UNION ALL SELECT * FROM new_$r
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""${graphExpandCtes(numPlanes, bandBits)},
+       |v1 AS MATERIALIZED (SELECT query_id, neighbor_id, sim FROM esims),
+       |$rounds,
+       |branked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS "rank"
+       |  FROM visited_${VectorOps.BeamRounds}
+       |)""".stripMargin
+  }
+
+  /** Mirror of VectorOps.knnGraphBeam. */
+  def knnGraphBeam(numPlanes: Int = VectorOps.NumPlanes,
+      bandBits: Int = VectorOps.BandBits): String =
+    s"""WITH $baseCte, ${codeCte(numPlanes)},
+       |${beamCtes(numPlanes, bandBits)}
+       |SELECT query_id, neighbor_id, "rank", sim FROM branked
+       |WHERE "rank" <= $k""".stripMargin
+
+  /** Mirror of VectorOps.beamRecall: exact baseline vs the beam top-k,
+    * one-hop expansion top-k as the gauge.
+    */
+  def beamRecall(numPlanes: Int = VectorOps.NumPlanes,
+      bandBits: Int = VectorOps.BandBits): String =
+    s"""WITH $baseCte, ${codeCte(numPlanes)},
+       |${beamCtes(numPlanes, bandBits)},
+       |beam_hits AS (
+       |  SELECT query_id, neighbor_id FROM branked WHERE "rank" <= $k
+       |),
+       |expand_hits AS (
+       |  SELECT query_id, neighbor_id FROM eranked WHERE "rank" <= $k
+       |),
+       |exact AS (
+       |  SELECT q.query_id, b.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |      ${dot("b.embedding", "q.qv")} / (sqrt(b.nrm) * sqrt(q.qnrm)) DESC,
+       |      b.vec_id ASC) AS rn
+       |  FROM base b, (SELECT vec_id AS query_id, embedding AS qv, nrm AS qnrm
+       |                FROM base WHERE vec_id % $qm = 0) q
+       |  WHERE b.vec_id <> q.query_id
+       |)
+       |SELECT e.query_id,
+       |  CAST(count(bh.neighbor_id) AS DOUBLE) / $k AS recall_at_k,
+       |  CAST(count(eh.neighbor_id) AS DOUBLE) / $k AS expand_recall_at_k,
+       |  CAST(count(*) AS BIGINT) AS n_exact
+       |FROM (SELECT query_id, neighbor_id FROM exact WHERE rn <= $k) e
+       |LEFT JOIN beam_hits bh USING (query_id, neighbor_id)
+       |LEFT JOIN expand_hits eh USING (query_id, neighbor_id)
+       |GROUP BY e.query_id""".stripMargin
+
   /** Mirror of VectorOps.graphRecall: exact baseline joined against
     * the expanded search AND the bare LSH-seed top-k gauge.
     */

@@ -190,9 +190,14 @@ object Assets {
   /** Collapsed signal rows feeding both the service assets and the
     * container graph — reference lib/collectServices.ts:12-84: 1-hour
     * window (scaled to the fixture's 30-day span), `service.name` must
-    * exist (F4), collapse on `service.name` (A2). The reference reads
-    * only the first 1000 hits (a completeness bug, SURVEY.md O3) — the
-    * full scan here fixes that by construction.
+    * exist (F4), at least one parent candidate present (the body's
+    * `should` + `minimum_should_match: 1` over four `exists` clauses,
+    * :56-78 — binding in ES once msm is set; SURVEY.md F5 cites this
+    * body explicitly, and the round-13 Query-DSL replay of the
+    * verbatim request surfaced that this filter was missing here),
+    * collapse on `service.name` (A2). The reference reads only the
+    * first 1000 hits (a completeness bug, SURVEY.md O3) — the full
+    * scan here fixes that by construction.
     */
   def collapsedServiceSignalsFrom(sig: DataFrame, interval: String): DataFrame =
     collapsedServiceSignalsFrom(sig, interval, Tables.maxBound(sig, "ts"))
@@ -205,7 +210,7 @@ object Assets {
       bound: Any): DataFrame =
     collapseLatest(
       Tables.trailingWithBound(sig, "ts", interval, bound)
-        .where(col("service_name").isNotNull),
+        .where(col("service_name").isNotNull && hasParentCandidate),
       "service_name")
 
   def collapsedServiceSignals(spark: SparkSession, dir: String): DataFrame =
@@ -291,8 +296,10 @@ object Assets {
   def collapsedPodSignals(spark: SparkSession, dir: String): DataFrame =
     collapsedPodSignalsFrom(Tables.signals(spark, dir))
 
-  /** Pod-asset projection shared by the single- and multi-source reads. */
-  private def podAssets(collapsed: DataFrame): DataFrame =
+  /** Pod-asset projection shared by the single- and multi-source reads
+    * (and by QueryDslSpec's verbatim-body replay).
+    */
+  private[graft] def podAssets(collapsed: DataFrame): DataFrame =
     collapsed.select(
       batchTs.as("asset_ts"),
       ean("k8s.pod", col("kubernetes_pod_uid")).as("asset_ean"),

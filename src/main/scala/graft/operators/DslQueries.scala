@@ -1,0 +1,199 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.plans.QueryDsl
+import graft.plans.QueryDsl.{Env, Mapping}
+import graft.sources.{SourceRegistry, Tables}
+
+/** Registered queries that run END-TO-END through the
+  * [[graft.plans.QueryDsl]] compiler — the engine consumed the way the
+  * reference consumes Elasticsearch: a JSON `SearchRequest` body in,
+  * a result frame out. QueryDslSpec additionally replays the
+  * reference's four verbatim request bodies
+  * (lib/collectServicesFromSummaries.ts:12-49,178-246;
+  * lib/collectServices.ts:12-84; lib/collectPods.ts:12-63) through the
+  * same compiler and asserts bit-equality with the hand-written
+  * flagship pipelines.
+  */
+object DslQueries {
+
+  /** The reference's index patterns, verbatim (constants.ts:1-2) —
+    * request bodies name these and the env resolves them to sources,
+    * exactly as `getApmIndices()`/`getLogsIndices()` resolve against
+    * the cluster.
+    */
+  val ApmPattern = "traces-*,apm*,metrics-apm*"
+  val LogsPattern = "logs-*,filebeat-*"
+
+  /** ECS field ↔ signal-view column mapping plus the fixture's value
+    * and window translations (FIXTURES.md §3: `metricset.name:
+    * service_summary` ≈ `event_type: purchase`; the reference's
+    * minute/hour windows scale to the fixture's 30-day span exactly as
+    * the hand-written pipelines scaled them — 10m→7d, 15m→14d, 1h→21d,
+    * see Assets.serviceSummaries / servicesFromSummaries /
+    * collapsedServiceSignals).
+    */
+  val SignalMapping: Mapping = Mapping(
+    fields = Map(
+      "@timestamp" -> "ts",
+      "metricset.name" -> "event_type",
+      "service.name" -> "service_name",
+      "service.environment" -> "service_environment",
+      "container.id" -> "container_id",
+      "kubernetes.pod.uid" -> "kubernetes_pod_uid",
+      "kubernetes.node.name" -> "kubernetes_node_name",
+      "cloud.provider" -> "cloud_provider",
+      "orchestrator.cluster.name" -> "orchestrator_cluster_name",
+      "host.name" -> "host_name",
+      "host.hostname" -> "host_hostname",
+      "service.tags" -> "service_tags"),
+    idColumn = "event_id",
+    families = Map("host.*" -> "host_", "container.*" -> "container_"),
+    termValues = Map("metricset.name" -> Map("service_summary" -> "purchase")),
+    dateMath = Map("now-10m" -> "now-7d", "now-15m" -> "now-14d",
+      "now-1h" -> "now-21d"))
+
+  /** Signal-source env: APM and logs patterns resolve to the fixture's
+    * signal streams (SURVEY.md S3/S6 — overlapping document streams,
+    * like the reference's `apm*` vs `logs-*` over one physical
+    * cluster); `now` pins to the dataset's max timestamp
+    * ([[Tables.maxBound]]'s date-math determinism device, fetched ONCE
+    * per request like the reference resolves date math once per
+    * search).
+    */
+  def signalEnv(spark: SparkSession, dir: String): Env = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sig = Tables.signals(spark, dir)
+    val logs = Tables.signalsFrom(Tables.eventsFrom(
+      SourceRegistry.forDir(dir).read(spark, "signals_logs")))
+    val bound = Tables.maxBound(sig, "ts") match {
+      case t: java.sql.Timestamp => t
+      case _ => null
+    }
+    Env(
+      indices = Map(ApmPattern -> sig, LogsPattern -> logs),
+      mapping = SignalMapping,
+      now = bound)
+  }
+
+  /** Documents-source env (the text-search surface). */
+  def docEnv(spark: SparkSession, dir: String): Env = Env(
+    indices = Map("docs-*" -> Tables.documents(spark, dir)),
+    mapping = Mapping(
+      fields = Map("text" -> "text", "lang" -> "lang",
+        "source" -> "source", "n_chars" -> "n_chars"),
+      idColumn = "doc_id",
+      tsFields = Set.empty))
+
+  /** Embeddings-source env (the knn surface). */
+  def embEnv(spark: SparkSession, dir: String): Env = Env(
+    indices = Map("emb-*" -> Tables.embeddings(spark, dir)),
+    mapping = Mapping(
+      fields = Map("embedding" -> "embedding", "label" -> "label"),
+      idColumn = "vec_id",
+      tsFields = Set.empty))
+
+  // ---------------------------------------------------------------------
+  // Registered bodies
+  // ---------------------------------------------------------------------
+
+  /** Full filter-context coverage in one body: bool with filter range
+    * (date math), must terms (with the fixture value translation),
+    * must_not term (null-safe negation), should exists + msm, sorted
+    * size cut, fields projection.
+    */
+  val SearchBody: String = s"""{
+    "index": ["$ApmPattern"],
+    "size": 500,
+    "sort": [{"@timestamp": "desc"}],
+    "_source": false,
+    "fields": ["@timestamp", "service.name", "service.environment",
+               "container.id", "kubernetes.pod.uid", "cloud.provider"],
+    "query": {
+      "bool": {
+        "filter": [{"range": {"@timestamp": {"gte": "now-14d"}}}],
+        "must": [{"terms": {"metricset.name": ["service_summary", "view"]}}],
+        "must_not": [{"term": {"cloud.provider": "aws"}}],
+        "should": [
+          {"exists": {"field": "container.id"}},
+          {"exists": {"field": "kubernetes.pod.uid"}}
+        ],
+        "minimum_should_match": 1
+      }
+    }
+  }"""
+
+  def dslSearch(spark: SparkSession, dir: String): DataFrame =
+    QueryDsl.search(signalEnv(spark, dir), SearchBody)
+
+  /** The collectPods shape through the compiler: multi-index union
+    * (logs ∪ apm), conjunction of exists clauses, collapse on pod uid
+    * under ts desc — drained (the full-read form of the reference's
+    * paged loop).
+    */
+  val CollapseBody: String = s"""{
+    "index": ["$LogsPattern", "$ApmPattern"],
+    "collapse": {"field": "kubernetes.pod.uid"},
+    "sort": [{"@timestamp": "desc"}],
+    "_source": false,
+    "fields": ["@timestamp", "kubernetes.pod.uid", "kubernetes.node.name",
+               "orchestrator.cluster.name", "cloud.provider"],
+    "query": {
+      "bool": {
+        "filter": [{"range": {"@timestamp": {"gte": "now-21d"}}}],
+        "must": [
+          {"exists": {"field": "kubernetes.pod.uid"}},
+          {"exists": {"field": "kubernetes.node.name"}}
+        ]
+      }
+    }
+  }"""
+
+  def dslCollapse(spark: SparkSession, dir: String): DataFrame =
+    QueryDsl.drain(signalEnv(spark, dir), CollapseBody)
+
+  /** Analyzed-text clauses over the documents table: `match` (OR of
+    * token membership) + `match_phrase` (token adjacency) in one bool.
+    */
+  val MatchBody: String = """{
+    "index": ["docs-*"],
+    "_source": false,
+    "fields": ["lang", "source", "n_chars"],
+    "query": {
+      "bool": {
+        "must": [{"match": {"text": {"query": "vector hash", "operator": "or"}}}],
+        "filter": [{"match_phrase": {"text": "merge slow"}}]
+      }
+    }
+  }"""
+
+  def dslMatch(spark: SparkSession, dir: String): DataFrame =
+    QueryDsl.drain(docEnv(spark, dir), MatchBody)
+
+  /** Deterministic literal query vector — exact binary fractions
+    * (quarters), so the JSON text, the Spark literal, and the DuckDB
+    * mirror all denote identical doubles.
+    */
+  val KnnVector: Seq[Double] =
+    (0 until VectorOps.Dim).map(i => ((i % 7) - 3) / 4.0)
+
+  val KnnLabel = 3
+
+  /** Filtered kNN through the compiler: the `filter` gates candidates
+    * BEFORE scoring (ES filtered-kNN semantics — VectorOps.knnFiltered's
+    * rationale), exact cosine, k=10.
+    */
+  val KnnBody: String = s"""{
+    "index": ["emb-*"],
+    "knn": {
+      "field": "embedding",
+      "query_vector": [${KnnVector.mkString(", ")}],
+      "k": 10,
+      "filter": {"term": {"label": $KnnLabel}}
+    }
+  }"""
+
+  def dslKnn(spark: SparkSession, dir: String): DataFrame =
+    QueryDsl.search(embEnv(spark, dir), KnnBody)
+}

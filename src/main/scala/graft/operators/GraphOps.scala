@@ -143,6 +143,78 @@ object GraphOps {
         .distinct()
     }
 
+  /** The conformed asset-document view, memoized — the "assets index"
+    * the join-field queries search (build-once like the edge set; the
+    * 4-pipeline derivation is the expensive part).
+    */
+  private[graft] def assetDocs(spark: SparkSession, dir: String): DataFrame =
+    TextOps.memoized(spark, dir, "asset_docs") {
+      Assets.assetsAll(spark, dir)
+    }
+
+  /** The PARENT/CHILD join-field relation (reference types.ts:7-8):
+    * (child, parent) EAN pairs from `asset.parents` plus the inverted
+    * `asset.children` lists. `asset.references` (types.ts:9) is NOT
+    * part of the relation — ES's join field models exactly one
+    * parent/child tree, and the reference keeps references as loose
+    * pointers. Memoized alongside [[upwardEdges]].
+    */
+  private[graft] def parentChildEdges(spark: SparkSession, dir: String): DataFrame =
+    TextOps.memoized(spark, dir, "asset_pc_edges") {
+      val aa = assetDocs(spark, dir)
+        .select(col("asset_ean"), col("asset_parents"), col("asset_children"))
+      def nonEmpty(c: String) = col(c).isNotNull && col(c) =!= ""
+      aa.where(nonEmpty("asset_parents"))
+        .select(col("asset_ean").as("child"),
+          explode(split(col("asset_parents"), "\\|")).as("parent"))
+        .union(aa.where(nonEmpty("asset_children"))
+          .select(explode(split(col("asset_children"), "\\|")).as("child"),
+            col("asset_ean").as("parent")))
+        .distinct()
+    }
+
+  /** ES `has_child` query over the asset join field: PARENT documents
+    * with at least one child matching the child-side predicate (here:
+    * prod-environment services — the "which containers run production
+    * services" question), plus the matching-children count (ES
+    * `min_children`/inner-hits' cardinality readout). Two broadcast
+    * hops over the memoized edge set — the matching-children frame is
+    * distinct-asset-sized, never corpus-sized, which is exactly why ES
+    * executes this join field in memory per shard.
+    */
+  def assetHasChild(spark: SparkSession, dir: String): DataFrame = {
+    val docs = assetDocs(spark, dir)
+    val matching = docs
+      .where(col("asset_type") === "service" &&
+        col("service_environment") === "prod")
+      .select(col("asset_ean").as("child"))
+    val parents = parentChildEdges(spark, dir)
+      .join(broadcast(matching), Seq("child"))
+      .groupBy(col("parent"))
+      .agg(countDistinct(col("child")).as("n_matching_children"))
+    docs.join(broadcast(parents), col("asset_ean") === col("parent"))
+      .drop("parent")
+  }
+
+  /** ES `has_parent` query (the inverse): CHILD documents whose parent
+    * matches the parent-side predicate (here: k8s nodes carrying a
+    * cluster reference — "pods scheduled on clustered nodes"), plus
+    * the matching-parents count.
+    */
+  def assetHasParent(spark: SparkSession, dir: String): DataFrame = {
+    val docs = assetDocs(spark, dir)
+    val matching = docs
+      .where(col("asset_type") === "k8s.node" &&
+        col("asset_references").isNotNull && col("asset_references") =!= "")
+      .select(col("asset_ean").as("parent"))
+    val children = parentChildEdges(spark, dir)
+      .join(broadcast(matching), Seq("parent"))
+      .groupBy(col("child"))
+      .agg(countDistinct(col("parent")).as("n_matching_parents"))
+    docs.join(broadcast(children), col("asset_ean") === col("child"))
+      .drop("child")
+  }
+
   def assetReachability(spark: SparkSession, dir: String): DataFrame = {
     val up = upwardEdges(spark, dir)
     val hops = Iterator.iterate(up.withColumn("depth", lit(1L))) { prev =>

@@ -1578,6 +1578,79 @@ object Relational {
         coalesce(col("value_sum"), lit(0.0d)).as("value_sum"))
   }
 
+  /** Target bucket count for the variable-width histogram (ES's
+    * `buckets` parameter).
+    */
+  val VwBuckets = 6
+
+  /** Fine-grid resolution the clustering runs on: the value axis
+    * quantizes to this many equal-width integer cells before
+    * clustering, so executor state is bounded by the grid — never by
+    * |distinct values| — at any corpus size.
+    */
+  val VwCells = 48
+
+  /** Centroid mass grid (2^20): per-row values floor onto it so sums
+    * are exact integers (order-free across engines); ONE IEEE division
+    * at the output edge.
+    */
+  val VwScale = 1048576L
+
+  /** ES `variable_width_histogram`: `buckets` variable-width buckets
+    * following the natural clusters of the value axis. ES's own
+    * algorithm is a one-pass nearest-centroid stream whose result
+    * depends on document order (its docs say so) — an engine that
+    * promises deterministic replay must pin a convention, so this is
+    * deterministic 1-D SINGLE-LINKAGE clustering on an integer grid:
+    * quantize to [[VwCells]] equal-width cells (one partial-agg scan,
+    * grid-bounded state), then cut the value axis at the
+    * `buckets - 1` LARGEST gaps between occupied cells (ties → lower
+    * cell) — exactly the partition that iteratively merging the
+    * closest adjacent clusters until `buckets` remain would reach,
+    * computed in ONE window pass instead of a merge loop. Per-bucket
+    * min/max/count plus the centroid on the [[VwScale]] integer grid.
+    *
+    * The clustering windows run on the ≤ [[VwCells]]-row cell frame
+    * (the vocab-sized-unpartitioned-window convention); the only
+    * corpus-scale work is the quantizing scan.
+    */
+  def evtVariableWidthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).where(col("value").isNotNull)
+    // eager min/max fetch — the date-math/maxBound discipline: literal
+    // bounds constant-fold into the per-row cell arithmetic
+    val mm = e.agg(min(col("value")), max(col("value"))).head()
+    val (vmin, vmax) =
+      if (mm.isNullAt(0)) (0.0, 0.0) else (mm.getDouble(0), mm.getDouble(1))
+    val cell =
+      if (vmax == vmin) lit(0L)
+      else least(lit(VwCells - 1L),
+        floor((col("value") - lit(vmin)) / (lit(vmax) - lit(vmin)) * lit(VwCells))
+          .cast("long"))
+    val cells = e
+      .select(cell.as("cell"), col("value"),
+        floor(col("value") * lit(VwScale)).cast("long").as("g"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("cnt"), sum(col("g")).as("gsum"),
+        min(col("value")).as("cell_min"), max(col("value")).as("cell_max"))
+    val byCell = Window.orderBy(col("cell"))
+    val gaps = cells.withColumn("gap", col("cell") - lag(col("cell"), 1).over(byCell))
+    val ranked = gaps.withColumn("grk", row_number().over(
+      Window.orderBy(col("gap").desc_nulls_last, col("cell").asc)))
+    val clustered = ranked
+      .withColumn("boundary",
+        when(col("gap").isNotNull && col("grk") <= VwBuckets - 1, 1L).otherwise(0L))
+      .withColumn("bucket", lit(1L) + sum(col("boundary")).over(
+        byCell.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    clustered.groupBy(col("bucket"))
+      .agg(
+        min(col("cell_min")).as("min_value"),
+        max(col("cell_max")).as("max_value"),
+        (sum(col("gsum")).cast("double") /
+          (lit(VwScale).cast("double") * sum(col("cnt")).cast("double")))
+          .as("centroid"),
+        sum(col("cnt")).as("doc_count"))
+  }
+
   /** Percentile ranks — the ES `percentile_ranks` aggregation: per
     * order priority, the fraction of orders at or under each fixed
     * threshold. The inverse question of q32's percentiles ("what
@@ -2273,6 +2346,64 @@ object Relational {
         ((col("pair_support") * col("n_baskets")).cast("double") /
           (col("support_a") * col("support_b")).cast("double")).as("lift"))
       .orderBy(col("pair_support").desc, col("brand_a").asc, col("brand_b").asc)
+      .limit(FpTopK)
+  }
+
+  /** Minimum absolute support for a reported triple — the Apriori
+    * dial: items below it can't appear in any reported set, so the
+    * item prune before enumeration is LOSSLESS.
+    */
+  val FtMinSupport = 3
+
+  /** ES `frequent_item_sets` at set size 3 — the k ≥ 3 extension of
+    * [[q70FrequentPairs]] the ES agg (and real basket mining) wants.
+    * Enumeration uses the DEGREE-ORDERED ORIENTATION device
+    * ([[graft.operators.GraphOps]].triangles' Ortmann-Brandes move,
+    * here on item supports): within each basket, items chain in
+    * (global support ASC, brand ASC) order, so every triple is built
+    * exactly once (no 6× duplicate + dedup of a blind 3-way
+    * self-join) and the RAREST item always leads the wedge — hub
+    * items (high support, the skew killers) never fan out as wedge
+    * centers, bounding per-item join work the way the triangle count
+    * bounds wedge work on power-law graphs. The basket table is the
+    * memoized `fp_baskets` artifact both set sizes share.
+    *
+    * Output is the ES shape: the itemset key (canonical sorted form),
+    * absolute doc_count support, and the support ratio (one IEEE
+    * division of exact integer counts).
+    */
+  def q76FrequentTriples(spark: SparkSession, dir: String): DataFrame = {
+    val items = TextOps.memoized(spark, dir, "fp_baskets") {
+      Tables.lineitem(spark, dir)
+        .join(broadcast(Tables.part(spark, dir)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("p_brand")).distinct()
+    }
+    val sup = items.groupBy(col("p_brand")).agg(count(lit(1)).as("s"))
+      // lossless Apriori prune: a triple with support ≥ m needs every
+      // item's support ≥ m
+      .where(col("s") >= FtMinSupport)
+    val oi = items.join(broadcast(sup), Seq("p_brand"))
+    def side(n: String): DataFrame = oi.select(col("l_orderkey"),
+      col("p_brand").as(s"b_$n"), col("s").as(s"s_$n"))
+    def before(x: String, y: String): Column =
+      (col(s"s_$x") < col(s"s_$y")) ||
+        (col(s"s_$x") === col(s"s_$y") && col(s"b_$x") < col(s"b_$y"))
+    val triples = side("a")
+      .join(side("b"), Seq("l_orderkey")).where(before("a", "b"))
+      .join(side("c"), Seq("l_orderkey")).where(before("b", "c"))
+    val nb = items.agg(countDistinct(col("l_orderkey")).as("n_baskets"))
+    triples
+      .groupBy(concat_ws("|",
+        sort_array(array(col("b_a"), col("b_b"), col("b_c")))).as("items"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= FtMinSupport)
+      .crossJoin(broadcast(nb))
+      .select(col("items"), col("support"), col("n_baskets"),
+        (col("support").cast("double") / col("n_baskets").cast("double"))
+          .as("support_ratio"))
+      .orderBy(col("support").desc, col("items").asc)
       .limit(FpTopK)
   }
 

@@ -1638,6 +1638,49 @@ object TextOps {
         min(col("start")).as("first_pos"))
   }
 
+  /** ES `match_bool_prefix` — the last search-as-you-type member: the
+    * typed terms become a bool-OR of term clauses and the final
+    * (still-being-typed) slot expands through the capped prefix index
+    * (the [[phrasePrefixSearch]] tail device WITHOUT the adjacency
+    * constraint — ES's own distinction between the two queries). A doc
+    * matches when ANY clause does; the per-doc summary reports how
+    * (distinct full terms, distinct prefix-expanded terms, total tf
+    * mass — a full term that also lands in the expansion set counts in
+    * both, exactly as two ES should-clauses both scoring one doc).
+    * Shares [[MppQueries]] — the same user keystrokes, the OR reading.
+    */
+  def boolPrefixSearch(spark: SparkSession, dir: String,
+      workload: Seq[(Long, Seq[String], String)] = MppQueries): DataFrame = {
+    import spark.implicits._
+    val fullTerms = workload.flatMap { case (q, ts, _) => ts.map(t => (q, t)) }
+      .toDF("query_id", "term")
+      .withColumn("is_prefix", lit(0))
+    val prefixes = workload.map { case (q, _, p) => (q, p) }
+      .toDF("query_id", "prefix")
+      .select(col("query_id"), col("prefix"),
+        expr(s"substr(prefix, 1, $CompletionMaxPrefix)").as("key"))
+    val vkeys = postingsIndex(spark, dir).select(col("term")).distinct()
+      .select(col("term"), explode(expr(
+        s"""transform(sequence(1, least(length(term), $CompletionMaxPrefix)),
+           |  i -> substr(term, 1, i))""".stripMargin)).as("key"))
+    val expansions = vkeys.join(broadcast(prefixes), Seq("key"))
+      .where(expr("substr(term, 1, length(prefix)) = prefix"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("term").asc)))
+      .where(col("rk") <= MppMaxExpansions)
+      .select(col("query_id"), col("term"))
+      .withColumn("is_prefix", lit(1))
+    postingsIndex(spark, dir)
+      .join(broadcast(fullTerms.unionByName(expansions)), Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(
+        countDistinct(when(col("is_prefix") === 0, col("term")))
+          .as("n_terms_matched"),
+        countDistinct(when(col("is_prefix") === 1, col("term")))
+          .as("n_prefix_terms"),
+        sum(col("tf")).as("total_tf"))
+  }
+
   def phraseSearch(spark: SparkSession, dir: String,
       workload: Seq[(Long, Seq[String])] = PhraseQueries): DataFrame = {
     import spark.implicits._
@@ -3326,14 +3369,26 @@ object TextOps {
     * (input_term, term, dist, freq) candidates, unranked.
     */
   private def suggestCands(spark: SparkSession, dir: String,
+      inputTerms: Seq[String]): DataFrame =
+    suggestCandsFrom(
+      postingsIndex(spark, dir)
+        .groupBy(col("term")).agg(sum(col("tf")).as("freq")),
+      inputTerms)
+
+  /** The candidate generator over ANY (term, freq) vocabulary — the
+    * seam the streaming postings store reads through
+    * ([[graft.streaming.StreamingRetrieval]].fuzzySearch), like
+    * [[suggestCompletionFrom]] for the completion suggester.
+    */
+  private[graft] def suggestCandsFrom(vocabFreq: DataFrame,
       inputTerms: Seq[String]): DataFrame = {
-    import spark.implicits._
+    val s = vocabFreq.sparkSession
+    import s.implicits._
     def delKeys(c: String): String =
       s"""array_distinct(concat(array($c),
          |  transform(sequence(1, length($c)),
          |    i -> concat(substr($c, 1, i - 1), substr($c, i + 1)))))""".stripMargin
-    val vocab = postingsIndex(spark, dir)
-      .groupBy(col("term")).agg(sum(col("tf")).as("freq"))
+    val vocab = vocabFreq
       .select(col("term"), col("freq"),
         explode(expr(delKeys("term"))).as("key"))
     val inputs = inputTerms.toDF("input_term")
@@ -3421,9 +3476,20 @@ object TextOps {
     * the index).
     */
   def fuzzyQuery(spark: SparkSession, dir: String): DataFrame =
-    postingsIndex(spark, dir)
-      .join(broadcast(suggestCands(spark, dir, SuggestInputs)
-        .select(col("input_term"), col("term"), col("dist"))), Seq("term"))
+    fuzzyQueryFrom(postingsIndex(spark, dir), SuggestInputs)
+
+  /** The fuzzy query over ANY (term, doc_id, tf) postings frame — the
+    * streaming read seam (term expansion from the frame's own
+    * vocabulary sums, doc probe on the same frame).
+    */
+  private[graft] def fuzzyQueryFrom(postings: DataFrame,
+      inputs: Seq[String]): DataFrame =
+    postings
+      .join(broadcast(
+        suggestCandsFrom(
+          postings.groupBy(col("term")).agg(sum(col("tf")).as("freq")),
+          inputs)
+          .select(col("input_term"), col("term"), col("dist"))), Seq("term"))
       .groupBy(col("input_term"), col("doc_id"))
       .agg(countDistinct(col("term")).as("n_terms_matched"),
         sum(col("tf")).as("total_tf"), min(col("dist")).as("min_dist"))
@@ -3442,9 +3508,17 @@ object TextOps {
     * produces before scoring); both sides are vocab-sized exploded
     * key joins, never a corpus LIKE scan.
     */
-  def wildcardSearch(spark: SparkSession, dir: String): DataFrame = {
+  def wildcardSearch(spark: SparkSession, dir: String): DataFrame =
+    wildcardSearchFrom(postingsIndex(spark, dir))
+
+  /** The wildcard query over ANY (term, doc_id, tf) postings frame —
+    * the streaming read seam (both prefix indexes build from the
+    * frame's own term dictionary).
+    */
+  private[graft] def wildcardSearchFrom(postings: DataFrame): DataFrame = {
+    val spark = postings.sparkSession
     import spark.implicits._
-    val stats = postingsIndex(spark, dir)
+    val stats = postings
       .groupBy(col("term"))
       .agg(count(lit(1)).as("n_docs"), sum(col("tf")).as("total_tf"))
     // keyOf is spliced into SQL expression strings, so it is a plain

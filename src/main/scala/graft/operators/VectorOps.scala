@@ -2028,6 +2028,104 @@ object VectorOps {
         count(lit(1)).as("n_exact"))
   }
 
+  /** Beam width for the multi-hop graph descent — candidates expanded
+    * per query per round after the exhaustive first hop.
+    */
+  val BeamWidth = 8
+
+  /** Total hops of [[knnGraphBeam]]: hop 1 is the exhaustive seed
+    * expansion (the [[knnGraphExpand]] candidate set, so beam recall is
+    * ≥ one-hop recall BY CONSTRUCTION — the spec pins that invariant
+    * fixture-independently); hops 2..BeamRounds are beam-bounded.
+    */
+  val BeamRounds = 3
+
+  /** Graph-ANN BEAM search — the multi-hop NSW descent
+    * [[knnGraphExpand]] gestures at: after the exhaustive first hop,
+    * each round follows the graph edges of only the [[BeamWidth]] best
+    * NEW candidates per query (greedy beam), skips everything already
+    * visited (anti-join — the closure device's frontier discipline),
+    * exact-scores the fresh candidates, and the final top-k re-ranks
+    * the full visited set. Every scored sim is exact cosine, so
+    * "re-rank" is a bounded-heap cut, never a rescore.
+    *
+    * Shape at 100 TB: the first hop is what [[knnGraphExpand]] already
+    * pays (banded seed join + one graph hop); each further round
+    * touches ≤ |Q|·BeamWidth·GraphK candidate ids — query-sized, not
+    * corpus-sized — joined against the ≤ GraphK-wide memoized graph on
+    * the frontier key. Rounds are lineage-cut so the loop's plan stays
+    * flat (the propagateToFixpoint discipline).
+    */
+  def knnGraphBeam(spark: SparkSession, dir: String,
+      numPlanes: Int = NumPlanes, bandBits: Int = BandBits): DataFrame =
+    TextOps.memoized(spark, dir, "knn_graph_beam") {
+      graft.plans.GraftExtensions.register(spark)
+      val base = withNorm(spark, dir)
+      val queries = broadcast(base.where(col("vec_id") % QueryMod === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("nrm").as("qnrm")))
+      def score(cands: DataFrame): DataFrame = cands
+        .join(base.select(col("vec_id").as("neighbor_id"), col("embedding"),
+          col("nrm")), Seq("neighbor_id"))
+        .join(queries, Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"), cosine)
+      val graph = knnGraph(spark, dir, numPlanes, bandBits)
+        .select(col("vec_id").as("seed_id"), col("neighbor_id").as("next_id"))
+      // hop 1: the exhaustive seed + one-hop expansion (knnGraphExpand's set)
+      val bands = base.select(
+        col("vec_id"),
+        posexplode(expr(s"sign_bands(embedding, $numPlanes, $bandBits)"))
+          .as(Seq("band_idx", "band_key")))
+      val qBands = bands.where(col("vec_id") % QueryMod === 0)
+        .select(col("vec_id").as("query_id"), col("band_idx"), col("band_key"))
+      val seeds = bands.join(broadcast(qBands), Seq("band_idx", "band_key"))
+        .where(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("seed_id"))
+        .distinct()
+      val hop1 = seeds.select(col("query_id"), col("seed_id").as("neighbor_id"))
+        .unionAll(seeds.join(graph, Seq("seed_id"))
+          .select(col("query_id"), col("next_id").as("neighbor_id")))
+        .where(col("neighbor_id") =!= col("query_id"))
+        .distinct()
+      var fresh = TextOps.cutLineage(score(hop1))
+      var visited = fresh
+      for (_ <- 2 to BeamRounds) {
+        val beam = fresh.groupBy(col("query_id"))
+          .agg(expr(s"topk_by_sim(neighbor_id, sim, $BeamWidth)").as("tk"))
+          .select(col("query_id"),
+            explode(expr("transform(tk, t -> t.neighbor_id)")).as("seed_id"))
+        val next = beam.join(graph, Seq("seed_id"))
+          .select(col("query_id"), col("next_id").as("neighbor_id"))
+          .where(col("neighbor_id") =!= col("query_id"))
+          .distinct()
+          .join(visited.select(col("query_id"), col("neighbor_id")),
+            Seq("query_id", "neighbor_id"), "left_anti")
+        fresh = TextOps.cutLineage(score(next))
+        visited = TextOps.cutLineage(visited.unionAll(fresh))
+      }
+      topK(visited)
+    }
+
+  /** Recall@K of the beam descent vs the exact baseline, with the
+    * one-hop [[knnGraphExpand]] recall as the gauge column: the deeper
+    * hops must only ever ADD true neighbors (the superset construction
+    * makes ≥ an invariant; the golden freezes how much the beam buys).
+    */
+  def beamRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = knnExact(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val beam = knnGraphBeam(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("bhit"))
+    val expand = knnGraphExpand(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("ehit"))
+    exact
+      .join(beam, Seq("query_id", "neighbor_id"), "left")
+      .join(expand, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg((count(col("bhit")).cast("double") / K).as("recall_at_k"),
+        (count(col("ehit")).cast("double") / K).as("expand_recall_at_k"),
+        count(lit(1)).as("n_exact"))
+  }
+
   // --- Margin-based bitext mining ------------------------------------
 
   /** CSLS penalty neighborhood size (Conneau et al. 2018; Artetxe &

@@ -1,0 +1,616 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.operators.VectorOps
+import graft.sources.{SourceRegistry, Tables}
+
+/** ES Query-DSL → DataFrame compiler.
+  *
+  * The reference's actual interface is an Elasticsearch `SearchRequest`
+  * JSON body built at runtime (reference
+  * lib/collectServicesFromSummaries.ts:12-49,178-246;
+  * lib/collectServices.ts:12-84; lib/collectPods.ts:12-63) and POSTed
+  * through the client (lib/es_client.ts). Every operator in this
+  * library reproduces those bodies' SEMANTICS as hand-compiled Spark;
+  * this object closes the interface gap: it parses the surveyed DSL
+  * subset and emits plans built from the same devices the hand-written
+  * operators use, so a reference user can hand their request JSON to
+  * [[search]]/[[drain]] unchanged. QueryDslSpec replays the
+  * reference's four verbatim bodies through this compiler and asserts
+  * bit-equality with the flagship pipelines.
+  *
+  * Supported subset (SURVEY.md §2.2-2.6 query surface):
+  * `bool` (`filter`/`must`/`must_not`/`should` + `minimum_should_match`),
+  * `term`/`terms` (array form and terms-lookup `{index,path}` form),
+  * `range` (ES date math `now-Nu` against a pinned `now`), `exists`,
+  * `match`/`match_phrase`/`match_bool_prefix`/`match_all`,
+  * `fields` projection (incl. `host.*` wildcard families),
+  * `sort`/`size`/`search_after`, `collapse`, and top-level `knn`.
+  *
+  * Compilation is declarative end to end — every construct lowers to
+  * the DataFrame API and the scan-discipline devices the operator
+  * library already proved out, so Catalyst sees the same plans the
+  * hand-written pipelines produce:
+  *   - `range` on the timestamp field restates its bound on the raw
+  *     scan twin ([[Tables.rawTsAtLeast]]) for parquet row-group
+  *     pruning — the 100 TB cold-partition skip;
+  *   - `terms` lookup (the data-dependent form; the reference builds
+  *     its phase-2 `terms` from phase-1 results at
+  *     lib/collectServicesFromSummaries.ts:209-215) compiles to a
+  *     broadcast semi-join, so the big side never shuffles;
+  *   - `collapse` compiles to the window top-1 form whose partial
+  *     WindowGroupLimit Catalyst places before the exchange
+  *     ([[graft.operators.Assets.collapseLatest]]'s proven shape);
+  *   - `sort`+`size` compiles to TakeOrderedAndProject (never a full
+  *     sort);
+  *   - multi-index reads resolve each pattern through the named source
+  *     map and union — the `collectPods` logs∪apm shape (SURVEY.md S3).
+  */
+object QueryDsl {
+
+  /** Declarative ES-field ↔ column mapping for one index family.
+    *
+    * @param fields     ES field name → column name (`service.name` →
+    *                   `service_name`). Unmapped fields project to
+    *                   nothing, exactly as ES returns no entry for a
+    *                   field absent from the mapping (covers the
+    *                   reference's typo'd `kubneretes.pod.name`,
+    *                   lib/collectServices.ts:29).
+    * @param families   wildcard pattern → column prefix (`host.*` →
+    *                   `host_`) — the ES field-family read (SURVEY.md P1).
+    * @param idColumn   the `_id` analog, always present on every hit.
+    * @param tsFields   fields whose range bounds are timestamps with
+    *                   ES date-math support.
+    * @param termValues per-field term-VALUE translation — the fixture
+    *                   mapping (FIXTURES.md §3: `metricset.name:
+    *                   service_summary` ≈ `event_type: purchase`).
+    *                   Unlisted values pass through.
+    * @param dateMath   verbatim date-math rewrite, the fixture's window
+    *                   scaling (`now-10m` → `now-7d`): the reference's
+    *                   minute/hour windows are rescaled to the fixture's
+    *                   30-day span exactly as the hand-written pipelines
+    *                   scaled them (Assets.scala Scaladoc per pipeline).
+    */
+  final case class Mapping(
+      fields: Map[String, String],
+      idColumn: String,
+      families: Map[String, String] = Map.empty,
+      tsFields: Set[String] = Set("@timestamp"),
+      termValues: Map[String, Map[String, String]] = Map.empty,
+      dateMath: Map[String, String] = Map.empty)
+
+  /** Everything a request body resolves against: named index patterns
+    * (the body's `index` array — each entry is one of the reference's
+    * comma-joined pattern strings, constants.ts:1-2), the field
+    * mapping, the pinned `now` for date math (the dataset's own max
+    * timestamp, [[Tables.maxBound]]'s determinism device), and named
+    * frames for the `terms` lookup form.
+    */
+  final case class Env(
+      indices: Map[String, DataFrame],
+      mapping: Mapping,
+      /** null ⇒ the source is empty (no resolvable `now`): every
+        * date-math range compiles to FALSE, matching
+        * [[Tables.trailingWithBound]]'s empty-input contract.
+        */
+      now: java.sql.Timestamp = null,
+      lookups: Map[String, DataFrame] = Map.empty)
+
+  // ---------------------------------------------------------------------
+  // Public entry points
+  // ---------------------------------------------------------------------
+
+  /** Compile and run one search request, honoring `size` (the single-
+    * page read: TakeOrderedAndProject under the body's sort).
+    */
+  def search(env: Env, body: String): DataFrame =
+    run(env, JsonMethods.parse(body), honorSize = true)
+
+  /** Compile the FULL-DRAIN form of a request: the reference pages
+    * with `search_after` until `hits.total` is exhausted
+    * (lib/collectServicesFromSummaries.ts:76-84) — the union of all
+    * pages is the query without its `size` cut, which on Spark is
+    * simply the unlimited plan (one partitioned scan, no driver loop).
+    */
+  def drain(env: Env, body: String): DataFrame =
+    run(env, JsonMethods.parse(body), honorSize = false)
+
+  // ---------------------------------------------------------------------
+  // Core
+  // ---------------------------------------------------------------------
+
+  private def run(env: Env, body: JValue, honorSize: Boolean): DataFrame = {
+    val src = resolveIndex(env, body \ "index")
+    body \ "knn" match {
+      case JNothing => runQuery(env, src, body, honorSize)
+      case knn      => runKnn(env, src, knn)
+    }
+  }
+
+  private def runQuery(env: Env, src: DataFrame, body: JValue,
+      honorSize: Boolean): DataFrame = {
+    var df = body \ "query" match {
+      case JNothing => src
+      case q        => applyQuery(env, src, q)
+    }
+    val sortSpec = parseSort(env, body \ "sort")
+    body \ "search_after" match {
+      case JNothing => ()
+      case JArray(vs) => df = df.where(keysetAfter(env, df, sortSpec, vs))
+      case other => fail(s"unsupported search_after: $other")
+    }
+    body \ "collapse" \ "field" match {
+      case JString(f) => df = collapseTop1(env, df, f, sortSpec)
+      case JNothing   => ()
+      case other      => fail(s"unsupported collapse: $other")
+    }
+    if (honorSize) body \ "size" match {
+      case JInt(n)  => df = df.orderBy(orderCols(env, sortSpec): _*).limit(n.toInt)
+      case JNothing => ()
+      case other    => fail(s"unsupported size: $other")
+    }
+    project(env, df, body \ "fields")
+  }
+
+  /** Top-level `knn` clause: exact cosine top-k with the optional
+    * `filter` participating in the search (ES filtered-kNN semantics —
+    * the predicate gates candidates BEFORE scoring, it never post-trims
+    * the top-k; see [[VectorOps.knnFiltered]]'s rationale). The score
+    * fold is [[VectorOps.dot]] — the sequential in-order form both
+    * engines reproduce bit-exactly.
+    */
+  private def runKnn(env: Env, src: DataFrame, knn: JValue): DataFrame = {
+    val field = knn \ "field" match {
+      case JString(f) => env.mapping.fields.getOrElse(f, fail(s"unmapped knn field $f"))
+      case other => fail(s"knn needs a field: $other")
+    }
+    val qv = knn \ "query_vector" match {
+      case JArray(vs) => vs.map {
+        case JDouble(d) => d
+        case JInt(i)    => i.toDouble
+        case other      => fail(s"non-numeric query_vector entry: $other")
+      }
+      case other => fail(s"knn needs query_vector: $other")
+    }
+    val k = knn \ "k" match {
+      case JInt(n) => n.toInt
+      case other   => fail(s"knn needs integer k: $other")
+    }
+    val filtered = knn \ "filter" match {
+      case JNothing => src
+      case f        => applyQuery(env, src, f)
+    }
+    // literal array SQL: exact binary fractions round-trip the text
+    // form identically on both engines (the oracle mirrors this text)
+    val qvSql = qv.map(d => s"CAST($d AS DOUBLE)").mkString("array(", ", ", ")")
+    val id = env.mapping.idColumn
+    filtered
+      .select(col(id),
+        (expr(VectorOps.dot(field, qvSql)) /
+          (sqrt(expr(VectorOps.dot(field, field))) *
+            sqrt(expr(VectorOps.dot(qvSql, qvSql))))).as("score"))
+      .orderBy(col("score").desc, col(id).asc)
+      .limit(k)
+  }
+
+  private def resolveIndex(env: Env, idx: JValue): DataFrame = {
+    val patterns = idx match {
+      case JString(p)  => Seq(p)
+      case JArray(ps)  => ps.map { case JString(p) => p; case o => fail(s"bad index entry $o") }
+      case JNothing    => fail("request body needs an index")
+      case other       => fail(s"unsupported index: $other")
+    }
+    patterns.map(p => env.indices.getOrElse(p, fail(
+      s"unknown index pattern '$p'; valid: ${env.indices.keys.toSeq.sorted.mkString(", ")}")))
+      .reduce(_.unionByName(_))
+  }
+
+  // ---------------------------------------------------------------------
+  // Query context
+  // ---------------------------------------------------------------------
+
+  /** Data-dependent `terms` (the lookup form): a broadcast semi-join
+    * (anti under `must_not`) — never a driver-side value list.
+    */
+  private final case class Lookup(column: String, values: DataFrame, anti: Boolean)
+
+  private final case class Compiled(pred: Column, lookups: Seq[Lookup])
+
+  private def applyQuery(env: Env, df: DataFrame, q: JValue): DataFrame = {
+    val c = compileClause(env, df, q)
+    val filtered = df.where(c.pred)
+    c.lookups.foldLeft(filtered) { (d, l) =>
+      d.join(broadcast(l.values.toDF(l.column).distinct()), Seq(l.column),
+        if (l.anti) "left_anti" else "left_semi")
+    }
+  }
+
+  private def compileClause(env: Env, df: DataFrame, clause: JValue): Compiled =
+    clause match {
+      case JObject(List(JField("bool", b)))  => compileBool(env, df, b)
+      case JObject(List(JField("match_all", _))) => Compiled(lit(true), Nil)
+      case JObject(List(JField("term", t)))  => Compiled(compileTerm(env, t), Nil)
+      case JObject(List(JField("terms", t))) => compileTerms(env, t)
+      case JObject(List(JField("range", r))) => Compiled(compileRange(env, df, r), Nil)
+      case JObject(List(JField("exists", e))) => Compiled(compileExists(env, df, e), Nil)
+      case JObject(List(JField("match", m))) => Compiled(compileMatch(env, m), Nil)
+      case JObject(List(JField("match_phrase", m))) =>
+        Compiled(compileMatchPhrase(env, m), Nil)
+      case JObject(List(JField("match_bool_prefix", m))) =>
+        Compiled(compileMatchBoolPrefix(env, m), Nil)
+      case other => fail(s"unsupported query clause: ${JsonMethods.compact(JsonMethods.render(other))}")
+    }
+
+  /** `bool` semantics in filter context (the reference uses no scoring
+    * anywhere — every query is `_source:false` + `fields`):
+    * `filter`≡`must` (AND), `must_not` is the NULL-SAFE negation (a row
+    * whose field is absent MATCHES `must_not term` — ES negates the
+    * positive match, so SQL three-valued NOT needs the coalesce),
+    * `should` participates only when `minimum_should_match` is set or
+    * the bool has no must/filter (ES's documented default of 1 in that
+    * case).
+    */
+  private def compileBool(env: Env, df: DataFrame, b: JValue): Compiled = {
+    def clausesOf(name: String): Seq[JValue] = b \ name match {
+      case JNothing   => Nil
+      case JArray(cs) => cs
+      case single     => Seq(single)
+    }
+    val musts = (clausesOf("filter") ++ clausesOf("must"))
+      .map(compileClause(env, df, _))
+    val nots = clausesOf("must_not").map(compileClause(env, df, _))
+    val shoulds = clausesOf("should").map(compileClause(env, df, _))
+    require(shoulds.forall(_.lookups.isEmpty),
+      "terms lookup under should is unsupported (no relational form of optional semi-join)")
+    val msm: Int = b \ "minimum_should_match" match {
+      case JInt(n)    => n.toInt
+      case JString(s) => s.toInt
+      case JNothing   => if (musts.isEmpty && shoulds.nonEmpty) 1 else 0
+      case other      => fail(s"unsupported minimum_should_match: $other")
+    }
+    val mustPred = musts.map(_.pred).foldLeft(lit(true))(_ && _)
+    val notPred = nots.map(c => !coalesce(c.pred, lit(false)))
+      .foldLeft(lit(true))(_ && _)
+    val shouldPred =
+      if (shoulds.isEmpty || msm <= 0) lit(true)
+      else if (msm == 1) shoulds.map(c => coalesce(c.pred, lit(false))).reduce(_ || _)
+      else shoulds.map(c => when(coalesce(c.pred, lit(false)), 1).otherwise(0))
+        .reduce(_ + _) >= msm
+    val notLookups = nots.flatMap(_.lookups).map(_.copy(anti = true))
+    Compiled(mustPred && notPred && shouldPred,
+      musts.flatMap(_.lookups) ++ notLookups)
+  }
+
+  /** `term`: exact value equality, with the per-field fixture value
+    * translation applied (Mapping.termValues).
+    */
+  private def compileTerm(env: Env, t: JValue): Column = t match {
+    case JObject(List(JField(field, v))) =>
+      val value = v match {
+        case JObject(fs) => fs.toMap.getOrElse("value", fail(s"term $field needs value"))
+        case simple      => simple
+      }
+      fieldCol(env, field) === termLit(env, field, value)
+    case other => fail(s"unsupported term: $other")
+  }
+
+  private def compileTerms(env: Env, t: JValue): Compiled = t match {
+    case JObject(List(JField(field, JArray(vs)))) =>
+      Compiled(fieldCol(env, field).isin(vs.map(termLitValue(env, field, _)): _*), Nil)
+    case JObject(List(JField(field, spec: JObject))) =>
+      // terms LOOKUP: { index, path } — the data-dependent form
+      val idx = spec \ "index" match {
+        case JString(i) => i
+        case o          => fail(s"terms lookup needs index: $o")
+      }
+      val path = spec \ "path" match {
+        case JString(p) => p
+        case o          => fail(s"terms lookup needs path: $o")
+      }
+      val frame = env.lookups.getOrElse(idx, fail(
+        s"unknown lookup index '$idx'; valid: ${env.lookups.keys.toSeq.sorted.mkString(", ")}"))
+      val pathCol = env.mapping.fields.getOrElse(path, path)
+      Compiled(lit(true),
+        Seq(Lookup(colName(env, field), frame.select(col(pathCol)), anti = false)))
+    case other => fail(s"unsupported terms: $other")
+  }
+
+  /** `range`: timestamp fields resolve ES date math against the pinned
+    * `now` with the SAME driver-side day arithmetic as
+    * [[Tables.trailingWithBound]], and a `gte`/`gt` lower bound is
+    * restated on the raw scan twin for row-group pruning. Non-ts
+    * fields compare numerically.
+    */
+  private def compileRange(env: Env, df: DataFrame, r: JValue): Column = r match {
+    case JObject(List(JField(field, JObject(bounds)))) =>
+      val c = fieldCol(env, field)
+      val isTs = env.mapping.tsFields.contains(field)
+      if (isTs && env.now == null) return lit(false) // empty source: no `now`, no rows
+      bounds.map {
+        case (op, v) =>
+          val resolved: (Column, Option[java.time.Instant]) =
+            if (isTs) {
+              val t = resolveDateMath(env, v)
+              (lit(t), Some(t.toInstant))
+            } else (rangeLit(v), None)
+          val (value, instant) = resolved
+          val cmp = op match {
+            case "gte" => c >= value
+            case "gt"  => c > value
+            case "lte" => c <= value
+            case "lt"  => c < value
+            case other => fail(s"unsupported range op $other")
+          }
+          // lower bounds prune at the parquet scan via the raw twin;
+          // upper bounds stay derived-only (no twin exists — a pruning
+          // hint, never the filter of record, so correctness holds)
+          if (isTs && (op == "gte" || op == "gt"))
+            cmp && Tables.rawTsAtLeast(df, instant.get)
+          else cmp
+      }.reduce(_ && _)
+    case other => fail(s"unsupported range: $other")
+  }
+
+  /** `exists`: field has a value — for array-typed columns ES indexes
+    * no value for an empty array, so exists ≡ non-null AND non-empty.
+    */
+  private def compileExists(env: Env, df: DataFrame, e: JValue): Column = {
+    val field = e \ "field" match {
+      case JString(f) => f
+      case other      => fail(s"exists needs a field: $other")
+    }
+    val name = colName(env, field)
+    val c = col(name)
+    df.schema.find(_.name == name).map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.ArrayType(_, _)) =>
+        c.isNotNull && size(c) > 0
+      case _ => c.isNotNull
+    }
+  }
+
+  /** `match` in filter context: whitespace-analyzed query, OR over
+    * per-token membership in the field's token set (`operator: and`
+    * requires all). Matches the library's whitespace tokenization
+    * ([[graft.operators.TextOps]]'s `words` convention).
+    */
+  private def compileMatch(env: Env, m: JValue): Column = m match {
+    case JObject(List(JField(field, spec))) =>
+      val (queryText, andOp) = spec match {
+        case JString(q)  => (q, false)
+        case o: JObject  =>
+          val q = o \ "query" match {
+            case JString(s) => s
+            case x          => fail(s"match needs query: $x")
+          }
+          val op = o \ "operator" match {
+            case JString("and") => true
+            case _              => false
+          }
+          (q, op)
+        case other => fail(s"unsupported match spec: $other")
+      }
+      val c = fieldCol(env, field)
+      val toks = queryText.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+      require(toks.nonEmpty, "empty match query")
+      val per = toks.map(t => array_contains(split(c, " "), t))
+      if (andOp) per.reduce(_ && _) else per.reduce(_ || _)
+    case other => fail(s"unsupported match: $other")
+  }
+
+  /** `match_phrase`: token adjacency — the padded-text containment form
+    * (` t1 t2 ` inside ` text `), exact for whitespace tokenization.
+    */
+  private def compileMatchPhrase(env: Env, m: JValue): Column = m match {
+    case JObject(List(JField(field, spec))) =>
+      val queryText = spec match {
+        case JString(q) => q
+        case o: JObject => o \ "query" match {
+          case JString(s) => s
+          case x          => fail(s"match_phrase needs query: $x")
+        }
+        case other => fail(s"unsupported match_phrase spec: $other")
+      }
+      val c = fieldCol(env, field)
+      val needle = " " + queryText.trim.split("\\s+").mkString(" ") + " "
+      instr(concat(lit(" "), c, lit(" ")), needle) > 0
+    case other => fail(s"unsupported match_phrase: $other")
+  }
+
+  /** `match_bool_prefix`: every token a term match, the LAST a prefix
+    * over the field's tokens (search-as-you-type's bool member).
+    */
+  private def compileMatchBoolPrefix(env: Env, m: JValue): Column = m match {
+    case JObject(List(JField(field, spec))) =>
+      val queryText = spec match {
+        case JString(q) => q
+        case o: JObject => o \ "query" match {
+          case JString(s) => s
+          case x          => fail(s"match_bool_prefix needs query: $x")
+        }
+        case other => fail(s"unsupported match_bool_prefix spec: $other")
+      }
+      val c = fieldCol(env, field)
+      val toks = queryText.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+      require(toks.nonEmpty, "empty match_bool_prefix query")
+      val full = toks.init.map(t => array_contains(split(c, " "), t))
+      val last = exists(split(c, " "), w => w.startsWith(toks.last))
+      (full :+ last).reduce(_ && _)
+    case other => fail(s"unsupported match_bool_prefix: $other")
+  }
+
+  // ---------------------------------------------------------------------
+  // Sort / paging / collapse / projection
+  // ---------------------------------------------------------------------
+
+  private final case class SortKey(column: String, asc: Boolean)
+
+  private def parseSort(env: Env, s: JValue): Seq[SortKey] = {
+    def one(f: String, dir: JValue): SortKey = dir match {
+      case JString("asc")  => SortKey(colName(env, f), asc = true)
+      case JString("desc") => SortKey(colName(env, f), asc = false)
+      case o: JObject => o \ "order" match {
+        case JString("asc")  => SortKey(colName(env, f), asc = true)
+        case JString("desc") => SortKey(colName(env, f), asc = false)
+        case other           => fail(s"unsupported sort order: $other")
+      }
+      case other => fail(s"unsupported sort dir: $other")
+    }
+    s match {
+      case JNothing => Nil
+      case JArray(entries) => entries.map {
+        case JObject(List(JField(f, dir))) => one(f, dir)
+        case JString(f)                    => SortKey(colName(env, f), asc = true)
+        case other                         => fail(s"unsupported sort entry: $other")
+      }
+      case JObject(List(JField(f, dir))) => Seq(one(f, dir))
+      case other => fail(s"unsupported sort: $other")
+    }
+  }
+
+  /** Total order for size cuts: the body's sort keys plus the id
+    * tiebreaker ES lacks (SURVEY.md §7.4 risk 2) — same direction as
+    * the last sort key, matching
+    * [[graft.operators.Assets.collapseLatest]]'s (ts desc, id desc).
+    */
+  private def orderCols(env: Env, sortSpec: Seq[SortKey]): Seq[Column] = {
+    val id = env.mapping.idColumn
+    val tieAsc = sortSpec.lastOption.forall(_.asc)
+    sortSpec.map(k => if (k.asc) col(k.column).asc else col(k.column).desc) :+
+      (if (tieAsc) col(id).asc else col(id).desc)
+  }
+
+  /** `search_after`: strictly-after keyset predicate over the sort
+    * tuple — q53_keyset_page's device, directions per key.
+    */
+  private def keysetAfter(env: Env, df: DataFrame, sortSpec: Seq[SortKey],
+      values: List[JValue]): Column = {
+    require(sortSpec.nonEmpty && sortSpec.size == values.size,
+      s"search_after needs one value per sort key (${sortSpec.size} keys, ${values.size} values)")
+    val keyed = sortSpec.zip(values).map { case (k, v) =>
+      val c = col(k.column)
+      val dtype = df.schema.find(_.name == k.column).map(_.dataType)
+      val value: Column = (v, dtype) match {
+        case (JInt(n), Some(org.apache.spark.sql.types.TimestampType)) =>
+          // ES sort values for date fields are epoch millis
+          expr(s"timestamp_millis(${n}L)")
+        case (JInt(n), _)    => lit(n.toLong)
+        case (JDouble(d), _) => lit(d)
+        case (JString(s), Some(t)) => lit(s).cast(t)
+        case (JString(s), None)    => lit(s)
+        case (other, _) => fail(s"unsupported search_after value: $other")
+      }
+      (c, value, k.asc)
+    }
+    // lexicographic strictly-after: OR over prefixes
+    keyed.indices.map { i =>
+      val equalPrefix = keyed.take(i).map { case (c, v, _) => c === v }
+        .foldLeft(lit(true))(_ && _)
+      val (c, v, asc) = keyed(i)
+      equalPrefix && (if (asc) c > v else c < v)
+    }.reduce(_ || _)
+  }
+
+  /** `collapse`: top-1 per key under the body's sort + id tiebreaker —
+    * the window form whose partial WindowGroupLimit keeps the shuffle
+    * ~1 row per key (Assets.collapseLatest's measured rationale).
+    */
+  private def collapseTop1(env: Env, df: DataFrame, field: String,
+      sortSpec: Seq[SortKey]): DataFrame = {
+    val w = Window.partitionBy(col(colName(env, field)))
+      .orderBy(orderCols(env, sortSpec): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** `fields` projection: the id column (ES returns `_id` on every
+    * hit) plus each requested field in body order; wildcard patterns
+    * expand through the family map in schema order; unmapped or absent
+    * fields project to nothing (ES returns no entry for them).
+    */
+  private def project(env: Env, df: DataFrame, fieldsJ: JValue): DataFrame = {
+    val requested: Seq[String] = fieldsJ match {
+      case JNothing   => Nil
+      case JArray(fs) => fs.map {
+        case JString(f)                         => f
+        case JObject(List(JField("field", JString(f)))) => f
+        case other => fail(s"unsupported fields entry: $other")
+      }
+      case other => fail(s"unsupported fields: $other")
+    }
+    val cols = requested.flatMap { f =>
+      if (f.endsWith("*"))
+        env.mapping.families.get(f).toSeq
+          .flatMap(pfx => df.columns.filter(_.startsWith(pfx)))
+      else env.mapping.fields.get(f).filter(df.columns.contains)
+    }
+    val all = (env.mapping.idColumn +: cols).distinct
+    df.select(all.map(col): _*)
+  }
+
+  // ---------------------------------------------------------------------
+  // Leaf helpers
+  // ---------------------------------------------------------------------
+
+  private def colName(env: Env, field: String): String =
+    env.mapping.fields.getOrElse(field, fail(s"unmapped field '$field'"))
+
+  private def fieldCol(env: Env, field: String): Column = col(colName(env, field))
+
+  private def termLitValue(env: Env, field: String, v: JValue): Any = v match {
+    case JString(s) =>
+      env.mapping.termValues.get(field).flatMap(_.get(s)).getOrElse(s)
+    case JInt(n)    => n.toLong
+    case JDouble(d) => d
+    case JBool(b)   => b
+    case other      => fail(s"unsupported term value: $other")
+  }
+
+  private def termLit(env: Env, field: String, v: JValue): Column =
+    lit(termLitValue(env, field, v))
+
+  private def rangeLit(v: JValue): Column = v match {
+    case JInt(n)    => lit(n.toLong)
+    case JDouble(d) => lit(d)
+    case JString(s) => lit(s)
+    case other      => fail(s"unsupported range value: $other")
+  }
+
+  private val DateMathRe = """now(?:([+-])(\d+)([smhdw]))?""".r
+
+  /** ES date math against the pinned `now` — driver-side Duration
+    * arithmetic, identical to [[Tables.trailingWithBound]]'s day path
+    * so compiled windows are bit-equal to the hand-written pipelines'.
+    */
+  private def resolveDateMath(env: Env, v: JValue): java.sql.Timestamp = {
+    val raw = v match {
+      case JString(s) => s
+      case other      => fail(s"unsupported date-math value: $other")
+    }
+    val s = env.mapping.dateMath.getOrElse(raw, raw)
+    s match {
+      case DateMathRe(null, null, null) => env.now
+      case DateMathRe(sign, n, unit) =>
+        val d = unit match {
+          case "s" => java.time.Duration.ofSeconds(n.toLong)
+          case "m" => java.time.Duration.ofMinutes(n.toLong)
+          case "h" => java.time.Duration.ofHours(n.toLong)
+          case "d" => java.time.Duration.ofDays(n.toLong)
+          case "w" => java.time.Duration.ofDays(7L * n.toLong)
+        }
+        val i = env.now.toInstant
+        java.sql.Timestamp.from(if (sign == "-") i.minus(d) else i.plus(d))
+      case iso =>
+        // plain timestamp literal
+        java.sql.Timestamp.valueOf(iso.replace('T', ' ').stripSuffix("Z"))
+    }
+  }
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"QueryDsl: $msg")
+}

@@ -183,4 +183,27 @@ object StreamingRetrieval {
       spark.read.parquet(s"$indexPath/postings")
         .groupBy(col("term")).agg(sum(col("tf")).as("freq")),
       inputs)
+
+  /** ES `fuzzy` query over the accumulated postings — the fourth read
+    * surface of the store: term expansion blocks on the merged
+    * vocabulary's deletion-1 keys, the doc probe runs on the same
+    * accumulated postings ≡ [[TextOps.fuzzyQuery]] over the union of
+    * all ingested batches.
+    */
+  def fuzzySearch(spark: SparkSession, indexPath: String,
+      inputs: Seq[String] = TextOps.SuggestInputs): DataFrame =
+    TextOps.fuzzyQueryFrom(
+      spark.read.parquet(s"$indexPath/postings")
+        .select(col("term"), col("doc_id"), col("tf")),
+      inputs)
+
+  /** ES `wildcard` query (both anchors) over the accumulated postings
+    * — forward and reversed-term prefix indexes build from the merged
+    * term dictionary ≡ [[TextOps.wildcardSearch]] over the ingested
+    * union.
+    */
+  def wildcardSearch(spark: SparkSession, indexPath: String): DataFrame =
+    TextOps.wildcardSearchFrom(
+      spark.read.parquet(s"$indexPath/postings")
+        .select(col("term"), col("doc_id"), col("tf")))
 }

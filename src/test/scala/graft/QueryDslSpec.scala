@@ -1,0 +1,326 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Assets, DslQueries}
+import graft.plans.QueryDsl
+
+/** The Query-DSL compiler replayed against the reference's OWN request
+  * bodies: each JSON below is the verbatim `SearchRequest` the
+  * reference builds (windows and values translated declaratively by
+  * the env's Mapping — dateMath 10m→7d/15m→14d/1h→21d and
+  * `service_summary`→`purchase`, the same fixture scaling the
+  * hand-written pipelines use), compiled to a DataFrame, post-processed
+  * with the reference's client-side fold, and asserted BIT-EQUAL to the
+  * flagship pipelines built by hand in Assets.scala. Plus unit replays
+  * for the clauses the four bodies don't reach (search_after keyset,
+  * terms lookup, minimum_should_match > 1, match_bool_prefix,
+  * null-safe must_not).
+  */
+class QueryDslSpec extends SparkSpec {
+
+  private lazy val env = DslQueries.signalEnv(spark, sfDir)
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  /** lib/collectServicesFromSummaries.ts:12-49 — phase 1: summary
+    * signals in the trailing window, asc-sorted, fields-projected.
+    */
+  private val summariesPhase1 = s"""{
+    "index": ["${DslQueries.ApmPattern}"],
+    "size": 1000,
+    "sort": [{"@timestamp": "asc"}],
+    "_source": false,
+    "fields": ["@timestamp", "service.name", "service.environment"],
+    "query": {
+      "bool": {
+        "filter": [{"range": {"@timestamp": {"gte": "now-10m"}}}],
+        "must": [{"term": {"metricset.name": "service_summary"}}]
+      }
+    }
+  }"""
+
+  /** lib/collectServicesFromSummaries.ts:178-241 — phase 2, with the
+    * data-dependent `terms` built from phase-1 results (:209-215)
+    * spliced in by the caller exactly as the reference splices
+    * `services.map(s => s.name)`.
+    */
+  private def summariesPhase2(termsJson: String) = s"""{
+    "index": ["${DslQueries.ApmPattern}"],
+    "size": 1000,
+    "sort": [{"@timestamp": "asc"}],
+    "_source": false,
+    "fields": ["@timestamp", "data_stream.dataset", "event.dataset",
+               "service.name", "service.environment", "container.id",
+               "kubernetes.pod.uid", "kubernetes.pod.name", "host.*"],
+    "query": {
+      "bool": {
+        "filter": [{"range": {"@timestamp": {"gte": "now-15m"}}}],
+        "must": [{"terms": {"service.name": $termsJson}}],
+        "should": [
+          {"exists": {"field": "container.id"}},
+          {"exists": {"field": "kubernetes.pod.uid"}},
+          {"exists": {"field": "host.name"}},
+          {"exists": {"field": "host.hostname"}}
+        ],
+        "minimum_should_match": 1
+      }
+    }
+  }"""
+
+  test("replay: two-phase collectServicesFromSummaries bodies == svc_summaries (and phase-1 fold == svc_latest)") {
+    // phase 1 drain + the reference's client fold (:86-94 — last write
+    // wins per (name, env) ≡ max(ts)) equals the svc_latest operator
+    val p1 = QueryDsl.drain(env, summariesPhase1)
+    val latest = p1.groupBy(col("service_name"), col("service_environment"))
+      .agg(max(col("ts")).as("latest_ts"))
+    assert(rows(latest) === rows(Assets.servicesLatest(spark, sfDir)))
+
+    // the reference materializes phase-1 hits client-side and injects
+    // the names as a literal terms array (:209-215)
+    val names = p1.select(col("service_name")).distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(names.nonEmpty)
+    val termsJson = names.map(n => "\"" + n + "\"").mkString("[", ", ", "]")
+    val hits = QueryDsl.drain(env, summariesPhase2(termsJson))
+    // client-side shaping (:250-276): findParent + EAN projection —
+    // the same projection devices the hand pipeline uses
+    val replayed = hits.select(
+      col("event_id"), col("ts"),
+      Assets.ean("service", col("service_name")).as("asset_ean"),
+      lit("service").as("asset_type"),
+      col("service_name").as("asset_id"),
+      col("service_name").as("asset_name"),
+      col("service_environment"),
+      Assets.parentType.as("parent_type"),
+      Assets.parentId.as("parent_id"),
+      concat(Assets.parentType, lit(":"), Assets.parentId).as("parent_ean"))
+    assert(rows(replayed) === rows(Assets.servicesFromSummaries(spark, sfDir)))
+  }
+
+  /** lib/collectServices.ts:12-81 — collapse on service.name, newest
+    * first, exists-must + parent-candidate should (msm 1), including
+    * the reference's typo'd `kubneretes.pod.name` and fields absent
+    * from the fixture mapping (node.id, namespace) which project to
+    * nothing, exactly as ES returns no entry for unmapped fields.
+    */
+  private val servicesBody = s"""{
+    "index": ["${DslQueries.ApmPattern}"],
+    "size": 1000,
+    "collapse": {"field": "service.name"},
+    "sort": [{"@timestamp": "desc"}],
+    "_source": false,
+    "fields": ["service.name", "service.environment", "container.*",
+               "kubernetes.pod.uid", "kubneretes.pod.name",
+               "kubernetes.node.id", "kubernetes.node.name",
+               "kubernetes.namespace", "cloud.provider",
+               "orchestrator.cluster.name", "host.name", "host.hostname"],
+    "query": {
+      "bool": {
+        "filter": [{"range": {"@timestamp": {"gte": "now-1h"}}}],
+        "must": [{"exists": {"field": "service.name"}}],
+        "should": [
+          {"exists": {"field": "container.id"}},
+          {"exists": {"field": "kubernetes.pod.uid"}},
+          {"exists": {"field": "host.name"}},
+          {"exists": {"field": "host.hostname"}}
+        ],
+        "minimum_should_match": 1
+      }
+    }
+  }"""
+
+  test("replay: collectServices body == svc_collapse") {
+    val hits = QueryDsl.drain(env, servicesBody)
+    val replayed = Assets.serviceAssetProjection(hits, Assets.batchTs)
+    assert(rows(replayed) === rows(Assets.servicesCollapse(spark, sfDir)))
+  }
+
+  /** lib/collectPods.ts:12-60 — the logs∪apm multi-index read
+    * (:13 — `[getLogsIndices(), getApmIndices()]`), pod+node exists
+    * conjunction, collapse on pod uid.
+    */
+  private val podsBody = s"""{
+    "index": ["${DslQueries.LogsPattern}", "${DslQueries.ApmPattern}"],
+    "size": 1000,
+    "collapse": {"field": "kubernetes.pod.uid"},
+    "sort": [{"@timestamp": "desc"}],
+    "_source": false,
+    "fields": ["kubernetes.pod.uid", "kubneretes.pod.name",
+               "kubernetes.node.id", "kubernetes.node.name",
+               "kubernetes.namespace", "cloud.provider",
+               "orchestrator.cluster.name", "host.name", "host.hostname"],
+    "query": {
+      "bool": {
+        "filter": [{"range": {"@timestamp": {"gte": "now-1h"}}}],
+        "must": [
+          {"exists": {"field": "kubernetes.pod.uid"}},
+          {"exists": {"field": "kubernetes.node.name"}}
+        ]
+      }
+    }
+  }"""
+
+  test("replay: collectPods body (multi-index) == pods_collapse") {
+    val hits = QueryDsl.drain(env, podsBody)
+    val replayed = Assets.podAssets(hits)
+    assert(rows(replayed) === rows(Assets.podsCollapse(spark, sfDir)))
+  }
+
+  // -----------------------------------------------------------------
+  // Clause-level replays
+  // -----------------------------------------------------------------
+
+  test("search_after compiles to the strictly-after keyset predicate") {
+    val base = s"""{
+      "index": ["${DslQueries.ApmPattern}"],
+      "sort": [{"@timestamp": "asc"}],
+      "fields": ["@timestamp", "service.name"],
+      "query": {"bool": {"filter": [{"range": {"@timestamp": {"gte": "now-21d"}}}]}}
+    }"""
+    val all = QueryDsl.drain(env, base).collect()
+    assert(all.length > 10)
+    // page boundary: a mid-range timestamp from the data itself
+    val cut = all.map(_.getTimestamp(1)).sorted(
+      Ordering.by((t: java.sql.Timestamp) => t.getTime)).apply(all.length / 2)
+    val after = s"""{
+      "index": ["${DslQueries.ApmPattern}"],
+      "sort": [{"@timestamp": "asc"}],
+      "search_after": ["${cut.toInstant}"],
+      "fields": ["@timestamp", "service.name"],
+      "query": {"bool": {"filter": [{"range": {"@timestamp": {"gte": "now-21d"}}}]}}
+    }"""
+    val page2 = QueryDsl.drain(env, after).collect()
+    val expected = all.filter(_.getTimestamp(1).after(cut))
+    assert(page2.map(_.toString).sorted.toSeq ===
+      expected.map(_.toString).sorted.toSeq)
+    // and the size cut is the sorted prefix
+    val page1 = QueryDsl.search(env,
+      base.replaceFirst("\\{", """{"size": 7,"""))
+    assert(page1.count() === 7)
+  }
+
+  test("terms lookup compiles to a broadcast semi-join equal to the literal list") {
+    import spark.implicits._
+    val wanted = Seq("svc-1", "svc-7", "svc-13")
+    val lookupEnv = env.copy(lookups =
+      Map("selected_services" -> wanted.toDF("service_name")))
+    val viaLookup = QueryDsl.drain(lookupEnv, s"""{
+      "index": ["${DslQueries.ApmPattern}"],
+      "fields": ["@timestamp", "service.name"],
+      "query": {"bool": {"must": [{"terms": {"service.name":
+        {"index": "selected_services", "path": "service.name"}}}]}}
+    }""")
+    val viaList = QueryDsl.drain(env, s"""{
+      "index": ["${DslQueries.ApmPattern}"],
+      "fields": ["@timestamp", "service.name"],
+      "query": {"bool": {"must": [{"terms": {"service.name":
+        ["svc-1", "svc-7", "svc-13"]}}]}}
+    }""")
+    assert(rows(viaLookup) === rows(viaList))
+    assert(viaLookup.count() > 0)
+  }
+
+  test("must_not is null-safe (absent field MATCHES the negation) and msm>1 counts") {
+    val notAws = QueryDsl.drain(env, s"""{
+      "index": ["${DslQueries.ApmPattern}"],
+      "fields": ["cloud.provider"],
+      "query": {"bool": {"must_not": [{"term": {"cloud.provider": "aws"}}]}}
+    }""")
+    val sig = graft.sources.Tables.signals(spark, sfDir)
+    assert(notAws.count() ===
+      sig.where(col("cloud_provider").isNull || col("cloud_provider") =!= "aws").count())
+    assert(notAws.where(col("cloud_provider").isNull).count() > 0)
+
+    val twoOfThree = QueryDsl.drain(env, s"""{
+      "index": ["${DslQueries.ApmPattern}"],
+      "fields": ["container.id", "kubernetes.pod.uid", "host.name"],
+      "query": {"bool": {"should": [
+        {"exists": {"field": "container.id"}},
+        {"exists": {"field": "kubernetes.pod.uid"}},
+        {"exists": {"field": "host.name"}}
+      ], "minimum_should_match": 2}}
+    }""")
+    val manual = sig.where(
+      (when(col("container_id").isNotNull, 1).otherwise(0) +
+        when(col("kubernetes_pod_uid").isNotNull, 1).otherwise(0) +
+        when(col("host_name").isNotNull, 1).otherwise(0)) >= 2)
+    assert(twoOfThree.count() === manual.count())
+    assert(twoOfThree.count() > 0)
+  }
+
+  test("match_bool_prefix: full-term members plus prefix-expanded tail") {
+    val denv = DslQueries.docEnv(spark, sfDir)
+    val hits = QueryDsl.drain(denv, """{
+      "index": ["docs-*"],
+      "fields": ["n_chars"],
+      "query": {"match_bool_prefix": {"text": "merge slo"}}
+    }""")
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val brute = docs.where(
+      array_contains(split(col("text"), " "), "merge") &&
+        exists(split(col("text"), " "), w => w.startsWith("slo")))
+    assert(hits.count() === brute.count())
+    assert(hits.count() > 0)
+  }
+
+  test("has_child / has_parent: join-field queries replay from the doc set") {
+    import graft.operators.GraphOps
+    val docs = graft.operators.Assets.assetsAll(spark, sfDir).collect()
+    val byEan = docs.map(r => r.getAs[String]("asset_ean") -> r).toMap
+    def edgesOf(r: org.apache.spark.sql.Row, c: String): Seq[String] =
+      Option(r.getAs[String](c)).filter(_.nonEmpty).toSeq
+        .flatMap(_.split("\\|").toSeq)
+    // (child, parent) relation: parents lists + inverted children lists
+    val pc = docs.flatMap(r =>
+      edgesOf(r, "asset_parents").map(p => (r.getAs[String]("asset_ean"), p)) ++
+        edgesOf(r, "asset_children").map(c => (c, r.getAs[String]("asset_ean"))))
+      .distinct
+    val prodSvc = docs.filter(r => r.getAs[String]("asset_type") == "service" &&
+      r.getAs[String]("service_environment") == "prod")
+      .map(_.getAs[String]("asset_ean")).toSet
+    val wantParents = pc.filter(e => prodSvc(e._1)).groupBy(_._2)
+      .view.mapValues(_.map(_._1).distinct.length.toLong).toMap
+      .filter { case (p, _) => byEan.contains(p) }
+    val gotChild = GraphOps.assetHasChild(spark, sfDir).collect()
+      .map(r => r.getAs[String]("asset_ean") -> r.getAs[Long]("n_matching_children"))
+      .toMap
+    assert(gotChild === wantParents)
+    assert(gotChild.nonEmpty)
+    // the has_child hits are PARENT docs (containers/hosts) — none of
+    // them satisfies the child predicate itself: matched only through
+    // the join field
+    gotChild.keys.foreach { ean =>
+      assert(!prodSvc(ean), s"$ean matched through itself, not its child")
+    }
+
+    val clusteredNodes = docs.filter(r => r.getAs[String]("asset_type") == "k8s.node" &&
+      Option(r.getAs[String]("asset_references")).exists(_.nonEmpty))
+      .map(_.getAs[String]("asset_ean")).toSet
+    val wantChildren = pc.filter(e => clusteredNodes(e._2)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).distinct.length.toLong).toMap
+      .filter { case (c, _) => byEan.contains(c) }
+    val gotParent = GraphOps.assetHasParent(spark, sfDir).collect()
+      .map(r => r.getAs[String]("asset_ean") -> r.getAs[Long]("n_matching_parents"))
+      .toMap
+    assert(gotParent === wantChildren)
+    assert(gotParent.nonEmpty)
+    gotParent.keys.foreach { ean =>
+      assert(!clusteredNodes(ean), s"$ean matched through itself, not its parent")
+    }
+  }
+
+  test("empty-array exists semantics: ES indexes no value for []") {
+    // service_tags is [] when k % 11 == 0 — exists must reject those
+    val tagged = QueryDsl.drain(env, s"""{
+      "index": ["${DslQueries.ApmPattern}"],
+      "fields": ["service.tags"],
+      "query": {"bool": {"must": [{"exists": {"field": "service.tags"}}]}}
+    }""")
+    val sig = graft.sources.Tables.signals(spark, sfDir)
+    assert(tagged.count() === sig.where(size(col("service_tags")) > 0).count())
+    assert(tagged.count() < sig.count(), "the empty-array rows must be excluded")
+  }
+}

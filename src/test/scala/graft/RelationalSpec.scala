@@ -930,6 +930,46 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("evt_variable_width_histogram: single-linkage boundary replay from raw values") {
+    import operators.Relational.{VwBuckets, VwCells, VwScale}
+    val rows = operators.Relational.evtVariableWidthHistogram(spark, sfDir)
+      .collect().sortBy(_.getLong(0))
+    val values = spark.read.parquet(s"$sfDir/events.parquet")
+      .select("value").where(col("value").isNotNull)
+      .collect().map(_.getDouble(0))
+    // driver replay of the whole clustering: quantize, cut the B-1
+    // largest gaps (ties -> lower cell), aggregate
+    val vmin = values.min; val vmax = values.max
+    def cellOf(v: Double): Long =
+      if (vmax == vmin) 0L
+      else math.min(VwCells - 1L, math.floor((v - vmin) / (vmax - vmin) * VwCells).toLong)
+    val byCell = values.groupBy(cellOf).toSeq.sortBy(_._1)
+    val cellIds = byCell.map(_._1)
+    val gaps = cellIds.zip(cellIds.drop(1)).map { case (a, b) => (b, b - a) }
+    val boundaries = gaps.sortBy { case (c, g) => (-g, c) }
+      .take(VwBuckets - 1).map(_._1).toSet
+    val expected = byCell.foldLeft(Vector.empty[Vector[(Long, Array[Double])]]) {
+      case (acc, (c, vs)) =>
+        if (acc.isEmpty || boundaries.contains(c)) acc :+ Vector((c, vs))
+        else acc.init :+ (acc.last :+ ((c, vs)))
+    }
+    assert(rows.length === expected.length)
+    assert(rows.length === math.min(VwBuckets, cellIds.length))
+    rows.zip(expected).foreach { case (r, cluster) =>
+      val vs = cluster.flatMap(_._2)
+      assert(r.getDouble(1) === vs.min, "min_value")
+      assert(r.getDouble(2) === vs.max, "max_value")
+      assert(r.getLong(4) === vs.length.toLong, "doc_count")
+      val gsum = vs.map(v => math.floor(v * VwScale).toLong).sum
+      assert(r.getDouble(3) === gsum.toDouble / (VwScale.toDouble * vs.length),
+        "centroid")
+    }
+    // buckets tile the axis in order: max of bucket i < min of bucket i+1
+    rows.zip(rows.drop(1)).foreach { case (a, b) =>
+      assert(a.getDouble(2) < b.getDouble(1), "buckets must not overlap")
+    }
+  }
+
   test("evt_value_histogram: dense frame, conservation, exact per-bucket recompute") {
     val rows = operators.Relational.evtValueHistogram(spark, sfDir).collect()
       .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2), r.getDouble(3))))
@@ -1107,6 +1147,33 @@ class RelationalSpec extends SparkSpec {
       assert(r.getLong(5) === nBaskets)
       assert(r.getDouble(6) ===
         (pairSup((a, b)) * nBaskets).toDouble / (sup(a) * sup(b)).toDouble)
+    }
+  }
+
+  test("q76 frequent_triples: brute-force itemset enumeration replay") {
+    import operators.Relational.{FpTopK, FtMinSupport}
+    val brand = spark.read.parquet(s"$sfDir/part.parquet")
+      .select("p_partkey", "p_brand").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val items = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), brand(r.getLong(1)))).distinct
+    val nBaskets = items.map(_._1).distinct.length.toLong
+    // blind C(k,3) enumeration — the oriented chain must agree with it
+    val tripSup = items.groupBy(_._1).toSeq.flatMap { case (_, is) =>
+      val bs = is.map(_._2).sorted
+      for (i <- bs.indices; j <- (i + 1) until bs.length;
+           l <- (j + 1) until bs.length)
+        yield s"${bs(i)}|${bs(j)}|${bs(l)}"
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      .filter(_._2 >= FtMinSupport)
+    val want = tripSup.toSeq.sortBy { case (k, n) => (-n, k) }.take(FpTopK)
+    val got = operators.Relational.q76FrequentTriples(spark, sfDir).collect()
+    assert(got.length === math.min(FpTopK, tripSup.size))
+    assert(got.map(r => (r.getString(0), r.getLong(1))).toSeq === want)
+    got.foreach { r =>
+      assert(r.getLong(2) === nBaskets)
+      assert(r.getDouble(3) === r.getLong(1).toDouble / nBaskets.toDouble)
     }
   }
 

@@ -476,6 +476,35 @@ class RetrievalSpec extends SparkSpec {
     assert(got.keys.exists(_._1 == 4L), "self-matching-fixed query matched nothing")
   }
 
+  test("boolPrefixSearch: brute-force bool-OR replay incl. the overlap double-count") {
+    import operators.TextOps.{MppMaxExpansions, MppQueries}
+    val got = operators.TextOps.boolPrefixSearch(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val vocab = corpusWords.flatMap(_._2).distinct.sorted
+    val want = scala.collection.mutable.Map.empty[(Long, Long), (Long, Long, Long)]
+    MppQueries.foreach { case (q, fixed, prefix) =>
+      val expanded = vocab.filter(_.startsWith(prefix)).take(MppMaxExpansions)
+      corpusWords.foreach { case (doc, ws) =>
+        val tf = ws.groupBy(identity).view.mapValues(_.length.toLong).toMap
+        val fullHit = fixed.distinct.filter(tf.contains)
+        val prefHit = expanded.filter(tf.contains)
+        if (fullHit.nonEmpty || prefHit.nonEmpty)
+          // a term present as BOTH a fixed clause and an expansion
+          // contributes its tf twice — two should clauses, ES-style
+          want((q, doc)) = (fullHit.length.toLong, prefHit.length.toLong,
+            fullHit.map(tf).sum + prefHit.map(tf).sum)
+      }
+    }
+    assert(got === want.toMap, s"got ${got.size} vs want ${want.size}")
+    // the 'order'/'or*' query exercises the both-roles double-count
+    assert(got.keys.exists(_._1 == 4L))
+    // the OOV prefix query still matches through its fixed term (OR,
+    // unlike phrase_prefix's conjunction which returns nothing for it)
+    assert(got.keys.exists(_._1 == 3L), "bool-OR must survive an OOV prefix")
+  }
+
   test("suggestPhrase: per-slot candidates × bigram LM replay; OOV slot yields nothing") {
     def lev(a: String, b: String): Int = {
       val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>

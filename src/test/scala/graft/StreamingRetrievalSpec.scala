@@ -55,6 +55,22 @@ class StreamingRetrievalSpec extends SparkSpec {
       compSet(StreamingRetrieval.completionSearch(spark, indexPath))
     assert(compStreamed === compSet(TextOps.suggestCompletion(spark, sfDir)))
     assert(compStreamed.nonEmpty)
+    // ...the fourth: fuzzy term-level query off the same store
+    def fuzzySet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[String]("input_term"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("n_terms_matched"),
+        r.getAs[Long]("total_tf"), r.getAs[Long]("min_dist"))).toSet
+    val fuzzyStreamed = fuzzySet(StreamingRetrieval.fuzzySearch(spark, indexPath))
+    assert(fuzzyStreamed === fuzzySet(TextOps.fuzzyQuery(spark, sfDir)))
+    assert(fuzzyStreamed.nonEmpty)
+    // ...and the fifth: wildcard, both anchors, off the same store
+    def wcSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[String]("pattern"),
+        r.getAs[String]("term"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("total_tf"))).toSet
+    val wcStreamed = wcSet(StreamingRetrieval.wildcardSearch(spark, indexPath))
+    assert(wcStreamed === wcSet(TextOps.wildcardSearch(spark, sfDir)))
+    assert(wcStreamed.nonEmpty)
   }
 
   test("batch replay is idempotent: a reprocessed slice changes nothing") {

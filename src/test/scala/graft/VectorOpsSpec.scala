@@ -559,6 +559,30 @@ class VectorOpsSpec extends SparkSpec {
     graft.operators.TextOps.release(spark)
   }
 
+  test("beamRecall: multi-hop beam never loses to the one-hop expansion (superset invariant)") {
+    graft.operators.TextOps.release(spark)
+    val rows = VectorOps.beamRecall(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // the exhaustive first hop makes the beam's candidate pool a
+    // SUPERSET of the one-hop expansion's; with the shared
+    // (sim DESC, id ASC) cut, recall@k is monotone in the pool — so ≥
+    // holds per query on ANY fixture, not just this one
+    rows.foreach { r =>
+      assert(r.getAs[Double]("recall_at_k") >= r.getAs[Double]("expand_recall_at_k"),
+        s"beam lost recall for query ${r.getAs[Long]("query_id")}")
+    }
+    // and the beam result itself is a well-formed ranked list
+    val beam = VectorOps.knnGraphBeam(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+    beam.values.foreach { es =>
+      val sorted = es.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq === (1L to es.length))
+      val sims = sorted.map(_.getAs[Double]("sim"))
+      assert(sims.zip(sims.drop(1)).forall { case (a, b) => a >= b })
+    }
+    graft.operators.TextOps.release(spark)
+  }
+
   test("bitextMine: parity sides, dense rank, and an exact margin recompute") {
     graft.operators.TextOps.release(spark)
     val rows = VectorOps.bitextMine(spark, sfDir).collect()
