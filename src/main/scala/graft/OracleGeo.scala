@@ -46,6 +46,39 @@ object OracleGeo {
        |ORDER BY doc_count DESC, cell ASC
        |LIMIT ${GeoOps.GridTopK}""".stripMargin
 
+  /** Mirror of GeoOps.geoTileGrid: the tile x/y expressions come from
+    * the SAME generators (integer scale-divide + the driver-computed
+    * mercator cutoff CASE), so the assignment arithmetic is shared by
+    * construction like the geohash.
+    */
+  val geoTileGrid: String = {
+    val z = GeoOps.GeotileZoom
+    val x = GeoOps.geotileXSql(z, (a, b) => s"($a // $b)")
+    val y = GeoOps.geotileYSql(z)
+    s"""WITH $coords,
+       |tiles AS (
+       |  SELECT CAST($x AS BIGINT) AS tile_x, CAST($y AS BIGINT) AS tile_y,
+       |    value, lon_micro, lat_micro
+       |  FROM coords
+       |),
+       |g AS (
+       |  SELECT tile_x, tile_y,
+       |    CAST(count(*) AS BIGINT) AS doc_count,
+       |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+       |    CAST(sum(lon_micro) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |      / 1000000.0 - 180.0 AS centroid_lon,
+       |    CAST(sum(lat_micro) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |      / 1000000.0 - 90.0 AS centroid_lat
+       |  FROM tiles GROUP BY 1, 2
+       |)
+       |SELECT concat('$z/', CAST(tile_x AS VARCHAR), '/',
+       |         CAST(tile_y AS VARCHAR)) AS cell,
+       |  tile_x, tile_y, doc_count, value_sum, centroid_lon, centroid_lat
+       |FROM g
+       |ORDER BY doc_count DESC, cell ASC
+       |LIMIT ${GeoOps.GridTopK}""".stripMargin
+  }
+
   /** Mirror of GeoOps.geoRings. */
   val geoRings: String = {
     val edges = GeoOps.RingEdgesMicro.map(e => e * e)

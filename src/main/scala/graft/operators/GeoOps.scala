@@ -124,6 +124,73 @@ object GeoOps {
       .orderBy(col("doc_count").desc, col("cell").asc)
       .limit(GridTopK)
 
+  /** Web-mercator zoom for [[geoTileGrid]] (ES `geotile_grid`
+    * `precision`): 2^z × 2^z tiles.
+    */
+  val GeotileZoom = 3
+
+  /** Mercator tile-row latitude cutoffs at zoom `z`, as integer
+    * microdegrees: boundary y (1..2^z−1) separates tile rows y−1 and y,
+    * lat(y) = atan(sinh(π(1 − 2y/2^z))). The transcendentals run ONCE
+    * on the DRIVER (plan-time, like the unigram composition literal)
+    * and both engines receive the identical integer literals — the
+    * in-plan tile assignment is pure integer compares, so the
+    * cross-engine no-transcendentals rule holds even though the
+    * projection itself is genuinely mercator. Descending in latitude
+    * as y grows (y = 0 is the north row, the tile convention).
+    */
+  private[graft] def mercatorCutsMicro(z: Int): Seq[Long] =
+    (1 until (1 << z)).map { y =>
+      val latDeg = math.toDegrees(
+        math.atan(math.sinh(math.Pi * (1.0 - 2.0 * y / (1 << z)))))
+      math.floor((latDeg + 90.0) * 1e6).toLong
+    }
+
+  /** Tile x: longitude scaled to [0, 2^z) — exact integer product/
+    * divide (the geohash `xi` device). One generator, both engines.
+    */
+  def geotileXSql(z: Int,
+      idiv: (String, String) => String = (a, b) => s"($a div $b)"): String =
+    idiv(s"(lon_micro * ${1L << z})", "360000000")
+
+  /** Tile y: the literal-cutoff CASE (points north of the first
+    * boundary land in row 0; beyond the last, the bottom row — ES
+    * clamps out-of-mercator-range latitudes to the edge rows the same
+    * way). Plain integer literals: the generated text must parse on
+    * BOTH engines (no Scala `L` suffix — invalid in DuckDB SQL).
+    */
+  def geotileYSql(z: Int): String = {
+    val cuts = mercatorCutsMicro(z)
+    (("CASE" +: cuts.zipWithIndex.map { case (b, i) =>
+      s" WHEN lat_micro > $b THEN $i"
+    }) :+ s" ELSE ${(1 << z) - 1} END").mkString
+  }
+
+  /** ES `geotile_grid` aggregation — the geohash grid's web-mercator
+    * twin: doc counts, value mass, and exact integer centroids per
+    * `z/x/y` tile, top-[[GridTopK]] by count. Same partial-agg shape
+    * (scan-computed integer keys, no join, TakeOrderedAndProject cut).
+    */
+  def geoTileGrid(spark: SparkSession, dir: String): DataFrame =
+    withCoords(spark, dir)
+      .withColumn("tile_x",
+        expr(s"CAST(${geotileXSql(GeotileZoom)} AS BIGINT)"))
+      .withColumn("tile_y", expr(s"CAST(${geotileYSql(GeotileZoom)} AS BIGINT)"))
+      .groupBy(col("tile_x"), col("tile_y"))
+      .agg(count(lit(1)).as("doc_count"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"),
+        (sum(col("lon_micro")).cast("double") / count(lit(1)).cast("double") /
+          1000000.0d - 180.0d).as("centroid_lon"),
+        (sum(col("lat_micro")).cast("double") / count(lit(1)).cast("double") /
+          1000000.0d - 90.0d).as("centroid_lat"))
+      .select(
+        concat(lit(s"$GeotileZoom/"), col("tile_x").cast("string"),
+          lit("/"), col("tile_y").cast("string")).as("cell"),
+        col("tile_x"), col("tile_y"), col("doc_count"), col("value_sum"),
+        col("centroid_lon"), col("centroid_lat"))
+      .orderBy(col("doc_count").desc, col("cell").asc)
+      .limit(GridTopK)
+
   /** ES `geo_distance` aggregation: concentric rings around the domain
     * center, membership decided on INTEGER squared microdegree
     * distance (exact: each square ≤ (180·10⁶)² < 2⁶³/2). Every ring is

@@ -3304,9 +3304,17 @@ object TextOps {
     * Reference: the ES query DSL family surveyed in SURVEY.md §2.7
     * (lib/fetchPaginatedAssets.ts:21-38 is the bool-query half).
     */
-  def moreLikeThis(spark: SparkSession, dir: String): DataFrame = {
+  def moreLikeThis(spark: SparkSession, dir: String): DataFrame =
+    moreLikeThisFor(spark, dir, MltSeeds)
+
+  /** [[moreLikeThis]] over an explicit seed set — the workload dial
+    * the scale probe widens (corpus-side work is seed-independent; the
+    * seed relation is |seeds|·L broadcast rows).
+    */
+  def moreLikeThisFor(spark: SparkSession, dir: String,
+      seedIds: Seq[Long]): DataFrame = {
     import spark.implicits._
-    val seeds = MltSeeds.toDF("query_id")
+    val seeds = seedIds.toDF("query_id")
     val postings = postingsIndex(spark, dir)
     val seedTf = postings.join(broadcast(seeds),
       postings("doc_id") === seeds("query_id"))

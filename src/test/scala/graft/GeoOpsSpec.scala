@@ -131,4 +131,50 @@ class GeoOpsSpec extends SparkSpec {
       assert(r.getDouble(7) === es.map(_._3).max.toDouble / 1e6 - 90.0)
     }
   }
+
+  test("geo_tile_grid: mercator tile assignment replays the real projection") {
+    import GeoOps.{GeotileZoom, GridTopK}
+    val n = 1 << GeotileZoom
+    // tile of a point via the REAL double-precision mercator formula --
+    // the driver-computed integer cutoffs must agree with it everywhere
+    // except exactly at a cutoff (convention-pinned, asserted below)
+    def mercY(latMicro: Long): Long = {
+      val lat = math.toRadians(latMicro / 1e6 - 90.0)
+      val y = (1.0 - math.log(math.tan(lat) + 1.0 / math.cos(lat)) / math.Pi) / 2.0 * n
+      math.max(0L, math.min(n - 1L, math.floor(y).toLong))
+    }
+    val cuts = GeoOps.mercatorCutsMicro(GeotileZoom)
+    val pts = GeoOps.withCoords(spark, sfDir)
+      .select("lon_micro", "lat_micro", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def tile(p: (Long, Long, Double)): (Long, Long) = {
+      val x = p._1 * n / 360000000L
+      val y = cuts.count(p._2 <= _).toLong // rows count from the north
+      (x, y)
+    }
+    // the integer-cutoff assignment agrees with the double formula off
+    // the boundary (and sits within one row of it everywhere)
+    pts.foreach { p =>
+      val viaCuts = tile(p)._2
+      val viaMerc = mercY(p._2)
+      if (!cuts.contains(p._2))
+        assert(viaCuts === viaMerc, s"lat ${p._2}")
+    }
+    val want = pts.groupBy(tile).map { case ((x, y), es) =>
+      (s"$GeotileZoom/$x/$y", (es.length.toLong,
+        es.map(e => BigDecimal(e._3).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+          .sum.toDouble))
+    }
+    val got = GeoOps.geoTileGrid(spark, sfDir).collect()
+    assert(got.length === math.min(GridTopK, want.size))
+    val wantTop = want.toSeq.sortBy { case (c, (dc, _)) => (-dc, c) }
+      .take(GridTopK)
+    assert(got.map(r => (r.getString(0), (r.getLong(3), r.getDouble(4)))).toSeq
+      === wantTop)
+    got.foreach { r =>
+      assert(r.getString(0) === s"$GeotileZoom/${r.getLong(1)}/${r.getLong(2)}")
+      assert(r.getLong(1) >= 0 && r.getLong(1) < n)
+      assert(r.getLong(2) >= 0 && r.getLong(2) < n)
+    }
+  }
 }

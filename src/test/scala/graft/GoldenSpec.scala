@@ -103,6 +103,7 @@ class GoldenSpec extends SparkSpec {
     "txt_mlt" -> ((-6708254884330626570L, 30L)),
     "evt_value_histogram" -> ((-9199241966602610489L, 14L)),
     "evt_variable_width_histogram" -> ((-7054444126173596942L, 6L)),
+    "geo_tile_grid" -> ((-5002009395335671582L, 20L)),
     "graph_link_predict" -> ((5993286112755573745L, 20L)),
     "emb_hard_negatives" -> ((-7032692847837514657L, 50L)),
     "evt_range_agg" -> ((7504466507948292938L, 3L)),

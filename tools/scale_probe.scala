@@ -1339,4 +1339,14 @@ for (pts <- Seq(Seq(1, 8), Seq(1, 2, 4, 8), Seq(1, 2, 3, 4, 5, 6, 7, 8))) {
   println(f"  ${pts.size}%2d points: $s%6.2f s")
 }
 
+println("== more_like_this (seed tf-idf selection -> BM25; |seeds| x1/x2/x4, corpus fixed) ==")
+for (m <- Seq(1, 2, 4)) {
+  val seeds = (0 until m).flatMap(i =>
+    graft.operators.TextOps.MltSeeds.map(_ + 7L * i)).distinct
+  val s = timed {
+    graft.operators.TextOps.moreLikeThisFor(spark, dir, seeds).collect()
+  }
+  println(f"  |seeds|x$m: ${seeds.size}%3d seeds: $s%6.2f s")
+}
+
 sys.exit(0)
