@@ -59,6 +59,32 @@ object OracleDsl {
       |       OR list_contains(string_split(text, ' '), 'hash'))
       |  AND instr(' ' || text || ' ', ' merge slow ') > 0""".stripMargin
 
+  /** Mirror of DslQueries.AggsBody: nested buckets as one multi-key
+    * group, decimal-device metrics, exact cardinality, the terms size
+    * cut as the same dense-rank window.
+    */
+  val dslAggs: String =
+    s"""WITH ${OracleAssets.signalsCte},
+       |f AS (SELECT * FROM signals, mx WHERE ts >= m - INTERVAL 21 DAY),
+       |g AS (
+       |  SELECT CAST(ts AS DATE) AS per_day, event_type AS by_type,
+       |    CAST(count(*) AS BIGINT) AS doc_count,
+       |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+       |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+       |      / CAST(count(value) AS DOUBLE) AS value_avg,
+       |    max(value) AS value_max,
+       |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+       |  FROM f GROUP BY 1, 2
+       |),
+       |r AS (
+       |  SELECT *, dense_rank() OVER (
+       |    PARTITION BY per_day ORDER BY doc_count DESC, by_type ASC) AS rk
+       |  FROM g
+       |)
+       |SELECT per_day, by_type, doc_count, value_sum, value_avg, value_max,
+       |       n_users
+       |FROM r WHERE rk <= 3""".stripMargin
+
   /** In-order dot fold (OracleVectors' device: `list_reduce` seeding
     * the first element ≡ Spark `aggregate` seeding 0.0).
     */

@@ -19,6 +19,9 @@ import graft.sources.{AssetSink, DebugSink, SourceRegistry, Tables}
   *
   * Usage: graft.Run --read signals_all --write /tmp/assets
   *        [--data DIR] [--sources local|ccs] [--remote DIR]
+  *   or:  graft.Run --dsl request.json --write /tmp/result [--data DIR]
+  *        (compile and run a raw ES SearchRequest body — the
+  *        reference's own request JSON works verbatim)
   */
 object Run {
 
@@ -41,6 +44,29 @@ object Run {
     * without owning SparkSession shutdown. Returns the written count.
     */
   def run(spark: SparkSession, opts: Map[String, String]): Long = {
+    // `--dsl <file>`: run a raw ES SearchRequest JSON body through the
+    // Query-DSL compiler against the signal env — the engine consumed
+    // exactly the way the reference consumes Elasticsearch (a user can
+    // paste the reference's own request bodies here)
+    opts.get("dsl").foreach { bodyPath =>
+      val write = opts.getOrElse("write",
+        throw new IllegalArgumentException("--write <path> is required"))
+      val dir = opts.getOrElse("data", "/root/testdata/sf0.001")
+      val body = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(bodyPath)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val result = graft.plans.QueryDsl.search(
+        graft.operators.DslQueries.signalEnv(spark, dir), body)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        println(DebugSink.dumpPlan(result))
+        println(DebugSink.dumpRows(result, 5))
+        val written = result.count()
+        result.write.mode("overwrite").parquet(write)
+        println(s"""{"written": $written, "path": "$write"}""")
+        return written
+      } finally result.unpersist(blocking = false)
+    }
     val read = opts.getOrElse("read",
       throw new IllegalArgumentException("--read <source> is required"))
     val write = opts.getOrElse("write",

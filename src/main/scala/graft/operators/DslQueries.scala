@@ -47,7 +47,9 @@ object DslQueries {
       "orchestrator.cluster.name" -> "orchestrator_cluster_name",
       "host.name" -> "host_name",
       "host.hostname" -> "host_hostname",
-      "service.tags" -> "service_tags"),
+      "service.tags" -> "service_tags",
+      "value" -> "value",
+      "user.id" -> "user_id"),
     idColumn = "event_id",
     families = Map("host.*" -> "host_", "container.*" -> "container_"),
     termValues = Map("metricset.name" -> Map("service_summary" -> "purchase")),
@@ -170,6 +172,38 @@ object DslQueries {
 
   def dslMatch(spark: SparkSession, dir: String): DataFrame =
     QueryDsl.drain(docEnv(spark, dir), MatchBody)
+
+  /** The ES aggregation-request shape (`size: 0`): nested
+    * date_histogram × terms buckets with the full metric family at the
+    * leaf — compiled to ONE grouped plan with the terms size cut as a
+    * response-sized window (QueryDsl.runAggs).
+    */
+  val AggsBody: String = s"""{
+    "index": ["$ApmPattern"],
+    "size": 0,
+    "query": {
+      "bool": {"filter": [{"range": {"@timestamp": {"gte": "now-21d"}}}]}
+    },
+    "aggs": {
+      "per_day": {
+        "date_histogram": {"field": "@timestamp", "calendar_interval": "day"},
+        "aggs": {
+          "by_type": {
+            "terms": {"field": "metricset.name", "size": 3},
+            "aggs": {
+              "value_sum": {"sum": {"field": "value"}},
+              "value_avg": {"avg": {"field": "value"}},
+              "value_max": {"max": {"field": "value"}},
+              "n_users": {"cardinality": {"field": "user.id"}}
+            }
+          }
+        }
+      }
+    }
+  }"""
+
+  def dslAggs(spark: SparkSession, dir: String): DataFrame =
+    QueryDsl.search(signalEnv(spark, dir), AggsBody)
 
   /** Deterministic literal query vector — exact binary fractions
     * (quarters), so the JSON text, the Spark literal, and the DuckDB

@@ -2057,8 +2057,9 @@ object VectorOps {
     * flat (the propagateToFixpoint discipline).
     */
   def knnGraphBeam(spark: SparkSession, dir: String,
-      numPlanes: Int = NumPlanes, bandBits: Int = BandBits): DataFrame =
-    TextOps.memoized(spark, dir, "knn_graph_beam") {
+      numPlanes: Int = NumPlanes, bandBits: Int = BandBits,
+      rounds: Int = BeamRounds): DataFrame =
+    TextOps.memoized(spark, dir, s"knn_graph_beam_$rounds") {
       graft.plans.GraftExtensions.register(spark)
       val base = withNorm(spark, dir)
       val queries = broadcast(base.where(col("vec_id") % QueryMod === 0)
@@ -2089,7 +2090,7 @@ object VectorOps {
         .distinct()
       var fresh = TextOps.cutLineage(score(hop1))
       var visited = fresh
-      for (_ <- 2 to BeamRounds) {
+      for (_ <- 2 to rounds) {
         val beam = fresh.groupBy(col("query_id"))
           .agg(expr(s"topk_by_sim(neighbor_id, sim, $BeamWidth)").as("tk"))
           .select(col("query_id"),

@@ -1,13 +1,13 @@
 package graft.plans
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
 import graft.operators.VectorOps
-import graft.sources.{SourceRegistry, Tables}
+import graft.sources.Tables
 
 /** ES Query-DSL → DataFrame compiler.
   *
@@ -29,8 +29,11 @@ import graft.sources.{SourceRegistry, Tables}
   * `term`/`terms` (array form and terms-lookup `{index,path}` form),
   * `range` (ES date math `now-Nu` against a pinned `now`), `exists`,
   * `match`/`match_phrase`/`match_bool_prefix`/`match_all`,
+  * `prefix`/`ids`/`constant_score`,
   * `fields` projection (incl. `host.*` wildcard families),
-  * `sort`/`size`/`search_after`, `collapse`, and top-level `knn`.
+  * `sort`/`size`/`search_after`, `collapse`, top-level `knn`, and
+  * `aggs` trees (the `size: 0` aggregation-request shape — see
+  * [[runAggs]]).
   *
   * Compilation is declarative end to end — every construct lowers to
   * the DataFrame API and the scan-discipline devices the operator
@@ -126,9 +129,18 @@ object QueryDsl {
 
   private def run(env: Env, body: JValue, honorSize: Boolean): DataFrame = {
     val src = resolveIndex(env, body \ "index")
-    body \ "knn" match {
-      case JNothing => runQuery(env, src, body, honorSize)
-      case knn      => runKnn(env, src, knn)
+    (body \ "knn", body \ "aggs") match {
+      case (JNothing, JNothing) => runQuery(env, src, body, honorSize)
+      case (knn, JNothing)      => runKnn(env, src, knn)
+      case (JNothing, aggs)     =>
+        // the aggregation request shape (`size: 0` in ES): the query
+        // is the filter context, aggs the result
+        val filtered = body \ "query" match {
+          case JNothing => src
+          case q        => applyQuery(env, src, q)
+        }
+        runAggs(env, filtered, aggs)
+      case _ => fail("knn and aggs cannot combine")
     }
   }
 
@@ -155,6 +167,157 @@ object QueryDsl {
       case other    => fail(s"unsupported size: $other")
     }
     project(env, df, body \ "fields")
+  }
+
+  /** Metric agg types the `aggs` compiler lowers (everything else at
+    * a level is a bucket agg).
+    */
+  private val MetricTypes =
+    Set("sum", "avg", "min", "max", "value_count", "cardinality")
+
+  /** ES `aggs` tree → ONE grouped plan: each nesting level contributes
+    * a bucket key (ES's nested buckets ARE a multi-column groupBy),
+    * leaf metrics become aggregate expressions, and `terms` size cuts
+    * apply per level as dense-rank windows over the (bucket-count-
+    * sized) grouped frame — outermost first, partitioned by the outer
+    * keys, ordered by (level doc_count DESC, key ASC), ES's default
+    * ordering with the deterministic tiebreak. Metric determinism
+    * follows the library's money rule: double sums/avgs quantize to
+    * DECIMAL(18,2) (order-free) with one IEEE division at the edge;
+    * `cardinality` is served EXACT (countDistinct — the q21 stance:
+    * the engine can afford exactness where ES ships a sketch).
+    *
+    * Supported: `terms` (field, size — default 10), `date_histogram`
+    * (calendar_interval day), `histogram` (numeric interval), `range`
+    * (from/to array, ES key format), one bucket agg per level,
+    * metrics at the leaf. Shape at scale: one partial-aggregated
+    * shuffle on the composite bucket key; the cut windows run on the
+    * grouped (response-sized) frame.
+    */
+  private def runAggs(env: Env, df: DataFrame, aggs: JValue): DataFrame = {
+    final case class Level(outName: String, key: Column, size: Option[Int])
+
+    def numOf(v: JValue, what: String): Double = v match {
+      case JInt(n)    => n.toDouble
+      case JDouble(d) => d
+      case other      => fail(s"$what needs a number: $other")
+    }
+    def fieldOf(spec: JValue, tpe: String): String = spec \ "field" match {
+      case JString(f) => f
+      case other      => fail(s"$tpe needs a field: $other")
+    }
+
+    def bucketLevel(name: String, tpe: String, spec: JValue): Level = tpe match {
+      case "terms" =>
+        val size = spec \ "size" match {
+          case JInt(n)  => n.toInt
+          case JNothing => 10 // ES default
+          case other    => fail(s"unsupported terms size: $other")
+        }
+        Level(name, fieldCol(env, fieldOf(spec, "terms")), Some(size))
+      case "date_histogram" =>
+        spec \ "calendar_interval" match {
+          case JString("day") => ()
+          case other => fail(s"unsupported calendar_interval: $other")
+        }
+        Level(name, to_date(fieldCol(env, fieldOf(spec, "date_histogram"))), None)
+      case "histogram" =>
+        val interval = numOf(spec \ "interval", "histogram interval")
+        val c = fieldCol(env, fieldOf(spec, "histogram"))
+        Level(name, floor(c / lit(interval)) * lit(interval), None)
+      case "range" =>
+        val c = fieldCol(env, fieldOf(spec, "range"))
+        val ranges = spec \ "ranges" match {
+          case JArray(rs) => rs.map { r =>
+            (r \ "from" match { case JNothing => None; case v => Some(numOf(v, "from")) },
+              r \ "to" match { case JNothing => None; case v => Some(numOf(v, "to")) })
+          }
+          case other => fail(s"range agg needs ranges: $other")
+        }
+        // ES bucket keys: "from-to" with '*' for open ends; membership
+        // is [from, to) — first matching range wins, ES's own order
+        val key = ranges.foldLeft(when(lit(false), lit(""))) {
+          case (acc, (fo, to)) =>
+            val cond = (fo.map(c >= _).getOrElse(lit(true))) &&
+              (to.map(c < _).getOrElse(lit(true)))
+            val k = s"${fo.map(_.toString).getOrElse("*")}-${to.map(_.toString).getOrElse("*")}"
+            acc.when(cond, lit(k))
+        }
+        Level(name, key, None)
+      case other => fail(s"unsupported bucket agg: $other")
+    }
+
+    def metricCol(name: String, tpe: String, spec: JValue): Column = {
+      val c = fieldCol(env, fieldOf(spec, tpe))
+      val fname = colName(env, fieldOf(spec, tpe))
+      val isDouble = df.schema.find(_.name == fname)
+        .map(_.dataType == org.apache.spark.sql.types.DoubleType).getOrElse(false)
+      def dsum: Column =
+        if (isDouble) sum(c.cast("decimal(18,2)")).cast("double") else sum(c)
+      (tpe match {
+        case "sum" => dsum
+        case "avg" =>
+          if (isDouble)
+            sum(c.cast("decimal(18,2)")).cast("double") / count(c).cast("double")
+          else sum(c).cast("double") / count(c).cast("double")
+        case "min" => min(c)
+        case "max" => max(c)
+        case "value_count" => count(c)
+        case "cardinality" => countDistinct(c)
+      }).as(name)
+    }
+
+    def walk(node: JValue, acc: List[Level]): (List[Level], Seq[Column]) =
+      node match {
+        case JObject(entries) =>
+          val typed = entries.map {
+            case (name, spec: JObject) =>
+              val tpe = spec.obj.collectFirst { case (k, _) if k != "aggs" => k }
+                .getOrElse(fail(s"agg '$name' has no type"))
+              (name, tpe, spec \ tpe, spec \ "aggs")
+            case (name, other) => fail(s"unsupported agg '$name': $other")
+          }
+          val (buckets, metrics) = typed.partition(t => !MetricTypes(t._2))
+          require(buckets.size <= 1, "at most one bucket agg per level")
+          buckets.headOption match {
+            case Some((name, tpe, spec, sub)) =>
+              require(metrics.isEmpty,
+                "metrics beside a bucket at the same level are unsupported")
+              val lvl = acc :+ bucketLevel(name, tpe, spec)
+              sub match {
+                case JNothing => (lvl, Nil)
+                case s        => walk(s, lvl)
+              }
+            case None =>
+              (acc, metrics.map { case (n, t, s, sub) =>
+                require(sub == JNothing, s"metric '$n' cannot nest aggs")
+                metricCol(n, t, s)
+              })
+          }
+        case other => fail(s"unsupported aggs node: $other")
+      }
+
+    val (levels, metrics) = walk(aggs, Nil)
+    val aggExprs = count(lit(1)).as("doc_count") +: metrics
+    val grouped =
+      if (levels.isEmpty) df.agg(aggExprs.head, aggExprs.tail: _*)
+      else levels.foldLeft(df)((d, l) => d.withColumn(l.outName, l.key))
+        .groupBy(levels.map(l => col(l.outName)): _*)
+        .agg(aggExprs.head, aggExprs.tail: _*)
+    levels.zipWithIndex.foldLeft(grouped) {
+      case (d, (l, i)) => l.size match {
+        case Some(sz) =>
+          val outer = levels.take(i).map(x => col(x.outName))
+          val wSum = Window.partitionBy((outer :+ col(l.outName)): _*)
+          val wRank = Window.partitionBy(outer: _*)
+            .orderBy(col("__lc").desc, col(l.outName).asc)
+          d.withColumn("__lc", sum(col("doc_count")).over(wSum))
+            .withColumn("__rk", dense_rank().over(wRank))
+            .where(col("__rk") <= sz)
+            .drop("__lc", "__rk")
+        case None => d
+      }
+    }
   }
 
   /** Top-level `knn` clause: exact cosine top-k with the optional
@@ -243,8 +406,40 @@ object QueryDsl {
         Compiled(compileMatchPhrase(env, m), Nil)
       case JObject(List(JField("match_bool_prefix", m))) =>
         Compiled(compileMatchBoolPrefix(env, m), Nil)
+      case JObject(List(JField("prefix", p)))   => Compiled(compilePrefix(env, p), Nil)
+      case JObject(List(JField("ids", i)))      => Compiled(compileIds(env, i), Nil)
+      // constant_score only changes scoring, which the filter context
+      // discards — compile the wrapped filter directly
+      case JObject(List(JField("constant_score", cs))) =>
+        compileClause(env, df, cs \ "filter")
       case other => fail(s"unsupported query clause: ${JsonMethods.compact(JsonMethods.render(other))}")
     }
+
+  /** `prefix`: keyword starts-with. */
+  private def compilePrefix(env: Env, p: JValue): Column = p match {
+    case JObject(List(JField(field, v))) =>
+      val value = v match {
+        case JString(s) => s
+        case o: JObject => o \ "value" match {
+          case JString(s) => s
+          case x          => fail(s"prefix $field needs value: $x")
+        }
+        case other => fail(s"unsupported prefix: $other")
+      }
+      fieldCol(env, field).startsWith(value)
+    case other => fail(s"unsupported prefix: $other")
+  }
+
+  /** `ids`: hits by document id (the `_id` analog column). */
+  private def compileIds(env: Env, i: JValue): Column = i \ "values" match {
+    case JArray(vs) =>
+      col(env.mapping.idColumn).isin(vs.map {
+        case JInt(n)    => n.toLong
+        case JString(s) => s
+        case other      => fail(s"unsupported id value: $other")
+      }: _*)
+    case other => fail(s"ids needs values: $other")
+  }
 
   /** `bool` semantics in filter context (the reference uses no scoring
     * anywhere — every query is `_source:false` + `fields`):

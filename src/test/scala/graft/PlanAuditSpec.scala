@@ -522,6 +522,50 @@ class PlanAuditSpec extends SparkSpec {
     assert(joinIdx >= 0 && kidAggIdx > joinIdx, p.take(1500))
   }
 
+  test("dsl_search: compiled plan pushes filters to the scan and cuts with TakeOrdered") {
+    // the compiler must land the SAME physical shapes the hand-written
+    // operators prove: terms → pushed In, the date-math bound restated
+    // on the raw ts column, sort+size → bounded heap, never a sort
+    val p = plan("dsl_search")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+    assert(p.contains("In(event_type"), p.take(1200))
+    assert(p.contains("GreaterThanOrEqual(ts"), p.take(1200))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+  }
+
+  test("dsl_collapse: compiled collapse gets the partial WindowGroupLimit") {
+    val df = SparkEntry.queries("dsl_collapse")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.split("\n").exists(l =>
+      l.contains("WindowGroupLimit") && l.contains("Partial")), p.take(800))
+  }
+
+  test("dsl_knn: pre-filter pushes to the scan; top-k is a bounded heap") {
+    val p = plan("dsl_knn")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+    assert(p.contains("EqualTo(label"), p.take(1200))
+    assert(p.split("\n").count(_.contains("Exchange hashpartitioning")) === 0,
+      p.take(1200))
+  }
+
+  test("dsl_aggs: one grouped exchange; hash aggregation; cut windows on the grouped frame") {
+    val df = SparkEntry.queries("dsl_aggs")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("HashAggregate"), p.take(1200))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+    // the terms size cut's windows run AFTER the aggregate (grouped,
+    // response-sized frame) — the corpus-side plan stays one
+    // partial-aggregated exchange
+    val lines = p.split("\n")
+    val aggEx = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+    val winIdx = lines.indexWhere(_.contains("Window"))
+    assert(aggEx >= 0, p.take(1500))
+    assert(winIdx >= 0 && winIdx < aggEx,
+      s"cut window must sit above the aggregate exchange\n${p.take(1500)}")
+  }
+
   test("q74 terms_partition: the shard filter sits below the aggregate exchange") {
     val p = plan("q74_terms_partition")
     // exactly one aggregation exchange (term-keyed); the hash filter

@@ -221,6 +221,11 @@ class QueryDslSpec extends SparkSpec {
     }""")
     assert(rows(viaLookup) === rows(viaList))
     assert(viaLookup.count() > 0)
+    // and the lookup executes as a BROADCAST left-semi join — the
+    // data-dependent terms never shuffle the big side
+    val p = viaLookup.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      p.take(1000))
   }
 
   test("must_not is null-safe (absent field MATCHES the negation) and msm>1 counts") {
@@ -264,6 +269,44 @@ class QueryDslSpec extends SparkSpec {
         exists(split(col("text"), " "), w => w.startsWith("slo")))
     assert(hits.count() === brute.count())
     assert(hits.count() > 0)
+  }
+
+  test("aggs: nested date_histogram x terms with metrics replays the manual plan") {
+    val got = QueryDsl.search(env, DslQueries.AggsBody).collect()
+      .map(r => (r.getDate(0).toString, r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getLong(6))))
+      .toMap
+    val sig = graft.sources.Tables.signals(spark, sfDir)
+    val bound = graft.sources.Tables.maxBound(sig, "ts")
+    val manual = graft.sources.Tables
+      .trailingWithBound(sig, "ts", "21 DAY", bound)
+      .groupBy(to_date(col("ts")).as("per_day"), col("event_type").as("by_type"))
+      .agg(count(lit(1)).as("doc_count"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"),
+        (sum(col("value").cast("decimal(18,2)")).cast("double") /
+          count(col("value")).cast("double")).as("value_avg"),
+        max(col("value")).as("value_max"),
+        countDistinct(col("user_id")).as("n_users"))
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getLong(6))))
+    // per-day terms cut: top 3 types by (doc_count desc, type asc)
+    val want = manual.groupBy(_._1._1).toSeq.flatMap { case (_, rows) =>
+      rows.sortBy { case ((_, t), (dc, _, _, _, _)) => (-dc, t) }.take(3)
+    }.toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+    // metrics-only request (no buckets): one global row
+    val totals = QueryDsl.search(env, s"""{
+      "index": ["${DslQueries.ApmPattern}"],
+      "size": 0,
+      "aggs": {"vsum": {"sum": {"field": "value"}},
+               "vcnt": {"value_count": {"field": "value"}}}
+    }""").collect()
+    assert(totals.length === 1)
+    assert(totals.head.getAs[Long]("doc_count") === sig.count())
   }
 
   test("has_child / has_parent: join-field queries replay from the doc set") {
@@ -310,6 +353,25 @@ class QueryDslSpec extends SparkSpec {
     gotParent.keys.foreach { ean =>
       assert(!clusteredNodes(ean), s"$ean matched through itself, not its parent")
     }
+  }
+
+  test("prefix, ids, constant_score compile to the obvious predicates") {
+    val sig = graft.sources.Tables.signals(spark, sfDir)
+    val pre = QueryDsl.drain(env, s"""{
+      "index": ["${DslQueries.ApmPattern}"],
+      "fields": ["service.name"],
+      "query": {"prefix": {"service.name": {"value": "svc-1"}}}
+    }""")
+    assert(pre.count() ===
+      sig.where(col("service_name").startsWith("svc-1")).count())
+    assert(pre.count() > 0)
+
+    val byIds = QueryDsl.drain(env, s"""{
+      "index": ["${DslQueries.ApmPattern}"],
+      "fields": ["@timestamp"],
+      "query": {"constant_score": {"filter": {"ids": {"values": [3, 11, 42]}}}}
+    }""").collect()
+    assert(byIds.map(_.getLong(0)).sorted.toSeq === Seq(3L, 11L, 42L))
   }
 
   test("empty-array exists semantics: ES indexes no value for []") {

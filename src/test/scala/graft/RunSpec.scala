@@ -38,4 +38,17 @@ class RunSpec extends SparkSpec {
       "read" -> "signals_apm", "write" -> outCcs, "data" -> sfDir,
       "sources" -> "ccs")))
   }
+
+  test("--dsl runs a raw SearchRequest body end to end and writes the result") {
+    val bodyPath = tmp("graft-run-dsl") + "/req.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(bodyPath),
+      graft.operators.DslQueries.SearchBody)
+    val out = tmp("graft-run-dslout") + "/result"
+    val written = Run.run(spark, Map(
+      "dsl" -> bodyPath, "write" -> out, "data" -> sfDir))
+    assert(written ===
+      graft.operators.DslQueries.dslSearch(spark, sfDir).count())
+    assert(spark.read.parquet(out).count() === written)
+    assert(written > 0)
+  }
 }

@@ -1349,4 +1349,48 @@ for (m <- Seq(1, 2, 4)) {
   println(f"  |seeds|x$m: ${seeds.size}%3d seeds: $s%6.2f s")
 }
 
+println("== frequent-triples growth vs basket count (support-ordered chained enumeration; triples/basket <= C(4,3)) ==")
+for (n <- Seq(100000, 400000, 1600000)) {
+  val items = spark.range(n.toLong).select(col("id").as("basket"),
+      explode(expr("transform(sequence(0, 3), j -> abs(hash(id, j)) % 25)")).as("item"))
+    .distinct()
+  val s = timed {
+    val sup = items.groupBy(col("item")).agg(count(lit(1)).as("s"))
+    val oi = items.join(broadcast(sup), Seq("item"))
+    def side(nm: String) = oi.select(col("basket"),
+      col("item").as(s"i_$nm"), col("s").as(s"s_$nm"))
+    def before(x: String, y: String) =
+      (col(s"s_$x") < col(s"s_$y")) ||
+        (col(s"s_$x") === col(s"s_$y") && col(s"i_$x") < col(s"i_$y"))
+    val t = side("a").join(side("b"), Seq("basket")).where(before("a", "b"))
+      .join(side("c"), Seq("basket")).where(before("b", "c"))
+      .groupBy(col("i_a"), col("i_b"), col("i_c"))
+      .agg(count(lit(1)).as("sup"))
+    t.agg(count(lit(1)), sum(col("sup"))).head()
+  }
+  println(f"  N=$n%8d baskets: $s%6.2f s")
+}
+
+println("== graph-ANN beam descent: rounds dial 2/3/4 over the memoized kNN graph (fresh memo per depth) ==")
+graft.operators.VectorOps.knnGraph(spark, dir).count() // graph build out of the timing
+for (r <- Seq(2, 3, 4)) {
+  val s = timed {
+    graft.operators.VectorOps.knnGraphBeam(spark, dir, rounds = r).collect()
+  }
+  println(f"  rounds=$r: $s%6.2f s")
+}
+
+println("== DSL aggs (date_histogram x terms + metrics): events x1/x8/x16 through the compiler ==")
+for (k <- Seq(1, 8, 16)) {
+  val sig = graft.sources.Tables.signalsFrom(graft.sources.Tables.eventsFrom(multi("events", k)))
+  val bound = graft.sources.Tables.maxBound(sig, "ts").asInstanceOf[java.sql.Timestamp]
+  val env = graft.plans.QueryDsl.Env(
+    indices = Map(graft.operators.DslQueries.ApmPattern -> sig),
+    mapping = graft.operators.DslQueries.SignalMapping, now = bound)
+  val s = timed {
+    graft.plans.QueryDsl.search(env, graft.operators.DslQueries.AggsBody).collect()
+  }
+  println(f"  k=$k%2d: $s%6.2f s")
+}
+
 sys.exit(0)
