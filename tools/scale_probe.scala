@@ -1393,4 +1393,23 @@ for (k <- Seq(1, 8, 16)) {
   println(f"  k=$k%2d: $s%6.2f s")
 }
 
+println("== geotile grid: integer tile keys -> partial agg -> TakeOrdered (events x1/x8/x16) ==")
+val h60geo = "CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+for (k <- Seq(1, 8, 16)) {
+  val ev = graft.sources.Tables.eventsFrom(multi("events", k))
+  val coords = ev.withColumn("__h", expr(h60geo))
+    .withColumn("lon_micro", expr("__h % 360000000"))
+    .withColumn("lat_micro", expr("(__h div 360000000) % 180000000"))
+  val s = timed {
+    coords
+      .withColumn("tile_x", expr(s"CAST(${graft.operators.GeoOps.geotileXSql(graft.operators.GeoOps.GeotileZoom)} AS BIGINT)"))
+      .withColumn("tile_y", expr(s"CAST(${graft.operators.GeoOps.geotileYSql(graft.operators.GeoOps.GeotileZoom)} AS BIGINT)"))
+      .groupBy(col("tile_x"), col("tile_y"))
+      .agg(count(lit(1)).as("doc_count"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
+      .orderBy(col("doc_count").desc).limit(20).collect()
+  }
+  println(f"  k=$k%2d (${150 * k}%5dk rows): $s%6.2f s")
+}
+
 sys.exit(0)
