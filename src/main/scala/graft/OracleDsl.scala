@@ -85,6 +85,44 @@ object OracleDsl {
        |       n_users
        |FROM r WHERE rk <= 3""".stripMargin
 
+  /** Mirror of DslQueries.FiltersBody: the same conditional aggregates
+    * over one pass, unstacked with UNION ALL (DuckDB has no stack).
+    */
+  val dslFilters: String = {
+    def arm(i: Int, name: String): String =
+      s"SELECT '$name' AS groups, c$i AS doc_count, s$i AS value_sum, " +
+        s"m$i AS value_max, u$i AS n_users FROM one"
+    s"""WITH ${OracleAssets.signalsCte},
+       |flags AS (
+       |  SELECT value, user_id,
+       |    COALESCE(event_type = 'view', FALSE) AS p0,
+       |    COALESCE(event_type = 'error' AND value >= 100, FALSE) AS p1,
+       |    COALESCE(cloud_provider = 'aws' AND container_id IS NOT NULL, FALSE) AS p2
+       |  FROM signals
+       |),
+       |one AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN p0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+       |    COALESCE(CAST(sum(CASE WHEN p0 THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS s0,
+       |    max(CASE WHEN p0 THEN value END) AS m0,
+       |    CAST(count(DISTINCT CASE WHEN p0 THEN user_id END) AS BIGINT) AS u0,
+       |    CAST(sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+       |    COALESCE(CAST(sum(CASE WHEN p1 THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS s1,
+       |    max(CASE WHEN p1 THEN value END) AS m1,
+       |    CAST(count(DISTINCT CASE WHEN p1 THEN user_id END) AS BIGINT) AS u1,
+       |    CAST(sum(CASE WHEN p2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+       |    COALESCE(CAST(sum(CASE WHEN p2 THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS s2,
+       |    max(CASE WHEN p2 THEN value END) AS m2,
+       |    CAST(count(DISTINCT CASE WHEN p2 THEN user_id END) AS BIGINT) AS u2
+       |  FROM flags
+       |)
+       |${arm(0, "views")}
+       |UNION ALL
+       |${arm(1, "big_errors")}
+       |UNION ALL
+       |${arm(2, "tagged_aws")}""".stripMargin
+  }
+
   /** In-order dot fold (OracleVectors' device: `list_reduce` seeding
     * the first element ≡ Spark `aggregate` seeding 0.0).
     */

@@ -205,6 +205,40 @@ object DslQueries {
   def dslAggs(spark: SparkSession, dir: String): DataFrame =
     QueryDsl.search(signalEnv(spark, dir), AggsBody)
 
+  /** The `filters` aggregation shape: three OVERLAPPING named buckets
+    * from arbitrary sub-queries, metrics per bucket — compiled to one
+    * conditional-aggregate pass + stack (QueryDsl.runFiltersAgg).
+    */
+  val FiltersBody: String = s"""{
+    "index": ["$ApmPattern"],
+    "size": 0,
+    "aggs": {
+      "groups": {
+        "filters": {
+          "filters": {
+            "views": {"term": {"metricset.name": "view"}},
+            "big_errors": {"bool": {"must": [
+              {"term": {"metricset.name": "error"}},
+              {"range": {"value": {"gte": 100}}}
+            ]}},
+            "tagged_aws": {"bool": {"must": [
+              {"term": {"cloud.provider": "aws"}},
+              {"exists": {"field": "container.id"}}
+            ]}}
+          }
+        },
+        "aggs": {
+          "value_sum": {"sum": {"field": "value"}},
+          "value_max": {"max": {"field": "value"}},
+          "n_users": {"cardinality": {"field": "user.id"}}
+        }
+      }
+    }
+  }"""
+
+  def dslFilters(spark: SparkSession, dir: String): DataFrame =
+    QueryDsl.search(signalEnv(spark, dir), FiltersBody)
+
   /** Deterministic literal query vector — exact binary fractions
     * (quarters), so the JSON text, the Spark literal, and the DuckDB
     * mirror all denote identical doubles.

@@ -195,6 +195,16 @@ object QueryDsl {
     * grouped (response-sized) frame.
     */
   private def runAggs(env: Env, df: DataFrame, aggs: JValue): DataFrame = {
+    // `filters` agg: OVERLAPPING named buckets (one doc can land in
+    // several), so it cannot be a groupBy key — it compiles to the
+    // conditional-aggregate + stack device (Relational.evtFiltersAgg's
+    // proven shape: ONE scan, one 1-row aggregate, rows unstacked from
+    // it). Top-level only, leaf metrics beneath.
+    aggs match {
+      case JObject(List((name, spec: JObject))) if (spec \ "filters") != JNothing =>
+        return runFiltersAgg(env, df, name, spec)
+      case _ => ()
+    }
     final case class Level(outName: String, key: Column, size: Option[Int])
 
     def numOf(v: JValue, what: String): Double = v match {
@@ -320,6 +330,77 @@ object QueryDsl {
     }
   }
 
+  /** The `filters` aggregation: per named filter, doc_count + the leaf
+    * metrics, computed as conditional aggregates in ONE pass and
+    * unstacked to one row per filter (buckets may overlap — a doc
+    * matching two filters counts in both, ES semantics). Sums coalesce
+    * to typed zeros for empty buckets (ES's sum=0); min/max/avg stay
+    * null (ES omits them).
+    */
+  private def runFiltersAgg(env: Env, df: DataFrame, name: String,
+      spec: JValue): DataFrame = {
+    val filterDefs: Seq[(String, Column)] = spec \ "filters" \ "filters" match {
+      case JObject(entries) => entries.map { case (n, clause) =>
+        val c = compileClause(env, df, clause)
+        require(c.lookups.isEmpty, "terms lookup inside a filters agg is unsupported")
+        n -> coalesce(c.pred, lit(false))
+      }
+      case other => fail(s"filters agg needs named filters: $other")
+    }
+    val metricDefs: Seq[(String, String, JValue)] = spec \ "aggs" match {
+      case JNothing => Nil
+      case JObject(entries) => entries.map {
+        case (n, m: JObject) =>
+          val tpe = m.obj.collectFirst { case (k, _) if k != "aggs" => k }
+            .getOrElse(fail(s"metric '$n' has no type"))
+          require(MetricTypes(tpe), s"filters agg only nests metrics, got '$tpe'")
+          (n, tpe, m \ tpe)
+        case (n, other) => fail(s"unsupported metric '$n': $other")
+      }
+      case other => fail(s"unsupported aggs under filters: $other")
+    }
+    def conditional(pred: Column, tpe: String, spec: JValue): Column = {
+      val c = fieldCol(env, fieldOfSpec(spec, tpe))
+      val fname = colName(env, fieldOfSpec(spec, tpe))
+      val isDouble = df.schema.find(_.name == fname)
+        .map(_.dataType == org.apache.spark.sql.types.DoubleType).getOrElse(false)
+      val gated = when(pred, c)
+      tpe match {
+        case "sum" =>
+          if (isDouble) coalesce(sum(gated.cast("decimal(18,2)")).cast("double"), lit(0.0d))
+          else coalesce(sum(gated), lit(0L))
+        case "avg" =>
+          if (isDouble) sum(gated.cast("decimal(18,2)")).cast("double") /
+            count(gated).cast("double")
+          else sum(gated).cast("double") / count(gated).cast("double")
+        case "min" => min(gated)
+        case "max" => max(gated)
+        case "value_count" => count(gated)
+        case "cardinality" => countDistinct(gated)
+      }
+    }
+    val aggExprs = filterDefs.zipWithIndex.flatMap { case ((_, pred), i) =>
+      sum(when(pred, 1L).otherwise(0L)).as(s"__c$i") +:
+        metricDefs.zipWithIndex.map { case ((_, tpe, mspec), j) =>
+          conditional(pred, tpe, mspec).as(s"__m${i}_$j")
+        }
+    }
+    val one = df.agg(aggExprs.head, aggExprs.tail: _*)
+    val rows = filterDefs.zipWithIndex.map { case ((fname, _), i) =>
+      (Seq(s"'$fname'", s"__c$i") ++
+        metricDefs.indices.map(j => s"__m${i}_$j")).mkString(", ")
+    }.mkString(",\n  ")
+    val outCols = (Seq(name, "doc_count") ++ metricDefs.map(_._1)).mkString(", ")
+    one.select(expr(
+      s"stack(${filterDefs.size},\n  $rows) AS ($outCols)"))
+  }
+
+  private def fieldOfSpec(spec: JValue, tpe: String): String =
+    spec \ "field" match {
+      case JString(f) => f
+      case other      => fail(s"$tpe needs a field: $other")
+    }
+
   /** Top-level `knn` clause: exact cosine top-k with the optional
     * `filter` participating in the search (ES filtered-kNN semantics —
     * the predicate gates candidates BEFORE scoring, it never post-trims
@@ -408,6 +489,8 @@ object QueryDsl {
         Compiled(compileMatchBoolPrefix(env, m), Nil)
       case JObject(List(JField("prefix", p)))   => Compiled(compilePrefix(env, p), Nil)
       case JObject(List(JField("ids", i)))      => Compiled(compileIds(env, i), Nil)
+      case JObject(List(JField("wildcard", w))) => Compiled(compileWildcard(env, w), Nil)
+      case JObject(List(JField("fuzzy", f)))    => Compiled(compileFuzzy(env, f), Nil)
       // constant_score only changes scoring, which the filter context
       // discards — compile the wrapped filter directly
       case JObject(List(JField("constant_score", cs))) =>
@@ -428,6 +511,63 @@ object QueryDsl {
       }
       fieldCol(env, field).startsWith(value)
     case other => fail(s"unsupported prefix: $other")
+  }
+
+  /** `wildcard` in FILTER context: the ES pattern (`*` any run, `?`
+    * one char) as a LIKE predicate on the keyword column, SQL
+    * metacharacters escaped. This is the filter-context semantics; the
+    * index-SERVING form (prefix-index resolution, both anchors) is
+    * [[graft.operators.TextOps.wildcardSearch]].
+    */
+  private def compileWildcard(env: Env, w: JValue): Column = w match {
+    case JObject(List(JField(field, v))) =>
+      val pattern = v match {
+        case JString(s) => s
+        case o: JObject =>
+          (o \ "value", o \ "wildcard") match {
+            case (JString(s), _) => s
+            case (_, JString(s)) => s
+            case _ => fail(s"wildcard $field needs value")
+          }
+        case other => fail(s"unsupported wildcard: $other")
+      }
+      val like = pattern
+        .replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+        .replace('*', '%').replace('?', '_')
+      fieldCol(env, field).like(like)
+    case other => fail(s"unsupported wildcard: $other")
+  }
+
+  /** `fuzzy` in FILTER context: Levenshtein gate at the requested
+    * fuzziness (AUTO = ES's length ladder). The index-serving form
+    * (deletion-1-blocked expansion) is
+    * [[graft.operators.TextOps.fuzzyQuery]].
+    */
+  private def compileFuzzy(env: Env, f: JValue): Column = f match {
+    case JObject(List(JField(field, v))) =>
+      val (value, fuzziness) = v match {
+        case JString(s) => (s, "AUTO")
+        case o: JObject =>
+          val s = o \ "value" match {
+            case JString(x) => x
+            case x          => fail(s"fuzzy $field needs value: $x")
+          }
+          val fz = o \ "fuzziness" match {
+            case JNothing   => "AUTO"
+            case JString(x) => x
+            case JInt(n)    => n.toString
+            case x          => fail(s"unsupported fuzziness: $x")
+          }
+          (s, fz)
+        case other => fail(s"unsupported fuzzy: $other")
+      }
+      val maxEdits = fuzziness match {
+        case "AUTO" =>
+          if (value.length < 3) 0 else if (value.length <= 5) 1 else 2
+        case n => n.toInt
+      }
+      levenshtein(fieldCol(env, field), lit(value)) <= maxEdits
+    case other => fail(s"unsupported fuzzy: $other")
   }
 
   /** `ids`: hits by document id (the `_id` analog column). */

@@ -355,6 +355,51 @@ class QueryDslSpec extends SparkSpec {
     }
   }
 
+  test("filters agg: overlapping named buckets from one conditional pass") {
+    val got = QueryDsl.search(env, DslQueries.FiltersBody).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.get(3), r.getLong(4)))).toMap
+    assert(got.keySet === Set("views", "big_errors", "tagged_aws"))
+    val sig = graft.sources.Tables.signals(spark, sfDir)
+    def expect(pred: org.apache.spark.sql.Column) = {
+      val r = sig.agg(
+        sum(when(pred, 1L).otherwise(0L)),
+        coalesce(sum(when(pred, col("value").cast("decimal(18,2)"))).cast("double"), lit(0.0d)),
+        max(when(pred, col("value"))),
+        countDistinct(when(pred, col("user_id")))).head()
+      (r.getLong(0), r.getDouble(1), r.get(2), r.getLong(3))
+    }
+    assert(got("views") === expect(col("event_type") === "view"))
+    assert(got("big_errors") ===
+      expect(col("event_type") === "error" && col("value") >= 100))
+    assert(got("tagged_aws") === expect(
+      coalesce(col("cloud_provider") === "aws", lit(false)) &&
+        col("container_id").isNotNull))
+    // the buckets overlap with the corpus: totals exceed no constraint,
+    // and every bucket here is non-empty
+    got.values.foreach { case (dc, _, _, _) => assert(dc > 0L) }
+  }
+
+  test("wildcard and fuzzy compile to filter-context predicates") {
+    val sig = graft.sources.Tables.signals(spark, sfDir)
+    val wc = QueryDsl.drain(env, s"""{
+      "index": ["${DslQueries.ApmPattern}"],
+      "fields": ["service.name"],
+      "query": {"wildcard": {"service.name": {"value": "svc-1?"}}}
+    }""")
+    assert(wc.count() ===
+      sig.where(col("service_name").rlike("^svc-1.$")).count())
+    assert(wc.count() > 0)
+    val fz = QueryDsl.drain(env, s"""{
+      "index": ["${DslQueries.ApmPattern}"],
+      "fields": ["cloud.provider"],
+      "query": {"fuzzy": {"cloud.provider": {"value": "avs", "fuzziness": 1}}}
+    }""")
+    assert(fz.count() ===
+      sig.where(levenshtein(col("cloud_provider"), lit("avs")) <= 1).count())
+    assert(fz.count() > 0)
+  }
+
   test("prefix, ids, constant_score compile to the obvious predicates") {
     val sig = graft.sources.Tables.signals(spark, sfDir)
     val pre = QueryDsl.drain(env, s"""{
