@@ -85,6 +85,22 @@ object OracleDsl {
        |       n_users
        |FROM r WHERE rk <= 3""".stripMargin
 
+  /** Mirror of DslQueries.ScoreBody: the shared BM25 CTE chain
+    * (OracleText.bm25Ctes — grid scores, log-free idf) with this
+    * body's analyzed terms as the query relation, hits joined back to
+    * the projected fields.
+    */
+  val dslScore: String = {
+    val terms = Seq("spark", "join", "window")
+    val qvals = terms.map(t => s"(CAST(0 AS BIGINT), '$t')").mkString(", ")
+    s"""WITH ${OracleText.bm25Ctes(
+           s"q(query_id, term) AS (VALUES $qvals)", excludeSelf = false)}
+       |SELECT r.doc_id, r.score, r."rank", r.n_matched, d2.lang, d2.source
+       |FROM (SELECT doc_id, score, "rank", n_matched FROM ranked
+       |      WHERE "rank" <= ${operators.TextOps.Bm25TopK}) r
+       |JOIN documents d2 ON d2.doc_id = r.doc_id""".stripMargin
+  }
+
   /** Mirror of DslQueries.FiltersBody: the same conditional aggregates
     * over one pass, unstacked with UNION ALL (DuckDB has no stack).
     */

@@ -239,6 +239,22 @@ object DslQueries {
   def dslFilters(spark: SparkSession, dir: String): DataFrame =
     QueryDsl.search(signalEnv(spark, dir), FiltersBody)
 
+  /** QUERY context: a relevance-ranked match (`sort: ["_score"]`) —
+    * the BM25 envelope (score/rank/n_matched) next to the projected
+    * fields (QueryDsl.runScored).
+    */
+  val ScoreBody: String = """{
+    "index": ["docs-*"],
+    "size": 10,
+    "sort": ["_score"],
+    "_source": false,
+    "fields": ["lang", "source"],
+    "query": {"match": {"text": "spark join window"}}
+  }"""
+
+  def dslScore(spark: SparkSession, dir: String): DataFrame =
+    QueryDsl.search(docEnv(spark, dir), ScoreBody)
+
   /** Deterministic literal query vector — exact binary fractions
     * (quarters), so the JSON text, the Spark literal, and the DuckDB
     * mirror all denote identical doubles.

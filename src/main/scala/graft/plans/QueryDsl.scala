@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
-import graft.operators.VectorOps
+import graft.operators.{TextOps, VectorOps}
 import graft.sources.Tables
 
 /** ES Query-DSL → DataFrame compiler.
@@ -146,6 +146,7 @@ object QueryDsl {
 
   private def runQuery(env: Env, src: DataFrame, body: JValue,
       honorSize: Boolean): DataFrame = {
+    if (hasScoreSort(body \ "sort")) return runScored(env, src, body, honorSize)
     var df = body \ "query" match {
       case JNothing => src
       case q        => applyQuery(env, src, q)
@@ -167,6 +168,70 @@ object QueryDsl {
       case other    => fail(s"unsupported size: $other")
     }
     project(env, df, body \ "fields")
+  }
+
+  private def hasScoreSort(s: JValue): Boolean = {
+    def isScore(e: JValue): Boolean = e match {
+      case JString("_score")                   => true
+      case JObject(List(JField("_score", _)))  => true
+      case _                                   => false
+    }
+    s match {
+      case JArray(es) => es.exists(isScore)
+      case other      => isScore(other)
+    }
+  }
+
+  /** QUERY context (`sort: ["_score"]`): relevance-ranked `match` —
+    * everything else in this compiler is filter context because the
+    * reference never reads `_score`, but a search user does. The
+    * scorer is the library's BM25 engine ([[TextOps.bm25RankedFrom]]:
+    * integer-grid scores, log-free idf ratio, deterministic
+    * tiebreaks), fed index relations derived from the source frame
+    * itself — tf restricted to the analyzed query terms via the
+    * broadcast cut (the batch operator's own first move), doc lengths
+    * as the length-norm sidecar. Hits carry `score`, `rank`,
+    * `n_matched` next to the projected fields — the ES hit envelope.
+    */
+  private def runScored(env: Env, src: DataFrame, body: JValue,
+      honorSize: Boolean): DataFrame = {
+    val (field, queryText) = body \ "query" match {
+      case JObject(List(JField("match", JObject(List(JField(f, spec)))))) =>
+        val q = spec match {
+          case JString(s) => s
+          case o: JObject => o \ "query" match {
+            case JString(s) => s
+            case x          => fail(s"match needs query: $x")
+          }
+          case other => fail(s"unsupported match spec: $other")
+        }
+        (colName(env, f), q)
+      case other => fail(
+        s"_score sort supports a single match query, got: $other")
+    }
+    val s = src.sparkSession
+    import s.implicits._
+    val id = env.mapping.idColumn
+    val terms = queryText.trim.split("\\s+").toSeq.filter(_.nonEmpty).distinct
+    require(terms.nonEmpty, "empty scored match query")
+    val tf = src
+      .select(col(id).as("doc_id"), explode(split(col(field), " ")).as("term"))
+      .where(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val lens = src.select(col(id).as("doc_id"),
+      size(split(col(field), " ")).as("dl"))
+    val queries = terms.map(t => (0L, t)).toDF("query_id", "term")
+    var ranked = TextOps.bm25RankedFrom(tf, lens, queries, excludeSelf = false)
+    if (honorSize) body \ "size" match {
+      case JInt(n)  => ranked = ranked.where(col("rank") <= n.toLong)
+      case JNothing => ()
+      case other    => fail(s"unsupported size: $other")
+    }
+    val hits = ranked.select(col("doc_id").as(id), col("score"),
+      col("rank"), col("n_matched"))
+    val projected = project(env, src, body \ "fields")
+    hits.join(projected, Seq(id))
   }
 
   /** Metric agg types the `aggs` compiler lowers (everything else at

@@ -234,6 +234,7 @@ class GoldenSpec extends SparkSpec {
     "dsl_knn" -> ((4579257988182680562L, 10L)),
     "dsl_aggs" -> ((7133177032800886926L, 63L)),
     "dsl_filters" -> ((-5958581771005652670L, 3L)),
+    "dsl_score" -> ((-2823222289340479866L, 10L)),
     "hybrid_rrf" -> ((-1885452052056380719L, 50L)),
     "cluster_cards" -> ((-813937664726231098L, 50L)),
     "mmr_rerank" -> ((465589226566118004L, 25L)),

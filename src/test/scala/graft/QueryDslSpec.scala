@@ -355,6 +355,24 @@ class QueryDslSpec extends SparkSpec {
     }
   }
 
+  test("scored match (_score sort): compiled hits equal the bm25 operator's ranking") {
+    val denv = DslQueries.docEnv(spark, sfDir)
+    val got = QueryDsl.search(denv, DslQueries.ScoreBody).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("rank"), r.getAs[Long]("score"), r.getAs[Long]("n_matched"))))
+      .toMap
+    // the same query through the stored-index bm25 operator: identical
+    // grid scores, identical ranking (the compiler builds its index
+    // relations from the frame; the operator reads the memoized store)
+    val want = graft.operators.TextOps.bm25(spark, sfDir,
+      Seq(0L -> Seq("spark", "join", "window"))).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("rank"), r.getAs[Long]("score"), r.getAs[Long]("n_matched"))))
+      .toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("filters agg: overlapping named buckets from one conditional pass") {
     val got = QueryDsl.search(env, DslQueries.FiltersBody).collect()
       .map(r => r.getString(0) ->
