@@ -139,6 +139,112 @@ object OracleDsl {
        |${arm(2, "tagged_aws")}""".stripMargin
   }
 
+  /** Per-field BM25 score-table CTE chain — the DuckDB mirror of
+    * QueryDsl.fieldScoreTable ∘ TextOps.bm25ScoreTable for one field
+    * of the documents index: same tf restriction, same length norm,
+    * same grid floor, summed per doc with no top-k cut. Emits
+    * `<p>_scored(doc_id, score, n_matched)`.
+    */
+  private def fieldScoreCtes(p: String, fieldExpr: String,
+      terms: Seq[String]): String = {
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    s"""${p}_dl AS (
+       |  SELECT doc_id, len(string_split($fieldExpr, ' ')) AS dl FROM documents
+       |),
+       |${p}_stats AS (
+       |  SELECT count(dl) AS n_docs, sum(dl) AS dl_sum FROM ${p}_dl
+       |),
+       |${p}_tc AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(string_split($fieldExpr, ' ')) AS term
+       |    FROM documents) t
+       |  WHERE term IN ($termList)
+       |  GROUP BY doc_id, term
+       |),
+       |${p}_df AS (SELECT term, count(*) AS df FROM ${p}_tc GROUP BY term),
+       |${p}_c2 AS (
+       |  SELECT tc.doc_id, tc.tf, l.dl,
+       |    CAST(s.dl_sum AS DOUBLE) / CAST(s.n_docs AS DOUBLE) AS avgdl,
+       |    (CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5) /
+       |      (CAST(d.df AS DOUBLE) + 0.5) + 1.0 AS idf
+       |  FROM ${p}_tc tc JOIN ${p}_df d USING (term)
+       |  JOIN ${p}_dl l USING (doc_id), ${p}_stats s
+       |),
+       |${p}_scored AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CAST(floor(idf * ((CAST(tf AS DOUBLE) * 2.2) /
+       |      (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+       |        (CAST(dl AS DOUBLE) / avgdl)))) * 1099511627776.0) AS BIGINT))
+       |      AS BIGINT) AS score,
+       |    count(*) AS n_matched
+       |  FROM ${p}_c2 GROUP BY doc_id
+       |)""".stripMargin
+  }
+
+  /** Mirror of DslQueries.BoolScoredBody: must score + left-joined
+    * should additions in clause order (((must + should0) + should1)),
+    * filter/must_not as the unscored gate, top-15 under
+    * (s DESC, doc_id ASC).
+    */
+  val dslBoolScored: String =
+    s"""WITH ${fieldScoreCtes("m", "text", Seq("spark", "join", "window"))},
+       |${fieldScoreCtes("b", "text", Seq("fast", "merge"))},
+       |${fieldScoreCtes("t", "source", Seq("src3"))},
+       |combined AS (
+       |  SELECT m.doc_id,
+       |    ((CAST(m.score AS DOUBLE) * 1.0 + COALESCE(b.s1, 0.0))
+       |      + COALESCE(t.s2, 0.0)) AS s
+       |  FROM m_scored m
+       |  LEFT JOIN (SELECT doc_id, CAST(score AS DOUBLE) * 2.0 AS s1
+       |             FROM b_scored) b USING (doc_id)
+       |  LEFT JOIN (SELECT doc_id, CAST(score AS DOUBLE) * 1.0 AS s2
+       |             FROM t_scored) t USING (doc_id)
+       |),
+       |gated AS (
+       |  SELECT c.doc_id, c.s FROM combined c
+       |  JOIN documents d ON d.doc_id = c.doc_id
+       |  WHERE d.n_chars >= 200 AND NOT COALESCE(d.lang = 'de', FALSE)
+       |),
+       |ranked AS (
+       |  SELECT doc_id, s AS score,
+       |    row_number() OVER (ORDER BY s DESC, doc_id ASC) AS "rank"
+       |  FROM gated
+       |)
+       |SELECT r.doc_id, r.score, r."rank", d.lang, d.source, d.n_chars
+       |FROM (SELECT * FROM ranked WHERE "rank" <= 15) r
+       |JOIN documents d ON d.doc_id = r.doc_id""".stripMargin
+
+  /** Mirror of DslQueries.MultiMatchBody: per-field score tables (the
+    * `^2` boost on source), full-outer merged, dis_max with
+    * tie_breaker 0.5 — `max + 0.5·(sum − max)`, the engine's exact
+    * per-row arithmetic.
+    */
+  val dslMultiMatch: String = {
+    val toks = Seq("src7", "spark", "stream")
+    s"""WITH ${fieldScoreCtes("x", "text", toks)},
+       |${fieldScoreCtes("y", "source", toks)},
+       |merged AS (
+       |  SELECT doc_id, COALESCE(x.s0, 0.0) AS s0, COALESCE(y.s1, 0.0) AS s1
+       |  FROM (SELECT doc_id, CAST(score AS DOUBLE) * 1.0 AS s0
+       |        FROM x_scored) x
+       |  FULL OUTER JOIN (SELECT doc_id, CAST(score AS DOUBLE) * 2.0 AS s1
+       |                   FROM y_scored) y USING (doc_id)
+       |),
+       |scored AS (
+       |  SELECT doc_id,
+       |    (greatest(s0, s1) + 0.5 * ((s0 + s1) - greatest(s0, s1))) AS s
+       |  FROM merged
+       |),
+       |ranked AS (
+       |  SELECT doc_id, s AS score,
+       |    row_number() OVER (ORDER BY s DESC, doc_id ASC) AS "rank"
+       |  FROM scored
+       |)
+       |SELECT r.doc_id, r.score, r."rank", d.lang, d.source
+       |FROM (SELECT * FROM ranked WHERE "rank" <= 12) r
+       |JOIN documents d ON d.doc_id = r.doc_id""".stripMargin
+  }
+
   /** In-order dot fold (OracleVectors' device: `list_reduce` seeding
     * the first element ≡ Spark `aggregate` seeding 0.0).
     */

@@ -255,6 +255,60 @@ object DslQueries {
   def dslScore(spark: SparkSession, dir: String): DataFrame =
     QueryDsl.search(docEnv(spark, dir), ScoreBody)
 
+  /** Full ES scoring model in one body (`sort: ["_score"]` with a
+    * compound tree — QueryDsl.runScoredTree): the must match scores,
+    * the matched should clauses add on top (one boosted match, one
+    * scored `term` — the single-token BM25 ES itself uses for term
+    * queries), and filter/must_not gate without scoring.
+    */
+  val BoolScoredBody: String = """{
+    "index": ["docs-*"],
+    "size": 15,
+    "sort": ["_score"],
+    "_source": false,
+    "fields": ["lang", "source", "n_chars"],
+    "query": {
+      "bool": {
+        "must": [{"match": {"text": "spark join window"}}],
+        "should": [
+          {"match": {"text": {"query": "fast merge", "boost": 2}}},
+          {"term": {"source": "src3"}}
+        ],
+        "filter": [{"range": {"n_chars": {"gte": 200}}}],
+        "must_not": [{"term": {"lang": "de"}}]
+      }
+    }
+  }"""
+
+  def dslBoolScored(spark: SparkSession, dir: String): DataFrame =
+    QueryDsl.search(docEnv(spark, dir), BoolScoredBody)
+
+  /** Cross-field relevance: `multi_match` best_fields (≡ dis_max over
+    * per-field matches, QueryDslSpec proves the equivalence) across the
+    * analyzed text and the keyword source field with a `^2` field boost
+    * and tie_breaker 0.5 — "src7" only ever matches via source, the
+    * other tokens only via text, so the dis_max arithmetic is exercised
+    * on genuinely disjoint AND overlapping hit sets.
+    */
+  val MultiMatchBody: String = """{
+    "index": ["docs-*"],
+    "size": 12,
+    "sort": ["_score"],
+    "_source": false,
+    "fields": ["lang", "source"],
+    "query": {
+      "multi_match": {
+        "query": "src7 spark stream",
+        "fields": ["text", "source^2"],
+        "type": "best_fields",
+        "tie_breaker": 0.5
+      }
+    }
+  }"""
+
+  def dslMultiMatch(spark: SparkSession, dir: String): DataFrame =
+    QueryDsl.search(docEnv(spark, dir), MultiMatchBody)
+
   /** Deterministic literal query vector — exact binary fractions
     * (quarters), so the JSON text, the Spark literal, and the DuckDB
     * mirror all denote identical doubles.

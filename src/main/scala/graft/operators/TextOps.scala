@@ -3243,14 +3243,17 @@ object TextOps {
     * operator, because every downstream step (df, idf, the integer
     * grid) runs HERE, off the same relations.
     */
-  private[graft] def bm25RankedFrom(tf: DataFrame, docLens: DataFrame,
-      queries: DataFrame, excludeSelf: Boolean): DataFrame = {
+  /** The per-(doc, term) BM25 grid contribution (`cg`) relation shared
+    * by [[bm25RankedFrom]] (per-query ranking) and [[bm25ScoreTable]]
+    * (per-doc total) — ONE definition of the scoring arithmetic, so a
+    * ranked read and a score-table read can never drift.
+    */
+  private def bm25CgTable(tf: DataFrame, docLens: DataFrame): DataFrame = {
     // count(dl)/sum(dl) both skip null-text docs on both engines
     val stats = docLens.agg(
       count(col("dl")).as("n_docs"), sum(col("dl")).as("dl_sum"))
     val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val contrib = tf
-      .join(broadcast(dfq), Seq("term"))
+    tf.join(broadcast(dfq), Seq("term"))
       .join(docLens, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .withColumn("avgdl",
@@ -3264,7 +3267,22 @@ object TextOps {
         floor(col("idf") * ((col("tf").cast("double") * lit(2.2)) /
           (col("tf").cast("double") + lit(1.2) * col("norm"))) *
           expr(Bm25Grid)).cast("long"))
-    val joined = contrib.join(broadcast(queries), Seq("term"))
+  }
+
+  /** Per-DOC total BM25 score over ONE term set (no query relation, no
+    * top-k cut): the leaf scorer of [[graft.plans.QueryDsl]]'s query
+    * context, where each `match`/`term` clause needs every matching
+    * doc's score so bool/dis_max combinators can join them. `tf` must
+    * already be restricted to the clause's terms.
+    */
+  private[graft] def bm25ScoreTable(tf: DataFrame, docLens: DataFrame): DataFrame =
+    bm25CgTable(tf, docLens)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cg")).as("score"), count(lit(1)).as("n_matched"))
+
+  private[graft] def bm25RankedFrom(tf: DataFrame, docLens: DataFrame,
+      queries: DataFrame, excludeSelf: Boolean): DataFrame = {
+    val joined = bm25CgTable(tf, docLens).join(broadcast(queries), Seq("term"))
     val scored = (if (excludeSelf) joined.where(col("doc_id") =!= col("query_id"))
       else joined)
       .groupBy(col("query_id"), col("doc_id"))

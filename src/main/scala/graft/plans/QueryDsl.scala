@@ -199,15 +199,19 @@ object QueryDsl {
       case JObject(List(JField("match", JObject(List(JField(f, spec)))))) =>
         val q = spec match {
           case JString(s) => s
-          case o: JObject => o \ "query" match {
-            case JString(s) => s
-            case x          => fail(s"match needs query: $x")
-          }
-          case other => fail(s"unsupported match spec: $other")
+          case o: JObject if (o \ "boost") == JNothing &&
+              (o \ "operator") == JNothing =>
+            o \ "query" match {
+              case JString(s) => s
+              case x          => fail(s"match needs query: $x")
+            }
+          // boosted/AND match: the general scorer handles it
+          case _ => return runScoredTree(env, src, body, honorSize)
         }
         (colName(env, f), q)
-      case other => fail(
-        s"_score sort supports a single match query, got: $other")
+      // compound query-context trees (bool/dis_max/multi_match/term/
+      // constant_score) go through the general clause scorer
+      case _ => return runScoredTree(env, src, body, honorSize)
     }
     val s = src.sparkSession
     import s.implicits._
@@ -232,6 +236,324 @@ object QueryDsl {
       col("rank"), col("n_matched"))
     val projected = project(env, src, body \ "fields")
     hits.join(projected, Seq(id))
+  }
+
+  // ---------------------------------------------------------------------
+  // Query-context scoring — the general clause scorer
+  // ---------------------------------------------------------------------
+
+  /** The BM25 integer grid unit (2^40, [[TextOps]]'s Bm25Grid device):
+    * a `constant_score` boost of 1.0 scores one grid unit, so constant
+    * and relevance scores stay commensurable the way ES keeps them on
+    * one scale.
+    */
+  private val GridUnit = 1099511627776.0d
+
+  /** Clause types the query-context scorer can lower. */
+  private def isScoring(clause: JValue): Boolean = clause match {
+    case JObject(List(JField(t, _))) =>
+      Set("match", "term", "multi_match", "dis_max", "constant_score",
+        "bool")(t)
+    case _ => false
+  }
+
+  /** Compound QUERY-context trees (`sort: ["_score"]` with anything
+    * beyond a single plain `match`): `bool` (must scores AND-combine
+    * and sum; should scores sum over matching clauses under
+    * `minimum_should_match`; filter/must_not gate without scoring —
+    * ES's own scoring model), `dis_max` (+`tie_breaker`),
+    * `multi_match` (`best_fields` = dis_max over per-field matches,
+    * `most_fields` = their sum, `^boost` field syntax), scored `term`
+    * (the single-token match through the same BM25 engine — exactly
+    * how ES scores a term query), and `constant_score` (grid-scaled
+    * boost).
+    *
+    * Determinism: every leaf score is a BM25 grid LONG
+    * ([[TextOps.bm25ScoreTable]]); combinators do per-row double
+    * arithmetic in fixed clause order (no cross-row float
+    * accumulation), so the DuckDB mirror reproduces scores
+    * bit-for-bit. Scale: each leaf frame is that clause's matching
+    * docs keyed by doc_id — the inverted-index read ES itself pays —
+    * and the response cut is TakeOrderedAndProject; the rank window
+    * runs on ≤ `size` rows, never corpus-wide.
+    */
+  private def runScoredTree(env: Env, src: DataFrame, body: JValue,
+      honorSize: Boolean): DataFrame = {
+    val id = env.mapping.idColumn
+    val scored = scoreClause(env, src, body \ "query")
+    // A scored read always has a response window (re-ranking an
+    // unbounded drain has no ES analog): size, defaulting to ES's 10 —
+    // honored in BOTH search and drain form.
+    val n = body \ "size" match {
+      case JInt(k)  => k.toInt
+      case JNothing => 10
+      case other    => fail(s"unsupported size: $other")
+    }
+    val top = scored.orderBy(col("s").desc, col("doc_id").asc).limit(n)
+    val w = Window.orderBy(col("s").desc, col("doc_id").asc)
+    val ranked = top
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("doc_id").as(id), col("s").as("score"), col("rank"))
+    ranked.join(project(env, src, body \ "fields"), Seq(id))
+  }
+
+  /** One query-context clause → its matching-docs score frame
+    * `(doc_id, s DOUBLE)`. Only matching docs appear — combinators
+    * join these frames, mirroring how ES merges per-clause scorers.
+    */
+  private def scoreClause(env: Env, src: DataFrame, clause: JValue): DataFrame =
+    clause match {
+      case JObject(List(JField("match", JObject(List(JField(f, spec)))))) =>
+        val (text, andOp, boost) = matchSpec(spec)
+        scoreMatch(env, src, f, text, andOp, boost)
+      case JObject(List(JField("term", t)))        => scoreTerm(env, src, t)
+      case JObject(List(JField("multi_match", m))) => scoreMultiMatch(env, src, m)
+      case JObject(List(JField("dis_max", d)))     => scoreDisMax(env, src, d)
+      case JObject(List(JField("constant_score", cs))) =>
+        scoreConstantScore(env, src, cs)
+      case JObject(List(JField("bool", b)))        => scoreBool(env, src, b)
+      case other => fail("clause not scorable in query context: " +
+        JsonMethods.compact(JsonMethods.render(other)))
+    }
+
+  private def matchSpec(spec: JValue): (String, Boolean, Double) = spec match {
+    case JString(q) => (q, false, 1.0)
+    case o: JObject =>
+      val q = o \ "query" match {
+        case JString(s) => s
+        case x          => fail(s"match needs query: $x")
+      }
+      ((q, (o \ "operator") == JString("and"), boostOf(o)))
+    case other => fail(s"unsupported match spec: $other")
+  }
+
+  private def boostOf(o: JValue): Double = o \ "boost" match {
+    case JNothing   => 1.0
+    case JDouble(d) => d
+    case JInt(n)    => n.toDouble
+    case other      => fail(s"unsupported boost: $other")
+  }
+
+  /** Per-field BM25 score table derived from the source frame — tf
+    * restricted to the clause terms via the broadcast-cut explode, doc
+    * lengths the norm sidecar (the batch bm25 operator's own first
+    * move; the arithmetic is the shared engine,
+    * [[TextOps.bm25ScoreTable]]).
+    */
+  private def fieldScoreTable(env: Env, src: DataFrame, field: String,
+      terms: Seq[String]): DataFrame = {
+    val id = env.mapping.idColumn
+    val c = fieldCol(env, field)
+    val tf = src
+      .select(col(id).as("doc_id"), explode(split(c, " ")).as("term"))
+      .where(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val lens = src.select(col(id).as("doc_id"), size(split(c, " ")).as("dl"))
+    TextOps.bm25ScoreTable(tf, lens)
+  }
+
+  private def scoreMatch(env: Env, src: DataFrame, field: String,
+      text: String, andOp: Boolean, boost: Double): DataFrame = {
+    val terms = text.trim.split("\\s+").toSeq.filter(_.nonEmpty).distinct
+    require(terms.nonEmpty, "empty match query")
+    val table = fieldScoreTable(env, src, field, terms)
+    val gated =
+      if (andOp) table.where(col("n_matched") === terms.size) else table
+    gated.select(col("doc_id"),
+      (col("score").cast("double") * lit(boost)).as("s"))
+  }
+
+  /** Scored `term`: ES scores a term query through the very same BM25
+    * machinery (tf of the exact term on the keyword field) — here the
+    * single-token match over the shared engine, with the fixture value
+    * translation applied.
+    */
+  private def scoreTerm(env: Env, src: DataFrame, t: JValue): DataFrame =
+    t match {
+      case JObject(List(JField(field, v))) =>
+        val (value, boost) = v match {
+          case JString(s) => (s, 1.0)
+          case o: JObject =>
+            val s = o \ "value" match {
+              case JString(x) => x
+              case x => fail(s"scored term $field needs a string value: $x")
+            }
+            (s, boostOf(o))
+          case other => fail(s"unsupported term: $other")
+        }
+        val translated = env.mapping.termValues.get(field)
+          .flatMap(_.get(value)).getOrElse(value)
+        fieldScoreTable(env, src, field, Seq(translated))
+          .select(col("doc_id"),
+            (col("score").cast("double") * lit(boost)).as("s"))
+      case other => fail(s"unsupported term: $other")
+    }
+
+  private def scoreConstantScore(env: Env, src: DataFrame,
+      cs: JValue): DataFrame = {
+    val c = compileClause(env, src, cs \ "filter")
+    require(c.lookups.isEmpty,
+      "terms lookup inside scored constant_score is unsupported")
+    src.where(c.pred).select(col(env.mapping.idColumn).as("doc_id"),
+      lit(boostOf(cs) * GridUnit).as("s"))
+  }
+
+  /** Full-outer merge of clause score frames with the dis_max
+    * combination `s = max + tieBreaker·(sum − max)` — tie_breaker 0.0
+    * is the pure dis_max, 1.0 the most_fields sum. Per-row double
+    * arithmetic in fixed clause order over the grid longs: both
+    * engines reproduce it bit-for-bit, and no float ever accumulates
+    * across rows.
+    */
+  private def combineMax(frames: Seq[DataFrame], tieBreaker: Double): DataFrame = {
+    require(frames.nonEmpty, "dis_max needs at least one query")
+    val renamed = frames.zipWithIndex.map { case (f, i) =>
+      f.select(col("doc_id"), col("s").as(s"__s$i")) }
+    val joined = renamed.reduce((a, b) => a.join(b, Seq("doc_id"), "full_outer"))
+    val sCols = frames.indices.map(i => coalesce(col(s"__s$i"), lit(0.0d)))
+    val mx = if (sCols.size == 1) sCols.head else greatest(sCols: _*)
+    val sm = sCols.reduce(_ + _)
+    joined.select(col("doc_id"),
+      (mx + lit(tieBreaker) * (sm - mx)).as("s"))
+  }
+
+  private def scoreDisMax(env: Env, src: DataFrame, d: JValue): DataFrame = {
+    val qs = d \ "queries" match {
+      case JArray(cs) if cs.nonEmpty => cs
+      case other => fail(s"dis_max needs queries: $other")
+    }
+    val tb = d \ "tie_breaker" match {
+      case JNothing   => 0.0
+      case JDouble(x) => x
+      case JInt(n)    => n.toDouble
+      case other      => fail(s"unsupported tie_breaker: $other")
+    }
+    combineMax(qs.map(scoreClause(env, src, _)), tb)
+  }
+
+  /** `multi_match`: per-field `match` clauses (the `^boost` field
+    * syntax honored) combined by type — `best_fields` is dis_max with
+    * the body's tie_breaker (ES's documented equivalence),
+    * `most_fields` their sum (tie_breaker 1.0 in the same formula, so
+    * one arithmetic serves both).
+    */
+  private def scoreMultiMatch(env: Env, src: DataFrame, m: JValue): DataFrame = {
+    val o = m match {
+      case o: JObject => o
+      case other      => fail(s"unsupported multi_match: $other")
+    }
+    val text = o \ "query" match {
+      case JString(s) => s
+      case x          => fail(s"multi_match needs query: $x")
+    }
+    val fields = o \ "fields" match {
+      case JArray(fs) if fs.nonEmpty => fs.map {
+        case JString(f) => f
+        case x          => fail(s"bad multi_match field: $x")
+      }
+      case other => fail(s"multi_match needs fields: $other")
+    }
+    val andOp = (o \ "operator") == JString("and")
+    val perField = fields.map { f =>
+      val (name, boost) = f.split('^') match {
+        case Array(n)    => (n, 1.0)
+        case Array(n, b) => (n, b.toDouble)
+        case _           => fail(s"bad multi_match field: $f")
+      }
+      scoreMatch(env, src, name, text, andOp, boost)
+    }
+    o \ "type" match {
+      case JNothing | JString("best_fields") =>
+        val tb = o \ "tie_breaker" match {
+          case JNothing   => 0.0
+          case JDouble(x) => x
+          case JInt(n)    => n.toDouble
+          case other      => fail(s"unsupported tie_breaker: $other")
+        }
+        combineMax(perField, tb)
+      case JString("most_fields") => combineMax(perField, 1.0)
+      case other => fail(s"unsupported multi_match type: $other")
+    }
+  }
+
+  /** Scored `bool`: must clauses AND-combine (inner join) and their
+    * scores sum; should clauses sum over the docs they match, gated by
+    * `minimum_should_match` (defaulting to 1 when the bool has no
+    * must/filter — ES's documented default); filter and must_not gate
+    * the matching set without contributing score (must_not with ES's
+    * null-safe negation). Pure-filter clauses under `must` gate like
+    * `filter` (they'd score 0). Additions run per-row in clause order.
+    */
+  private def scoreBool(env: Env, src: DataFrame, b: JValue): DataFrame = {
+    def clausesOf(name: String): Seq[JValue] = b \ name match {
+      case JNothing   => Nil
+      case JArray(cs) => cs
+      case single     => Seq(single)
+    }
+    val id = env.mapping.idColumn
+    val (scoringMusts, predMusts) = clausesOf("must").partition(isScoring)
+    val filters = clausesOf("filter") ++ predMusts
+    val nots = clausesOf("must_not")
+    val shoulds = clausesOf("should")
+    require(shoulds.forall(isScoring),
+      "should clauses in query context must be scorable (wrap filters in constant_score)")
+    val msm: Int = b \ "minimum_should_match" match {
+      case JInt(n)    => n.toInt
+      case JString(s) => s.toInt
+      case JNothing   =>
+        if (scoringMusts.isEmpty && filters.isEmpty && shoulds.nonEmpty) 1 else 0
+      case other      => fail(s"unsupported minimum_should_match: $other")
+    }
+    val mustFrames = scoringMusts.map(scoreClause(env, src, _))
+    val shouldFrames = shoulds.map(scoreClause(env, src, _))
+    require(mustFrames.nonEmpty || shouldFrames.nonEmpty,
+      "scored bool needs at least one scoring clause")
+    val base: Option[DataFrame] = mustFrames match {
+      case Nil      => None
+      case f :: Nil => Some(f)
+      case fs =>
+        val renamed = fs.zipWithIndex.map { case (f, i) =>
+          f.select(col("doc_id"), col("s").as(s"__m$i")) }
+        val joined = renamed.reduce((a, b) => a.join(b, Seq("doc_id")))
+        Some(joined.select(col("doc_id"),
+          fs.indices.map(i => col(s"__m$i")).reduce(_ + _).as("s")))
+    }
+    val combined: DataFrame = (base, shouldFrames) match {
+      case (Some(mf), Nil) => mf
+      case (Some(mf), sfs) =>
+        val joined = sfs.zipWithIndex.foldLeft(mf) { case (acc, (f, i)) =>
+          acc.join(f.select(col("doc_id"), col("s").as(s"__h$i")),
+            Seq("doc_id"), "left") }
+        val matchedCnt = sfs.indices
+          .map(i => when(col(s"__h$i").isNotNull, 1).otherwise(0)).reduce(_ + _)
+        val total = sfs.indices.map(i => coalesce(col(s"__h$i"), lit(0.0d)))
+          .foldLeft(col("s"))(_ + _)
+        val gated = if (msm > 0) joined.where(matchedCnt >= msm) else joined
+        gated.select(col("doc_id"), total.as("s"))
+      case (None, sfs) =>
+        val renamed = sfs.zipWithIndex.map { case (f, i) =>
+          f.select(col("doc_id"), col("s").as(s"__h$i")) }
+        val joined = renamed.reduce((a, b) => a.join(b, Seq("doc_id"), "full_outer"))
+        val matchedCnt = sfs.indices
+          .map(i => when(col(s"__h$i").isNotNull, 1).otherwise(0)).reduce(_ + _)
+        val total = sfs.indices.map(i => coalesce(col(s"__h$i"), lit(0.0d)))
+          .reduce(_ + _)
+        joined.where(matchedCnt >= math.max(msm, 1))
+          .select(col("doc_id"), total.as("s"))
+    }
+    if (filters.isEmpty && nots.isEmpty) combined
+    else {
+      val preds = filters.map(compileClause(env, src, _))
+      val notPreds = nots.map(compileClause(env, src, _))
+      require((preds ++ notPreds).forall(_.lookups.isEmpty),
+        "terms lookup in a scored bool is unsupported")
+      val gate = preds.map(_.pred).foldLeft(lit(true))(_ && _) &&
+        notPreds.map(c => !coalesce(c.pred, lit(false)))
+          .foldLeft(lit(true))(_ && _)
+      combined.join(src.where(gate).select(col(id).as("doc_id")),
+        Seq("doc_id"), "left_semi")
+    }
   }
 
   /** Metric agg types the `aggs` compiler lowers (everything else at

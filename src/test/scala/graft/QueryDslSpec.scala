@@ -437,6 +437,83 @@ class QueryDslSpec extends SparkSpec {
     assert(byIds.map(_.getLong(0)).sorted.toSeq === Seq(3L, 11L, 42L))
   }
 
+  test("multi_match best_fields == the equivalent dis_max (ES's documented desugar)") {
+    val denv = DslQueries.docEnv(spark, sfDir)
+    val viaMulti = QueryDsl.search(denv, DslQueries.MultiMatchBody).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("rank"), r.getAs[Double]("score")))).toMap
+    val viaDisMax = QueryDsl.search(denv, """{
+      "index": ["docs-*"], "size": 12, "sort": ["_score"], "_source": false,
+      "fields": ["lang", "source"],
+      "query": {"dis_max": {"tie_breaker": 0.5, "queries": [
+        {"match": {"text": "src7 spark stream"}},
+        {"match": {"source": {"query": "src7 spark stream", "boost": 2}}}
+      ]}}
+    }""").collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("rank"), r.getAs[Double]("score")))).toMap
+    assert(viaMulti === viaDisMax)
+    assert(viaMulti.nonEmpty)
+  }
+
+  test("multi_match most_fields sums per-field scores (tie_breaker-1.0 arithmetic)") {
+    val denv = DslQueries.docEnv(spark, sfDir)
+    val got = QueryDsl.search(denv, """{
+      "index": ["docs-*"], "size": 8, "sort": ["_score"], "_source": false,
+      "fields": ["source"],
+      "query": {"multi_match": {"query": "src7 spark",
+        "fields": ["text", "source"], "type": "most_fields"}}
+    }""").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    // brute-force: per-field single-match scored reads, summed
+    def fieldScores(body: String): Map[Long, Double] =
+      QueryDsl.search(denv, body).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    val all = """{"index": ["docs-*"], "size": 1000000, "sort": ["_score"],
+      "fields": [], "query": {"bool": {"should": [%s]}}}"""
+    val text = fieldScores(all.format("""{"match": {"text": "src7 spark"}}"""))
+    val src = fieldScores(all.format("""{"match": {"source": "src7 spark"}}"""))
+    got.foreach { case (id, s) =>
+      val want = text.getOrElse(id, 0.0) + src.getOrElse(id, 0.0)
+      assert(s === want, s"doc $id")
+    }
+    assert(got.nonEmpty)
+  }
+
+  test("scored bool: msm gates shoulds, constant_score lands on the grid, term == single-token match") {
+    val denv = DslQueries.docEnv(spark, sfDir)
+    // only-shoulds bool with msm=2: every hit matched BOTH clauses
+    val msm2 = QueryDsl.search(denv, """{
+      "index": ["docs-*"], "size": 500, "sort": ["_score"], "fields": [],
+      "query": {"bool": {"minimum_should_match": 2, "should": [
+        {"match": {"text": "spark"}}, {"match": {"text": "stream"}}
+      ]}}
+    }""").collect().map(_.getAs[Long]("doc_id")).toSet
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val both = docs.where(array_contains(split(col("text"), " "), "spark") &&
+      array_contains(split(col("text"), " "), "stream"))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(msm2.subsetOf(both) && msm2.size === math.min(both.size, 500))
+    // constant_score: every hit scores boost * 2^40 exactly
+    val cs = QueryDsl.search(denv, """{
+      "index": ["docs-*"], "size": 5, "sort": ["_score"], "fields": [],
+      "query": {"constant_score": {"filter": {"term": {"lang": "de"}}, "boost": 3}}
+    }""").collect()
+    assert(cs.nonEmpty)
+    cs.foreach(r => assert(r.getAs[Double]("score") === 3.0 * 1099511627776.0))
+    // scored term == the single-token match through the same engine
+    val viaTerm = QueryDsl.search(denv, """{
+      "index": ["docs-*"], "size": 9, "sort": ["_score"], "fields": [],
+      "query": {"term": {"source": "src3"}}
+    }""").collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toMap
+    val viaMatch = QueryDsl.search(denv, """{
+      "index": ["docs-*"], "size": 9, "sort": ["_score"], "fields": [],
+      "query": {"match": {"source": {"query": "src3", "boost": 1}}}
+    }""").collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toMap
+    assert(viaTerm === viaMatch)
+    assert(viaTerm.nonEmpty)
+  }
+
   test("empty-array exists semantics: ES indexes no value for []") {
     // service_tags is [] when k % 11 == 0 — exists must reject those
     val tagged = QueryDsl.drain(env, s"""{
