@@ -245,6 +245,62 @@ object OracleDsl {
        |JOIN documents d ON d.doc_id = r.doc_id""".stripMargin
   }
 
+  /** Mirror of DslQueries.HybridBody: exact-cosine top-20 ranks FULL
+    * OUTER the BM25 top-20 ranks, fused by integer-grid reciprocal
+    * rank (`2^40 // (60 + rank)`, exact BIGINT arithmetic), top-10
+    * under (rrf_score DESC, doc_id ASC) with the hit fields joined
+    * back. The id spaces align (vec_id ≡ doc_id), so the hybrid
+    * index's text statistics equal the documents table's.
+    */
+  val dslHybrid: String = {
+    val qv = DslQueries.KnnVector
+      .map(d => s"CAST($d AS DOUBLE)").mkString("[", ", ", "]")
+    s"""WITH ${fieldScoreCtes("h", "text", Seq("spark", "join", "window"))},
+       |qk AS (SELECT $qv AS v),
+       |vec_top AS (
+       |  SELECT vec_id AS doc_id,
+       |    ${dot("embedding", "qk.v")} / (sqrt(${dot("embedding", "embedding")})
+       |      * sqrt(${dot("qk.v", "qk.v")})) AS score
+       |  FROM embeddings, qk
+       |  ORDER BY score DESC, vec_id ASC
+       |  LIMIT 20
+       |),
+       |vecr AS (
+       |  SELECT doc_id, row_number() OVER (
+       |    ORDER BY score DESC, doc_id ASC) AS vec_rank
+       |  FROM vec_top
+       |),
+       |lex_top AS (
+       |  SELECT doc_id, CAST(score AS DOUBLE) * 1.0 AS s FROM h_scored
+       |  ORDER BY s DESC, doc_id ASC
+       |  LIMIT 20
+       |),
+       |lexr AS (
+       |  SELECT doc_id, row_number() OVER (
+       |    ORDER BY s DESC, doc_id ASC) AS lex_rank
+       |  FROM lex_top
+       |),
+       |fused AS (
+       |  SELECT doc_id, lex_rank, vec_rank,
+       |    (COALESCE(CAST(1099511627776 AS BIGINT) // (60 + lex_rank),
+       |       CAST(0 AS BIGINT))
+       |     + COALESCE(CAST(1099511627776 AS BIGINT) // (60 + vec_rank),
+       |       CAST(0 AS BIGINT))) AS rrf_score
+       |  FROM lexr FULL OUTER JOIN vecr USING (doc_id)
+       |),
+       |cut AS (
+       |  SELECT * FROM fused ORDER BY rrf_score DESC, doc_id ASC LIMIT 10
+       |),
+       |ranked AS (
+       |  SELECT doc_id, lex_rank, vec_rank, rrf_score, row_number() OVER (
+       |    ORDER BY rrf_score DESC, doc_id ASC) AS "rank"
+       |  FROM cut
+       |)
+       |SELECT r.doc_id, r.lex_rank, r.vec_rank, r.rrf_score, r."rank",
+       |       d.lang, d.source
+       |FROM ranked r JOIN documents d ON d.doc_id = r.doc_id""".stripMargin
+  }
+
   /** In-order dot fold (OracleVectors' device: `list_reduce` seeding
     * the first element ≡ Spark `aggregate` seeding 0.0).
     */

@@ -309,6 +309,45 @@ object DslQueries {
   def dslMultiMatch(spark: SparkSession, dir: String): DataFrame =
     QueryDsl.search(docEnv(spark, dir), MultiMatchBody)
 
+  /** Multimodal-index env: one index carrying BOTH the analyzed text
+    * and the embedding (documents ⋈ embeddings on the shared 0..N id
+    * space) — the shape a real ES hybrid-search index has, and the
+    * source the `rank: {rrf}` request reads.
+    */
+  def hybridEnv(spark: SparkSession, dir: String): Env = {
+    val docs = Tables.documents(spark, dir)
+    val embs = Tables.embeddings(spark, dir)
+      .withColumnRenamed("vec_id", "doc_id")
+    Env(
+      indices = Map("hybrid-*" -> docs.join(embs, Seq("doc_id"))),
+      mapping = Mapping(
+        fields = Map("text" -> "text", "lang" -> "lang",
+          "source" -> "source", "embedding" -> "embedding"),
+        idColumn = "doc_id",
+        tsFields = Set.empty))
+  }
+
+  /** The modern ES hybrid-search request: `knn` + `query` fused by
+    * `rank: {rrf}` — exact-cosine ranks and BM25 ranks combined by
+    * reciprocal rank on the integer grid (QueryDsl.runHybrid).
+    */
+  val HybridBody: String = s"""{
+    "index": ["hybrid-*"],
+    "size": 10,
+    "_source": false,
+    "fields": ["lang", "source"],
+    "knn": {
+      "field": "embedding",
+      "query_vector": [${(0 until VectorOps.Dim).map(i => ((i % 7) - 3) / 4.0).mkString(", ")}],
+      "k": 20
+    },
+    "query": {"match": {"text": "spark join window"}},
+    "rank": {"rrf": {"rank_window_size": 20, "rank_constant": 60}}
+  }"""
+
+  def dslHybrid(spark: SparkSession, dir: String): DataFrame =
+    QueryDsl.search(hybridEnv(spark, dir), HybridBody)
+
   /** Deterministic literal query vector — exact binary fractions
     * (quarters), so the JSON text, the Spark literal, and the DuckDB
     * mirror all denote identical doubles.

@@ -131,7 +131,13 @@ object QueryDsl {
     val src = resolveIndex(env, body \ "index")
     (body \ "knn", body \ "aggs") match {
       case (JNothing, JNothing) => runQuery(env, src, body, honorSize)
-      case (knn, JNothing)      => runKnn(env, src, knn)
+      case (knn, JNothing)      =>
+        (body \ "query", body \ "rank" \ "rrf") match {
+          case (JNothing, JNothing) => runKnn(env, src, knn)
+          case (JNothing, _) => fail("rank.rrf needs both knn and query")
+          case (q, rrf) if rrf != JNothing => runHybrid(env, src, body, knn, q)
+          case _ => fail("knn combined with query needs rank.rrf")
+        }
       case (JNothing, aggs)     =>
         // the aggregation request shape (`size: 0` in ES): the query
         // is the filter context, aggs the result
@@ -827,6 +833,58 @@ object QueryDsl {
             sqrt(expr(VectorOps.dot(qvSql, qvSql))))).as("score"))
       .orderBy(col("score").desc, col(id).asc)
       .limit(k)
+  }
+
+  /** Hybrid retrieval (`knn` + `query` + `rank: {rrf: ...}}` — the
+    * modern ES hybrid-search request): the kNN side is the exact
+    * cosine top-k ([[runKnn]], its optional `filter` honored), the
+    * lexical side the general clause scorer's top
+    * `rank_window_size`, and the fusion is reciprocal-rank on the
+    * 2^40 integer grid (`grid div (rank_constant + rank)` — exact
+    * integer arithmetic, [[graft.operators.Retrieval.hybridRrf]]'s
+    * proven device; ES's 1/(k+r) floats fuse identically up to the
+    * shared flooring). Both sides are TakeOrdered cuts; every window
+    * runs on ≤ rank_window_size rows.
+    */
+  private def runHybrid(env: Env, src: DataFrame, body: JValue,
+      knn: JValue, query: JValue): DataFrame = {
+    val id = env.mapping.idColumn
+    val rrf = body \ "rank" \ "rrf"
+    val size = body \ "size" match {
+      case JInt(n)  => n.toInt
+      case JNothing => 10
+      case other    => fail(s"unsupported size: $other")
+    }
+    val window = rrf \ "rank_window_size" match {
+      case JInt(n)  => n.toInt
+      case JNothing => size
+      case other    => fail(s"unsupported rank_window_size: $other")
+    }
+    val rc = rrf \ "rank_constant" match {
+      case JInt(n)  => n.toLong
+      case JNothing => 60L
+      case other    => fail(s"unsupported rank_constant: $other")
+    }
+    val grid = 1099511627776L // 2^40
+    val vecRanked = runKnn(env, src, knn)
+      .withColumn("vec_rank", row_number()
+        .over(Window.orderBy(col("score").desc, col(id).asc)).cast("long"))
+      .where(col("vec_rank") <= window)
+      .select(col(id), col("vec_rank"))
+    val lexRanked = scoreClause(env, src, query)
+      .orderBy(col("s").desc, col("doc_id").asc).limit(window)
+      .withColumn("lex_rank", row_number()
+        .over(Window.orderBy(col("s").desc, col("doc_id").asc)).cast("long"))
+      .select(col("doc_id").as(id), col("lex_rank"))
+    val fused = lexRanked.join(vecRanked, Seq(id), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(expr(s"$grid div ($rc + lex_rank)"), lit(0L)) +
+          coalesce(expr(s"$grid div ($rc + vec_rank)"), lit(0L)))
+    fused
+      .orderBy(col("rrf_score").desc, col(id).asc).limit(size)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("rrf_score").desc, col(id).asc)).cast("long"))
+      .join(project(env, src, body \ "fields"), Seq(id))
   }
 
   private def resolveIndex(env: Env, idx: JValue): DataFrame = {

@@ -514,6 +514,34 @@ class QueryDslSpec extends SparkSpec {
     assert(viaTerm.nonEmpty)
   }
 
+  test("hybrid rank.rrf fuses knn and query ranks on the integer grid") {
+    val henv = DslQueries.hybridEnv(spark, sfDir)
+    val got = QueryDsl.search(henv, DslQueries.HybridBody).collect()
+    assert(got.length === 10)
+    // every hit came from ≥1 side, and the fused score IS the
+    // reciprocal-rank formula of its recorded ranks
+    got.foreach { r =>
+      val lex = Option(r.getAs[java.lang.Long]("lex_rank")).map(_.toLong)
+      val vec = Option(r.getAs[java.lang.Long]("vec_rank")).map(_.toLong)
+      assert(lex.isDefined || vec.isDefined)
+      val want = lex.map(x => 1099511627776L / (60L + x)).getOrElse(0L) +
+        vec.map(x => 1099511627776L / (60L + x)).getOrElse(0L)
+      assert(r.getAs[Long]("rrf_score") === want)
+    }
+    // the lexical ranks agree with the standalone scored read of the
+    // same match over the same index
+    val lexRanks = QueryDsl.search(henv, """{
+      "index": ["hybrid-*"], "size": 20, "sort": ["_score"], "fields": [],
+      "query": {"match": {"text": "spark join window"}}
+    }""").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rank")).toMap
+    got.foreach { r =>
+      Option(r.getAs[java.lang.Long]("lex_rank")).foreach { lr =>
+        assert(lexRanks(r.getAs[Long]("doc_id")) === lr.toLong)
+      }
+    }
+  }
+
   test("empty-array exists semantics: ES indexes no value for []") {
     // service_tags is [] when k % 11 == 0 — exists must reject those
     val tagged = QueryDsl.drain(env, s"""{
