@@ -245,6 +245,56 @@ object OracleDsl {
        |JOIN documents d ON d.doc_id = r.doc_id""".stripMargin
   }
 
+  /** Mirror of DslQueries.AggsStatsBody: one grouped pass with the
+    * stats family flattened, exact interpolated percentiles
+    * (quantile_cont ≡ Spark `percentile` on whole values at binary
+    * fractions), and conditional-count percentile ranks.
+    */
+  val dslAggsStats: String =
+    """WITH g AS (
+      |  SELECT lang AS by_lang,
+      |    CAST(count(*) AS BIGINT) AS doc_count,
+      |    CAST(count(n_chars) AS BIGINT) AS len_count,
+      |    min(n_chars) AS len_min,
+      |    max(n_chars) AS len_max,
+      |    CAST(sum(n_chars) AS BIGINT) AS len_sum,
+      |    CAST(sum(n_chars) AS DOUBLE) / CAST(count(n_chars) AS DOUBLE) AS len_avg,
+      |    quantile_cont(n_chars, 0.25) AS lenq_p25,
+      |    quantile_cont(n_chars, 0.5) AS lenq_p50,
+      |    quantile_cont(n_chars, 0.75) AS lenq_p75,
+      |    CAST(sum(CASE WHEN n_chars <= 300 THEN 1 ELSE 0 END) AS DOUBLE) /
+      |      CAST(count(n_chars) AS DOUBLE) AS lenr_pr_300,
+      |    CAST(sum(CASE WHEN n_chars <= 600 THEN 1 ELSE 0 END) AS DOUBLE) /
+      |      CAST(count(n_chars) AS DOUBLE) AS lenr_pr_600
+      |  FROM documents GROUP BY 1
+      |),
+      |r AS (
+      |  SELECT *, dense_rank() OVER (
+      |    ORDER BY doc_count DESC, by_lang ASC) AS rk
+      |  FROM g
+      |)
+      |SELECT by_lang, doc_count, len_count, len_min, len_max, len_sum,
+      |       len_avg, lenq_p25, lenq_p50, lenq_p75, lenr_pr_300, lenr_pr_600
+      |FROM r WHERE rk <= 10""".stripMargin
+
+  /** Mirror of DslQueries.AggsMissingBody: the `missing` bucket as a
+    * COALESCE key, decimal-device sum, terms size cut.
+    */
+  val dslAggsMissing: String =
+    s"""WITH ${OracleAssets.signalsCte},
+       |g AS (
+       |  SELECT COALESCE(cloud_provider, 'none') AS by_provider,
+       |    CAST(count(*) AS BIGINT) AS doc_count,
+       |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+       |  FROM signals GROUP BY 1
+       |),
+       |r AS (
+       |  SELECT *, dense_rank() OVER (
+       |    ORDER BY doc_count DESC, by_provider ASC) AS rk
+       |  FROM g
+       |)
+       |SELECT by_provider, doc_count, value_sum FROM r WHERE rk <= 10""".stripMargin
+
   /** Mirror of DslQueries.HybridBody: exact-cosine top-20 ranks FULL
     * OUTER the BM25 top-20 ranks, fused by integer-grid reciprocal
     * rank (`2^40 // (60 + rank)`, exact BIGINT arithmetic), top-10

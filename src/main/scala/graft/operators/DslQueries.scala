@@ -309,6 +309,48 @@ object DslQueries {
   def dslMultiMatch(spark: SparkSession, dir: String): DataFrame =
     QueryDsl.search(docEnv(spark, dir), MultiMatchBody)
 
+  /** Multi-valued metrics under a terms bucket: ES `stats` (flattened
+    * to count/min/max/sum/avg columns), exact interpolated
+    * `percentiles` at binary-fraction percents (the q32 device —
+    * hash-exact on the whole-valued n_chars), and `percentile_ranks`
+    * (exact conditional counts, one IEEE division — the q51 device).
+    */
+  val AggsStatsBody: String = """{
+    "index": ["docs-*"],
+    "size": 0,
+    "aggs": {
+      "by_lang": {
+        "terms": {"field": "lang", "size": 10},
+        "aggs": {
+          "len": {"stats": {"field": "n_chars"}},
+          "lenq": {"percentiles": {"field": "n_chars", "percents": [25, 50, 75]}},
+          "lenr": {"percentile_ranks": {"field": "n_chars", "values": [300, 600]}}
+        }
+      }
+    }
+  }"""
+
+  def dslAggsStats(spark: SparkSession, dir: String): DataFrame =
+    QueryDsl.search(docEnv(spark, dir), AggsStatsBody)
+
+  /** The terms `missing` parameter: null-provider docs land in a named
+    * bucket instead of dropping out — on the signal stream where
+    * cloud.provider is genuinely sparse.
+    */
+  val AggsMissingBody: String = s"""{
+    "index": ["$ApmPattern"],
+    "size": 0,
+    "aggs": {
+      "by_provider": {
+        "terms": {"field": "cloud.provider", "size": 10, "missing": "none"},
+        "aggs": {"value_sum": {"sum": {"field": "value"}}}
+      }
+    }
+  }"""
+
+  def dslAggsMissing(spark: SparkSession, dir: String): DataFrame =
+    QueryDsl.search(signalEnv(spark, dir), AggsMissingBody)
+
   /** Multimodal-index env: one index carrying BOTH the analyzed text
     * and the embedding (documents ⋈ embeddings on the shared 0..N id
     * space) — the shape a real ES hybrid-search index has, and the

@@ -563,10 +563,14 @@ object QueryDsl {
   }
 
   /** Metric agg types the `aggs` compiler lowers (everything else at
-    * a level is a bucket agg).
+    * a level is a bucket agg). `stats`, `percentiles`, and
+    * `percentile_ranks` are multi-valued — they flatten to prefixed
+    * columns (`{name}_count`…, `{name}_p50`, `{name}_pr_300`), the
+    * relational form of ES's nested response objects.
     */
   private val MetricTypes =
-    Set("sum", "avg", "min", "max", "value_count", "cardinality")
+    Set("sum", "avg", "min", "max", "value_count", "cardinality",
+      "stats", "percentiles", "percentile_ranks")
 
   /** ES `aggs` tree → ONE grouped plan: each nesting level contributes
     * a bucket key (ES's nested buckets ARE a multi-column groupBy),
@@ -617,7 +621,14 @@ object QueryDsl {
           case JNothing => 10 // ES default
           case other    => fail(s"unsupported terms size: $other")
         }
-        Level(name, fieldCol(env, fieldOf(spec, "terms")), Some(size))
+        // `missing`: docs lacking the field land in a named bucket
+        // instead of dropping out (ES's missing parameter)
+        val key = spec \ "missing" match {
+          case JNothing   => fieldCol(env, fieldOf(spec, "terms"))
+          case JString(m) => coalesce(fieldCol(env, fieldOf(spec, "terms")), lit(m))
+          case other      => fail(s"unsupported terms missing: $other")
+        }
+        Level(name, key, Some(size))
       case "date_histogram" =>
         spec \ "calendar_interval" match {
           case JString("day") => ()
@@ -650,24 +661,54 @@ object QueryDsl {
       case other => fail(s"unsupported bucket agg: $other")
     }
 
-    def metricCol(name: String, tpe: String, spec: JValue): Column = {
+    def metricCols(name: String, tpe: String, spec: JValue): Seq[Column] = {
       val c = fieldCol(env, fieldOf(spec, tpe))
       val fname = colName(env, fieldOf(spec, tpe))
       val isDouble = df.schema.find(_.name == fname)
         .map(_.dataType == org.apache.spark.sql.types.DoubleType).getOrElse(false)
       def dsum: Column =
         if (isDouble) sum(c.cast("decimal(18,2)")).cast("double") else sum(c)
-      (tpe match {
-        case "sum" => dsum
-        case "avg" =>
-          if (isDouble)
-            sum(c.cast("decimal(18,2)")).cast("double") / count(c).cast("double")
-          else sum(c).cast("double") / count(c).cast("double")
-        case "min" => min(c)
-        case "max" => max(c)
-        case "value_count" => count(c)
-        case "cardinality" => countDistinct(c)
-      }).as(name)
+      def davg: Column =
+        if (isDouble)
+          sum(c.cast("decimal(18,2)")).cast("double") / count(c).cast("double")
+        else sum(c).cast("double") / count(c).cast("double")
+      def pctName(v: Double): String =
+        (if (v == v.floor) v.toLong.toString else v.toString).replace('.', '_')
+      def numsOf(key: String): Seq[Double] = spec \ key match {
+        case JArray(vs) => vs.map {
+          case JInt(n)    => n.toDouble
+          case JDouble(d) => d
+          case other      => fail(s"$tpe $key needs numbers: $other")
+        }
+        case other => fail(s"$tpe needs $key: $other")
+      }
+      tpe match {
+        case "sum"         => Seq(dsum.as(name))
+        case "avg"         => Seq(davg.as(name))
+        case "min"         => Seq(min(c).as(name))
+        case "max"         => Seq(max(c).as(name))
+        case "value_count" => Seq(count(c).as(name))
+        case "cardinality" => Seq(countDistinct(c).as(name))
+        // ES stats object, flattened: count/min/max/sum/avg
+        case "stats" => Seq(
+          count(c).as(s"${name}_count"),
+          min(c).as(s"${name}_min"),
+          max(c).as(s"${name}_max"),
+          dsum.as(s"${name}_sum"),
+          davg.as(s"${name}_avg"))
+        // exact interpolated percentiles (the q32 device: hash-exact
+        // for whole-valued fields and binary-fraction percents)
+        case "percentiles" => numsOf("percents").map { p =>
+          expr(s"percentile($fname, ${p / 100.0d})").as(s"${name}_p${pctName(p)}")
+        }
+        // inverse percentiles: fraction of valued docs at or under
+        // each threshold — exact integer counts, one IEEE division
+        // (the q51 device)
+        case "percentile_ranks" => numsOf("values").map { v =>
+          (sum(when(c <= v, 1L).otherwise(0L)).cast("double") /
+            count(c).cast("double")).as(s"${name}_pr_${pctName(v)}")
+        }
+      }
     }
 
     def walk(node: JValue, acc: List[Level]): (List[Level], Seq[Column]) =
@@ -692,9 +733,9 @@ object QueryDsl {
                 case s        => walk(s, lvl)
               }
             case None =>
-              (acc, metrics.map { case (n, t, s, sub) =>
+              (acc, metrics.flatMap { case (n, t, s, sub) =>
                 require(sub == JNothing, s"metric '$n' cannot nest aggs")
-                metricCol(n, t, s)
+                metricCols(n, t, s)
               })
           }
         case other => fail(s"unsupported aggs node: $other")

@@ -542,6 +542,37 @@ class QueryDslSpec extends SparkSpec {
     }
   }
 
+  test("aggs stats/percentiles/percentile_ranks flatten and missing fills the null bucket") {
+    val denv = DslQueries.docEnv(spark, sfDir)
+    val got = QueryDsl.search(denv, DslQueries.AggsStatsBody).collect()
+      .map(r => r.getAs[String]("by_lang") -> r).toMap
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val want = docs.groupBy(col("lang")).agg(
+      count(lit(1)).as("n"), min(col("n_chars")).as("mn"),
+      max(col("n_chars")).as("mx"), sum(col("n_chars")).as("sm"),
+      expr("percentile(n_chars, 0.5)").as("p50"))
+      .collect().map(r => r.getAs[String]("lang") -> r).toMap
+    assert(got.keySet === want.keySet)
+    got.foreach { case (lang, r) =>
+      val w = want(lang)
+      assert(r.getAs[Long]("len_count") === w.getAs[Long]("n"))
+      assert(r.getAs[Long]("len_min") === w.getAs[Long]("mn"))
+      assert(r.getAs[Long]("len_max") === w.getAs[Long]("mx"))
+      assert(r.getAs[Long]("len_sum") === w.getAs[Long]("sm"))
+      assert(r.getAs[Double]("lenq_p50") === w.getAs[Double]("p50"))
+      val pr300 = r.getAs[Double]("lenr_pr_300")
+      assert(pr300 >= 0.0 && pr300 <= r.getAs[Double]("lenr_pr_600"))
+    }
+    // missing: the null-provider docs land in the named bucket, so the
+    // bucket counts sum to the full stream
+    val buckets = QueryDsl.search(env, DslQueries.AggsMissingBody).collect()
+      .map(r => r.getAs[String]("by_provider") -> r.getAs[Long]("doc_count")).toMap
+    val sig = graft.sources.Tables.signals(spark, sfDir)
+    assert(buckets.getOrElse("none", 0L) ===
+      sig.where(col("cloud_provider").isNull).count())
+    assert(buckets.values.sum === sig.count())
+  }
+
   test("empty-array exists semantics: ES indexes no value for []") {
     // service_tags is [] when k % 11 == 0 — exists must reject those
     val tagged = QueryDsl.drain(env, s"""{
