@@ -295,6 +295,45 @@ object OracleDsl {
        |)
        |SELECT by_provider, doc_count, value_sum FROM r WHERE rk <= 10""".stripMargin
 
+  /** Mirror of DslQueries.HighlightBody: the score chain's top-5
+    * joined to the field's words, first position = min over query
+    * terms of list_position (absent terms filtered), the same
+    * ±HlWindow slice with per-word `<em>` wrapping — OracleText's
+    * highlight device over the compiled envelope.
+    */
+  val dslHighlight: String = {
+    val hw = operators.TextOps.HlWindow
+    s"""WITH ${fieldScoreCtes("m", "text", Seq("merge", "vector"))},
+       |ranked AS (
+       |  SELECT doc_id, CAST(score AS DOUBLE) * 1.0 AS score,
+       |    row_number() OVER (
+       |      ORDER BY CAST(score AS DOUBLE) * 1.0 DESC, doc_id ASC) AS "rank"
+       |  FROM m_scored
+       |),
+       |hits AS (
+       |  SELECT r.doc_id, r.score, r."rank", d.source,
+       |    string_split(d.text, ' ') AS words
+       |  FROM (SELECT * FROM ranked WHERE "rank" <= 5) r
+       |  JOIN documents d ON d.doc_id = r.doc_id
+       |),
+       |pos AS (
+       |  SELECT *, CAST(list_aggregate(list_filter(
+       |    list_transform(['merge', 'vector'], t -> list_position(words, t)),
+       |    p -> p IS NOT NULL), 'min') AS BIGINT) AS first_pos
+       |  FROM hits
+       |),
+       |fr AS (
+       |  SELECT *, greatest(CAST(1 AS BIGINT), first_pos - $hw) AS frag_start
+       |  FROM pos
+       |)
+       |SELECT doc_id, score, "rank", source, first_pos, frag_start,
+       |  array_to_string(list_transform(
+       |    list_slice(words, frag_start, first_pos + $hw),
+       |    w -> CASE WHEN list_contains(['merge', 'vector'], w)
+       |      THEN '<em>' || w || '</em>' ELSE w END), ' ') AS fragment
+       |FROM fr""".stripMargin
+  }
+
   /** Mirror of DslQueries.HybridBody: exact-cosine top-20 ranks FULL
     * OUTER the BM25 top-20 ranks, fused by integer-grid reciprocal
     * rank (`2^40 // (60 + rank)`, exact BIGINT arithmetic), top-10

@@ -351,6 +351,24 @@ object DslQueries {
   def dslAggsMissing(spark: SparkSession, dir: String): DataFrame =
     QueryDsl.search(signalEnv(spark, dir), AggsMissingBody)
 
+  /** ES highlighting in the DSL envelope: a scored match with
+    * `highlight.fields.text` — each hit carries the `<em>`-wrapped
+    * ±window fragment around its first query-term occurrence
+    * (QueryDsl.attachHighlight, TextOps.highlight's expressions).
+    */
+  val HighlightBody: String = """{
+    "index": ["docs-*"],
+    "size": 5,
+    "sort": ["_score"],
+    "_source": false,
+    "fields": ["source"],
+    "query": {"match": {"text": "vector merge"}},
+    "highlight": {"fields": {"text": {}}}
+  }"""
+
+  def dslHighlight(spark: SparkSession, dir: String): DataFrame =
+    QueryDsl.search(docEnv(spark, dir), HighlightBody)
+
   /** Multimodal-index env: one index carrying BOTH the analyzed text
     * and the embedding (documents ⋈ embeddings on the shared 0..N id
     * space) — the shape a real ES hybrid-search index has, and the

@@ -201,6 +201,9 @@ object QueryDsl {
     */
   private def runScored(env: Env, src: DataFrame, body: JValue,
       honorSize: Boolean): DataFrame = {
+    // highlighting needs the general path's term extraction
+    if ((body \ "highlight") != JNothing)
+      return runScoredTree(env, src, body, honorSize)
     val (field, queryText) = body \ "query" match {
       case JObject(List(JField("match", JObject(List(JField(f, spec)))))) =>
         val q = spec match {
@@ -300,7 +303,91 @@ object QueryDsl {
     val ranked = top
       .withColumn("rank", row_number().over(w).cast("long"))
       .select(col("doc_id").as(id), col("s").as("score"), col("rank"))
-    ranked.join(project(env, src, body \ "fields"), Seq(id))
+    val hits = ranked.join(project(env, src, body \ "fields"), Seq(id))
+    body \ "highlight" \ "fields" match {
+      case JNothing => hits
+      case JObject(List(JField(f, _))) =>
+        attachHighlight(env, src, hits, f, body \ "query")
+      case other => fail(s"unsupported highlight: $other")
+    }
+  }
+
+  /** ES highlighting inside the DSL envelope: for each hit, the
+    * ±HlWindow-word fragment around the FIRST occurrence of any query
+    * term targeting the highlighted field, with every such term
+    * `<em>`-wrapped — [[TextOps.highlight]]'s exact per-row array
+    * expressions, fed by the terms extracted from the query tree (the
+    * same extraction ES's unified highlighter performs). Pure per-row
+    * work after one hit-sized join against the field's words.
+    */
+  private def attachHighlight(env: Env, src: DataFrame, hits: DataFrame,
+      field: String, query: JValue): DataFrame = {
+    val id = env.mapping.idColumn
+    val terms = highlightTerms(env, query, field)
+    require(terms.nonEmpty, s"highlight field '$field' has no query terms")
+    val hw = TextOps.HlWindow
+    val qtermsSql = terms.map(t => s"'$t'").mkString("array(", ", ", ")")
+    val words = src.select(col(id), split(fieldCol(env, field), " ").as("words"))
+    hits.join(words, Seq(id))
+      .withColumn("first_pos", expr(
+        s"array_min(filter(transform($qtermsSql, t -> array_position(words, t)), p -> p > 0))"))
+      .withColumn("frag_start",
+        greatest(lit(1L), col("first_pos") - lit(hw.toLong)))
+      .withColumn("fragment", expr(
+        s"""array_join(transform(
+           |  slice(words, CAST(frag_start AS INT),
+           |    CAST(first_pos + $hw - frag_start + 1 AS INT)),
+           |  w -> IF(array_contains($qtermsSql, w),
+           |    concat('<em>', w, '</em>'), w)), ' ')""".stripMargin))
+      .drop("words")
+  }
+
+  /** The query tree's terms targeting one field — match/term tokens
+    * and multi_match queries whose field list names it, recursively
+    * through bool/dis_max/constant_score; distinct and sorted (the
+    * deterministic order [[TextOps.highlight]] uses).
+    */
+  private def highlightTerms(env: Env, q: JValue, field: String): Seq[String] = {
+    def toks(text: String): Seq[String] =
+      text.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+    def walk(c: JValue): Seq[String] = c match {
+      case JObject(List(JField("match", JObject(List(JField(f, spec))))))
+          if f == field => toks(matchSpec(spec)._1)
+      case JObject(List(JField("term", JObject(List(JField(f, v))))))
+          if f == field => v match {
+        case JString(s) => Seq(s)
+        case o: JObject => o \ "value" match {
+          case JString(s) => Seq(s)
+          case _          => Nil
+        }
+        case _ => Nil
+      }
+      case JObject(List(JField("multi_match", o: JObject))) =>
+        val names = o \ "fields" match {
+          case JArray(fs) => fs.collect { case JString(f) => f.split('^')(0) }
+          case _          => Nil
+        }
+        if (names.contains(field)) o \ "query" match {
+          case JString(s) => toks(s)
+          case _          => Nil
+        } else Nil
+      case JObject(List(JField("bool", b))) =>
+        Seq("must", "should", "filter", "must_not").flatMap { k =>
+          (b \ k match {
+            case JArray(cs) => cs
+            case JNothing   => Nil
+            case single     => Seq(single)
+          }).flatMap(walk)
+        }
+      case JObject(List(JField("dis_max", d))) =>
+        (d \ "queries" match {
+          case JArray(cs) => cs
+          case _          => Nil
+        }).flatMap(walk)
+      case JObject(List(JField("constant_score", cs))) => walk(cs \ "filter")
+      case _ => Nil
+    }
+    walk(q).distinct.sorted
   }
 
   /** One query-context clause → its matching-docs score frame

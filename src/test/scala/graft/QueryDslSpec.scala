@@ -573,6 +573,29 @@ class QueryDslSpec extends SparkSpec {
     assert(buckets.values.sum === sig.count())
   }
 
+  test("highlight: fragment wraps the query terms around the first occurrence") {
+    val denv = DslQueries.docEnv(spark, sfDir)
+    val hits = QueryDsl.search(denv, DslQueries.HighlightBody).collect()
+    assert(hits.length === 5)
+    val texts = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val qterms = Set("merge", "vector")
+    hits.foreach { r =>
+      val words = texts(r.getAs[Long]("doc_id")).split(" ")
+      val firstPos = words.indexWhere(qterms.contains) + 1 // 1-based
+      assert(r.getAs[Long]("first_pos") === firstPos.toLong)
+      val fragment = r.getAs[String]("fragment")
+      assert(qterms.exists(t => fragment.contains(s"<em>$t</em>")))
+      // the fragment is the plain slice with only query terms wrapped
+      val start = r.getAs[Long]("frag_start").toInt - 1
+      val end = math.min(words.length, firstPos + graft.operators.TextOps.HlWindow)
+      val want = words.slice(start, end)
+        .map(w => if (qterms(w)) s"<em>$w</em>" else w).mkString(" ")
+      assert(fragment === want)
+    }
+  }
+
   test("empty-array exists semantics: ES indexes no value for []") {
     // service_tags is [] when k % 11 == 0 — exists must reject those
     val tagged = QueryDsl.drain(env, s"""{
