@@ -295,6 +295,34 @@ object OracleDsl {
        |)
        |SELECT by_provider, doc_count, value_sum FROM r WHERE rk <= 10""".stripMargin
 
+  /** Mirror of DslQueries.GeoBody: the identical md5 microdegree
+    * derivation (OracleGeo's hex fold), the four inclusive bbox
+    * compares, and the exact integer squared-distance ring.
+    */
+  val dslGeo: String = {
+    val h60 =
+      """list_reduce(list_transform(range(1, 16),
+        |      i -> CAST(strpos('0123456789abcdef',
+        |             substring(md5(CAST(event_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+        |      (a, d) -> a * 16 + d)""".stripMargin
+    s"""WITH h AS (
+       |  SELECT event_id, event_type, value, $h60 AS h FROM events
+       |),
+       |coords AS (
+       |  SELECT event_id, event_type, value,
+       |    h % 360000000 AS lon_micro,
+       |    (h // 360000000) % 180000000 AS lat_micro
+       |  FROM h
+       |)
+       |SELECT event_id, event_type, value
+       |FROM coords
+       |WHERE lat_micro >= 90000000 AND lat_micro <= 150000000
+       |  AND lon_micro >= 135000000 AND lon_micro <= 225000000
+       |  AND ((lon_micro - 180000000) * (lon_micro - 180000000)
+       |     + (lat_micro - 90000000) * (lat_micro - 90000000))
+       |    < CAST(1600000000000000 AS BIGINT)""".stripMargin
+  }
+
   /** Mirror of DslQueries.HighlightBody: the score chain's top-5
     * joined to the field's words, first position = min over query
     * terms of list_position (absent terms filtered), the same

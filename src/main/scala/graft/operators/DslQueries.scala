@@ -369,6 +369,44 @@ object DslQueries {
   def dslHighlight(spark: SparkSession, dir: String): DataFrame =
     QueryDsl.search(docEnv(spark, dir), HighlightBody)
 
+  /** Geo-index env: events with the integer-microdegree coordinates
+    * attached (GeoOps.attachCoords — THE single coordinate
+    * derivation), `location` mapped to the stored (lat, lon) integer
+    * pair exactly as a real deployment indexes a geo_point.
+    */
+  def geoEnv(spark: SparkSession, dir: String): Env = Env(
+    indices = Map("geo-*" -> GeoOps.attachCoords(Tables.events(spark, dir))),
+    mapping = Mapping(
+      fields = Map("event.type" -> "event_type", "value" -> "value"),
+      idColumn = "event_id",
+      tsFields = Set.empty,
+      geoFields = Map("location" -> (("lat_micro", "lon_micro")))))
+
+  /** Geo filter clauses: the GeoOps bbox as a `geo_bounding_box` (four
+    * inclusive integer compares) intersected with a `geo_distance`
+    * ring (flat-space squared-Euclid in micro units — the geoRings
+    * convention).
+    */
+  val GeoBody: String = """{
+    "index": ["geo-*"],
+    "_source": false,
+    "fields": ["event.type", "value"],
+    "query": {
+      "bool": {
+        "filter": [
+          {"geo_bounding_box": {"location": {
+            "top_left": {"lat": 60, "lon": -45},
+            "bottom_right": {"lat": 0, "lon": 45}}}},
+          {"geo_distance": {"distance": "40000000micro",
+            "location": {"lat": 0, "lon": 0}}}
+        ]
+      }
+    }
+  }"""
+
+  def dslGeo(spark: SparkSession, dir: String): DataFrame =
+    QueryDsl.drain(geoEnv(spark, dir), GeoBody)
+
   /** Multimodal-index env: one index carrying BOTH the analyzed text
     * and the embedding (documents ⋈ embeddings on the shared 0..N id
     * space) — the shape a real ES hybrid-search index has, and the

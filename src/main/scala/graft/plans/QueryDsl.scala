@@ -85,7 +85,12 @@ object QueryDsl {
       families: Map[String, String] = Map.empty,
       tsFields: Set[String] = Set("@timestamp"),
       termValues: Map[String, Map[String, String]] = Map.empty,
-      dateMath: Map[String, String] = Map.empty)
+      dateMath: Map[String, String] = Map.empty,
+      /** ES geo-point field → (latMicroColumn, lonMicroColumn): the
+        * indexed integer-microdegree pair a real deployment stores
+        * (GeoOps's coordinate convention — lat+90, lon+180, ×10^6).
+        */
+      geoFields: Map[String, (String, String)] = Map.empty)
 
   /** Everything a request body resolves against: named index patterns
     * (the body's `index` array — each entry is one of the reference's
@@ -1064,6 +1069,10 @@ object QueryDsl {
       case JObject(List(JField("ids", i)))      => Compiled(compileIds(env, i), Nil)
       case JObject(List(JField("wildcard", w))) => Compiled(compileWildcard(env, w), Nil)
       case JObject(List(JField("fuzzy", f)))    => Compiled(compileFuzzy(env, f), Nil)
+      case JObject(List(JField("geo_bounding_box", g))) =>
+        Compiled(compileGeoBox(env, g), Nil)
+      case JObject(List(JField("geo_distance", g))) =>
+        Compiled(compileGeoDistance(env, g), Nil)
       // constant_score only changes scoring, which the filter context
       // discards — compile the wrapped filter directly
       case JObject(List(JField("constant_score", cs))) =>
@@ -1141,6 +1150,71 @@ object QueryDsl {
       }
       levenshtein(fieldCol(env, field), lit(value)) <= maxEdits
     case other => fail(s"unsupported fuzzy: $other")
+  }
+
+  private def geoCols(env: Env, field: String): (Column, Column) =
+    env.mapping.geoFields.get(field) match {
+      case Some((latC, lonC)) => (col(latC), col(lonC))
+      case None => fail(s"unmapped geo field '$field'")
+    }
+
+  private def geoNum(v: JValue, what: String): Double = v match {
+    case JInt(n)    => n.toDouble
+    case JDouble(d) => d
+    case other      => fail(s"$what needs a number: $other")
+  }
+
+  /** Degrees → the stored integer microdegrees, converted driver-side
+    * (exact literals enter the plan; GeoOps's lat+90/lon+180 offsets).
+    */
+  private def latMicro(v: JValue, what: String): Long =
+    Math.round((geoNum(v, what) + 90.0) * 1000000.0)
+  private def lonMicro(v: JValue, what: String): Long =
+    Math.round((geoNum(v, what) + 180.0) * 1000000.0)
+
+  /** `geo_bounding_box`: four integer compares on the microdegree
+    * columns, edges inclusive — the indexed-integer membership a real
+    * deployment evaluates (GeoOps.geoBbox's shape).
+    */
+  private def compileGeoBox(env: Env, g: JValue): Column = g match {
+    case JObject(List(JField(field, spec))) =>
+      val (latC, lonC) = geoCols(env, field)
+      val top = latMicro(spec \ "top_left" \ "lat", "top_left.lat")
+      val left = lonMicro(spec \ "top_left" \ "lon", "top_left.lon")
+      val bottom = latMicro(spec \ "bottom_right" \ "lat", "bottom_right.lat")
+      val right = lonMicro(spec \ "bottom_right" \ "lon", "bottom_right.lon")
+      latC >= bottom && latC <= top && lonC >= left && lonC <= right
+    case other => fail(s"unsupported geo_bounding_box: $other")
+  }
+
+  /** `geo_distance`: flat-space squared-Euclid in microdegrees — the
+    * geoRings convention (the synthetic coordinates carry no real
+    * curvature to honor, and haversine's transcendentals are exactly
+    * what cross-engine bit-exactness cannot use). Distance is given in
+    * micro units: a number, or a string with the `micro` suffix.
+    * Exact 64-bit arithmetic: the worst-case squared diff (360·10^6)²
+    * ≈ 1.3·10^17 sits well under 2^63.
+    */
+  private def compileGeoDistance(env: Env, g: JValue): Column = g match {
+    case JObject(entries) =>
+      val m = entries.toMap
+      val dist: Long = m.getOrElse("distance", fail("geo_distance needs distance")) match {
+        case JInt(n) => n.toLong
+        case JString(s) if s.endsWith("micro") =>
+          s.stripSuffix("micro").trim.toLong
+        case other => fail(s"unsupported geo_distance distance: $other")
+      }
+      entries.filterNot(_._1 == "distance") match {
+        case List((field, center)) =>
+          val (latC, lonC) = geoCols(env, field)
+          val cy = latMicro(center \ "lat", "geo_distance lat")
+          val cx = lonMicro(center \ "lon", "geo_distance lon")
+          val dx = lonC - lit(cx)
+          val dy = latC - lit(cy)
+          (dx * dx + dy * dy) < lit(dist * dist)
+        case _ => fail("geo_distance needs exactly one geo field")
+      }
+    case other => fail(s"unsupported geo_distance: $other")
   }
 
   /** `ids`: hits by document id (the `_id` analog column). */

@@ -596,6 +596,24 @@ class QueryDslSpec extends SparkSpec {
     }
   }
 
+  test("geo_bounding_box and geo_distance compile to integer microdegree predicates") {
+    val genv = DslQueries.geoEnv(spark, sfDir)
+    val got = QueryDsl.drain(genv, DslQueries.GeoBody).collect()
+      .map(_.getAs[Long]("event_id")).toSet
+    val coords = graft.operators.GeoOps.attachCoords(
+      graft.sources.Tables.events(spark, sfDir))
+    val want = coords.where(
+      col("lat_micro") >= 90000000L && col("lat_micro") <= 150000000L &&
+        col("lon_micro") >= 135000000L && col("lon_micro") <= 225000000L &&
+        ((col("lon_micro") - 180000000L) * (col("lon_micro") - 180000000L) +
+          (col("lat_micro") - 90000000L) * (col("lat_micro") - 90000000L))
+          < lit(40000000L * 40000000L))
+      .collect().map(_.getAs[Long]("event_id")).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+    assert(got.size < coords.count(), "the ring must genuinely filter")
+  }
+
   test("empty-array exists semantics: ES indexes no value for []") {
     // service_tags is [] when k % 11 == 0 — exists must reject those
     val tagged = QueryDsl.drain(env, s"""{
