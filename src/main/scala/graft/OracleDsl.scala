@@ -295,6 +295,34 @@ object OracleDsl {
        |)
        |SELECT by_provider, doc_count, value_sum FROM r WHERE rk <= 10""".stripMargin
 
+  /** Mirror of DslQueries.RescoreBody: primary BM25 top-30 window,
+    * left-joined phrase-gated constant_score bonus (2·2^40 where
+    * ` spark join ` occurs adjacent), re-ranked top-10.
+    */
+  val dslRescore: String =
+    s"""WITH ${fieldScoreCtes("m", "text", Seq("spark", "join"))},
+       |primary_top AS (
+       |  SELECT doc_id, CAST(score AS DOUBLE) * 1.0 AS s FROM m_scored
+       |  ORDER BY s DESC, doc_id ASC
+       |  LIMIT 30
+       |),
+       |bonus AS (
+       |  SELECT doc_id, 2199023255552.0 AS rs FROM documents
+       |  WHERE instr(' ' || text || ' ', ' spark join ') > 0
+       |),
+       |combined AS (
+       |  SELECT p.doc_id, 1.0 * p.s + 1.0 * COALESCE(b.rs, 0.0) AS s
+       |  FROM primary_top p LEFT JOIN bonus b USING (doc_id)
+       |),
+       |ranked AS (
+       |  SELECT doc_id, s AS score,
+       |    row_number() OVER (ORDER BY s DESC, doc_id ASC) AS "rank"
+       |  FROM combined
+       |)
+       |SELECT r.doc_id, r.score, r."rank", d.source
+       |FROM (SELECT * FROM ranked WHERE "rank" <= 10) r
+       |JOIN documents d ON d.doc_id = r.doc_id""".stripMargin
+
   /** Mirror of DslQueries.GeoBody: the identical md5 microdegree
     * derivation (OracleGeo's hex fold), the four inclusive bbox
     * compares, and the exact integer squared-distance ring.

@@ -369,6 +369,32 @@ object DslQueries {
   def dslHighlight(spark: SparkSession, dir: String): DataFrame =
     QueryDsl.search(docEnv(spark, dir), HighlightBody)
 
+  /** ES `rescore` — the phrase-boost pattern: a term-level match
+    * retrieves, then the top window_size hits get a constant_score
+    * match_phrase bonus where the terms occur ADJACENT (QueryDsl
+    * .applyRescore).
+    */
+  val RescoreBody: String = """{
+    "index": ["docs-*"],
+    "size": 10,
+    "sort": ["_score"],
+    "_source": false,
+    "fields": ["source"],
+    "query": {"match": {"text": "spark join"}},
+    "rescore": {
+      "window_size": 30,
+      "query": {
+        "rescore_query": {"constant_score": {
+          "filter": {"match_phrase": {"text": "spark join"}}, "boost": 2}},
+        "query_weight": 1,
+        "rescore_query_weight": 1
+      }
+    }
+  }"""
+
+  def dslRescore(spark: SparkSession, dir: String): DataFrame =
+    QueryDsl.search(docEnv(spark, dir), RescoreBody)
+
   /** Geo-index env: events with the integer-microdegree coordinates
     * attached (GeoOps.attachCoords — THE single coordinate
     * derivation), `location` mapped to the stored (lat, lon) integer

@@ -206,8 +206,8 @@ object QueryDsl {
     */
   private def runScored(env: Env, src: DataFrame, body: JValue,
       honorSize: Boolean): DataFrame = {
-    // highlighting needs the general path's term extraction
-    if ((body \ "highlight") != JNothing)
+    // highlighting and rescoring need the general path
+    if ((body \ "highlight") != JNothing || (body \ "rescore") != JNothing)
       return runScoredTree(env, src, body, honorSize)
     val (field, queryText) = body \ "query" match {
       case JObject(List(JField("match", JObject(List(JField(f, spec)))))) =>
@@ -303,7 +303,11 @@ object QueryDsl {
       case JNothing => 10
       case other    => fail(s"unsupported size: $other")
     }
-    val top = scored.orderBy(col("s").desc, col("doc_id").asc).limit(n)
+    val rescored = body \ "rescore" match {
+      case JNothing => scored
+      case r        => applyRescore(env, src, scored, n, r)
+    }
+    val top = rescored.orderBy(col("s").desc, col("doc_id").asc).limit(n)
     val w = Window.orderBy(col("s").desc, col("doc_id").asc)
     val ranked = top
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -393,6 +397,40 @@ object QueryDsl {
       case _ => Nil
     }
     walk(q).distinct.sorted
+  }
+
+  /** ES `rescore`: the primary retrieval's top `window_size` hits are
+    * re-scored as `query_weight·primary + rescore_query_weight·
+    * rescore_query_score` (zero where the rescore query misses — the
+    * phrase-boost pattern, typically a `constant_score` of
+    * `match_phrase`). The window cut is a TakeOrdered, the rescore
+    * frame a left join onto ≤ window_size rows; `size` must fit inside
+    * the window (ES returns unrescored tails otherwise — a shape with
+    * no deterministic relational meaning, so it is rejected).
+    */
+  private def applyRescore(env: Env, src: DataFrame, scored: DataFrame,
+      size: Int, r: JValue): DataFrame = {
+    val window = r \ "window_size" match {
+      case JInt(n)  => n.toInt
+      case JNothing => 10
+      case other    => fail(s"unsupported window_size: $other")
+    }
+    require(size <= window,
+      s"rescore needs size ($size) <= window_size ($window)")
+    val rq = r \ "query"
+    def weight(key: String): Double = rq \ key match {
+      case JNothing   => 1.0
+      case JDouble(d) => d
+      case JInt(n)    => n.toDouble
+      case other      => fail(s"unsupported $key: $other")
+    }
+    val (qw, rw) = (weight("query_weight"), weight("rescore_query_weight"))
+    val rescores = scoreClause(env, src, rq \ "rescore_query")
+      .select(col("doc_id"), col("s").as("__rs"))
+    scored.orderBy(col("s").desc, col("doc_id").asc).limit(window)
+      .join(rescores, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (lit(qw) * col("s") + lit(rw) * coalesce(col("__rs"), lit(0.0d))).as("s"))
   }
 
   /** One query-context clause → its matching-docs score frame

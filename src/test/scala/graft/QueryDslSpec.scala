@@ -614,6 +614,28 @@ class QueryDslSpec extends SparkSpec {
     assert(got.size < coords.count(), "the ring must genuinely filter")
   }
 
+  test("rescore: the phrase-boost window re-ranks the primary top") {
+    val denv = DslQueries.docEnv(spark, sfDir)
+    val got = QueryDsl.search(denv, DslQueries.RescoreBody).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toMap
+    // boost 1 forces the general scorer (double scores, full window)
+    val primary = QueryDsl.search(denv, """{
+      "index": ["docs-*"], "size": 30, "sort": ["_score"], "fields": [],
+      "query": {"match": {"text": {"query": "spark join", "boost": 1}}}
+    }""").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toMap
+    val texts = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    got.foreach { case (id, s) =>
+      val bonus =
+        if ((" " + texts(id) + " ").contains(" spark join ")) 2.0 * 1099511627776.0
+        else 0.0
+      assert(s === 1.0 * primary(id) + 1.0 * bonus, s"doc $id")
+    }
+    assert(got.nonEmpty)
+  }
+
   test("empty-array exists semantics: ES indexes no value for []") {
     // service_tags is [] when k % 11 == 0 — exists must reject those
     val tagged = QueryDsl.drain(env, s"""{
