@@ -295,6 +295,21 @@ object OracleDsl {
        |)
        |SELECT by_provider, doc_count, value_sum FROM r WHERE rk <= 10""".stripMargin
 
+  /** Mirror of DslQueries.TopHitsBody: per-bucket window top-2 under
+    * (ts DESC, event_id DESC) with the projected fields.
+    */
+  val dslTopHits: String =
+    s"""WITH ${OracleAssets.signalsCte},
+       |ranked AS (
+       |  SELECT event_type AS by_type, event_id, service_name, value,
+       |    row_number() OVER (
+       |      PARTITION BY event_type
+       |      ORDER BY ts DESC, event_id DESC) AS hit_rank
+       |  FROM signals
+       |)
+       |SELECT by_type, hit_rank, event_id, service_name, value
+       |FROM ranked WHERE hit_rank <= 2""".stripMargin
+
   /** Mirror of DslQueries.RescoreBody: primary BM25 top-30 window,
     * left-joined phrase-gated constant_score bonus (2·2^40 where
     * ` spark join ` occurs adjacent), re-ranked top-10.

@@ -395,6 +395,31 @@ object DslQueries {
   def dslRescore(spark: SparkSession, dir: String): DataFrame =
     QueryDsl.search(docEnv(spark, dir), RescoreBody)
 
+  /** `top_hits` under a terms bucket: per event type, the 2 latest
+    * rows with their projected fields — per-bucket hit rows through
+    * the aggs compiler's window-top-N path (partial WindowGroupLimit
+    * before the exchange).
+    */
+  val TopHitsBody: String = s"""{
+    "index": ["$ApmPattern"],
+    "size": 0,
+    "aggs": {
+      "by_type": {
+        "terms": {"field": "metricset.name", "size": 10},
+        "aggs": {
+          "latest": {"top_hits": {
+            "sort": [{"@timestamp": "desc"}],
+            "size": 2,
+            "fields": ["service.name", "value"]
+          }}
+        }
+      }
+    }
+  }"""
+
+  def dslTopHits(spark: SparkSession, dir: String): DataFrame =
+    QueryDsl.search(signalEnv(spark, dir), TopHitsBody)
+
   /** Geo-index env: events with the integer-microdegree coordinates
     * attached (GeoOps.attachCoords — THE single coordinate
     * derivation), `location` mapped to the stored (lat, lon) integer

@@ -841,6 +841,55 @@ object QueryDsl {
       }
     }
 
+    // `top_hits` leaf: per-bucket top-N ROWS (not aggregates) — the
+    // window top-N whose partial WindowGroupLimit Catalyst places
+    // before the exchange (the top_hits operator's pinned shape).
+    // Bucket size cuts do not apply on this path (the response keeps
+    // every bucket, each with its own hits).
+    def findTopHits(node: JValue, acc: List[Level]): Option[(List[Level], JValue)] =
+      node match {
+        case JObject(List((name, spec: JObject))) =>
+          val tpe = spec.obj.collectFirst { case (k, _) if k != "aggs" => k }
+            .getOrElse(fail(s"agg '$name' has no type"))
+          if (tpe == "top_hits") Some((acc, spec \ "top_hits"))
+          else if (!MetricTypes(tpe)) spec \ "aggs" match {
+            case JNothing => None
+            case sub => findTopHits(sub, acc :+ bucketLevel(name, tpe, spec \ tpe))
+          } else None
+        case _ => None
+      }
+    findTopHits(aggs, Nil) match {
+      case Some((levels, spec)) =>
+        require(levels.nonEmpty,
+          "top_hits needs a bucket agg above it (a global top is sort+size)")
+        val sortSpec = parseSort(env, spec \ "sort")
+        val size = spec \ "size" match {
+          case JInt(n)  => n.toInt
+          case JNothing => 3 // ES default
+          case other    => fail(s"unsupported top_hits size: $other")
+        }
+        val requested: Seq[String] = spec \ "fields" match {
+          case JNothing   => Nil
+          case JArray(fs) => fs.map {
+            case JString(f) => f
+            case other      => fail(s"unsupported top_hits field: $other")
+          }
+          case other => fail(s"unsupported top_hits fields: $other")
+        }
+        val keyed = levels.foldLeft(df)((d, l) => d.withColumn(l.outName, l.key))
+        val w = Window.partitionBy(levels.map(l => col(l.outName)): _*)
+          .orderBy(orderCols(env, sortSpec): _*)
+        val hits = keyed
+          .withColumn("hit_rank", row_number().over(w).cast("long"))
+          .where(col("hit_rank") <= size)
+        val fieldCols = requested
+          .flatMap(f => env.mapping.fields.get(f).filter(keyed.columns.contains))
+        return hits.select((levels.map(l => col(l.outName)) ++
+          Seq(col("hit_rank"), col(env.mapping.idColumn)) ++
+          fieldCols.map(col)): _*)
+      case None => ()
+    }
+
     def walk(node: JValue, acc: List[Level]): (List[Level], Seq[Column]) =
       node match {
         case JObject(entries) =>

@@ -636,6 +636,22 @@ class QueryDslSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("aggs top_hits: per-bucket window top-N rows with the id tiebreak") {
+    val got = QueryDsl.search(env, DslQueries.TopHitsBody).collect()
+      .map(r => (r.getAs[String]("by_type"), r.getAs[Long]("hit_rank")) ->
+        r.getAs[Long]("event_id")).toMap
+    val sig = graft.sources.Tables.signals(spark, sfDir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val want = sig.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 2).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Int]("rn").toLong) ->
+        r.getAs[Long]("event_id")).toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("empty-array exists semantics: ES indexes no value for []") {
     // service_tags is [] when k % 11 == 0 — exists must reject those
     val tagged = QueryDsl.drain(env, s"""{
