@@ -295,6 +295,31 @@ object OracleDsl {
        |)
        |SELECT by_provider, doc_count, value_sum FROM r WHERE rk <= 10""".stripMargin
 
+  /** Mirror of DslQueries.SigTermsBody: foreground/background doc
+    * counts, the JLH score over exact integer counts, positive
+    * correlation gate, top-5.
+    */
+  val dslSigTerms: String =
+    """WITH fgd AS (SELECT * FROM documents WHERE lang = 'en'),
+      |fg AS (SELECT source, CAST(count(*) AS BIGINT) AS doc_count FROM fgd GROUP BY 1),
+      |bg AS (SELECT source, CAST(count(*) AS BIGINT) AS bg_count FROM documents GROUP BY 1),
+      |t AS (
+      |  SELECT (SELECT count(*) FROM fgd) AS fg_total,
+      |         (SELECT count(*) FROM documents) AS bg_total
+      |),
+      |s AS (
+      |  SELECT fg.source, fg.doc_count, bg.bg_count,
+      |    CAST(fg.doc_count AS DOUBLE) / CAST(t.fg_total AS DOUBLE) AS fg_pct,
+      |    CAST(bg.bg_count AS DOUBLE) / CAST(t.bg_total AS DOUBLE) AS bg_pct
+      |  FROM fg JOIN bg USING (source), t
+      |)
+      |SELECT source AS sig_sources, doc_count, bg_count,
+      |  (fg_pct - bg_pct) * (fg_pct / bg_pct) AS score
+      |FROM s
+      |WHERE fg_pct > bg_pct
+      |ORDER BY score DESC, sig_sources ASC
+      |LIMIT 5""".stripMargin
+
   /** Mirror of DslQueries.TopHitsBody: per-bucket window top-2 under
     * (ts DESC, event_id DESC) with the projected fields.
     */

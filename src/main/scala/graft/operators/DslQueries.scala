@@ -420,6 +420,25 @@ object DslQueries {
   def dslTopHits(spark: SparkSession, dir: String): DataFrame =
     QueryDsl.search(signalEnv(spark, dir), TopHitsBody)
 
+  /** `significant_terms`: which sources are OVERREPRESENTED among
+    * English documents — foreground (the term query) vs background
+    * (the index), JLH-scored, positively-correlated terms only
+    * (QueryDsl.runSigTerms).
+    */
+  val SigTermsBody: String = """{
+    "index": ["docs-*"],
+    "size": 0,
+    "query": {"term": {"lang": "en"}},
+    "aggs": {
+      "sig_sources": {
+        "significant_terms": {"field": "source", "size": 5}
+      }
+    }
+  }"""
+
+  def dslSigTerms(spark: SparkSession, dir: String): DataFrame =
+    QueryDsl.search(docEnv(spark, dir), SigTermsBody)
+
   /** Geo-index env: events with the integer-microdegree coordinates
     * attached (GeoOps.attachCoords — THE single coordinate
     * derivation), `location` mapped to the stored (lat, lon) integer

@@ -150,7 +150,7 @@ object QueryDsl {
           case JNothing => src
           case q        => applyQuery(env, src, q)
         }
-        runAggs(env, filtered, aggs)
+        runAggs(env, src, filtered, aggs)
       case _ => fail("knn and aggs cannot combine")
     }
   }
@@ -721,7 +721,8 @@ object QueryDsl {
     * shuffle on the composite bucket key; the cut windows run on the
     * grouped (response-sized) frame.
     */
-  private def runAggs(env: Env, df: DataFrame, aggs: JValue): DataFrame = {
+  private def runAggs(env: Env, src: DataFrame, df: DataFrame,
+      aggs: JValue): DataFrame = {
     // `filters` agg: OVERLAPPING named buckets (one doc can land in
     // several), so it cannot be a groupBy key — it compiles to the
     // conditional-aggregate + stack device (Relational.evtFiltersAgg's
@@ -730,6 +731,11 @@ object QueryDsl {
     aggs match {
       case JObject(List((name, spec: JObject))) if (spec \ "filters") != JNothing =>
         return runFiltersAgg(env, df, name, spec)
+      // `significant_terms`: foreground (the query context) vs
+      // background (the whole index) doc frequencies, JLH-scored
+      case JObject(List((name, spec: JObject)))
+          if (spec \ "significant_terms") != JNothing =>
+        return runSigTerms(env, src, df, name, spec \ "significant_terms")
       case _ => ()
     }
     final case class Level(outName: String, key: Column, size: Option[Int])
@@ -1013,6 +1019,46 @@ object QueryDsl {
       case JString(f) => f
       case other      => fail(s"$tpe needs a field: $other")
     }
+
+  /** ES `significant_terms` over a keyword field: per term, the
+    * foreground doc count (the query context) against the background
+    * (the index), scored with ES's JLH heuristic
+    * `(fg% − bg%) · (fg% / bg%)` — per-row IEEE arithmetic over exact
+    * integer counts — and only positively-correlated terms emitted
+    * (fg% > bg%, ES's own gate). Shape: two key-partial-aggregated
+    * scans (foreground and background), two broadcast one-row totals,
+    * a response-sized TakeOrdered. The per-source sweep twin is
+    * [[TextOps.sigTermsFrom]]; this is the query-anchored ES request
+    * form.
+    */
+  private def runSigTerms(env: Env, src: DataFrame, fgDf: DataFrame,
+      name: String, spec: JValue): DataFrame = {
+    val key = fieldCol(env, fieldOfSpec(spec, "significant_terms"))
+    val kname = colName(env, fieldOfSpec(spec, "significant_terms"))
+    val size = spec \ "size" match {
+      case JInt(n)  => n.toInt
+      case JNothing => 10
+      case other    => fail(s"unsupported significant_terms size: $other")
+    }
+    val fg = fgDf.groupBy(key.as(kname)).agg(count(lit(1)).as("doc_count"))
+    val bg = src.groupBy(key.as(kname)).agg(count(lit(1)).as("bg_count"))
+    val fgTotal = fgDf.agg(count(lit(1)).as("fg_total"))
+    val bgTotal = src.agg(count(lit(1)).as("bg_total"))
+    fg.join(bg, Seq(kname))
+      .crossJoin(broadcast(fgTotal))
+      .crossJoin(broadcast(bgTotal))
+      .withColumn("fg_pct",
+        col("doc_count").cast("double") / col("fg_total").cast("double"))
+      .withColumn("bg_pct",
+        col("bg_count").cast("double") / col("bg_total").cast("double"))
+      .where(col("fg_pct") > col("bg_pct"))
+      .withColumn("score",
+        (col("fg_pct") - col("bg_pct")) * (col("fg_pct") / col("bg_pct")))
+      .orderBy(col("score").desc, col(kname).asc)
+      .limit(size)
+      .select(col(kname).as(name), col("doc_count"), col("bg_count"),
+        col("score"))
+  }
 
   /** Top-level `knn` clause: exact cosine top-k with the optional
     * `filter` participating in the search (ES filtered-kNN semantics —

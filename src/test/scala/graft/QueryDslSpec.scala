@@ -652,6 +652,26 @@ class QueryDslSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("significant_terms: JLH over fg/bg counts, positive correlation only") {
+    val denv = DslQueries.docEnv(spark, sfDir)
+    val got = QueryDsl.search(denv, DslQueries.SigTermsBody).collect()
+    assert(got.nonEmpty)
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("lang"), col("source")).collect()
+    val fgTotal = docs.count(_.getString(0) == "en").toDouble
+    val bgTotal = docs.length.toDouble
+    got.foreach { r =>
+      val src = r.getAs[String]("sig_sources")
+      val fg = docs.count(x => x.getString(0) == "en" && x.getString(1) == src)
+      val bg = docs.count(_.getString(1) == src)
+      assert(r.getAs[Long]("doc_count") === fg.toLong)
+      assert(r.getAs[Long]("bg_count") === bg.toLong)
+      val (fgp, bgp) = (fg / fgTotal, bg / bgTotal)
+      assert(fgp > bgp, s"only positively-correlated terms may surface ($src)")
+      assert(r.getAs[Double]("score") === (fgp - bgp) * (fgp / bgp))
+    }
+  }
+
   test("empty-array exists semantics: ES indexes no value for []") {
     // service_tags is [] when k % 11 == 0 — exists must reject those
     val tagged = QueryDsl.drain(env, s"""{
