@@ -320,6 +320,20 @@ object OracleDsl {
       |ORDER BY score DESC, sig_sources ASC
       |LIMIT 5""".stripMargin
 
+  /** Mirror of DslQueries.CompositeBody: the multi-key group in key
+    * order, first page of 8.
+    */
+  val dslComposite: String =
+    s"""WITH ${OracleAssets.signalsCte},
+       |g AS (
+       |  SELECT CAST(ts AS DATE) AS day, event_type AS type,
+       |    CAST(count(*) AS BIGINT) AS doc_count,
+       |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+       |  FROM signals GROUP BY 1, 2
+       |)
+       |SELECT day, type, doc_count, value_sum
+       |FROM g ORDER BY day ASC, type ASC LIMIT 8""".stripMargin
+
   /** Mirror of DslQueries.TopHitsBody: per-bucket window top-2 under
     * (ts DESC, event_id DESC) with the projected fields.
     */

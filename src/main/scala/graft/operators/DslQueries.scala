@@ -439,6 +439,31 @@ object DslQueries {
   def dslSigTerms(spark: SparkSession, dir: String): DataFrame =
     QueryDsl.search(docEnv(spark, dir), SigTermsBody)
 
+  /** `composite` aggregation, first page: (day × type) buckets in key
+    * order with a decimal-device metric — the export-pagination
+    * workhorse; QueryDslSpec pages on with `after` (the keyset
+    * device) and proves page disjointness + continuation.
+    */
+  val CompositeBody: String = s"""{
+    "index": ["$ApmPattern"],
+    "size": 0,
+    "aggs": {
+      "comp": {
+        "composite": {
+          "size": 8,
+          "sources": [
+            {"day": {"date_histogram": {"field": "@timestamp", "calendar_interval": "day"}}},
+            {"type": {"terms": {"field": "metricset.name"}}}
+          ]
+        },
+        "aggs": {"value_sum": {"sum": {"field": "value"}}}
+      }
+    }
+  }"""
+
+  def dslComposite(spark: SparkSession, dir: String): DataFrame =
+    QueryDsl.search(signalEnv(spark, dir), CompositeBody)
+
   /** Geo-index env: events with the integer-microdegree coordinates
     * attached (GeoOps.attachCoords — THE single coordinate
     * derivation), `location` mapped to the stored (lat, lon) integer

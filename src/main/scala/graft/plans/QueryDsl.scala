@@ -864,6 +864,77 @@ object QueryDsl {
           } else None
         case _ => None
       }
+    // `composite` agg: ALL buckets in key order, paged by `after` —
+    // ES's export workhorse. Lowers to one multi-key partial-agg
+    // shuffle + the strictly-after keyset predicate (q53's device) +
+    // a key-ordered TakeOrderedAndProject. Each page is one bounded
+    // read; the full drain is the union of pages ≡ the unlimited
+    // grouped frame.
+    aggs match {
+      case JObject(List((_, spec: JObject))) if (spec \ "composite") != JNothing =>
+        val comp = spec \ "composite"
+        val size = comp \ "size" match {
+          case JInt(n)  => n.toInt
+          case JNothing => 10 // ES default
+          case other    => fail(s"unsupported composite size: $other")
+        }
+        val sources: Seq[Level] = comp \ "sources" match {
+          case JArray(ss) => ss.map {
+            case JObject(List((srcName, JObject(List((tpe, sspec)))))) =>
+              bucketLevel(srcName, tpe, sspec)
+            case other => fail(s"unsupported composite source: $other")
+          }
+          case other => fail(s"composite needs sources: $other")
+        }
+        val metrics = spec \ "aggs" match {
+          case JNothing => Nil
+          case JObject(entries) => entries.flatMap {
+            case (n, m: JObject) =>
+              val tpe = m.obj.collectFirst { case (k, _) if k != "aggs" => k }
+                .getOrElse(fail(s"metric '$n' has no type"))
+              require(MetricTypes(tpe), s"composite only nests metrics, got '$tpe'")
+              metricCols(n, tpe, m \ tpe)
+            case (n, other) => fail(s"unsupported metric '$n': $other")
+          }
+          case other => fail(s"unsupported aggs under composite: $other")
+        }
+        val keyed = sources.foldLeft(df)((d, l) => d.withColumn(l.outName, l.key))
+        val aggExprs = count(lit(1)).as("doc_count") +: metrics
+        var grouped = keyed
+          .groupBy(sources.map(l => col(l.outName)): _*)
+          .agg(aggExprs.head, aggExprs.tail: _*)
+        comp \ "after" match {
+          case JNothing => ()
+          case JObject(afterEntries) =>
+            val afterMap = afterEntries.toMap
+            val keyedVals = sources.map { l =>
+              val v = afterMap.getOrElse(l.outName,
+                fail(s"composite after misses key '${l.outName}'"))
+              val c = col(l.outName)
+              val value: Column = v match {
+                case JString(s) => grouped.schema.find(_.name == l.outName)
+                  .map(f => lit(s).cast(f.dataType)).getOrElse(lit(s))
+                case JInt(n)    => lit(n.toLong)
+                case JDouble(d) => lit(d)
+                case other      => fail(s"unsupported after value: $other")
+              }
+              (c, value)
+            }
+            // lexicographic strictly-after in key order (all ASC)
+            val pred = keyedVals.indices.map { i =>
+              val eqPrefix = keyedVals.take(i).map { case (c, v) => c === v }
+                .foldLeft(lit(true))(_ && _)
+              val (c, v) = keyedVals(i)
+              eqPrefix && (c > v)
+            }.reduce(_ || _)
+            grouped = grouped.where(pred)
+          case other => fail(s"unsupported composite after: $other")
+        }
+        return grouped
+          .orderBy(sources.map(l => col(l.outName).asc): _*)
+          .limit(size)
+      case _ => ()
+    }
     findTopHits(aggs, Nil) match {
       case Some((levels, spec)) =>
         require(levels.nonEmpty,

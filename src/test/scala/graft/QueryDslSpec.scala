@@ -672,6 +672,31 @@ class QueryDslSpec extends SparkSpec {
     }
   }
 
+  test("composite: after pages on disjointly and in key order") {
+    val page1 = QueryDsl.search(env, DslQueries.CompositeBody).collect()
+    assert(page1.length === 8)
+    val last = page1.last
+    val afterBody = DslQueries.CompositeBody.replace(
+      "\"size\": 8,",
+      s""""size": 8,
+         |"after": {"day": "${last.getAs[java.sql.Date]("day")}",
+         |          "type": "${last.getAs[String]("type")}"},""".stripMargin)
+    val page2 = QueryDsl.search(env, afterBody).collect()
+    assert(page2.nonEmpty)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[java.sql.Date]("day").toString, r.getAs[String]("type"))
+    assert(page1.map(key).toSet.intersect(page2.map(key).toSet).isEmpty)
+    // page2 picks up exactly where page1 stopped: the manual full
+    // grouped frame's next |page2| keys
+    val sig = graft.sources.Tables.signals(spark, sfDir)
+    val full = sig.groupBy(to_date(col("ts")).as("day"),
+        col("event_type").as("type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("day").asc, col("type").asc).collect().map(key)
+    val expected = full.drop(8).take(page2.length)
+    assert(page2.map(key).toSeq === expected.toSeq)
+  }
+
   test("empty-array exists semantics: ES indexes no value for []") {
     // service_tags is [] when k % 11 == 0 — exists must reject those
     val tagged = QueryDsl.drain(env, s"""{
