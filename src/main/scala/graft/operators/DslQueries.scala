@@ -80,13 +80,20 @@ object DslQueries {
   }
 
   /** Documents-source env (the text-search surface). */
+  /** THE documents-index mapping — one definition, shared by the batch
+    * env and the streaming-served env
+    * ([[graft.streaming.StreamingDsl.servedEnv]]), so a served read
+    * can never drift from the batch compile by mapping skew.
+    */
+  val DocMapping: Mapping = Mapping(
+    fields = Map("text" -> "text", "lang" -> "lang",
+      "source" -> "source", "n_chars" -> "n_chars"),
+    idColumn = "doc_id",
+    tsFields = Set.empty)
+
   def docEnv(spark: SparkSession, dir: String): Env = Env(
     indices = Map("docs-*" -> Tables.documents(spark, dir)),
-    mapping = Mapping(
-      fields = Map("text" -> "text", "lang" -> "lang",
-        "source" -> "source", "n_chars" -> "n_chars"),
-      idColumn = "doc_id",
-      tsFields = Set.empty))
+    mapping = DocMapping)
 
   /** Embeddings-source env (the knn surface). */
   def embEnv(spark: SparkSession, dir: String): Env = Env(
