@@ -189,6 +189,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
 
+  test("dsl_composite: one bucket-key exchange, TakeOrdered page cut") {
+    val p = plan("dsl_composite")
+    assert(p.contains("TakeOrderedAndProject(limit=8"), p.take(800))
+    assert(p.split("\n").count(_.contains("Exchange hashpartitioning")) === 1,
+      p.take(800))
+  }
+
+  test("dsl_top_hits: partial WindowGroupLimit runs before the exchange") {
+    val p = plan("dsl_top_hits")
+    assert(p.contains("row_number(), 2, Partial"), p.take(1200))
+    assert(p.contains("row_number(), 2, Final"), p.take(1200))
+  }
+
+  test("scored DSL reads: rank windows only run on TakeOrdered cuts") {
+    // the general scorer's response window must always sit above a
+    // bounded-heap TakeOrderedAndProject — a corpus-wide unpartitioned
+    // rank window is the regression this pins out
+    for (n <- Seq("dsl_bool_scored", "dsl_multi_match", "dsl_rescore")) {
+      val p = plan(n)
+      assert(p.contains("TakeOrderedAndProject"), s"$n: ${p.take(400)}")
+    }
+    // hybrid: BOTH retriever sides cut to the rank window (limit=20)
+    // before fusion, and the fused frame cuts again to the page
+    val p = plan("dsl_hybrid")
+    assert(p.split("\n")
+      .count(_.contains("TakeOrderedAndProject(limit=20")) === 2, p.take(1200))
+    assert(p.contains("TakeOrderedAndProject(limit=10"), p.take(1200))
+  }
+
   test("no registered query plans a CartesianProduct") {
     // broadcast nested-loop joins against tiny sides (query sets,
     // 1-row bounds, codebooks) are the intended pattern; a shuffled
