@@ -320,6 +320,28 @@ object OracleDsl {
       |ORDER BY score DESC, sig_sources ASC
       |LIMIT 5""".stripMargin
 
+  /** Mirror of DslQueries.FunctionScoreBody: the match score times the
+    * two filter weights in function order (CASE identities at 1.0).
+    */
+  val dslFunctionScore: String =
+    s"""WITH ${fieldScoreCtes("m", "text", Seq("spark", "join", "window"))},
+       |scored AS (
+       |  SELECT m.doc_id,
+       |    (CAST(m.score AS DOUBLE) * 1.0) *
+       |      ((CASE WHEN d.source IN ('src1', 'src3', 'src5')
+       |          THEN 3.0 ELSE 1.0 END)
+       |       * (CASE WHEN d.lang = 'en' THEN 2.0 ELSE 1.0 END)) AS s
+       |  FROM m_scored m JOIN documents d ON d.doc_id = m.doc_id
+       |),
+       |ranked AS (
+       |  SELECT doc_id, s AS score,
+       |    row_number() OVER (ORDER BY s DESC, doc_id ASC) AS "rank"
+       |  FROM scored
+       |)
+       |SELECT r.doc_id, r.score, r."rank", d.lang, d.source
+       |FROM (SELECT * FROM ranked WHERE "rank" <= 10) r
+       |JOIN documents d ON d.doc_id = r.doc_id""".stripMargin
+
   /** Mirror of DslQueries.CompositeBody: the multi-key group in key
     * order, first page of 8.
     */

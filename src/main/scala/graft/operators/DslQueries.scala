@@ -471,6 +471,33 @@ object DslQueries {
   def dslComposite(spark: SparkSession, dir: String): DataFrame =
     QueryDsl.search(signalEnv(spark, dir), CompositeBody)
 
+  /** `function_score` with weight functions: source and language
+    * boosts multiplied onto the match score (score_mode/boost_mode
+    * multiply — the operator form's filter-weight half through the
+    * compiler; decay tiers stay with TextOps.functionScore).
+    */
+  val FunctionScoreBody: String = """{
+    "index": ["docs-*"],
+    "size": 10,
+    "sort": ["_score"],
+    "_source": false,
+    "fields": ["lang", "source"],
+    "query": {
+      "function_score": {
+        "query": {"match": {"text": "spark join window"}},
+        "functions": [
+          {"filter": {"terms": {"source": ["src1", "src3", "src5"]}}, "weight": 3},
+          {"filter": {"term": {"lang": "en"}}, "weight": 2}
+        ],
+        "score_mode": "multiply",
+        "boost_mode": "multiply"
+      }
+    }
+  }"""
+
+  def dslFunctionScore(spark: SparkSession, dir: String): DataFrame =
+    QueryDsl.search(docEnv(spark, dir), FunctionScoreBody)
+
   /** Geo-index env: events with the integer-microdegree coordinates
     * attached (GeoOps.attachCoords — THE single coordinate
     * derivation), `location` mapped to the stored (lat, lon) integer

@@ -448,9 +448,56 @@ object QueryDsl {
       case JObject(List(JField("constant_score", cs))) =>
         scoreConstantScore(env, src, cs)
       case JObject(List(JField("bool", b)))        => scoreBool(env, src, b)
+      case JObject(List(JField("function_score", fs))) =>
+        scoreFunctionScore(env, src, fs)
       case other => fail("clause not scorable in query context: " +
         JsonMethods.compact(JsonMethods.render(other)))
     }
+
+  /** `function_score` with weight functions: each `{filter, weight}`
+    * contributes its weight where the filter matches (multiplicative
+    * identity 1, additive identity 0, per `score_mode`), combined onto
+    * the base score per `boost_mode` — all per-row double arithmetic
+    * in function order over exact weights, the filters compiled by the
+    * same filter-context compiler. (Decay functions stay with the
+    * operator form, [[TextOps.functionScore]], whose integer-numerator
+    * device needs the fixture's documented denominator.)
+    */
+  private def scoreFunctionScore(env: Env, src: DataFrame,
+      fs: JValue): DataFrame = {
+    val id = env.mapping.idColumn
+    val base = scoreClause(env, src, fs \ "query")
+    val multiply = fs \ "score_mode" match {
+      case JNothing | JString("multiply") => true
+      case JString("sum")                 => false
+      case other => fail(s"unsupported score_mode: $other")
+    }
+    val boostMultiply = fs \ "boost_mode" match {
+      case JNothing | JString("multiply") => true
+      case JString("sum")                 => false
+      case other => fail(s"unsupported boost_mode: $other")
+    }
+    val factors = fs \ "functions" match {
+      case JArray(fns) if fns.nonEmpty => fns.map { f =>
+        val c = compileClause(env, src, f \ "filter")
+        require(c.lookups.isEmpty,
+          "terms lookup inside function_score is unsupported")
+        val w = f \ "weight" match {
+          case JNothing   => 1.0
+          case JDouble(d) => d
+          case JInt(n)    => n.toDouble
+          case other      => fail(s"unsupported weight: $other")
+        }
+        when(coalesce(c.pred, lit(false)), lit(w))
+          .otherwise(lit(if (multiply) 1.0 else 0.0))
+      }
+      case other => fail(s"function_score needs functions: $other")
+    }
+    val combined = if (multiply) factors.reduce(_ * _) else factors.reduce(_ + _)
+    base.join(src.withColumnRenamed(id, "doc_id"), Seq("doc_id"))
+      .select(col("doc_id"),
+        (if (boostMultiply) col("s") * combined else col("s") + combined).as("s"))
+  }
 
   private def matchSpec(spec: JValue): (String, Boolean, Double) = spec match {
     case JString(q) => (q, false, 1.0)

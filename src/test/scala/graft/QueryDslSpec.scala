@@ -697,6 +697,26 @@ class QueryDslSpec extends SparkSpec {
     assert(page2.map(key).toSeq === expected.toSeq)
   }
 
+  test("function_score: weight functions multiply onto the base score") {
+    val denv = DslQueries.docEnv(spark, sfDir)
+    val got = QueryDsl.search(denv, DslQueries.FunctionScoreBody).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("score"), r.getAs[String]("lang"),
+          r.getAs[String]("source"))).toMap
+    assert(got.nonEmpty)
+    // base scores from the plain scored read over the same match
+    val base = QueryDsl.search(denv, """{
+      "index": ["docs-*"], "size": 1000000, "sort": ["_score"], "fields": [],
+      "query": {"match": {"text": {"query": "spark join window", "boost": 1}}}
+    }""").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    got.foreach { case (id, (s, lang, source)) =>
+      val w = (if (Set("src1", "src3", "src5")(source)) 3.0 else 1.0) *
+        (if (lang == "en") 2.0 else 1.0)
+      assert(s === base(id) * w, s"doc $id")
+    }
+  }
+
   test("empty-array exists semantics: ES indexes no value for []") {
     // service_tags is [] when k % 11 == 0 — exists must reject those
     val tagged = QueryDsl.drain(env, s"""{
