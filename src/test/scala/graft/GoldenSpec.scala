@@ -85,6 +85,18 @@ class GoldenSpec extends SparkSpec {
     // identical by construction to dedup_clusters (fixture diameter < CcRounds)
     "dedup_clusters_fixpoint" -> ((-4388125515379173L, 45L)),
     "dedup_embedding" -> ((7768090945691118739L, 48L)),
+    "dsl_bool_scored" -> ((3077244817348176689L, 15L)),
+    "dsl_multi_match" -> ((-6555088438465609711L, 12L)),
+    "dsl_hybrid" -> ((7514702041882966666L, 10L)),
+    "dsl_aggs_stats" -> ((7940532947926556454L, 5L)),
+    "dsl_aggs_missing" -> ((7668276324113225453L, 2L)),
+    "dsl_highlight" -> ((-8107234542365926454L, 5L)),
+    "dsl_geo" -> ((-2722708233783851649L, 47L)),
+    "dsl_rescore" -> ((-2194353110840241827L, 10L)),
+    "dsl_top_hits" -> ((6583054775081701850L, 10L)),
+    "dsl_sig_terms" -> ((-3701761296561361849L, 5L)),
+    "dsl_composite" -> ((3854494925338078188L, 8L)),
+    "dsl_function_score" -> ((-1201087666250449814L, 10L)),
     "emb_decontaminate" -> ((6586636881232305145L, 461L)),
     "emb_dedup_clusters" -> ((-1488179478009104348L, 85L)),
     "emb_ivf_recall" -> ((1904457532132159187L, 5L)),
