@@ -1412,4 +1412,43 @@ for (k <- Seq(1, 8, 16)) {
   println(f"  k=$k%2d (${150 * k}%5dk rows): $s%6.2f s")
 }
 
+println("== scored bool through the compiler (docs x1/x8/x16, fresh ids): must BM25 + 2 shoulds + gates ==")
+// corpus multiplication with ALIGNED fresh ids (id*k + copy), so the
+// per-doc relations the scorer derives (tf, dl) stay one-row-per-doc
+def bigDocs(k: Int) = {
+  val d = multi("documents", 1)
+  d.withColumn("c", explode(expr(s"sequence(0, ${k - 1})")))
+    .withColumn("doc_id", col("doc_id") * k + col("c")).drop("c")
+}
+for (k <- Seq(1, 8, 16)) {
+  val env = graft.plans.QueryDsl.Env(
+    indices = Map("docs-*" -> bigDocs(k)),
+    mapping = graft.operators.DslQueries.DocMapping)
+  val s = timed {
+    graft.plans.QueryDsl.search(env,
+      graft.operators.DslQueries.BoolScoredBody).collect()
+  }
+  println(f"  k=$k%2d (${500 * k}%5d docs): $s%6.2f s")
+}
+
+println("== hybrid rank.rrf through the compiler (corpus x1/x8/x16): exact-kNN + BM25 + grid fuse ==")
+for (k <- Seq(1, 8, 16)) {
+  val docs = multi("documents", 1)
+  val embs = multi("embeddings", 1).withColumnRenamed("vec_id", "doc_id")
+  val base = docs.join(embs, Seq("doc_id"))
+    .withColumn("c", explode(expr(s"sequence(0, ${k - 1})")))
+    .withColumn("doc_id", col("doc_id") * k + col("c")).drop("c")
+  val env = graft.plans.QueryDsl.Env(
+    indices = Map("hybrid-*" -> base),
+    mapping = graft.plans.QueryDsl.Mapping(
+      fields = Map("text" -> "text", "lang" -> "lang",
+        "source" -> "source", "embedding" -> "embedding"),
+      idColumn = "doc_id", tsFields = Set.empty))
+  val s = timed {
+    graft.plans.QueryDsl.search(env,
+      graft.operators.DslQueries.HybridBody).collect()
+  }
+  println(f"  k=$k%2d (${500 * k}%5d rows): $s%6.2f s")
+}
+
 sys.exit(0)
