@@ -320,6 +320,50 @@ object OracleDsl {
       |ORDER BY score DESC, sig_sources ASC
       |LIMIT 5""".stripMargin
 
+  /** Mirror of DslQueries.SuggestBody: OracleText's suggest device —
+    * deletion-1 key blocking + exact levenshtein — with the vocabulary
+    * derived from the documents field (occurrence counts ≡ Σtf) and
+    * this body's input tokens.
+    */
+  val dslSuggest: String = {
+    val inputs = Seq("ordr", "scann", "vektor", "key", "zebra")
+    val inVals = inputs.map(s => s"('$s')").mkString(", ")
+    def delKeys(c: String): String =
+      s"""list_distinct(list_concat([$c],
+         |    list_transform(range(1, length($c) + 1),
+         |      i -> substr($c, 1, i - 1) || substr($c, i + 1))))""".stripMargin
+    s"""WITH vocab AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS term FROM documents) t
+       |  GROUP BY term
+       |),
+       |vkeys AS (
+       |  SELECT term, freq, unnest(${delKeys("term")}) AS key FROM vocab
+       |),
+       |ikeys AS (
+       |  SELECT input_term, unnest(${delKeys("input_term")}) AS key
+       |  FROM (VALUES $inVals) t(input_term)
+       |),
+       |cands AS (
+       |  SELECT DISTINCT input_term, term, freq
+       |  FROM vkeys JOIN ikeys USING (key)
+       |),
+       |scored AS (
+       |  SELECT input_term, term, freq,
+       |    CAST(levenshtein(input_term, term) AS BIGINT) AS dist
+       |  FROM cands
+       |),
+       |ranked AS (
+       |  SELECT input_term, term, freq, dist, row_number() OVER (
+       |    PARTITION BY input_term
+       |    ORDER BY dist ASC, freq DESC, term ASC) AS r
+       |  FROM scored WHERE dist <= 1
+       |)
+       |SELECT input_term, CAST(r AS BIGINT) AS "rank", term AS suggestion,
+       |  dist, freq
+       |FROM ranked WHERE r <= 3""".stripMargin
+  }
+
   /** Mirror of DslQueries.FunctionScoreBody: the match score times the
     * two filter weights in function order (CASE identities at 1.0).
     */

@@ -498,6 +498,25 @@ object DslQueries {
   def dslFunctionScore(spark: SparkSession, dir: String): DataFrame =
     QueryDsl.search(docEnv(spark, dir), FunctionScoreBody)
 
+  /** The `suggest` envelope: the term suggester over the documents
+    * vocabulary — two true misspellings, one exact term (distance-0),
+    * one out-of-vocabulary negative (QueryDsl.runTermSuggest via the
+    * shared SymSpell deletion-1 seam).
+    */
+  val SuggestBody: String = """{
+    "index": ["docs-*"],
+    "size": 0,
+    "suggest": {
+      "fix_terms": {
+        "text": "ordr scann vektor key zebra",
+        "term": {"field": "text", "size": 3}
+      }
+    }
+  }"""
+
+  def dslSuggest(spark: SparkSession, dir: String): DataFrame =
+    QueryDsl.search(docEnv(spark, dir), SuggestBody)
+
   /** Geo-index env: events with the integer-microdegree coordinates
     * attached (GeoOps.attachCoords — THE single coordinate
     * derivation), `location` mapped to the stored (lat, lon) integer

@@ -29,11 +29,20 @@ import graft.sources.Tables
   * `term`/`terms` (array form and terms-lookup `{index,path}` form),
   * `range` (ES date math `now-Nu` against a pinned `now`), `exists`,
   * `match`/`match_phrase`/`match_bool_prefix`/`match_all`,
-  * `prefix`/`ids`/`constant_score`,
+  * `prefix`/`ids`/`constant_score`/`wildcard`/`fuzzy`,
+  * `geo_bounding_box`/`geo_distance` (integer microdegree predicates),
   * `fields` projection (incl. `host.*` wildcard families),
-  * `sort`/`size`/`search_after`, `collapse`, top-level `knn`, and
-  * `aggs` trees (the `size: 0` aggregation-request shape — see
-  * [[runAggs]]).
+  * `sort`/`size`/`search_after`, `collapse`, top-level `knn`
+  * (+ `rank: {rrf}` hybrid fusion with a `query`, [[runHybrid]]),
+  * `aggs` trees (the `size: 0` aggregation-request shape — terms
+  * (+`missing`)/date_histogram/histogram/range buckets, `filters`,
+  * `composite`(+`after` keyset paging), `significant_terms`,
+  * `top_hits`, and sum/avg/min/max/value_count/cardinality/stats/
+  * percentiles/percentile_ranks metric leaves — see [[runAggs]]),
+  * and the QUERY-context scoring model under `sort: ["_score"]`
+  * (scored `bool`/`dis_max`/`multi_match`/`term`/`constant_score`/
+  * `function_score` trees, `rescore`, `highlight` —
+  * [[runScoredTree]]).
   *
   * Compilation is declarative end to end — every construct lowers to
   * the DataFrame API and the scan-discipline devices the operator
@@ -134,6 +143,12 @@ object QueryDsl {
 
   private def run(env: Env, body: JValue, honorSize: Boolean): DataFrame = {
     val src = resolveIndex(env, body \ "index")
+    body \ "suggest" match {
+      case JObject(List((_, spec: JObject))) if (spec \ "term") != JNothing =>
+        return runTermSuggest(env, src, spec)
+      case JNothing => ()
+      case other    => fail(s"unsupported suggest: $other")
+    }
     (body \ "knn", body \ "aggs") match {
       case (JNothing, JNothing) => runQuery(env, src, body, honorSize)
       case (knn, JNothing)      =>
@@ -1269,6 +1284,44 @@ object QueryDsl {
       .withColumn("rank", row_number()
         .over(Window.orderBy(col("rrf_score").desc, col(id).asc)).cast("long"))
       .join(project(env, src, body \ "fields"), Seq(id))
+  }
+
+  /** ES term suggester in the `suggest` envelope ("did you mean"): for
+    * each whitespace token of the request text, the top vocabulary
+    * terms within the deletion-1 edit neighborhood, ranked by
+    * (distance ASC, corpus frequency DESC, term ASC). The candidate
+    * generator is the shared SymSpell blocking seam
+    * ([[TextOps.suggestCandsFrom]] — vocab·(L+1) index rows and a key
+    * equi-join, never a query×vocab cross product), fed the vocabulary
+    * derived from the env frame's field (one explode → term-keyed
+    * partial count, occurrences ≡ the stored index's Σtf).
+    */
+  private def runTermSuggest(env: Env, src: DataFrame, spec: JValue): DataFrame = {
+    val text = spec \ "text" match {
+      case JString(s) => s
+      case other      => fail(s"suggest needs text: $other")
+    }
+    val field = spec \ "term" \ "field" match {
+      case JString(f) => f
+      case other      => fail(s"term suggester needs a field: $other")
+    }
+    val size = spec \ "term" \ "size" match {
+      case JInt(n)  => n.toInt
+      case JNothing => 5 // ES default
+      case other    => fail(s"unsupported suggester size: $other")
+    }
+    val inputs = text.trim.split("\\s+").toSeq.filter(_.nonEmpty).distinct
+    require(inputs.nonEmpty, "empty suggest text")
+    val vocabFreq = src
+      .select(explode(split(fieldCol(env, field), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+    val w = Window.partitionBy(col("input_term"))
+      .orderBy(col("dist").asc, col("freq").desc, col("term").asc)
+    TextOps.suggestCandsFrom(vocabFreq, inputs)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= size)
+      .select(col("input_term"), col("rank"), col("term").as("suggestion"),
+        col("dist"), col("freq"))
   }
 
   private def resolveIndex(env: Env, idx: JValue): DataFrame = {

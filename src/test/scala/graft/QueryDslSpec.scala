@@ -717,6 +717,20 @@ class QueryDslSpec extends SparkSpec {
     }
   }
 
+  test("suggest envelope == the term-suggester operator over the same inputs") {
+    val denv = DslQueries.docEnv(spark, sfDir)
+    val body = s"""{
+      "index": ["docs-*"], "size": 0,
+      "suggest": {"s": {"text": "${graft.operators.TextOps.SuggestInputs.mkString(" ")}",
+        "term": {"field": "text", "size": ${graft.operators.TextOps.SuggestTopK}}}}
+    }"""
+    val got = rows(QueryDsl.search(denv, body))
+    // same docs, same Σtf vocabulary, same blocking: identical output
+    val want = rows(graft.operators.TextOps.suggest(spark, sfDir))
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("empty-array exists semantics: ES indexes no value for []") {
     // service_tags is [] when k % 11 == 0 — exists must reject those
     val tagged = QueryDsl.drain(env, s"""{
