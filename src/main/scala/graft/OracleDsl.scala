@@ -364,6 +364,73 @@ object OracleDsl {
        |FROM ranked WHERE r <= 3""".stripMargin
   }
 
+  /** Mirror of DslQueries.MltBody: the tf·idf-ratio seed-term
+    * selection (df ≥ 2, top-8 by score DESC, term ASC), then the
+    * standard BM25 chain restricted to the chosen terms, seeds
+    * excluded from the hits (scored over the FULL corpus incl. seeds —
+    * the exclusion is post-scoring, like the engine).
+    */
+  val dslMlt: String =
+    """WITH pairs AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+      |),
+      |seed_tf AS (
+      |  SELECT term, CAST(count(*) AS BIGINT) AS stf FROM pairs
+      |  WHERE doc_id IN (3, 11) GROUP BY term
+      |),
+      |dfq AS (
+      |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM (
+      |    SELECT DISTINCT doc_id, term FROM pairs) t
+      |  GROUP BY term
+      |),
+      |nd AS (SELECT count(*) AS n_docs FROM documents),
+      |chosen AS (
+      |  SELECT term FROM (
+      |    SELECT s.term,
+      |      CAST(s.stf AS DOUBLE) * ((CAST(nd.n_docs AS DOUBLE) + 1.0) /
+      |        (CAST(d.df AS DOUBLE) + 1.0)) AS mlt_score
+      |    FROM seed_tf s JOIN dfq d USING (term), nd
+      |    WHERE d.df >= 2) sel
+      |  ORDER BY mlt_score DESC, term ASC LIMIT 8
+      |),
+      |m_dl AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+      |),
+      |m_stats AS (
+      |  SELECT count(dl) AS n_docs, sum(dl) AS dl_sum FROM m_dl
+      |),
+      |m_tc AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM pairs
+      |  WHERE term IN (SELECT term FROM chosen)
+      |  GROUP BY doc_id, term
+      |),
+      |m_df AS (SELECT term, count(*) AS df FROM m_tc GROUP BY term),
+      |m_c2 AS (
+      |  SELECT tc.doc_id, tc.tf, l.dl,
+      |    CAST(s.dl_sum AS DOUBLE) / CAST(s.n_docs AS DOUBLE) AS avgdl,
+      |    (CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5) /
+      |      (CAST(d.df AS DOUBLE) + 0.5) + 1.0 AS idf
+      |  FROM m_tc tc JOIN m_df d USING (term)
+      |  JOIN m_dl l USING (doc_id), m_stats s
+      |),
+      |m_scored AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CAST(floor(idf * ((CAST(tf AS DOUBLE) * 2.2) /
+      |      (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+      |        (CAST(dl AS DOUBLE) / avgdl)))) * 1099511627776.0) AS BIGINT))
+      |      AS BIGINT) AS score
+      |  FROM m_c2 GROUP BY doc_id
+      |),
+      |ranked AS (
+      |  SELECT doc_id, CAST(score AS DOUBLE) AS score,
+      |    row_number() OVER (
+      |      ORDER BY CAST(score AS DOUBLE) DESC, doc_id ASC) AS "rank"
+      |  FROM m_scored WHERE doc_id NOT IN (3, 11)
+      |)
+      |SELECT r.doc_id, r.score, r."rank", d.source
+      |FROM (SELECT * FROM ranked WHERE "rank" <= 10) r
+      |JOIN documents d ON d.doc_id = r.doc_id""".stripMargin
+
   /** Mirror of DslQueries.FunctionScoreBody: the match score times the
     * two filter weights in function order (CASE identities at 1.0).
     */

@@ -517,6 +517,30 @@ object DslQueries {
   def dslSuggest(spark: SparkSession, dir: String): DataFrame =
     QueryDsl.search(docEnv(spark, dir), SuggestBody)
 
+  /** `more_like_this` through the compiler: seeds 3 and 11 (the MLT
+    * operator's own fixture docs), the tf·idf-ratio term selection,
+    * then BM25 over the chosen terms with the seeds excluded
+    * (QueryDsl.scoreMoreLikeThis).
+    */
+  val MltBody: String = """{
+    "index": ["docs-*"],
+    "size": 10,
+    "sort": ["_score"],
+    "_source": false,
+    "fields": ["source"],
+    "query": {
+      "more_like_this": {
+        "fields": ["text"],
+        "like": [{"_id": 3}, {"_id": 11}],
+        "max_query_terms": 8,
+        "min_doc_freq": 2
+      }
+    }
+  }"""
+
+  def dslMlt(spark: SparkSession, dir: String): DataFrame =
+    QueryDsl.search(docEnv(spark, dir), MltBody)
+
   /** Geo-index env: events with the integer-microdegree coordinates
     * attached (GeoOps.attachCoords — THE single coordinate
     * derivation), `location` mapped to the stored (lat, lon) integer

@@ -465,9 +465,73 @@ object QueryDsl {
       case JObject(List(JField("bool", b)))        => scoreBool(env, src, b)
       case JObject(List(JField("function_score", fs))) =>
         scoreFunctionScore(env, src, fs)
+      case JObject(List(JField("more_like_this", m))) =>
+        scoreMoreLikeThis(env, src, m)
       case other => fail("clause not scorable in query context: " +
         JsonMethods.compact(JsonMethods.render(other)))
     }
+
+  /** `more_like_this`: seed-term selection over the like-docs' union —
+    * tf·(N+1)/(df+1), the log-free tf·idf ratio the MLT operator
+    * proved, with the `min_doc_freq` gate and the
+    * (score DESC, term ASC) deterministic cut at `max_query_terms` —
+    * then those terms run as a standard BM25 match over the corpus
+    * with the like docs excluded (ES's default `include: false`).
+    * Shape: the seed relation is |likes| rows; term selection is one
+    * term-keyed partial agg + a response-sized TakeOrdered; the
+    * corpus-side work is the same tf explode + broadcast term cut
+    * every scored match pays.
+    */
+  private def scoreMoreLikeThis(env: Env, src: DataFrame, m: JValue): DataFrame = {
+    val id = env.mapping.idColumn
+    val field = m \ "fields" match {
+      case JArray(List(JString(f))) => f
+      case other => fail(s"more_like_this needs exactly one field: $other")
+    }
+    val likes: Seq[Long] = m \ "like" match {
+      case JArray(ls) if ls.nonEmpty => ls.map { l =>
+        l \ "_id" match {
+          case JInt(n) => n.toLong
+          case other   => fail(s"unsupported like entry: $other")
+        }
+      }
+      case other => fail(s"more_like_this needs like docs: $other")
+    }
+    def intOf(key: String, dflt: Int): Int = m \ key match {
+      case JInt(n)  => n.toInt
+      case JNothing => dflt
+      case other    => fail(s"unsupported $key: $other")
+    }
+    val maxTerms = intOf("max_query_terms", 25) // ES default
+    val minDf = intOf("min_doc_freq", 5)        // ES default
+    val c = fieldCol(env, field)
+    val pairs = src
+      .select(col(id).as("doc_id"), explode(split(c, " ")).as("term"))
+    // seed tf summed over the like union; df = distinct-doc frequency
+    val seedTf = pairs.where(col("doc_id").isin(likes: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("stf"))
+    val dfq = pairs.distinct().groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = src.agg(count(lit(1)).as("n_docs"))
+    val chosen = seedTf
+      .join(dfq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .where(col("df") >= minDf)
+      .withColumn("mlt_score",
+        col("stf").cast("double") *
+          ((col("n_docs").cast("double") + lit(1.0)) /
+            (col("df").cast("double") + lit(1.0))))
+      .orderBy(col("mlt_score").desc, col("term").asc)
+      .limit(maxTerms)
+      .select(col("term"))
+    val tf = pairs
+      .join(broadcast(chosen), Seq("term"), "left_semi")
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val lens = src.select(col(id).as("doc_id"), size(split(c, " ")).as("dl"))
+    TextOps.bm25ScoreTable(tf, lens)
+      .where(!col("doc_id").isin(likes: _*))
+      .select(col("doc_id"), col("score").cast("double").as("s"))
+  }
 
   /** `function_score` with weight functions: each `{filter, weight}`
     * contributes its weight where the filter matches (multiplicative

@@ -98,6 +98,7 @@ class GoldenSpec extends SparkSpec {
     "dsl_composite" -> ((3854494925338078188L, 8L)),
     "dsl_function_score" -> ((-1201087666250449814L, 10L)),
     "dsl_suggest" -> ((4308294443745768519L, 4L)),
+    "dsl_mlt" -> ((1419747686063542878L, 10L)),
     "emb_decontaminate" -> ((6586636881232305145L, 461L)),
     "emb_dedup_clusters" -> ((-1488179478009104348L, 85L)),
     "emb_ivf_recall" -> ((1904457532132159187L, 5L)),

@@ -731,6 +731,25 @@ class QueryDslSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("more_like_this: seeds excluded, every hit shares seed vocabulary") {
+    val denv = DslQueries.docEnv(spark, sfDir)
+    val got = QueryDsl.search(denv, DslQueries.MltBody).collect()
+    assert(got.length === 10)
+    val ids = got.map(_.getAs[Long]("doc_id")).toSet
+    assert(!ids.contains(3L) && !ids.contains(11L),
+      "like docs must be excluded (ES include:false default)")
+    val texts = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val seedTerms = (texts(3L) + " " + texts(11L)).split(" ").toSet
+    got.foreach { r =>
+      val hit = texts(r.getAs[Long]("doc_id")).split(" ").toSet
+      assert(hit.intersect(seedTerms).nonEmpty,
+        s"hit ${r.getAs[Long]("doc_id")} shares no seed vocabulary")
+      assert(r.getAs[Double]("score") > 0.0)
+    }
+  }
+
   test("empty-array exists semantics: ES indexes no value for []") {
     // service_tags is [] when k % 11 == 0 — exists must reject those
     val tagged = QueryDsl.drain(env, s"""{
