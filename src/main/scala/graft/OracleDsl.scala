@@ -49,6 +49,29 @@ object OracleDsl {
        |       orchestrator_cluster_name, cloud_provider
        |FROM collapsed WHERE rn = 1""".stripMargin
 
+  /** Mirror of DslQueries.CollapseInnerBody: the same collapse window,
+    * rank kept as hit_rank, top-2 per group.
+    */
+  val dslCollapseInner: String =
+    s"""WITH ${OracleAssets.signalsCteFrom(
+            "(SELECT * FROM events UNION ALL SELECT * FROM events)")},
+       |filtered AS (
+       |  SELECT * FROM signals, mx
+       |  WHERE ts >= m - INTERVAL 21 DAY
+       |    AND kubernetes_pod_uid IS NOT NULL
+       |    AND kubernetes_node_name IS NOT NULL
+       |),
+       |collapsed AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY kubernetes_pod_uid
+       |    ORDER BY ts DESC, event_id DESC) AS rn
+       |  FROM filtered
+       |)
+       |SELECT event_id, CAST(rn AS BIGINT) AS hit_rank, ts,
+       |       kubernetes_pod_uid, kubernetes_node_name,
+       |       orchestrator_cluster_name, cloud_provider
+       |FROM collapsed WHERE rn <= 2""".stripMargin
+
   /** Mirror of DslQueries.MatchBody: `match` = OR of token membership
     * (whitespace analysis), `match_phrase` = padded-text adjacency.
     */
@@ -263,9 +286,9 @@ object OracleDsl {
       |    quantile_cont(n_chars, 0.5) AS lenq_p50,
       |    quantile_cont(n_chars, 0.75) AS lenq_p75,
       |    CAST(sum(CASE WHEN n_chars <= 300 THEN 1 ELSE 0 END) AS DOUBLE) /
-      |      CAST(count(n_chars) AS DOUBLE) AS lenr_pr_300,
+      |      CAST(count(n_chars) AS DOUBLE) * 100.0 AS lenr_pr_300,
       |    CAST(sum(CASE WHEN n_chars <= 600 THEN 1 ELSE 0 END) AS DOUBLE) /
-      |      CAST(count(n_chars) AS DOUBLE) AS lenr_pr_600
+      |      CAST(count(n_chars) AS DOUBLE) * 100.0 AS lenr_pr_600
       |  FROM documents GROUP BY 1
       |),
       |r AS (
@@ -390,7 +413,7 @@ object OracleDsl {
       |      CAST(s.stf AS DOUBLE) * ((CAST(nd.n_docs AS DOUBLE) + 1.0) /
       |        (CAST(d.df AS DOUBLE) + 1.0)) AS mlt_score
       |    FROM seed_tf s JOIN dfq d USING (term), nd
-      |    WHERE d.df >= 2) sel
+      |    WHERE s.stf >= 2 AND d.df >= 2) sel
       |  ORDER BY mlt_score DESC, term ASC LIMIT 8
       |),
       |m_dl AS (
@@ -452,6 +475,42 @@ object OracleDsl {
        |SELECT r.doc_id, r.score, r."rank", d.lang, d.source
        |FROM (SELECT * FROM ranked WHERE "rank" <= 10) r
        |JOIN documents d ON d.doc_id = r.doc_id""".stripMargin
+
+  /** Mirror of DslQueries.DecayBody: the weight CASE times the two
+    * quantized decay factors, numerator arrays generated by THE SAME
+    * driver-side quantizer as the Spark plan
+    * (QueryDsl.decayNumerators — zero curve drift by construction),
+    * each factor one list lookup + one exact 2^-40 division.
+    */
+  val dslDecay: String = {
+    def factor(kind: String, origin: Long, scale: Long, decay: Double): String = {
+      val (cw, nums) = graft.plans.QueryDsl.decayNumerators(kind, scale, decay)
+      val steps = graft.plans.QueryDsl.DecaySteps
+      val arr = nums.mkString("[", ", ", "]")
+      val dist = s"greatest(0, abs(CAST(d.n_chars AS BIGINT) - $origin) - 0)"
+      s"""CAST(($arr)[CAST(least($dist // $cw, $steps) AS INT) + 1] AS DOUBLE)
+         | / 1099511627776.0""".stripMargin
+    }
+    val g = factor("gauss", 300L, 256L, 0.5)
+    val l = factor("linear", 300L, 128L, 0.5)
+    s"""WITH ${fieldScoreCtes("m", "text", Seq("spark", "join", "window"))},
+       |scored AS (
+       |  SELECT m.doc_id,
+       |    (CAST(m.score AS DOUBLE) * 1.0) *
+       |      (((CASE WHEN d.lang = 'en' THEN 2.0 ELSE 1.0 END)
+       |        * ($g))
+       |       * ($l)) AS s
+       |  FROM m_scored m JOIN documents d ON d.doc_id = m.doc_id
+       |),
+       |ranked AS (
+       |  SELECT doc_id, s AS score,
+       |    row_number() OVER (ORDER BY s DESC, doc_id ASC) AS "rank"
+       |  FROM scored
+       |)
+       |SELECT r.doc_id, r.score, r."rank", d.lang, d.n_chars
+       |FROM (SELECT * FROM ranked WHERE "rank" <= 10) r
+       |JOIN documents d ON d.doc_id = r.doc_id""".stripMargin
+  }
 
   /** Mirror of DslQueries.CompositeBody: the multi-key group in key
     * order, first page of 8.
@@ -536,6 +595,75 @@ object OracleDsl {
        |  AND ((lon_micro - 180000000) * (lon_micro - 180000000)
        |     + (lat_micro - 90000000) * (lat_micro - 90000000))
        |    < CAST(1600000000000000 AS BIGINT)""".stripMargin
+  }
+
+  /** Mirror of DslQueries.GeoGridBody: bbox filter, geotile cell
+    * assignment from the SAME x/y generators (GeoOps.geotileXSql with
+    * `//`, geotileYSql's literal cutoffs), decimal value mass, and the
+    * count-desc/cell-asc top-`size` cut.
+    */
+  val dslGeoGrid: String = {
+    val h60 =
+      """list_reduce(list_transform(range(1, 16),
+        |      i -> CAST(strpos('0123456789abcdef',
+        |             substring(md5(CAST(event_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+        |      (a, d) -> a * 16 + d)""".stripMargin
+    val z = 3
+    val x = graft.operators.GeoOps.geotileXSql(z, (a, b) => s"($a // $b)")
+    val y = graft.operators.GeoOps.geotileYSql(z)
+    s"""WITH h AS (
+       |  SELECT event_id, value, $h60 AS h FROM events
+       |),
+       |coords AS (
+       |  SELECT value,
+       |    h % 360000000 AS lon_micro,
+       |    (h // 360000000) % 180000000 AS lat_micro
+       |  FROM h
+       |),
+       |filt AS (
+       |  SELECT * FROM coords
+       |  WHERE lat_micro >= 90000000 AND lat_micro <= 150000000
+       |    AND lon_micro >= 135000000 AND lon_micro <= 225000000
+       |),
+       |g AS (
+       |  SELECT concat('$z/', CAST(CAST($x AS BIGINT) AS VARCHAR), '/',
+       |      CAST(CAST($y AS BIGINT) AS VARCHAR)) AS tiles,
+       |    CAST(count(*) AS BIGINT) AS doc_count,
+       |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vmass
+       |  FROM filt GROUP BY 1
+       |)
+       |SELECT tiles, doc_count, vmass FROM (
+       |  SELECT *, row_number() OVER (ORDER BY doc_count DESC, tiles ASC) AS rk
+       |  FROM g)
+       |WHERE rk <= 12""".stripMargin
+  }
+
+  /** Mirror of DslQueries.GeohashGridBody — the shared-generator
+    * geohash cell (GeoOps.geohashSql with `//`) over the whole index.
+    */
+  val dslGeohashGrid: String = {
+    val h60 =
+      """list_reduce(list_transform(range(1, 16),
+        |      i -> CAST(strpos('0123456789abcdef',
+        |             substring(md5(CAST(event_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+        |      (a, d) -> a * 16 + d)""".stripMargin
+    val gh = graft.operators.GeoOps.geohashSql(2, (a, b) => s"($a // $b)")
+    s"""WITH h AS (
+       |  SELECT event_id, $h60 AS h FROM events
+       |),
+       |coords AS (
+       |  SELECT h % 360000000 AS lon_micro,
+       |    (h // 360000000) % 180000000 AS lat_micro
+       |  FROM h
+       |),
+       |g AS (
+       |  SELECT $gh AS cells, CAST(count(*) AS BIGINT) AS doc_count
+       |  FROM coords GROUP BY 1
+       |)
+       |SELECT cells, doc_count FROM (
+       |  SELECT *, row_number() OVER (ORDER BY doc_count DESC, cells ASC) AS rk
+       |  FROM g)
+       |WHERE rk <= 15""".stripMargin
   }
 
   /** Mirror of DslQueries.HighlightBody: the score chain's top-5
@@ -655,5 +783,35 @@ object OracleDsl {
        |WHERE label = ${DslQueries.KnnLabel}
        |ORDER BY score DESC, vec_id ASC
        |LIMIT 10""".stripMargin
+  }
+
+  /** Mirror of DslQueries.KnnApproxBody — the compiled approximate knn
+    * (`num_candidates`) via the trained-IVF candidate walk
+    * (OracleVectors.knnCandidateWalk carries the whole index mirror).
+    */
+  val dslKnnApprox: String = OracleVectors.knnCandidateWalk(
+    DslQueries.KnnVector, 10, DslQueries.KnnNumCandidates)
+
+  /** Mirror of DslQueries.dslKnnApproxRecall: recall@10 of the
+    * approximate response against the exact response of the same
+    * request — both sides computed in SQL.
+    */
+  val dslKnnApproxRecall: String = {
+    val qv = DslQueries.KnnVector
+      .map(d => s"CAST($d AS DOUBLE)").mkString("[", ", ", "]")
+    s"""WITH exact AS (
+       |  SELECT vec_id FROM (
+       |    WITH q AS (SELECT $qv AS v)
+       |    SELECT vec_id,
+       |      ${dot("embedding", "q.v")} / (sqrt(${dot("embedding", "embedding")})
+       |        * sqrt(${dot("q.v", "q.v")})) AS score
+       |    FROM embeddings, q
+       |    ORDER BY score DESC, vec_id ASC
+       |    LIMIT 10)
+       |),
+       |approx AS (SELECT vec_id FROM ($dslKnnApprox))
+       |SELECT CAST(count(a.vec_id) AS DOUBLE) / 10.0 AS recall_at_k,
+       |  count(*) AS n_exact
+       |FROM exact e LEFT JOIN approx a USING (vec_id)""".stripMargin
   }
 }

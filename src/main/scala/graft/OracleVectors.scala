@@ -597,6 +597,53 @@ object OracleVectors {
        |  FROM csims
        |)""".stripMargin
 
+  /** Mirror of QueryDsl.knnCandidates + the exact re-rank: the
+    * compiled approximate `knn` (`num_candidates`) — similarity-
+    * ordered cell walk over the trained IVF codebook, cells kept until
+    * the running inverted-list total reaches `nc`, exact cosine over
+    * the surviving candidates only. The literal query-vector text is
+    * shared with the Spark side (exact binary fractions).
+    */
+  def knnCandidateWalk(qv: Seq[Double], k: Int, nc: Int,
+      nlist: Int = VectorOps.NList): String = {
+    val qvArr = qv.map(d => s"CAST($d AS DOUBLE)").mkString("[", ", ", "]")
+    s"""WITH $baseCte, ${centroidsCte(nlist)},
+       |$centroidSimsCtes,
+       |assignments AS (
+       |  SELECT vec_id AS neighbor_id, c_label AS assigned_label
+       |  FROM cranked WHERE rn = 1
+       |),
+       |sizes AS (
+       |  SELECT assigned_label, count(*) AS cnt
+       |  FROM assignments GROUP BY assigned_label
+       |),
+       |qvec AS (SELECT $qvArr AS v),
+       |qsims AS (
+       |  SELECT c.c_label AS assigned_label,
+       |    ${dot("c.centroid", "q.v")} / (sqrt(c.cnrm)
+       |      * sqrt(${dot("q.v", "q.v")})) AS csim
+       |  FROM cnorm c, qvec q
+       |),
+       |walk AS (
+       |  SELECT assigned_label FROM (
+       |    SELECT s.assigned_label, s.cnt,
+       |      sum(s.cnt) OVER (ORDER BY qs.csim DESC, qs.assigned_label ASC
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |    FROM qsims qs JOIN sizes s USING (assigned_label))
+       |  WHERE cum - cnt < $nc
+       |),
+       |cands AS (
+       |  SELECT a.neighbor_id
+       |  FROM assignments a JOIN walk w USING (assigned_label)
+       |)
+       |SELECT b.vec_id,
+       |  ${dot("b.embedding", "q.v")} / (sqrt(${dot("b.embedding", "b.embedding")})
+       |    * sqrt(${dot("q.v", "q.v")})) AS score
+       |FROM base b JOIN cands c ON c.neighbor_id = b.vec_id, qvec q
+       |ORDER BY score DESC, vec_id ASC
+       |LIMIT $k""".stripMargin
+  }
+
   def ivfAssign(nlist: Int = VectorOps.NList): String =
     s"""WITH $baseCte, ${centroidsCte(nlist)},
        |$centroidSimsCtes

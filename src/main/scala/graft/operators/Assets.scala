@@ -102,7 +102,16 @@ object Assets {
     * the (low-cardinality) service key.
     */
   def serviceSummaries(spark: SparkSession, dir: String): DataFrame =
-    Tables.trailing(Tables.signals(spark, dir), "ts", "7 DAY")
+    serviceSummariesFrom(Tables.signals(spark, dir))
+
+  /** Phase 1 over ANY signal-shaped frame — the connector seam: the
+    * same pipeline runs over a native parquet scan or over the
+    * [[graft.sources.EsShapedSource]] V2 read (`svc_latest_es`), and
+    * the window/term filters push into whichever source implements the
+    * pushdown contract.
+    */
+  def serviceSummariesFrom(sig: DataFrame): DataFrame =
+    Tables.trailing(sig, "ts", "7 DAY")
       .where(col("event_type") === "purchase") // ≈ metricset.name = 'service_summary' (F2)
       .groupBy(col("service_name"), col("service_environment"))
       .agg(max(col("ts")).as("latest_ts"))
@@ -448,6 +457,16 @@ object Assets {
     */
   def servicesLatest(spark: SparkSession, dir: String): DataFrame =
     serviceSummaries(spark, dir)
+
+  /** [[servicesLatest]] over the [[graft.sources.EsShapedSource]]
+    * DataSourceV2 read — same pipeline, same oracle; the trailing-
+    * window bound and the term filter push into the connector
+    * (`PushedFilters`, plan-asserted) instead of the parquet footer
+    * machinery.
+    */
+  def servicesLatestEs(spark: SparkSession, dir: String): DataFrame =
+    serviceSummariesFrom(Tables.signalsFrom(Tables.eventsFrom(
+      SourceRegistry.forDirEs(dir).read(spark, "signals_apm"))))
 
   // ---------------------------------------------------------------------
   // Incremental upsert (SURVEY.md §2.8 / S4)

@@ -95,13 +95,24 @@ object DslQueries {
     indices = Map("docs-*" -> Tables.documents(spark, dir)),
     mapping = DocMapping)
 
-  /** Embeddings-source env (the knn surface). */
+  /** Embeddings-source env (the knn surface). Carries the trained IVF
+    * artifacts ([[VectorOps.ivfAssign]] inverted lists +
+    * [[VectorOps.centroidVectors]] codebook, both memoized) so a body
+    * with `num_candidates` can serve the APPROXIMATE path — the env
+    * analog of ES building the ANN structure at index time.
+    */
   def embEnv(spark: SparkSession, dir: String): Env = Env(
     indices = Map("emb-*" -> Tables.embeddings(spark, dir)),
     mapping = Mapping(
       fields = Map("embedding" -> "embedding", "label" -> "label"),
       idColumn = "vec_id",
-      tsFields = Set.empty))
+      tsFields = Set.empty),
+    ann = Some(QueryDsl.AnnIndex(
+      assignments = VectorOps.ivfAssign(spark, dir)
+        .select(org.apache.spark.sql.functions.col("vec_id"),
+          org.apache.spark.sql.functions.col("assigned_label")),
+      centroids = VectorOps.centroidVectors(spark, dir, VectorOps.NList),
+      nlist = VectorOps.NList)))
 
   // ---------------------------------------------------------------------
   // Registered bodies
@@ -136,6 +147,35 @@ object DslQueries {
   def dslSearch(spark: SparkSession, dir: String): DataFrame =
     QueryDsl.search(signalEnv(spark, dir), SearchBody)
 
+  /** [[signalEnv]] with every signal read routed through the
+    * [[graft.sources.EsShapedSource]] DataSourceV2 connector instead of
+    * the native parquet source — the compiled term/range filters cross
+    * the connector boundary as pushed V1 filters (`PushedFilters` on
+    * the BatchScan, plan-asserted in PlanAuditSpec), the way the
+    * reference's search POST carries its query to Elasticsearch.
+    */
+  def signalEnvEs(spark: SparkSession, dir: String): Env = {
+    val reg = SourceRegistry.forDirEs(dir)
+    val sig = Tables.signalsFrom(Tables.eventsFrom(reg.read(spark, "signals_apm")))
+    val logs = Tables.signalsFrom(Tables.eventsFrom(reg.read(spark, "signals_logs")))
+    val bound = Tables.maxBound(sig, "ts") match {
+      case t: java.sql.Timestamp => t
+      case _ => null
+    }
+    Env(
+      indices = Map(ApmPattern -> sig, LogsPattern -> logs),
+      mapping = SignalMapping,
+      now = bound)
+  }
+
+  /** [[SearchBody]] compiled against the connector-backed env —
+    * registered as `dsl_search_es` with the SAME oracle as
+    * `dsl_search`: identical results through a different source
+    * implementation is the connector-seam contract.
+    */
+  def dslSearchEs(spark: SparkSession, dir: String): DataFrame =
+    QueryDsl.search(signalEnvEs(spark, dir), SearchBody)
+
   /** The collectPods shape through the compiler: multi-index union
     * (logs ∪ apm), conjunction of exists clauses, collapse on pod uid
     * under ts desc — drained (the full-read form of the reference's
@@ -161,6 +201,35 @@ object DslQueries {
 
   def dslCollapse(spark: SparkSession, dir: String): DataFrame =
     QueryDsl.drain(signalEnv(spark, dir), CollapseBody)
+
+  /** [[CollapseBody]] with `inner_hits`: ES returns the top-2 rows per
+    * collapsed pod alongside each collapsed hit — the relational form
+    * keeps the per-group rank as `hit_rank` (QueryDsl.collapseInner,
+    * the q75_top_hits partial-WindowGroupLimit device).
+    */
+  val CollapseInnerBody: String = s"""{
+    "index": ["$LogsPattern", "$ApmPattern"],
+    "collapse": {
+      "field": "kubernetes.pod.uid",
+      "inner_hits": {"name": "recent", "size": 2}
+    },
+    "sort": [{"@timestamp": "desc"}],
+    "_source": false,
+    "fields": ["@timestamp", "kubernetes.pod.uid", "kubernetes.node.name",
+               "orchestrator.cluster.name", "cloud.provider"],
+    "query": {
+      "bool": {
+        "filter": [{"range": {"@timestamp": {"gte": "now-21d"}}}],
+        "must": [
+          {"exists": {"field": "kubernetes.pod.uid"}},
+          {"exists": {"field": "kubernetes.node.name"}}
+        ]
+      }
+    }
+  }"""
+
+  def dslCollapseInner(spark: SparkSession, dir: String): DataFrame =
+    QueryDsl.drain(signalEnv(spark, dir), CollapseInnerBody)
 
   /** Analyzed-text clauses over the documents table: `match` (OR of
     * token membership) + `match_phrase` (token adjacency) in one bool.
@@ -498,6 +567,37 @@ object DslQueries {
   def dslFunctionScore(spark: SparkSession, dir: String): DataFrame =
     QueryDsl.search(docEnv(spark, dir), FunctionScoreBody)
 
+  /** `function_score` decay functions (`gauss` + `linear`) composed
+    * with a weight function — the proximity-boost request shape. Both
+    * curves are plan-time-quantized onto the 2^40 grid
+    * (QueryDsl.decayNumerators: driver-side transcendentals, exact
+    * dyadic factors). The linear scale is a power of two, so its
+    * quantization is EXACT (the operator form's integer-numerator
+    * device, TextOps.functionScore).
+    */
+  val DecayBody: String = """{
+    "index": ["docs-*"],
+    "size": 10,
+    "sort": ["_score"],
+    "_source": false,
+    "fields": ["lang", "n_chars"],
+    "query": {
+      "function_score": {
+        "query": {"match": {"text": "spark join window"}},
+        "functions": [
+          {"filter": {"term": {"lang": "en"}}, "weight": 2},
+          {"gauss": {"n_chars": {"origin": 300, "scale": 256, "decay": 0.5}}},
+          {"linear": {"n_chars": {"origin": 300, "scale": 128, "decay": 0.5}}}
+        ],
+        "score_mode": "multiply",
+        "boost_mode": "multiply"
+      }
+    }
+  }"""
+
+  def dslDecay(spark: SparkSession, dir: String): DataFrame =
+    QueryDsl.search(docEnv(spark, dir), DecayBody)
+
   /** The `suggest` envelope: the term suggester over the documents
     * vocabulary — two true misspellings, one exact term (distance-0),
     * one out-of-vocabulary negative (QueryDsl.runTermSuggest via the
@@ -579,22 +679,66 @@ object DslQueries {
   def dslGeo(spark: SparkSession, dir: String): DataFrame =
     QueryDsl.drain(geoEnv(spark, dir), GeoBody)
 
+  /** The Kibana-map request: `geo_bounding_box` query +
+    * `geotile_grid` bucket agg with a nested value-mass metric —
+    * the shape a map tile layer actually POSTs.
+    */
+  val GeoGridBody: String = """{
+    "index": ["geo-*"],
+    "size": 0,
+    "query": {
+      "geo_bounding_box": {"location": {
+        "top_left": {"lat": 60, "lon": -45},
+        "bottom_right": {"lat": 0, "lon": 45}}}
+    },
+    "aggs": {
+      "tiles": {
+        "geotile_grid": {"field": "location", "precision": 3, "size": 12},
+        "aggs": {"vmass": {"sum": {"field": "value"}}}
+      }
+    }
+  }"""
+
+  def dslGeoGrid(spark: SparkSession, dir: String): DataFrame =
+    QueryDsl.search(geoEnv(spark, dir), GeoGridBody)
+
+  /** `geohash_grid` bucket agg over the whole index (no query) —
+    * the coarse heat-map read.
+    */
+  val GeohashGridBody: String = """{
+    "index": ["geo-*"],
+    "size": 0,
+    "aggs": {
+      "cells": {"geohash_grid": {"field": "location", "precision": 2, "size": 15}}
+    }
+  }"""
+
+  def dslGeohashGrid(spark: SparkSession, dir: String): DataFrame =
+    QueryDsl.search(geoEnv(spark, dir), GeohashGridBody)
+
   /** Multimodal-index env: one index carrying BOTH the analyzed text
     * and the embedding (documents ⋈ embeddings on the shared 0..N id
     * space) — the shape a real ES hybrid-search index has, and the
     * source the `rank: {rrf}` request reads.
     */
+  /** THE hybrid-index mapping — one definition shared by the batch env
+    * and the streaming-served env
+    * ([[graft.streaming.StreamingDsl.servedHybridEnv]]), the same
+    * no-drift discipline as [[DocMapping]].
+    */
+  val HybridMapping: Mapping = Mapping(
+    fields = Map("text" -> "text", "lang" -> "lang",
+      "source" -> "source", "embedding" -> "embedding"),
+    idColumn = "doc_id",
+    tsFields = Set.empty)
+
   def hybridEnv(spark: SparkSession, dir: String): Env = {
     val docs = Tables.documents(spark, dir)
     val embs = Tables.embeddings(spark, dir)
       .withColumnRenamed("vec_id", "doc_id")
     Env(
       indices = Map("hybrid-*" -> docs.join(embs, Seq("doc_id"))),
-      mapping = Mapping(
-        fields = Map("text" -> "text", "lang" -> "lang",
-          "source" -> "source", "embedding" -> "embedding"),
-        idColumn = "doc_id",
-        tsFields = Set.empty))
+      mapping = HybridMapping)
   }
 
   /** The modern ES hybrid-search request: `knn` + `query` fused by
@@ -643,4 +787,60 @@ object DslQueries {
 
   def dslKnn(spark: SparkSession, dir: String): DataFrame =
     QueryDsl.search(embEnv(spark, dir), KnnBody)
+
+  /** Candidate budget for the approximate body — ≈3 of the 10 IVF
+    * cells at sf0.01, still a 3× candidate cut vs the exact scan.
+    * Measured recall@10 for this query vector: 0.2 at one cell
+    * (nc=64), 1.0 at three (nc=600) — the num_candidates dial
+    * behaving exactly as ES's (recall bought with candidate width).
+    */
+  val KnnNumCandidates = 600
+
+  /** Real ES `knn` with `num_candidates` — the APPROXIMATE search
+    * (ES's HNSW dial; here the env's IVF index serves it via the
+    * similarity-ordered cell walk, QueryDsl.knnCandidates). Unfiltered
+    * on purpose: the recall gauge below compares like-for-like against
+    * the exact form of the same request.
+    */
+  val KnnApproxBody: String = s"""{
+    "index": ["emb-*"],
+    "knn": {
+      "field": "embedding",
+      "query_vector": [${KnnVector.mkString(", ")}],
+      "k": 10,
+      "num_candidates": $KnnNumCandidates
+    }
+  }"""
+
+  /** [[KnnApproxBody]] minus `num_candidates` — the exact twin the
+    * recall gauge measures against (never registered on its own; the
+    * registered exact surface is [[KnnBody]]).
+    */
+  val KnnExactBody: String = s"""{
+    "index": ["emb-*"],
+    "knn": {
+      "field": "embedding",
+      "query_vector": [${KnnVector.mkString(", ")}],
+      "k": 10
+    }
+  }"""
+
+  def dslKnnApprox(spark: SparkSession, dir: String): DataFrame =
+    QueryDsl.search(embEnv(spark, dir), KnnApproxBody)
+
+  /** Recall@k of the compiled approximate search against the compiled
+    * exact search — the ANN-deployment gauge (VectorOps.ivfRecall's
+    * convention) on the DSL surface: one row, `recall_at_k` +
+    * `n_exact`, both engines computing both sides.
+    */
+  def dslKnnApproxRecall(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val env = embEnv(spark, dir)
+    val exact = QueryDsl.search(env, KnnExactBody).select(col("vec_id"))
+    val approx = QueryDsl.search(env, KnnApproxBody)
+      .select(col("vec_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("vec_id"), "left")
+      .agg((count(col("hit")).cast("double") / 10.0).as("recall_at_k"),
+        count(lit(1)).as("n_exact"))
+  }
 }

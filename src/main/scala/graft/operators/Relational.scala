@@ -2575,7 +2575,10 @@ object Relational {
       .where(col("ip") >= col("ip_from") && col("ip") < col("ip_to"))
       .groupBy(col("range_id"))
       .agg(count(lit(1)).as("doc_count"), dsum(col("value")).as("value_sum"))
-    broadcast(frame).join(per, Seq("range_id"), "left")
+    // hint the nullable (right) side: a broadcast hint on the
+    // build-left side of a left-outer join is unsupported and silently
+    // dropped. `per` is grouped on range_id, so ≤|ranges| rows.
+    frame.join(broadcast(per), Seq("range_id"), "left")
       .withColumn("ip_hi", col("ip_to") - 1L)
       .select(col("range_id"),
         quad("ip_from").as("from_addr"),

@@ -3665,8 +3665,16 @@ object TextOps {
     * counts — so "order scan" outranks a frequency-plausible but
     * never-adjacent pair (exactly ES's candidate-generator + LM-scorer
     * split). Ranking key (bigram count DESC, total edit distance ASC,
-    * candidates ASC) is all-integer. The bigram join broadcasts the
-    * candidate pairs into the corpus-sized count table.
+    * candidates ASC) is all-integer. Plan shape (the r13 fix, then
+    * tightened): the candidate-pair frame is MATERIALIZED once
+    * (localCheckpoint — it is |inputs|·|cands|² tiny, and it feeds two
+    * consumers), its keys broadcast-semi-cut the exploded bigram
+    * STREAM before the aggregation shuffle — so only candidate-pair
+    * bigrams ever shuffle, not the vocabulary²-bounded corpus bigram
+    * table (r13 aggregated it all and then asked for an unsupported
+    * broadcast on the build-right side of a right-outer join, which
+    * Spark silently dropped into a corpus-sorting SMJ) — and the
+    * zero-count pairs re-attach via a tiny-to-tiny left join.
     */
   def suggestPhrase(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -3678,14 +3686,17 @@ object TextOps {
         col("term").as("cand_a"), col("dist").as("dist_a")), Seq("in_a"))
       .join(cands.select(col("input_term").as("in_b"),
         col("term").as("cand_b"), col("dist").as("dist_b")), Seq("in_b"))
-    val bg = withWordsAttr(spark, dir)
+      .localCheckpoint() // tiny; feeds the key cut AND the final join
+    val keys = pairs.select(col("cand_a"), col("cand_b")).distinct()
+    val bgCut = withWordsAttr(spark, dir)
       .where(size(col("words")) >= 2)
       .select(posexplode(expr(
         "transform(sequence(0, size(words) - 2), i -> struct(words[i] AS w1, words[i + 1] AS w2))"))
         .as(Seq("pos", "bg")))
       .select(col("bg.w1").as("cand_a"), col("bg.w2").as("cand_b"))
+      .join(broadcast(keys), Seq("cand_a", "cand_b")) // map-side cut pre-shuffle
       .groupBy(col("cand_a"), col("cand_b")).agg(count(lit(1)).as("c_bg"))
-    val scored = bg.join(broadcast(pairs), Seq("cand_a", "cand_b"), "right")
+    val scored = pairs.join(broadcast(bgCut), Seq("cand_a", "cand_b"), "left")
       .withColumn("bg_count", coalesce(col("c_bg"), lit(0L)))
       .withColumn("dist_sum", col("dist_a") + col("dist_b"))
     val w = Window.partitionBy(col("query_id"))

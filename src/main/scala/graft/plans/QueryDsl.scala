@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
-import graft.operators.{TextOps, VectorOps}
+import graft.operators.{GeoOps, TextOps, VectorOps}
 import graft.sources.Tables
 
 /** ES Query-DSL → DataFrame compiler.
@@ -108,6 +108,19 @@ object QueryDsl {
     * timestamp, [[Tables.maxBound]]'s determinism device), and named
     * frames for the `terms` lookup form.
     */
+  /** The trained ANN index artifacts an approximate `knn` request
+    * resolves against — the env-side analog of the HNSW graph living
+    * INSIDE an ES index (built at write time, consulted at query
+    * time). IVF form: the inverted-list `assignments`
+    * (`vec_id`, `assigned_label`) and the `centroids` codebook
+    * (`c_label`, `centroid`, `cnrm`), both the memoized
+    * [[VectorOps.ivfAssign]]/[[VectorOps.centroidVectors]] artifacts.
+    */
+  final case class AnnIndex(
+      assignments: DataFrame,
+      centroids: DataFrame,
+      nlist: Int)
+
   final case class Env(
       indices: Map[String, DataFrame],
       mapping: Mapping,
@@ -116,7 +129,13 @@ object QueryDsl {
         * [[Tables.trailingWithBound]]'s empty-input contract.
         */
       now: java.sql.Timestamp = null,
-      lookups: Map[String, DataFrame] = Map.empty)
+      lookups: Map[String, DataFrame] = Map.empty,
+      /** Present ⇒ `knn` bodies with `num_candidates` route to the
+        * approximate candidate path ([[runKnn]]); absent ⇒ such bodies
+        * fail fast (an index without an ANN structure cannot serve an
+        * approximate search).
+        */
+      ann: Option[AnnIndex] = None)
 
   // ---------------------------------------------------------------------
   // Public entry points
@@ -145,6 +164,12 @@ object QueryDsl {
     val src = resolveIndex(env, body \ "index")
     body \ "suggest" match {
       case JObject(List((_, spec: JObject))) if (spec \ "term") != JNothing =>
+        // a suggest-only request: silently discarding a co-present
+        // query/knn/aggs section would return DIFFERENT results than
+        // ES (which answers both envelopes) — fail fast instead
+        for (k <- Seq("query", "knn", "aggs"))
+          if ((body \ k) != JNothing)
+            fail(s"suggest combined with '$k' is unsupported (suggest-only requests)")
         return runTermSuggest(env, src, spec)
       case JNothing => ()
       case other    => fail(s"unsupported suggest: $other")
@@ -183,8 +208,15 @@ object QueryDsl {
       case JArray(vs) => df = df.where(keysetAfter(env, df, sortSpec, vs))
       case other => fail(s"unsupported search_after: $other")
     }
+    var innerHits = false
     body \ "collapse" \ "field" match {
-      case JString(f) => df = collapseTop1(env, df, f, sortSpec)
+      case JString(f) =>
+        body \ "collapse" \ "inner_hits" match {
+          case JNothing => df = collapseTop1(env, df, f, sortSpec)
+          case ih =>
+            df = collapseInner(env, df, f, sortSpec, ih)
+            innerHits = true
+        }
       case JNothing   => ()
       case other      => fail(s"unsupported collapse: $other")
     }
@@ -193,7 +225,8 @@ object QueryDsl {
       case JNothing => ()
       case other    => fail(s"unsupported size: $other")
     }
-    project(env, df, body \ "fields")
+    project(env, df, body \ "fields",
+      extra = if (innerHits) Seq("hit_rank") else Nil)
   }
 
   private def hasScoreSort(s: JValue): Boolean = {
@@ -350,19 +383,25 @@ object QueryDsl {
     val terms = highlightTerms(env, query, field)
     require(terms.nonEmpty, s"highlight field '$field' has no query terms")
     val hw = TextOps.HlWindow
-    val qtermsSql = terms.map(t => s"'$t'").mkString("array(", ", ", ")")
+    // typed literals via the Column API — NEVER string-interpolated
+    // into expr(): a query term is request-controlled text, and a
+    // quote in it would otherwise become expression injection
+    val qterms = array(terms.map(lit): _*)
     val words = src.select(col(id), split(fieldCol(env, field), " ").as("words"))
     hits.join(words, Seq(id))
-      .withColumn("first_pos", expr(
-        s"array_min(filter(transform($qtermsSql, t -> array_position(words, t)), p -> p > 0))"))
+      .withColumn("first_pos", array_min(filter(
+        transform(qterms, t => array_position(col("words"), t)),
+        p => p > 0)))
       .withColumn("frag_start",
         greatest(lit(1L), col("first_pos") - lit(hw.toLong)))
-      .withColumn("fragment", expr(
-        s"""array_join(transform(
-           |  slice(words, CAST(frag_start AS INT),
-           |    CAST(first_pos + $hw - frag_start + 1 AS INT)),
-           |  w -> IF(array_contains($qtermsSql, w),
-           |    concat('<em>', w, '</em>'), w)), ' ')""".stripMargin))
+      .withColumn("fragment", array_join(
+        transform(
+          slice(col("words"), col("frag_start").cast("int"),
+            (col("first_pos") + lit(hw.toLong) - col("frag_start") + lit(1L))
+              .cast("int")),
+          w => when(array_contains(qterms, w),
+            concat(lit("<em>"), w, lit("</em>"))).otherwise(w)),
+        " "))
       .drop("words")
   }
 
@@ -504,6 +543,7 @@ object QueryDsl {
     }
     val maxTerms = intOf("max_query_terms", 25) // ES default
     val minDf = intOf("min_doc_freq", 5)        // ES default
+    val minTf = intOf("min_term_freq", 2)       // ES default
     val c = fieldCol(env, field)
     val pairs = src
       .select(col(id).as("doc_id"), explode(split(c, " ")).as("term"))
@@ -515,7 +555,10 @@ object QueryDsl {
     val chosen = seedTf
       .join(dfq, Seq("term"))
       .crossJoin(broadcast(nDocs))
-      .where(col("df") >= minDf)
+      // ES prunes seed terms on BOTH dials before selection:
+      // like-doc term frequency (min_term_freq) and corpus doc
+      // frequency (min_doc_freq)
+      .where(col("stf") >= minTf && col("df") >= minDf)
       .withColumn("mlt_score",
         col("stf").cast("double") *
           ((col("n_docs").cast("double") + lit(1.0)) /
@@ -533,14 +576,16 @@ object QueryDsl {
       .select(col("doc_id"), col("score").cast("double").as("s"))
   }
 
-  /** `function_score` with weight functions: each `{filter, weight}`
-    * contributes its weight where the filter matches (multiplicative
-    * identity 1, additive identity 0, per `score_mode`), combined onto
-    * the base score per `boost_mode` — all per-row double arithmetic
-    * in function order over exact weights, the filters compiled by the
-    * same filter-context compiler. (Decay functions stay with the
-    * operator form, [[TextOps.functionScore]], whose integer-numerator
-    * device needs the fixture's documented denominator.)
+  /** `function_score`: `{filter, weight}` functions contribute their
+    * weight where the filter matches (multiplicative identity 1,
+    * additive identity 0, per `score_mode`); `gauss`/`exp`/`linear`
+    * decay functions contribute the plan-time-quantized curve factor
+    * ([[decayNumerators]] — driver-side transcendentals, exact dyadic
+    * factors on the 2^40 grid, the [[TextOps.functionScore]]
+    * integer-numerator device generalized). Combined onto the base
+    * score per `boost_mode` — all per-row double arithmetic in
+    * function order over exact factors, the filters compiled by the
+    * same filter-context compiler.
     */
   private def scoreFunctionScore(env: Env, src: DataFrame,
       fs: JValue): DataFrame = {
@@ -556,19 +601,35 @@ object QueryDsl {
       case JString("sum")                 => false
       case other => fail(s"unsupported boost_mode: $other")
     }
+    val identity = lit(if (multiply) 1.0 else 0.0)
     val factors = fs \ "functions" match {
       case JArray(fns) if fns.nonEmpty => fns.map { f =>
-        val c = compileClause(env, src, f \ "filter")
-        require(c.lookups.isEmpty,
-          "terms lookup inside function_score is unsupported")
-        val w = f \ "weight" match {
-          case JNothing   => 1.0
-          case JDouble(d) => d
-          case JInt(n)    => n.toDouble
-          case other      => fail(s"unsupported weight: $other")
+        val decayKinds = Seq("gauss", "exp", "linear")
+          .filter(k => (f \ k) != JNothing)
+        decayKinds match {
+          case Nil =>
+            val c = compileClause(env, src, f \ "filter")
+            require(c.lookups.isEmpty,
+              "terms lookup inside function_score is unsupported")
+            val w = f \ "weight" match {
+              case JNothing   => 1.0
+              case JDouble(d) => d
+              case JInt(n)    => n.toDouble
+              case other      => fail(s"unsupported weight: $other")
+            }
+            when(coalesce(c.pred, lit(false)), lit(w)).otherwise(identity)
+          case List(kind) =>
+            val factor = decayColumn(env, kind, f \ kind)
+            f \ "filter" match {
+              case JNothing => factor
+              case flt =>
+                val c = compileClause(env, src, flt)
+                require(c.lookups.isEmpty,
+                  "terms lookup inside function_score is unsupported")
+                when(coalesce(c.pred, lit(false)), factor).otherwise(identity)
+            }
+          case more => fail(s"one decay kind per function, got $more")
         }
-        when(coalesce(c.pred, lit(false)), lit(w))
-          .otherwise(lit(if (multiply) 1.0 else 0.0))
       }
       case other => fail(s"function_score needs functions: $other")
     }
@@ -577,6 +638,95 @@ object QueryDsl {
       .select(col("doc_id"),
         (if (boostMultiply) col("s") * combined else col("s") + combined).as("s"))
   }
+
+  /** `minimum_should_match` parse shared by both bool compilers:
+    * plain non-negative integers only — ES's percent ("75%") and
+    * negative ("-1") forms fail fast instead of throwing a bare
+    * NumberFormatException (or silently meaning something else).
+    */
+  private def msmOf(v: JValue, default: => Int): Int = v match {
+    case JInt(n)                         => n.toInt
+    case JString(s) if s.matches("\\d+") => s.toInt
+    case JString(s) => fail(
+      s"unsupported minimum_should_match form '$s' (percent/negative forms unsupported)")
+    case JNothing => default
+    case other    => fail(s"unsupported minimum_should_match: $other")
+  }
+
+  /** 2^40 — the house integer score grid. */
+  private val DecayGrid = 1099511627776L
+
+  /** Cells in the quantized decay curve. 1024 cells over [0, 4·scale)
+    * give cellWidth 1 (i.e. ZERO quantization error on integer fields)
+    * whenever scale ≤ 256, and ≤0.4%-of-support resolution always.
+    */
+  private[graft] val DecaySteps = 1024
+
+  /** The decay curve quantized onto the 2^40 grid: transcendentals run
+    * ONCE on the driver (the geotile-cutoff device — engines never
+    * agree on libm, so exp/ln must not enter a plan), emitting one
+    * integer numerator per distance cell; cell `i` covers distances
+    * [i·cellWidth, (i+1)·cellWidth) and takes the curve value at its
+    * LOWER edge (so distance 0 is exactly 1.0). Returns (cellWidth,
+    * numerators[0..DecaySteps]) — the last cell absorbs everything
+    * past 4·scale. `floor(f·2^40)/2^40` is an exact dyadic rational,
+    * so the factor doubles are bit-identical across engines by
+    * construction. For power-of-two scales the LINEAR curve quantizes
+    * EXACTLY: (1 − d/scale)·2^40 is an integer, making the factor a
+    * constant multiple of the operator form's integer numerator
+    * (TextOps.functionScore's `max(0, scale − d)` device) — replayed
+    * in QueryDslSpec.
+    */
+  private[graft] def decayNumerators(kind: String, scale: Long,
+      decay: Double): (Long, IndexedSeq[Long]) = {
+    require(scale > 0, s"decay scale must be positive, got $scale")
+    require(decay > 0.0 && decay < 1.0, s"decay must be in (0,1), got $decay")
+    val cellWidth = math.max(1L, (4 * scale + DecaySteps - 1) / DecaySteps)
+    val nums = (0 to DecaySteps).map { i =>
+      val d = (i.toLong * cellWidth).toDouble
+      val f = kind match {
+        case "gauss"  => math.exp(math.log(decay) * (d / scale) * (d / scale))
+        case "exp"    => math.exp(math.log(decay) * (d / scale))
+        case "linear" => math.max(0.0, 1.0 - d * (1.0 - decay) / scale)
+      }
+      math.floor(f * DecayGrid).toLong
+    }
+    (cellWidth, nums)
+  }
+
+  /** One `gauss`/`exp`/`linear` decay factor as a Column: integer
+    * distance → cell lookup into the plan-time numerator array → one
+    * exact power-of-two division. Numeric (integer-typed) fields only —
+    * the fixture's stored fields; a float/geo origin would need the
+    * micro-unit device first.
+    */
+  private def decayColumn(env: Env, kind: String, spec: JValue): Column =
+    spec match {
+      case JObject(List(JField(field, params))) =>
+        val cn = colName(env, field)
+        def num(key: String, default: Option[Long]): Long =
+          params \ key match {
+            case JInt(n)    => n.toLong
+            case JNothing   => default.getOrElse(fail(s"$kind needs $key"))
+            case other      => fail(s"unsupported $kind $key: $other")
+          }
+        val origin = num("origin", None)
+        val scale = num("scale", None)
+        val offset = num("offset", Some(0L))
+        val decay = params \ "decay" match {
+          case JDouble(d) => d
+          case JNothing   => 0.5 // ES default
+          case other      => fail(s"unsupported decay: $other")
+        }
+        val (cellWidth, nums) = decayNumerators(kind, scale, decay)
+        val arr = nums.mkString("array(", "L, ", "L)")
+        val dist =
+          s"greatest(0L, abs(CAST($cn AS BIGINT) - ${origin}L) - ${offset}L)"
+        val cell = s"least($dist div ${cellWidth}L, ${DecaySteps}L)"
+        expr(s"CAST(element_at($arr, CAST($cell AS INT) + 1) AS DOUBLE)" +
+          s" / $DecayGrid.0")
+      case other => fail(s"unsupported $kind decay spec: $other")
+    }
 
   private def matchSpec(spec: JValue): (String, Boolean, Double) = spec match {
     case JString(q) => (q, false, 1.0)
@@ -742,10 +892,13 @@ object QueryDsl {
   /** Scored `bool`: must clauses AND-combine (inner join) and their
     * scores sum; should clauses sum over the docs they match, gated by
     * `minimum_should_match` (defaulting to 1 when the bool has no
-    * must/filter — ES's documented default); filter and must_not gate
-    * the matching set without contributing score (must_not with ES's
-    * null-safe negation). Pure-filter clauses under `must` gate like
-    * `filter` (they'd score 0). Additions run per-row in clause order.
+    * must/filter — ES's documented default, 0 otherwise: with msm 0 a
+    * doc matching only the filter IS a hit, score 0); filter and
+    * must_not gate the matching set without contributing score
+    * (must_not with ES's null-safe negation). Pure-filter clauses
+    * under `must` score a constant 1.0 each in query context (ES's
+    * filter-vs-must scoring split). Additions run per-row in clause
+    * order.
     */
   private def scoreBool(env: Env, src: DataFrame, b: JValue): DataFrame = {
     def clausesOf(name: String): Seq[JValue] = b \ name match {
@@ -754,20 +907,26 @@ object QueryDsl {
       case single     => Seq(single)
     }
     val id = env.mapping.idColumn
-    val (scoringMusts, predMusts) = clausesOf("must").partition(isScoring)
-    val filters = clausesOf("filter") ++ predMusts
+    val musts = clausesOf("must")
+    val (scoringMusts, predMusts) = musts.partition(isScoring)
+    val filters = clausesOf("filter")
     val nots = clausesOf("must_not")
     val shoulds = clausesOf("should")
     require(shoulds.forall(isScoring),
       "should clauses in query context must be scorable (wrap filters in constant_score)")
-    val msm: Int = b \ "minimum_should_match" match {
-      case JInt(n)    => n.toInt
-      case JString(s) => s.toInt
-      case JNothing   =>
-        if (scoringMusts.isEmpty && filters.isEmpty && shoulds.nonEmpty) 1 else 0
-      case other      => fail(s"unsupported minimum_should_match: $other")
+    val msm: Int = msmOf(b \ "minimum_should_match",
+      if (musts.isEmpty && filters.isEmpty && shoulds.nonEmpty) 1 else 0)
+    // ES scores a filter-shaped clause under `must` as a constant 1.0
+    // per matching clause in query context (unlike `filter`, which
+    // gates without scoring) — each becomes a constant-score frame
+    // that both gates (inner must-join below) and contributes 1.0
+    val predMustFrames = predMusts.map { pc =>
+      val c = compileClause(env, src, pc)
+      require(c.lookups.isEmpty, "terms lookup in a scored bool is unsupported")
+      src.where(coalesce(c.pred, lit(false)))
+        .select(col(id).as("doc_id"), lit(1.0d).as("s"))
     }
-    val mustFrames = scoringMusts.map(scoreClause(env, src, _))
+    val mustFrames = scoringMusts.map(scoreClause(env, src, _)) ++ predMustFrames
     val shouldFrames = shoulds.map(scoreClause(env, src, _))
     require(mustFrames.nonEmpty || shouldFrames.nonEmpty,
       "scored bool needs at least one scoring clause")
@@ -813,8 +972,14 @@ object QueryDsl {
       val gate = preds.map(_.pred).foldLeft(lit(true))(_ && _) &&
         notPreds.map(c => !coalesce(c.pred, lit(false)))
           .foldLeft(lit(true))(_ && _)
-      combined.join(src.where(gate).select(col(id).as("doc_id")),
-        Seq("doc_id"), "left_semi")
+      val filterSet = src.where(gate).select(col(id).as("doc_id"))
+      if (mustFrames.isEmpty && msm == 0)
+        // ES: should with a filter context and msm 0 — the filter
+        // alone defines the hit set; should clauses only ADD score, so
+        // a filter-only doc is a hit with score 0 (the r13 divergence)
+        filterSet.join(combined, Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("s"), lit(0.0d)).as("s"))
+      else combined.join(filterSet, Seq("doc_id"), "left_semi")
     }
   }
 
@@ -920,6 +1085,38 @@ object QueryDsl {
             acc.when(cond, lit(k))
         }
         Level(name, key, None)
+      // Kibana-map bucket sources: the cell id expression comes from
+      // the SAME generators the geo operators use (GeoOps.geohashSql's
+      // integer bit interleave; geotileXSql/geotileYSql's integer
+      // scale-divide + driver-computed mercator cutoffs), so the DSL
+      // lowering and the operator form share one arithmetic by
+      // construction. The size cut rides the generic Level machinery
+      // (count DESC, cell ASC — the grid operators' pinned order).
+      case "geotile_grid" | "geohash_grid" =>
+        val field = fieldOf(spec, tpe)
+        val (latC, lonC) = env.mapping.geoFields.getOrElse(field,
+          fail(s"unmapped geo field '$field'"))
+        // the generators emit arithmetic over the canonical stored
+        // integer pair; an exotic mapping must fail, not mis-grid
+        if (latC != "lat_micro" || lonC != "lon_micro")
+          fail(s"grid aggs need (lat_micro, lon_micro) storage, got ($latC, $lonC)")
+        val size = spec \ "size" match {
+          case JInt(n)  => n.toInt
+          case JNothing => 10000 // ES default for both grid aggs
+          case other    => fail(s"unsupported $tpe size: $other")
+        }
+        val precision = spec \ "precision" match {
+          case JInt(n)  => n.toInt
+          case JNothing => if (tpe == "geohash_grid") 5 else 7 // ES defaults
+          case other    => fail(s"unsupported $tpe precision: $other")
+        }
+        val key =
+          if (tpe == "geohash_grid") expr(GeoOps.geohashSql(precision))
+          else concat(lit(s"$precision/"),
+            expr(s"CAST(${GeoOps.geotileXSql(precision)} AS BIGINT)").cast("string"),
+            lit("/"),
+            expr(s"CAST(${GeoOps.geotileYSql(precision)} AS BIGINT)").cast("string"))
+        Level(name, key, Some(size))
       case other => fail(s"unsupported bucket agg: $other")
     }
 
@@ -965,10 +1162,11 @@ object QueryDsl {
         }
         // inverse percentiles: fraction of valued docs at or under
         // each threshold — exact integer counts, one IEEE division
-        // (the q51 device)
+        // (the q51 device), ×100 to ES's percentage response scale
         case "percentile_ranks" => numsOf("values").map { v =>
           (sum(when(c <= v, 1L).otherwise(0L)).cast("double") /
-            count(c).cast("double")).as(s"${name}_pr_${pctName(v)}")
+            count(c).cast("double") * lit(100.0d))
+            .as(s"${name}_pr_${pctName(v)}")
         }
       }
     }
@@ -1079,7 +1277,30 @@ object QueryDsl {
           }
           case other => fail(s"unsupported top_hits fields: $other")
         }
-        val keyed = levels.foldLeft(df)((d, l) => d.withColumn(l.outName, l.key))
+        val keyed0 = levels.foldLeft(df)((d, l) => d.withColumn(l.outName, l.key))
+        // enclosing bucket-agg size cuts apply on this path too (ES
+        // keeps only the top-`size` buckets by doc count, key-asc
+        // tiebroken — previously every bucket was kept, silently
+        // diverging when buckets exceeded the size)
+        val keyed = levels.zipWithIndex.foldLeft(keyed0) {
+          case (d, (l, i)) => l.size match {
+            case Some(sz) =>
+              // surviving buckets via a partial-agg count + a window
+              // over the BUCKET-COUNT-sized frame, semi-joined back as
+              // a broadcast — never a corpus-wide unpartitioned window
+              val keyNames = (levels.take(i) :+ l).map(_.outName)
+              val counts = d.groupBy(keyNames.map(col): _*)
+                .agg(count(lit(1)).as("__bc"))
+              val wRank = Window
+                .partitionBy(levels.take(i).map(x => col(x.outName)): _*)
+                .orderBy(col("__bc").desc, col(l.outName).asc)
+              val keep = counts.withColumn("__bk", dense_rank().over(wRank))
+                .where(col("__bk") <= sz)
+                .select(keyNames.map(col): _*)
+              d.join(broadcast(keep), keyNames, "left_semi")
+            case None => d
+          }
+        }
         val w = Window.partitionBy(levels.map(l => col(l.outName)): _*)
           .orderBy(orderCols(env, sortSpec): _*)
         val hits = keyed
@@ -1289,13 +1510,55 @@ object QueryDsl {
     // form identically on both engines (the oracle mirrors this text)
     val qvSql = qv.map(d => s"CAST($d AS DOUBLE)").mkString("array(", ", ", ")")
     val id = env.mapping.idColumn
-    filtered
+    def score(df: DataFrame): DataFrame = df
       .select(col(id),
         (expr(VectorOps.dot(field, qvSql)) /
           (sqrt(expr(VectorOps.dot(field, field))) *
             sqrt(expr(VectorOps.dot(qvSql, qvSql))))).as("score"))
       .orderBy(col("score").desc, col(id).asc)
       .limit(k)
+    knn \ "num_candidates" match {
+      case JNothing => score(filtered)
+      case JInt(nc) =>
+        score(knnCandidates(env, filtered, qvSql, nc.toInt, id))
+      case other => fail(s"unsupported num_candidates: $other")
+    }
+  }
+
+  /** Approximate-kNN candidate generation — ES's `num_candidates`
+    * semantics on the env's IVF index: walk the centroid cells in
+    * query-similarity order, keep cells until the RUNNING candidate
+    * total reaches `num_candidates` (the similarity-ordered cell walk
+    * [[VectorOps.knnLabelPartitioned]] proved out), and restrict the
+    * source to the surviving inverted lists. Exact cosine then
+    * re-ranks ONLY the ≈num_candidates survivors — never a corpus-wide
+    * dot product (plan-asserted in PlanAuditSpec): at 100× scale the
+    * exact form is a full corpus scan per request, this form scans
+    * N·probedCells/nlist. Every frame below the assignments join is
+    * nlist-bounded; the assignments join keys on the list label
+    * (bucket equi-join, the house ANN shape).
+    */
+  private def knnCandidates(env: Env, src: DataFrame, qvSql: String,
+      numCandidates: Int, id: String): DataFrame = {
+    val ann = env.ann.getOrElse(fail(
+      "num_candidates needs an ANN index on the env (approximate knn)"))
+    val sizes = ann.assignments
+      .groupBy(col("assigned_label")).agg(count(lit(1)).as("cnt"))
+    val qsims = ann.centroids.select(
+      col("c_label").as("assigned_label"),
+      (expr(VectorOps.dot("centroid", qvSql)) /
+        (sqrt(col("cnrm")) * sqrt(expr(VectorOps.dot(qvSql, qvSql)))))
+        .as("csim"))
+    // nlist-bounded walk: the single-partition window sees ≤nlist rows
+    val walk = qsims.join(sizes, Seq("assigned_label"))
+      .withColumn("cum", sum(col("cnt")).over(Window
+        .orderBy(col("csim").desc, col("assigned_label").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .where(col("cum") - col("cnt") < numCandidates)
+      .select(col("assigned_label"))
+    val cands = ann.assignments.join(broadcast(walk), Seq("assigned_label"))
+      .select(col("vec_id").as(id))
+    src.join(broadcast(cands), Seq(id))
   }
 
   /** Hybrid retrieval (`knn` + `query` + `rank: {rrf: ...}}` — the
@@ -1617,12 +1880,8 @@ object QueryDsl {
     val shoulds = clausesOf("should").map(compileClause(env, df, _))
     require(shoulds.forall(_.lookups.isEmpty),
       "terms lookup under should is unsupported (no relational form of optional semi-join)")
-    val msm: Int = b \ "minimum_should_match" match {
-      case JInt(n)    => n.toInt
-      case JString(s) => s.toInt
-      case JNothing   => if (musts.isEmpty && shoulds.nonEmpty) 1 else 0
-      case other      => fail(s"unsupported minimum_should_match: $other")
-    }
+    val msm: Int = msmOf(b \ "minimum_should_match",
+      if (musts.isEmpty && shoulds.nonEmpty) 1 else 0)
     val mustPred = musts.map(_.pred).foldLeft(lit(true))(_ && _)
     val notPred = nots.map(c => !coalesce(c.pred, lit(false)))
       .foldLeft(lit(true))(_ && _)
@@ -1878,12 +2137,39 @@ object QueryDsl {
       .drop("__rn")
   }
 
+  /** `collapse` with `inner_hits`: ES keeps the top-1 per group as the
+    * hit AND returns the group's top-`size` rows alongside it. The
+    * relational form is the per-group window top-N with the rank kept
+    * as `hit_rank` (1 = the collapsed hit itself) — the q75_top_hits
+    * device, whose partial WindowGroupLimit Catalyst places BEFORE the
+    * exchange (plan-asserted), so the shuffle carries ≤size rows per
+    * group, not the group. The inner sort defaults to the request sort
+    * (ES's default) and may override via `inner_hits.sort`.
+    */
+  private def collapseInner(env: Env, df: DataFrame, field: String,
+      sortSpec: Seq[SortKey], ih: JValue): DataFrame = {
+    val size = ih \ "size" match {
+      case JInt(n)  => n.toInt
+      case JNothing => 3 // ES default
+      case other    => fail(s"unsupported inner_hits size: $other")
+    }
+    val innerSort = ih \ "sort" match {
+      case JNothing => sortSpec
+      case s        => parseSort(env, s)
+    }
+    val w = Window.partitionBy(col(colName(env, field)))
+      .orderBy(orderCols(env, innerSort): _*)
+    df.withColumn("hit_rank", row_number().over(w).cast("long"))
+      .where(col("hit_rank") <= size)
+  }
+
   /** `fields` projection: the id column (ES returns `_id` on every
     * hit) plus each requested field in body order; wildcard patterns
     * expand through the family map in schema order; unmapped or absent
     * fields project to nothing (ES returns no entry for them).
     */
-  private def project(env: Env, df: DataFrame, fieldsJ: JValue): DataFrame = {
+  private def project(env: Env, df: DataFrame, fieldsJ: JValue,
+      extra: Seq[String] = Nil): DataFrame = {
     val requested: Seq[String] = fieldsJ match {
       case JNothing   => Nil
       case JArray(fs) => fs.map {
@@ -1899,7 +2185,7 @@ object QueryDsl {
           .flatMap(pfx => df.columns.filter(_.startsWith(pfx)))
       else env.mapping.fields.get(f).filter(df.columns.contains)
     }
-    val all = (env.mapping.idColumn +: cols).distinct
+    val all = ((env.mapping.idColumn +: extra) ++ cols).distinct
     df.select(all.map(col): _*)
   }
 

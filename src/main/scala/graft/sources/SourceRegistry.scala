@@ -69,6 +69,25 @@ object SourceRegistry {
     SourceRef("embeddings", Seq(s"$dir/embeddings.parquet"))
   )
 
+  /** [[forDir]] with the signal and document refs routed through the
+    * [[EsShapedSource]] DataSourceV2 connector — the config-only swap
+    * the `format` seam exists for (an ES-backed deployment changes
+    * exactly this map entry, nothing in any pipeline). `embeddings`
+    * stays a native parquet ref: its array column is outside the
+    * connector's scalar hit-envelope surface.
+    */
+  def forDirEs(dir: String): SourceRegistry = {
+    val fmt = classOf[EsShapedSource].getName
+    SourceRegistry(
+      SourceRef("signals_apm", Seq(s"$dir/events.parquet"), format = fmt),
+      SourceRef("signals_logs", Seq(s"$dir/events.parquet"), format = fmt),
+      SourceRef("signals_all",
+        Seq(s"$dir/events.parquet", s"$dir/events.parquet"), format = fmt),
+      SourceRef("documents", Seq(s"$dir/documents.parquet"), format = fmt),
+      SourceRef("embeddings", Seq(s"$dir/embeddings.parquet"))
+    )
+  }
+
   /** Config-driven layout selection — the `ES_IS_CCS` analog
     * (reference constants.ts:7-21): one env/config switch flips every
     * source name between the local pattern set and the cross-cluster

@@ -71,4 +71,46 @@ object StreamingDsl {
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         col("n_chars"))),
     mapping = DslQueries.DocMapping)
+
+  /** Embeddings-slice sink write — the SAME overwrite-own-batchId
+    * discipline as the doc slice (disjoint batch slices, identity
+    * union): the vector side of a hybrid request is as replay-
+    * sensitive as the BM25 side (a fresh-id replay duplicates
+    * candidate rows and shifts kNN ranks).
+    */
+  private[graft] def writeEmbBatch(batch: DataFrame, batchId: Long,
+      storePath: String): Unit =
+    batch.write.mode("overwrite").parquet(s"$storePath/embs/batch_id=$batchId")
+
+  /** Drain an embeddings directory into the serving store. */
+  def startEmbIngest(spark: SparkSession, embsPath: String,
+      storePath: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    StreamingVectors.embeddingStream(spark, embsPath)
+      .select(col("vec_id"), col("embedding"))
+      .writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeEmbBatch(batch, batchId, storePath)
+      }
+      .start()
+
+  /** The compiler Env for HYBRID requests over the accumulated store:
+    * the merged doc slices joined to the merged embedding slices on
+    * the shared id — the [[DslQueries.hybridEnv]] index shape under
+    * the SAME [[DslQueries.HybridMapping]], so a compiled
+    * `knn`+`query`+`rank:{rrf}` request serves from stream state
+    * bit-equal to the batch compile (StreamingDslSpec proves it).
+    */
+  def servedHybridEnv(spark: SparkSession, storePath: String): Env = {
+    val docs = spark.read.parquet(s"$storePath/docs")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+    val embs = spark.read.parquet(s"$storePath/embs")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    Env(
+      indices = Map("hybrid-*" -> docs.join(embs, Seq("doc_id"))),
+      mapping = DslQueries.HybridMapping)
+  }
 }

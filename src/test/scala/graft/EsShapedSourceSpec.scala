@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.EsShapedSource
+
+/** [[graft.sources.EsShapedSource]] — the DataSourceV2 connector seam.
+  * Beyond the registered-query parity (svc_latest_es / dsl_search_es,
+  * oracle- and golden-checked), this spec pins the connector's own
+  * contracts: row-group pruning from footer stats, metadata-only
+  * counts, filter/projection pushdown parity with the native parquet
+  * source, and null semantics at the boundary.
+  */
+class EsShapedSourceSpec extends SparkSpec {
+
+  private val fmt = classOf[EsShapedSource].getName
+
+  private def viaEs(path: String): DataFrame =
+    spark.read.format(fmt).load(path)
+
+  test("full-table read equals the native parquet read (events, documents)") {
+    for (t <- Seq("events", "documents")) {
+      val es = viaEs(s"$sfDir/$t.parquet")
+      val pq = spark.read.parquet(s"$sfDir/$t.parquet")
+      assert(es.schema === pq.schema, t)
+      assert(es.exceptAll(pq).isEmpty && pq.exceptAll(es).isEmpty, t)
+    }
+  }
+
+  test("filtered + projected read equals parquet under every pushed shape") {
+    val cases = Seq[DataFrame => DataFrame](
+      _.where(col("n_chars") > 400).select("doc_id", "lang"),
+      _.where(col("lang") === "en" && col("source") =!= "web")
+        .select("doc_id", "n_chars"),
+      _.where(col("lang").isin("en", "de") || col("n_chars") < 100)
+        .select("doc_id"), // Or stays Spark-side — residual eval contract
+      _.where(col("source").startsWith("w")).select("doc_id", "source"),
+      _.where(col("lang").isNull).select("doc_id"))
+    for ((f, i) <- cases.zipWithIndex) {
+      val es = f(viaEs(s"$sfDir/documents.parquet"))
+      val pq = f(spark.read.parquet(s"$sfDir/documents.parquet"))
+      assert(es.exceptAll(pq).isEmpty && pq.exceptAll(es).isEmpty, s"case $i")
+    }
+  }
+
+  test("timestamp range filter pushes and matches the native read") {
+    val bound = spark.read.parquet(s"$sfDir/events.parquet")
+      .agg(max(col("ts"))).head().get(0)
+    val es = viaEs(s"$sfDir/events.parquet").where(col("ts") >= lit(bound))
+    val pq = spark.read.parquet(s"$sfDir/events.parquet")
+      .where(col("ts") >= lit(bound))
+    assert(es.count() === pq.count())
+    assert(es.count() >= 1)
+    val p = es.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"),
+      p.take(800))
+  }
+
+  test("row-group pruning: a selective range schedules only matching row groups") {
+    // 4 row groups of 1000 rows each with disjoint ascending id ranges
+    val dir = Files.createTempDirectory("es-shaped").toString
+    import spark.implicits._
+    (0L until 4000L).map(i => (i, s"s-${i % 7}", i.toDouble))
+      .toDF("id", "tag", "v")
+      .coalesce(1)
+      .sortWithinPartitions("id")
+      .write.option("parquet.block.size", "4096").mode("overwrite")
+      .parquet(s"$dir/t.parquet")
+    val file = new java.io.File(s"$dir/t.parquet").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.getPath
+    val all = viaEs(file)
+    val groups = all.rdd.getNumPartitions
+    assert(groups >= 3, s"fixture produced only $groups row groups")
+    // one InputPartition per SURVIVING row group: a top-of-range filter
+    // must prune the lower groups from the schedule entirely
+    val cut = all.where(col("id") >= 3900L)
+    assert(cut.rdd.getNumPartitions < groups,
+      s"pruning scheduled all $groups groups")
+    assert(cut.count() === 100L)
+    // and an impossible range schedules nothing
+    assert(all.where(col("id") > 100000L).rdd.getNumPartitions === 0)
+  }
+
+  test("count(*) is a metadata-only read (zero-column partitions still count rows)") {
+    val es = viaEs(s"$sfDir/documents.parquet")
+    val pq = spark.read.parquet(s"$sfDir/documents.parquet")
+    assert(es.count() === pq.count())
+  }
+
+  test("nested/array columns are rejected at schema inference, not read time") {
+    val e = intercept[Exception] {
+      viaEs(s"$sfDir/embeddings.parquet").schema
+    }
+    assert(e.getMessage.contains("scalar wire surface"), e.getMessage)
+  }
+
+  test("multi-path load unions (and double-counts a repeated path, ES multi-index style)") {
+    val one = viaEs(s"$sfDir/documents.parquet").count()
+    val two = spark.read.format(fmt)
+      .load(s"$sfDir/documents.parquet", s"$sfDir/documents.parquet").count()
+    assert(two === 2 * one)
+  }
+
+  test("reported statistics shrink under pushdown (broadcast-eligibility at scale)") {
+    def sizeOf(df: DataFrame): BigInt =
+      df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val full = sizeOf(viaEs(s"$sfDir/documents.parquet"))
+    val pruned = sizeOf(viaEs(s"$sfDir/documents.parquet").select("doc_id"))
+    assert(pruned < full, s"$pruned !< $full")
+    // and nothing reports the catch-all default (which would make every
+    // connector join SMJ at the planner's eyes)
+    assert(full < BigInt(Long.MaxValue) / 4)
+  }
+}

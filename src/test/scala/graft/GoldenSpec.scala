@@ -88,7 +88,9 @@ class GoldenSpec extends SparkSpec {
     "dsl_bool_scored" -> ((3077244817348176689L, 15L)),
     "dsl_multi_match" -> ((-6555088438465609711L, 12L)),
     "dsl_hybrid" -> ((7514702041882966666L, 10L)),
-    "dsl_aggs_stats" -> ((7940532947926556454L, 5L)),
+    // re-pinned r14: percentile_ranks now ×100 (ES's percentage
+    // response scale — ADVICE r13), oracle updated in lockstep
+    "dsl_aggs_stats" -> ((-7095974799686833079L, 5L)),
     "dsl_aggs_missing" -> ((7668276324113225453L, 2L)),
     "dsl_highlight" -> ((-8107234542365926454L, 5L)),
     "dsl_geo" -> ((-2722708233783851649L, 47L)),
@@ -235,6 +237,9 @@ class GoldenSpec extends SparkSpec {
     "sig_host_family" -> ((7939275033868829437L, 1000L)),
     "svc_collapse" -> ((6740578755946894922L, 15L)),
     "svc_latest" -> ((-8256641542337234806L, 14L)),
+    // the DSV2-connector twin MUST stay bit-identical to svc_latest —
+    // same pipeline, different source implementation
+    "svc_latest_es" -> ((-8256641542337234806L, 14L)),
     "svc_multivalued" -> ((-2009340863746402347L, 1000L)),
     "svc_summaries" -> ((1201948405762285216L, 402L)),
     // r13: frequent triples, the asset join-field queries
@@ -243,9 +248,16 @@ class GoldenSpec extends SparkSpec {
     "asset_has_parent" -> ((-7868898683980093712L, 2L)),
     // r13: the Query-DSL compiler surface (plans.QueryDsl)
     "dsl_search" -> ((3355510088487760423L, 89L)),
+    "dsl_search_es" -> ((3355510088487760423L, 89L)),
     "dsl_collapse" -> ((2471821976038215158L, 4L)),
     "dsl_match" -> ((7187776105519405486L, 32L)),
     "dsl_knn" -> ((4579257988182680562L, 10L)),
+    "dsl_collapse_inner" -> ((-453956405199256727L, 8L)),
+    "dsl_knn_approx" -> ((2573960614505093414L, 10L)),
+    "dsl_knn_approx_recall" -> ((-1964649872583449845L, 1L)),
+    "dsl_geo_grid" -> ((6538508902868171582L, 4L)),
+    "dsl_geohash_grid" -> ((4685703460298632921L, 15L)),
+    "dsl_decay" -> ((-538849021075429424L, 10L)),
     "dsl_aggs" -> ((7133177032800886926L, 63L)),
     "dsl_filters" -> ((-5958581771005652670L, 3L)),
     "dsl_score" -> ((-2823222289340479866L, 10L)),

@@ -202,6 +202,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("row_number(), 2, Final"), p.take(1200))
   }
 
+  test("dsl_collapse_inner: partial WindowGroupLimit cuts each group to the inner size pre-shuffle") {
+    val p = plan("dsl_collapse_inner")
+    assert(p.contains("row_number(), 2, Partial"), p.take(1500))
+    assert(p.contains("row_number(), 2, Final"), p.take(1500))
+  }
+
   test("scored DSL reads: rank windows only run on TakeOrdered cuts") {
     // the general scorer's response window must always sit above a
     // bounded-heap TakeOrderedAndProject — a corpus-wide unpartitioned
@@ -218,17 +224,105 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject(limit=10"), p.take(1200))
   }
 
-  test("no registered query plans a CartesianProduct") {
+  test("no registered query plans a CartesianProduct or drops a join hint") {
     // broadcast nested-loop joins against tiny sides (query sets,
     // 1-row bounds, codebooks) are the intended pattern; a shuffled
     // cartesian anywhere means a join lost its keys — the single worst
     // plan regression possible at 100 TB. Sweep the whole registry.
+    // The same sweep also pins HintErrorLogger at ZERO events: a
+    // broadcast hint Spark cannot honor (e.g. hinting the build side
+    // of an outer join that only supports the other build side) is
+    // silently DISCARDED with only a WARN log — the written plan and
+    // the executed plan diverge without any test failing. r13 shipped
+    // exactly that (suggestPhrase sort-merge-joined the corpus bigram
+    // aggregate where the code asked for a broadcast), so every
+    // dropped hint is now a hard failure with the offending query named.
     graft.operators.TextOps.release(spark)
-    val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
-      SparkEntry.queries(name)(spark, sfDir)
-        .queryExecution.executedPlan.toString.contains("CartesianProduct")
+    val dropped = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val capture = new org.apache.logging.log4j.core.appender.AbstractAppender(
+        "graft-hint-capture", null, null, false,
+        org.apache.logging.log4j.core.config.Property.EMPTY_ARRAY) {
+      override def append(e: org.apache.logging.log4j.core.LogEvent): Unit =
+        if (e.getLoggerName.contains("HintErrorLogger"))
+          dropped.add(e.getMessage.getFormattedMessage)
     }
-    assert(offenders.isEmpty, s"cartesian plans: $offenders")
+    capture.start()
+    val hintLogger = org.apache.logging.log4j.LogManager
+      .getLogger("org.apache.spark.sql.catalyst.analysis.HintErrorLogger")
+      .asInstanceOf[org.apache.logging.log4j.core.Logger]
+    hintLogger.addAppender(capture)
+    val offenders =
+      try SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+        val cartesian = SparkEntry.queries(name)(spark, sfDir)
+          .queryExecution.executedPlan.toString.contains("CartesianProduct")
+        val hints = dropped.size()
+        dropped.clear()
+        if (cartesian) Some(s"$name: CartesianProduct")
+        else if (hints > 0) Some(s"$name: $hints dropped join hint(s)")
+        else None
+      } finally {
+        hintLogger.removeAppender(capture)
+        capture.stop()
+      }
+    assert(offenders.isEmpty, s"plan defects: $offenders")
+  }
+
+  test("es-shaped connector: DSL/pipeline filters cross the V2 boundary as PushedFilters") {
+    // the connector-seam contract (VERDICT r13 #2): the compiled
+    // term/range filters must be VISIBLE in the BatchScan's pushdown,
+    // and unprojected columns must not survive into ReadSchema
+    val p1 = plan("svc_latest_es")
+    assert(p1.contains("BatchScan es-shaped"), p1.take(800))
+    assert(p1.contains("PushedFilters: [IsNotNull(ts)"), p1.take(1200))
+    assert(p1.contains("EqualTo(event_type,purchase)"), p1.take(1200))
+    assert(p1.contains("GreaterThanOrEqual(ts,"), p1.take(1200))
+    // column pruning: phase-1 needs only (ts, user_id, event_type)
+    assert(p1.contains(
+      "ReadSchema: struct<ts:timestamp_ntz,user_id:bigint,event_type:string>"),
+      p1.take(1200))
+    val p2 = plan("dsl_search_es")
+    assert(p2.contains("BatchScan es-shaped"), p2.take(800))
+    assert(p2.contains("In(event_type, [purchase,view])"), p2.take(1400))
+    assert(p2.contains("GreaterThanOrEqual(ts,"), p2.take(1400))
+    // `value` is neither filtered nor projected by the request body
+    assert(!p2.contains("value:double"), p2.take(1400))
+  }
+
+  test("compiled approximate knn: candidates are a bucket cut, never a corpus-wide dot product") {
+    // materialize the memoized IVF artifacts first so the plan shows
+    // the serve path, not the one-time index build
+    graft.operators.VectorOps.ivfAssign(spark, sfDir).count()
+    val df = SparkEntry.queries("dsl_knn_approx")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the exact twin scores the whole corpus in a bare projection; the
+    // approximate path must instead cut the corpus with broadcast hash
+    // joins (walked cells → inverted lists → candidate ids) BEFORE any
+    // embedding dot product — so the plan joins, reads the memoized
+    // index artifacts, and never falls into a shuffled or nested-loop
+    // corpus scan
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(p.contains("InMemoryTableScan"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    // and the response is the bounded-heap top-k, not a full sort
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+  }
+
+  test("phrase suggest: corpus bigram aggregate is broadcast-cut, never sort-merge-joined") {
+    // the r13 perf-weak: the old plan hinted the build-right side of a
+    // right-outer join, Spark dropped the hint, and the vocabulary²-
+    // bounded bigram aggregate was SMJ-sorted. The fix cuts bg with a
+    // broadcast INNER join on the tiny candidate-pair keys first.
+    val p = plan("txt_suggest_phrase")
+    assert(p.split("\n").count(_.contains("BroadcastHashJoin")) >= 1, p.take(1200))
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+  }
+
+  test("ip range agg: dense frame outer join broadcasts the bucket-sized side") {
+    val p = plan("evt_ip_range")
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
   }
 
   test("pack windows are bucket-partitioned, never a global single-partition sort") {

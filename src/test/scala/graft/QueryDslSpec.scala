@@ -750,6 +750,150 @@ class QueryDslSpec extends SparkSpec {
     }
   }
 
+  test("linear decay with a power-of-two scale IS the integer-numerator device") {
+    // scale 128 + decay 0.5 → the curve (256 − d)/256: every quantized
+    // factor is (256 − d)·2^32 on the 2^40 grid EXACTLY (floor is a
+    // no-op), i.e. the compiled decay reproduces TextOps.functionScore's
+    // `max(0, scale − |x − origin|)` integer-numerator device — score
+    // equality, not just rank equality
+    val denv = DslQueries.docEnv(spark, sfDir)
+    val got = QueryDsl.search(denv, """{
+      "index": ["docs-*"], "size": 1000000, "sort": ["_score"], "fields": [],
+      "query": {"function_score": {
+        "query": {"match": {"text": "spark join window"}},
+        "functions": [
+          {"linear": {"n_chars": {"origin": 300, "scale": 128, "decay": 0.5}}}
+        ]}}
+    }""").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    val base = QueryDsl.search(denv, """{
+      "index": ["docs-*"], "size": 1000000, "sort": ["_score"], "fields": [],
+      "query": {"match": {"text": {"query": "spark join window", "boost": 1}}}
+    }""").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    val chars = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_chars")).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (id, s) =>
+      val num = math.max(0L, 256L - math.abs(chars(id) - 300L))
+      val factor = (num.toDouble * 4294967296.0) / 1099511627776.0
+      assert(s === base(id) * factor, s"doc $id")
+    }
+  }
+
+  test("gauss/exp quantized curves: 1.0 at origin, decay at scale, monotone") {
+    for (kind <- Seq("gauss", "exp", "linear")) {
+      val (cw, nums) = QueryDsl.decayNumerators(kind, 256L, 0.5)
+      assert(cw === 1L, kind)
+      assert(nums.head === 1099511627776L, s"$kind at origin") // exactly 1.0
+      assert(nums === nums.sorted.reverse, s"$kind must be non-increasing")
+      // curve value at d = scale is exactly `decay` for all three kinds
+      assert(math.abs(nums(256).toDouble / 1099511627776.0 - 0.5) < 1e-9, kind)
+    }
+    // linear support ends at scale/(1−decay); gauss/exp never reach 0
+    val (_, lin) = QueryDsl.decayNumerators("linear", 128L, 0.5)
+    assert(lin(256) === 0L && lin(255) > 0L)
+  }
+
+  test("suggest refuses co-present query/knn/aggs sections (no silent discard)") {
+    val denv = DslQueries.docEnv(spark, sfDir)
+    val e = intercept[IllegalArgumentException] {
+      QueryDsl.search(denv, """{
+        "index": ["docs-*"], "size": 0,
+        "query": {"match": {"text": "spark"}},
+        "suggest": {"s": {"text": "ordr", "term": {"field": "text", "size": 3}}}
+      }""")
+    }
+    assert(e.getMessage.contains("suggest combined with 'query'"), e.getMessage)
+  }
+
+  test("minimum_should_match percent/negative string forms fail fast") {
+    for (bad <- Seq("\"75%\"", "\"-1\"")) {
+      val e = intercept[IllegalArgumentException] {
+        QueryDsl.drain(env, s"""{
+          "index": ["${DslQueries.ApmPattern}"],
+          "query": {"bool": {
+            "should": [{"exists": {"field": "container.id"}},
+                       {"exists": {"field": "host.name"}}],
+            "minimum_should_match": $bad}}
+        }""")
+      }
+      assert(e.getMessage.contains("minimum_should_match form"), e.getMessage)
+    }
+  }
+
+  test("scored bool: filter-only docs are hits with score 0 when msm is 0 (ES default)") {
+    // should + filter, no must, msm unset → ES keeps every filter match
+    // and shoulds only ADD score (the r13 divergence dropped them)
+    val denv = DslQueries.docEnv(spark, sfDir)
+    val got = QueryDsl.search(denv, """{
+      "index": ["docs-*"], "size": 1000000, "sort": ["_score"], "fields": [],
+      "query": {"bool": {
+        "filter": [{"range": {"n_chars": {"gte": 200}}}],
+        "should": [{"match": {"text": "spark join window"}}]}}
+    }""").collect()
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val filterCount = docs.where(col("n_chars") >= 200).count()
+    assert(got.length === filterCount,
+      "every filter-matching doc must be a hit under msm 0")
+    assert(got.exists(_.getAs[Double]("score") === 0.0),
+      "filter-only docs carry score 0")
+    assert(got.exists(_.getAs[Double]("score") > 0.0))
+  }
+
+  test("scored bool: a filter-shaped must scores a constant 1.0 per clause") {
+    val denv = DslQueries.docEnv(spark, sfDir)
+    val got = QueryDsl.search(denv, """{
+      "index": ["docs-*"], "size": 1000000, "sort": ["_score"], "fields": [],
+      "query": {"bool": {
+        "must": [{"match": {"text": "spark join window"}},
+                 {"range": {"n_chars": {"gte": 200}}}]}}
+    }""").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    val base = QueryDsl.search(denv, """{
+      "index": ["docs-*"], "size": 1000000, "sort": ["_score"], "fields": [],
+      "query": {"match": {"text": {"query": "spark join window", "boost": 1}}}
+    }""").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    val chars = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_chars")).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (id, s) =>
+      assert(chars(id) >= 200L, s"must clause still gates: doc $id")
+      assert(s === base(id) + 1.0, s"doc $id: constant 1.0 per filter-must")
+    }
+  }
+
+  test("aggs top_hits honors the enclosing bucket size cut") {
+    // bucket on lang with size 2: only the two biggest languages keep
+    // their hits (count DESC, key ASC tiebreak) — previously every
+    // bucket survived
+    val denv = DslQueries.docEnv(spark, sfDir)
+    val got = QueryDsl.search(denv, """{
+      "index": ["docs-*"], "size": 0,
+      "aggs": {"by_lang": {"terms": {"field": "lang", "size": 2},
+        "aggs": {"top": {"top_hits": {"size": 1, "sort": [{"n_chars": "desc"}]}}}}}
+    }""").collect()
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val top2 = docs.where(col("lang").isNotNull).groupBy(col("lang"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("lang").asc).limit(2)
+      .collect().map(_.getAs[String]("lang")).toSet
+    val gotLangs = got.map(_.getAs[String]("by_lang")).toSet
+    assert(gotLangs === top2)
+  }
+
+  test("approximate knn (num_candidates): recall gauge and k-row response") {
+    val resp = DslQueries.dslKnnApprox(spark, sfDir).collect()
+    assert(resp.length === 10)
+    val gauge = DslQueries.dslKnnApproxRecall(spark, sfDir).head()
+    assert(gauge.getAs[Long]("n_exact") === 10L)
+    val r = gauge.getAs[Double]("recall_at_k")
+    assert(r > 0.0 && r <= 1.0, s"recall $r")
+  }
+
   test("empty-array exists semantics: ES indexes no value for []") {
     // service_tags is [] when k % 11 == 0 — exists must reject those
     val tagged = QueryDsl.drain(env, s"""{

@@ -80,4 +80,57 @@ class StreamingDslSpec extends SparkSpec {
       DslQueries.ScoreBody)) !== scoredWant,
       "a fresh-id replay must change BM25 scores (df/idf double-count)")
   }
+
+  test("hybrid knn+query+rrf serves from stream state ≡ batch compile") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val embs = graft.sources.Tables.embeddings(spark, sfDir)
+    val docSrc = tmp("graft-hyb-docsrc") + "/docs"
+    val embSrc = tmp("graft-hyb-embsrc") + "/embs"
+    val store = tmp("graft-hyb-store") + "/store"
+    val ckptD = tmp("graft-hyb-ckpt-d")
+    val ckptE = tmp("graft-hyb-ckpt-e")
+
+    // two uneven drains on BOTH slices (doc and embedding ingest are
+    // independent streams, like separate index-side pipelines)
+    docs.where(col("doc_id") % 3 === 0)
+      .coalesce(1).write.mode("append").parquet(docSrc)
+    embs.where(col("vec_id") % 3 === 0)
+      .coalesce(1).write.mode("append").parquet(embSrc)
+    StreamingDsl.startDocIngest(spark, docSrc, store, ckptD)
+      .awaitTermination(120000)
+    StreamingDsl.startEmbIngest(spark, embSrc, store, ckptE)
+      .awaitTermination(120000)
+    docs.where(col("doc_id") % 3 =!= 0)
+      .coalesce(1).write.mode("append").parquet(docSrc)
+    embs.where(col("vec_id") % 3 =!= 0)
+      .coalesce(1).write.mode("append").parquet(embSrc)
+    StreamingDsl.startDocIngest(spark, docSrc, store, ckptD)
+      .awaitTermination(120000)
+    StreamingDsl.startEmbIngest(spark, embSrc, store, ckptE)
+      .awaitTermination(120000)
+
+    val got = rows(QueryDsl.search(
+      StreamingDsl.servedHybridEnv(spark, store), DslQueries.HybridBody))
+    val want = rows(QueryDsl.search(
+      DslQueries.hybridEnv(spark, sfDir), DslQueries.HybridBody))
+    assert(got === want, "served hybrid diverged from batch")
+    assert(got.nonEmpty)
+
+    // fresh-id replay of an embedding slice duplicates candidate rows:
+    // the vec side's ranks (and so the fused RRF order) must shift —
+    // the overwrite discipline is load-bearing on BOTH slices
+    val emb0Src = spark.read.parquet(s"$store/embs/batch_id=0")
+      .select(col("vec_id"), col("embedding"))
+    val emb0 = spark.createDataFrame(
+      spark.sparkContext.parallelize(emb0Src.collect().toSeq),
+      emb0Src.schema)
+    StreamingDsl.writeEmbBatch(emb0, 0L, store)
+    assert(rows(QueryDsl.search(
+      StreamingDsl.servedHybridEnv(spark, store), DslQueries.HybridBody))
+      === want, "same-id embedding replay changed the served hybrid")
+    StreamingDsl.writeEmbBatch(emb0, 99L, store)
+    assert(rows(QueryDsl.search(
+      StreamingDsl.servedHybridEnv(spark, store), DslQueries.HybridBody))
+      !== want, "a fresh-id embedding replay must perturb the fusion")
+  }
 }
