@@ -1925,7 +1925,8 @@ object OracleText {
        |  FROM idx
        |),
        |ck AS (
-       |  SELECT doc_id * $radix + chunk_id AS cid, chunk_text,
+       |  SELECT CAST(doc_id AS HUGEINT) * $radix + chunk_id AS cid,
+       |    doc_id AS src_doc, chunk_id AS src_chunk, chunk_text,
        |    md5(chunk_text) AS chunk_hash
        |  FROM cut
        |),
@@ -1974,9 +1975,10 @@ object OracleText {
        |    PARTITION BY query_id ORDER BY score DESC, cid ASC) AS "rank"
        |  FROM scored
        |)
-       |SELECT query_id, "rank", cid // $radix AS doc_id, cid % $radix AS chunk_id,
-       |  score, n_matched
-       |FROM ranked WHERE "rank" <= ${TextOps.Bm25TopK}""".stripMargin
+       |SELECT r.query_id, r."rank", ck.src_doc AS doc_id,
+       |  ck.src_chunk AS chunk_id, r.score, r.n_matched
+       |FROM ranked r JOIN ck ON ck.cid = r.cid
+       |WHERE r."rank" <= ${TextOps.Bm25TopK}""".stripMargin
   }
 
   /** Mirror of TextOps.nearSearch: the positional-postings relation,
@@ -2332,15 +2334,17 @@ object OracleText {
   // lazy: `chunks` initializes later in this object — an eager val
   // here would interpolate null
   lazy val chunkDedup: String =
-    s"""SELECT chunk_hash, n_occurrences, n_docs,
-       |  keeper_packed // ${TextOps.ChunkPackRadix} AS keeper_doc,
-       |  keeper_packed % ${TextOps.ChunkPackRadix} AS keeper_chunk,
+    s"""SELECT chunk_hash, n_occurrences, n_docs, keeper_doc,
+       |  CAST(keeper_packed % ${TextOps.ChunkPackRadix} AS BIGINT)
+       |    AS keeper_chunk,
        |  n_tokens
        |FROM (
        |  SELECT chunk_hash,
        |    CAST(count(*) AS BIGINT) AS n_occurrences,
        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-       |    min(doc_id * ${TextOps.ChunkPackRadix} + chunk_id) AS keeper_packed,
+       |    min(doc_id) AS keeper_doc,
+       |    min(CAST(doc_id AS HUGEINT) * ${TextOps.ChunkPackRadix}
+       |      + chunk_id) AS keeper_packed,
        |    min(n_tokens) AS n_tokens
        |  FROM ($chunks) ch
        |  GROUP BY chunk_hash

@@ -3183,17 +3183,23 @@ object TextOps {
     * segment-level [[dedupSegments]] deduplicates fixed word windows;
     * this deduplicates the actual retrieval units).
     *
-    * The keeper arg-min rides the aggregate as one packed integer
-    * (`doc_id · 2^32 + chunk_id` — exact in a Long for doc_id < 2^31,
-    * and no document reaches 2^32 chunks: at the production 512/384
-    * chunking that would be a ~1.6-trillion-token document), so both
-    * engines agree exactly with no struct-min portability question. A
-    * narrower radix would let a long document's chunk_id bleed into
-    * the doc bits and silently corrupt both the arg-min ordering and
-    * the decode — TextOpsSpec pins a >1024-chunk document. Shape: the
-    * [[chunks]] Generate (zero exchanges) followed by ONE hash-keyed
-    * partial-aggregated groupBy — only 32-char digests and small
-    * integers shuffle.
+    * The keeper arg-min rides the aggregate as one packed value
+    * (`doc_id · 2^32 + chunk_id`) held in DECIMAL(38,0) — the r14 sf1
+    * pass caught the original Long packing overflowing for
+    * doc_id ≥ 2^31 (real deployments carry snowflake-sized ids; the
+    * decimal pack is exact to doc_id < 10^28). No document reaches
+    * 2^32 chunks: at the production 512/384 chunking that would be a
+    * ~1.6-trillion-token document — a narrower radix would let a long
+    * document's chunk_id bleed into the doc bits and silently corrupt
+    * both the arg-min ordering and the decode; TextOpsSpec pins a
+    * >1024-chunk document. The keeper doc decodes WITHOUT decimal
+    * division: `min(doc_id)` IS the keeper doc (the packed order is
+    * doc-major), and the chunk is the packed min mod the radix — so
+    * both engines agree exactly with no struct-min portability
+    * question (the oracle packs in HUGEINT, same integer values).
+    * Shape: the [[chunks]] Generate (zero exchanges) followed by ONE
+    * hash-keyed partial-aggregated groupBy — only 32-char digests and
+    * small integers shuffle.
     */
   val ChunkPackRadix: Long = 1L << 32
 
@@ -3208,12 +3214,15 @@ object TextOps {
       .groupBy(col("chunk_hash"))
       .agg(count(lit(1)).as("n_occurrences"),
         countDistinct(col("doc_id")).as("n_docs"),
-        min(col("doc_id") * ChunkPackRadix + col("chunk_id")).as("keeper_packed"),
+        min(col("doc_id")).as("keeper_doc"),
+        min(col("doc_id").cast("decimal(38,0)") * lit(ChunkPackRadix)
+          + col("chunk_id")).as("keeper_packed"),
         min(col("n_tokens")).as("n_tokens"))
       .where(col("n_occurrences") > 1)
       .select(col("chunk_hash"), col("n_occurrences"), col("n_docs"),
-        expr(s"keeper_packed div $ChunkPackRadix").as("keeper_doc"),
-        pmod(col("keeper_packed"), lit(ChunkPackRadix)).as("keeper_chunk"),
+        col("keeper_doc"),
+        expr(s"CAST(keeper_packed % $ChunkPackRadix AS BIGINT)")
+          .as("keeper_chunk"),
         col("n_tokens"))
 
   /** The BM25 scoring engine behind [[bm25]] and
@@ -3744,17 +3753,22 @@ object TextOps {
     * boilerplate otherwise poisons every nearest list with identical
     * hits), then rank chunks for the [[bm25Queries]] workload through
     * the SAME [[bm25RankedFrom]] scoring the document index uses —
-    * the chunk key is the packed `doc·2^32 + chunk` integer, decoded
-    * back to (doc_id, chunk_id) at the edge. Every stage is an
-    * existing audited shape: one Generate (chunking), one hash-keyed
-    * keeper groupBy, one term-keyed postings aggregate, the BM25
-    * broadcast chain.
+    * the chunk key is the packed `doc·2^32 + chunk` value held in
+    * DECIMAL(38,0) (the r14 sf1 pass caught the Long form overflowing
+    * for doc_id ≥ 2^31 — see [[chunkDedupFrom]]), decoded back to
+    * (doc_id, chunk_id) by broadcast-joining the ≤|Q|·topK ranked rows
+    * into the chunk id map (no decimal division crosses an engine).
+    * Every stage is an existing audited shape: one Generate
+    * (chunking), one hash-keyed keeper groupBy, one term-keyed
+    * postings aggregate, the BM25 broadcast chain.
     */
   def ragRetrieve(spark: SparkSession, dir: String,
       workload: Seq[(Long, Seq[String])] = bm25Queries): DataFrame = {
     import spark.implicits._
     val ch = chunks(spark, dir).select(
-      (col("doc_id") * ChunkPackRadix + col("chunk_id")).as("cid"),
+      (col("doc_id").cast("decimal(38,0)") * lit(ChunkPackRadix)
+        + col("chunk_id")).as("cid"),
+      col("doc_id").as("src_doc"), col("chunk_id").as("src_chunk"),
       col("chunk_text"), col("chunk_hash"))
     val keepers = ch.groupBy(col("chunk_hash")).agg(min(col("cid")).as("cid"))
     val kept = ch.join(keepers, Seq("chunk_hash", "cid"))
@@ -3768,10 +3782,11 @@ object TextOps {
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dl = kept.select(col("doc_id"),
       size(split(col("chunk_text"), " ")).as("dl"))
-    bm25RankedFrom(tf, dl, queries, excludeSelf = false)
+    val ranked = bm25RankedFrom(tf, dl, queries, excludeSelf = false)
+    ch.select(col("cid").as("doc_id"), col("src_doc"), col("src_chunk"))
+      .join(broadcast(ranked), Seq("doc_id"))
       .select(col("query_id"), col("rank"),
-        expr(s"doc_id div $ChunkPackRadix").as("doc_id"),
-        expr(s"doc_id % $ChunkPackRadix").as("chunk_id"),
+        col("src_doc").as("doc_id"), col("src_chunk").as("chunk_id"),
         col("score"), col("n_matched"))
   }
 
