@@ -310,6 +310,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(1200))
   }
 
+  test("rag retrieve: decimal chunk keys, ranked rows broadcast into the id map, no SMJ") {
+    // the r14 overflow fix must not have traded the plan shape: the
+    // (doc, chunk) decode is a broadcast of the ≤|Q|·topK ranked rows
+    // into the chunk map — never a corpus-side sort-merge join
+    val p = plan("rag_retrieve")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
   test("phrase suggest: corpus bigram aggregate is broadcast-cut, never sort-merge-joined") {
     // the r13 perf-weak: the old plan hinted the build-right side of a
     // right-outer join, Spark dropped the hint, and the vocabulary²-

@@ -894,6 +894,36 @@ class QueryDslSpec extends SparkSpec {
     assert(r > 0.0 && r <= 1.0, s"recall $r")
   }
 
+  test("filtered approximate knn: the filter gates candidates, scores match the exact twin") {
+    // ES filtered-ANN semantics on the approximate path: the filter
+    // restricts the candidate stream BEFORE scoring, so every hit
+    // satisfies it, and each returned (id, score) equals the exact
+    // filtered search's score for that id (same cosine arithmetic)
+    val env = DslQueries.embEnv(spark, sfDir)
+    def body(nc: String) = s"""{
+      "index": ["emb-*"],
+      "knn": {
+        "field": "embedding",
+        "query_vector": [${DslQueries.KnnVector.mkString(", ")}],
+        "k": 10$nc,
+        "filter": {"term": {"label": ${DslQueries.KnnLabel}}}
+      }
+    }"""
+    val approx = QueryDsl.search(env, body(""", "num_candidates": 600""")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("score")).toMap
+    assert(approx.nonEmpty)
+    val labels = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    approx.keys.foreach(id =>
+      assert(labels(id) === DslQueries.KnnLabel, s"unfiltered hit $id"))
+    val exact = QueryDsl.search(env, body("")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("score")).toMap
+    approx.foreach { case (id, s) =>
+      assert(exact.get(id).forall(_ === s), s"score drift for $id")
+    }
+  }
+
   test("empty-array exists semantics: ES indexes no value for []") {
     // service_tags is [] when k % 11 == 0 — exists must reject those
     val tagged = QueryDsl.drain(env, s"""{
