@@ -221,6 +221,14 @@ object QueryDsl {
       case other      => fail(s"unsupported collapse: $other")
     }
     if (honorSize) body \ "size" match {
+      case JInt(_) if innerHits =>
+        // ES counts `size` in COLLAPSED hits (rank-1 groups) and returns
+        // each group's inner hits alongside; a flat limit over the
+        // hit+inner-hit rows would cut MID-GROUP. Until the grouped cut
+        // is implemented, reject the combination (the suggest-envelope
+        // guard's discipline: fail fast over silently diverging).
+        fail("collapse.inner_hits with a top-level size is not supported: " +
+          "ES sizes collapsed groups, not flattened rows")
       case JInt(n)  => df = df.orderBy(orderCols(env, sortSpec): _*).limit(n.toInt)
       case JNothing => ()
       case other    => fail(s"unsupported size: $other")

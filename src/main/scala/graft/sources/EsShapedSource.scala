@@ -56,14 +56,18 @@ import org.apache.spark.unsafe.types.UTF8String
   *     broadcast a filtered connector read it would otherwise
   *     size-estimate at the table's full width.
   *
-  * Wire-surface scope: scalar columns only (INT32/INT64/FLOAT/DOUBLE/
+  * Wire-surface scope: scalar columns (INT32/INT64/FLOAT/DOUBLE/
   * BOOLEAN/UTF8 strings, and INT64 timestamps — MICROS map to the
-  * TIMESTAMP/TIMESTAMP_NTZ types per `isAdjustedToUTC`, NANOS map to a
+  * TIMESTAMP/TIMESTAMP_NTZ types per `isAdjustedToUTC`, MILLIS
+  * normalize to micros at the read/prune boundary, NANOS map to a
   * raw nanos LONG exactly like the session's `nanosAsLong` convention,
   * so [[Tables.eventsFrom]] normalizes a connector read and a native
-  * parquet read identically). Nested/array columns are rejected at
-  * schema inference: this seam models the reference's hit envelope
-  * (scalar `fields` values), not a general lakehouse format.
+  * parquet read identically) plus LISTS of non-timestamp primitives —
+  * ES `fields` responses are array-valued by definition (SURVEY §1.3
+  * P3) and the reference's asset docs carry `array<string>` edge lists
+  * (`lib/types.ts:7-9`), so the hit envelope round-trips. Deeper
+  * nesting is rejected at schema inference: this seam models the
+  * reference's hit envelope, not a general lakehouse format.
   */
 final class EsShapedSource extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
@@ -73,11 +77,12 @@ final class EsShapedSource extends TableProvider
   override def supportsExternalMetadata(): Boolean = true
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val conf = EsShaped.sessionConf()
     val paths = EsShaped.paths(options)
     require(paths.nonEmpty, "es-shaped source needs at least one path")
-    val files = paths.flatMap(EsShaped.dataFiles)
+    val files = paths.flatMap(EsShaped.dataFiles(_, conf))
     require(files.nonEmpty, s"es-shaped source found no data files in $paths")
-    EsShaped.sparkSchema(EsShaped.withFooter(files.head)(_.getFooter
+    EsShaped.sparkSchema(EsShaped.withFooter(files.head, conf)(_.getFooter
       .getFileMetaData.getSchema))
   }
 
@@ -128,6 +133,14 @@ private final class EsShapedScan(tableSchema: StructType,
     preds: Seq[EsShaped.Pred]) extends Scan with Batch
     with SupportsReportStatistics {
 
+  // the SESSION's hadoop configuration (spark.hadoop.* — filesystem
+  // credentials, endpoints), captured once at plan time and shipped
+  // serialized to the executor-side readers: a connector that builds
+  // bare `new Configuration()`s works on local fixtures but breaks on
+  // any configured filesystem
+  private val conf = EsShaped.sessionConf()
+  private val confShip = new EsShaped.SerializableConf(conf)
+
   override def readSchema(): StructType = required
 
   override def description(): String =
@@ -141,8 +154,8 @@ private final class EsShapedScan(tableSchema: StructType,
     * footers on the driver (no data read).
     */
   private lazy val survivors: Seq[EsShapedPartition] =
-    paths.flatMap(EsShaped.dataFiles).flatMap { p =>
-      EsShaped.withFooter(p) { r =>
+    paths.flatMap(EsShaped.dataFiles(_, conf)).flatMap { p =>
+      EsShaped.withFooter(p, conf) { r =>
         r.getFooter.getBlocks.asScala.toList.zipWithIndex.collect {
           case (b, i) if EsShaped.blockSurvives(b, preds, tableSchema) =>
             EsShapedPartition(p, i, b.getRowCount, b.getTotalByteSize)
@@ -154,7 +167,7 @@ private final class EsShapedScan(tableSchema: StructType,
     survivors.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new EsShapedReaderFactory(tableSchema, required, preds)
+    new EsShapedReaderFactory(tableSchema, required, preds, confShip)
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong =
@@ -169,15 +182,16 @@ private final case class EsShapedPartition(path: String, rowGroup: Int,
     rows: Long, bytes: Long) extends InputPartition
 
 private final class EsShapedReaderFactory(tableSchema: StructType,
-    required: StructType, preds: Seq[EsShaped.Pred])
-    extends PartitionReaderFactory {
+    required: StructType, preds: Seq[EsShaped.Pred],
+    conf: EsShaped.SerializableConf) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[EsShapedPartition]
     if (required.isEmpty && preds.isEmpty)
       // pure-count read (no columns, no predicates): rows exist only as
       // a footer rowcount — metadata-only, like ES hits.total
       new EsShapedCountReader(part.rows)
-    else new EsShapedRowGroupReader(part, tableSchema, required, preds)
+    else new EsShapedRowGroupReader(part, tableSchema, required, preds,
+      conf.value)
   }
 }
 
@@ -195,14 +209,17 @@ private final class EsShapedCountReader(total: Long)
   */
 private final class EsShapedRowGroupReader(part: EsShapedPartition,
     tableSchema: StructType, required: StructType,
-    preds: Seq[EsShaped.Pred]) extends PartitionReader[InternalRow] {
+    preds: Seq[EsShaped.Pred], conf: Configuration)
+    extends PartitionReader[InternalRow] {
 
   private val reader = ParquetFileReader.open(
-    HadoopInputFile.fromPath(new Path(part.path), new Configuration()))
+    HadoopInputFile.fromPath(new Path(part.path), conf))
   private val fileSchema = reader.getFooter.getFileMetaData.getSchema
 
   // projection = pruned output columns ∪ predicate columns (parquet
-  // reads only these column chunks)
+  // reads only these column chunks); a table-schema column ABSENT from
+  // this file null-fills below (the native parquet source's
+  // heterogeneous-file behavior) instead of crashing the projection
   private val neededNames: Seq[String] =
     (required.fieldNames.toSeq ++ preds.map(_.col)).distinct
       .filter(fileSchema.containsField)
@@ -217,22 +234,32 @@ private final class EsShapedRowGroupReader(part: EsShapedPartition,
     .getRecordReader(pages, new GroupRecordConverter(projection))
   private var remaining: Long = pages.getRowCount
 
-  // per-needed-column extraction: projection index + spark type
+  // per-needed-column extraction: projection index + spark type;
+  // -1 = column missing from this file → null
   private val types: Map[String, DataType] =
     tableSchema.fields.map(f => f.name -> f.dataType).toMap
   private val projIdx: Map[String, Int] = neededNames.zipWithIndex.toMap
   private val outCols: Array[(Int, DataType)] =
-    required.fieldNames.map(n => projIdx(n) -> types(n))
+    required.fieldNames.map(n => projIdx.getOrElse(n, -1) -> types(n))
   private val predCols: Array[(EsShaped.Pred, Int)] =
     preds.map(pr => pr -> projIdx.getOrElse(pr.col, -1)).toArray
+
+  // MILLIS-encoded INT64 timestamps normalize to the micros domain
+  // InternalRow (and every pushed-predicate constant) expects
+  private val toMicros: Array[Long] =
+    neededNames.map(n => EsShaped.microsScale(
+      projection.getType(projection.getFieldIndex(n)))).toArray
 
   private var current: InternalRow = _
 
   private def value(g: org.apache.parquet.example.data.Group,
       idx: Int): Any =
     if (g.getFieldRepetitionCount(idx) == 0) null
+    else if (!projection.getType(idx).isPrimitive)
+      EsShaped.arrayValue(g.getGroup(idx, 0),
+        projection.getType(idx).asGroupType())
     else projection.getType(idx).asPrimitiveType().getPrimitiveTypeName match {
-      case INT64 => g.getLong(idx, 0)
+      case INT64 => g.getLong(idx, 0) * toMicros(idx)
       case INT32 => g.getInteger(idx, 0)
       case DOUBLE => g.getDouble(idx, 0)
       case FLOAT => g.getFloat(idx, 0)
@@ -252,7 +279,7 @@ private final class EsShapedRowGroupReader(part: EsShapedPartition,
         var j = 0
         while (j < outCols.length) {
           val (i, dt) = outCols(j)
-          val v = value(g, i)
+          val v = if (i < 0) null else value(g, i)
           out(j) = dt match {
             case StringType => if (v == null) null
               else UTF8String.fromString(v.asInstanceOf[String])
@@ -274,11 +301,37 @@ private final class EsShapedRowGroupReader(part: EsShapedPartition,
 /** Schema mapping, predicate translation, and row-group stats pruning
   * shared by the driver (planning) and executor (read) sides.
   */
-private[sources] object EsShaped {
+private[graft] object EsShaped {
 
-  def withFooter[T](path: String)(f: ParquetFileReader => T): T = {
+  /** The active session's hadoop configuration (carries spark.hadoop.*
+    * — filesystem credentials, endpoints) when a session exists; the
+    * bare default only outside any session (tooling).
+    */
+  def sessionConf(): Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  /** Hadoop Configuration is not serializable; this ships its ENTRIES
+    * to the executor-side readers and rebuilds there (loadDefaults =
+    * false: the captured entries already include them).
+    */
+  final class SerializableConf(@transient private var conf: Configuration)
+      extends Serializable {
+    private val entries: Array[(String, String)] =
+      conf.iterator().asScala.map(e => e.getKey -> e.getValue).toArray
+    @transient private lazy val rebuilt: Configuration = {
+      val c = new Configuration(false)
+      entries.foreach { case (k, v) => c.set(k, v) }
+      c
+    }
+    def value: Configuration = if (conf != null) conf else rebuilt
+  }
+
+  def withFooter[T](path: String, conf: Configuration)
+      (f: ParquetFileReader => T): T = {
     val r = ParquetFileReader.open(
-      HadoopInputFile.fromPath(new Path(path), new Configuration()))
+      HadoopInputFile.fromPath(new Path(path), conf))
     try f(r) finally r.close()
   }
 
@@ -287,9 +340,9 @@ private[sources] object EsShaped {
     * files (deterministic name order), skipping `_SUCCESS`/hidden
     * entries. An empty directory contributes nothing.
     */
-  def dataFiles(path: String): Seq[String] = {
+  def dataFiles(path: String, conf: Configuration): Seq[String] = {
     val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(conf)
     val st = fs.getFileStatus(p)
     if (!st.isDirectory) Seq(path)
     else fs.listStatus(p).toSeq
@@ -312,33 +365,113 @@ private[sources] object EsShaped {
     }.getOrElse(Nil) ++ Option(options.get("path")).toSeq
   }
 
+  /** Multiplier normalizing an INT64 timestamp column's raw value into
+    * the MICROS domain InternalRow and every pushed-predicate constant
+    * live in: 1000 for MILLIS, 1 for everything else (MICROS is
+    * native; NANOS maps to a raw LongType so its longs pass through).
+    */
+  def microsScale(t: org.apache.parquet.schema.Type): Long =
+    if (!t.isPrimitive) 1L
+    else t.asPrimitiveType().getLogicalTypeAnnotation match {
+      case ts: TimestampLogicalTypeAnnotation
+          if ts.getUnit == TimeUnit.MILLIS => 1000L
+      case _ => 1L
+    }
+
+  private def primitiveSparkType(name: String,
+      p: org.apache.parquet.schema.PrimitiveType): DataType =
+    (p.getPrimitiveTypeName, p.getLogicalTypeAnnotation) match {
+      case (INT64, ts: TimestampLogicalTypeAnnotation) =>
+        ts.getUnit match {
+          case TimeUnit.NANOS => LongType // the nanosAsLong convention
+          case TimeUnit.MICROS | TimeUnit.MILLIS =>
+            if (ts.isAdjustedToUTC) TimestampType else TimestampNTZType
+        }
+      case (INT64, _) => LongType
+      case (INT32, _) => IntegerType
+      case (DOUBLE, _) => DoubleType
+      case (FLOAT, _) => FloatType
+      case (BOOLEAN, _) => BooleanType
+      case (BINARY, _: StringLogicalTypeAnnotation) => StringType
+      case (pt, lt) => throw new UnsupportedOperationException(
+        s"es-shaped: unsupported column $name: $pt/$lt")
+    }
+
+  /** The parquet LIST element type of a 3-level list group
+    * (`group (LIST) { repeated group list { <element> } }` — the shape
+    * Spark writes), or None when the group is not that shape.
+    */
+  def listElement(g: org.apache.parquet.schema.GroupType)
+      : Option[org.apache.parquet.schema.PrimitiveType] =
+    g.getLogicalTypeAnnotation match {
+      case _: LogicalTypeAnnotation.ListLogicalTypeAnnotation
+          if g.getFieldCount == 1 && !g.getType(0).isPrimitive &&
+            g.getType(0).asGroupType().getFieldCount == 1 &&
+            g.getType(0).asGroupType().getType(0).isPrimitive =>
+        Some(g.getType(0).asGroupType().getType(0).asPrimitiveType())
+      case _ => None
+    }
+
   def sparkSchema(m: MessageType): StructType = StructType(
     m.getFields.asScala.toSeq.map { t =>
-      require(t.isPrimitive && !t.isRepetition(org.apache.parquet.schema
+      require(!t.isRepetition(org.apache.parquet.schema
           .Type.Repetition.REPEATED),
-        s"es-shaped: nested/repeated column '${t.getName}' is outside the " +
-          "connector's scalar wire surface")
-      val p = t.asPrimitiveType()
-      val dt = (p.getPrimitiveTypeName, p.getLogicalTypeAnnotation) match {
-        case (INT64, ts: TimestampLogicalTypeAnnotation) =>
-          ts.getUnit match {
-            case TimeUnit.NANOS => LongType // the nanosAsLong convention
-            case TimeUnit.MICROS =>
-              if (ts.isAdjustedToUTC) TimestampType else TimestampNTZType
-            case TimeUnit.MILLIS =>
-              if (ts.isAdjustedToUTC) TimestampType else TimestampNTZType
-          }
-        case (INT64, _) => LongType
-        case (INT32, _) => IntegerType
-        case (DOUBLE, _) => DoubleType
-        case (FLOAT, _) => FloatType
-        case (BOOLEAN, _) => BooleanType
-        case (BINARY, _: StringLogicalTypeAnnotation) => StringType
-        case (pt, lt) => throw new UnsupportedOperationException(
-          s"es-shaped: unsupported column ${t.getName}: $pt/$lt")
-      }
+        s"es-shaped: repeated column '${t.getName}' is outside the " +
+          "connector's wire surface")
+      val dt =
+        if (t.isPrimitive) primitiveSparkType(t.getName, t.asPrimitiveType())
+        else listElement(t.asGroupType()) match {
+          // ES `fields` responses are ARRAYS by definition (SURVEY
+          // §1.3 P3) and the asset docs carry array<string> edge
+          // lists — lists of primitives are first-class wire surface.
+          // Timestamp elements stay out (no micros normalization for
+          // nested values): fail fast rather than emit wrong units.
+          case Some(e) =>
+            e.getLogicalTypeAnnotation match {
+              case _: TimestampLogicalTypeAnnotation =>
+                throw new UnsupportedOperationException(
+                  s"es-shaped: timestamp list elements unsupported: ${t.getName}")
+              case _ => ()
+            }
+            ArrayType(primitiveSparkType(t.getName, e), containsNull = true)
+          case None => throw new UnsupportedOperationException(
+            s"es-shaped: nested column '${t.getName}' is outside the " +
+              "connector's wire surface (primitives and lists of " +
+              "primitives only)")
+        }
       StructField(t.getName, dt, nullable = true)
     })
+
+  /** Materialize a 3-level parquet LIST group instance as the catalyst
+    * ArrayData the InternalRow carries (null elements preserved).
+    */
+  def arrayValue(listGroup: org.apache.parquet.example.data.Group,
+      listType: org.apache.parquet.schema.GroupType)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val elemType = listType.getType(0).asGroupType().getType(0)
+      .asPrimitiveType().getPrimitiveTypeName
+    val n = listGroup.getFieldRepetitionCount(0)
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val wrapper = listGroup.getGroup(0, i)
+      out(i) =
+        if (wrapper.getFieldRepetitionCount(0) == 0) null
+        else elemType match {
+          case INT64 => wrapper.getLong(0, 0)
+          case INT32 => wrapper.getInteger(0, 0)
+          case DOUBLE => wrapper.getDouble(0, 0)
+          case FLOAT => wrapper.getFloat(0, 0)
+          case BOOLEAN => wrapper.getBoolean(0, 0)
+          case BINARY =>
+            UTF8String.fromString(wrapper.getBinary(0, 0).toStringUsingUTF8)
+          case other => throw new UnsupportedOperationException(
+            s"es-shaped: unsupported list element type $other")
+        }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 
   /** Serializable pushed predicate over the connector's raw comparison
     * domain (Long for integers+timestamp micros, Double, String,
@@ -473,8 +606,16 @@ private[sources] object EsShaped {
           val s = c.getStatistics
           if (s == null || s.isEmpty) true
           else {
+            // MILLIS stats live in the millis domain; predicate
+            // constants are micros — normalize before comparing
+            val scale = microsScale(c.getPrimitiveType)
+            def adj(v: Any): Any = v match {
+              case l: java.lang.Long if scale != 1L => l.longValue() * scale
+              case other => other
+            }
             val (mn, mx) =
-              if (s.hasNonNullValue) (s.genericGetMin, s.genericGetMax)
+              if (s.hasNonNullValue)
+                (adj(s.genericGetMin), adj(s.genericGetMax))
               else (null, null)
             p.survives(mn, mx, if (s.isNumNullsSet) s.getNumNulls else -1L,
               b.getRowCount)

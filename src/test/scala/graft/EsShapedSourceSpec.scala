@@ -90,11 +90,90 @@ class EsShapedSourceSpec extends SparkSpec {
     assert(es.count() === pq.count())
   }
 
-  test("nested/array columns are rejected at schema inference, not read time") {
-    val e = intercept[Exception] {
-      viaEs(s"$sfDir/embeddings.parquet").schema
+  test("array columns round-trip (ES `fields` responses are array-valued)") {
+    // embeddings carries array<float> — the fixture's own nested shape
+    val es = viaEs(s"$sfDir/embeddings.parquet")
+    val pq = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    assert(es.schema === pq.schema)
+    assert(es.exceptAll(pq).isEmpty && pq.exceptAll(es).isEmpty)
+    // array<string> with nulls and empties — the asset edge-list shape
+    import spark.implicits._
+    val dir = Files.createTempDirectory("es-arr").toString
+    Seq((1L, Seq("a", "b", null)), (2L, Seq.empty[String]), (3L, null))
+      .toDF("id", "edges").write.parquet(s"$dir/t.parquet")
+    val esA = viaEs(s"$dir/t.parquet")
+    val pqA = spark.read.parquet(s"$dir/t.parquet")
+    assert(esA.schema === pqA.schema)
+    assert(esA.exceptAll(pqA).isEmpty && pqA.exceptAll(esA).isEmpty)
+    // deeper nesting (map/struct) still fails fast at schema inference
+    Seq((1L, ((2L, "x")))).toDF("id", "s").write.parquet(s"$dir/nested.parquet")
+    val e = intercept[Exception] { viaEs(s"$dir/nested.parquet").schema }
+    assert(e.getMessage.contains("wire surface"), e.getMessage)
+  }
+
+  test("MILLIS-encoded INT64 timestamps normalize to micros (values, filters, pruning)") {
+    val dir = Files.createTempDirectory("es-millis").toString
+    val prev = spark.conf.get("spark.sql.parquet.outputTimestampType", "INT96")
+    try {
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
+      spark.read.parquet(s"$sfDir/events.parquet")
+        .select(col("event_id"), col("ts").cast("timestamp").as("ts"))
+        .write.parquet(s"$dir/t.parquet")
+    } finally spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    val es = viaEs(s"$dir/t.parquet")
+    val pq = spark.read.parquet(s"$dir/t.parquet")
+    assert(es.schema === pq.schema)
+    assert(es.exceptAll(pq).isEmpty && pq.exceptAll(es).isEmpty)
+    // pushed range predicate: micros constant vs millis column — the
+    // 1000x trap; row counts must match the native source, and the
+    // stats-pruned schedule must not drop matching groups
+    val bound = pq.agg(max(col("ts"))).head().getTimestamp(0)
+    val esCut = es.where(col("ts") >= lit(bound))
+    val pqCut = pq.where(col("ts") >= lit(bound))
+    assert(esCut.count() === pqCut.count())
+    assert(esCut.count() >= 1)
+  }
+
+  test("a table-schema column missing from one file null-fills (heterogeneous files)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("es-hetero").toString
+    val tdir = new java.io.File(s"$dir/t.parquet"); tdir.mkdirs()
+    def onePart(df: DataFrame, out: String): Unit = {
+      val tmp = Files.createTempDirectory("es-part").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(tdir, out).toPath)
     }
-    assert(e.getMessage.contains("scalar wire surface"), e.getMessage)
+    onePart(Seq((1L, "x"), (2L, "y")).toDF("id", "tag"), "a.parquet")
+    onePart(Seq(Tuple1(3L)).toDF("id"), "b.parquet")
+    // inferSchema reads the first (sorted) file: a.parquet carries both
+    val es = viaEs(s"$dir/t.parquet")
+    assert(es.schema.fieldNames.toSeq === Seq("id", "tag"))
+    val rows = es.orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(rows(2).isNullAt(1), "missing column must null-fill")
+    // and a predicate on the missing column evaluates null-rejecting
+    assert(es.where(col("tag") === "x").count() === 1L)
+    assert(es.where(col("tag").isNull).count() === 1L)
+  }
+
+  test("the session's hadoop configuration ships to executor readers") {
+    val conf = graft.sources.EsShaped.sessionConf()
+    // session-level spark.hadoop.* must be visible (newHadoopConf path)
+    spark.sparkContext.hadoopConfiguration.set("graft.test.marker", "m1")
+    assert(graft.sources.EsShaped.sessionConf().get("graft.test.marker") === "m1")
+    // and the executor-bound wrapper survives java serialization
+    val ship = new graft.sources.EsShaped.SerializableConf(
+      graft.sources.EsShaped.sessionConf())
+    val bos = new java.io.ByteArrayOutputStream()
+    new java.io.ObjectOutputStream(bos).writeObject(ship)
+    val back = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+      .readObject().asInstanceOf[graft.sources.EsShaped.SerializableConf]
+    assert(back.value.get("graft.test.marker") === "m1")
+    assert(conf != null)
   }
 
   test("multi-path load unions (and double-counts a repeated path, ES multi-index style)") {

@@ -808,6 +808,26 @@ class QueryDslSpec extends SparkSpec {
     assert(e.getMessage.contains("suggest combined with 'query'"), e.getMessage)
   }
 
+  test("collapse.inner_hits refuses a top-level size (ES sizes groups, not rows)") {
+    // a flat limit over the hit+inner-hit rows would cut mid-group —
+    // fail fast (the suggest-combination guard's discipline)
+    val e = intercept[IllegalArgumentException] {
+      QueryDsl.search(env, s"""{
+        "index": ["${DslQueries.ApmPattern}"],
+        "size": 5,
+        "collapse": {
+          "field": "kubernetes.pod.uid",
+          "inner_hits": {"name": "recent", "size": 2}
+        },
+        "sort": [{"@timestamp": "desc"}]
+      }""")
+    }
+    assert(e.getMessage.contains("collapse.inner_hits"), e.getMessage)
+    // the sizeless drain form (the registered body's shape) still runs
+    assert(QueryDsl.drain(DslQueries.signalEnv(spark, sfDir),
+      DslQueries.CollapseInnerBody).count() > 0)
+  }
+
   test("minimum_should_match percent/negative string forms fail fast") {
     for (bad <- Seq("\"75%\"", "\"-1\"")) {
       val e = intercept[IllegalArgumentException] {
