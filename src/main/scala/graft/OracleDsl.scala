@@ -761,6 +761,55 @@ object OracleDsl {
        |FROM ranked r JOIN documents d ON d.doc_id = r.doc_id""".stripMargin
   }
 
+  /** Mirror of DslQueries.HybridApproxBody: [[dslHybrid]] with the
+    * vec_top CTE swapped for the trained-IVF candidate walk
+    * (OracleVectors.knnCandidateWalk at k=20 — the knn clause's `k`,
+    * which is also the rank window) — the lex tower, fusion, cut, and
+    * field join are byte-identical to the exact twin's.
+    */
+  val dslHybridApprox: String = {
+    val walk = OracleVectors.knnCandidateWalk(
+      DslQueries.KnnVector, 20, DslQueries.KnnNumCandidates)
+    s"""WITH ${fieldScoreCtes("h", "text", Seq("spark", "join", "window"))},
+       |vec_top AS (
+       |  SELECT vec_id AS doc_id, score FROM ($walk)
+       |),
+       |vecr AS (
+       |  SELECT doc_id, row_number() OVER (
+       |    ORDER BY score DESC, doc_id ASC) AS vec_rank
+       |  FROM vec_top
+       |),
+       |lex_top AS (
+       |  SELECT doc_id, CAST(score AS DOUBLE) * 1.0 AS s FROM h_scored
+       |  ORDER BY s DESC, doc_id ASC
+       |  LIMIT 20
+       |),
+       |lexr AS (
+       |  SELECT doc_id, row_number() OVER (
+       |    ORDER BY s DESC, doc_id ASC) AS lex_rank
+       |  FROM lex_top
+       |),
+       |fused AS (
+       |  SELECT doc_id, lex_rank, vec_rank,
+       |    (COALESCE(CAST(1099511627776 AS BIGINT) // (60 + lex_rank),
+       |       CAST(0 AS BIGINT))
+       |     + COALESCE(CAST(1099511627776 AS BIGINT) // (60 + vec_rank),
+       |       CAST(0 AS BIGINT))) AS rrf_score
+       |  FROM lexr FULL OUTER JOIN vecr USING (doc_id)
+       |),
+       |cut AS (
+       |  SELECT * FROM fused ORDER BY rrf_score DESC, doc_id ASC LIMIT 10
+       |),
+       |ranked AS (
+       |  SELECT doc_id, lex_rank, vec_rank, rrf_score, row_number() OVER (
+       |    ORDER BY rrf_score DESC, doc_id ASC) AS "rank"
+       |  FROM cut
+       |)
+       |SELECT r.doc_id, r.lex_rank, r.vec_rank, r.rrf_score, r."rank",
+       |       d.lang, d.source
+       |FROM ranked r JOIN documents d ON d.doc_id = r.doc_id""".stripMargin
+  }
+
   /** In-order dot fold (OracleVectors' device: `list_reduce` seeding
     * the first element ≡ Spark `aggregate` seeding 0.0).
     */

@@ -12,7 +12,35 @@ object OracleRetrieval {
     * rank contributes 0. Nested WITHs live inside subqueries (the
     * dedupEmbeddingClusters device).
     */
-  val hybridRrf: String = {
+  val hybridRrf: String = hybridRrfWith(OracleVectors.knnExact)
+
+  /** Mirror of Retrieval.hybridRrfAnn: identical lex tower and fusion,
+    * the vector ranks from the trained-IVF mirror instead of the
+    * exact scan.
+    */
+  val hybridRrfAnn: String = hybridRrfWith(OracleVectors.knnIvf())
+
+  /** Mirror of Retrieval.hybridRrfAnnRecall: per-query overlap@K of
+    * the ANN-served hybrid page against the exact-vector hybrid page.
+    */
+  val hybridRrfAnnRecall: String =
+    s"""WITH exact AS (
+       |  SELECT query_id, doc_id FROM ($hybridRrf)
+       |),
+       |approx AS (
+       |  SELECT query_id, doc_id FROM ($hybridRrfAnn)
+       |)
+       |SELECT e.query_id,
+       |  CAST(count(a.doc_id) AS DOUBLE) / ${Retrieval.RrfTopK} AS recall_at_k,
+       |  count(*) AS n_exact
+       |FROM exact e LEFT JOIN approx a
+       |  ON a.query_id = e.query_id AND a.doc_id = e.doc_id
+       |GROUP BY e.query_id""".stripMargin
+
+  /** The hybrid chain over an injectable (query_id, neighbor_id,
+    * "rank") vector-ranking subquery.
+    */
+  private def hybridRrfWith(vecSql: String): String = {
     val qm = VectorOps.QueryMod
     val grid = 1099511627776L
     val k = Retrieval.RrfK
@@ -28,7 +56,7 @@ object OracleRetrieval {
        |),
        |vec AS (
        |  SELECT query_id, neighbor_id AS doc_id, "rank" AS vec_rank
-       |  FROM (${OracleVectors.knnExact}) v
+       |  FROM ($vecSql) v
        |),
        |fused AS (
        |  SELECT COALESCE(l.query_id, v.query_id) AS query_id,

@@ -738,7 +738,17 @@ object DslQueries {
       .withColumnRenamed("vec_id", "doc_id")
     Env(
       indices = Map("hybrid-*" -> docs.join(embs, Seq("doc_id"))),
-      mapping = HybridMapping)
+      mapping = HybridMapping,
+      // the trained IVF artifacts (the embEnv discipline): a hybrid
+      // body whose knn clause carries `num_candidates` serves the
+      // APPROXIMATE path — the vec_id/doc_id spaces are aligned, so
+      // the embeddings-trained index prunes the hybrid index directly
+      ann = Some(QueryDsl.AnnIndex(
+        assignments = VectorOps.ivfAssign(spark, dir)
+          .select(org.apache.spark.sql.functions.col("vec_id"),
+            org.apache.spark.sql.functions.col("assigned_label")),
+        centroids = VectorOps.centroidVectors(spark, dir, VectorOps.NList),
+        nlist = VectorOps.NList)))
   }
 
   /** The modern ES hybrid-search request: `knn` + `query` fused by
@@ -761,6 +771,42 @@ object DslQueries {
 
   def dslHybrid(spark: SparkSession, dir: String): DataFrame =
     QueryDsl.search(hybridEnv(spark, dir), HybridBody)
+
+  /** Candidate budget for the approximate bodies — ≈3 of the 10 IVF
+    * cells at sf0.01, still a 3× candidate cut vs the exact scan.
+    * Measured recall@10 for this query vector: 0.2 at one cell
+    * (nc=64), 1.0 at three (nc=600) — the num_candidates dial
+    * behaving exactly as ES's (recall bought with candidate width).
+    * Defined BEFORE the first body that interpolates it (object val
+    * initialization is textual).
+    */
+  val KnnNumCandidates = 600
+
+  /** [[HybridBody]] with `num_candidates` on the knn clause — the
+    * PRODUCTION hybrid request (ES serves the kNN half of `rank: rrf`
+    * through its ANN index): the compiler routes the vector side
+    * through the env's trained-IVF candidate walk
+    * (QueryDsl.knnCandidates), so the exact re-rank touches
+    * ≈num_candidates rows instead of the corpus. Same fusion, same
+    * fields; [[dslHybrid]] stays as the exact twin.
+    */
+  val HybridApproxBody: String = s"""{
+    "index": ["hybrid-*"],
+    "size": 10,
+    "_source": false,
+    "fields": ["lang", "source"],
+    "knn": {
+      "field": "embedding",
+      "query_vector": [${(0 until VectorOps.Dim).map(i => ((i % 7) - 3) / 4.0).mkString(", ")}],
+      "k": 20,
+      "num_candidates": $KnnNumCandidates
+    },
+    "query": {"match": {"text": "spark join window"}},
+    "rank": {"rrf": {"rank_window_size": 20, "rank_constant": 60}}
+  }"""
+
+  def dslHybridApprox(spark: SparkSession, dir: String): DataFrame =
+    QueryDsl.search(hybridEnv(spark, dir), HybridApproxBody)
 
   /** Deterministic literal query vector — exact binary fractions
     * (quarters), so the JSON text, the Spark literal, and the DuckDB
@@ -787,14 +833,6 @@ object DslQueries {
 
   def dslKnn(spark: SparkSession, dir: String): DataFrame =
     QueryDsl.search(embEnv(spark, dir), KnnBody)
-
-  /** Candidate budget for the approximate body — ≈3 of the 10 IVF
-    * cells at sf0.01, still a 3× candidate cut vs the exact scan.
-    * Measured recall@10 for this query vector: 0.2 at one cell
-    * (nc=64), 1.0 at three (nc=600) — the num_candidates dial
-    * behaving exactly as ES's (recall bought with candidate width).
-    */
-  val KnnNumCandidates = 600
 
   /** Real ES `knn` with `num_candidates` — the APPROXIMATE search
     * (ES's HNSW dial; here the env's IVF index serves it via the

@@ -175,15 +175,62 @@ object Retrieval {
         col("p.max_div").as("max_div"), col("p.mmr").as("mmr"))
   }
 
-  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame =
+    fuseRrf(lexRanks(spark, dir),
+      VectorOps.knnExact(spark, dir)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank").as("vec_rank")))
+
+  /** [[hybridRrf]] with the vector side served by the TRAINED IVF
+    * index ([[VectorOps.knnIvf]] — the `num_candidates` path the DSL
+    * compiler routes) instead of the exact brute-force scan: the lex
+    * side is unchanged, the fusion identical, but each query's vector
+    * candidates come from a bucket equi-join on the assigned inverted
+    * list (~N·nprobe/nlist rows) rather than a |Q|·N corpus-wide dot
+    * product. This IS the production hybrid shape — ES itself serves
+    * the kNN half of `rank: rrf` through its ANN index — and the
+    * scale fix for the one plan in this family that dies at 100×
+    * (|Q| grows with the corpus, so exact-vec hybrid is quadratic).
+    * [[hybridRrf]] stays registered as the oracle/gauge twin;
+    * [[hybridRrfAnnRecall]] prices the recall the index trades.
+    */
+  def hybridRrfAnn(spark: SparkSession, dir: String): DataFrame =
+    fuseRrf(lexRanks(spark, dir),
+      VectorOps.knnIvf(spark, dir)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank").as("vec_rank")))
+
+  /** Recall@[[RrfTopK]] of the ANN-served hybrid against the
+    * exact-vector hybrid, per query — the [[VectorOps.ivfRecall]]
+    * evaluation loop applied to the FUSED ranking (what a serving
+    * migration actually needs to know: how much the final hybrid
+    * page changes, not just the vector list).
+    */
+  def hybridRrfAnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = hybridRrf(spark, dir).select(col("query_id"), col("doc_id"))
+    val approx = hybridRrfAnn(spark, dir)
+      .select(col("query_id"), col("doc_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("query_id", "doc_id"), "left")
+      .groupBy(col("query_id"))
+      .agg((count(col("hit")).cast("double") / RrfTopK).as("recall_at_k"),
+        count(lit(1)).as("n_exact"))
+  }
+
+  /** The shared lexical tower: every stride query doc's top TF-IDF
+    * terms, BM25-ranked, self-hit excluded.
+    */
+  private def lexRanks(spark: SparkSession, dir: String): DataFrame = {
     val queries = TextOps.tfidf(spark, dir)
       .where(col("doc_id") % VectorOps.QueryMod === 0)
       .select(col("doc_id").as("query_id"), col("word").as("term"))
-    val lex = TextOps.bm25Ranked(spark, dir, queries, excludeSelf = true)
+    TextOps.bm25Ranked(spark, dir, queries, excludeSelf = true)
       .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
-    val vec = VectorOps.knnExact(spark, dir)
-      .select(col("query_id"), col("neighbor_id").as("doc_id"),
-        col("rank").as("vec_rank"))
+  }
+
+  /** RRF fusion of two top-k-per-query rank tables — k·|Q|-row work
+    * regardless of corpus size (both inputs are already rank-cut).
+    */
+  private def fuseRrf(lex: DataFrame, vec: DataFrame): DataFrame = {
     val fused = lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
       .withColumn("rrf_score",
         coalesce(expr(s"$Grid div ($RrfK + lex_rank)"), lit(0L)) +

@@ -88,6 +88,7 @@ class GoldenSpec extends SparkSpec {
     "dsl_bool_scored" -> ((3077244817348176689L, 15L)),
     "dsl_multi_match" -> ((-6555088438465609711L, 12L)),
     "dsl_hybrid" -> ((7514702041882966666L, 10L)),
+    "dsl_hybrid_approx" -> ((7514702041882966666L, 10L)),
     // re-pinned r14: percentile_ranks now ×100 (ES's percentage
     // response scale — ADVICE r13), oracle updated in lockstep
     "dsl_aggs_stats" -> ((-7095974799686833079L, 5L)),
@@ -262,6 +263,8 @@ class GoldenSpec extends SparkSpec {
     "dsl_filters" -> ((-5958581771005652670L, 3L)),
     "dsl_score" -> ((-2823222289340479866L, 10L)),
     "hybrid_rrf" -> ((-1885452052056380719L, 50L)),
+    "hybrid_rrf_ann" -> ((2617175924053385863L, 50L)),
+    "hybrid_rrf_ann_recall" -> ((-4006118230369836574L, 5L)),
     "cluster_cards" -> ((-813937664726231098L, 50L)),
     "mmr_rerank" -> ((465589226566118004L, 25L)),
     "txt_bm25" -> ((8938680310938870376L, 50L)),

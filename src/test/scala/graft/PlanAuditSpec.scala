@@ -310,6 +310,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(1200))
   }
 
+  test("ANN hybrid: the vector tower is candidate joins, never a corpus-wide dot product") {
+    graft.operators.VectorOps.ivfAssign(spark, sfDir).count()
+    def audit(name: String): (String, Int) = {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      (p, p.split("\n").count(_.contains("BroadcastNestedLoopJoin")))
+    }
+    for (name <- Seq("hybrid_rrf_ann", "dsl_hybrid_approx")) {
+      val (p, _) = audit(name)
+      assert(!p.contains("CartesianProduct"), s"$name: ${p.take(1200)}")
+      // the vector candidates come from the inverted-list equi-join
+      // keyed on the walked cell — the dot product runs ABOVE that cut
+      assert(p.contains("assigned_label"), s"$name: ${p.take(1200)}")
+      assert(p.contains("BroadcastHashJoin"), s"$name: ${p.take(1200)}")
+      // serve path reads the memoized index artifacts, not a retrain
+      assert(p.contains("InMemoryTableScan"), s"$name: ${p.take(1200)}")
+    }
+    // the lex tower legitimately carries scalar-attach nested loops
+    // (crossJoin(broadcast(1-row))), identical in both twins — so the
+    // scale property is RELATIVE: the ANN twin must shed the exact
+    // twin's corpus×queries nested-loop scan and add no new ones
+    val (_, exactOp) = audit("hybrid_rrf")
+    val (_, annOp) = audit("hybrid_rrf_ann")
+    assert(annOp < exactOp,
+      s"hybrid_rrf_ann kept the corpus-wide nested loop ($annOp >= $exactOp)")
+    val (_, exactDsl) = audit("dsl_hybrid")
+    val (_, annDsl) = audit("dsl_hybrid_approx")
+    assert(annDsl <= exactDsl,
+      s"dsl_hybrid_approx added a nested loop ($annDsl > $exactDsl)")
+  }
+
   test("rag retrieve: decimal chunk keys, ranked rows broadcast into the id map, no SMJ") {
     // the r14 overflow fix must not have traded the plan shape: the
     // (doc, chunk) decode is a broadcast of the ≤|Q|·topK ranked rows

@@ -50,6 +50,31 @@ class RetrievalSpec extends SparkSpec {
     assert(!rows.exists(r => r.getLong(0) == r.getLong(2)))
   }
 
+  test("hybridRrfAnn: vector components agree with knnIvf; recall gauge is sane") {
+    val rows = Retrieval.hybridRrfAnn(spark, sfDir).collect()
+    val ivf = VectorOps.knnIvf(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    rows.filterNot(_.isNullAt(5)).foreach { r =>
+      assert(ivf((r.getLong(0), r.getLong(2))) === r.getLong(5), s"row $r")
+    }
+    // the lex tower is SHARED with the exact twin, verbatim
+    val exactLex = Retrieval.hybridRrf(spark, sfDir).collect()
+      .filterNot(_.isNullAt(4))
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(4)).toMap
+    rows.filterNot(_.isNullAt(4)).foreach { r =>
+      assert(exactLex.get((r.getLong(0), r.getLong(2)))
+        .forall(_ == r.getLong(4)), s"row $r")
+    }
+    // recall of the fused page against the exact-vec twin: in (0, 1],
+    // one row per stride query, n_exact = the page size
+    val rec = Retrieval.hybridRrfAnnRecall(spark, sfDir).collect()
+    assert(rec.nonEmpty)
+    rec.foreach { r =>
+      assert(r.getDouble(1) > 0.0 && r.getDouble(1) <= 1.0, s"recall $r")
+      assert(r.getLong(2) === Retrieval.RrfTopK.toLong, s"n_exact $r")
+    }
+  }
+
   test("mmrRerank: greedy trace matches a driver-side replay of the λ-trade") {
     // output columns: (query_id, doc_id, pick_order, rel, max_div, mmr)
     val out = Retrieval.mmrRerank(spark, sfDir).collect()
