@@ -387,6 +387,109 @@ object OracleDsl {
        |FROM ranked WHERE r <= 3""".stripMargin
   }
 
+  /** Mirror of DslQueries.SuggestPhraseBody: per-slot deletion-1
+    * candidates over the field-derived vocabulary (the dslSuggest
+    * device), slot candidates crossed, bigram-LM rescoring, the
+    * operator's all-integer ranking key — OracleText.suggestPhrase's
+    * chain restricted to the body's single two-slot text (no query_id
+    * in the response).
+    */
+  val dslSuggestPhrase: String = {
+    def delKeys(c: String): String =
+      s"""list_distinct(list_concat([$c],
+         |    list_transform(range(1, length($c) + 1),
+         |      i -> substr($c, 1, i - 1) || substr($c, i + 1))))""".stripMargin
+    s"""WITH docs AS (
+       |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+       |),
+       |vocab AS (
+       |  SELECT term FROM (
+       |    SELECT unnest(words) AS term FROM docs) t
+       |  GROUP BY term
+       |),
+       |vkeys AS (
+       |  SELECT term, unnest(${delKeys("term")}) AS key FROM vocab
+       |),
+       |ikeys AS (
+       |  SELECT input_term, unnest(${delKeys("input_term")}) AS key
+       |  FROM (VALUES ('ordr'), ('scann')) t(input_term)
+       |),
+       |cands AS (
+       |  SELECT DISTINCT input_term, term FROM vkeys JOIN ikeys USING (key)
+       |),
+       |sc AS (
+       |  SELECT input_term, term,
+       |    CAST(levenshtein(input_term, term) AS BIGINT) AS dist
+       |  FROM cands
+       |  WHERE levenshtein(input_term, term) <= ${operators.TextOps.SuggestMaxEdits}
+       |),
+       |pairs AS (
+       |  SELECT a.term AS cand_a, a.dist AS dist_a,
+       |    b.term AS cand_b, b.dist AS dist_b
+       |  FROM sc a, sc b
+       |  WHERE a.input_term = 'ordr' AND b.input_term = 'scann'
+       |),
+       |bgr AS (
+       |  SELECT words[CAST(i AS INT)] AS w1, words[CAST(i + 1 AS INT)] AS w2
+       |  FROM docs, unnest(range(1, len(words))) t(i)
+       |  WHERE len(words) >= 2
+       |),
+       |bgc AS (SELECT w1, w2, count(*) AS c_bg FROM bgr GROUP BY w1, w2),
+       |scored AS (
+       |  SELECT p.cand_a, p.cand_b,
+       |    CAST(COALESCE(bgc.c_bg, 0) AS BIGINT) AS bg_count,
+       |    p.dist_a + p.dist_b AS dist_sum
+       |  FROM pairs p
+       |  LEFT JOIN bgc ON bgc.w1 = p.cand_a AND bgc.w2 = p.cand_b
+       |),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    ORDER BY bg_count DESC, dist_sum ASC, cand_a ASC, cand_b ASC) AS r
+       |  FROM scored
+       |)
+       |SELECT CAST(r AS BIGINT) AS "rank",
+       |  cand_a AS suggestion_a, cand_b AS suggestion_b, bg_count, dist_sum
+       |FROM ranked WHERE r <= 3""".stripMargin
+  }
+
+  /** Mirror of DslQueries.SuggestCompletionBody: the field-derived
+    * occurrence-count vocabulary, capped prefix keys, starts-with
+    * verification, (freq DESC, term ASC) ranking —
+    * OracleText.suggestCompletion's chain on this body's prefix.
+    */
+  val dslSuggestCompletion: String = {
+    val cap = operators.TextOps.CompletionMaxPrefix
+    s"""WITH vocab AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS term FROM documents) t
+       |  GROUP BY term
+       |),
+       |pfx AS (
+       |  SELECT term, freq, unnest(list_transform(
+       |    range(1, least(length(term), $cap) + 1),
+       |    i -> substr(term, 1, i))) AS key
+       |  FROM vocab
+       |),
+       |ikeys AS (
+       |  SELECT input_prefix, substr(input_prefix, 1, $cap) AS key
+       |  FROM (VALUES ('cust')) t(input_prefix)
+       |),
+       |cands AS (
+       |  SELECT input_prefix, term, freq
+       |  FROM pfx JOIN ikeys USING (key)
+       |  WHERE substr(term, 1, length(input_prefix)) = input_prefix
+       |),
+       |ranked AS (
+       |  SELECT input_prefix, term, freq, row_number() OVER (
+       |    PARTITION BY input_prefix
+       |    ORDER BY freq DESC, term ASC) AS r
+       |  FROM cands
+       |)
+       |SELECT input_prefix, CAST(r AS BIGINT) AS "rank",
+       |  term AS suggestion, freq
+       |FROM ranked WHERE r <= 3""".stripMargin
+  }
+
   /** Mirror of DslQueries.MltBody: the tf·idf-ratio seed-term
     * selection (df ≥ 2, top-8 by score DESC, term ASC), then the
     * standard BM25 chain restricted to the chosen terms, seeds

@@ -617,6 +617,43 @@ object DslQueries {
   def dslSuggest(spark: SparkSession, dir: String): DataFrame =
     QueryDsl.search(docEnv(spark, dir), SuggestBody)
 
+  /** Phrase suggester through the envelope: the txt_suggest_phrase
+    * operator's first workload pair ("ordr scann") as a real ES
+    * request — per-slot deletion-1 candidates rescored by the field's
+    * bigram LM (QueryDsl.runPhraseSuggest).
+    */
+  val SuggestPhraseBody: String = """{
+    "index": ["docs-*"],
+    "size": 0,
+    "suggest": {
+      "fix_phrase": {
+        "text": "ordr scann",
+        "phrase": {"field": "text", "size": 3}
+      }
+    }
+  }"""
+
+  def dslSuggestPhrase(spark: SparkSession, dir: String): DataFrame =
+    QueryDsl.search(docEnv(spark, dir), SuggestPhraseBody)
+
+  /** Completion suggester through the envelope (search-as-you-type):
+    * a 4-char prefix against the field-derived vocabulary, frequency-
+    * ranked (QueryDsl.runCompletionSuggest).
+    */
+  val SuggestCompletionBody: String = """{
+    "index": ["docs-*"],
+    "size": 0,
+    "suggest": {
+      "complete": {
+        "prefix": "cust",
+        "completion": {"field": "text", "size": 3}
+      }
+    }
+  }"""
+
+  def dslSuggestCompletion(spark: SparkSession, dir: String): DataFrame =
+    QueryDsl.search(docEnv(spark, dir), SuggestCompletionBody)
+
   /** `more_like_this` through the compiler: seeds 3 and 11 (the MLT
     * operator's own fixture docs), the tf·idf-ratio term selection,
     * then BM25 over the chosen terms with the seeds excluded

@@ -3480,7 +3480,7 @@ object TextOps {
     * drained store completes bit-identically to the batch operator.
     */
   private[graft] def suggestCompletionFrom(vocab: DataFrame,
-      inputTerms: Seq[String]): DataFrame = {
+      inputTerms: Seq[String], topK: Int = CompletionTopK): DataFrame = {
     val spark = vocab.sparkSession
     import spark.implicits._
     val pfx = vocab.select(col("term"), col("freq"),
@@ -3495,7 +3495,7 @@ object TextOps {
     val w = Window.partitionBy(col("input_prefix"))
       .orderBy(col("freq").desc, col("term").asc)
     cands.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= CompletionTopK)
+      .where(col("rank") <= topK)
       .select(col("input_prefix"), col("rank"),
         col("term").as("suggestion"), col("freq"))
   }
@@ -3686,10 +3686,23 @@ object TextOps {
     * zero-count pairs re-attach via a tiny-to-tiny left join.
     */
   def suggestPhrase(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val inputs = PhraseSuggestInputs.flatMap { case (_, a, b) => Seq(a, b) }.distinct
-    val cands = suggestCands(spark, dir, inputs)
-    val ph = PhraseSuggestInputs.toDF("query_id", "in_a", "in_b")
+    suggestPhraseFrom(suggestCands(spark, dir, inputs),
+      withWordsAttr(spark, dir).select(col("words")),
+      PhraseSuggestInputs, PhraseSuggestTopK)
+  }
+
+  /** [[suggestPhrase]]'s candidate-cross + bigram-LM rescoring over
+    * ANY (input_term, term, dist) candidate frame and words-array
+    * corpus — the seam the query-DSL phrase suggester lowers through
+    * ([[graft.plans.QueryDsl]]), so a compiled `suggest.phrase`
+    * request scores bit-identically to the batch operator.
+    */
+  private[graft] def suggestPhraseFrom(cands: DataFrame, words: DataFrame,
+      workload: Seq[(Long, String, String)], topK: Int): DataFrame = {
+    val spark = cands.sparkSession
+    import spark.implicits._
+    val ph = workload.toDF("query_id", "in_a", "in_b")
     val pairs = ph
       .join(cands.select(col("input_term").as("in_a"),
         col("term").as("cand_a"), col("dist").as("dist_a")), Seq("in_a"))
@@ -3697,7 +3710,7 @@ object TextOps {
         col("term").as("cand_b"), col("dist").as("dist_b")), Seq("in_b"))
       .localCheckpoint() // tiny; feeds the key cut AND the final join
     val keys = pairs.select(col("cand_a"), col("cand_b")).distinct()
-    val bgCut = withWordsAttr(spark, dir)
+    val bgCut = words
       .where(size(col("words")) >= 2)
       .select(posexplode(expr(
         "transform(sequence(0, size(words) - 2), i -> struct(words[i] AS w1, words[i + 1] AS w2))"))
@@ -3712,7 +3725,7 @@ object TextOps {
       .orderBy(col("bg_count").desc, col("dist_sum").asc,
         col("cand_a").asc, col("cand_b").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= PhraseSuggestTopK)
+      .where(col("rank") <= topK)
       .select(col("query_id"), col("rank"),
         col("cand_a").as("suggestion_a"), col("cand_b").as("suggestion_b"),
         col("bg_count"), col("dist_sum"))

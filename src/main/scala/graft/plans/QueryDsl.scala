@@ -163,14 +163,18 @@ object QueryDsl {
   private def run(env: Env, body: JValue, honorSize: Boolean): DataFrame = {
     val src = resolveIndex(env, body \ "index")
     body \ "suggest" match {
-      case JObject(List((_, spec: JObject))) if (spec \ "term") != JNothing =>
+      case JObject(List((_, spec: JObject))) =>
         // a suggest-only request: silently discarding a co-present
         // query/knn/aggs section would return DIFFERENT results than
         // ES (which answers both envelopes) — fail fast instead
         for (k <- Seq("query", "knn", "aggs"))
           if ((body \ k) != JNothing)
             fail(s"suggest combined with '$k' is unsupported (suggest-only requests)")
-        return runTermSuggest(env, src, spec)
+        if ((spec \ "term") != JNothing) return runTermSuggest(env, src, spec)
+        if ((spec \ "phrase") != JNothing) return runPhraseSuggest(env, src, spec)
+        if ((spec \ "completion") != JNothing)
+          return runCompletionSuggest(env, src, spec)
+        fail(s"unsupported suggester: $spec")
       case JNothing => ()
       case other    => fail(s"unsupported suggest: $other")
     }
@@ -1657,6 +1661,72 @@ object QueryDsl {
       .where(col("rank") <= size)
       .select(col("input_term"), col("rank"), col("term").as("suggestion"),
         col("dist"), col("freq"))
+  }
+
+  /** ES phrase suggester in the `suggest` envelope (whole-phrase "did
+    * you mean"): two-slot texts only — per slot the deletion-1
+    * candidate set ([[TextOps.suggestCandsFrom]], the term suggester's
+    * generator fed the SAME field-derived vocabulary), slot candidates
+    * crossed within the phrase and rescored by the field's corpus
+    * bigram language model ([[TextOps.suggestPhraseFrom]] — the batch
+    * operator's exact scorer, so the compiled request and
+    * `txt_suggest_phrase` agree row for row on shared inputs).
+    * Longer texts fail fast (the honest-scope discipline: a silent
+    * first-two-slots cut would diverge from ES).
+    */
+  private def runPhraseSuggest(env: Env, src: DataFrame, spec: JValue): DataFrame = {
+    val text = spec \ "text" match {
+      case JString(s) => s
+      case other      => fail(s"suggest needs text: $other")
+    }
+    val field = spec \ "phrase" \ "field" match {
+      case JString(f) => f
+      case other      => fail(s"phrase suggester needs a field: $other")
+    }
+    val size = spec \ "phrase" \ "size" match {
+      case JInt(n)  => n.toInt
+      case JNothing => 5 // ES default
+      case other    => fail(s"unsupported suggester size: $other")
+    }
+    val slots = text.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+    if (slots.length != 2)
+      fail(s"phrase suggester supports two-slot texts, got ${slots.length}")
+    val vocabFreq = src
+      .select(explode(split(fieldCol(env, field), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+    val cands = TextOps.suggestCandsFrom(vocabFreq, slots.distinct)
+    val words = src.select(split(fieldCol(env, field), " ").as("words"))
+    TextOps.suggestPhraseFrom(cands, words,
+      Seq((0L, slots.head, slots(1))), size)
+      .select(col("rank"), col("suggestion_a"), col("suggestion_b"),
+        col("bg_count"), col("dist_sum"))
+  }
+
+  /** ES completion suggester in the `suggest` envelope
+    * (search-as-you-type): the field-derived vocabulary's top
+    * frequency-ranked extensions of the request `prefix`, via the
+    * capped prefix-key blocking ([[TextOps.suggestCompletionFrom]] —
+    * the batch operator's generator, identical ranking).
+    */
+  private def runCompletionSuggest(env: Env, src: DataFrame,
+      spec: JValue): DataFrame = {
+    val prefix = spec \ "prefix" match {
+      case JString(s) if s.trim.nonEmpty => s.trim
+      case other => fail(s"completion suggester needs a prefix: $other")
+    }
+    val field = spec \ "completion" \ "field" match {
+      case JString(f) => f
+      case other      => fail(s"completion suggester needs a field: $other")
+    }
+    val size = spec \ "completion" \ "size" match {
+      case JInt(n)  => n.toInt
+      case JNothing => 5 // ES default
+      case other    => fail(s"unsupported suggester size: $other")
+    }
+    val vocabFreq = src
+      .select(explode(split(fieldCol(env, field), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+    TextOps.suggestCompletionFrom(vocabFreq, Seq(prefix), size)
   }
 
   private def resolveIndex(env: Env, idx: JValue): DataFrame = {

@@ -101,6 +101,8 @@ class GoldenSpec extends SparkSpec {
     "dsl_composite" -> ((3854494925338078188L, 8L)),
     "dsl_function_score" -> ((-1201087666250449814L, 10L)),
     "dsl_suggest" -> ((4308294443745768519L, 4L)),
+    "dsl_suggest_phrase" -> ((3304258379363630997L, 1L)),
+    "dsl_suggest_completion" -> ((5165078984123282070L, 1L)),
     "dsl_mlt" -> ((1419747686063542878L, 10L)),
     "emb_decontaminate" -> ((6586636881232305145L, 461L)),
     "emb_dedup_clusters" -> ((-1488179478009104348L, 85L)),

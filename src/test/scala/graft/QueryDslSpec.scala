@@ -731,6 +731,36 @@ class QueryDslSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("phrase suggest envelope == the phrase-suggester operator on the shared pair") {
+    val got = rows(QueryDsl.search(DslQueries.docEnv(spark, sfDir),
+      DslQueries.SuggestPhraseBody))
+    // operator workload pair 0 IS the body's text ("ordr scann"); the
+    // envelope response drops query_id (single request) — same
+    // vocabulary, same candidates, same bigram LM: identical rows
+    val want = rows(graft.operators.TextOps.suggestPhrase(spark, sfDir)
+      .where(org.apache.spark.sql.functions.col("query_id") === 0L)
+      .drop("query_id"))
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("completion suggest envelope == the completion operator on the shared prefix") {
+    val got = rows(QueryDsl.search(DslQueries.docEnv(spark, sfDir),
+      DslQueries.SuggestCompletionBody))
+    val want = rows(graft.operators.TextOps.suggestCompletion(spark, sfDir)
+      .where(org.apache.spark.sql.functions.col("input_prefix") === "cust"))
+    assert(got === want)
+    assert(got.nonEmpty)
+    // a three-token phrase text fails fast (two-slot scope, no silent cut)
+    val e = intercept[IllegalArgumentException] {
+      QueryDsl.search(DslQueries.docEnv(spark, sfDir), """{
+        "index": ["docs-*"], "size": 0,
+        "suggest": {"p": {"text": "a b c", "phrase": {"field": "text"}}}
+      }""")
+    }
+    assert(e.getMessage.contains("two-slot"), e.getMessage)
+  }
+
   test("more_like_this: seeds excluded, every hit shares seed vocabulary") {
     val denv = DslQueries.docEnv(spark, sfDir)
     val got = QueryDsl.search(denv, DslQueries.MltBody).collect()
