@@ -351,6 +351,124 @@ object OracleVectors {
          |FROM (${ivfRecall(nprobe = np)})""".stripMargin
     }.mkString("\nUNION ALL\n")
 
+  /** The auto-sizing dial CTEs (mirror of VectorOps.autoDials): nlist
+    * = max(round(sqrt(N)), NList), training-sample stride from the
+    * TrainPerCell budget, nprobe = max(round(sqrt(nlist)), NProbe).
+    * round(sqrt(·)) agrees across engines: IEEE-correct sqrt, and
+    * half-up == half-away-from-zero for positives (an exact .5 would
+    * need sqrt(int) = x.5, impossible).
+    */
+  private lazy val dialCtes: String =
+    s"""dial AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    GREATEST(CAST(${VectorOps.NList} AS BIGINT),
+       |      CAST(round(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)) AS nlist
+       |  FROM embeddings
+       |),
+       |dial2 AS (
+       |  SELECT n, nlist,
+       |    GREATEST(CAST(1 AS BIGINT),
+       |      n // (${VectorOps.TrainPerCell} * nlist)) AS m,
+       |    GREATEST(CAST(${VectorOps.NProbe} AS BIGINT),
+       |      CAST(round(sqrt(CAST(nlist AS DOUBLE))) AS BIGINT)) AS np
+       |  FROM dial
+       |)""".stripMargin
+
+  /** Mirror of VectorOps.ivfAutoDial — the 1-row dial gauge. */
+  lazy val ivfAutoDial: String =
+    s"""WITH $dialCtes
+       |SELECT n AS n_vectors, nlist, m AS sample_mod, np AS nprobe
+       |FROM dial2""".stripMargin
+
+  /** Mirror of VectorOps.centroidVectorsAuto's training loop: seed
+    * means over the id-stride SAMPLE grouped by the round-robin id
+    * group, Lloyd re-assignment rounds over the sample only, final
+    * full-corpus cranked from centroidSimsCtes — the centroidsCte
+    * chain with the dial scalars in place of literals.
+    */
+  private lazy val centroidsAutoCte: String = {
+    val seed = s"""cent0 AS (
+                  |${meansSql("samp e, dial2 dl", "(e.vec_id // dl.m) % dl.nlist")}
+                  |)""".stripMargin
+    val rounds = (1 to VectorOps.LloydRounds).map { r =>
+      val p = r - 1
+      s"""cv$p AS (
+         |  SELECT label AS c_label,
+         |    list(CAST(centroid_sum AS DOUBLE) / $scale / n ORDER BY pos) AS centroid
+         |  FROM cent$p GROUP BY label
+         |),
+         |cn$p AS (
+         |  SELECT c_label, centroid, ${dot("centroid", "centroid")} AS cnrm FROM cv$p
+         |),
+         |asg$r AS (
+         |  SELECT b.vec_id, c.c_label,
+         |    row_number() OVER (PARTITION BY b.vec_id ORDER BY
+         |      ${dot("b.embedding", "c.centroid")} / (sqrt(b.nrm) * sqrt(c.cnrm)) DESC,
+         |      c.c_label ASC) AS rn
+         |  FROM samp b, cn$p c
+         |),
+         |cent$r AS (
+         |${meansSql(s"asg$r a JOIN embeddings e ON e.vec_id = a.vec_id AND a.rn = 1", "a.c_label")}
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""samp AS (
+       |  SELECT b.* FROM base b, dial2 d WHERE b.vec_id % d.m = 0
+       |),
+       |$seed,
+       |$rounds,
+       |cent AS (SELECT * FROM cent${VectorOps.LloydRounds})""".stripMargin
+  }
+
+  /** Mirror of VectorOps.knnIvfAuto: the auto-trained codebook, the
+    * full-corpus assignment, dial-width probes, candidate equi-join,
+    * exact cosine top-k — knnIvf's chain on the derived dials.
+    */
+  lazy val knnIvfAuto: String =
+    s"""WITH $baseCte, $dialCtes,
+       |$centroidsAutoCte,
+       |$centroidSimsCtes,
+       |assignments AS (
+       |  SELECT vec_id AS neighbor_id, c_label AS assigned_label
+       |  FROM cranked WHERE rn = 1
+       |),
+       |probes AS (
+       |  SELECT c.vec_id AS query_id, c.c_label AS assigned_label
+       |  FROM cranked c, dial2 d
+       |  WHERE c.vec_id % $qm = 0 AND c.rn <= d.np
+       |),
+       |candidates AS (
+       |  SELECT p.query_id, a.neighbor_id
+       |  FROM probes p JOIN assignments a USING (assigned_label)
+       |  WHERE a.neighbor_id <> p.query_id
+       |),
+       |qset AS (
+       |  SELECT vec_id AS query_id, embedding AS qv, nrm AS qnrm
+       |  FROM base WHERE vec_id % $qm = 0
+       |),
+       |sims AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    ${dot("nb.embedding", "q.qv")} / (sqrt(nb.nrm) * sqrt(q.qnrm)) AS sim
+       |  FROM candidates c
+       |  JOIN base nb ON nb.vec_id = c.neighbor_id
+       |  JOIN qset q ON q.query_id = c.query_id
+       |),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS "rank"
+       |  FROM sims
+       |)
+       |SELECT query_id, neighbor_id, "rank", sim FROM ranked WHERE "rank" <= $k""".stripMargin
+
+  /** Mirror of VectorOps.ivfAutoRecall. */
+  lazy val ivfAutoRecall: String =
+    s"""SELECT e.query_id,
+       |  CAST(count(l."rank") AS DOUBLE) / $k AS recall_at_k,
+       |  count(*) AS n_exact
+       |FROM ($knnExact) e
+       |LEFT JOIN ($knnIvfAuto) l
+       |  ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
+       |GROUP BY e.query_id""".stripMargin
+
   def ivfRecall(nlist: Int = VectorOps.NList,
       nprobe: Int = VectorOps.NProbe): String =
     s"""SELECT e.query_id,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -773,10 +773,18 @@ object VectorOps {
     * seeding, rounds, and decimal-exact means, so a refresh over the
     * ingested union equals the batch-trained codebook row for row.
     */
-  private[graft] def trainMeans(vecs: DataFrame, nlist: Int): DataFrame = {
+  private[graft] def trainMeans(vecs: DataFrame, nlist: Int): DataFrame =
+    trainMeansSeeded(vecs, pmod(col("label"), lit(nlist)))
+
+  /** [[trainMeans]] with an ARBITRARY seed-group column — the
+    * auto-sized index needs id-derived seeding because `label % nlist`
+    * degenerates when nlist exceeds the label cardinality (only
+    * |labels| cells would ever form).
+    */
+  private[graft] def trainMeansSeeded(vecs: DataFrame, seedGrp: Column): DataFrame = {
     val base = vecs.select(col("vec_id"), col("label"), col("embedding"),
       expr(dot("embedding", "embedding")).as("nrm"))
-    val seed = vecs.select(pmod(col("label"), lit(nlist)).as("grp"), col("embedding"))
+    val seed = vecs.select(seedGrp.as("grp"), col("embedding"))
     var means = meansBy(seed)
     for (_ <- 1 to LloydRounds) {
       val assigned = nearestCentroids(base, vectorsFromMeans(means), nearest = 1)
@@ -823,6 +831,126 @@ object VectorOps {
     TextOps.memoized(spark, dir, s"ivf_centroids_$nlist") {
       vectorsFromMeans(centroidsRaw(spark, dir, nlist))
     }
+
+  /** Per-cell training budget for the AUTO-SIZED index: the Lloyd
+    * rounds train on a deterministic id-stride sample of
+    * ≈[[TrainPerCell]]·nlist vectors (the max_points_per_centroid
+    * convention every production IVF build uses — full-corpus k-means
+    * at nlist=√N would be N^1.5 training work, worse than the search
+    * it optimizes). The FULL corpus is still assigned once to the
+    * trained codebook (the one-time N·nlist index build, memoized).
+    */
+  val TrainPerCell = 64
+
+  /** The scale rule [[centroidsRaw]]'s Scaladoc names, IMPLEMENTED:
+    * nlist = max(√N, [[NList]]) so each probe scans ~√N candidates,
+    * nprobe = max(√nlist, [[NProbe]]) so probe width grows with cell
+    * granularity (recall held as cells get finer), and the training
+    * sample stride from [[TrainPerCell]]. All integer/IEEE-sqrt
+    * arithmetic, so the DuckDB oracle derives the identical dials
+    * from count(*).
+    */
+  private[graft] def autoDials(n: Long): (Int, Long, Int) = {
+    val nlist = math.max(NList, math.round(math.sqrt(n.toDouble)).toInt)
+    val sampleMod = math.max(1L, n / (TrainPerCell.toLong * nlist))
+    val nprobe = math.max(NProbe, math.round(math.sqrt(nlist.toDouble)).toInt)
+    (nlist, sampleMod, nprobe)
+  }
+
+  /** The corpus count behind the dials — one planning-scale action
+    * (parquet footer row counts), memoized per session like the
+    * Layout file index.
+    */
+  private val dialCache = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+  private def corpusCount(spark: SparkSession, dir: String): Long =
+    dialCache.computeIfAbsent(dir, _ => Tables.embeddings(spark, dir).count())
+
+  /** The chosen dials as a 1-row gauge (n_vectors, nlist, sample_mod,
+    * nprobe) — the observable contract of the auto-sizing rule, so a
+    * dial drift across SFs or engines is a hash miss, not a silent
+    * recall change.
+    */
+  def ivfAutoDial(spark: SparkSession, dir: String): DataFrame = {
+    val n = corpusCount(spark, dir)
+    val (nlist, m, nprobe) = autoDials(n)
+    import spark.implicits._
+    Seq((n, nlist.toLong, m, nprobe.toLong))
+      .toDF("n_vectors", "nlist", "sample_mod", "nprobe")
+  }
+
+  /** The auto-sized trained codebook: Lloyd rounds over the id-stride
+    * sample, seeded by the round-robin id group (labels cannot seed
+    * more cells than the label cardinality). Memoized like
+    * [[centroidVectors]].
+    */
+  private[graft] def centroidVectorsAuto(spark: SparkSession, dir: String): DataFrame = {
+    val n = corpusCount(spark, dir)
+    val (nlist, m, _) = autoDials(n)
+    TextOps.memoized(spark, dir, "ivf_auto_centroids") {
+      val sample = Tables.embeddings(spark, dir)
+        .where(pmod(col("vec_id"), lit(m)) === 0)
+      vectorsFromMeans(trainMeansSeeded(sample,
+        pmod(expr(s"vec_id div CAST($m AS BIGINT)"), lit(nlist.toLong))))
+    }
+  }
+
+  /** Full-corpus assignment to the auto-sized codebook — the one-time
+    * N·nlist index build (memoized; at deploy scale this is the
+    * offline indexing job every ANN store runs).
+    */
+  def ivfAssignAuto(spark: SparkSession, dir: String): DataFrame =
+    TextOps.memoized(spark, dir, "ivf_auto_assign") {
+      nearestCentroids(withNorm(spark, dir),
+        centroidVectorsAuto(spark, dir), nearest = 1)
+        .select(col("vec_id"), col("label"),
+          col("c_label").as("assigned_label"), col("sim"))
+        .localCheckpoint() // plan-size cut, same device as ivfAssign
+    }
+
+  /** [[knnIvf]] on the AUTO-SIZED index: each probe scans ~√N
+    * candidates instead of N/[[NList]], so the per-query search cost
+    * stops growing linearly with the corpus — the measured sf1 cost
+    * of the pinned dial (emb_knn_ivf 16× for 10× data) is what this
+    * variant removes. [[ivfAutoRecall]] proves the recall holds.
+    */
+  def knnIvfAuto(spark: SparkSession, dir: String): DataFrame = {
+    val (nlist, _, nprobe) = autoDials(corpusCount(spark, dir))
+    val assignments = ivfAssignAuto(spark, dir)
+      .select(col("vec_id").as("neighbor_id"), col("assigned_label"))
+    val probes = nearestCentroids(
+      withNorm(spark, dir).where(col("vec_id") % QueryMod === 0),
+      centroidVectorsAuto(spark, dir), nprobe)
+      .select(col("vec_id").as("query_id"), col("c_label").as("assigned_label"))
+    val candidates = probes.join(assignments, Seq("assigned_label"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    val base = withNorm(spark, dir)
+    val sims = candidates
+      .join(base.select(col("vec_id").as("neighbor_id"), col("embedding"), col("nrm")),
+        Seq("neighbor_id"))
+      .join(broadcast(
+        base.where(col("vec_id") % QueryMod === 0)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+            col("nrm").as("qnrm"))),
+        Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine)
+    topK(sims)
+  }
+
+  /** Recall@K of the auto-sized index against the exact baseline —
+    * the evidence the √N rule holds recall while cutting candidates
+    * (nlist alone would starve a fixed probe count; the √nlist probe
+    * growth is the compensation).
+    */
+  def ivfAutoRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = knnExact(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val approx = knnIvfAuto(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg((count(col("hit")).cast("double") / K).as("recall_at_k"),
+        count(lit(1)).as("n_exact"))
+  }
 
   /** The `nprobe` nearest trained centroids for each QUERY vector
     * only — the probe set of the IVF searches, computed on the query

@@ -107,6 +107,35 @@ class VectorOpsSpec extends SparkSpec {
     assert(VectorOps.centroids(spark, dir).select("label").distinct().count() === 2)
   }
 
+  test("auto-sized IVF: √ dial rules, full-corpus assignment, recall holds vs pinned") {
+    // the sizing rules themselves (pure integer/IEEE arithmetic)
+    assert(VectorOps.autoDials(10000L) === ((100, 1L, 10)))
+    assert(VectorOps.autoDials(1000000L) === ((1000, 15L, 32)))
+    // the floor: tiny corpora keep the pinned defaults
+    assert(VectorOps.autoDials(50L) ===
+      ((VectorOps.NList, 1L, math.max(VectorOps.NProbe,
+        math.round(math.sqrt(VectorOps.NList.toDouble)).toInt))))
+    // engine side on the fixture dir: the dial gauge matches autoDials
+    val d = VectorOps.ivfAutoDial(spark, sfDir).head()
+    val (nlist, m, nprobe) = VectorOps.autoDials(d.getLong(0))
+    assert(d.getLong(1) === nlist.toLong)
+    assert(d.getLong(2) === m)
+    assert(d.getLong(3) === nprobe.toLong)
+    // every vector lands in exactly one inverted list, lists ≤ nlist
+    val assign = VectorOps.ivfAssignAuto(spark, sfDir)
+    assert(assign.count() === d.getLong(0))
+    assert(assign.select("assigned_label").distinct().count() <= nlist.toLong)
+    // recall: sane per query, and the auto index does not lose to the
+    // pinned index despite the smaller candidate budget
+    val auto = VectorOps.ivfAutoRecall(spark, sfDir)
+      .agg(avg(col("recall_at_k"))).head().getDouble(0)
+    val pinned = VectorOps.ivfRecall(spark, sfDir)
+      .agg(avg(col("recall_at_k"))).head().getDouble(0)
+    assert(auto > 0.0 && auto <= 1.0)
+    assert(auto >= pinned - 0.1,
+      s"auto recall $auto collapsed vs pinned $pinned")
+  }
+
   test("multi-probe candidates are a superset of exact-bucket candidates") {
     // Hamming-1 probing only ADDS probe keys, so per query the probed
     // neighbor set must contain the exact-bucket one — recall can only
