@@ -518,6 +518,32 @@ object Assets {
     upsertAssets(state, batch)
   }
 
+  /** [[assetUpsert]] THROUGH THE CONNECTOR WRITE PATH — the
+    * registered twin proving the ES-shaped sink end to end: the state
+    * bulk publishes a fresh index
+    * ([[graft.sources.EsShapedSink.publish]], template bootstrapped at
+    * writer construction), the batch bulk upserts EAN-keyed
+    * ([[graft.sources.EsShapedSink.upsertInto]] — the `es_client.ts:
+    * 29-31` boundary), and the returned frame is the index read BACK
+    * through the connector. Hash-checked against the same DuckDB
+    * oracle as [[assetUpsert]]: the write/read round trip must be
+    * invisible.
+    */
+  def assetUpsertEs(spark: SparkSession, dir: String): DataFrame = {
+    val sig = Tables.signals(spark, dir)
+    val bound = Tables.maxBound(sig, "ts")
+    val state = AssetSchema.conform(serviceAssetProjection(
+      collapsedServiceSignalsFrom(sig, "21 DAY", bound), batchTs))
+    val batch = AssetSchema.conform(serviceAssetProjection(
+      collapsedServiceSignalsFrom(sig, "7 DAY", bound),
+      lit(BatchTs2).cast("timestamp")))
+    val path = java.nio.file.Files.createTempDirectory("graft-es-upsert")
+      .toString + "/index"
+    graft.sources.EsShapedSink.publish(state, path)
+    graft.sources.EsShapedSink.upsertInto(batch, path, "asset_ean")
+    graft.sources.EsShapedSink.read(spark, path)
+  }
+
   /** Union of two serialized edge sets (null/'' = empty), re-canonical-
     * ized: sorted, deduped, capped. The merge form of [[edgeList]].
     */

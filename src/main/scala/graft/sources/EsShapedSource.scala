@@ -93,13 +93,19 @@ final class EsShapedSource extends TableProvider
 }
 
 private final class EsShapedTable(tableSchema: StructType,
-    paths: Seq[String]) extends Table with SupportsRead {
+    paths: Seq[String]) extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"es-shaped(${paths.mkString(",")})"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new EsShapedScanBuilder(tableSchema, paths)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new EsShapedWriteBuilder(paths, info)
 }
 
 private final class EsShapedScanBuilder(tableSchema: StructType,
@@ -335,20 +341,133 @@ private[graft] object EsShaped {
     try f(r) finally r.close()
   }
 
-  /** A path entry may be a parquet FILE or a DIRECTORY of part files
-    * (how Spark writes a table): directories expand to their data
-    * files (deterministic name order), skipping `_SUCCESS`/hidden
-    * entries. An empty directory contributes nothing.
+  /** A path entry may be a parquet FILE, a DIRECTORY of part files
+    * (how Spark writes a table), or a CONNECTOR-WRITTEN INDEX (a
+    * `_latest` pointer naming the live `gen-N/` snapshot — only the
+    * published generation's files are visible; staged or aborted
+    * generations are unreferenced by construction). Plain directories
+    * expand to their data files (deterministic name order), skipping
+    * `_SUCCESS`/hidden entries. An empty directory contributes
+    * nothing.
     */
   def dataFiles(path: String, conf: Configuration): Seq[String] = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val st = fs.getFileStatus(p)
     if (!st.isDirectory) Seq(path)
-    else fs.listStatus(p).toSeq
-      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
-        !s.getPath.getName.startsWith("."))
-      .map(_.getPath.toString).sorted
+    else liveGeneration(path, conf) match {
+      case Some(gen) =>
+        dataFiles(new Path(p, EsShapedSink.genDirName(gen)).toString, conf)
+      case None =>
+        fs.listStatus(p).toSeq
+          .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+            !s.getPath.getName.startsWith("."))
+          .map(_.getPath.toString).sorted
+    }
+  }
+
+  // --- Write-protocol helpers (shared with EsShapedSink) ---------------
+
+  /** The published generation of a connector-written index, None for a
+    * plain directory / empty index.
+    */
+  def liveGeneration(path: String, conf: Configuration): Option[Int] = {
+    val p = new Path(path, EsShapedSink.LatestPointer)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val s = new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        Some(s.toInt)
+      } finally in.close()
+    }
+  }
+
+  /** Next free generation number: max over existing `gen-N` dirs + 1
+    * (deterministic — never wall-clock; single-writer by contract).
+    */
+  def nextGeneration(path: String, conf: Configuration): Int = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) 1
+    else {
+      val gens = fs.listStatus(p).toSeq
+        .filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .collect { case n if n.startsWith("gen-") => n.drop(4).toInt }
+      if (gens.isEmpty) 1 else gens.max + 1
+    }
+  }
+
+  /** Swap the `_latest` pointer to `gen` — the publish step readers
+    * key on (one small-file create; the narrow replace window is the
+    * documented single-writer trade, like every pointer-file format).
+    */
+  def publishGeneration(path: String, gen: Int, conf: Configuration): Unit = {
+    val p = new Path(path, EsShapedSink.LatestPointer)
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(p, true)
+    try out.write(gen.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Index bootstrap at WRITER CONSTRUCTION: the directory plus the
+    * reference's index-template request body
+    * ([[AssetSink.indexTemplateJson]], `es_client.ts:48`) — installed
+    * once, before any document lands.
+    */
+  def bootstrapIndex(path: String, conf: Configuration): Unit = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) { fs.mkdirs(dir); () }
+    val tpl = new Path(dir, EsShapedSink.TemplateFile)
+    if (!fs.exists(tpl)) {
+      val out = fs.create(tpl, false)
+      try out.write(AssetSink.indexTemplateJson
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
+  /** Inverse of [[sparkSchema]]: the parquet MessageType the writer
+    * emits (all-optional fields; timestamps as INT64 MICROS per
+    * `isAdjustedToUTC`; lists in the standard 3-level shape the reader
+    * and Spark's own source both understand).
+    */
+  def parquetSchema(schema: StructType,
+      name: String = "es_shaped"): MessageType = {
+    import org.apache.parquet.schema.Types
+    def prim(dt: DataType)
+        : org.apache.parquet.schema.Types.PrimitiveBuilder[org.apache.parquet.schema.PrimitiveType] =
+      dt match {
+        case LongType => Types.optional(INT64)
+        case IntegerType => Types.optional(INT32)
+        case DoubleType => Types.optional(DOUBLE)
+        case FloatType => Types.optional(FLOAT)
+        case BooleanType => Types.optional(BOOLEAN)
+        case StringType => Types.optional(BINARY)
+          .as(LogicalTypeAnnotation.stringType())
+        case TimestampType => Types.optional(INT64)
+          .as(LogicalTypeAnnotation.timestampType(true, TimeUnit.MICROS))
+        case TimestampNTZType => Types.optional(INT64)
+          .as(LogicalTypeAnnotation.timestampType(false, TimeUnit.MICROS))
+        case other => throw new UnsupportedOperationException(
+          s"es-shaped write: unsupported type $other")
+      }
+    val b = Types.buildMessage()
+    schema.fields.foreach { f =>
+      f.dataType match {
+        case ArrayType(et, _) =>
+          b.addField(Types.optionalList()
+            .element(prim(et).named("element"))
+            .named(f.name))
+        case dt => b.addField(prim(dt).named(f.name))
+      }
+    }
+    b.named(name)
   }
 
   /** DataFrameReader.load(paths) hands a V2 provider either a single

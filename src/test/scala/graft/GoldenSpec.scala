@@ -77,6 +77,7 @@ class GoldenSpec extends SparkSpec {
     */
   private val goldenAll: Map[String, (Long, Long)] = Map(
     "asset_upsert" -> ((8010462128702647026L, 15L)),
+    "asset_upsert_es" -> ((8010462128702647026L, 15L)),
     "asset_upsert_merge" -> ((-3004150665218048343L, 2L)),
     "assets_all" -> ((-5854953335152341251L, 23L)),
     "container_graph" -> ((-2831489459478681088L, 2L)),
