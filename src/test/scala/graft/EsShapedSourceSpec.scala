@@ -193,4 +193,40 @@ class EsShapedSourceSpec extends SparkSpec {
     // connector join SMJ at the planner's eyes)
     assert(full < BigInt(Long.MaxValue) / 4)
   }
+
+  test("pushed filter flips the join strategy: CBO broadcasts the pruned connector read") {
+    // 4 disjoint row groups; a top-of-range filter prunes 3 of them
+    val dir = Files.createTempDirectory("es-cbo").toString
+    import spark.implicits._
+    (0L until 4000L).map(i => (i, s"s-${i % 7}", i.toDouble))
+      .toDF("id", "tag", "v")
+      .coalesce(1).sortWithinPartitions("id")
+      .write.option("parquet.block.size", "4096").parquet(s"$dir/t.parquet")
+    val file = new java.io.File(s"$dir/t.parquet").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.getPath
+    def sizeOf(df: DataFrame): BigInt =
+      df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val fullSize = sizeOf(viaEs(file))
+    val prunedSize = sizeOf(viaEs(file).where(col("id") >= 3900L))
+    assert(prunedSize < fullSize, s"$prunedSize !< $fullSize")
+    // a threshold BETWEEN the pruned and full estimates: only the
+    // estimateStatistics row-group arithmetic can earn the broadcast
+    val threshold = (prunedSize + fullSize) / 2
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold.toString)
+      // other side: well above the threshold, never the build side
+      val other = spark.range(threshold.toLong) // 8 bytes/row > threshold
+        .select(col("id"), (col("id") % 7).as("w"))
+      def joinPlan(left: DataFrame): String =
+        left.join(other, Seq("id")).queryExecution.sparkPlan.toString
+      val unfiltered = joinPlan(viaEs(file))
+      val filtered = joinPlan(viaEs(file).where(col("id") >= 3900L))
+      assert(unfiltered.contains("SortMergeJoin") &&
+        !unfiltered.contains("BroadcastHashJoin"),
+        s"unfiltered should exceed the threshold:\n${unfiltered.take(900)}")
+      assert(filtered.contains("BroadcastHashJoin"),
+        s"pruned read should broadcast:\n${filtered.take(900)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
