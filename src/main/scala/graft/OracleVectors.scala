@@ -201,6 +201,87 @@ object OracleVectors {
        |SELECT query_id, neighbor_id, "rank", sim FROM ranked WHERE "rank" <= $k""".stripMargin
   }
 
+  /** Mirror of VectorOps.autoBandBits as a 1-row CTE: the integer
+    * bit-length form of ⌈log2(N·nBands/c)⌉ — `length(bin(x-1))`
+    * (minimal binary string), clamped to [BandBits, MaxAutoBandBits].
+    * No libm log enters either engine.
+    */
+  private lazy val bandDialCte: String = {
+    val nb = VectorOps.NumBands
+    val c = VectorOps.LshCandPerVec
+    s"""bdial AS (
+       |  SELECT LEAST(${VectorOps.MaxAutoBandBits},
+       |    GREATEST(${VectorOps.BandBits},
+       |      CASE WHEN x <= 1 THEN 1
+       |           ELSE CAST(length(bin(x - 1)) AS BIGINT) END)) AS bb
+       |  FROM (SELECT GREATEST(CAST(1 AS BIGINT),
+       |      (count(*) * $nb) // $c) AS x FROM embeddings) t
+       |)""".stripMargin
+  }
+
+  /** Mirror of VectorOps.lshAutoDial. */
+  lazy val lshAutoDial: String =
+    s"""WITH $bandDialCte
+       |SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_vectors,
+       |  bb AS band_bits, ${VectorOps.NumBands} * bb AS num_planes
+       |FROM bdial""".stripMargin
+
+  /** Mirror of VectorOps.knnLshAuto: the 192-plane code (prefix-stable
+    * plane generator, so the first 8·bb bits equal the 8·bb-plane
+    * code), bands sliced at the DERIVED width, Hamming-1 multi-probe
+    * at that width (probeKeys with the scalar bb), then knnLsh's
+    * candidate join / exact-cosine chain verbatim.
+    */
+  lazy val knnLshAuto: String =
+    s"""WITH $baseCte, $bandDialCte,
+       |${codeCte(VectorOps.NumBands * VectorOps.MaxAutoBandBits)},
+       |bands AS (
+       |  SELECT vec_id,
+       |    b.b AS band_idx,
+       |    substring(code, CAST(b.b * d.bb + 1 AS INT), CAST(d.bb AS INT)) AS band_key
+       |  FROM coded
+       |  CROSS JOIN bdial d
+       |  CROSS JOIN (SELECT unnest(range(${VectorOps.NumBands})) AS b) b
+       |),
+       |qprobes AS (
+       |  SELECT vec_id, band_idx, unnest(
+       |    list_concat([band_key], list_transform(range(1, d.bb + 1), i ->
+       |      substring(band_key, 1, CAST(i - 1 AS INT)) ||
+       |      (CASE WHEN substring(band_key, CAST(i AS INT), 1) = '1'
+       |            THEN '0' ELSE '1' END) ||
+       |      substring(band_key, CAST(i + 1 AS INT), CAST(d.bb - i AS INT))))
+       |  ) AS band_key
+       |  FROM bands, bdial d WHERE vec_id % $qm = 0
+       |),
+       |candidates AS (
+       |  SELECT DISTINCT qb.vec_id AS query_id, db.vec_id AS neighbor_id
+       |  FROM bands db JOIN qprobes qb USING (band_idx, band_key)
+       |  WHERE db.vec_id <> qb.vec_id
+       |),
+       |sims AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    ${dot("db.embedding", "qb.embedding")} / (sqrt(db.nrm) * sqrt(qb.nrm)) AS sim
+       |  FROM candidates c
+       |  JOIN base db ON db.vec_id = c.neighbor_id
+       |  JOIN base qb ON qb.vec_id = c.query_id
+       |),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS "rank"
+       |  FROM sims
+       |)
+       |SELECT query_id, neighbor_id, "rank", sim FROM ranked WHERE "rank" <= $k""".stripMargin
+
+  /** Mirror of VectorOps.lshAutoRecall. */
+  lazy val lshAutoRecall: String =
+    s"""SELECT e.query_id,
+       |  CAST(count(l."rank") AS DOUBLE) / $k AS recall_at_k,
+       |  count(*) AS n_exact
+       |FROM ($knnExact) e
+       |LEFT JOIN ($knnLshAuto) l
+       |  ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
+       |GROUP BY e.query_id""".stripMargin
+
   /** Mirror of VectorOps.dedupEmbedding: all-vector band self-join,
     * exact cosine on candidates, thresholded.
     */

@@ -952,6 +952,66 @@ object VectorOps {
         count(lit(1)).as("n_exact"))
   }
 
+  /** Per-vector candidate budget `c` in the banding rule the
+    * [[NumPlanes]] Scaladoc names (`bandBits ≈ log2(N·nBands/c)`) —
+    * at a fixed budget, band entropy must grow with the corpus or
+    * collisions (and the exact-cosine verify behind them) grow
+    * linearly.
+    */
+  val LshCandPerVec = 16
+
+  /** bandBits cap for the auto-sized LSH (8 bands × 24 bits = 192
+    * planes — the "real deployments run bandBits 16–24" ceiling the
+    * banding note documents).
+    */
+  val MaxAutoBandBits = 24
+
+  /** The banding rule IMPLEMENTED: `bandBits = clamp(⌈log2(N·nBands/
+    * c)⌉, [[BandBits]], [[MaxAutoBandBits]])` — computed as integer
+    * BIT-LENGTH (no libm log ever enters a plan; DuckDB mirrors with
+    * `length(bin(x-1))`), so both engines derive the identical dial.
+    */
+  private[graft] def autoBandBits(n: Long): Int = {
+    val x = math.max(1L, n * NumBands / LshCandPerVec)
+    val ceilLog2 =
+      if (x <= 1L) 1 else 64 - java.lang.Long.numberOfLeadingZeros(x - 1)
+    math.min(MaxAutoBandBits, math.max(BandBits, ceilLog2))
+  }
+
+  /** The chosen LSH dial as a 1-row gauge — the [[ivfAutoDial]]
+    * convention for the banding family.
+    */
+  def lshAutoDial(spark: SparkSession, dir: String): DataFrame = {
+    val n = corpusCount(spark, dir)
+    val bb = autoBandBits(n)
+    import spark.implicits._
+    Seq((n, bb.toLong, (NumBands * bb).toLong))
+      .toDF("n_vectors", "band_bits", "num_planes")
+  }
+
+  /** [[knnLsh]] at the AUTO-SIZED band entropy: same [[NumBands]]
+    * bands (the recall lever), each `autoBandBits` wide, so per-band
+    * bucket population stays ~[[LshCandPerVec]] as N grows instead of
+    * the pinned dial's N/2^8 — WITH Hamming-1 multi-probe on (the
+    * compensation lever wide bands need: bb+1 probed keys per band,
+    * still bucket-bounded). [[lshAutoRecall]] prices the trade.
+    */
+  def knnLshAuto(spark: SparkSession, dir: String): DataFrame = {
+    val bb = autoBandBits(corpusCount(spark, dir))
+    knnLsh(spark, dir, numPlanes = NumBands * bb, bandBits = bb, probeBits = 1)
+  }
+
+  /** Recall@K of the auto-banded LSH against the exact baseline. */
+  def lshAutoRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = knnExact(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val approx = knnLshAuto(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg((count(col("hit")).cast("double") / K).as("recall_at_k"),
+        count(lit(1)).as("n_exact"))
+  }
+
   /** The `nprobe` nearest trained centroids for each QUERY vector
     * only — the probe set of the IVF searches, computed on the query
     * subset (filtering before scoring: the old form scored the whole

@@ -183,6 +183,9 @@ class GoldenSpec extends SparkSpec {
     "emb_knn_topk" -> ((5382587561670919428L, 50L)),
     "emb_knn_ivf" -> ((555602589019831830L, 50L)),
     "emb_knn_ivf_auto" -> ((-5512884324186665665L, 50L)),
+    "emb_knn_lsh_auto" -> ((9153710021167828661L, 50L)),
+    "emb_lsh_auto_dial" -> ((-6754817267797758640L, 1L)),
+    "emb_lsh_auto_recall" -> ((-3384436044905051576L, 5L)),
     "emb_ivf_auto_dial" -> ((-5458218611622863640L, 1L)),
     "emb_ivf_auto_recall" -> ((4656834636166886090L, 5L)),
     "emb_knn_lsh" -> ((-7206143283623543429L, 50L)),

@@ -136,6 +136,23 @@ class VectorOpsSpec extends SparkSpec {
       s"auto recall $auto collapsed vs pinned $pinned")
   }
 
+  test("auto-banded LSH: bit-length dial rule, recall does not lose to the pinned band") {
+    // ⌈log2(N·nBands/c)⌉ via bit-length, clamped — pure integer math
+    assert(VectorOps.autoBandBits(500L) === VectorOps.BandBits) // floor
+    assert(VectorOps.autoBandBits(20000L) === 14) // ceil(log2(10000))
+    assert(VectorOps.autoBandBits(1L << 50) === VectorOps.MaxAutoBandBits)
+    val d = VectorOps.lshAutoDial(spark, sfDir).head()
+    assert(d.getLong(2) === VectorOps.NumBands.toLong * d.getLong(1))
+    // with multi-probe on, the auto dial must not lose to the pinned
+    // single-probe band at the same corpus
+    val auto = VectorOps.lshAutoRecall(spark, sfDir)
+      .agg(avg(col("recall_at_k"))).head().getDouble(0)
+    val pinned = VectorOps.lshRecall(spark, sfDir)
+      .agg(avg(col("recall_at_k"))).head().getDouble(0)
+    assert(auto > 0.0 && auto <= 1.0)
+    assert(auto >= pinned - 0.1, s"auto $auto collapsed vs pinned $pinned")
+  }
+
   test("multi-probe candidates are a superset of exact-bucket candidates") {
     // Hamming-1 probing only ADDS probe keys, so per query the probed
     // neighbor set must contain the exact-bucket one — recall can only
