@@ -87,7 +87,7 @@ object StreamingDsl {
       storePath: String, checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     StreamingVectors.embeddingStream(spark, embsPath)
-      .select(col("vec_id"), col("embedding"))
+      .select(col("vec_id"), col("embedding"), col("label"))
       .writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
@@ -107,10 +107,27 @@ object StreamingDsl {
     val docs = spark.read.parquet(s"$storePath/docs")
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         col("n_chars"))
-    val embs = spark.read.parquet(s"$storePath/embs")
-      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val vecs = spark.read.parquet(s"$storePath/embs")
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val embs = vecs.select(col("vec_id").as("doc_id"), col("embedding"))
+    // the ANN index trained from the DRAINED store — decimal-exact
+    // means are accumulation-order-independent and assignBatch shares
+    // ivfAssign's math, so the served index equals the batch-trained
+    // one row for row and a `num_candidates` hybrid request serves
+    // bit-equal to the batch compile (StreamingDslSpec pins it); the
+    // refresh cadence at scale is StreamingVectors' codebook-version
+    // protocol
+    val codebook = graft.operators.VectorOps.codebookFromMeans(
+      graft.operators.VectorOps.trainMeans(vecs,
+        graft.operators.VectorOps.NList)).localCheckpoint()
+    val assignments = StreamingVectors.assignBatch(vecs, codebook)
+      .select(col("vec_id"), col("assigned_label"))
     Env(
       indices = Map("hybrid-*" -> docs.join(embs, Seq("doc_id"))),
-      mapping = DslQueries.HybridMapping)
+      mapping = DslQueries.HybridMapping,
+      ann = Some(graft.plans.QueryDsl.AnnIndex(
+        assignments = assignments,
+        centroids = codebook,
+        nlist = graft.operators.VectorOps.NList)))
   }
 }

@@ -120,7 +120,7 @@ class StreamingDslSpec extends SparkSpec {
     // the vec side's ranks (and so the fused RRF order) must shift —
     // the overwrite discipline is load-bearing on BOTH slices
     val emb0Src = spark.read.parquet(s"$store/embs/batch_id=0")
-      .select(col("vec_id"), col("embedding"))
+      .select(col("vec_id"), col("embedding"), col("label"))
     val emb0 = spark.createDataFrame(
       spark.sparkContext.parallelize(emb0Src.collect().toSeq),
       emb0Src.schema)
@@ -128,6 +128,18 @@ class StreamingDslSpec extends SparkSpec {
     assert(rows(QueryDsl.search(
       StreamingDsl.servedHybridEnv(spark, store), DslQueries.HybridBody))
       === want, "same-id embedding replay changed the served hybrid")
+
+    // the APPROXIMATE hybrid (num_candidates → the IVF candidate walk)
+    // serves bit-equal too: the served env's index trains from the
+    // drained store — decimal-exact means are accumulation-order-
+    // independent, so the streamed index equals the batch-trained one
+    val gotApprox = rows(QueryDsl.search(
+      StreamingDsl.servedHybridEnv(spark, store), DslQueries.HybridApproxBody))
+    val wantApprox = rows(QueryDsl.search(
+      DslQueries.hybridEnv(spark, sfDir), DslQueries.HybridApproxBody))
+    assert(gotApprox === wantApprox, "served approx hybrid diverged from batch")
+    assert(gotApprox.nonEmpty)
+
     StreamingDsl.writeEmbBatch(emb0, 99L, store)
     assert(rows(QueryDsl.search(
       StreamingDsl.servedHybridEnv(spark, store), DslQueries.HybridBody))
