@@ -3,6 +3,13 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.{col, expr, xxhash64}
 import java.nio.file.{Files, Paths}
 object Bench {
+
+  /** Canary pre-instability above which the artifact self-disqualifies
+    * (stamped `"contaminated":true`): the repo bench-noise discipline's
+    * rerun threshold, now enforced by the writer itself.
+    */
+  val ContaminationLimit = 1.5
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -108,7 +115,19 @@ object Bench {
         val drift = BenchSanity.drift(preS, postS)
         System.err.println(
           s"[bench] canary post: instability ${fmt(post, 2)}, drift ${fmt(drift, 2)}")
-        s""""canary":{"pre":${fmt(pre, 2)},"post":${fmt(post, 2)},"drift":${fmt(drift, 2)}}"""
+        // the repo's own bench-noise rule, ENFORCED at the artifact: a
+        // pre-instability over 1.5 means the warmup ran on a loaded box
+        // and the numbers are not the plans' — the r15 committed bench
+        // (pre 4.94, shipped anyway) is the saga this stamp ends. A
+        // stamped artifact is self-disqualifying: rerun on an idle box
+        // instead of judging its tails.
+        val contaminated =
+          if (pre > ContaminationLimit) {
+            System.err.println(s"[bench] canary pre ${fmt(pre, 2)} > " +
+              s"$ContaminationLimit: artifact stamped CONTAMINATED — rerun on an idle box")
+            """"contaminated":true,"""
+          } else ""
+        s""""canary":{$contaminated"pre":${fmt(pre, 2)},"post":${fmt(post, 2)},"drift":${fmt(drift, 2)}}"""
       case _ =>
         // a failed probe must read as UNGUARDED, never as clean
         """"canary":{"failed":true}"""

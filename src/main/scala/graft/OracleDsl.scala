@@ -72,6 +72,37 @@ object OracleDsl {
        |       orchestrator_cluster_name, cloud_provider
        |FROM collapsed WHERE rn <= 2""".stripMargin
 
+  /** Mirror of DslQueries.CollapseInnerSizeBody: the same collapse
+    * window, the top-level `size` counted in COLLAPSED groups — the 3
+    * newest rank-1 hits pick the surviving pods, their rn ≤ 2 inner
+    * rows come along.
+    */
+  val dslCollapseInnerSize: String =
+    s"""WITH ${OracleAssets.signalsCteFrom(
+            "(SELECT * FROM events UNION ALL SELECT * FROM events)")},
+       |filtered AS (
+       |  SELECT * FROM signals, mx
+       |  WHERE ts >= m - INTERVAL 21 DAY
+       |    AND kubernetes_pod_uid IS NOT NULL
+       |    AND kubernetes_node_name IS NOT NULL
+       |),
+       |collapsed AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY kubernetes_pod_uid
+       |    ORDER BY ts DESC, event_id DESC) AS rn
+       |  FROM filtered
+       |),
+       |top_groups AS (
+       |  SELECT kubernetes_pod_uid FROM collapsed WHERE rn = 1
+       |  ORDER BY ts DESC, event_id DESC LIMIT 3
+       |)
+       |SELECT event_id, CAST(rn AS BIGINT) AS hit_rank, ts,
+       |       kubernetes_pod_uid, kubernetes_node_name,
+       |       orchestrator_cluster_name, cloud_provider
+       |FROM collapsed
+       |WHERE rn <= 2 AND kubernetes_pod_uid IN
+       |  (SELECT kubernetes_pod_uid FROM top_groups)""".stripMargin
+
   /** Mirror of DslQueries.MatchBody: `match` = OR of token membership
     * (whitespace analysis), `match_phrase` = padded-text adjacency.
     */
@@ -865,13 +896,14 @@ object OracleDsl {
   }
 
   /** Mirror of DslQueries.HybridApproxBody: [[dslHybrid]] with the
-    * vec_top CTE swapped for the trained-IVF candidate walk
-    * (OracleVectors.knnCandidateWalk at k=20 — the knn clause's `k`,
-    * which is also the rank window) — the lex tower, fusion, cut, and
-    * field join are byte-identical to the exact twin's.
+    * vec_top CTE swapped for the AUTO-SIZED trained-IVF candidate
+    * walk (OracleVectors.knnCandidateWalkAuto at k=20 — the knn
+    * clause's `k`, which is also the rank window) — the lex tower,
+    * fusion, cut, and field join are byte-identical to the exact
+    * twin's.
     */
   val dslHybridApprox: String = {
-    val walk = OracleVectors.knnCandidateWalk(
+    val walk = OracleVectors.knnCandidateWalkAuto(
       DslQueries.KnnVector, 20, DslQueries.KnnNumCandidates)
     s"""WITH ${fieldScoreCtes("h", "text", Seq("spark", "join", "window"))},
        |vec_top AS (
@@ -938,10 +970,11 @@ object OracleDsl {
   }
 
   /** Mirror of DslQueries.KnnApproxBody — the compiled approximate knn
-    * (`num_candidates`) via the trained-IVF candidate walk
-    * (OracleVectors.knnCandidateWalk carries the whole index mirror).
+    * (`num_candidates`) via the AUTO-SIZED trained-IVF candidate walk
+    * (OracleVectors.knnCandidateWalkAuto carries the whole index
+    * mirror, dials from count(*)).
     */
-  val dslKnnApprox: String = OracleVectors.knnCandidateWalk(
+  val dslKnnApprox: String = OracleVectors.knnCandidateWalkAuto(
     DslQueries.KnnVector, 10, DslQueries.KnnNumCandidates)
 
   /** Mirror of DslQueries.dslKnnApproxRecall: recall@10 of the

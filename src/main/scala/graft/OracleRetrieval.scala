@@ -15,10 +15,11 @@ object OracleRetrieval {
   val hybridRrf: String = hybridRrfWith(OracleVectors.knnExact)
 
   /** Mirror of Retrieval.hybridRrfAnn: identical lex tower and fusion,
-    * the vector ranks from the trained-IVF mirror instead of the
-    * exact scan.
+    * the vector ranks from the AUTO-SIZED trained-IVF mirror (dial
+    * CTEs derive nlist/nprobe from count(*)) instead of the exact
+    * scan.
     */
-  val hybridRrfAnn: String = hybridRrfWith(OracleVectors.knnIvf())
+  val hybridRrfAnn: String = hybridRrfWith(OracleVectors.knnIvfAuto)
 
   /** Mirror of Retrieval.hybridRrfAnnRecall: per-query overlap@K of
     * the ANN-served hybrid page against the exact-vector hybrid page.
@@ -40,7 +41,18 @@ object OracleRetrieval {
   /** The hybrid chain over an injectable (query_id, neighbor_id,
     * "rank") vector-ranking subquery.
     */
-  private def hybridRrfWith(vecSql: String): String = {
+  /** Mirror of Retrieval.hybridRrfServing: both towers restricted to
+    * the FIXED [[Retrieval.ServingQMax]]-bounded query page — the
+    * fixture whose bench ratio isolates corpus growth from query-set
+    * growth.
+    */
+  lazy val hybridRrfServing: String = hybridRrfWith(
+    OracleVectors.knnIvfAutoQueries(c =>
+      s"$c % ${VectorOps.QueryMod} = 0 AND $c < ${Retrieval.ServingQMax}"),
+    qdocExtra = s"AND doc_id < ${Retrieval.ServingQMax}")
+
+  private def hybridRrfWith(vecSql: String,
+      qdocExtra: String = ""): String = {
     val qm = VectorOps.QueryMod
     val grid = 1099511627776L
     val k = Retrieval.RrfK
@@ -48,7 +60,7 @@ object OracleRetrieval {
       s"""q AS (
          |  SELECT doc_id AS query_id, word AS term
          |  FROM (${OracleText.tfidf}) t
-         |  WHERE doc_id % $qm = 0
+         |  WHERE doc_id % $qm = 0 $qdocExtra
          |)""".stripMargin
     s"""WITH lex AS (
        |  SELECT query_id, doc_id, "rank" AS lex_rank

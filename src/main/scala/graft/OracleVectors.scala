@@ -504,7 +504,13 @@ object OracleVectors {
     * full-corpus assignment, dial-width probes, candidate equi-join,
     * exact cosine top-k — knnIvf's chain on the derived dials.
     */
-  lazy val knnIvfAuto: String =
+  lazy val knnIvfAuto: String = knnIvfAutoQueries(c => s"$c % $qm = 0")
+
+  /** [[knnIvfAuto]] over an arbitrary query-id predicate (given the
+    * qualified vec_id column ref) — the fixed-|Q| serving fixture's
+    * mirror seam.
+    */
+  def knnIvfAutoQueries(qpred: String => String): String =
     s"""WITH $baseCte, $dialCtes,
        |$centroidsAutoCte,
        |$centroidSimsCtes,
@@ -515,7 +521,7 @@ object OracleVectors {
        |probes AS (
        |  SELECT c.vec_id AS query_id, c.c_label AS assigned_label
        |  FROM cranked c, dial2 d
-       |  WHERE c.vec_id % $qm = 0 AND c.rn <= d.np
+       |  WHERE ${qpred("c.vec_id")} AND c.rn <= d.np
        |),
        |candidates AS (
        |  SELECT p.query_id, a.neighbor_id
@@ -524,7 +530,7 @@ object OracleVectors {
        |),
        |qset AS (
        |  SELECT vec_id AS query_id, embedding AS qv, nrm AS qnrm
-       |  FROM base WHERE vec_id % $qm = 0
+       |  FROM base WHERE ${qpred("vec_id")}
        |),
        |sims AS (
        |  SELECT c.query_id, c.neighbor_id,
@@ -807,6 +813,55 @@ object OracleVectors {
       nlist: Int = VectorOps.NList): String = {
     val qvArr = qv.map(d => s"CAST($d AS DOUBLE)").mkString("[", ", ", "]")
     s"""WITH $baseCte, ${centroidsCte(nlist)},
+       |$centroidSimsCtes,
+       |assignments AS (
+       |  SELECT vec_id AS neighbor_id, c_label AS assigned_label
+       |  FROM cranked WHERE rn = 1
+       |),
+       |sizes AS (
+       |  SELECT assigned_label, count(*) AS cnt
+       |  FROM assignments GROUP BY assigned_label
+       |),
+       |qvec AS (SELECT $qvArr AS v),
+       |qsims AS (
+       |  SELECT c.c_label AS assigned_label,
+       |    ${dot("c.centroid", "q.v")} / (sqrt(c.cnrm)
+       |      * sqrt(${dot("q.v", "q.v")})) AS csim
+       |  FROM cnorm c, qvec q
+       |),
+       |walk AS (
+       |  SELECT assigned_label FROM (
+       |    SELECT s.assigned_label, s.cnt,
+       |      sum(s.cnt) OVER (ORDER BY qs.csim DESC, qs.assigned_label ASC
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |    FROM qsims qs JOIN sizes s USING (assigned_label))
+       |  WHERE cum - cnt < $nc
+       |),
+       |cands AS (
+       |  SELECT a.neighbor_id
+       |  FROM assignments a JOIN walk w USING (assigned_label)
+       |)
+       |SELECT b.vec_id,
+       |  ${dot("b.embedding", "q.v")} / (sqrt(${dot("b.embedding", "b.embedding")})
+       |    * sqrt(${dot("q.v", "q.v")})) AS score
+       |FROM base b JOIN cands c ON c.neighbor_id = b.vec_id, qvec q
+       |ORDER BY score DESC, vec_id ASC
+       |LIMIT $k""".stripMargin
+  }
+
+  /** [[knnCandidateWalk]] over the AUTO-SIZED index mirror: the dial
+    * CTEs derive nlist from count(*) and the codebook comes from the
+    * sample-seeded auto training loop ([[knnIvfAuto]]'s device) — the
+    * mirror of a DSL env built on [[graft.operators.VectorOps
+    * .ivfAssignAuto]]/[[graft.operators.VectorOps
+    * .centroidVectorsAuto]]. The walk itself is unchanged: cells in
+    * query-similarity order until the running list total reaches
+    * `nc`, exact cosine over the survivors.
+    */
+  def knnCandidateWalkAuto(qv: Seq[Double], k: Int, nc: Int): String = {
+    val qvArr = qv.map(d => s"CAST($d AS DOUBLE)").mkString("[", ", ", "]")
+    s"""WITH $baseCte, $dialCtes,
+       |$centroidsAutoCte,
        |$centroidSimsCtes,
        |assignments AS (
        |  SELECT vec_id AS neighbor_id, c_label AS assigned_label

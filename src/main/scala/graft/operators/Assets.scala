@@ -530,19 +530,37 @@ object Assets {
     * invisible.
     */
   def assetUpsertEs(spark: SparkSession, dir: String): DataFrame = {
-    val sig = Tables.signals(spark, dir)
-    val bound = Tables.maxBound(sig, "ts")
-    val state = AssetSchema.conform(serviceAssetProjection(
-      collapsedServiceSignalsFrom(sig, "21 DAY", bound), batchTs))
-    val batch = AssetSchema.conform(serviceAssetProjection(
-      collapsedServiceSignalsFrom(sig, "7 DAY", bound),
-      lit(BatchTs2).cast("timestamp")))
-    val path = java.nio.file.Files.createTempDirectory("graft-es-upsert")
-      .toString + "/index"
-    graft.sources.EsShapedSink.publish(state, path)
-    graft.sources.EsShapedSink.upsertInto(batch, path, "asset_ean")
+    // the written index is memoized per fixture dir like every trained
+    // artifact (repeated registry runs would otherwise each leak one
+    // written index), and the temp trees are removed at JVM exit
+    val path = esUpsertIndexCache.computeIfAbsent(dir, _ => {
+      val sig = Tables.signals(spark, dir)
+      val bound = Tables.maxBound(sig, "ts")
+      val state = AssetSchema.conform(serviceAssetProjection(
+        collapsedServiceSignalsFrom(sig, "21 DAY", bound), batchTs))
+      val batch = AssetSchema.conform(serviceAssetProjection(
+        collapsedServiceSignalsFrom(sig, "7 DAY", bound),
+        lit(BatchTs2).cast("timestamp")))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-es-upsert")
+      val p = tmp.toString + "/index"
+      graft.sources.EsShapedSink.publish(state, p)
+      graft.sources.EsShapedSink.upsertInto(batch, p, "asset_ean")
+      p
+    })
     graft.sources.EsShapedSink.read(spark, path)
   }
+
+  private val esUpsertIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    esUpsertIndexCache.values().forEach { p =>
+      val root = new java.io.File(p).getParentFile
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(root)
+    }))
 
   /** Union of two serialized edge sets (null/'' = empty), re-canonical-
     * ized: sorted, deduped, capped. The merge form of [[edgeList]].

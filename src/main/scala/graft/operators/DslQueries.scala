@@ -95,11 +95,13 @@ object DslQueries {
     indices = Map("docs-*" -> Tables.documents(spark, dir)),
     mapping = DocMapping)
 
-  /** Embeddings-source env (the knn surface). Carries the trained IVF
-    * artifacts ([[VectorOps.ivfAssign]] inverted lists +
-    * [[VectorOps.centroidVectors]] codebook, both memoized) so a body
-    * with `num_candidates` can serve the APPROXIMATE path — the env
-    * analog of ES building the ANN structure at index time.
+  /** Embeddings-source env (the knn surface). Carries the AUTO-SIZED
+    * trained IVF artifacts ([[VectorOps.ivfAssignAuto]] inverted
+    * lists + [[VectorOps.centroidVectorsAuto]] codebook, both
+    * memoized) so a body with `num_candidates` serves the APPROXIMATE
+    * path off an index whose nlist grows as √N — the env analog of ES
+    * building the ANN structure at index time, and the dial that
+    * keeps a probe's candidate stream ~√N instead of N/nlist.
     */
   def embEnv(spark: SparkSession, dir: String): Env = Env(
     indices = Map("emb-*" -> Tables.embeddings(spark, dir)),
@@ -108,11 +110,11 @@ object DslQueries {
       idColumn = "vec_id",
       tsFields = Set.empty),
     ann = Some(QueryDsl.AnnIndex(
-      assignments = VectorOps.ivfAssign(spark, dir)
+      assignments = VectorOps.ivfAssignAuto(spark, dir)
         .select(org.apache.spark.sql.functions.col("vec_id"),
           org.apache.spark.sql.functions.col("assigned_label")),
-      centroids = VectorOps.centroidVectors(spark, dir, VectorOps.NList),
-      nlist = VectorOps.NList)))
+      centroids = VectorOps.centroidVectorsAuto(spark, dir),
+      nlist = VectorOps.autoNList(spark, dir))))
 
   // ---------------------------------------------------------------------
   // Registered bodies
@@ -230,6 +232,37 @@ object DslQueries {
 
   def dslCollapseInner(spark: SparkSession, dir: String): DataFrame =
     QueryDsl.drain(signalEnv(spark, dir), CollapseInnerBody)
+
+  /** [[CollapseInnerBody]] with a TOP-LEVEL `size`: ES counts size in
+    * COLLAPSED hits — the 3 newest pods survive (request sort over the
+    * rank-1 hits) and each brings its top-2 inner rows along
+    * (QueryDsl's grouped cut: rank-1 TakeOrdered + broadcast semi-join
+    * of the inner rows).
+    */
+  val CollapseInnerSizeBody: String = s"""{
+    "index": ["$LogsPattern", "$ApmPattern"],
+    "size": 3,
+    "collapse": {
+      "field": "kubernetes.pod.uid",
+      "inner_hits": {"name": "recent", "size": 2}
+    },
+    "sort": [{"@timestamp": "desc"}],
+    "_source": false,
+    "fields": ["@timestamp", "kubernetes.pod.uid", "kubernetes.node.name",
+               "orchestrator.cluster.name", "cloud.provider"],
+    "query": {
+      "bool": {
+        "filter": [{"range": {"@timestamp": {"gte": "now-21d"}}}],
+        "must": [
+          {"exists": {"field": "kubernetes.pod.uid"}},
+          {"exists": {"field": "kubernetes.node.name"}}
+        ]
+      }
+    }
+  }"""
+
+  def dslCollapseInnerSize(spark: SparkSession, dir: String): DataFrame =
+    QueryDsl.search(signalEnv(spark, dir), CollapseInnerSizeBody)
 
   /** Analyzed-text clauses over the documents table: `match` (OR of
     * token membership) + `match_phrase` (token adjacency) in one bool.
@@ -776,16 +809,18 @@ object DslQueries {
     Env(
       indices = Map("hybrid-*" -> docs.join(embs, Seq("doc_id"))),
       mapping = HybridMapping,
-      // the trained IVF artifacts (the embEnv discipline): a hybrid
-      // body whose knn clause carries `num_candidates` serves the
-      // APPROXIMATE path — the vec_id/doc_id spaces are aligned, so
-      // the embeddings-trained index prunes the hybrid index directly
+      // the AUTO-SIZED trained IVF artifacts (the embEnv discipline):
+      // a hybrid body whose knn clause carries `num_candidates` serves
+      // the APPROXIMATE path — the vec_id/doc_id spaces are aligned,
+      // so the embeddings-trained index prunes the hybrid index
+      // directly, and the √N nlist keeps the walk's candidate stream
+      // corpus-sublinear
       ann = Some(QueryDsl.AnnIndex(
-        assignments = VectorOps.ivfAssign(spark, dir)
+        assignments = VectorOps.ivfAssignAuto(spark, dir)
           .select(org.apache.spark.sql.functions.col("vec_id"),
             org.apache.spark.sql.functions.col("assigned_label")),
-        centroids = VectorOps.centroidVectors(spark, dir, VectorOps.NList),
-        nlist = VectorOps.NList)))
+        centroids = VectorOps.centroidVectorsAuto(spark, dir),
+        nlist = VectorOps.autoNList(spark, dir))))
   }
 
   /** The modern ES hybrid-search request: `knn` + `query` fused by

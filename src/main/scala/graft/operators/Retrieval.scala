@@ -181,22 +181,24 @@ object Retrieval {
         .select(col("query_id"), col("neighbor_id").as("doc_id"),
           col("rank").as("vec_rank")))
 
-  /** [[hybridRrf]] with the vector side served by the TRAINED IVF
-    * index ([[VectorOps.knnIvf]] — the `num_candidates` path the DSL
-    * compiler routes) instead of the exact brute-force scan: the lex
+  /** [[hybridRrf]] with the vector side served by the AUTO-SIZED
+    * trained IVF index ([[VectorOps.knnIvfAuto]] — nlist = √N,
+    * nprobe = √nlist) instead of the exact brute-force scan: the lex
     * side is unchanged, the fusion identical, but each query's vector
     * candidates come from a bucket equi-join on the assigned inverted
-    * list (~N·nprobe/nlist rows) rather than a |Q|·N corpus-wide dot
-    * product. This IS the production hybrid shape — ES itself serves
-    * the kNN half of `rank: rrf` through its ANN index — and the
-    * scale fix for the one plan in this family that dies at 100×
-    * (|Q| grows with the corpus, so exact-vec hybrid is quadratic).
+    * list (~√N·nprobe rows per query) rather than a |Q|·N corpus-wide
+    * dot product. This IS the production hybrid shape — ES itself
+    * serves the kNN half of `rank: rrf` through its ANN index — and
+    * the scale fix for the one plan in this family that dies at 100×
+    * (|Q| grows with the corpus, so exact-vec hybrid is quadratic;
+    * a PINNED nlist would make candidates N/nlist, linear again —
+    * the r15 measured regression the auto dial removes).
     * [[hybridRrf]] stays registered as the oracle/gauge twin;
     * [[hybridRrfAnnRecall]] prices the recall the index trades.
     */
   def hybridRrfAnn(spark: SparkSession, dir: String): DataFrame =
     fuseRrf(lexRanks(spark, dir),
-      VectorOps.knnIvf(spark, dir)
+      VectorOps.knnIvfAuto(spark, dir)
         .select(col("query_id"), col("neighbor_id").as("doc_id"),
           col("rank").as("vec_rank")))
 
@@ -216,12 +218,47 @@ object Retrieval {
         count(lit(1)).as("n_exact"))
   }
 
+  /** Query-id bound of the SERVING-SHAPED hybrid fixture: stride ids
+    * BELOW this cap — a fixed page of min(N, cap)/QueryMod queries
+    * (20 at sf0.1 and every larger SF), so the family's bench isolates
+    * corpus growth from query-set growth. The gauge convention
+    * everywhere else (|Q| ∝ N/QueryMod) deliberately grows the query
+    * set with the corpus; a production search tier serves a bounded
+    * request page, which is what this fixture times.
+    */
+  val ServingQMax = 2000L
+
+  /** [[hybridRrfAnn]] with the FIXED query page: both towers serve
+    * only the [[ServingQMax]]-bounded stride queries — the lex tower's
+    * BM25 runs |Q|=20 queries at every bench SF and the vector tower
+    * probes the auto-sized IVF for the same 20, so the measured
+    * sf1/sf0.1 ratio is the per-request serving cost's growth
+    * (~linear in corpus for the candidate streams), not |Q| growth.
+    */
+  def hybridRrfServing(spark: SparkSession, dir: String): DataFrame =
+    fuseRrf(
+      lexRanksFor(spark, dir,
+        col("doc_id") % VectorOps.QueryMod === 0 &&
+          col("doc_id") < ServingQMax),
+      VectorOps.knnIvfAutoQueries(spark, dir,
+        col("vec_id") % VectorOps.QueryMod === 0 &&
+          col("vec_id") < ServingQMax)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank").as("vec_rank")))
+
   /** The shared lexical tower: every stride query doc's top TF-IDF
     * terms, BM25-ranked, self-hit excluded.
     */
-  private def lexRanks(spark: SparkSession, dir: String): DataFrame = {
+  private def lexRanks(spark: SparkSession, dir: String): DataFrame =
+    lexRanksFor(spark, dir, col("doc_id") % VectorOps.QueryMod === 0)
+
+  /** [[lexRanks]] over an arbitrary query-doc predicate (the fixed-|Q|
+    * serving fixture's seam).
+    */
+  private def lexRanksFor(spark: SparkSession, dir: String,
+      qpred: Column): DataFrame = {
     val queries = TextOps.tfidf(spark, dir)
-      .where(col("doc_id") % VectorOps.QueryMod === 0)
+      .where(qpred)
       .select(col("doc_id").as("query_id"), col("word").as("term"))
     TextOps.bm25Ranked(spark, dir, queries, excludeSelf = true)
       .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))

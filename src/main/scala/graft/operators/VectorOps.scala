@@ -878,6 +878,29 @@ object VectorOps {
       .toDF("n_vectors", "nlist", "sample_mod", "nprobe")
   }
 
+  /** The auto nlist for `dir`'s corpus — the dial every SERVING
+    * composition (hybrid operator, DSL `Env.ann`, streaming store)
+    * sizes its index with, so "production" requests ride the same
+    * √N rule the standalone [[knnIvfAuto]] proved out.
+    */
+  private[graft] def autoNList(spark: SparkSession, dir: String): Int =
+    autoDials(corpusCount(spark, dir))._1
+
+  /** The auto-sizing training recipe over an ARBITRARY
+    * (vec_id, label, embedding) relation — the seam the streaming
+    * DSL store's served index trains through, so a drained store
+    * produces the batch-identical codebook: id-stride sample from the
+    * [[TrainPerCell]] budget, round-robin id-group seeding, Lloyd
+    * rounds with decimal-exact means. `n` is the relation's row count
+    * (passed in: the caller owns the count action / its memoization).
+    */
+  private[graft] def centroidVectorsAutoFrom(vecs: DataFrame, n: Long): DataFrame = {
+    val (nlist, m, _) = autoDials(n)
+    val sample = vecs.where(pmod(col("vec_id"), lit(m)) === 0)
+    vectorsFromMeans(trainMeansSeeded(sample,
+      pmod(expr(s"vec_id div CAST($m AS BIGINT)"), lit(nlist.toLong))))
+  }
+
   /** The auto-sized trained codebook: Lloyd rounds over the id-stride
     * sample, seeded by the round-robin id group (labels cannot seed
     * more cells than the label cardinality). Memoized like
@@ -885,12 +908,8 @@ object VectorOps {
     */
   private[graft] def centroidVectorsAuto(spark: SparkSession, dir: String): DataFrame = {
     val n = corpusCount(spark, dir)
-    val (nlist, m, _) = autoDials(n)
     TextOps.memoized(spark, dir, "ivf_auto_centroids") {
-      val sample = Tables.embeddings(spark, dir)
-        .where(pmod(col("vec_id"), lit(m)) === 0)
-      vectorsFromMeans(trainMeansSeeded(sample,
-        pmod(expr(s"vec_id div CAST($m AS BIGINT)"), lit(nlist.toLong))))
+      centroidVectorsAutoFrom(Tables.embeddings(spark, dir), n)
     }
   }
 
@@ -913,12 +932,21 @@ object VectorOps {
     * of the pinned dial (emb_knn_ivf 16× for 10× data) is what this
     * variant removes. [[ivfAutoRecall]] proves the recall holds.
     */
-  def knnIvfAuto(spark: SparkSession, dir: String): DataFrame = {
-    val (nlist, _, nprobe) = autoDials(corpusCount(spark, dir))
+  def knnIvfAuto(spark: SparkSession, dir: String): DataFrame =
+    knnIvfAutoQueries(spark, dir, col("vec_id") % QueryMod === 0)
+
+  /** [[knnIvfAuto]] over an ARBITRARY query-id predicate — the seam
+    * the fixed-|Q| serving fixture ([[Retrieval.hybridRrfServing]])
+    * selects its bounded query page through; the house stride is just
+    * the default predicate.
+    */
+  private[graft] def knnIvfAutoQueries(spark: SparkSession, dir: String,
+      qpred: Column): DataFrame = {
+    val (_, _, nprobe) = autoDials(corpusCount(spark, dir))
     val assignments = ivfAssignAuto(spark, dir)
       .select(col("vec_id").as("neighbor_id"), col("assigned_label"))
     val probes = nearestCentroids(
-      withNorm(spark, dir).where(col("vec_id") % QueryMod === 0),
+      withNorm(spark, dir).where(qpred),
       centroidVectorsAuto(spark, dir), nprobe)
       .select(col("vec_id").as("query_id"), col("c_label").as("assigned_label"))
     val candidates = probes.join(assignments, Seq("assigned_label"))
@@ -929,7 +957,7 @@ object VectorOps {
       .join(base.select(col("vec_id").as("neighbor_id"), col("embedding"), col("nrm")),
         Seq("neighbor_id"))
       .join(broadcast(
-        base.where(col("vec_id") % QueryMod === 0)
+        base.where(qpred)
           .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
             col("nrm").as("qnrm"))),
         Seq("query_id"))

@@ -213,6 +213,7 @@ object QueryDsl {
       case other => fail(s"unsupported search_after: $other")
     }
     var innerHits = false
+    var collapseCol: Option[String] = None
     body \ "collapse" \ "field" match {
       case JString(f) =>
         body \ "collapse" \ "inner_hits" match {
@@ -220,19 +221,27 @@ object QueryDsl {
           case ih =>
             df = collapseInner(env, df, f, sortSpec, ih)
             innerHits = true
+            collapseCol = Some(colName(env, f))
         }
       case JNothing   => ()
       case other      => fail(s"unsupported collapse: $other")
     }
     if (honorSize) body \ "size" match {
-      case JInt(_) if innerHits =>
-        // ES counts `size` in COLLAPSED hits (rank-1 groups) and returns
-        // each group's inner hits alongside; a flat limit over the
-        // hit+inner-hit rows would cut MID-GROUP. Until the grouped cut
-        // is implemented, reject the combination (the suggest-envelope
-        // guard's discipline: fail fast over silently diverging).
-        fail("collapse.inner_hits with a top-level size is not supported: " +
-          "ES sizes collapsed groups, not flattened rows")
+      case JInt(n) if innerHits =>
+        // ES counts `size` in COLLAPSED hits (rank-1 groups) and
+        // returns each surviving group's inner hits alongside; a flat
+        // limit over the hit+inner-hit rows would cut MID-GROUP. So:
+        // TakeOrdered the rank-1 hits under the request sort, then
+        // semi-join the inner rows back on the collapse key — the
+        // ≤size key set broadcasts, so the inner rows never shuffle
+        // for the cut.
+        val key = collapseCol.get
+        val keep = df.where(col("hit_rank") === 1)
+          .orderBy(orderCols(env, sortSpec): _*).limit(n.toInt)
+          .select(col(key))
+        val cols = df.columns.toSeq
+        df = df.join(broadcast(keep), Seq(key), "left_semi")
+          .select(cols.map(col): _*)
       case JInt(n)  => df = df.orderBy(orderCols(env, sortSpec): _*).limit(n.toInt)
       case JNothing => ()
       case other    => fail(s"unsupported size: $other")

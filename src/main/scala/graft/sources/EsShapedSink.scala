@@ -10,7 +10,7 @@ import org.apache.parquet.schema.MessageType
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.write._
-import org.apache.spark.sql.functions.{broadcast, col}
+import org.apache.spark.sql.functions.{col, lit, row_number}
 import org.apache.spark.sql.types._
 
 /** WRITE side of the [[EsShapedSource]] connector — the reference's
@@ -33,22 +33,31 @@ import org.apache.spark.sql.types._
   *     construction.
   *   - '''EAN-keyed idempotent upsert''' ([[EsShapedSink.upsertInto]]):
   *     the ES `index` bulk action replaces the stored document with
-  *     the same `_id`; here the merge runs as an ENGINE job — the live
-  *     snapshot anti-joined on the batch's ids, unioned with the
-  *     batch, published as the next generation — exactly the
-  *     lakehouse-MERGE architecture (the connector provides snapshot
-  *     isolation; the join is Catalyst's). Replaying a batch is a
-  *     state no-op, the StreamingDsl replay discipline applied at the
-  *     writer (spec-proven, incl. through `foreachBatch`).
+  *     the same `_id`; here the bulk is an LSM APPEND — the batch
+  *     lands as a new DELTA generation (O(batch) bytes, never a state
+  *     rewrite), the pointer chain grows by one slice, and
+  *     [[EsShapedSink.read]] collapses the chain latest-slice-wins
+  *     per id (exactly how ES serves a search over un-merged
+  *     segments: newest doc version wins via the per-segment liveDocs
+  *     mask). Replaying a batch reproduces the identical READ state,
+  *     the StreamingDsl replay discipline applied at the writer
+  *     (spec-proven, incl. through `foreachBatch`).
+  *   - '''Compaction''' ([[EsShapedSink.compact]]): once the chain
+  *     exceeds [[EsShapedSink.MaxDeltaSlices]] slices, the collapsed
+  *     state republishes as a fresh base snapshot and unreferenced
+  *     generations are vacuumed — ES's background segment merge,
+  *     amortizing the O(state) rewrite over the slice budget instead
+  *     of paying it per bulk.
   *
-  * Scale shape: the per-commit cost is one broadcast anti-join of the
-  * live state against the batch's id set plus a rewrite of the live
-  * snapshot — ES pays the same write amplification inside segment
-  * merging; an LSM segment log with read-side collapse would amortize
-  * the rewrite and is the documented production refinement (the
-  * generation/pointer layout IS that log's structure — only the
-  * compaction policy differs). Single-writer by contract, like the
-  * reference's one ETL run per schedule.
+  * Scale shape: a micro-batch upsert costs O(batch) write I/O plus a
+  * pointer swap; the O(state) rewrite happens once per
+  * [[EsShapedSink.MaxDeltaSlices]] batches inside compaction — the
+  * write amplification of a 100 TB streaming upsert is the LSM
+  * amortized one, not per-bulk. Reads over an uncompacted chain pay
+  * one hash shuffle on the id (the LSM read tax, bounded by the slice
+  * budget). Single-writer by contract, like the reference's one ETL
+  * run per schedule; vacuum runs at retention zero, so a reader
+  * racing a compaction may need the standard lakehouse retry.
   */
 object EsShapedSink {
 
@@ -56,6 +65,17 @@ object EsShapedSink {
   val LatestPointer = "_latest"
   val TemplateFile = "_template.json"
   private[sources] def genDirName(n: Int): String = s"gen-$n"
+
+  /** Write option marking a batch as an upsert DELTA slice (value =
+    * the id column); plain appends stay fail-fast.
+    */
+  private[sources] val DeltaIdOption = "graft.delta.id"
+
+  /** Max delta slices the chain may carry before [[upsertInto]]
+    * triggers [[compact]] — the LSM level-0 budget: bounds both the
+    * read-side collapse fan-in and the amortized rewrite frequency.
+    */
+  val MaxDeltaSlices = 4
 
   /** Publish `df` as the index's NEW live state (the force-merged
     * snapshot): a fresh generation + pointer swap, template bootstrap
@@ -68,40 +88,110 @@ object EsShapedSink {
 
   /** The ES `_bulk` upsert through the connector: every stored doc
     * whose `idCol` appears in `batch` is replaced by the batch row,
-    * new ids are added, untouched ids carry over. The batch must be
-    * id-unique (a DataFrame is unordered, so ES's last-action-wins
-    * within one bulk has no deterministic analog — fail fast instead).
-    * Idempotent: re-running the same batch reproduces the identical
-    * state bit for bit.
+    * new ids are added, untouched ids carry over — observable through
+    * [[read]]. The batch must be id-unique (a DataFrame is unordered,
+    * so ES's last-action-wins within one bulk has no deterministic
+    * analog — fail fast instead) and id-non-null (an ES bulk action
+    * needs a `_id`; a null key would silently duplicate instead of
+    * replace under any join-based collapse). Idempotent: re-running
+    * the same batch reproduces the identical read state bit for bit.
+    *
+    * Cost: O(batch) — the batch lands as one DELTA generation and the
+    * pointer chain grows by a slice; no state rewrite. The chain is
+    * compacted back to a single base snapshot every
+    * [[MaxDeltaSlices]] upserts.
     */
   def upsertInto(df: DataFrame, path: String, idCol: String): Unit = {
     val spark = df.sparkSession
-    val dups = df.groupBy(col(idCol))
-      .count().where(col("count") > 1).limit(1).collect()
-    require(dups.isEmpty,
-      s"upsert batch carries duplicate $idCol '${dups.headOption.map(_.get(0))
-        .getOrElse("")}' — an unordered frame has no last-wins order")
+    val bad = df.groupBy(col(idCol)).count()
+      .where(col("count") > 1 || col(idCol).isNull).limit(1).collect()
+    bad.headOption.foreach { r =>
+      require(!r.isNullAt(0),
+        s"upsert batch carries a null $idCol — an ES bulk action needs " +
+          "a non-null _id, and a null key never matches on replace")
+      require(false,
+        s"upsert batch carries duplicate $idCol '${r.get(0)}' — an " +
+          "unordered frame has no last-wins order")
+    }
     val conf = EsShaped.sessionConf()
-    val merged =
-      if (EsShaped.liveGeneration(path, conf).isEmpty) df
-      else {
-        val live = spark.read.format(classOf[EsShapedSource].getName).load(path)
-        live.join(broadcast(df.select(col(idCol)).distinct()),
-            Seq(idCol), "left_anti")
-          .unionByName(df)
-          // the anti-join hoists the key column; restore the stored
-          // column order so the published schema never drifts
-          .select(live.columns.map(col).toSeq: _*)
-      }
-    // materialize BEFORE the overwrite plans: the merge reads the very
-    // generation the publish replaces (same discipline as any
-    // read-your-own-table MERGE)
-    publish(merged.localCheckpoint(), path)
+    val (gens, storedId) = EsShaped.liveGenerations(path, conf)
+    if (gens.isEmpty) publish(df, path)
+    else {
+      storedId.foreach(s => require(s == idCol,
+        s"index upserts are keyed on '$s', got '$idCol'"))
+      // conform to the stored column ORDER (schema inference reads the
+      // chain's first file) so every slice shares one parquet layout
+      val stored = spark.read.format(classOf[EsShapedSource].getName)
+        .load(path).columns
+      df.select(stored.map(col).toSeq: _*)
+        .write.format(classOf[EsShapedSource].getName)
+        .option(DeltaIdOption, idCol)
+        .mode("append").save(path)
+      if (EsShaped.liveGenerations(path, conf)._1.size - 1 > MaxDeltaSlices)
+        compact(spark, path)
+    }
   }
 
-  /** Read the live index state back. */
-  def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.format(classOf[EsShapedSource].getName).load(path)
+  /** Read the live index state back — the SEARCH view: a single-
+    * snapshot chain is the raw scan; an upserted chain collapses
+    * latest-slice-wins per id (ES serving a query over un-merged
+    * segments). One hash shuffle on the id, fan-in bounded by
+    * [[MaxDeltaSlices]].
+    */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val conf = EsShaped.sessionConf()
+    val (gens, idOpt) = EsShaped.liveGenerations(path, conf)
+    val raw = spark.read.format(classOf[EsShapedSource].getName).load(path)
+    if (gens.size <= 1) raw
+    else {
+      val id = idOpt.getOrElse(throw new IllegalStateException(
+        s"multi-generation chain at $path carries no id column"))
+      val slices = gens.zipWithIndex.map { case (g, i) =>
+        spark.read.format(classOf[EsShapedSource].getName)
+          .load(s"$path/${genDirName(g)}")
+          .withColumn("__slice", lit(i))
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(id)).orderBy(col("__slice").desc)
+      slices.reduce(_.unionByName(_))
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+        .select(raw.columns.map(col).toSeq: _*)
+    }
+  }
+
+  /** Fold the delta chain back into one base snapshot (ES's segment
+    * merge): publish the collapsed read as a fresh generation, then
+    * vacuum every generation the new pointer no longer references.
+    * O(state) — run once per [[MaxDeltaSlices]] upserts by
+    * [[upsertInto]], or on demand.
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val conf = EsShaped.sessionConf()
+    if (EsShaped.liveGenerations(path, conf)._1.size > 1) {
+      // materialize BEFORE the overwrite plans: the collapse reads the
+      // very generations the publish replaces (read-your-own-table)
+      publish(read(spark, path).localCheckpoint(), path)
+      vacuum(path, conf)
+    }
+  }
+
+  /** Delete generation directories the pointer no longer references
+    * (aborted stages, compacted-away slices). Retention zero: safe
+    * under the single-writer contract; a reader racing this does the
+    * standard lakehouse retry.
+    */
+  def vacuum(path: String, conf: Configuration): Unit = {
+    val (live, _) = EsShaped.liveGenerations(path, conf)
+    val keep = live.map(genDirName).toSet
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    if (fs.exists(dir))
+      fs.listStatus(dir).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen-") &&
+          !keep.contains(s.getPath.getName))
+        .foreach(s => fs.delete(s.getPath, true))
+  }
 }
 
 private[sources] final class EsShapedWriteBuilder(paths: Seq[String],
@@ -115,23 +205,27 @@ private[sources] final class EsShapedWriteBuilder(paths: Seq[String],
     require(paths.size == 1,
       s"es-shaped write needs exactly one path, got $paths")
     override def toBatch: BatchWrite =
-      new EsShapedBatchWrite(paths.head, info.schema(), isTruncate)
+      new EsShapedBatchWrite(paths.head, info.schema(), isTruncate,
+        Option(info.options.get(EsShapedSink.DeltaIdOption)))
   }
 }
 
 private final case class EsShapedCommit(file: String, rows: Long)
     extends WriterCommitMessage
 
-/** One batch write = one staged generation. Constructing the write
+/** One batch write = one staged generation — a fresh base snapshot
+  * (overwrite) or an upsert DELTA slice appended to the pointer chain
+  * (the [[EsShapedSink.DeltaIdOption]] route). Constructing the write
   * bootstraps the index (directory + template), mirroring the
   * reference's template-install-at-client-construction.
   */
 private final class EsShapedBatchWrite(path: String, schema: StructType,
-    truncate: Boolean) extends BatchWrite {
+    truncate: Boolean, deltaId: Option[String]) extends BatchWrite {
 
   private val conf = EsShaped.sessionConf()
   EsShaped.bootstrapIndex(path, conf)
-  require(truncate || EsShaped.liveGeneration(path, conf).isEmpty,
+  require(truncate || deltaId.isDefined ||
+    EsShaped.liveGeneration(path, conf).isEmpty,
     "es-shaped append into a non-empty index would shadow the live " +
       "documents: use SaveMode.Overwrite (snapshot publish) or " +
       "EsShapedSink.upsertInto (the EAN-keyed bulk merge)")
@@ -142,8 +236,24 @@ private final class EsShapedBatchWrite(path: String, schema: StructType,
       info: PhysicalWriteInfo): DataWriterFactory =
     new EsShapedWriterFactory(path, gen, schema, ship)
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit =
-    EsShaped.publishGeneration(path, gen, conf)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    // keep ONLY the files the committed task attempts name: a task
+    // attempt that died without abort() (executor crash, retry under a
+    // new taskId) leaves an orphan part file in the staged directory,
+    // and publishing it would hand readers duplicate or truncated rows
+    EsShaped.pruneStage(new Path(path, EsShapedSink.genDirName(gen)),
+      messages.collect { case EsShapedCommit(f, _) => new Path(f).getName }
+        .toSet, conf)
+    val chain = deltaId match {
+      case Some(id) =>
+        val (gens, storedId) = EsShaped.liveGenerations(path, conf)
+        storedId.foreach(s => require(s == id,
+          s"index upserts are keyed on '$s', got '$id'"))
+        (gens :+ gen, Some(id))
+      case None => (Seq(gen), None)
+    }
+    EsShaped.publishPointer(path, chain._1, chain._2, conf)
+  }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     // unreferenced (the pointer never moved); remove the stage

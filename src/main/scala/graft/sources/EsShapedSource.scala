@@ -99,6 +99,7 @@ private final class EsShapedTable(tableSchema: StructType,
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new EsShapedScanBuilder(tableSchema, paths)
@@ -155,12 +156,12 @@ private final class EsShapedScan(tableSchema: StructType,
 
   override def toBatch: Batch = this
 
-  /** One partition per row group SURVIVING stats pruning — the
-    * connector's shard/segment-skip analog, decided entirely from
-    * footers on the driver (no data read).
+  /** Row-group partitions surviving stats pruning for an explicit file
+    * set — shared by the batch path and the streaming per-generation
+    * slices.
     */
-  private lazy val survivors: Seq[EsShapedPartition] =
-    paths.flatMap(EsShaped.dataFiles(_, conf)).flatMap { p =>
+  private def partitionsOf(files: Seq[String]): Seq[EsShapedPartition] =
+    files.flatMap { p =>
       EsShaped.withFooter(p, conf) { r =>
         r.getFooter.getBlocks.asScala.toList.zipWithIndex.collect {
           case (b, i) if EsShaped.blockSurvives(b, preds, tableSchema) =>
@@ -169,11 +170,36 @@ private final class EsShapedScan(tableSchema: StructType,
       }
     }
 
+  /** One partition per row group SURVIVING stats pruning — the
+    * connector's shard/segment-skip analog, decided entirely from
+    * footers on the driver (no data read).
+    */
+  private lazy val survivors: Seq[EsShapedPartition] =
+    partitionsOf(paths.flatMap(EsShaped.dataFiles(_, conf)))
+
   override def planInputPartitions(): Array[InputPartition] =
     survivors.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new EsShapedReaderFactory(tableSchema, required, preds, confShip)
+
+  /** The generation log as a STREAMING SOURCE (the write side's
+    * changefeed): offsets are generation numbers — strictly increasing
+    * by construction ([[EsShaped.nextGeneration]] is max+1 and a
+    * compacted base outnumbers everything it folded — so a micro-batch
+    * is exactly the chain slices published since the last offset.
+    * Each upsert delta arrives as its O(batch) slice; a compaction
+    * re-emits the collapsed state as one snapshot slice (Kafka
+    * log-compaction semantics: consumers see a full re-image, never a
+    * gap). Pushdown/pruning apply per slice, same as batch.
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(paths.size == 1,
+      s"es-shaped streaming read needs exactly one index path, got $paths")
+    new EsShapedMicroBatchStream(paths.head, conf, partitionsOf,
+      () => new EsShapedReaderFactory(tableSchema, required, preds, confShip))
+  }
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong =
@@ -182,6 +208,71 @@ private final class EsShapedScan(tableSchema: StructType,
     override def numRows(): OptionalLong =
       OptionalLong.of(survivors.map(_.rows).sum)
   }
+}
+
+private final case class EsShapedStreamOffset(maxGen: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = maxGen.toString
+}
+
+/** Micro-batch stream over an index's generation chain: poll the
+  * pointer, emit the row groups of every live generation numbered
+  * above the last offset. Planning is footer-only (the batch path's
+  * discipline); slices vacuumed between polls are simply no longer in
+  * the chain — the offset contract never references them.
+  */
+private final class EsShapedMicroBatchStream(path: String,
+    conf: Configuration,
+    partitionsOf: Seq[String] => Seq[EsShapedPartition],
+    factory: () => PartitionReaderFactory)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def currentMax: Int =
+    EsShaped.liveGenerations(path, conf)._1.lastOption.getOrElse(0)
+
+  // Trigger.AvailableNow pins the end offset at preparation time: the
+  // drain processes everything published up to the trigger and stops,
+  // even if the single writer keeps publishing during the run
+  private var availableEnd: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableEnd = Some(currentMax)
+
+  override def initialOffset(): Offset = EsShapedStreamOffset(0)
+
+  override def latestOffset(): Offset =
+    EsShapedStreamOffset(availableEnd.getOrElse(currentMax))
+
+  // SupportsAdmissionControl (via SupportsTriggerAvailableNow): no
+  // rate limiting — a generation is the atomic publish unit, so every
+  // micro-batch takes all slices up to the pinned/current end
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
+    latestOffset()
+
+  override def reportLatestOffset(): Offset = EsShapedStreamOffset(currentMax)
+
+  override def deserializeOffset(json: String): Offset =
+    EsShapedStreamOffset(json.trim.toInt)
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val lo = start.asInstanceOf[EsShapedStreamOffset].maxGen
+    val hi = end.asInstanceOf[EsShapedStreamOffset].maxGen
+    val gens = EsShaped.liveGenerations(path, conf)._1
+      .filter(g => g > lo && g <= hi)
+    partitionsOf(gens.flatMap(g => EsShaped.dataFiles(
+      new Path(path, EsShapedSink.genDirName(g)).toString, conf))).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = factory()
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
 }
 
 private final case class EsShapedPartition(path: String, rowGroup: Int,
@@ -343,22 +434,27 @@ private[graft] object EsShaped {
 
   /** A path entry may be a parquet FILE, a DIRECTORY of part files
     * (how Spark writes a table), or a CONNECTOR-WRITTEN INDEX (a
-    * `_latest` pointer naming the live `gen-N/` snapshot — only the
-    * published generation's files are visible; staged or aborted
-    * generations are unreferenced by construction). Plain directories
-    * expand to their data files (deterministic name order), skipping
-    * `_SUCCESS`/hidden entries. An empty directory contributes
-    * nothing.
+    * `_latest` pointer naming the live generation CHAIN — a base
+    * `gen-N/` snapshot plus any upsert delta slices; only published
+    * generations are visible, staged or aborted generations are
+    * unreferenced by construction). A raw scan of a multi-generation
+    * index returns the UNION of the chain's files — the segment-log
+    * view, like reading ES's raw segments; the id-collapsed search
+    * view is [[EsShapedSink.read]]. Plain directories expand to their
+    * data files (deterministic name order), skipping `_SUCCESS`/hidden
+    * entries. An empty directory contributes nothing.
     */
   def dataFiles(path: String, conf: Configuration): Seq[String] = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val st = fs.getFileStatus(p)
     if (!st.isDirectory) Seq(path)
-    else liveGeneration(path, conf) match {
-      case Some(gen) =>
-        dataFiles(new Path(p, EsShapedSink.genDirName(gen)).toString, conf)
-      case None =>
+    else {
+      val (gens, _) = liveGenerations(path, conf)
+      if (gens.nonEmpty)
+        gens.flatMap(g =>
+          dataFiles(new Path(p, EsShapedSink.genDirName(g)).toString, conf))
+      else
         fs.listStatus(p).toSeq
           .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
             !s.getPath.getName.startsWith("."))
@@ -368,23 +464,37 @@ private[graft] object EsShaped {
 
   // --- Write-protocol helpers (shared with EsShapedSink) ---------------
 
-  /** The published generation of a connector-written index, None for a
-    * plain directory / empty index.
+  /** The live generation CHAIN of a connector-written index (apply
+    * order: base snapshot first, delta slices after) plus the upsert
+    * id column recorded when the chain carries deltas. `(Nil, None)`
+    * for a plain directory / empty index. Pointer format: line 1 a
+    * comma-separated ascending generation list (the legacy single
+    * `"N"` is a one-element chain), optional line 2 the id column.
     */
-  def liveGeneration(path: String, conf: Configuration): Option[Int] = {
+  def liveGenerations(path: String,
+      conf: Configuration): (Seq[Int], Option[String]) = {
     val p = new Path(path, EsShapedSink.LatestPointer)
     val fs = p.getFileSystem(conf)
-    if (!fs.exists(p)) None
+    if (!fs.exists(p)) (Nil, None)
     else {
       val in = fs.open(p)
       try {
         val s = new String(
           org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
           java.nio.charset.StandardCharsets.UTF_8).trim
-        Some(s.toInt)
+        val lines = s.split("\n").toSeq
+        val gens = lines.head.split(",").toSeq.map(_.trim.toInt)
+        (gens, lines.drop(1).headOption.map(_.trim).filter(_.nonEmpty))
       } finally in.close()
     }
   }
+
+  /** The newest generation of the live chain — the single-snapshot
+    * view callers that only need "is there live state / what would a
+    * fresh overwrite replace" key on.
+    */
+  def liveGeneration(path: String, conf: Configuration): Option[Int] =
+    liveGenerations(path, conf)._1.lastOption
 
   /** Next free generation number: max over existing `gen-N` dirs + 1
     * (deterministic — never wall-clock; single-writer by contract).
@@ -402,16 +512,42 @@ private[graft] object EsShaped {
     }
   }
 
-  /** Swap the `_latest` pointer to `gen` — the publish step readers
-    * key on (one small-file create; the narrow replace window is the
-    * documented single-writer trade, like every pointer-file format).
+  /** Swap the `_latest` pointer to the given chain — the publish step
+    * readers key on. Written to a temp file and RENAMED over the
+    * pointer (atomic on the filesystems in scope), so a reader racing
+    * the single writer sees either the old chain or the new one,
+    * never a truncated pointer.
     */
-  def publishGeneration(path: String, gen: Int, conf: Configuration): Unit = {
-    val p = new Path(path, EsShapedSink.LatestPointer)
-    val fs = p.getFileSystem(conf)
-    val out = fs.create(p, true)
-    try out.write(gen.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  def publishPointer(path: String, gens: Seq[Int], idCol: Option[String],
+      conf: Configuration): Unit = {
+    require(gens.nonEmpty, "cannot publish an empty generation chain")
+    val dir = new Path(path)
+    val tmp = new Path(dir, s"${EsShapedSink.LatestPointer}.tmp")
+    val dst = new Path(dir, EsShapedSink.LatestPointer)
+    val fs = dir.getFileSystem(conf)
+    val body = gens.mkString(",") + idCol.fold("")("\n" + _)
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(dir.toUri, conf)
+      .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Keep only the `committed` file names in a staged generation
+    * directory — the commit-side guard against task attempts that died
+    * WITHOUT abort() (executor crash, retry under a new taskId):
+    * their orphan part files must not publish with the generation, or
+    * readers would see duplicate rows / a truncated parquet file.
+    * Creates the directory when no writer ran (a zero-partition
+    * frame), so the published generation is a valid empty snapshot.
+    */
+  def pruneStage(genDir: Path, committed: Set[String],
+      conf: Configuration): Unit = {
+    val fs = genDir.getFileSystem(conf)
+    if (!fs.exists(genDir)) { fs.mkdirs(genDir); () }
+    fs.listStatus(genDir).toSeq
+      .filter(s => s.isFile && !committed.contains(s.getPath.getName))
+      .foreach(s => fs.delete(s.getPath, false))
   }
 
   /** Index bootstrap at WRITER CONSTRUCTION: the directory plus the

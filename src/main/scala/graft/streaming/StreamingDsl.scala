@@ -110,16 +110,17 @@ object StreamingDsl {
     val vecs = spark.read.parquet(s"$storePath/embs")
       .select(col("vec_id"), col("label"), col("embedding"))
     val embs = vecs.select(col("vec_id").as("doc_id"), col("embedding"))
-    // the ANN index trained from the DRAINED store — decimal-exact
-    // means are accumulation-order-independent and assignBatch shares
-    // ivfAssign's math, so the served index equals the batch-trained
-    // one row for row and a `num_candidates` hybrid request serves
-    // bit-equal to the batch compile (StreamingDslSpec pins it); the
-    // refresh cadence at scale is StreamingVectors' codebook-version
-    // protocol
-    val codebook = graft.operators.VectorOps.codebookFromMeans(
-      graft.operators.VectorOps.trainMeans(vecs,
-        graft.operators.VectorOps.NList)).localCheckpoint()
+    // the AUTO-SIZED ANN index trained from the DRAINED store —
+    // decimal-exact means are accumulation-order-independent and
+    // assignBatch shares ivfAssign's math, so the served index equals
+    // the batch-trained one (VectorOps.centroidVectorsAuto's recipe,
+    // dials from the drained count) row for row and a
+    // `num_candidates` hybrid request serves bit-equal to the batch
+    // compile (StreamingDslSpec pins it); the refresh cadence at
+    // scale is StreamingVectors' codebook-version protocol
+    val n = vecs.count()
+    val codebook = graft.operators.VectorOps
+      .centroidVectorsAutoFrom(vecs, n).localCheckpoint()
     val assignments = StreamingVectors.assignBatch(vecs, codebook)
       .select(col("vec_id"), col("assigned_label"))
     Env(
@@ -128,6 +129,6 @@ object StreamingDsl {
       ann = Some(graft.plans.QueryDsl.AnnIndex(
         assignments = assignments,
         centroids = codebook,
-        nlist = graft.operators.VectorOps.NList)))
+        nlist = graft.operators.VectorOps.autoDials(n)._1)))
   }
 }

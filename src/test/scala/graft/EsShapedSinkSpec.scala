@@ -116,6 +116,107 @@ class EsShapedSinkSpec extends SparkSpec {
     assert(once === batch.collect().toSet)
   }
 
+  test("upsert is an O(batch) delta append; compaction folds the chain") {
+    val path = tmp()
+    import spark.implicits._
+    val conf = graft.sources.EsShaped.sessionConf()
+    def chain() = graft.sources.EsShaped.liveGenerations(path, conf)._1
+    def genDirs() = Option(new java.io.File(path).listFiles())
+      .map(_.toSeq.filter(f => f.isDirectory && f.getName.startsWith("gen-")))
+      .getOrElse(Nil)
+    def dirBytes(g: Int) = Option(new java.io.File(path,
+      s"gen-$g").listFiles()).map(_.map(_.length()).sum).getOrElse(0L)
+    val base = (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v")
+    EsShapedSink.publish(base, path)
+    assert(chain().size === 1)
+    val baseGen = chain().head
+    // MaxDeltaSlices upserts: each lands as ONE delta slice of exactly
+    // the batch's rows — never a state rewrite
+    (1 to EsShapedSink.MaxDeltaSlices).foreach { k =>
+      val batch = Seq((k.toLong, s"new$k"), (100L + k, s"add$k"))
+        .toDF("id", "v")
+      EsShapedSink.upsertInto(batch, path, "id")
+      assert(chain().size === 1 + k, s"after upsert $k")
+      val deltaGen = chain().last
+      assert(spark.read.format(fmt).load(s"$path/gen-$deltaGen").count() === 2L,
+        "a delta slice holds the batch rows only")
+      assert(dirBytes(deltaGen) < dirBytes(baseGen),
+        "delta write I/O must be O(batch), not O(state)")
+    }
+    // the collapsed read: replaced ids take the newest slice, adds land
+    val expect = (1 to EsShapedSink.MaxDeltaSlices).flatMap(k =>
+      Seq((k.toLong, s"new$k"), (100L + k, s"add$k"))) ++
+      ((EsShapedSink.MaxDeltaSlices + 1) to 100).map(i => (i.toLong, s"v$i"))
+    assert(EsShapedSink.read(spark, path).as[(Long, String)].collect().toSet
+      === expect.toSet)
+    // one more upsert breaches the slice budget → compaction: a single
+    // base generation again, unreferenced slices vacuumed
+    EsShapedSink.upsertInto(Seq((200L, "tail")).toDF("id", "v"), path, "id")
+    assert(chain().size === 1)
+    assert(genDirs().size === 1, "vacuum must drop compacted-away slices")
+    assert(EsShapedSink.read(spark, path).count() === 105L)
+    assert(!new java.io.File(path, "_latest.tmp").exists())
+    // a null id can never be replaced on a later upsert — fail fast
+    val e = intercept[IllegalArgumentException] {
+      EsShapedSink.upsertInto(Seq((Option.empty[java.lang.Long], "x"))
+        .toDF("id", "v"), path, "id")
+    }
+    assert(e.getMessage.contains("null"), e.getMessage)
+  }
+
+  test("commit publishes only committed task files (orphans are dropped)") {
+    // the commit-side prune seam: a task attempt that died WITHOUT
+    // abort() (executor crash, retry under a new taskId) leaves an
+    // orphan part file next to the retried attempt's committed one —
+    // commit() must publish only the files its commit messages name
+    val conf = graft.sources.EsShaped.sessionConf()
+    val stage = java.nio.file.Files.createTempDirectory("es-stage")
+    val committed = stage.resolve("part-00003-58.parquet")
+    val orphan = stage.resolve("part-00003-57.parquet")
+    java.nio.file.Files.write(committed, "good".getBytes)
+    java.nio.file.Files.write(orphan, "junk".getBytes)
+    graft.sources.EsShaped.pruneStage(
+      new org.apache.hadoop.fs.Path(stage.toString),
+      Set("part-00003-58.parquet"), conf)
+    assert(java.nio.file.Files.exists(committed))
+    assert(!java.nio.file.Files.exists(orphan),
+      "an uncommitted part file must not be published with the generation")
+    // and a zero-writer commit still yields a valid (empty) snapshot dir
+    val empty = new org.apache.hadoop.fs.Path(stage.toString, "gen-9")
+    graft.sources.EsShaped.pruneStage(empty, Set.empty, conf)
+    assert(new java.io.File(stage.toFile, "gen-9").isDirectory)
+  }
+
+  test("the generation log is a streaming SOURCE (readStream over published slices)") {
+    val path = tmp()
+    import spark.implicits._
+    EsShapedSink.publish(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), path)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val ckpt = Files.createTempDirectory("es-src-ckpt").toString
+    def drain(): Unit = {
+      val q = spark.readStream.format(fmt).load(path)
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          got.synchronized { got ++= df.as[(Long, String)].collect() }; ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination(120000)
+      ()
+    }
+    drain()
+    assert(got.toSet === Set((1L, "a"), (2L, "b")),
+      "the base snapshot is the stream's first slice")
+    EsShapedSink.upsertInto(Seq((2L, "b2"), (3L, "c")).toDF("id", "v"),
+      path, "id")
+    drain() // SAME checkpoint: only the newly published slice arrives
+    assert(got.size === 4,
+      "a resumed drain must read the delta slice only, never re-read the base")
+    assert(got.toSet === Set((1L, "a"), (2L, "b"), (2L, "b2"), (3L, "c")),
+      "the stream is the segment log: replaced ids appear once per slice")
+  }
+
   test("array columns survive the writer round-trip (wire arrays, not just reads)") {
     val path = tmp()
     val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")

@@ -89,6 +89,7 @@ class GoldenSpec extends SparkSpec {
     "dsl_bool_scored" -> ((3077244817348176689L, 15L)),
     "dsl_multi_match" -> ((-6555088438465609711L, 12L)),
     "dsl_hybrid" -> ((7514702041882966666L, 10L)),
+    "dsl_collapse_inner_size" -> ((5418305805998519619L, 6L)),
     "dsl_hybrid_approx" -> ((7514702041882966666L, 10L)),
     // re-pinned r14: percentile_ranks now ×100 (ES's percentage
     // response scale — ADVICE r13), oracle updated in lockstep
@@ -272,8 +273,12 @@ class GoldenSpec extends SparkSpec {
     "dsl_filters" -> ((-5958581771005652670L, 3L)),
     "dsl_score" -> ((-2823222289340479866L, 10L)),
     "hybrid_rrf" -> ((-1885452052056380719L, 50L)),
-    "hybrid_rrf_ann" -> ((2617175924053385863L, 50L)),
-    "hybrid_rrf_ann_recall" -> ((-4006118230369836574L, 5L)),
+    "hybrid_rrf_ann" -> ((6315627983955912690L, 50L)),
+    "hybrid_rrf_ann_recall" -> ((7150736648444587534L, 5L)),
+    // equal to hybrid_rrf_ann's fingerprint BY DESIGN at sf0.001: every
+    // doc id sits below ServingQMax, so the fixed query page is the
+    // full stride set — the bound only bites from sf0.1 up
+    "hybrid_rrf_serving" -> ((6315627983955912690L, 50L)),
     "cluster_cards" -> ((-813937664726231098L, 50L)),
     "mmr_rerank" -> ((465589226566118004L, 25L)),
     "txt_bm25" -> ((8938680310938870376L, 50L)),

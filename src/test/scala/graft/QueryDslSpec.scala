@@ -838,24 +838,28 @@ class QueryDslSpec extends SparkSpec {
     assert(e.getMessage.contains("suggest combined with 'query'"), e.getMessage)
   }
 
-  test("collapse.inner_hits refuses a top-level size (ES sizes groups, not rows)") {
-    // a flat limit over the hit+inner-hit rows would cut mid-group —
-    // fail fast (the suggest-combination guard's discipline)
-    val e = intercept[IllegalArgumentException] {
-      QueryDsl.search(env, s"""{
-        "index": ["${DslQueries.ApmPattern}"],
-        "size": 5,
-        "collapse": {
-          "field": "kubernetes.pod.uid",
-          "inner_hits": {"name": "recent", "size": 2}
-        },
-        "sort": [{"@timestamp": "desc"}]
-      }""")
-    }
-    assert(e.getMessage.contains("collapse.inner_hits"), e.getMessage)
-    // the sizeless drain form (the registered body's shape) still runs
-    assert(QueryDsl.drain(DslQueries.signalEnv(spark, sfDir),
-      DslQueries.CollapseInnerBody).count() > 0)
+  test("collapse.inner_hits with a top-level size cuts GROUPS, not rows") {
+    val sigEnv = DslQueries.signalEnv(spark, sfDir)
+    val sized = QueryDsl.search(sigEnv, DslQueries.CollapseInnerSizeBody)
+    val all = QueryDsl.drain(sigEnv, DslQueries.CollapseInnerBody)
+    // ES semantics: size counts collapsed (rank-1) hits; each surviving
+    // group keeps its full inner_hits page — never a mid-group cut
+    val keyCol = "kubernetes_pod_uid"
+    assert(sized.select(keyCol).distinct().count() === 3L)
+    assert(sized.where(col("hit_rank") === 1).count() === 3L)
+    val perGroup = sized.groupBy(col(keyCol))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.max(col("hit_rank")).as("mx"))
+      .collect()
+    perGroup.foreach(r => assert(r.getAs[Long]("n") === r.getAs[Long]("mx"),
+      "a sized collapse must keep every inner row of a surviving group"))
+    // the surviving groups are the request-sort top-3 of the unsized
+    // result's rank-1 hits (same window, same tiebreak)
+    val expectKeys = all.where(col("hit_rank") === 1)
+      .orderBy(col("ts").desc, col("event_id").desc).limit(3)
+      .select(keyCol).collect().map(_.getString(0)).toSet
+    assert(sized.select(keyCol).distinct().collect()
+      .map(_.getString(0)).toSet === expectKeys)
   }
 
   test("minimum_should_match percent/negative string forms fail fast") {

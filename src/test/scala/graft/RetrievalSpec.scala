@@ -50,9 +50,9 @@ class RetrievalSpec extends SparkSpec {
     assert(!rows.exists(r => r.getLong(0) == r.getLong(2)))
   }
 
-  test("hybridRrfAnn: vector components agree with knnIvf; recall gauge is sane") {
+  test("hybridRrfAnn: vector components agree with knnIvfAuto; recall gauge is sane") {
     val rows = Retrieval.hybridRrfAnn(spark, sfDir).collect()
-    val ivf = VectorOps.knnIvf(spark, sfDir).collect()
+    val ivf = VectorOps.knnIvfAuto(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     rows.filterNot(_.isNullAt(5)).foreach { r =>
       assert(ivf((r.getLong(0), r.getLong(2))) === r.getLong(5), s"row $r")
