@@ -685,7 +685,15 @@ object GraphOps {
     * (u, v) key the grouping just produced.
     */
   def linkPredict(spark: SparkSession, dir: String): DataFrame = {
-    val strong = strongEdges(spark, dir)
+    // Materialized (localCheckpoint, computed inside the query): the
+    // strong edge set is referenced FIVE times in this plan (both
+    // wedge sides through adjD, the degree attach, and the anti-join),
+    // and each reference re-derived it from scratch — tradeEdges'
+    // lineitem⋈orders fact join ran 5× per call (measured: 104
+    // Exchanges / 72 parquet scans in the executed plan). The edge
+    // list is ≤ |nations|² rows; cutting it makes every downstream
+    // step small-data (guide §3.3's duplicate-subtree case).
+    val strong = strongEdges(spark, dir).localCheckpoint()
     val adj = strong.select(col("a").as("z"), col("b").as("n"))
       .unionAll(strong.select(col("b").as("z"), col("a").as("n")))
     val deg = adj.groupBy(col("z")).agg(count(lit(1)).as("deg"))

@@ -209,8 +209,22 @@ object Retrieval {
     * page changes, not just the vector list).
     */
   def hybridRrfAnnRecall(spark: SparkSession, dir: String): DataFrame = {
-    val exact = hybridRrf(spark, dir).select(col("query_id"), col("doc_id"))
-    val approx = hybridRrfAnn(spark, dir)
+    // The lex tower is IDENTICAL in both fusions (only the vector side
+    // differs), so compute its k·|Q| rank table once and fuse it twice
+    // — previously each side re-ran the full BM25 scoring pipeline
+    // (the gauge paid the tower 2×; at 100 TB the duplicated side is a
+    // corpus-scale scoring pass). Materialized so the two fusion
+    // subtrees share the computed rows rather than the plan.
+    val lex = lexRanks(spark, dir).localCheckpoint()
+    val exact = fuseRrf(lex,
+      VectorOps.knnExact(spark, dir)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank").as("vec_rank")))
+      .select(col("query_id"), col("doc_id"))
+    val approx = fuseRrf(lex,
+      VectorOps.knnIvfAuto(spark, dir)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank").as("vec_rank")))
       .select(col("query_id"), col("doc_id"), lit(1).as("hit"))
     exact.join(approx, Seq("query_id", "doc_id"), "left")
       .groupBy(col("query_id"))
@@ -257,9 +271,17 @@ object Retrieval {
     */
   private def lexRanksFor(spark: SparkSession, dir: String,
       qpred: Column): DataFrame = {
+    // Materialized (localCheckpoint, computed inside the query):
+    // bm25Ranked references the query relation TWICE — once as the
+    // vocabulary restriction (`qterms` semi-join) and once as the
+    // broadcast scoring join — and Catalyst has no cross-branch
+    // subtree reuse, so without the cut the whole tfidf pipeline
+    // (postings window + df aggregate) ran twice per lex tower
+    // (guide §3.3's duplicate-subtree case). |Q|·3 rows.
     val queries = TextOps.tfidf(spark, dir)
       .where(qpred)
       .select(col("doc_id").as("query_id"), col("word").as("term"))
+      .localCheckpoint()
     TextOps.bm25Ranked(spark, dir, queries, excludeSelf = true)
       .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
   }

@@ -691,32 +691,45 @@ object TextOps {
         """CASE WHEN length(text) >= 3
           |     THEN transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))
           |     ELSE CAST(array() AS array<string>) END""".stripMargin)).as("g"))
+    // ONE corpus explode + one partial-agg pass shared by both profile
+    // branches: `lang` is functional on `doc_id`, so per-(doc, lang,
+    // gram) counts ARE the old per-(doc, gram) counts with lang carried,
+    // and the language profile is their per-(lang, gram) sum. The
+    // trigram Generate (3 rows/char — the plan's only corpus-sized op)
+    // previously ran TWICE, once under each branch's aggregate, because
+    // Catalyst has no cross-branch common-subexpression reuse.
+    // Materialized (localCheckpoint, computed inside the query) so the
+    // doc-profile and language-profile branches read the aggregate once
+    // instead of re-running explode+agg from the scan.
+    val base = grams.groupBy(col("doc_id"), col("lang"), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val byDoc = Window.partitionBy(col("doc_id"))
       .orderBy(col("cnt").desc, col("g").asc)
-    val docTop = grams.groupBy(col("doc_id"), col("g"))
-      .agg(count(lit(1)).as("cnt"))
+    val docTop = base
       .withColumn("dr", row_number().over(byDoc).cast("long"))
       .where(col("dr") <= k)
-      .select(col("doc_id"), col("g"), col("dr"))
+      .select(col("doc_id"), col("lang"), col("g"), col("dr"))
     val byLang = Window.partitionBy(col("plang"))
       .orderBy(col("cnt").desc, col("g").asc)
-    val langTop = grams.groupBy(col("lang").as("plang"), col("g"))
-      .agg(count(lit(1)).as("cnt"))
+    val langTop = base.groupBy(col("lang").as("plang"), col("g"))
+      .agg(sum(col("cnt")).as("cnt"))
       .withColumn("lr", row_number().over(byLang).cast("long"))
       .where(col("lr") <= k)
       .select(col("plang"), col("g"), col("lr"))
+    // lang rides the displacement aggregate's keys (still one row per
+    // (doc, plang) — lang is doc-functional), replacing the former
+    // re-join against documents for the label column.
     val dist = docTop
       .crossJoin(broadcast(langTop.select(col("plang")).distinct()))
       .join(broadcast(langTop), Seq("plang", "g"), "left")
-      .groupBy(col("doc_id"), col("plang"))
+      .groupBy(col("doc_id"), col("lang"), col("plang"))
       .agg(sum(coalesce(abs(col("dr") - col("lr")), lit(k.toLong)))
         .as("dist"))
     val best = Window.partitionBy(col("doc_id"))
       .orderBy(col("dist").asc, col("plang").asc)
     dist.withColumn("rn", row_number().over(best))
       .where(col("rn") === 1)
-      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
-        Seq("doc_id"))
       .select(col("doc_id"), col("lang"), col("plang").as("lang_pred"),
         col("dist"), (col("lang") === col("plang")).as("correct"))
   }

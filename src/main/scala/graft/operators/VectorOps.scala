@@ -627,12 +627,53 @@ object VectorOps {
     * query (probing strictly more cells can only add hits) — the spec
     * pins that.
     */
-  def ivfRecallCurve(spark: SparkSession, dir: String): DataFrame =
+  def ivfRecallCurve(spark: SparkSession, dir: String): DataFrame = {
+    // Probe sets are NESTED in nprobe (topk_by_sim's deterministic
+    // (sim DESC, label ASC) order makes the top-np cells a prefix of
+    // the top-max(np) cells), so sweep point np's candidate set is
+    // exactly `probe_rn <= np` of the widest point's. Score the widest
+    // candidate set ONCE (with the probe rank attached) and let each
+    // sweep point re-cut it, instead of re-running the probe + bucket
+    // join + cosine pipeline per point — the old form scored
+    // 1+2+4+8 = 15 cell-sets of candidates where the union needs 8
+    // (guide §2.3: don't compute things you throw away). Materialized
+    // because all four sweep branches read it. Rows per point are
+    // bit-identical to ivfRecall(np): same candidates, same cosine
+    // expression, same topK cut.
+    val maxNp = RecallCurveProbes.max
+    val assignments = ivfAssign(spark, dir, NList)
+      .select(col("vec_id").as("neighbor_id"), col("assigned_label"))
+    val probes = nearestCentroids(
+      withNorm(spark, dir).where(col("vec_id") % QueryMod === 0),
+      centroidVectors(spark, dir, NList), maxNp)
+      .select(col("vec_id").as("query_id"),
+        col("c_label").as("assigned_label"), col("rn").as("probe_rn"))
+    val base = withNorm(spark, dir)
+    val sims = probes.join(assignments, Seq("assigned_label"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("probe_rn"))
+      .join(base.select(col("vec_id").as("neighbor_id"), col("embedding"),
+        col("nrm")), Seq("neighbor_id"))
+      .join(broadcast(
+        base.where(col("vec_id") % QueryMod === 0)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+            col("nrm").as("qnrm"))),
+        Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("probe_rn"), cosine)
+      .localCheckpoint()
+    val exact = knnExact(spark, dir).select(col("query_id"), col("neighbor_id"))
     RecallCurveProbes.map { np =>
-      ivfRecall(spark, dir, nprobe = np)
+      val approx = topK(sims.where(col("probe_rn") <= np)
+        .select(col("query_id"), col("neighbor_id"), col("sim")))
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg((count(col("hit")).cast("double") / K).as("recall_at_k"),
+          count(lit(1)).as("n_exact"))
         .select(lit(np.toLong).as("nprobe"), col("query_id"),
           col("recall_at_k"), col("n_exact"))
     }.reduce(_.unionAll(_))
+  }
 
   /** Per-label centroids in long format (label, pos, centroid_sum, n,
     * mean). Element sums accumulate in DECIMAL so the result is
